@@ -1,0 +1,92 @@
+"""Text column-expression library (JVM-side, no Python UDFs).
+
+Tokenization contract (shared with the DuckDB oracle SQL in
+``__spark_entry__.py``): lowercase, split on runs of ``[^a-z0-9]+``,
+drop empty strings.  Keeping the contract this small is what lets every
+text operator stay inside whole-stage codegen AND be oracle-checkable.
+
+The reference has no tokenizer of its own — BM25 tokenization was
+delegated to Weaviate (SURVEY §4) — so the rebuild owns these semantics
+and locks them with goldens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+TOKEN_SPLIT_RE = r"[^a-z0-9]+"
+
+#: Tiny English stopword list used by quality scoring + language ID.
+#: Frozen: changing it changes oracle results.
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "this", "by", "are", "be", "at",
+]
+
+
+def tokenize(col: Column) -> Column:
+    """string -> array<string> of lowercase alnum tokens."""
+    return F.filter(
+        F.split(F.lower(col), TOKEN_SPLIT_RE),
+        lambda x: x != F.lit(""),
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokenize(col))
+
+
+def distinct_token_count(col: Column) -> Column:
+    return F.size(F.array_distinct(tokenize(col)))
+
+
+def char_ngrams(col: Column, n: int = 3) -> Column:
+    """string -> array<string> of character n-grams (shingles) over the
+    lowercased raw text.  Used by Jaccard / MinHash dedup.
+    """
+    lower = F.lower(col)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.length(lower) - n, F.lit(0))),
+        lambda i: lower.substr(i + 1, F.lit(n)),
+    )
+
+
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """array of n-token shingles joined by a space."""
+    toks = tokenize(col)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
+def stopword_ratio(col: Column) -> Column:
+    """fraction of tokens that are (English) stopwords — one signal in
+    the quality score.
+    """
+    toks = tokenize(col)
+    sw = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
+    return F.when(F.size(toks) > 0, sw / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column) -> Column:
+    """fraction of characters that are not alnum/whitespace."""
+    total = F.length(col)
+    stripped = F.length(F.regexp_replace(F.lower(col), r"[a-z0-9\s]", ""))
+    return F.when(total > 0, stripped / total).otherwise(F.lit(0.0))
+
+
+def contextual_prefix(
+    source_name: Column, title: Column, path: Column, content: Column
+) -> Column:
+    """T5: contextual embedding string (embedder_consumer.go:50-60) —
+    'Documentation: {src}\\nTitle: {title}\\nSection: {path}\\n---\\n{content}'.
+    Stored content stays WITHOUT the prefix; only the embedder sees it.
+    """
+    return F.concat(
+        F.lit("Documentation: "), F.coalesce(source_name, F.lit("")),
+        F.lit("\nTitle: "), F.coalesce(title, F.lit("")),
+        F.lit("\nSection: "), F.coalesce(path, F.lit("")),
+        F.lit("\n---\n"), F.coalesce(content, F.lit("")),
+    )

@@ -1,0 +1,122 @@
+"""BM25 keyword scoring (half of operator Q2, hybrid search).
+
+The reference delegates BM25 to Weaviate's inverted index
+(internal/adapter/weaviate/store.go:105-236 builds the Hybrid query;
+SURVEY §4 "Index structures").  Spark has no inverted index, so the
+rebuild owns the semantics:
+
+  score(d, q) = sum_{t in q}  idf(t) * tf(t,d)*(k1+1)
+                              / (tf(t,d) + k1*(1 - b + b*dl(d)/avgdl))
+  idf(t)      = ln(1 + (N - df(t) + 0.5) / (df(t) + 0.5))   [Lucene form]
+  k1 = 1.2, b = 0.75 (classic defaults, SURVEY §2 Q2)
+
+Scale design (100 TB):
+  - ``build_index`` materializes a *postings* table (term, doc, tf) and
+    a *doclen* table once per corpus version; both are plain DataFrames
+    meant to be written partitioned/bucketed by ``term`` so query-time
+    term lookups are partition-pruned scans, not full passes.
+  - Query-time scoring filters postings with ``term IN (...literals)``
+    — a pushed-down In-predicate on the term-partitioned table — then
+    one partial-aggregated groupBy(doc).  Per-query cost is
+    O(sum df(t)), independent of corpus size.
+  - Corpus stats (N, avgdl) are two scalars; df(t) lives on the
+    postings rows (denormalized at build time) precisely so scoring
+    needs NO extra join against a stats table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from qurio_spark.functions.text import tokenize
+
+K1 = 1.2
+B = 0.75
+
+
+@dataclass
+class BM25Index:
+    """postings: (doc id cols..., term, tf, df); doclen: (doc id, dl);
+    n_docs / avgdl: corpus scalars (computed once, driver-held)."""
+
+    postings: DataFrame
+    doclen: DataFrame
+    n_docs: int
+    avgdl: float
+    id_col: str
+
+
+def tokenize_query(query: str) -> list[str]:
+    """Driver-side tokenization of the query string — same contract as
+    functions.text.tokenize (lowercase alnum runs)."""
+    import re
+
+    return [t for t in re.split(r"[^a-z0-9]+", query.lower()) if t]
+
+
+def build_index(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> BM25Index:
+    """Corpus -> BM25 index tables.  Two shuffles total (by (doc,term)
+    then by term), both with map-side partial aggregation."""
+    toks = docs.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # document frequency, denormalized onto postings (broadcast: |vocab| is small)
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    postings = tf.join(F.broadcast(df_), "term")
+    doclen = docs.select(
+        F.col(id_col), F.size(tokenize(F.col(text_col))).alias("dl")
+    )
+    stats = doclen.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    return BM25Index(postings, doclen, int(stats["n"]), float(stats["avgdl"]), id_col)
+
+
+def idf_expr(df_col: Column, n_docs: int) -> Column:
+    return F.log(F.lit(1.0) + (F.lit(float(n_docs)) - df_col + 0.5) / (df_col + 0.5))
+
+
+def score_query(
+    index: BM25Index, query: str, k1: float = K1, b: float = B
+) -> DataFrame:
+    """-> (id_col, bm25) for documents matching >= 1 query term.
+
+    The ``isin`` literal filter is pushed to the postings scan; the
+    single groupBy(doc) is the only shuffle.
+    """
+    terms = tokenize_query(query)
+    if not terms:
+        # empty query -> no keyword evidence; all-zero frame
+        return index.doclen.select(index.id_col, F.lit(0.0).alias("bm25")).limit(0)
+    matched = index.postings.filter(F.col("term").isin(terms))
+    scored = matched.join(index.doclen, index.id_col)
+    tf, dl = F.col("tf").cast("double"), F.col("dl").cast("double")
+    per_term = idf_expr(F.col("df").cast("double"), index.n_docs) * (
+        tf * (k1 + 1.0)
+    ) / (tf + k1 * (1.0 - b + b * dl / F.lit(index.avgdl)))
+    return (
+        scored.withColumn("s", per_term)
+        .groupBy(index.id_col)
+        .agg(F.sum("s").alias("bm25"))
+    )
+
+
+def score_query_inline(
+    docs: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """One-shot scoring without a prebuilt index (used by the oracle
+    harness and small corpora): builds stats in the same DAG.  Returns
+    every document with its (possibly 0.0) bm25 score — the dense shape
+    hybrid fusion wants.
+    """
+    idx = build_index(docs, id_col, text_col)
+    scores = score_query(idx, query, k1, b)
+    return (
+        docs.select(id_col)
+        .join(scores, id_col, "left")
+        .select(F.col(id_col), F.coalesce(F.col("bm25"), F.lit(0.0)).alias("bm25"))
+    )

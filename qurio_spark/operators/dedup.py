@@ -1,0 +1,231 @@
+"""Deduplication operators (training-data-pipeline extensions).
+
+The reference's only dedup is exact-hash (F6 content_hash / F8 page
+conflict-ignore).  At 100 TB a training pipeline needs the full ladder,
+each implemented as declarative DataFrame ops:
+
+  exact_dedup          sha256 groupBy — one shuffle on the hash
+  ngram_jaccard_pairs  shingle inverted-index join (docs sharing a
+                       shingle become candidates; Jaccard on candidate
+                       pairs only) — never a blind cross join
+  minhash_signatures / minhash_lsh_pairs
+                       portable universal-hash MinHash; LSH banding
+                       turns near-dup detection into an equality join
+                       on (band, band_hash) — the linear-ish scale path
+  simhash64            64-bit sign-aggregated fingerprint; near-dups =
+                       low Hamming distance, prefilterable by band
+                       equality on 16-bit quarters
+
+Hashes are the engine-portable md5-based ``hash64`` (functions/hashing)
+so every sketch is reproducible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from qurio_spark.functions.hashing import MERSENNE_61, hash64, minhash_coeffs
+from qurio_spark.functions.numeric import stable_round
+from qurio_spark.functions.text import word_ngrams
+
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the lowest-id representative per exact content hash.
+    Shuffle key = sha256 — uniformly distributed, skew-free."""
+    ranked = docs.select(
+        F.col(id_col), F.col(text_col), F.sha2(F.col(text_col), 256).alias("_h")
+    ).withColumn(
+        "_rn",
+        F.row_number().over(Window.partitionBy("_h").orderBy(F.asc(id_col))),
+    )
+    return ranked.filter(F.col("_rn") == 1).drop("_rn", "_h")
+
+
+def shingle_docs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """-> (id, shingle) distinct word-n-gram rows."""
+    return (
+        docs.select(
+            F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("shingle")
+        )
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Jaccard similarity over word-n-gram shingle sets, computed only
+    for candidate pairs that share >= 1 shingle (inverted-index
+    self-join on the shingle key).  -> (id_a, id_b, jaccard).
+
+    Scale notes: hot shingles create join skew — AQE skew-join splits
+    them; a production variant also drops top-frequency shingles
+    (stop-shingles) before the join, which only loses candidates that
+    would be found via their rarer shingles.
+    """
+    sh = shingle_docs(docs, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", stable_round(F.col("jaccard"), 4).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_perm: int = 16,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 7,
+) -> DataFrame:
+    """-> (id, array<bigint> signature of length num_perm).
+
+    One explode + one groupBy(id): each permutation is a min-aggregate
+    of an affine rehash of the portable shingle hash.  No per-row
+    Python, no UDF."""
+    sh = shingle_docs(docs, id_col, text_col, n).withColumn(
+        "h", hash64(F.col("shingle"))
+    )
+    aggs = []
+    for i, (a, b) in enumerate(minhash_coeffs(num_perm, seed)):
+        rehashed = (
+            (F.col("h").cast("decimal(38,0)") * F.lit(a) + F.lit(b))
+            % F.lit(MERSENNE_61)
+        ).cast("bigint")
+        aggs.append(F.min(rehashed).alias(f"mh{i}"))
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"mh{i}") for i in range(num_perm)]).alias("signature"),
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_perm: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 7,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates verified by signature similarity.
+
+    Banding: signature split into ``bands`` rows-per-band groups; docs
+    colliding on any (band_index, band_slice) become candidates — an
+    equality join, linear-ish in collisions rather than quadratic in
+    docs.  Estimated Jaccard = fraction of matching signature slots.
+    -> (id_a, id_b, est_jaccard)."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(docs, num_perm, n, id_col, text_col, seed)
+    banded = sig.select(
+        F.col(id_col),
+        F.col("signature"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("signature")[bi * rows_per_band + r].cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    ).alias("key"),
+                )
+                for bi in range(bands)
+            ])
+        ).alias("bk"),
+    ).select(id_col, "signature", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"), "band", "key")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+            lambda m: m == 1,
+        )
+    )
+    return (
+        cand.withColumn("est_jaccard", stable_round(matches / F.lit(float(num_perm)), 4))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash64(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """SimHash over unigram tokens (60 effective bits, matching the
+    portable 60-bit ``hash64``): bit j of the fingerprint is
+    the sign of sum over tokens of (+1 if hash-bit j else -1), weighted
+    by term frequency.  -> (id, simhash bigint).
+
+    Implemented bit-parallel with an explode over 64 bit positions —
+    (n_tokens * 64) intermediate rows with full partial aggregation; at
+    scale prefer the 16-bit-quarter banding in ``simhash_near_pairs``
+    for candidate generation."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda x: x != F.lit("")
+            )
+        ).alias("tok"),
+    )
+    tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("w"))
+    tf = tf.withColumn("h", hash64(F.col("tok")))
+    bits = tf.select(
+        F.col(id_col),
+        F.col("w"),
+        F.col("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"),
+    ).withColumn(
+        # shiftright's python wrapper wants an int literal; use the SQL
+        # form so the shift amount can be the `bit` column
+        "contrib",
+        F.when(F.expr("(h >> bit) & 1") == 1, F.col("w")).otherwise(-F.col("w")),
+    )
+    bitsum = bits.groupBy(id_col, "bit").agg(F.sum("contrib").alias("s"))
+    return (
+        bitsum.withColumn(
+            "bitval",
+            F.when(F.col("s") > 0, F.expr("cast(1 as bigint) << bit")).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("bitval").alias("simhash"))
+    )

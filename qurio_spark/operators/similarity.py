@@ -1,0 +1,190 @@
+"""Vector similarity search (the other half of Q2, plus ANN extensions).
+
+The reference delegates ANN to Weaviate's HNSW (SURVEY §4).  A Spark
+rebuild has two regimes:
+
+  - ``brute_force_topk`` — exact cosine top-k.  One map-only columnar
+    pass + TakeOrderedAndProject: the correctness oracle, and genuinely
+    fine up to ~10^7 vectors per query batch.
+  - ``ivf_topk`` — IVF-style coarse quantization: vectors carry a
+    partition/cluster label (here: the k-means-ish ``label`` column;
+    in production the assignment job is a k-means fit + nearest-centroid
+    map).  Queries probe only ``nprobe`` clusters, so the scan is
+    partition-pruned — the 100 TB path, since the label is the physical
+    partition key of the embeddings table.
+  - ``lsh_topk`` — random-hyperplane LSH bucketing; probe only the
+    query's bucket (+ optional multi-probe).  Deterministic planes
+    derived from md5 so results are reproducible and testable.
+
+All distance math is JVM-side (functions/vector.py) — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from qurio_spark.functions.hashing import hash64_py
+from qurio_spark.functions.numeric import stable_round
+from qurio_spark.functions.vector import cosine, dot, literal_vector
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k by cosine (or dot).  -> (id_col, score) ordered.
+
+    Physical plan: scan -> project(score) -> TakeOrderedAndProject
+    (per-partition heaps + single driver merge; no full sort, no
+    shuffle of the corpus).
+    """
+    q = literal_vector(query_vec)
+    score = cosine(F.col(vec_col), q) if metric == "cosine" else dot(F.col(vec_col), q)
+    return (
+        embeddings.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.desc(stable_round(F.col("score"), 6)), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    centroids: DataFrame | None = None,
+    probe_labels: list[int] | None = None,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF search: restrict the exact scan to the ``nprobe`` clusters
+    nearest the query (or explicit ``probe_labels``).
+
+    ``centroids``: small (label, centroid array<float>) frame; when
+    given, probe labels are chosen by cosine(query, centroid) — a
+    driver-side top-nprobe over a tiny collect.  The big-side filter
+    ``label IN (...)`` prunes partitions when the table is written
+    partitioned by label.
+    """
+    if probe_labels is None:
+        if centroids is None:
+            raise ValueError("need centroids or probe_labels")
+        q = literal_vector(query_vec)
+        ranked = (
+            centroids.select(
+                F.col(label_col), cosine(F.col("centroid"), q).alias("sim")
+            )
+            .orderBy(F.desc("sim"))
+            .limit(nprobe)
+            .collect()
+        )
+        probe_labels = [r[label_col] for r in ranked]
+    pruned = embeddings.filter(F.col(label_col).isin(probe_labels))
+    return brute_force_topk(pruned, query_vec, k, id_col, vec_col)
+
+
+def compute_centroids(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Mean vector per label — the IVF codebook build.  Aggregates
+    component-wise via posexplode + groupBy(label, pos): two partial-agg
+    shuffles over (n_labels * dim) keys, independent of row width."""
+    exploded = embeddings.select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "v")
+    )
+    means = exploded.groupBy(label_col, "pos").agg(F.avg("v").alias("m"))
+    return (
+        means.groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            label_col,
+            F.transform("pm", lambda s: s["m"].cast("float")).alias("centroid"),
+        )
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 11) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes from md5 bits —
+    reproducible across engines/runs without an RNG."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hash64_py(f"plane:{seed}:{p}:{d}")
+            row.append(1.0 if h % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_expr(vec_col, planes: list[list[float]]):
+    """Sign-pattern bucket id (int) for a vector column under the given
+    hyperplanes: bit p set iff dot(v, plane_p) >= 0."""
+    bucket = F.lit(0)
+    for p, plane in enumerate(planes):
+        d = dot(vec_col, literal_vector(plane))
+        bucket = bucket + F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    n_planes: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> DataFrame:
+    """Hyperplane-LSH ANN: score only vectors whose sign-pattern bucket
+    matches the query's.  Bucket column is precomputable at write time
+    (then: partition key -> pruned scan)."""
+    dim = len(query_vec)
+    planes = random_hyperplanes(dim, n_planes, seed)
+    qb = 0
+    for p, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, plane)) >= 0:
+            qb |= 1 << p
+    bucketed = embeddings.withColumn("_bucket", lsh_bucket_expr(F.col(vec_col), planes))
+    return brute_force_topk(bucketed.filter(F.col("_bucket") == qb), query_vec, k, id_col, vec_col)
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    block_col: str | None = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine (dedup extension).
+
+    Blocked self-join: pairs are only formed inside a block
+    (cluster/LSH bucket), turning the O(n^2) global cross join into
+    sum-of-squares over blocks — the standard scalable shape.  With
+    ``block_col=None`` it degrades to the exact full cross join
+    (oracle / small corpora only).
+    """
+    a = embeddings.select(
+        *([F.col(block_col)] if block_col else []),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+    )
+    b = embeddings.select(
+        *([F.col(block_col)] if block_col else []),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+    )
+    joined = a.join(b, on=block_col, how="inner") if block_col else a.crossJoin(b)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("sim") > threshold)
+        .select("id_a", "id_b", "sim")
+    )

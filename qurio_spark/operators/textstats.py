@@ -1,0 +1,84 @@
+"""Text-analysis operators (training-data-pipeline extensions).
+
+Beyond reference parity (the brief's §extensions): language ID, quality
+scoring, token counting, document fingerprinting.  All pure column
+expressions — whole-stage codegen, zero Python — and each has an exact
+DuckDB-SQL twin in ``__spark_entry__.py`` for the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from qurio_spark.functions.hashing import sha256_hex
+from qurio_spark.functions.numeric import stable_round
+from qurio_spark.functions.text import (
+    punct_ratio,
+    stopword_ratio,
+    token_count,
+    tokenize,
+)
+
+#: Frozen per-language stopword marker lists for the n-gram-free
+#: heuristic language identifier.  Deliberately tiny: the point is a
+#: deterministic, oracle-checkable heuristic, not fasttext parity.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "los", "las", "es", "y"],
+}
+
+
+def marker_hits(col: Column, lang: str) -> Column:
+    toks = tokenize(col)
+    return F.size(F.filter(toks, lambda t: t.isin(LANG_MARKERS[lang])))
+
+
+def lang_id_expr(col: Column) -> Column:
+    """Argmax over marker-hit counts; ties broken by language-code order
+    (greatest-first scan below keeps the FIRST max); no hits -> 'und'."""
+    hit_cols = [(lang, marker_hits(col, lang)) for lang in sorted(LANG_MARKERS)]
+    best = F.greatest(*[h for _, h in hit_cols])
+    expr = F.lit("und")
+    # build when-chain in reverse so earlier languages win ties
+    for lang, h in reversed(hit_cols):
+        expr = F.when((h == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score_expr(col: Column) -> Column:
+    """[0,1] doc-quality heuristic from length / punctuation / stopword
+    signals (the classic C4/Gopher-style cheap filters):
+      0.4 * length_ok (120 <= chars <= 20000)
+    + 0.3 * (1 - min(1, punct_ratio * 4))
+    + 0.3 * min(1, stopword_ratio * 5)
+    """
+    n = F.length(col)
+    length_ok = F.when((n >= 120) & (n <= 20000), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_term = F.lit(1.0) - F.least(F.lit(1.0), punct_ratio(col) * 4.0)
+    sw_term = F.least(F.lit(1.0), stopword_ratio(col) * 5.0)
+    return stable_round(0.4 * length_ok + 0.3 * punct_term + 0.3 * sw_term, 4)
+
+
+def fingerprint_expr(col: Column) -> Column:
+    """Document fingerprint: sha256 over whitespace-normalized lowercase
+    text (T8-style content hashing applied to near-canonical form)."""
+    normalized = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    return sha256_hex(normalized)
+
+
+def text_profile(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One pass over the corpus -> per-doc analysis row."""
+    c = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.length(c).alias("n_chars"),
+        token_count(c).alias("n_tokens"),
+        F.size(F.array_distinct(tokenize(c))).alias("n_distinct_tokens"),
+        F.round(punct_ratio(c), 4).alias("punct_ratio"),
+        F.round(stopword_ratio(c), 4).alias("stopword_ratio"),
+        lang_id_expr(c).alias("lang_guess"),
+        quality_score_expr(c).alias("quality"),
+        fingerprint_expr(c).alias("fingerprint"),
+    )

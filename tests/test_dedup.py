@@ -1,0 +1,100 @@
+"""Dedup operator suite: exact, n-gram Jaccard, MinHash-LSH, SimHash,
+embedding near-dup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from qurio_spark.functions.embedder import HashingEmbedder
+from qurio_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from qurio_spark.operators.similarity import embedding_near_dup_pairs
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+NEAR = "the quick brown fox jumps over the lazy dog and runs far away into the woods today"
+OTHER = "completely different content about database query optimization and shuffle joins"
+
+CORPUS = [
+    (0, BASE),
+    (1, BASE),  # exact dup of 0
+    (2, NEAR),  # near dup of 0
+    (3, OTHER),
+    (4, "short text"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, ["doc_id", "text"]).cache()
+
+
+class TestExactDedup:
+    def test_keeps_lowest_id_representative(self, spark, docs):
+        kept = sorted(r["doc_id"] for r in exact_dedup(docs).collect())
+        assert kept == [0, 2, 3, 4]
+
+
+class TestNgramJaccard:
+    def test_exact_dup_is_jaccard_1(self, spark, docs):
+        pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+        }
+        assert pairs[(0, 1)] == pytest.approx(1.0)
+
+    def test_near_dup_above_threshold_other_below(self, spark, docs):
+        pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        }
+        assert (0, 2) in pairs and pairs[(0, 2)] >= 0.5
+        assert not any(3 in p for p in pairs)
+
+
+class TestMinHash:
+    def test_identical_docs_identical_signatures(self, spark, docs):
+        sigs = {r["doc_id"]: r["signature"] for r in minhash_signatures(docs).collect()}
+        assert sigs[0] == sigs[1]
+        assert sigs[0] != sigs[3]
+
+    def test_lsh_finds_dups_not_unrelated(self, spark, docs):
+        pairs = {
+            (r["id_a"], r["id_b"]): r["est_jaccard"]
+            for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+        }
+        assert pairs[(0, 1)] == pytest.approx(1.0)
+        assert (0, 2) in pairs  # near dup collides on >=1 band
+        assert not any(3 in p or 4 in p for p in pairs)
+
+
+class TestSimHash:
+    def test_identical_equal_near_close(self, spark, docs):
+        fp = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+        assert fp[0] == fp[1]
+
+        def hamming(a, b):
+            return bin(a ^ b).count("1")
+
+        assert hamming(fp[0], fp[2]) < hamming(fp[0], fp[3])
+        assert hamming(fp[0], fp[2]) <= 12
+
+
+class TestEmbeddingNearDup:
+    def test_blocked_pairs(self, spark, docs):
+        emb = HashingEmbedder(dim=32)
+        with_vec = docs.withColumn("embedding", emb.udf()(F.col("text"))).withColumn(
+            "label", F.lit(0)
+        )
+        pairs = {
+            (r["id_a"], r["id_b"]): r["sim"]
+            for r in embedding_near_dup_pairs(
+                with_vec, threshold=0.9, id_col="doc_id"
+            ).collect()
+        }
+        assert pairs[(0, 1)] == pytest.approx(1.0, abs=1e-6)
+        assert (0, 2) in pairs
+        assert not any(3 in p for p in pairs)

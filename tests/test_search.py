@@ -1,0 +1,153 @@
+"""BM25 / vector / hybrid search correctness (operator Q2 + satellites).
+
+Mirrors the reference's retrieval expectations (FIXTURES.md §6): top-k
+size, filter satisfaction, score monotonicity (alpha=0 -> BM25 order,
+alpha=1 -> cosine order), deterministic tiebreaks.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from qurio_spark.functions.embedder import HashingEmbedder, embed_text_py
+from qurio_spark.functions.vector import cosine, literal_vector
+from qurio_spark.operators import bm25 as bm25_op
+from qurio_spark.operators.hybrid import hybrid_search, minmax_norm, resolve_params
+from qurio_spark.operators.similarity import brute_force_topk
+
+CORPUS = [
+    (0, "spark shuffle join performance tuning", "en"),
+    (1, "cat sat on the mat", "en"),
+    (2, "spark spark spark everywhere", "en"),
+    (3, "the quick brown fox jumps over the lazy dog", "en"),
+    (4, "join strategies broadcast shuffle sort merge", "en"),
+    (5, "gato sentado", "es"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text", "lang"])
+    emb = HashingEmbedder(dim=16)
+    return df.withColumn("embedding", emb.udf()(F.col("text"))).cache()
+
+
+def _bm25_py(corpus, query, k1=1.2, b=0.75):
+    """Independent reference implementation for cross-checking."""
+    toks = [t[1].lower().split() for t in corpus]
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks) / n
+    df = {}
+    for t in toks:
+        for term in set(t):
+            df[term] = df.get(term, 0) + 1
+    scores = {}
+    for i, t in enumerate(toks):
+        s = 0.0
+        for term in query.split():
+            tf = t.count(term)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - df.get(term, 0) + 0.5) / (df.get(term, 0) + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+        scores[corpus[i][0]] = s
+    return scores
+
+
+class TestBM25:
+    def test_matches_hand_computation(self, spark, docs):
+        got = {
+            r["doc_id"]: r["bm25"]
+            for r in bm25_op.score_query_inline(docs, "spark join").collect()
+        }
+        want = _bm25_py(CORPUS, "spark join")
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k] == pytest.approx(want[k], rel=1e-9), k
+
+    def test_term_frequency_saturation(self, spark, docs):
+        scores = {
+            r["doc_id"]: r["bm25"]
+            for r in bm25_op.score_query_inline(docs, "spark").collect()
+        }
+        # doc 2 repeats 'spark' 3x -> higher than doc 0 (1x), but k1
+        # saturation keeps it < 3x ratio
+        assert scores[2] > scores[0] > 0
+        assert scores[2] < 3 * scores[0]
+        assert scores[1] == 0.0
+
+    def test_empty_query(self, spark, docs):
+        assert bm25_op.score_query_inline(docs, "???").filter("bm25 > 0").count() == 0
+
+
+class TestVectorSearch:
+    def test_self_similarity_top1(self, spark, docs):
+        q = embed_text_py("cat sat on the mat", 16)
+        top = brute_force_topk(docs, q, k=2, id_col="doc_id").collect()
+        assert top[0]["doc_id"] == 1
+        assert top[0]["score"] == pytest.approx(1.0, abs=1e-6)
+
+    def test_cosine_matches_python(self, spark, docs):
+        q = embed_text_py("spark shuffle", 16)
+        rows = docs.select(
+            "doc_id", cosine(F.col("embedding"), literal_vector(q)).alias("c")
+        ).collect()
+        import numpy as np
+
+        for r in rows:
+            vec = [float(x) for x in docs.filter(F.col("doc_id") == r["doc_id"]).first()["embedding"]]
+            want = float(np.dot(vec, q) / (np.linalg.norm(vec) * np.linalg.norm(q)))
+            assert r["c"] == pytest.approx(want, abs=1e-6)
+
+
+class TestHybrid:
+    def test_alpha0_is_bm25_order(self, spark, docs):
+        q = "spark join"
+        res = hybrid_search(docs, q, embed_text_py(q, 16), alpha=0.0, limit=6).collect()
+        bm = _bm25_py(CORPUS, q)
+        want = sorted(bm, key=lambda d: (-bm[d], d))
+        assert [r["doc_id"] for r in res] == want
+
+    def test_alpha1_is_cosine_order(self, spark, docs):
+        q = "spark join"
+        qv = embed_text_py(q, 16)
+        res = hybrid_search(docs, q, qv, alpha=1.0, limit=6).collect()
+        cos = {
+            r["doc_id"]: r["c"]
+            for r in docs.select(
+                "doc_id", cosine(F.col("embedding"), literal_vector(qv)).alias("c")
+            ).collect()
+        }
+        want = sorted(cos, key=lambda d: (-cos[d], d))
+        assert [r["doc_id"] for r in res] == want
+
+    def test_limit_and_filters(self, spark, docs):
+        q = "cat"
+        res = hybrid_search(
+            docs, q, embed_text_py(q, 16), alpha=0.5, limit=2, filters={"lang": "en"}
+        ).collect()
+        assert len(res) == 2
+        en_ids = {c[0] for c in CORPUS if c[2] == "en"}
+        assert all(r["doc_id"] in en_ids for r in res)
+
+    def test_scores_bounded(self, spark, docs):
+        q = "fox dog"
+        res = hybrid_search(docs, q, embed_text_py(q, 16), alpha=0.5, limit=6).collect()
+        for r in res:
+            assert 0.0 <= r["score"] <= 1.0 + 1e-9
+
+    def test_param_validation(self):
+        assert resolve_params(None, None) == (0.5, 10)
+        assert resolve_params(0.3, 5) == (0.3, 5)
+        with pytest.raises(ValueError):
+            resolve_params(1.5, 5)
+        with pytest.raises(ValueError):
+            resolve_params(0.5, 0)
+        with pytest.raises(ValueError):
+            resolve_params(0.5, 51)
+
+    def test_minmax_norm_constant_column(self, spark):
+        df = spark.createDataFrame([(1, 5.0), (2, 5.0)], ["id", "x"])
+        out = minmax_norm(df, "x", "y").collect()
+        assert all(r["y"] == 0.0 for r in out)
