@@ -419,8 +419,145 @@ def q_top_customers(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Crawl-frontier operators on deterministic literal fixtures (F7/F8/M6)
+# — Spark builds the rows with createDataFrame, the oracle with VALUES,
+# so the filter-chain semantics themselves are hash-checked.
+# --------------------------------------------------------------------------
+
+_LINK_FIXTURE = [
+    # (source_id, page_url, link, parent_depth, max_depth)
+    ("s1", "https://docs.example.com/guide", "https://docs.example.com/a", 0, 2),
+    ("s1", "https://docs.example.com/guide", "http://docs.example.com/b", 0, 2),
+    ("s1", "https://docs.example.com/guide", "https://other.example.com/c", 0, 2),
+    ("s1", "https://docs.example.com/guide", "mailto:x@example.com", 0, 2),
+    ("s1", "https://docs.example.com/guide", "ftp://docs.example.com/f", 0, 2),
+    ("s1", "https://docs.example.com/guide", "https://docs.example.com/a#frag", 0, 2),
+    ("s1", "https://docs.example.com/guide", "https://docs.example.com/blog/post", 0, 2),
+    ("s1", "https://docs.example.com/deep", "https://docs.example.com/d", 2, 2),
+    ("s1", "https://docs.example.com/llms.txt", "https://docs.example.com/m", 2, 2),
+    ("s2", "https://api.example.org/", "https://api.example.org/ref", 1, 3),
+]
+_LINK_EXCLUSION = ".*/blog/.*"
+
+_PAGE_FIXTURE = [
+    # (source_id, url, status, depth)
+    ("done", "https://a.com/", "completed", 0),
+    ("done", "https://a.com/x", "failed", 1),
+    ("busy", "https://b.com/", "completed", 0),
+    ("busy", "https://b.com/y", "pending", 1),
+    ("dead", "https://c.com/", "failed", 0),
+]
+
+
+def q_link_filter_chain(spark, sf_dir):
+    """F7 + S4: link-discovery filter chain (same-host, scheme,
+    fragment-strip, exclusion regex, in-batch dedup, depth gate with
+    the llms.txt +1 allowance) over a deterministic fixture."""
+    from qurio_spark.operators.crawl import discover_links
+
+    links = spark.createDataFrame(
+        [(sid, pu, l, pd_, md, [_LINK_EXCLUSION]) for sid, pu, l, pd_, md in _LINK_FIXTURE],
+        "source_id string, page_url string, link string, parent_depth int, "
+        "max_depth int, exclusions array<string>",
+    )
+    return discover_links(links)
+
+
+def q_source_completion(spark, sf_dir):
+    """M6: per-source completion/failed derivation from the page
+    ledger (seed failure fails the source)."""
+    from qurio_spark.operators.crawl import source_completion
+
+    pages = spark.createDataFrame(
+        _PAGE_FIXTURE, "source_id string, url string, status string, depth int"
+    )
+    return source_completion(pages)
+
+
+def q_events_sessions(spark, sf_dir):
+    """Sessionization: 30-minute-gap sessions per user (lag + cumulative
+    sum of gap flags), with per-session stats — the batch twin of a
+    session-window streaming agg."""
+    ev = _events(spark, sf_dir)
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_user)
+            > 30 * 60,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        gapped.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            stable_round(F.sum("value"), 2).alias("session_value"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            stable_round(F.sum("session_value"), 2).alias("total_value"),
+        )
+    )
+
+
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 forecast revenue (pure filter + agg; PushedFilters
+    should carry every predicate to the scan)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            stable_round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Non-SQL-expressible operators (rows-only driver check)
 # --------------------------------------------------------------------------
+
+
+def q_ingest_pipeline(spark, sf_dir):
+    """T1-T6 end-to-end: clean -> chunk -> contextual prefix -> embed
+    (hashing-TF pandas UDF).  Returns chunk rows with the embedding
+    dimension as a checkable column (vectors themselves are rows-only)."""
+    from qurio_spark.plans.pipeline import build_chunks
+
+    d = _t(spark, sf_dir, "documents")
+    docs_raw = d.select(
+        F.col("source").alias("source_id"),
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit("").alias("title"),
+        F.lit("").alias("path"),
+        F.col("text").alias("content"),
+        F.array().cast("array<string>").alias("links"),
+        F.lit(0).alias("depth"),
+        F.lit("success").alias("status"),
+        F.lit(None).cast("string").alias("error"),
+        F.lit(None).cast(
+            "struct<author:string,created_at:string,pages:int,language:string>"
+        ).alias("metadata"),
+    )
+    chunks = build_chunks(docs_raw)
+    return chunks.select(
+        "source_id", "url", "chunk_index", "type", F.size("embedding").alias("dim")
+    )
 
 
 def q_chunk_corpus(spark, sf_dir):
@@ -480,8 +617,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "top_customers": q_top_customers,
+        "tpch_q6": q_tpch_q6,
+        "link_filter_chain": q_link_filter_chain,
+        "source_completion": q_source_completion,
+        "events_sessions": q_events_sessions,
         "chunk_corpus": q_chunk_corpus,
         "lsh_topk": q_lsh_topk,
+        "ingest_pipeline": q_ingest_pipeline,
     }
 
 
@@ -696,6 +838,58 @@ SELECT doc_id,
 FROM bits GROUP BY doc_id"""
 
 
+def _link_filter_sql() -> str:
+    """F7 oracle over the same literal fixture Spark builds with
+    createDataFrame (host/scheme via regex — fixture URLs have no
+    ports/userinfo, so regex host == parse_url host)."""
+    values = ",\n    ".join(
+        f"('{sid}', '{pu}', '{l}', {pd_}, {md})" for sid, pu, l, pd_, md in _LINK_FIXTURE
+    )
+    host_re = "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:]+)'"
+    return f"""
+WITH links(source_id, page_url, link, parent_depth, max_depth) AS (VALUES
+    {values}
+),
+norm AS (
+  SELECT source_id,
+         regexp_replace(link, '#.*$', '') AS url,
+         parent_depth,
+         CASE WHEN page_url LIKE '%llms.txt' THEN max_depth + 1 ELSE max_depth END AS eff_max,
+         lower(regexp_extract(link, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1)) AS scheme,
+         regexp_extract(link, {host_re}, 1) AS lhost,
+         regexp_extract(page_url, {host_re}, 1) AS phost
+  FROM links
+)
+SELECT DISTINCT source_id, url, 'pending' AS status,
+       CAST(parent_depth + 1 AS INT) AS depth
+FROM norm
+WHERE parent_depth < eff_max
+  AND scheme IN ('http', 'https')
+  AND lhost <> '' AND lhost = phost
+  AND NOT regexp_matches(url, '{_LINK_EXCLUSION}')"""
+
+
+def _source_completion_sql() -> str:
+    values = ",\n    ".join(
+        f"('{sid}', '{u}', '{st}', {d})" for sid, u, st, d in _PAGE_FIXTURE
+    )
+    return f"""
+WITH pages(source_id, url, status, depth) AS (VALUES
+    {values}
+),
+agg AS (
+  SELECT source_id,
+         sum(CASE WHEN status IN ('pending', 'processing') THEN 1 ELSE 0 END) AS in_flight,
+         sum(CASE WHEN status = 'failed' AND depth = 0 THEN 1 ELSE 0 END) AS seed_failed
+  FROM pages GROUP BY 1
+)
+SELECT source_id,
+       CASE WHEN seed_failed > 0 THEN 'failed'
+            WHEN in_flight = 0 THEN 'completed'
+            ELSE 'in_progress' END AS status
+FROM agg"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "source_list": """
@@ -835,6 +1029,40 @@ SELECT c_custkey, c_name,
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey, c_name
 ORDER BY total_spent DESC, c_custkey LIMIT 10""",
-        # chunk_corpus, lsh_topk: intentionally no oracle (non-SQL ops,
-        # rows-only check; chunker is golden-tested in tests/test_chunker.py)
+        "tpch_q6": """
+SELECT (floor((CAST(sum(l_extendedprice * l_discount) AS DOUBLE)) * 100.0 + 0.5) / 100.0) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+        "link_filter_chain": _link_filter_sql(),
+        "source_completion": _source_completion_sql(),
+        "events_sessions": """
+WITH g AS (
+  SELECT user_id, event_id, value,
+         CASE WHEN (epoch_ms(ts::TIMESTAMP) // 1000)
+                   - lag(epoch_ms(ts::TIMESTAMP) // 1000)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_session,
+         ts
+  FROM events
+),
+s AS (
+  SELECT user_id, value,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM g
+),
+per_session AS (
+  SELECT user_id, session_seq, count(*) AS n_events,
+         (floor((CAST(sum(value) AS DOUBLE)) * 100.0 + 0.5) / 100.0) AS session_value
+  FROM s GROUP BY 1, 2
+)
+SELECT user_id, count(*) AS n_sessions,
+       max(n_events) AS max_session_events,
+       (floor((CAST(sum(session_value) AS DOUBLE)) * 100.0 + 0.5) / 100.0) AS total_value
+FROM per_session GROUP BY user_id""",
+        # chunk_corpus, lsh_topk, ingest_pipeline: intentionally no
+        # oracle (non-SQL ops, rows-only check; chunker is
+        # golden-tested in tests/test_chunker.py)
     }

@@ -281,7 +281,7 @@ def chunk_markdown(
 
 
 @F.udf(returnType=T.ArrayType(CHUNK_RESULT))
-def chunk_udf(text: str) -> list[tuple]:
+def chunk_udf(text):
     """array<struct<content,type,language>> over a markdown column."""
     if text is None:
         return []

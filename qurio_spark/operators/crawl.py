@@ -1,0 +1,234 @@
+"""Crawl-frontier operators: link discovery (F7), cross-batch page
+dedup (F8), depth gating incl. the llms.txt virtual-depth rule (S4),
+page-ledger maintenance (M4) and completion detection (M6).
+
+The reference runs a distributed BFS: each crawled page's links are
+filtered (same host, http/https, fragment-stripped, exclusion regexes,
+in-batch dedup, depth gate — internal/worker/link_discovery.go:8-57),
+bulk-inserted with conflict-ignore (features/source/repo.go:98-137),
+and re-published as depth+1 tasks (result_consumer.go:200-251).
+Completion = no pending pages (result_consumer.go:253-270).
+
+Spark shape: each BFS round is one declarative job —
+  links DF -> filter chain (pure column exprs)
+           -> dropDuplicates          (in-batch dedup)
+           -> left-anti join vs pages (cross-batch dedup; at scale the
+              pages table is partitioned by source_id so the join
+              shuffles only the touched sources)
+           -> union into pages
+The driver loop (``run_crawl``) is bounded by max_depth, matching the
+reference's BFS rounds; fetching is a pluggable callable so tests and
+batch re-ingest runs stay offline.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+#: result_consumer.go:206-213 — links found in an llms.txt manifest get
+#: one extra depth level ("virtual depth").
+LLMS_TXT_SUFFIX = "llms.txt"
+
+
+def _host(url_col):
+    """Host (authority) of a URL column — parse_url is JVM-side."""
+    return F.parse_url(url_col, F.lit("HOST"))
+
+
+def _scheme(url_col):
+    return F.lower(F.regexp_extract(url_col, r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1))
+
+
+def strip_fragment(url_col):
+    """Normalize: drop #fragment (link_discovery.go:28-30)."""
+    return F.regexp_replace(url_col, r"#.*$", "")
+
+
+def discover_links(
+    links: DataFrame,
+    max_depth_col: str = "max_depth",
+    exclusions_col: str = "exclusions",
+) -> DataFrame:
+    """F7: the link filter chain as one declarative pass.
+
+    Input columns: source_id, page_url (parent), link, parent_depth,
+    plus ``max_depth`` and ``exclusions`` (array<string> of regexes,
+    typically joined in from the sources catalog).
+
+    Output: (source_id, url, status='pending', depth) candidate rows —
+    in-batch deduped, NOT yet deduped against the pages ledger (that is
+    :func:`new_frontier`'s anti-join).
+
+    Depth gate incl. llms.txt: a manifest parent gets +1 effective max
+    depth (result_consumer.go:206-213).
+    """
+    eff_max = F.when(
+        F.col("page_url").endswith(LLMS_TXT_SUFFIX),
+        F.col(max_depth_col) + 1,
+    ).otherwise(F.col(max_depth_col))
+
+    normalized = strip_fragment(F.col("link"))
+    same_host = _host(F.col("link")) == _host(F.col("page_url"))
+    ok_scheme = _scheme(F.col("link")).isin("http", "https")
+    # exclusion regexes are Java-syntax per-row patterns; rlike needs a
+    # literal, so apply them via exists() over the array column
+    excluded = F.exists(
+        F.col(exclusions_col), lambda ex: F.regexp_count(normalized, ex) > 0
+    ) if exclusions_col else F.lit(False)
+
+    return (
+        links.filter(F.col("parent_depth") < eff_max)
+        .filter(same_host & ok_scheme)
+        .withColumn("url", normalized)
+        .filter(~F.coalesce(excluded, F.lit(False)))
+        .select(
+            "source_id",
+            "url",
+            F.lit("pending").alias("status"),
+            (F.col("parent_depth") + 1).cast("int").alias("depth"),
+        )
+        .dropDuplicates(["source_id", "url"])
+    )
+
+
+def new_frontier(candidates: DataFrame, pages: DataFrame) -> DataFrame:
+    """F8: cross-batch dedup — only URLs not already in the ledger
+    survive (the ON CONFLICT (source_id, url) DO NOTHING semantics,
+    repo.go:98-137), via left-anti join."""
+    return candidates.join(
+        pages.select("source_id", "url"), ["source_id", "url"], "left_anti"
+    )
+
+
+def reset_stuck_pages(pages: DataFrame, now, stuck_minutes: int = 5) -> DataFrame:
+    """M4 janitor: 'processing' rows older than ``stuck_minutes`` go
+    back to 'pending' (source/repo.go:183-195; ticker main.go:109-123)."""
+    stuck = (F.col("status") == "processing") & (
+        F.col("updated_at") < F.lit(now) - F.expr(f"INTERVAL {stuck_minutes} MINUTES")
+    )
+    return pages.withColumn(
+        "status", F.when(stuck, F.lit("pending")).otherwise(F.col("status"))
+    )
+
+
+def source_completion(pages: DataFrame) -> DataFrame:
+    """M6: per-source status — 'completed' when nothing is pending or
+    in flight; a failed depth-0 seed fails the whole source
+    (result_consumer.go:105-113, :253-270)."""
+    return pages.groupBy("source_id").agg(
+        F.sum(
+            F.when(F.col("status").isin("pending", "processing"), 1).otherwise(0)
+        ).alias("in_flight"),
+        F.sum(
+            F.when((F.col("status") == "failed") & (F.col("depth") == 0), 1).otherwise(0)
+        ).alias("seed_failed"),
+    ).select(
+        "source_id",
+        F.when(F.col("seed_failed") > 0, F.lit("failed"))
+        .when(F.col("in_flight") == 0, F.lit("completed"))
+        .otherwise(F.lit("in_progress"))
+        .alias("status"),
+    )
+
+
+FetchFn = Callable[[list[dict]], list[dict]]
+#: fetcher contract: [{source_id, url, depth}] -> [{source_id, url,
+#: depth, status('success'|'failed'), content, links: [str], error}]
+
+
+def run_crawl(
+    spark: SparkSession,
+    seeds: DataFrame,
+    fetch: FetchFn,
+    max_depth: int,
+    exclusions: list[str] | None = None,
+    max_rounds: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Iterative BFS crawl driver (SURVEY §3.2 step 3's loop).
+
+    ``seeds``: (source_id, url) depth-0 rows.  Returns (pages, docs):
+    the final ledger and the fetched documents.  Each round fetches
+    every pending page via ``fetch`` (a pluggable adapter — tests use
+    an in-memory site map; production would mapInPandas a HTTP pool),
+    then runs the declarative discover -> anti-join -> union step.
+
+    The loop is driver-side but bounded by max_depth (reference
+    semantics: BFS rounds, radius <= max_depth+1 with manifests); all
+    per-round work is distributed.
+    """
+    ex_lit = F.array(*[F.lit(e) for e in (exclusions or [])])
+    pages = seeds.select(
+        "source_id",
+        "url",
+        F.lit("pending").alias("status"),
+        F.lit(0).alias("depth"),
+    )
+    all_docs: list[dict] = []
+    rounds = 0
+    limit = max_rounds if max_rounds is not None else max_depth + 2
+    while rounds < limit:
+        todo = [r.asDict() for r in pages.filter(F.col("status") == "pending").collect()]
+        if not todo:
+            break
+        results = fetch([{k: t[k] for k in ("source_id", "url", "depth")} for t in todo])
+        all_docs.extend(results)
+        fetched = spark.createDataFrame(
+            [
+                (r["source_id"], r["url"], r.get("status", "success"), int(r["depth"]),
+                 r.get("links") or [])
+                for r in results
+            ],
+            "source_id string, url string, status string, depth int, links array<string>",
+        )
+        # ledger update: fetched rows flip to completed/failed
+        # (result_consumer.go:265 — a processed page is 'completed')
+        pages = (
+            pages.alias("p")
+            .join(
+                fetched.select(
+                    "source_id",
+                    "url",
+                    F.when(F.col("status") == "success", F.lit("completed"))
+                    .otherwise(F.lit("failed"))
+                    .alias("new_status"),
+                ),
+                ["source_id", "url"],
+                "left",
+            )
+            .select(
+                "source_id",
+                "url",
+                F.coalesce("new_status", "status").alias("status"),
+                "depth",
+            )
+        )
+        links = fetched.filter(F.col("status") == "success").select(
+            "source_id",
+            F.col("url").alias("page_url"),
+            F.explode_outer("links").alias("link"),
+            F.col("depth").alias("parent_depth"),
+        ).filter(F.col("link").isNotNull())
+        cand = discover_links(
+            links.withColumn("max_depth", F.lit(max_depth)).withColumn(
+                "exclusions", ex_lit
+            )
+        )
+        fresh = new_frontier(cand, pages)
+        pages = pages.unionByName(fresh).localCheckpoint()
+        rounds += 1
+
+    docs = spark.createDataFrame(
+        [
+            (
+                d["source_id"], d["url"], d.get("title", ""), d.get("path", ""),
+                d.get("content", ""), d.get("links") or [], int(d["depth"]),
+                d.get("status", "success"), d.get("error"),
+            )
+            for d in all_docs
+        ],
+        "source_id string, url string, title string, path string, content string, "
+        "links array<string>, depth int, status string, error string",
+    )
+    return pages, docs

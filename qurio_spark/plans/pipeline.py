@@ -1,0 +1,109 @@
+"""End-to-end ingestion DAG (SURVEY §3.2 re-expressed as one batch
+plan) and the search entry over the built index.
+
+Reference topology: NSQ queues fan pages through clean -> chunk ->
+embed -> store with 50-way consumers (M7).  Spark-native shape: the
+queue hops collapse into stage boundaries of ONE declarative job —
+
+    documents_raw (success rows)
+      -> CleanMarkdownNoise (F10, regexp exprs)
+      -> chunker UDF + posexplode (T1-T4, F9)         [map-only]
+      -> contextual prefix (T5, concat exprs)          [map-only]
+      -> embedder pandas UDF (T6, Arrow-batched)       [map-only]
+      -> write chunks partitioned by source_id
+
+so there is NO shuffle anywhere in ingest except the final write's
+optional repartition by partition key.  Idempotent re-ingest (M1
+delete-before-insert, result_consumer.go:141-147) maps to dynamic
+partition overwrite: rewriting a source's partition atomically replaces
+its chunks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from qurio_spark.functions.embedder import HashingEmbedder
+from qurio_spark.functions.text import contextual_prefix
+from qurio_spark.operators.chunker import chunk_documents
+
+
+def build_chunks(
+    docs_raw: DataFrame,
+    embedder: HashingEmbedder | None = None,
+    source_names: dict[str, str] | None = None,
+) -> DataFrame:
+    """documents_raw -> chunks rows (schemas.CHUNKS shape).
+
+    The contextual string (T5) feeds ONLY the embedder; stored content
+    is the bare chunk (embedder_consumer.go:50-60).
+    """
+    embedder = embedder or HashingEmbedder()
+    ok = docs_raw.filter(F.col("status") == "success")
+
+    name_map = F.create_map(
+        *[F.lit(x) for kv in (source_names or {}).items() for x in kv]
+    )
+    with_name = ok.withColumn(
+        "source_name",
+        F.coalesce(name_map[F.col("source_id")], F.col("source_id"))
+        if source_names
+        else F.col("source_id"),
+    )
+
+    chunked = chunk_documents(
+        with_name,
+        content_col="content",
+        keep_cols=["source_id", "source_name", "url", "title", "path", "metadata"],
+    )
+    ctx = contextual_prefix(
+        F.col("source_name"), F.col("title"), F.col("path"), F.col("content")
+    )
+    return (
+        chunked.withColumn("embedding", embedder.udf()(ctx))
+        .select(
+            "source_id",
+            "source_name",
+            "url",
+            "chunk_index",
+            "content",
+            "type",
+            "language",
+            "title",
+            F.col("metadata.author").alias("author"),
+            F.col("metadata.created_at").alias("created_at"),
+            F.coalesce(F.col("metadata.pages"), F.lit(0)).alias("page_count"),
+            "embedding",
+        )
+    )
+
+
+def write_chunks(chunks: DataFrame, path: str) -> None:
+    """M1/M2: idempotent store.  Dynamic partition overwrite = the
+    reference's delete-chunks-then-insert per re-ingested source, as
+    one atomic partition swap; at 100 TB only touched source_id
+    partitions are rewritten."""
+    (
+        chunks.repartition("source_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("source_id")
+        .parquet(path)
+    )
+
+
+def read_chunks(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def ingest(
+    spark: SparkSession,
+    docs_raw: DataFrame,
+    chunks_path: str,
+    embedder: HashingEmbedder | None = None,
+    source_names: dict[str, str] | None = None,
+) -> DataFrame:
+    """Full ingest: build + write + return the stored chunks."""
+    chunks = build_chunks(docs_raw, embedder, source_names)
+    write_chunks(chunks, chunks_path)
+    return read_chunks(spark, chunks_path)

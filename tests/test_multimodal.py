@@ -1,0 +1,96 @@
+"""Multimodal plumbing: binaryFile ingestion, header-only image
+metadata, mapInPandas feature extraction, stubbed decode contract."""
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from qurio_spark.sources.multimodal import (
+    _parse_image_header,
+    decode_image_meta,
+    extract_features,
+    frame_sample_plan,
+    read_binary_dir,
+)
+
+
+def make_png(w=16, h=9) -> bytes:
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00" + b"0000"
+    )
+
+
+def make_gif(w=4, h=2) -> bytes:
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 6
+
+
+def make_jpeg(w=32, h=24) -> bytes:
+    sof = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", h, w) + b"\x03" + b"\x00" * 9
+    return b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00" + sof
+
+
+class TestHeaderParsing:
+    def test_png_gif_jpeg_dims(self):
+        assert _parse_image_header(make_png(16, 9)) == ("png", 16, 9, True)
+        assert _parse_image_header(make_gif(4, 2)) == ("gif", 4, 2, True)
+        assert _parse_image_header(make_jpeg(32, 24)) == ("jpeg", 32, 24, True)
+
+    def test_garbage_invalid(self):
+        assert _parse_image_header(b"not an image at all")[3] is False
+        assert _parse_image_header(None)[3] is False
+        assert _parse_image_header(b"")[3] is False
+
+
+@pytest.fixture(scope="module")
+def media_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("media")
+    (d / "a.png").write_bytes(make_png())
+    (d / "b.gif").write_bytes(make_gif())
+    (d / "c.jpg").write_bytes(make_jpeg())
+    (d / "d.wav").write_bytes(b"RIFF0000WAVE" + b"\x00" * 64)
+    (d / "e.bin").write_bytes(b"\x01\x02\x03")
+    return str(d)
+
+
+class TestBinaryIngestion:
+    def test_modality_mapping(self, spark, media_dir):
+        df = read_binary_dir(spark, media_dir)
+        got = {r["path"].rsplit("/", 1)[-1]: r["modality"] for r in df.collect()}
+        assert got == {
+            "a.png": "image", "b.gif": "image", "c.jpg": "image",
+            "d.wav": "audio", "e.bin": "unknown",
+        }
+
+    def test_image_meta_udf(self, spark, media_dir):
+        df = read_binary_dir(spark, media_dir).withColumn(
+            "meta", decode_image_meta("content")
+        )
+        rows = {r["path"].rsplit("/", 1)[-1]: r["meta"] for r in df.collect()}
+        assert rows["a.png"]["width"] == 16 and rows["a.png"]["height"] == 9
+        assert rows["b.gif"]["format"] == "gif"
+        assert rows["c.jpg"]["valid"] is True
+        assert rows["e.bin"]["valid"] is False
+
+    def test_feature_extraction_shape_and_norm(self, spark, media_dir):
+        import math
+
+        feats = extract_features(read_binary_dir(spark, media_dir))
+        assert "content" not in feats.columns
+        for r in feats.collect():
+            assert len(r["features"]) == 32
+            n = math.sqrt(sum(x * x for x in r["features"]))
+            assert n == pytest.approx(1.0, abs=1e-5)
+
+    def test_frame_sample_plan(self, spark, media_dir):
+        planned = frame_sample_plan(read_binary_dir(spark, media_dir), every_n=1)
+        for r in planned.collect():
+            assert r["sample_frames"][0] == 0
+
+    def test_decode_stub_raises(self):
+        from qurio_spark.sources.multimodal import _decode_pixels
+
+        with pytest.raises(NotImplementedError):
+            _decode_pixels(b"anything")

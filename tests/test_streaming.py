@@ -1,0 +1,103 @@
+"""Structured Streaming: windowed agg with watermark, streaming dedup,
+foreachBatch ingest — each checked against its batch twin (streaming
+final output must equal the batch computation on the same data)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from qurio_spark.schemas import DOCUMENTS_RAW
+from qurio_spark.streaming.ingest import (
+    dedup_stream,
+    hourly_event_counts,
+    streaming_ingest,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Small deterministic event set written as parquet (the stream
+    source; file sources make availableNow triggers replayable)."""
+    path = str(tmp_path_factory.mktemp("events") / "ev")
+    rows = [
+        (i, f"2024-01-01 {i % 3:02d}:15:00", i % 4, "click" if i % 2 else "view", float(i))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _run_stream(spark, stream_df, tmp_path, mode="append"):
+    out = str(tmp_path / "out")
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(out)
+
+
+class TestWindowedAgg:
+    def test_matches_batch_twin(self, spark, events_dir, tmp_path):
+        batch = spark.read.parquet(events_dir)
+        stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+        # complete mode: append would hold back windows the final
+        # watermark hasn't closed (correct streaming semantics; the
+        # twin-equivalence check wants the full state)
+        q = (
+            hourly_event_counts(stream)
+            .writeStream.format("memory")
+            .queryName("hourly_counts")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM hourly_counts").collect()
+        want = (
+            batch.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+            .collect()
+        )
+        key = lambda r: (r["hour"], r["event_type"])
+        assert {key(r): (r["n"], r["total_value"]) for r in got} == {
+            key(r): (r["n"], r["total_value"]) for r in want
+        }
+
+
+class TestStreamingDedup:
+    def test_first_occurrence_wins(self, spark, events_dir, tmp_path):
+        batch = spark.read.parquet(events_dir)
+        stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+        got = _run_stream(spark, dedup_stream(stream, ["user_id", "event_type"]), tmp_path)
+        assert got.count() == batch.select("user_id", "event_type").distinct().count()
+
+
+class TestForeachBatchIngest:
+    def test_stream_ingest_equals_batch_chunks(self, spark, tmp_path):
+        docs = [
+            ("s1", "https://d.com/a", "A", "p",
+             "# Title A\n\nSome prose content about spark streaming ingestion pipelines.",
+             [], 0, "success", None, None),
+            ("s2", "https://d.com/b", "B", "p",
+             "# Title B\n\n```python\nprint('hello')\n```",
+             [], 0, "success", None, None),
+        ]
+        src = str(tmp_path / "docs")
+        spark.createDataFrame(docs, DOCUMENTS_RAW).coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(DOCUMENTS_RAW).parquet(src)
+        chunks_path = str(tmp_path / "chunks")
+        q = streaming_ingest(stream, chunks_path, str(tmp_path / "ck")).start()
+        q.awaitTermination(120)
+        got = spark.read.parquet(chunks_path)
+        from qurio_spark.plans.pipeline import build_chunks
+
+        want = build_chunks(spark.createDataFrame(docs, DOCUMENTS_RAW))
+        assert got.count() == want.count()
+        assert {r["type"] for r in got.collect()} == {r["type"] for r in want.collect()}
