@@ -529,6 +529,301 @@ def q_tpch_q6(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Ingestion-side operators on fixtures / documents (S3, T7-T9, M1, M4,
+# M5, Q4) — each as a hash-checkable relational query.
+# --------------------------------------------------------------------------
+
+_SITEMAP_FIXTURE = [
+    (
+        "s1",
+        "https://docs.example.com",
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>https://docs.example.com/a</loc></url>"
+        "<url><loc> https://docs.example.com/b </loc></url>"
+        "<url><loc>https://docs.example.com/a</loc></url>"
+        "<url><loc>https://other.example.org/x</loc></url>"
+        "</urlset>",
+    ),
+    (
+        "s2",
+        "https://api.example.org",
+        "<urlset><url><loc>https://api.example.org/ref</loc></url>"
+        "<url><loc>http://api.example.org:8080/alt</loc></url>"
+        "<url><loc>nota url</loc></url></urlset>",
+    ),
+]
+
+_MD_FIXTURE = [
+    (
+        "d1",
+        "# Getting Started\n\nSee [the guide](https://ex.com/guide) and"
+        " [API](/api).\n## Sub\n[dup](/api) end",
+    ),
+    ("d2", "Intro text first\n\n# Real Title\n[link one](https://ex.com/one)"),
+    ("d3", "# Only Title\nplain [rel](../up) text [empty]()"),
+]
+
+_META_FIXTURE = [
+    # (path, title, authors, created, pages, language)
+    ("/up/a1b2.pdf", "Spark Internals", ["Ada", "Lin"], "2024-01-02", 12, "de"),
+    ("/up/notes.md", None, [], None, 0, None),
+    ("/up/guide-final.docx", "", ["Sol"], "2023-07-09", 0, "id"),
+]
+
+_STUCK_NOW = 1_700_000_000  # fixed "janitor tick" epoch second
+_STUCK_FIXTURE = [
+    # (source_id, url, status, updated_epoch)
+    ("s1", "https://a.com/1", "processing", _STUCK_NOW - 400),
+    ("s1", "https://a.com/2", "processing", _STUCK_NOW - 100),
+    ("s1", "https://a.com/3", "pending", _STUCK_NOW - 4000),
+    ("s2", "https://b.com/1", "completed", _STUCK_NOW - 4000),
+]
+
+_DLQ_FIXTURE = [
+    # (id, handler, payload_json, error, retries)
+    ("j1", "result-consumer", '{"type": "web", "url": "https://a.com"}', "timeout", 1),
+    ("j2", "result-consumer", '{"type": "file", "path": "/up/x.pdf"}', "bad parse", 0),
+    ("j3", "embedder", '{"type": "web", "url": "https://b.com"}', "quota", 3),
+]
+
+_TYPE_RE = '"type"\\s*:\\s*"([^"]+)"'
+
+
+def q_sitemap_urls(spark, sf_dir):
+    """S3: urlset parse + same-domain filter + dedup as one DataFrame
+    chain (regexp_extract_all + explode; sitemap.py:192-306 semantics).
+    Index recursion is the driver loop in sources/sitemap.py (tested in
+    tests/test_sitemap.py)."""
+    from qurio_spark.sources.sitemap import sitemap_page_urls
+
+    df = spark.createDataFrame(
+        _SITEMAP_FIXTURE, "source_id string, base_url string, xml string"
+    )
+    return sitemap_page_urls(df)
+
+
+def q_md_extract(spark, sf_dir):
+    """T7: markdown link + title extraction (web.py:138-181): links via
+    the []( ) regex, distinct per doc; title = first level-1 heading."""
+    md = spark.createDataFrame(_MD_FIXTURE, "doc_id string, content string")
+    return (
+        md.select(
+            "doc_id",
+            F.regexp_extract("content", r"(?m)^# (.+)$", 1).alias("title"),
+            F.explode(
+                F.regexp_extract_all(
+                    "content", F.lit(r"\[[^\]]*\]\(([^)]*)\)"), F.lit(1)
+                )
+            ).alias("link"),
+        )
+        .distinct()
+    )
+
+
+def q_content_hash(spark, sf_dir):
+    """T8: sha256 identity + body hashes (source.go:96-98,
+    result_consumer.go:195-198) — pure built-in sha2, no UDF."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.sha2(F.concat(F.lit("doc://"), F.col("doc_id").cast("string")), 256).alias(
+            "url_hash"
+        ),
+        F.sha2(F.col("text"), 256).alias("body_hash"),
+    )
+
+
+def q_doc_meta_norm(spark, sf_dir):
+    """T9: docling metadata normalization (file.py:66-141): title
+    metadata > filename-from-path; author list joined ", "; language
+    default en; pages kept (0 = unknown)."""
+    rows = spark.createDataFrame(
+        _META_FIXTURE,
+        "path string, title string, authors array<string>, created string,"
+        " pages int, language string",
+    )
+    basename = F.regexp_extract("path", r"([^/]+)$", 1)
+    return rows.select(
+        "path",
+        F.coalesce(F.nullif("title", F.lit("")), basename).alias("title"),
+        F.coalesce(F.array_join("authors", ", "), F.lit("")).alias("author"),
+        F.coalesce("created", F.lit("")).alias("created_at"),
+        F.coalesce("pages", F.lit(0)).alias("page_count"),
+        F.coalesce(F.nullif("language", F.lit("")), F.lit("en")).alias("language"),
+    )
+
+
+def q_reingest_upsert(spark, sf_dir):
+    """M1: idempotent re-ingest — delete-before-insert expressed as
+    anti-join(old, recrawled-keys) UNION new rows
+    (result_consumer.go:141-147; at scale: dynamic partition
+    overwrite, see plans/pipeline.write_chunks)."""
+    d = _t(spark, sf_dir, "documents")
+    old = d.select("doc_id", "source", F.sha2(F.col("text"), 256).alias("body_hash"))
+    recrawled = (
+        d.filter(F.col("source") == "src2")
+        .select(
+            "doc_id",
+            "source",
+            F.sha2(F.concat(F.col("text"), F.lit("-v2")), 256).alias("body_hash"),
+        )
+    )
+    return old.join(recrawled.select("doc_id"), "doc_id", "left_anti").unionByName(
+        recrawled
+    )
+
+
+def q_stuck_reset(spark, sf_dir):
+    """M4 janitor: 'processing' rows older than 5 min flip back to
+    'pending' (source/repo.go:183-195; ticker main.go:109-123)."""
+    import datetime
+
+    from qurio_spark.operators.crawl import reset_stuck_pages
+
+    pages = spark.createDataFrame(
+        _STUCK_FIXTURE, "source_id string, url string, status string, updated_epoch long"
+    ).withColumn("updated_at", F.timestamp_seconds(F.col("updated_epoch")))
+    now = datetime.datetime.fromtimestamp(_STUCK_NOW, tz=datetime.timezone.utc)
+    return reset_stuck_pages(pages, now).select("source_id", "url", "status")
+
+
+def q_dlq_retry(spark, sf_dir):
+    """M5: DLQ replay routing — payload type -> original topic, retry
+    budget max 3 (job/service.go:31-80, config.py:17-20)."""
+    jobs = spark.createDataFrame(
+        _DLQ_FIXTURE,
+        "id string, handler string, payload string, error string, retries int",
+    )
+    ptype = F.regexp_extract("payload", _TYPE_RE, 1)
+    return (
+        jobs.filter(F.col("retries") < 3)
+        .select(
+            "id",
+            F.when(ptype == "file", F.lit("ingest.task.file"))
+            .otherwise(F.lit("ingest.task.web"))
+            .alias("topic"),
+            (F.col("retries") + 1).alias("retries"),
+        )
+    )
+
+
+def q_rerank_overlap(spark, sf_dir):
+    """Q4: deterministic local rerank — candidate top-20 from the
+    'retrieval' ordering re-scored by query-term overlap, reordered,
+    top-10 (retrieval/service.go:112-133 with the provider swapped for
+    the hermetic overlap scorer in operators/rerank.py)."""
+    d = _t(spark, sf_dir, "documents")
+    cand = (
+        d.filter(F.col("source") == "src1")
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .limit(20)
+    )
+    low = F.lower(F.col("text"))
+    overlap = sum(
+        F.when(low.rlike(f"(^|[^a-z0-9]){t}([^a-z0-9]|$)"), 1).otherwise(0)
+        for t in QUERY_TEXT.split()
+    )
+    return (
+        cand.withColumn("rerank_score", overlap.cast("int"))
+        .orderBy(F.desc("rerank_score"), "doc_id")
+        .limit(10)
+        .select("doc_id", "rerank_score")
+    )
+
+
+# --------------------------------------------------------------------------
+# Relational breadth (semi/anti joins, conditional aggs, having) over
+# the TPC-H-ish tables — the operator classes a 100 TB pipeline leans on.
+# --------------------------------------------------------------------------
+
+
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS semi-join orders->lineitem + group count.
+    At scale the semi-join shuffles only orderkeys (no payload)."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-07-01"))
+            & (F.col("o_orderdate") < F.lit("1996-10-01"))
+        )
+        .join(
+            l.filter(F.col("l_discount") > 0.05).select("l_orderkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share — broadcast the part dim
+    into the lineitem scan, conditional agg, one ratio row."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .join(F.broadcast(p.select("p_partkey", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            stable_round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 shape: large-volume orders — HAVING on a grouped
+    lineitem sum, then join back to orders+customer (the big-side agg
+    runs first so the join input is already tiny)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 180)
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            stable_round("o_totalprice", 2).alias("o_totalprice"),
+            stable_round("total_qty", 2).alias("total_qty"),
+        )
+    )
+
+
+def q_parts_never_shipped(spark, sf_dir):
+    """TPC-H Q16-flavor anti-join: parts with no lineitem shipped since
+    2000-06-01, counted per brand (NOT EXISTS -> left_anti; the filter
+    on the probe side prunes the shuffle input before the anti-join)."""
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        p.join(
+            l.filter(F.col("l_shipdate") >= F.lit("2000-06-01")).select("l_partkey"),
+            F.col("p_partkey") == F.col("l_partkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Non-SQL-expressible operators (rows-only driver check)
 # --------------------------------------------------------------------------
 
@@ -621,6 +916,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_filter_chain": q_link_filter_chain,
         "source_completion": q_source_completion,
         "events_sessions": q_events_sessions,
+        "sitemap_urls": q_sitemap_urls,
+        "md_extract": q_md_extract,
+        "content_hash": q_content_hash,
+        "doc_meta_norm": q_doc_meta_norm,
+        "reingest_upsert": q_reingest_upsert,
+        "stuck_reset": q_stuck_reset,
+        "dlq_retry": q_dlq_retry,
+        "rerank_overlap": q_rerank_overlap,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q18": q_tpch_q18,
+        "parts_never_shipped": q_parts_never_shipped,
         "chunk_corpus": q_chunk_corpus,
         "lsh_topk": q_lsh_topk,
         "ingest_pipeline": q_ingest_pipeline,
@@ -890,6 +1197,107 @@ SELECT source_id,
 FROM agg"""
 
 
+def _sitemap_sql() -> str:
+    values = ",\n    ".join(
+        f"('{sid}', '{b}', '{x}')" for sid, b, x in _SITEMAP_FIXTURE
+    )
+    host = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:]+)"
+    return f"""
+WITH sitemaps(source_id, base_url, xml) AS (VALUES
+    {values}
+),
+locs AS (
+  SELECT source_id, base_url,
+         trim(unnest(regexp_extract_all(xml, '<loc>\\s*(.*?)\\s*</loc>', 1))) AS url
+  FROM sitemaps
+)
+SELECT DISTINCT source_id, url
+FROM locs
+WHERE regexp_extract(url, '{host}', 1) <> ''
+  AND regexp_extract(url, '{host}', 1) = regexp_extract(base_url, '{host}', 1)"""
+
+
+def _md_extract_sql() -> str:
+    values = ",\n    ".join(f"('{i}', '{c}')" for i, c in _MD_FIXTURE)
+    return f"""
+WITH md(doc_id, content) AS (VALUES
+    {values}
+)
+SELECT DISTINCT doc_id,
+       regexp_extract(content, '(?m)^# (.+)$', 1) AS title,
+       unnest(regexp_extract_all(content, '\\[[^\\]]*\\]\\(([^)]*)\\)', 1)) AS link
+FROM md"""
+
+
+def _doc_meta_norm_sql() -> str:
+    rows = []
+    for path, title, authors, created, pages, language in _META_FIXTURE:
+        t = "NULL" if title is None else f"'{title}'"
+        a = "[" + ", ".join(f"'{x}'" for x in authors) + "]::VARCHAR[]"
+        cr = "NULL" if created is None else f"'{created}'"
+        lg = "NULL" if language is None else f"'{language}'"
+        rows.append(f"('{path}', {t}, {a}, {cr}, {pages}, {lg})")
+    values = ",\n    ".join(rows)
+    return f"""
+WITH raw(path, title, authors, created, pages, language) AS (VALUES
+    {values}
+)
+SELECT path,
+       coalesce(nullif(title, ''), regexp_extract(path, '([^/]+)$', 1)) AS title,
+       coalesce(array_to_string(authors, ', '), '') AS author,
+       coalesce(created, '') AS created_at,
+       coalesce(pages, 0) AS page_count,
+       coalesce(nullif(language, ''), 'en') AS language
+FROM raw"""
+
+
+def _stuck_reset_sql() -> str:
+    values = ",\n    ".join(
+        f"('{sid}', '{u}', '{st}', {ep})" for sid, u, st, ep in _STUCK_FIXTURE
+    )
+    return f"""
+WITH pages(source_id, url, status, updated_epoch) AS (VALUES
+    {values}
+)
+SELECT source_id, url,
+       CASE WHEN status = 'processing' AND {_STUCK_NOW} - updated_epoch > 300
+            THEN 'pending' ELSE status END AS status
+FROM pages"""
+
+
+def _dlq_retry_sql() -> str:
+    values = ",\n    ".join(
+        f"('{i}', '{h}', '{p}', '{e}', {r})" for i, h, p, e, r in _DLQ_FIXTURE
+    )
+    return f"""
+WITH jobs(id, handler, payload, error, retries) AS (VALUES
+    {values}
+)
+SELECT id,
+       CASE WHEN regexp_extract(payload, '{_TYPE_RE}', 1) = 'file'
+            THEN 'ingest.task.file' ELSE 'ingest.task.web' END AS topic,
+       CAST(retries + 1 AS INT) AS retries
+FROM jobs
+WHERE retries < 3"""
+
+
+def _rerank_overlap_sql() -> str:
+    term_cases = " + ".join(
+        f"(CASE WHEN regexp_matches(low, '(^|[^a-z0-9]){t}([^a-z0-9]|$)')"
+        " THEN 1 ELSE 0 END)"
+        for t in QUERY_TEXT.split()
+    )
+    return f"""
+WITH cand AS (
+  SELECT doc_id, lower(text) AS low
+  FROM documents WHERE source = 'src1'
+  ORDER BY n_chars DESC, doc_id LIMIT 20
+)
+SELECT doc_id, CAST({term_cases} AS INT) AS rerank_score
+FROM cand
+ORDER BY rerank_score DESC, doc_id LIMIT 10"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "source_list": """
@@ -1062,6 +1470,57 @@ SELECT user_id, count(*) AS n_sessions,
        max(n_events) AS max_session_events,
        (floor((CAST(sum(session_value) AS DOUBLE)) * 100.0 + 0.5) / 100.0) AS total_value
 FROM per_session GROUP BY user_id""",
+        "sitemap_urls": _sitemap_sql(),
+        "md_extract": _md_extract_sql(),
+        "content_hash": """
+SELECT doc_id,
+       sha256('doc://' || CAST(doc_id AS VARCHAR)) AS url_hash,
+       sha256(text) AS body_hash
+FROM documents""",
+        "doc_meta_norm": _doc_meta_norm_sql(),
+        "reingest_upsert": """
+SELECT doc_id, source, sha256(text) AS body_hash
+FROM documents WHERE source <> 'src2'
+UNION ALL
+SELECT doc_id, source, sha256(text || '-v2') AS body_hash
+FROM documents WHERE source = 'src2'""",
+        "stuck_reset": _stuck_reset_sql(),
+        "dlq_retry": _dlq_retry_sql(),
+        "rerank_overlap": _rerank_overlap_sql(),
+        "tpch_q4": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+GROUP BY o_orderpriority""",
+        "tpch_q14": """
+SELECT (floor((100.0 * sum(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+         / sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0)
+       AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01'""",
+        "tpch_q18": """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 180
+)
+SELECT c_custkey, c_name, o_orderkey,
+       (floor((CAST(o_totalprice AS DOUBLE)) * 100.0 + 0.5) / 100.0) AS o_totalprice,
+       (floor((CAST(total_qty AS DOUBLE)) * 100.0 + 0.5) / 100.0) AS total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey""",
+        "parts_never_shipped": """
+SELECT p_brand, count(*) AS n_parts
+FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_partkey = p_partkey
+                    AND l_shipdate >= TIMESTAMP '2000-06-01')
+GROUP BY p_brand""",
         # chunk_corpus, lsh_topk, ingest_pipeline: intentionally no
         # oracle (non-SQL ops, rows-only check; chunker is
         # golden-tested in tests/test_chunker.py)
