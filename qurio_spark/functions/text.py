@@ -53,11 +53,22 @@ def char_ngrams(col: Column, n: int = 3) -> Column:
 
 
 def word_ngrams(col: Column, n: int = 3) -> Column:
-    """array of n-token shingles joined by a space."""
-    toks = tokenize(col)
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    """array of n-token shingles joined by a space.
+
+    The token array is bound to a lambda variable (single-element array
+    + transform) so the regex split runs ONCE per row.  Referencing
+    ``tokenize(col)`` directly inside the per-position lambda would
+    inline the split into every sequence element — quadratic re-parsing
+    that dominates shingling cost on real corpora."""
+    return F.get(
+        F.transform(
+            F.array(tokenize(col)),
+            lambda toks: F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+        ),
+        F.lit(0),
     )
 
 

