@@ -39,13 +39,22 @@ B = 0.75
 @dataclass
 class BM25Index:
     """postings: (doc id cols..., term, tf, df); doclen: (doc id, dl);
-    n_docs / avgdl: corpus scalars (computed once, driver-held)."""
+    stats: ONE-ROW frame (n, avgdl) kept lazy so building the index
+    schedules no job — the scalars enter query plans via a broadcast
+    cross join (scalar-subquery shape), not driver literals."""
 
     postings: DataFrame
     doclen: DataFrame
-    n_docs: int
-    avgdl: float
+    stats: DataFrame
     id_col: str
+
+    @property
+    def n_docs(self) -> int:
+        return int(self.stats.collect()[0]["n"])
+
+    @property
+    def avgdl(self) -> float:
+        return float(self.stats.collect()[0]["avgdl"])
 
 
 def tokenize_query(query: str) -> list[str]:
@@ -67,12 +76,15 @@ def build_index(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     doclen = docs.select(
         F.col(id_col), F.size(tokenize(F.col(text_col))).alias("dl")
     )
-    stats = doclen.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
-    return BM25Index(postings, doclen, int(stats["n"]), float(stats["avgdl"]), id_col)
+    stats = doclen.agg(
+        F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    return BM25Index(postings, doclen, stats, id_col)
 
 
-def idf_expr(df_col: Column, n_docs: int) -> Column:
-    return F.log(F.lit(1.0) + (F.lit(float(n_docs)) - df_col + 0.5) / (df_col + 0.5))
+def idf_expr(df_col: Column, n_docs: Column | float) -> Column:
+    n = n_docs if isinstance(n_docs, Column) else F.lit(float(n_docs))
+    return F.log(F.lit(1.0) + (n - df_col + 0.5) / (df_col + 0.5))
 
 
 def score_query(
@@ -88,11 +100,13 @@ def score_query(
         # empty query -> no keyword evidence; all-zero frame
         return index.doclen.select(index.id_col, F.lit(0.0).alias("bm25")).limit(0)
     matched = index.postings.filter(F.col("term").isin(terms))
-    scored = matched.join(index.doclen, index.id_col)
+    scored = matched.join(index.doclen, index.id_col).crossJoin(
+        F.broadcast(index.stats)
+    )
     tf, dl = F.col("tf").cast("double"), F.col("dl").cast("double")
-    per_term = idf_expr(F.col("df").cast("double"), index.n_docs) * (
+    per_term = idf_expr(F.col("df").cast("double"), F.col("n")) * (
         tf * (k1 + 1.0)
-    ) / (tf + k1 * (1.0 - b + b * dl / F.lit(index.avgdl)))
+    ) / (tf + k1 * (1.0 - b + b * dl / F.col("avgdl")))
     return (
         scored.withColumn("s", per_term)
         .groupBy(index.id_col)

@@ -41,24 +41,33 @@ def apply_metadata_filters(df: DataFrame, filters: dict[str, str] | None) -> Dat
     return df
 
 
-def minmax_norm(df: DataFrame, col: str, out: str) -> DataFrame:
-    """Min-max normalize ``col`` over the whole frame.  The 1-row
-    stats agg joins back via broadcast crossJoin — no window over the
-    full data, so no single-partition sort at scale."""
-    stats = df.agg(
-        F.min(col).alias("_mn"), F.max(col).alias("_mx")
-    )
-    return (
-        df.crossJoin(F.broadcast(stats))
-        .withColumn(
-            out,
-            F.when(
-                F.col("_mx") > F.col("_mn"),
-                (F.col(col) - F.col("_mn")) / (F.col("_mx") - F.col("_mn")),
-            ).otherwise(F.lit(0.0)),
+def minmax_norm_cols(df: DataFrame, cols: dict[str, str]) -> DataFrame:
+    """Min-max normalize several columns over the whole frame with ONE
+    stats aggregation.  The 1-row agg joins back via broadcast
+    crossJoin — no window over the full data, so no single-partition
+    sort at scale.
+
+    One combined agg matters structurally, not just for speed: each
+    normalization that re-references the input frame duplicates its
+    whole upstream DAG in the plan (crossJoin(P, agg(P)) has two copies
+    of P), so N sequential single-column passes grow the plan ~2^N —
+    for hybrid search that meant 46 exchanges and 8 sort-merge joins
+    from one BM25 sub-DAG."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+    out = df.crossJoin(F.broadcast(df.agg(*aggs)))
+    for c, o in cols.items():
+        mn, mx = F.col(f"_mn_{c}"), F.col(f"_mx_{c}")
+        out = out.withColumn(
+            o, F.when(mx > mn, (F.col(c) - mn) / (mx - mn)).otherwise(F.lit(0.0))
         )
-        .drop("_mn", "_mx")
-    )
+    return out.drop(*[f"_mn_{c}" for c in cols], *[f"_mx_{c}" for c in cols])
+
+
+def minmax_norm(df: DataFrame, col: str, out: str) -> DataFrame:
+    """Single-column min-max normalization (see minmax_norm_cols)."""
+    return minmax_norm_cols(df, {col: out})
 
 
 def resolve_params(
@@ -100,13 +109,25 @@ def hybrid_search(
     a, k = resolve_params(alpha, limit, settings)
     cand = apply_metadata_filters(docs, filters)
 
-    kw = bm25_op.score_query_inline(cand, query_text, id_col, text_col)
+    # Sparse keyword scores LEFT-joined onto the candidate set (docs
+    # matching no query term keep bm25 = 0.0): one copy of the
+    # candidate scan, not the dense join-back shape.
+    idx = bm25_op.build_index(cand, id_col, text_col)
+    kw = bm25_op.score_query(idx, query_text)
     scored = (
-        cand.join(kw, id_col)
+        cand.join(kw, id_col, "left")
+        .withColumn("bm25", F.coalesce(F.col("bm25"), F.lit(0.0)))
         .withColumn("cos", cosine(F.col(vec_col), literal_vector(query_vec)))
     )
-    scored = minmax_norm(scored, "bm25", "bm25_norm")
-    scored = minmax_norm(scored, "cos", "vec_norm")
+    # Truncate lineage before fusion: normalization references the
+    # scored frame twice (stats agg + value branch); without the
+    # checkpoint both branches re-execute the whole scoring sub-DAG
+    # (tokenize/postings/joins) instead of re-reading a few thousand
+    # scored rows.  Lazy: materializes on the first action, on
+    # executors.  On a cluster-scale corpus swap for checkpoint() to
+    # durable storage.
+    scored = scored.localCheckpoint(eager=False)
+    scored = minmax_norm_cols(scored, {"bm25": "bm25_norm", "cos": "vec_norm"})
     fused = scored.withColumn(
         "score", F.lit(a) * F.col("vec_norm") + F.lit(1.0 - a) * F.col("bm25_norm")
     )
