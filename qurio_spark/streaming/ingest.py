@@ -58,6 +58,69 @@ def dedup_stream(
     )
 
 
+def sessionize_stream(
+    events_stream: DataFrame,
+    gap_s: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Custom stateful operator: gap-based sessionization per user via
+    ``applyInPandasWithState`` (the extension point for operators
+    Structured Streaming lacks natively).
+
+    State per user = (last event time, current session seq, current
+    session aggregates); a gap > ``gap_s`` opens the next session.
+    Update-mode output: one row per session TOUCHED in the micro-batch
+    — downstream upserts by (user, session_seq).  The batch twin is the
+    lag+cumsum sessionization in ``__spark_entry__.q_events_sessions``
+    (oracle-checked); equivalence is asserted in tests.
+
+    State scales with |active users|, not |events| — sessions are
+    self-evicting in spirit (a production variant adds an event-time
+    timeout to finalize + drop idle users; kept timeout-free here so
+    the single-pass twin check is exact).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        f"{user_col} long, session_seq int, n_events long, session_value double"
+    )
+    state_schema = "last_ts double, session_seq int, n_events long, session_value double"
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            last_ts, seq, n, sv = state.get
+        else:
+            last_ts, seq, n, sv = None, 0, 0, 0.0
+        touched: dict[int, tuple[int, float]] = {}
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, order_col])
+            for ts, val in zip(pdf[ts_col], pdf[value_col]):
+                t = ts.timestamp()
+                if last_ts is not None and t - last_ts > gap_s:
+                    seq, n, sv = seq + 1, 0, 0.0
+                last_ts = t
+                n += 1
+                sv += float(val)
+                touched[seq] = (n, sv)
+        state.update((last_ts, seq, n, sv))
+        yield pd.DataFrame(
+            {
+                user_col: [key[0]] * len(touched),
+                "session_seq": list(touched.keys()),
+                "n_events": [v[0] for v in touched.values()],
+                "session_value": [v[1] for v in touched.values()],
+            }
+        )
+
+    return events_stream.groupBy(user_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_ingest(
     docs_stream: DataFrame,
     chunks_path: str,

@@ -9,6 +9,7 @@ from qurio_spark.schemas import DOCUMENTS_RAW
 from qurio_spark.streaming.ingest import (
     dedup_stream,
     hourly_event_counts,
+    sessionize_stream,
     streaming_ingest,
 )
 
@@ -77,6 +78,54 @@ class TestStreamingDedup:
         stream = spark.readStream.schema(batch.schema).parquet(events_dir)
         got = _run_stream(spark, dedup_stream(stream, ["user_id", "event_type"]), tmp_path)
         assert got.count() == batch.select("user_id", "event_type").distinct().count()
+
+
+class TestStatefulSessionize:
+    def test_matches_batch_sessionization(self, spark, events_dir, tmp_path):
+        """applyInPandasWithState sessionizer == batch lag+cumsum twin
+        (the final update per (user, session_seq) wins)."""
+        from pyspark.sql.window import Window
+
+        batch = spark.read.parquet(events_dir)
+        stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+        q = (
+            sessionize_stream(stream, gap_s=1800)
+            .writeStream.format("memory")
+            .queryName("sessions")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got_rows = spark.sql("SELECT * FROM sessions").collect()
+        # update mode may emit a (user, seq) several times across
+        # batches; the last emit carries the final aggregates — with a
+        # single availableNow batch each appears once, asserted here
+        got = {(r["user_id"], r["session_seq"]): (r["n_events"], r["session_value"])
+               for r in got_rows}
+        assert len(got) == len(got_rows)
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        flagged = batch.withColumn(
+            "new_session",
+            F.when(
+                F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+                > 1800, 1,
+            ).otherwise(0),
+        ).withColumn(
+            "session_seq",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).cast("int"),
+        )
+        want = {
+            (r["user_id"], r["session_seq"]): (r["n_events"], r["session_value"])
+            for r in flagged.groupBy("user_id", "session_seq")
+            .agg(F.count("*").alias("n_events"), F.sum("value").alias("session_value"))
+            .collect()
+        }
+        assert got == want
+        assert len(want) > 4  # fixture really exercises multiple sessions
 
 
 class TestForeachBatchIngest:
