@@ -202,6 +202,34 @@ def q_hybrid_topk(spark, sf_dir):
     return res.select("doc_id", stable_round("score", 4).alias("score"))
 
 
+_BATCH_QUERIES = [
+    # (query_id, query_text, qvec_id) — query vectors resolved from the
+    # embeddings table so both engines read identical floats (Q1 batch)
+    ("q1", "hash join spark", 0),
+    ("q2", "filter pushdown parquet", 1),
+    ("q3", "vector similarity search", 2),
+]
+
+
+def q_batch_hybrid(spark, sf_dir):
+    """Q2 batch form: a TABLE of queries scored in one job — shared
+    index build, broadcast query terms into the postings join,
+    per-query fusion + windowed top-k (the Spark-native retrieval
+    shape; see operators/hybrid.hybrid_search_batch)."""
+    from qurio_spark.operators.hybrid import hybrid_search_batch
+
+    docs = _docs_with_vecs(spark, sf_dir)
+    lits = spark.createDataFrame(
+        _BATCH_QUERIES, "query_id string, query_text string, qvec_id long"
+    )
+    qe = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("qvec_id"), F.col("embedding").alias("query_vec")
+    )
+    queries = lits.join(qe, "qvec_id").drop("qvec_id")
+    res = hybrid_search_batch(docs, queries, alpha=0.5, limit=5)
+    return res.select("query_id", "doc_id", stable_round("score", 4).alias("score"))
+
+
 def q_hybrid_filtered(spark, sf_dir):
     """Q2 + F1: hybrid search with a metadata equality filter; scores
     normalized over the filtered candidate set."""
@@ -895,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_topk": q_vector_topk,
         "hybrid_topk": q_hybrid_topk,
         "hybrid_filtered": q_hybrid_filtered,
+        "batch_hybrid": q_batch_hybrid,
         "ann_ivf": q_ann_ivf,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
@@ -1197,6 +1226,81 @@ SELECT source_id,
 FROM agg"""
 
 
+def _batch_hybrid_sql(alpha: float = 0.5, k: int = 5) -> str:
+    """Batch-of-queries hybrid oracle — same scoring contract as
+    _hybrid_sql, generalized per query_id."""
+    qvalues = ", ".join(f"('{q}', '{t}', {v})" for q, t, v in _BATCH_QUERIES)
+    dtoks = _TOKS.format(col="text")
+    qtoks = _TOKS.format(col="query_text")
+    return f"""
+WITH base AS (
+  SELECT d.doc_id, d.text, e.embedding
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+),
+queries(query_id, query_text, qvec_id) AS (VALUES {qvalues}),
+qv AS (
+  SELECT q.query_id, q.query_text, e.embedding::DOUBLE[] AS v
+  FROM queries q JOIN embeddings e ON e.vec_id = q.qvec_id
+),
+toks AS (SELECT doc_id, unnest({dtoks}) AS term FROM base),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({dtoks})::DOUBLE AS dl FROM base),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+qterms AS (SELECT DISTINCT query_id, unnest({qtoks}) AS term FROM qv),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+bm25_raw AS (
+  SELECT qterms.query_id, tf.doc_id,
+         sum(
+           ln(1 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * (1.2 + 1)
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+         ) AS bm25
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT q.query_id, b.doc_id,
+         list_dot_product(b.embedding::DOUBLE[], q.v) /
+         (sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(q.v, q.v))) AS cos
+  FROM base b CROSS JOIN qv q
+),
+scored AS (
+  SELECT c.query_id, c.doc_id, coalesce(r.bm25, 0.0) AS bm25, c.cos
+  FROM cand c
+  LEFT JOIN bm25_raw r ON r.query_id = c.query_id AND r.doc_id = c.doc_id
+),
+mm AS (
+  SELECT query_id, min(bm25) AS bmn, max(bm25) AS bmx,
+         min(cos) AS cmn, max(cos) AS cmx
+  FROM scored GROUP BY 1
+),
+fused AS (
+  SELECT s.query_id, s.doc_id,
+         {alpha} * (CASE WHEN m.cmx > m.cmn
+                         THEN (s.cos - m.cmn) / (m.cmx - m.cmn) ELSE 0.0 END)
+         + {1.0 - alpha} * (CASE WHEN m.bmx > m.bmn
+                                 THEN (s.bm25 - m.bmn) / (m.bmx - m.bmn) ELSE 0.0 END)
+         AS score
+  FROM scored s JOIN mm m USING (query_id)
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY (floor(score * 1000000.0 + 0.5) / 1000000.0) DESC, doc_id
+         ) AS rn
+  FROM fused
+)
+SELECT query_id, doc_id,
+       (floor(score * 10000.0 + 0.5) / 10000.0) AS score
+FROM ranked WHERE rn <= {k}"""
+
+
 def _sitemap_sql() -> str:
     values = ",\n    ".join(
         f"('{sid}', '{b}', '{x}')" for sid, b, x in _SITEMAP_FIXTURE
@@ -1336,6 +1440,7 @@ FROM embeddings CROSS JOIN qv
 ORDER BY (floor(({_COS}) * 1000000.0 + 0.5) / 1000000.0) DESC, vec_id LIMIT 10""",
         "hybrid_topk": _hybrid_sql(alpha=0.5, k=10),
         "hybrid_filtered": _hybrid_sql(alpha=0.3, k=5, lang_filter="en"),
+        "batch_hybrid": _batch_hybrid_sql(alpha=0.5, k=5),
         "ann_ivf": f"""
 WITH {_QV}
 SELECT vec_id, (floor(({_COS}) * 10000.0 + 0.5) / 10000.0) AS score

@@ -140,3 +140,101 @@ def hybrid_search(
         .orderBy(F.desc(stable_round(F.col("score"), 6)), F.asc(id_col))
         .limit(k)
     )
+
+
+def hybrid_search_batch(
+    docs: DataFrame,
+    queries: DataFrame,
+    alpha: float | None = None,
+    limit: int | None = None,
+    settings: dict | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qtext_col: str = "query_text",
+    qvec_col: str = "query_vec",
+) -> DataFrame:
+    """Score a TABLE of queries against the corpus in ONE job — the
+    Spark-native retrieval shape (BASELINE.json: search is a batch job
+    answering a batch of queries, not an online server).
+
+    -> (query_id, doc_id, bm25_norm, vec_norm, score) top-k rows PER
+    query.
+
+    Dataflow (every stage amortized across all queries):
+      - one shared BM25 index build over the corpus;
+      - query terms exploded from the queries table and broadcast into
+        the postings join -> sparse (query, doc) keyword scores in one
+        partial-aggregated shuffle, cost O(sum over queries of df(t));
+      - dense candidates = corpus x broadcast(queries) for the exact
+        vector score (the brute-force oracle; at 100 TB swap the dense
+        side for IVF/LSH-pruned probes per query, operators/similarity);
+      - per-query min-max stats via groupBy(query) broadcast back;
+      - per-query top-k via row_number windowed BY QUERY — partitions
+        scale with query count, no global sort.
+    """
+    from qurio_spark.functions.text import tokenize
+    from pyspark.sql.window import Window
+
+    a, k = resolve_params(alpha, limit, settings)
+
+    idx = bm25_op.build_index(docs, id_col, text_col)
+    qterms = queries.select(
+        F.col(qid_col),
+        F.explode(F.array_distinct(tokenize(F.col(qtext_col)))).alias("term"),
+    )
+    matched = idx.postings.join(F.broadcast(qterms), "term")
+    scored_kw = matched.join(idx.doclen, id_col).crossJoin(F.broadcast(idx.stats))
+    tf, dl = F.col("tf").cast("double"), F.col("dl").cast("double")
+    per_term = bm25_op.idf_expr(F.col("df").cast("double"), F.col("n")) * (
+        tf * (bm25_op.K1 + 1.0)
+    ) / (tf + bm25_op.K1 * (1.0 - bm25_op.B + bm25_op.B * dl / F.col("avgdl")))
+    kw = (
+        scored_kw.withColumn("s", per_term)
+        .groupBy(qid_col, id_col)
+        .agg(F.sum("s").alias("bm25"))
+    )
+
+    cand = docs.select(id_col, text_col, vec_col).crossJoin(
+        F.broadcast(queries.select(qid_col, qvec_col))
+    )
+    scored = (
+        cand.join(kw, [qid_col, id_col], "left")
+        .withColumn("bm25", F.coalesce(F.col("bm25"), F.lit(0.0)))
+        .withColumn("cos", cosine(F.col(vec_col), F.col(qvec_col)))
+        .select(qid_col, id_col, "bm25", "cos")
+        .localCheckpoint(eager=False)  # shared by stats agg + value branch
+    )
+    mm = scored.groupBy(qid_col).agg(
+        F.min("bm25").alias("_bmn"), F.max("bm25").alias("_bmx"),
+        F.min("cos").alias("_cmn"), F.max("cos").alias("_cmx"),
+    )
+    fused = (
+        scored.join(F.broadcast(mm), qid_col)
+        .withColumn(
+            "bm25_norm",
+            F.when(
+                F.col("_bmx") > F.col("_bmn"),
+                (F.col("bm25") - F.col("_bmn")) / (F.col("_bmx") - F.col("_bmn")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "vec_norm",
+            F.when(
+                F.col("_cmx") > F.col("_cmn"),
+                (F.col("cos") - F.col("_cmn")) / (F.col("_cmx") - F.col("_cmn")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "score", F.lit(a) * F.col("vec_norm") + F.lit(1.0 - a) * F.col("bm25_norm")
+        )
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.desc(stable_round(F.col("score"), 6)), F.asc(id_col)
+    )
+    return (
+        fused.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(qid_col, id_col, "bm25_norm", "vec_norm", "score")
+    )
