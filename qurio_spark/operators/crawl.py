@@ -232,3 +232,57 @@ def run_crawl(
         "links array<string>, depth int, status string, error string",
     )
     return pages, docs
+
+
+def resilient_fetch(
+    fetch_one: Callable[[dict], dict],
+    policy=None,
+    breaker=None,
+    sleep=None,
+) -> FetchFn:
+    """Wrap a single-page fetcher with the reference's failure
+    semantics (M8 + S2): transient errors retry with exponential
+    backoff; permanent errors (and exhausted retries) mark the page
+    'failed' with its taxonomy code — those rows flow to the
+    failed-rows quarantine (M5, operators/catalog.quarantine_failures)
+    instead of aborting the crawl round.  An optional circuit breaker
+    guards a flaky enrichment dependency the way the reference bypasses
+    its LLM filter (web.py:53-84).
+
+    ``fetch_one(task) -> result dict`` may raise IngestionError;
+    returns a batch FetchFn for ``run_crawl``.  In a distributed fetch
+    stage the same wrapper runs inside the mapInPandas worker — retry
+    state is per-task, breaker state per-executor, which matches the
+    reference's per-worker breaker globals.
+    """
+    import time as _time
+
+    from qurio_spark.functions.resilience import QUEUE_RETRY, with_retries
+
+    policy = policy or QUEUE_RETRY
+    _sleep = sleep if sleep is not None else _time.sleep
+
+    def fetch(tasks: list[dict]) -> list[dict]:
+        out = []
+        for t in tasks:
+            def attempt(t=t):
+                if breaker is not None and breaker.is_open():
+                    raise RuntimeError("circuit open")
+                return fetch_one(t)
+
+            try:
+                r = with_retries(attempt, policy, sleep=_sleep)
+                if breaker is not None:
+                    breaker.record_success()
+                out.append({**t, "status": "success", **r})
+            except Exception as e:  # noqa: BLE001 — taxonomy decided retries
+                if breaker is not None:
+                    breaker.record_failure()
+                code = getattr(e, "code", None) or "ERR_UNKNOWN"
+                out.append(
+                    {**t, "status": "failed", "content": "", "links": [],
+                     "error": code}
+                )
+        return out
+
+    return fetch

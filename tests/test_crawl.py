@@ -160,3 +160,66 @@ class TestCrawlDriver:
         assert pages.collect()[0]["status"] == "failed"
         comp = source_completion(pages).collect()[0]
         assert comp["status"] == "failed"  # seed failure
+
+
+class TestResilientFetch:
+    def test_transient_retries_then_crawl_succeeds(self, spark):
+        from qurio_spark.functions.resilience import IngestionError, RetryPolicy
+        from qurio_spark.operators.crawl import resilient_fetch, run_crawl
+
+        attempts = {}
+
+        def flaky(task):
+            n = attempts.setdefault(task["url"], 0)
+            attempts[task["url"]] = n + 1
+            if n < 2:
+                raise IngestionError("ERR_CRAWL_TIMEOUT")
+            return {"content": "# Page\n\nok", "links": [], "title": "Page"}
+
+        seeds = spark.createDataFrame(
+            [("s1", "https://a.com/")], "source_id string, url string"
+        )
+        fetch = resilient_fetch(flaky, RetryPolicy(3, 0.0), sleep=lambda s: None)
+        pages, docs = run_crawl(spark, seeds, fetch, max_depth=0)
+        assert attempts["https://a.com/"] == 3
+        assert pages.filter("status = 'completed'").count() == 1
+        assert docs.filter("status = 'success'").count() == 1
+
+    def test_permanent_failure_quarantines(self, spark):
+        from qurio_spark.functions.resilience import IngestionError
+        from qurio_spark.operators.catalog import quarantine_failures
+        from qurio_spark.operators.crawl import resilient_fetch, run_crawl
+
+        def broken(task):
+            raise IngestionError("ERR_INVALID_FORMAT", "not html")
+
+        seeds = spark.createDataFrame(
+            [("s1", "https://a.com/")], "source_id string, url string"
+        )
+        fetch = resilient_fetch(broken, sleep=lambda s: None)
+        pages, docs = run_crawl(spark, seeds, fetch, max_depth=0)
+        assert pages.filter("status = 'failed'").count() == 1
+        dlq = quarantine_failures(spark, docs)
+        rows = dlq.collect()
+        assert len(rows) == 1
+        assert rows[0]["error"] == "ERR_INVALID_FORMAT"
+        import json as _json
+        payload = _json.loads(rows[0]["payload"])
+        assert payload["url"] == "https://a.com/"  # replayable original task
+
+    def test_breaker_short_circuits_after_threshold(self, spark):
+        from qurio_spark.functions.resilience import CircuitBreaker, IngestionError, RetryPolicy
+        from qurio_spark.operators.crawl import resilient_fetch
+
+        calls = []
+
+        def down(task):
+            calls.append(task["url"])
+            raise IngestionError("ERR_CRAWL_REFUSED")
+
+        br = CircuitBreaker(threshold=2, cooldown_s=300, clock=lambda: 0.0)
+        fetch = resilient_fetch(down, RetryPolicy(1, 0.0), breaker=br, sleep=lambda s: None)
+        tasks = [{"source_id": "s1", "url": f"https://a.com/{i}", "depth": 0} for i in range(5)]
+        out = fetch(tasks)
+        assert all(r["status"] == "failed" for r in out)
+        assert len(calls) == 2  # breaker opened after 2 failures; rest short-circuit
