@@ -883,6 +883,17 @@ def q_ingest_pipeline(spark, sf_dir):
     )
 
 
+def q_kmeans_ivf(spark, sf_dir):
+    """IVF index build: distributed Lloyd's k-means codebook + corpus
+    labeling (operators/similarity.ivf_build).  Iterative -> rows-only
+    check; clustering quality is asserted in tests/test_dedup.py."""
+    from qurio_spark.operators.similarity import ivf_build
+
+    emb = _t(spark, sf_dir, "embeddings")
+    labeled, _centroids = ivf_build(emb, k=8, iters=3)
+    return labeled.groupBy("label").agg(F.count("*").alias("n_vecs"))
+
+
 def q_chunk_corpus(spark, sf_dir):
     """T1-T4 + F9/F10: structural chunker over the documents corpus."""
     d = _t(spark, sf_dir, "documents").select(
@@ -960,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_corpus": q_chunk_corpus,
         "lsh_topk": q_lsh_topk,
         "ingest_pipeline": q_ingest_pipeline,
+        "kmeans_ivf": q_kmeans_ivf,
     }
 
 

@@ -241,3 +241,92 @@ def embedding_near_dup_pairs(
         .filter(F.col("sim") > threshold)
         .select("id_a", "id_b", "sim")
     )
+
+
+def assign_labels(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment (squared L2) via an Arrow-batched
+    pandas UDF: one numpy matmul per batch against the broadcast
+    centroid matrix — the map side of Lloyd's iteration and the
+    write-time labeling step of the IVF index."""
+    import numpy as np
+    import pandas
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    c_sq = (C * C).sum(axis=1)
+
+    # NB: real (non-string) annotations — the module-wide `from
+    # __future__ import annotations` would stringify them and break
+    # pandas_udf type-hint inference for locally-imported names.
+    def _nearest(vecs):
+        V = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+        # argmin over ||v||^2 - 2 v.C^T + ||c||^2; ||v||^2 constant per row
+        d = -2.0 * (V @ C.T) + c_sq
+        return pandas.Series(d.argmin(axis=1).astype("int32"))
+
+    _nearest.__annotations__ = {"vecs": pandas.Series, "return": pandas.Series}
+    nearest = pandas_udf("int")(_nearest)
+
+    return embeddings.withColumn("label", nearest(F.col(vec_col)))
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 10,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means — the IVF codebook build.
+
+    Deterministic init: the k vectors with the smallest md5-based
+    ``hash64(id)`` (uniform pseudo-random but reproducible across runs
+    and engines — no RNG).  Each iteration is one distributed job:
+    pandas-UDF assignment (numpy matmul) + component-wise mean via the
+    posexplode groupBy in ``compute_centroids``; only the (k x dim)
+    codebook ever reaches the driver.  Empty clusters keep their
+    previous centroid.  At 100 TB: sample the corpus for the fit, then
+    one full assignment pass labels the table for partition-by-label
+    writes (the IVF scale path in ``ivf_topk``).
+    """
+    from qurio_spark.functions.hashing import hash64
+
+    seed_rows = (
+        embeddings.select(F.col(vec_col), hash64(F.col(id_col).cast("string")).alias("_h"))
+        .orderBy("_h")
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in seed_rows]
+    for _ in range(iters):
+        assigned = assign_labels(embeddings, centroids, id_col, vec_col)
+        rows = compute_centroids(assigned, "label", vec_col).collect()
+        new = list(centroids)  # empty clusters keep previous centroid
+        for r in rows:
+            new[r["label"]] = [float(x) for x in r["centroid"]]
+        centroids = new
+    return centroids
+
+
+def ivf_build(
+    embeddings: DataFrame,
+    k: int = 10,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Fit the codebook and label the corpus.  Returns (labeled_df,
+    centroids_df) — write ``labeled_df`` partitioned by ``label`` and
+    probe with ``ivf_topk(..., centroids=centroids_df)``."""
+    centroids = kmeans_fit(embeddings, k, iters, id_col, vec_col)
+    labeled = assign_labels(embeddings, centroids, id_col, vec_col)
+    spark = embeddings.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "label int, centroid array<float>"
+    )
+    return labeled, cdf

@@ -98,3 +98,50 @@ class TestEmbeddingNearDup:
         assert pairs[(0, 1)] == pytest.approx(1.0, abs=1e-6)
         assert (0, 2) in pairs
         assert not any(3 in p for p in pairs)
+
+
+class TestKMeansIVF:
+    @staticmethod
+    def _blobs(spark):
+        # 3 well-separated deterministic blobs in 4-d
+        rows = []
+        centers = [(10.0, 0.0, 0.0, 0.0), (0.0, 10.0, 0.0, 0.0), (0.0, 0.0, 10.0, 0.0)]
+        vid = 0
+        for ci, c in enumerate(centers):
+            for j in range(20):
+                jitter = [((vid * 7 + d * 3 + j) % 5) / 10.0 for d in range(4)]
+                rows.append((vid, [c[d] + jitter[d] for d in range(4)]))
+                vid += 1
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_kmeans_recovers_blobs(self, spark):
+        from qurio_spark.operators.similarity import ivf_build
+
+        emb = self._blobs(spark)
+        labeled, centroids = ivf_build(emb, k=3, iters=4)
+        # every blob lands in exactly one cluster
+        got = (
+            labeled.withColumn("blob", (labeled.vec_id / 20).cast("int"))
+            .groupBy("blob")
+            .agg({"label": "collect_set"})
+            .collect()
+        )
+        for r in got:
+            assert len(r["collect_set(label)"]) == 1
+        assert centroids.count() == 3
+
+    def test_ivf_probe_matches_brute_force_on_blobs(self, spark):
+        from qurio_spark.operators.similarity import brute_force_topk, ivf_build, ivf_topk
+
+        emb = self._blobs(spark)
+        labeled, centroids = ivf_build(emb, k=3, iters=4)
+        q = [10.0, 0.3, 0.1, 0.0]  # near blob 0
+        exact = [r["vec_id"] for r in brute_force_topk(emb, q, k=5).collect()]
+        approx = [r["vec_id"] for r in ivf_topk(labeled, q, centroids=centroids, k=5, nprobe=1).collect()]
+        assert approx == exact  # separated blobs: nprobe=1 is already exact
+
+    def test_fit_is_deterministic(self, spark):
+        from qurio_spark.operators.similarity import kmeans_fit
+
+        emb = self._blobs(spark)
+        assert kmeans_fit(emb, k=3, iters=2) == kmeans_fit(emb, k=3, iters=2)
