@@ -1238,6 +1238,48 @@ SELECT source_id,
 FROM agg"""
 
 
+def _lsh_topk_sql(n_planes: int = 3, k: int = 10, dim: int = 64, seed: int = 11) -> str:
+    """LSH-bucketed ANN oracle: the deterministic md5-derived +-1
+    hyperplanes are inlined as literal arrays, the query bucket is
+    computed in SQL from the same stored query vector, and candidates
+    are scored with the standard cosine."""
+    from qurio_spark.operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(dim, n_planes, seed)
+
+    def plane_lit(p: list[float]) -> str:
+        return "[" + ", ".join(str(float(x)) for x in p) + "]::DOUBLE[]"
+
+    def bucket_expr(vec_sql: str) -> str:
+        parts = [
+            f"(CASE WHEN list_dot_product({vec_sql}, {plane_lit(pl)}) >= 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i, pl in enumerate(planes)
+        ]
+        return " + ".join(parts)
+
+    return f"""
+WITH {_QV},
+qb AS (SELECT {bucket_expr('qv.v')} AS b FROM qv),
+eb AS (
+  SELECT vec_id, embedding,
+         {bucket_expr('embedding::DOUBLE[]')} AS b
+  FROM embeddings
+),
+cand AS (SELECT eb.vec_id, eb.embedding FROM eb, qb WHERE eb.b = qb.b),
+scores AS (
+  SELECT c.vec_id,
+         list_dot_product(c.embedding::DOUBLE[], qv.v) /
+         (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(qv.v, qv.v))) AS score
+  FROM cand c CROSS JOIN qv
+)
+SELECT vec_id, (floor(score * 10000.0 + 0.5) / 10000.0) AS score
+FROM scores
+ORDER BY (floor(score * 1000000.0 + 0.5) / 1000000.0) DESC, vec_id
+LIMIT {k}"""
+
+
 def _batch_hybrid_sql(alpha: float = 0.5, k: int = 5) -> str:
     """Batch-of-queries hybrid oracle — same scoring contract as
     _hybrid_sql, generalized per query_id."""
@@ -1453,6 +1495,7 @@ ORDER BY (floor(({_COS}) * 1000000.0 + 0.5) / 1000000.0) DESC, vec_id LIMIT 10""
         "hybrid_topk": _hybrid_sql(alpha=0.5, k=10),
         "hybrid_filtered": _hybrid_sql(alpha=0.3, k=5, lang_filter="en"),
         "batch_hybrid": _batch_hybrid_sql(alpha=0.5, k=5),
+        "lsh_topk": _lsh_topk_sql(n_planes=3, k=10),
         "ann_ivf": f"""
 WITH {_QV}
 SELECT vec_id, (floor(({_COS}) * 10000.0 + 0.5) / 10000.0) AS score
@@ -1638,7 +1681,8 @@ WHERE NOT EXISTS (SELECT 1 FROM lineitem
                   WHERE l_partkey = p_partkey
                     AND l_shipdate >= TIMESTAMP '2000-06-01')
 GROUP BY p_brand""",
-        # chunk_corpus, lsh_topk, ingest_pipeline: intentionally no
-        # oracle (non-SQL ops, rows-only check; chunker is
-        # golden-tested in tests/test_chunker.py)
+        # chunk_corpus, ingest_pipeline, kmeans_ivf: intentionally no
+        # oracle (non-SQL ops — chunker UDF, embedder, iterative
+        # k-means; rows-only check; chunker is golden-tested in
+        # tests/test_chunker.py, k-means in tests/test_dedup.py)
     }
