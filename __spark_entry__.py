@@ -556,6 +556,65 @@ def q_tpch_q6(spark, sf_dir):
     )
 
 
+def q_revenue_rollup(spark, sf_dir):
+    """ROLLUP aggregation (nation, order-year) over the sales join —
+    subtotal + grand-total rows in one pass (partial-agg friendly;
+    beyond reference scope, training-pipeline reporting shape)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("o_year", F.year("o_orderdate"))
+        .rollup("n_name", "o_year")
+        .agg(stable_round(F.sum(rev), 2).alias("revenue"))
+        # subtotal marker NULLs -> sentinels (hash comparators sort row
+        # tuples; mixed None/int breaks ordering)
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+            F.coalesce("o_year", F.lit(-1)).alias("o_year"),
+            "revenue",
+        )
+    )
+
+
+def q_events_moving_avg(spark, sf_dir):
+    """Frame window: 4-row moving average of event value per user
+    (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) — partitioned by user,
+    so parallelism scales with user cardinality."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        stable_round(F.avg("value").over(w), 4).alias("mavg"),
+    )
+
+
+def q_first_order_per_customer(spark, sf_dir):
+    """Argmin-per-group via row_number window: each customer's earliest
+    order with its totalprice (the min-join/correlated-subquery shape)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("first_orderkey"),
+            stable_round("o_totalprice", 2).alias("first_totalprice"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Ingestion-side operators on fixtures / documents (S3, T7-T9, M1, M4,
 # M5, Q4) — each as a hash-checkable relational query.
@@ -966,6 +1025,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rerank_overlap": q_rerank_overlap,
         "tpch_q4": q_tpch_q4,
         "tpch_q14": q_tpch_q14,
+        "revenue_rollup": q_revenue_rollup,
+        "events_moving_avg": q_events_moving_avg,
+        "first_order_per_customer": q_first_order_per_customer,
         "tpch_q18": q_tpch_q18,
         "parts_never_shipped": q_parts_never_shipped,
         "chunk_corpus": q_chunk_corpus,
@@ -1602,6 +1664,31 @@ SELECT (floor((CAST(sum(l_extendedprice * l_discount) AS DOUBLE)) * 100.0 + 0.5)
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+        "revenue_rollup": """
+SELECT coalesce(n_name, 'ALL') AS n_name,
+       coalesce(year(o_orderdate), -1) AS o_year,
+       (floor((CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE)) * 100.0 + 0.5) / 100.0) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, year(o_orderdate))""",
+        "events_moving_avg": """
+SELECT user_id, event_id,
+       (floor((avg(value) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) * 10000.0 + 0.5) / 10000.0) AS mavg
+FROM events""",
+        "first_order_per_customer": """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+)
+SELECT o_custkey AS custkey, o_orderkey AS first_orderkey,
+       (floor((CAST(o_totalprice AS DOUBLE)) * 100.0 + 0.5) / 100.0) AS first_totalprice
+FROM ranked WHERE rn = 1""",
         "link_filter_chain": _link_filter_sql(),
         "source_completion": _source_completion_sql(),
         "events_sessions": """
