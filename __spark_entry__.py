@@ -556,6 +556,17 @@ def q_tpch_q6(spark, sf_dir):
     )
 
 
+def q_curate(spark, sf_dir):
+    """Training-data curation pipeline: exact-dedup -> quality score ->
+    per-source token-budget selection (operators/curate.curate_corpus)
+    — the flagship composition of the dedup + text-analysis ladder."""
+    from qurio_spark.operators.curate import curate_corpus
+
+    return curate_corpus(
+        _t(spark, sf_dir, "documents"), per_source_token_budget=800
+    )
+
+
 def q_revenue_rollup(spark, sf_dir):
     """ROLLUP aggregation (nation, order-year) over the sales join —
     subtotal + grand-total rows in one pass (partial-agg friendly;
@@ -1025,6 +1036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rerank_overlap": q_rerank_overlap,
         "tpch_q4": q_tpch_q4,
         "tpch_q14": q_tpch_q14,
+        "curate": q_curate,
         "revenue_rollup": q_revenue_rollup,
         "events_moving_avg": q_events_moving_avg,
         "first_order_per_customer": q_first_order_per_customer,
@@ -1298,6 +1310,52 @@ SELECT source_id,
             WHEN in_flight = 0 THEN 'completed'
             ELSE 'in_progress' END AS status
 FROM agg"""
+
+
+def _curate_sql(budget: int) -> str:
+    """Curation-pipeline oracle: dedup + quality + per-source token
+    budget, mirroring operators/curate.curate_corpus (quality formula
+    identical to _quality_sql, literals cast DOUBLE for FP parity)."""
+    toks = _TOKS.format(col="text")
+    sw = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return f"""
+WITH dd AS (
+  SELECT source, doc_id, text,
+         row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+  FROM documents
+),
+t AS (
+  SELECT source, doc_id,
+         length(text)::DOUBLE AS n,
+         {toks} AS toks,
+         length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::DOUBLE AS npunct
+  FROM dd WHERE rn = 1
+),
+r AS (
+  SELECT source, doc_id, len(toks) AS n_tokens,
+         CASE WHEN n >= 120 AND n <= 20000 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS length_ok,
+         CASE WHEN n > 0 THEN npunct / n ELSE 0.0::DOUBLE END AS punct_ratio,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, x -> x IN ({sw})))::DOUBLE / len(toks)
+              ELSE 0.0::DOUBLE END AS sw_ratio
+  FROM t
+),
+q AS (
+  SELECT source, doc_id, n_tokens,
+         (floor((0.4::DOUBLE * length_ok
+               + 0.3::DOUBLE * (1.0::DOUBLE - least(1.0::DOUBLE, punct_ratio * 4.0::DOUBLE))
+               + 0.3::DOUBLE * least(1.0::DOUBLE, sw_ratio * 5.0::DOUBLE)) * 10000.0 + 0.5) / 10000.0) AS quality
+  FROM r
+),
+c AS (
+  SELECT source, doc_id, quality, n_tokens,
+         CAST(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY quality DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM q
+)
+SELECT source, doc_id, quality, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= {budget}"""
 
 
 def _lsh_topk_sql(n_planes: int = 3, k: int = 10, dim: int = 64, seed: int = 11) -> str:
@@ -1664,6 +1722,7 @@ SELECT (floor((CAST(sum(l_extendedprice * l_discount) AS DOUBLE)) * 100.0 + 0.5)
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+        "curate": _curate_sql(800),
         "revenue_rollup": """
 SELECT coalesce(n_name, 'ALL') AS n_name,
        coalesce(year(o_orderdate), -1) AS o_year,
