@@ -49,8 +49,12 @@ def norm_cell(v):
 
 def norm_rows(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    # None-safe ordering: sort on the repr key, compare the raw tuples
+    # (mixed None/int cells — e.g. ROLLUP subtotal markers — would
+    # break tuple comparison)
     return sorted(
-        tuple(norm_cell(r[i]) for i in idx) for r in rows
+        (tuple(norm_cell(r[i]) for i in idx) for r in rows),
+        key=lambda t: tuple((x is None, str(x)) for x in t),
     )
 
 
