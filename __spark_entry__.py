@@ -312,6 +312,14 @@ def q_simhash(spark, sf_dir):
     return simhash64(_t(spark, sf_dir, "documents"))
 
 
+def q_simhash_near(spark, sf_dir):
+    """SimHash near-dup pairs: 15-bit-quarter banding for candidates,
+    exact Hamming verify (bit_count of xor)."""
+    from qurio_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=30)
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs, blocked by cluster label."""
     pairs = embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
@@ -1014,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash": q_minhash,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
+        "simhash_near": q_simhash_near,
         "embedding_near_dup": q_embedding_near_dup,
         "events_hourly": q_events_hourly,
         "events_top_users": q_events_top_users,
@@ -1258,6 +1267,28 @@ bits AS (
 SELECT doc_id,
        sum(CASE WHEN s > 0 THEN (1::BIGINT << bit::INT) ELSE 0 END)::BIGINT AS simhash
 FROM bits GROUP BY doc_id"""
+
+
+def _simhash_near_sql(max_hamming: int = 30) -> str:
+    """Near-pair oracle on top of the simhash CTE: quarter-band
+    candidate join + bit_count(xor) Hamming verify."""
+    body = _simhash_sql().strip()
+    return f"""
+WITH sig AS ({body}),
+banded AS (
+  SELECT doc_id, simhash, b.band,
+         (simhash >> (b.band * 15)) & 32767 AS q
+  FROM sig, (VALUES (0), (1), (2), (3)) AS b(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, a.simhash AS h_a,
+                  bb.doc_id AS id_b, bb.simhash AS h_b
+  FROM banded a
+  JOIN banded bb ON a.band = bb.band AND a.q = bb.q AND a.doc_id < bb.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(h_a, h_b)) <= {max_hamming}"""
 
 
 def _link_filter_sql() -> str:
@@ -1648,6 +1679,7 @@ SELECT doc_id FROM r WHERE rn = 1""",
         "minhash": _minhash_sql(4),
         "ngram_jaccard": _ngram_jaccard_sql(0.1),
         "simhash": _simhash_sql(),
+        "simhash_near": _simhash_near_sql(30),
         "embedding_near_dup": """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        (floor((list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])

@@ -229,3 +229,54 @@ def simhash64(
         .groupBy(id_col)
         .agg(F.sum("bitval").alias("simhash"))
     )
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs: candidates collide on ANY 15-bit quarter
+    of the 60-bit fingerprint (pigeonhole: hamming <= 3 guarantees a
+    matching quarter; wider radii trade recall), then exact Hamming
+    verification via bit_count(xor).  -> (id_a, id_b, hamming).
+
+    Scale shape: 4 equality joins on (band, quarter-value) — same
+    banding economics as MinHash-LSH; never a cross join.  The verify
+    step is two integer ops per candidate pair.
+    """
+    sig = simhash64(docs, id_col, text_col)
+    banded = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(f"(simhash >> {b * 15}) & 32767").alias("q"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bq"),
+    ).select(id_col, "simhash", F.col("bq.band").alias("band"), F.col("bq.q").alias("q"))
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "band", "q"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "band", "q"
+    )
+    cand = (
+        a.join(b, ["band", "q"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -145,3 +145,27 @@ class TestKMeansIVF:
 
         emb = self._blobs(spark)
         assert kmeans_fit(emb, k=3, iters=2) == kmeans_fit(emb, k=3, iters=2)
+
+
+class TestSimhashNearPairs:
+    def test_near_dup_found_far_pair_not(self, spark):
+        from qurio_spark.operators.dedup import simhash_near_pairs
+
+        base = (
+            "the quick brown fox jumps over the lazy dog while the rain "
+            "falls on the quiet town and people hurry home for dinner"
+        )
+        docs = spark.createDataFrame(
+            [
+                (1, base),
+                (2, base + " tonight"),  # near dup of 1
+                (3, "completely different subject matter entirely numbers "
+                    "statistics algebra geometry calculus topology proofs"),
+            ],
+            "doc_id long, text string",
+        )
+        pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+                 for r in simhash_near_pairs(docs, max_hamming=12).collect()}
+        assert (1, 2) in pairs
+        assert pairs[(1, 2)] <= 12
+        assert (1, 3) not in pairs and (2, 3) not in pairs

@@ -151,3 +151,25 @@ class TestHybrid:
         df = spark.createDataFrame([(1, 5.0), (2, 5.0)], ["id", "x"])
         out = minmax_norm(df, "x", "y").collect()
         assert all(r["y"] == 0.0 for r in out)
+
+
+class TestBatchHybrid:
+    def test_single_query_batch_equals_hybrid_search(self, spark, sf_dir):
+        """Invariant: a batch of ONE query reproduces hybrid_search
+        exactly (same alpha/limit/corpus)."""
+        from qurio_spark.operators.hybrid import hybrid_search, hybrid_search_batch
+        import __spark_entry__ as entry
+
+        docs = entry._docs_with_vecs(spark, sf_dir)
+        qvec = entry._qvec(spark, sf_dir)
+        single = hybrid_search(
+            docs, entry.QUERY_TEXT, qvec, alpha=0.5, limit=10
+        ).collect()
+        queries = spark.createDataFrame(
+            [("q", entry.QUERY_TEXT, qvec)],
+            "query_id string, query_text string, query_vec array<float>",
+        )
+        batch = hybrid_search_batch(docs, queries, alpha=0.5, limit=10).collect()
+        want = [(r["doc_id"], round(r["score"], 9)) for r in single]
+        got = [(r["doc_id"], round(r["score"], 9)) for r in batch]
+        assert got == want
