@@ -564,6 +564,27 @@ def q_tpch_q6(spark, sf_dir):
     )
 
 
+def q_events_setops(spark, sf_dir):
+    """Set operations: users who clicked but never purchased
+    (EXCEPT/anti set) union users who did both (INTERSECT), tagged."""
+    ev = _events(spark, sf_dir)
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    click_only = clickers.exceptAll(buyers).withColumn("cohort", F.lit("click_only"))
+    both = clickers.intersect(buyers).withColumn("cohort", F.lit("click_and_buy"))
+    return click_only.unionByName(both)
+
+
+def q_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (median + p90) of event value per
+    event type — the exact form, not the sketch, so it oracle-checks."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        stable_round(F.percentile("value", 0.5), 4).alias("p50"),
+        stable_round(F.percentile("value", 0.9), 4).alias("p90"),
+    )
+
+
 def q_curate(spark, sf_dir):
     """Training-data curation pipeline: exact-dedup -> quality score ->
     per-source token-budget selection (operators/curate.curate_corpus)
@@ -1046,6 +1067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4": q_tpch_q4,
         "tpch_q14": q_tpch_q14,
         "curate": q_curate,
+        "events_setops": q_events_setops,
+        "value_percentiles": q_value_percentiles,
         "revenue_rollup": q_revenue_rollup,
         "events_moving_avg": q_events_moving_avg,
         "first_order_per_customer": q_first_order_per_customer,
@@ -1755,6 +1778,19 @@ FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
         "curate": _curate_sql(800),
+        "events_setops": """
+WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT user_id, 'click_only' AS cohort
+FROM (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM buyers)
+UNION ALL
+SELECT user_id, 'click_and_buy' AS cohort
+FROM (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM buyers)""",
+        "value_percentiles": """
+SELECT event_type,
+       (floor((quantile_cont(value, 0.5)) * 10000.0 + 0.5) / 10000.0) AS p50,
+       (floor((quantile_cont(value, 0.9)) * 10000.0 + 0.5) / 10000.0) AS p90
+FROM events GROUP BY event_type""",
         "revenue_rollup": """
 SELECT coalesce(n_name, 'ALL') AS n_name,
        coalesce(year(o_orderdate), -1) AS o_year,
