@@ -564,6 +564,22 @@ def q_tpch_q6(spark, sf_dir):
     )
 
 
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q_events_pivot(spark, sf_dir):
+    """PIVOT: per-user event counts spread across event-type columns
+    (explicit value list so the plan is a single pass, no distinct-scan
+    planning step)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))  # count(*) is rejected inside Pivot
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
 def q_events_setops(spark, sf_dir):
     """Set operations: users who clicked but never purchased
     (EXCEPT/anti set) union users who did both (INTERSECT), tagged."""
@@ -1067,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4": q_tpch_q4,
         "tpch_q14": q_tpch_q14,
         "curate": q_curate,
+        "events_pivot": q_events_pivot,
         "events_setops": q_events_setops,
         "value_percentiles": q_value_percentiles,
         "revenue_rollup": q_revenue_rollup,
@@ -1778,6 +1795,13 @@ FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
         "curate": _curate_sql(800),
+        "events_pivot": """
+SELECT user_id,
+       """ + ",\n       ".join(
+        f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)::BIGINT AS {t}"
+        for t in _EVENT_TYPES
+    ) + """
+FROM events GROUP BY user_id""",
         "events_setops": """
 WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
 buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
