@@ -261,7 +261,7 @@ def q_ann_ivf(spark, sf_dir):
 
 def q_token_counts(spark, sf_dir):
     p = text_profile(_t(spark, sf_dir, "documents"))
-    return p.select("doc_id", "n_tokens", "n_distinct_tokens")
+    return p.select("doc_id", "n_tokens", "n_bpeish_tokens", "n_distinct_tokens")
 
 
 def q_quality_scores(spark, sf_dir):
@@ -1104,6 +1104,12 @@ _TOKS = (
     "list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9]+'), x -> x <> '')"
 )
 
+# BPE-ish pre-tokenizer regex (functions.text.BPEISH_RE) as a SQL
+# literal: single quotes doubled for the SQL string.
+from qurio_spark.functions.text import BPEISH_RE as _BPEISH_RE_PY
+
+BPEISH_RE_SQL = _BPEISH_RE_PY.replace("'", "''")
+
 
 def _bm25_cte(base: str = "documents", terms: tuple[str, ...] = ("hash", "join", "spark")) -> str:
     """BM25 scoring CTE over ``base`` (must expose doc_id, text) ->
@@ -1696,6 +1702,7 @@ ORDER BY (floor(({_COS}) * 1000000.0 + 0.5) / 1000000.0) DESC, vec_id LIMIT 10""
         "token_counts": f"""
 SELECT doc_id,
        len({_TOKS.format(col='text')}) AS n_tokens,
+       len(regexp_extract_all(text, '{BPEISH_RE_SQL}')) AS n_bpeish_tokens,
        len(list_distinct({_TOKS.format(col='text')})) AS n_distinct_tokens
 FROM documents""",
         "quality_scores": _quality_sql(),

@@ -72,6 +72,20 @@ def word_ngrams(col: Column, n: int = 3) -> Column:
     )
 
 
+#: GPT-2-flavor pre-tokenizer regex: contraction suffixes, space-prefixed
+#: letter runs, digit runs, punctuation runs, residual whitespace.  RE2
+#: (DuckDB) and java.util.regex both support \p{L}/\p{N}, so the same
+#: pattern counts identically in the oracle.
+BPEISH_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpeish_token_count(col: Column) -> Column:
+    """Approximate BPE token count: number of pre-tokenizer pieces —
+    the cheap whole-corpus budget estimator (exact BPE needs the merge
+    table; the pre-tokenizer piece count is the standard proxy)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPEISH_RE), F.lit(0)))
+
+
 def stopword_ratio(col: Column) -> Column:
     """fraction of tokens that are (English) stopwords — one signal in
     the quality score.

@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from qurio_spark.functions.hashing import sha256_hex
 from qurio_spark.functions.numeric import stable_round
 from qurio_spark.functions.text import (
+    bpeish_token_count,
     punct_ratio,
     stopword_ratio,
     token_count,
@@ -75,6 +76,7 @@ def text_profile(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         F.col(id_col),
         F.length(c).alias("n_chars"),
         token_count(c).alias("n_tokens"),
+        bpeish_token_count(c).alias("n_bpeish_tokens"),
         F.size(F.array_distinct(tokenize(c))).alias("n_distinct_tokens"),
         F.round(punct_ratio(c), 4).alias("punct_ratio"),
         F.round(stopword_ratio(c), 4).alias("stopword_ratio"),
