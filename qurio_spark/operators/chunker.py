@@ -23,11 +23,12 @@ Behavioral notes preserved on purpose (goldens depend on them):
     matches — it does not, so the whole fence falls through to prose,
     exactly as in Go.
 
-Spark integration: ``chunk_udf`` returns ``array<struct>`` so the caller
-``explode``s it (posexplode supplies ``chunk_index``).  The function is
-pure and per-row, so it parallelizes embarrassingly — no shuffle; at
-100 TB the chunk stage is a map-only stage whose output is written
-partitioned by ``source_id``.
+Spark integration: ``chunk_documents`` runs ``chunk_markdown`` inside a
+``mapInPandas`` iterator — Arrow-batched, one Python call per batch, no
+per-row pickling.  The function is pure and per-row, so it parallelizes
+embarrassingly — no shuffle; at 100 TB the chunk stage is a map-only
+stage whose output is written partitioned by ``source_id``.  The
+row-at-a-time ``chunk_udf`` survives only as the equivalence baseline.
 """
 
 from __future__ import annotations
@@ -282,31 +283,80 @@ def chunk_markdown(
 
 @F.udf(returnType=T.ArrayType(CHUNK_RESULT))
 def chunk_udf(text):
-    """array<struct<content,type,language>> over a markdown column."""
+    """array<struct<content,type,language>> over a markdown column.
+
+    Row-at-a-time legacy path — kept only as the equivalence baseline for
+    the Arrow-batched default (tests assert identical output); prefer
+    ``chunk_documents``.
+    """
     if text is None:
         return []
     return [tuple(c) for c in chunk_markdown(text)]
 
 
-def chunk_documents(df, content_col: str = "content", keep_cols: list[str] | None = None):
+def chunk_documents(
+    df,
+    content_col: str = "content",
+    keep_cols: list[str] | None = None,
+    impl: str = "arrow",
+):
     """documents_raw -> exploded chunk rows with ``chunk_index``.
 
-    Map-only: no shuffle.  ``posexplode`` supplies the per-document chunk
-    ordinal that the reference tracks as ``chunkIndex``
+    Map-only: no shuffle.  The default ``impl='arrow'`` runs
+    ``chunk_markdown`` inside a ``mapInPandas`` iterator — one Python
+    invocation per Arrow batch instead of per row, so the hot ingest
+    stage pays columnar (de)serialization, not per-row pickling.  The
+    per-document chunk ordinal is the reference's ``chunkIndex``
     (result_consumer.go:149-192).
+
+    ``impl='udf'`` is the row-at-a-time baseline used by the
+    equivalence test.
     """
     keep = keep_cols if keep_cols is not None else [c for c in df.columns if c != content_col]
-    return (
-        df.withColumn("_chunks", chunk_udf(F.col(content_col)))
-        .select(*keep, F.posexplode("_chunks").alias("chunk_index", "_c"))
-        .select(
-            *keep,
-            F.col("chunk_index").cast("int").alias("chunk_index"),
-            F.col("_c.content").alias("content"),
-            F.col("_c.type").alias("type"),
-            F.col("_c.language").alias("language"),
+    if impl == "udf":
+        return (
+            df.withColumn("_chunks", chunk_udf(F.col(content_col)))
+            .select(*keep, F.posexplode("_chunks").alias("chunk_index", "_c"))
+            .select(
+                *keep,
+                F.col("chunk_index").cast("int").alias("chunk_index"),
+                F.col("_c.content").alias("content"),
+                F.col("_c.type").alias("type"),
+                F.col("_c.language").alias("language"),
+            )
         )
+
+    in_fields = {f.name: f for f in df.schema.fields}
+    out_schema = T.StructType(
+        [in_fields[c] for c in keep]
+        + [
+            T.StructField("chunk_index", T.IntegerType()),
+            T.StructField("content", T.StringType()),
+            T.StructField("type", T.StringType()),
+            T.StructField("language", T.StringType()),
+        ]
     )
+    out_cols = keep + ["chunk_index", "content", "type", "language"]
+
+    def chunk_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            texts = pdf[content_col].tolist()
+            keep_vals = {c: pdf[c].tolist() for c in keep}
+            out: dict[str, list] = {c: [] for c in out_cols}
+            for i, text in enumerate(texts):
+                chunks = chunk_markdown(text) if text is not None else []
+                for j, ch in enumerate(chunks):
+                    for c in keep:
+                        out[c].append(keep_vals[c][i])
+                    out["chunk_index"].append(j)
+                    out["content"].append(ch.content)
+                    out["type"].append(ch.type)
+                    out["language"].append(ch.language)
+            yield pd.DataFrame(out, columns=out_cols)
+
+    return df.mapInPandas(chunk_batches, out_schema)
 
 
 def clean_markdown_noise_col(col: Column) -> Column:

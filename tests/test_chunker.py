@@ -238,3 +238,24 @@ class TestOverlapParamInert:
         # (chunker.go:191) — lock that quirk.
         text = ("word " * 400).strip()
         assert chunk_markdown(text, 50, 0) == chunk_markdown(text, 50, 25)
+
+
+class TestArrowBatchedEquivalence:
+    def test_mapinpandas_matches_udf_path(self, spark, sf_dir):
+        """The Arrow-batched chunk_documents must emit exactly the rows
+        the row-at-a-time UDF baseline emits (same chunks, same order,
+        same kept columns)."""
+        from pyspark.sql import functions as F
+
+        from qurio_spark.operators.chunker import chunk_documents
+
+        d = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "source", F.col("text").alias("content"))
+            .limit(120)
+        )
+        key = ["doc_id", "chunk_index"]
+        arrow = chunk_documents(d).orderBy(*key).collect()
+        udf = chunk_documents(d, impl="udf").orderBy(*key).collect()
+        assert [r.asDict() for r in arrow] == [r.asDict() for r in udf]
+        assert len(arrow) > 0
