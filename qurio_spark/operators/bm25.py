@@ -28,12 +28,19 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
+from qurio_spark.functions.hashing import hash64, hash64_py
 from qurio_spark.functions.text import tokenize
 
 K1 = 1.2
 B = 0.75
+
+#: Hash-bucket count for the persisted postings layout.  Raw ``term``
+#: as a partition key would mean |vocab| directories (millions of tiny
+#: files at 100 TB); a 64-way md5 bucket keeps file counts sane while a
+#: query touching q terms still prunes to <= q of 64 buckets.
+N_TERM_BUCKETS = 64
 
 
 @dataclass
@@ -111,6 +118,68 @@ def score_query(
         scored.withColumn("s", per_term)
         .groupBy(index.id_col)
         .agg(F.sum("s").alias("bm25"))
+    )
+
+
+def term_bucket(col: Column, n_buckets: int = N_TERM_BUCKETS) -> Column:
+    """Engine-portable term -> bucket map (md5-based ``hash64`` mod n,
+    NOT Spark's murmur ``hash()``: the same bucket must be computable
+    driver-side in ``term_bucket_py`` to build the pruning predicate)."""
+    return F.pmod(hash64(col), F.lit(n_buckets)).cast("int")
+
+
+def term_bucket_py(term: str, n_buckets: int = N_TERM_BUCKETS) -> int:
+    return hash64_py(term) % n_buckets
+
+
+def write_index(
+    index: BM25Index, path: str, n_buckets: int = N_TERM_BUCKETS
+) -> None:
+    """Persist the index — the 'build once per corpus version' half of
+    the scale design in the module doc.
+
+    Layout: ``postings/`` parquet partitioned by ``term_bucket`` (query
+    terms hash to buckets driver-side, so a q-term query reads <= q of
+    ``n_buckets`` directories — directory-level partition pruning, not
+    just row-group skipping); ``doclen/`` and the 1-row ``stats/``
+    alongside.  df/N/avgdl are frozen at write time, exactly the
+    semantics of a Lucene-style segment snapshot."""
+    index.postings.withColumn("term_bucket", term_bucket(F.col("term"), n_buckets)).write.mode(
+        "overwrite"
+    ).partitionBy("term_bucket").parquet(f"{path}/postings")
+    index.doclen.write.mode("overwrite").parquet(f"{path}/doclen")
+    index.stats.write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def read_index(spark: SparkSession, path: str, id_col: str = "doc_id") -> BM25Index:
+    """Open a persisted index; partition pruning on ``term_bucket``
+    happens in ``score_query_prebuilt``'s filter."""
+    return BM25Index(
+        postings=spark.read.parquet(f"{path}/postings"),
+        doclen=spark.read.parquet(f"{path}/doclen"),
+        stats=spark.read.parquet(f"{path}/stats"),
+        id_col=id_col,
+    )
+
+
+def score_query_prebuilt(
+    index: BM25Index,
+    query: str,
+    k1: float = K1,
+    b: float = B,
+    n_buckets: int = N_TERM_BUCKETS,
+) -> DataFrame:
+    """``score_query`` against a persisted index: the driver hashes the
+    query terms to their buckets and the scan carries BOTH predicates —
+    ``term_bucket IN (...)`` (directory pruning) and ``term IN (...)``
+    (pushed row filter inside the surviving buckets)."""
+    terms = tokenize_query(query)
+    if not terms:
+        return index.doclen.select(index.id_col, F.lit(0.0).alias("bm25")).limit(0)
+    buckets = sorted({term_bucket_py(t, n_buckets) for t in terms})
+    pruned = index.postings.filter(F.col("term_bucket").isin(buckets))
+    return score_query(
+        BM25Index(pruned, index.doclen, index.stats, index.id_col), query, k1, b
     )
 
 

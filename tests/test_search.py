@@ -173,3 +173,46 @@ class TestBatchHybrid:
         want = [(r["doc_id"], round(r["score"], 9)) for r in single]
         got = [(r["doc_id"], round(r["score"], 9)) for r in batch]
         assert got == want
+
+
+class TestPersistentBM25Index:
+    def test_prebuilt_scores_match_in_dag_build(self, spark, docs, tmp_path):
+        """Write-then-read scoring must equal the in-DAG build exactly
+        (df/N/avgdl frozen at write time on the same corpus)."""
+        idx = bm25_op.build_index(docs)
+        path = str(tmp_path / "bm25_idx")
+        bm25_op.write_index(idx, path)
+        stored = bm25_op.read_index(spark, path)
+
+        q = "spark join"
+        live = {r["doc_id"]: r["bm25"] for r in bm25_op.score_query(idx, q).collect()}
+        pre = {
+            r["doc_id"]: r["bm25"]
+            for r in bm25_op.score_query_prebuilt(stored, q).collect()
+        }
+        assert set(live) == set(pre)
+        for d in live:
+            assert live[d] == pytest.approx(pre[d], abs=1e-12)
+
+    def test_bucket_pruning_reaches_the_scan(self, spark, docs, tmp_path):
+        """The term_bucket predicate must appear as a partition filter
+        (directory pruning), not a post-scan filter."""
+        idx = bm25_op.build_index(docs)
+        path = str(tmp_path / "bm25_idx2")
+        bm25_op.write_index(idx, path)
+        stored = bm25_op.read_index(spark, path)
+        plan = stored.postings.filter(
+            F.col("term_bucket").isin([bm25_op.term_bucket_py("spark")])
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "term_bucket" in plan
+
+    def test_bucket_map_portable(self):
+        """Driver-side bucket == column-side bucket for sample terms."""
+        assert 0 <= bm25_op.term_bucket_py("spark") < bm25_op.N_TERM_BUCKETS
+
+    def test_empty_query_prebuilt(self, spark, docs, tmp_path):
+        idx = bm25_op.build_index(docs)
+        path = str(tmp_path / "bm25_idx3")
+        bm25_op.write_index(idx, path)
+        stored = bm25_op.read_index(spark, path)
+        assert bm25_op.score_query_prebuilt(stored, "!!!").count() == 0
