@@ -174,27 +174,11 @@ def hybrid_search_batch(
       - per-query top-k via row_number windowed BY QUERY — partitions
         scale with query count, no global sort.
     """
-    from qurio_spark.functions.text import tokenize
     from pyspark.sql.window import Window
 
     a, k = resolve_params(alpha, limit, settings)
 
-    idx = bm25_op.build_index(docs, id_col, text_col)
-    qterms = queries.select(
-        F.col(qid_col),
-        F.explode(F.array_distinct(tokenize(F.col(qtext_col)))).alias("term"),
-    )
-    matched = idx.postings.join(F.broadcast(qterms), "term")
-    scored_kw = matched.join(idx.doclen, id_col).crossJoin(F.broadcast(idx.stats))
-    tf, dl = F.col("tf").cast("double"), F.col("dl").cast("double")
-    per_term = bm25_op.idf_expr(F.col("df").cast("double"), F.col("n")) * (
-        tf * (bm25_op.K1 + 1.0)
-    ) / (tf + bm25_op.K1 * (1.0 - bm25_op.B + bm25_op.B * dl / F.col("avgdl")))
-    kw = (
-        scored_kw.withColumn("s", per_term)
-        .groupBy(qid_col, id_col)
-        .agg(F.sum("s").alias("bm25"))
-    )
+    kw = _batch_keyword_scores(docs, queries, id_col, text_col, qid_col, qtext_col)
 
     cand = docs.select(id_col, text_col, vec_col).crossJoin(
         F.broadcast(queries.select(qid_col, qvec_col))
@@ -212,6 +196,287 @@ def hybrid_search_batch(
     )
     fused = (
         scored.join(F.broadcast(mm), qid_col)
+        .withColumn(
+            "bm25_norm",
+            F.when(
+                F.col("_bmx") > F.col("_bmn"),
+                (F.col("bm25") - F.col("_bmn")) / (F.col("_bmx") - F.col("_bmn")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "vec_norm",
+            F.when(
+                F.col("_cmx") > F.col("_cmn"),
+                (F.col("cos") - F.col("_cmn")) / (F.col("_cmx") - F.col("_cmn")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "score", F.lit(a) * F.col("vec_norm") + F.lit(1.0 - a) * F.col("bm25_norm")
+        )
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.desc(stable_round(F.col("score"), 6)), F.asc(id_col)
+    )
+    return (
+        fused.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(qid_col, id_col, "bm25_norm", "vec_norm", "score")
+    )
+
+
+def _batch_keyword_scores(
+    docs, queries, id_col, text_col, qid_col, qtext_col, index=None, prune_terms=None
+):
+    """Sparse (query_id, doc_id, bm25) scores: shared index build,
+    query terms broadcast into the postings join, one partial-agg
+    shuffle — cost O(sum over queries of df(t)).
+
+    ``index``: a prebuilt (possibly persisted) BM25Index.  When its
+    postings carry the ``term_bucket`` partition column, the batch's
+    query terms are collected driver-side (the query table is small by
+    definition) and hashed to bucket literals, so the postings scan is
+    directory-pruned exactly like bm25.score_query_prebuilt."""
+    from qurio_spark.functions.text import tokenize
+
+    if index is None:
+        idx = bm25_op.build_index(docs, id_col, text_col)
+        postings = idx.postings
+    else:
+        idx = index
+        postings = idx.postings
+        if prune_terms is None:
+            prune_terms = sorted(
+                {
+                    t
+                    for r in queries.select(qtext_col).collect()
+                    for t in bm25_op.tokenize_query(r[qtext_col] or "")
+                }
+            )
+        if not prune_terms:
+            postings = postings.limit(0)
+        else:
+            if "term_bucket" in postings.columns:
+                buckets = sorted({bm25_op.term_bucket_py(t) for t in prune_terms})
+                postings = postings.filter(F.col("term_bucket").isin(buckets))
+            postings = postings.filter(F.col("term").isin(list(prune_terms)))
+    qterms = queries.select(
+        F.col(qid_col),
+        F.explode(F.array_distinct(tokenize(F.col(qtext_col)))).alias("term"),
+    )
+    matched = postings.join(F.broadcast(qterms), "term")
+    scored_kw = matched.join(idx.doclen, id_col).crossJoin(F.broadcast(idx.stats))
+    tf, dl = F.col("tf").cast("double"), F.col("dl").cast("double")
+    per_term = bm25_op.idf_expr(F.col("df").cast("double"), F.col("n")) * (
+        tf * (bm25_op.K1 + 1.0)
+    ) / (tf + bm25_op.K1 * (1.0 - bm25_op.B + bm25_op.B * dl / F.col("avgdl")))
+    return (
+        scored_kw.withColumn("s", per_term)
+        .groupBy(qid_col, id_col)
+        .agg(F.sum("s").alias("bm25"))
+    )
+
+
+def hybrid_search_batch_ivf(
+    docs: DataFrame,
+    queries: DataFrame,
+    alpha: float | None = None,
+    limit: int | None = None,
+    settings: dict | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qtext_col: str = "query_text",
+    qvec_col: str = "query_vec",
+    k_clusters: int = 8,
+    iters: int = 3,
+    nprobe: int = 3,
+    fit_sample_mod: int | None = 4,
+    exact_stats: bool = True,
+    ivf_index: tuple[DataFrame, DataFrame] | None = None,
+    bm25_index=None,
+) -> DataFrame:
+    """IVF-pruned batch hybrid search — the scale path for
+    ``hybrid_search_batch``, which scores corpus x queries densely.
+
+    Candidate set per query = (docs in the query's ``nprobe`` nearest
+    IVF clusters)  UNION  (docs matching >= 1 query term).  Only these
+    pairs flow through fusion and the per-query top-k window, so the
+    materialized/windowed row count drops from N*Q to roughly
+    N*Q*nprobe/k_clusters + sparse keyword matches.
+
+    ``exact_stats=True`` reproduces the dense result EXACTLY (same
+    hash) as long as the probes reach every true top-k doc: min-max
+    normalization constants are computed over the FULL corpus — the
+    cos stats via a map-only generate-and-aggregate pass (broadcast
+    nested-loop against the query table, partial agg, nothing
+    materialized), the bm25 stats reconstructed exactly from the sparse
+    side (docs without keyword evidence score 0, so dense min/max =
+    min/max of {sparse scores} U {0} whenever any doc is unmatched).
+    ``exact_stats=False`` normalizes over the candidate set instead and
+    skips the full-corpus pass entirely — the pure-pruned 100 TB shape,
+    at the cost of normalization constants that differ from the dense
+    oracle's.
+    """
+    from pyspark.sql.window import Window
+
+    from qurio_spark.functions.vector import cosine
+    from qurio_spark.operators.similarity import ivf_build
+
+    a, k = resolve_params(alpha, limit, settings)
+
+    # The query table is referenced several times (probe ranking,
+    # keyword terms, candidate join); it is small by definition, so
+    # truncate its lineage once (it is typically itself a join against
+    # the embeddings table).
+    queries = queries.localCheckpoint(eager=False)
+
+    # --- IVF index: prebuilt (persisted, partitioned by label) when
+    # provided — the amortized production shape — else codebook fit on
+    # a hash-sample + one full labeling pass, in-DAG.
+    if ivf_index is not None:
+        labeled, centroids = ivf_index
+        # the persisted labeled corpus IS the vector table: candidate
+        # lookups and stats scans read it directly — the query never
+        # touches ``docs`` (no documents-x-embeddings join at all)
+        vecs = labeled.select(F.col(id_col), F.col(vec_col))
+    else:
+        vecs = docs.select(F.col(id_col), F.col(vec_col)).localCheckpoint(eager=False)
+        labeled, centroids = ivf_build(
+            vecs,
+            k=k_clusters,
+            iters=iters,
+            id_col=id_col,
+            vec_col=vec_col,
+            fit_sample_mod=fit_sample_mod,
+        )
+
+    # --- per-query probe set, computed driver-side from ONE collect of
+    # the (small) query table: the codebook is k rows, so ranking
+    # centroids per query costs Q*k_clusters scalar ops — and yields
+    # LITERAL probe labels, which is what lets the label-partitioned
+    # corpus scan prune directories (an isin literal reaches the scan
+    # as a PartitionFilter; a join value never does).
+    import math
+
+    from pyspark.sql import types as T
+
+    crows = [(r["label"], list(r["centroid"])) for r in centroids.collect()]
+    qall = queries.select(qid_col, qtext_col, qvec_col).collect()
+    terms = sorted(
+        {t for r in qall for t in bm25_op.tokenize_query(r[qtext_col] or "")}
+    )
+    probe_pairs = []
+    for qr in qall:
+        qv = list(qr[qvec_col])
+        nq = math.sqrt(sum(x * x for x in qv))
+        sims = []
+        for lbl, cv in crows:
+            nc = math.sqrt(sum(x * x for x in cv))
+            d = sum(a * b for a, b in zip(qv, cv))
+            sims.append((d / (nq * nc) if nq > 0 and nc > 0 else 0.0, lbl))
+        sims.sort(key=lambda t: (-t[0], t[1]))
+        probe_pairs += [(qr[qid_col], int(lbl)) for _, lbl in sims[:nprobe]]
+    spark = docs.sparkSession
+    qid_type = queries.schema[qid_col].dataType
+    probes = spark.createDataFrame(
+        probe_pairs,
+        T.StructType(
+            [T.StructField(qid_col, qid_type), T.StructField("label", T.IntegerType())]
+        ),
+    )
+    probe_labels = sorted({lbl for _, lbl in probe_pairs})
+
+    # --- sparse keyword side (complete: never pruned)
+    kw = _batch_keyword_scores(
+        docs,
+        queries,
+        id_col,
+        text_col,
+        qid_col,
+        qtext_col,
+        index=bm25_index,
+        prune_terms=terms,
+    )
+
+    # --- candidate pairs: probed clusters U keyword matches.  The
+    # literal label filter prunes the (label-partitioned) corpus scan
+    # to the union of probed clusters before the probe join fans out
+    # per-query pairs.
+    probed_pairs = (
+        labeled.filter(F.col("label").isin(probe_labels))
+        .join(F.broadcast(probes), "label")
+        .select(qid_col, id_col)
+    )
+    cand_pairs = probed_pairs.unionByName(kw.select(qid_col, id_col)).distinct()
+    cand = (
+        cand_pairs.join(vecs, id_col)
+        .join(F.broadcast(queries.select(qid_col, qvec_col)), qid_col)
+        .withColumn("cos", cosine(F.col(vec_col), F.col(qvec_col)))
+        .join(kw, [qid_col, id_col], "left")
+        .withColumn("bm25", F.coalesce(F.col("bm25"), F.lit(0.0)))
+        .select(qid_col, id_col, "bm25", "cos")
+        .localCheckpoint(eager=False)  # shared by stats branch (inexact mode) + values
+    )
+
+    if exact_stats:
+        # cos stats: full-corpus map-only pass — rows are generated by the
+        # broadcast nested-loop and immediately partially aggregated;
+        # nothing N*Q-sized is shuffled or materialized.
+        # cos stats AND the corpus size in one pass (every query sees
+        # every doc in the generate-and-aggregate, so count(*) per
+        # query IS the corpus size — no separate count job).
+        cos_mm = (
+            vecs.select(vec_col)
+            .crossJoin(F.broadcast(queries.select(qid_col, qvec_col)))
+            .select(qid_col, cosine(F.col(vec_col), F.col(qvec_col)).alias("cos"))
+            .groupBy(qid_col)
+            .agg(
+                F.min("cos").alias("_cmn"),
+                F.max("cos").alias("_cmx"),
+                F.count("*").alias("_n"),
+            )
+        )
+        # bm25 stats reconstructed exactly from the sparse side: every
+        # doc outside the match set scores 0.0, so whenever the match
+        # count is below the corpus size the dense extrema must include 0.
+        kw_mm = (
+            cos_mm.join(
+                kw.groupBy(qid_col).agg(
+                    F.min("bm25").alias("_kmn"),
+                    F.max("bm25").alias("_kmx"),
+                    F.count("*").alias("_kcnt"),
+                ),
+                qid_col,
+                "left",
+            )
+            .select(
+                qid_col,
+                "_cmn",
+                "_cmx",
+                F.when(
+                    F.coalesce(F.col("_kcnt"), F.lit(0)) < F.col("_n"),
+                    F.least(F.lit(0.0), F.coalesce(F.col("_kmn"), F.lit(0.0))),
+                )
+                .otherwise(F.col("_kmn"))
+                .alias("_bmn"),
+                F.when(
+                    F.coalesce(F.col("_kcnt"), F.lit(0)) < F.col("_n"),
+                    F.greatest(F.lit(0.0), F.coalesce(F.col("_kmx"), F.lit(0.0))),
+                )
+                .otherwise(F.col("_kmx"))
+                .alias("_bmx"),
+            )
+        )
+        mm = kw_mm
+    else:
+        mm = cand.groupBy(qid_col).agg(
+            F.min("bm25").alias("_bmn"), F.max("bm25").alias("_bmx"),
+            F.min("cos").alias("_cmn"), F.max("cos").alias("_cmx"),
+        )
+
+    fused = (
+        cand.join(F.broadcast(mm), qid_col)
         .withColumn(
             "bm25_norm",
             F.when(

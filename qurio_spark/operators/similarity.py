@@ -319,14 +319,50 @@ def ivf_build(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fit_sample_mod: int | None = None,
 ):
     """Fit the codebook and label the corpus.  Returns (labeled_df,
     centroids_df) — write ``labeled_df`` partitioned by ``label`` and
-    probe with ``ivf_topk(..., centroids=centroids_df)``."""
-    centroids = kmeans_fit(embeddings, k, iters, id_col, vec_col)
+    probe with ``ivf_topk(..., centroids=centroids_df)``.
+
+    ``fit_sample_mod=m`` fits the codebook on the deterministic 1/m
+    hash-sample of the corpus (``hash64(id) % m == 0``) — the 100 TB
+    shape: Lloyd's iterations touch only the sample, then ONE full
+    assignment pass labels everything.  Labels stay deterministic
+    because both the sample and the seeding are md5-derived."""
+    from qurio_spark.functions.hashing import hash64
+
+    fit_on = embeddings
+    if fit_sample_mod is not None and fit_sample_mod > 1:
+        fit_on = embeddings.filter(
+            F.pmod(hash64(F.col(id_col).cast("string")), F.lit(fit_sample_mod)) == 0
+        )
+    centroids = kmeans_fit(fit_on, k, iters, id_col, vec_col)
+    return _label_with(embeddings, centroids, id_col, vec_col)
+
+
+def _label_with(embeddings, centroids, id_col, vec_col):
     labeled = assign_labels(embeddings, centroids, id_col, vec_col)
     spark = embeddings.sparkSession
     cdf = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)], "label int, centroid array<float>"
     )
     return labeled, cdf
+
+
+def write_ivf_index(labeled: DataFrame, centroids: DataFrame, path: str) -> None:
+    """Persist the IVF index — 'build once per corpus version'.  The
+    labeled corpus is written PARTITIONED BY label, so a probe's
+    ``label IN (...)`` (or a probe-table broadcast join after a label
+    filter) prunes to nprobe directories instead of scanning the
+    corpus; the codebook is a k-row table alongside."""
+    labeled.write.mode("overwrite").partitionBy("label").parquet(f"{path}/labeled")
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def read_ivf_index(spark, path: str):
+    """-> (labeled_df, centroids_df) as persisted by write_ivf_index."""
+    return (
+        spark.read.parquet(f"{path}/labeled"),
+        spark.read.parquet(f"{path}/centroids"),
+    )

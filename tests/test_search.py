@@ -216,3 +216,52 @@ class TestPersistentBM25Index:
         bm25_op.write_index(idx, path)
         stored = bm25_op.read_index(spark, path)
         assert bm25_op.score_query_prebuilt(stored, "!!!").count() == 0
+
+
+class TestBatchHybridIVF:
+    def _fixture(self, spark, sf_dir):
+        import __spark_entry__ as m
+
+        docs = m._docs_with_vecs(spark, sf_dir)
+        lits = spark.createDataFrame(
+            m._BATCH_QUERIES, "query_id string, query_text string, qvec_id long"
+        )
+        qe = m._t(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("qvec_id"), F.col("embedding").alias("query_vec")
+        )
+        return docs, lits.join(qe, "qvec_id").drop("qvec_id")
+
+    def test_exact_match_vs_dense(self, spark, sf_dir):
+        """IVF-pruned batch hybrid must reproduce the dense batch result
+        exactly (same pairs, same scores) — recall 1 at this sf."""
+        from qurio_spark.operators.hybrid import (
+            hybrid_search_batch,
+            hybrid_search_batch_ivf,
+        )
+
+        docs, queries = self._fixture(spark, sf_dir)
+
+        def rows(df):
+            return sorted(
+                (r["query_id"], r["doc_id"], round(r["score"], 9))
+                for r in df.collect()
+            )
+
+        dense = rows(hybrid_search_batch(docs, queries, alpha=0.5, limit=5))
+        ivf = rows(hybrid_search_batch_ivf(docs, queries, alpha=0.5, limit=5))
+        assert dense == ivf
+
+    def test_candidate_normalized_mode_is_sane(self, spark, sf_dir):
+        """exact_stats=False (the pure-pruned scale mode) still returns
+        k rows per query with scores in [0, 1]."""
+        from qurio_spark.operators.hybrid import hybrid_search_batch_ivf
+
+        docs, queries = self._fixture(spark, sf_dir)
+        res = hybrid_search_batch_ivf(
+            docs, queries, alpha=0.5, limit=5, exact_stats=False
+        ).collect()
+        per_q = {}
+        for r in res:
+            per_q.setdefault(r["query_id"], []).append(r)
+            assert -1e-9 <= r["score"] <= 1 + 1e-9
+        assert all(len(v) == 5 for v in per_q.values())
