@@ -907,6 +907,43 @@ def q_reingest_upsert(spark, sf_dir):
     )
 
 
+def q_reingest_skip_unchanged(spark, sf_dir):
+    """M1 + body_hash change detection (result_consumer.go:195-198
+    records the hash; SURVEY §4 calls the compare a cheap win): a
+    recrawl fetched src2 (content changed) and src3 (content
+    identical).  Unchanged pages are SKIPPED (no re-chunk/re-embed, no
+    rewrite), changed pages are rewritten, everything else kept
+    (plans/pipeline.split_unchanged)."""
+    from qurio_spark.plans.pipeline import split_unchanged
+
+    d = _t(spark, sf_dir, "documents")
+    prior = d.select("doc_id", "source", F.sha2("text", 256).alias("body_hash"))
+    recrawl = d.filter(F.col("source").isin("src2", "src3")).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("source") == "src2", F.concat(F.col("text"), F.lit("-v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("content"),
+    )
+    changed, unchanged = split_unchanged(
+        recrawl, prior, url_col="doc_id", content_col="content"
+    )
+    kept = (
+        prior.join(recrawl.select("doc_id"), "doc_id", "left_anti")
+        .withColumn("action", F.lit("kept"))
+    )
+    skipped = (
+        prior.join(unchanged.select("doc_id"), "doc_id", "left_semi")
+        .withColumn("action", F.lit("skipped_unchanged"))
+    )
+    rewritten = changed.select(
+        "doc_id", "source", "body_hash", F.lit("rewritten").alias("action")
+    )
+    return kept.unionByName(skipped).unionByName(rewritten)
+
+
 def q_stuck_reset(spark, sf_dir):
     """M4 janitor: 'processing' rows older than 5 min flip back to
     'pending' (source/repo.go:183-195; ticker main.go:109-123)."""
@@ -1170,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_hash": q_content_hash,
         "doc_meta_norm": q_doc_meta_norm,
         "reingest_upsert": q_reingest_upsert,
+        "reingest_skip_unchanged": q_reingest_skip_unchanged,
         "stuck_reset": q_stuck_reset,
         "dlq_retry": q_dlq_retry,
         "rerank_overlap": q_rerank_overlap,
@@ -1992,6 +2030,15 @@ SELECT doc_id, source, sha256(text) AS body_hash
 FROM documents WHERE source <> 'src2'
 UNION ALL
 SELECT doc_id, source, sha256(text || '-v2') AS body_hash
+FROM documents WHERE source = 'src2'""",
+        "reingest_skip_unchanged": """
+SELECT doc_id, source, sha256(text) AS body_hash, 'kept' AS action
+FROM documents WHERE source NOT IN ('src2', 'src3')
+UNION ALL
+SELECT doc_id, source, sha256(text) AS body_hash, 'skipped_unchanged' AS action
+FROM documents WHERE source = 'src3'
+UNION ALL
+SELECT doc_id, source, sha256(text || '-v2') AS body_hash, 'rewritten' AS action
 FROM documents WHERE source = 'src2'""",
         "stuck_reset": _stuck_reset_sql(),
         "dlq_retry": _dlq_retry_sql(),

@@ -96,6 +96,52 @@ def read_chunks(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def split_unchanged(
+    docs_raw: DataFrame,
+    prior: DataFrame,
+    url_col: str = "url",
+    content_col: str = "content",
+) -> tuple[DataFrame, DataFrame]:
+    """body_hash change detection (SURVEY §4 'cheap win'): the reference
+    RECORDS page body hashes (result_consumer.go:195-198) but rewrites
+    chunks unconditionally; here the hash gates the rewrite.
+
+    ``prior``: (url_col, body_hash) from the previous ingest.  Returns
+    ``(changed, unchanged)`` — ``changed`` keeps all docs_raw columns
+    plus the fresh ``body_hash`` (new pages count as changed),
+    ``unchanged`` is (url_col, body_hash) for pages whose content is
+    byte-identical and whose chunk/embedding work can be skipped
+    entirely.  One broadcast-or-shuffle hash join on the page key; the
+    sha256 is computed map-side."""
+    hashed = docs_raw.withColumn("body_hash", F.sha2(F.col(content_col), 256))
+    joined = hashed.join(
+        prior.select(url_col, F.col("body_hash").alias("_prior_hash")),
+        url_col,
+        "left",
+    )
+    changed = joined.filter(
+        F.col("_prior_hash").isNull() | (F.col("_prior_hash") != F.col("body_hash"))
+    ).drop("_prior_hash")
+    unchanged = joined.filter(F.col("_prior_hash") == F.col("body_hash")).select(
+        url_col, "body_hash"
+    )
+    return changed, unchanged
+
+
+def apply_incremental(
+    existing_chunks: DataFrame, new_chunks: DataFrame, changed_keys: DataFrame
+) -> DataFrame:
+    """Per-page delete-before-insert (M1, result_consumer.go:141-147)
+    as a pure-frame combinator: drop the changed pages' old chunks
+    (anti-join on the page key) and append their rebuilt chunks.
+    Unchanged pages' rows flow through untouched — with a partitioned
+    store only partitions containing changed pages get rewritten."""
+    key_cols = changed_keys.columns
+    return existing_chunks.join(
+        changed_keys, key_cols, "left_anti"
+    ).unionByName(new_chunks)
+
+
 def ingest(
     spark: SparkSession,
     docs_raw: DataFrame,

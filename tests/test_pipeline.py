@@ -238,3 +238,52 @@ class TestCatalog:
         assert s["sources"] == 1
         assert s["documents"] == chunks.count()
         assert s["failed_jobs"] == 1
+
+
+class TestBodyHashSkipUnchanged:
+    def test_split_and_incremental_apply(self, spark, docs_raw):
+        """Recrawl where one page changed: the unchanged pages are
+        skipped (no rebuild), the changed page's chunks are replaced,
+        and untouched pages' chunks survive byte-identical."""
+        from qurio_spark.plans.pipeline import (
+            apply_incremental,
+            build_chunks,
+            split_unchanged,
+        )
+
+        v1 = build_chunks(docs_raw, source_names={"s1": "Docs", "s2": "Engine"})
+        prior = (
+            docs_raw.filter(F.col("status") == "success")
+            .select("url", F.sha2("content", 256).alias("body_hash"))
+        )
+        # recrawl of s1: /health identical, /install changed
+        recrawl = docs_raw.filter(
+            (F.col("source_id") == "s1") & (F.col("status") == "success")
+        ).withColumn(
+            "content",
+            F.when(
+                F.col("url") == "https://d.com/install",
+                F.concat(F.col("content"), F.lit("\n\nThis new paragraph documents the upgrade steps added in version two.")),
+            ).otherwise(F.col("content")),
+        )
+        changed, unchanged = split_unchanged(recrawl, prior)
+        assert [r["url"] for r in unchanged.collect()] == ["https://d.com/health"]
+        assert [r["url"] for r in changed.collect()] == ["https://d.com/install"]
+
+        v2_changed = build_chunks(
+            changed.drop("body_hash"), source_names={"s1": "Docs", "s2": "Engine"}
+        )
+        merged = apply_incremental(v1, v2_changed, changed.select("url"))
+
+        def rows(df, url):
+            return sorted(
+                (r["chunk_index"], r["content"]) for r in df.filter(F.col("url") == url).collect()
+            )
+
+        # unchanged + untouched pages: byte-identical chunk rows
+        for url in ("https://d.com/health", "https://e.com/query"):
+            assert rows(merged, url) == rows(v1, url)
+        # changed page: rebuilt (the new paragraph appears)
+        new_rows = rows(merged, "https://d.com/install")
+        assert new_rows != rows(v1, "https://d.com/install")
+        assert any("This new paragraph documents the upgrade steps added in version two." in c for _, c in new_rows)
