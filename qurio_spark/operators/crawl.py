@@ -16,9 +16,13 @@ Spark shape: each BFS round is one declarative job —
               pages table is partitioned by source_id so the join
               shuffles only the touched sources)
            -> union into pages
-The driver loop (``run_crawl``) is bounded by max_depth, matching the
-reference's BFS rounds; fetching is a pluggable callable so tests and
-batch re-ingest runs stay offline.
+The BFS loop is bounded by max_depth, matching the reference's rounds;
+fetching is a pluggable callable so tests and batch re-ingest runs stay
+offline.  Two drivers share the declarative round tail
+(``_advance_ledger``): ``run_crawl`` collects the frontier and fetches
+driver-side (tests/small runs); ``run_crawl_distributed`` fetches via
+``mapInPandas`` inside the executors with resilient_fetch semantics per
+worker — the frontier never visits the driver (the 100 TB path).
 """
 
 from __future__ import annotations
@@ -138,6 +142,165 @@ FetchFn = Callable[[list[dict]], list[dict]]
 #: depth, status('success'|'failed'), content, links: [str], error}]
 
 
+def _advance_ledger(pages: DataFrame, fetched: DataFrame, max_depth: int, ex_lit) -> DataFrame:
+    """One BFS round's declarative tail, shared by the driver-loop and
+    distributed crawls: flip fetched rows to completed/failed
+    (result_consumer.go:265), discover+filter links, anti-join against
+    the ledger, union the fresh frontier in."""
+    pages = (
+        pages.alias("p")
+        .join(
+            fetched.select(
+                "source_id",
+                "url",
+                F.when(F.col("status") == "success", F.lit("completed"))
+                .otherwise(F.lit("failed"))
+                .alias("new_status"),
+            ),
+            ["source_id", "url"],
+            "left",
+        )
+        .select(
+            "source_id",
+            "url",
+            F.coalesce("new_status", "status").alias("status"),
+            "depth",
+        )
+    )
+    links = (
+        fetched.filter(F.col("status") == "success")
+        .select(
+            "source_id",
+            F.col("url").alias("page_url"),
+            F.explode_outer("links").alias("link"),
+            F.col("depth").alias("parent_depth"),
+        )
+        .filter(F.col("link").isNotNull())
+    )
+    cand = discover_links(
+        links.withColumn("max_depth", F.lit(max_depth)).withColumn("exclusions", ex_lit)
+    )
+    return pages.unionByName(new_frontier(cand, pages))
+
+
+#: output schema of a distributed fetch stage
+FETCHED_SCHEMA = (
+    "source_id string, url string, depth int, status string, content string, "
+    "links array<string>, error string, title string, path string"
+)
+
+
+def distributed_fetch(
+    frontier: DataFrame,
+    fetch_one: Callable[[dict], dict],
+    policy=None,
+    breaker_factory: Callable[[], object] | None = None,
+) -> DataFrame:
+    """Fetch a frontier DataFrame INSIDE the executors (mapInPandas) —
+    the scale path the driver-loop crawl's collect() can't reach: a
+    million-URL frontier never visits the driver, fetch parallelism is
+    the stage's task count, and results land as a distributed frame.
+
+    ``resilient_fetch`` semantics run inside each worker: per-task
+    retry/backoff via ``policy``, failure-taxonomy codes on 'failed'
+    rows, and an optional circuit breaker created per partition by
+    ``breaker_factory`` (per-worker breaker state, matching the
+    reference's per-worker breaker globals — web.py:53-84)."""
+    def fetch_partition(batches):
+        import pandas as pd
+
+        breaker = breaker_factory() if breaker_factory is not None else None
+        fetch = resilient_fetch(fetch_one, policy=policy, breaker=breaker)
+        cols = [
+            "source_id", "url", "depth", "status", "content", "links", "error",
+            "title", "path",
+        ]
+        for pdf in batches:
+            tasks = [
+                {"source_id": s, "url": u, "depth": int(d)}
+                for s, u, d in zip(pdf["source_id"], pdf["url"], pdf["depth"])
+            ]
+            results = fetch(tasks) if tasks else []
+            yield pd.DataFrame(
+                {
+                    "source_id": [r["source_id"] for r in results],
+                    "url": [r["url"] for r in results],
+                    "depth": [int(r["depth"]) for r in results],
+                    "status": [r.get("status", "success") for r in results],
+                    "content": [r.get("content", "") or "" for r in results],
+                    "links": [r.get("links") or [] for r in results],
+                    "error": [r.get("error") for r in results],
+                    "title": [r.get("title", "") or "" for r in results],
+                    "path": [r.get("path", "") or "" for r in results],
+                },
+                columns=cols,
+            )
+
+    return frontier.select("source_id", "url", "depth").mapInPandas(
+        fetch_partition, FETCHED_SCHEMA
+    )
+
+
+def run_crawl_distributed(
+    spark: SparkSession,
+    seeds: DataFrame,
+    fetch_one: Callable[[dict], dict],
+    max_depth: int,
+    exclusions: list[str] | None = None,
+    max_rounds: int | None = None,
+    policy=None,
+    breaker_factory: Callable[[], object] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """BFS crawl with the fetch stage distributed (mapInPandas over the
+    frontier).  The per-round loop is inherently driver-side (BFS round
+    = stage barrier, bounded by max_depth as in the reference), but the
+    frontier itself is never collected: each round is frontier-filter ->
+    distributed fetch -> eager localCheckpoint (fetch exactly once) ->
+    declarative ledger advance.  Returns (pages, docs) with the same
+    schemas/semantics as :func:`run_crawl` — equality is pinned by
+    tests/test_crawl.py."""
+    ex_lit = F.array(*[F.lit(e) for e in (exclusions or [])])
+    pages = seeds.select(
+        "source_id",
+        "url",
+        F.lit("pending").alias("status"),
+        F.lit(0).alias("depth"),
+    )
+    doc_rounds: list[DataFrame] = []
+    rounds = 0
+    limit = max_rounds if max_rounds is not None else max_depth + 2
+    while rounds < limit:
+        frontier = pages.filter(F.col("status") == "pending")
+        if frontier.limit(1).count() == 0:
+            break
+        # eager checkpoint: the fetched frame is referenced by ledger
+        # update, link discovery AND the docs output — fetch must run
+        # exactly once per round
+        fetched = distributed_fetch(
+            frontier, fetch_one, policy=policy, breaker_factory=breaker_factory
+        ).localCheckpoint()
+        doc_rounds.append(fetched)
+        pages = _advance_ledger(pages, fetched, max_depth, ex_lit).localCheckpoint()
+        rounds += 1
+
+    if doc_rounds:
+        docs = doc_rounds[0]
+        for d in doc_rounds[1:]:
+            docs = docs.unionByName(d)
+        docs = docs.select(
+            "source_id", "url", "title", "path", "content", "links", "depth",
+            "status", "error",
+        )
+    else:
+        docs = spark.createDataFrame(
+            [],
+            "source_id string, url string, title string, path string, "
+            "content string, links array<string>, depth int, status string, "
+            "error string",
+        )
+    return pages, docs
+
+
 def run_crawl(
     spark: SparkSession,
     seeds: DataFrame,
@@ -150,9 +313,10 @@ def run_crawl(
 
     ``seeds``: (source_id, url) depth-0 rows.  Returns (pages, docs):
     the final ledger and the fetched documents.  Each round fetches
-    every pending page via ``fetch`` (a pluggable adapter — tests use
-    an in-memory site map; production would mapInPandas a HTTP pool),
-    then runs the declarative discover -> anti-join -> union step.
+    every pending page via ``fetch`` (a pluggable batch adapter) ON THE
+    DRIVER — fine for tests and small re-ingests; the production path
+    is :func:`run_crawl_distributed`, which runs the identical rounds
+    with the fetch stage inside the executors.
 
     The loop is driver-side but bounded by max_depth (reference
     semantics: BFS rounds, radius <= max_depth+1 with manifests); all
@@ -182,41 +346,7 @@ def run_crawl(
             ],
             "source_id string, url string, status string, depth int, links array<string>",
         )
-        # ledger update: fetched rows flip to completed/failed
-        # (result_consumer.go:265 — a processed page is 'completed')
-        pages = (
-            pages.alias("p")
-            .join(
-                fetched.select(
-                    "source_id",
-                    "url",
-                    F.when(F.col("status") == "success", F.lit("completed"))
-                    .otherwise(F.lit("failed"))
-                    .alias("new_status"),
-                ),
-                ["source_id", "url"],
-                "left",
-            )
-            .select(
-                "source_id",
-                "url",
-                F.coalesce("new_status", "status").alias("status"),
-                "depth",
-            )
-        )
-        links = fetched.filter(F.col("status") == "success").select(
-            "source_id",
-            F.col("url").alias("page_url"),
-            F.explode_outer("links").alias("link"),
-            F.col("depth").alias("parent_depth"),
-        ).filter(F.col("link").isNotNull())
-        cand = discover_links(
-            links.withColumn("max_depth", F.lit(max_depth)).withColumn(
-                "exclusions", ex_lit
-            )
-        )
-        fresh = new_frontier(cand, pages)
-        pages = pages.unionByName(fresh).localCheckpoint()
+        pages = _advance_ledger(pages, fetched, max_depth, ex_lit).localCheckpoint()
         rounds += 1
 
     docs = spark.createDataFrame(

@@ -223,3 +223,73 @@ class TestResilientFetch:
         out = fetch(tasks)
         assert all(r["status"] == "failed" for r in out)
         assert len(calls) == 2  # breaker opened after 2 failures; rest short-circuit
+
+
+def fake_fetch_one(task):
+    """Single-page twin of fake_fetch (module-level so Spark can pickle
+    it into mapInPandas workers)."""
+    from qurio_spark.functions.resilience import IngestionError
+
+    links = SITE.get(task["url"])
+    if links is None:
+        raise IngestionError("ERR_HTTP_404", "404 not found")
+    return {
+        "content": f"# Page {task['url']}\n\nBody of {task['url']} page.",
+        "links": links,
+        "title": task["url"],
+    }
+
+
+class TestDistributedCrawl:
+    def _canon_pages(self, pages):
+        return sorted(
+            (r["source_id"], r["url"], r["status"], r["depth"]) for r in pages.collect()
+        )
+
+    def _canon_docs(self, docs):
+        return sorted(
+            (r["source_id"], r["url"], r["status"], r["depth"], r["content"],
+             tuple(r["links"] or []))
+            for r in docs.collect()
+        )
+
+    def test_matches_driver_loop_crawl(self, spark):
+        """Ledger AND docs from the mapInPandas fetch stage must be
+        identical to the driver-loop path on the same site fixture."""
+        from qurio_spark.operators.crawl import resilient_fetch, run_crawl_distributed
+
+        seeds = spark.createDataFrame(
+            [("s1", "https://d.com/")], "source_id string, url string"
+        )
+        ref_pages, ref_docs = run_crawl(
+            spark, seeds, resilient_fetch(fake_fetch_one), max_depth=2
+        )
+        dist_pages, dist_docs = run_crawl_distributed(
+            spark, seeds, fake_fetch_one, max_depth=2
+        )
+        assert self._canon_pages(dist_pages) == self._canon_pages(ref_pages)
+        assert self._canon_docs(dist_docs) == self._canon_docs(ref_docs)
+
+    def test_failed_seed_distributed(self, spark):
+        from qurio_spark.operators.crawl import run_crawl_distributed
+
+        seeds = spark.createDataFrame(
+            [("s1", "https://d.com/missing")], "source_id string, url string"
+        )
+        pages, docs = run_crawl_distributed(spark, seeds, fake_fetch_one, max_depth=1)
+        assert pages.collect()[0]["status"] == "failed"
+        d = docs.collect()[0]
+        assert d["status"] == "failed" and d["error"] == "ERR_HTTP_404"
+
+    def test_fetch_runs_in_executors_not_driver(self, spark):
+        """The frontier must reach the fetch callable via worker
+        processes: assert the fetched frame is produced by a
+        mapInPandas stage (plan check), not a driver collect."""
+        from qurio_spark.operators.crawl import distributed_fetch
+
+        frontier = spark.createDataFrame(
+            [("s1", "https://d.com/", "pending", 0)],
+            "source_id string, url string, status string, depth int",
+        )
+        plan = distributed_fetch(frontier, fake_fetch_one)._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan
