@@ -1,0 +1,230 @@
+"""Remote provider adapters (the engine's only network seams besides
+crawl fetch): a Gemini-shaped batch HTTP embedder and a
+Jina/Cohere-shaped reranker client.
+
+Reference parity:
+  - embedder: ``internal/adapter/gemini/dynamic_embedder.go:30-56`` —
+    provider behind an interface, 60 s timeout, API key resolved
+    per-request from settings (hot-swap, no restart).
+  - reranker: ``internal/adapter/reranker/client.go:31-160`` — POST
+    query+documents, reorder by returned (index, relevance_score)
+    pairs; Jina and Cohere share the payload shape modulo field names.
+  - tests run against a canned local HTTP server, mirroring the
+    reference's httptest pattern (``adapter/weaviate/store_test.go:92-223``).
+
+Design rules:
+  - the embedder UDF is Arrow-batched and issues ONE HTTP call per
+    ``max_batch`` texts — never per row; executors each hold their own
+    connection (no driver fan-in).
+  - failures map onto the M8 taxonomy: timeouts/refused are transient
+    (retried with backoff inside the worker), HTTP 4xx and shape
+    mismatches are permanent (raise -> quarantine at the caller).
+  - the deterministic HashingEmbedder stays the default everywhere;
+    nothing in the engine requires the network.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable, Sequence
+
+from qurio_spark.functions.resilience import (
+    ERR_CRAWL_REFUSED,
+    ERR_TIMEOUT,
+    IngestionError,
+    RetryPolicy,
+    with_retries,
+)
+
+#: dynamic_embedder.go:36 — the provider call times out at 60 s.
+DEFAULT_TIMEOUT_S = 60.0
+#: permanent-error codes (not in TRANSIENT_ERRORS -> no retry)
+ERR_PROVIDER_HTTP = "ERR_PROVIDER_HTTP"
+ERR_PROVIDER_SHAPE = "ERR_PROVIDER_SHAPE"
+
+
+def _post_json(
+    url: str,
+    payload: dict,
+    headers: dict[str, str],
+    timeout_s: float,
+) -> dict:
+    """POST JSON -> parsed JSON with taxonomy-coded failures: network
+    timeouts and refused connections raise TRANSIENT codes (retryable),
+    HTTP status errors raise permanent ones."""
+    import socket
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(payload).encode("utf-8"),
+        headers={"Content-Type": "application/json", **headers},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            return json.loads(resp.read().decode("utf-8"))
+    except urllib.error.HTTPError as e:
+        # 429/5xx are retryable at the provider level; the reference
+        # requeues coded transients only, so map them to ERR_TIMEOUT's
+        # transient family vs permanent 4xx
+        if e.code == 429 or e.code >= 500:
+            raise IngestionError(ERR_TIMEOUT, f"HTTP {e.code} from {url}") from e
+        raise IngestionError(ERR_PROVIDER_HTTP, f"HTTP {e.code} from {url}") from e
+    except socket.timeout as e:
+        raise IngestionError(ERR_TIMEOUT, f"timeout after {timeout_s}s") from e
+    except urllib.error.URLError as e:
+        reason = getattr(e, "reason", None)
+        if isinstance(reason, socket.timeout):
+            raise IngestionError(ERR_TIMEOUT, f"timeout after {timeout_s}s") from e
+        raise IngestionError(ERR_CRAWL_REFUSED, str(reason)) from e
+    except (ValueError, json.JSONDecodeError) as e:
+        raise IngestionError(ERR_PROVIDER_SHAPE, f"bad JSON from {url}") from e
+
+
+class HttpEmbedder:
+    """Gemini-shaped batch embedding provider (dynamic_embedder.go:30-56).
+
+    Request:  ``{"model": m, "texts": [...]}`` with the API key header
+    resolved per call from ``key_provider`` (the hot-swap semantics —
+    settings changes take effect on the next batch, no restart).
+    Response: ``{"embeddings": [[...], ...]}``, one vector per text,
+    validated for count and dimension.
+    """
+
+    def __init__(
+        self,
+        endpoint: str,
+        model: str = "gemini-embedding-001",
+        dim: int = 64,
+        key_provider: Callable[[], str] | None = None,
+        timeout_s: float = DEFAULT_TIMEOUT_S,
+        policy: RetryPolicy | None = None,
+        max_batch: int = 256,
+    ):
+        self.endpoint = endpoint
+        self.model = model
+        self.dim = dim
+        self.key_provider = key_provider or (lambda: "")
+        self.timeout_s = timeout_s
+        self.policy = policy or RetryPolicy()
+        self.max_batch = max_batch
+
+    def _headers(self) -> dict[str, str]:
+        key = self.key_provider()
+        return {"x-goog-api-key": key} if key else {}
+
+    def _call(self, texts: list[str]) -> list[list[float]]:
+        body = _post_json(
+            self.endpoint,
+            {"model": self.model, "texts": texts},
+            self._headers(),
+            self.timeout_s,
+        )
+        embs = body.get("embeddings")
+        if not isinstance(embs, list) or len(embs) != len(texts):
+            raise IngestionError(
+                ERR_PROVIDER_SHAPE,
+                f"expected {len(texts)} embeddings, got "
+                f"{len(embs) if isinstance(embs, list) else type(embs).__name__}",
+            )
+        for v in embs:
+            if not isinstance(v, list) or len(v) != self.dim:
+                raise IngestionError(
+                    ERR_PROVIDER_SHAPE, f"expected dim {self.dim} vectors"
+                )
+        return embs
+
+    def embed_batch(self, texts: Sequence[str]) -> list[list[float]]:
+        """Chunked + retried batch embed (usable driver- or worker-side)."""
+        out: list[list[float]] = []
+        for i in range(0, len(texts), self.max_batch):
+            chunk = [t or "" for t in texts[i : i + self.max_batch]]
+            out.extend(with_retries(lambda c=chunk: self._call(c), self.policy))
+        return out
+
+    def embed_query(self, text: str) -> list[float]:
+        return self.embed_batch([text])[0]
+
+    def udf(self):
+        """Arrow-batched pandas UDF: one HTTP call per ``max_batch``
+        texts, retry/backoff inside the worker.  Same signature as
+        HashingEmbedder.udf(), so it drops into plans/pipeline
+        unchanged."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        provider = self
+
+        # real (non-string) annotations: the module-wide `from
+        # __future__ import annotations` would stringify them and break
+        # pandas_udf type-hint inference (same note as
+        # similarity.assign_labels)
+        def _embed(texts):
+            import numpy as np
+
+            vecs = provider.embed_batch(texts.tolist())
+            return pd.Series([np.asarray(v, dtype=np.float32) for v in vecs])
+
+        _embed.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+        return F.pandas_udf(T.ArrayType(T.FloatType()))(_embed)
+
+
+class HttpReranker:
+    """Jina/Cohere-shaped rerank client (adapter/reranker/client.go:31-160).
+
+    Request:  ``{"model": m, "query": q, "documents": [...],
+    "top_n": n}`` with ``Authorization: Bearer <key>`` resolved per
+    call.  Response: ``{"results": [{"index": i, "relevance_score": s},
+    ...]}``; documents are reordered by score descending (ties keep the
+    provider's order), indices the provider omitted keep their original
+    relative order at the tail — the reference tolerates partial
+    results the same way (client.go:121-146).
+
+    Satisfies operators/rerank.Reranker, so it drops into
+    ``apply_rerank`` wherever IdentityReranker/LocalOverlapReranker do.
+    """
+
+    def __init__(
+        self,
+        endpoint: str,
+        model: str = "jina-reranker-v2-base-multilingual",
+        key_provider: Callable[[], str] | None = None,
+        timeout_s: float = DEFAULT_TIMEOUT_S,
+        policy: RetryPolicy | None = None,
+    ):
+        self.endpoint = endpoint
+        self.model = model
+        self.key_provider = key_provider or (lambda: "")
+        self.timeout_s = timeout_s
+        self.policy = policy or RetryPolicy()
+
+    def rerank(self, query: str, contents: Sequence[str]) -> list[int]:
+        if not contents:
+            return []
+        payload = {
+            "model": self.model,
+            "query": query,
+            "documents": list(contents),
+            "top_n": len(contents),
+        }
+        key = self.key_provider()
+        headers = {"Authorization": f"Bearer {key}"} if key else {}
+        body = with_retries(
+            lambda: _post_json(self.endpoint, payload, headers, self.timeout_s),
+            self.policy,
+        )
+        results = body.get("results")
+        if not isinstance(results, list):
+            raise IngestionError(ERR_PROVIDER_SHAPE, "missing results[]")
+        order: list[int] = []
+        seen = set()
+        for r in results:
+            i = r.get("index") if isinstance(r, dict) else None
+            if isinstance(i, int) and 0 <= i < len(contents) and i not in seen:
+                order.append(i)
+                seen.add(i)
+        order += [i for i in range(len(contents)) if i not in seen]
+        return order

@@ -1,0 +1,221 @@
+"""HTTP provider adapters (embedder + reranker) against a canned local
+server — the httptest pattern the reference uses for its store adapter
+(adapter/weaviate/store_test.go:92-223).  Covers happy paths, retry on
+transient failures, timeout, permanent-error no-retry, payload shape
+validation, and API-key hot-swap.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from qurio_spark.functions.providers import (
+    ERR_PROVIDER_HTTP,
+    ERR_PROVIDER_SHAPE,
+    ERR_TIMEOUT,
+    HttpEmbedder,
+    HttpReranker,
+)
+from qurio_spark.functions.resilience import IngestionError, RetryPolicy
+
+#: zero-backoff policy so tests don't sleep
+FAST = RetryPolicy(max_attempts=3, initial_delay_s=0.0, max_delay_s=0.0, multiplier=1.0)
+
+STATE = {"requests": [], "flaky_left": 0}
+
+
+class Handler(BaseHTTPRequestHandler):
+    def log_message(self, *args):  # silence
+        pass
+
+    def do_POST(self):
+        n = int(self.headers.get("Content-Length", 0))
+        payload = json.loads(self.rfile.read(n) or b"{}")
+        STATE["requests"].append(
+            {
+                "path": self.path,
+                "payload": payload,
+                "headers": {k.lower(): v for k, v in self.headers.items()},
+            }
+        )
+        if self.path == "/embed":
+            texts = payload["texts"]
+            # deterministic fake: vector = [len(text), i, 0, ...]
+            embs = [
+                [float(len(t)), float(i)] + [0.0] * 2 for i, t in enumerate(texts)
+            ]
+            self._json({"embeddings": embs})
+        elif self.path == "/embed-flaky":
+            if STATE["flaky_left"] > 0:
+                STATE["flaky_left"] -= 1
+                self.send_error(503)
+            else:
+                texts = payload["texts"]
+                self._json({"embeddings": [[1.0, 0.0, 0.0, 0.0] for _ in texts]})
+        elif self.path == "/embed-slow":
+            time.sleep(1.0)
+            self._json({"embeddings": [[0.0] * 4 for _ in payload["texts"]]})
+        elif self.path == "/embed-short":
+            self._json({"embeddings": [[1.0]] * len(payload["texts"])})
+        elif self.path == "/embed-bad":
+            self.send_error(400)
+        elif self.path == "/rerank":
+            docs = payload["documents"]
+            # score = position from the end -> reversed order
+            self._json(
+                {
+                    "results": [
+                        {"index": i, "relevance_score": float(i)}
+                        for i in range(len(docs) - 1, -1, -1)
+                    ]
+                }
+            )
+        elif self.path == "/rerank-partial":
+            self._json({"results": [{"index": 2, "relevance_score": 9.0}]})
+        elif self.path == "/rerank-flaky":
+            if STATE["flaky_left"] > 0:
+                STATE["flaky_left"] -= 1
+                self.send_error(429)
+            else:
+                self._json({"results": [{"index": 0, "relevance_score": 1.0}]})
+        else:
+            self.send_error(404)
+
+    def _json(self, obj):
+        body = json.dumps(obj).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+class TestHttpEmbedder:
+    def test_batch_happy_path(self, server):
+        e = HttpEmbedder(f"{server}/embed", dim=4, policy=FAST)
+        vecs = e.embed_batch(["ab", "xyz"])
+        assert vecs == [[2.0, 0.0, 0.0, 0.0], [3.0, 1.0, 0.0, 0.0]]
+        assert e.embed_query("hello") == [5.0, 0.0, 0.0, 0.0]
+
+    def test_chunking_respects_max_batch(self, server):
+        STATE["requests"].clear()
+        e = HttpEmbedder(f"{server}/embed", dim=4, policy=FAST, max_batch=2)
+        out = e.embed_batch(["a", "b", "c", "d", "e"])
+        assert len(out) == 5
+        calls = [r for r in STATE["requests"] if r["path"] == "/embed"]
+        assert [len(c["payload"]["texts"]) for c in calls] == [2, 2, 1]
+
+    def test_transient_503_retries_then_succeeds(self, server):
+        STATE["flaky_left"] = 2
+        e = HttpEmbedder(f"{server}/embed-flaky", dim=4, policy=FAST)
+        assert e.embed_batch(["x"]) == [[1.0, 0.0, 0.0, 0.0]]
+        assert STATE["flaky_left"] == 0
+
+    def test_timeout_is_transient_then_raises(self, server):
+        e = HttpEmbedder(
+            f"{server}/embed-slow",
+            dim=4,
+            timeout_s=0.2,
+            policy=RetryPolicy(max_attempts=2, initial_delay_s=0.0),
+        )
+        with pytest.raises(IngestionError) as ei:
+            e.embed_batch(["x"])
+        assert ei.value.code == ERR_TIMEOUT
+
+    def test_permanent_400_no_retry(self, server):
+        STATE["requests"].clear()
+        e = HttpEmbedder(f"{server}/embed-bad", dim=4, policy=FAST)
+        with pytest.raises(IngestionError) as ei:
+            e.embed_batch(["x"])
+        assert ei.value.code == ERR_PROVIDER_HTTP
+        assert len([r for r in STATE["requests"] if r["path"] == "/embed-bad"]) == 1
+
+    def test_shape_validation(self, server):
+        e = HttpEmbedder(f"{server}/embed-short", dim=4, policy=FAST)
+        with pytest.raises(IngestionError) as ei:
+            e.embed_batch(["x"])
+        assert ei.value.code == ERR_PROVIDER_SHAPE
+
+    def test_api_key_hot_swap(self, server):
+        STATE["requests"].clear()
+        key = {"v": "key-one"}
+        e = HttpEmbedder(
+            f"{server}/embed", dim=4, policy=FAST, key_provider=lambda: key["v"]
+        )
+        e.embed_batch(["x"])
+        key["v"] = "key-two"  # settings change, no restart
+        e.embed_batch(["y"])
+        sent = [
+            r["headers"].get("x-goog-api-key")
+            for r in STATE["requests"]
+            if r["path"] == "/embed"
+        ]
+        assert sent == ["key-one", "key-two"]
+
+    def test_udf_runs_in_executors(self, server, spark):
+        """The pandas UDF path: executors call the endpoint per Arrow
+        batch and the vectors land as array<float> rows."""
+        from pyspark.sql import functions as F
+
+        e = HttpEmbedder(f"{server}/embed", dim=4, policy=FAST)
+        df = spark.createDataFrame([("ab",), ("wxyz",)], ["text"]).repartition(1)
+        rows = {
+            r["text"]: r["emb"]
+            for r in df.withColumn("emb", e.udf()(F.col("text"))).collect()
+        }
+        assert rows["ab"][0] == 2.0 and rows["wxyz"][0] == 4.0
+
+
+class TestHttpReranker:
+    def test_reorders_by_provider_scores(self, server):
+        r = HttpReranker(f"{server}/rerank", policy=FAST)
+        assert r.rerank("q", ["a", "b", "c"]) == [2, 1, 0]
+
+    def test_partial_results_keep_tail_order(self, server):
+        r = HttpReranker(f"{server}/rerank-partial", policy=FAST)
+        assert r.rerank("q", ["a", "b", "c", "d"]) == [2, 0, 1, 3]
+
+    def test_429_retries(self, server):
+        STATE["flaky_left"] = 1
+        r = HttpReranker(f"{server}/rerank-flaky", policy=FAST)
+        assert r.rerank("q", ["only"]) == [0]
+
+    def test_empty_contents(self, server):
+        assert HttpReranker(f"{server}/rerank", policy=FAST).rerank("q", []) == []
+
+    def test_drops_into_apply_rerank(self, server):
+        from qurio_spark.operators.rerank import apply_rerank
+
+        rows = [{"content": "a"}, {"content": "b"}, {"content": "c"}]
+        out = apply_rerank(rows, "q", HttpReranker(f"{server}/rerank", policy=FAST))
+        assert [r["content"] for r in out] == ["c", "b", "a"]
+
+    def test_bearer_key_hot_swap(self, server):
+        STATE["requests"].clear()
+        key = {"v": "k1"}
+        r = HttpReranker(
+            f"{server}/rerank", policy=FAST, key_provider=lambda: key["v"]
+        )
+        r.rerank("q", ["a"])
+        key["v"] = "k2"
+        r.rerank("q", ["a"])
+        sent = [
+            req["headers"].get("authorization")
+            for req in STATE["requests"]
+            if req["path"] == "/rerank"
+        ]
+        assert sent == ["Bearer k1", "Bearer k2"]
