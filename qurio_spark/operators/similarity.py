@@ -163,6 +163,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     impl: str = "pandas",
+    max_block: int | None = 4096,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine (dedup extension).
 
@@ -171,12 +172,21 @@ def embedding_near_dup_pairs(
     blocks — the standard scalable shape.  ``block_col=None`` degrades
     to one global block (oracle / small corpora only).
 
-    ``impl='pandas'`` (default): one ``applyInPandas`` per block doing
-    a numpy float64 gram matrix — Arrow-batched, BLAS-grade, ~10x the
-    throughput of per-pair JVM expression evaluation (a 64-term
+    ``impl='pandas'`` (default): one ``applyInPandas`` task per block
+    doing a numpy float64 gram matrix — Arrow-batched, BLAS-grade, ~10x
+    the throughput of per-pair JVM expression evaluation (a 64-term
     unrolled dot falls out of whole-stage codegen and evaluates
-    interpreted).  Each block must fit one executor's memory: at scale
-    cap block sizes upstream (finer clustering / sub-bucketing).
+    interpreted).
+
+    Block-size guard: a block with more than ``max_block`` rows would
+    otherwise build an unbounded gram matrix on one executor (skewed
+    cluster = OOM at 100 TB).  Such blocks are hash-split into
+    ``s = ceil(n / max_block)`` sub-buckets and EVERY sub-bucket pair
+    (i <= j) becomes its own task — still exact (each row pair meets in
+    exactly one task, pairwise dots are unchanged), with per-task input
+    bounded by 2*max_block rows.  The s-way row replication only
+    happens for oversized blocks.  ``max_block=None`` disables the
+    guard.
 
     ``impl='sql'``: pure-DataFrame self-join form (no Arrow, exact
     sequential-sum float semantics) for environments without pandas.
@@ -185,32 +195,91 @@ def embedding_near_dup_pairs(
         import numpy as np
         import pandas as pd
 
+        from qurio_spark.functions.hashing import hash64
+
         id_field = embeddings.schema[id_col].dataType.simpleString()
         out_schema = f"id_a {id_field}, id_b {id_field}, sim double"
 
-        def block_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
-            pdf = pdf.sort_values(id_col)
-            ids = pdf[id_col].to_numpy()
-            if len(ids) < 2:
-                return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0], "sim": []})
-            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            norms = np.sqrt((V * V).sum(axis=1))
-            gram = V @ V.T
-            denom = np.outer(norms, norms)
+        blk = F.col(block_col) if block_col else F.lit(0)
+        base = embeddings.select(
+            blk.alias("_blk"), F.col(id_col), F.col(vec_col)
+        )
+        if max_block is None:
+            sized = base.withColumn("_s", F.lit(1))
+        else:
+            counts = base.groupBy("_blk").agg(F.count("*").alias("_bn"))
+            sized = base.join(F.broadcast(counts), "_blk").withColumn(
+                "_s", F.ceil(F.col("_bn") / F.lit(max_block)).cast("int")
+            ).drop("_bn")
+        tasks = (
+            sized.withColumn(
+                "_sub",
+                F.pmod(hash64(F.col(id_col).cast("string")), F.col("_s")).cast("int"),
+            )
+            .withColumn("_other", F.explode(F.sequence(F.lit(0), F.col("_s") - 1)))
+            .select(
+                "_blk",
+                F.least("_sub", "_other").alias("_ti"),
+                F.greatest("_sub", "_other").alias("_tj"),
+                "_sub",
+                id_col,
+                vec_col,
+            )
+        )
+
+        def _pairs(A: "pd.DataFrame", B: "pd.DataFrame") -> "pd.DataFrame":
+            """Cross-sub-bucket pairs (exact same per-pair dot as the
+            single-matrix path)."""
+            ids_a = A[id_col].to_numpy()
+            ids_b = B[id_col].to_numpy()
+            VA = np.stack(A[vec_col].to_numpy()).astype(np.float64)
+            VB = np.stack(B[vec_col].to_numpy()).astype(np.float64)
+            na = np.sqrt((VA * VA).sum(axis=1))
+            nb = np.sqrt((VB * VB).sum(axis=1))
+            gram = VA @ VB.T
+            denom = np.outer(na, nb)
             with np.errstate(divide="ignore", invalid="ignore"):
                 sim = np.where(denom > 0, gram / denom, 0.0)
-            ia, ib = np.triu_indices(len(ids), k=1)
-            keep = sim[ia, ib] > threshold
-            return pd.DataFrame(
-                {"id_a": ids[ia][keep], "id_b": ids[ib][keep], "sim": sim[ia, ib][keep]}
-            )
+            ia, ib = np.where(sim > threshold)
+            lo = np.minimum(ids_a[ia], ids_b[ib])
+            hi = np.maximum(ids_a[ia], ids_b[ib])
+            return pd.DataFrame({"id_a": lo, "id_b": hi, "sim": sim[ia, ib]})
 
-        grouped = (
-            embeddings.groupBy(block_col)
-            if block_col
-            else embeddings.groupBy(F.lit(0).alias("_blk"))
+        def block_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            empty = pd.DataFrame(
+                {"id_a": pdf[id_col].iloc[:0], "id_b": pdf[id_col].iloc[:0], "sim": []}
+            )
+            ti = int(pdf["_ti"].iloc[0])
+            tj = int(pdf["_tj"].iloc[0])
+            if ti == tj:
+                sub = pdf[pdf["_sub"] == ti].sort_values(id_col)
+                ids = sub[id_col].to_numpy()
+                if len(ids) < 2:
+                    return empty
+                V = np.stack(sub[vec_col].to_numpy()).astype(np.float64)
+                norms = np.sqrt((V * V).sum(axis=1))
+                gram = V @ V.T
+                denom = np.outer(norms, norms)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sim = np.where(denom > 0, gram / denom, 0.0)
+                ia, ib = np.triu_indices(len(ids), k=1)
+                keep = sim[ia, ib] > threshold
+                return pd.DataFrame(
+                    {
+                        "id_a": ids[ia][keep],
+                        "id_b": ids[ib][keep],
+                        "sim": sim[ia, ib][keep],
+                    }
+                )
+            A = pdf[pdf["_sub"] == ti].sort_values(id_col)
+            B = pdf[pdf["_sub"] == tj].sort_values(id_col)
+            if len(A) == 0 or len(B) == 0:
+                return empty
+            return _pairs(A, B)
+
+        return tasks.groupBy("_blk", "_ti", "_tj").applyInPandas(
+            block_pairs, out_schema
         )
-        return grouped.applyInPandas(block_pairs, out_schema)
 
     base = embeddings.select(
         *([F.col(block_col)] if block_col else []),

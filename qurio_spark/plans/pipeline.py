@@ -92,8 +92,16 @@ def write_chunks(chunks: DataFrame, path: str) -> None:
     )
 
 
-def read_chunks(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+def read_chunks(spark: SparkSession, path: str, merge_schema: bool = False) -> DataFrame:
+    """``merge_schema=True`` is the additive-evolution read: partitions
+    written before a column existed surface it as NULL — the analog of
+    the reference's ensure-properties Weaviate migration
+    (internal/vector/schema.go:82-99), with parquet mergeSchema doing
+    the reconciliation instead of an ALTER."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(path)
 
 
 def split_unchanged(

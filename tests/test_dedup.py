@@ -169,3 +169,42 @@ class TestSimhashNearPairs:
         assert (1, 2) in pairs
         assert pairs[(1, 2)] <= 12
         assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+class TestNearDupBlockGuard:
+    def test_oversized_block_split_is_exact(self, spark, sf_dir):
+        """A pathological single block forced through a tiny max_block
+        must return exactly the unguarded result (every pair meets in
+        exactly one sub-bucket task) while each task stays bounded."""
+        from qurio_spark.operators.similarity import embedding_near_dup_pairs
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(120)
+        one_block = emb.withColumn("label", F.lit(0))  # everything collides
+
+        def canon(df):
+            return sorted(
+                (r["id_a"], r["id_b"], round(r["sim"], 9)) for r in df.collect()
+            )
+
+        unguarded = canon(
+            embedding_near_dup_pairs(one_block, threshold=0.2, max_block=None)
+        )
+        guarded = canon(
+            embedding_near_dup_pairs(one_block, threshold=0.2, max_block=16)
+        )
+        assert guarded == unguarded
+        assert len(unguarded) > 0
+
+    def test_small_blocks_unaffected(self, spark, sf_dir):
+        from qurio_spark.operators.similarity import embedding_near_dup_pairs
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+        def canon(df):
+            return sorted(
+                (r["id_a"], r["id_b"], round(r["sim"], 9)) for r in df.collect()
+            )
+
+        assert canon(embedding_near_dup_pairs(emb, threshold=0.3)) == canon(
+            embedding_near_dup_pairs(emb, threshold=0.3, max_block=None)
+        )

@@ -287,3 +287,44 @@ class TestBodyHashSkipUnchanged:
         new_rows = rows(merged, "https://d.com/install")
         assert new_rows != rows(v1, "https://d.com/install")
         assert any("This new paragraph documents the upgrade steps added in version two." in c for _, c in new_rows)
+
+
+class TestSchemaEvolution:
+    def test_additive_column_merge_schema(self, spark, docs_raw, tmp_path_factory):
+        """Additive schema evolution on the chunks store (the
+        vector/schema.go:82-99 ensure-properties analog): a new
+        partition written with an extra column coexists with old
+        partitions; mergeSchema surfaces it as NULL for old rows and
+        old readers keep working."""
+        from qurio_spark.plans.pipeline import build_chunks, read_chunks, write_chunks
+
+        path = str(tmp_path_factory.mktemp("evolve") / "chunks")
+        v1 = build_chunks(docs_raw.filter(F.col("source_id") == "s1"))
+        write_chunks(v1, path)
+
+        # schema v2 adds a quality column; only s2's partition carries it
+        v2 = build_chunks(docs_raw.filter(F.col("source_id") == "s2")).withColumn(
+            "quality", F.lit(0.9)
+        )
+        (
+            v2.repartition("source_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("source_id")
+            .parquet(path)
+        )
+
+        merged = read_chunks(spark, path, merge_schema=True)
+        assert "quality" in merged.columns
+        per_source = {
+            r["source_id"]: r["q"]
+            for r in merged.groupBy("source_id")
+            .agg(F.max("quality").alias("q"))
+            .collect()
+        }
+        assert per_source["s2"] == pytest.approx(0.9)
+        assert per_source["s1"] is None  # old partition: NULL-filled
+        # rows from both schema versions are all present
+        assert merged.count() == v1.count() + v2.count()
+        # a non-merge read still works for old readers (first file wins)
+        assert read_chunks(spark, path).count() == merged.count()
