@@ -114,6 +114,138 @@ def decode_image_meta(content):
     return _parse_image_header(content)
 
 
+# -- S5 file conversion (handlers/file.py:196-299) ---------------------------
+
+CONVERTED_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType(), False),
+        T.StructField("status", T.StringType(), False),  # success | failed
+        T.StructField("error", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),  # markdown
+        T.StructField("title", T.StringType(), True),
+        T.StructField("author", T.StringType(), True),
+        T.StructField("created_at", T.StringType(), True),
+        T.StructField("pages", T.IntegerType(), True),
+        T.StructField("language", T.StringType(), True),
+    ]
+)
+
+#: the OCR/docling formats whose decode needs libraries absent here
+ERR_CONVERSION_STUBBED = "ERR_CONVERSION_STUBBED"
+
+
+def _convert_one(path: str, data) -> tuple:
+    """One upload -> markdown + normalized metadata, hermetically.
+
+    Mirrors handle_file_task's contract (handlers/file.py:196-299):
+    empty bytes -> ERR_EMPTY, unknown extension -> ERR_INVALID_FORMAT,
+    extracted-but-blank text -> ERR_EMPTY, title = content title >
+    filename, language defaults 'en', pages 0 when unknown.  The
+    docling/OCR formats (pdf) stay honestly stubbed —
+    ERR_CONVERSION_STUBBED marks the environment limitation; md/txt/
+    json/csv (the non-OCR members of the upload whitelist) convert for
+    real: markdown passes through, txt wraps as prose, json
+    pretty-prints into a fenced block, csv renders as a markdown table.
+    """
+    import csv as _csv
+    import io
+    import json as _json
+    import re as _re
+
+    basename = path.rsplit("/", 1)[-1]
+    ext = basename.rsplit(".", 1)[-1].lower() if "." in basename else ""
+
+    def failed(code):
+        return (path, "failed", code, None, basename, None, None, 0, "en")
+
+    if data is None or len(data) == 0:
+        return failed("ERR_EMPTY")
+    from qurio_spark.functions.resilience import ALLOWED_UPLOAD_EXTS
+
+    if ext not in ALLOWED_UPLOAD_EXTS:
+        return failed("ERR_INVALID_FORMAT")
+    if ext == "pdf":
+        return failed(ERR_CONVERSION_STUBBED)
+    try:
+        text = bytes(data).decode("utf-8")
+    except UnicodeDecodeError:
+        return failed("ERR_INVALID_FORMAT")
+
+    title = basename
+    if ext == "md":
+        content = text
+        m = _re.search(r"(?m)^# (.+)$", text)
+        if m:
+            title = m.group(1).strip()
+    elif ext == "txt":
+        content = text
+    elif ext == "json":
+        try:
+            content = "```json\n" + _json.dumps(
+                _json.loads(text), indent=2, sort_keys=True
+            ) + "\n```"
+        except ValueError:
+            return failed("ERR_INVALID_FORMAT")
+    else:  # csv -> markdown table
+        rows = list(_csv.reader(io.StringIO(text)))
+        rows = [r for r in rows if r]
+        if not rows:
+            return failed("ERR_EMPTY")
+        header, body = rows[0], rows[1:]
+        lines = [
+            "| " + " | ".join(header) + " |",
+            "| " + " | ".join("---" for _ in header) + " |",
+        ]
+        lines += ["| " + " | ".join(r) + " |" for r in body]
+        content = "\n".join(lines)
+
+    if not content.strip():
+        return failed("ERR_EMPTY")
+    return (path, "success", None, content, title, None, None, 0, "en")
+
+
+def convert_files(
+    df: DataFrame, path_col: str = "path", content_col: str = "content"
+) -> DataFrame:
+    """binaryFile rows -> CONVERTED_SCHEMA rows via mapInPandas (the
+    Spark shape of the reference's process-pool conversion: per-file
+    parallelism, failures as coded rows instead of dead tasks — they
+    flow to the M5 quarantine)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in CONVERTED_SCHEMA.fields]
+        for pdf in batches:
+            out = [
+                _convert_one(p, d)
+                for p, d in zip(pdf[path_col], pdf[content_col])
+            ]
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select(path_col, content_col).mapInPandas(gen, CONVERTED_SCHEMA)
+
+
+def uploads_to_docs_raw(converted: DataFrame, source_id: str) -> DataFrame:
+    """CONVERTED_SCHEMA -> DOCUMENTS_RAW rows, so converted uploads
+    drop straight into plans/pipeline.build_chunks (url = path for
+    file sources, as in handle_file_task's result dict)."""
+    return converted.select(
+        F.lit(source_id).alias("source_id"),
+        F.col("path").alias("url"),
+        F.coalesce("title", F.lit("")).alias("title"),
+        F.col("path"),
+        F.col("content"),
+        F.array().cast("array<string>").alias("links"),
+        F.lit(0).alias("depth"),
+        F.col("status"),
+        F.col("error"),
+        F.struct(
+            F.col("author"),
+            F.col("created_at"),
+            F.col("pages"),
+            F.col("language"),
+        ).alias("metadata"),
+    )
+
+
 FEATURE_DIM = 32
 
 

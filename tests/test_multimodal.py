@@ -94,3 +94,93 @@ class TestBinaryIngestion:
 
         with pytest.raises(NotImplementedError):
             _decode_pixels(b"anything")
+
+
+class TestFileConversion:
+    """S5 body: hermetic md/txt/json/csv -> markdown conversion
+    (handlers/file.py:196-299 semantics; pdf stays honestly stubbed)."""
+
+    @pytest.fixture(scope="class")
+    def uploads(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("uploads")
+        (d / "guide.md").write_text("# Real Guide\n\nSome body text here.")
+        (d / "notes.txt").write_text("Plain notes about the system design.")
+        (d / "conf.json").write_text('{"b": 2, "a": 1}')
+        (d / "data.csv").write_text("name,age\nada,36\nlin,29\n")
+        (d / "scan.pdf").write_bytes(b"%PDF-1.4 fake")
+        (d / "blob.xyz").write_bytes(b"whatever")
+        (d / "bin.csv").write_bytes(b"\xff\xfe\x00bad")
+        return str(d)
+
+    @pytest.fixture(scope="class")
+    def converted(self, spark, uploads):
+        from qurio_spark.sources.multimodal import convert_files, read_binary_dir
+
+        rows = convert_files(read_binary_dir(spark, uploads)).collect()
+        return {r["path"].rsplit("/", 1)[-1]: r for r in rows}
+
+    def test_markdown_passthrough_and_title(self, converted):
+        r = converted["guide.md"]
+        assert r["status"] == "success"
+        assert r["title"] == "Real Guide"
+        assert r["content"].startswith("# Real Guide")
+
+    def test_txt_and_defaults(self, converted):
+        r = converted["notes.txt"]
+        assert r["status"] == "success"
+        assert r["title"] == "notes.txt"
+        assert r["language"] == "en" and r["pages"] == 0
+
+    def test_json_pretty_fenced(self, converted):
+        r = converted["conf.json"]
+        assert r["status"] == "success"
+        assert r["content"].startswith("```json\n")
+        # sort_keys: deterministic output
+        assert r["content"].index('"a"') < r["content"].index('"b"')
+
+    def test_csv_markdown_table(self, converted):
+        r = converted["data.csv"]
+        assert r["status"] == "success"
+        lines = r["content"].split("\n")
+        assert lines[0] == "| name | age |"
+        assert lines[1] == "| --- | --- |"
+        assert "| ada | 36 |" in lines
+
+    def test_failure_taxonomy(self, converted):
+        from qurio_spark.sources.multimodal import ERR_CONVERSION_STUBBED
+
+        assert converted["scan.pdf"]["error"] == ERR_CONVERSION_STUBBED
+        assert converted["blob.xyz"]["error"] == "ERR_INVALID_FORMAT"
+        assert converted["bin.csv"]["error"] == "ERR_INVALID_FORMAT"
+        assert all(
+            converted[n]["status"] == "failed"
+            for n in ("scan.pdf", "blob.xyz", "bin.csv")
+        )
+
+    def test_empty_taxonomy_pure(self):
+        """0-byte and blank-text inputs -> ERR_EMPTY.  (binaryFile
+        silently skips 0-byte files, so this path is only reachable
+        from direct upload frames — tested on the pure function.)"""
+        from qurio_spark.sources.multimodal import _convert_one
+
+        assert _convert_one("/up/empty.md", b"")[2] == "ERR_EMPTY"
+        assert _convert_one("/up/blank.txt", b"   \n  ")[2] == "ERR_EMPTY"
+        assert _convert_one("/up/empty.csv", b"\n\n")[2] == "ERR_EMPTY"
+
+    def test_uploads_chunk_end_to_end(self, spark, uploads):
+        """Converted uploads flow into the standard chunk pipeline;
+        failed conversions never produce chunks (they go to M5)."""
+        from qurio_spark.plans.pipeline import build_chunks
+        from qurio_spark.sources.multimodal import (
+            convert_files,
+            read_binary_dir,
+            uploads_to_docs_raw,
+        )
+
+        docs_raw = uploads_to_docs_raw(
+            convert_files(read_binary_dir(spark, uploads)), source_id="up1"
+        )
+        chunks = build_chunks(docs_raw)
+        urls = {r["url"].rsplit("/", 1)[-1] for r in chunks.select("url").distinct().collect()}
+        assert "guide.md" in urls and "notes.txt" in urls
+        assert "scan.pdf" not in urls and "blob.xyz" not in urls
