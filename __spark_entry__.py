@@ -257,9 +257,18 @@ def q_vector_topk(spark, sf_dir):
 
 
 def q_hybrid_topk(spark, sf_dir):
-    """Q2 alpha=0.5: full hybrid search, min-max fused."""
+    """Q2 alpha=0.5: full hybrid search, min-max fused.  Uses the
+    persisted BM25 index when bench prepared one (identical scores —
+    unfiltered search scores the whole corpus, which is exactly the
+    index's stats domain); builds in-DAG otherwise."""
     docs = _docs_with_vecs(spark, sf_dir)
-    res = hybrid_search(docs, QUERY_TEXT, _qvec(spark, sf_dir), alpha=0.5, limit=10)
+    bm25_idx = None
+    if sf_dir in _BM25_INDEX_DIRS:
+        bm25_idx = bm25_op.read_index(spark, _BM25_INDEX_DIRS[sf_dir])
+    res = hybrid_search(
+        docs, QUERY_TEXT, _qvec(spark, sf_dir), alpha=0.5, limit=10,
+        bm25_index=bm25_idx,
+    )
     return res.select("doc_id", stable_round("score", 4).alias("score"))
 
 
@@ -287,7 +296,10 @@ def q_batch_hybrid(spark, sf_dir):
         F.col("vec_id").alias("qvec_id"), F.col("embedding").alias("query_vec")
     )
     queries = lits.join(qe, "qvec_id").drop("qvec_id")
-    res = hybrid_search_batch(docs, queries, alpha=0.5, limit=5)
+    bm25_idx = None
+    if sf_dir in _BM25_INDEX_DIRS:
+        bm25_idx = bm25_op.read_index(spark, _BM25_INDEX_DIRS[sf_dir])
+    res = hybrid_search_batch(docs, queries, alpha=0.5, limit=5, bm25_index=bm25_idx)
     return res.select("query_id", "doc_id", stable_round("score", 4).alias("score"))
 
 

@@ -100,11 +100,18 @@ def hybrid_search(
     text_col: str = "text",
     vec_col: str = "embedding",
     extra_cols: list[str] | None = None,
+    bm25_index=None,
 ) -> DataFrame:
     """-> top-k (id, bm25_norm, vec_norm, score [, extra_cols]) rows.
 
     ``docs`` must carry text + embedding columns (join chunks with their
     vectors upstream if stored separately).
+
+    ``bm25_index``: a prebuilt (persisted) corpus index — valid ONLY
+    when no metadata filters apply, because BM25 stats (df/N/avgdl) are
+    defined over the candidate set and a filtered candidate set has its
+    own stats; with filters the index is built in-DAG over the
+    filtered candidates, as before.
     """
     a, k = resolve_params(alpha, limit, settings)
     cand = apply_metadata_filters(docs, filters)
@@ -112,8 +119,11 @@ def hybrid_search(
     # Sparse keyword scores LEFT-joined onto the candidate set (docs
     # matching no query term keep bm25 = 0.0): one copy of the
     # candidate scan, not the dense join-back shape.
-    idx = bm25_op.build_index(cand, id_col, text_col)
-    kw = bm25_op.score_query(idx, query_text)
+    if bm25_index is not None and not filters:
+        kw = bm25_op.score_query_prebuilt(bm25_index, query_text)
+    else:
+        idx = bm25_op.build_index(cand, id_col, text_col)
+        kw = bm25_op.score_query(idx, query_text)
     scored = (
         cand.join(kw, id_col, "left")
         .withColumn("bm25", F.coalesce(F.col("bm25"), F.lit(0.0)))
@@ -154,6 +164,7 @@ def hybrid_search_batch(
     qid_col: str = "query_id",
     qtext_col: str = "query_text",
     qvec_col: str = "query_vec",
+    bm25_index=None,
 ) -> DataFrame:
     """Score a TABLE of queries against the corpus in ONE job — the
     Spark-native retrieval shape (BASELINE.json: search is a batch job
@@ -178,7 +189,9 @@ def hybrid_search_batch(
 
     a, k = resolve_params(alpha, limit, settings)
 
-    kw = _batch_keyword_scores(docs, queries, id_col, text_col, qid_col, qtext_col)
+    kw = _batch_keyword_scores(
+        docs, queries, id_col, text_col, qid_col, qtext_col, index=bm25_index
+    )
 
     cand = docs.select(id_col, text_col, vec_col).crossJoin(
         F.broadcast(queries.select(qid_col, qvec_col))
