@@ -411,6 +411,17 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup pairs: 2 bands x 2 rows over the 4-perm
+    signature; candidates collide on a band slice, est_jaccard =
+    matching-slot fraction (operators/dedup.minhash_lsh_pairs)."""
+    from qurio_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_perm=4, bands=2, threshold=0.5
+    )
+
+
 def q_simhash(spark, sf_dir):
     return simhash64(_t(spark, sf_dir, "documents"))
 
@@ -1157,6 +1168,35 @@ def q_chunk_corpus(spark, sf_dir):
     return chunk_documents(d)
 
 
+def q_batch_hybrid_ivf_pruned(spark, sf_dir):
+    """The pure-pruned batch hybrid (exact_stats=False): normalization
+    over the candidate set, NO full-corpus pass anywhere — the true
+    100 TB configuration.  Rows-only: candidate-set normalization
+    constants intentionally differ from the dense oracle's (SCALE.md
+    'Batch retrieval')."""
+    from qurio_spark.operators.hybrid import hybrid_search_batch_ivf
+    from qurio_spark.operators.similarity import read_ivf_index
+
+    docs = _docs_with_vecs(spark, sf_dir)
+    lits = spark.createDataFrame(
+        _BATCH_QUERIES, "query_id string, query_text string, qvec_id long"
+    )
+    qe = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("qvec_id"), F.col("embedding").alias("query_vec")
+    )
+    queries = lits.join(qe, "qvec_id").drop("qvec_id")
+    ivf_idx = bm25_idx = None
+    if sf_dir in _IVF_INDEX_DIRS:
+        ivf_idx = read_ivf_index(spark, _IVF_INDEX_DIRS[sf_dir])
+    if sf_dir in _BM25_INDEX_DIRS:
+        bm25_idx = bm25_op.read_index(spark, _BM25_INDEX_DIRS[sf_dir])
+    res = hybrid_search_batch_ivf(
+        docs, queries, alpha=0.5, limit=5,
+        exact_stats=False, ivf_index=ivf_idx, bm25_index=bm25_idx,
+    )
+    return res.select("query_id", "doc_id", stable_round("score", 4).alias("score"))
+
+
 def q_lsh_topk(spark, sf_dir):
     """Hyperplane-LSH bucketed ANN probe (approximate; checked
     rows-only — the exact twin is q_vector_topk)."""
@@ -1239,7 +1279,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stuck_reset": q_stuck_reset,
         "dlq_retry": q_dlq_retry,
         "rerank_overlap": q_rerank_overlap,
-        # -- 51+: oracle-backed, operator proven by in-window sibling --
+        # -- 51+: oracle-backed, operator proven by in-window sibling
+        # (or, for minhash_lsh, newly oracle-backed breadth) ----------
+        "minhash_lsh": q_minhash_lsh,
         "count_global": q_count_global,
         "count_filtered": q_count_filtered,
         "simhash": q_simhash,
@@ -1252,6 +1294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_corpus": q_chunk_corpus,
         "ingest_pipeline": q_ingest_pipeline,
         "kmeans_ivf": q_kmeans_ivf,
+        "batch_hybrid_ivf_pruned": q_batch_hybrid_ivf_pruned,
     }
 
 
@@ -1428,6 +1471,34 @@ hashed AS (
 )
 SELECT doc_id, {mins}
 FROM hashed GROUP BY doc_id"""
+
+
+def _minhash_lsh_sql(threshold: float = 0.5) -> str:
+    """LSH banding oracle over the 4-perm minhash CTE: 2 bands x 2
+    rows, candidates collide on a band slice, est_jaccard = fraction of
+    matching signature slots (exact quarters — no float hazard)."""
+    body = _minhash_sql(4).strip()
+    matches = " + ".join(f"(CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END)" for i in range(4))
+    return f"""
+WITH sig AS ({body}),
+banded AS (
+  SELECT doc_id, mh0, mh1, mh2, mh3, 0 AS band,
+         CAST(mh0 AS VARCHAR) || ',' || CAST(mh1 AS VARCHAR) AS key FROM sig
+  UNION ALL
+  SELECT doc_id, mh0, mh1, mh2, mh3, 1 AS band,
+         CAST(mh2 AS VARCHAR) || ',' || CAST(mh3 AS VARCHAR) AS key FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.mh0 AS a0, a.mh1 AS a1, a.mh2 AS a2, a.mh3 AS a3,
+         b.mh0 AS b0, b.mh1 AS b1, b.mh2 AS b2, b.mh3 AS b3
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       (floor((({matches}) / 4.0) * 10000.0 + 0.5) / 10000.0) AS est_jaccard
+FROM cand
+WHERE ({matches}) / 4.0 >= {threshold}"""
 
 
 def _ngram_jaccard_sql(threshold: float = 0.1) -> str:
@@ -1892,6 +1963,7 @@ r AS (
 )
 SELECT doc_id FROM r WHERE rn = 1""",
         "minhash": _minhash_sql(4),
+        "minhash_lsh": _minhash_lsh_sql(0.5),
         "ngram_jaccard": _ngram_jaccard_sql(0.1),
         "simhash": _simhash_sql(),
         "simhash_near": _simhash_near_sql(30),
