@@ -1117,6 +1117,50 @@ def q_parts_never_shipped(spark, sf_dir):
     )
 
 
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 shape: top returned-revenue customers in a quarter —
+    filter both sides before the join, broadcast nation, deterministic
+    top-20."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1996-10-01"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(stable_round(F.sum(rev), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 shape: customer order-count distribution — LEFT OUTER
+    join so zero-order customers count, then a histogram over the
+    per-customer counts (two partial-agg shuffles)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Non-SQL-expressible operators (rows-only driver check)
 # --------------------------------------------------------------------------
@@ -1290,6 +1334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14": q_tpch_q14,
         "events_setops": q_events_setops,
         "value_percentiles": q_value_percentiles,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q13": q_tpch_q13,
         # -- rows-only (non-SQL-expressible) ---------------------------
         "chunk_corpus": q_chunk_corpus,
         "ingest_pipeline": q_ingest_pipeline,
@@ -2168,6 +2214,26 @@ SELECT c_custkey, c_name, o_orderkey,
 FROM big
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey""",
+        "tpch_q10": """
+SELECT c_custkey, c_name, n_name,
+       (floor((CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE)) * 100.0 + 0.5) / 100.0) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20""",
+        "tpch_q13": """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust GROUP BY c_count""",
         "parts_never_shipped": """
 SELECT p_brand, count(*) AS n_parts
 FROM part
