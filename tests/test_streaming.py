@@ -150,3 +150,65 @@ class TestForeachBatchIngest:
         want = build_chunks(spark.createDataFrame(docs, DOCUMENTS_RAW))
         assert got.count() == want.count()
         assert {r["type"] for r in got.collect()} == {r["type"] for r in want.collect()}
+
+
+class TestLateDataWatermark:
+    def test_late_event_beyond_watermark_dropped(self, spark, tmp_path):
+        """Append-mode watermark semantics: a closed window emits once,
+        and an event arriving after the watermark passed its window is
+        DROPPED — the bounded-state guarantee that makes the streaming
+        agg safe at 100 TB/day."""
+        import os
+        import time as time_mod
+        from datetime import datetime
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        schema = (
+            "event_id long, ts string, user_id long, event_type string, value double"
+        )
+
+        def write(rows):
+            (
+                spark.createDataFrame(rows, schema)
+                .withColumn("ts", F.to_timestamp("ts"))
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src)
+            )
+
+        # micro-batch 0: one event in the 00:00 window, one at 09:15
+        # that advances the watermark to 08:15 (far past 01:00)
+        write([
+            (1, "2024-01-01 00:15:00", 1, "click", 1.0),
+            (2, "2024-01-01 09:15:00", 1, "click", 1.0),
+        ])
+        time_mod.sleep(1.2)  # distinct mod-times -> separate micro-batches
+        # micro-batch 1: benign on-time event; the 08:15 watermark
+        # (computed from batch 0) takes effect and evicts+emits the
+        # closed 00:00 window.  (Spark applies a newly computed
+        # watermark starting with the NEXT batch, so the late-drop
+        # needs the late row to arrive two batches after the
+        # watermark-advancing data.)
+        write([(3, "2024-01-01 09:30:00", 1, "view", 1.0)])
+        time_mod.sleep(1.2)
+        # micro-batch 2: a late event for the long-closed 00:00 window
+        write([(4, "2024-01-01 00:30:00", 1, "click", 1.0)])
+
+        batch_schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(batch_schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = _run_stream(
+            spark, hourly_event_counts(stream, watermark="1 hour"), tmp_path
+        ).collect()
+        rows = [(r["hour"], r["event_type"], r["n"]) for r in out]
+        # the 00:00 window emitted EXACTLY ONCE with only the on-time
+        # event; the late row was dropped (a non-dropped late row would
+        # re-open the evicted window and emit a duplicate key)
+        assert rows.count((datetime(2024, 1, 1, 0, 0), "click", 1)) == 1
+        assert all(h != datetime(2024, 1, 1, 0, 0) or n == 1 for h, _, n in rows)
+        # the 09:00 windows are still open (watermark 08:30) -> unemitted
+        assert all(h != datetime(2024, 1, 1, 9, 0) for h, _, _ in rows)
