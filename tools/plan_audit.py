@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Plan audit: print verifiable physical-plan evidence for the engine's
+headline queries — pushed filters, partition pruning, shuffle counts,
+whole-stage-codegen spans, join strategies.
+
+Usage:
+    python tools/plan_audit.py [sf_dir] [query ...]
+
+Defaults to /root/testdata/sf0.01 and a representative query set.  For
+each query it prints one summary line:
+
+    name  exchanges=N  bnlj/smj/bhj counts  codegen_spans=N  pushed=yes/no
+
+and with -v the full formatted plan.  This is the check the SCALE.md
+claims are made against.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from qurio_spark.session import get_spark
+
+DEFAULT_QUERIES = [
+    "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q18", "bm25_topk", "bm25_prebuilt",
+    "hybrid_topk", "batch_hybrid", "batch_hybrid_ivf", "ann_ivf",
+    "exact_dedup", "ngram_jaccard", "simhash_near", "curate", "events_sessions",
+]
+
+
+def audit(df):
+    # execute first: under AQE the final plan (stage re-plans, codegen
+    # markers) only exists after the action ran
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE appends the pre-adaptive plan under "== Initial Plan ==";
+    # audit only what actually ran
+    plan = plan.split("== Initial Plan ==")[0]
+    lines = plan.splitlines()
+
+    def count(pat, exclude=None):
+        return sum(
+            1
+            for l in lines
+            if re.search(pat, l) and not (exclude and re.search(exclude, l))
+        )
+
+    return {
+        "shuffles": count(r"\bExchange\b", exclude=r"Broadcast|Reused"),
+        "broadcasts": count(r"BroadcastExchange"),
+        "smj": count(r"SortMergeJoin"),
+        "bhj": count(r"BroadcastHashJoin"),
+        "bnlj": count(r"BroadcastNestedLoopJoin"),
+        # Spark's simple plan string marks codegen stages as "*(N) Op"
+        "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
+        "pushed_filters": count(r"PushedFilters: \[[^\]]"),
+        "partition_filters": count(r"PartitionFilters: \[[^\]]"),
+        "python_stages": count(r"MapInPandas|ArrowEvalPython|FlatMapGroupsInPandas"),
+        "plan": plan,
+    }
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if a != "-v"]
+    verbose = "-v" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    names = args[1:] or DEFAULT_QUERIES
+
+    spark = get_spark(app_name="qurio-plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    for name in names:
+        if name not in qs:
+            print(f"{name:24s} UNKNOWN QUERY")
+            continue
+        try:
+            a = audit(qs[name](spark, sf_dir))
+        except Exception as e:  # noqa: BLE001 — audit must not die mid-list
+            print(f"{name:24s} ERROR {e}")
+            continue
+        print(
+            f"{name:24s} shuffles={a['shuffles']:2d} bcast={a['broadcasts']:2d} "
+            f"smj={a['smj']} bhj={a['bhj']} bnlj={a['bnlj']} "
+            f"codegen={a['codegen_spans']:2d} pushed={a['pushed_filters']:2d} "
+            f"partfilters={a['partition_filters']:2d} py={a['python_stages']}"
+        )
+        if verbose:
+            print(a["plan"])
+
+
+if __name__ == "__main__":
+    main()
