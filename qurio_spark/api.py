@@ -22,7 +22,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, functions as F
 
-from qurio_spark.functions.embedder import HashingEmbedder
+from qurio_spark.functions.embedder import Embedder, HashingEmbedder
 from qurio_spark.operators.catalog import QueryLogger, list_sources
 from qurio_spark.operators.hybrid import hybrid_search
 from qurio_spark.operators.pages import read_page
@@ -57,7 +57,7 @@ class Engine:
     sources: DataFrame | None = None
     pages: DataFrame | None = None
     settings: dict | None = None
-    embedder: HashingEmbedder = field(default_factory=HashingEmbedder)
+    embedder: Embedder = field(default_factory=HashingEmbedder)
     reranker: Reranker = field(default_factory=IdentityReranker)
     logger: QueryLogger | None = None
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+from typing import Protocol
 
 import numpy as np
 import pandas as pd
@@ -57,6 +58,17 @@ def hashing_tf_udf(dim: int = DEFAULT_DIM):
         return pd.Series(out)
 
     return embed
+
+
+class Embedder(Protocol):
+    """Provider contract: driver-side query embedding (Q1) + an
+    Arrow-batched column UDF for corpus embedding (T6).  Satisfied by
+    HashingEmbedder (hermetic default) and providers.HttpEmbedder
+    (Gemini-shaped remote)."""
+
+    def embed_query(self, text: str) -> list[float]: ...
+
+    def udf(self): ...
 
 
 class HashingEmbedder:

@@ -23,14 +23,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from qurio_spark.functions.embedder import HashingEmbedder
+from qurio_spark.functions.embedder import Embedder, HashingEmbedder
 from qurio_spark.functions.text import contextual_prefix
 from qurio_spark.operators.chunker import chunk_documents
 
 
 def build_chunks(
     docs_raw: DataFrame,
-    embedder: HashingEmbedder | None = None,
+    embedder: Embedder | None = None,
     source_names: dict[str, str] | None = None,
 ) -> DataFrame:
     """documents_raw -> chunks rows (schemas.CHUNKS shape).
@@ -154,7 +154,7 @@ def ingest(
     spark: SparkSession,
     docs_raw: DataFrame,
     chunks_path: str,
-    embedder: HashingEmbedder | None = None,
+    embedder: Embedder | None = None,
     source_names: dict[str, str] | None = None,
 ) -> DataFrame:
     """Full ingest: build + write + return the stored chunks."""
