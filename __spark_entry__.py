@@ -726,6 +726,28 @@ def q_curate(spark, sf_dir):
     )
 
 
+def q_pack_shards(spark, sf_dir):
+    """Training-shard packing: per-source token cumsum -> offset-rule
+    shard assignment (operators/sharding.pack_shards, budget 2000)."""
+    from qurio_spark.operators.sharding import pack_shards
+
+    return pack_shards(_t(spark, sf_dir, "documents"), token_budget=2000)
+
+
+def q_sample_mixture(spark, sf_dir):
+    """Deterministic domain-mixture sampling: per-source keep
+    probabilities decided by a portable md5 draw per doc
+    (operators/sharding.sample_mixture)."""
+    from qurio_spark.operators.sharding import sample_mixture
+
+    kept = sample_mixture(
+        _t(spark, sf_dir, "documents"),
+        weights={"src1": 1.0, "src2": 0.5, "src3": 0.25},
+        default_weight=0.1,
+    )
+    return kept.select("doc_id", "source")
+
+
 def q_revenue_rollup(spark, sf_dir):
     """ROLLUP aggregation (nation, order-year) over the sales join —
     subtotal + grand-total rows in one pass (partial-agg friendly;
@@ -1336,6 +1358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": q_value_percentiles,
         "tpch_q10": q_tpch_q10,
         "tpch_q13": q_tpch_q13,
+        "pack_shards": q_pack_shards,
+        "sample_mixture": q_sample_mixture,
         # -- rows-only (non-SQL-expressible) ---------------------------
         "chunk_corpus": q_chunk_corpus,
         "ingest_pipeline": q_ingest_pipeline,
@@ -2226,6 +2250,33 @@ WHERE l_returnflag = 'R'
   AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY c_custkey, c_name, n_name
 ORDER BY revenue DESC, c_custkey LIMIT 20""",
+        "pack_shards": f"""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len({_TOKS.format(col='text')}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM t
+)
+SELECT source, doc_id, n_tokens,
+       CAST(floor((cum - n_tokens) / 2000.0) AS INT) AS shard_id
+FROM c""",
+        "sample_mixture": f"""
+SELECT doc_id, source
+FROM documents
+WHERE ('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      % {1_000_000}
+      < CASE source
+          WHEN 'src1' THEN {1_000_000}
+          WHEN 'src2' THEN {500_000}
+          WHEN 'src3' THEN {250_000}
+          ELSE {100_000}
+        END""",
         "tpch_q13": """
 WITH per_cust AS (
   SELECT c_custkey, count(o_orderkey) AS c_count

@@ -1,0 +1,99 @@
+"""Corpus sharding operators for training-data preparation: sequence
+packing into token-budget shards and deterministic domain-mixture
+sampling.  Beyond the reference's scope (its corpus is one vector
+store); these are the steps between a curated corpus and a tokenizer
+job.
+
+Both are pure column expressions over md5-portable hashes / window
+cumsums, so they are oracle-checkable and shuffle-minimal:
+
+  - ``pack_shards``: one window per source (no global sort);
+  - ``sample_mixture``: map-only (a hash compare per row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from qurio_spark.functions.hashing import hash64
+from qurio_spark.functions.text import tokenize
+
+#: resolution of the sampling threshold (1e-6 probability granularity)
+MIX_DENOM = 1_000_000
+
+
+def pack_shards(
+    docs: DataFrame,
+    token_budget: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign each document to a token-budget shard within its source:
+    docs accumulate in ``id_col`` order and a doc's shard is the budget
+    window its START offset falls in (``floor(start / budget)``) — the
+    standard offset-packing rule, deterministic and expressible as one
+    cumulative-sum window.  Docs longer than the budget own their
+    window(s) start.  -> (source, doc_id, n_tokens, shard_id).
+
+    Scale: the window partitions by source (parallelism = source
+    cardinality, like operators/curate); a single global packing would
+    range-partition on the order key instead.  Shard ids feed a
+    ``repartition(source, shard_id)`` + partitioned write, giving
+    training shards of ~token_budget tokens each.
+    """
+    toks = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col),
+        F.size(tokenize(F.col(text_col))).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn("_cum", F.sum("n_tokens").over(w))
+    return cum.select(
+        "source",
+        id_col,
+        "n_tokens",
+        F.floor((F.col("_cum") - F.col("n_tokens")) / F.lit(token_budget))
+        .cast("int")
+        .alias("shard_id"),
+    )
+
+
+def sample_mixture(
+    docs: DataFrame,
+    weights: dict[str, float],
+    default_weight: float = 0.0,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic domain-mixture sampling: keep each doc with its
+    source's probability, decided by an md5 hash of (salt, id) — the
+    same doc set on every run and every engine (no RNG), which is what
+    makes a training mixture reproducible and auditable.
+
+    ``weights``: source -> keep probability in [0, 1]; unlisted sources
+    use ``default_weight``.  Map-only: one hash + compare per row, no
+    shuffle; changing the salt draws an independent sample.
+    """
+    for s, p in weights.items():
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"weight for {s!r} must be in [0,1], got {p}")
+    if not 0.0 <= default_weight <= 1.0:
+        raise ValueError(f"default_weight must be in [0,1], got {default_weight}")
+    wmap = F.create_map(
+        *[F.lit(x) for s, p in sorted(weights.items()) for x in (s, int(p * MIX_DENOM))]
+    )
+    threshold = F.coalesce(
+        wmap[F.col(source_col)], F.lit(int(default_weight * MIX_DENOM))
+    )
+    draw = F.pmod(
+        hash64(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+        F.lit(MIX_DENOM),
+    )
+    return docs.filter(draw < threshold)

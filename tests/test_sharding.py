@@ -1,0 +1,77 @@
+"""Sharding operators: token-budget packing and deterministic mixture
+sampling (operators/sharding.py).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from qurio_spark.operators.sharding import pack_shards, sample_mixture
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+class TestPackShards:
+    def test_offset_rule(self, spark):
+        rows = [("s", i, "tok " * 100) for i in range(10)]  # 100 tokens each
+        df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+        got = {
+            r["doc_id"]: r["shard_id"]
+            for r in pack_shards(df, token_budget=250).collect()
+        }
+        # starts: 0,100,200,300,... -> shards 0,0,0,1,1,2,2,2,3,3
+        assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2, 7: 2, 8: 3, 9: 3}
+
+    def test_shards_contiguous_per_source(self, docs):
+        packed = pack_shards(docs, token_budget=2000)
+        per_source = (
+            packed.groupBy("source")
+            .agg(
+                F.min("shard_id").alias("mn"),
+                F.max("shard_id").alias("mx"),
+                F.countDistinct("shard_id").alias("n"),
+            )
+            .collect()
+        )
+        for r in per_source:
+            assert r["mn"] == 0
+            assert r["n"] == r["mx"] + 1  # no gaps
+
+    def test_shard_sizes_near_budget(self, docs):
+        budget = 2000
+        packed = pack_shards(docs, token_budget=budget)
+        sizes = (
+            packed.groupBy("source", "shard_id")
+            .agg(F.sum("n_tokens").alias("t"), F.max("n_tokens").alias("mx"))
+            .collect()
+        )
+        # a shard exceeds the budget by less than its largest doc
+        for r in sizes:
+            assert r["t"] < budget + r["mx"]
+
+
+class TestSampleMixture:
+    def test_deterministic_and_weighted(self, docs):
+        w = {"src1": 1.0, "src2": 0.5}
+        a = {r["doc_id"] for r in sample_mixture(docs, w, default_weight=0.0).collect()}
+        b = {r["doc_id"] for r in sample_mixture(docs, w, default_weight=0.0).collect()}
+        assert a == b  # reproducible
+        src1 = docs.filter(F.col("source") == "src1").count()
+        kept = sample_mixture(docs, w, default_weight=0.0)
+        assert kept.filter(F.col("source") == "src1").count() == src1  # p=1 keeps all
+        other = kept.filter(~F.col("source").isin("src1", "src2")).count()
+        assert other == 0  # default 0 drops the rest
+
+    def test_salt_draws_independent_sample(self, docs):
+        w = {"src2": 0.5}
+        a = {r["doc_id"] for r in sample_mixture(docs, w, salt="mix").collect()}
+        b = {r["doc_id"] for r in sample_mixture(docs, w, salt="mix2").collect()}
+        assert a != b
+
+    def test_weight_validation(self, docs):
+        with pytest.raises(ValueError):
+            sample_mixture(docs, {"src1": 1.5})
+        with pytest.raises(ValueError):
+            sample_mixture(docs, {}, default_weight=-0.1)
