@@ -134,6 +134,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: int = 7,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup candidates verified by signature similarity.
 
@@ -141,10 +142,17 @@ def minhash_lsh_pairs(
     colliding on any (band_index, band_slice) become candidates — an
     equality join, linear-ish in collisions rather than quadratic in
     docs.  Estimated Jaccard = fraction of matching signature slots.
-    -> (id_a, id_b, est_jaccard)."""
+    -> (id_a, id_b, est_jaccard).
+
+    ``signatures``: prebuilt ``(id, signature array<bigint>)`` table
+    (see simhash_near_pairs — same build-once index economics)."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(docs, num_perm, n, id_col, text_col, seed)
+    sig = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(docs, num_perm, n, id_col, text_col, seed)
+    )
     banded = sig.select(
         F.col(id_col),
         F.col("signature"),
@@ -230,6 +238,7 @@ def simhash_near_pairs(
     max_hamming: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: candidates collide on ANY 15-bit quarter
     of the 60-bit fingerprint (pigeonhole: hamming <= 3 guarantees a
@@ -239,8 +248,13 @@ def simhash_near_pairs(
     Scale shape: 4 equality joins on (band, quarter-value) — same
     banding economics as MinHash-LSH; never a cross join.  The verify
     step is two integer ops per candidate pair.
+
+    ``signatures``: a prebuilt (persisted) ``(id, simhash)`` table —
+    signatures are an index, built once per corpus version
+    (deterministic, so prebuilt == in-DAG); when given, the query never
+    touches the text corpus.
     """
-    sig = simhash64(docs, id_col, text_col)
+    sig = signatures if signatures is not None else simhash64(docs, id_col, text_col)
     banded = sig.select(
         F.col(id_col),
         F.col("simhash"),
