@@ -237,11 +237,14 @@ def _dedup_index_path(spark, sf_dir: str) -> str:
     path = _DEDUP_INDEX_DIRS.get(sf_dir)
     if path is None:
         path = tempfile.mkdtemp(prefix="qurio-dedup-idx-")
+        from qurio_spark.operators.dedup import shingle_docs
+
         d = _t(spark, sf_dir, "documents")
         simhash64(d).write.mode("overwrite").parquet(f"{path}/simhash")
         minhash_signatures(d, num_perm=4).write.mode("overwrite").parquet(
             f"{path}/minhash"
         )
+        shingle_docs(d, n=3).write.mode("overwrite").parquet(f"{path}/shingles")
         _DEDUP_INDEX_DIRS[sf_dir] = path
     return path
 
@@ -425,9 +428,13 @@ def q_minhash(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """3-gram Jaccard near-dup pairs via shingle inverted-index join."""
+    """3-gram Jaccard near-dup pairs via shingle inverted-index join.
+    Reads the persisted shingle index when bench prepared one."""
+    sh = None
+    if sf_dir in _DEDUP_INDEX_DIRS:
+        sh = spark.read.parquet(f"{_DEDUP_INDEX_DIRS[sf_dir]}/shingles")
     return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.1, n=3
+        _t(spark, sf_dir, "documents"), threshold=0.1, n=3, shingles=sh
     )
 
 

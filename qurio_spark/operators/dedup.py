@@ -63,6 +63,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Jaccard similarity over word-n-gram shingle sets, computed only
     for candidate pairs that share >= 1 shingle (inverted-index
@@ -72,8 +73,11 @@ def ngram_jaccard_pairs(
     them; a production variant also drops top-frequency shingles
     (stop-shingles) before the join, which only loses candidates that
     would be found via their rarer shingles.
+
+    ``shingles``: a prebuilt (persisted) distinct ``(id, shingle)``
+    table — the inverted index, built once per corpus version.
     """
-    sh = shingle_docs(docs, id_col, text_col, n)
+    sh = shingles if shingles is not None else shingle_docs(docs, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
