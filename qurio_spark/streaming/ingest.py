@@ -140,3 +140,67 @@ def streaming_ingest(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def streaming_ingest_incremental(
+    docs_stream: DataFrame,
+    chunks_path: str,
+    ledger_path: str,
+    checkpoint: str,
+    embedder=None,
+):
+    """Streaming re-ingest with body_hash change detection: each
+    micro-batch is split against the persisted page-hash ledger
+    (plans/pipeline.split_unchanged) — unchanged pages are skipped
+    entirely (no chunk/embed work, no write), changed pages replace
+    their own chunks via per-page delete-before-insert, and the ledger
+    is upserted.  The streaming twin of the batch skip-unchanged path:
+    both call the same combinators, so they cannot drift.
+
+    State lives in two parquet tables (chunks + ledger), not in stream
+    state — micro-batches are the reference's queue drains (M7), and
+    the ledger is the pages table's body_hash column
+    (result_consumer.go:195-198).
+    """
+    from pyspark.sql import functions as F
+
+    from qurio_spark.plans.pipeline import apply_incremental, split_unchanged
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            prior = spark.read.parquet(ledger_path)
+        except Exception:  # noqa: BLE001 — first batch: no ledger yet
+            prior = spark.createDataFrame([], "url string, body_hash string")
+        ok = batch_df.filter(F.col("status") == "success")
+        changed, _unchanged = split_unchanged(ok, prior)
+        changed = changed.localCheckpoint()  # split + chunk + ledger reuse
+        if changed.limit(1).count() == 0:
+            return
+        new_chunks = build_chunks(changed.drop("body_hash"), embedder)
+        try:
+            existing = spark.read.parquet(chunks_path)
+            # only partitions containing a changed page are rewritten
+            # (dynamic partition overwrite): merge the kept rows of
+            # touched sources with the rebuilt chunks, leave every
+            # other partition's files untouched on disk
+            touched = changed.select("source_id").distinct()
+            existing_touched = existing.join(touched, "source_id", "left_semi")
+            merged = apply_incremental(
+                existing_touched, new_chunks, changed.select("url")
+            ).localCheckpoint()  # materialize BEFORE overwriting the input
+        except Exception:  # noqa: BLE001 — first batch: no chunks yet
+            merged = new_chunks
+        merged.repartition("source_id").write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("source_id").parquet(chunks_path)
+        ledger = prior.join(
+            changed.select("url"), "url", "left_anti"
+        ).unionByName(changed.select("url", "body_hash")).localCheckpoint()
+        ledger.write.mode("overwrite").parquet(ledger_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

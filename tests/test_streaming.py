@@ -212,3 +212,78 @@ class TestLateDataWatermark:
         assert all(h != datetime(2024, 1, 1, 0, 0) or n == 1 for h, _, n in rows)
         # the 09:00 windows are still open (watermark 08:30) -> unemitted
         assert all(h != datetime(2024, 1, 1, 9, 0) for h, _, _ in rows)
+
+
+class TestIncrementalStreamIngest:
+    def test_body_hash_skip_across_microbatches(self, spark, tmp_path):
+        """Streaming re-ingest with the body_hash ledger: batch 1
+        ingests, batch 2 re-crawls with ONE page changed (only that
+        page's chunks rebuild), batch 3 is fully unchanged (no write at
+        all).  Unchanged pages' chunk rows survive byte-identical."""
+        import os
+
+        from qurio_spark.schemas import DOCUMENTS_RAW
+        from qurio_spark.streaming.ingest import streaming_ingest_incremental
+
+        src = str(tmp_path / "src")
+        chunks_path = str(tmp_path / "chunks")
+        ledger_path = str(tmp_path / "ledger")
+        os.makedirs(src)
+
+        def doc(sid, url, body):
+            return (
+                sid, url, "T", "p", body, [], 0, "success", None, None,
+            )
+
+        body_a = "# Alpha page\n\nStable content that should never be rebuilt here."
+        body_b = "# Beta page\n\nOriginal content of the beta page before edits."
+        body_b2 = "# Beta page\n\nEdited content of the beta page after the change."
+
+        def run(batch_rows, n):
+            spark.createDataFrame(batch_rows, DOCUMENTS_RAW).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            stream = spark.readStream.schema(DOCUMENTS_RAW).parquet(src)
+            q = streaming_ingest_incremental(
+                stream, chunks_path, ledger_path, str(tmp_path / f"ckpt")
+            ).start()
+            q.awaitTermination(120)
+
+        run([doc("s1", "u/a", body_a), doc("s1", "u/b", body_b)], 1)
+        first = {
+            (r["url"], r["chunk_index"]): r["content"]
+            for r in spark.read.parquet(chunks_path).collect()
+        }
+        assert {u for u, _ in first} == {"u/a", "u/b"}
+        mtime_before = max(
+            os.path.getmtime(os.path.join(dp, f))
+            for dp, _, fs in os.walk(chunks_path) for f in fs
+        )
+
+        # batch 2: a unchanged, b changed
+        run([doc("s1", "u/a", body_a), doc("s1", "u/b", body_b2)], 2)
+        second = {
+            (r["url"], r["chunk_index"]): r["content"]
+            for r in spark.read.parquet(chunks_path).collect()
+        }
+        a_keys = [k for k in first if k[0] == "u/a"]
+        assert all(second[k] == first[k] for k in a_keys)  # untouched
+        assert any("Edited content" in v for (u, _), v in second.items() if u == "u/b")
+        assert not any("Original content" in v for (u, _), v in second.items() if u == "u/b")
+
+        # batch 3: everything unchanged -> nothing rewritten on disk
+        mtime_mid = max(
+            os.path.getmtime(os.path.join(dp, f))
+            for dp, _, fs in os.walk(chunks_path) for f in fs
+        )
+        run([doc("s1", "u/a", body_a), doc("s1", "u/b", body_b2)], 3)
+        mtime_after = max(
+            os.path.getmtime(os.path.join(dp, f))
+            for dp, _, fs in os.walk(chunks_path) for f in fs
+        )
+        assert mtime_after == mtime_mid
+        third = {
+            (r["url"], r["chunk_index"]): r["content"]
+            for r in spark.read.parquet(chunks_path).collect()
+        }
+        assert third == second
