@@ -768,6 +768,42 @@ def q_curate(spark, sf_dir):
     )
 
 
+def q_events_funnel(spark, sf_dir):
+    """Sequential funnel: users whose first view precedes their first
+    subsequent click precedes their first subsequent purchase — three
+    ordered min-timestamp stages, each a groupBy + conditional join
+    (the standard funnel shape; shuffles only user-keyed minima)."""
+    ev = _events(spark, sf_dir)
+
+    def first_after(event_type, prior, prior_col):
+        e = ev.filter(F.col("event_type") == event_type).select(
+            "user_id", F.col("ts").alias("_t")
+        )
+        if prior is None:
+            return e.groupBy("user_id").agg(F.min("_t").alias(prior_col))
+        return (
+            e.join(prior, "user_id")
+            .filter(F.col("_t") > F.col(prior.columns[1]))
+            .groupBy("user_id")
+            .agg(F.min("_t").alias(prior_col))
+        )
+
+    views = first_after("view", None, "t_view")
+    clicks = first_after("click", views, "t_click")
+    buys = first_after("purchase", clicks, "t_buy")
+    return (
+        views.agg(F.count("*").alias("n"))
+        .withColumn("stage", F.lit("view"))
+        .unionByName(
+            clicks.agg(F.count("*").alias("n")).withColumn("stage", F.lit("click"))
+        )
+        .unionByName(
+            buys.agg(F.count("*").alias("n")).withColumn("stage", F.lit("purchase"))
+        )
+        .select("stage", "n")
+    )
+
+
 def q_pack_shards(spark, sf_dir):
     """Training-shard packing: per-source token cumsum -> offset-rule
     shard assignment (operators/sharding.pack_shards, budget 2000)."""
@@ -1402,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13": q_tpch_q13,
         "pack_shards": q_pack_shards,
         "sample_mixture": q_sample_mixture,
+        "events_funnel": q_events_funnel,
         # -- rows-only (non-SQL-expressible) ---------------------------
         "chunk_corpus": q_chunk_corpus,
         "ingest_pipeline": q_ingest_pipeline,
@@ -2292,6 +2329,28 @@ WHERE l_returnflag = 'R'
   AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY c_custkey, c_name, n_name
 ORDER BY revenue DESC, c_custkey LIMIT 20""",
+        "events_funnel": """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_buy
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT 'view' AS stage, count(*) AS n FROM v
+UNION ALL
+SELECT 'click' AS stage, count(*) AS n FROM c
+UNION ALL
+SELECT 'purchase' AS stage, count(*) AS n FROM p""",
         "pack_shards": f"""
 WITH t AS (
   SELECT source, doc_id,
