@@ -487,6 +487,18 @@ def q_embedding_near_dup(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    """Dedup completion: embedding-cosine near-dup PAIRS -> connected
+    components -> (vec_id, cluster_id = min id in component).  Keeping
+    one doc per cluster_id is the canonical-selection step
+    (operators/dedup.connected_components)."""
+    from qurio_spark.operators.dedup import connected_components
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.3)
+    return connected_components(pairs, emb, id_col="vec_id")
+
+
 def q_events_hourly(spark, sf_dir):
     """Tumbling-window aggregation (batch twin of the streaming job)."""
     return (
@@ -1439,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": q_pack_shards,
         "sample_mixture": q_sample_mixture,
         "events_funnel": q_events_funnel,
+        "near_dup_clusters": q_near_dup_clusters,
         # -- rows-only (non-SQL-expressible) ---------------------------
         "chunk_corpus": q_chunk_corpus,
         "ingest_pipeline": q_ingest_pipeline,
@@ -2126,6 +2139,31 @@ WHERE a.vec_id < b.vec_id
   AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
       / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
          * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) > 0.3""",
+        # connected components as a recursive transitive closure: the
+        # min reachable id per node IS the converged label-propagation
+        # result, so the iterative Spark loop hash-matches it
+        "near_dup_clusters": """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b USING (label)
+  WHERE a.vec_id < b.vec_id
+    AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+           * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) > 0.3
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT vec_id AS node, vec_id AS r FROM embeddings
+  UNION
+  SELECT reach.node, edges.dst AS r
+  FROM reach JOIN edges ON reach.r = edges.src
+)
+SELECT node AS vec_id, min(r) AS cluster_id
+FROM reach GROUP BY node""",
         "events_hourly": """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n, (floor((CAST(sum(value) AS DOUBLE)) * 100.0 + 0.5) / 100.0) AS total_value

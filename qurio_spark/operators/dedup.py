@@ -237,6 +237,71 @@ def simhash64(
     return per_doc.select(F.col(id_col), simhash.alias("simhash"))
 
 
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Near-dup pairs -> duplicate CLUSTERS: the step that makes pair
+    detection actionable (keep one canonical doc per component).
+
+    Label propagation to the minimum reachable id: every node starts
+    labeled with itself; each round takes the min of its own and its
+    neighbors' labels; converged when no label changes.  -> (id_col,
+    cluster_id) with ``cluster_id = min(node id in the component)`` —
+    a deterministic canonical id, independent of iteration order.
+
+    Scale: each round is one join + one partial-agg groupBy on node id
+    (uniform key); rounds needed = graph diameter in label-hops
+    (near-dup components are short chains/cliques, so a handful).  The
+    driver loop carries only a converged? boolean per round — the
+    labels stay distributed, checkpointed per round to cut lineage.
+    At web scale swap for the alternating large/small-star variant;
+    semantics (min-id labeling) are identical.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=False)
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
 def simhash_near_pairs(
     docs: DataFrame,
     max_hamming: int = 8,

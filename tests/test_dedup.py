@@ -208,3 +208,34 @@ class TestNearDupBlockGuard:
         assert canon(embedding_near_dup_pairs(emb, threshold=0.3)) == canon(
             embedding_near_dup_pairs(emb, threshold=0.3, max_block=None)
         )
+
+
+class TestConnectedComponents:
+    def test_known_graph(self, spark):
+        """Chain 1-2-3, pair 5-6, isolates 4 and 7 -> min-id clusters."""
+        from qurio_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(2, 1), (2, 3), (5, 6)], "id_a long, id_b long"
+        )
+        nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(pairs, nodes).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+    def test_long_chain_converges(self, spark):
+        """A 12-node chain needs several propagation rounds; everything
+        must still collapse to the chain's minimum id."""
+        from qurio_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+        )
+        nodes = spark.createDataFrame([(i,) for i in range(13)], "doc_id long")
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(pairs, nodes).collect()
+        }
+        assert set(got.values()) == {0}
