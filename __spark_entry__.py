@@ -495,7 +495,7 @@ def q_near_dup_clusters(spark, sf_dir):
     from qurio_spark.operators.dedup import connected_components
 
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dup_pairs(emb, threshold=0.3)
+    pairs = embedding_near_dup_pairs(emb, threshold=0.35)
     return connected_components(pairs, emb, id_col="vec_id")
 
 
@@ -2149,7 +2149,7 @@ WITH RECURSIVE pairs AS (
   WHERE a.vec_id < b.vec_id
     AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-           * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) > 0.3
+           * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) > 0.35
 ),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs

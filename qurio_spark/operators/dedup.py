@@ -268,38 +268,53 @@ def connected_components(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
-    labels = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("label")
-    ).localCheckpoint(eager=False)
+    # only nodes that appear in an edge can ever change label; isolated
+    # nodes are their own (singleton) cluster and skip the loop entirely
+    edge_nodes = edges.select(F.col("src").alias("node")).distinct()
+    labels = edge_nodes.withColumn("label", F.col("node")).localCheckpoint()
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias(
-                    "label"
-                ),
-            )
-            .localCheckpoint()
+        cur = labels.join(
+            neighbor_min, labels["node"] == neighbor_min["src"], "left"
+        ).select(
+            "node",
+            F.col("label").alias("_old"),
+            F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias(
+                "_l"
+            ),
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+        # ONE pointer jump per round (label <- label(label)): compresses
+        # paths ~3x faster than pure propagation.  Exactly one —
+        # stacking jumps before the checkpoint doubles the logical plan
+        # per jump (a self-join tower) and the cumulative size-estimate
+        # arithmetic OOMed the driver's stats visitor when we tried 3.
+        lookup = cur.select(F.col("node").alias("_pn"), F.col("_l").alias("_pl"))
+        cur = cur.join(lookup, cur["_l"] == lookup["_pn"], "left").select(
+            "node",
+            "_old",
+            F.least(F.col("_l"), F.coalesce("_pl", F.col("_l"))).alias("_l"),
         )
-        labels = new_labels
+        new_labels = cur.select(
+            "node",
+            F.col("_l").alias("label"),
+            (F.col("_l") != F.col("_old")).alias("_chg"),
+        ).localCheckpoint()
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+    singletons = nodes.join(
+        edge_nodes, nodes[id_col] == edge_nodes["node"], "left_anti"
+    ).select(F.col(id_col), F.col(id_col).alias("cluster_id"))
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    ).unionByName(singletons)
 
 
 def simhash_near_pairs(
