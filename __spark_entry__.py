@@ -487,6 +487,56 @@ def q_embedding_near_dup(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
+def q_events_retention(spark, sf_dir):
+    """Weekly cohort retention matrix: users grouped by first-seen
+    week, counted per weeks-since-cohort offset — two user-keyed
+    partial-agg shuffles, the standard retention shape."""
+    ev = _events(spark, sf_dir)
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    firsts = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    return (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_week"),
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+def q_cheapest_order_per_customer(spark, sf_dir):
+    """TPC-H Q2-flavor min-per-group join-back: each customer's
+    cheapest order — the correlated-subquery shape as (group min)
+    joined back into the scan, ties resolved to the lowest orderkey
+    (deterministic).  Complements first_order_per_customer (argmin by
+    date via window) with the join-back formulation."""
+    o = _t(spark, sf_dir, "orders")
+    mins = o.groupBy("o_custkey").agg(F.min("o_totalprice").alias("_mn"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return (
+        o.join(mins, "o_custkey")
+        .filter(F.col("o_totalprice") == F.col("_mn"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("cheapest_orderkey"),
+            stable_round("o_totalprice", 2).alias("cheapest_totalprice"),
+        )
+    )
+
+
 def q_near_dup_clusters(spark, sf_dir):
     """Dedup completion: embedding-cosine near-dup PAIRS -> connected
     components -> (vec_id, cluster_id = min id in component).  Keeping
@@ -1452,6 +1502,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture": q_sample_mixture,
         "events_funnel": q_events_funnel,
         "near_dup_clusters": q_near_dup_clusters,
+        "events_retention": q_events_retention,
+        "cheapest_order_per_customer": q_cheapest_order_per_customer,
         # -- rows-only (non-SQL-expressible) ---------------------------
         "chunk_corpus": q_chunk_corpus,
         "ingest_pipeline": q_ingest_pipeline,
@@ -2367,6 +2419,32 @@ WHERE l_returnflag = 'R'
   AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY c_custkey, c_name, n_name
 ORDER BY revenue DESC, c_custkey LIMIT 20""",
+        "events_retention": """
+WITH firsts AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+offsets AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(floor(date_diff('day', f.cohort_week,
+                              date_trunc('week', e.ts)) / 7.0) AS INT) AS week_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT cohort_week, week_offset, count(*) AS n_users
+FROM offsets GROUP BY cohort_week, week_offset""",
+        "cheapest_order_per_customer": """
+WITH mins AS (
+  SELECT o_custkey, min(o_totalprice) AS mn FROM orders GROUP BY o_custkey
+),
+hits AS (
+  SELECT o.o_custkey, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (PARTITION BY o.o_custkey ORDER BY o.o_orderkey) AS rn
+  FROM orders o JOIN mins m
+    ON o.o_custkey = m.o_custkey AND o.o_totalprice = m.mn
+)
+SELECT o_custkey AS custkey, o_orderkey AS cheapest_orderkey,
+       (floor((CAST(o_totalprice AS DOUBLE)) * 100.0 + 0.5) / 100.0) AS cheapest_totalprice
+FROM hits WHERE rn = 1""",
         "events_funnel": """
 WITH v AS (
   SELECT user_id, min(ts) AS t_view FROM events
