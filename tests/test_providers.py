@@ -219,3 +219,51 @@ class TestHttpReranker:
             if req["path"] == "/rerank"
         ]
         assert sent == ["Bearer k1", "Bearer k2"]
+
+
+class TestProviderIntegration:
+    def test_http_embedder_drives_the_chunk_pipeline(self, server, spark):
+        """The remote-shaped embedder drops into build_chunks unchanged
+        (Embedder protocol): chunks come back with provider vectors."""
+        from qurio_spark.plans.pipeline import build_chunks
+        from qurio_spark.schemas import DOCUMENTS_RAW
+
+        docs = spark.createDataFrame(
+            [(
+                "s1", "u/a", "T", "p",
+                "# Title\n\nEnough prose content to survive the noise filter here.",
+                [], 0, "success", None, None,
+            )],
+            DOCUMENTS_RAW,
+        )
+        e = HttpEmbedder(f"{server}/embed", dim=4, policy=FAST)
+        rows = build_chunks(docs, embedder=e).collect()
+        assert rows
+        for r in rows:
+            # fake server returns [len(text), idx, 0, 0]
+            assert len(r["embedding"]) == 4 and r["embedding"][0] > 0
+
+    def test_http_reranker_drives_engine_search(self, server, spark):
+        """Engine.search with the HTTP reranker: provider order (our
+        fake reverses) is applied to the collected top-k."""
+        from qurio_spark.api import Engine
+        from qurio_spark.plans.pipeline import build_chunks
+        from qurio_spark.schemas import DOCUMENTS_RAW
+
+        docs = spark.createDataFrame(
+            [
+                ("s1", "u/a", "A", "p",
+                 "# Spark joins\n\nBroadcast and shuffle joins compared in detail.",
+                 [], 0, "success", None, None),
+                ("s1", "u/b", "B", "p",
+                 "# Spark shuffles\n\nHow shuffle partitions and skew behave.",
+                 [], 0, "success", None, None),
+            ],
+            DOCUMENTS_RAW,
+        )
+        chunks = build_chunks(docs)
+        base = Engine(chunks=chunks).search("spark shuffle", alpha=0.0, limit=5)
+        rr = Engine(
+            chunks=chunks, reranker=HttpReranker(f"{server}/rerank", policy=FAST)
+        ).search("spark shuffle", alpha=0.0, limit=5)
+        assert [r["chunk_id"] for r in rr] == [r["chunk_id"] for r in base][::-1]

@@ -265,3 +265,36 @@ class TestBatchHybridIVF:
             per_q.setdefault(r["query_id"], []).append(r)
             assert -1e-9 <= r["score"] <= 1 + 1e-9
         assert all(len(v) == 5 for v in per_q.values())
+
+
+class TestPreparedIndexParity:
+    def test_prepared_paths_equal_inline(self, spark, sf_dir):
+        """Every query that can consume a prepared (persisted) index
+        must return exactly the inline-build result: bm25_prebuilt,
+        hybrid_topk, batch_hybrid, batch_hybrid_ivf, simhash_near,
+        minhash_lsh, ngram_jaccard."""
+        import __spark_entry__ as m
+
+        names = [
+            "bm25_prebuilt", "hybrid_topk", "batch_hybrid", "batch_hybrid_ivf",
+            "simhash_near", "minhash_lsh", "ngram_jaccard",
+        ]
+
+        def rows(name):
+            return sorted(tuple(r) for r in m.queries()[name](spark, sf_dir).collect())
+
+        # force the inline path even if another test prepared indexes
+        saved = (dict(m._BM25_INDEX_DIRS), dict(m._IVF_INDEX_DIRS),
+                 dict(m._DEDUP_INDEX_DIRS))
+        try:
+            m._BM25_INDEX_DIRS.clear(); m._IVF_INDEX_DIRS.clear()
+            m._DEDUP_INDEX_DIRS.clear()
+            inline = {n: rows(n) for n in names}
+            m.prepare_indexes(spark, sf_dir)
+            prepared = {n: rows(n) for n in names}
+        finally:
+            m._BM25_INDEX_DIRS.clear(); m._BM25_INDEX_DIRS.update(saved[0])
+            m._IVF_INDEX_DIRS.clear(); m._IVF_INDEX_DIRS.update(saved[1])
+            m._DEDUP_INDEX_DIRS.clear(); m._DEDUP_INDEX_DIRS.update(saved[2])
+        for n in names:
+            assert prepared[n] == inline[n], n
