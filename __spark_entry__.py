@@ -1323,6 +1323,45 @@ def q_tpch_q13(spark, sf_dir):
     )
 
 
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shape: late-shipment priority counts — join + two
+    conditional aggregates, everything pushed to the scans."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs disjunctive predicate over the
+    part join — the pushdown stress case (each disjunct pairs a part
+    attribute with a lineitem quantity band)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cond = (
+        ((F.col("p_type") == "PROMO") & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_type") == "STANDARD") & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30))
+        | ((F.col("p_size") >= 40) & (F.col("l_quantity") >= 20))
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(stable_round(F.sum(rev), 2).alias("revenue"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Non-SQL-expressible operators (rows-only driver check)
 # --------------------------------------------------------------------------
@@ -1504,6 +1543,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "events_retention": q_events_retention,
         "cheapest_order_per_customer": q_cheapest_order_per_customer,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q19": q_tpch_q19,
         # -- rows-only (non-SQL-expressible) ---------------------------
         "chunk_corpus": q_chunk_corpus,
         "ingest_pipeline": q_ingest_pipeline,
@@ -2502,6 +2543,19 @@ WITH per_cust AS (
 )
 SELECT c_count, count(*) AS custdist
 FROM per_cust GROUP BY c_count""",
+        "tpch_q12": """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag""",
+        "tpch_q19": """
+SELECT (floor((CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE)) * 100.0 + 0.5) / 100.0) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_type = 'PROMO' AND l_quantity >= 1 AND l_quantity <= 20)
+   OR (p_type = 'STANDARD' AND l_quantity >= 10 AND l_quantity <= 30)
+   OR (p_size >= 40 AND l_quantity >= 20)""",
         "parts_never_shipped": """
 SELECT p_brand, count(*) AS n_parts
 FROM part
