@@ -293,3 +293,43 @@ class TestDistributedCrawl:
         )
         plan = distributed_fetch(frontier, fake_fetch_one)._jdf.queryExecution().executedPlan().toString()
         assert "MapInPandas" in plan
+
+
+def flaky_fetch_one(task):
+    """Module-level (picklable) fetcher that always fails with a
+    TRANSIENT code — exercises worker-side retry + breaker."""
+    from qurio_spark.functions.resilience import IngestionError
+
+    raise IngestionError("ERR_CRAWL_TIMEOUT", "synthetic timeout")
+
+
+class TestDistributedBreaker:
+    def test_breaker_and_retries_inside_workers(self, spark):
+        """A frontier of always-timing-out URLs: every page comes back
+        'failed' with its taxonomy code (retries exhausted inside the
+        executors, zero-backoff policy) and the crawl still terminates
+        with a consistent ledger — failures never kill tasks."""
+        from qurio_spark.functions.resilience import CircuitBreaker, RetryPolicy
+        from qurio_spark.operators.crawl import run_crawl_distributed
+
+        seeds = spark.createDataFrame(
+            [("s1", f"https://x.com/{i}") for i in range(6)],
+            "source_id string, url string",
+        )
+        pages, docs = run_crawl_distributed(
+            spark,
+            seeds,
+            flaky_fetch_one,
+            max_depth=1,
+            policy=RetryPolicy(max_attempts=2, initial_delay_s=0.0, max_delay_s=0.0),
+            breaker_factory=lambda: CircuitBreaker(threshold=3, cooldown_s=60.0),
+        )
+        ledger = pages.collect()
+        assert len(ledger) == 6
+        assert all(r["status"] == "failed" for r in ledger)
+        d = docs.collect()
+        assert len(d) == 6
+        # some rows fail on the taxonomy code, later ones may fail fast
+        # on the opened breaker — both are recorded failures
+        assert {r["error"] for r in d} <= {"ERR_CRAWL_TIMEOUT", "ERR_UNKNOWN"}
+        assert any(r["error"] == "ERR_CRAWL_TIMEOUT" for r in d)

@@ -298,3 +298,32 @@ class TestPreparedIndexParity:
             m._DEDUP_INDEX_DIRS.clear(); m._DEDUP_INDEX_DIRS.update(saved[2])
         for n in names:
             assert prepared[n] == inline[n], n
+
+
+class TestPersistedIVFIndex:
+    def test_label_filter_prunes_partitions(self, spark, sf_dir, tmp_path):
+        """The persisted IVF table is partitioned by label; a literal
+        probe filter must reach the scan as a PartitionFilter."""
+        from qurio_spark.operators.similarity import (
+            ivf_build,
+            read_ivf_index,
+            write_ivf_index,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        labeled, centroids = ivf_build(emb, k=4, iters=2, fit_sample_mod=2)
+        path = str(tmp_path / "ivf")
+        write_ivf_index(labeled, centroids, path)
+        stored_labeled, stored_centroids = read_ivf_index(spark, path)
+        assert stored_centroids.count() == 4
+        plan = (
+            stored_labeled.filter(F.col("label").isin([0, 1]))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PartitionFilters" in plan and "label" in plan
+        # round-trip: every vector labeled, labels match the live build
+        live = {r["vec_id"]: r["label"] for r in labeled.collect()}
+        stored = {r["vec_id"]: r["label"] for r in stored_labeled.collect()}
+        assert stored == live
