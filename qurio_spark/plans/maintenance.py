@@ -22,6 +22,8 @@ def small_file_partitions(
     parquet files.  Local-filesystem walk — in cloud deployments swap
     for a listing against the object-store catalog; the compaction
     logic is unchanged."""
+    from urllib.parse import unquote
+
     out = []
     prefix = f"{partition_col}="
     if not os.path.isdir(path):
@@ -31,7 +33,10 @@ def small_file_partitions(
         if d.startswith(prefix) and os.path.isdir(full):
             n = sum(1 for f in os.listdir(full) if f.endswith(".parquet"))
             if n > max_files:
-                out.append(d[len(prefix):])
+                # Spark URL-encodes partition values in directory names
+                # (e.g. "a b" -> "a%20b"); the filter compares against
+                # the DECODED column value
+                out.append(unquote(d[len(prefix):]))
     return out
 
 

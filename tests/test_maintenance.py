@@ -53,3 +53,20 @@ class TestCompaction:
         path = fragmented_store
         compact_partitions(spark, path, max_files=1)
         assert compact_partitions(spark, path, max_files=1) == 0
+
+
+class TestEncodedPartitionValues:
+    def test_special_char_partition_value(self, spark, tmp_path):
+        """Partition values with characters Spark URL-encodes in the
+        directory name must still be detected and compacted."""
+        path = str(tmp_path / "enc")
+        for i in range(3):
+            spark.createDataFrame(
+                [("a b:c", i, "x")], "source_id string, k long, v string"
+            ).coalesce(1).write.mode("append").partitionBy("source_id").parquet(path)
+        vals = small_file_partitions(path, "source_id", 1)
+        assert vals == ["a b:c"]
+        assert compact_partitions(spark, path, max_files=1) == 1
+        rows = spark.read.parquet(path).collect()
+        assert len(rows) == 3 and all(r["source_id"] == "a b:c" for r in rows)
+        assert small_file_partitions(path, "source_id", 1) == []
