@@ -86,12 +86,19 @@ def sample_mixture(
             raise ValueError(f"weight for {s!r} must be in [0,1], got {p}")
     if not 0.0 <= default_weight <= 1.0:
         raise ValueError(f"default_weight must be in [0,1], got {default_weight}")
-    wmap = F.create_map(
-        *[F.lit(x) for s, p in sorted(weights.items()) for x in (s, int(p * MIX_DENOM))]
-    )
-    threshold = F.coalesce(
-        wmap[F.col(source_col)], F.lit(int(default_weight * MIX_DENOM))
-    )
+    if weights:
+        wmap = F.create_map(
+            *[
+                F.lit(x)
+                for s, p in sorted(weights.items())
+                for x in (s, int(p * MIX_DENOM))
+            ]
+        )
+        threshold = F.coalesce(
+            wmap[F.col(source_col)], F.lit(int(default_weight * MIX_DENOM))
+        )
+    else:  # create_map() with zero args is a type error — plain literal
+        threshold = F.lit(int(default_weight * MIX_DENOM))
     draw = F.pmod(
         hash64(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
         F.lit(MIX_DENOM),

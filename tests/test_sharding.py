@@ -75,3 +75,10 @@ class TestSampleMixture:
             sample_mixture(docs, {"src1": 1.5})
         with pytest.raises(ValueError):
             sample_mixture(docs, {}, default_weight=-0.1)
+
+
+class TestSampleMixtureEdges:
+    def test_empty_weights_uses_default(self, spark):
+        df = spark.createDataFrame([("s1", 1), ("s2", 2)], "source string, doc_id long")
+        assert sample_mixture(df, {}, default_weight=1.0).count() == 2
+        assert sample_mixture(df, {}, default_weight=0.0).count() == 0
