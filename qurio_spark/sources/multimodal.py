@@ -109,9 +109,19 @@ def _decode_pixels(data: bytes):
     )
 
 
-@F.udf(returnType=IMAGE_META)
-def decode_image_meta(content):
-    return _parse_image_header(content)
+def _decode_image_meta_batch(batches: "pd.Series") -> "pd.DataFrame":
+    rows = [
+        _parse_image_header(bytes(b) if b is not None else None) for b in batches
+    ]
+    return pd.DataFrame(rows, columns=["format", "width", "height", "valid"])
+
+
+# Arrow-batched struct-returning pandas UDF (header parsing is cheap,
+# but per-row pickling never belongs on an ingest path); real
+# annotations — the module's future-annotations import would stringify
+# them and break pandas_udf inference.
+_decode_image_meta_batch.__annotations__ = {"batches": pd.Series, "return": pd.DataFrame}
+decode_image_meta = F.pandas_udf(IMAGE_META)(_decode_image_meta_batch)
 
 
 # -- S5 file conversion (handlers/file.py:196-299) ---------------------------
