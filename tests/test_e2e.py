@@ -1,0 +1,117 @@
+"""Full-system slice: distributed crawl -> chunk+embed ingest ->
+search (keyword + hybrid + rerank) -> page reconstruction -> janitor
+views, then an incremental re-crawl with body-hash skip.  Every stage
+is the production path; this is the 'a reference user could switch'
+composition test.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from qurio_spark.api import Engine
+from qurio_spark.operators.crawl import run_crawl_distributed, source_completion
+from qurio_spark.plans.pipeline import (
+    apply_incremental,
+    build_chunks,
+    split_unchanged,
+)
+
+SITE_V1 = {
+    "https://docs.d.com/": (
+        "# Welcome\n\nThe documentation index for the engine and its setup guides.",
+        ["https://docs.d.com/install", "https://docs.d.com/search"],
+    ),
+    "https://docs.d.com/install": (
+        "# Install guide\n\nDownload the release binary and place it on your PATH "
+        "before the first start.\n\n```bash\ncurl -fsSL https://docs.d.com/i.sh | sh\n```",
+        [],
+    ),
+    "https://docs.d.com/search": (
+        "# Search\n\nHybrid retrieval fuses keyword scores with vector similarity "
+        "for ranked results across the indexed corpus.",
+        [],
+    ),
+}
+
+
+def fetch_v1(task):
+    content, links = SITE_V1[task["url"]]
+    return {"content": content, "links": links, "title": task["url"]}
+
+
+def _docs_raw(docs):
+    return docs.withColumn(
+        "metadata",
+        F.lit(None).cast(
+            "struct<author:string,created_at:string,pages:int,language:string>"
+        ),
+    )
+
+
+class TestFullSystem:
+    @pytest.fixture(scope="class")
+    def crawled(self, spark):
+        seeds = spark.createDataFrame(
+            [("src", "https://docs.d.com/")], "source_id string, url string"
+        )
+        return run_crawl_distributed(spark, seeds, fetch_v1, max_depth=1)
+
+    @pytest.fixture(scope="class")
+    def chunks(self, spark, crawled, tmp_path_factory):
+        from qurio_spark.plans.pipeline import ingest
+
+        _pages, docs = crawled
+        path = str(tmp_path_factory.mktemp("e2e") / "chunks")
+        return ingest(spark, _docs_raw(docs), path, source_names={"src": "Docs"})
+
+    def test_crawl_covers_site_and_completes(self, crawled):
+        pages, docs = crawled
+        assert {r["url"] for r in pages.collect()} == set(SITE_V1)
+        assert all(r["status"] == "completed" for r in pages.collect())
+        comp = source_completion(pages).collect()
+        assert comp == [type(comp[0])(source_id="src", status="completed")]
+
+    def test_search_and_read_page(self, chunks):
+        eng = Engine(chunks=chunks)
+        rows = eng.search("hybrid keyword vector ranking", alpha=0.5, limit=3)
+        assert rows and rows[0]["url"] == "https://docs.d.com/search"
+        # MCP read_page reconstructs the full page from its chunks
+        resp = eng.process_request({
+            "jsonrpc": "2.0", "id": 1, "method": "tools/call",
+            "params": {"name": "qurio_read_page",
+                       "arguments": {"url": "https://docs.d.com/install"}},
+        })
+        text = resp["result"]["content"][0]["text"]
+        assert "Install guide" in text and "curl -fsSL" in text
+
+    def test_incremental_recrawl_skips_unchanged(self, spark, crawled, chunks):
+        _pages, docs_v1 = crawled
+
+        # v2: only /search changed
+        def fetch_v2(task):
+            r = fetch_v1(task)
+            if task["url"] == "https://docs.d.com/search":
+                r = {**r, "content": r["content"] + "\n\nNew paragraph about reranking quality."}
+            return r
+
+        seeds = spark.createDataFrame(
+            [("src", "https://docs.d.com/")], "source_id string, url string"
+        )
+        _p2, docs_v2 = run_crawl_distributed(spark, seeds, fetch_v2, max_depth=1)
+        prior = _docs_raw(docs_v1).select(
+            "url", F.sha2("content", 256).alias("body_hash")
+        )
+        changed, unchanged = split_unchanged(_docs_raw(docs_v2), prior)
+        assert [r["url"] for r in changed.collect()] == ["https://docs.d.com/search"]
+        assert unchanged.count() == 2
+
+        merged = apply_incremental(
+            chunks, build_chunks(changed.drop("body_hash"), source_names={"src": "Docs"}),
+            changed.select("url"),
+        )
+        new_rows = merged.filter(F.col("url") == "https://docs.d.com/search").collect()
+        assert any("New paragraph about reranking" in r["content"] for r in new_rows)
+        # untouched page rows identical
+        old = sorted(r["content"] for r in chunks.filter(F.col("url") == "https://docs.d.com/install").collect())
+        new = sorted(r["content"] for r in merged.filter(F.col("url") == "https://docs.d.com/install").collect())
+        assert old == new
