@@ -194,21 +194,41 @@ def q_bm25_topk(spark, sf_dir):
 # driver's correctness run skips prepare, so the prebuilt-index queries
 # fall back to building inline — same results either way (both the
 # k-means seeding and the bucket hash are md5-deterministic).
-_BM25_INDEX_DIRS: dict[str, str] = {}
+#
+# BM25 indexes are keyed by (sf_dir, corpus): BM25 stats (df/N/avgdl)
+# are defined over the scored corpus, and the pure-keyword queries
+# score the full ``documents`` table while the hybrid family scores
+# documents JOIN embeddings — at sf0.1 those differ (5000 vs 2000
+# docs), so one shared index would silently change hybrid scores.
+_BM25_INDEX_DIRS: dict[tuple[str, str], str] = {}
 _IVF_INDEX_DIRS: dict[str, str] = {}
 _DEDUP_INDEX_DIRS: dict[str, str] = {}
 
 
-def _bm25_index_path(spark, sf_dir: str) -> str:
+def _bm25_index_path(spark, sf_dir: str, corpus: str = "documents") -> str:
     import tempfile
 
-    path = _BM25_INDEX_DIRS.get(sf_dir)
+    path = _BM25_INDEX_DIRS.get((sf_dir, corpus))
     if path is None:
-        path = tempfile.mkdtemp(prefix="qurio-bm25-idx-")
-        idx = bm25_op.build_index(_t(spark, sf_dir, "documents"))
+        path = tempfile.mkdtemp(prefix=f"qurio-bm25-idx-{corpus}-")
+        base = (
+            _docs_with_vecs(spark, sf_dir).select("doc_id", "text")
+            if corpus == "joined"
+            else _t(spark, sf_dir, "documents")
+        )
+        idx = bm25_op.build_index(base)
         bm25_op.write_index(idx, path)
-        _BM25_INDEX_DIRS[sf_dir] = path
+        _BM25_INDEX_DIRS[(sf_dir, corpus)] = path
     return path
+
+
+def _hybrid_bm25_index(spark, sf_dir: str):
+    """Persisted BM25 index over the corpus the hybrid family actually
+    scores (documents JOIN embeddings), or None when bench didn't
+    prepare one.  Never hands the documents-table index to a hybrid
+    query: its frozen stats belong to a different corpus."""
+    path = _BM25_INDEX_DIRS.get((sf_dir, "joined"))
+    return None if path is None else bm25_op.read_index(spark, path)
 
 
 def _ivf_index_path(spark, sf_dir: str) -> str:
@@ -251,7 +271,8 @@ def _dedup_index_path(spark, sf_dir: str) -> str:
 
 def prepare_indexes(spark, sf_dir: str) -> None:
     """Amortized index builds (called untimed by bench.py)."""
-    _bm25_index_path(spark, sf_dir)
+    _bm25_index_path(spark, sf_dir, "documents")
+    _bm25_index_path(spark, sf_dir, "joined")
     _ivf_index_path(spark, sf_dir)
     _dedup_index_path(spark, sf_dir)
 
@@ -285,12 +306,9 @@ def q_hybrid_topk(spark, sf_dir):
     unfiltered search scores the whole corpus, which is exactly the
     index's stats domain); builds in-DAG otherwise."""
     docs = _docs_with_vecs(spark, sf_dir)
-    bm25_idx = None
-    if sf_dir in _BM25_INDEX_DIRS:
-        bm25_idx = bm25_op.read_index(spark, _BM25_INDEX_DIRS[sf_dir])
     res = hybrid_search(
         docs, QUERY_TEXT, _qvec(spark, sf_dir), alpha=0.5, limit=10,
-        bm25_index=bm25_idx,
+        bm25_index=_hybrid_bm25_index(spark, sf_dir),
     )
     return res.select("doc_id", stable_round("score", 4).alias("score"))
 
@@ -319,10 +337,10 @@ def q_batch_hybrid(spark, sf_dir):
         F.col("vec_id").alias("qvec_id"), F.col("embedding").alias("query_vec")
     )
     queries = lits.join(qe, "qvec_id").drop("qvec_id")
-    bm25_idx = None
-    if sf_dir in _BM25_INDEX_DIRS:
-        bm25_idx = bm25_op.read_index(spark, _BM25_INDEX_DIRS[sf_dir])
-    res = hybrid_search_batch(docs, queries, alpha=0.5, limit=5, bm25_index=bm25_idx)
+    res = hybrid_search_batch(
+        docs, queries, alpha=0.5, limit=5,
+        bm25_index=_hybrid_bm25_index(spark, sf_dir),
+    )
     return res.select("query_id", "doc_id", stable_round("score", 4).alias("score"))
 
 
@@ -345,13 +363,12 @@ def q_batch_hybrid_ivf(spark, sf_dir):
     queries = lits.join(qe, "qvec_id").drop("qvec_id")
     # prebuilt persisted indexes when bench prepared them; the driver's
     # correctness run builds in-DAG (deterministically identical)
-    ivf_idx = bm25_idx = None
+    ivf_idx = None
     if sf_dir in _IVF_INDEX_DIRS:
         ivf_idx = read_ivf_index(spark, _IVF_INDEX_DIRS[sf_dir])
-    if sf_dir in _BM25_INDEX_DIRS:
-        bm25_idx = bm25_op.read_index(spark, _BM25_INDEX_DIRS[sf_dir])
     res = hybrid_search_batch_ivf(
-        docs, queries, alpha=0.5, limit=5, ivf_index=ivf_idx, bm25_index=bm25_idx
+        docs, queries, alpha=0.5, limit=5, ivf_index=ivf_idx,
+        bm25_index=_hybrid_bm25_index(spark, sf_dir),
     )
     return res.select("query_id", "doc_id", stable_round("score", 4).alias("score"))
 
@@ -1430,14 +1447,13 @@ def q_batch_hybrid_ivf_pruned(spark, sf_dir):
         F.col("vec_id").alias("qvec_id"), F.col("embedding").alias("query_vec")
     )
     queries = lits.join(qe, "qvec_id").drop("qvec_id")
-    ivf_idx = bm25_idx = None
+    ivf_idx = None
     if sf_dir in _IVF_INDEX_DIRS:
         ivf_idx = read_ivf_index(spark, _IVF_INDEX_DIRS[sf_dir])
-    if sf_dir in _BM25_INDEX_DIRS:
-        bm25_idx = bm25_op.read_index(spark, _BM25_INDEX_DIRS[sf_dir])
     res = hybrid_search_batch_ivf(
         docs, queries, alpha=0.5, limit=5,
-        exact_stats=False, ivf_index=ivf_idx, bm25_index=bm25_idx,
+        exact_stats=False,
+        ivf_index=ivf_idx, bm25_index=_hybrid_bm25_index(spark, sf_dir),
     )
     return res.select("query_id", "doc_id", stable_round("score", 4).alias("score"))
 

@@ -299,6 +299,81 @@ class TestPreparedIndexParity:
         for n in names:
             assert prepared[n] == inline[n], n
 
+    def test_hybrid_prebuilt_index_over_joined_corpus(self, spark, tmp_path):
+        """BM25 stats (df/N/avgdl) are frozen into a persisted index at
+        build time and are DEFINED over the scored corpus.  The hybrid
+        family scores documents JOIN embeddings; at sf0.1 the documents
+        table is 2.5x larger than the joined corpus, so an index built
+        over bare ``documents`` carries the wrong stats.  This pins the
+        fix at the operator level, on a fixture where the two corpora
+        actually differ (the existing parity test runs at scales where
+        they coincide)."""
+        docs = spark.createDataFrame(
+            [
+                (i, f"spark hash join doc number {i} " + ("filler words " * (i % 4)))
+                for i in range(10)
+            ],
+            "doc_id long, text string",
+        )
+        emb = spark.createDataFrame(
+            [(i, [float(i + 1), 1.0, 0.5]) for i in range(6)],
+            "vec_id long, embedding array<float>",
+        )
+        joined = docs.join(emb, docs["doc_id"] == emb["vec_id"]).drop("vec_id")
+        qvec = [1.0, 0.2, 0.1]
+
+        def rows(df):
+            return [
+                (r["doc_id"], round(r["score"], 9)) for r in df.collect()
+            ]
+
+        inline = rows(
+            hybrid_search(joined, "hash join spark", qvec, alpha=0.5, limit=5)
+        )
+
+        # index over the JOINED corpus — what prepare_indexes ships to
+        # the hybrid queries — must reproduce the in-DAG scores exactly
+        good = bm25_op.build_index(joined.select("doc_id", "text"))
+        good_path = str(tmp_path / "bm25_joined")
+        bm25_op.write_index(good, good_path)
+        prebuilt = rows(
+            hybrid_search(
+                joined, "hash join spark", qvec, alpha=0.5, limit=5,
+                bm25_index=bm25_op.read_index(spark, good_path),
+            )
+        )
+        assert prebuilt == inline
+
+        # index over the bare documents table (the pre-fix behavior)
+        # demonstrably diverges: N=10/avgdl include 4 unscored docs
+        wrong = bm25_op.build_index(docs)
+        wrong_path = str(tmp_path / "bm25_documents")
+        bm25_op.write_index(wrong, wrong_path)
+        mismatched = rows(
+            hybrid_search(
+                joined, "hash join spark", qvec, alpha=0.5, limit=5,
+                bm25_index=bm25_op.read_index(spark, wrong_path),
+            )
+        )
+        assert mismatched != inline
+
+    def test_entrypoint_hybrid_index_is_joined_corpus(self, spark, sf_dir):
+        """prepare_indexes registers BOTH corpora and _hybrid_bm25_index
+        hands the hybrid family the joined-corpus one."""
+        import __spark_entry__ as m
+
+        saved = dict(m._BM25_INDEX_DIRS)
+        try:
+            m._BM25_INDEX_DIRS.clear()
+            m.prepare_indexes(spark, sf_dir)
+            assert (sf_dir, "documents") in m._BM25_INDEX_DIRS
+            assert (sf_dir, "joined") in m._BM25_INDEX_DIRS
+            idx = m._hybrid_bm25_index(spark, sf_dir)
+            n_joined = m._docs_with_vecs(spark, sf_dir).count()
+            assert idx.n_docs == n_joined
+        finally:
+            m._BM25_INDEX_DIRS.clear(); m._BM25_INDEX_DIRS.update(saved)
+
 
 class TestPersistedIVFIndex:
     def test_label_filter_prunes_partitions(self, spark, sf_dir, tmp_path):
