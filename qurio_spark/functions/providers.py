@@ -219,10 +219,21 @@ class HttpReranker:
         results = body.get("results")
         if not isinstance(results, list):
             raise IngestionError(ERR_PROVIDER_SHAPE, "missing results[]")
+        # The payload shape doesn't promise sorted results: order by
+        # relevance_score descending ourselves (stable — ties and
+        # score-less entries keep the provider's order).
+        ranked = sorted(
+            (r for r in results if isinstance(r, dict)),
+            key=lambda r: -(
+                r["relevance_score"]
+                if isinstance(r.get("relevance_score"), (int, float))
+                else float("-inf")
+            ),
+        )
         order: list[int] = []
         seen = set()
-        for r in results:
-            i = r.get("index") if isinstance(r, dict) else None
+        for r in ranked:
+            i = r.get("index")
             if isinstance(i, int) and 0 <= i < len(contents) and i not in seen:
                 order.append(i)
                 seen.add(i)

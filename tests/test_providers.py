@@ -75,6 +75,18 @@ class Handler(BaseHTTPRequestHandler):
                     ]
                 }
             )
+        elif self.path == "/rerank-unsorted":
+            # scores NOT in response order (allowed by the payload
+            # shape): b=0.5 < c=9.0 > a=3.0 -> correct ranking [2,0,1]
+            self._json(
+                {
+                    "results": [
+                        {"index": 1, "relevance_score": 0.5},
+                        {"index": 2, "relevance_score": 9.0},
+                        {"index": 0, "relevance_score": 3.0},
+                    ]
+                }
+            )
         elif self.path == "/rerank-partial":
             self._json({"results": [{"index": 2, "relevance_score": 9.0}]})
         elif self.path == "/rerank-flaky":
@@ -184,6 +196,10 @@ class TestHttpReranker:
     def test_reorders_by_provider_scores(self, server):
         r = HttpReranker(f"{server}/rerank", policy=FAST)
         assert r.rerank("q", ["a", "b", "c"]) == [2, 1, 0]
+
+    def test_unsorted_provider_results_are_sorted_by_score(self, server):
+        r = HttpReranker(f"{server}/rerank-unsorted", policy=FAST)
+        assert r.rerank("q", ["a", "b", "c"]) == [2, 0, 1]
 
     def test_partial_results_keep_tail_order(self, server):
         r = HttpReranker(f"{server}/rerank-partial", policy=FAST)
