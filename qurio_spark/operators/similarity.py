@@ -21,6 +21,8 @@ All distance math is JVM-side (functions/vector.py) — no UDFs.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, functions as F
 
 from qurio_spark.functions.hashing import hash64_py
@@ -134,6 +136,17 @@ def lsh_bucket_expr(vec_col, planes: list[list[float]]):
     return bucket
 
 
+def lsh_query_bucket(query_vec: list[float], planes: list[list[float]]) -> int:
+    """Driver-side sign-pattern bucket for a query vector — must agree
+    bit-for-bit with ``lsh_bucket_expr`` so a persisted bucket
+    partition can be pruned with a literal."""
+    qb = 0
+    for p, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, plane)) >= 0:
+            qb |= 1 << p
+    return qb
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -144,16 +157,85 @@ def lsh_topk(
     seed: int = 11,
 ) -> DataFrame:
     """Hyperplane-LSH ANN: score only vectors whose sign-pattern bucket
-    matches the query's.  Bucket column is precomputable at write time
-    (then: partition key -> pruned scan)."""
+    matches the query's.  Computes the bucket over the corpus at query
+    time — the oracle/ad-hoc form; repeated queries should use
+    ``write_lsh_index`` + ``lsh_topk_prebuilt`` (bucket as a write-time
+    partition column, zero corpus scans per query)."""
     dim = len(query_vec)
     planes = random_hyperplanes(dim, n_planes, seed)
-    qb = 0
-    for p, plane in enumerate(planes):
-        if sum(a * b for a, b in zip(query_vec, plane)) >= 0:
-            qb |= 1 << p
+    qb = lsh_query_bucket(query_vec, planes)
     bucketed = embeddings.withColumn("_bucket", lsh_bucket_expr(F.col(vec_col), planes))
     return brute_force_topk(bucketed.filter(F.col("_bucket") == qb), query_vec, k, id_col, vec_col)
+
+
+def write_lsh_index(
+    embeddings: DataFrame,
+    path: str,
+    dim: int,
+    n_planes: int = 4,
+    seed: int = 11,
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the LSH index — 'build once per corpus version', the
+    same write-time layout BM25 (term_bucket) and IVF (label) earned:
+    the corpus is written PARTITIONED BY its sign-pattern ``bucket``,
+    so a query probes exactly one of 2^n_planes directories instead of
+    recomputing buckets over the full corpus per query (reference keeps
+    its second ANN index always-on: Weaviate HNSW,
+    internal/vector/schema.go:18-102).
+
+    The hyperplanes are md5-derived from (seed, n_planes, dim) — no
+    plane matrix needs persisting, but the parameters do: ``meta/``
+    records them so a reader can rebuild identical planes and reject a
+    mismatched probe."""
+    planes = random_hyperplanes(dim, n_planes, seed)
+    bucketed = embeddings.withColumn("bucket", lsh_bucket_expr(F.col(vec_col), planes))
+    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/bucketed")
+    meta = embeddings.sparkSession.createDataFrame(
+        [(n_planes, seed, dim)], "n_planes int, seed int, dim int"
+    )
+    meta.write.mode("overwrite").parquet(f"{path}/meta")
+
+
+@dataclass
+class LSHIndex:
+    bucketed: DataFrame
+    n_planes: int
+    seed: int
+    dim: int
+
+
+def read_lsh_index(spark, path: str) -> LSHIndex:
+    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    return LSHIndex(
+        bucketed=spark.read.parquet(f"{path}/bucketed"),
+        n_planes=int(m["n_planes"]),
+        seed=int(m["seed"]),
+        dim=int(m["dim"]),
+    )
+
+
+def lsh_topk_prebuilt(
+    index: LSHIndex,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``lsh_topk`` against a persisted index: the driver rebuilds the
+    (deterministic) planes from the stored parameters, hashes the query
+    to its bucket, and the literal ``bucket == qb`` filter reaches the
+    scan as a PartitionFilter — one directory read, the rest of the
+    corpus untouched.  Result is identical to the in-DAG ``lsh_topk``
+    with the same (n_planes, seed)."""
+    if len(query_vec) != index.dim:
+        raise ValueError(
+            f"query dim {len(query_vec)} != index dim {index.dim}"
+        )
+    planes = random_hyperplanes(index.dim, index.n_planes, index.seed)
+    qb = lsh_query_bucket(query_vec, planes)
+    pruned = index.bucketed.filter(F.col("bucket") == qb)
+    return brute_force_topk(pruned, query_vec, k, id_col, vec_col)
 
 
 def embedding_near_dup_pairs(

@@ -277,7 +277,7 @@ class TestPreparedIndexParity:
 
         names = [
             "bm25_prebuilt", "hybrid_topk", "batch_hybrid", "batch_hybrid_ivf",
-            "simhash_near", "minhash_lsh", "ngram_jaccard",
+            "simhash_near", "minhash_lsh", "ngram_jaccard", "lsh_prebuilt",
         ]
 
         def rows(name):
@@ -285,18 +285,22 @@ class TestPreparedIndexParity:
 
         # force the inline path even if another test prepared indexes
         saved = (dict(m._BM25_INDEX_DIRS), dict(m._IVF_INDEX_DIRS),
-                 dict(m._DEDUP_INDEX_DIRS))
+                 dict(m._DEDUP_INDEX_DIRS), dict(m._LSH_INDEX_DIRS))
         try:
             m._BM25_INDEX_DIRS.clear(); m._IVF_INDEX_DIRS.clear()
-            m._DEDUP_INDEX_DIRS.clear()
+            m._DEDUP_INDEX_DIRS.clear(); m._LSH_INDEX_DIRS.clear()
             inline = {n: rows(n) for n in names}
+            # the persisted-only LSH path must equal its in-DAG twin
+            inline["lsh_prebuilt_vs_in_dag"] = rows("lsh_topk")
             m.prepare_indexes(spark, sf_dir)
             prepared = {n: rows(n) for n in names}
+            prepared["lsh_prebuilt_vs_in_dag"] = rows("lsh_prebuilt")
         finally:
             m._BM25_INDEX_DIRS.clear(); m._BM25_INDEX_DIRS.update(saved[0])
             m._IVF_INDEX_DIRS.clear(); m._IVF_INDEX_DIRS.update(saved[1])
             m._DEDUP_INDEX_DIRS.clear(); m._DEDUP_INDEX_DIRS.update(saved[2])
-        for n in names:
+            m._LSH_INDEX_DIRS.clear(); m._LSH_INDEX_DIRS.update(saved[3])
+        for n in list(names) + ["lsh_prebuilt_vs_in_dag"]:
             assert prepared[n] == inline[n], n
 
     def test_hybrid_prebuilt_index_over_joined_corpus(self, spark, tmp_path):
@@ -402,3 +406,52 @@ class TestPersistedIVFIndex:
         live = {r["vec_id"]: r["label"] for r in labeled.collect()}
         stored = {r["vec_id"]: r["label"] for r in stored_labeled.collect()}
         assert stored == live
+
+
+class TestPersistedLSHIndex:
+    def test_prebuilt_equals_in_dag_and_prunes(self, spark, sf_dir, tmp_path):
+        """write_lsh_index + lsh_topk_prebuilt == lsh_topk (same
+        planes), and the literal bucket filter reaches the scan as a
+        PartitionFilter — the per-query corpus pass is gone."""
+        from qurio_spark.operators.similarity import (
+            lsh_topk,
+            lsh_topk_prebuilt,
+            read_lsh_index,
+            write_lsh_index,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        ]
+        path = str(tmp_path / "lsh")
+        write_lsh_index(emb, path, dim=len(qvec), n_planes=3)
+        idx = read_lsh_index(spark, path)
+        assert (idx.n_planes, idx.seed, idx.dim) == (3, 11, len(qvec))
+
+        def rows(df):
+            return [(r["vec_id"], round(r["score"], 9)) for r in df.collect()]
+
+        in_dag = rows(lsh_topk(emb, qvec, n_planes=3, k=10))
+        prebuilt = rows(lsh_topk_prebuilt(idx, qvec, k=10))
+        assert prebuilt == in_dag and len(prebuilt) > 0
+
+        pruned = idx.bucketed.filter(F.col("bucket") == 3)
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "bucket" in plan
+
+    def test_dim_mismatch_rejected(self, spark, sf_dir, tmp_path):
+        from qurio_spark.operators.similarity import (
+            lsh_topk_prebuilt,
+            read_lsh_index,
+            write_lsh_index,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        dim = len(emb.first()["embedding"])
+        path = str(tmp_path / "lsh")
+        write_lsh_index(emb, path, dim=dim, n_planes=2)
+        idx = read_lsh_index(spark, path)
+        with pytest.raises(ValueError, match="dim"):
+            lsh_topk_prebuilt(idx, [1.0] * (dim + 1), k=5)
