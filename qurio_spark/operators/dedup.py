@@ -244,24 +244,31 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iters: int = 25,
+    algorithm: str = "star",
 ) -> DataFrame:
     """Near-dup pairs -> duplicate CLUSTERS: the step that makes pair
     detection actionable (keep one canonical doc per component).
+    -> (id_col, cluster_id) with ``cluster_id = min(node id in the
+    component)`` — a deterministic canonical id, independent of
+    iteration order and of ``algorithm``.
 
-    Label propagation to the minimum reachable id: every node starts
-    labeled with itself; each round takes the min of its own and its
-    neighbors' labels; converged when no label changes.  -> (id_col,
-    cluster_id) with ``cluster_id = min(node id in the component)`` —
-    a deterministic canonical id, independent of iteration order.
+    ``algorithm='star'`` (default): alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    rounds are O(log n) even on chain-shaped graphs, the web-scale
+    shape.  ``algorithm='label_prop'``: min-label propagation with one
+    pointer jump per round — rounds = component diameter in label-hops;
+    fine for near-dup cliques, kept as the equivalence baseline.
 
-    Scale: each round is one join + one partial-agg groupBy on node id
-    (uniform key); rounds needed = graph diameter in label-hops
-    (near-dup components are short chains/cliques, so a handful).  The
-    driver loop carries only a converged? boolean per round — the
-    labels stay distributed, checkpointed per round to cut lineage.
-    At web scale swap for the alternating large/small-star variant;
-    semantics (min-id labeling) are identical.
+    Raises ``RuntimeError`` when ``max_iters`` rounds pass without
+    convergence — a silently split component would make canonical-doc
+    selection keep extra duplicates downstream.
     """
+    if algorithm == "star":
+        return _connected_components_star(
+            pairs, nodes, id_col, a_col, b_col, max_iters
+        )
+    if algorithm != "label_prop":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
@@ -309,12 +316,135 @@ def connected_components(
         labels = new_labels.drop("_chg")
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components(label_prop) did not converge in "
+            f"{max_iters} rounds — components would be silently split; "
+            f"raise max_iters or use algorithm='star'"
+        )
     singletons = nodes.join(
         edge_nodes, nodes[id_col] == edge_nodes["node"], "left_anti"
     ).select(F.col(id_col), F.col(id_col).alias("cluster_id"))
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
     ).unionByName(singletons)
+
+
+def _connected_components_star(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str,
+    a_col: str,
+    b_col: str,
+    max_iters: int,
+) -> DataFrame:
+    """Alternating large-star/small-star min-id connected components.
+
+    Each round is two map-reduce steps over the current edge set E
+    (edges always oriented big -> small after the first half-round):
+
+      large-star: per node u over its SYMMETRIZED neighborhood G(u),
+        m = min(G(u) + {u}); emit (v, m) for v in G(u), v > u — every
+        strictly-larger neighbor links to u's local minimum.
+      small-star: per node u over its smaller neighbors N(u),
+        m = min(N(u)); emit (v, m) for v in N(u)+{u}, v != m — u and
+        its smaller neighbors all link to the local minimum.
+
+    Both steps preserve connectivity and strictly shrink tree height;
+    the fixed point is a star per component centered on its min id
+    (Kiveris et al. 2014 prove O(log^2 n) rounds worst-case, ~log n in
+    practice — on chains this crushes the O(diameter) of label
+    propagation).  Per round: two groupBy shuffles on node id (uniform
+    key), edge set checkpointed via ``checkpoint_df`` (durable on real
+    clusters, see functions/checkpointing).
+
+    Convergence check = symmetric edge-set difference is empty; raises
+    on ``max_iters`` exhaustion rather than returning split components.
+    """
+    from qurio_spark.functions.checkpointing import checkpoint_df
+
+    edges = checkpoint_df(
+        pairs.select(
+            F.greatest(F.col(a_col), F.col(b_col)).alias("u"),
+            F.least(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct(),
+        eager=True,
+    )
+    edge_nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        # --- large-star over the symmetrized neighborhood
+        nbrs = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = nbrs.groupBy("u").agg(F.min("v").alias("_mv")).select(
+            "u", F.least(F.col("_mv"), F.col("u")).alias("m")
+        )
+        large = (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # --- small-star (edges now all point big -> small)
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = checkpoint_df(
+            large.join(smins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(smins.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct(),
+            eager=True,
+        )
+        # Converged iff the edge set is a forest of stars — every src
+        # has exactly one dst and no dst is itself a src.  (Each round
+        # preserves connectivity, and a star forest is the iteration's
+        # fixed point, so the star test IS the convergence test — and it
+        # fires one round earlier than an edge-set-equality check.)
+        chained = (
+            small.join(
+                small.select(F.col("u").alias("_v2")),
+                small["v"] == F.col("_v2"),
+                "left_semi",
+            )
+            .limit(1)
+            .count()
+        )
+        multi = (
+            small.groupBy("u")
+            .agg(F.count("*").alias("_c"))
+            .filter(F.col("_c") > 1)
+            .limit(1)
+            .count()
+        )
+        edges = small
+        if chained == 0 and multi == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components(star) did not converge in {max_iters} "
+            f"rounds — components would be silently split"
+        )
+    # fixed point: one (node, root) edge per non-root node
+    labels = edges.groupBy("u").agg(F.min("v").alias("cluster_id")).select(
+        F.col("u").alias(id_col), "cluster_id"
+    )
+    roots = (
+        edge_nodes.join(edges.select(F.col("u").alias("node")), "node", "left_anti")
+        .select(F.col("node").alias(id_col), F.col("node").alias("cluster_id"))
+    )
+    singletons = nodes.join(
+        edge_nodes, nodes[id_col] == edge_nodes["node"], "left_anti"
+    ).select(F.col(id_col), F.col(id_col).alias("cluster_id"))
+    return labels.unionByName(roots).unionByName(singletons)
 
 
 def simhash_near_pairs(
