@@ -31,6 +31,8 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from qurio_spark.functions.checkpointing import checkpoint_df
+
 #: result_consumer.go:206-213 — links found in an llms.txt manifest get
 #: one extra depth level ("virtual depth").
 LLMS_TXT_SUFFIX = "llms.txt"
@@ -278,9 +280,11 @@ def run_crawl_distributed(
         # exactly once per round
         fetched = distributed_fetch(
             frontier, fetch_one, policy=policy, breaker_factory=breaker_factory
-        ).localCheckpoint()
+        ).transform(lambda d: checkpoint_df(d, eager=True))
         doc_rounds.append(fetched)
-        pages = _advance_ledger(pages, fetched, max_depth, ex_lit).localCheckpoint()
+        pages = checkpoint_df(
+            _advance_ledger(pages, fetched, max_depth, ex_lit), eager=True
+        )
         rounds += 1
 
     if doc_rounds:
@@ -346,7 +350,9 @@ def run_crawl(
             ],
             "source_id string, url string, status string, depth int, links array<string>",
         )
-        pages = _advance_ledger(pages, fetched, max_depth, ex_lit).localCheckpoint()
+        pages = checkpoint_df(
+            _advance_ledger(pages, fetched, max_depth, ex_lit), eager=True
+        )
         rounds += 1
 
     docs = spark.createDataFrame(

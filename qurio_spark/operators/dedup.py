@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from qurio_spark.functions.checkpointing import checkpoint_df
 from qurio_spark.functions.hashing import MERSENNE_61, hash64, minhash_coeffs
 from qurio_spark.functions.numeric import stable_round
 from qurio_spark.functions.text import word_ngrams
@@ -275,12 +276,12 @@ def connected_components(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
-        .localCheckpoint()
+        .transform(lambda d: checkpoint_df(d, eager=True))
     )
     # only nodes that appear in an edge can ever change label; isolated
     # nodes are their own (singleton) cluster and skip the loop entirely
     edge_nodes = edges.select(F.col("src").alias("node")).distinct()
-    labels = edge_nodes.withColumn("label", F.col("node")).localCheckpoint()
+    labels = checkpoint_df(edge_nodes.withColumn("label", F.col("node")), eager=True)
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -311,7 +312,7 @@ def connected_components(
             "node",
             F.col("_l").alias("label"),
             (F.col("_l") != F.col("_old")).alias("_chg"),
-        ).localCheckpoint()
+        ).transform(lambda d: checkpoint_df(d, eager=True))
         changed = new_labels.filter(F.col("_chg")).limit(1).count()
         labels = new_labels.drop("_chg")
         if changed == 0:
@@ -376,7 +377,7 @@ def _connected_components_star(
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .transform(lambda d: checkpoint_df(d, eager=True))
     )
     for _ in range(max_iters):
         # --- large-star over the symmetrized neighborhood

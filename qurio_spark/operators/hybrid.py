@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from qurio_spark.functions.checkpointing import checkpoint_df
 from qurio_spark.functions.numeric import stable_round
 from qurio_spark.functions.vector import cosine, literal_vector
 from qurio_spark.operators import bm25 as bm25_op
@@ -136,7 +137,7 @@ def hybrid_search(
     # scored rows.  Lazy: materializes on the first action, on
     # executors.  On a cluster-scale corpus swap for checkpoint() to
     # durable storage.
-    scored = scored.localCheckpoint(eager=False)
+    scored = checkpoint_df(scored)
     scored = minmax_norm_cols(scored, {"bm25": "bm25_norm", "cos": "vec_norm"})
     fused = scored.withColumn(
         "score", F.lit(a) * F.col("vec_norm") + F.lit(1.0 - a) * F.col("bm25_norm")
@@ -201,7 +202,7 @@ def hybrid_search_batch(
         .withColumn("bm25", F.coalesce(F.col("bm25"), F.lit(0.0)))
         .withColumn("cos", cosine(F.col(vec_col), F.col(qvec_col)))
         .select(qid_col, id_col, "bm25", "cos")
-        .localCheckpoint(eager=False)  # shared by stats agg + value branch
+        .transform(checkpoint_df)  # shared by stats agg + value branch
     )
     mm = scored.groupBy(qid_col).agg(
         F.min("bm25").alias("_bmn"), F.max("bm25").alias("_bmx"),
@@ -342,7 +343,7 @@ def hybrid_search_batch_ivf(
     # keyword terms, candidate join); it is small by definition, so
     # truncate its lineage once (it is typically itself a join against
     # the embeddings table).
-    queries = queries.localCheckpoint(eager=False)
+    queries = checkpoint_df(queries)
 
     # --- IVF index: prebuilt (persisted, partitioned by label) when
     # provided — the amortized production shape — else codebook fit on
@@ -354,7 +355,7 @@ def hybrid_search_batch_ivf(
         # touches ``docs`` (no documents-x-embeddings join at all)
         vecs = labeled.select(F.col(id_col), F.col(vec_col))
     else:
-        vecs = docs.select(F.col(id_col), F.col(vec_col)).localCheckpoint(eager=False)
+        vecs = checkpoint_df(docs.select(F.col(id_col), F.col(vec_col)))
         labeled, centroids = ivf_build(
             vecs,
             k=k_clusters,
@@ -429,7 +430,7 @@ def hybrid_search_batch_ivf(
         .join(kw, [qid_col, id_col], "left")
         .withColumn("bm25", F.coalesce(F.col("bm25"), F.lit(0.0)))
         .select(qid_col, id_col, "bm25", "cos")
-        .localCheckpoint(eager=False)  # shared by stats branch (inexact mode) + values
+        .transform(checkpoint_df)  # shared by stats branch (inexact mode) + values
     )
 
     if exact_stats:

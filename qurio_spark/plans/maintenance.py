@@ -14,6 +14,8 @@ import os
 
 from pyspark.sql import SparkSession, functions as F
 
+from qurio_spark.functions.checkpointing import checkpoint_df
+
 
 def small_file_partitions(
     path: str, partition_col: str, max_files: int
@@ -61,7 +63,7 @@ def compact_partitions(
         spark.read.parquet(path)
         .filter(F.col(partition_col).isin(values))
         .repartition(partition_col)
-        .localCheckpoint()
+        .transform(lambda d: checkpoint_df(d, eager=True))
     )
     (
         fragmented.write.mode("overwrite")

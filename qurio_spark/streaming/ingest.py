@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from qurio_spark.functions.checkpointing import checkpoint_df
 from qurio_spark.plans.pipeline import build_chunks
 
 
@@ -174,7 +175,7 @@ def streaming_ingest_incremental(
             prior = spark.createDataFrame([], "url string, body_hash string")
         ok = batch_df.filter(F.col("status") == "success")
         changed, _unchanged = split_unchanged(ok, prior)
-        changed = changed.localCheckpoint()  # split + chunk + ledger reuse
+        changed = checkpoint_df(changed, eager=True)  # split + chunk + ledger reuse
         if changed.limit(1).count() == 0:
             return
         new_chunks = build_chunks(changed.drop("body_hash"), embedder)
@@ -188,7 +189,7 @@ def streaming_ingest_incremental(
             existing_touched = existing.join(touched, "source_id", "left_semi")
             merged = apply_incremental(
                 existing_touched, new_chunks, changed.select("url")
-            ).localCheckpoint()  # materialize BEFORE overwriting the input
+            ).transform(lambda d: checkpoint_df(d, eager=True))  # materialize BEFORE overwriting the input
         except Exception:  # noqa: BLE001 — first batch: no chunks yet
             merged = new_chunks
         merged.repartition("source_id").write.mode("overwrite").option(
@@ -196,7 +197,9 @@ def streaming_ingest_incremental(
         ).partitionBy("source_id").parquet(chunks_path)
         ledger = prior.join(
             changed.select("url"), "url", "left_anti"
-        ).unionByName(changed.select("url", "body_hash")).localCheckpoint()
+        ).unionByName(changed.select("url", "body_hash")).transform(
+            lambda d: checkpoint_df(d, eager=True)
+        )
         ledger.write.mode("overwrite").parquet(ledger_path)
 
     return (
