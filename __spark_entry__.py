@@ -471,6 +471,20 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_ngram_jaccard_capped(spark, sf_dir):
+    """q_ngram_jaccard with the stop-shingle cap active (max_df=3):
+    shingles shared by more than 3 docs are dropped before the
+    inverted-index self-join, bounding per-key join fan-out — the
+    adversarial-boilerplate guard at 100 TB
+    (operators/dedup.ngram_jaccard_pairs)."""
+    sh = None
+    if sf_dir in _DEDUP_INDEX_DIRS:
+        sh = spark.read.parquet(f"{_DEDUP_INDEX_DIRS[sf_dir]}/shingles")
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.1, n=3, shingles=sh, max_df=3
+    )
+
+
 def q_minhash_lsh(spark, sf_dir):
     """MinHash-LSH near-dup pairs: 2 bands x 2 rows over the 4-perm
     signature; candidates collide on a band slice, est_jaccard =
@@ -1514,7 +1528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Positions 51+ hold (a) oracle-backed entries whose operator is
     already proven by an in-window sibling (count_global/count_filtered
     ⊂ stats_fanin, simhash ⊂ simhash_near, lsh_topk ⊂ lsh_prebuilt
-    [same oracle SQL, in-DAG twin of the persisted index],
+    [same oracle SQL, in-DAG twin of the persisted index], minhash ⊂
+    minhash_lsh signature build + ngram shingle family,
     top_customers/tpch_q6/tpch_q14/events_setops/value_percentiles —
     all green in earlier rounds' CORRECTNESS_r0*.json and still locally
     verified by tools/oracle_check.py), then (b) the rows-only entries
@@ -1541,7 +1556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "exact_dedup": q_exact_dedup,
-        "minhash": q_minhash,
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_near": q_simhash_near,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1574,6 +1589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 51+: oracle-backed, operator proven by in-window sibling
         # (or, for minhash_lsh, newly oracle-backed breadth) ----------
         "lsh_topk": q_lsh_topk,
+        "minhash": q_minhash,
         "minhash_lsh": q_minhash_lsh,
         "count_global": q_count_global,
         "count_filtered": q_count_filtered,
@@ -1804,14 +1820,25 @@ FROM cand
 WHERE ({matches}) / 4.0 >= {threshold}"""
 
 
-def _ngram_jaccard_sql(threshold: float = 0.1) -> str:
+def _ngram_jaccard_sql(threshold: float = 0.1, max_df: int | None = None) -> str:
     toks = _TOKS.format(col="text")
+    cap_cte = (
+        f"""
+sh2 AS (
+  SELECT doc_id, shingle FROM sh0
+  SEMI JOIN (SELECT shingle FROM sh0 GROUP BY shingle
+             HAVING count(*) <= {max_df}) USING (shingle)
+),"""
+        if max_df is not None
+        else "sh2 AS (SELECT doc_id, shingle FROM sh0),"
+    )
     return f"""
 WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
 sh AS (
   SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM t
 ),
-sh2 AS (SELECT doc_id, shingle FROM sh WHERE shingle <> ''),
+sh0 AS (SELECT doc_id, shingle FROM sh WHERE shingle <> ''),
+{cap_cte}
 sizes AS (SELECT doc_id, count(*)::DOUBLE AS sz FROM sh2 GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::DOUBLE AS i
@@ -2271,6 +2298,7 @@ SELECT doc_id FROM r WHERE rn = 1""",
         "minhash": _minhash_sql(4),
         "minhash_lsh": _minhash_lsh_sql(0.5),
         "ngram_jaccard": _ngram_jaccard_sql(0.1),
+        "ngram_jaccard_capped": _ngram_jaccard_sql(0.1, max_df=3),
         "simhash": _simhash_sql(),
         "simhash_near": _simhash_near_sql(30),
         "embedding_near_dup": """

@@ -65,20 +65,41 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingles: DataFrame | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Jaccard similarity over word-n-gram shingle sets, computed only
     for candidate pairs that share >= 1 shingle (inverted-index
     self-join on the shingle key).  -> (id_a, id_b, jaccard).
 
-    Scale notes: hot shingles create join skew — AQE skew-join splits
-    them; a production variant also drops top-frequency shingles
-    (stop-shingles) before the join, which only loses candidates that
-    would be found via their rarer shingles.
+    ``max_df``: the stop-shingle cap.  Hot shingles are join-skew bombs
+    a splitter can't fully absorb — one boilerplate shingle shared by
+    10^6 docs is a 10^12-pair join key.  With ``max_df=c`` every
+    shingle whose document frequency exceeds ``c`` is dropped BEFORE
+    the self-join, bounding any single join key's fan-out to c^2;
+    Jaccard is then the Jaccard of the capped shingle sets (sizes and
+    intersections both exclude stop-shingles — the deterministic,
+    oracle-mirrorable semantics).  Pairs sharing at least one sub-cap
+    shingle are still found; only pairs whose ENTIRE overlap is
+    boilerplate disappear — which is the point of the cap.
+    ``max_df=None`` (default) keeps exact full-set Jaccard.
+
+    Residual skew below the cap is AQE skew-split territory.
 
     ``shingles``: a prebuilt (persisted) distinct ``(id, shingle)``
     table — the inverted index, built once per corpus version.
     """
     sh = shingles if shingles is not None else shingle_docs(docs, id_col, text_col, n)
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        # semi join on the same key the pair join shuffles on — the df
+        # computation is one extra partial agg over the index, and the
+        # capped index is what both sizes and intersections see
+        sh = sh.join(keep, "shingle", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

@@ -54,6 +54,49 @@ class TestNgramJaccard:
         assert (0, 2) in pairs and pairs[(0, 2)] >= 0.5
         assert not any(3 in p for p in pairs)
 
+    def test_stop_shingle_cap_drops_boilerplate_keeps_rare_overlap(self, spark):
+        """Hot-shingle fixture: every doc shares one boilerplate
+        sentence (shingle df = n_docs).  Uncapped, the boilerplate makes
+        EVERY doc pair a candidate (the 10^12-pair failure shape in
+        miniature); with max_df below n_docs the boilerplate shingles
+        are dropped, the true near-dup pair survives via its rarer
+        shared shingles, and boilerplate-only pairs disappear."""
+        boiler = "subscribe to our newsletter for updates today"
+        docs = spark.createDataFrame(
+            [
+                (0, f"{boiler} alpha beta gamma delta epsilon zeta"),
+                (1, f"{boiler} alpha beta gamma delta epsilon eta"),  # near dup of 0
+                (2, f"{boiler} one two three four five six"),
+                (3, f"{boiler} seven eight nine ten eleven twelve"),
+            ],
+            ["doc_id", "text"],
+        )
+        uncapped = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(docs, threshold=0.01).collect()
+        }
+        # boilerplate alone links every pair
+        assert uncapped == {(a, b) for a in range(4) for b in range(a + 1, 4)}
+
+        capped = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, threshold=0.01, max_df=2).collect()
+        }
+        # the real near-dup pair is still found via its rare shingles...
+        assert (0, 1) in capped and capped[(0, 1)] > 0.3
+        # ...and pairs whose entire overlap was boilerplate are gone
+        assert set(capped) == {(0, 1)}
+
+    def test_cap_above_max_df_is_identity(self, spark, docs):
+        def canon(df):
+            return sorted(
+                (r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()
+            )
+
+        assert canon(ngram_jaccard_pairs(docs, threshold=0.0)) == canon(
+            ngram_jaccard_pairs(docs, threshold=0.0, max_df=10_000)
+        )
+
 
 class TestMinHash:
     def test_identical_docs_identical_signatures(self, spark, docs):
