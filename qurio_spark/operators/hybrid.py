@@ -278,7 +278,11 @@ def _batch_keyword_scores(
         F.explode(F.array_distinct(tokenize(F.col(qtext_col)))).alias("term"),
     )
     matched = postings.join(F.broadcast(qterms), "term")
-    scored_kw = matched.join(idx.doclen, id_col).crossJoin(F.broadcast(idx.stats))
+    # dl rides on postings rows built by bm25.build_index — no per-query
+    # doclen join (the classic denormalized posting payload)
+    if "dl" not in matched.columns:
+        matched = matched.join(idx.doclen, id_col)
+    scored_kw = matched.crossJoin(F.broadcast(idx.stats))
     tf, dl = F.col("tf").cast("double"), F.col("dl").cast("double")
     per_term = bm25_op.idf_expr(F.col("df").cast("double"), F.col("n")) * (
         tf * (bm25_op.K1 + 1.0)
@@ -309,6 +313,7 @@ def hybrid_search_batch_ivf(
     exact_stats: bool = True,
     ivf_index: tuple[DataFrame, DataFrame] | None = None,
     bm25_index=None,
+    codebook: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-pruned batch hybrid search — the scale path for
     ``hybrid_search_batch``, which scores corpus x queries densely.
@@ -339,12 +344,6 @@ def hybrid_search_batch_ivf(
 
     a, k = resolve_params(alpha, limit, settings)
 
-    # The query table is referenced several times (probe ranking,
-    # keyword terms, candidate join); it is small by definition, so
-    # truncate its lineage once (it is typically itself a join against
-    # the embeddings table).
-    queries = checkpoint_df(queries)
-
     # --- IVF index: prebuilt (persisted, partitioned by label) when
     # provided — the amortized production shape — else codebook fit on
     # a hash-sample + one full labeling pass, in-DAG.
@@ -370,13 +369,39 @@ def hybrid_search_batch_ivf(
     # centroids per query costs Q*k_clusters scalar ops — and yields
     # LITERAL probe labels, which is what lets the label-partitioned
     # corpus scan prune directories (an isin literal reaches the scan
-    # as a PartitionFilter; a join value never does).
+    # as a PartitionFilter; a join value never does).  The collected
+    # rows also REPLACE the query frame itself: queries are small by
+    # contract and typically a join against the embeddings table, so
+    # re-deriving them as a literal frame keeps that join out of every
+    # downstream stage (probe join, keyword terms, qvec broadcast).
     import math
 
     from pyspark.sql import types as T
 
-    crows = [(r["label"], list(r["centroid"])) for r in centroids.collect()]
+    # ``codebook``: the collected (label, centroid) rows — k*dim floats,
+    # i.e. index METADATA a serving system keeps resident; passing it
+    # skips the per-query centroid collect job.
+    crows = (
+        [(int(l), list(c)) for l, c in codebook]
+        if codebook is not None
+        else [(r["label"], list(r["centroid"])) for r in centroids.collect()]
+    )
     qall = queries.select(qid_col, qtext_col, qvec_col).collect()
+    spark_ = docs.sparkSession
+    qschema = T.StructType(
+        [
+            queries.schema[qid_col],
+            queries.schema[qtext_col],
+            queries.schema[qvec_col],
+        ]
+    )
+    from qurio_spark.functions.frames import local_frame
+
+    queries = local_frame(
+        spark_,
+        [(r[qid_col], r[qtext_col], list(r[qvec_col])) for r in qall],
+        qschema,
+    )
     terms = sorted(
         {t for r in qall for t in bm25_op.tokenize_query(r[qtext_col] or "")}
     )
@@ -391,9 +416,9 @@ def hybrid_search_batch_ivf(
             sims.append((d / (nq * nc) if nq > 0 and nc > 0 else 0.0, lbl))
         sims.sort(key=lambda t: (-t[0], t[1]))
         probe_pairs += [(qr[qid_col], int(lbl)) for _, lbl in sims[:nprobe]]
-    spark = docs.sparkSession
     qid_type = queries.schema[qid_col].dataType
-    probes = spark.createDataFrame(
+    probes = local_frame(
+        spark_,
         probe_pairs,
         T.StructType(
             [T.StructField(qid_col, qid_type), T.StructField("label", T.IntegerType())]
@@ -416,78 +441,156 @@ def hybrid_search_batch_ivf(
     # --- candidate pairs: probed clusters U keyword matches.  The
     # literal label filter prunes the (label-partitioned) corpus scan
     # to the union of probed clusters before the probe join fans out
-    # per-query pairs.
-    probed_pairs = (
+    # per-query pairs.  The probed side carries its embedding straight
+    # out of the (label-partitioned) corpus scan, so only the sparse
+    # keyword-only pairs ever join the vector table — the probed pairs,
+    # the bulk of the candidate set, never re-shuffle against it.
+    probed = (
         labeled.filter(F.col("label").isin(probe_labels))
         .join(F.broadcast(probes), "label")
-        .select(qid_col, id_col)
+        .select(qid_col, id_col, vec_col)
     )
-    cand_pairs = probed_pairs.unionByName(kw.select(qid_col, id_col)).distinct()
+    qvecs = queries.select(qid_col, qvec_col)
+
+    if not exact_stats:
+        # Pure-pruned fast path — TWO shuffles total, everything else
+        # broadcast map-side:
+        #   1. the keyword partial-agg inside ``kw``;
+        #   2. ONE Exchange(query) that serves BOTH the per-query
+        #      min-max stats (unbounded window aggregates) and the
+        #      top-k row_number — same partitioning, so Catalyst plans
+        #      one shuffle feeding two Window operators.
+        # The two candidate branches are DISJOINT by construction
+        # (keyword pairs whose (query, label) is probed are anti-joined
+        # out against the broadcast probe table), so there is no
+        # dedupe shuffle.  ``kw`` feeds both branches — one lazy
+        # lineage cut so the postings scan + agg run once, not twice.
+        kw = checkpoint_df(kw)
+        probed_scored = (
+            probed.join(F.broadcast(qvecs), qid_col)
+            .join(kw, [qid_col, id_col], "left")  # kw is a tiny agg output -> AQE broadcasts it
+            .select(
+                qid_col,
+                id_col,
+                F.coalesce(F.col("bm25"), F.lit(0.0)).alias("bm25"),
+                cosine(F.col(vec_col), F.col(qvec_col)).alias("cos"),
+            )
+        )
+        kw_outside = (
+            kw.join(
+                labeled.select(F.col(id_col), F.col("label"), F.col(vec_col)),
+                id_col,
+            )
+            .join(F.broadcast(probes), [qid_col, "label"], "left_anti")
+            .join(F.broadcast(qvecs), qid_col)
+            .select(
+                qid_col,
+                id_col,
+                F.col("bm25"),
+                cosine(F.col(vec_col), F.col(qvec_col)).alias("cos"),
+            )
+        )
+        cand = probed_scored.unionByName(kw_outside)
+        wq = Window.partitionBy(qid_col)
+        fused = (
+            cand.withColumn("_bmn", F.min("bm25").over(wq))
+            .withColumn("_bmx", F.max("bm25").over(wq))
+            .withColumn("_cmn", F.min("cos").over(wq))
+            .withColumn("_cmx", F.max("cos").over(wq))
+            .withColumn(
+                "bm25_norm",
+                F.when(
+                    F.col("_bmx") > F.col("_bmn"),
+                    (F.col("bm25") - F.col("_bmn"))
+                    / (F.col("_bmx") - F.col("_bmn")),
+                ).otherwise(F.lit(0.0)),
+            )
+            .withColumn(
+                "vec_norm",
+                F.when(
+                    F.col("_cmx") > F.col("_cmn"),
+                    (F.col("cos") - F.col("_cmn"))
+                    / (F.col("_cmx") - F.col("_cmn")),
+                ).otherwise(F.lit(0.0)),
+            )
+            .withColumn(
+                "score",
+                F.lit(a) * F.col("vec_norm") + F.lit(1.0 - a) * F.col("bm25_norm"),
+            )
+        )
+        worder = Window.partitionBy(qid_col).orderBy(
+            F.desc(stable_round(F.col("score"), 6)), F.asc(id_col)
+        )
+        return (
+            fused.withColumn("_rn", F.row_number().over(worder))
+            .filter(F.col("_rn") <= k)
+            .select(qid_col, id_col, "bm25_norm", "vec_norm", "score")
+        )
+
+    kw_vec = (
+        kw.select(qid_col, id_col)
+        .join(vecs, id_col)
+        .select(qid_col, id_col, vec_col)
+    )
     cand = (
-        cand_pairs.join(vecs, id_col)
-        .join(F.broadcast(queries.select(qid_col, qvec_col)), qid_col)
+        probed.unionByName(kw_vec)
+        .dropDuplicates([qid_col, id_col])
+        .join(F.broadcast(qvecs), qid_col)
         .withColumn("cos", cosine(F.col(vec_col), F.col(qvec_col)))
         .join(kw, [qid_col, id_col], "left")
         .withColumn("bm25", F.coalesce(F.col("bm25"), F.lit(0.0)))
         .select(qid_col, id_col, "bm25", "cos")
-        .transform(checkpoint_df)  # shared by stats branch (inexact mode) + values
+        .transform(checkpoint_df)  # shared by the exact-stats branch + values
     )
 
-    if exact_stats:
-        # cos stats: full-corpus map-only pass — rows are generated by the
-        # broadcast nested-loop and immediately partially aggregated;
-        # nothing N*Q-sized is shuffled or materialized.
-        # cos stats AND the corpus size in one pass (every query sees
-        # every doc in the generate-and-aggregate, so count(*) per
-        # query IS the corpus size — no separate count job).
-        cos_mm = (
-            vecs.select(vec_col)
-            .crossJoin(F.broadcast(queries.select(qid_col, qvec_col)))
-            .select(qid_col, cosine(F.col(vec_col), F.col(qvec_col)).alias("cos"))
-            .groupBy(qid_col)
-            .agg(
-                F.min("cos").alias("_cmn"),
-                F.max("cos").alias("_cmx"),
-                F.count("*").alias("_n"),
-            )
+    # cos stats: full-corpus map-only pass — rows are generated by the
+    # broadcast nested-loop and immediately partially aggregated;
+    # nothing N*Q-sized is shuffled or materialized.
+    # cos stats AND the corpus size in one pass (every query sees
+    # every doc in the generate-and-aggregate, so count(*) per
+    # query IS the corpus size — no separate count job).
+    cos_mm = (
+        vecs.select(vec_col)
+        .crossJoin(F.broadcast(qvecs))
+        .select(qid_col, cosine(F.col(vec_col), F.col(qvec_col)).alias("cos"))
+        .groupBy(qid_col)
+        .agg(
+            F.min("cos").alias("_cmn"),
+            F.max("cos").alias("_cmx"),
+            F.count("*").alias("_n"),
         )
-        # bm25 stats reconstructed exactly from the sparse side: every
-        # doc outside the match set scores 0.0, so whenever the match
-        # count is below the corpus size the dense extrema must include 0.
-        kw_mm = (
-            cos_mm.join(
-                kw.groupBy(qid_col).agg(
-                    F.min("bm25").alias("_kmn"),
-                    F.max("bm25").alias("_kmx"),
-                    F.count("*").alias("_kcnt"),
-                ),
-                qid_col,
-                "left",
-            )
-            .select(
-                qid_col,
-                "_cmn",
-                "_cmx",
-                F.when(
-                    F.coalesce(F.col("_kcnt"), F.lit(0)) < F.col("_n"),
-                    F.least(F.lit(0.0), F.coalesce(F.col("_kmn"), F.lit(0.0))),
-                )
-                .otherwise(F.col("_kmn"))
-                .alias("_bmn"),
-                F.when(
-                    F.coalesce(F.col("_kcnt"), F.lit(0)) < F.col("_n"),
-                    F.greatest(F.lit(0.0), F.coalesce(F.col("_kmx"), F.lit(0.0))),
-                )
-                .otherwise(F.col("_kmx"))
-                .alias("_bmx"),
-            )
+    )
+    # bm25 stats reconstructed exactly from the sparse side: every
+    # doc outside the match set scores 0.0, so whenever the match
+    # count is below the corpus size the dense extrema must include 0.
+    mm = (
+        cos_mm.join(
+            kw.groupBy(qid_col).agg(
+                F.min("bm25").alias("_kmn"),
+                F.max("bm25").alias("_kmx"),
+                F.count("*").alias("_kcnt"),
+            ),
+            qid_col,
+            "left",
         )
-        mm = kw_mm
-    else:
-        mm = cand.groupBy(qid_col).agg(
-            F.min("bm25").alias("_bmn"), F.max("bm25").alias("_bmx"),
-            F.min("cos").alias("_cmn"), F.max("cos").alias("_cmx"),
+        .select(
+            qid_col,
+            "_cmn",
+            "_cmx",
+            F.when(
+                F.coalesce(F.col("_kcnt"), F.lit(0)) < F.col("_n"),
+                F.least(F.lit(0.0), F.coalesce(F.col("_kmn"), F.lit(0.0))),
+            )
+            .otherwise(F.col("_kmn"))
+            .alias("_bmn"),
+            F.when(
+                F.coalesce(F.col("_kcnt"), F.lit(0)) < F.col("_n"),
+                F.greatest(F.lit(0.0), F.coalesce(F.col("_kmx"), F.lit(0.0))),
+            )
+            .otherwise(F.col("_kmx"))
+            .alias("_bmx"),
         )
+    )
 
     fused = (
         cand.join(F.broadcast(mm), qid_col)

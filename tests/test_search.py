@@ -286,9 +286,13 @@ class TestPreparedIndexParity:
         # force the inline path even if another test prepared indexes
         saved = (dict(m._BM25_INDEX_DIRS), dict(m._IVF_INDEX_DIRS),
                  dict(m._DEDUP_INDEX_DIRS), dict(m._LSH_INDEX_DIRS))
+        saved_handles = (dict(m._BM25_INDEX_HANDLES), dict(m._IVF_INDEX_HANDLES),
+                         dict(m._LSH_INDEX_HANDLES))
         try:
             m._BM25_INDEX_DIRS.clear(); m._IVF_INDEX_DIRS.clear()
             m._DEDUP_INDEX_DIRS.clear(); m._LSH_INDEX_DIRS.clear()
+            m._BM25_INDEX_HANDLES.clear(); m._IVF_INDEX_HANDLES.clear()
+            m._LSH_INDEX_HANDLES.clear()
             inline = {n: rows(n) for n in names}
             # the persisted-only LSH path must equal its in-DAG twin
             inline["lsh_prebuilt_vs_in_dag"] = rows("lsh_topk")
@@ -300,6 +304,12 @@ class TestPreparedIndexParity:
             m._IVF_INDEX_DIRS.clear(); m._IVF_INDEX_DIRS.update(saved[1])
             m._DEDUP_INDEX_DIRS.clear(); m._DEDUP_INDEX_DIRS.update(saved[2])
             m._LSH_INDEX_DIRS.clear(); m._LSH_INDEX_DIRS.update(saved[3])
+            m._BM25_INDEX_HANDLES.clear()
+            m._BM25_INDEX_HANDLES.update(saved_handles[0])
+            m._IVF_INDEX_HANDLES.clear()
+            m._IVF_INDEX_HANDLES.update(saved_handles[1])
+            m._LSH_INDEX_HANDLES.clear()
+            m._LSH_INDEX_HANDLES.update(saved_handles[2])
         for n in list(names) + ["lsh_prebuilt_vs_in_dag"]:
             assert prepared[n] == inline[n], n
 
