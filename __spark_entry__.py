@@ -1220,6 +1220,70 @@ def q_reingest_skip_unchanged(spark, sf_dir):
     return kept.unionByName(skipped).unionByName(rewritten)
 
 
+def q_streaming_ingest(spark, sf_dir):
+    """M7 as a hard signal: the foreachBatch incremental ingest
+    (streaming/ingest.streaming_ingest_incremental) driven by REAL
+    Structured Streaming — two availableNow runs over a file source
+    sharing one checkpoint, so the second run processes exactly the
+    newly-arrived files as its own micro-batch(es).
+
+    Batch 1: pages p0..p39.  Batch 2: p0..p19 re-crawled with changed
+    bodies (rewritten via dynamic partition overwrite), p20..p39 resent
+    byte-identical (skipped by the body-hash ledger), p40..p49 new.
+    Returns the FINAL chunks table joined with the final ledger —
+    both persisted-state tables after the second micro-batch."""
+    import tempfile
+
+    from qurio_spark.streaming.ingest import streaming_ingest_incremental
+
+    base = tempfile.mkdtemp(prefix="qurio-stream-ingest-")
+    in_dir = f"{base}/in"
+    chunks_p, ledger_p, ckpt = f"{base}/chunks", f"{base}/ledger", f"{base}/ckpt"
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def pages(pred, updated):
+        content = F.concat(
+            F.lit("Doc "), F.col("doc_id"), F.lit(" alpha beta gamma delta.")
+        )
+        if updated:
+            content = F.concat(content, F.lit(" updated"))
+        return d.filter(pred).select(
+            F.concat(F.lit("https://ex.com/p"), F.col("doc_id")).alias("url"),
+            F.col("source").alias("source_id"),
+            F.lit("success").alias("status"),
+            content.alias("content"),
+            F.concat(F.lit("Page "), F.col("doc_id")).alias("title"),
+            F.concat(F.lit("/p"), F.col("doc_id")).alias("path"),
+            F.struct(
+                F.lit("qurio").alias("author"),
+                F.lit("2024-01-01").alias("created_at"),
+                F.lit(0).alias("pages"),
+            ).alias("metadata"),
+        )
+
+    b1 = pages(F.col("doc_id") < 40, updated=False)
+    b2 = pages(F.col("doc_id") < 20, updated=True).unionByName(
+        pages((F.col("doc_id") >= 20) & (F.col("doc_id") < 50), updated=False)
+    )
+    schema = b1.schema
+
+    def run_available(batch_df):
+        batch_df.write.mode("append").parquet(in_dir)
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = streaming_ingest_incremental(stream, chunks_p, ledger_p, ckpt).start()
+        q.awaitTermination()
+
+    run_available(b1)
+    run_available(b2)
+
+    chunks = spark.read.parquet(chunks_p).select(
+        "url", "source_id", "chunk_index", "content", "title"
+    )
+    ledger = spark.read.parquet(ledger_p)
+    return chunks.join(ledger, "url")
+
+
 def q_stuck_reset(spark, sf_dir):
     """M4 janitor: 'processing' rows older than 5 min flip back to
     'pending' (source/repo.go:183-195; ticker main.go:109-123)."""
@@ -1614,7 +1678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "events_sessions": q_events_sessions,
         "events_pivot": q_events_pivot,
-        "events_moving_avg": q_events_moving_avg,
+        "streaming_ingest": q_streaming_ingest,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q4": q_tpch_q4,
@@ -1640,6 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "minhash": q_minhash,
         "minhash_lsh": q_minhash_lsh,
+        "events_moving_avg": q_events_moving_avg,
         "count_global": q_count_global,
         "count_filtered": q_count_filtered,
         "simhash": q_simhash,
@@ -2546,6 +2611,24 @@ FROM documents WHERE source = 'src3'
 UNION ALL
 SELECT doc_id, source, sha256(text || '-v2') AS body_hash, 'rewritten' AS action
 FROM documents WHERE source = 'src2'""",
+        # final persisted state (chunks JOIN ledger) after two real
+        # micro-batches: p0..p19 rewritten, p20..p39 hash-skipped
+        # (original bodies survive), p40..p49 new in batch 2
+        "streaming_ingest": """
+WITH base AS (SELECT doc_id, source FROM documents WHERE doc_id < 50),
+final AS (
+  SELECT 'https://ex.com/p' || doc_id AS url,
+         source AS source_id,
+         0 AS chunk_index,
+         CASE WHEN doc_id < 20
+              THEN 'Doc ' || doc_id || ' alpha beta gamma delta. updated'
+              ELSE 'Doc ' || doc_id || ' alpha beta gamma delta.' END AS content,
+         'Page ' || doc_id AS title
+  FROM base
+)
+SELECT url, source_id, chunk_index, content, title,
+       sha256(content) AS body_hash
+FROM final""",
         "stuck_reset": _stuck_reset_sql(),
         "dlq_retry": _dlq_retry_sql(),
         "rerank_overlap": _rerank_overlap_sql(),

@@ -143,6 +143,24 @@ def streaming_ingest(
     )
 
 
+def read_parquet_if_exists(spark, path: str) -> DataFrame | None:
+    """None ONLY for the missing-path first-batch case.  Any other
+    failure (transient FS error, corrupt footer, unreadable files) must
+    propagate and fail the micro-batch so Structured Streaming retries
+    it — a broad fallback here would silently rebuild from only the
+    current batch and dynamic-partition-overwrite away every other
+    page's chunks in the touched partitions (masked data loss)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        cond = getattr(e, "getCondition", lambda: None)() or ""
+        if "PATH_NOT_FOUND" in cond or "Path does not exist" in str(e):
+            return None
+        raise
+
+
 def streaming_ingest_incremental(
     docs_stream: DataFrame,
     chunks_path: str,
@@ -169,9 +187,8 @@ def streaming_ingest_incremental(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
-            prior = spark.read.parquet(ledger_path)
-        except Exception:  # noqa: BLE001 — first batch: no ledger yet
+        prior = read_parquet_if_exists(spark, ledger_path)
+        if prior is None:  # first batch: no ledger yet
             prior = spark.createDataFrame([], "url string, body_hash string")
         ok = batch_df.filter(F.col("status") == "success")
         changed, _unchanged = split_unchanged(ok, prior)
@@ -179,8 +196,10 @@ def streaming_ingest_incremental(
         if changed.limit(1).count() == 0:
             return
         new_chunks = build_chunks(changed.drop("body_hash"), embedder)
-        try:
-            existing = spark.read.parquet(chunks_path)
+        existing = read_parquet_if_exists(spark, chunks_path)
+        if existing is None:  # first batch: no chunks yet
+            merged = new_chunks
+        else:
             # only partitions containing a changed page are rewritten
             # (dynamic partition overwrite): merge the kept rows of
             # touched sources with the rebuilt chunks, leave every
@@ -190,8 +209,6 @@ def streaming_ingest_incremental(
             merged = apply_incremental(
                 existing_touched, new_chunks, changed.select("url")
             ).transform(lambda d: checkpoint_df(d, eager=True))  # materialize BEFORE overwriting the input
-        except Exception:  # noqa: BLE001 — first batch: no chunks yet
-            merged = new_chunks
         merged.repartition("source_id").write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
         ).partitionBy("source_id").parquet(chunks_path)

@@ -287,3 +287,32 @@ class TestIncrementalStreamIngest:
             for r in spark.read.parquet(chunks_path).collect()
         }
         assert third == second
+
+
+class TestReadParquetIfExists:
+    def test_missing_path_is_first_batch(self, spark, tmp_path):
+        from qurio_spark.streaming.ingest import read_parquet_if_exists
+
+        assert read_parquet_if_exists(spark, str(tmp_path / "nope")) is None
+
+    def test_existing_table_reads(self, spark, tmp_path):
+        from qurio_spark.streaming.ingest import read_parquet_if_exists
+
+        p = str(tmp_path / "t")
+        spark.range(5).write.parquet(p)
+        df = read_parquet_if_exists(spark, p)
+        assert df is not None and df.count() == 5
+
+    def test_non_missing_failures_propagate(self, spark, tmp_path):
+        """A path that EXISTS but cannot be read as parquet must raise —
+        falling back to 'first batch' here would mask data loss (the
+        dynamic partition overwrite would drop other pages' chunks)."""
+        import pytest
+
+        from qurio_spark.streaming.ingest import read_parquet_if_exists
+
+        bad = tmp_path / "bad"
+        bad.mkdir()
+        (bad / "junk.txt").write_text("not parquet at all")
+        with pytest.raises(Exception, match="(?i)parquet|infer|schema"):
+            read_parquet_if_exists(spark, str(bad))
