@@ -1,0 +1,95 @@
+"""CI-enforced physical-plan budgets (VERDICT r2 #7).
+
+tools/plan_audit.py produced ad-hoc evidence; these tests freeze the
+per-family Exchange/join/pruning budgets so a plan regression (an
+accidental extra shuffle, a lost partition filter, a broadcast that
+degrades to sort-merge) fails the suite instead of silently shipping.
+
+Budgets are upper bounds chosen one notch above the known-good plan —
+tight enough to catch a structural regression, loose enough to survive
+cosmetic optimizer changes.
+"""
+
+import pytest
+
+from tools.plan_audit import audit
+
+
+@pytest.fixture(scope="module")
+def prepared(spark, sf_dir):
+    """Persisted indexes for the prebuilt-path queries, with the module
+    caches restored afterwards so other test files see their own state."""
+    import __spark_entry__ as m
+
+    saved = (
+        dict(m._BM25_INDEX_DIRS), dict(m._IVF_INDEX_DIRS),
+        dict(m._DEDUP_INDEX_DIRS), dict(m._LSH_INDEX_DIRS),
+        dict(m._BM25_INDEX_HANDLES), dict(m._IVF_INDEX_HANDLES),
+        dict(m._LSH_INDEX_HANDLES),
+    )
+    m.prepare_indexes(spark, sf_dir)
+    yield m
+    for cache, snap in zip(
+        (m._BM25_INDEX_DIRS, m._IVF_INDEX_DIRS, m._DEDUP_INDEX_DIRS,
+         m._LSH_INDEX_DIRS, m._BM25_INDEX_HANDLES, m._IVF_INDEX_HANDLES,
+         m._LSH_INDEX_HANDLES),
+        saved,
+    ):
+        cache.clear()
+        cache.update(snap)
+
+
+#: name -> {metric: (op, bound)}; op "<=" is a ceiling, ">=" a floor.
+BUDGETS = {
+    # relational core: single-shuffle agg with scan pushdown
+    "tpch_q1": {"shuffles": ("<=", 1), "pushed_filters": (">=", 1)},
+    # join family: dims broadcast, no sort-merge join
+    "tpch_q3": {"shuffles": ("<=", 1), "smj": ("<=", 0)},
+    # prebuilt BM25: one scoring shuffle, term-bucket directory pruning
+    "bm25_prebuilt": {"shuffles": ("<=", 1), "partition_filters": (">=", 1)},
+    # persisted LSH probe: map-only pruned scan + TakeOrdered
+    "lsh_prebuilt": {"shuffles": ("<=", 0), "partition_filters": (">=", 1)},
+    # IVF single probe: map-only pruned scan
+    "ann_ivf": {"shuffles": ("<=", 0)},
+    # hybrid fusion: one scoring shuffle (diamond is checkpointed)
+    "hybrid_topk": {"shuffles": ("<=", 1)},
+    # dense batch hybrid: keyword agg + per-query window
+    "batch_hybrid": {"shuffles": ("<=", 2), "smj": ("<=", 0)},
+    # dedup ladder: single-shuffle groupings, banded joins broadcast
+    "exact_dedup": {"shuffles": ("<=", 1)},
+    "minhash": {"shuffles": ("<=", 1)},
+    "simhash_near": {"shuffles": ("<=", 2)},
+    "ngram_jaccard": {"shuffles": ("<=", 3)},
+    # text analysis: pure column expressions, zero shuffle, codegen'd
+    "token_counts": {"shuffles": ("<=", 0), "codegen_spans": (">=", 1)},
+    # curation: dedup + per-source window, no global sort
+    "curate": {"shuffles": ("<=", 2)},
+    # sessionization: one per-user window shuffle
+    "events_sessions": {"shuffles": ("<=", 1)},
+}
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_plan_budget(name, spark, sf_dir, prepared):
+    a = audit(prepared.queries()[name](spark, sf_dir))
+    for metric, (op, bound) in BUDGETS[name].items():
+        got = a[metric]
+        ok = got <= bound if op == "<=" else got >= bound
+        assert ok, (
+            f"{name}: {metric}={got} violates budget {op}{bound}\n{a['plan']}"
+        )
+
+
+def test_pruned_batch_hybrid_budget(spark, sf_dir, prepared):
+    """The pure-pruned scale path with prebuilt indexes: two shuffles
+    total (keyword partial-agg + the single per-query Exchange serving
+    stats and top-k), label partition pruning on the IVF scan, and no
+    Python stage anywhere (index prebuilt, no k-means fit)."""
+    a = audit(prepared.queries()["batch_hybrid_ivf_pruned"](spark, sf_dir))
+    assert a["shuffles"] <= 2, a["plan"]
+    # the keyword-agg joins broadcast under AQE (runtime stats see the
+    # tiny agg output); this session pins AQE off for plan stability, so
+    # the static planner may leave ONE of them as a sort-merge join
+    assert a["smj"] <= 1, a["plan"]
+    assert a["python_stages"] == 0, a["plan"]
+    assert a["partition_filters"] >= 1, a["plan"]
