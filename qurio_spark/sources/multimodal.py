@@ -144,6 +144,108 @@ CONVERTED_SCHEMA = T.StructType(
 ERR_CONVERSION_STUBBED = "ERR_CONVERSION_STUBBED"
 
 
+# -- minimal text-object PDF extraction (S5, handlers/file.py:196-299) -------
+#
+# A dependency-free parser for the COMMON upload case: digitally-born
+# PDFs whose page content streams carry text operators (Tj/TJ/'),
+# stored raw or FlateDecode-compressed (zlib is stdlib).  Image-only /
+# scanned PDFs have no text operators and stay honestly stubbed —
+# ERR_CONVERSION_STUBBED still marks the OCR boundary.
+
+_PDF_STRING_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _pdf_unescape(raw: bytes) -> str:
+    """PDF literal-string unescape: backslash escapes + octal codes."""
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        c = raw[i : i + 1]
+        if c == b"\\" and i + 1 < len(raw):
+            nxt = raw[i + 1 : i + 2]
+            if nxt in _PDF_STRING_ESCAPES:
+                out += _PDF_STRING_ESCAPES[nxt]
+                i += 2
+                continue
+            if nxt.isdigit():
+                j = i + 1
+                while j < len(raw) and j < i + 4 and raw[j : j + 1].isdigit():
+                    j += 1
+                out.append(int(raw[i + 1 : j], 8) & 0xFF)
+                i = j
+                continue
+            i += 1  # line continuation / unknown escape: drop backslash
+            continue
+        out += c
+        i += 1
+    return out.decode("latin-1")
+
+
+import re as _re
+
+#: literal strings ((...) with escaped parens) and the operator after
+_PDF_LITERAL = _re.compile(rb"\(((?:\\.|[^\\()])*)\)")
+_PDF_TEXT_BLOCK = _re.compile(rb"BT(.*?)ET", _re.S)
+#: ops that move the text cursor to a new line
+_PDF_NEWLINE_OPS = _re.compile(rb"(?:^|\s)(?:T\*|TD|Td)(?:\s|$)")
+
+
+def _pdf_streams(data: bytes):
+    """(dict_bytes, stream_bytes) per stream object, inflated when the
+    object dictionary declares FlateDecode."""
+    import zlib
+
+    for m in _re.finditer(rb"stream\r?\n(.*?)\r?\n?endstream", data, _re.S):
+        start = data.rfind(b"<<", 0, m.start())
+        head = data[start : m.start()] if start != -1 else b""
+        body = m.group(1)
+        if b"FlateDecode" in head:
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                continue
+        yield head, body
+
+
+def _pdf_block_text(block: bytes) -> str:
+    """One BT..ET block -> text: literal strings in drawing order,
+    newlines at the line-moving operators."""
+    parts: list[str] = []
+    # walk tokens in order; emit \n for Td/TD/T*, strings for (...)
+    token = _re.compile(rb"\(((?:\\.|[^\\()])*)\)|(T\*|TD|Td)")
+    for m in token.finditer(block):
+        if m.group(2) is not None:
+            if parts and parts[-1] != "\n":
+                parts.append("\n")
+        else:
+            parts.append(_pdf_unescape(m.group(1)))
+    return "".join(parts).strip()
+
+
+def extract_pdf_text(data: bytes) -> tuple[str | None, str | None, int]:
+    """-> (text, title, page_count); text None when the file has no
+    extractable text operators (the OCR case).  Raises ValueError on a
+    non-PDF payload."""
+    if not data.startswith(b"%PDF"):
+        raise ValueError("not a PDF")
+    pages = len(_re.findall(rb"/Type\s*/Page[^s]", data))
+    texts: list[str] = []
+    for _head, body in _pdf_streams(data):
+        for bm in _PDF_TEXT_BLOCK.finditer(body):
+            t = _pdf_block_text(bm.group(1))
+            if t:
+                texts.append(t)
+    title = None
+    tm = _re.search(rb"/Title\s*\(((?:\\.|[^\\()])*)\)", data)
+    if tm:
+        title = _pdf_unescape(tm.group(1)).strip() or None
+    text = "\n\n".join(texts) if texts else None
+    return text, title, pages
+
+
 def _convert_one(path: str, data) -> tuple:
     """One upload -> markdown + normalized metadata, hermetically.
 
@@ -175,7 +277,19 @@ def _convert_one(path: str, data) -> tuple:
     if ext not in ALLOWED_UPLOAD_EXTS:
         return failed("ERR_INVALID_FORMAT")
     if ext == "pdf":
-        return failed(ERR_CONVERSION_STUBBED)
+        # digitally-born PDFs: hermetic text-object extraction (raw or
+        # FlateDecode streams).  No text operators -> scanned/image PDF
+        # -> the OCR boundary stays honestly stubbed.
+        try:
+            text, pdf_title, pages = extract_pdf_text(bytes(data))
+        except ValueError:
+            return failed("ERR_INVALID_FORMAT")
+        if text is None or not text.strip():
+            return failed(ERR_CONVERSION_STUBBED)
+        return (
+            path, "success", None, text, pdf_title or basename,
+            None, None, pages, "en",
+        )
     try:
         text = bytes(data).decode("utf-8")
     except UnicodeDecodeError:

@@ -1,0 +1,87 @@
+"""Minimal digitally-born PDF generator for conversion tests.
+
+Builds a structurally honest PDF (header, catalog, page tree, per-page
+FlateDecode-able content streams, Info dict, xref, trailer) with text
+drawn via Tj/Td operators — the common text-PDF shape
+``extract_pdf_text`` targets.  Pure stdlib.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+
+def _content_stream(lines: list[str]) -> bytes:
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    ops = ["BT", "/F1 12 Tf", "72 720 Td"]
+    for i, line in enumerate(lines):
+        if i:
+            ops.append("0 -14 Td")
+        ops.append(f"({esc(line)}) Tj")
+    ops.append("ET")
+    return "\n".join(ops).encode("latin-1")
+
+
+def make_pdf(
+    pages: list[list[str]],
+    title: str | None = None,
+    compress: bool = False,
+    image_only: bool = False,
+) -> bytes:
+    """``pages``: list of pages, each a list of text lines.
+    ``image_only=True`` swaps text operators for a raster-op stream —
+    the scanned-PDF case that must stay ERR_CONVERSION_STUBBED."""
+    objs: list[bytes] = []
+
+    def ref(n: int) -> str:
+        return f"{n} 0 R"
+
+    n_pages = len(pages)
+    page_obj_ids = [4 + 2 * i for i in range(n_pages)]
+    kids = " ".join(ref(i) for i in page_obj_ids)
+
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")  # 1
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )  # 2
+    info = f"<< /Title ({title}) >>" if title else "<< >>"
+    objs.append(info.encode("latin-1"))  # 3
+
+    for i, lines in enumerate(pages):
+        pid, cid = 4 + 2 * i, 5 + 2 * i
+        objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Contents {ref(cid)} >>"
+            ).encode()
+        )
+        if image_only:
+            body = b"q 612 0 0 792 0 0 cm /Im0 Do Q"
+        else:
+            body = _content_stream(lines)
+        filt = b""
+        if compress:
+            body = zlib.compress(body)
+            filt = b" /Filter /FlateDecode"
+        objs.append(
+            b"<< /Length " + str(len(body)).encode() + filt + b" >>\n"
+            b"stream\n" + body + b"\nendstream"
+        )
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R /Info 3 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)

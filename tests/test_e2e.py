@@ -115,3 +115,62 @@ class TestFullSystem:
         old = sorted(r["content"] for r in chunks.filter(F.col("url") == "https://docs.d.com/install").collect())
         new = sorted(r["content"] for r in merged.filter(F.col("url") == "https://docs.d.com/install").collect())
         assert old == new
+
+
+class TestPdfUploadRoundTrip:
+    """S5 end-to-end: a generated text PDF flows through convert ->
+    docs_raw -> chunk+embed -> hybrid search and is retrievable by its
+    own body text (VERDICT r2 #5; reference bar handlers/file.py:196-299)."""
+
+    def test_pdf_convert_chunk_search(self, spark, tmp_path):
+        from qurio_spark.operators.hybrid import hybrid_search
+        from qurio_spark.sources.multimodal import (
+            convert_files,
+            read_binary_dir,
+            uploads_to_docs_raw,
+        )
+        from tests.pdf_fixture import make_pdf
+
+        d = tmp_path / "uploads"
+        d.mkdir()
+        (d / "quarterly.pdf").write_bytes(
+            make_pdf(
+                [
+                    ["Quarterly revenue grew twelve percent.",
+                     "Cloud segment led the expansion."],
+                    ["Outlook remains cautiously optimistic."],
+                ],
+                title="Q3 Summary",
+                compress=True,
+            )
+        )
+        (d / "scanned.pdf").write_bytes(
+            make_pdf([["x"]], image_only=True)
+        )
+        (d / "readme.md").write_text("# Other upload\n\nUnrelated body.")
+
+        converted = convert_files(read_binary_dir(spark, str(d)))
+        docs_raw = uploads_to_docs_raw(converted, source_id="up1")
+        chunks = build_chunks(docs_raw)
+
+        rows = chunks.collect()
+        pdf_rows = [r for r in rows if r["url"].endswith("quarterly.pdf")]
+        assert pdf_rows, "text PDF must produce chunks"
+        assert all(r["title"] == "Q3 Summary" for r in pdf_rows)
+        assert all(r["page_count"] == 2 for r in pdf_rows)
+        assert not any(r["url"].endswith("scanned.pdf") for r in rows)
+
+        corpus = chunks.withColumnRenamed("content", "text").withColumn(
+            "doc_id", F.monotonically_increasing_id()
+        )
+        from qurio_spark.functions.embedder import embed_text_py
+
+        top = hybrid_search(
+            corpus,
+            "quarterly revenue grew",
+            embed_text_py("quarterly revenue grew"),
+            alpha=0.5,
+            limit=3,
+            extra_cols=["url"],
+        ).collect()
+        assert top and top[0]["url"].endswith("quarterly.pdf")

@@ -184,3 +184,66 @@ class TestFileConversion:
         urls = {r["url"].rsplit("/", 1)[-1] for r in chunks.select("url").distinct().collect()}
         assert "guide.md" in urls and "notes.txt" in urls
         assert "scan.pdf" not in urls and "blob.xyz" not in urls
+
+
+class TestPdfExtraction:
+    """S5 text-PDF body (handlers/file.py:196-299): hermetic extraction
+    of digitally-born PDFs — raw and FlateDecode content streams,
+    literal-string escapes, page counting, Info-dict title; scanned
+    (image-only) PDFs keep the honest OCR stub."""
+
+    def test_uncompressed_single_page(self):
+        from qurio_spark.sources.multimodal import _convert_one
+        from tests.pdf_fixture import make_pdf
+
+        pdf = make_pdf([["Hello PDF world.", "Second line here."]],
+                       title="My Report")
+        row = _convert_one("/up/report.pdf", pdf)
+        assert row[1] == "success"
+        assert "Hello PDF world." in row[3] and "Second line here." in row[3]
+        assert row[4] == "My Report"
+        assert row[7] == 1  # pages
+
+    def test_flate_two_pages(self):
+        from qurio_spark.sources.multimodal import _convert_one
+        from tests.pdf_fixture import make_pdf
+
+        pdf = make_pdf(
+            [["Page one text."], ["Page two text."]], compress=True
+        )
+        row = _convert_one("/up/two.pdf", pdf)
+        assert row[1] == "success"
+        assert "Page one text." in row[3] and "Page two text." in row[3]
+        assert row[7] == 2
+        assert row[4] == "two.pdf"  # no /Title -> filename
+
+    def test_string_escapes_and_octal(self):
+        from qurio_spark.sources.multimodal import extract_pdf_text
+        from tests.pdf_fixture import make_pdf
+
+        pdf = make_pdf([["paren (nested) and back\\slash"]])
+        text, _, _ = extract_pdf_text(pdf)
+        assert "paren (nested) and back\\slash" in text
+        # octal escapes decode to their byte values
+        raw = make_pdf([["placeholder"]]).replace(
+            b"(placeholder)", rb"(\101\102 ok)"
+        )
+        text, _, _ = extract_pdf_text(raw)
+        assert "AB ok" in text
+
+    def test_image_only_pdf_stays_stubbed(self):
+        from qurio_spark.sources.multimodal import (
+            ERR_CONVERSION_STUBBED,
+            _convert_one,
+        )
+        from tests.pdf_fixture import make_pdf
+
+        pdf = make_pdf([["ignored"]], image_only=True)
+        row = _convert_one("/up/scan.pdf", pdf)
+        assert row[1] == "failed" and row[2] == ERR_CONVERSION_STUBBED
+
+    def test_non_pdf_payload_invalid(self):
+        from qurio_spark.sources.multimodal import _convert_one
+
+        row = _convert_one("/up/fake.pdf", b"GIF89a not a pdf")
+        assert row[1] == "failed" and row[2] == "ERR_INVALID_FORMAT"
