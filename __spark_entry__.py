@@ -800,7 +800,7 @@ def q_link_filter_chain(spark, sf_dir):
     the llms.txt +1 allowance) over a deterministic fixture."""
     from qurio_spark.operators.crawl import discover_links
 
-    links = spark.createDataFrame(
+    links = local_frame(spark, 
         [(sid, pu, l, pd_, md, [_LINK_EXCLUSION]) for sid, pu, l, pd_, md in _LINK_FIXTURE],
         "source_id string, page_url string, link string, parent_depth int, "
         "max_depth int, exclusions array<string>",
@@ -813,7 +813,7 @@ def q_source_completion(spark, sf_dir):
     ledger (seed failure fails the source)."""
     from qurio_spark.operators.crawl import source_completion
 
-    pages = spark.createDataFrame(
+    pages = local_frame(spark, 
         _PAGE_FIXTURE, "source_id string, url string, status string, depth int"
     )
     return source_completion(pages)
@@ -1106,7 +1106,7 @@ def q_sitemap_urls(spark, sf_dir):
     tests/test_sitemap.py)."""
     from qurio_spark.sources.sitemap import sitemap_page_urls
 
-    df = spark.createDataFrame(
+    df = local_frame(spark, 
         _SITEMAP_FIXTURE, "source_id string, base_url string, xml string"
     )
     return sitemap_page_urls(df)
@@ -1115,7 +1115,7 @@ def q_sitemap_urls(spark, sf_dir):
 def q_md_extract(spark, sf_dir):
     """T7: markdown link + title extraction (web.py:138-181): links via
     the []( ) regex, distinct per doc; title = first level-1 heading."""
-    md = spark.createDataFrame(_MD_FIXTURE, "doc_id string, content string")
+    md = local_frame(spark, _MD_FIXTURE, "doc_id string, content string")
     return (
         md.select(
             "doc_id",
@@ -1147,7 +1147,7 @@ def q_doc_meta_norm(spark, sf_dir):
     """T9: docling metadata normalization (file.py:66-141): title
     metadata > filename-from-path; author list joined ", "; language
     default en; pages kept (0 = unknown)."""
-    rows = spark.createDataFrame(
+    rows = local_frame(spark, 
         _META_FIXTURE,
         "path string, title string, authors array<string>, created string,"
         " pages int, language string",
@@ -1291,7 +1291,7 @@ def q_stuck_reset(spark, sf_dir):
 
     from qurio_spark.operators.crawl import reset_stuck_pages
 
-    pages = spark.createDataFrame(
+    pages = local_frame(spark, 
         _STUCK_FIXTURE, "source_id string, url string, status string, updated_epoch long"
     ).withColumn("updated_at", F.timestamp_seconds(F.col("updated_epoch")))
     now = datetime.datetime.fromtimestamp(_STUCK_NOW, tz=datetime.timezone.utc)
@@ -1301,7 +1301,7 @@ def q_stuck_reset(spark, sf_dir):
 def q_dlq_retry(spark, sf_dir):
     """M5: DLQ replay routing — payload type -> original topic, retry
     budget max 3 (job/service.go:31-80, config.py:17-20)."""
-    jobs = spark.createDataFrame(
+    jobs = local_frame(spark, 
         _DLQ_FIXTURE,
         "id string, handler string, payload string, error string, retries int",
     )

@@ -493,10 +493,13 @@ def ivf_build(
 
 
 def _label_with(embeddings, centroids, id_col, vec_col):
+    from qurio_spark.functions.frames import local_frame
+
     labeled = assign_labels(embeddings, centroids, id_col, vec_col)
-    spark = embeddings.sparkSession
-    cdf = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)], "label int, centroid array<float>"
+    cdf = local_frame(
+        embeddings.sparkSession,
+        [(i, c) for i, c in enumerate(centroids)],
+        "label int, centroid array<float>",
     )
     return labeled, cdf
 
