@@ -747,6 +747,139 @@ def q_tpch_q5(spark, sf_dir):
     )
 
 
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7-style volume shipping: bilateral trade between two
+    nations by year.  Fact-fact joins shuffle on their keys; both
+    nation dims broadcast twice under different aliases."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    ns = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (
+        F.col("cust_nation") == "NATION_2"
+    ) | (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            stable_round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8-style market share: NATION_2's share of ECONOMY-part
+    volume sold into EUROPE per order year — conditional-sum ratio over
+    one joined fact pass."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    nc = n.select(F.col("n_nationkey").alias("c_nk"), "n_regionkey")
+    ns = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(r), F.col("n_regionkey") == r["r_regionkey"])
+        .filter(
+            (F.col("r_name") == "EUROPE")
+            & (F.col("p_type") == "ECONOMY")
+            & (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            stable_round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17-style small-quantity revenue: lineitems of one brand
+    below 20% of that part's average quantity — the correlated-average
+    re-expressed as a per-part agg joined back (no per-row subquery)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    brand = l.join(
+        F.broadcast(p.filter(F.col("p_brand") == "Brand#1")),
+        l["l_partkey"] == p["p_partkey"],
+    )
+    avg_qty = brand.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.avg("l_quantity") * 0.2).alias("_qty_cap")
+    )
+    return (
+        brand.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("_qty_cap"))
+        .agg(
+            stable_round(
+                F.coalesce(F.sum("l_extendedprice"), F.lit(0.0)) / 7.0, 2
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22-shaped dormant-customer analysis (no phone column in
+    this schema, so the country-code gate becomes a nation gate, and —
+    because this dataset's customers all have SOME order — 'no orders'
+    becomes 'no orders since 2000-01-01'): customers of NATION_1/2/3
+    with above-average positive balance and no recent orders, grouped
+    by nation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    in_scope = c.filter(F.col("c_nationkey").isin(1, 2, 3))
+    avg_bal = in_scope.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    recent = o.filter(F.col("o_orderdate") >= "2000-01-01").select("o_custkey")
+    return (
+        in_scope.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(recent, c["c_custkey"] == recent["o_custkey"], "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            stable_round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
 def q_top_customers(spark, sf_dir):
     """Join + agg + deterministic top-10 (largest customers)."""
     o = _t(spark, sf_dir, "orders")
@@ -1723,6 +1856,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cheapest_order_per_customer": q_cheapest_order_per_customer,
         "tpch_q12": q_tpch_q12,
         "tpch_q19": q_tpch_q19,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q22": q_tpch_q22,
         # -- rows-only (non-SQL-expressible) ---------------------------
         "chunk_corpus": q_chunk_corpus,
         "ingest_pipeline": q_ingest_pipeline,
@@ -2640,6 +2777,71 @@ WHERE o_orderdate >= TIMESTAMP '1996-07-01'
   AND EXISTS (SELECT 1 FROM lineitem
               WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
 GROUP BY o_orderpriority""",
+        "tpch_q7": """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       (floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0)
+         AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+    OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3""",
+        "tpch_q8": """
+SELECT year(o_orderdate) AS o_year,
+       (floor((sum(CASE WHEN ns.n_name = 'NATION_2'
+                        THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+               / sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5)
+        / 10000.0) AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN region   ON nc.n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1""",
+        "tpch_q17": """
+WITH brand AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#1'
+),
+caps AS (
+  SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS qty_cap
+  FROM brand GROUP BY 1
+)
+SELECT (floor((coalesce(sum(l_extendedprice), 0.0) / 7.0) * 100.0 + 0.5)
+        / 100.0) AS avg_yearly
+FROM brand JOIN caps ON l_partkey = pk
+WHERE l_quantity < qty_cap""",
+        "tpch_q22": """
+WITH in_scope AS (
+  SELECT * FROM customer WHERE c_nationkey IN (1, 2, 3)
+),
+avg_bal AS (
+  SELECT avg(c_acctbal) AS a FROM in_scope WHERE c_acctbal > 0
+)
+SELECT n_name,
+       count(*) AS numcust,
+       (floor((sum(c_acctbal)) * 100.0 + 0.5) / 100.0) AS totacctbal
+FROM in_scope, avg_bal
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1""",
         "tpch_q14": """
 SELECT (floor((100.0 * sum(CASE WHEN p_type = 'PROMO'
                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
