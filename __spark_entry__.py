@@ -1739,6 +1739,22 @@ def q_lsh_topk(spark, sf_dir):
     return top.select("vec_id", stable_round("score", 4).alias("score"))
 
 
+def q_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe LSH against the persisted bucket index: the query's
+    bucket plus its lowest-|margin| neighbor bucket (2 of 2^3
+    directories read) — the standard recall/latency dial for hyperplane
+    LSH, with the probe set still a driver-side literal so directory
+    pruning holds (operators/similarity.lsh_probe_buckets)."""
+    from qurio_spark.operators.similarity import lsh_topk_prebuilt, read_lsh_index
+
+    idx = _LSH_INDEX_HANDLES.get(sf_dir)
+    if idx is None:
+        idx = read_lsh_index(spark, _lsh_index_path(spark, sf_dir))
+        _LSH_INDEX_HANDLES[sf_dir] = idx
+    top = lsh_topk_prebuilt(idx, _qvec(spark, sf_dir), k=10, n_probe_buckets=2)
+    return top.select("vec_id", stable_round("score", 4).alias("score"))
+
+
 def q_lsh_prebuilt(spark, sf_dir):
     """q_lsh_topk against the PERSISTED bucket index: corpus written
     partitioned by sign-pattern bucket, query hashed to its bucket
@@ -1814,7 +1830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ingest": q_streaming_ingest,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
-        "tpch_q4": q_tpch_q4,
+        "lsh_multiprobe": q_lsh_multiprobe,
         "tpch_q5": q_tpch_q5,
         "tpch_q18": q_tpch_q18,
         "parts_never_shipped": q_parts_never_shipped,
@@ -1838,6 +1854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash": q_minhash,
         "minhash_lsh": q_minhash_lsh,
         "events_moving_avg": q_events_moving_avg,
+        "tpch_q4": q_tpch_q4,
         "count_global": q_count_global,
         "count_filtered": q_count_filtered,
         "simhash": q_simhash,
@@ -2244,11 +2261,20 @@ SELECT source, doc_id, quality, n_tokens, cum_tokens
 FROM c WHERE cum_tokens <= {budget}"""
 
 
-def _lsh_topk_sql(n_planes: int = 3, k: int = 10, dim: int = 64, seed: int = 11) -> str:
+def _lsh_topk_sql(
+    n_planes: int = 3,
+    k: int = 10,
+    dim: int = 64,
+    seed: int = 11,
+    n_probe_buckets: int = 1,
+) -> str:
     """LSH-bucketed ANN oracle: the deterministic md5-derived +-1
     hyperplanes are inlined as literal arrays, the query bucket is
     computed in SQL from the same stored query vector, and candidates
-    are scored with the standard cosine."""
+    are scored with the standard cosine.  ``n_probe_buckets > 1``
+    mirrors multi-probe: also match the buckets reached by flipping the
+    lowest-|margin| plane bits (ties on bit index, as in
+    operators/similarity.lsh_probe_buckets)."""
     from qurio_spark.operators.similarity import random_hyperplanes
 
     planes = random_hyperplanes(dim, n_planes, seed)
@@ -2264,15 +2290,30 @@ def _lsh_topk_sql(n_planes: int = 3, k: int = 10, dim: int = 64, seed: int = 11)
         ]
         return " + ".join(parts)
 
+    margin_rows = " UNION ALL ".join(
+        f"SELECT {i} AS bit, abs(list_dot_product(qv.v, {plane_lit(pl)})) AS a FROM qv"
+        for i, pl in enumerate(planes)
+    )
+    probes = f"""
+margins AS ({margin_rows}),
+flips AS (SELECT bit FROM margins ORDER BY a ASC, bit ASC
+          LIMIT {max(0, n_probe_buckets - 1)}),
+probes AS (
+  SELECT b FROM qb
+  UNION
+  SELECT xor(qb.b, (1 << bit)) AS b FROM qb, flips
+),"""
+
     return f"""
 WITH {_QV},
 qb AS (SELECT {bucket_expr('qv.v')} AS b FROM qv),
+{probes}
 eb AS (
   SELECT vec_id, embedding,
          {bucket_expr('embedding::DOUBLE[]')} AS b
   FROM embeddings
 ),
-cand AS (SELECT eb.vec_id, eb.embedding FROM eb, qb WHERE eb.b = qb.b),
+cand AS (SELECT eb.vec_id, eb.embedding FROM eb SEMI JOIN probes USING (b)),
 scores AS (
   SELECT c.vec_id,
          list_dot_product(c.embedding::DOUBLE[], qv.v) /
@@ -2516,6 +2557,7 @@ ORDER BY (floor(({_COS}) * 1000000.0 + 0.5) / 1000000.0) DESC, vec_id LIMIT 10""
         # identical semantics by construction: the persisted index only
         # moves the bucket computation to write time
         "lsh_prebuilt": _lsh_topk_sql(n_planes=3, k=10),
+        "lsh_multiprobe": _lsh_topk_sql(n_planes=3, k=10, n_probe_buckets=2),
         "ann_ivf": f"""
 WITH {_QV}
 SELECT vec_id, (floor(({_COS}) * 10000.0 + 0.5) / 10000.0) AS score

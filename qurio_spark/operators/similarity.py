@@ -215,26 +215,55 @@ def read_lsh_index(spark, path: str) -> LSHIndex:
     )
 
 
+def lsh_probe_buckets(
+    query_vec: list[float], planes: list[list[float]], n_probe_buckets: int = 1
+) -> list[int]:
+    """Multi-probe bucket set (Lv et al.): rank ALL flip masks by the
+    total |margin| of their flipped planes — a near-zero dot product
+    means near neighbors plausibly landed on the other side of that
+    plane, so cheap masks probe the likeliest neighbor buckets first —
+    and take the ``n_probe_buckets`` cheapest (the query's own bucket
+    is mask 0, cost 0).  Probing all 2^n_planes buckets degenerates to
+    exact search.  Deterministic: ties break on mask value.  The
+    2^n_planes enumeration is fine by construction — n_planes IS the
+    log of the bucket count, so it's small."""
+    qb = lsh_query_bucket(query_vec, planes)
+    margin = [
+        abs(sum(a * b for a, b in zip(query_vec, pl))) for pl in planes
+    ]
+    masks = sorted(
+        range(1 << len(planes)),
+        key=lambda m: (
+            sum(margin[i] for i in range(len(planes)) if m >> i & 1),
+            m,
+        ),
+    )
+    return sorted(qb ^ m for m in masks[: max(1, n_probe_buckets)])
+
+
 def lsh_topk_prebuilt(
     index: LSHIndex,
     query_vec: list[float],
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probe_buckets: int = 1,
 ) -> DataFrame:
     """``lsh_topk`` against a persisted index: the driver rebuilds the
     (deterministic) planes from the stored parameters, hashes the query
-    to its bucket, and the literal ``bucket == qb`` filter reaches the
-    scan as a PartitionFilter — one directory read, the rest of the
-    corpus untouched.  Result is identical to the in-DAG ``lsh_topk``
-    with the same (n_planes, seed)."""
+    to its bucket(s), and the literal bucket filter reaches the scan as
+    a PartitionFilter — ``n_probe_buckets`` directory reads, the rest
+    of the corpus untouched.  With the default single probe the result
+    is identical to the in-DAG ``lsh_topk`` with the same
+    (n_planes, seed); multi-probe widens recall by also reading the
+    lowest-margin neighbor buckets (see ``lsh_probe_buckets``)."""
     if len(query_vec) != index.dim:
         raise ValueError(
             f"query dim {len(query_vec)} != index dim {index.dim}"
         )
     planes = random_hyperplanes(index.dim, index.n_planes, index.seed)
-    qb = lsh_query_bucket(query_vec, planes)
-    pruned = index.bucketed.filter(F.col("bucket") == qb)
+    buckets = lsh_probe_buckets(query_vec, planes, n_probe_buckets)
+    pruned = index.bucketed.filter(F.col("bucket").isin(buckets))
     return brute_force_topk(pruned, query_vec, k, id_col, vec_col)
 
 

@@ -451,6 +451,48 @@ class TestPersistedLSHIndex:
         plan = pruned._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters" in plan and "bucket" in plan
 
+    def test_multiprobe_widens_candidates_and_recall(self, spark, sf_dir, tmp_path):
+        """Multi-probe reads the query bucket PLUS lowest-margin
+        neighbor buckets: the candidate set is a superset, so recall
+        against the exact top-k can only improve."""
+        from qurio_spark.operators.similarity import (
+            brute_force_topk,
+            lsh_probe_buckets,
+            lsh_topk_prebuilt,
+            random_hyperplanes,
+            read_lsh_index,
+            write_lsh_index,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        ]
+        path = str(tmp_path / "lsh")
+        write_lsh_index(emb, path, dim=len(qvec), n_planes=3)
+        idx = read_lsh_index(spark, path)
+
+        planes = random_hyperplanes(3 and len(qvec), 3, 11)
+        single = lsh_probe_buckets(qvec, planes, 1)
+        multi = lsh_probe_buckets(qvec, planes, 2)
+        assert set(single) < set(multi) and len(multi) == 2
+
+        exact = {r["vec_id"] for r in brute_force_topk(emb, qvec, k=10).collect()}
+
+        def recall(n_probe):
+            got = {
+                r["vec_id"]
+                for r in lsh_topk_prebuilt(
+                    idx, qvec, k=10, n_probe_buckets=n_probe
+                ).collect()
+            }
+            return len(got & exact) / len(exact)
+
+        assert recall(2) >= recall(1)
+        # probing every bucket degenerates to exact search
+        assert recall(8) == 1.0
+
     def test_dim_mismatch_rejected(self, spark, sf_dir, tmp_path):
         from qurio_spark.operators.similarity import (
             lsh_topk_prebuilt,
