@@ -137,7 +137,7 @@ class CircuitBreaker:
 
 # -- upload validation (S6: source/handler.go:80-167) -----------------------
 
-ALLOWED_UPLOAD_EXTS = {"pdf", "md", "txt", "json", "csv"}
+ALLOWED_UPLOAD_EXTS = {"pdf", "docx", "md", "txt", "json", "csv"}
 MAX_UPLOAD_MB = 50  # API default (config.go:41); worker-side cap is 200
 
 

@@ -225,6 +225,54 @@ def _pdf_block_text(block: bytes) -> str:
     return "".join(parts).strip()
 
 
+_DOCX_W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+_DOCX_DC = "{http://purl.org/dc/elements/1.1/}"
+
+
+def extract_docx_text(data: bytes) -> tuple[str | None, str | None, int]:
+    """-> (text, title, page_count) from a DOCX (OPC zip + WordprocessingML;
+    reference converts these through docling's DocumentConverter,
+    handlers/file.py:60-64 — the XML body needs no codec at all).
+    Paragraph runs (w:t) join per w:p; explicit page breaks
+    (w:lastRenderedPageBreak / w:br type=page) bound the page count
+    from below.  Raises ValueError on a non-OPC payload."""
+    import io
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    try:
+        z = zipfile.ZipFile(io.BytesIO(data))
+        xml = z.read("word/document.xml")
+    except (zipfile.BadZipFile, KeyError) as e:
+        raise ValueError("not a DOCX") from e
+    try:
+        root = ET.fromstring(xml)
+    except ET.ParseError as e:
+        raise ValueError("not a DOCX") from e
+    paragraphs = []
+    breaks = 0
+    for p in root.iter(f"{_DOCX_W}p"):
+        txt = "".join(t.text or "" for t in p.iter(f"{_DOCX_W}t"))
+        if txt.strip():
+            paragraphs.append(txt.strip())
+        breaks += sum(1 for _ in p.iter(f"{_DOCX_W}lastRenderedPageBreak"))
+        breaks += sum(
+            1
+            for b in p.iter(f"{_DOCX_W}br")
+            if b.get(f"{_DOCX_W}type") == "page"
+        )
+    title = None
+    try:
+        core = ET.fromstring(z.read("docProps/core.xml"))
+        el = core.find(f"{_DOCX_DC}title")
+        if el is not None and el.text and el.text.strip():
+            title = el.text.strip()
+    except (KeyError, ET.ParseError):
+        pass
+    text = "\n\n".join(paragraphs) if paragraphs else None
+    return text, title, breaks + 1
+
+
 def extract_pdf_text(data: bytes) -> tuple[str | None, str | None, int]:
     """-> (text, title, page_count); text None when the file has no
     extractable text operators (the OCR case).  Raises ValueError on a
@@ -288,6 +336,17 @@ def _convert_one(path: str, data) -> tuple:
             return failed(ERR_CONVERSION_STUBBED)
         return (
             path, "success", None, text, pdf_title or basename,
+            None, None, pages, "en",
+        )
+    if ext == "docx":
+        try:
+            text, docx_title, pages = extract_docx_text(bytes(data))
+        except ValueError:
+            return failed("ERR_INVALID_FORMAT")
+        if text is None or not text.strip():
+            return failed("ERR_EMPTY")  # structurally valid, no body text
+        return (
+            path, "success", None, text, docx_title or basename,
             None, None, pages, "en",
         )
     try:

@@ -85,3 +85,51 @@ def make_pdf(
         f"startxref\n{xref_at}\n%%EOF\n"
     ).encode()
     return bytes(out)
+
+
+def make_docx(
+    paragraphs: list[str],
+    title: str | None = None,
+    page_breaks: int = 0,
+) -> bytes:
+    """Minimal OPC/WordprocessingML document (stdlib zipfile)."""
+    import io
+    import zipfile
+
+    W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+
+    def esc(s: str) -> str:
+        return (
+            s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        )
+
+    body = []
+    for i, p in enumerate(paragraphs):
+        brk = (
+            f'<w:r><w:br w:type="page"/></w:r>'
+            if 0 < i <= page_breaks
+            else ""
+        )
+        body.append(f"<w:p>{brk}<w:r><w:t>{esc(p)}</w:t></w:r></w:p>")
+    doc = (
+        f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<w:document xmlns:w="{W}"><w:body>{"".join(body)}</w:body></w:document>'
+    )
+    core = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<cp:coreProperties '
+        'xmlns:cp="http://schemas.openxmlformats.org/package/2006/metadata/core-properties" '
+        'xmlns:dc="http://purl.org/dc/elements/1.1/">'
+        + (f"<dc:title>{esc(title)}</dc:title>" if title else "")
+        + "</cp:coreProperties>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types '
+            'xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>',
+        )
+        z.writestr("word/document.xml", doc)
+        z.writestr("docProps/core.xml", core)
+    return buf.getvalue()

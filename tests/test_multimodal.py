@@ -247,3 +247,51 @@ class TestPdfExtraction:
 
         row = _convert_one("/up/fake.pdf", b"GIF89a not a pdf")
         assert row[1] == "failed" and row[2] == "ERR_INVALID_FORMAT"
+
+
+class TestDocxExtraction:
+    """S5 DOCX body: OPC zip + WordprocessingML, stdlib-only (reference
+    routes DOCX through docling's DocumentConverter)."""
+
+    def test_paragraphs_title_pages(self):
+        from qurio_spark.sources.multimodal import _convert_one
+        from tests.pdf_fixture import make_docx
+
+        docx = make_docx(
+            ["First paragraph of the memo.", "Second paragraph follows."],
+            title="Team Memo",
+            page_breaks=1,
+        )
+        row = _convert_one("/up/memo.docx", docx)
+        assert row[1] == "success"
+        assert "First paragraph of the memo." in row[3]
+        assert "Second paragraph follows." in row[3]
+        assert row[4] == "Team Memo"
+        assert row[7] == 2
+
+    def test_no_title_falls_back_to_filename(self):
+        from qurio_spark.sources.multimodal import _convert_one
+        from tests.pdf_fixture import make_docx
+
+        row = _convert_one("/up/plain.docx", make_docx(["Body."]))
+        assert row[1] == "success" and row[4] == "plain.docx" and row[7] == 1
+
+    def test_empty_body_is_err_empty(self):
+        from qurio_spark.sources.multimodal import _convert_one
+        from tests.pdf_fixture import make_docx
+
+        row = _convert_one("/up/empty.docx", make_docx([]))
+        assert row[1] == "failed" and row[2] == "ERR_EMPTY"
+
+    def test_non_zip_payload_invalid(self):
+        from qurio_spark.sources.multimodal import _convert_one
+
+        row = _convert_one("/up/fake.docx", b"this is not a zip archive")
+        assert row[1] == "failed" and row[2] == "ERR_INVALID_FORMAT"
+
+    def test_xml_escapes_round_trip(self):
+        from qurio_spark.sources.multimodal import extract_docx_text
+        from tests.pdf_fixture import make_docx
+
+        text, _, _ = extract_docx_text(make_docx(["a < b & c > d"]))
+        assert "a < b & c > d" in text
