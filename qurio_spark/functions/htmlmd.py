@@ -1,0 +1,231 @@
+"""Hermetic HTML -> markdown conversion (stdlib html.parser).
+
+The reference delegates this to crawl4ai's DefaultMarkdownGenerator
+(handlers/web.py:11,122-205) and prefers its boilerplate-stripped
+``fit_markdown``; this rebuild owns the same two behaviors:
+
+  - structural conversion: headings, paragraphs, links, emphasis,
+    inline/fenced code, ordered/unordered lists, blockquotes;
+  - boilerplate removal: script/style and the nav/header/footer/aside
+    landmark containers are dropped entirely (the fit_markdown
+    behavior the reference relies on, web.py:188-205).
+
+Pure Python on purpose: it runs inside the distributed fetch stage
+(operators/crawl.run_crawl_distributed), so it must not need codecs or
+network.  ``convert_html_column`` is the Arrow-batched column form.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+_SKIP = {"script", "style", "nav", "header", "footer", "aside", "noscript"}
+_BLOCK_BREAK = {"p", "div", "section", "article", "table", "tr"}
+_HEADINGS = {f"h{i}": i for i in range(1, 7)}
+
+
+class _MdBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.out: list[str] = []
+        self.title: str | None = None
+        self._skip_depth = 0
+        self._in_title = False
+        self._in_pre = False
+        self._href: str | None = None
+        self._link_text: list[str] = []
+        self._list_stack: list[tuple[str, int]] = []  # (kind, counter)
+
+    # -- emit helpers ------------------------------------------------
+    def _nl(self, n: int = 2) -> None:
+        joined = "".join(self.out)
+        while not joined.endswith("\n" * n) and joined.strip():
+            self.out.append("\n")
+            joined += "\n"
+
+    def _emit(self, s: str) -> None:
+        if self._href is not None:
+            self._link_text.append(s)
+        else:
+            self.out.append(s)
+
+    def _strip_tail_space(self) -> None:
+        buf = self._link_text if self._href is not None else self.out
+        while buf and buf[-1].endswith(" "):
+            buf[-1] = buf[-1].rstrip(" ")
+            if buf[-1] == "":
+                buf.pop()
+
+    # -- parser hooks ------------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP:
+            self._skip_depth += 1
+            return
+        if self._skip_depth:
+            return
+        if tag == "title":
+            self._in_title = True
+        elif tag in _HEADINGS:
+            self._nl()
+            self._emit("#" * _HEADINGS[tag] + " ")
+        elif tag == "a":
+            self._href = dict(attrs).get("href") or ""
+            self._link_text = []
+        elif tag in ("strong", "b"):
+            self._emit("**")
+        elif tag in ("em", "i"):
+            self._emit("*")
+        elif tag == "code" and not self._in_pre:
+            self._emit("`")
+        elif tag == "pre":
+            self._nl()
+            self._emit("```\n")
+            self._in_pre = True
+        elif tag == "blockquote":
+            self._nl()
+            self._emit("> ")
+        elif tag in ("ul", "ol"):
+            self._list_stack.append((tag, 0))
+        elif tag == "li":
+            self._nl(1)
+            depth = max(len(self._list_stack) - 1, 0)
+            kind, n = (self._list_stack[-1] if self._list_stack else ("ul", 0))
+            if kind == "ol":
+                n += 1
+                self._list_stack[-1] = (kind, n)
+                self._emit("  " * depth + f"{n}. ")
+            else:
+                self._emit("  " * depth + "- ")
+        elif tag == "br":
+            self._emit("\n")
+        elif tag in _BLOCK_BREAK:
+            self._nl()
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP:
+            self._skip_depth = max(0, self._skip_depth - 1)
+            return
+        if self._skip_depth:
+            return
+        if tag == "title":
+            self._in_title = False
+        elif tag in _HEADINGS or tag in _BLOCK_BREAK or tag == "blockquote":
+            self._nl()
+        elif tag == "a":
+            text = "".join(self._link_text).strip() or self._href or ""
+            href = self._href or ""
+            self._href = None
+            self.out.append(f"[{text}]({href}) ")
+        elif tag in ("strong", "b"):
+            self._strip_tail_space()
+            self._emit("** ")
+        elif tag in ("em", "i"):
+            self._strip_tail_space()
+            self._emit("* ")
+        elif tag == "code" and not self._in_pre:
+            self._strip_tail_space()
+            self._emit("` ")
+        elif tag == "pre":
+            self._in_pre = False
+            self._emit("\n```")
+            self._nl()
+        elif tag in ("ul", "ol"):
+            if self._list_stack:
+                self._list_stack.pop()
+            self._nl()
+
+    def handle_data(self, data):
+        if self._skip_depth:
+            return
+        if self._in_title:
+            t = data.strip()
+            if t and self.title is None:
+                self.title = t
+            return
+        if self._in_pre:
+            self._emit(data)
+            return
+        collapsed = " ".join(data.split())
+        if collapsed:
+            joined = "".join(self.out)
+            if (
+                joined
+                and not joined.endswith(("\n", " ", "(", "`", "*", "# "))
+                and self._href is None
+                and not self._link_text
+            ):
+                pass
+            self._emit(collapsed + " ")
+
+
+def html_to_markdown(html: str) -> tuple[str, str | None]:
+    """-> (markdown, title).  Boilerplate containers dropped, structure
+    converted; whitespace normalized to at most one blank line."""
+    b = _MdBuilder()
+    b.feed(html or "")
+    b.close()
+    md = "".join(b.out)
+    # tidy: strip trailing spaces per line, collapse 3+ newlines
+    lines = [ln.rstrip() for ln in md.splitlines()]
+    out: list[str] = []
+    for ln in lines:
+        if ln == "" and out and out[-1] == "":
+            continue
+        out.append(ln)
+    return "\n".join(out).strip(), b.title
+
+
+def convert_html_column(df, html_col: str = "html", out_col: str = "markdown"):
+    """Arrow-batched column form: adds ``out_col`` (markdown) and
+    ``{out_col}_title`` next to the input columns."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    def _conv(s):
+        mds, titles = [], []
+        for h in s:
+            md, title = html_to_markdown(h or "")
+            mds.append(md)
+            titles.append(title)
+        return pd.DataFrame({"md": mds, "title": titles})
+
+    _conv.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
+    schema = T.StructType(
+        [
+            T.StructField("md", T.StringType()),
+            T.StructField("title", T.StringType()),
+        ]
+    )
+    udf = F.pandas_udf(schema)(_conv)
+    tmp = df.withColumn("_conv", udf(F.col(html_col)))
+    return (
+        tmp.withColumn(out_col, F.col("_conv.md"))
+        .withColumn(f"{out_col}_title", F.col("_conv.title"))
+        .drop("_conv")
+    )
+
+
+def wrap_html_fetch(fetch_html):
+    """Adapt a raw-HTML fetcher to the crawl's fetch contract: the
+    wrapped callable converts the page to markdown, pulls the title
+    from <title>, and discovers links from the converted markdown —
+    the same []( ) link regex the reference applies to crawl4ai's raw
+    markdown (web.py:152-160)."""
+    import re
+
+    def fetch(task):
+        page = fetch_html(task)
+        html = page.get("html", "")
+        md, title = html_to_markdown(html)
+        links = [
+            l for l in re.findall(r"\[[^\]]*\]\(([^)]+)\)", md)
+            if l.startswith(("http://", "https://", "/"))
+        ]
+        return {
+            "content": md,
+            "links": links,
+            "title": title or page.get("title") or task["url"],
+        }
+
+    return fetch
