@@ -50,6 +50,41 @@ USER_AGENT = "qurio-spark-crawler/1.0"
 
 _MD_LINK = re.compile(r"\[[^\]]*\]\(([^)\s]+)\)")
 
+#: per-process robots.txt cache — in a distributed fetch stage this is
+#: per-executor, matching the reference's per-worker crawler state
+_ROBOTS_CACHE: dict[str, object] = {}
+
+
+def _robots_allows(url: str, user_agent: str, open_, timeout_s: float) -> bool:
+    """robots.txt gate (reference crawls with check_robots_txt=True,
+    handlers/web.py:277).  Unreachable/absent robots.txt allows all,
+    per the de-facto standard; the parsed file is cached per host."""
+    from urllib.robotparser import RobotFileParser
+
+    parts = urllib.parse.urlsplit(url)
+    base = f"{parts.scheme}://{parts.netloc}"
+    rp = _ROBOTS_CACHE.get(base)
+    if rp is None:
+        rp = RobotFileParser()
+        try:
+            req = urllib.request.Request(
+                f"{base}/robots.txt", headers={"User-Agent": user_agent}
+            )
+            with open_(req, timeout=timeout_s) as resp:
+                body = resp.read(64 * 1024).decode("utf-8", errors="replace")
+            rp.parse(body.splitlines())
+        except Exception:  # noqa: BLE001 — any failure to fetch = allow all
+            rp.allow_all = True
+        _ROBOTS_CACHE[base] = rp
+    return rp.can_fetch(user_agent, url)
+
+
+def breadcrumb_path(url: str) -> str:
+    """URL path segments joined ' > ' — the reference's breadcrumb
+    derivation (handlers/web.py:176-179)."""
+    parts = urllib.parse.urlsplit(url)
+    return " > ".join(s for s in parts.path.split("/") if s)
+
 
 def _classify_urlerror(e: urllib.error.URLError) -> IngestionError:
     reason = getattr(e, "reason", None)
@@ -68,6 +103,7 @@ def http_fetch_one(
     max_bytes: int = DEFAULT_MAX_BYTES,
     user_agent: str = USER_AGENT,
     opener=None,
+    check_robots: bool = True,
 ) -> dict:
     """Fetch one page -> ``{"content": markdown, "links": [...],
     "title": ...}`` or raise a taxonomy-coded IngestionError.
@@ -76,8 +112,10 @@ def http_fetch_one(
     inject none — they run a real local http.server — but embedders
     may want a pooled opener)."""
     url = task["url"]
-    req = urllib.request.Request(url, headers={"User-Agent": user_agent})
     open_ = opener or urllib.request.urlopen
+    if check_robots and not _robots_allows(url, user_agent, open_, timeout_s):
+        raise IngestionError(ERR_CRAWL_BLOCKED, "blocked by robots.txt")
+    req = urllib.request.Request(url, headers={"User-Agent": user_agent})
     try:
         resp = open_(req, timeout=timeout_s)
     except urllib.error.HTTPError as e:
@@ -129,4 +167,9 @@ def http_fetch_one(
         if absu.startswith(("http://", "https://")) and absu not in seen:
             seen.add(absu)
             links.append(absu)
-    return {"content": md, "links": links, "title": title or url}
+    return {
+        "content": md,
+        "links": links,
+        "title": title or url,
+        "path": breadcrumb_path(url),
+    }

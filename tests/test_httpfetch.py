@@ -31,8 +31,21 @@ class Handler(BaseHTTPRequestHandler):
     def log_message(self, *a):
         pass
 
+    serve_robots = False
+
     def do_GET(self):
-        if self.path == "/":
+        if self.path == "/robots.txt":
+            if type(self).serve_robots:
+                self._send(
+                    200,
+                    "User-agent: *\nDisallow: /private\n",
+                    "text/plain",
+                )
+            else:
+                self.send_error(404)
+        elif self.path == "/private/page":
+            self._send(200, "<h1>Secret</h1>", "text/html")
+        elif self.path == "/":
             self._send(200, HOME, "text/html; charset=utf-8")
         elif self.path == "/plain.md":
             self._send(200, "# Plain\n\nSee [next](/other.md).", "text/markdown")
@@ -101,6 +114,39 @@ class TestHttpFetch:
         with pytest.raises(IngestionError) as e:
             http_fetch_one({"url": f"{server}/empty"})
         assert e.value.code == ERR_EMPTY
+
+    def test_robots_txt_respected(self, server):
+        """Reference crawls with check_robots_txt=True (web.py:277):
+        a disallowed URL is a permanent BLOCKED failure; the flag
+        bypass and the absent-robots allow-all are both pinned."""
+        from qurio_spark.sources import httpfetch
+
+        Handler.serve_robots = True
+        httpfetch._ROBOTS_CACHE.clear()  # cache was warmed pre-robots
+        try:
+            with pytest.raises(IngestionError) as e:
+                http_fetch_one({"url": f"{server}/private/page"})
+            assert e.value.code == ERR_CRAWL_BLOCKED
+            # non-disallowed path still fetches
+            assert "# Welcome" in http_fetch_one({"url": f"{server}/"})["content"]
+            # explicit bypass skips the gate entirely
+            r = http_fetch_one(
+                {"url": f"{server}/private/page"}, check_robots=False
+            )
+            assert "Secret" in r["content"]
+        finally:
+            Handler.serve_robots = False
+            httpfetch._ROBOTS_CACHE.clear()
+
+    def test_breadcrumb_path(self, server):
+        r = http_fetch_one({"url": f"{server}/plain.md"})
+        assert r["path"] == "plain.md"
+        from qurio_spark.sources.httpfetch import breadcrumb_path
+
+        assert breadcrumb_path("https://x.test/docs/guide/install") == (
+            "docs > guide > install"
+        )
+        assert breadcrumb_path("https://x.test/") == ""
 
     def test_connection_refused_is_transient(self):
         with pytest.raises(IngestionError) as e:
