@@ -655,6 +655,49 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_streaming_hourly(spark, sf_dir):
+    """The streaming twin of q_events_hourly as a hard signal: the same
+    tumbling-window aggregation running through Structured Streaming's
+    state store (complete output mode, availableNow trigger), sunk via
+    foreachBatch overwrite and read back — the final table must match
+    the batch query bit-for-bit, so it shares its DuckDB oracle
+    (streaming/ingest module doc: batch twins ARE the test oracle)."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="qurio-stream-hourly-")
+    out_p, ckpt = f"{base}/out", f"{base}/ckpt"
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            stable_round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("hour"), "event_type", "n", "total_value")
+    )
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(out_p)
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_p)
+
+
 def q_events_top_users(spark, sf_dir):
     """Window function: top-3 users per event_type by event count."""
     counts = (
@@ -1855,6 +1898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "events_moving_avg": q_events_moving_avg,
         "tpch_q4": q_tpch_q4,
+        "streaming_hourly": q_streaming_hourly,
         "count_global": q_count_global,
         "count_filtered": q_count_filtered,
         "simhash": q_simhash,
@@ -2630,6 +2674,11 @@ reach AS (
 SELECT node AS vec_id, min(r) AS cluster_id
 FROM reach GROUP BY node""",
         "events_hourly": """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n, (floor((CAST(sum(value) AS DOUBLE)) * 100.0 + 0.5) / 100.0) AS total_value
+FROM events GROUP BY 1, 2""",
+        # streaming twin: complete-mode windowed agg == the batch query
+        "streaming_hourly": """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n, (floor((CAST(sum(value) AS DOUBLE)) * 100.0 + 0.5) / 100.0) AS total_value
 FROM events GROUP BY 1, 2""",
