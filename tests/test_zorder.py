@@ -1,0 +1,117 @@
+"""Z-order clustering layout (plans/zorder).
+
+Pins the interleave math and the observable effect: after a z-ordered
+write, a tight predicate on EITHER (or both) participating columns
+yields rows from a small fraction of files, where a single-column
+layout localizes only its own column.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from qurio_spark.plans.zorder import (
+    files_touched,
+    with_zvalue,
+    write_zordered,
+    zvalue_expr,
+)
+
+N_FILES = 16
+
+
+@pytest.fixture(scope="module")
+def grid(spark):
+    # 100x100 integer grid — two independent uniform dimensions
+    return (
+        spark.range(10_000)
+        .select(
+            (F.col("id") % 100).alias("x"),
+            (F.col("id") / 100).cast("long").alias("y"),
+            F.col("id").alias("payload"),
+        )
+        .cache()
+    )
+
+
+class TestZValue:
+    def test_interleave_positions(self, spark):
+        df = spark.createDataFrame(
+            [(0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (0, 2)], "a long, b long"
+        )
+        norm = [F.col("a"), F.col("b")]  # already small ints
+        got = {
+            (r["a"], r["b"]): r["z"]
+            for r in df.select(
+                "a", "b", zvalue_expr(norm, bits=4).alias("z")
+            ).collect()
+        }
+        # bit b of col i -> position b*2+i: a contributes 1,4,16..; b 2,8,32..
+        assert got[(0, 0)] == 0
+        assert got[(1, 0)] == 1
+        assert got[(0, 1)] == 2
+        assert got[(1, 1)] == 3
+        assert got[(2, 0)] == 4
+        assert got[(0, 2)] == 8
+
+    def test_with_zvalue_normalizes_and_preserves_rows(self, spark, grid):
+        z = with_zvalue(grid, ["x", "y"], bits=8)
+        rows = z.count()
+        assert rows == 10_000
+        stats = z.agg(F.min("_z"), F.max("_z")).first()
+        assert stats[0] >= 0 and stats[1] < (1 << 16)
+        # corners: (0,0) -> minimal z, (99,99) -> maximal z
+        corner = {(r["x"], r["y"]): r["_z"] for r in z.filter(
+            ((F.col("x") == 0) & (F.col("y") == 0))
+            | ((F.col("x") == 99) & (F.col("y") == 99))
+        ).collect()}
+        assert corner[(0, 0)] == stats[0] and corner[(99, 99)] == stats[1]
+
+    def test_column_count_bounds(self, spark, grid):
+        with pytest.raises(ValueError):
+            with_zvalue(grid, [])
+        with pytest.raises(ValueError):
+            with_zvalue(grid, ["x", "y", "payload", "x"])
+
+
+class TestZOrderedLayout:
+    @pytest.fixture(scope="class")
+    def paths(self, spark, grid, tmp_path_factory):
+        d = tmp_path_factory.mktemp("zorder")
+        zp, xp = str(d / "zordered"), str(d / "by_x")
+        write_zordered(grid, zp, ["x", "y"], n_files=N_FILES)
+        # baseline: clustered on x only
+        (
+            grid.repartitionByRange(N_FILES, "x")
+            .sortWithinPartitions("x")
+            .write.mode("overwrite")
+            .parquet(xp)
+        )
+        return zp, xp
+
+    def test_round_trip_exact(self, spark, grid, paths):
+        zp, _ = paths
+        back = spark.read.parquet(zp)
+        assert back.count() == 10_000
+        assert (
+            back.agg(F.sum("payload")).first()[0]
+            == grid.agg(F.sum("payload")).first()[0]
+        )
+
+    def test_both_dimensions_localize(self, spark, paths):
+        zp, xp = paths
+        z = spark.read.parquet(zp)
+        bx = spark.read.parquet(xp)
+
+        tight_x = F.col("x").between(10, 19)
+        tight_y = F.col("y").between(40, 49)
+
+        # single-column layout: x localizes, y touches ~every file
+        assert files_touched(bx.filter(tight_x)) <= 4
+        assert files_touched(bx.filter(tight_y)) >= N_FILES - 2
+
+        # z-ordered: BOTH dimensions yield rows from a minority of files
+        zx, zy = files_touched(z.filter(tight_x)), files_touched(z.filter(tight_y))
+        assert zx <= N_FILES // 2, zx
+        assert zy <= N_FILES // 2, zy
+        # the conjunctive box touches very few
+        assert files_touched(z.filter(tight_x & tight_y)) <= 4
