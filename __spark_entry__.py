@@ -882,6 +882,34 @@ def q_tpch_q8(spark, sf_dir):
     )
 
 
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15-style top supplier: quarterly revenue per supplier,
+    keep the maximum-revenue supplier(s) — the view + scalar-max
+    subquery expressed as an agg joined against its own max (one fact
+    pass, broadcast 1-row max)."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        l.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            stable_round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
 def q_tpch_q17(spark, sf_dir):
     """TPC-H Q17-style small-quantity revenue: lineitems of one brand
     below 20% of that part's average quantity — the correlated-average
@@ -1930,6 +1958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": q_tpch_q19,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
+        "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
         "tpch_q22": q_tpch_q22,
         # -- rows-only (non-SQL-expressible) ---------------------------
@@ -2913,6 +2942,19 @@ WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
   AND o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate <  TIMESTAMP '1998-01-01'
 GROUP BY 1""",
+        "tpch_q15": """
+WITH rev AS (
+  SELECT l_suppkey,
+         (floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5)
+          / 100.0) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""",
         "tpch_q17": """
 WITH brand AS (
   SELECT l_partkey, l_quantity, l_extendedprice
