@@ -21,6 +21,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from qurio_spark.functions.hashing import minhash_coeffs
@@ -60,16 +61,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts`` as a microsecond timestamp.
 
-    The events parquet stores TIMESTAMP(NANOS), which Spark 4 refuses
-    to read as a timestamp; read it as nanos-since-epoch long and
-    convert — works on any stock session (DuckDB reads the same file as
-    TIMESTAMP_NS and truncates to micros on cast, so both engines see
-    identical values)."""
+    Schema-adaptive: generated events parquet has shipped both as
+    TIMESTAMP(NANOS) — which Spark 4 refuses to read as a timestamp, so
+    read as nanos-since-epoch long and convert — and as plain
+    timestamp[us], which needs no conversion.  Works on any stock
+    session either way (DuckDB truncates NANOS to micros on cast, so
+    both engines see identical values)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # integer DIV, not float /: ns-since-epoch exceeds double's 53-bit
-    # mantissa, so float division can drift the truncation by 1us
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        # integer DIV, not float /: ns-since-epoch exceeds double's
+        # 53-bit mantissa, float division can drift truncation by 1us
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def _qvec(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -2356,9 +2360,11 @@ def _lsh_topk_sql(
     hyperplanes are inlined as literal arrays, the query bucket is
     computed in SQL from the same stored query vector, and candidates
     are scored with the standard cosine.  ``n_probe_buckets > 1``
-    mirrors multi-probe: also match the buckets reached by flipping the
-    lowest-|margin| plane bits (ties on bit index, as in
-    operators/similarity.lsh_probe_buckets)."""
+    mirrors multi-probe exactly as operators/similarity.lsh_probe_buckets
+    does: ALL 2^n_planes flip masks ranked by the summed |margin| of
+    their flipped planes (ties on mask value), cheapest
+    ``n_probe_buckets`` kept — so multi-bit masks are probed whenever
+    they are cheaper than a single-bit flip."""
     from qurio_spark.operators.similarity import random_hyperplanes
 
     planes = random_hyperplanes(dim, n_planes, seed)
@@ -2380,12 +2386,15 @@ def _lsh_topk_sql(
     )
     probes = f"""
 margins AS ({margin_rows}),
-flips AS (SELECT bit FROM margins ORDER BY a ASC, bit ASC
-          LIMIT {max(0, n_probe_buckets - 1)}),
+masks AS (
+  SELECT r.range AS mask,
+         (SELECT COALESCE(SUM(g.a), 0) FROM margins g
+          WHERE ((r.range >> g.bit) & 1) = 1) AS cost
+  FROM range(0, {1 << n_planes}) r),
+flips AS (SELECT mask FROM masks ORDER BY cost ASC, mask ASC
+          LIMIT {max(1, n_probe_buckets)}),
 probes AS (
-  SELECT b FROM qb
-  UNION
-  SELECT xor(qb.b, (1 << bit)) AS b FROM qb, flips
+  SELECT DISTINCT xor(qb.b, flips.mask) AS b FROM qb, flips
 ),"""
 
     return f"""

@@ -35,19 +35,35 @@ class _MdBuilder(HTMLParser):
         self._href: str | None = None
         self._link_text: list[str] = []
         self._list_stack: list[tuple[str, int]] = []  # (kind, counter)
+        # incremental trailing-newline count / any-content flag so _nl()
+        # never has to re-join the whole buffer (pages are up to 10 MB)
+        self._trailing_nl = 0
+        self._has_content = False
 
     # -- emit helpers ------------------------------------------------
+    def _push(self, s: str) -> None:
+        if not s:
+            return
+        self.out.append(s)
+        stripped = len(s) - len(s.rstrip("\n"))
+        if stripped == len(s):
+            self._trailing_nl += stripped
+        else:
+            self._trailing_nl = stripped
+        if s.strip():
+            self._has_content = True
+
     def _nl(self, n: int = 2) -> None:
-        joined = "".join(self.out)
-        while not joined.endswith("\n" * n) and joined.strip():
-            self.out.append("\n")
-            joined += "\n"
+        if not self._has_content:
+            return
+        while self._trailing_nl < n:
+            self._push("\n")
 
     def _emit(self, s: str) -> None:
         if self._href is not None:
             self._link_text.append(s)
         else:
-            self.out.append(s)
+            self._push(s)
 
     def _strip_tail_space(self) -> None:
         buf = self._link_text if self._href is not None else self.out
@@ -115,7 +131,7 @@ class _MdBuilder(HTMLParser):
             text = "".join(self._link_text).strip() or self._href or ""
             href = self._href or ""
             self._href = None
-            self.out.append(f"[{text}]({href}) ")
+            self._push(f"[{text}]({href}) ")
         elif tag in ("strong", "b"):
             self._strip_tail_space()
             self._emit("** ")
@@ -147,14 +163,6 @@ class _MdBuilder(HTMLParser):
             return
         collapsed = " ".join(data.split())
         if collapsed:
-            joined = "".join(self.out)
-            if (
-                joined
-                and not joined.endswith(("\n", " ", "(", "`", "*", "# "))
-                and self._href is None
-                and not self._link_text
-            ):
-                pass
             self._emit(collapsed + " ")
 
 

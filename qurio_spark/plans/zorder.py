@@ -45,6 +45,11 @@ def zvalue_expr(norm_cols: list[Column], bits: int = DEFAULT_BITS) -> Column:
     """Morton interleave of pre-normalized integer columns: bit b of
     column i lands at position ``b * k + i``."""
     k = len(norm_cols)
+    if k * bits > 63:
+        raise ValueError(
+            f"zorder bit budget exceeded: {k} columns * {bits} bits > 63 "
+            "(LongType sign bit); lower bits or drop a column"
+        )
     z = F.lit(0).cast("bigint")
     for i, c in enumerate(norm_cols):
         for b in range(bits):
@@ -62,6 +67,11 @@ def with_zvalue(
     pure integer expressions; no UDF, no shuffle."""
     if not 1 <= len(cols) <= 3:
         raise ValueError("zorder supports 1..3 columns")
+    if len(cols) * bits > 63:
+        raise ValueError(
+            f"zorder bit budget exceeded: {len(cols)} columns * {bits} bits "
+            "> 63 (LongType sign bit); lower bits or drop a column"
+        )
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]

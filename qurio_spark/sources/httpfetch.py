@@ -94,7 +94,11 @@ def _classify_urlerror(e: urllib.error.URLError) -> IngestionError:
         return IngestionError(ERR_CRAWL_DNS, str(e))
     if isinstance(reason, (ConnectionRefusedError, ConnectionResetError)):
         return IngestionError(ERR_CRAWL_REFUSED, str(e))
-    return IngestionError(ERR_CRAWL_REFUSED, str(e))
+    # Unrecognized URLError reasons (malformed URL "unknown url type",
+    # SSL cert verification failure, ...) are permanently broken: map
+    # to a permanent code so re-crawls don't burn the retry/breaker
+    # budget on URLs that can never succeed.
+    return IngestionError(ERR_INVALID_FORMAT, str(e))
 
 
 def http_fetch_one(

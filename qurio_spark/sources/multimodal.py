@@ -193,13 +193,35 @@ _PDF_TEXT_BLOCK = _re.compile(rb"BT(.*?)ET", _re.S)
 _PDF_NEWLINE_OPS = _re.compile(rb"(?:^|\s)(?:T\*|TD|Td)(?:\s|$)")
 
 
+def _pdf_dict_start(data: bytes, pos: int) -> int:
+    """Start offset of the outermost ``<< ... >>`` dictionary ending
+    just before ``pos``, scanning backwards with <</>> balancing —
+    stream dicts commonly nest (``/DecodeParms << ... >>``), so a bare
+    rfind(b"<<") would land on the innermost dict and miss /Filter."""
+    depth = 0
+    i = pos
+    while True:
+        close = data.rfind(b">>", 0, i)
+        open_ = data.rfind(b"<<", 0, i)
+        if open_ == -1:
+            return -1
+        if close > open_:
+            depth += 1
+            i = close
+        else:
+            depth -= 1
+            if depth <= 0:  # balanced outermost (or unbalanced: innermost)
+                return open_
+            i = open_
+
+
 def _pdf_streams(data: bytes):
     """(dict_bytes, stream_bytes) per stream object, inflated when the
     object dictionary declares FlateDecode."""
     import zlib
 
     for m in _re.finditer(rb"stream\r?\n(.*?)\r?\n?endstream", data, _re.S):
-        start = data.rfind(b"<<", 0, m.start())
+        start = _pdf_dict_start(data, m.start())
         head = data[start : m.start()] if start != -1 else b""
         body = m.group(1)
         if b"FlateDecode" in head:

@@ -29,10 +29,14 @@ def make_pdf(
     title: str | None = None,
     compress: bool = False,
     image_only: bool = False,
+    nested_parms: bool = False,
 ) -> bytes:
     """``pages``: list of pages, each a list of text lines.
     ``image_only=True`` swaps text operators for a raster-op stream —
-    the scanned-PDF case that must stay ERR_CONVERSION_STUBBED."""
+    the scanned-PDF case that must stay ERR_CONVERSION_STUBBED.
+    ``nested_parms=True`` adds a nested ``/DecodeParms << ... >>``
+    dictionary to each compressed stream dict (a common real-PDF shape
+    that breaks naive innermost-``<<`` dict location)."""
     objs: list[bytes] = []
 
     def ref(n: int) -> str:
@@ -65,6 +69,9 @@ def make_pdf(
         if compress:
             body = zlib.compress(body)
             filt = b" /Filter /FlateDecode"
+            if nested_parms:
+                # Predictor 1 = no prediction; plain inflate still valid
+                filt += b" /DecodeParms << /Predictor 1 /Columns 1 >>"
         objs.append(
             b"<< /Length " + str(len(body)).encode() + filt + b" >>\n"
             b"stream\n" + body + b"\nendstream"

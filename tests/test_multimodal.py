@@ -217,6 +217,20 @@ class TestPdfExtraction:
         assert row[7] == 2
         assert row[4] == "two.pdf"  # no /Title -> filename
 
+    def test_flate_nested_decodeparms_dict(self):
+        """A stream dict with a nested /DecodeParms << ... >> must still
+        be recognized as FlateDecode: the dict locator balances <</>>
+        pairs instead of grabbing the innermost <<."""
+        from qurio_spark.sources.multimodal import _convert_one
+        from tests.pdf_fixture import make_pdf
+
+        pdf = make_pdf(
+            [["Nested parms text."]], compress=True, nested_parms=True
+        )
+        row = _convert_one("/up/nested.pdf", pdf)
+        assert row[1] == "success"
+        assert "Nested parms text." in row[3]
+
     def test_string_escapes_and_octal(self):
         from qurio_spark.sources.multimodal import extract_pdf_text
         from tests.pdf_fixture import make_pdf

@@ -53,6 +53,19 @@ class TestZValue:
         assert got[(2, 0)] == 4
         assert got[(0, 2)] == 8
 
+    def test_bit_budget_guard(self, spark, grid):
+        """bits * columns > 63 would overflow LongType bit positions —
+        rejected up front rather than corrupting z-values."""
+        import pytest
+        from qurio_spark.plans.zorder import with_zvalue
+
+        with pytest.raises(ValueError, match="bit budget"):
+            with_zvalue(grid, ["x", "y"], bits=32)
+        with pytest.raises(ValueError, match="bit budget"):
+            with_zvalue(grid, ["x", "y", "payload"], bits=22)
+        # boundary: 3 * 21 = 63 is fine
+        with_zvalue(grid, ["x", "y", "payload"], bits=21).limit(1).collect()
+
     def test_with_zvalue_normalizes_and_preserves_rows(self, spark, grid):
         z = with_zvalue(grid, ["x", "y"], bits=8)
         rows = z.count()
