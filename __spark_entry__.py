@@ -58,22 +58,45 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts`` as a microsecond timestamp.
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Schema-adaptive ``ts`` normalization shared by EVERY events
+    consumer (batch and streaming).
 
-    Schema-adaptive: generated events parquet has shipped both as
-    TIMESTAMP(NANOS) — which Spark 4 refuses to read as a timestamp, so
-    read as nanos-since-epoch long and convert — and as plain
-    timestamp[us], which needs no conversion.  Works on any stock
-    session either way (DuckDB truncates NANOS to micros on cast, so
-    both engines see identical values)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    The generated events parquet has shipped both as TIMESTAMP(NANOS) —
+    which Spark 4 refuses to read as a timestamp, so it arrives as
+    nanos-since-epoch long (``nanosAsLong``) and needs conversion — and
+    as plain timestamp[us], which needs none.  Any new reader of the
+    events table MUST go through this helper rather than assuming one
+    representation (round-4 lesson: two call sites hard-coded the nanos
+    form and broke when the parquet switched)."""
     if isinstance(df.schema["ts"].dataType, T.LongType):
         # integer DIV, not float /: ns-since-epoch exceeds double's
         # 53-bit mantissa, float division can drift truncation by 1us
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
+
+
+def _epoch_secs(df: DataFrame, colname: str = "ts"):
+    """Type-safe epoch-seconds column for the events ``ts`` timestamp.
+
+    ``cast("long")`` is legal on TIMESTAMP but raises
+    DATATYPE_MISMATCH on TIMESTAMP_NTZ; route NTZ through TIMESTAMP
+    first.  Callers use this only in differences (session gaps), where
+    the session-timezone offset the NTZ→LTZ cast introduces cancels
+    out, so the value is safe under any session timezone."""
+    c = F.col(colname)
+    if isinstance(df.schema[colname].dataType, T.TimestampNTZType):
+        c = c.cast("timestamp")
+    return c.cast("long")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` as a microsecond timestamp (see
+    :func:`_normalize_events_ts` for the schema-adaptive contract;
+    DuckDB truncates NANOS to micros on cast, so both engines see
+    identical values either way)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def _qvec(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -689,7 +712,7 @@ def q_streaming_hourly(spark, sf_dir):
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ev = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ev = _normalize_events_ts(stream)
     agg = (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -1044,11 +1067,11 @@ def q_events_sessions(spark, sf_dir):
     session-window streaming agg."""
     ev = _events(spark, sf_dir)
     w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = _epoch_secs(ev)
     gapped = ev.withColumn(
         "new_session",
         F.when(
-            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_user)
-            > 30 * 60,
+            secs - F.lag(secs).over(w_user) > 30 * 60,
             F.lit(1),
         ).otherwise(F.lit(0)),
     ).withColumn(
@@ -1877,11 +1900,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     already proven by an in-window sibling (count_global/count_filtered
     ⊂ stats_fanin, simhash ⊂ simhash_near, lsh_topk ⊂ lsh_prebuilt
     [same oracle SQL, in-DAG twin of the persisted index], minhash ⊂
-    minhash_lsh signature build + ngram shingle family,
+    minhash_lsh signature build + ngram shingle family, ngram_jaccard ⊂
+    ngram_jaccard_capped [same join, uncapped],
     top_customers/tpch_q6/tpch_q14/events_setops/value_percentiles —
-    all green in earlier rounds' CORRECTNESS_r0*.json and still locally
-    verified by tools/oracle_check.py), then (b) the rows-only entries
-    (chunker / embedder / iterative k-means)."""
+    all green in earlier rounds' CORRECTNESS_r0*.json), then (b) the
+    rows-only entries (chunker / embedder / iterative k-means).
+    EVERY entry, in-window or not, is additionally oracle-compared at
+    sf0.001 by ``tests/test_queries_full.py`` on each pytest run — the
+    round-4 lesson was that out-of-window entries had no committed
+    signal."""
     return {
         # -- driver-checked window (all oracle-backed) ----------------
         "source_list": q_source_list,
@@ -1905,7 +1932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
-        "ngram_jaccard": q_ngram_jaccard,
+        "streaming_hourly": q_streaming_hourly,
         "simhash_near": q_simhash_near,
         "embedding_near_dup": q_embedding_near_dup,
         "events_hourly": q_events_hourly,
@@ -1941,7 +1968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "events_moving_avg": q_events_moving_avg,
         "tpch_q4": q_tpch_q4,
-        "streaming_hourly": q_streaming_hourly,
+        "ngram_jaccard": q_ngram_jaccard,
         "count_global": q_count_global,
         "count_filtered": q_count_filtered,
         "simhash": q_simhash,

@@ -1,0 +1,119 @@
+"""Committed full-coverage gate over EVERY ``queries()`` entry.
+
+Round-4 lesson: the driver's CORRECTNESS file checks only the first 50
+``queries()`` entries, so an out-of-window regression (streaming_hourly)
+shipped with no committed signal.  This module closes that gap two ways:
+
+1. ``test_query_analyzes`` — builds every entry's DataFrame at sf0.001
+   and touches ``.schema``: any AnalysisException (the failure class of
+   both round-4 regressions) fails in seconds without executing a job.
+2. ``test_query_oracle`` — full Spark-vs-DuckDB value compare for every
+   oracle-backed entry at sf0.001 (same rules as the driver gate, shared
+   via qurio_spark.oracle).
+3. The four rows-only entries get real checks, not row counts:
+   golden row-hashes (chunker, ingest pipeline), recall vs the dense
+   oracle (pruned IVF hybrid), and codebook invariants (k-means).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from qurio_spark.oracle import compare, norm_rows, register_views
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+ORACLE_BACKED = [n for n in QUERIES if n in ORACLES]
+ROWS_ONLY = [n for n in QUERIES if n not in ORACLES]
+
+# Entries that execute real Structured Streaming runs when called —
+# exercised by the oracle test below, excluded from the build-only
+# analysis smoke (constructing them IS executing them).
+STREAMING = {"streaming_ingest", "streaming_hourly"}
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    register_views(con, sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", [n for n in QUERIES if n not in STREAMING])
+def test_query_analyzes(spark, sf_dir, name):
+    """Every entry must at least build and resolve its plan."""
+    df = QUERIES[name](spark, sf_dir)
+    assert len(df.schema.fields) > 0
+
+
+@pytest.mark.parametrize("name", ORACLE_BACKED)
+def test_query_oracle(spark, sf_dir, duck, name):
+    sdf = QUERIES[name](spark, sf_dir)
+    scols, srows = sdf.columns, sdf.collect()
+    res = duck.execute(ORACLES[name])
+    dcols = [d[0] for d in res.description]
+    problems = compare(scols, srows, dcols, res.fetchall())
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+# ---------------------------------------------------------------------------
+# Rows-only entries promoted to real checks (VERDICT r4 item 5)
+# ---------------------------------------------------------------------------
+
+
+def _row_hash(df) -> str:
+    rows = norm_rows(df.columns, [tuple(r) for r in df.collect()])
+    h = hashlib.sha256()
+    for r in rows:
+        h.update(repr(r).encode())
+    return h.hexdigest()
+
+
+# Golden sha256 of the order-normalized result rows at sf0.001.  The
+# chunker and the hashing-TF embedder are fully deterministic, so any
+# drift is a real behavior change (or a driver testdata regen — in
+# which case re-pin from the assert message).
+GOLDEN = {
+    "chunk_corpus":
+        "577c8a253202e4e4ad3ea6b5c6465e1024b46ba9ebc7afd48285fa5f12f2ec63",
+    "ingest_pipeline":
+        "47756741bab79de93020c7bd28d843c620307b77fdeb958adfce4cd598353dba",
+}
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN))
+def test_rows_only_golden_hash(spark, sf_dir, name):
+    got = _row_hash(QUERIES[name](spark, sf_dir))
+    assert got == GOLDEN[name], f"{name} golden row-hash drifted: {got}"
+
+
+def test_ivf_pruned_recall(spark, sf_dir):
+    """Pruned-normalization IVF hybrid must keep >=0.95 recall vs the
+    dense oracle (bench extras report 1.0 at sf0.1; pin it in-test)."""
+    dense = QUERIES["batch_hybrid"](spark, sf_dir).collect()
+    pruned = QUERIES["batch_hybrid_ivf_pruned"](spark, sf_dir).collect()
+    d, p = defaultdict(set), defaultdict(set)
+    for r in dense:
+        d[r["query_id"]].add(r["doc_id"])
+    for r in pruned:
+        p[r["query_id"]].add(r["doc_id"])
+    assert d, "dense oracle returned no rows"
+    recalls = {q: len(d[q] & p[q]) / len(d[q]) for q in d}
+    assert min(recalls.values()) >= 0.95, f"recall fell: {recalls}"
+
+
+def test_kmeans_ivf_codebook(spark, sf_dir):
+    """Fixed-seed k-means labeling: every vector labeled exactly once,
+    all k=8 clusters populated, and no degenerate mega-cluster."""
+    rows = QUERIES["kmeans_ivf"](spark, sf_dir).collect()
+    labels = {r["label"]: r["n_vecs"] for r in rows}
+    total = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sorted(labels) == list(range(8))
+    assert sum(labels.values()) == total
+    assert max(labels.values()) <= total // 2, f"degenerate cluster: {labels}"

@@ -3,16 +3,14 @@
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB over the same parquet tables, then compares row count, column
-names, and order-insensitive values (exact for ints/strings, 1e-9 for
-floats — queries are expected to round any float they emit, so exact
-mismatches beyond rounding noise are flagged).
+names, and order-insensitive values (compare rules live in
+``qurio_spark.oracle`` and are shared with tests/test_queries_full.py).
 
 Usage: python tools/oracle_check.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
-import math
 import sys
 import time
 
@@ -21,41 +19,8 @@ sys.path.insert(0, ".")
 import duckdb
 
 import __spark_entry__ as entrymod
+from qurio_spark.oracle import compare, register_views
 from qurio_spark.session import get_spark
-
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
-
-
-def norm_cell(v):
-    if v is None:
-        return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
-    if hasattr(v, "isoformat"):
-        return v.isoformat()[:26]
-    if isinstance(v, (list, tuple)):
-        return tuple(norm_cell(x) for x in v)
-    import decimal
-
-    if isinstance(v, decimal.Decimal):
-        return round(float(v), 9)
-    return v
-
-
-def norm_rows(cols, rows):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    # None-safe ordering: sort on the repr key, compare the raw tuples
-    # (mixed None/int cells — e.g. ROLLUP subtotal markers — would
-    # break tuple comparison)
-    return sorted(
-        (tuple(norm_cell(r[i]) for i in idx) for r in rows),
-        key=lambda t: tuple((x is None, str(x)) for x in t),
-    )
 
 
 def main():
@@ -63,8 +28,7 @@ def main():
     only = set(sys.argv[2:])
     spark = get_spark(app_name="oracle-check")
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    register_views(con, sf_dir)
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -94,21 +58,7 @@ def main():
             print(f"FAIL {name}: duckdb error: {e}")
             failed += 1
             continue
-        problems = []
-        if sorted(scols) != sorted(dcols):
-            problems.append(f"columns spark={sorted(scols)} duck={sorted(dcols)}")
-        if len(srows) != len(drows):
-            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
-        if not problems:
-            a = norm_rows(scols, [tuple(r) for r in srows])
-            b = norm_rows(dcols, drows)
-            if a != b:
-                diffs = [(x, y) for x, y in zip(a, b) if x != y]
-                problems.append(
-                    f"values differ in {len(diffs)}/{len(a)} rows; first: "
-                    f"spark={diffs[0][0]} duck={diffs[0][1]}" if diffs
-                    else "values differ (set mismatch)"
-                )
+        problems = compare(scols, srows, dcols, drows)
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             failed += 1
