@@ -67,10 +67,26 @@ class _MdBuilder(HTMLParser):
 
     def _strip_tail_space(self) -> None:
         buf = self._link_text if self._href is not None else self.out
+        changed = False
         while buf and buf[-1].endswith(" "):
             buf[-1] = buf[-1].rstrip(" ")
+            changed = True
             if buf[-1] == "":
                 buf.pop()
+        # Direct self.out mutation bypasses _push's bookkeeping: resync
+        # _trailing_nl so _nl() keeps its invariant (e.g. inside <pre>,
+        # raw "x\n " is pushed uncollapsed with _trailing_nl=0; after
+        # the strip it ends in "\n").  _has_content needs no resync —
+        # only space-only elements are ever popped, so a True flag
+        # stays witnessed by an earlier element.
+        if changed and buf is self.out:
+            nl = 0
+            for s in reversed(self.out):
+                t = len(s) - len(s.rstrip("\n"))
+                nl += t
+                if t != len(s):
+                    break
+            self._trailing_nl = nl
 
     # -- parser hooks ------------------------------------------------
     def handle_starttag(self, tag, attrs):

@@ -87,6 +87,8 @@ def breadcrumb_path(url: str) -> str:
 
 
 def _classify_urlerror(e: urllib.error.URLError) -> IngestionError:
+    import ssl
+
     reason = getattr(e, "reason", None)
     if isinstance(reason, socket.timeout) or isinstance(e, TimeoutError):
         return IngestionError(ERR_CRAWL_TIMEOUT, str(e))
@@ -94,11 +96,19 @@ def _classify_urlerror(e: urllib.error.URLError) -> IngestionError:
         return IngestionError(ERR_CRAWL_DNS, str(e))
     if isinstance(reason, (ConnectionRefusedError, ConnectionResetError)):
         return IngestionError(ERR_CRAWL_REFUSED, str(e))
-    # Unrecognized URLError reasons (malformed URL "unknown url type",
-    # SSL cert verification failure, ...) are permanently broken: map
-    # to a permanent code so re-crawls don't burn the retry/breaker
-    # budget on URLs that can never succeed.
-    return IngestionError(ERR_INVALID_FORMAT, str(e))
+    # Permanent only for provably-permanent reasons: a malformed URL
+    # ("unknown url type") or a certificate that fails verification
+    # can never succeed on retry, so don't burn the retry/breaker
+    # budget on them.
+    if isinstance(reason, (ValueError, ssl.SSLCertVerificationError)):
+        return IngestionError(ERR_INVALID_FORMAT, str(e))
+    # Everything else (ConnectionAbortedError, OSError
+    # host/network-unreachable during a blip, transient SSL handshake
+    # failures, ...) defaults to transient — the reference classifier
+    # retries unknown crawl errors rather than dropping them
+    # (handlers/web.py: unknown -> ERR_CRAWL_TIMEOUT, "better to retry
+    # than drop").
+    return IngestionError(ERR_CRAWL_TIMEOUT, str(e))
 
 
 def http_fetch_one(

@@ -193,16 +193,60 @@ _PDF_TEXT_BLOCK = _re.compile(rb"BT(.*?)ET", _re.S)
 _PDF_NEWLINE_OPS = _re.compile(rb"(?:^|\s)(?:T\*|TD|Td)(?:\s|$)")
 
 
+def _mask_pdf_strings(region: bytes) -> bytes:
+    """Blank out ``(...)`` literal strings (nested parens + backslash
+    escapes) and ``<...>`` hex strings so delimiter scans can't be
+    unbalanced by string *content* — e.g. ``/Title (a >> b)``.  ``<<``
+    and ``>>`` dict tokens are preserved byte-for-byte."""
+    out = bytearray(region)
+    i, n = 0, len(region)
+    while i < n:
+        c = region[i]
+        if c == 0x28:  # ( — literal string
+            depth, j = 1, i + 1
+            while j < n and depth:
+                b = region[j]
+                if b == 0x5C:  # backslash escape: skip escaped byte
+                    j += 2
+                    continue
+                if b == 0x28:
+                    depth += 1
+                elif b == 0x29:
+                    depth -= 1
+                j += 1
+            out[i:min(j, n)] = b" " * (min(j, n) - i)
+            i = j
+        elif c == 0x3C:  # < — dict open (<<) or hex string
+            if i + 1 < n and region[i + 1] == 0x3C:
+                i += 2
+            else:
+                j = region.find(b">", i + 1)
+                j = n if j == -1 else j + 1
+                out[i:j] = b" " * (j - i)
+                i = j
+        else:
+            i += 1
+    return bytes(out)
+
+
 def _pdf_dict_start(data: bytes, pos: int) -> int:
     """Start offset of the outermost ``<< ... >>`` dictionary ending
     just before ``pos``, scanning backwards with <</>> balancing —
     stream dicts commonly nest (``/DecodeParms << ... >>``), so a bare
-    rfind(b"<<") would land on the innermost dict and miss /Filter."""
+    rfind(b"<<") would land on the innermost dict and miss /Filter.
+
+    The scan region is bounded below by the enclosing ``obj`` keyword
+    and has its string spans masked first, so ``<<``/``>>`` sequences
+    inside literal or hex strings (``/Title (a >> b)``) can't unbalance
+    the walk into a previous object."""
+    obj_at = data.rfind(b"obj", 0, pos)
+    lo = obj_at + 3 if obj_at != -1 else 0
+    region = _mask_pdf_strings(data[lo:pos])
     depth = 0
-    i = pos
+    i = len(region)
     while True:
-        close = data.rfind(b">>", 0, i)
-        open_ = data.rfind(b"<<", 0, i)
+        close = region.rfind(b">>", 0, i)
+        open_ = region.rfind(b"<<", 0, i)
         if open_ == -1:
             return -1
         if close > open_:
@@ -211,7 +255,7 @@ def _pdf_dict_start(data: bytes, pos: int) -> int:
         else:
             depth -= 1
             if depth <= 0:  # balanced outermost (or unbalanced: innermost)
-                return open_
+                return lo + open_
             i = open_
 
 

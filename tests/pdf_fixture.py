@@ -30,13 +30,17 @@ def make_pdf(
     compress: bool = False,
     image_only: bool = False,
     nested_parms: bool = False,
+    tricky_literal: bool = False,
 ) -> bytes:
     """``pages``: list of pages, each a list of text lines.
     ``image_only=True`` swaps text operators for a raster-op stream —
     the scanned-PDF case that must stay ERR_CONVERSION_STUBBED.
     ``nested_parms=True`` adds a nested ``/DecodeParms << ... >>``
     dictionary to each compressed stream dict (a common real-PDF shape
-    that breaks naive innermost-``<<`` dict location)."""
+    that breaks naive innermost-``<<`` dict location).
+    ``tricky_literal=True`` adds a literal-string entry containing
+    ``>>``/``<<`` tokens to each stream dict — legal PDF that
+    unbalances any delimiter scan that doesn't skip string spans."""
     objs: list[bytes] = []
 
     def ref(n: int) -> str:
@@ -72,6 +76,10 @@ def make_pdf(
             if nested_parms:
                 # Predictor 1 = no prediction; plain inflate still valid
                 filt += b" /DecodeParms << /Predictor 1 /Columns 1 >>"
+        if tricky_literal:
+            # dict tokens inside a literal string — must NOT unbalance
+            # the outermost-dict scan
+            filt += b" /Note (a >> b << c \\) d)"
         objs.append(
             b"<< /Length " + str(len(body)).encode() + filt + b" >>\n"
             b"stream\n" + body + b"\nendstream"

@@ -174,3 +174,46 @@ class TestPdfUploadRoundTrip:
             extra_cols=["url"],
         ).collect()
         assert top and top[0]["url"].endswith("quarterly.pdf")
+
+    def test_scanned_pdf_quarantined_with_retryable_payload(self, spark, tmp_path):
+        """The scanned-PDF path a real user hits: an image-only PDF (no
+        text operators, no OCR in this environment) must flow
+        convert_files -> docs_raw -> M5 quarantine as a coded DLQ row
+        whose payload re-materializes the original task — not vanish
+        silently (reference bar handlers/file.py:196-299, where docling
+        would OCR it)."""
+        from qurio_spark.operators.catalog import (
+            quarantine_failures,
+            retry_payloads,
+        )
+        from qurio_spark.sources.multimodal import (
+            ERR_CONVERSION_STUBBED,
+            convert_files,
+            read_binary_dir,
+            uploads_to_docs_raw,
+        )
+        from tests.pdf_fixture import make_pdf
+
+        d = tmp_path / "uploads"
+        d.mkdir()
+        (d / "scan.pdf").write_bytes(make_pdf([["x"]], image_only=True))
+        (d / "ok.md").write_text("# Fine\n\nDigital body.")
+
+        docs_raw = uploads_to_docs_raw(
+            convert_files(read_binary_dir(spark, str(d))), source_id="up1"
+        )
+        dlq = quarantine_failures(spark, docs_raw).collect()
+        assert len(dlq) == 1
+        row = dlq[0]
+        assert row["error"] == ERR_CONVERSION_STUBBED
+        assert row["handler"] == "ingestion-worker"
+        assert row["source_id"] == "up1"
+        # payload round-trips to a retryable task pointing at the file
+        (payload,) = retry_payloads(
+            quarantine_failures(spark, docs_raw)
+        )
+        assert payload["url"].endswith("scan.pdf")
+        assert payload["source_id"] == "up1"
+        # the good upload is NOT quarantined
+        ok = docs_raw.filter("status = 'success'").collect()
+        assert len(ok) == 1 and ok[0]["url"].endswith("ok.md")

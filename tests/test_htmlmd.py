@@ -107,3 +107,32 @@ class TestCrawlAdapter:
         assert set(got) == set(self.SITE)
         assert got["https://h.test/"]["title"] == "Home"
         assert "# Install" in got["https://h.test/install"]["content"]
+
+
+def test_strip_tail_space_resyncs_newline_counter():
+    """_strip_tail_space mutates self.out directly (rstrip/pop); the
+    incremental _trailing_nl counter must be recomputed or _nl()
+    over-emits newlines for later callers (pre-mode pushes raw data
+    like "\\n " whose trailing newline is exposed only after the
+    strip)."""
+    from qurio_spark.functions.htmlmd import _MdBuilder
+
+    b = _MdBuilder()
+    b._push("x\n")
+    b._push("\n ")  # raw pre-mode data: uncollapsed, space tail
+    assert b._trailing_nl == 0
+    b._strip_tail_space()
+    assert b.out == ["x\n", "\n"]
+    assert b._trailing_nl == 2  # stale 0 before the fix
+    b._nl(2)  # must be a no-op now, not an over-emit
+    assert "".join(b.out) == "x\n\n"
+
+    # pop path: space-only element removed, counter re-derived from
+    # the surviving tail; _has_content stays witnessed
+    b2 = _MdBuilder()
+    b2._push("y\n")
+    b2._push("   ")
+    b2._strip_tail_space()
+    assert b2.out == ["y\n"]
+    assert b2._trailing_nl == 1
+    assert b2._has_content

@@ -172,3 +172,49 @@ class TestHttpFetch:
         statuses = {r["url"]: r["status"] for r in pages.collect()}
         assert statuses[f"{server}/"] == "completed"
         assert statuses.get(f"{server}/install") == "failed"
+
+
+class TestUrlErrorClassification:
+    """URLError taxonomy: permanent ONLY for provably-permanent reasons;
+    everything unrecognized defaults to transient, matching the
+    reference's retry-by-default policy (handlers/web.py maps unknown
+    crawl errors to the transient timeout code — 'better to retry than
+    drop')."""
+
+    def _code(self, reason):
+        import urllib.error
+
+        from qurio_spark.sources.httpfetch import _classify_urlerror
+
+        return _classify_urlerror(urllib.error.URLError(reason)).code
+
+    def test_recognized_transients(self):
+        import socket
+
+        from qurio_spark.functions.resilience import (
+            ERR_CRAWL_DNS,
+            ERR_CRAWL_TIMEOUT,
+        )
+
+        assert self._code(socket.timeout("t")) == ERR_CRAWL_TIMEOUT
+        assert self._code(socket.gaierror(8, "nodename")) == ERR_CRAWL_DNS
+        assert self._code(ConnectionRefusedError(111, "refused")) == ERR_CRAWL_REFUSED
+        assert self._code(ConnectionResetError(104, "reset")) == ERR_CRAWL_REFUSED
+
+    def test_provably_permanent(self):
+        import ssl
+
+        assert self._code(ValueError("unknown url type: 'htp'")) == ERR_INVALID_FORMAT
+        cert = ssl.SSLCertVerificationError(1, "certificate verify failed")
+        assert self._code(cert) == ERR_INVALID_FORMAT
+
+    def test_unknown_reasons_default_transient(self):
+        import ssl
+
+        from qurio_spark.functions.resilience import ERR_CRAWL_TIMEOUT
+
+        assert self._code(ConnectionAbortedError(103, "aborted")) == ERR_CRAWL_TIMEOUT
+        assert self._code(OSError(101, "Network is unreachable")) == ERR_CRAWL_TIMEOUT
+        assert self._code(OSError(113, "No route to host")) == ERR_CRAWL_TIMEOUT
+        # transient SSL handshake failure (NOT a cert-verification error)
+        assert self._code(ssl.SSLError(1, "handshake failure")) == ERR_CRAWL_TIMEOUT

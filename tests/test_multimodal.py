@@ -231,6 +231,40 @@ class TestPdfExtraction:
         assert row[1] == "success"
         assert "Nested parms text." in row[3]
 
+    def test_dict_tokens_inside_string_literal(self):
+        """Dict tokens inside a literal string (``/Note (a >> b << c)``)
+        are legal PDF and must not unbalance the outermost-dict scan —
+        an unbalanced walk lands in a previous object, misses /Filter
+        or feeds zlib garbage, and the stream is silently skipped."""
+        from qurio_spark.sources.multimodal import _convert_one
+        from tests.pdf_fixture import make_pdf
+
+        # alone, and combined with the nested /DecodeParms dict
+        for kwargs in (
+            {"tricky_literal": True},
+            {"tricky_literal": True, "nested_parms": True},
+        ):
+            pdf = make_pdf([["Literal scan text."]], compress=True, **kwargs)
+            row = _convert_one("/up/tricky.pdf", pdf)
+            assert row[1] == "success", kwargs
+            assert "Literal scan text." in row[3], kwargs
+
+    def test_dict_start_masks_strings_and_bounds_at_obj(self):
+        """Unit-level pin of the locator: string spans are masked, the
+        scan never walks past the enclosing ``obj`` keyword."""
+        from qurio_spark.sources.multimodal import _pdf_dict_start
+
+        data = (
+            b"1 0 obj\n<< /Junk (x >> y) >>\nendobj\n"
+            b"2 0 obj\n<< /Length 3 /Title (a >> b << c) "
+            b"/DecodeParms << /Predictor 1 >> >>\nstream\n"
+        )
+        start = _pdf_dict_start(data, data.rfind(b"stream"))
+        head = data[start : data.rfind(b"stream")]
+        assert head.startswith(b"<< /Length 3")
+        assert b"DecodeParms" in head
+        assert b"Junk" not in head  # did not escape into object 1
+
     def test_string_escapes_and_octal(self):
         from qurio_spark.sources.multimodal import extract_pdf_text
         from tests.pdf_fixture import make_pdf
