@@ -909,6 +909,71 @@ def q_tpch_q8(spark, sf_dir):
     )
 
 
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9-shaped product-type profit (adapted: the generated
+    schema has no partsupp, so unit supply cost is modeled as
+    0.8 * p_retailprice): profit by supplier nation and order year for
+    parts whose name contains 'red'.  One joined fact pass; part,
+    supplier, and nation dims broadcast — no fact-side shuffle beyond
+    the orderkey join."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part")
+    n = _t(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - (
+        0.8 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("p_name").contains("red"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(stable_round(F.sum(amount), 2).alias("sum_profit"))
+    )
+
+
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21-shaped waiting-supplier audit (adapted: the generated
+    schema has no l_commitdate/l_receiptdate, so "late" is shipping
+    more than 365 days after the order date).  The canonical
+    EXISTS / NOT EXISTS pair decorrelates into ONE per-order aggregate
+    joined back on the same key: another-supplier-exists <=>
+    n_supp >= 2, no-other-late-supplier <=> n_late_supp = 1 (the
+    candidate row is itself late) — two passes over the filtered fact
+    instead of two correlated per-row probes, and the groupBy + join
+    share the l_orderkey partitioning so no extra shuffle."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    li = l.join(o, l["l_orderkey"] == o["o_orderkey"]).withColumn(
+        "is_late",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
+        ).cast("int"),
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    return (
+        li.filter(F.col("is_late") == 1)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
 def q_tpch_q15(spark, sf_dir):
     """TPC-H Q15-style top supplier: quarterly revenue per supplier,
     keep the maximum-revenue supplier(s) — the view + scalar-max
@@ -1901,7 +1966,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ⊂ stats_fanin, simhash ⊂ simhash_near, lsh_topk ⊂ lsh_prebuilt
     [same oracle SQL, in-DAG twin of the persisted index], minhash ⊂
     minhash_lsh signature build + ngram shingle family, ngram_jaccard ⊂
-    ngram_jaccard_capped [same join, uncapped],
+    ngram_jaccard_capped [same join, uncapped], hybrid_filtered ⊂
+    hybrid_topk + filter_equality, batch_hybrid ⊂ batch_hybrid_ivf
+    [verified hash-identical dense twin],
     top_customers/tpch_q6/tpch_q14/events_setops/value_percentiles —
     all green in earlier rounds' CORRECTNESS_r0*.json), then (b) the
     rows-only entries (chunker / embedder / iterative k-means).
@@ -1921,8 +1988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prebuilt": q_bm25_prebuilt,
         "vector_topk": q_vector_topk,
         "hybrid_topk": q_hybrid_topk,
-        "hybrid_filtered": q_hybrid_filtered,
-        "batch_hybrid": q_batch_hybrid,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q21": q_tpch_q21,
         "batch_hybrid_ivf": q_batch_hybrid_ivf,
         "ann_ivf": q_ann_ivf,
         "lsh_prebuilt": q_lsh_prebuilt,
@@ -1963,6 +2030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rerank_overlap": q_rerank_overlap,
         # -- 51+: oracle-backed, operator proven by in-window sibling
         # (or, for minhash_lsh, newly oracle-backed breadth) ----------
+        "hybrid_filtered": q_hybrid_filtered,
+        "batch_hybrid": q_batch_hybrid,
         "lsh_topk": q_lsh_topk,
         "minhash": q_minhash,
         "minhash_lsh": q_minhash_lsh,
@@ -2978,6 +3047,36 @@ WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
   AND o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate <  TIMESTAMP '1998-01-01'
 GROUP BY 1""",
+        "tpch_q9": """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       (floor((sum(l_extendedprice * (1 - l_discount)
+                   - 0.8 * p_retailprice * l_quantity)) * 100.0 + 0.5)
+        / 100.0) AS sum_profit
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2""",
+        "tpch_q21": """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders   ON o_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 365 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 365 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10""",
         "tpch_q15": """
 WITH rev AS (
   SELECT l_suppkey,

@@ -66,6 +66,12 @@ BUDGETS = {
     "curate": {"shuffles": ("<=", 2)},
     # sessionization: one per-user window shuffle
     "events_sessions": {"shuffles": ("<=", 1)},
+    # q9-shaped profit: one groupBy shuffle, every dim broadcast
+    "tpch_q9": {"shuffles": ("<=", 1), "smj": ("<=", 0), "pushed_filters": (">=", 1)},
+    # q21-shaped decorrelated EXISTS/NOT-EXISTS: per-order agg + join
+    # back share the l_orderkey key (agg exchange, SMJ align, final
+    # s_name agg); AQE-off static plan keeps the self-join sort-merge
+    "tpch_q21": {"shuffles": ("<=", 4), "smj": ("<=", 1)},
 }
 
 
