@@ -520,6 +520,30 @@ def q_fingerprints(spark, sf_dir):
     return p.select("doc_id", "fingerprint")
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition metrics (distinct-word ratio,
+    duplicate-bigram fraction) — map-only array expressions."""
+    from qurio_spark.operators.textstats import repetition_profile
+
+    return repetition_profile(_t(spark, sf_dir, "documents"))
+
+
+def q_word_concentration(spark, sf_dir):
+    """Top-word fraction per document: explode -> partial-agg counts ->
+    per-doc argmax window (ties to the first word alphabetically)."""
+    from qurio_spark.operators.textstats import word_concentration
+
+    return word_concentration(_t(spark, sf_dir, "documents"))
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrub pass: per-doc match count + redacted-text fingerprint
+    (functions/text.PII_PATTERNS applied as a regexp_replace chain)."""
+    from qurio_spark.operators.textstats import pii_profile
+
+    return pii_profile(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # Dedup extensions
 # --------------------------------------------------------------------------
@@ -1968,7 +1992,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     minhash_lsh signature build + ngram shingle family, ngram_jaccard ⊂
     ngram_jaccard_capped [same join, uncapped], hybrid_filtered ⊂
     hybrid_topk + filter_equality, batch_hybrid ⊂ batch_hybrid_ivf
-    [verified hash-identical dense twin],
+    [verified hash-identical dense twin], token_counts/fingerprints ⊂
+    the in-window text_profile siblings quality_scores/lang_id,
+    content_hash ⊂ the sha2 family fingerprints also exercises,
     top_customers/tpch_q6/tpch_q14/events_setops/value_percentiles —
     all green in earlier rounds' CORRECTNESS_r0*.json), then (b) the
     rows-only entries (chunker / embedder / iterative k-means).
@@ -1993,10 +2019,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_hybrid_ivf": q_batch_hybrid_ivf,
         "ann_ivf": q_ann_ivf,
         "lsh_prebuilt": q_lsh_prebuilt,
-        "token_counts": q_token_counts,
+        "repetition": q_repetition,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
-        "fingerprints": q_fingerprints,
+        "word_concentration": q_word_concentration,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "streaming_hourly": q_streaming_hourly,
@@ -2021,7 +2047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_completion": q_source_completion,
         "sitemap_urls": q_sitemap_urls,
         "md_extract": q_md_extract,
-        "content_hash": q_content_hash,
+        "pii_redact": q_pii_redact,
         "doc_meta_norm": q_doc_meta_norm,
         "reingest_upsert": q_reingest_upsert,
         "reingest_skip_unchanged": q_reingest_skip_unchanged,
@@ -2032,6 +2058,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (or, for minhash_lsh, newly oracle-backed breadth) ----------
         "hybrid_filtered": q_hybrid_filtered,
         "batch_hybrid": q_batch_hybrid,
+        "token_counts": q_token_counts,
+        "fingerprints": q_fingerprints,
+        "content_hash": q_content_hash,
         "lsh_topk": q_lsh_topk,
         "minhash": q_minhash,
         "minhash_lsh": q_minhash_lsh,
@@ -2080,6 +2109,25 @@ _TOKS = (
 from qurio_spark.functions.text import BPEISH_RE as _BPEISH_RE_PY
 
 BPEISH_RE_SQL = _BPEISH_RE_PY.replace("'", "''")
+
+
+def _pii_sql() -> str:
+    """DuckDB twin of operators/textstats.pii_profile: independent
+    per-pattern match counts on the original text + the fingerprint of
+    the sequentially redacted text (functions/text.PII_PATTERNS)."""
+    from qurio_spark.functions.text import PII_PATTERNS
+
+    counts = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for pat, _ in PII_PATTERNS
+    )
+    redacted = "text"
+    for pat, repl in PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{repl}', 'g')"
+    return f"""
+SELECT doc_id,
+       ({counts})::BIGINT AS n_pii,
+       sha256({redacted}) AS redacted_fp
+FROM documents"""
 
 
 def _bm25_cte(base: str = "documents", terms: tuple[str, ...] = ("hash", "join", "spark")) -> str:
@@ -2765,6 +2813,38 @@ FROM documents""",
 SELECT doc_id,
        sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
 FROM documents""",
+        "repetition": f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS.format(col='text')} AS toks FROM documents
+), b AS (
+  SELECT doc_id, toks,
+         list_transform(generate_series(1, greatest(len(toks) - 1, 1)),
+                        i -> concat_ws(' ', toks[i], toks[i+1])) AS bigrams
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN len(toks) = 0 THEN 0.0
+       ELSE floor(len(list_distinct(toks)) * 1.0 / len(toks) * 10000.0 + 0.5)
+            / 10000.0 END AS distinct_word_ratio,
+  CASE WHEN len(bigrams) = 0 THEN 0.0
+       ELSE floor((1.0 - len(list_distinct(bigrams)) * 1.0 / len(bigrams))
+                  * 10000.0 + 0.5) / 10000.0 END AS dup_2gram_frac
+FROM b""",
+        "word_concentration": f"""
+WITH words AS (
+  SELECT doc_id, unnest({_TOKS.format(col='text')}) AS word FROM documents
+), counts AS (
+  SELECT doc_id, word, count(*) AS n FROM words GROUP BY 1, 2
+), ranked AS (
+  SELECT doc_id, word, n,
+         sum(n) OVER (PARTITION BY doc_id) AS total,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, word) AS rn
+  FROM counts
+)
+SELECT doc_id, word AS top_word,
+       floor(n * 1.0 / total * 10000.0 + 0.5) / 10000.0 AS top_word_frac
+FROM ranked WHERE rn = 1""",
+        "pii_redact": _pii_sql(),
         "exact_dedup": """
 WITH u AS (
   SELECT doc_id, text FROM documents

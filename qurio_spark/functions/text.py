@@ -102,6 +102,37 @@ def punct_ratio(col: Column) -> Column:
     return F.when(total > 0, stripped / total).otherwise(F.lit(0.0))
 
 
+#: PII patterns, applied IN ORDER (more specific shapes first so e.g.
+#: an email local-part containing a phone-shaped run is consumed as
+#: [EMAIL] before the phone pass sees it).  Strict shared subset of
+#: java.util.regex and RE2 — no lookaround — so Spark and the DuckDB
+#: oracle redact identically.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Sequentially replace every PII pattern with its tag — pure
+    ``regexp_replace`` chain, whole-stage codegen, no Python."""
+    for pat, repl in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, repl)
+    return col
+
+
+def pii_count(col: Column) -> Column:
+    """Number of PII matches, summed per pattern over the ORIGINAL
+    text (each pattern counted independently; the patterns are
+    mutually non-overlapping by construction, see PII_PATTERNS)."""
+    total = F.lit(0)
+    for pat, _repl in PII_PATTERNS:
+        total = total + F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
+    return total
+
+
 def contextual_prefix(
     source_name: Column, title: Column, path: Column, content: Column
 ) -> Column:

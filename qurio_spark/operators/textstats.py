@@ -8,16 +8,19 @@ DuckDB-SQL twin in ``__spark_entry__.py`` for the oracle gate.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from qurio_spark.functions.hashing import sha256_hex
 from qurio_spark.functions.numeric import stable_round
 from qurio_spark.functions.text import (
     bpeish_token_count,
+    pii_count,
     punct_ratio,
+    redact_pii,
     stopword_ratio,
     token_count,
     tokenize,
+    word_ngrams,
 )
 
 #: Frozen per-language stopword marker lists for the n-gram-free
@@ -83,4 +86,69 @@ def text_profile(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         lang_id_expr(c).alias("lang_guess"),
         quality_score_expr(c).alias("quality"),
         fingerprint_expr(c).alias("fingerprint"),
+    )
+
+
+def repetition_profile(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition metrics, map-only (zero shuffle):
+    distinct-word ratio and duplicate-bigram fraction per document —
+    the standard cheap filters for boilerplate/looped text in
+    training-data curation.  Pure array expressions; at 100 TB this is
+    a single codegen'd scan."""
+    c = F.col(text_col)
+    toks = tokenize(c)
+    bigrams = word_ngrams(c, 2)
+    dwr = F.when(
+        F.size(toks) > 0, F.size(F.array_distinct(toks)) / F.size(toks)
+    ).otherwise(F.lit(0.0))
+    dbf = F.when(
+        F.size(bigrams) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(bigrams)) / F.size(bigrams),
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col),
+        stable_round(dwr, 4).alias("distinct_word_ratio"),
+        stable_round(dbf, 4).alias("dup_2gram_frac"),
+    )
+
+
+def word_concentration(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document top-word fraction (the Gopher 'most common word'
+    rule): explode -> partial-aggregated (doc, word) counts -> per-doc
+    argmax window.  One shuffle on (doc, word) with map-side combine;
+    the window then runs on the already-reduced rows (vocab-sized, not
+    corpus-sized).  Ties break to the lexicographically first word so
+    both engines agree."""
+    words = docs.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("word"))
+    counts = words.groupBy(id_col, "word").agg(F.count("*").alias("n"))
+    w = Window.partitionBy(id_col)
+    return (
+        counts.withColumn("total", F.sum("n").over(w))
+        .withColumn(
+            "rn", F.row_number().over(w.orderBy(F.desc("n"), F.asc("word")))
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("word").alias("top_word"),
+            stable_round(F.col("n") / F.col("total"), 4).alias("top_word_frac"),
+        )
+    )
+
+
+def pii_profile(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII scrub pass: per-doc match count + fingerprint of the
+    redacted text (functions/text.redact_pii) — map-only regexp chain,
+    codegen, no Python."""
+    c = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        pii_count(c).cast("bigint").alias("n_pii"),
+        sha256_hex(redact_pii(c)).alias("redacted_fp"),
     )

@@ -62,6 +62,10 @@ BUDGETS = {
     "ngram_jaccard": {"shuffles": ("<=", 3)},
     # text analysis: pure column expressions, zero shuffle, codegen'd
     "token_counts": {"shuffles": ("<=", 0), "codegen_spans": (">=", 1)},
+    "repetition": {"shuffles": ("<=", 0), "codegen_spans": (">=", 1), "python_stages": ("<=", 0)},
+    "pii_redact": {"shuffles": ("<=", 0), "codegen_spans": (">=", 1), "python_stages": ("<=", 0)},
+    # top-word argmax: (doc, word) partial-agg shuffle + per-doc window
+    "word_concentration": {"shuffles": ("<=", 2), "python_stages": ("<=", 0)},
     # curation: dedup + per-source window, no global sort
     "curate": {"shuffles": ("<=", 2)},
     # sessionization: one per-user window shuffle

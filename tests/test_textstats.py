@@ -55,3 +55,85 @@ class TestFingerprint:
     def test_sha256_of_normalized(self, profile):
         want = hashlib.sha256(b"xyzzy qwerty asdf").hexdigest()
         assert profile[4]["fingerprint"] == want
+
+
+class TestPiiRedaction:
+    """functions/text.redact_pii + pii_count goldens on PII-rich rows
+    (the driver corpus is PII-free, so the oracle entry only proves
+    engine parity of the expressions — behavior is pinned here)."""
+
+    ROWS = [
+        (1, "mail me at john.doe+x@example.co.uk now"),
+        (2, "ssn 123-45-6789 phone 555.123.4567 alt 555-123-4567"),
+        (3, "server at 10.0.255.1 port 80"),
+        (4, "no pii here at all"),
+    ]
+
+    def test_redaction_goldens(self, spark):
+        from pyspark.sql import functions as F
+
+        from qurio_spark.functions.text import pii_count, redact_pii
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["red"], r["n"])
+            for r in df.select(
+                "doc_id",
+                redact_pii(F.col("text")).alias("red"),
+                pii_count(F.col("text")).alias("n"),
+            ).collect()
+        }
+        assert got[1] == ("mail me at [EMAIL] now", 1)
+        assert got[2] == ("ssn [SSN] phone [PHONE] alt [PHONE]", 3)
+        assert got[3] == ("server at [IP] port 80", 1)
+        assert got[4] == ("no pii here at all", 0)
+
+    def test_duckdb_parity_on_pii_rich_rows(self, spark):
+        """The oracle SQL must agree with Spark on text that actually
+        contains PII, not just on the PII-free driver corpus."""
+        import duckdb
+
+        from __spark_entry__ import _pii_sql
+        from qurio_spark.operators.textstats import pii_profile
+
+        sdf = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        got_s = {
+            r["doc_id"]: (r["n_pii"], r["redacted_fp"])
+            for r in pii_profile(sdf).collect()
+        }
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", self.ROWS)
+        got_d = {r[0]: (r[1], r[2]) for r in con.execute(_pii_sql()).fetchall()}
+        assert got_s == got_d
+
+
+class TestRepetitionMetrics:
+    def test_word_concentration_tie_breaks_alphabetically(self, spark):
+        from qurio_spark.operators.textstats import word_concentration
+
+        df = spark.createDataFrame(
+            [(1, "b b a a c"), (2, "x x x y")], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["top_word"], r["top_word_frac"])
+            for r in word_concentration(df).collect()
+        }
+        assert got[1] == ("a", 0.4)  # a and b tie at 2/5; 'a' wins
+        assert got[2] == ("x", 0.75)
+
+    def test_repetition_profile_bounds(self, spark):
+        from qurio_spark.operators.textstats import repetition_profile
+
+        df = spark.createDataFrame(
+            [(1, "w w w w"), (2, "a b c d"), (3, "a b a b a b")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["distinct_word_ratio"], r["dup_2gram_frac"])
+            for r in repetition_profile(df).collect()
+        }
+        assert got[1] == (0.25, 0.6667)  # "w w" x3 -> 1 distinct of 3
+        assert got[2] == (1.0, 0.0)  # no repetition at all
+        assert got[3][0] == 0.3333
+        assert got[3][1] == 0.6  # "a b"/"b a" alternate: 2 distinct of 5
