@@ -528,6 +528,35 @@ def extract_features(df: DataFrame, content_col: str = "content") -> DataFrame:
     return df.mapInPandas(gen, schema)
 
 
+def resize_spec(
+    df: DataFrame,
+    max_side: int = 224,
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Aspect-preserving resize targets from header-sniffed dimensions:
+    scale = min(1, max_side / longest_side), never upscaled, floors at
+    1 px.  Pure column expressions — the geometry every vision-encoder
+    batcher shards on is computed JVM-side in the same scan as
+    ``decode_image_meta``; only the pixel resample itself sits behind
+    the ``_decode_pixels`` stub.  NULL dims (unparseable header) pass
+    through as NULL targets so failures stay visible downstream."""
+    w = F.col(width_col).cast("double")
+    h = F.col(height_col).cast("double")
+    # greatest/least SKIP nulls in Spark, so a missing dim would
+    # silently become a 1x1 target — guard explicitly instead
+    ok = w.isNotNull() & h.isNotNull()
+    longest = F.greatest(w, h)
+    scale = F.least(F.lit(1.0), F.lit(float(max_side)) / longest)
+    tw = F.greatest(F.round(w * scale).cast("int"), F.lit(1))
+    th = F.greatest(F.round(h * scale).cast("int"), F.lit(1))
+    return (
+        df.withColumn("target_width", F.when(ok, tw))
+        .withColumn("target_height", F.when(ok, th))
+        .withColumn("resize_scale", F.when(ok, F.round(scale, 6)))
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling *plan* metadata: which frame indices a
     decoder would extract.  Decode itself is stubbed (see module doc);

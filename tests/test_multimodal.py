@@ -95,6 +95,26 @@ class TestBinaryIngestion:
         with pytest.raises(NotImplementedError):
             _decode_pixels(b"anything")
 
+    def test_resize_spec_geometry(self, spark):
+        """Aspect preserved, no upscaling, 1px floor, NULLs pass through."""
+        from qurio_spark.sources.multimodal import resize_spec
+
+        rows = [
+            (1, 448, 224),     # downscale 2x on the long side
+            (2, 100, 50),      # already small: untouched
+            (3, 10000, 2),     # extreme aspect: short side floors at 1
+            (4, None, None),   # unparseable header
+        ]
+        df = spark.createDataFrame(rows, "id int, width int, height int")
+        got = {
+            r["id"]: (r["target_width"], r["target_height"], r["resize_scale"])
+            for r in resize_spec(df, max_side=224).collect()
+        }
+        assert got[1] == (224, 112, 0.5)
+        assert got[2] == (100, 50, 1.0)
+        assert got[3] == (224, 1, 0.0224)
+        assert got[4] == (None, None, None)
+
 
 class TestFileConversion:
     """S5 body: hermetic md/txt/json/csv -> markdown conversion
