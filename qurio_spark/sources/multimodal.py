@@ -124,6 +124,69 @@ _decode_image_meta_batch.__annotations__ = {"batches": pd.Series, "return": pd.D
 decode_image_meta = F.pandas_udf(IMAGE_META)(_decode_image_meta_batch)
 
 
+AUDIO_META = T.StructType(
+    [
+        T.StructField("format", T.StringType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("bits_per_sample", T.IntegerType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("valid", T.BooleanType(), False),
+    ]
+)
+
+
+def _parse_wav_header(data: bytes | None) -> tuple:
+    """Header-only WAV sniffing (RIFF/WAVE fmt + data chunks) —
+    deterministic stdlib struct parsing, the audio twin of
+    ``_parse_image_header``.  Compressed codecs (mp3/flac) are the
+    ``_decode_pixels``-class stub; PCM WAV metadata needs none."""
+    if (
+        not data
+        or len(data) < 12
+        or data[:4] != b"RIFF"
+        or data[8:12] != b"WAVE"
+    ):
+        return (None, None, None, None, None, False)
+    i = 12
+    rate = channels = bits = None
+    data_len = None
+    while i + 8 <= len(data):
+        cid = data[i : i + 4]
+        (clen,) = _struct.unpack("<I", data[i + 4 : i + 8])
+        if cid == b"fmt " and i + 24 <= len(data):
+            channels, rate = _struct.unpack("<HI", data[i + 10 : i + 16])
+            (bits,) = _struct.unpack("<H", data[i + 22 : i + 24])
+        elif cid == b"data":
+            data_len = clen
+        i += 8 + clen + (clen % 2)  # chunks are word-aligned
+    if not rate or not channels or not bits:
+        return ("wav", rate, channels, bits, None, False)
+    dur = (
+        round(data_len / (rate * channels * (bits // 8)), 6)
+        if data_len is not None and bits >= 8
+        else None
+    )
+    return ("wav", int(rate), int(channels), int(bits), dur, True)
+
+
+def _decode_audio_meta_batch(batches: "pd.Series") -> "pd.DataFrame":
+    rows = [
+        _parse_wav_header(bytes(b) if b is not None else None) for b in batches
+    ]
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "format", "sample_rate", "channels", "bits_per_sample",
+            "duration_s", "valid",
+        ],
+    )
+
+
+_decode_audio_meta_batch.__annotations__ = {"batches": pd.Series, "return": pd.DataFrame}
+decode_audio_meta = F.pandas_udf(AUDIO_META)(_decode_audio_meta_batch)
+
+
 # -- S5 file conversion (handlers/file.py:196-299) ---------------------------
 
 CONVERTED_SCHEMA = T.StructType(

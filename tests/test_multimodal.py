@@ -27,6 +27,18 @@ def make_gif(w=4, h=2) -> bytes:
     return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 6
 
 
+def make_wav(rate=16000, channels=1, bits=16, n_frames=8000) -> bytes:
+    data_len = n_frames * channels * (bits // 8)
+    fmt = (
+        b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * channels * bits // 8, channels * bits // 8, bits)
+    )
+    data = b"data" + struct.pack("<I", data_len) + b"\x00" * min(data_len, 64)
+    body = b"WAVE" + fmt + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def make_jpeg(w=32, h=24) -> bytes:
     sof = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", h, w) + b"\x03" + b"\x00" * 9
     return b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00" + sof
@@ -43,6 +55,19 @@ class TestHeaderParsing:
         assert _parse_image_header(None)[3] is False
         assert _parse_image_header(b"")[3] is False
 
+    def test_wav_header(self):
+        from qurio_spark.sources.multimodal import _parse_wav_header
+
+        got = _parse_wav_header(make_wav(rate=16000, channels=1, bits=16,
+                                         n_frames=8000))
+        assert got == ("wav", 16000, 1, 16, 0.5, True)
+        got2 = _parse_wav_header(make_wav(rate=44100, channels=2, bits=16,
+                                          n_frames=44100))
+        assert got2 == ("wav", 44100, 2, 16, 1.0, True)
+        assert _parse_wav_header(b"RIFF0000WAVE")[5] is False  # no fmt chunk
+        assert _parse_wav_header(b"garbage")[5] is False
+        assert _parse_wav_header(None)[5] is False
+
 
 @pytest.fixture(scope="module")
 def media_dir(tmp_path_factory):
@@ -50,7 +75,8 @@ def media_dir(tmp_path_factory):
     (d / "a.png").write_bytes(make_png())
     (d / "b.gif").write_bytes(make_gif())
     (d / "c.jpg").write_bytes(make_jpeg())
-    (d / "d.wav").write_bytes(b"RIFF0000WAVE" + b"\x00" * 64)
+    (d / "d.wav").write_bytes(make_wav(rate=8000, channels=1, bits=16,
+                                       n_frames=4000))
     (d / "e.bin").write_bytes(b"\x01\x02\x03")
     return str(d)
 
@@ -83,6 +109,19 @@ class TestBinaryIngestion:
             assert len(r["features"]) == 32
             n = math.sqrt(sum(x * x for x in r["features"]))
             assert n == pytest.approx(1.0, abs=1e-5)
+
+    def test_audio_meta_udf(self, spark, media_dir):
+        from qurio_spark.sources.multimodal import decode_audio_meta
+
+        df = read_binary_dir(spark, media_dir).withColumn(
+            "ameta", decode_audio_meta("content")
+        )
+        rows = {r["path"].rsplit("/", 1)[-1]: r["ameta"] for r in df.collect()}
+        wav = rows["d.wav"]
+        assert wav["valid"] is True
+        assert wav["sample_rate"] == 8000 and wav["channels"] == 1
+        assert wav["duration_s"] == 0.5
+        assert rows["a.png"]["valid"] is False  # non-audio bytes
 
     def test_frame_sample_plan(self, spark, media_dir):
         planned = frame_sample_plan(read_binary_dir(spark, media_dir), every_n=1)
