@@ -77,16 +77,22 @@ def _normalize_events_ts(df: DataFrame) -> DataFrame:
 
 
 def _epoch_secs(df: DataFrame, colname: str = "ts"):
-    """Type-safe epoch-seconds column for the events ``ts`` timestamp.
+    """Type-safe FLOOR-to-second epoch for the events ``ts`` timestamp,
+    matching the oracle's ``epoch_ms(ts) // 1000`` exactly (sub-second
+    components exist in the generated data, so floor-then-subtract, not
+    subtract-then-truncate).
 
-    ``cast("long")`` is legal on TIMESTAMP but raises
-    DATATYPE_MISMATCH on TIMESTAMP_NTZ; route NTZ through TIMESTAMP
-    first.  Callers use this only in differences (session gaps), where
-    the session-timezone offset the NTZ→LTZ cast introduces cancels
-    out, so the value is safe under any session timezone."""
+    ``cast("long")`` raises DATATYPE_MISMATCH on TIMESTAMP_NTZ, and a
+    NTZ→LTZ cast would go through the SESSION timezone — wrong answers
+    around DST transitions on a stock session (the driver probes stock
+    sessions).  Instead NTZ takes a fully wall-clock path: whole-second
+    truncation + timestamp_diff from the epoch, no timezone anywhere.
+    The LTZ branch (legacy nanos parquet) keeps cast("long"), which is
+    already an instant→epoch floor with no timezone involvement."""
     c = F.col(colname)
     if isinstance(df.schema[colname].dataType, T.TimestampNTZType):
-        c = c.cast("timestamp")
+        epoch = F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00"))
+        return F.timestamp_diff("SECOND", epoch, F.date_trunc("second", c))
     return c.cast("long")
 
 
@@ -2112,21 +2118,21 @@ BPEISH_RE_SQL = _BPEISH_RE_PY.replace("'", "''")
 
 
 def _pii_sql() -> str:
-    """DuckDB twin of operators/textstats.pii_profile: independent
-    per-pattern match counts on the original text + the fingerprint of
-    the sequentially redacted text (functions/text.PII_PATTERNS)."""
+    """DuckDB twin of operators/textstats.pii_profile: SEQUENTIAL
+    per-pattern counts (pattern i counted after patterns 0..i-1 have
+    been replaced, mirroring functions/text.pii_count) + the
+    fingerprint of the fully redacted text."""
     from qurio_spark.functions.text import PII_PATTERNS
 
-    counts = " + ".join(
-        f"len(regexp_extract_all(text, '{pat}'))" for pat, _ in PII_PATTERNS
-    )
-    redacted = "text"
+    staged = "text"
+    counts = []
     for pat, repl in PII_PATTERNS:
-        redacted = f"regexp_replace({redacted}, '{pat}', '{repl}', 'g')"
+        counts.append(f"len(regexp_extract_all({staged}, '{pat}'))")
+        staged = f"regexp_replace({staged}, '{pat}', '{repl}', 'g')"
     return f"""
 SELECT doc_id,
-       ({counts})::BIGINT AS n_pii,
-       sha256({redacted}) AS redacted_fp
+       ({" + ".join(counts)})::BIGINT AS n_pii,
+       sha256({staged}) AS redacted_fp
 FROM documents"""
 
 
@@ -2823,10 +2829,12 @@ WITH t AS (
   FROM t
 )
 SELECT doc_id,
-  CASE WHEN len(toks) = 0 THEN 0.0
+  -- IS NULL arms: a NULL text row must yield 0.0 like Spark's
+  -- when(size > 0, ...).otherwise(0.0), not propagate NULL
+  CASE WHEN toks IS NULL OR len(toks) = 0 THEN 0.0
        ELSE floor(len(list_distinct(toks)) * 1.0 / len(toks) * 10000.0 + 0.5)
             / 10000.0 END AS distinct_word_ratio,
-  CASE WHEN len(bigrams) = 0 THEN 0.0
+  CASE WHEN bigrams IS NULL OR len(bigrams) = 0 THEN 0.0
        ELSE floor((1.0 - len(list_distinct(bigrams)) * 1.0 / len(bigrams))
                   * 10000.0 + 0.5) / 10000.0 END AS dup_2gram_frac
 FROM b""",

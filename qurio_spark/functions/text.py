@@ -124,12 +124,15 @@ def redact_pii(col: Column) -> Column:
 
 
 def pii_count(col: Column) -> Column:
-    """Number of PII matches, summed per pattern over the ORIGINAL
-    text (each pattern counted independently; the patterns are
-    mutually non-overlapping by construction, see PII_PATTERNS)."""
+    """Number of redactions ``redact_pii`` performs: each pattern is
+    counted on the text AFTER the earlier patterns' replacements, so a
+    phone/SSN-shaped run inside an email local-part is counted once as
+    [EMAIL], never double-counted — n_pii always equals the number of
+    tags in the redacted text."""
     total = F.lit(0)
-    for pat, _repl in PII_PATTERNS:
+    for pat, repl in PII_PATTERNS:
         total = total + F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
+        col = F.regexp_replace(col, pat, repl)
     return total
 
 

@@ -298,18 +298,22 @@ def _pdf_dict_start(data: bytes, pos: int) -> int:
     stream dicts commonly nest (``/DecodeParms << ... >>``), so a bare
     rfind(b"<<") would land on the innermost dict and miss /Filter.
 
-    The scan region is bounded below by the enclosing ``obj`` keyword
-    and has its string spans masked first, so ``<<``/``>>`` sequences
-    inside literal or hex strings (``/Title (a >> b)``) can't unbalance
-    the walk into a previous object."""
-    obj_at = data.rfind(b"obj", 0, pos)
-    lo = obj_at + 3 if obj_at != -1 else 0
+    The scan region is masked FIRST (string spans blanked) and only
+    then anchored at the enclosing ``obj`` keyword, so neither
+    ``<<``/``>>`` tokens nor an ``obj`` substring inside literal or hex
+    strings (``/Title (a >> b)``, ``/Note (my object)``) can unbalance
+    or truncate the walk.  The region itself is bounded by the previous
+    raw ``endobj`` (a stream's dict lives in its own object) with a
+    64 KiB cap so the mask pass stays cheap per stream."""
+    lo = max(data.rfind(b"endobj", 0, pos), pos - 65536, 0)
     region = _mask_pdf_strings(data[lo:pos])
+    obj_at = region.rfind(b"obj")
+    start = obj_at + 3 if obj_at != -1 else 0
     depth = 0
     i = len(region)
     while True:
-        close = region.rfind(b">>", 0, i)
-        open_ = region.rfind(b"<<", 0, i)
+        close = region.rfind(b">>", start, i)
+        open_ = region.rfind(b"<<", start, i)
         if open_ == -1:
             return -1
         if close > open_:
@@ -606,9 +610,10 @@ def resize_spec(
     through as NULL targets so failures stay visible downstream."""
     w = F.col(width_col).cast("double")
     h = F.col(height_col).cast("double")
-    # greatest/least SKIP nulls in Spark, so a missing dim would
-    # silently become a 1x1 target — guard explicitly instead
-    ok = w.isNotNull() & h.isNotNull()
+    # greatest/least SKIP nulls in Spark, so a missing dim (or the NULL
+    # from dividing by a 0 dim a crafted header can declare) would
+    # silently become a 1x1 target — only positive dims get targets
+    ok = w.isNotNull() & h.isNotNull() & (w > 0) & (h > 0)
     longest = F.greatest(w, h)
     scale = F.least(F.lit(1.0), F.lit(float(max_side)) / longest)
     tw = F.greatest(F.round(w * scale).cast("int"), F.lit(1))

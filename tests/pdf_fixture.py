@@ -77,9 +77,10 @@ def make_pdf(
                 # Predictor 1 = no prediction; plain inflate still valid
                 filt += b" /DecodeParms << /Predictor 1 /Columns 1 >>"
         if tricky_literal:
-            # dict tokens inside a literal string — must NOT unbalance
-            # the outermost-dict scan
-            filt += b" /Note (a >> b << c \\) d)"
+            # dict tokens AND an 'obj' substring inside a literal
+            # string — must neither unbalance nor truncate the
+            # outermost-dict scan
+            filt += b" /Note (a >> b << my object \\) d)"
         objs.append(
             b"<< /Length " + str(len(body)).encode() + filt + b" >>\n"
             b"stream\n" + body + b"\nendstream"

@@ -143,6 +143,8 @@ class TestBinaryIngestion:
             (2, 100, 50),      # already small: untouched
             (3, 10000, 2),     # extreme aspect: short side floors at 1
             (4, None, None),   # unparseable header
+            (5, 0, 0),         # crafted 0x0 header: no silent 1x1 target
+            (6, 640, 0),       # one degenerate dim is just as invalid
         ]
         df = spark.createDataFrame(rows, "id int, width int, height int")
         got = {
@@ -153,6 +155,8 @@ class TestBinaryIngestion:
         assert got[2] == (100, 50, 1.0)
         assert got[3] == (224, 1, 0.0224)
         assert got[4] == (None, None, None)
+        assert got[5] == (None, None, None)
+        assert got[6] == (None, None, None)
 
 
 class TestFileConversion:
@@ -309,8 +313,9 @@ class TestPdfExtraction:
             assert "Literal scan text." in row[3], kwargs
 
     def test_dict_start_masks_strings_and_bounds_at_obj(self):
-        """Unit-level pin of the locator: string spans are masked, the
-        scan never walks past the enclosing ``obj`` keyword."""
+        """Unit-level pin of the locator: string spans are masked
+        BEFORE the obj-keyword anchor, so neither dict tokens nor an
+        'obj' substring inside a string corrupt the scan."""
         from qurio_spark.sources.multimodal import _pdf_dict_start
 
         data = (
@@ -323,6 +328,19 @@ class TestPdfExtraction:
         assert head.startswith(b"<< /Length 3")
         assert b"DecodeParms" in head
         assert b"Junk" not in head  # did not escape into object 1
+
+        # 'obj' INSIDE a literal string: a raw-bytes anchor would land
+        # mid-string, truncate past '<<', and return -1
+        data2 = (
+            b"1 0 obj\n<< >>\nendobj\n"
+            b"2 0 obj\n<< /Length 3 /Note (my object) "
+            b"/Filter /FlateDecode >>\nstream\n"
+        )
+        start2 = _pdf_dict_start(data2, data2.rfind(b"stream"))
+        assert start2 != -1
+        head2 = data2[start2 : data2.rfind(b"stream")]
+        assert head2.startswith(b"<< /Length 3")
+        assert b"FlateDecode" in head2
 
     def test_string_escapes_and_octal(self):
         from qurio_spark.sources.multimodal import extract_pdf_text

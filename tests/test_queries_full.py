@@ -108,6 +108,17 @@ def test_ivf_pruned_recall(spark, sf_dir):
     assert min(recalls.values()) >= 0.95, f"recall fell: {recalls}"
 
 
+def test_every_rows_only_entry_has_a_real_check():
+    """Tripwire: a new queries() entry without an oracle_sql twin must
+    get a real check here (golden hash / recall floor / invariants) —
+    it cannot silently join the rows-only set."""
+    checked = set(GOLDEN) | {"batch_hybrid_ivf_pruned", "kmeans_ivf"}
+    assert set(ROWS_ONLY) == checked, (
+        f"rows-only entries without a dedicated check: "
+        f"{sorted(set(ROWS_ONLY) - checked)}"
+    )
+
+
 def test_kmeans_ivf_codebook(spark, sf_dir):
     """Fixed-seed k-means labeling: every vector labeled exactly once,
     all k=8 clusters populated, and no degenerate mega-cluster."""

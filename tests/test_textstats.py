@@ -67,6 +67,9 @@ class TestPiiRedaction:
         (2, "ssn 123-45-6789 phone 555.123.4567 alt 555-123-4567"),
         (3, "server at 10.0.255.1 port 80"),
         (4, "no pii here at all"),
+        # phone-shaped run inside the email local-part: ONE redaction,
+        # so n_pii must be 1, not 2 (counts are sequential like redact)
+        (5, "reach me at 555-123-4567@corp.example.com ok"),
     ]
 
     def test_redaction_goldens(self, spark):
@@ -87,6 +90,7 @@ class TestPiiRedaction:
         assert got[2] == ("ssn [SSN] phone [PHONE] alt [PHONE]", 3)
         assert got[3] == ("server at [IP] port 80", 1)
         assert got[4] == ("no pii here at all", 0)
+        assert got[5] == ("reach me at [EMAIL] ok", 1)
 
     def test_duckdb_parity_on_pii_rich_rows(self, spark):
         """The oracle SQL must agree with Spark on text that actually
