@@ -1004,6 +1004,36 @@ def q_tpch_q21(spark, sf_dir):
     )
 
 
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20-shaped dominant-supplier audit (adapted: no partsupp
+    availqty in the generated schema, so the threshold is against the
+    part's own shipped total): suppliers who shipped more than half of
+    some 'red'-named part's 1996 volume.  The correlated scalar
+    subquery decorrelates into a second-level aggregate over the
+    ALREADY-REDUCED (part, supplier) rows — the per-part total is
+    computed from per_sp, never a second fact pass — then a broadcast
+    semi-join back; supplier dim broadcast."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    s = _t(spark, sf_dir, "supplier")
+    lp = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    per_sp = lp.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("sq")
+    )
+    per_p = per_sp.groupBy("l_partkey").agg(F.sum("sq").alias("total_q"))
+    dominant = (
+        per_sp.join(per_p, "l_partkey")
+        .filter(F.col("sq") > 0.5 * F.col("total_q"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return s.join(
+        dominant, s["s_suppkey"] == dominant["l_suppkey"], "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
 def q_tpch_q15(spark, sf_dir):
     """TPC-H Q15-style top supplier: quarterly revenue per supplier,
     keep the maximum-revenue supplier(s) — the view + scalar-max
@@ -2001,6 +2031,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     [verified hash-identical dense twin], token_counts/fingerprints ⊂
     the in-window text_profile siblings quality_scores/lang_id,
     content_hash ⊂ the sha2 family fingerprints also exercises,
+    lsh_multiprobe ⊂ lsh_prebuilt [same persisted-index probe,
+    n_probe=2],
     top_customers/tpch_q6/tpch_q14/events_setops/value_percentiles —
     all green in earlier rounds' CORRECTNESS_r0*.json), then (b) the
     rows-only entries (chunker / embedder / iterative k-means).
@@ -2042,7 +2074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ingest": q_streaming_ingest,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
-        "lsh_multiprobe": q_lsh_multiprobe,
+        "tpch_q20": q_tpch_q20,
         "tpch_q5": q_tpch_q5,
         "tpch_q18": q_tpch_q18,
         "parts_never_shipped": q_parts_never_shipped,
@@ -2072,6 +2104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "events_moving_avg": q_events_moving_avg,
         "tpch_q4": q_tpch_q4,
+        "lsh_multiprobe": q_lsh_multiprobe,
         "ngram_jaccard": q_ngram_jaccard,
         "count_global": q_count_global,
         "count_filtered": q_count_filtered,
@@ -3147,6 +3180,21 @@ JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation   ON s_nationkey = n_nationkey
 WHERE p_name LIKE '%red%'
 GROUP BY 1, 2""",
+        "tpch_q20": """
+WITH lp AS (
+  SELECT l_partkey, l_suppkey, l_quantity
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%red%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+)
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+  SELECT a.l_suppkey FROM lp a
+  GROUP BY a.l_partkey, a.l_suppkey
+  HAVING sum(a.l_quantity) > 0.5 * (SELECT sum(b.l_quantity)
+                                    FROM lp b
+                                    WHERE b.l_partkey = a.l_partkey))""",
         "tpch_q21": """
 SELECT s_name, count(*) AS numwait
 FROM lineitem l1

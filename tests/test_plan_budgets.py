@@ -76,6 +76,9 @@ BUDGETS = {
     # back share the l_orderkey key (agg exchange, SMJ align, final
     # s_name agg); AQE-off static plan keeps the self-join sort-merge
     "tpch_q21": {"shuffles": ("<=", 4), "smj": ("<=", 1)},
+    # q20-shaped threshold-vs-correlated-agg: both aggregate levels on
+    # already-reduced rows, every join broadcast, no sort-merge
+    "tpch_q20": {"shuffles": ("<=", 4), "smj": ("<=", 0), "pushed_filters": (">=", 1)},
 }
 
 
