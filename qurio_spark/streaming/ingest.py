@@ -46,6 +46,22 @@ def hourly_event_counts(
     )
 
 
+def enrich_stream(
+    events_stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment: join each micro-batch
+    against a BATCH dimension table.  Spark re-plans the static side
+    per micro-batch (a refreshed dim parquet is picked up without
+    restarting the query) and broadcasts it when small — the standard
+    shape for user/source metadata lookup on an event stream.  No
+    state store involved: stream-static joins are stateless, so this
+    costs one broadcast per micro-batch regardless of stream volume."""
+    return events_stream.join(F.broadcast(dim), on, how)
+
+
 def dedup_stream(
     events_stream: DataFrame,
     keys: list[str],

@@ -80,6 +80,39 @@ class TestStreamingDedup:
         assert got.count() == batch.select("user_id", "event_type").distinct().count()
 
 
+class TestStreamStaticJoin:
+    def test_enrichment_matches_batch_join(self, spark, events_dir, tmp_path):
+        """Stream-static dim enrichment == the identical batch join
+        (stateless, dim broadcast per micro-batch)."""
+        from qurio_spark.streaming.ingest import enrich_stream
+
+        batch = spark.read.parquet(events_dir)
+        dim = spark.createDataFrame(
+            [(0, "free"), (1, "pro"), (2, "free"), (3, "team")],
+            "user_id long, plan string",
+        )
+        stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+        got = _run_stream(
+            spark, enrich_stream(stream, dim, "user_id"), tmp_path
+        )
+        want = batch.join(dim, "user_id", "left")
+        assert got.count() == batch.count()  # left join keeps every event
+        a = sorted(map(tuple, got.select("event_id", "plan").collect()))
+        b = sorted(map(tuple, want.select("event_id", "plan").collect()))
+        assert a == b
+
+    def test_unmatched_keys_survive_left_join(self, spark, events_dir, tmp_path):
+        from qurio_spark.streaming.ingest import enrich_stream
+
+        batch = spark.read.parquet(events_dir)
+        dim = spark.createDataFrame([(0, "free")], "user_id long, plan string")
+        stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+        got = _run_stream(spark, enrich_stream(stream, dim, "user_id"), tmp_path)
+        assert got.filter("plan IS NULL").count() == batch.filter(
+            "user_id <> 0"
+        ).count()
+
+
 class TestStatefulSessionize:
     def test_matches_batch_sessionization(self, spark, events_dir, tmp_path):
         """applyInPandasWithState sessionizer == batch lag+cumsum twin
