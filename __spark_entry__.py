@@ -82,17 +82,26 @@ def _epoch_secs(df: DataFrame, colname: str = "ts"):
     components exist in the generated data, so floor-then-subtract, not
     subtract-then-truncate).
 
-    ``cast("long")`` raises DATATYPE_MISMATCH on TIMESTAMP_NTZ, and a
-    NTZ→LTZ cast would go through the SESSION timezone — wrong answers
-    around DST transitions on a stock session (the driver probes stock
-    sessions).  Instead NTZ takes a fully wall-clock path: whole-second
-    truncation + timestamp_diff from the epoch, no timezone anywhere.
-    The LTZ branch (legacy nanos parquet) keeps cast("long"), which is
-    already an instant→epoch floor with no timezone involvement."""
+    ``cast("long")`` raises DATATYPE_MISMATCH on TIMESTAMP_NTZ, and
+    every NTZ→LTZ coercion path — an explicit cast, but ALSO
+    ``date_trunc`` and ``timestamp_diff``, which silently convert NTZ
+    operands through the SESSION timezone (verified on Spark 4.1.2) —
+    gives wrong answers for wall-clocks inside a DST gap on a stock
+    session (the driver probes stock sessions).  The only truly
+    timezone-free derivation is field extraction: days since epoch via
+    date arithmetic plus hour/minute/second, which read the literal
+    wall-clock fields.  The LTZ branch (legacy nanos parquet) keeps
+    cast("long"), already an instant→epoch floor with no timezone
+    involvement."""
     c = F.col(colname)
     if isinstance(df.schema[colname].dataType, T.TimestampNTZType):
-        epoch = F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00"))
-        return F.timestamp_diff("SECOND", epoch, F.date_trunc("second", c))
+        days = F.datediff(F.to_date(c), F.to_date(F.lit("1970-01-01")))
+        return (
+            days.cast("long") * 86400
+            + F.hour(c) * 3600
+            + F.minute(c) * 60
+            + F.second(c)
+        )
     return c.cast("long")
 
 
@@ -1023,14 +1032,17 @@ def q_tpch_q20(spark, sf_dir):
         F.sum("l_quantity").alias("sq")
     )
     per_p = per_sp.groupBy("l_partkey").agg(F.sum("sq").alias("total_q"))
+    # per_p (one row per part) and dominant (<= one row per supplier)
+    # are provably small — pin the broadcasts so the plan shape holds
+    # at any scale, not just under the static planner's size estimate
     dominant = (
-        per_sp.join(per_p, "l_partkey")
+        per_sp.join(F.broadcast(per_p), "l_partkey")
         .filter(F.col("sq") > 0.5 * F.col("total_q"))
         .select("l_suppkey")
         .distinct()
     )
     return s.join(
-        dominant, s["s_suppkey"] == dominant["l_suppkey"], "left_semi"
+        F.broadcast(dominant), s["s_suppkey"] == dominant["l_suppkey"], "left_semi"
     ).select("s_suppkey", "s_name")
 
 

@@ -115,11 +115,23 @@ PII_PATTERNS: list[tuple[str, str]] = [
 ]
 
 
+def _pii_stages(col: Column):
+    """The ONE staged replacement chain both ``redact_pii`` and
+    ``pii_count`` derive from: yields (match_count_on_current_stage,
+    text_after_this_pattern's_replacement) per pattern, in order —
+    keeping count and redaction in lock-step by construction (the SQL
+    twin ``_pii_sql`` in ``__spark_entry__.py`` mirrors the staging)."""
+    for pat, repl in PII_PATTERNS:
+        count = F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
+        col = F.regexp_replace(col, pat, repl)
+        yield count, col
+
+
 def redact_pii(col: Column) -> Column:
     """Sequentially replace every PII pattern with its tag — pure
     ``regexp_replace`` chain, whole-stage codegen, no Python."""
-    for pat, repl in PII_PATTERNS:
-        col = F.regexp_replace(col, pat, repl)
+    for _count, col in _pii_stages(col):
+        pass
     return col
 
 
@@ -130,9 +142,8 @@ def pii_count(col: Column) -> Column:
     [EMAIL], never double-counted — n_pii always equals the number of
     tags in the redacted text."""
     total = F.lit(0)
-    for pat, repl in PII_PATTERNS:
-        total = total + F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
-        col = F.regexp_replace(col, pat, repl)
+    for count, _staged in _pii_stages(col):
+        total = total + count
     return total
 
 

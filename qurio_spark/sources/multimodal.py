@@ -300,12 +300,13 @@ def _pdf_dict_start(data: bytes, pos: int) -> int:
 
     The scan region is masked FIRST (string spans blanked) and only
     then anchored at the enclosing ``obj`` keyword, so neither
-    ``<<``/``>>`` tokens nor an ``obj`` substring inside literal or hex
-    strings (``/Title (a >> b)``, ``/Note (my object)``) can unbalance
-    or truncate the walk.  The region itself is bounded by the previous
-    raw ``endobj`` (a stream's dict lives in its own object) with a
-    64 KiB cap so the mask pass stays cheap per stream."""
-    lo = max(data.rfind(b"endobj", 0, pos), pos - 65536, 0)
+    ``<<``/``>>`` tokens nor an ``obj``/``endobj`` substring inside
+    literal or hex strings (``/Title (a >> b)``, ``/Note (my object)``)
+    can unbalance or truncate the walk.  NO raw-byte keyword is used as
+    a bound — a raw ``endobj`` anchor would be truncated by the same
+    string-content class it is meant to avoid — only a flat 64 KiB cap
+    keeps the mask pass cheap per stream (dict headers are tiny)."""
+    lo = max(pos - 65536, 0)
     region = _mask_pdf_strings(data[lo:pos])
     obj_at = region.rfind(b"obj")
     start = obj_at + 3 if obj_at != -1 else 0

@@ -51,15 +51,21 @@ def enrich_stream(
     dim: DataFrame,
     on: str,
     how: str = "left",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Stream-static dimension enrichment: join each micro-batch
     against a BATCH dimension table.  Spark re-plans the static side
     per micro-batch (a refreshed dim parquet is picked up without
-    restarting the query) and broadcasts it when small — the standard
-    shape for user/source metadata lookup on an event stream.  No
-    state store involved: stream-static joins are stateless, so this
-    costs one broadcast per micro-batch regardless of stream volume."""
-    return events_stream.join(F.broadcast(dim), on, how)
+    restarting the query) — the standard shape for user/source
+    metadata lookup on an event stream.  Stateless: no state store.
+
+    ``broadcast=True`` (default) pins the broadcast hint for the
+    common small-dim case; pass False for a dim too large to
+    replicate, letting Spark's size-based planner choose (a forced
+    hint on a multi-GB dim would broadcast it every micro-batch)."""
+    if broadcast:
+        dim = F.broadcast(dim)
+    return events_stream.join(dim, on, how)
 
 
 def dedup_stream(

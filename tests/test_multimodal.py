@@ -329,18 +329,20 @@ class TestPdfExtraction:
         assert b"DecodeParms" in head
         assert b"Junk" not in head  # did not escape into object 1
 
-        # 'obj' INSIDE a literal string: a raw-bytes anchor would land
-        # mid-string, truncate past '<<', and return -1
-        data2 = (
-            b"1 0 obj\n<< >>\nendobj\n"
-            b"2 0 obj\n<< /Length 3 /Note (my object) "
-            b"/Filter /FlateDecode >>\nstream\n"
-        )
-        start2 = _pdf_dict_start(data2, data2.rfind(b"stream"))
-        assert start2 != -1
-        head2 = data2[start2 : data2.rfind(b"stream")]
-        assert head2.startswith(b"<< /Length 3")
-        assert b"FlateDecode" in head2
+        # 'obj' / 'endobj' INSIDE a literal string: a raw-bytes anchor
+        # on either keyword would land mid-string, truncate past '<<',
+        # and return -1
+        for note in (b"(my object)", b"(fake endobj here)"):
+            data2 = (
+                b"1 0 obj\n<< >>\nendobj\n"
+                b"2 0 obj\n<< /Length 3 /Note " + note +
+                b" /Filter /FlateDecode >>\nstream\n"
+            )
+            start2 = _pdf_dict_start(data2, data2.rfind(b"stream"))
+            assert start2 != -1, note
+            head2 = data2[start2 : data2.rfind(b"stream")]
+            assert head2.startswith(b"<< /Length 3"), note
+            assert b"FlateDecode" in head2, note
 
     def test_string_escapes_and_octal(self):
         from qurio_spark.sources.multimodal import extract_pdf_text

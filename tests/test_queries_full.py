@@ -108,6 +108,32 @@ def test_ivf_pruned_recall(spark, sf_dir):
     assert min(recalls.values()) >= 0.95, f"recall fell: {recalls}"
 
 
+def test_epoch_secs_is_timezone_free(spark):
+    """_epoch_secs on TIMESTAMP_NTZ must return as-if-UTC floor epochs
+    under ANY session timezone — including wall-clocks inside a DST
+    gap, where every NTZ->LTZ coercion path (cast, date_trunc,
+    timestamp_diff) shifts the value by an hour.  The driver probes
+    stock sessions whose timezone is the machine's, so this is a real
+    correctness boundary, not a theoretical one."""
+    from pyspark.sql import functions as F
+
+    saved = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        df = spark.createDataFrame(
+            [("2024-03-10 02:30:00.5",),   # inside the spring-forward gap
+             ("2024-11-03 01:30:00.1",),   # fall-back ambiguous hour
+             ("1996-06-01 12:00:00.999999",)],
+            "s string",
+        ).select(F.col("s").cast("timestamp_ntz").alias("ts"))
+        got = sorted(
+            r["es"] for r in df.select(entrymod._epoch_secs(df).alias("es")).collect()
+        )
+        assert got == sorted([1710037800, 1730597400, 833630400])
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved)
+
+
 def test_every_rows_only_entry_has_a_real_check():
     """Tripwire: a new queries() entry without an oracle_sql twin must
     get a real check here (golden hash / recall floor / invariants) —
@@ -115,7 +141,9 @@ def test_every_rows_only_entry_has_a_real_check():
     checked = set(GOLDEN) | {"batch_hybrid_ivf_pruned", "kmeans_ivf"}
     assert set(ROWS_ONLY) == checked, (
         f"rows-only entries without a dedicated check: "
-        f"{sorted(set(ROWS_ONLY) - checked)}"
+        f"{sorted(set(ROWS_ONLY) - checked)}; "
+        f"stale checks for entries no longer rows-only: "
+        f"{sorted(checked - set(ROWS_ONLY))}"
     )
 
 
