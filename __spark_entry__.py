@@ -1013,6 +1013,53 @@ def q_tpch_q21(spark, sf_dir):
     )
 
 
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16-shaped supplier diversity (adapted: supplier-part
+    pairs come from lineitem, partsupp absent; the complaints NOT IN
+    exclusion becomes negative-balance suppliers): distinct supplier
+    count per (brand, type, size) excluding flagged suppliers.  NOT IN
+    decorrelates to a broadcast anti-join; the pair set reduces via
+    distinct BEFORE the final count so the count agg runs on reduced
+    rows, never the fact stream."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#2")
+    s = _t(spark, sf_dir, "supplier")
+    excluded = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(
+            F.broadcast(excluded),
+            l["l_suppkey"] == excluded["s_suppkey"],
+            "left_anti",
+        )
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return pairs.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count("*").alias("supplier_cnt")
+    )
+
+
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11-shaped important-part identification (adapted: value
+    from shipped lineitems, partsupp absent; threshold = 1.5x the mean
+    per-part value so the predicate is scale-invariant): per-part
+    value HAVING a global-scalar comparison — one fact aggregation,
+    the 1-row global derived from the SAME aggregate and broadcast
+    back (Q15's scalar-subquery shape, fraction-of-total variant)."""
+    l = _t(spark, sf_dir, "lineitem")
+    v = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_part = l.groupBy("l_partkey").agg(v.alias("value"))
+    global_row = per_part.agg(
+        (F.sum("value") / F.count("*") * 1.5).alias("threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(global_row))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("l_partkey", stable_round("value", 2).alias("value"))
+    )
+
+
 def q_tpch_q20(spark, sf_dir):
     """TPC-H Q20-shaped dominant-supplier audit (adapted: no partsupp
     availqty in the generated schema, so the threshold is against the
@@ -2044,7 +2091,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the in-window text_profile siblings quality_scores/lang_id,
     content_hash ⊂ the sha2 family fingerprints also exercises,
     lsh_multiprobe ⊂ lsh_prebuilt [same persisted-index probe,
-    n_probe=2],
+    n_probe=2], events_json ⊂ the regex-extraction family md_extract
+    and pii_redact exercise, reingest_skip_unchanged ⊂ reingest_upsert
+    + the streaming_ingest body-hash ledger,
     top_customers/tpch_q6/tpch_q14/events_setops/value_percentiles —
     all green in earlier rounds' CORRECTNESS_r0*.json), then (b) the
     rows-only entries (chunker / embedder / iterative k-means).
@@ -2080,7 +2129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "events_hourly": q_events_hourly,
         "events_top_users": q_events_top_users,
-        "events_json": q_events_json,
+        "tpch_q11": q_tpch_q11,
         "events_sessions": q_events_sessions,
         "events_pivot": q_events_pivot,
         "streaming_ingest": q_streaming_ingest,
@@ -2100,7 +2149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "doc_meta_norm": q_doc_meta_norm,
         "reingest_upsert": q_reingest_upsert,
-        "reingest_skip_unchanged": q_reingest_skip_unchanged,
+        "tpch_q16": q_tpch_q16,
         "stuck_reset": q_stuck_reset,
         "dlq_retry": q_dlq_retry,
         "rerank_overlap": q_rerank_overlap,
@@ -2108,6 +2157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (or, for minhash_lsh, newly oracle-backed breadth) ----------
         "hybrid_filtered": q_hybrid_filtered,
         "batch_hybrid": q_batch_hybrid,
+        "events_json": q_events_json,
+        "reingest_skip_unchanged": q_reingest_skip_unchanged,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
         "content_hash": q_content_hash,
@@ -3192,6 +3243,22 @@ JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation   ON s_nationkey = n_nationkey
 WHERE p_name LIKE '%red%'
 GROUP BY 1, 2""",
+        "tpch_q16": """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#2'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3""",
+        "tpch_q11": """
+WITH pv AS (
+  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS value
+  FROM lineitem GROUP BY 1
+)
+SELECT l_partkey,
+       (floor(value * 100.0 + 0.5) / 100.0) AS value
+FROM pv
+WHERE value > 1.5 * (SELECT sum(value) / count(*) FROM pv)""",
         "tpch_q20": """
 WITH lp AS (
   SELECT l_partkey, l_suppkey, l_quantity

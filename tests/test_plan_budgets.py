@@ -79,6 +79,11 @@ BUDGETS = {
     # q20-shaped threshold-vs-correlated-agg: both aggregate levels on
     # already-reduced rows, every join broadcast, no sort-merge
     "tpch_q20": {"shuffles": ("<=", 4), "smj": ("<=", 0), "pushed_filters": (">=", 1)},
+    # q16-shaped distinct-pair count: anti-join broadcast, distinct +
+    # final count are the only shuffles
+    "tpch_q16": {"shuffles": ("<=", 2), "smj": ("<=", 0), "pushed_filters": (">=", 1)},
+    # q11-shaped fraction-of-global: fact agg + 1-row global broadcast
+    "tpch_q11": {"shuffles": ("<=", 2), "smj": ("<=", 0)},
 }
 
 
