@@ -109,8 +109,16 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts`` as a microsecond timestamp (see
     :func:`_normalize_events_ts` for the schema-adaptive contract;
     DuckDB truncates NANOS to micros on cast, so both engines see
-    identical values either way)."""
+    identical values either way).
+
+    Also pins the session timezone to UTC: ``date_trunc`` / ``window``
+    / ``year`` silently coerce TIMESTAMP_NTZ through the session
+    timezone, so on a stock session in a non-hour-aligned or DST zone
+    every events consumer would diverge from the timezone-free DuckDB
+    oracle.  Pinning here covers the whole family (they all read
+    through this helper), the same way the nanosAsLong conf does."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return _normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
@@ -745,6 +753,7 @@ def q_streaming_hourly(spark, sf_dir):
     out_p, ckpt = f"{base}/out", f"{base}/ckpt"
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # see _events
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(schema)
