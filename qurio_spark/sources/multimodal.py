@@ -149,12 +149,13 @@ def _parse_wav_header(data: bytes | None) -> tuple:
     ):
         return (None, None, None, None, None, False)
     i = 12
-    rate = channels = bits = None
+    rate = channels = bits = fmt_tag = None
     data_len = None
     while i + 8 <= len(data):
         cid = data[i : i + 4]
         (clen,) = _struct.unpack("<I", data[i + 4 : i + 8])
         if cid == b"fmt " and i + 24 <= len(data):
+            (fmt_tag,) = _struct.unpack("<H", data[i + 8 : i + 10])
             channels, rate = _struct.unpack("<HI", data[i + 10 : i + 16])
             (bits,) = _struct.unpack("<H", data[i + 22 : i + 24])
         elif cid == b"data":
@@ -162,6 +163,12 @@ def _parse_wav_header(data: bytes | None) -> tuple:
         i += 8 + clen + (clen % 2)  # chunks are word-aligned
     if not rate or not channels or not bits:
         return ("wav", rate, channels, bits, None, False)
+    # the PCM byte formula only holds for uncompressed sample frames:
+    # PCM (1), IEEE float (3), or EXTENSIBLE (0xFFFE, which wraps one
+    # of those).  Compressed codecs in a WAV container (mu/a-law,
+    # ADPCM, ...) get the same honest no-duration stub as mp3/flac.
+    if fmt_tag not in (0x0001, 0x0003, 0xFFFE):
+        return ("wav", int(rate), int(channels), int(bits), None, False)
     dur = (
         round(data_len / (rate * channels * (bits // 8)), 6)
         if data_len is not None and bits >= 8
@@ -256,11 +263,23 @@ _PDF_TEXT_BLOCK = _re.compile(rb"BT(.*?)ET", _re.S)
 _PDF_NEWLINE_OPS = _re.compile(rb"(?:^|\s)(?:T\*|TD|Td)(?:\s|$)")
 
 
+#: hex-string content charset (PDF 7.3.4.3: hex digits + whitespace)
+_PDF_HEX_BODY = _re.compile(rb"[0-9a-fA-F\s]*\Z")
+
+
 def _mask_pdf_strings(region: bytes) -> bytes:
     """Blank out ``(...)`` literal strings (nested parens + backslash
     escapes) and ``<...>`` hex strings so delimiter scans can't be
     unbalanced by string *content* — e.g. ``/Title (a >> b)``.  ``<<``
-    and ``>>`` dict tokens are preserved byte-for-byte."""
+    and ``>>`` dict tokens are preserved byte-for-byte.
+
+    Defensive against NON-string bytes (the scan window can graze a
+    binary stream body): an unterminated ``(``-span is left unmasked —
+    a real dict-header string always closes, so an open span reaching
+    the region end is a stray byte whose masking would blank everything
+    after it, dict included — and ``<...>`` spans are blanked only when
+    their content is hex digits/whitespace, so a stray ``<`` can't open
+    a bogus span through later structure."""
     out = bytearray(region)
     i, n = 0, len(region)
     while i < n:
@@ -277,6 +296,9 @@ def _mask_pdf_strings(region: bytes) -> bytes:
                 elif b == 0x29:
                     depth -= 1
                 j += 1
+            if depth:  # unterminated: stray '(' — leave unmasked
+                i += 1
+                continue
             out[i:min(j, n)] = b" " * (min(j, n) - i)
             i = j
         elif c == 0x3C:  # < — dict open (<<) or hex string
@@ -284,12 +306,24 @@ def _mask_pdf_strings(region: bytes) -> bytes:
                 i += 2
             else:
                 j = region.find(b">", i + 1)
-                j = n if j == -1 else j + 1
-                out[i:j] = b" " * (j - i)
-                i = j
+                if j == -1 or not _PDF_HEX_BODY.match(region[i + 1 : j]):
+                    i += 1  # stray '<' / non-hex content: leave unmasked
+                else:
+                    out[i : j + 1] = b" " * (j + 1 - i)
+                    i = j + 1
         else:
             i += 1
     return bytes(out)
+
+
+#: real object boundary: ``endobj`` (optionally preceded by
+#: ``endstream``) followed by the NEXT object's ``N G obj`` header —
+#: the trailing context is what distinguishes it from an ``endobj``
+#: substring inside a literal string or a binary stream body
+_PDF_OBJ_BOUNDARY = _re.compile(rb"(?:endstream\s+)?endobj\s+(?=\d+\s+\d+\s+obj\b)")
+#: word-bounded ``N G obj`` header (a bare ``obj`` substring also
+#: matches name tokens like ``/MyObject``)
+_PDF_OBJ_ANCHOR = _re.compile(rb"\d+\s+\d+\s+obj\b")
 
 
 def _pdf_dict_start(data: bytes, pos: int) -> int:
@@ -298,18 +332,33 @@ def _pdf_dict_start(data: bytes, pos: int) -> int:
     stream dicts commonly nest (``/DecodeParms << ... >>``), so a bare
     rfind(b"<<") would land on the innermost dict and miss /Filter.
 
-    The scan region is masked FIRST (string spans blanked) and only
-    then anchored at the enclosing ``obj`` keyword, so neither
-    ``<<``/``>>`` tokens nor an ``obj``/``endobj`` substring inside
-    literal or hex strings (``/Title (a >> b)``, ``/Note (my object)``)
-    can unbalance or truncate the walk.  NO raw-byte keyword is used as
-    a bound — a raw ``endobj`` anchor would be truncated by the same
-    string-content class it is meant to avoid — only a flat 64 KiB cap
-    keeps the mask pass cheap per stream (dict headers are tiny)."""
+    The flat 64 KiB window commonly starts INSIDE an earlier object's
+    binary stream body, so the scan is bounded to the current object
+    FIRST: the window is cut at the last context-checked object
+    boundary (``endobj`` followed by a real ``N G obj`` header — the
+    lookahead is what keeps an ``endobj`` substring inside a literal
+    string or random stream bytes from truncating the cut).  The
+    bounded region is then masked (string spans blanked, with
+    unterminated/non-hex spans left alone — see ``_mask_pdf_strings``)
+    and anchored at the last masked ``N G obj`` header before the last
+    ``<<``; if every anchor lands after it (i.e. inside the dict body),
+    the walk falls back to the whole region."""
     lo = max(pos - 65536, 0)
+    seg = data[lo:pos]
+    cut = None
+    for m in _PDF_OBJ_BOUNDARY.finditer(seg):
+        cut = m.end()
+    if cut is not None:
+        lo += cut
     region = _mask_pdf_strings(data[lo:pos])
-    obj_at = region.rfind(b"obj")
-    start = obj_at + 3 if obj_at != -1 else 0
+    last_open = region.rfind(b"<<")
+    if last_open == -1:
+        return -1
+    start = 0
+    for m in _PDF_OBJ_ANCHOR.finditer(region):
+        if m.end() > last_open:
+            break
+        start = m.end()
     depth = 0
     i = len(region)
     while True:

@@ -27,11 +27,11 @@ def make_gif(w=4, h=2) -> bytes:
     return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 6
 
 
-def make_wav(rate=16000, channels=1, bits=16, n_frames=8000) -> bytes:
+def make_wav(rate=16000, channels=1, bits=16, n_frames=8000, fmt_tag=1) -> bytes:
     data_len = n_frames * channels * (bits // 8)
     fmt = (
         b"fmt " + struct.pack("<I", 16)
-        + struct.pack("<HHIIHH", 1, channels, rate,
+        + struct.pack("<HHIIHH", fmt_tag, channels, rate,
                       rate * channels * bits // 8, channels * bits // 8, bits)
     )
     data = b"data" + struct.pack("<I", data_len) + b"\x00" * min(data_len, 64)
@@ -67,6 +67,19 @@ class TestHeaderParsing:
         assert _parse_wav_header(b"RIFF0000WAVE")[5] is False  # no fmt chunk
         assert _parse_wav_header(b"garbage")[5] is False
         assert _parse_wav_header(None)[5] is False
+
+    def test_wav_non_pcm_codec_not_valid(self):
+        """A compressed codec inside a WAV container (mu-law tag 7)
+        must not claim valid=True with a PCM-formula duration; IEEE
+        float (3) is an uncompressed frame format and stays valid."""
+        from qurio_spark.sources.multimodal import _parse_wav_header
+
+        mulaw = make_wav(rate=8000, channels=1, bits=8, fmt_tag=7)
+        assert _parse_wav_header(mulaw) == ("wav", 8000, 1, 8, None, False)
+        f32 = make_wav(rate=8000, channels=1, bits=32, n_frames=8000,
+                       fmt_tag=3)
+        got = _parse_wav_header(f32)
+        assert got[5] is True and got[4] == pytest.approx(1.0)
 
 
 @pytest.fixture(scope="module")
@@ -343,6 +356,61 @@ class TestPdfExtraction:
             head2 = data2[start2 : data2.rfind(b"stream")]
             assert head2.startswith(b"<< /Length 3"), note
             assert b"FlateDecode" in head2, note
+
+    def test_dict_scan_survives_binary_stream_neighbors(self):
+        """ADVICE r5 (high): the backward scan window routinely starts
+        inside an earlier object's binary stream body; stray '(' / '<'
+        bytes there must not open masked spans that blank through the
+        target stream's dict (which would silently miss FlateDecode and
+        drop the stream's text)."""
+        import zlib
+
+        from qurio_spark.sources.multimodal import extract_pdf_text
+
+        text_ops = b"BT /F1 12 Tf 72 720 Td (Recovered text.) Tj ET"
+        flate = zlib.compress(text_ops)
+        # ~8 KiB binary body: net-open parens, stray '<' with non-hex
+        # content — the advisor's measured failure class
+        binary = (b"\x00\x01(\x02<zz\x03" * 1024) + b"(("
+        pdf = (
+            b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Page >>\nendobj\n"
+            b"2 0 obj\n<< /Length " + str(len(binary)).encode() + b" >>\n"
+            b"stream\n" + binary + b"\nendstream\nendobj\n"
+            b"3 0 obj\n<< /Length " + str(len(flate)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + flate
+            + b"\nendstream\nendobj\n"
+            b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+        )
+        text, _, _ = extract_pdf_text(pdf)
+        assert text is not None and "Recovered text." in text
+
+    def test_mask_leaves_unterminated_and_nonhex_spans(self):
+        """Unit pin of the defensive masker: an unterminated '('-span
+        and a non-hex '<...>' span stay unmasked (so they can't blank
+        later structure); real literal/hex strings are still blanked."""
+        from qurio_spark.sources.multimodal import _mask_pdf_strings
+
+        r = _mask_pdf_strings(b"\x01(\x02 << /A (x) >>")
+        assert b"<<" in r and b"/A" in r and b"(x)" not in r
+        r2 = _mask_pdf_strings(b"<zz> << /ID <AB12> >>")
+        assert b"<zz>" in r2 and b"AB12" not in r2 and b"<<" in r2
+
+    def test_obj_substring_in_name_token(self):
+        """ADVICE r5 (low): a name token containing 'obj' after the
+        target '<<' must not push the anchor past the dict open."""
+        from qurio_spark.sources.multimodal import _pdf_dict_start
+
+        data = (
+            b"1 0 obj\n<< >>\nendobj\n"
+            b"2 0 obj\n<< /Length 3 /Thing /subobj "
+            b"/Filter /FlateDecode >>\nstream\n"
+        )
+        start = _pdf_dict_start(data, data.rfind(b"stream"))
+        assert start != -1
+        head = data[start : data.rfind(b"stream")]
+        assert head.startswith(b"<< /Length 3")
+        assert b"FlateDecode" in head
 
     def test_string_escapes_and_octal(self):
         from qurio_spark.sources.multimodal import extract_pdf_text
