@@ -310,7 +310,7 @@ def hybrid_search_batch_ivf(
     iters: int = 3,
     nprobe: int = 3,
     fit_sample_mod: int | None = 4,
-    exact_stats: bool = True,
+    exact_stats: bool = False,
     ivf_index: tuple[DataFrame, DataFrame] | None = None,
     bm25_index=None,
     codebook: list[tuple[int, list[float]]] | None = None,
@@ -324,18 +324,20 @@ def hybrid_search_batch_ivf(
     materialized/windowed row count drops from N*Q to roughly
     N*Q*nprobe/k_clusters + sparse keyword matches.
 
-    ``exact_stats=True`` reproduces the dense result EXACTLY (same
-    hash) as long as the probes reach every true top-k doc: min-max
-    normalization constants are computed over the FULL corpus — the
-    cos stats via a map-only generate-and-aggregate pass (broadcast
-    nested-loop against the query table, partial agg, nothing
-    materialized), the bm25 stats reconstructed exactly from the sparse
-    side (docs without keyword evidence score 0, so dense min/max =
-    min/max of {sparse scores} U {0} whenever any doc is unmatched).
-    ``exact_stats=False`` normalizes over the candidate set instead and
-    skips the full-corpus pass entirely — the pure-pruned 100 TB shape,
-    at the cost of normalization constants that differ from the dense
-    oracle's.
+    ``exact_stats=False`` (the DEFAULT — the pure-pruned 100 TB shape)
+    normalizes over the candidate set and never touches the full
+    corpus; its normalization constants differ from the dense oracle's,
+    but the retrieved top-k doc set matches the dense result whenever
+    the probes reach every true top-k doc (pinned by the doc-set oracle
+    and the recall test).  ``exact_stats=True`` is the parity/test
+    configuration: it reproduces the dense result EXACTLY (same hash)
+    by computing min-max constants over the FULL corpus — the cos stats
+    via a map-only generate-and-aggregate pass (broadcast nested-loop
+    against the query table, partial agg, nothing materialized), the
+    bm25 stats reconstructed exactly from the sparse side (docs without
+    keyword evidence score 0, so dense min/max = min/max of
+    {sparse scores} U {0} whenever any doc is unmatched) — at the cost
+    of a full-corpus pass per run, which is why it is not the default.
     """
     from pyspark.sql.window import Window
 

@@ -99,11 +99,12 @@ def test_plan_budget(name, spark, sf_dir, prepared):
 
 
 def test_pruned_batch_hybrid_budget(spark, sf_dir, prepared):
-    """The pure-pruned scale path with prebuilt indexes: two shuffles
-    total (keyword partial-agg + the single per-query Exchange serving
-    stats and top-k), label partition pruning on the IVF scan, and no
-    Python stage anywhere (index prebuilt, no k-means fit)."""
-    a = audit(prepared.queries()["batch_hybrid_ivf_pruned"](spark, sf_dir))
+    """The pure-pruned scale path (the batch_hybrid_ivf default) with
+    prebuilt indexes: two shuffles total (keyword partial-agg + the
+    single per-query Exchange serving stats and top-k), label partition
+    pruning on the IVF scan, and no Python stage anywhere (index
+    prebuilt, no k-means fit)."""
+    a = audit(prepared.queries()["batch_hybrid_ivf"](spark, sf_dir))
     assert a["shuffles"] <= 2, a["plan"]
     # the keyword-agg joins broadcast under AQE (runtime stats see the
     # tiny agg output); this session pins AQE off for plan stability, so

@@ -94,10 +94,12 @@ def test_rows_only_golden_hash(spark, sf_dir, name):
 
 
 def test_ivf_pruned_recall(spark, sf_dir):
-    """Pruned-normalization IVF hybrid must keep >=0.95 recall vs the
-    dense oracle (bench extras report 1.0 at sf0.1; pin it in-test)."""
+    """Pruned-normalization IVF hybrid (now the batch_hybrid_ivf
+    default) must keep >=0.95 recall vs the dense oracle (bench extras
+    report 1.0 at sf0.1; the doc-set oracle additionally pins exact
+    set equality — this test keeps the recall metric explicit)."""
     dense = QUERIES["batch_hybrid"](spark, sf_dir).collect()
-    pruned = QUERIES["batch_hybrid_ivf_pruned"](spark, sf_dir).collect()
+    pruned = QUERIES["batch_hybrid_ivf"](spark, sf_dir).collect()
     d, p = defaultdict(set), defaultdict(set)
     for r in dense:
         d[r["query_id"]].add(r["doc_id"])
@@ -138,7 +140,7 @@ def test_every_rows_only_entry_has_a_real_check():
     """Tripwire: a new queries() entry without an oracle_sql twin must
     get a real check here (golden hash / recall floor / invariants) —
     it cannot silently join the rows-only set."""
-    checked = set(GOLDEN) | {"batch_hybrid_ivf_pruned", "kmeans_ivf"}
+    checked = set(GOLDEN) | {"kmeans_ivf"}
     assert set(ROWS_ONLY) == checked, (
         f"rows-only entries without a dedicated check: "
         f"{sorted(set(ROWS_ONLY) - checked)}; "

@@ -232,8 +232,10 @@ class TestBatchHybridIVF:
         return docs, lits.join(qe, "qvec_id").drop("qvec_id")
 
     def test_exact_match_vs_dense(self, spark, sf_dir):
-        """IVF-pruned batch hybrid must reproduce the dense batch result
-        exactly (same pairs, same scores) — recall 1 at this sf."""
+        """exact_stats=True (the parity/test configuration — NOT the
+        default, which is the pure-pruned scale mode) must reproduce
+        the dense batch result exactly (same pairs, same scores) —
+        recall 1 at this sf."""
         from qurio_spark.operators.hybrid import (
             hybrid_search_batch,
             hybrid_search_batch_ivf,
@@ -248,7 +250,11 @@ class TestBatchHybridIVF:
             )
 
         dense = rows(hybrid_search_batch(docs, queries, alpha=0.5, limit=5))
-        ivf = rows(hybrid_search_batch_ivf(docs, queries, alpha=0.5, limit=5))
+        ivf = rows(
+            hybrid_search_batch_ivf(
+                docs, queries, alpha=0.5, limit=5, exact_stats=True
+            )
+        )
         assert dense == ivf
 
     def test_candidate_normalized_mode_is_sane(self, spark, sf_dir):

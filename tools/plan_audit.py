@@ -28,7 +28,7 @@ from qurio_spark.session import get_spark
 
 DEFAULT_QUERIES = [
     "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q18", "bm25_topk", "bm25_prebuilt",
-    "hybrid_topk", "batch_hybrid", "batch_hybrid_ivf", "batch_hybrid_ivf_pruned",
+    "hybrid_topk", "batch_hybrid", "batch_hybrid_ivf",
     "ann_ivf", "lsh_prebuilt", "lsh_multiprobe",
     "exact_dedup", "ngram_jaccard", "ngram_jaccard_capped", "simhash_near",
     "curate", "events_sessions",
