@@ -9,9 +9,10 @@ tools onto the engine (features/mcp/handler.go:100-597):
     qurio_read_page(url)
 
 plus ``initialize`` / ``notifications/initialized`` / ``tools/list``
-and the JSON-RPC error codes (handler.go:90-96).  No HTTP server here
-— serving is out of scope (BASELINE.json) — but the request/response
-contracts match, so a transport can be bolted on unchanged.
+and the JSON-RPC error codes (handler.go:90-96).  The HTTP transport
+(handler.go:568-597) lives in :mod:`qurio_spark.api_http` — a stdlib
+``http.server`` layer over this dispatch, exercised by a live-socket
+e2e test; online serving remains a test/demo surface per BASELINE.json.
 """
 
 from __future__ import annotations
