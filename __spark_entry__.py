@@ -20,2008 +20,158 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql import types as T
-from pyspark.sql.window import Window
+from pyspark.sql import DataFrame, SparkSession
 
-from qurio_spark.functions.hashing import minhash_coeffs
-from qurio_spark.functions.frames import local_frame
-from qurio_spark.functions.numeric import stable_round
-from qurio_spark.functions.text import EN_STOPWORDS
-from qurio_spark.operators import bm25 as bm25_op
-from qurio_spark.operators.chunker import chunk_documents
-from qurio_spark.operators.dedup import (
-    exact_dedup,
-    minhash_signatures,
-    ngram_jaccard_pairs,
-    simhash64,
-)
-from qurio_spark.operators.hybrid import hybrid_search
-from qurio_spark.operators.pages import reconstruct_pages
-from qurio_spark.operators.similarity import (
-    brute_force_topk,
-    embedding_near_dup_pairs,
-    ivf_topk,
-    lsh_topk,
-)
-from qurio_spark.operators.textstats import text_profile
-
-# Frozen search constants used by every search query below (and their
-# oracles).  QUERY_VEC is the embedding of vec_id 0 — the "embed the
-# query" step (Q1) resolved to a deterministic vector both engines read
-# from the same parquet.
-QUERY_TEXT = "hash join spark"
-QUERY_VEC_ID = 0
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
-
-
-# The events ``ts`` contract lives in the library so non-entry
-# consumers reuse it (VERDICT r5 item 3); the underscore aliases keep
-# every existing call site and external reference working.
-from qurio_spark.functions.events_ts import (  # noqa: E402
-    epoch_secs as _epoch_secs,
-    normalize_events_ts as _normalize_events_ts,
-    read_events as _events,
+# Shared helpers + frozen constants (re-exported for tests/tools).
+from qurio_spark.queries.common import (  # noqa: F401
+    QUERY_TEXT,
+    QUERY_VEC_ID,
+    _docs_with_vecs,
+    _epoch_secs,
+    _events,
+    _normalize_events_ts,
+    _qvec,
+    _t,
 )
 
+# Persisted-index registry (tests clear/restore these dicts IN PLACE,
+# so re-binding the same objects here preserves their behavior).
+from qurio_spark.queries.search import (  # noqa: F401
+    _BATCH_QUERIES,
+    _BM25_INDEX_DIRS,
+    _BM25_INDEX_HANDLES,
+    _DEDUP_INDEX_DIRS,
+    _IVF_INDEX_DIRS,
+    _IVF_INDEX_HANDLES,
+    _LSH_INDEX_DIRS,
+    _LSH_INDEX_HANDLES,
+    _batch_queries_frame,
+    _bm25_index_handle,
+    _bm25_index_path,
+    _dedup_index_path,
+    _hybrid_bm25_index,
+    _ivf_index_handle,
+    _ivf_index_path,
+    _lsh_index_path,
+    prepare_indexes,
+)
+
+from qurio_spark.queries.catalog import (  # noqa: F401
+    q_count_filtered,
+    q_count_global,
+    q_dedup_anti_join,
+    q_filter_equality,
+    q_filter_offset,
+    q_read_page,
+    q_source_list,
+    q_stats_fanin,
+)
+from qurio_spark.queries.search import (  # noqa: F401
+    q_ann_ivf,
+    q_batch_hybrid,
+    q_batch_hybrid_ivf,
+    q_bm25_prebuilt,
+    q_bm25_topk,
+    q_hybrid_filtered,
+    q_hybrid_topk,
+    q_vector_topk,
+)
+from qurio_spark.queries.textstats import (  # noqa: F401
+    q_fingerprints,
+    q_lang_id,
+    q_pii_redact,
+    q_quality_scores,
+    q_repetition,
+    q_token_counts,
+    q_word_concentration,
+)
+from qurio_spark.queries.dedup import (  # noqa: F401
+    q_embedding_near_dup,
+    q_exact_dedup,
+    q_minhash,
+    q_minhash_lsh,
+    q_ngram_jaccard,
+    q_ngram_jaccard_capped,
+    q_simhash,
+    q_simhash_near,
+)
+from qurio_spark.queries.events_tpch import (  # noqa: F401
+    q_cheapest_order_per_customer,
+    q_events_hourly,
+    q_events_json,
+    q_events_retention,
+    q_events_top_users,
+    q_near_dup_clusters,
+    q_streaming_hourly,
+    q_top_customers,
+    q_tpch_q1,
+    q_tpch_q3,
+    q_tpch_q5,
+    q_tpch_q7,
+    q_tpch_q8,
+    q_tpch_q9,
+    q_tpch_q11,
+    q_tpch_q15,
+    q_tpch_q16,
+    q_tpch_q17,
+    q_tpch_q20,
+    q_tpch_q21,
+    q_tpch_q22,
+)
+from qurio_spark.queries.breadth import (  # noqa: F401
+    q_curate,
+    q_events_funnel,
+    q_events_moving_avg,
+    q_events_pivot,
+    q_events_sessions,
+    q_events_setops,
+    q_first_order_per_customer,
+    q_link_filter_chain,
+    q_pack_shards,
+    q_revenue_rollup,
+    q_sample_mixture,
+    q_source_completion,
+    q_tpch_q6,
+    q_value_percentiles,
+)
+from qurio_spark.queries.ingest import (  # noqa: F401
+    q_content_hash,
+    q_dlq_retry,
+    q_doc_meta_norm,
+    q_md_extract,
+    q_reingest_skip_unchanged,
+    q_reingest_upsert,
+    q_rerank_overlap,
+    q_sitemap_urls,
+    q_streaming_ingest,
+    q_stuck_reset,
+)
+from qurio_spark.queries.relational import (  # noqa: F401
+    q_parts_never_shipped,
+    q_tpch_q4,
+    q_tpch_q10,
+    q_tpch_q12,
+    q_tpch_q13,
+    q_tpch_q14,
+    q_tpch_q18,
+    q_tpch_q19,
+)
+from qurio_spark.queries.pipelines import (  # noqa: F401
+    q_chunk_corpus,
+    q_ingest_pipeline,
+    q_kmeans_ivf,
+    q_lsh_multiprobe,
+    q_lsh_prebuilt,
+    q_lsh_topk,
+)
+
+# Oracle SQL aggregation + the helpers tests import directly.
+from qurio_spark.queries.oracles import (  # noqa: F401
+    BPEISH_RE_SQL,
+    _pii_sql,
+    oracle_sql,
+)
 
-def _qvec(spark: SparkSession, sf_dir: str) -> list[float]:
-    row = (
-        _t(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") == QUERY_VEC_ID)
-        .select("embedding")
-        .first()
-    )
-    return [float(x) for x in row["embedding"]]
-
-
-def _docs_with_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    e = _t(spark, sf_dir, "embeddings")
-    return d.join(e, d["doc_id"] == e["vec_id"]).drop("vec_id")
-
-
-# --------------------------------------------------------------------------
-# Reference-parity relational operators (SURVEY §2.1/§2.2/§2.4)
-# --------------------------------------------------------------------------
-
-
-def q_source_list(spark, sf_dir):
-    """S7: catalog listing — group per source with counts (stand-in for
-    sources scan + ORDER BY; hash compare is order-insensitive)."""
-    return (
-        _t(spark, sf_dir, "documents")
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_chars").cast("bigint").alias("total_chars"),
-        )
-    )
-
-
-def q_filter_equality(spark, sf_dir):
-    """F1/F2: AND of string-equality metadata filters pre-ranking."""
-    return (
-        _t(spark, sf_dir, "documents")
-        .filter((F.col("lang") == "en") & (F.col("source") == "src1"))
-        .select("doc_id", "source", "lang", "n_chars")
-    )
-
-
-def q_filter_offset(spark, sf_dir):
-    """F4: filter + deterministic ORDER BY + LIMIT/OFFSET pagination."""
-    return (
-        _events(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
-        .orderBy("event_id")
-        .offset(50)
-        .limit(100)
-        .select("event_id", "user_id", stable_round("value", 4).alias("value"))
-    )
-
-
-def q_count_global(spark, sf_dir):
-    """Q7: global chunk count."""
-    return _t(spark, sf_dir, "documents").agg(F.count("*").alias("n"))
-
-
-def q_count_filtered(spark, sf_dir):
-    """Q8: filtered count (sourceId==X)."""
-    return (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("source") == "src3")
-        .agg(F.count("*").alias("n"))
-    )
-
-
-def q_stats_fanin(spark, sf_dir):
-    """Q10: /stats — three independent counts fanned into one row."""
-    d = _t(spark, sf_dir, "documents")
-    ev = _events(spark, sf_dir)
-    sources = d.agg(F.countDistinct("source").alias("n_sources"))
-    docs = d.agg(F.count("*").alias("n_documents"))
-    events = ev.agg(F.count("*").alias("n_events"))
-    return sources.crossJoin(docs).crossJoin(events)
-
-
-def q_dedup_anti_join(spark, sf_dir):
-    """F6/F8: content-hash dedup of 'new' rows against 'existing' ones
-    via left-anti join (new = doc_id >= 100, existing = doc_id < 100)."""
-    d = _t(spark, sf_dir, "documents").withColumn("h", F.sha2("text", 256))
-    new = d.filter(F.col("doc_id") >= 100)
-    existing = d.filter(F.col("doc_id") < 100).select("h")
-    return new.join(existing, "h", "left_anti").select("doc_id")
-
-
-def q_read_page(spark, sf_dir):
-    """Q5: page reconstruction — chunks of a page stitched in
-    chunk_index order (store.go:311-405).  Here: docs of each source
-    stitched in doc_id order."""
-    return reconstruct_pages(
-        _t(spark, sf_dir, "documents"),
-        page_col="source",
-        order_col="doc_id",
-        content_col="text",
-    )
-
-
-# --------------------------------------------------------------------------
-# Search (Q1/Q2/F1 compositions)
-# --------------------------------------------------------------------------
-
-
-def q_bm25_topk(spark, sf_dir):
-    """Q2 alpha=0: pure keyword BM25 top-10."""
-    docs = _t(spark, sf_dir, "documents")
-    scored = bm25_op.score_query_inline(docs, QUERY_TEXT)
-    return (
-        scored.filter(F.col("bm25") > 0)
-        .select("doc_id", stable_round("bm25", 4).alias("bm25"))
-        .orderBy(F.desc(stable_round("bm25", 6)), F.asc("doc_id"))
-        .limit(10)
-    )
-
-
-# Per-process cache of persisted index locations (sf_dir -> path).
-# bench.py populates these via prepare_indexes() OUTSIDE the timed
-# region (index builds amortize over a query stream in production); the
-# driver's correctness run skips prepare, so the prebuilt-index queries
-# fall back to building inline — same results either way (both the
-# k-means seeding and the bucket hash are md5-deterministic).
-#
-# BM25 indexes are keyed by (sf_dir, corpus): BM25 stats (df/N/avgdl)
-# are defined over the scored corpus, and the pure-keyword queries
-# score the full ``documents`` table while the hybrid family scores
-# documents JOIN embeddings — at sf0.1 those differ (5000 vs 2000
-# docs), so one shared index would silently change hybrid scores.
-_BM25_INDEX_DIRS: dict[tuple[str, str], str] = {}
-_IVF_INDEX_DIRS: dict[str, str] = {}
-_DEDUP_INDEX_DIRS: dict[str, str] = {}
-_LSH_INDEX_DIRS: dict[str, str] = {}
-# Opened-handle caches: a serving system opens an index once and keeps
-# the handle (DataFrame over the persisted layout + driver-resident
-# metadata like the IVF codebook) across queries; re-opening parquet
-# per query would re-pay schema/footer reads.  Keyed like the DIRS
-# caches; invalidated together (tests clear both).
-_BM25_INDEX_HANDLES: dict[tuple[str, str], object] = {}
-_IVF_INDEX_HANDLES: dict[str, tuple] = {}
-_LSH_INDEX_HANDLES: dict[str, object] = {}
-
-
-def _bm25_index_path(spark, sf_dir: str, corpus: str = "documents") -> str:
-    import tempfile
-
-    path = _BM25_INDEX_DIRS.get((sf_dir, corpus))
-    if path is None:
-        path = tempfile.mkdtemp(prefix=f"qurio-bm25-idx-{corpus}-")
-        base = (
-            _docs_with_vecs(spark, sf_dir).select("doc_id", "text")
-            if corpus == "joined"
-            else _t(spark, sf_dir, "documents")
-        )
-        idx = bm25_op.build_index(base)
-        bm25_op.write_index(idx, path)
-        _BM25_INDEX_DIRS[(sf_dir, corpus)] = path
-    return path
-
-
-def _bm25_index_handle(spark, sf_dir: str, corpus: str):
-    """Open-once BM25Index handle over the persisted layout."""
-    key = (sf_dir, corpus)
-    idx = _BM25_INDEX_HANDLES.get(key)
-    if idx is None:
-        idx = bm25_op.read_index(spark, _bm25_index_path(spark, sf_dir, corpus))
-        _BM25_INDEX_HANDLES[key] = idx
-    return idx
-
-
-def _hybrid_bm25_index(spark, sf_dir: str):
-    """Persisted BM25 index over the corpus the hybrid family actually
-    scores (documents JOIN embeddings), or None when bench didn't
-    prepare one.  Never hands the documents-table index to a hybrid
-    query: its frozen stats belong to a different corpus."""
-    if (sf_dir, "joined") not in _BM25_INDEX_DIRS:
-        return None
-    return _bm25_index_handle(spark, sf_dir, "joined")
-
-
-def _ivf_index_handle(spark, sf_dir: str):
-    """Open-once (labeled, centroids, codebook-rows) for the persisted
-    IVF index; the codebook (k x dim floats) stays driver-resident —
-    it's index metadata, the moral equivalent of BM25's 1-row stats."""
-    from qurio_spark.operators.similarity import read_ivf_index
-
-    h = _IVF_INDEX_HANDLES.get(sf_dir)
-    if h is None:
-        labeled, centroids = read_ivf_index(spark, _IVF_INDEX_DIRS[sf_dir])
-        codebook = [
-            (int(r["label"]), [float(x) for x in r["centroid"]])
-            for r in centroids.collect()
-        ]
-        h = (labeled, centroids, codebook)
-        _IVF_INDEX_HANDLES[sf_dir] = h
-    return h
-
-
-def _ivf_index_path(spark, sf_dir: str) -> str:
-    import tempfile
-
-    from qurio_spark.operators.similarity import ivf_build, write_ivf_index
-
-    path = _IVF_INDEX_DIRS.get(sf_dir)
-    if path is None:
-        path = tempfile.mkdtemp(prefix="qurio-ivf-idx-")
-        emb = _docs_with_vecs(spark, sf_dir).select("doc_id", "embedding")
-        # k=16: finer codebook than the in-DAG default (8) — per-query
-        # probe fraction drops to 3/16 and the probed-label union stays
-        # well under the full corpus; verified hash-identical to the
-        # dense oracle (exact mode) and recall 1.0 (pruned mode) at
-        # sf0.001/0.01/0.1
-        labeled, centroids = ivf_build(
-            emb, k=16, iters=3, id_col="doc_id", fit_sample_mod=4
-        )
-        write_ivf_index(labeled, centroids, path)
-        _IVF_INDEX_DIRS[sf_dir] = path
-    return path
-
-
-def _dedup_index_path(spark, sf_dir: str) -> str:
-    """Persist the dedup signature tables (simhash fingerprints +
-    minhash signatures) — signatures are an index, built once per
-    corpus version; deterministic, so prebuilt == in-DAG."""
-    import tempfile
-
-    path = _DEDUP_INDEX_DIRS.get(sf_dir)
-    if path is None:
-        path = tempfile.mkdtemp(prefix="qurio-dedup-idx-")
-        from qurio_spark.operators.dedup import shingle_docs
-
-        d = _t(spark, sf_dir, "documents")
-        simhash64(d).write.mode("overwrite").parquet(f"{path}/simhash")
-        minhash_signatures(d, num_perm=4).write.mode("overwrite").parquet(
-            f"{path}/minhash"
-        )
-        shingle_docs(d, n=3).write.mode("overwrite").parquet(f"{path}/shingles")
-        _DEDUP_INDEX_DIRS[sf_dir] = path
-    return path
-
-
-def _lsh_index_path(spark, sf_dir: str) -> str:
-    import tempfile
-
-    from qurio_spark.operators.similarity import write_lsh_index
-
-    path = _LSH_INDEX_DIRS.get(sf_dir)
-    if path is None:
-        path = tempfile.mkdtemp(prefix="qurio-lsh-idx-")
-        emb = _t(spark, sf_dir, "embeddings")
-        write_lsh_index(emb, path, dim=len(_qvec(spark, sf_dir)), n_planes=3)
-        _LSH_INDEX_DIRS[sf_dir] = path
-    return path
-
-
-def prepare_indexes(spark, sf_dir: str) -> None:
-    """Amortized index builds (called untimed by bench.py), with the
-    opened handles pre-warmed — a serving system opens an index once,
-    so the first query shouldn't pay the parquet-footer reads either."""
-    from qurio_spark.operators.similarity import read_lsh_index
-
-    _bm25_index_path(spark, sf_dir, "documents")
-    _bm25_index_path(spark, sf_dir, "joined")
-    _ivf_index_path(spark, sf_dir)
-    _dedup_index_path(spark, sf_dir)
-    _lsh_index_path(spark, sf_dir)
-    _bm25_index_handle(spark, sf_dir, "documents")
-    _bm25_index_handle(spark, sf_dir, "joined")
-    _ivf_index_handle(spark, sf_dir)
-    if sf_dir not in _LSH_INDEX_HANDLES:
-        _LSH_INDEX_HANDLES[sf_dir] = read_lsh_index(
-            spark, _lsh_index_path(spark, sf_dir)
-        )
-
-
-def q_bm25_prebuilt(spark, sf_dir):
-    """Q2 alpha=0 against the PERSISTED index: postings written
-    partitioned by md5 term-bucket, query terms hashed driver-side so
-    the scan prunes to <= |q| of 64 bucket directories then applies the
-    pushed ``term IN``  filter — per-query cost O(sum df(t)), corpus
-    scanned zero times (operators/bm25.write_index/score_query_prebuilt)."""
-    idx = _bm25_index_handle(spark, sf_dir, "documents")
-    scored = bm25_op.score_query_prebuilt(idx, QUERY_TEXT)
-    return (
-        scored.filter(F.col("bm25") > 0)
-        .select("doc_id", stable_round("bm25", 4).alias("bm25"))
-        .orderBy(F.desc(stable_round("bm25", 6)), F.asc("doc_id"))
-        .limit(10)
-    )
-
-
-def q_vector_topk(spark, sf_dir):
-    """Q2 alpha=1: brute-force cosine top-10 (the exact-ANN oracle)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    top = brute_force_topk(emb, _qvec(spark, sf_dir), k=10)
-    return top.select("vec_id", stable_round("score", 4).alias("score"))
-
-
-def q_hybrid_topk(spark, sf_dir):
-    """Q2 alpha=0.5: full hybrid search, min-max fused.  Uses the
-    persisted BM25 index when bench prepared one (identical scores —
-    unfiltered search scores the whole corpus, which is exactly the
-    index's stats domain); builds in-DAG otherwise."""
-    docs = _docs_with_vecs(spark, sf_dir)
-    res = hybrid_search(
-        docs, QUERY_TEXT, _qvec(spark, sf_dir), alpha=0.5, limit=10,
-        bm25_index=_hybrid_bm25_index(spark, sf_dir),
-    )
-    return res.select("doc_id", stable_round("score", 4).alias("score"))
-
-
-_BATCH_QUERIES = [
-    # (query_id, query_text, qvec_id) — query vectors resolved from the
-    # embeddings table so both engines read identical floats (Q1 batch)
-    ("q1", "hash join spark", 0),
-    ("q2", "filter pushdown parquet", 1),
-    ("q3", "vector similarity search", 2),
-]
-
-
-_BATCH_QUERY_ROWS: dict[str, list] = {}
-
-
-def _batch_queries_frame(spark, sf_dir):
-    """The batch-search INPUT table as a driver-local frame: the three
-    query vectors are fetched once per sf_dir (pushed ``vec_id IN``
-    parquet scan, a handful of rows) and cached.  The query table is
-    the job's input, not part of the measured work — materializing it
-    driver-side keeps the embeddings join out of every downstream
-    stage (keyword terms, probe selection, qvec broadcast) for BOTH
-    the dense and the IVF batch query, and the values are the same
-    parquet floats either way (oracle-identical)."""
-    rows = _BATCH_QUERY_ROWS.get(sf_dir)
-    emb_type = None
-    if rows is None:
-        qe = (
-            _t(spark, sf_dir, "embeddings")
-            .filter(F.col("vec_id").isin([v for _, _, v in _BATCH_QUERIES]))
-            .select("vec_id", "embedding")
-        )
-        vecs = {r["vec_id"]: list(r["embedding"]) for r in qe.collect()}
-        rows = (
-            [(q, t, vecs[v]) for q, t, v in _BATCH_QUERIES],
-            qe.schema["embedding"].dataType,
-        )
-        _BATCH_QUERY_ROWS[sf_dir] = rows
-    data, emb_type = rows
-    schema = T.StructType(
-        [
-            T.StructField("query_id", T.StringType()),
-            T.StructField("query_text", T.StringType()),
-            T.StructField("query_vec", emb_type),
-        ]
-    )
-    return local_frame(spark, data, schema)
-
-
-def q_batch_hybrid(spark, sf_dir):
-    """Q2 batch form: a TABLE of queries scored in one job — shared
-    index build, broadcast query terms into the postings join,
-    per-query fusion + windowed top-k (the Spark-native retrieval
-    shape; see operators/hybrid.hybrid_search_batch)."""
-    from qurio_spark.operators.hybrid import hybrid_search_batch
-
-    docs = _docs_with_vecs(spark, sf_dir)
-    queries = _batch_queries_frame(spark, sf_dir)
-    res = hybrid_search_batch(
-        docs, queries, alpha=0.5, limit=5,
-        bm25_index=_hybrid_bm25_index(spark, sf_dir),
-    )
-    return res.select("query_id", "doc_id", stable_round("score", 4).alias("score"))
-
-
-def q_batch_hybrid_ivf(spark, sf_dir):
-    """Q2 batch form, IVF-pruned (the 100 TB configuration, default
-    ``exact_stats=False``): candidates = (nprobe nearest clusters per
-    query) U (keyword matches) instead of corpus x queries, and
-    normalization over the candidate set — NO full-corpus pass
-    anywhere.  Candidate-set normalization constants differ from the
-    dense oracle's, so the oracle pins the retrieved DOC SET: the
-    output is (query_id, doc_id) and must equal the dense SQL top-k
-    exactly (recall 1.0; also pinned in tests/test_queries_full.py).
-    Exact-score parity for the probes lives in tests/test_search.py
-    (exact_stats=True reproduces q_batch_hybrid hash-identically)."""
-    from qurio_spark.operators.hybrid import hybrid_search_batch_ivf
-
-    docs = _docs_with_vecs(spark, sf_dir)
-    queries = _batch_queries_frame(spark, sf_dir)
-    # prebuilt persisted indexes when bench prepared them; the driver's
-    # correctness run builds in-DAG (deterministically identical)
-    ivf_idx = codebook = None
-    if sf_dir in _IVF_INDEX_DIRS:
-        labeled, centroids, codebook = _ivf_index_handle(spark, sf_dir)
-        ivf_idx = (labeled, centroids)
-    res = hybrid_search_batch_ivf(
-        docs, queries, alpha=0.5, limit=5, ivf_index=ivf_idx,
-        bm25_index=_hybrid_bm25_index(spark, sf_dir), codebook=codebook,
-    )
-    return res.select("query_id", "doc_id")
-
-
-def q_hybrid_filtered(spark, sf_dir):
-    """Q2 + F1: hybrid search with a metadata equality filter; scores
-    normalized over the filtered candidate set."""
-    docs = _docs_with_vecs(spark, sf_dir)
-    res = hybrid_search(
-        docs,
-        QUERY_TEXT,
-        _qvec(spark, sf_dir),
-        alpha=0.3,
-        limit=5,
-        filters={"lang": "en"},
-    )
-    return res.select("doc_id", stable_round("score", 4).alias("score"))
-
-
-def q_ann_ivf(spark, sf_dir):
-    """IVF ANN: probe only the query vector's own cluster (labels are
-    the coarse codebook; the partition-pruned scale path)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    label = emb.filter(F.col("vec_id") == QUERY_VEC_ID).first()["label"]
-    top = ivf_topk(emb, _qvec(spark, sf_dir), probe_labels=[int(label)], k=10)
-    return top.select("vec_id", stable_round("score", 4).alias("score"))
-
-
-# --------------------------------------------------------------------------
-# Text analysis extensions
-# --------------------------------------------------------------------------
-
-
-def q_token_counts(spark, sf_dir):
-    p = text_profile(_t(spark, sf_dir, "documents"))
-    return p.select("doc_id", "n_tokens", "n_bpeish_tokens", "n_distinct_tokens")
-
-
-def q_quality_scores(spark, sf_dir):
-    p = text_profile(_t(spark, sf_dir, "documents"))
-    return p.select("doc_id", "quality")
-
-
-def q_lang_id(spark, sf_dir):
-    p = text_profile(_t(spark, sf_dir, "documents"))
-    return p.select("doc_id", "lang_guess")
-
-
-def q_fingerprints(spark, sf_dir):
-    p = text_profile(_t(spark, sf_dir, "documents"))
-    return p.select("doc_id", "fingerprint")
-
-
-def q_repetition(spark, sf_dir):
-    """Gopher-style repetition metrics (distinct-word ratio,
-    duplicate-bigram fraction) — map-only array expressions."""
-    from qurio_spark.operators.textstats import repetition_profile
-
-    return repetition_profile(_t(spark, sf_dir, "documents"))
-
-
-def q_word_concentration(spark, sf_dir):
-    """Top-word fraction per document: explode -> partial-agg counts ->
-    per-doc argmax window (ties to the first word alphabetically)."""
-    from qurio_spark.operators.textstats import word_concentration
-
-    return word_concentration(_t(spark, sf_dir, "documents"))
-
-
-def q_pii_redact(spark, sf_dir):
-    """PII scrub pass: per-doc match count + redacted-text fingerprint
-    (functions/text.PII_PATTERNS applied as a regexp_replace chain)."""
-    from qurio_spark.operators.textstats import pii_profile
-
-    return pii_profile(_t(spark, sf_dir, "documents"))
-
-
-# --------------------------------------------------------------------------
-# Dedup extensions
-# --------------------------------------------------------------------------
-
-
-def q_exact_dedup(spark, sf_dir):
-    """Exact dedup over a corpus with synthetic duplicates (the corpus
-    unioned with re-keyed copies of itself; originals must win)."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    dup = d.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
-    return exact_dedup(d.unionAll(dup)).select("doc_id")
-
-
-def q_minhash(spark, sf_dir):
-    """MinHash signatures (4 portable universal-hash permutations)."""
-    sig = minhash_signatures(_t(spark, sf_dir, "documents"), num_perm=4)
-    return sig.select(
-        "doc_id",
-        *[F.col("signature")[i].alias(f"mh{i}") for i in range(4)],
-    )
-
-
-def q_ngram_jaccard(spark, sf_dir):
-    """3-gram Jaccard near-dup pairs via shingle inverted-index join.
-    Reads the persisted shingle index when bench prepared one."""
-    sh = None
-    if sf_dir in _DEDUP_INDEX_DIRS:
-        sh = spark.read.parquet(f"{_DEDUP_INDEX_DIRS[sf_dir]}/shingles")
-    return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.1, n=3, shingles=sh
-    )
-
-
-def q_ngram_jaccard_capped(spark, sf_dir):
-    """q_ngram_jaccard with the stop-shingle cap active (max_df=3):
-    shingles shared by more than 3 docs are dropped before the
-    inverted-index self-join, bounding per-key join fan-out — the
-    adversarial-boilerplate guard at 100 TB
-    (operators/dedup.ngram_jaccard_pairs)."""
-    sh = None
-    if sf_dir in _DEDUP_INDEX_DIRS:
-        sh = spark.read.parquet(f"{_DEDUP_INDEX_DIRS[sf_dir]}/shingles")
-    return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.1, n=3, shingles=sh, max_df=3
-    )
-
-
-def q_minhash_lsh(spark, sf_dir):
-    """MinHash-LSH near-dup pairs: 2 bands x 2 rows over the 4-perm
-    signature; candidates collide on a band slice, est_jaccard =
-    matching-slot fraction (operators/dedup.minhash_lsh_pairs).  Reads
-    the persisted signature table when bench prepared one."""
-    from qurio_spark.operators.dedup import minhash_lsh_pairs
-
-    sig = None
-    if sf_dir in _DEDUP_INDEX_DIRS:
-        sig = spark.read.parquet(f"{_DEDUP_INDEX_DIRS[sf_dir]}/minhash")
-    return minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"),
-        num_perm=4,
-        bands=2,
-        threshold=0.5,
-        signatures=sig,
-    )
-
-
-def q_simhash(spark, sf_dir):
-    return simhash64(_t(spark, sf_dir, "documents"))
-
-
-def q_simhash_near(spark, sf_dir):
-    """SimHash near-dup pairs: 15-bit-quarter banding for candidates,
-    exact Hamming verify (bit_count of xor).  Reads the persisted
-    signature table when bench prepared one (deterministic, so
-    identical to the in-DAG build the oracle mirrors)."""
-    from qurio_spark.operators.dedup import simhash_near_pairs
-
-    sig = None
-    if sf_dir in _DEDUP_INDEX_DIRS:
-        sig = spark.read.parquet(f"{_DEDUP_INDEX_DIRS[sf_dir]}/simhash")
-    return simhash_near_pairs(
-        _t(spark, sf_dir, "documents"), max_hamming=30, signatures=sig
-    )
-
-
-def q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs, blocked by cluster label."""
-    pairs = embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
-    return pairs.select("id_a", "id_b", stable_round("sim", 4).alias("sim"))
-
-
-# --------------------------------------------------------------------------
-# Events (batch form of the streaming surface) + TPC-H-ish relational
-# --------------------------------------------------------------------------
-
-
-def q_events_retention(spark, sf_dir):
-    """Weekly cohort retention matrix: users grouped by first-seen
-    week, counted per weeks-since-cohort offset — two user-keyed
-    partial-agg shuffles, the standard retention shape."""
-    ev = _events(spark, sf_dir)
-    wk = F.date_trunc("week", F.col("ts")).cast("date")
-    firsts = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
-    return (
-        ev.join(firsts, "user_id")
-        .select(
-            "user_id",
-            "cohort_week",
-            F.floor(
-                F.datediff(
-                    F.date_trunc("week", F.col("ts")).cast("date"),
-                    F.col("cohort_week"),
-                )
-                / 7
-            )
-            .cast("int")
-            .alias("week_offset"),
-        )
-        .distinct()
-        .groupBy("cohort_week", "week_offset")
-        .agg(F.count("*").alias("n_users"))
-    )
-
-
-def q_cheapest_order_per_customer(spark, sf_dir):
-    """TPC-H Q2-flavor min-per-group join-back: each customer's
-    cheapest order — the correlated-subquery shape as (group min)
-    joined back into the scan, ties resolved to the lowest orderkey
-    (deterministic).  Complements first_order_per_customer (argmin by
-    date via window) with the join-back formulation."""
-    o = _t(spark, sf_dir, "orders")
-    mins = o.groupBy("o_custkey").agg(F.min("o_totalprice").alias("_mn"))
-    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
-    return (
-        o.join(mins, "o_custkey")
-        .filter(F.col("o_totalprice") == F.col("_mn"))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            F.col("o_custkey").alias("custkey"),
-            F.col("o_orderkey").alias("cheapest_orderkey"),
-            stable_round("o_totalprice", 2).alias("cheapest_totalprice"),
-        )
-    )
-
-
-def q_near_dup_clusters(spark, sf_dir):
-    """Dedup completion: embedding-cosine near-dup PAIRS -> connected
-    components -> (vec_id, cluster_id = min id in component).  Keeping
-    one doc per cluster_id is the canonical-selection step
-    (operators/dedup.connected_components)."""
-    from qurio_spark.operators.dedup import connected_components
-
-    emb = _t(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dup_pairs(emb, threshold=0.35)
-    return connected_components(pairs, emb, id_col="vec_id")
-
-
-def q_events_hourly(spark, sf_dir):
-    """Tumbling-window aggregation (batch twin of the streaming job)."""
-    return (
-        _events(spark, sf_dir)
-        .groupBy(
-            F.date_trunc("hour", "ts").alias("hour"),
-            "event_type",
-        )
-        .agg(
-            F.count("*").alias("n"),
-            stable_round(F.sum("value"), 2).alias("total_value"),
-        )
-    )
-
-
-def q_streaming_hourly(spark, sf_dir):
-    """The streaming twin of q_events_hourly as a hard signal: the same
-    tumbling-window aggregation running through Structured Streaming's
-    state store (complete output mode, availableNow trigger), sunk via
-    foreachBatch overwrite and read back — the final table must match
-    the batch query bit-for-bit, so it shares its DuckDB oracle
-    (streaming/ingest module doc: batch twins ARE the test oracle)."""
-    import tempfile
-
-    base = tempfile.mkdtemp(prefix="qurio-stream-hourly-")
-    out_p, ckpt = f"{base}/out", f"{base}/ckpt"
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")  # see _events
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    ev = _normalize_events_ts(stream)
-    agg = (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count("*").alias("n"),
-            stable_round(F.sum("value"), 2).alias("total_value"),
-        )
-        .select(F.col("w.start").alias("hour"), "event_type", "n", "total_value")
-    )
-
-    def sink(batch_df, batch_id):
-        batch_df.write.mode("overwrite").parquet(out_p)
-
-    q = (
-        agg.writeStream.outputMode("complete")
-        .foreachBatch(sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.read.parquet(out_p)
-
-
-def q_events_top_users(spark, sf_dir):
-    """Window function: top-3 users per event_type by event count."""
-    counts = (
-        _events(spark, sf_dir)
-        .groupBy("event_type", "user_id")
-        .agg(F.count("*").alias("n"))
-    )
-    w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("user_id"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select("event_type", "user_id", "n", "rank")
-    )
-
-
-def q_events_json(spark, sf_dir):
-    """Semi-structured extraction from the JSON props column (regex form
-    so Spark and DuckDB agree without the json extension)."""
-    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("int")
-    return (
-        _events(spark, sf_dir)
-        .withColumn("k", k)
-        .groupBy("event_type")
-        .agg(
-            F.count("*").alias("n"),
-            stable_round(F.avg("k"), 4).alias("avg_k"),
-        )
-    )
-
-
-def q_tpch_q1(spark, sf_dir):
-    """TPC-H Q1 pricing summary (scan + partial-agg groupBy)."""
-    l = _t(spark, sf_dir, "lineitem")
-    return (
-        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            stable_round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            stable_round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            stable_round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            stable_round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            stable_round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count("*").alias("count_order"),
-        )
-    )
-
-
-def q_tpch_q3(spark, sf_dir):
-    """TPC-H Q3 shipping priority (3-way join + agg + top-10)."""
-    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15"))
-    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15"))
-    return (
-        l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .groupBy("o_orderkey", "o_orderdate")
-        .agg(
-            stable_round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
-        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
-        .limit(10)
-    )
-
-
-def q_tpch_q5(spark, sf_dir):
-    """TPC-H Q5-style regional revenue (6-way join, dims broadcast)."""
-    r = _t(spark, sf_dir, "region")
-    n = _t(spark, sf_dir, "nation")
-    c = _t(spark, sf_dir, "customer")
-    s = _t(spark, sf_dir, "supplier")
-    o = _t(spark, sf_dir, "orders")
-    l = _t(spark, sf_dir, "lineitem")
-    return (
-        l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
-        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
-        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
-        .groupBy("n_name")
-        .agg(
-            stable_round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
-    )
-
-
-def q_tpch_q7(spark, sf_dir):
-    """TPC-H Q7-style volume shipping: bilateral trade between two
-    nations by year.  Fact-fact joins shuffle on their keys; both
-    nation dims broadcast twice under different aliases."""
-    l = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    s = _t(spark, sf_dir, "supplier")
-    n = _t(spark, sf_dir, "nation")
-    ns = n.select(
-        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
-    )
-    nc = n.select(
-        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
-    )
-    pair = (F.col("supp_nation") == "NATION_1") & (
-        F.col("cust_nation") == "NATION_2"
-    ) | (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
-    return (
-        l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
-        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
-        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
-        .filter(pair)
-        .filter(
-            (F.col("l_shipdate") >= "1996-01-01")
-            & (F.col("l_shipdate") < "1998-01-01")
-        )
-        .groupBy(
-            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
-        )
-        .agg(
-            stable_round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
-    )
-
-
-def q_tpch_q8(spark, sf_dir):
-    """TPC-H Q8-style market share: NATION_2's share of ECONOMY-part
-    volume sold into EUROPE per order year — conditional-sum ratio over
-    one joined fact pass."""
-    l = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    s = _t(spark, sf_dir, "supplier")
-    p = _t(spark, sf_dir, "part")
-    n = _t(spark, sf_dir, "nation")
-    r = _t(spark, sf_dir, "region")
-    nc = n.select(F.col("n_nationkey").alias("c_nk"), "n_regionkey")
-    ns = n.select(
-        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
-    )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
-        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
-        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
-        .join(F.broadcast(r), F.col("n_regionkey") == r["r_regionkey"])
-        .filter(
-            (F.col("r_name") == "EUROPE")
-            & (F.col("p_type") == "ECONOMY")
-            & (F.col("o_orderdate") >= "1996-01-01")
-            & (F.col("o_orderdate") < "1998-01-01")
-        )
-        .groupBy(F.year("o_orderdate").alias("o_year"))
-        .agg(
-            stable_round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(0.0))
-                / F.sum(vol),
-                4,
-            ).alias("mkt_share")
-        )
-    )
-
-
-def q_tpch_q9(spark, sf_dir):
-    """TPC-H Q9-shaped product-type profit (adapted: the generated
-    schema has no partsupp, so unit supply cost is modeled as
-    0.8 * p_retailprice): profit by supplier nation and order year for
-    parts whose name contains 'red'.  One joined fact pass; part,
-    supplier, and nation dims broadcast — no fact-side shuffle beyond
-    the orderkey join."""
-    l = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
-    s = _t(spark, sf_dir, "supplier")
-    p = _t(spark, sf_dir, "part")
-    n = _t(spark, sf_dir, "nation")
-    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - (
-        0.8 * F.col("p_retailprice") * F.col("l_quantity")
-    )
-    return (
-        l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .filter(F.col("p_name").contains("red"))
-        .groupBy(
-            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
-        )
-        .agg(stable_round(F.sum(amount), 2).alias("sum_profit"))
-    )
-
-
-def q_tpch_q21(spark, sf_dir):
-    """TPC-H Q21-shaped waiting-supplier audit (adapted: the generated
-    schema has no l_commitdate/l_receiptdate, so "late" is shipping
-    more than 365 days after the order date).  The canonical
-    EXISTS / NOT EXISTS pair decorrelates into ONE per-order aggregate
-    joined back on the same key: another-supplier-exists <=>
-    n_supp >= 2, no-other-late-supplier <=> n_late_supp = 1 (the
-    candidate row is itself late) — two passes over the filtered fact
-    instead of two correlated per-row probes, and the groupBy + join
-    share the l_orderkey partitioning so no extra shuffle."""
-    l = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    s = _t(spark, sf_dir, "supplier")
-    li = l.join(o, l["l_orderkey"] == o["o_orderkey"]).withColumn(
-        "is_late",
-        (
-            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
-        ).cast("int"),
-    )
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("is_late") == 1, F.col("l_suppkey"))
-        ).alias("n_late_supp"),
-    )
-    return (
-        li.filter(F.col("is_late") == 1)
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
-        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
-        .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
-        .orderBy(F.desc("numwait"), F.asc("s_name"))
-        .limit(10)
-    )
-
-
-def q_tpch_q16(spark, sf_dir):
-    """TPC-H Q16-shaped supplier diversity (adapted: supplier-part
-    pairs come from lineitem, partsupp absent; the complaints NOT IN
-    exclusion becomes negative-balance suppliers): distinct supplier
-    count per (brand, type, size) excluding flagged suppliers.  NOT IN
-    decorrelates to a broadcast anti-join; the pair set reduces via
-    distinct BEFORE the final count so the count agg runs on reduced
-    rows, never the fact stream."""
-    l = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#2")
-    s = _t(spark, sf_dir, "supplier")
-    excluded = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
-    pairs = (
-        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
-        .join(
-            F.broadcast(excluded),
-            l["l_suppkey"] == excluded["s_suppkey"],
-            "left_anti",
-        )
-        .select("p_brand", "p_type", "p_size", "l_suppkey")
-        .distinct()
-    )
-    return pairs.groupBy("p_brand", "p_type", "p_size").agg(
-        F.count("*").alias("supplier_cnt")
-    )
-
-
-def q_tpch_q11(spark, sf_dir):
-    """TPC-H Q11-shaped important-part identification (adapted: value
-    from shipped lineitems, partsupp absent; threshold = 1.5x the mean
-    per-part value so the predicate is scale-invariant): per-part
-    value HAVING a global-scalar comparison — one fact aggregation,
-    the 1-row global derived from the SAME aggregate and broadcast
-    back (Q15's scalar-subquery shape, fraction-of-total variant)."""
-    l = _t(spark, sf_dir, "lineitem")
-    v = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-    per_part = l.groupBy("l_partkey").agg(v.alias("value"))
-    global_row = per_part.agg(
-        (F.sum("value") / F.count("*") * 1.5).alias("threshold")
-    )
-    return (
-        per_part.crossJoin(F.broadcast(global_row))
-        .filter(F.col("value") > F.col("threshold"))
-        .select("l_partkey", stable_round("value", 2).alias("value"))
-    )
-
-
-def q_tpch_q20(spark, sf_dir):
-    """TPC-H Q20-shaped dominant-supplier audit (adapted: no partsupp
-    availqty in the generated schema, so the threshold is against the
-    part's own shipped total): suppliers who shipped more than half of
-    some 'red'-named part's 1996 volume.  The correlated scalar
-    subquery decorrelates into a second-level aggregate over the
-    ALREADY-REDUCED (part, supplier) rows — the per-part total is
-    computed from per_sp, never a second fact pass — then a broadcast
-    semi-join back; supplier dim broadcast."""
-    l = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
-    )
-    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
-    s = _t(spark, sf_dir, "supplier")
-    lp = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
-    per_sp = lp.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum("l_quantity").alias("sq")
-    )
-    per_p = per_sp.groupBy("l_partkey").agg(F.sum("sq").alias("total_q"))
-    # per_p (one row per part) and dominant (<= one row per supplier)
-    # are provably small — pin the broadcasts so the plan shape holds
-    # at any scale, not just under the static planner's size estimate
-    dominant = (
-        per_sp.join(F.broadcast(per_p), "l_partkey")
-        .filter(F.col("sq") > 0.5 * F.col("total_q"))
-        .select("l_suppkey")
-        .distinct()
-    )
-    return s.join(
-        F.broadcast(dominant), s["s_suppkey"] == dominant["l_suppkey"], "left_semi"
-    ).select("s_suppkey", "s_name")
-
-
-def q_tpch_q15(spark, sf_dir):
-    """TPC-H Q15-style top supplier: quarterly revenue per supplier,
-    keep the maximum-revenue supplier(s) — the view + scalar-max
-    subquery expressed as an agg joined against its own max (one fact
-    pass, broadcast 1-row max)."""
-    l = _t(spark, sf_dir, "lineitem")
-    s = _t(spark, sf_dir, "supplier")
-    rev = (
-        l.filter(
-            (F.col("l_shipdate") >= "1996-01-01")
-            & (F.col("l_shipdate") < "1996-04-01")
-        )
-        .groupBy("l_suppkey")
-        .agg(
-            stable_round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("total_revenue")
-        )
-    )
-    mx = rev.agg(F.max("total_revenue").alias("_mx"))
-    return (
-        rev.crossJoin(F.broadcast(mx))
-        .filter(F.col("total_revenue") == F.col("_mx"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
-        .select("s_suppkey", "s_name", "total_revenue")
-    )
-
-
-def q_tpch_q17(spark, sf_dir):
-    """TPC-H Q17-style small-quantity revenue: lineitems of one brand
-    below 20% of that part's average quantity — the correlated-average
-    re-expressed as a per-part agg joined back (no per-row subquery)."""
-    l = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part")
-    brand = l.join(
-        F.broadcast(p.filter(F.col("p_brand") == "Brand#1")),
-        l["l_partkey"] == p["p_partkey"],
-    )
-    avg_qty = brand.groupBy(F.col("l_partkey").alias("_pk")).agg(
-        (F.avg("l_quantity") * 0.2).alias("_qty_cap")
-    )
-    return (
-        brand.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("_pk"))
-        .filter(F.col("l_quantity") < F.col("_qty_cap"))
-        .agg(
-            stable_round(
-                F.coalesce(F.sum("l_extendedprice"), F.lit(0.0)) / 7.0, 2
-            ).alias("avg_yearly")
-        )
-    )
-
-
-def q_tpch_q22(spark, sf_dir):
-    """TPC-H Q22-shaped dormant-customer analysis (no phone column in
-    this schema, so the country-code gate becomes a nation gate, and —
-    because this dataset's customers all have SOME order — 'no orders'
-    becomes 'no orders since 2000-01-01'): customers of NATION_1/2/3
-    with above-average positive balance and no recent orders, grouped
-    by nation."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    n = _t(spark, sf_dir, "nation")
-    in_scope = c.filter(F.col("c_nationkey").isin(1, 2, 3))
-    avg_bal = in_scope.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("_avg_bal")
-    )
-    recent = o.filter(F.col("o_orderdate") >= "2000-01-01").select("o_custkey")
-    return (
-        in_scope.crossJoin(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
-        .join(recent, c["c_custkey"] == recent["o_custkey"], "left_anti")
-        .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
-        .groupBy("n_name")
-        .agg(
-            F.count("*").alias("numcust"),
-            stable_round(F.sum("c_acctbal"), 2).alias("totacctbal"),
-        )
-    )
-
-
-def q_top_customers(spark, sf_dir):
-    """Join + agg + deterministic top-10 (largest customers)."""
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    return (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .groupBy("c_custkey", "c_name")
-        .agg(
-            stable_round(F.sum("o_totalprice"), 2).alias("total_spent"),
-            F.count("*").alias("n_orders"),
-        )
-        .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
-        .limit(10)
-    )
-
-
-# --------------------------------------------------------------------------
-# Crawl-frontier operators on deterministic literal fixtures (F7/F8/M6)
-# — Spark builds the rows with createDataFrame, the oracle with VALUES,
-# so the filter-chain semantics themselves are hash-checked.
-# --------------------------------------------------------------------------
-
-_LINK_FIXTURE = [
-    # (source_id, page_url, link, parent_depth, max_depth)
-    ("s1", "https://docs.example.com/guide", "https://docs.example.com/a", 0, 2),
-    ("s1", "https://docs.example.com/guide", "http://docs.example.com/b", 0, 2),
-    ("s1", "https://docs.example.com/guide", "https://other.example.com/c", 0, 2),
-    ("s1", "https://docs.example.com/guide", "mailto:x@example.com", 0, 2),
-    ("s1", "https://docs.example.com/guide", "ftp://docs.example.com/f", 0, 2),
-    ("s1", "https://docs.example.com/guide", "https://docs.example.com/a#frag", 0, 2),
-    ("s1", "https://docs.example.com/guide", "https://docs.example.com/blog/post", 0, 2),
-    ("s1", "https://docs.example.com/deep", "https://docs.example.com/d", 2, 2),
-    ("s1", "https://docs.example.com/llms.txt", "https://docs.example.com/m", 2, 2),
-    ("s2", "https://api.example.org/", "https://api.example.org/ref", 1, 3),
-]
-_LINK_EXCLUSION = ".*/blog/.*"
-
-_PAGE_FIXTURE = [
-    # (source_id, url, status, depth)
-    ("done", "https://a.com/", "completed", 0),
-    ("done", "https://a.com/x", "failed", 1),
-    ("busy", "https://b.com/", "completed", 0),
-    ("busy", "https://b.com/y", "pending", 1),
-    ("dead", "https://c.com/", "failed", 0),
-]
-
-
-def q_link_filter_chain(spark, sf_dir):
-    """F7 + S4: link-discovery filter chain (same-host, scheme,
-    fragment-strip, exclusion regex, in-batch dedup, depth gate with
-    the llms.txt +1 allowance) over a deterministic fixture."""
-    from qurio_spark.operators.crawl import discover_links
-
-    links = local_frame(spark, 
-        [(sid, pu, l, pd_, md, [_LINK_EXCLUSION]) for sid, pu, l, pd_, md in _LINK_FIXTURE],
-        "source_id string, page_url string, link string, parent_depth int, "
-        "max_depth int, exclusions array<string>",
-    )
-    return discover_links(links)
-
-
-def q_source_completion(spark, sf_dir):
-    """M6: per-source completion/failed derivation from the page
-    ledger (seed failure fails the source)."""
-    from qurio_spark.operators.crawl import source_completion
-
-    pages = local_frame(spark, 
-        _PAGE_FIXTURE, "source_id string, url string, status string, depth int"
-    )
-    return source_completion(pages)
-
-
-def q_events_sessions(spark, sf_dir):
-    """Sessionization: 30-minute-gap sessions per user (lag + cumulative
-    sum of gap flags), with per-session stats — the batch twin of a
-    session-window streaming agg."""
-    ev = _events(spark, sf_dir)
-    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    secs = _epoch_secs(ev)
-    gapped = ev.withColumn(
-        "new_session",
-        F.when(
-            secs - F.lag(secs).over(w_user) > 30 * 60,
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    ).withColumn(
-        "session_seq",
-        F.sum("new_session").over(
-            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    return (
-        gapped.groupBy("user_id", "session_seq")
-        .agg(
-            F.count("*").alias("n_events"),
-            stable_round(F.sum("value"), 2).alias("session_value"),
-        )
-        .groupBy("user_id")
-        .agg(
-            F.count("*").alias("n_sessions"),
-            F.max("n_events").alias("max_session_events"),
-            stable_round(F.sum("session_value"), 2).alias("total_value"),
-        )
-    )
-
-
-def q_tpch_q6(spark, sf_dir):
-    """TPC-H Q6 forecast revenue (pure filter + agg; PushedFilters
-    should carry every predicate to the scan)."""
-    l = _t(spark, sf_dir, "lineitem")
-    return (
-        l.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01"))
-            & (F.col("l_discount") >= 0.05)
-            & (F.col("l_discount") <= 0.07)
-            & (F.col("l_quantity") < 24)
-        )
-        .agg(
-            stable_round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            )
-        )
-    )
-
-
-_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
-
-
-def q_events_pivot(spark, sf_dir):
-    """PIVOT: per-user event counts spread across event-type columns
-    (explicit value list so the plan is a single pass, no distinct-scan
-    planning step)."""
-    ev = _events(spark, sf_dir)
-    return (
-        ev.groupBy("user_id")
-        .pivot("event_type", _EVENT_TYPES)
-        .agg(F.count(F.lit(1)))  # count(*) is rejected inside Pivot
-        .na.fill(0, _EVENT_TYPES)
-    )
-
-
-def q_events_setops(spark, sf_dir):
-    """Set operations: users who clicked but never purchased
-    (EXCEPT/anti set) union users who did both (INTERSECT), tagged."""
-    ev = _events(spark, sf_dir)
-    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
-    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
-    click_only = clickers.exceptAll(buyers).withColumn("cohort", F.lit("click_only"))
-    both = clickers.intersect(buyers).withColumn("cohort", F.lit("click_and_buy"))
-    return click_only.unionByName(both)
-
-
-def q_value_percentiles(spark, sf_dir):
-    """Exact interpolated percentiles (median + p90) of event value per
-    event type — the exact form, not the sketch, so it oracle-checks."""
-    ev = _events(spark, sf_dir)
-    return ev.groupBy("event_type").agg(
-        stable_round(F.percentile("value", 0.5), 4).alias("p50"),
-        stable_round(F.percentile("value", 0.9), 4).alias("p90"),
-    )
-
-
-def q_curate(spark, sf_dir):
-    """Training-data curation pipeline: exact-dedup -> quality score ->
-    per-source token-budget selection (operators/curate.curate_corpus)
-    — the flagship composition of the dedup + text-analysis ladder."""
-    from qurio_spark.operators.curate import curate_corpus
-
-    return curate_corpus(
-        _t(spark, sf_dir, "documents"), per_source_token_budget=800
-    )
-
-
-def q_events_funnel(spark, sf_dir):
-    """Sequential funnel: users whose first view precedes their first
-    subsequent click precedes their first subsequent purchase — three
-    ordered min-timestamp stages, each a groupBy + conditional join
-    (the standard funnel shape; shuffles only user-keyed minima)."""
-    ev = _events(spark, sf_dir)
-
-    def first_after(event_type, prior, prior_col):
-        e = ev.filter(F.col("event_type") == event_type).select(
-            "user_id", F.col("ts").alias("_t")
-        )
-        if prior is None:
-            return e.groupBy("user_id").agg(F.min("_t").alias(prior_col))
-        return (
-            e.join(prior, "user_id")
-            .filter(F.col("_t") > F.col(prior.columns[1]))
-            .groupBy("user_id")
-            .agg(F.min("_t").alias(prior_col))
-        )
-
-    views = first_after("view", None, "t_view")
-    clicks = first_after("click", views, "t_click")
-    buys = first_after("purchase", clicks, "t_buy")
-    return (
-        views.agg(F.count("*").alias("n"))
-        .withColumn("stage", F.lit("view"))
-        .unionByName(
-            clicks.agg(F.count("*").alias("n")).withColumn("stage", F.lit("click"))
-        )
-        .unionByName(
-            buys.agg(F.count("*").alias("n")).withColumn("stage", F.lit("purchase"))
-        )
-        .select("stage", "n")
-    )
-
-
-def q_pack_shards(spark, sf_dir):
-    """Training-shard packing: per-source token cumsum -> offset-rule
-    shard assignment (operators/sharding.pack_shards, budget 2000)."""
-    from qurio_spark.operators.sharding import pack_shards
-
-    return pack_shards(_t(spark, sf_dir, "documents"), token_budget=2000)
-
-
-def q_sample_mixture(spark, sf_dir):
-    """Deterministic domain-mixture sampling: per-source keep
-    probabilities decided by a portable md5 draw per doc
-    (operators/sharding.sample_mixture)."""
-    from qurio_spark.operators.sharding import sample_mixture
-
-    kept = sample_mixture(
-        _t(spark, sf_dir, "documents"),
-        weights={"src1": 1.0, "src2": 0.5, "src3": 0.25},
-        default_weight=0.1,
-    )
-    return kept.select("doc_id", "source")
-
-
-def q_revenue_rollup(spark, sf_dir):
-    """ROLLUP aggregation (nation, order-year) over the sales join —
-    subtotal + grand-total rows in one pass (partial-agg friendly;
-    beyond reference scope, training-pipeline reporting shape)."""
-    l = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    n = _t(spark, sf_dir, "nation")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
-        .withColumn("o_year", F.year("o_orderdate"))
-        .rollup("n_name", "o_year")
-        .agg(stable_round(F.sum(rev), 2).alias("revenue"))
-        # subtotal marker NULLs -> sentinels (hash comparators sort row
-        # tuples; mixed None/int breaks ordering)
-        .select(
-            F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
-            F.coalesce("o_year", F.lit(-1)).alias("o_year"),
-            "revenue",
-        )
-    )
-
-
-def q_events_moving_avg(spark, sf_dir):
-    """Frame window: 4-row moving average of event value per user
-    (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) — partitioned by user,
-    so parallelism scales with user cardinality."""
-    ev = _events(spark, sf_dir)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-3, Window.currentRow)
-    )
-    return ev.select(
-        "user_id",
-        "event_id",
-        stable_round(F.avg("value").over(w), 4).alias("mavg"),
-    )
-
-
-def q_first_order_per_customer(spark, sf_dir):
-    """Argmin-per-group via row_number window: each customer's earliest
-    order with its totalprice (the min-join/correlated-subquery shape)."""
-    o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return (
-        o.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            F.col("o_custkey").alias("custkey"),
-            F.col("o_orderkey").alias("first_orderkey"),
-            stable_round("o_totalprice", 2).alias("first_totalprice"),
-        )
-    )
-
-
-# --------------------------------------------------------------------------
-# Ingestion-side operators on fixtures / documents (S3, T7-T9, M1, M4,
-# M5, Q4) — each as a hash-checkable relational query.
-# --------------------------------------------------------------------------
-
-_SITEMAP_FIXTURE = [
-    (
-        "s1",
-        "https://docs.example.com",
-        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
-        "<url><loc>https://docs.example.com/a</loc></url>"
-        "<url><loc> https://docs.example.com/b </loc></url>"
-        "<url><loc>https://docs.example.com/a</loc></url>"
-        "<url><loc>https://other.example.org/x</loc></url>"
-        "</urlset>",
-    ),
-    (
-        "s2",
-        "https://api.example.org",
-        "<urlset><url><loc>https://api.example.org/ref</loc></url>"
-        "<url><loc>http://api.example.org:8080/alt</loc></url>"
-        "<url><loc>nota url</loc></url></urlset>",
-    ),
-]
-
-_MD_FIXTURE = [
-    (
-        "d1",
-        "# Getting Started\n\nSee [the guide](https://ex.com/guide) and"
-        " [API](/api).\n## Sub\n[dup](/api) end",
-    ),
-    ("d2", "Intro text first\n\n# Real Title\n[link one](https://ex.com/one)"),
-    ("d3", "# Only Title\nplain [rel](../up) text [empty]()"),
-]
-
-_META_FIXTURE = [
-    # (path, title, authors, created, pages, language)
-    ("/up/a1b2.pdf", "Spark Internals", ["Ada", "Lin"], "2024-01-02", 12, "de"),
-    ("/up/notes.md", None, [], None, 0, None),
-    ("/up/guide-final.docx", "", ["Sol"], "2023-07-09", 0, "id"),
-]
-
-_STUCK_NOW = 1_700_000_000  # fixed "janitor tick" epoch second
-_STUCK_FIXTURE = [
-    # (source_id, url, status, updated_epoch)
-    ("s1", "https://a.com/1", "processing", _STUCK_NOW - 400),
-    ("s1", "https://a.com/2", "processing", _STUCK_NOW - 100),
-    ("s1", "https://a.com/3", "pending", _STUCK_NOW - 4000),
-    ("s2", "https://b.com/1", "completed", _STUCK_NOW - 4000),
-]
-
-_DLQ_FIXTURE = [
-    # (id, handler, payload_json, error, retries)
-    ("j1", "result-consumer", '{"type": "web", "url": "https://a.com"}', "timeout", 1),
-    ("j2", "result-consumer", '{"type": "file", "path": "/up/x.pdf"}', "bad parse", 0),
-    ("j3", "embedder", '{"type": "web", "url": "https://b.com"}', "quota", 3),
-]
-
-_TYPE_RE = '"type"\\s*:\\s*"([^"]+)"'
-
-
-def q_sitemap_urls(spark, sf_dir):
-    """S3: urlset parse + same-domain filter + dedup as one DataFrame
-    chain (regexp_extract_all + explode; sitemap.py:192-306 semantics).
-    Index recursion is the driver loop in sources/sitemap.py (tested in
-    tests/test_sitemap.py)."""
-    from qurio_spark.sources.sitemap import sitemap_page_urls
-
-    df = local_frame(spark, 
-        _SITEMAP_FIXTURE, "source_id string, base_url string, xml string"
-    )
-    return sitemap_page_urls(df)
-
-
-def q_md_extract(spark, sf_dir):
-    """T7: markdown link + title extraction (web.py:138-181): links via
-    the []( ) regex, distinct per doc; title = first level-1 heading."""
-    md = local_frame(spark, _MD_FIXTURE, "doc_id string, content string")
-    return (
-        md.select(
-            "doc_id",
-            F.regexp_extract("content", r"(?m)^# (.+)$", 1).alias("title"),
-            F.explode(
-                F.regexp_extract_all(
-                    "content", F.lit(r"\[[^\]]*\]\(([^)]*)\)"), F.lit(1)
-                )
-            ).alias("link"),
-        )
-        .distinct()
-    )
-
-
-def q_content_hash(spark, sf_dir):
-    """T8: sha256 identity + body hashes (source.go:96-98,
-    result_consumer.go:195-198) — pure built-in sha2, no UDF."""
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.sha2(F.concat(F.lit("doc://"), F.col("doc_id").cast("string")), 256).alias(
-            "url_hash"
-        ),
-        F.sha2(F.col("text"), 256).alias("body_hash"),
-    )
-
-
-def q_doc_meta_norm(spark, sf_dir):
-    """T9: docling metadata normalization (file.py:66-141): title
-    metadata > filename-from-path; author list joined ", "; language
-    default en; pages kept (0 = unknown)."""
-    rows = local_frame(spark, 
-        _META_FIXTURE,
-        "path string, title string, authors array<string>, created string,"
-        " pages int, language string",
-    )
-    basename = F.regexp_extract("path", r"([^/]+)$", 1)
-    return rows.select(
-        "path",
-        F.coalesce(F.nullif("title", F.lit("")), basename).alias("title"),
-        F.coalesce(F.array_join("authors", ", "), F.lit("")).alias("author"),
-        F.coalesce("created", F.lit("")).alias("created_at"),
-        F.coalesce("pages", F.lit(0)).alias("page_count"),
-        F.coalesce(F.nullif("language", F.lit("")), F.lit("en")).alias("language"),
-    )
-
-
-def q_reingest_upsert(spark, sf_dir):
-    """M1: idempotent re-ingest — delete-before-insert expressed as
-    anti-join(old, recrawled-keys) UNION new rows
-    (result_consumer.go:141-147; at scale: dynamic partition
-    overwrite, see plans/pipeline.write_chunks)."""
-    d = _t(spark, sf_dir, "documents")
-    old = d.select("doc_id", "source", F.sha2(F.col("text"), 256).alias("body_hash"))
-    recrawled = (
-        d.filter(F.col("source") == "src2")
-        .select(
-            "doc_id",
-            "source",
-            F.sha2(F.concat(F.col("text"), F.lit("-v2")), 256).alias("body_hash"),
-        )
-    )
-    return old.join(recrawled.select("doc_id"), "doc_id", "left_anti").unionByName(
-        recrawled
-    )
-
-
-def q_reingest_skip_unchanged(spark, sf_dir):
-    """M1 + body_hash change detection (result_consumer.go:195-198
-    records the hash; SURVEY §4 calls the compare a cheap win): a
-    recrawl fetched src2 (content changed) and src3 (content
-    identical).  Unchanged pages are SKIPPED (no re-chunk/re-embed, no
-    rewrite), changed pages are rewritten, everything else kept
-    (plans/pipeline.split_unchanged)."""
-    from qurio_spark.plans.pipeline import split_unchanged
-
-    d = _t(spark, sf_dir, "documents")
-    prior = d.select("doc_id", "source", F.sha2("text", 256).alias("body_hash"))
-    recrawl = d.filter(F.col("source").isin("src2", "src3")).select(
-        "doc_id",
-        "source",
-        F.when(
-            F.col("source") == "src2", F.concat(F.col("text"), F.lit("-v2"))
-        )
-        .otherwise(F.col("text"))
-        .alias("content"),
-    )
-    changed, unchanged = split_unchanged(
-        recrawl, prior, url_col="doc_id", content_col="content"
-    )
-    kept = (
-        prior.join(recrawl.select("doc_id"), "doc_id", "left_anti")
-        .withColumn("action", F.lit("kept"))
-    )
-    skipped = (
-        prior.join(unchanged.select("doc_id"), "doc_id", "left_semi")
-        .withColumn("action", F.lit("skipped_unchanged"))
-    )
-    rewritten = changed.select(
-        "doc_id", "source", "body_hash", F.lit("rewritten").alias("action")
-    )
-    return kept.unionByName(skipped).unionByName(rewritten)
-
-
-def q_streaming_ingest(spark, sf_dir):
-    """M7 as a hard signal: the foreachBatch incremental ingest
-    (streaming/ingest.streaming_ingest_incremental) driven by REAL
-    Structured Streaming — two availableNow runs over a file source
-    sharing one checkpoint, so the second run processes exactly the
-    newly-arrived files as its own micro-batch(es).
-
-    Batch 1: pages p0..p39.  Batch 2: p0..p19 re-crawled with changed
-    bodies (rewritten via dynamic partition overwrite), p20..p39 resent
-    byte-identical (skipped by the body-hash ledger), p40..p49 new.
-    Returns the FINAL chunks table joined with the final ledger —
-    both persisted-state tables after the second micro-batch."""
-    import tempfile
-
-    from qurio_spark.streaming.ingest import streaming_ingest_incremental
-
-    base = tempfile.mkdtemp(prefix="qurio-stream-ingest-")
-    in_dir = f"{base}/in"
-    chunks_p, ledger_p, ckpt = f"{base}/chunks", f"{base}/ledger", f"{base}/ckpt"
-
-    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
-
-    def pages(pred, updated):
-        content = F.concat(
-            F.lit("Doc "), F.col("doc_id"), F.lit(" alpha beta gamma delta.")
-        )
-        if updated:
-            content = F.concat(content, F.lit(" updated"))
-        return d.filter(pred).select(
-            F.concat(F.lit("https://ex.com/p"), F.col("doc_id")).alias("url"),
-            F.col("source").alias("source_id"),
-            F.lit("success").alias("status"),
-            content.alias("content"),
-            F.concat(F.lit("Page "), F.col("doc_id")).alias("title"),
-            F.concat(F.lit("/p"), F.col("doc_id")).alias("path"),
-            F.struct(
-                F.lit("qurio").alias("author"),
-                F.lit("2024-01-01").alias("created_at"),
-                F.lit(0).alias("pages"),
-            ).alias("metadata"),
-        )
-
-    b1 = pages(F.col("doc_id") < 40, updated=False)
-    b2 = pages(F.col("doc_id") < 20, updated=True).unionByName(
-        pages((F.col("doc_id") >= 20) & (F.col("doc_id") < 50), updated=False)
-    )
-    schema = b1.schema
-
-    def run_available(batch_df):
-        batch_df.write.mode("append").parquet(in_dir)
-        stream = spark.readStream.schema(schema).parquet(in_dir)
-        q = streaming_ingest_incremental(stream, chunks_p, ledger_p, ckpt).start()
-        q.awaitTermination()
-
-    run_available(b1)
-    run_available(b2)
-
-    chunks = spark.read.parquet(chunks_p).select(
-        "url", "source_id", "chunk_index", "content", "title"
-    )
-    ledger = spark.read.parquet(ledger_p)
-    return chunks.join(ledger, "url")
-
-
-def q_stuck_reset(spark, sf_dir):
-    """M4 janitor: 'processing' rows older than 5 min flip back to
-    'pending' (source/repo.go:183-195; ticker main.go:109-123)."""
-    import datetime
-
-    from qurio_spark.operators.crawl import reset_stuck_pages
-
-    pages = local_frame(spark, 
-        _STUCK_FIXTURE, "source_id string, url string, status string, updated_epoch long"
-    ).withColumn("updated_at", F.timestamp_seconds(F.col("updated_epoch")))
-    now = datetime.datetime.fromtimestamp(_STUCK_NOW, tz=datetime.timezone.utc)
-    return reset_stuck_pages(pages, now).select("source_id", "url", "status")
-
-
-def q_dlq_retry(spark, sf_dir):
-    """M5: DLQ replay routing — payload type -> original topic, retry
-    budget max 3 (job/service.go:31-80, config.py:17-20)."""
-    jobs = local_frame(spark, 
-        _DLQ_FIXTURE,
-        "id string, handler string, payload string, error string, retries int",
-    )
-    ptype = F.regexp_extract("payload", _TYPE_RE, 1)
-    return (
-        jobs.filter(F.col("retries") < 3)
-        .select(
-            "id",
-            F.when(ptype == "file", F.lit("ingest.task.file"))
-            .otherwise(F.lit("ingest.task.web"))
-            .alias("topic"),
-            (F.col("retries") + 1).alias("retries"),
-        )
-    )
-
-
-def q_rerank_overlap(spark, sf_dir):
-    """Q4: deterministic local rerank — candidate top-20 from the
-    'retrieval' ordering re-scored by query-term overlap, reordered,
-    top-10 (retrieval/service.go:112-133 with the provider swapped for
-    the hermetic overlap scorer in operators/rerank.py)."""
-    d = _t(spark, sf_dir, "documents")
-    cand = (
-        d.filter(F.col("source") == "src1")
-        .orderBy(F.desc("n_chars"), "doc_id")
-        .limit(20)
-    )
-    low = F.lower(F.col("text"))
-    overlap = sum(
-        F.when(low.rlike(f"(^|[^a-z0-9]){t}([^a-z0-9]|$)"), 1).otherwise(0)
-        for t in QUERY_TEXT.split()
-    )
-    return (
-        cand.withColumn("rerank_score", overlap.cast("int"))
-        .orderBy(F.desc("rerank_score"), "doc_id")
-        .limit(10)
-        .select("doc_id", "rerank_score")
-    )
-
-
-# --------------------------------------------------------------------------
-# Relational breadth (semi/anti joins, conditional aggs, having) over
-# the TPC-H-ish tables — the operator classes a 100 TB pipeline leans on.
-# --------------------------------------------------------------------------
-
-
-def q_tpch_q4(spark, sf_dir):
-    """TPC-H Q4 shape: EXISTS semi-join orders->lineitem + group count.
-    At scale the semi-join shuffles only orderkeys (no payload)."""
-    o = _t(spark, sf_dir, "orders")
-    l = _t(spark, sf_dir, "lineitem")
-    return (
-        o.filter(
-            (F.col("o_orderdate") >= F.lit("1996-07-01"))
-            & (F.col("o_orderdate") < F.lit("1996-10-01"))
-        )
-        .join(
-            l.filter(F.col("l_discount") > 0.05).select("l_orderkey"),
-            F.col("o_orderkey") == F.col("l_orderkey"),
-            "left_semi",
-        )
-        .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("order_count"))
-    )
-
-
-def q_tpch_q14(spark, sf_dir):
-    """TPC-H Q14 shape: promo revenue share — broadcast the part dim
-    into the lineitem scan, conditional agg, one ratio row."""
-    l = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        l.filter(
-            (F.col("l_shipdate") >= F.lit("1996-03-01"))
-            & (F.col("l_shipdate") < F.lit("1996-04-01"))
-        )
-        .join(F.broadcast(p.select("p_partkey", "p_type")),
-              F.col("l_partkey") == F.col("p_partkey"))
-        .agg(
-            stable_round(
-                100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
-                4,
-            ).alias("promo_revenue_pct")
-        )
-    )
-
-
-def q_tpch_q18(spark, sf_dir):
-    """TPC-H Q18 shape: large-volume orders — HAVING on a grouped
-    lineitem sum, then join back to orders+customer (the big-side agg
-    runs first so the join input is already tiny)."""
-    l = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    big = (
-        l.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("total_qty"))
-        .filter(F.col("total_qty") > 180)
-    )
-    return (
-        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .select(
-            "c_custkey",
-            "c_name",
-            "o_orderkey",
-            stable_round("o_totalprice", 2).alias("o_totalprice"),
-            stable_round("total_qty", 2).alias("total_qty"),
-        )
-    )
-
-
-def q_parts_never_shipped(spark, sf_dir):
-    """TPC-H Q16-flavor anti-join: parts with no lineitem shipped since
-    2000-06-01, counted per brand (NOT EXISTS -> left_anti; the filter
-    on the probe side prunes the shuffle input before the anti-join)."""
-    p = _t(spark, sf_dir, "part")
-    l = _t(spark, sf_dir, "lineitem")
-    return (
-        p.join(
-            l.filter(F.col("l_shipdate") >= F.lit("2000-06-01")).select("l_partkey"),
-            F.col("p_partkey") == F.col("l_partkey"),
-            "left_anti",
-        )
-        .groupBy("p_brand")
-        .agg(F.count("*").alias("n_parts"))
-    )
-
-
-def q_tpch_q10(spark, sf_dir):
-    """TPC-H Q10 shape: top returned-revenue customers in a quarter —
-    filter both sides before the join, broadcast nation, deterministic
-    top-20."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    l = _t(spark, sf_dir, "lineitem")
-    n = _t(spark, sf_dir, "nation")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        l.filter(F.col("l_returnflag") == "R")
-        .join(
-            o.filter(
-                (F.col("o_orderdate") >= F.lit("1996-10-01"))
-                & (F.col("o_orderdate") < F.lit("1997-01-01"))
-            ),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(stable_round(F.sum(rev), 2).alias("revenue"))
-        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
-        .limit(20)
-    )
-
-
-def q_tpch_q13(spark, sf_dir):
-    """TPC-H Q13 shape: customer order-count distribution — LEFT OUTER
-    join so zero-order customers count, then a histogram over the
-    per-customer counts (two partial-agg shuffles)."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    per_cust = (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-    )
-    return (
-        per_cust.groupBy("c_count")
-        .agg(F.count("*").alias("custdist"))
-    )
-
-
-def q_tpch_q12(spark, sf_dir):
-    """TPC-H Q12 shape: late-shipment priority counts — join + two
-    conditional aggregates, everything pushed to the scans."""
-    o = _t(spark, sf_dir, "orders")
-    l = _t(spark, sf_dir, "lineitem")
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
-        l.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01"))
-        )
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("l_returnflag")
-        .agg(
-            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
-        )
-    )
-
-
-def q_tpch_q19(spark, sf_dir):
-    """TPC-H Q19 shape: OR-of-ANDs disjunctive predicate over the
-    part join — the pushdown stress case (each disjunct pairs a part
-    attribute with a lineitem quantity band)."""
-    l = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    cond = (
-        ((F.col("p_type") == "PROMO") & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20))
-        | ((F.col("p_type") == "STANDARD") & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30))
-        | ((F.col("p_size") >= 40) & (F.col("l_quantity") >= 20))
-    )
-    return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .filter(cond)
-        .agg(stable_round(F.sum(rev), 2).alias("revenue"))
-    )
-
-
-# --------------------------------------------------------------------------
-# Non-SQL-expressible operators (rows-only driver check)
-# --------------------------------------------------------------------------
-
-
-def q_ingest_pipeline(spark, sf_dir):
-    """T1-T6 end-to-end: clean -> chunk -> contextual prefix -> embed
-    (hashing-TF pandas UDF).  Returns chunk rows with the embedding
-    dimension as a checkable column (vectors themselves are rows-only)."""
-    from qurio_spark.plans.pipeline import build_chunks
-
-    d = _t(spark, sf_dir, "documents")
-    docs_raw = d.select(
-        F.col("source").alias("source_id"),
-        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
-        F.lit("").alias("title"),
-        F.lit("").alias("path"),
-        F.col("text").alias("content"),
-        F.array().cast("array<string>").alias("links"),
-        F.lit(0).alias("depth"),
-        F.lit("success").alias("status"),
-        F.lit(None).cast("string").alias("error"),
-        F.lit(None).cast(
-            "struct<author:string,created_at:string,pages:int,language:string>"
-        ).alias("metadata"),
-    )
-    chunks = build_chunks(docs_raw)
-    return chunks.select(
-        "source_id", "url", "chunk_index", "type", F.size("embedding").alias("dim")
-    )
-
-
-def q_kmeans_ivf(spark, sf_dir):
-    """IVF index build: distributed Lloyd's k-means codebook + corpus
-    labeling (operators/similarity.ivf_build).  Iterative -> rows-only
-    check; clustering quality is asserted in tests/test_dedup.py."""
-    from qurio_spark.operators.similarity import ivf_build
-
-    emb = _t(spark, sf_dir, "embeddings")
-    labeled, _centroids = ivf_build(emb, k=8, iters=3)
-    return labeled.groupBy("label").agg(F.count("*").alias("n_vecs"))
-
-
-def q_chunk_corpus(spark, sf_dir):
-    """T1-T4 + F9/F10: structural chunker over the documents corpus."""
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.col("text").alias("content")
-    )
-    return chunk_documents(d)
-
-
-def q_lsh_topk(spark, sf_dir):
-    """Hyperplane-LSH bucketed ANN probe (approximate; checked
-    rows-only — the exact twin is q_vector_topk)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    top = lsh_topk(emb, _qvec(spark, sf_dir), n_planes=3, k=10)
-    return top.select("vec_id", stable_round("score", 4).alias("score"))
-
-
-def q_lsh_multiprobe(spark, sf_dir):
-    """Multi-probe LSH against the persisted bucket index: the query's
-    bucket plus its lowest-|margin| neighbor bucket (2 of 2^3
-    directories read) — the standard recall/latency dial for hyperplane
-    LSH, with the probe set still a driver-side literal so directory
-    pruning holds (operators/similarity.lsh_probe_buckets)."""
-    from qurio_spark.operators.similarity import lsh_topk_prebuilt, read_lsh_index
-
-    idx = _LSH_INDEX_HANDLES.get(sf_dir)
-    if idx is None:
-        idx = read_lsh_index(spark, _lsh_index_path(spark, sf_dir))
-        _LSH_INDEX_HANDLES[sf_dir] = idx
-    top = lsh_topk_prebuilt(idx, _qvec(spark, sf_dir), k=10, n_probe_buckets=2)
-    return top.select("vec_id", stable_round("score", 4).alias("score"))
-
-
-def q_lsh_prebuilt(spark, sf_dir):
-    """q_lsh_topk against the PERSISTED bucket index: corpus written
-    partitioned by sign-pattern bucket, query hashed to its bucket
-    driver-side, so the scan prunes to ONE of 2^n_planes directories —
-    zero per-query corpus passes (operators/similarity.write_lsh_index /
-    lsh_topk_prebuilt; same write-time layout as BM25 term buckets and
-    IVF labels)."""
-    from qurio_spark.operators.similarity import lsh_topk_prebuilt, read_lsh_index
-
-    idx = _LSH_INDEX_HANDLES.get(sf_dir)
-    if idx is None:
-        idx = read_lsh_index(spark, _lsh_index_path(spark, sf_dir))
-        _LSH_INDEX_HANDLES[sf_dir] = idx
-    top = lsh_topk_prebuilt(idx, _qvec(spark, sf_dir), k=10)
-    return top.select("vec_id", stable_round("score", 4).alias("score"))
-
-
-# --------------------------------------------------------------------------
-# Driver contract
-# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2151,1290 +301,4 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_corpus": q_chunk_corpus,
         "ingest_pipeline": q_ingest_pipeline,
         "kmeans_ivf": q_kmeans_ivf,
-    }
-
-
-# Shared SQL fragments for the oracles ------------------------------------
-
-_TOKS = (
-    "list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9]+'), x -> x <> '')"
-)
-
-# BPE-ish pre-tokenizer regex (functions.text.BPEISH_RE) as a SQL
-# literal: single quotes doubled for the SQL string.
-from qurio_spark.functions.text import BPEISH_RE as _BPEISH_RE_PY
-
-BPEISH_RE_SQL = _BPEISH_RE_PY.replace("'", "''")
-
-
-def _pii_sql() -> str:
-    """DuckDB twin of operators/textstats.pii_profile: SEQUENTIAL
-    per-pattern counts (pattern i counted after patterns 0..i-1 have
-    been replaced, mirroring functions/text.pii_count) + the
-    fingerprint of the fully redacted text."""
-    from qurio_spark.functions.text import PII_PATTERNS
-
-    staged = "text"
-    counts = []
-    for pat, repl in PII_PATTERNS:
-        counts.append(f"len(regexp_extract_all({staged}, '{pat}'))")
-        staged = f"regexp_replace({staged}, '{pat}', '{repl}', 'g')"
-    return f"""
-SELECT doc_id,
-       ({" + ".join(counts)})::BIGINT AS n_pii,
-       sha256({staged}) AS redacted_fp
-FROM documents"""
-
-
-def _bm25_cte(base: str = "documents", terms: tuple[str, ...] = ("hash", "join", "spark")) -> str:
-    """BM25 scoring CTE over ``base`` (must expose doc_id, text) ->
-    relation ``bm25_scores(doc_id, bm25)`` with dense zero scores."""
-    values = ", ".join(f"('{t}')" for t in terms)
-    toks = _TOKS.format(col="text")
-    return f"""
-  toks AS (
-    SELECT doc_id, unnest({toks}) AS term FROM {base}
-  ),
-  tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
-  dl AS (SELECT doc_id, len({toks})::DOUBLE AS dl FROM {base}),
-  stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
-  qterms(term) AS (VALUES {values}),
-  dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
-  bm25_raw AS (
-    SELECT tf.doc_id,
-           sum(
-             ln(1 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
-             * tf.tf * (1.2 + 1)
-             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
-           ) AS bm25
-    FROM tf
-    JOIN qterms USING (term)
-    JOIN dfreq USING (term)
-    JOIN dl USING (doc_id)
-    CROSS JOIN stats s
-    GROUP BY 1
-  ),
-  bm25_scores AS (
-    SELECT b.doc_id, coalesce(r.bm25, 0.0) AS bm25
-    FROM {base} b LEFT JOIN bm25_raw r USING (doc_id)
-  )"""
-
-
-_COS = (
-    "list_dot_product(embedding::DOUBLE[], qv.v) / "
-    "(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * "
-    "sqrt(list_dot_product(qv.v, qv.v)))"
-)
-
-_QV = f"qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = {QUERY_VEC_ID})"
-
-
-def _hybrid_sql(alpha: float, k: int, lang_filter: str | None = None) -> str:
-    """Full hybrid-search oracle: BM25 + cosine, min-max fused."""
-    where = f"WHERE lang = '{lang_filter}'" if lang_filter else ""
-    return f"""
-WITH base AS (
-  SELECT d.doc_id, d.text, e.embedding
-  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
-  {where}
-),
-{_QV},
-{_bm25_cte(base="base")},
-cos_scores AS (
-  SELECT b.doc_id, {_COS} AS cos FROM base b CROSS JOIN qv
-),
-joined AS (
-  SELECT b.doc_id, b.bm25, c.cos
-  FROM bm25_scores b JOIN cos_scores c USING (doc_id)
-),
-mm AS (
-  SELECT min(bm25) AS bmn, max(bm25) AS bmx, min(cos) AS cmn, max(cos) AS cmx
-  FROM joined
-),
-fused AS (
-  SELECT doc_id,
-         {alpha} * (CASE WHEN cmx > cmn THEN (cos - cmn) / (cmx - cmn) ELSE 0.0 END)
-         + (1 - {alpha}) * (CASE WHEN bmx > bmn THEN (bm25 - bmn) / (bmx - bmn) ELSE 0.0 END)
-         AS score
-  FROM joined CROSS JOIN mm
-)
-SELECT doc_id, (floor((score) * 10000.0 + 0.5) / 10000.0) AS score
-FROM fused
-ORDER BY (floor((score) * 1000000.0 + 0.5) / 1000000.0) DESC, doc_id
-LIMIT {k}"""
-
-
-def _quality_sql() -> str:
-    toks = _TOKS.format(col="text")
-    sw = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
-    return f"""
-WITH t AS (
-  SELECT doc_id,
-         length(text)::DOUBLE AS n,
-         {toks} AS toks,
-         length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::DOUBLE AS npunct
-  FROM documents
-),
-r AS (
-  SELECT doc_id,
-         CASE WHEN n >= 120 AND n <= 20000 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS length_ok,
-         CASE WHEN n > 0 THEN npunct / n ELSE 0.0::DOUBLE END AS punct_ratio,
-         CASE WHEN len(toks) > 0
-              THEN len(list_filter(toks, x -> x IN ({sw})))::DOUBLE / len(toks)
-              ELSE 0.0::DOUBLE END AS sw_ratio
-  FROM t
-)
--- literals cast to DOUBLE so the FP op sequence is bit-identical to
--- Spark's (DuckDB otherwise parses 0.4 as DECIMAL and rounds differently)
-SELECT doc_id,
-       (floor((0.4::DOUBLE * length_ok
-             + 0.3::DOUBLE * (1.0::DOUBLE - least(1.0::DOUBLE, punct_ratio * 4.0::DOUBLE))
-             + 0.3::DOUBLE * least(1.0::DOUBLE, sw_ratio * 5.0::DOUBLE)) * 10000.0 + 0.5) / 10000.0) AS quality
-FROM r"""
-
-
-def _lang_id_sql() -> str:
-    from qurio_spark.operators.textstats import LANG_MARKERS
-
-    toks = _TOKS.format(col="text")
-    hit_exprs = []
-    for lang in sorted(LANG_MARKERS):
-        words = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
-        hit_exprs.append(
-            f"len(list_filter(toks, x -> x IN ({words}))) AS h_{lang}"
-        )
-    langs = sorted(LANG_MARKERS)
-    best = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
-    cases = "\n         ".join(
-        f"WHEN h_{lang} = best AND best > 0 THEN '{lang}'" for lang in langs
-    )
-    return f"""
-WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
-h AS (SELECT doc_id, {', '.join(hit_exprs)} FROM t),
-b AS (SELECT *, {best} AS best FROM h)
-SELECT doc_id,
-       CASE {cases}
-            ELSE 'und' END AS lang_guess
-FROM b"""
-
-
-#: word-3-gram shingle list as a DuckDB scalar expression over ``toks``
-#: (scalar list-range + list_transform — DuckDB's table-valued range()
-#: can't take lateral column args)
-_SHINGLES = (
-    "list_transform(range(0, greatest(len(toks) - 3, 0) + 1), "
-    "i -> array_to_string(toks[i + 1:i + 3], ' '))"
-)
-
-
-def _minhash_sql(num_perm: int = 4) -> str:
-    toks = _TOKS.format(col="text")
-    m = (1 << 61) - 1
-    coeffs = minhash_coeffs(num_perm)
-    mins = ", ".join(
-        f"min(((h::HUGEINT * {a} + {b}) % {m})::BIGINT) AS mh{i}"
-        for i, (a, b) in enumerate(coeffs)
-    )
-    return f"""
-WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
-sh AS (
-  SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM t
-),
-hashed AS (
-  SELECT doc_id, ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS h
-  FROM sh WHERE shingle <> ''
-)
-SELECT doc_id, {mins}
-FROM hashed GROUP BY doc_id"""
-
-
-def _minhash_lsh_sql(threshold: float = 0.5) -> str:
-    """LSH banding oracle over the 4-perm minhash CTE: 2 bands x 2
-    rows, candidates collide on a band slice, est_jaccard = fraction of
-    matching signature slots (exact quarters — no float hazard)."""
-    body = _minhash_sql(4).strip()
-    matches = " + ".join(f"(CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END)" for i in range(4))
-    return f"""
-WITH sig AS ({body}),
-banded AS (
-  SELECT doc_id, mh0, mh1, mh2, mh3, 0 AS band,
-         CAST(mh0 AS VARCHAR) || ',' || CAST(mh1 AS VARCHAR) AS key FROM sig
-  UNION ALL
-  SELECT doc_id, mh0, mh1, mh2, mh3, 1 AS band,
-         CAST(mh2 AS VARCHAR) || ',' || CAST(mh3 AS VARCHAR) AS key FROM sig
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         a.mh0 AS a0, a.mh1 AS a1, a.mh2 AS a2, a.mh3 AS a3,
-         b.mh0 AS b0, b.mh1 AS b1, b.mh2 AS b2, b.mh3 AS b3
-  FROM banded a
-  JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-)
-SELECT id_a, id_b,
-       (floor((({matches}) / 4.0) * 10000.0 + 0.5) / 10000.0) AS est_jaccard
-FROM cand
-WHERE ({matches}) / 4.0 >= {threshold}"""
-
-
-def _ngram_jaccard_sql(threshold: float = 0.1, max_df: int | None = None) -> str:
-    toks = _TOKS.format(col="text")
-    cap_cte = (
-        f"""
-sh2 AS (
-  SELECT doc_id, shingle FROM sh0
-  SEMI JOIN (SELECT shingle FROM sh0 GROUP BY shingle
-             HAVING count(*) <= {max_df}) USING (shingle)
-),"""
-        if max_df is not None
-        else "sh2 AS (SELECT doc_id, shingle FROM sh0),"
-    )
-    return f"""
-WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
-sh AS (
-  SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM t
-),
-sh0 AS (SELECT doc_id, shingle FROM sh WHERE shingle <> ''),
-{cap_cte}
-sizes AS (SELECT doc_id, count(*)::DOUBLE AS sz FROM sh2 GROUP BY 1),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::DOUBLE AS i
-  FROM sh2 a JOIN sh2 b USING (shingle)
-  WHERE a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT id_a, id_b,
-       (floor((i / (sa.sz + sb.sz - i)) * 10000.0 + 0.5) / 10000.0) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE i / (sa.sz + sb.sz - i) >= {threshold}"""
-
-
-def _simhash_sql() -> str:
-    toks = _TOKS.format(col="text")
-    return f"""
-WITH t AS (SELECT doc_id, unnest({toks}) AS tok FROM documents),
-tf AS (SELECT doc_id, tok, count(*)::BIGINT AS w FROM t GROUP BY 1, 2),
-hashed AS (
-  SELECT doc_id, w, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM tf
-),
-bits AS (
-  SELECT doc_id, r.bit,
-         sum(CASE WHEN (h >> r.bit::INT) & 1 = 1 THEN w ELSE -w END) AS s
-  FROM hashed, range(0, 60) AS r(bit)
-  GROUP BY 1, 2
-)
-SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN (1::BIGINT << bit::INT) ELSE 0 END)::BIGINT AS simhash
-FROM bits GROUP BY doc_id"""
-
-
-def _simhash_near_sql(max_hamming: int = 30) -> str:
-    """Near-pair oracle on top of the simhash CTE: quarter-band
-    candidate join + bit_count(xor) Hamming verify."""
-    body = _simhash_sql().strip()
-    return f"""
-WITH sig AS ({body}),
-banded AS (
-  SELECT doc_id, simhash, b.band,
-         (simhash >> (b.band * 15)) & 32767 AS q
-  FROM sig, (VALUES (0), (1), (2), (3)) AS b(band)
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, a.simhash AS h_a,
-                  bb.doc_id AS id_b, bb.simhash AS h_b
-  FROM banded a
-  JOIN banded bb ON a.band = bb.band AND a.q = bb.q AND a.doc_id < bb.doc_id
-)
-SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS INT) AS hamming
-FROM cand
-WHERE bit_count(xor(h_a, h_b)) <= {max_hamming}"""
-
-
-def _link_filter_sql() -> str:
-    """F7 oracle over the same literal fixture Spark builds with
-    createDataFrame (host/scheme via regex — fixture URLs have no
-    ports/userinfo, so regex host == parse_url host)."""
-    values = ",\n    ".join(
-        f"('{sid}', '{pu}', '{l}', {pd_}, {md})" for sid, pu, l, pd_, md in _LINK_FIXTURE
-    )
-    host_re = "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:]+)'"
-    return f"""
-WITH links(source_id, page_url, link, parent_depth, max_depth) AS (VALUES
-    {values}
-),
-norm AS (
-  SELECT source_id,
-         regexp_replace(link, '#.*$', '') AS url,
-         parent_depth,
-         CASE WHEN page_url LIKE '%llms.txt' THEN max_depth + 1 ELSE max_depth END AS eff_max,
-         lower(regexp_extract(link, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1)) AS scheme,
-         regexp_extract(link, {host_re}, 1) AS lhost,
-         regexp_extract(page_url, {host_re}, 1) AS phost
-  FROM links
-)
-SELECT DISTINCT source_id, url, 'pending' AS status,
-       CAST(parent_depth + 1 AS INT) AS depth
-FROM norm
-WHERE parent_depth < eff_max
-  AND scheme IN ('http', 'https')
-  AND lhost <> '' AND lhost = phost
-  AND NOT regexp_matches(url, '{_LINK_EXCLUSION}')"""
-
-
-def _source_completion_sql() -> str:
-    values = ",\n    ".join(
-        f"('{sid}', '{u}', '{st}', {d})" for sid, u, st, d in _PAGE_FIXTURE
-    )
-    return f"""
-WITH pages(source_id, url, status, depth) AS (VALUES
-    {values}
-),
-agg AS (
-  SELECT source_id,
-         sum(CASE WHEN status IN ('pending', 'processing') THEN 1 ELSE 0 END) AS in_flight,
-         sum(CASE WHEN status = 'failed' AND depth = 0 THEN 1 ELSE 0 END) AS seed_failed
-  FROM pages GROUP BY 1
-)
-SELECT source_id,
-       CASE WHEN seed_failed > 0 THEN 'failed'
-            WHEN in_flight = 0 THEN 'completed'
-            ELSE 'in_progress' END AS status
-FROM agg"""
-
-
-def _curate_sql(budget: int) -> str:
-    """Curation-pipeline oracle: dedup + quality + per-source token
-    budget, mirroring operators/curate.curate_corpus (quality formula
-    identical to _quality_sql, literals cast DOUBLE for FP parity)."""
-    toks = _TOKS.format(col="text")
-    sw = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
-    return f"""
-WITH dd AS (
-  SELECT source, doc_id, text,
-         row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
-  FROM documents
-),
-t AS (
-  SELECT source, doc_id,
-         length(text)::DOUBLE AS n,
-         {toks} AS toks,
-         length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::DOUBLE AS npunct
-  FROM dd WHERE rn = 1
-),
-r AS (
-  SELECT source, doc_id, len(toks) AS n_tokens,
-         CASE WHEN n >= 120 AND n <= 20000 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS length_ok,
-         CASE WHEN n > 0 THEN npunct / n ELSE 0.0::DOUBLE END AS punct_ratio,
-         CASE WHEN len(toks) > 0
-              THEN len(list_filter(toks, x -> x IN ({sw})))::DOUBLE / len(toks)
-              ELSE 0.0::DOUBLE END AS sw_ratio
-  FROM t
-),
-q AS (
-  SELECT source, doc_id, n_tokens,
-         (floor((0.4::DOUBLE * length_ok
-               + 0.3::DOUBLE * (1.0::DOUBLE - least(1.0::DOUBLE, punct_ratio * 4.0::DOUBLE))
-               + 0.3::DOUBLE * least(1.0::DOUBLE, sw_ratio * 5.0::DOUBLE)) * 10000.0 + 0.5) / 10000.0) AS quality
-  FROM r
-),
-c AS (
-  SELECT source, doc_id, quality, n_tokens,
-         CAST(sum(n_tokens) OVER (
-           PARTITION BY source ORDER BY quality DESC, doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
-  FROM q
-)
-SELECT source, doc_id, quality, n_tokens, cum_tokens
-FROM c WHERE cum_tokens <= {budget}"""
-
-
-def _lsh_topk_sql(
-    n_planes: int = 3,
-    k: int = 10,
-    dim: int = 64,
-    seed: int = 11,
-    n_probe_buckets: int = 1,
-) -> str:
-    """LSH-bucketed ANN oracle: the deterministic md5-derived +-1
-    hyperplanes are inlined as literal arrays, the query bucket is
-    computed in SQL from the same stored query vector, and candidates
-    are scored with the standard cosine.  ``n_probe_buckets > 1``
-    mirrors multi-probe exactly as operators/similarity.lsh_probe_buckets
-    does: ALL 2^n_planes flip masks ranked by the summed |margin| of
-    their flipped planes (ties on mask value), cheapest
-    ``n_probe_buckets`` kept — so multi-bit masks are probed whenever
-    they are cheaper than a single-bit flip."""
-    from qurio_spark.operators.similarity import random_hyperplanes
-
-    planes = random_hyperplanes(dim, n_planes, seed)
-
-    def plane_lit(p: list[float]) -> str:
-        return "[" + ", ".join(str(float(x)) for x in p) + "]::DOUBLE[]"
-
-    def bucket_expr(vec_sql: str) -> str:
-        parts = [
-            f"(CASE WHEN list_dot_product({vec_sql}, {plane_lit(pl)}) >= 0"
-            f" THEN {1 << i} ELSE 0 END)"
-            for i, pl in enumerate(planes)
-        ]
-        return " + ".join(parts)
-
-    margin_rows = " UNION ALL ".join(
-        f"SELECT {i} AS bit, abs(list_dot_product(qv.v, {plane_lit(pl)})) AS a FROM qv"
-        for i, pl in enumerate(planes)
-    )
-    probes = f"""
-margins AS ({margin_rows}),
-masks AS (
-  SELECT r.range AS mask,
-         (SELECT COALESCE(SUM(g.a), 0) FROM margins g
-          WHERE ((r.range >> g.bit) & 1) = 1) AS cost
-  FROM range(0, {1 << n_planes}) r),
-flips AS (SELECT mask FROM masks ORDER BY cost ASC, mask ASC
-          LIMIT {max(1, n_probe_buckets)}),
-probes AS (
-  SELECT DISTINCT xor(qb.b, flips.mask) AS b FROM qb, flips
-),"""
-
-    return f"""
-WITH {_QV},
-qb AS (SELECT {bucket_expr('qv.v')} AS b FROM qv),
-{probes}
-eb AS (
-  SELECT vec_id, embedding,
-         {bucket_expr('embedding::DOUBLE[]')} AS b
-  FROM embeddings
-),
-cand AS (SELECT eb.vec_id, eb.embedding FROM eb SEMI JOIN probes USING (b)),
-scores AS (
-  SELECT c.vec_id,
-         list_dot_product(c.embedding::DOUBLE[], qv.v) /
-         (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) *
-          sqrt(list_dot_product(qv.v, qv.v))) AS score
-  FROM cand c CROSS JOIN qv
-)
-SELECT vec_id, (floor(score * 10000.0 + 0.5) / 10000.0) AS score
-FROM scores
-ORDER BY (floor(score * 1000000.0 + 0.5) / 1000000.0) DESC, vec_id
-LIMIT {k}"""
-
-
-def _batch_hybrid_sql(alpha: float = 0.5, k: int = 5, doc_set_only: bool = False) -> str:
-    """Batch-of-queries hybrid oracle — same scoring contract as
-    _hybrid_sql, generalized per query_id.  ``doc_set_only`` drops the
-    score column: the pruned IVF path's candidate-set normalization
-    makes scores incomparable to the dense oracle's, but its retrieved
-    top-k doc set must still equal the dense top-k exactly."""
-    qvalues = ", ".join(f"('{q}', '{t}', {v})" for q, t, v in _BATCH_QUERIES)
-    dtoks = _TOKS.format(col="text")
-    qtoks = _TOKS.format(col="query_text")
-    score_col = (
-        ""
-        if doc_set_only
-        else ",\n       (floor(score * 10000.0 + 0.5) / 10000.0) AS score"
-    )
-    return f"""
-WITH base AS (
-  SELECT d.doc_id, d.text, e.embedding
-  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
-),
-queries(query_id, query_text, qvec_id) AS (VALUES {qvalues}),
-qv AS (
-  SELECT q.query_id, q.query_text, e.embedding::DOUBLE[] AS v
-  FROM queries q JOIN embeddings e ON e.vec_id = q.qvec_id
-),
-toks AS (SELECT doc_id, unnest({dtoks}) AS term FROM base),
-tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
-dl AS (SELECT doc_id, len({dtoks})::DOUBLE AS dl FROM base),
-stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
-qterms AS (SELECT DISTINCT query_id, unnest({qtoks}) AS term FROM qv),
-dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
-bm25_raw AS (
-  SELECT qterms.query_id, tf.doc_id,
-         sum(
-           ln(1 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
-           * tf.tf * (1.2 + 1)
-           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
-         ) AS bm25
-  FROM tf
-  JOIN qterms USING (term)
-  JOIN dfreq USING (term)
-  JOIN dl USING (doc_id)
-  CROSS JOIN stats s
-  GROUP BY 1, 2
-),
-cand AS (
-  SELECT q.query_id, b.doc_id,
-         list_dot_product(b.embedding::DOUBLE[], q.v) /
-         (sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) *
-          sqrt(list_dot_product(q.v, q.v))) AS cos
-  FROM base b CROSS JOIN qv q
-),
-scored AS (
-  SELECT c.query_id, c.doc_id, coalesce(r.bm25, 0.0) AS bm25, c.cos
-  FROM cand c
-  LEFT JOIN bm25_raw r ON r.query_id = c.query_id AND r.doc_id = c.doc_id
-),
-mm AS (
-  SELECT query_id, min(bm25) AS bmn, max(bm25) AS bmx,
-         min(cos) AS cmn, max(cos) AS cmx
-  FROM scored GROUP BY 1
-),
-fused AS (
-  SELECT s.query_id, s.doc_id,
-         {alpha} * (CASE WHEN m.cmx > m.cmn
-                         THEN (s.cos - m.cmn) / (m.cmx - m.cmn) ELSE 0.0 END)
-         + {1.0 - alpha} * (CASE WHEN m.bmx > m.bmn
-                                 THEN (s.bm25 - m.bmn) / (m.bmx - m.bmn) ELSE 0.0 END)
-         AS score
-  FROM scored s JOIN mm m USING (query_id)
-),
-ranked AS (
-  SELECT query_id, doc_id, score,
-         row_number() OVER (
-           PARTITION BY query_id
-           ORDER BY (floor(score * 1000000.0 + 0.5) / 1000000.0) DESC, doc_id
-         ) AS rn
-  FROM fused
-)
-SELECT query_id, doc_id{score_col}
-FROM ranked WHERE rn <= {k}"""
-
-
-def _sitemap_sql() -> str:
-    values = ",\n    ".join(
-        f"('{sid}', '{b}', '{x}')" for sid, b, x in _SITEMAP_FIXTURE
-    )
-    host = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:]+)"
-    return f"""
-WITH sitemaps(source_id, base_url, xml) AS (VALUES
-    {values}
-),
-locs AS (
-  SELECT source_id, base_url,
-         trim(unnest(regexp_extract_all(xml, '<loc>\\s*(.*?)\\s*</loc>', 1))) AS url
-  FROM sitemaps
-)
-SELECT DISTINCT source_id, url
-FROM locs
-WHERE regexp_extract(url, '{host}', 1) <> ''
-  AND regexp_extract(url, '{host}', 1) = regexp_extract(base_url, '{host}', 1)"""
-
-
-def _md_extract_sql() -> str:
-    values = ",\n    ".join(f"('{i}', '{c}')" for i, c in _MD_FIXTURE)
-    return f"""
-WITH md(doc_id, content) AS (VALUES
-    {values}
-)
-SELECT DISTINCT doc_id,
-       regexp_extract(content, '(?m)^# (.+)$', 1) AS title,
-       unnest(regexp_extract_all(content, '\\[[^\\]]*\\]\\(([^)]*)\\)', 1)) AS link
-FROM md"""
-
-
-def _doc_meta_norm_sql() -> str:
-    rows = []
-    for path, title, authors, created, pages, language in _META_FIXTURE:
-        t = "NULL" if title is None else f"'{title}'"
-        a = "[" + ", ".join(f"'{x}'" for x in authors) + "]::VARCHAR[]"
-        cr = "NULL" if created is None else f"'{created}'"
-        lg = "NULL" if language is None else f"'{language}'"
-        rows.append(f"('{path}', {t}, {a}, {cr}, {pages}, {lg})")
-    values = ",\n    ".join(rows)
-    return f"""
-WITH raw(path, title, authors, created, pages, language) AS (VALUES
-    {values}
-)
-SELECT path,
-       coalesce(nullif(title, ''), regexp_extract(path, '([^/]+)$', 1)) AS title,
-       coalesce(array_to_string(authors, ', '), '') AS author,
-       coalesce(created, '') AS created_at,
-       coalesce(pages, 0) AS page_count,
-       coalesce(nullif(language, ''), 'en') AS language
-FROM raw"""
-
-
-def _stuck_reset_sql() -> str:
-    values = ",\n    ".join(
-        f"('{sid}', '{u}', '{st}', {ep})" for sid, u, st, ep in _STUCK_FIXTURE
-    )
-    return f"""
-WITH pages(source_id, url, status, updated_epoch) AS (VALUES
-    {values}
-)
-SELECT source_id, url,
-       CASE WHEN status = 'processing' AND {_STUCK_NOW} - updated_epoch > 300
-            THEN 'pending' ELSE status END AS status
-FROM pages"""
-
-
-def _dlq_retry_sql() -> str:
-    values = ",\n    ".join(
-        f"('{i}', '{h}', '{p}', '{e}', {r})" for i, h, p, e, r in _DLQ_FIXTURE
-    )
-    return f"""
-WITH jobs(id, handler, payload, error, retries) AS (VALUES
-    {values}
-)
-SELECT id,
-       CASE WHEN regexp_extract(payload, '{_TYPE_RE}', 1) = 'file'
-            THEN 'ingest.task.file' ELSE 'ingest.task.web' END AS topic,
-       CAST(retries + 1 AS INT) AS retries
-FROM jobs
-WHERE retries < 3"""
-
-
-def _rerank_overlap_sql() -> str:
-    term_cases = " + ".join(
-        f"(CASE WHEN regexp_matches(low, '(^|[^a-z0-9]){t}([^a-z0-9]|$)')"
-        " THEN 1 ELSE 0 END)"
-        for t in QUERY_TEXT.split()
-    )
-    return f"""
-WITH cand AS (
-  SELECT doc_id, lower(text) AS low
-  FROM documents WHERE source = 'src1'
-  ORDER BY n_chars DESC, doc_id LIMIT 20
-)
-SELECT doc_id, CAST({term_cases} AS INT) AS rerank_score
-FROM cand
-ORDER BY rerank_score DESC, doc_id LIMIT 10"""
-
-
-def oracle_sql() -> dict[str, str]:
-    return {
-        "source_list": """
-SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
-FROM documents GROUP BY source""",
-        "filter_equality": """
-SELECT doc_id, source, lang, n_chars FROM documents
-WHERE lang = 'en' AND source = 'src1'""",
-        "filter_offset": """
-SELECT event_id, user_id, (floor((value) * 10000.0 + 0.5) / 10000.0) AS value FROM events
-WHERE event_type = 'click' ORDER BY event_id LIMIT 100 OFFSET 50""",
-        "count_global": "SELECT count(*) AS n FROM documents",
-        "count_filtered": "SELECT count(*) AS n FROM documents WHERE source = 'src3'",
-        "stats_fanin": """
-SELECT (SELECT count(DISTINCT source) FROM documents) AS n_sources,
-       (SELECT count(*) FROM documents) AS n_documents,
-       (SELECT count(*) FROM events) AS n_events""",
-        "dedup_anti_join": """
-SELECT d.doc_id FROM documents d
-WHERE d.doc_id >= 100 AND NOT EXISTS (
-  SELECT 1 FROM documents e
-  WHERE e.doc_id < 100 AND sha256(e.text) = sha256(d.text))""",
-        "read_page": """
-SELECT source AS page, count(*) AS n_chunks,
-       string_agg(text, '\n\n' ORDER BY doc_id) AS full_text
-FROM documents GROUP BY source""",
-        "bm25_topk": f"""
-WITH {_bm25_cte()}
-SELECT doc_id, (floor((bm25) * 10000.0 + 0.5) / 10000.0) AS bm25 FROM bm25_scores
-WHERE bm25 > 0
-ORDER BY (floor((bm25) * 1000000.0 + 0.5) / 1000000.0) DESC, doc_id LIMIT 10""",
-        # identical oracle to bm25_topk on purpose: the persisted-index
-        # path must reproduce the in-DAG build's scores exactly
-        "bm25_prebuilt": f"""
-WITH {_bm25_cte()}
-SELECT doc_id, (floor((bm25) * 10000.0 + 0.5) / 10000.0) AS bm25 FROM bm25_scores
-WHERE bm25 > 0
-ORDER BY (floor((bm25) * 1000000.0 + 0.5) / 1000000.0) DESC, doc_id LIMIT 10""",
-        "vector_topk": f"""
-WITH {_QV}
-SELECT vec_id, (floor(({_COS}) * 10000.0 + 0.5) / 10000.0) AS score
-FROM embeddings CROSS JOIN qv
-ORDER BY (floor(({_COS}) * 1000000.0 + 0.5) / 1000000.0) DESC, vec_id LIMIT 10""",
-        "hybrid_topk": _hybrid_sql(alpha=0.5, k=10),
-        "hybrid_filtered": _hybrid_sql(alpha=0.3, k=5, lang_filter="en"),
-        "batch_hybrid": _batch_hybrid_sql(alpha=0.5, k=5),
-        # doc-set oracle: the pruned IVF path normalizes over its
-        # candidate set (scores not dense-comparable), but the
-        # RETRIEVED top-k doc set must equal the dense oracle's exactly
-        # (recall 1 at this sf with nprobe=3 of 8 clusters; exact-score
-        # parity for exact_stats=True is pinned in tests/test_search.py)
-        "batch_hybrid_ivf": _batch_hybrid_sql(alpha=0.5, k=5, doc_set_only=True),
-        "lsh_topk": _lsh_topk_sql(n_planes=3, k=10),
-        # identical semantics by construction: the persisted index only
-        # moves the bucket computation to write time
-        "lsh_prebuilt": _lsh_topk_sql(n_planes=3, k=10),
-        "lsh_multiprobe": _lsh_topk_sql(n_planes=3, k=10, n_probe_buckets=2),
-        "ann_ivf": f"""
-WITH {_QV}
-SELECT vec_id, (floor(({_COS}) * 10000.0 + 0.5) / 10000.0) AS score
-FROM embeddings CROSS JOIN qv
-WHERE label = (SELECT label FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
-ORDER BY (floor(({_COS}) * 1000000.0 + 0.5) / 1000000.0) DESC, vec_id LIMIT 10""",
-        "token_counts": f"""
-SELECT doc_id,
-       len({_TOKS.format(col='text')}) AS n_tokens,
-       len(regexp_extract_all(text, '{BPEISH_RE_SQL}')) AS n_bpeish_tokens,
-       len(list_distinct({_TOKS.format(col='text')})) AS n_distinct_tokens
-FROM documents""",
-        "quality_scores": _quality_sql(),
-        "lang_id": _lang_id_sql(),
-        "fingerprints": """
-SELECT doc_id,
-       sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
-FROM documents""",
-        "repetition": f"""
-WITH t AS (
-  SELECT doc_id, {_TOKS.format(col='text')} AS toks FROM documents
-), b AS (
-  SELECT doc_id, toks,
-         list_transform(generate_series(1, greatest(len(toks) - 1, 1)),
-                        i -> concat_ws(' ', toks[i], toks[i+1])) AS bigrams
-  FROM t
-)
-SELECT doc_id,
-  -- IS NULL arms: a NULL text row must yield 0.0 like Spark's
-  -- when(size > 0, ...).otherwise(0.0), not propagate NULL
-  CASE WHEN toks IS NULL OR len(toks) = 0 THEN 0.0
-       ELSE floor(len(list_distinct(toks)) * 1.0 / len(toks) * 10000.0 + 0.5)
-            / 10000.0 END AS distinct_word_ratio,
-  CASE WHEN bigrams IS NULL OR len(bigrams) = 0 THEN 0.0
-       ELSE floor((1.0 - len(list_distinct(bigrams)) * 1.0 / len(bigrams))
-                  * 10000.0 + 0.5) / 10000.0 END AS dup_2gram_frac
-FROM b""",
-        "word_concentration": f"""
-WITH words AS (
-  SELECT doc_id, unnest({_TOKS.format(col='text')}) AS word FROM documents
-), counts AS (
-  SELECT doc_id, word, count(*) AS n FROM words GROUP BY 1, 2
-), ranked AS (
-  SELECT doc_id, word, n,
-         sum(n) OVER (PARTITION BY doc_id) AS total,
-         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, word) AS rn
-  FROM counts
-)
-SELECT doc_id, word AS top_word,
-       floor(n * 1.0 / total * 10000.0 + 0.5) / 10000.0 AS top_word_frac
-FROM ranked WHERE rn = 1""",
-        "pii_redact": _pii_sql(),
-        "exact_dedup": """
-WITH u AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, text FROM documents
-),
-r AS (
-  SELECT doc_id,
-         row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
-  FROM u
-)
-SELECT doc_id FROM r WHERE rn = 1""",
-        "minhash": _minhash_sql(4),
-        "minhash_lsh": _minhash_lsh_sql(0.5),
-        "ngram_jaccard": _ngram_jaccard_sql(0.1),
-        "ngram_jaccard_capped": _ngram_jaccard_sql(0.1, max_df=3),
-        "simhash": _simhash_sql(),
-        "simhash_near": _simhash_near_sql(30),
-        "embedding_near_dup": """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       (floor((list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))) * 10000.0 + 0.5) / 10000.0) AS sim
-FROM embeddings a JOIN embeddings b USING (label)
-WHERE a.vec_id < b.vec_id
-  AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) > 0.3""",
-        # connected components as a recursive transitive closure: the
-        # min reachable id per node IS the converged label-propagation
-        # result, so the iterative Spark loop hash-matches it
-        "near_dup_clusters": """
-WITH RECURSIVE pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM embeddings a JOIN embeddings b USING (label)
-  WHERE a.vec_id < b.vec_id
-    AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-        / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-           * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) > 0.35
-),
-edges AS (
-  SELECT id_a AS src, id_b AS dst FROM pairs
-  UNION
-  SELECT id_b AS src, id_a AS dst FROM pairs
-),
-reach AS (
-  SELECT vec_id AS node, vec_id AS r FROM embeddings
-  UNION
-  SELECT reach.node, edges.dst AS r
-  FROM reach JOIN edges ON reach.r = edges.src
-)
-SELECT node AS vec_id, min(r) AS cluster_id
-FROM reach GROUP BY node""",
-        "events_hourly": """
-SELECT date_trunc('hour', ts) AS hour, event_type,
-       count(*) AS n, (floor((CAST(sum(value) AS DOUBLE)) * 100.0 + 0.5) / 100.0) AS total_value
-FROM events GROUP BY 1, 2""",
-        # streaming twin: complete-mode windowed agg == the batch query
-        "streaming_hourly": """
-SELECT date_trunc('hour', ts) AS hour, event_type,
-       count(*) AS n, (floor((CAST(sum(value) AS DOUBLE)) * 100.0 + 0.5) / 100.0) AS total_value
-FROM events GROUP BY 1, 2""",
-        "events_top_users": """
-WITH c AS (
-  SELECT event_type, user_id, count(*) AS n
-  FROM events GROUP BY 1, 2
-),
-r AS (
-  SELECT event_type, user_id, n,
-         row_number() OVER (PARTITION BY event_type ORDER BY n DESC, user_id) AS rank
-  FROM c
-)
-SELECT event_type, user_id, n, CAST(rank AS INT) AS rank FROM r WHERE rank <= 3""",
-        "events_json": """
-SELECT event_type, count(*) AS n,
-       (floor((avg(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT))) * 10000.0 + 0.5) / 10000.0) AS avg_k
-FROM events GROUP BY event_type""",
-        "tpch_q1": """
-SELECT l_returnflag, l_linestatus,
-       (floor((CAST(sum(l_quantity) AS DOUBLE)) * 100.0 + 0.5) / 100.0) AS sum_qty,
-       (floor((CAST(sum(l_extendedprice) AS DOUBLE)) * 100.0 + 0.5) / 100.0) AS sum_base_price,
-       (floor((CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE)) * 100.0 + 0.5) / 100.0) AS sum_disc_price,
-       (floor((CAST(avg(l_quantity) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0) AS avg_qty,
-       (floor((CAST(avg(l_discount) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0) AS avg_disc,
-       count(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-GROUP BY l_returnflag, l_linestatus""",
-        "tpch_q3": """
-SELECT o_orderkey, o_orderdate,
-       (floor((CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE)) * 100.0 + 0.5) / 100.0) AS revenue
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-WHERE c_mktsegment = 'BUILDING'
-  AND o_orderdate < TIMESTAMP '1998-03-15'
-  AND l_shipdate > TIMESTAMP '1998-03-15'
-GROUP BY o_orderkey, o_orderdate
-ORDER BY revenue DESC, o_orderkey LIMIT 10""",
-        "tpch_q5": """
-SELECT n_name,
-       (floor((CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE)) * 100.0 + 0.5) / 100.0) AS revenue
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN nation ON c_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-WHERE s_nationkey = c_nationkey
-GROUP BY n_name""",
-        "top_customers": """
-SELECT c_custkey, c_name,
-       (floor((CAST(sum(o_totalprice) AS DOUBLE)) * 100.0 + 0.5) / 100.0) AS total_spent,
-       count(*) AS n_orders
-FROM orders JOIN customer ON o_custkey = c_custkey
-GROUP BY c_custkey, c_name
-ORDER BY total_spent DESC, c_custkey LIMIT 10""",
-        "tpch_q6": """
-SELECT (floor((CAST(sum(l_extendedprice * l_discount) AS DOUBLE)) * 100.0 + 0.5) / 100.0) AS revenue
-FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
-  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
-        "curate": _curate_sql(800),
-        "events_pivot": """
-SELECT user_id,
-       """ + ",\n       ".join(
-        f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)::BIGINT AS {t}"
-        for t in _EVENT_TYPES
-    ) + """
-FROM events GROUP BY user_id""",
-        "events_setops": """
-WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
-buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
-SELECT user_id, 'click_only' AS cohort
-FROM (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM buyers)
-UNION ALL
-SELECT user_id, 'click_and_buy' AS cohort
-FROM (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM buyers)""",
-        "value_percentiles": """
-SELECT event_type,
-       (floor((quantile_cont(value, 0.5)) * 10000.0 + 0.5) / 10000.0) AS p50,
-       (floor((quantile_cont(value, 0.9)) * 10000.0 + 0.5) / 10000.0) AS p90
-FROM events GROUP BY event_type""",
-        "revenue_rollup": """
-SELECT coalesce(n_name, 'ALL') AS n_name,
-       coalesce(year(o_orderdate), -1) AS o_year,
-       (floor((CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE)) * 100.0 + 0.5) / 100.0) AS revenue
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation ON c_nationkey = n_nationkey
-GROUP BY ROLLUP (n_name, year(o_orderdate))""",
-        "events_moving_avg": """
-SELECT user_id, event_id,
-       (floor((avg(value) OVER (
-          PARTITION BY user_id ORDER BY ts, event_id
-          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) * 10000.0 + 0.5) / 10000.0) AS mavg
-FROM events""",
-        "first_order_per_customer": """
-WITH ranked AS (
-  SELECT o_custkey, o_orderkey, o_totalprice,
-         row_number() OVER (PARTITION BY o_custkey
-                            ORDER BY o_orderdate, o_orderkey) AS rn
-  FROM orders
-)
-SELECT o_custkey AS custkey, o_orderkey AS first_orderkey,
-       (floor((CAST(o_totalprice AS DOUBLE)) * 100.0 + 0.5) / 100.0) AS first_totalprice
-FROM ranked WHERE rn = 1""",
-        "link_filter_chain": _link_filter_sql(),
-        "source_completion": _source_completion_sql(),
-        "events_sessions": """
-WITH g AS (
-  SELECT user_id, event_id, value,
-         CASE WHEN (epoch_ms(ts::TIMESTAMP) // 1000)
-                   - lag(epoch_ms(ts::TIMESTAMP) // 1000)
-                     OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
-              THEN 1 ELSE 0 END AS new_session,
-         ts
-  FROM events
-),
-s AS (
-  SELECT user_id, value,
-         sum(new_session) OVER (
-           PARTITION BY user_id ORDER BY ts, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
-  FROM g
-),
-per_session AS (
-  SELECT user_id, session_seq, count(*) AS n_events,
-         (floor((CAST(sum(value) AS DOUBLE)) * 100.0 + 0.5) / 100.0) AS session_value
-  FROM s GROUP BY 1, 2
-)
-SELECT user_id, count(*) AS n_sessions,
-       max(n_events) AS max_session_events,
-       (floor((CAST(sum(session_value) AS DOUBLE)) * 100.0 + 0.5) / 100.0) AS total_value
-FROM per_session GROUP BY user_id""",
-        "sitemap_urls": _sitemap_sql(),
-        "md_extract": _md_extract_sql(),
-        "content_hash": """
-SELECT doc_id,
-       sha256('doc://' || CAST(doc_id AS VARCHAR)) AS url_hash,
-       sha256(text) AS body_hash
-FROM documents""",
-        "doc_meta_norm": _doc_meta_norm_sql(),
-        "reingest_upsert": """
-SELECT doc_id, source, sha256(text) AS body_hash
-FROM documents WHERE source <> 'src2'
-UNION ALL
-SELECT doc_id, source, sha256(text || '-v2') AS body_hash
-FROM documents WHERE source = 'src2'""",
-        "reingest_skip_unchanged": """
-SELECT doc_id, source, sha256(text) AS body_hash, 'kept' AS action
-FROM documents WHERE source NOT IN ('src2', 'src3')
-UNION ALL
-SELECT doc_id, source, sha256(text) AS body_hash, 'skipped_unchanged' AS action
-FROM documents WHERE source = 'src3'
-UNION ALL
-SELECT doc_id, source, sha256(text || '-v2') AS body_hash, 'rewritten' AS action
-FROM documents WHERE source = 'src2'""",
-        # final persisted state (chunks JOIN ledger) after two real
-        # micro-batches: p0..p19 rewritten, p20..p39 hash-skipped
-        # (original bodies survive), p40..p49 new in batch 2
-        "streaming_ingest": """
-WITH base AS (SELECT doc_id, source FROM documents WHERE doc_id < 50),
-final AS (
-  SELECT 'https://ex.com/p' || doc_id AS url,
-         source AS source_id,
-         0 AS chunk_index,
-         CASE WHEN doc_id < 20
-              THEN 'Doc ' || doc_id || ' alpha beta gamma delta. updated'
-              ELSE 'Doc ' || doc_id || ' alpha beta gamma delta.' END AS content,
-         'Page ' || doc_id AS title
-  FROM base
-)
-SELECT url, source_id, chunk_index, content, title,
-       sha256(content) AS body_hash
-FROM final""",
-        "stuck_reset": _stuck_reset_sql(),
-        "dlq_retry": _dlq_retry_sql(),
-        "rerank_overlap": _rerank_overlap_sql(),
-        "tpch_q4": """
-SELECT o_orderpriority, count(*) AS order_count
-FROM orders
-WHERE o_orderdate >= TIMESTAMP '1996-07-01'
-  AND o_orderdate < TIMESTAMP '1996-10-01'
-  AND EXISTS (SELECT 1 FROM lineitem
-              WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
-GROUP BY o_orderpriority""",
-        "tpch_q7": """
-SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
-       year(l_shipdate) AS l_year,
-       (floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0)
-         AS revenue
-FROM lineitem
-JOIN orders   ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN nation ns ON s_nationkey = ns.n_nationkey
-JOIN nation nc ON c_nationkey = nc.n_nationkey
-WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
-    OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
-  AND l_shipdate >= TIMESTAMP '1996-01-01'
-  AND l_shipdate <  TIMESTAMP '1998-01-01'
-GROUP BY 1, 2, 3""",
-        "tpch_q8": """
-SELECT year(o_orderdate) AS o_year,
-       (floor((sum(CASE WHEN ns.n_name = 'NATION_2'
-                        THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-               / sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5)
-        / 10000.0) AS mkt_share
-FROM lineitem
-JOIN orders   ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN part     ON l_partkey = p_partkey
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN nation nc ON c_nationkey = nc.n_nationkey
-JOIN nation ns ON s_nationkey = ns.n_nationkey
-JOIN region   ON nc.n_regionkey = r_regionkey
-WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
-  AND o_orderdate >= TIMESTAMP '1996-01-01'
-  AND o_orderdate <  TIMESTAMP '1998-01-01'
-GROUP BY 1""",
-        "tpch_q9": """
-SELECT n_name AS nation, year(o_orderdate) AS o_year,
-       (floor((sum(l_extendedprice * (1 - l_discount)
-                   - 0.8 * p_retailprice * l_quantity)) * 100.0 + 0.5)
-        / 100.0) AS sum_profit
-FROM lineitem
-JOIN orders   ON l_orderkey = o_orderkey
-JOIN part     ON l_partkey = p_partkey
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN nation   ON s_nationkey = n_nationkey
-WHERE p_name LIKE '%red%'
-GROUP BY 1, 2""",
-        "tpch_q16": """
-SELECT p_brand, p_type, p_size,
-       count(DISTINCT l_suppkey) AS supplier_cnt
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE p_brand <> 'Brand#2'
-  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
-GROUP BY 1, 2, 3""",
-        "tpch_q11": """
-WITH pv AS (
-  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS value
-  FROM lineitem GROUP BY 1
-)
-SELECT l_partkey,
-       (floor(value * 100.0 + 0.5) / 100.0) AS value
-FROM pv
-WHERE value > 1.5 * (SELECT sum(value) / count(*) FROM pv)""",
-        "tpch_q20": """
-WITH lp AS (
-  SELECT l_partkey, l_suppkey, l_quantity
-  FROM lineitem JOIN part ON l_partkey = p_partkey
-  WHERE p_name LIKE '%red%'
-    AND l_shipdate >= TIMESTAMP '1996-01-01'
-    AND l_shipdate <  TIMESTAMP '1997-01-01'
-)
-SELECT s_suppkey, s_name FROM supplier
-WHERE s_suppkey IN (
-  SELECT a.l_suppkey FROM lp a
-  GROUP BY a.l_partkey, a.l_suppkey
-  HAVING sum(a.l_quantity) > 0.5 * (SELECT sum(b.l_quantity)
-                                    FROM lp b
-                                    WHERE b.l_partkey = a.l_partkey))""",
-        "tpch_q21": """
-SELECT s_name, count(*) AS numwait
-FROM lineitem l1
-JOIN orders   ON o_orderkey = l1.l_orderkey
-JOIN supplier ON s_suppkey = l1.l_suppkey
-WHERE o_orderstatus = 'F'
-  AND l1.l_shipdate > o_orderdate + INTERVAL 365 DAY
-  AND EXISTS (SELECT 1 FROM lineitem l2
-              WHERE l2.l_orderkey = l1.l_orderkey
-                AND l2.l_suppkey <> l1.l_suppkey)
-  AND NOT EXISTS (SELECT 1 FROM lineitem l3
-                  JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
-                  WHERE l3.l_orderkey = l1.l_orderkey
-                    AND l3.l_suppkey <> l1.l_suppkey
-                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 365 DAY)
-GROUP BY s_name
-ORDER BY numwait DESC, s_name
-LIMIT 10""",
-        "tpch_q15": """
-WITH rev AS (
-  SELECT l_suppkey,
-         (floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5)
-          / 100.0) AS total_revenue
-  FROM lineitem
-  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-    AND l_shipdate <  TIMESTAMP '1996-04-01'
-  GROUP BY 1
-)
-SELECT s_suppkey, s_name, total_revenue
-FROM rev JOIN supplier ON l_suppkey = s_suppkey
-WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""",
-        "tpch_q17": """
-WITH brand AS (
-  SELECT l_partkey, l_quantity, l_extendedprice
-  FROM lineitem JOIN part ON l_partkey = p_partkey
-  WHERE p_brand = 'Brand#1'
-),
-caps AS (
-  SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS qty_cap
-  FROM brand GROUP BY 1
-)
-SELECT (floor((coalesce(sum(l_extendedprice), 0.0) / 7.0) * 100.0 + 0.5)
-        / 100.0) AS avg_yearly
-FROM brand JOIN caps ON l_partkey = pk
-WHERE l_quantity < qty_cap""",
-        "tpch_q22": """
-WITH in_scope AS (
-  SELECT * FROM customer WHERE c_nationkey IN (1, 2, 3)
-),
-avg_bal AS (
-  SELECT avg(c_acctbal) AS a FROM in_scope WHERE c_acctbal > 0
-)
-SELECT n_name,
-       count(*) AS numcust,
-       (floor((sum(c_acctbal)) * 100.0 + 0.5) / 100.0) AS totacctbal
-FROM in_scope, avg_bal
-JOIN nation ON c_nationkey = n_nationkey
-WHERE c_acctbal > a
-  AND NOT EXISTS (SELECT 1 FROM orders
-                  WHERE o_custkey = c_custkey
-                    AND o_orderdate >= TIMESTAMP '2000-01-01')
-GROUP BY 1""",
-        "tpch_q14": """
-SELECT (floor((100.0 * sum(CASE WHEN p_type = 'PROMO'
-                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-         / sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0)
-       AS promo_revenue_pct
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE l_shipdate >= TIMESTAMP '1996-03-01'
-  AND l_shipdate < TIMESTAMP '1996-04-01'""",
-        "tpch_q18": """
-WITH big AS (
-  SELECT l_orderkey, sum(l_quantity) AS total_qty
-  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 180
-)
-SELECT c_custkey, c_name, o_orderkey,
-       (floor((CAST(o_totalprice AS DOUBLE)) * 100.0 + 0.5) / 100.0) AS o_totalprice,
-       (floor((CAST(total_qty AS DOUBLE)) * 100.0 + 0.5) / 100.0) AS total_qty
-FROM big
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey""",
-        "tpch_q10": """
-SELECT c_custkey, c_name, n_name,
-       (floor((CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE)) * 100.0 + 0.5) / 100.0) AS revenue
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation ON c_nationkey = n_nationkey
-WHERE l_returnflag = 'R'
-  AND o_orderdate >= TIMESTAMP '1996-10-01'
-  AND o_orderdate < TIMESTAMP '1997-01-01'
-GROUP BY c_custkey, c_name, n_name
-ORDER BY revenue DESC, c_custkey LIMIT 20""",
-        "events_retention": """
-WITH firsts AS (
-  SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
-  FROM events GROUP BY user_id
-),
-offsets AS (
-  SELECT DISTINCT e.user_id, f.cohort_week,
-         CAST(floor(date_diff('day', f.cohort_week,
-                              date_trunc('week', e.ts)) / 7.0) AS INT) AS week_offset
-  FROM events e JOIN firsts f ON e.user_id = f.user_id
-)
-SELECT cohort_week, week_offset, count(*) AS n_users
-FROM offsets GROUP BY cohort_week, week_offset""",
-        "cheapest_order_per_customer": """
-WITH mins AS (
-  SELECT o_custkey, min(o_totalprice) AS mn FROM orders GROUP BY o_custkey
-),
-hits AS (
-  SELECT o.o_custkey, o.o_orderkey, o.o_totalprice,
-         row_number() OVER (PARTITION BY o.o_custkey ORDER BY o.o_orderkey) AS rn
-  FROM orders o JOIN mins m
-    ON o.o_custkey = m.o_custkey AND o.o_totalprice = m.mn
-)
-SELECT o_custkey AS custkey, o_orderkey AS cheapest_orderkey,
-       (floor((CAST(o_totalprice AS DOUBLE)) * 100.0 + 0.5) / 100.0) AS cheapest_totalprice
-FROM hits WHERE rn = 1""",
-        "events_funnel": """
-WITH v AS (
-  SELECT user_id, min(ts) AS t_view FROM events
-  WHERE event_type = 'view' GROUP BY user_id
-),
-c AS (
-  SELECT e.user_id, min(e.ts) AS t_click
-  FROM events e JOIN v ON e.user_id = v.user_id
-  WHERE e.event_type = 'click' AND e.ts > v.t_view
-  GROUP BY e.user_id
-),
-p AS (
-  SELECT e.user_id, min(e.ts) AS t_buy
-  FROM events e JOIN c ON e.user_id = c.user_id
-  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
-  GROUP BY e.user_id
-)
-SELECT 'view' AS stage, count(*) AS n FROM v
-UNION ALL
-SELECT 'click' AS stage, count(*) AS n FROM c
-UNION ALL
-SELECT 'purchase' AS stage, count(*) AS n FROM p""",
-        "pack_shards": f"""
-WITH t AS (
-  SELECT source, doc_id,
-         CAST(len({_TOKS.format(col='text')}) AS BIGINT) AS n_tokens
-  FROM documents
-),
-c AS (
-  SELECT source, doc_id, n_tokens,
-         CAST(sum(n_tokens) OVER (
-           PARTITION BY source ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-  FROM t
-)
-SELECT source, doc_id, n_tokens,
-       CAST(floor((cum - n_tokens) / 2000.0) AS INT) AS shard_id
-FROM c""",
-        "sample_mixture": f"""
-SELECT doc_id, source
-FROM documents
-WHERE ('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-      % {1_000_000}
-      < CASE source
-          WHEN 'src1' THEN {1_000_000}
-          WHEN 'src2' THEN {500_000}
-          WHEN 'src3' THEN {250_000}
-          ELSE {100_000}
-        END""",
-        "tpch_q13": """
-WITH per_cust AS (
-  SELECT c_custkey, count(o_orderkey) AS c_count
-  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-  GROUP BY c_custkey
-)
-SELECT c_count, count(*) AS custdist
-FROM per_cust GROUP BY c_count""",
-        "tpch_q12": """
-SELECT l_returnflag,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
-GROUP BY l_returnflag""",
-        "tpch_q19": """
-SELECT (floor((CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE)) * 100.0 + 0.5) / 100.0) AS revenue
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE (p_type = 'PROMO' AND l_quantity >= 1 AND l_quantity <= 20)
-   OR (p_type = 'STANDARD' AND l_quantity >= 10 AND l_quantity <= 30)
-   OR (p_size >= 40 AND l_quantity >= 20)""",
-        "parts_never_shipped": """
-SELECT p_brand, count(*) AS n_parts
-FROM part
-WHERE NOT EXISTS (SELECT 1 FROM lineitem
-                  WHERE l_partkey = p_partkey
-                    AND l_shipdate >= TIMESTAMP '2000-06-01')
-GROUP BY p_brand""",
-        # chunk_corpus, ingest_pipeline, kmeans_ivf: intentionally no
-        # oracle (non-SQL ops — chunker UDF, embedder, iterative
-        # k-means; rows-only check; chunker is golden-tested in
-        # tests/test_chunker.py, k-means in tests/test_dedup.py)
     }

@@ -1,0 +1,297 @@
+"""Crawl-frontier fixtures/queries (F7/F8/M6), window/set-op/percentile
+breadth, curation and sharding queries."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from qurio_spark.functions.frames import local_frame
+from qurio_spark.functions.numeric import stable_round
+
+from .common import (
+    QUERY_TEXT,
+    QUERY_VEC_ID,
+    _docs_with_vecs,
+    _epoch_secs,
+    _events,
+    _normalize_events_ts,
+    _qvec,
+    _t,
+)
+
+from qurio_spark.operators.dedup import exact_dedup
+
+
+# --------------------------------------------------------------------------
+
+_LINK_FIXTURE = [
+    # (source_id, page_url, link, parent_depth, max_depth)
+    ("s1", "https://docs.example.com/guide", "https://docs.example.com/a", 0, 2),
+    ("s1", "https://docs.example.com/guide", "http://docs.example.com/b", 0, 2),
+    ("s1", "https://docs.example.com/guide", "https://other.example.com/c", 0, 2),
+    ("s1", "https://docs.example.com/guide", "mailto:x@example.com", 0, 2),
+    ("s1", "https://docs.example.com/guide", "ftp://docs.example.com/f", 0, 2),
+    ("s1", "https://docs.example.com/guide", "https://docs.example.com/a#frag", 0, 2),
+    ("s1", "https://docs.example.com/guide", "https://docs.example.com/blog/post", 0, 2),
+    ("s1", "https://docs.example.com/deep", "https://docs.example.com/d", 2, 2),
+    ("s1", "https://docs.example.com/llms.txt", "https://docs.example.com/m", 2, 2),
+    ("s2", "https://api.example.org/", "https://api.example.org/ref", 1, 3),
+]
+_LINK_EXCLUSION = ".*/blog/.*"
+
+_PAGE_FIXTURE = [
+    # (source_id, url, status, depth)
+    ("done", "https://a.com/", "completed", 0),
+    ("done", "https://a.com/x", "failed", 1),
+    ("busy", "https://b.com/", "completed", 0),
+    ("busy", "https://b.com/y", "pending", 1),
+    ("dead", "https://c.com/", "failed", 0),
+]
+
+
+def q_link_filter_chain(spark, sf_dir):
+    """F7 + S4: link-discovery filter chain (same-host, scheme,
+    fragment-strip, exclusion regex, in-batch dedup, depth gate with
+    the llms.txt +1 allowance) over a deterministic fixture."""
+    from qurio_spark.operators.crawl import discover_links
+
+    links = local_frame(spark, 
+        [(sid, pu, l, pd_, md, [_LINK_EXCLUSION]) for sid, pu, l, pd_, md in _LINK_FIXTURE],
+        "source_id string, page_url string, link string, parent_depth int, "
+        "max_depth int, exclusions array<string>",
+    )
+    return discover_links(links)
+
+
+def q_source_completion(spark, sf_dir):
+    """M6: per-source completion/failed derivation from the page
+    ledger (seed failure fails the source)."""
+    from qurio_spark.operators.crawl import source_completion
+
+    pages = local_frame(spark, 
+        _PAGE_FIXTURE, "source_id string, url string, status string, depth int"
+    )
+    return source_completion(pages)
+
+
+def q_events_sessions(spark, sf_dir):
+    """Sessionization: 30-minute-gap sessions per user (lag + cumulative
+    sum of gap flags), with per-session stats — the batch twin of a
+    session-window streaming agg."""
+    ev = _events(spark, sf_dir)
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = _epoch_secs(ev)
+    gapped = ev.withColumn(
+        "new_session",
+        F.when(
+            secs - F.lag(secs).over(w_user) > 30 * 60,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        gapped.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            stable_round(F.sum("value"), 2).alias("session_value"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            stable_round(F.sum("session_value"), 2).alias("total_value"),
+        )
+    )
+
+
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 forecast revenue (pure filter + agg; PushedFilters
+    should carry every predicate to the scan)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            stable_round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q_events_pivot(spark, sf_dir):
+    """PIVOT: per-user event counts spread across event-type columns
+    (explicit value list so the plan is a single pass, no distinct-scan
+    planning step)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))  # count(*) is rejected inside Pivot
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+def q_events_setops(spark, sf_dir):
+    """Set operations: users who clicked but never purchased
+    (EXCEPT/anti set) union users who did both (INTERSECT), tagged."""
+    ev = _events(spark, sf_dir)
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    click_only = clickers.exceptAll(buyers).withColumn("cohort", F.lit("click_only"))
+    both = clickers.intersect(buyers).withColumn("cohort", F.lit("click_and_buy"))
+    return click_only.unionByName(both)
+
+
+def q_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (median + p90) of event value per
+    event type — the exact form, not the sketch, so it oracle-checks."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        stable_round(F.percentile("value", 0.5), 4).alias("p50"),
+        stable_round(F.percentile("value", 0.9), 4).alias("p90"),
+    )
+
+
+def q_curate(spark, sf_dir):
+    """Training-data curation pipeline: exact-dedup -> quality score ->
+    per-source token-budget selection (operators/curate.curate_corpus)
+    — the flagship composition of the dedup + text-analysis ladder."""
+    from qurio_spark.operators.curate import curate_corpus
+
+    return curate_corpus(
+        _t(spark, sf_dir, "documents"), per_source_token_budget=800
+    )
+
+
+def q_events_funnel(spark, sf_dir):
+    """Sequential funnel: users whose first view precedes their first
+    subsequent click precedes their first subsequent purchase — three
+    ordered min-timestamp stages, each a groupBy + conditional join
+    (the standard funnel shape; shuffles only user-keyed minima)."""
+    ev = _events(spark, sf_dir)
+
+    def first_after(event_type, prior, prior_col):
+        e = ev.filter(F.col("event_type") == event_type).select(
+            "user_id", F.col("ts").alias("_t")
+        )
+        if prior is None:
+            return e.groupBy("user_id").agg(F.min("_t").alias(prior_col))
+        return (
+            e.join(prior, "user_id")
+            .filter(F.col("_t") > F.col(prior.columns[1]))
+            .groupBy("user_id")
+            .agg(F.min("_t").alias(prior_col))
+        )
+
+    views = first_after("view", None, "t_view")
+    clicks = first_after("click", views, "t_click")
+    buys = first_after("purchase", clicks, "t_buy")
+    return (
+        views.agg(F.count("*").alias("n"))
+        .withColumn("stage", F.lit("view"))
+        .unionByName(
+            clicks.agg(F.count("*").alias("n")).withColumn("stage", F.lit("click"))
+        )
+        .unionByName(
+            buys.agg(F.count("*").alias("n")).withColumn("stage", F.lit("purchase"))
+        )
+        .select("stage", "n")
+    )
+
+
+def q_pack_shards(spark, sf_dir):
+    """Training-shard packing: per-source token cumsum -> offset-rule
+    shard assignment (operators/sharding.pack_shards, budget 2000)."""
+    from qurio_spark.operators.sharding import pack_shards
+
+    return pack_shards(_t(spark, sf_dir, "documents"), token_budget=2000)
+
+
+def q_sample_mixture(spark, sf_dir):
+    """Deterministic domain-mixture sampling: per-source keep
+    probabilities decided by a portable md5 draw per doc
+    (operators/sharding.sample_mixture)."""
+    from qurio_spark.operators.sharding import sample_mixture
+
+    kept = sample_mixture(
+        _t(spark, sf_dir, "documents"),
+        weights={"src1": 1.0, "src2": 0.5, "src3": 0.25},
+        default_weight=0.1,
+    )
+    return kept.select("doc_id", "source")
+
+
+def q_revenue_rollup(spark, sf_dir):
+    """ROLLUP aggregation (nation, order-year) over the sales join —
+    subtotal + grand-total rows in one pass (partial-agg friendly;
+    beyond reference scope, training-pipeline reporting shape)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("o_year", F.year("o_orderdate"))
+        .rollup("n_name", "o_year")
+        .agg(stable_round(F.sum(rev), 2).alias("revenue"))
+        # subtotal marker NULLs -> sentinels (hash comparators sort row
+        # tuples; mixed None/int breaks ordering)
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+            F.coalesce("o_year", F.lit(-1)).alias("o_year"),
+            "revenue",
+        )
+    )
+
+
+def q_events_moving_avg(spark, sf_dir):
+    """Frame window: 4-row moving average of event value per user
+    (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) — partitioned by user,
+    so parallelism scales with user cardinality."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        stable_round(F.avg("value").over(w), 4).alias("mavg"),
+    )
+
+
+def q_first_order_per_customer(spark, sf_dir):
+    """Argmin-per-group via row_number window: each customer's earliest
+    order with its totalprice (the min-join/correlated-subquery shape)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("first_orderkey"),
+            stable_round("o_totalprice", 2).alias("first_totalprice"),
+        )
+    )
+
+

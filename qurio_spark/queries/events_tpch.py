@@ -1,0 +1,563 @@
+"""Events-family queries (batch twins of the streaming surface) and
+the first TPC-H-shaped sweep (q1..q22 subset), incl. near-dup
+clustering over the dedup pair generators."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from qurio_spark.functions.frames import local_frame
+from qurio_spark.functions.numeric import stable_round
+
+from .common import (
+    QUERY_TEXT,
+    QUERY_VEC_ID,
+    _docs_with_vecs,
+    _epoch_secs,
+    _events,
+    _normalize_events_ts,
+    _qvec,
+    _t,
+)
+
+from qurio_spark.operators.dedup import exact_dedup, ngram_jaccard_pairs
+from qurio_spark.operators.similarity import embedding_near_dup_pairs
+
+
+def q_events_retention(spark, sf_dir):
+    """Weekly cohort retention matrix: users grouped by first-seen
+    week, counted per weeks-since-cohort offset — two user-keyed
+    partial-agg shuffles, the standard retention shape."""
+    ev = _events(spark, sf_dir)
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    firsts = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    return (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_week"),
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+def q_cheapest_order_per_customer(spark, sf_dir):
+    """TPC-H Q2-flavor min-per-group join-back: each customer's
+    cheapest order — the correlated-subquery shape as (group min)
+    joined back into the scan, ties resolved to the lowest orderkey
+    (deterministic).  Complements first_order_per_customer (argmin by
+    date via window) with the join-back formulation."""
+    o = _t(spark, sf_dir, "orders")
+    mins = o.groupBy("o_custkey").agg(F.min("o_totalprice").alias("_mn"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return (
+        o.join(mins, "o_custkey")
+        .filter(F.col("o_totalprice") == F.col("_mn"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("cheapest_orderkey"),
+            stable_round("o_totalprice", 2).alias("cheapest_totalprice"),
+        )
+    )
+
+
+def q_near_dup_clusters(spark, sf_dir):
+    """Dedup completion: embedding-cosine near-dup PAIRS -> connected
+    components -> (vec_id, cluster_id = min id in component).  Keeping
+    one doc per cluster_id is the canonical-selection step
+    (operators/dedup.connected_components)."""
+    from qurio_spark.operators.dedup import connected_components
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.35)
+    return connected_components(pairs, emb, id_col="vec_id")
+
+
+def q_events_hourly(spark, sf_dir):
+    """Tumbling-window aggregation (batch twin of the streaming job)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            stable_round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def q_streaming_hourly(spark, sf_dir):
+    """The streaming twin of q_events_hourly as a hard signal: the same
+    tumbling-window aggregation running through Structured Streaming's
+    state store (complete output mode, availableNow trigger), sunk via
+    foreachBatch overwrite and read back — the final table must match
+    the batch query bit-for-bit, so it shares its DuckDB oracle
+    (streaming/ingest module doc: batch twins ARE the test oracle)."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="qurio-stream-hourly-")
+    out_p, ckpt = f"{base}/out", f"{base}/ckpt"
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # see _events
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = _normalize_events_ts(stream)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            stable_round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("hour"), "event_type", "n", "total_value")
+    )
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(out_p)
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_p)
+
+
+def q_events_top_users(spark, sf_dir):
+    """Window function: top-3 users per event_type by event count."""
+    counts = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("user_id"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "user_id", "n", "rank")
+    )
+
+
+def q_events_json(spark, sf_dir):
+    """Semi-structured extraction from the JSON props column (regex form
+    so Spark and DuckDB agree without the json extension)."""
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("int")
+    return (
+        _events(spark, sf_dir)
+        .withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            stable_round(F.avg("k"), 4).alias("avg_k"),
+        )
+    )
+
+
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 pricing summary (scan + partial-agg groupBy)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            stable_round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            stable_round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            stable_round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            stable_round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            stable_round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shipping priority (3-way join + agg + top-10)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15"))
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15"))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            stable_round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5-style regional revenue (6-way join, dims broadcast)."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            stable_round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7-style volume shipping: bilateral trade between two
+    nations by year.  Fact-fact joins shuffle on their keys; both
+    nation dims broadcast twice under different aliases."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    ns = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (
+        F.col("cust_nation") == "NATION_2"
+    ) | (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            stable_round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8-style market share: NATION_2's share of ECONOMY-part
+    volume sold into EUROPE per order year — conditional-sum ratio over
+    one joined fact pass."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    nc = n.select(F.col("n_nationkey").alias("c_nk"), "n_regionkey")
+    ns = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(r), F.col("n_regionkey") == r["r_regionkey"])
+        .filter(
+            (F.col("r_name") == "EUROPE")
+            & (F.col("p_type") == "ECONOMY")
+            & (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            stable_round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9-shaped product-type profit (adapted: the generated
+    schema has no partsupp, so unit supply cost is modeled as
+    0.8 * p_retailprice): profit by supplier nation and order year for
+    parts whose name contains 'red'.  One joined fact pass; part,
+    supplier, and nation dims broadcast — no fact-side shuffle beyond
+    the orderkey join."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part")
+    n = _t(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - (
+        0.8 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("p_name").contains("red"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(stable_round(F.sum(amount), 2).alias("sum_profit"))
+    )
+
+
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21-shaped waiting-supplier audit (adapted: the generated
+    schema has no l_commitdate/l_receiptdate, so "late" is shipping
+    more than 365 days after the order date).  The canonical
+    EXISTS / NOT EXISTS pair decorrelates into ONE per-order aggregate
+    joined back on the same key: another-supplier-exists <=>
+    n_supp >= 2, no-other-late-supplier <=> n_late_supp = 1 (the
+    candidate row is itself late) — two passes over the filtered fact
+    instead of two correlated per-row probes, and the groupBy + join
+    share the l_orderkey partitioning so no extra shuffle."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    li = l.join(o, l["l_orderkey"] == o["o_orderkey"]).withColumn(
+        "is_late",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
+        ).cast("int"),
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    return (
+        li.filter(F.col("is_late") == 1)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16-shaped supplier diversity (adapted: supplier-part
+    pairs come from lineitem, partsupp absent; the complaints NOT IN
+    exclusion becomes negative-balance suppliers): distinct supplier
+    count per (brand, type, size) excluding flagged suppliers.  NOT IN
+    decorrelates to a broadcast anti-join; the pair set reduces via
+    distinct BEFORE the final count so the count agg runs on reduced
+    rows, never the fact stream."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#2")
+    s = _t(spark, sf_dir, "supplier")
+    excluded = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(
+            F.broadcast(excluded),
+            l["l_suppkey"] == excluded["s_suppkey"],
+            "left_anti",
+        )
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return pairs.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count("*").alias("supplier_cnt")
+    )
+
+
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11-shaped important-part identification (adapted: value
+    from shipped lineitems, partsupp absent; threshold = 1.5x the mean
+    per-part value so the predicate is scale-invariant): per-part
+    value HAVING a global-scalar comparison — one fact aggregation,
+    the 1-row global derived from the SAME aggregate and broadcast
+    back (Q15's scalar-subquery shape, fraction-of-total variant)."""
+    l = _t(spark, sf_dir, "lineitem")
+    v = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_part = l.groupBy("l_partkey").agg(v.alias("value"))
+    global_row = per_part.agg(
+        (F.sum("value") / F.count("*") * 1.5).alias("threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(global_row))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("l_partkey", stable_round("value", 2).alias("value"))
+    )
+
+
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20-shaped dominant-supplier audit (adapted: no partsupp
+    availqty in the generated schema, so the threshold is against the
+    part's own shipped total): suppliers who shipped more than half of
+    some 'red'-named part's 1996 volume.  The correlated scalar
+    subquery decorrelates into a second-level aggregate over the
+    ALREADY-REDUCED (part, supplier) rows — the per-part total is
+    computed from per_sp, never a second fact pass — then a broadcast
+    semi-join back; supplier dim broadcast."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    s = _t(spark, sf_dir, "supplier")
+    lp = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    per_sp = lp.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("sq")
+    )
+    per_p = per_sp.groupBy("l_partkey").agg(F.sum("sq").alias("total_q"))
+    # per_p (one row per part) and dominant (<= one row per supplier)
+    # are provably small — pin the broadcasts so the plan shape holds
+    # at any scale, not just under the static planner's size estimate
+    dominant = (
+        per_sp.join(F.broadcast(per_p), "l_partkey")
+        .filter(F.col("sq") > 0.5 * F.col("total_q"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return s.join(
+        F.broadcast(dominant), s["s_suppkey"] == dominant["l_suppkey"], "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15-style top supplier: quarterly revenue per supplier,
+    keep the maximum-revenue supplier(s) — the view + scalar-max
+    subquery expressed as an agg joined against its own max (one fact
+    pass, broadcast 1-row max)."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        l.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            stable_round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17-style small-quantity revenue: lineitems of one brand
+    below 20% of that part's average quantity — the correlated-average
+    re-expressed as a per-part agg joined back (no per-row subquery)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    brand = l.join(
+        F.broadcast(p.filter(F.col("p_brand") == "Brand#1")),
+        l["l_partkey"] == p["p_partkey"],
+    )
+    avg_qty = brand.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.avg("l_quantity") * 0.2).alias("_qty_cap")
+    )
+    return (
+        brand.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("_qty_cap"))
+        .agg(
+            stable_round(
+                F.coalesce(F.sum("l_extendedprice"), F.lit(0.0)) / 7.0, 2
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22-shaped dormant-customer analysis (no phone column in
+    this schema, so the country-code gate becomes a nation gate, and —
+    because this dataset's customers all have SOME order — 'no orders'
+    becomes 'no orders since 2000-01-01'): customers of NATION_1/2/3
+    with above-average positive balance and no recent orders, grouped
+    by nation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    in_scope = c.filter(F.col("c_nationkey").isin(1, 2, 3))
+    avg_bal = in_scope.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    recent = o.filter(F.col("o_orderdate") >= "2000-01-01").select("o_custkey")
+    return (
+        in_scope.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(recent, c["c_custkey"] == recent["o_custkey"], "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            stable_round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+def q_top_customers(spark, sf_dir):
+    """Join + agg + deterministic top-10 (largest customers)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            stable_round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+

@@ -1,0 +1,70 @@
+"""Text-analysis queries: token counts, quality, lang-id,
+fingerprints, repetition, word concentration, PII redaction."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from qurio_spark.functions.frames import local_frame
+from qurio_spark.functions.numeric import stable_round
+
+from .common import (
+    QUERY_TEXT,
+    QUERY_VEC_ID,
+    _docs_with_vecs,
+    _epoch_secs,
+    _events,
+    _normalize_events_ts,
+    _qvec,
+    _t,
+)
+
+from qurio_spark.operators.textstats import text_profile
+
+
+def q_token_counts(spark, sf_dir):
+    p = text_profile(_t(spark, sf_dir, "documents"))
+    return p.select("doc_id", "n_tokens", "n_bpeish_tokens", "n_distinct_tokens")
+
+
+def q_quality_scores(spark, sf_dir):
+    p = text_profile(_t(spark, sf_dir, "documents"))
+    return p.select("doc_id", "quality")
+
+
+def q_lang_id(spark, sf_dir):
+    p = text_profile(_t(spark, sf_dir, "documents"))
+    return p.select("doc_id", "lang_guess")
+
+
+def q_fingerprints(spark, sf_dir):
+    p = text_profile(_t(spark, sf_dir, "documents"))
+    return p.select("doc_id", "fingerprint")
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition metrics (distinct-word ratio,
+    duplicate-bigram fraction) — map-only array expressions."""
+    from qurio_spark.operators.textstats import repetition_profile
+
+    return repetition_profile(_t(spark, sf_dir, "documents"))
+
+
+def q_word_concentration(spark, sf_dir):
+    """Top-word fraction per document: explode -> partial-agg counts ->
+    per-doc argmax window (ties to the first word alphabetically)."""
+    from qurio_spark.operators.textstats import word_concentration
+
+    return word_concentration(_t(spark, sf_dir, "documents"))
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrub pass: per-doc match count + redacted-text fingerprint
+    (functions/text.PII_PATTERNS applied as a regexp_replace chain)."""
+    from qurio_spark.operators.textstats import pii_profile
+
+    return pii_profile(_t(spark, sf_dir, "documents"))
+
+
