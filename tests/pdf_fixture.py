@@ -103,6 +103,55 @@ def make_pdf(
     return bytes(out)
 
 
+def make_image_pdf(
+    width: int,
+    height: int,
+    pixels: bytes,
+    colorspace: str = "DeviceRGB",
+    compress: bool = False,
+    codec: str | None = None,
+) -> bytes:
+    """Minimal one-page PDF embedding a single image XObject with raw
+    8-bit samples (optionally FlateDecode); ``codec='DCTDecode'``
+    builds the not-hermetically-decodable shape instead."""
+    body = pixels
+    filt = b""
+    if codec:
+        filt = f" /Filter /{codec}".encode()
+    elif compress:
+        body = zlib.compress(body)
+        filt = b" /Filter /FlateDecode"
+    objs: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /XObject << /Im0 4 0 R >> >> /Contents 5 0 R >>",
+        (
+            f"<< /Type /XObject /Subtype /Image /Width {width} "
+            f"/Height {height} /BitsPerComponent 8 /ColorSpace /{colorspace}"
+        ).encode()
+        + filt
+        + b" /Length " + str(len(body)).encode() + b" >>\n"
+        b"stream\n" + body + b"\nendstream",
+        b"<< /Length 31 >>\nstream\nq 100 0 0 100 0 0 cm /Im0 Do Q\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, obody in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + obody + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
 def make_docx(
     paragraphs: list[str],
     title: str | None = None,

@@ -27,6 +27,41 @@ def make_gif(w=4, h=2) -> bytes:
     return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 6
 
 
+def make_bmp(w=7, h=5, top_down=False, bpp=24) -> bytes:
+    """Deterministic 24/32-bit BI_RGB BMP: pixel (x, y) has
+    R=x*16, G=y*32, B=(x+y)*8 — stdlib struct only."""
+    nch = bpp // 8
+    stride = ((bpp * w + 31) // 32) * 4
+    rows = []
+    ys = range(h) if top_down else range(h - 1, -1, -1)
+    for y in ys:
+        row = bytearray()
+        for x in range(w):
+            px = bytes([(x + y) * 8 % 256, y * 32 % 256, x * 16 % 256])  # BGR
+            row += px if nch == 3 else px + b"\xff"
+        row += b"\x00" * (stride - len(row))
+        rows.append(bytes(row))
+    pixel_data = b"".join(rows)
+    hdr_h = -h if top_down else h
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, hdr_h, 1, bpp, 0, len(pixel_data),
+        2835, 2835, 0, 0,
+    )
+    file_hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixel_data), 0, 0, 54)
+    return file_hdr + info + pixel_data
+
+
+def bmp_golden(w=7, h=5):
+    """The RGB array make_bmp encodes, derived independently."""
+    import numpy as np
+
+    arr = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            arr[y, x] = (x * 16 % 256, y * 32 % 256, (x + y) * 8 % 256)
+    return arr
+
+
 def make_wav(rate=16000, channels=1, bits=16, n_frames=8000, fmt_tag=1) -> bytes:
     data_len = n_frames * channels * (bits // 8)
     fmt = (
@@ -146,6 +181,9 @@ class TestBinaryIngestion:
 
         with pytest.raises(NotImplementedError):
             _decode_pixels(b"anything")
+        # codec containers (PNG) stay stubbed even with a valid header
+        with pytest.raises(NotImplementedError):
+            _decode_pixels(make_png())
 
     def test_resize_spec_geometry(self, spark):
         """Aspect preserved, no upscaling, 1px floor, NULLs pass through."""
@@ -170,6 +208,113 @@ class TestBinaryIngestion:
         assert got[4] == (None, None, None)
         assert got[5] == (None, None, None)
         assert got[6] == (None, None, None)
+
+
+class TestPixelDecode:
+    """The hermetic pixel path (VERDICT r5 item 7): uncompressed BMP and
+    raw/Flate PDF image XObjects decode for real; codecs stay stubbed."""
+
+    def test_bmp_header_sniff(self):
+        assert _parse_image_header(make_bmp(7, 5)) == ("bmp", 7, 5, True)
+        assert _parse_image_header(make_bmp(7, 5, top_down=True)) == (
+            "bmp", 7, 5, True,
+        )
+
+    def test_bmp_decode_golden(self):
+        import numpy as np
+
+        from qurio_spark.sources.multimodal import _decode_pixels
+
+        golden = bmp_golden(7, 5)
+        for kwargs in ({}, {"top_down": True}, {"bpp": 32}):
+            got = _decode_pixels(make_bmp(7, 5, **kwargs))
+            assert got.shape == (5, 7, 3)
+            assert np.array_equal(got, golden), kwargs
+
+    def test_bmp_variants_stay_stubbed(self):
+        from qurio_spark.sources.multimodal import _decode_pixels
+
+        raw = bytearray(make_bmp())
+        raw[30] = 1  # BI_RLE8: compressed variant -> codec territory
+        with pytest.raises(NotImplementedError):
+            _decode_pixels(bytes(raw))
+        with pytest.raises(ValueError):
+            _decode_pixels(make_bmp()[:40])  # truncated header
+        with pytest.raises(ValueError):
+            _decode_pixels(make_bmp(64, 64)[:200])  # truncated pixels
+
+    def test_resample_nearest(self):
+        import numpy as np
+
+        from qurio_spark.sources.multimodal import _resample_nearest
+
+        px = bmp_golden(7, 5)
+        assert np.array_equal(_resample_nearest(px, 7, 5), px)
+        # 2x2 from 4x4 picks the pixel-center sources (rows/cols 1 and 3)
+        grid = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+        small = _resample_nearest(grid, 2, 2)
+        assert np.array_equal(small, grid[[1, 3]][:, [1, 3]])
+
+    def test_resize_pixels_end_to_end(self, spark):
+        """BMP bytes -> header meta -> resize_spec targets -> decoded +
+        resampled RGB24 bytes; a codec row degrades to a visible error."""
+        import numpy as np
+
+        from qurio_spark.sources.multimodal import (
+            _resample_nearest,
+            decode_image_meta,
+            resize_pixels,
+            resize_spec,
+        )
+
+        df = spark.createDataFrame(
+            [("img/a.bmp", bytearray(make_bmp(7, 5))),
+             ("img/b.png", bytearray(make_png(16, 9)))],
+            "path string, content binary",
+        )
+        meta = df.withColumn("meta", decode_image_meta("content")).select(
+            "path", "content", "meta.width", "meta.height"
+        )
+        out = {
+            r["path"]: r
+            for r in resize_pixels(resize_spec(meta, max_side=4)).collect()
+        }
+        golden = _resample_nearest(bmp_golden(7, 5), 4, 3)
+        a = out["img/a.bmp"]
+        assert (a["out_width"], a["out_height"]) == (4, 3)
+        assert a["resize_error"] is None
+        assert np.array_equal(
+            np.frombuffer(bytes(a["pixels"]), dtype=np.uint8).reshape(3, 4, 3),
+            golden,
+        )
+        b = out["img/b.png"]
+        assert b["pixels"] is None and "codec" in b["resize_error"]
+
+    def test_pdf_image_xobjects(self):
+        import numpy as np
+
+        from qurio_spark.sources.multimodal import _pdf_image_xobjects
+        from tests.pdf_fixture import make_image_pdf
+
+        rgb = bmp_golden(6, 4)
+        raw_pdf = make_image_pdf(6, 4, rgb.tobytes())
+        imgs = list(_pdf_image_xobjects(raw_pdf))
+        assert len(imgs) == 1
+        w, h, px = imgs[0]
+        assert (w, h) == (6, 4) and np.array_equal(px, rgb)
+
+        # FlateDecode DeviceGray: inflated then gray->RGB broadcast
+        gray = np.arange(24, dtype=np.uint8).reshape(4, 6, 1)
+        flate_pdf = make_image_pdf(
+            6, 4, gray.tobytes(), colorspace="DeviceGray", compress=True
+        )
+        (w, h, px), = list(_pdf_image_xobjects(flate_pdf))
+        assert (w, h) == (6, 4)
+        assert np.array_equal(px, np.repeat(gray, 3, axis=2))
+
+        # DCTDecode (actual JPEG codec) is skipped, not misdecoded
+        dct_pdf = make_image_pdf(6, 4, b"\xff\xd8jpegbytes", codec="DCTDecode")
+        assert list(_pdf_image_xobjects(dct_pdf)) == []
 
 
 class TestFileConversion:
