@@ -156,6 +156,7 @@ from qurio_spark.queries.relational import (  # noqa: F401
     q_tpch_q18,
     q_tpch_q19,
 )
+from qurio_spark.queries.media import q_resize_targets  # noqa: F401
 from qurio_spark.queries.pipelines import (  # noqa: F401
     q_chunk_corpus,
     q_ingest_pipeline,
@@ -184,6 +185,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     FIRST 50 dict entries, so positions 1-50 are exactly 50
     oracle-backed queries (one per operator family, every
     never-before-checked and new-this-round entry included).
+    Round 6 rotation: ``resize_targets`` (new: BMP header parse ->
+    resize geometry, the round's pixel-path addition) enters the
+    window; ``tpch_q5`` rotates to 51+ (plain multi-join agg, proven by
+    the in-window q3/q9/q18 plus five green rounds of its own).
     Positions 51+ hold (a) oracle-backed entries whose operator is
     already proven by an in-window sibling (count_global/count_filtered
     ⊂ stats_fanin, simhash ⊂ simhash_near, lsh_topk ⊂ lsh_prebuilt
@@ -241,7 +246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q20": q_tpch_q20,
-        "tpch_q5": q_tpch_q5,
+        "resize_targets": q_resize_targets,
         "tpch_q18": q_tpch_q18,
         "parts_never_shipped": q_parts_never_shipped,
         "first_order_per_customer": q_first_order_per_customer,
@@ -260,6 +265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rerank_overlap": q_rerank_overlap,
         # -- 51+: oracle-backed, operator proven by in-window sibling
         # (or, for minhash_lsh, newly oracle-backed breadth) ----------
+        "tpch_q5": q_tpch_q5,
         "hybrid_filtered": q_hybrid_filtered,
         "batch_hybrid": q_batch_hybrid,
         "events_json": q_events_json,

@@ -23,6 +23,7 @@ from .ingest import (
     _STUCK_NOW,
     _TYPE_RE,
 )
+from .media import resize_targets_sql
 from .search import _BATCH_QUERIES
 
 # Shared SQL fragments for the oracles ------------------------------------
@@ -676,6 +677,7 @@ ORDER BY rerank_score DESC, doc_id LIMIT 10"""
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "resize_targets": resize_targets_sql(),
         "source_list": """
 SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY source""",
