@@ -468,14 +468,22 @@ def hybrid_search_batch_ivf(
         # dedupe shuffle.  ``kw`` feeds both branches — one lazy
         # lineage cut so the postings scan + agg run once, not twice.
         kw = checkpoint_df(kw)
+        # cosine is computed BEFORE the bm25-attach join so the join
+        # exchange shuffles (qid, doc, cos) scalars — projecting it
+        # after the join would drag both embedding arrays through the
+        # Exchange (measured ~2x the shuffle bytes at 64 dims)
+        probed_cos = probed.join(F.broadcast(qvecs), qid_col).select(
+            qid_col,
+            id_col,
+            cosine(F.col(vec_col), F.col(qvec_col)).alias("cos"),
+        )
         probed_scored = (
-            probed.join(F.broadcast(qvecs), qid_col)
-            .join(kw, [qid_col, id_col], "left")  # kw is a tiny agg output -> AQE broadcasts it
+            probed_cos.join(kw, [qid_col, id_col], "left")
             .select(
                 qid_col,
                 id_col,
                 F.coalesce(F.col("bm25"), F.lit(0.0)).alias("bm25"),
-                cosine(F.col(vec_col), F.col(qvec_col)).alias("cos"),
+                F.col("cos"),
             )
         )
         kw_outside = (

