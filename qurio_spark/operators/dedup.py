@@ -267,6 +267,7 @@ def connected_components(
     b_col: str = "id_b",
     max_iters: int = 25,
     algorithm: str = "star",
+    driver_max_edges: int = 500_000,
 ) -> DataFrame:
     """Near-dup pairs -> duplicate CLUSTERS: the step that makes pair
     detection actionable (keep one canonical doc per component).
@@ -281,13 +282,22 @@ def connected_components(
     pointer jump per round — rounds = component diameter in label-hops;
     fine for near-dup cliques, kept as the equivalence baseline.
 
+    ``driver_max_edges``: the near-dup edge set is orders of magnitude
+    smaller than the corpus (it only contains the duplicates), and its
+    size is known for free once the deduped edges materialize — when it
+    fits comfortably on the driver (default 500k edges, ~tens of MB),
+    finishing with local union-find replaces O(log n) shuffle rounds
+    with one collect.  0 disables the escape hatch (always iterate
+    distributed; the graph-scale path stays tested).  Both finishes
+    produce identical labels (pinned in tests/test_dedup.py).
+
     Raises ``RuntimeError`` when ``max_iters`` rounds pass without
     convergence — a silently split component would make canonical-doc
     selection keep extra duplicates downstream.
     """
     if algorithm == "star":
         return _connected_components_star(
-            pairs, nodes, id_col, a_col, b_col, max_iters
+            pairs, nodes, id_col, a_col, b_col, max_iters, driver_max_edges
         )
     if algorithm != "label_prop":
         raise ValueError(f"unknown algorithm {algorithm!r}")
@@ -352,6 +362,54 @@ def connected_components(
     ).unionByName(singletons)
 
 
+def _finish_union_find(
+    edges: DataFrame, nodes: DataFrame, id_col: str
+) -> DataFrame:
+    """Driver-side finish over a small, already-deduped edge set:
+    classic union-find with path halving, attaching the larger root
+    beneath the smaller so every root IS its component's minimum id —
+    the same ``cluster_id = min(member)`` contract as the distributed
+    star iteration (equivalence pinned in tests/test_dedup.py)."""
+    from pyspark.sql import types as T
+
+    from qurio_spark.functions.frames import local_frame
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    rows = edges.collect()
+    for row in rows:
+        ru, rv = find(row["u"]), find(row["v"])
+        if ru != rv:
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    members = sorted({row["u"] for row in rows} | {row["v"] for row in rows})
+    id_type = edges.schema["u"].dataType
+    labels = local_frame(
+        edges.sparkSession,
+        [(x, find(x)) for x in members],
+        T.StructType(
+            [
+                T.StructField(id_col, id_type),
+                T.StructField("cluster_id", id_type),
+            ]
+        ),
+    )
+    singletons = nodes.join(
+        labels.select(F.col(id_col).alias("_edge_node")),
+        nodes[id_col] == F.col("_edge_node"),
+        "left_anti",
+    ).select(F.col(id_col), F.col(id_col).alias("cluster_id"))
+    return labels.unionByName(singletons)
+
+
 def _connected_components_star(
     pairs: DataFrame,
     nodes: DataFrame,
@@ -359,6 +417,7 @@ def _connected_components_star(
     a_col: str,
     b_col: str,
     max_iters: int,
+    driver_max_edges: int = 500_000,
 ) -> DataFrame:
     """Alternating large-star/small-star min-id connected components.
 
@@ -394,6 +453,13 @@ def _connected_components_star(
         .distinct(),
         eager=True,
     )
+    # The deduped edge set is now materialized, so its size is one
+    # cheap count over checkpoint blocks: small graphs (the common
+    # post-LSH shape — edges only exist BETWEEN duplicates) finish with
+    # driver union-find instead of paying per-round scheduling for
+    # O(log n) shuffle iterations.
+    if driver_max_edges and edges.count() <= driver_max_edges:
+        return _finish_union_find(edges, nodes, id_col)
     edge_nodes = (
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))
@@ -431,24 +497,25 @@ def _connected_components_star(
         # preserves connectivity, and a star forest is the iteration's
         # fixed point, so the star test IS the convergence test — and it
         # fires one round earlier than an edge-set-equality check.)
-        chained = (
-            small.join(
-                small.select(F.col("u").alias("_v2")),
-                small["v"] == F.col("_v2"),
-                "left_semi",
+        # Both conditions fold into one indicator query so the round
+        # costs a single job.
+        not_star = (
+            small.groupBy("u")
+            .agg(F.count("*").alias("_c"))
+            .filter(F.col("_c") > 1)
+            .select(F.lit(1).alias("_x"))
+            .unionAll(
+                small.join(
+                    small.select(F.col("u").alias("_v2")),
+                    small["v"] == F.col("_v2"),
+                    "left_semi",
+                ).select(F.lit(1).alias("_x"))
             )
             .limit(1)
             .count()
         )
-        multi = (
-            small.groupBy("u")
-            .agg(F.count("*").alias("_c"))
-            .filter(F.col("_c") > 1)
-            .limit(1)
-            .count()
-        )
         edges = small
-        if chained == 0 and multi == 0:
+        if not_star == 0:
             break
     else:
         raise RuntimeError(

@@ -297,7 +297,8 @@ class TestConnectedComponents:
         got = {
             r["doc_id"]: r["cluster_id"]
             for r in connected_components(
-                pairs, nodes, max_iters=10, algorithm="star"
+                pairs, nodes, max_iters=10, algorithm="star",
+                driver_max_edges=0,  # force the distributed iteration
             ).collect()
         }
         assert len(got) == 1000 and set(got.values()) == {0}
@@ -321,16 +322,18 @@ class TestConnectedComponents:
             "doc_id long",
         )
 
-        def run(alg):
+        def run(alg, **kw):
             return {
                 r["doc_id"]: r["cluster_id"]
                 for r in connected_components(
-                    pairs, nodes, algorithm=alg
+                    pairs, nodes, algorithm=alg, **kw
                 ).collect()
             }
 
-        star, lp = run("star"), run("label_prop")
-        assert star == lp
+        star = run("star")  # small graph -> driver union-find finish
+        star_dist = run("star", driver_max_edges=0)  # distributed rounds
+        lp = run("label_prop")
+        assert star == star_dist == lp
         assert star[13] == 1 and star[21] == 20 and star[99] == 99
 
     def test_raises_instead_of_splitting_on_iteration_budget(self, spark):
