@@ -144,6 +144,7 @@ from qurio_spark.queries.ingest import (  # noqa: F401
     q_rerank_overlap,
     q_sitemap_urls,
     q_streaming_ingest,
+    q_streaming_near_dedup,
     q_stuck_reset,
 )
 from qurio_spark.queries.relational import (  # noqa: F401
@@ -186,9 +187,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle-backed queries (one per operator family, every
     never-before-checked and new-this-round entry included).
     Round 6 rotation: ``resize_targets`` (new: BMP header parse ->
-    resize geometry, the round's pixel-path addition) enters the
-    window; ``tpch_q5`` rotates to 51+ (plain multi-join agg, proven by
-    the in-window q3/q9/q18 plus five green rounds of its own).
+    resize geometry, the round's pixel-path addition) and
+    ``streaming_near_dedup`` (new: cross-batch MinHash-LSH gate over a
+    persisted signature store) enter the window; ``tpch_q5`` (plain
+    multi-join agg, proven by the in-window q3/q9/q18) and
+    ``parts_never_shipped`` (anti-join, proven by the in-window
+    dedup_anti_join plus five green rounds) rotate to 51+.
     Positions 51+ hold (a) oracle-backed entries whose operator is
     already proven by an in-window sibling (count_global/count_filtered
     ⊂ stats_fanin, simhash ⊂ simhash_near, lsh_topk ⊂ lsh_prebuilt
@@ -248,7 +252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20": q_tpch_q20,
         "resize_targets": q_resize_targets,
         "tpch_q18": q_tpch_q18,
-        "parts_never_shipped": q_parts_never_shipped,
+        "streaming_near_dedup": q_streaming_near_dedup,
         "first_order_per_customer": q_first_order_per_customer,
         "revenue_rollup": q_revenue_rollup,
         "curate": q_curate,
@@ -266,6 +270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 51+: oracle-backed, operator proven by in-window sibling
         # (or, for minhash_lsh, newly oracle-backed breadth) ----------
         "tpch_q5": q_tpch_q5,
+        "parts_never_shipped": q_parts_never_shipped,
         "hybrid_filtered": q_hybrid_filtered,
         "batch_hybrid": q_batch_hybrid,
         "events_json": q_events_json,

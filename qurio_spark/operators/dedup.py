@@ -173,13 +173,36 @@ def minhash_lsh_pairs(
     ``signatures``: prebuilt ``(id, signature array<bigint>)`` table
     (see simhash_near_pairs — same build-once index economics)."""
     assert num_perm % bands == 0
-    rows_per_band = num_perm // bands
     sig = (
         signatures
         if signatures is not None
         else minhash_signatures(docs, num_perm, n, id_col, text_col, seed)
     )
-    banded = sig.select(
+    banded = _lsh_banded(sig, num_perm, bands, id_col)
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"), "band", "key")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "est_jaccard", _est_jaccard(num_perm, "sig_a", "sig_b")
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def _lsh_banded(
+    sig: DataFrame, num_perm: int, bands: int, id_col: str
+) -> DataFrame:
+    """(id, signature) -> exploded (id, signature, band, key) rows, one
+    per band, with ``key`` the band's signature slice as a string."""
+    rows_per_band = num_perm // bands
+    return sig.select(
         F.col(id_col),
         F.col("signature"),
         F.explode(
@@ -198,24 +221,56 @@ def minhash_lsh_pairs(
             ])
         ).alias("bk"),
     ).select(id_col, "signature", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = banded.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"), "band", "key")
-    b = banded.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"), "band", "key")
-    cand = (
-        a.join(b, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .distinct()
-    )
+
+
+def _est_jaccard(num_perm: int, a: str, b: str):
     matches = F.size(
         F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+            F.zip_with(F.col(a), F.col(b), lambda x, y: (x == y).cast("int")),
             lambda m: m == 1,
         )
     )
+    return stable_round(matches / F.lit(float(num_perm)), 4)
+
+
+def minhash_lsh_match(
+    new_sigs: DataFrame,
+    store_sigs: DataFrame,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Asymmetric MinHash-LSH: which NEW docs near-duplicate an
+    already-accepted doc in a signature store.  Both inputs are
+    ``(id, signature array<bigint>)`` tables (``minhash_signatures``
+    output with the SAME num_perm/n/seed).  -> (id_col, store_id,
+    est_jaccard), one row per (new, store) hit above ``threshold``.
+
+    Scale shape: the store is the large append-only side and the new
+    side is one micro-batch, so the (band, key) equality join is a
+    broadcast of the new side's banded rows against the store scan —
+    persisting the store bucketed by (band, key) turns repeated probes
+    into a pruned scan (same economics as the persisted LSH vector
+    index in operators/similarity)."""
+    assert num_perm % bands == 0
+    a = _lsh_banded(new_sigs, num_perm, bands, id_col).select(
+        F.col(id_col).alias("_new_id"), F.col("signature").alias("sig_a"), "band", "key"
+    )
+    b = _lsh_banded(store_sigs, num_perm, bands, id_col).select(
+        F.col(id_col).alias("store_id"), F.col("signature").alias("sig_b"), "band", "key"
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .select("_new_id", "store_id", "sig_a", "sig_b")
+        .distinct()
+    )
     return (
-        cand.withColumn("est_jaccard", stable_round(matches / F.lit(float(num_perm)), 4))
+        cand.withColumn(
+            "est_jaccard", _est_jaccard(num_perm, "sig_a", "sig_b")
+        )
         .filter(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
+        .select(F.col("_new_id").alias(id_col), "store_id", "est_jaccard")
     )
 
 

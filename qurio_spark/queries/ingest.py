@@ -201,6 +201,39 @@ def q_reingest_skip_unchanged(spark, sf_dir):
     return kept.unionByName(skipped).unionByName(rewritten)
 
 
+def q_streaming_near_dedup(spark, sf_dir):
+    """Cross-batch near-dup gate driven by REAL Structured Streaming:
+    the documents table replays as two id-ordered availableNow rounds
+    through ``streaming_near_dup_dedup`` (4-perm portable signatures,
+    threshold 1.0).  At threshold 1.0 the LSH match degenerates to
+    signature EQUALITY — an equivalence relation — so the full replay's
+    accepted set is exactly "min doc_id per signature class", which is
+    what the SQL oracle computes; id-ordered batches make the greedy
+    cross-batch suppression agree with that global minimum."""
+    import tempfile
+
+    from qurio_spark.streaming.ingest import streaming_near_dup_dedup
+
+    base = tempfile.mkdtemp(prefix="qurio-stream-neardup-")
+    in_dir = f"{base}/in"
+    acc, store, ckpt = f"{base}/accepted", f"{base}/store", f"{base}/ckpt"
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mid = d.agg(F.max("doc_id")).first()[0] // 2
+
+    def run(batch_df):
+        batch_df.write.mode("append").parquet(in_dir)
+        stream = spark.readStream.schema(batch_df.schema).parquet(in_dir)
+        q = streaming_near_dup_dedup(
+            stream, acc, store, ckpt, num_perm=4, bands=2, threshold=1.0
+        ).start()
+        q.awaitTermination()
+
+    run(d.filter(F.col("doc_id") <= mid))
+    run(d.filter(F.col("doc_id") > mid))
+    return spark.read.parquet(acc).select("doc_id")
+
+
 def q_streaming_ingest(spark, sf_dir):
     """M7 as a hard signal: the foreachBatch incremental ingest
     (streaming/ingest.streaming_ingest_incremental) driven by REAL

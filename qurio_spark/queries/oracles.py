@@ -798,6 +798,15 @@ r AS (
 )
 SELECT doc_id FROM r WHERE rn = 1""",
         "minhash": _minhash_sql(4),
+        # threshold-1.0 streaming near-dup gate == min id per 4-perm
+        # signature class (see q_streaming_near_dedup's docstring for
+        # why the replay's greedy suppression equals the global min)
+        "streaming_near_dedup": f"""
+SELECT doc_id FROM (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY mh0, mh1, mh2, mh3) AS cmin
+  FROM ({_minhash_sql(4)}) sigs
+) t WHERE doc_id = cmin""",
         "minhash_lsh": _minhash_lsh_sql(0.5),
         "ngram_jaccard": _ngram_jaccard_sql(0.1),
         "ngram_jaccard_capped": _ngram_jaccard_sql(0.1, max_df=3),

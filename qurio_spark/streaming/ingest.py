@@ -246,3 +246,108 @@ def streaming_ingest_incremental(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def streaming_near_dup_dedup(
+    docs_stream: DataFrame,
+    accepted_path: str,
+    store_path: str,
+    checkpoint: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 7,
+):
+    """Cross-batch NEAR-duplicate gate: the MinHash-LSH twin of the
+    body-hash ledger in ``streaming_ingest_incremental``.  Each
+    micro-batch:
+
+      1. MinHash signatures for the batch (one mapless column pass);
+      2. drop batch docs that LSH-match the persisted signature store
+         (``operators/dedup.minhash_lsh_match`` — only docs accepted by
+         EARLIER batches can suppress new ones, so replay order is the
+         dedup order);
+      3. in-batch near-dup: LSH pairs over the remaining batch docs ->
+         connected components -> keep each component's min-id doc;
+      4. append survivors to ``accepted_path`` and their signatures to
+         the store.
+
+    State is the append-only signature store (tiny: num_perm bigints
+    per accepted doc), not stream state — the same economics that let
+    the body-hash ledger scale.  With ``threshold=1.0`` the match
+    predicate degenerates to signature equality (an equivalence
+    relation), which makes the full replay's accepted set equal to
+    "min id per signature class" — the SQL-expressible contract the
+    driver oracle checks."""
+    from qurio_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_match,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    def _sig_key(col):
+        return F.concat_ws(",", F.transform(col, lambda x: x.cast("string")))
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sigs = checkpoint_df(
+            minhash_signatures(batch_df, num_perm, n, id_col, text_col, seed),
+            eager=True,
+        )
+        store = read_parquet_if_exists(spark, store_path)
+        if threshold >= 1.0:
+            # signature EQUALITY is an equivalence relation: the gate
+            # collapses to one groupBy (min id per class) plus one
+            # equality anti-join against the store — no banding, no
+            # pair graph, no components (same result, pinned by the
+            # driver oracle)
+            surviving = sigs
+            if store is not None:
+                surviving = sigs.join(
+                    store.select(_sig_key(F.col("signature")).alias("_sk")).distinct(),
+                    _sig_key(sigs["signature"]) == F.col("_sk"),
+                    "left_anti",
+                )
+            keep = (
+                surviving.groupBy(_sig_key(F.col("signature")).alias("_sk"))
+                .agg(F.min(id_col).alias(id_col))
+                .select(id_col)
+            )
+        else:
+            surviving = sigs
+            if store is not None:
+                hits = (
+                    minhash_lsh_match(
+                        sigs, store, num_perm, bands, threshold, id_col
+                    )
+                    .select(id_col)
+                    .distinct()
+                )
+                surviving = sigs.join(hits, id_col, "left_anti")
+            pairs = minhash_lsh_pairs(
+                None, num_perm, bands, n, threshold, id_col, text_col, seed,
+                signatures=surviving,
+            )
+            cc = connected_components(
+                pairs, surviving.select(id_col), id_col=id_col
+            )
+            keep = cc.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
+        surviving = checkpoint_df(
+            surviving.join(keep, id_col, "left_semi"), eager=True
+        )
+        if surviving.limit(1).count() == 0:
+            return
+        batch_df.join(surviving.select(id_col), id_col, "left_semi").write.mode(
+            "append"
+        ).parquet(accepted_path)
+        surviving.write.mode("append").parquet(store_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

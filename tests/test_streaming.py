@@ -349,3 +349,46 @@ class TestReadParquetIfExists:
         (bad / "junk.txt").write_text("not parquet at all")
         with pytest.raises(Exception, match="(?i)parquet|infer|schema"):
             read_parquet_if_exists(spark, str(bad))
+
+
+class TestStreamingNearDupDedup:
+    def test_cross_batch_lsh_gate(self, spark, tmp_path):
+        """Near-dup gate across micro-batches: batch 1 drops an
+        in-batch duplicate, batch 2 drops both a cross-batch duplicate
+        (vs the persisted signature store) and an in-batch one; the
+        min-id doc of every duplicate class is the survivor."""
+        import os
+
+        from qurio_spark.streaming.ingest import streaming_near_dup_dedup
+
+        src = str(tmp_path / "src")
+        accepted = str(tmp_path / "accepted")
+        store = str(tmp_path / "store")
+        os.makedirs(src)
+
+        t_fox = "the quick brown fox jumps over the lazy dog again and again"
+        t_spark = "completely different content about spark dataframes and shuffles"
+        t_lsh = "novel text about minhash signatures and lsh banding buckets"
+
+        def run(rows):
+            spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+            stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+            q = streaming_near_dup_dedup(
+                stream, accepted, store, str(tmp_path / "ckpt"), threshold=0.9
+            ).start()
+            q.awaitTermination(120)
+
+        run([(1, t_fox), (2, t_fox), (3, t_spark)])
+        assert {
+            r["doc_id"] for r in spark.read.parquet(accepted).collect()
+        } == {1, 3}
+
+        run([(4, t_fox), (5, t_lsh), (6, t_lsh)])
+        got = {r["doc_id"] for r in spark.read.parquet(accepted).collect()}
+        assert got == {1, 3, 5}
+        # the store holds exactly the survivors' signatures
+        assert {
+            r["doc_id"] for r in spark.read.parquet(store).collect()
+        } == {1, 3, 5}
