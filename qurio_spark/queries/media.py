@@ -58,7 +58,10 @@ def q_resize_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("meta.valid"), F.col("meta.width")).alias("width"),
         F.when(F.col("meta.valid"), F.col("meta.height")).alias("height"),
     )
-    return resize_spec(meta, max_side=RESIZE_MAX_SIDE).orderBy("path")
+    # no orderBy: the driver compare is order-insensitive, and a sort
+    # would add a range-partitioner sampling job that evaluates the
+    # pandas UDF a second time
+    return resize_spec(meta, max_side=RESIZE_MAX_SIDE)
 
 
 def resize_targets_sql(max_side: int = RESIZE_MAX_SIDE) -> str:

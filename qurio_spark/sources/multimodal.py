@@ -816,6 +816,54 @@ def _pdf_image_xobjects(data: bytes):
         yield w, h, np.ascontiguousarray(px)
 
 
+PDF_IMAGE_INVENTORY = T.StructType(
+    [
+        T.StructField("path", T.StringType(), False),
+        T.StructField("n_images", T.IntegerType(), True),
+        T.StructField("n_decodable", T.IntegerType(), True),
+        T.StructField("max_width", T.IntegerType(), True),
+        T.StructField("max_height", T.IntegerType(), True),
+    ]
+)
+
+
+def pdf_image_inventory(df: DataFrame) -> DataFrame:
+    """Routing signal for the OCR boundary: per quarantined PDF, how
+    many image XObjects it embeds and how many are hermetically
+    decodable (raw/Flate DeviceRGB/Gray — ``_pdf_image_xobjects``),
+    plus the largest decodable dimensions.  An OCR stage can rasterize
+    the decodable slice without codec libraries; the rest stays behind
+    the honest stub.  Arrow-batched mapInPandas over ``path``/
+    ``content`` rows, map-only like the other file-conversion stages."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                if content is None:
+                    out.append((path, None, None, None, None))
+                    continue
+                data = bytes(content)
+                n_images = sum(
+                    1
+                    for head, _ in _pdf_streams(data)
+                    if b"/Subtype" in head and b"/Image" in head
+                )
+                mw = mh = 0
+                n_dec = 0
+                for w, h, _px in _pdf_image_xobjects(data):
+                    n_dec += 1
+                    mw, mh = max(mw, w), max(mh, h)
+                out.append(
+                    (path, n_images, n_dec, mw or None, mh or None)
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in PDF_IMAGE_INVENTORY.fields]
+            )
+
+    return df.mapInPandas(gen, PDF_IMAGE_INVENTORY)
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling *plan* metadata: which frame indices a
     decoder would extract.  Decode itself is stubbed (see module doc);

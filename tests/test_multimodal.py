@@ -316,6 +316,33 @@ class TestPixelDecode:
         dct_pdf = make_image_pdf(6, 4, b"\xff\xd8jpegbytes", codec="DCTDecode")
         assert list(_pdf_image_xobjects(dct_pdf)) == []
 
+    def test_pdf_image_inventory(self, spark):
+        """Quarantine routing: decodable vs codec-bound image XObjects
+        counted per PDF, with the largest decodable dims."""
+        from qurio_spark.sources.multimodal import pdf_image_inventory
+        from tests.pdf_fixture import make_image_pdf, make_pdf
+
+        rgb = bmp_golden(8, 6)
+        raw_pdf = make_image_pdf(8, 6, rgb.tobytes())
+        dct_pdf = make_image_pdf(6, 4, b"\xff\xd8jpeg", codec="DCTDecode")
+        text_pdf = make_pdf([["just text"]])
+        df = spark.createDataFrame(
+            [("a.pdf", bytearray(raw_pdf)),
+             ("b.pdf", bytearray(dct_pdf)),
+             ("c.pdf", bytearray(text_pdf)),
+             ("d.pdf", None)],
+            "path string, content binary",
+        )
+        got = {r["path"]: r for r in pdf_image_inventory(df).collect()}
+        a = got["a.pdf"]
+        assert (a["n_images"], a["n_decodable"]) == (1, 1)
+        assert (a["max_width"], a["max_height"]) == (8, 6)
+        b = got["b.pdf"]
+        assert (b["n_images"], b["n_decodable"]) == (1, 0)
+        assert b["max_width"] is None
+        assert got["c.pdf"]["n_images"] == 0
+        assert got["d.pdf"]["n_images"] is None
+
 
 class TestFileConversion:
     """S5 body: hermetic md/txt/json/csv -> markdown conversion
