@@ -44,23 +44,26 @@ def curate_corpus(
          source ordered by (quality desc, id asc); rows whose running
          total exceeds the budget fall away.
     """
-    dd = (
-        docs.withColumn(
+    # quality/token/hash are all map-side column expressions: project
+    # them in the scan and drop the text BEFORE the first exchange, so
+    # both window shuffles move (hash, source, id, 2 scalars) instead
+    # of the full document bodies
+    prof0 = docs.select(
+        F.col(source_col),
+        F.col(id_col),
+        F.sha2(F.col(text_col), 256).alias("_h"),
+        quality_score_expr(F.col(text_col)).alias("quality"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    prof = (
+        prof0.withColumn(
             "_rn",
             F.row_number().over(
-                Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(
-                    F.asc(id_col)
-                )
+                Window.partitionBy("_h").orderBy(F.asc(id_col))
             ),
         )
         .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-    prof = dd.select(
-        F.col(source_col),
-        F.col(id_col),
-        quality_score_expr(F.col(text_col)).alias("quality"),
-        token_count(F.col(text_col)).alias("n_tokens"),
+        .drop("_rn", "_h")
     )
     w = (
         Window.partitionBy(source_col)

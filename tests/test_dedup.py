@@ -352,3 +352,48 @@ class TestConnectedComponents:
             connected_components(
                 pairs, nodes, max_iters=2, algorithm="label_prop"
             ).collect()
+
+
+class TestMinhashLshMatch:
+    def test_match_equals_cross_frame_pairs(self, spark):
+        """The asymmetric store probe returns exactly the cross-frame
+        subset of the symmetric pair generator, with identical
+        est_jaccard — both derive from the same banding + verification,
+        so they cannot disagree on which (new, store) pairs match."""
+        from qurio_spark.operators.dedup import (
+            minhash_lsh_match,
+            minhash_lsh_pairs,
+            minhash_signatures,
+        )
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog tonight",
+            "the quick brown fox jumps over the lazy cat tonight",
+            "spark shuffles partition data across the cluster nodes",
+            "spark shuffles partition data across the executor nodes",
+            "completely unrelated sentence about gardening and soil",
+            "the quick brown fox jumps over the lazy dog tonight",
+        ]
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        kw = dict(num_perm=8, bands=4)
+        all_pairs = {
+            (r["id_a"], r["id_b"]): r["est_jaccard"]
+            for r in minhash_lsh_pairs(docs, threshold=0.25, **kw).collect()
+        }
+        new = minhash_signatures(docs.filter("doc_id % 2 = 0"), num_perm=8)
+        store = minhash_signatures(docs.filter("doc_id % 2 = 1"), num_perm=8)
+        got = {
+            (r["doc_id"], r["store_id"]): r["est_jaccard"]
+            for r in minhash_lsh_match(
+                new, store, threshold=0.25, **kw
+            ).collect()
+        }
+        expected = {
+            (a if a % 2 == 0 else b, b if a % 2 == 0 else a): j
+            for (a, b), j in all_pairs.items()
+            if (a % 2) != (b % 2)
+        }
+        assert got == expected
+        assert got  # the fixture must actually produce cross matches
