@@ -467,7 +467,12 @@ def hybrid_search_batch_ivf(
         # out against the broadcast probe table), so there is no
         # dedupe shuffle.  ``kw`` feeds both branches — one lazy
         # lineage cut so the postings scan + agg run once, not twice.
-        kw = checkpoint_df(kw)
+        # cache, not localCheckpoint: both consumers sit in the SAME
+        # action, so lazy caching materializes kw once inside the main
+        # job (no separate checkpoint job); the ContextCleaner drops the
+        # blocks when the frame is collected.  (Measured: cache 0.97 s,
+        # eager localCheckpoint 1.11 s, no cut 2.4 s at sf0.1.)
+        kw = kw.cache()
         # cosine is computed BEFORE the bm25-attach join so the join
         # exchange shuffles (qid, doc, cos) scalars — projecting it
         # after the join would drag both embedding arrays through the

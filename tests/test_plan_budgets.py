@@ -100,12 +100,17 @@ def test_plan_budget(name, spark, sf_dir, prepared):
 
 def test_pruned_batch_hybrid_budget(spark, sf_dir, prepared):
     """The pure-pruned scale path (the batch_hybrid_ivf default) with
-    prebuilt indexes: two shuffles total (keyword partial-agg + the
-    single per-query Exchange serving stats and top-k), label partition
-    pruning on the IVF scan, and no Python stage anywhere (index
-    prebuilt, no k-means fit)."""
+    prebuilt indexes: four Exchange nodes total — the keyword
+    partial-agg, the (query, doc) pair on both sides of the bm25-attach
+    join (scalar-width: cosine is computed BEFORE the join), and the
+    single per-query Exchange serving stats and top-k.  (Earlier rounds
+    asserted 2 because the kw lineage cut was a localCheckpoint, which
+    hid the kw subtree's shuffles behind an RDD scan — the runtime
+    count was 4 all along; the cache-based cut makes the audit honest.)
+    Label partition pruning on the IVF scan, and no Python stage
+    anywhere (index prebuilt, no k-means fit)."""
     a = audit(prepared.queries()["batch_hybrid_ivf"](spark, sf_dir))
-    assert a["shuffles"] <= 2, a["plan"]
+    assert a["shuffles"] <= 4, a["plan"]
     # the keyword-agg joins broadcast under AQE (runtime stats see the
     # tiny agg output); this session pins AQE off for plan stability, so
     # the static planner may leave ONE of them as a sort-merge join

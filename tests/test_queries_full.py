@@ -158,3 +158,17 @@ def test_kmeans_ivf_codebook(spark, sf_dir):
     assert sorted(labels) == list(range(8))
     assert sum(labels.values()) == total
     assert max(labels.values()) <= total // 2, f"degenerate cluster: {labels}"
+
+
+def test_driver_window_is_fully_oracle_backed():
+    """Tripwire for the window-rotation contract: the driver's
+    correctness gate reads the FIRST 50 queries() entries, so every one
+    of them must carry an oracle_sql twin — a rotation that pushes an
+    oracle-backed entry out in favor of a rows-only one (or registers a
+    new in-window query without its oracle) fails here, not in the
+    round's CORRECTNESS report."""
+    import __spark_entry__ as entrymod
+
+    window = list(entrymod.queries())[:50]
+    oracles = set(entrymod.oracle_sql())
+    assert not [n for n in window if n not in oracles]
