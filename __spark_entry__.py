@@ -158,6 +158,10 @@ from qurio_spark.queries.relational import (  # noqa: F401
     q_tpch_q19,
 )
 from qurio_spark.queries.media import q_resize_targets  # noqa: F401
+from qurio_spark.queries.temporal import (  # noqa: F401
+    q_events_asof_attribution,
+    q_events_range_proximity,
+)
 from qurio_spark.queries.pipelines import (  # noqa: F401
     q_chunk_corpus,
     q_ingest_pipeline,
@@ -187,12 +191,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle-backed queries (one per operator family, every
     never-before-checked and new-this-round entry included).
     Round 6 rotation: ``resize_targets`` (new: BMP header parse ->
-    resize geometry, the round's pixel-path addition) and
+    resize geometry, the round's pixel-path addition),
     ``streaming_near_dedup`` (new: cross-batch MinHash-LSH gate over a
-    persisted signature store) enter the window; ``tpch_q5`` (plain
-    multi-join agg, proven by the in-window q3/q9/q18) and
+    persisted signature store), ``events_asof_attribution`` (new:
+    union+window as-of join) and ``events_range_proximity`` (new:
+    binned-bucket interval join) enter the window; ``tpch_q5`` (plain
+    multi-join agg, proven by the in-window q3/q9), ``tpch_q18``
+    (join+agg+having, proven by in-window q3/q21),
     ``parts_never_shipped`` (anti-join, proven by the in-window
-    dedup_anti_join plus five green rounds) rotate to 51+.
+    dedup_anti_join plus five green rounds) and ``sitemap_urls``
+    (fixture XML parse, green since round 2, crawl family covered
+    in-window by link_filter_chain/source_completion) rotate to 51+.
     Positions 51+ hold (a) oracle-backed entries whose operator is
     already proven by an in-window sibling (count_global/count_filtered
     ⊂ stats_fanin, simhash ⊂ simhash_near, lsh_topk ⊂ lsh_prebuilt
@@ -251,14 +260,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q20": q_tpch_q20,
         "resize_targets": q_resize_targets,
-        "tpch_q18": q_tpch_q18,
+        "events_asof_attribution": q_events_asof_attribution,
         "streaming_near_dedup": q_streaming_near_dedup,
         "first_order_per_customer": q_first_order_per_customer,
         "revenue_rollup": q_revenue_rollup,
         "curate": q_curate,
         "link_filter_chain": q_link_filter_chain,
         "source_completion": q_source_completion,
-        "sitemap_urls": q_sitemap_urls,
+        "events_range_proximity": q_events_range_proximity,
         "md_extract": q_md_extract,
         "pii_redact": q_pii_redact,
         "doc_meta_norm": q_doc_meta_norm,
@@ -271,6 +280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (or, for minhash_lsh, newly oracle-backed breadth) ----------
         "tpch_q5": q_tpch_q5,
         "parts_never_shipped": q_parts_never_shipped,
+        "tpch_q18": q_tpch_q18,
+        "sitemap_urls": q_sitemap_urls,
         "hybrid_filtered": q_hybrid_filtered,
         "batch_hybrid": q_batch_hybrid,
         "events_json": q_events_json,

@@ -11,9 +11,11 @@ from . import (  # noqa: F401
     dedup,
     events_tpch,
     ingest,
+    media,
     oracles,
     pipelines,
     relational,
     search,
+    temporal,
     textstats,
 )

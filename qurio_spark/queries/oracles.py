@@ -24,6 +24,7 @@ from .ingest import (
     _TYPE_RE,
 )
 from .media import resize_targets_sql
+from .temporal import events_asof_attribution_sql, events_range_proximity_sql
 from .search import _BATCH_QUERIES
 
 # Shared SQL fragments for the oracles ------------------------------------
@@ -678,6 +679,8 @@ ORDER BY rerank_score DESC, doc_id LIMIT 10"""
 def oracle_sql() -> dict[str, str]:
     return {
         "resize_targets": resize_targets_sql(),
+        "events_asof_attribution": events_asof_attribution_sql(),
+        "events_range_proximity": events_range_proximity_sql(),
         "source_list": """
 SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY source""",

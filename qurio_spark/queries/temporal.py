@@ -1,0 +1,143 @@
+"""Temporal-join queries over the events table (as-of attribution,
+range-proximity features) — the §2.8 extension family backed by
+``qurio_spark.operators.temporal``.
+
+Both queries work in timezone-free epoch seconds (the events ``ts``
+contract, see functions/events_ts.py) so the DuckDB oracles compare
+bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from qurio_spark.functions.numeric import stable_round
+from qurio_spark.operators.temporal import asof_join, range_join_binned
+
+from .common import _epoch_secs, _events
+
+
+def q_events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase→view attribution: each purchase is attributed to the
+    most recent view by the same user at-or-before the purchase
+    (classic last-touch as-of join), then rolled up per user.
+
+    Scale shape: views are pre-reduced per (user, second) so the as-of
+    right side is unique; the union+window runs in ONE hash shuffle on
+    user_id and the per-user rollup reuses that partitioning (no second
+    exchange for the groupBy)."""
+    ev = _events(spark, sf_dir)
+    ev = ev.withColumn("tsec", _epoch_secs(ev))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "tsec", "value"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "tsec")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    attributed = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="tsec",
+        right_ts="tsec",
+        right_payload=["view_event_id"],
+        direction="backward",
+        matched_ts_col="view_tsec",
+    )
+    return attributed.groupBy("user_id").agg(
+        F.count("*").alias("n_purchases"),
+        F.count("view_event_id").alias("n_attributed"),
+        stable_round(
+            F.sum(F.when(F.col("view_event_id").isNotNull(), F.col("value"))), 2
+        ).alias("attributed_value"),
+        F.min(F.col("tsec") - F.col("view_tsec")).alias("min_gap_secs"),
+        F.max(F.col("tsec") - F.col("view_tsec")).alias("max_gap_secs"),
+        stable_round(F.avg(F.col("tsec") - F.col("view_tsec")), 2).alias(
+            "avg_gap_secs"
+        ),
+    )
+
+
+def events_asof_attribution_sql() -> str:
+    return """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, value,
+         epoch_ms(ts::TIMESTAMP) // 1000 AS tsec
+  FROM events
+),
+p AS (SELECT event_id, user_id, tsec, value FROM ev
+      WHERE event_type = 'purchase'),
+v AS (SELECT user_id, tsec, max(event_id) AS view_event_id FROM ev
+      WHERE event_type = 'view' GROUP BY 1, 2),
+m AS (
+  SELECT p.user_id, p.value, p.tsec, v.view_event_id,
+         v.tsec AS view_tsec
+  FROM p ASOF LEFT JOIN v
+    ON p.user_id = v.user_id AND p.tsec >= v.tsec
+)
+SELECT user_id,
+       count(*) AS n_purchases,
+       count(view_event_id) AS n_attributed,
+       (floor(CAST(sum(CASE WHEN view_event_id IS NOT NULL THEN value END)
+              AS DOUBLE) * 100.0 + 0.5) / 100.0) AS attributed_value,
+       min(tsec - view_tsec) AS min_gap_secs,
+       max(tsec - view_tsec) AS max_gap_secs,
+       (floor(CAST(avg(tsec - view_tsec) AS DOUBLE) * 100.0 + 0.5) / 100.0)
+         AS avg_gap_secs
+FROM m GROUP BY user_id"""
+
+
+def q_events_range_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unkeyed interval join: for every error event, how many clicks
+    (by ANY user) landed within ±60 s — binned-bucket equality join
+    (bin = 120 s), then a histogram of errors by nearby-click count.
+
+    Scale shape: the bucket id is the join key (hash shuffle,
+    AQE-splittable), each error explodes to ≤2 buckets, each click to
+    exactly 1 — candidate pairs are bounded by events-per-2-minutes,
+    never |errors| × |clicks|."""
+    ev = _events(spark, sf_dir)
+    ev = ev.withColumn("tsec", _epoch_secs(ev).cast("double"))
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "tsec", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "tsec"
+    )
+    pairs = range_join_binned(
+        errors, clicks, left_time="tsec", right_time="tsec", lo=-60.0, hi=60.0
+    )
+    per_error = pairs.groupBy("event_id").agg(
+        F.count("*").alias("nearby_clicks")
+    )
+    with_zero = (
+        errors.join(per_error, "event_id", "left")
+        .withColumn("nearby_clicks", F.coalesce("nearby_clicks", F.lit(0)))
+    )
+    return with_zero.groupBy("nearby_clicks").agg(
+        F.count("*").alias("n_errors"),
+        stable_round(F.sum("value"), 2).alias("err_value"),
+    )
+
+
+def events_range_proximity_sql() -> str:
+    return """
+WITH ev AS (
+  SELECT event_id, event_type, value,
+         CAST(epoch_ms(ts::TIMESTAMP) // 1000 AS DOUBLE) AS tsec
+  FROM events
+),
+e AS (SELECT event_id, tsec, value FROM ev WHERE event_type = 'error'),
+c AS (SELECT tsec FROM ev WHERE event_type = 'click'),
+per_error AS (
+  SELECT e.event_id, e.value, count(c.tsec) AS nearby_clicks
+  FROM e LEFT JOIN c
+    ON c.tsec >= e.tsec - 60.0 AND c.tsec <= e.tsec + 60.0
+  GROUP BY 1, 2
+)
+SELECT nearby_clicks, count(*) AS n_errors,
+       (floor(CAST(sum(value) AS DOUBLE) * 100.0 + 0.5) / 100.0)
+         AS err_value
+FROM per_error GROUP BY nearby_clicks"""

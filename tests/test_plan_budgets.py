@@ -84,6 +84,18 @@ BUDGETS = {
     "tpch_q16": {"shuffles": ("<=", 2), "smj": ("<=", 0), "pushed_filters": (">=", 1)},
     # q11-shaped fraction-of-global: fact agg + 1-row global broadcast
     "tpch_q11": {"shuffles": ("<=", 2), "smj": ("<=", 0)},
+    # as-of join: view-reduce agg + ONE union'd window shuffle; the
+    # final per-user rollup reuses the window's hash partitioning and
+    # there is NO join node (the whole point of the union+window shape)
+    "events_asof_attribution": {
+        "shuffles": ("<=", 2), "smj": ("<=", 0), "bhj": ("<=", 0),
+        "bnlj": ("<=", 0), "python_stages": ("<=", 0),
+    },
+    # binned range join: bucket-equality join (never a nested loop),
+    # per-error agg + join-back + histogram agg
+    "events_range_proximity": {
+        "shuffles": ("<=", 3), "bnlj": ("<=", 0), "python_stages": ("<=", 0),
+    },
 }
 
 
