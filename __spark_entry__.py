@@ -120,6 +120,7 @@ from qurio_spark.queries.events_tpch import (  # noqa: F401
 )
 from qurio_spark.queries.breadth import (  # noqa: F401
     q_curate,
+    q_events_cube,
     q_events_funnel,
     q_events_moving_avg,
     q_events_pivot,
@@ -157,7 +158,10 @@ from qurio_spark.queries.relational import (  # noqa: F401
     q_tpch_q18,
     q_tpch_q19,
 )
-from qurio_spark.queries.media import q_resize_targets  # noqa: F401
+from qurio_spark.queries.media import (  # noqa: F401
+    q_audio_features,
+    q_resize_targets,
+)
 from qurio_spark.queries.temporal import (  # noqa: F401
     q_events_asof_attribution,
     q_events_range_proximity,
@@ -195,13 +199,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``streaming_near_dedup`` (new: cross-batch MinHash-LSH gate over a
     persisted signature store), ``events_asof_attribution`` (new:
     union+window as-of join) and ``events_range_proximity`` (new:
-    binned-bucket interval join) enter the window; ``tpch_q5`` (plain
-    multi-join agg, proven by the in-window q3/q9), ``tpch_q18``
-    (join+agg+having, proven by in-window q3/q21),
+    binned-bucket interval join), ``events_cube`` (new: grouping-sets
+    CUBE, rollup's sibling) and ``audio_features`` (new: real PCM WAV
+    sample decode → RMS/peak/ZCR) enter the window;
+    ``tpch_q5`` (plain multi-join agg, proven by the in-window q3/q9),
+    ``tpch_q18`` (join+agg+having, proven by in-window q3/q21),
     ``parts_never_shipped`` (anti-join, proven by the in-window
-    dedup_anti_join plus five green rounds) and ``sitemap_urls``
+    dedup_anti_join plus five green rounds), ``sitemap_urls``
     (fixture XML parse, green since round 2, crawl family covered
-    in-window by link_filter_chain/source_completion) rotate to 51+.
+    in-window by link_filter_chain/source_completion) and
+    ``doc_meta_norm`` (coalesce-fallback struct normalization, green
+    since round 2, same fixture shape as the in-window md_extract) and
+    ``stuck_reset`` (timestamp-filter ledger update, green since round
+    2, M-family state ops covered in-window by reingest_upsert and
+    dlq_retry) rotate to 51+.
     Positions 51+ hold (a) oracle-backed entries whose operator is
     already proven by an in-window sibling (count_global/count_filtered
     ⊂ stats_fanin, simhash ⊂ simhash_near, lsh_topk ⊂ lsh_prebuilt
@@ -270,10 +281,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_proximity": q_events_range_proximity,
         "md_extract": q_md_extract,
         "pii_redact": q_pii_redact,
-        "doc_meta_norm": q_doc_meta_norm,
+        "events_cube": q_events_cube,
         "reingest_upsert": q_reingest_upsert,
         "tpch_q16": q_tpch_q16,
-        "stuck_reset": q_stuck_reset,
+        "audio_features": q_audio_features,
         "dlq_retry": q_dlq_retry,
         "rerank_overlap": q_rerank_overlap,
         # -- 51+: oracle-backed, operator proven by in-window sibling
@@ -282,6 +293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_never_shipped": q_parts_never_shipped,
         "tpch_q18": q_tpch_q18,
         "sitemap_urls": q_sitemap_urls,
+        "doc_meta_norm": q_doc_meta_norm,
+        "stuck_reset": q_stuck_reset,
         "hybrid_filtered": q_hybrid_filtered,
         "batch_hybrid": q_batch_hybrid,
         "events_json": q_events_json,

@@ -146,6 +146,31 @@ def q_events_pivot(spark, sf_dir):
     )
 
 
+def q_events_cube(spark, sf_dir):
+    """CUBE aggregation over (event_type, hour-of-day): all four
+    grouping combinations in one partial-agg-friendly pass — the
+    grouping-sets sibling of the ROLLUP query (``revenue_rollup``).
+    ``F.hour`` is field extraction, so it is timezone-free on the NTZ
+    events ``ts`` (see functions/events_ts.py)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("hr", F.hour("ts"))
+        .cube("event_type", "hr")
+        .agg(
+            F.count("*").alias("n"),
+            stable_round(F.sum("value"), 2).alias("total_value"),
+        )
+        # grouping-marker NULLs -> sentinels (same convention as
+        # revenue_rollup: the hash compare sorts row tuples)
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("hr", F.lit(-1)).alias("hr"),
+            "n",
+            "total_value",
+        )
+    )
+
+
 def q_events_setops(spark, sf_dir):
     """Set operations: users who clicked but never purchased
     (EXCEPT/anti set) union users who did both (INTERSECT), tagged."""

@@ -23,7 +23,7 @@ from .ingest import (
     _STUCK_NOW,
     _TYPE_RE,
 )
-from .media import resize_targets_sql
+from .media import audio_features_sql, resize_targets_sql
 from .temporal import events_asof_attribution_sql, events_range_proximity_sql
 from .search import _BATCH_QUERIES
 
@@ -679,6 +679,7 @@ ORDER BY rerank_score DESC, doc_id LIMIT 10"""
 def oracle_sql() -> dict[str, str]:
     return {
         "resize_targets": resize_targets_sql(),
+        "audio_features": audio_features_sql(),
         "events_asof_attribution": events_asof_attribution_sql(),
         "events_range_proximity": events_range_proximity_sql(),
         "source_list": """
@@ -949,6 +950,14 @@ JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY ROLLUP (n_name, year(o_orderdate))""",
+        "events_cube": """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(hour(ts), -1) AS hr,
+       count(*) AS n,
+       (floor((CAST(sum(value) AS DOUBLE)) * 100.0 + 0.5) / 100.0)
+         AS total_value
+FROM events
+GROUP BY CUBE (event_type, hour(ts))""",
         "events_moving_avg": """
 SELECT user_id, event_id,
        (floor((avg(value) OVER (

@@ -249,6 +249,91 @@ _decode_audio_meta_batch.__annotations__ = {"batches": pd.Series, "return": pd.D
 decode_audio_meta = F.pandas_udf(AUDIO_META)(_decode_audio_meta_batch)
 
 
+# -- PCM sample decode + audio features (the audio twin of the BMP
+#    pixel path): uncompressed WAV needs no codec library, so this is
+#    a REAL hermetic decode, not a stub ---------------------------------
+
+AUDIO_FEATURES = T.StructType(
+    [
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("peak", T.DoubleType(), True),
+        T.StructField("zcr", T.DoubleType(), True),
+        T.StructField("valid", T.BooleanType(), False),
+    ]
+)
+
+
+def _wav_pcm_mono(data: bytes | None):
+    """Decode integer-PCM (tag 1) / IEEE-float (tag 3) WAV bytes into
+    a mono float64 array in [-1, 1] (channels averaged).  Returns None
+    for non-RIFF payloads, compressed codecs, truncated data chunks,
+    or sample widths outside {8, 16, 32} — the honest-stub boundary,
+    same contract as ``_decode_pixels`` for codec image formats."""
+    if (
+        not data
+        or len(data) < 12
+        or data[:4] != b"RIFF"
+        or data[8:12] != b"WAVE"
+    ):
+        return None
+    i = 12
+    fmt_tag = channels = rate = bits = None
+    payload = None
+    while i + 8 <= len(data):
+        cid = data[i : i + 4]
+        (clen,) = _struct.unpack("<I", data[i + 4 : i + 8])
+        if cid == b"fmt " and i + 24 <= len(data):
+            (fmt_tag,) = _struct.unpack("<H", data[i + 8 : i + 10])
+            channels, rate = _struct.unpack("<HI", data[i + 10 : i + 16])
+            (bits,) = _struct.unpack("<H", data[i + 22 : i + 24])
+        elif cid == b"data":
+            if i + 8 + clen > len(data):  # truncated payload
+                return None
+            payload = data[i + 8 : i + 8 + clen]
+        i += 8 + clen + (clen % 2)
+    if payload is None or not channels or not bits:
+        return None
+    if fmt_tag == 0x0001 and bits == 16:
+        x = np.frombuffer(payload, dtype="<i2").astype(np.float64) / 32768.0
+    elif fmt_tag == 0x0001 and bits == 8:  # 8-bit WAV PCM is unsigned
+        x = (np.frombuffer(payload, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif fmt_tag == 0x0001 and bits == 32:
+        x = np.frombuffer(payload, dtype="<i4").astype(np.float64) / 2147483648.0
+    elif fmt_tag == 0x0003 and bits == 32:
+        x = np.frombuffer(payload, dtype="<f4").astype(np.float64)
+    else:
+        return None
+    frames = x.size // channels
+    if frames == 0:
+        return None
+    return x[: frames * channels].reshape(frames, channels).mean(axis=1)
+
+
+def _audio_features_batch(batches: "pd.Series") -> "pd.DataFrame":
+    rows = []
+    for b in batches:
+        x = _wav_pcm_mono(bytes(b) if b is not None else None)
+        if x is None or x.size == 0:
+            rows.append((None, None, None, None, False))
+            continue
+        rms = float(np.sqrt(np.mean(x * x)))
+        peak = float(np.max(np.abs(x)))
+        nonneg = x >= 0
+        zcr = float(np.mean(nonneg[1:] != nonneg[:-1])) if x.size > 1 else 0.0
+        rows.append((int(x.size), rms, peak, zcr, True))
+    return pd.DataFrame(
+        rows, columns=["n_samples", "rms", "peak", "zcr", "valid"]
+    )
+
+
+_audio_features_batch.__annotations__ = {"batches": pd.Series, "return": pd.DataFrame}
+#: Arrow-batched features over a binary WAV column: sample decode and
+#: the numpy reductions run vectorized per batch; at 100 TB this is a
+#: map-only stage over binaryFile rows, no shuffle, no driver bytes.
+audio_features = F.pandas_udf(AUDIO_FEATURES)(_audio_features_batch)
+
+
 # -- S5 file conversion (handlers/file.py:196-299) ---------------------------
 
 CONVERTED_SCHEMA = T.StructType(

@@ -662,3 +662,59 @@ class TestDocxExtraction:
 
         text, _, _ = extract_docx_text(make_docx(["a < b & c > d"]))
         assert "a < b & c > d" in text
+
+
+class TestPcmSampleDecode:
+    """The hermetic audio sample path: _wav_pcm_mono really decodes
+    int16/uint8/float32 PCM payloads; codecs and truncated chunks stay
+    honestly rejected (the audio twin of TestPixelDecode)."""
+
+    def test_int16_roundtrip(self):
+        import numpy as np
+
+        from qurio_spark.queries.media import _wav_bytes
+        from qurio_spark.sources.multimodal import _wav_pcm_mono
+
+        vals = [k / 32768.0 for k in (-600, -1, 0, 1, 599)]
+        got = _wav_pcm_mono(_wav_bytes([[v] for v in vals]))
+        assert np.array_equal(got, np.array(vals))
+
+    def test_stereo_channel_average(self):
+        import numpy as np
+
+        from qurio_spark.queries.media import _wav_bytes
+        from qurio_spark.sources.multimodal import _wav_pcm_mono
+
+        frames = [[100 / 32768.0, 300 / 32768.0], [-50 / 32768.0, 50 / 32768.0]]
+        got = _wav_pcm_mono(_wav_bytes(frames))
+        assert np.array_equal(got, np.array([200 / 32768.0, 0.0]))
+
+    def test_uint8_offset_binary(self):
+        import numpy as np
+
+        from qurio_spark.queries.media import _wav_bytes
+        from qurio_spark.sources.multimodal import _wav_pcm_mono
+
+        vals = [k / 128.0 for k in (-120, 0, 120)]
+        got = _wav_pcm_mono(_wav_bytes([[v] for v in vals], bits=8))
+        assert np.array_equal(got, np.array(vals))
+
+    def test_float32_exact_for_dyadics(self):
+        import numpy as np
+
+        from qurio_spark.queries.media import _wav_bytes
+        from qurio_spark.sources.multimodal import _wav_pcm_mono
+
+        vals = [k / 1024.0 for k in (-512, 3, 511)]
+        got = _wav_pcm_mono(_wav_bytes([[v] for v in vals], bits=32, fmt_tag=3))
+        assert np.array_equal(got, np.array(vals))
+
+    def test_codec_and_truncated_rejected(self):
+        from qurio_spark.queries.media import _wav_bytes
+        from qurio_spark.sources.multimodal import _wav_pcm_mono
+
+        frames = [[0.01], [-0.01]]
+        assert _wav_pcm_mono(_wav_bytes(frames, fmt_tag=7)) is None  # mu-law
+        assert _wav_pcm_mono(_wav_bytes(frames, truncate_payload=2)) is None
+        assert _wav_pcm_mono(b"garbage") is None
+        assert _wav_pcm_mono(None) is None
