@@ -167,6 +167,7 @@ from qurio_spark.queries.temporal import (  # noqa: F401
     q_events_range_proximity,
 )
 from qurio_spark.queries.pipelines import (  # noqa: F401
+    q_ann_pq,
     q_chunk_corpus,
     q_ingest_pipeline,
     q_kmeans_ivf,
@@ -200,8 +201,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     persisted signature store), ``events_asof_attribution`` (new:
     union+window as-of join) and ``events_range_proximity`` (new:
     binned-bucket interval join), ``events_cube`` (new: grouping-sets
-    CUBE, rollup's sibling) and ``audio_features`` (new: real PCM WAV
-    sample decode → RMS/peak/ZCR) enter the window;
+    CUBE, rollup's sibling), ``audio_features`` (new: real PCM WAV
+    sample decode → RMS/peak/ZCR) and ``ann_pq`` (new: product
+    quantization ADC + exact refine) enter the window;
     ``tpch_q5`` (plain multi-join agg, proven by the in-window q3/q9),
     ``tpch_q18`` (join+agg+having, proven by in-window q3/q21),
     ``parts_never_shipped`` (anti-join, proven by the in-window
@@ -210,9 +212,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in-window by link_filter_chain/source_completion) and
     ``doc_meta_norm`` (coalesce-fallback struct normalization, green
     since round 2, same fixture shape as the in-window md_extract) and
-    ``stuck_reset`` (timestamp-filter ledger update, green since round
-    2, M-family state ops covered in-window by reingest_upsert and
-    dlq_retry) rotate to 51+.
+    ``stuck_reset`` and ``dlq_retry`` (timestamp-filter /
+    quarantine-fixture state ops, green since round 2, M-family
+    covered in-window by reingest_upsert and the e2e-tested
+    scanned-PDF quarantine flow) rotate to 51+.
     Positions 51+ hold (a) oracle-backed entries whose operator is
     already proven by an in-window sibling (count_global/count_filtered
     ⊂ stats_fanin, simhash ⊂ simhash_near, lsh_topk ⊂ lsh_prebuilt
@@ -285,7 +288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reingest_upsert": q_reingest_upsert,
         "tpch_q16": q_tpch_q16,
         "audio_features": q_audio_features,
-        "dlq_retry": q_dlq_retry,
+        "ann_pq": q_ann_pq,
         "rerank_overlap": q_rerank_overlap,
         # -- 51+: oracle-backed, operator proven by in-window sibling
         # (or, for minhash_lsh, newly oracle-backed breadth) ----------
@@ -295,6 +298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_urls": q_sitemap_urls,
         "doc_meta_norm": q_doc_meta_norm,
         "stuck_reset": q_stuck_reset,
+        "dlq_retry": q_dlq_retry,
         "hybrid_filtered": q_hybrid_filtered,
         "batch_hybrid": q_batch_hybrid,
         "events_json": q_events_json,

@@ -1,0 +1,216 @@
+"""Product quantization (PQ) for compressed ANN — the memory/IO scale
+path next to IVF (`similarity.py`).
+
+A 100 TB embedding corpus is mostly vector bytes: 1B x 64-dim float32
+is 256 GB of raw vectors, but PQ codes at m=8 subspaces x k=16
+centroids are 8 small ints per vector — a ~40x scan-size cut (with
+4-bit packing, ~64x).  Search never touches raw vectors: the query
+builds an m x k lookup table of partial dot products (driver-side,
+tiny), and each row's approximate score is m array lookups + adds —
+pure column expressions inside codegen, no Python in the scan.
+
+Decomposition is exact for inner product: dot(q, dequant(codes)) =
+sum_j dot(q_j, C_j[codes_j]) — the classic ADC (asymmetric distance
+computation) of Jegou et al., "Product Quantization for Nearest
+Neighbor Search" (TPAMI 2011).
+
+Determinism: codebooks are fit with numpy Lloyd's on a bounded
+hash-ordered sample (the same md5-`hash64` device as `kmeans_fit` /
+`ivf_build`) — no RNG, reproducible across runs and cluster sizes.
+At 100 TB the fit sample stays O(sample_n x dim) on the driver while
+encoding is one distributed map pass; this mirrors how FAISS trains
+PQ on a sample then encodes the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from qurio_spark.functions.hashing import hash64
+
+
+def pq_fit(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 2048,
+) -> list:
+    """Fit per-subspace codebooks -> nested list (m, k, dim//m).
+
+    The fit runs driver-side numpy Lloyd's over a deterministic
+    hash-ordered sample of ``sample_n`` vectors (seeded by the first
+    ``k`` sample rows; empty clusters keep their previous centroid) —
+    the corpus itself is only ever touched by the distributed encode
+    pass (:func:`pq_encode`)."""
+    rows = (
+        embeddings.select(
+            F.col(vec_col), hash64(F.col(id_col).cast("string")).alias("_h")
+        )
+        .orderBy("_h")
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.asarray([list(r[vec_col]) for r in rows], dtype=np.float64)
+    n, dim = X.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    ds = dim // m
+    codebooks = []
+    for j in range(m):
+        Xj = X[:, j * ds : (j + 1) * ds]
+        C = Xj[: min(k, n)].copy()
+        if C.shape[0] < k:  # degenerate tiny corpus: pad by repetition
+            C = np.vstack([C] * (k // C.shape[0] + 1))[:k]
+        for _ in range(iters):
+            d2 = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(k):
+                mask = a == c
+                if mask.any():
+                    C[c] = Xj[mask].mean(axis=0)
+        codebooks.append(C.tolist())
+    return codebooks
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Distributed encode: each vector -> ``codes array<int>`` of
+    length m (nearest centroid per subspace; Arrow-batched numpy
+    argmin against the broadcast codebook tensor).  One map pass, no
+    shuffle — the output table is the ~40x-smaller search surface."""
+    import pandas
+
+    CB = np.asarray(codebooks, dtype=np.float64)  # (m, k, ds)
+    m, k, ds = CB.shape
+    cb_sq = (CB * CB).sum(axis=2)  # (m, k)
+
+    def _encode(vecs):
+        V = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, m*ds)
+        n = V.shape[0]
+        codes = np.empty((n, m), dtype=np.int32)
+        for j in range(m):
+            Vj = V[:, j * ds : (j + 1) * ds]
+            d = -2.0 * (Vj @ CB[j].T) + cb_sq[j]
+            codes[:, j] = d.argmin(axis=1)
+        return pandas.Series(list(codes))
+
+    _encode.__annotations__ = {"vecs": pandas.Series, "return": pandas.Series}
+    encode = F.pandas_udf("array<int>")(_encode)
+    cols = [F.col(id_col)] + [F.col(c) for c in (keep_cols or [])]
+    return embeddings.select(*cols, encode(F.col(vec_col)).alias("codes"))
+
+
+def pq_adc_score(codebooks: list, query_vec: list[float]):
+    """ADC score as a pure column expression over a ``codes`` column:
+    the driver computes the m x k partial-dot lookup table once, then
+    score = sum_j LUT[j, codes_j] via array element_at inside codegen —
+    zero Python in the distributed scan."""
+    CB = np.asarray(codebooks, dtype=np.float64)  # (m, k, ds)
+    m, k, ds = CB.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    if q.size != m * ds:
+        raise ValueError(f"query dim {q.size} != {m * ds}")
+    lut = np.einsum("jkd,jd->jk", CB, q.reshape(m, ds)).ravel()  # (m*k,)
+    lut_col = F.array(*[F.lit(float(v)) for v in lut])
+    pairs = F.zip_with(
+        F.col("codes"),
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda c, j: F.element_at(lut_col, (j * k + c + 1).cast("int")),
+    )
+    return F.aggregate(pairs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebooks: list,
+    query_vec: list[float],
+    topk: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate inner-product top-k over PQ codes -> (id, score)
+    ordered.  Plan shape: map-only scan of the codes table +
+    TakeOrderedAndProject — same as ``brute_force_topk`` but reading
+    ~40x fewer bytes and doing m adds per row instead of dim FMAs."""
+    from qurio_spark.functions.numeric import stable_round
+
+    score = pq_adc_score(codebooks, query_vec)
+    return (
+        codes_df.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.desc(stable_round(F.col("score"), 6)), F.asc(id_col))
+        .limit(topk)
+    )
+
+
+def pq_topk_refined(
+    codes_df: DataFrame,
+    embeddings: DataFrame,
+    codebooks: list,
+    query_vec: list[float],
+    topk: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieve+refine (the production PQ pipeline): ADC over
+    the compressed codes picks a ``shortlist`` of candidates, then ONLY
+    those rows' raw vectors are fetched and exactly re-scored (dot).
+
+    Scale shape: stage 1 scans codes (~40x fewer bytes than vectors,
+    map-only + TakeOrdered); stage 2 is a broadcast semi-join of the
+    tiny shortlist id set against the vector table — the corpus's raw
+    vectors are read only where the join pushes the id filter, never
+    scanned for scoring.  Final quality is exact-top-k restricted to
+    the shortlist, so recall is governed by the cheap stage's
+    shortlist depth (recall@10 = 1.0 at shortlist=100 on the test
+    corpus; pinned in tests/test_pq.py)."""
+    from qurio_spark.functions.numeric import stable_round
+    from qurio_spark.functions.vector import dot, literal_vector
+
+    cand = pq_topk(codes_df, codebooks, query_vec, shortlist, id_col)
+    ids = F.broadcast(cand.select(id_col))
+    refined = embeddings.join(ids, id_col)
+    score = dot(F.col(vec_col), literal_vector(query_vec))
+    return (
+        refined.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.desc(stable_round(F.col("score"), 6)), F.asc(id_col))
+        .limit(topk)
+    )
+
+
+def write_pq_index(
+    codes_df: DataFrame, codebooks: list, path: str
+) -> None:
+    """Persist codes + codebooks — 'encode once per corpus version'.
+    The codebook table is (subspace, code, centroid) rows, m*k of
+    them; the codes table is the compact scan surface."""
+    spark = codes_df.sparkSession
+    codes_df.write.mode("overwrite").parquet(f"{path}/codes")
+    rows = [
+        (j, c, [float(x) for x in cent])
+        for j, book in enumerate(codebooks)
+        for c, cent in enumerate(book)
+    ]
+    spark.createDataFrame(
+        rows, "subspace int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def read_pq_index(spark, path: str):
+    """-> (codes_df, codebooks nested list) as written above."""
+    codes = spark.read.parquet(f"{path}/codes")
+    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = max(r["subspace"] for r in rows) + 1
+    k = max(r["code"] for r in rows) + 1
+    books: list = [[None] * k for _ in range(m)]
+    for r in rows:
+        books[r["subspace"]][r["code"]] = [float(x) for x in r["centroid"]]
+    return codes, books

@@ -718,6 +718,17 @@ WITH {_bm25_cte()}
 SELECT doc_id, (floor((bm25) * 10000.0 + 0.5) / 10000.0) AS bm25 FROM bm25_scores
 WHERE bm25 > 0
 ORDER BY (floor((bm25) * 1000000.0 + 0.5) / 1000000.0) DESC, doc_id LIMIT 10""",
+        # exact-dot oracle is valid for the approximate PQ pipeline
+        # because the committed config's shortlist recall is 1.0 and
+        # its refine stage is exact (pinned in tests/test_pq.py)
+        "ann_pq": f"""
+WITH {_QV}
+SELECT vec_id,
+       (floor((list_dot_product(embedding::DOUBLE[], qv.v)) * 10000.0 + 0.5)
+         / 10000.0) AS score
+FROM embeddings CROSS JOIN qv
+ORDER BY (floor((list_dot_product(embedding::DOUBLE[], qv.v)) * 1000000.0
+          + 0.5) / 1000000.0) DESC, vec_id LIMIT 10""",
         "vector_topk": f"""
 WITH {_QV}
 SELECT vec_id, (floor(({_COS}) * 10000.0 + 0.5) / 10000.0) AS score

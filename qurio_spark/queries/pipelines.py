@@ -68,6 +68,26 @@ def q_kmeans_ivf(spark, sf_dir):
     return labeled.groupBy("label").agg(F.count("*").alias("n_vecs"))
 
 
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN with exact refine (operators/pq.py):
+    fit per-subspace codebooks on the deterministic hash sample,
+    encode the corpus to m=16 4-bit-sized codes, ADC-score a
+    shortlist of 100 over the compressed table, then exactly re-score
+    only the shortlist (broadcast semi-join).  Oracle-backed because
+    the committed config's shortlist recall is 1.0 on this corpus
+    (pinned in tests/test_pq.py), so the refined top-10 IS the exact
+    dot top-10 — at 100 TB the same plan scans ~40x fewer bytes than
+    the dense scorer."""
+    from qurio_spark.operators.pq import pq_encode, pq_fit, pq_topk_refined
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _qvec(spark, sf_dir)
+    books = pq_fit(emb, m=16, k=16, iters=10)
+    codes = pq_encode(emb, books)
+    top = pq_topk_refined(codes, emb, books, q, topk=10, shortlist=100)
+    return top.select("vec_id", stable_round("score", 4).alias("score"))
+
+
 def q_chunk_corpus(spark, sf_dir):
     """T1-T4 + F9/F10: structural chunker over the documents corpus."""
     d = _t(spark, sf_dir, "documents").select(
