@@ -70,6 +70,7 @@ from qurio_spark.queries.search import (  # noqa: F401
     q_ann_ivf,
     q_batch_hybrid,
     q_batch_hybrid_ivf,
+    q_bm25_incremental,
     q_bm25_prebuilt,
     q_bm25_topk,
     q_hybrid_filtered,
@@ -202,8 +203,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     union+window as-of join) and ``events_range_proximity`` (new:
     binned-bucket interval join), ``events_cube`` (new: grouping-sets
     CUBE, rollup's sibling), ``audio_features`` (new: real PCM WAV
-    sample decode → RMS/peak/ZCR) and ``ann_pq`` (new: product
-    quantization ADC + exact refine) enter the window;
+    sample decode → RMS/peak/ZCR), ``ann_pq`` (new: product
+    quantization ADC + exact refine) and ``bm25_incremental`` (new:
+    segmented-index scoring with additive stats) enter the window;
     ``tpch_q5`` (plain multi-join agg, proven by the in-window q3/q9),
     ``tpch_q18`` (join+agg+having, proven by in-window q3/q21),
     ``parts_never_shipped`` (anti-join, proven by the in-window
@@ -215,7 +217,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``stuck_reset`` and ``dlq_retry`` (timestamp-filter /
     quarantine-fixture state ops, green since round 2, M-family
     covered in-window by reingest_upsert and the e2e-tested
-    scanned-PDF quarantine flow) rotate to 51+.
+    scanned-PDF quarantine flow) and ``events_top_users`` (plain
+    groupBy + top-k, proven by the in-window events_hourly and every
+    TakeOrdered query) rotate to 51+.
     Positions 51+ hold (a) oracle-backed entries whose operator is
     already proven by an in-window sibling (count_global/count_filtered
     ⊂ stats_fanin, simhash ⊂ simhash_near, lsh_topk ⊂ lsh_prebuilt
@@ -265,7 +269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near": q_simhash_near,
         "embedding_near_dup": q_embedding_near_dup,
         "events_hourly": q_events_hourly,
-        "events_top_users": q_events_top_users,
+        "bm25_incremental": q_bm25_incremental,
         "tpch_q11": q_tpch_q11,
         "events_sessions": q_events_sessions,
         "events_pivot": q_events_pivot,
@@ -299,6 +303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_meta_norm": q_doc_meta_norm,
         "stuck_reset": q_stuck_reset,
         "dlq_retry": q_dlq_retry,
+        "events_top_users": q_events_top_users,
         "hybrid_filtered": q_hybrid_filtered,
         "batch_hybrid": q_batch_hybrid,
         "events_json": q_events_json,

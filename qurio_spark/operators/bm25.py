@@ -192,6 +192,197 @@ def score_query_prebuilt(
     )
 
 
+# -- incremental / segmented index maintenance ------------------------------
+#
+# The monolithic index above freezes df/N/avgdl at write time, so
+# appending documents means a full rebuild — wrong at 100 TB where a
+# daily delta is ~0.1% of the corpus.  The segmented layout is the
+# Lucene segment model on parquet: each ingest batch becomes an
+# immutable SEGMENT (postings WITHOUT denormalized df + a small
+# per-term df sidecar + 1-row additive stats).  Global stats are
+# ADDITIVE: df(t) = sum over segments, N = sum n, avgdl = sum dl / N —
+# so a merge is a union plus two tiny aggregations at query time,
+# never a rewrite of old postings.  Compaction (fold segments into
+# one) is an offline maintenance job, same as plans/maintenance.py.
+
+
+@dataclass
+class BM25SegmentedIndex:
+    """postings: (id, term, tf, dl) — segment-local df is deliberately
+    NOT carried (it is meaningless after a merge); termdf: (term, df)
+    additive partials; stats: 1-row-per-segment (n, sumdl) additive
+    partials."""
+
+    postings: DataFrame
+    termdf: DataFrame
+    stats: DataFrame
+    id_col: str
+
+
+def build_segment(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> BM25SegmentedIndex:
+    """One ingest batch -> one immutable segment.  Cost is the batch's
+    own two partial-agg shuffles; existing segments are not touched."""
+    toks = docs.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    doclen = docs.select(
+        F.col(id_col), F.size(tokenize(F.col(text_col))).alias("dl")
+    )
+    postings = tf.join(doclen, id_col)
+    termdf = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = doclen.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("dl").cast("double").alias("sumdl"),
+    )
+    return BM25SegmentedIndex(postings, termdf, stats, id_col)
+
+
+def merge_segments(segments: list[BM25SegmentedIndex]) -> BM25SegmentedIndex:
+    """Union segments into one logical index — no shuffle, no rewrite;
+    the additive stats are combined lazily at query time."""
+    if not segments:
+        raise ValueError("no segments")
+    first = segments[0]
+    postings = first.postings
+    termdf = first.termdf
+    stats = first.stats
+    for s in segments[1:]:
+        postings = postings.unionByName(s.postings)
+        termdf = termdf.unionByName(s.termdf)
+        stats = stats.unionByName(s.stats)
+    return BM25SegmentedIndex(postings, termdf, stats, first.id_col)
+
+
+def score_query_segmented(
+    index: BM25SegmentedIndex, query: str, k1: float = K1, b: float = B
+) -> DataFrame:
+    """``score_query`` over a segmented index: query-term df partials
+    are summed across segments (a per-term aggregate over <= q terms x
+    n_segments rows, broadcast back), N/avgdl come from summing the
+    1-row-per-segment stats.  Identical scores to a monolithic build
+    over the union'd corpus (pinned in tests/test_bm25_segments.py)."""
+    terms = tokenize_query(query)
+    if not terms:
+        return (
+            index.postings.select(index.id_col)
+            .distinct()
+            .select(index.id_col, F.lit(0.0).alias("bm25"))
+            .limit(0)
+        )
+    df_q = (
+        index.termdf.filter(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.sum("df").cast("double").alias("df"))
+    )
+    stats = index.stats.agg(
+        F.sum("n").alias("n"), (F.sum("sumdl") / F.sum("n")).alias("avgdl")
+    )
+    matched = (
+        index.postings.filter(F.col("term").isin(terms))
+        .join(F.broadcast(df_q), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    tf, dl = F.col("tf").cast("double"), F.col("dl").cast("double")
+    per_term = idf_expr(F.col("df"), F.col("n")) * (tf * (k1 + 1.0)) / (
+        tf + k1 * (1.0 - b + b * dl / F.col("avgdl"))
+    )
+    return (
+        matched.withColumn("s", per_term)
+        .groupBy(index.id_col)
+        .agg(F.sum("s").alias("bm25"))
+    )
+
+
+def write_segment(
+    seg: BM25SegmentedIndex,
+    path: str,
+    name: str,
+    n_buckets: int = N_TERM_BUCKETS,
+) -> None:
+    """Persist one segment under ``{path}/{name}/`` with the same
+    term-bucket directory layout as ``write_index`` (query pruning
+    composes per segment); appending a batch writes ONLY its own
+    segment directory."""
+    base = f"{path}/{name}"
+    seg.postings.withColumn(
+        "term_bucket", term_bucket(F.col("term"), n_buckets)
+    ).write.mode("overwrite").partitionBy("term_bucket").parquet(
+        f"{base}/postings"
+    )
+    seg.termdf.withColumn(
+        "term_bucket", term_bucket(F.col("term"), n_buckets)
+    ).write.mode("overwrite").partitionBy("term_bucket").parquet(
+        f"{base}/termdf"
+    )
+    seg.stats.write.mode("overwrite").parquet(f"{base}/stats")
+
+
+def read_segments(
+    spark: SparkSession, path: str, names: list[str], id_col: str = "doc_id"
+) -> BM25SegmentedIndex:
+    """Open persisted segments as one logical index."""
+    segs = [
+        BM25SegmentedIndex(
+            postings=spark.read.parquet(f"{path}/{n}/postings"),
+            termdf=spark.read.parquet(f"{path}/{n}/termdf"),
+            stats=spark.read.parquet(f"{path}/{n}/stats"),
+            id_col=id_col,
+        )
+        for n in names
+    ]
+    return merge_segments(segs)
+
+
+def score_query_segmented_pruned(
+    index: BM25SegmentedIndex,
+    query: str,
+    k1: float = K1,
+    b: float = B,
+    n_buckets: int = N_TERM_BUCKETS,
+) -> DataFrame:
+    """Segmented scoring with driver-side bucket pruning (persisted
+    segments carry ``term_bucket`` partitions): both the postings AND
+    the termdf sidecar scans prune to <= q of ``n_buckets``
+    directories per segment."""
+    terms = tokenize_query(query)
+    if not terms:
+        return score_query_segmented(index, query, k1, b)
+    buckets = sorted({term_bucket_py(t, n_buckets) for t in terms})
+    pruned = BM25SegmentedIndex(
+        postings=index.postings.filter(F.col("term_bucket").isin(buckets)),
+        termdf=index.termdf.filter(F.col("term_bucket").isin(buckets)),
+        stats=index.stats,
+        id_col=index.id_col,
+    )
+    return score_query_segmented(pruned, query, k1, b)
+
+
+def compact_segments(
+    spark: SparkSession,
+    path: str,
+    names: list[str],
+    out_name: str,
+    id_col: str = "doc_id",
+    n_buckets: int = N_TERM_BUCKETS,
+) -> None:
+    """Offline maintenance: fold segments into one (re-aggregating the
+    termdf partials; postings rows are immutable so the fold is a
+    union + one termdf groupBy, NOT a corpus re-tokenization)."""
+    merged = read_segments(spark, path, names, id_col)
+    folded = BM25SegmentedIndex(
+        postings=merged.postings.drop("term_bucket"),
+        termdf=merged.termdf.drop("term_bucket")
+        .groupBy("term")
+        .agg(F.sum("df").alias("df")),
+        stats=merged.stats.agg(
+            F.sum("n").alias("n"), F.sum("sumdl").alias("sumdl")
+        ),
+        id_col=id_col,
+    )
+    write_segment(folded, path, out_name, n_buckets)
+
+
 def score_query_inline(
     docs: DataFrame,
     query: str,

@@ -706,6 +706,14 @@ WHERE d.doc_id >= 100 AND NOT EXISTS (
 SELECT source AS page, count(*) AS n_chunks,
        string_agg(text, '\n\n' ORDER BY doc_id) AS full_text
 FROM documents GROUP BY source""",
+        # segmented-index scoring is score-identical to a monolithic
+        # build (additive df/N/sumdl partials), so it shares the
+        # full-corpus oracle
+        "bm25_incremental": f"""
+WITH {_bm25_cte()}
+SELECT doc_id, (floor((bm25) * 10000.0 + 0.5) / 10000.0) AS bm25 FROM bm25_scores
+WHERE bm25 > 0
+ORDER BY (floor((bm25) * 1000000.0 + 0.5) / 1000000.0) DESC, doc_id LIMIT 10""",
         "bm25_topk": f"""
 WITH {_bm25_cte()}
 SELECT doc_id, (floor((bm25) * 10000.0 + 0.5) / 10000.0) AS bm25 FROM bm25_scores

@@ -198,6 +198,33 @@ def prepare_indexes(spark, sf_dir: str) -> None:
         )
 
 
+def q_bm25_incremental(spark, sf_dir):
+    """Q2 alpha=0 over a SEGMENTED index (operators/bm25.build_segment
+    / merge_segments): the corpus arrives as two ingest batches, each
+    built into an immutable segment; query-time scoring sums the
+    additive df/N/sumdl partials across segments — identical scores to
+    a monolithic rebuild, but appending a batch never rewrites old
+    postings (the Lucene segment model on parquet; the 100 TB
+    incremental-ingest shape)."""
+    from qurio_spark.operators.bm25 import (
+        build_segment,
+        merge_segments,
+        score_query_segmented,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    delta = docs.filter(F.col("doc_id") % 3 == 0)
+    merged = merge_segments([build_segment(base), build_segment(delta)])
+    scored = score_query_segmented(merged, QUERY_TEXT)
+    return (
+        scored.filter(F.col("bm25") > 0)
+        .select("doc_id", stable_round("bm25", 4).alias("bm25"))
+        .orderBy(F.desc(stable_round("bm25", 6)), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 def q_bm25_prebuilt(spark, sf_dir):
     """Q2 alpha=0 against the PERSISTED index: postings written
     partitioned by md5 term-bucket, query terms hashed driver-side so
