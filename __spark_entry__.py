@@ -104,6 +104,7 @@ from qurio_spark.queries.events_tpch import (  # noqa: F401
     q_events_top_users,
     q_near_dup_clusters,
     q_streaming_hourly,
+    q_streaming_join,
     q_top_customers,
     q_tpch_q1,
     q_tpch_q3,
@@ -127,6 +128,7 @@ from qurio_spark.queries.breadth import (  # noqa: F401
     q_events_pivot,
     q_events_sessions,
     q_events_setops,
+    q_events_unpivot,
     q_first_order_per_customer,
     q_link_filter_chain,
     q_pack_shards,
@@ -204,8 +206,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     binned-bucket interval join), ``events_cube`` (new: grouping-sets
     CUBE, rollup's sibling), ``audio_features`` (new: real PCM WAV
     sample decode → RMS/peak/ZCR), ``ann_pq`` (new: product
-    quantization ADC + exact refine) and ``bm25_incremental`` (new:
-    segmented-index scoring with additive stats) enter the window;
+    quantization ADC + exact refine), ``bm25_incremental`` (new:
+    segmented-index scoring with additive stats), ``streaming_join``
+    (new: watermarked stream-stream interval join) and
+    ``events_unpivot`` (new: wide-to-long reshape, built ON the pivot
+    output so it exercises both) enter the window;
     ``tpch_q5`` (plain multi-join agg, proven by the in-window q3/q9),
     ``tpch_q18`` (join+agg+having, proven by in-window q3/q21),
     ``parts_never_shipped`` (anti-join, proven by the in-window
@@ -217,9 +222,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``stuck_reset`` and ``dlq_retry`` (timestamp-filter /
     quarantine-fixture state ops, green since round 2, M-family
     covered in-window by reingest_upsert and the e2e-tested
-    scanned-PDF quarantine flow) and ``events_top_users`` (plain
-    groupBy + top-k, proven by the in-window events_hourly and every
-    TakeOrdered query) rotate to 51+.
+    scanned-PDF quarantine flow), ``events_top_users`` (plain
+    groupBy + top-k, proven by every in-window TakeOrdered query) and
+    ``events_hourly`` (its exact aggregation IS the in-window
+    streaming_hourly's shared oracle) and ``events_pivot`` (executed
+    inside the in-window events_unpivot) rotate to 51+.
     Positions 51+ hold (a) oracle-backed entries whose operator is
     already proven by an in-window sibling (count_global/count_filtered
     ⊂ stats_fanin, simhash ⊂ simhash_near, lsh_topk ⊂ lsh_prebuilt
@@ -268,11 +275,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly": q_streaming_hourly,
         "simhash_near": q_simhash_near,
         "embedding_near_dup": q_embedding_near_dup,
-        "events_hourly": q_events_hourly,
+        "streaming_join": q_streaming_join,
         "bm25_incremental": q_bm25_incremental,
         "tpch_q11": q_tpch_q11,
         "events_sessions": q_events_sessions,
-        "events_pivot": q_events_pivot,
+        "events_unpivot": q_events_unpivot,
         "streaming_ingest": q_streaming_ingest,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -304,6 +311,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stuck_reset": q_stuck_reset,
         "dlq_retry": q_dlq_retry,
         "events_top_users": q_events_top_users,
+        "events_hourly": q_events_hourly,
+        "events_pivot": q_events_pivot,
         "hybrid_filtered": q_hybrid_filtered,
         "batch_hybrid": q_batch_hybrid,
         "events_json": q_events_json,

@@ -171,6 +171,16 @@ def q_events_cube(spark, sf_dir):
     )
 
 
+def q_events_unpivot(spark, sf_dir):
+    """UNPIVOT (melt): the wide per-user count matrix from
+    ``q_events_pivot`` back to long form — wide-to-long is the
+    missing half of the reshape pair, and running it over the pivot
+    output exercises both in one oracle-checked pass (absent combos
+    surface as explicit zero rows)."""
+    wide = q_events_pivot(spark, sf_dir)
+    return wide.unpivot("user_id", _EVENT_TYPES, "event_type", "n")
+
+
 def q_events_setops(spark, sf_dir):
     """Set operations: users who clicked but never purchased
     (EXCEPT/anti set) union users who did both (INTERSECT), tagged."""

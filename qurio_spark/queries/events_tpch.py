@@ -147,6 +147,87 @@ def q_streaming_hourly(spark, sf_dir):
     return spark.read.parquet(out_p)
 
 
+def q_streaming_join(spark, sf_dir):
+    """Stream-STREAM interval join (the one Structured Streaming join
+    shape the rest of the streaming family doesn't cover): a purchases
+    stream inner-joined to a views stream on user_id with the view
+    required to land within the hour before the purchase — streaming
+    last-hour attribution.  Both sides carry watermarks, so on a real
+    unbounded run the join state is bounded to the interval span +
+    watermark delay per key (the scale contract for stream-stream
+    joins); with the availableNow trigger the final pair set must
+    equal the batch inequality join bit-for-bit, so the per-user
+    rollup shares a plain-SQL oracle."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="qurio-stream-join-")
+    out_p, ckpt = f"{base}/out", f"{base}/ckpt"
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # see _events
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def stream():
+        s = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        # withWatermark demands TIMESTAMP (LTZ); the NTZ->LTZ cast is
+        # safe ONLY because the session tz is pinned UTC above (no DST
+        # gaps), and both join sides convert identically
+        return _normalize_events_ts(s).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    purchases = (
+        stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    views = (
+        stream()
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("v_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "10 minutes")
+    )
+    pairs = purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "inner",
+    )
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_p)
+
+    q = (
+        pairs.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out_p)
+    return got.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("p_id").alias("n_purchases_with_view"),
+        stable_round(F.sum("p_value"), 2).alias("pair_value"),
+    )
+
+
 def q_events_top_users(spark, sf_dir):
     """Window function: top-3 users per event_type by event count."""
     counts = (

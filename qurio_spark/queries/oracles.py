@@ -879,6 +879,27 @@ FROM events GROUP BY 1, 2""",
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n, (floor((CAST(sum(value) AS DOUBLE)) * 100.0 + 0.5) / 100.0) AS total_value
 FROM events GROUP BY 1, 2""",
+        "streaming_join": """
+WITH p AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts, value AS p_value
+  FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT event_id AS v_id, user_id AS v_user, ts AS v_ts
+  FROM events WHERE event_type = 'view'
+),
+pairs AS (
+  SELECT p.user_id, p.p_id, p.p_value
+  FROM p JOIN v
+    ON p.user_id = v.v_user
+   AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR
+   AND v.v_ts <= p.p_ts
+)
+SELECT user_id, count(*) AS n_pairs,
+       count(DISTINCT p_id) AS n_purchases_with_view,
+       (floor((CAST(sum(p_value) AS DOUBLE)) * 100.0 + 0.5) / 100.0)
+         AS pair_value
+FROM pairs GROUP BY user_id""",
         "events_top_users": """
 WITH c AS (
   SELECT event_type, user_id, count(*) AS n
@@ -969,6 +990,15 @@ JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY ROLLUP (n_name, year(o_orderdate))""",
+        "events_unpivot": """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+t(event_type) AS (VALUES ('click'), ('view'), ('purchase'),
+                         ('signup'), ('error')),
+c AS (SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2)
+SELECT u.user_id, t.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+FROM u CROSS JOIN t
+LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type""",
         "events_cube": """
 SELECT coalesce(event_type, 'ALL') AS event_type,
        coalesce(hour(ts), -1) AS hr,

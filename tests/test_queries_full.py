@@ -34,7 +34,7 @@ ROWS_ONLY = [n for n in QUERIES if n not in ORACLES]
 # Entries that execute real Structured Streaming runs when called —
 # exercised by the oracle test below, excluded from the build-only
 # analysis smoke (constructing them IS executing them).
-STREAMING = {"streaming_ingest", "streaming_hourly"}
+STREAMING = {"streaming_ingest", "streaming_hourly", "streaming_join"}
 
 
 @pytest.fixture(scope="module")
