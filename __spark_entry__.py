@@ -78,7 +78,9 @@ from qurio_spark.queries.search import (  # noqa: F401
     q_vector_topk,
 )
 from qurio_spark.queries.textstats import (  # noqa: F401
+    q_decontaminate,
     q_fingerprints,
+    q_keyword_extract,
     q_lang_id,
     q_pii_redact,
     q_quality_scores,
@@ -208,9 +210,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sample decode → RMS/peak/ZCR), ``ann_pq`` (new: product
     quantization ADC + exact refine), ``bm25_incremental`` (new:
     segmented-index scoring with additive stats), ``streaming_join``
-    (new: watermarked stream-stream interval join) and
-    ``events_unpivot`` (new: wide-to-long reshape, built ON the pivot
-    output so it exercises both) enter the window;
+    (new: watermarked stream-stream interval join), ``events_unpivot``
+    (new: wide-to-long reshape, built ON the pivot output so it
+    exercises both), ``keyword_extract`` (new: per-doc TF-IDF top-3)
+    and ``decontaminate`` (new: benchmark n-gram overlap flags) enter
+    the window;
     ``tpch_q5`` (plain multi-join agg, proven by the in-window q3/q9),
     ``tpch_q18`` (join+agg+having, proven by in-window q3/q21),
     ``parts_never_shipped`` (anti-join, proven by the in-window
@@ -225,8 +229,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     scanned-PDF quarantine flow), ``events_top_users`` (plain
     groupBy + top-k, proven by every in-window TakeOrdered query) and
     ``events_hourly`` (its exact aggregation IS the in-window
-    streaming_hourly's shared oracle) and ``events_pivot`` (executed
-    inside the in-window events_unpivot) rotate to 51+.
+    streaming_hourly's shared oracle), ``events_pivot`` (executed
+    inside the in-window events_unpivot), and ``quality_scores`` /
+    ``lang_id`` (pure column-expression text profiles, green since
+    round 2, family represented in-window by repetition /
+    word_concentration / keyword_extract) rotate to 51+.
     Positions 51+ hold (a) oracle-backed entries whose operator is
     already proven by an in-window sibling (count_global/count_filtered
     ⊂ stats_fanin, simhash ⊂ simhash_near, lsh_topk ⊂ lsh_prebuilt
@@ -267,8 +274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "lsh_prebuilt": q_lsh_prebuilt,
         "repetition": q_repetition,
-        "quality_scores": q_quality_scores,
-        "lang_id": q_lang_id,
+        "keyword_extract": q_keyword_extract,
+        "decontaminate": q_decontaminate,
         "word_concentration": q_word_concentration,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
@@ -313,6 +320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_users": q_events_top_users,
         "events_hourly": q_events_hourly,
         "events_pivot": q_events_pivot,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
         "hybrid_filtered": q_hybrid_filtered,
         "batch_hybrid": q_batch_hybrid,
         "events_json": q_events_json,

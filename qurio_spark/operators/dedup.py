@@ -58,6 +58,37 @@ def shingle_docs(
     )
 
 
+def contamination_flags(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination (the Lee/Brown-style n-gram overlap
+    check every training pipeline runs before a data release): flag
+    training documents sharing >= 1 word-n-gram shingle with the
+    held-out benchmark set.  -> (id, n_shared_shingles) for
+    contaminated docs only.
+
+    Scale shape: the benchmark shingle set is the SMALL side (eval
+    suites are thousands of prompts, not terabytes) — distinct'd and
+    broadcast, so the check is one map-side semi-ish join over the
+    training shingle explode, no shuffle of the corpus; the per-doc
+    rollup shuffles only the surviving (contaminated) rows."""
+    t_sh = shingle_docs(train, id_col, text_col, n)
+    b_sh = (
+        bench.select(F.explode(word_ngrams(F.col(text_col), n)).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+    return (
+        t_sh.join(F.broadcast(b_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared_shingles"))
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.8,

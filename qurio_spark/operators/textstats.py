@@ -182,3 +182,53 @@ def pii_profile(
         pii_count(c).cast("bigint").alias("n_pii"),
         sha256_hex(redact_pii(c)).alias("redacted_fp"),
     )
+
+
+def keyword_extract(
+    docs: DataFrame,
+    topk: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k TF-IDF keywords per document (training-data tagging /
+    weak labeling): tf(t,d) * ln(N / df(t)), ranked per doc with
+    deterministic ties (rounded score desc, term asc).
+
+    Scale shape: one (doc, term) partial-agg shuffle for tf; the
+    per-term df table is |vocab|-sized and broadcast; the per-doc
+    window ranks only that doc's distinct terms.  At 100 TB this is
+    exactly the BM25 index-build shape with a window instead of a
+    query-side probe."""
+    from qurio_spark.functions.checkpointing import checkpoint_df
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term")
+    )
+    # df derives FROM tf, so without a lineage cut the (doc, term)
+    # aggregation shuffle runs twice (the fusion-diamond problem the
+    # hybrid scorer hit) — checkpoint once, both consumers read blocks
+    tf = checkpoint_df(toks.groupBy(id_col, "term").agg(F.count("*").alias("tf")))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.count("*").cast("double").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * F.log(F.col("n") / F.col("df").cast("double")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc(stable_round(F.col("score"), 6)), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            F.col(id_col),
+            F.col("rank"),
+            F.col("term"),
+            stable_round("score", 4).alias("tfidf"),
+        )
+    )

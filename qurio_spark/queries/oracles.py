@@ -762,6 +762,42 @@ SELECT vec_id, (floor(({_COS}) * 10000.0 + 0.5) / 10000.0) AS score
 FROM embeddings CROSS JOIN qv
 WHERE label = (SELECT label FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
 ORDER BY (floor(({_COS}) * 1000000.0 + 0.5) / 1000000.0) DESC, vec_id LIMIT 10""",
+        "keyword_extract": f"""
+WITH t AS (SELECT doc_id, {_TOKS.format(col='text')} AS toks FROM documents),
+e AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM e GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf AS DOUBLE) * ln(n.n / CAST(df.df AS DOUBLE)) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+r AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY (floor(score * 1000000.0 + 0.5) / 1000000.0) DESC, term
+         ) AS rank
+  FROM s
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, term,
+       (floor(score * 10000.0 + 0.5) / 10000.0) AS tfidf
+FROM r WHERE rank <= 3""",
+        "decontaminate": f"""
+WITH t AS (SELECT doc_id, {_TOKS.format(col='text')} AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(0, greatest(len(toks) - 4, 0) + 1),
+                i -> array_to_string(toks[i + 1:i + 4], ' '))) AS shingle
+  FROM t
+),
+shc AS (SELECT doc_id, shingle FROM sh WHERE shingle <> ''),
+b AS (SELECT DISTINCT shingle FROM shc WHERE doc_id % 100 = 7)
+SELECT s.doc_id, count(*) AS n_shared_shingles
+FROM (SELECT * FROM shc WHERE doc_id % 100 <> 7) s
+JOIN b USING (shingle)
+GROUP BY 1""",
         "token_counts": f"""
 SELECT doc_id,
        len({_TOKS.format(col='text')}) AS n_tokens,

@@ -68,3 +68,26 @@ def q_pii_redact(spark, sf_dir):
     return pii_profile(_t(spark, sf_dir, "documents"))
 
 
+
+
+def q_keyword_extract(spark, sf_dir):
+    """Top-3 TF-IDF keywords per document (operators/textstats.
+    keyword_extract) — document tagging for curation/mixture tooling;
+    BM25-index-build shape with a per-doc ranking window."""
+    from qurio_spark.operators.textstats import keyword_extract
+
+    return keyword_extract(_t(spark, sf_dir, "documents"), topk=3)
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing >= 1 word-4-gram
+    with the 'benchmark' slice (doc_id % 100 == 7, excluded from the
+    training side) are flagged with their shared-shingle counts
+    (operators/dedup.contamination_flags; the n-gram overlap check run
+    before any training-data release)."""
+    from qurio_spark.operators.dedup import contamination_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 100 == 7)
+    train = docs.filter(F.col("doc_id") % 100 != 7)
+    return contamination_flags(train, bench, n=4)

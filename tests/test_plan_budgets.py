@@ -96,6 +96,18 @@ BUDGETS = {
     "events_range_proximity": {
         "shuffles": ("<=", 3), "bnlj": ("<=", 0), "python_stages": ("<=", 0),
     },
+    # TF-IDF keywords: tf partial-agg + per-doc window; df table and
+    # the 1-row N both broadcast, never sort-merge
+    "keyword_extract": {
+        "shuffles": ("<=", 3), "smj": ("<=", 0), "python_stages": ("<=", 0),
+    },
+    # decontamination: the join itself is a broadcast of the benchmark
+    # shingles (the corpus side never shuffles FOR the join); the 3
+    # exchanges are the two shingle-distincts + the per-doc rollup
+    "decontaminate": {
+        "shuffles": ("<=", 3), "smj": ("<=", 0), "bnlj": ("<=", 0),
+        "python_stages": ("<=", 0),
+    },
 }
 
 

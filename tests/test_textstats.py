@@ -141,3 +141,80 @@ class TestRepetitionMetrics:
         assert got[2] == (1.0, 0.0)  # no repetition at all
         assert got[3][0] == 0.3333
         assert got[3][1] == 0.6  # "a b"/"b a" alternate: 2 distinct of 5
+
+
+class TestKeywordExtract:
+    def test_tfidf_ranks_deterministic(self, spark):
+        from qurio_spark.operators.textstats import keyword_extract
+
+        docs = spark.createDataFrame(
+            [
+                (1, "spark spark spark shuffle join"),
+                (2, "join join shuffle common common common common"),
+                (3, "common shuffle unique"),
+            ],
+            "doc_id long, text string",
+        )
+        out = keyword_extract(docs, topk=2).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"]))
+        # 'spark' appears only in doc 1, 3 times -> its top keyword
+        assert by_doc[1][0] == (1, "spark")
+        # 'unique' is doc 3's only exclusive term
+        assert by_doc[3][0] == (1, "unique")
+        # every doc got exactly topk rows with ranks 1..k
+        assert all(sorted(r for r, _ in v) == [1, 2] for v in by_doc.values())
+
+    def test_ubiquitous_terms_score_zero(self, spark):
+        from qurio_spark.operators.textstats import keyword_extract
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "alpha gamma")], "doc_id long, text string"
+        )
+        rows = {(r["doc_id"], r["term"]): r["tfidf"] for r in
+                keyword_extract(docs, topk=2).collect()}
+        # df == N -> ln(1) == 0
+        assert rows[(1, "alpha")] == 0.0
+        assert rows[(1, "beta")] > 0.0
+
+
+class TestContaminationFlags:
+    def test_flags_and_counts(self, spark):
+        from qurio_spark.operators.dedup import contamination_flags
+
+        bench = spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon zeta")],
+            "doc_id long, text string",
+        )
+        train = spark.createDataFrame(
+            [
+                # contains the benchmark 5-gram "alpha beta gamma delta
+                # epsilon" AND "beta gamma delta epsilon zeta" -> 2 shared
+                (1, "intro alpha beta gamma delta epsilon zeta outro"),
+                # shares only shorter runs -> clean at n=5
+                (2, "alpha beta gamma nothing delta epsilon"),
+                (3, "completely different words here entirely"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["n_shared_shingles"]
+            for r in contamination_flags(train, bench, n=5).collect()
+        }
+        assert got == {1: 2}
+
+    def test_short_docs_degenerate_shingle(self, spark):
+        """Docs shorter than n collapse to one whole-text shingle (the
+        word_ngrams contract) — exact short matches still flag."""
+        from qurio_spark.operators.dedup import contamination_flags
+
+        bench = spark.createDataFrame([(9, "tiny doc")], "doc_id long, text string")
+        train = spark.createDataFrame(
+            [(1, "tiny doc"), (2, "other thing")], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r["n_shared_shingles"]
+            for r in contamination_flags(train, bench, n=5).collect()
+        }
+        assert got == {1: 1}
