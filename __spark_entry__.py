@@ -126,6 +126,7 @@ from qurio_spark.queries.breadth import (  # noqa: F401
     q_curate,
     q_events_cube,
     q_events_funnel,
+    q_events_histogram,
     q_events_moving_avg,
     q_events_pivot,
     q_events_sessions,
@@ -212,8 +213,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     segmented-index scoring with additive stats), ``streaming_join``
     (new: watermarked stream-stream interval join), ``events_unpivot``
     (new: wide-to-long reshape, built ON the pivot output so it
-    exercises both), ``keyword_extract`` (new: per-doc TF-IDF top-3)
-    and ``decontaminate`` (new: benchmark n-gram overlap flags) enter
+    exercises both), ``keyword_extract`` (new: per-doc TF-IDF top-3),
+    ``decontaminate`` (new: benchmark n-gram overlap flags) and
+    ``events_histogram`` (new: two-pass equi-width binning) enter
     the window;
     ``tpch_q5`` (plain multi-join agg, proven by the in-window q3/q9),
     ``tpch_q18`` (join+agg+having, proven by in-window q3/q21),
@@ -231,7 +233,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``events_hourly`` (its exact aggregation IS the in-window
     streaming_hourly's shared oracle), ``events_pivot`` (executed
     inside the in-window events_unpivot), and ``quality_scores`` /
-    ``lang_id`` (pure column-expression text profiles, green since
+    ``lang_id`` / ``pii_redact`` (pure column-expression text
+    profiles, green since
     round 2, family represented in-window by repetition /
     word_concentration / keyword_extract) rotate to 51+.
     Positions 51+ hold (a) oracle-backed entries whose operator is
@@ -301,7 +304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_completion": q_source_completion,
         "events_range_proximity": q_events_range_proximity,
         "md_extract": q_md_extract,
-        "pii_redact": q_pii_redact,
+        "events_histogram": q_events_histogram,
         "events_cube": q_events_cube,
         "reingest_upsert": q_reingest_upsert,
         "tpch_q16": q_tpch_q16,
@@ -322,6 +325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": q_events_pivot,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
+        "pii_redact": q_pii_redact,
         "hybrid_filtered": q_hybrid_filtered,
         "batch_hybrid": q_batch_hybrid,
         "events_json": q_events_json,

@@ -171,6 +171,34 @@ def q_events_cube(spark, sf_dir):
     )
 
 
+def q_events_histogram(spark, sf_dir):
+    """Two-pass equi-width histogram of event values: pass 1 computes
+    the global [min, max] (one 1-row agg, broadcast back as a scalar
+    cross join); pass 2 buckets every row into 10 bins and counts —
+    the ANALYZE/profiling shape.  The max lands in the last bin
+    (half-open bins with a closed top edge, both engines)."""
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    n_bins = 10
+    binned = ev.crossJoin(F.broadcast(bounds)).withColumn(
+        "bin",
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / n_bins)
+            ).cast("int"),
+            F.lit(n_bins - 1),
+        ),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        stable_round(F.min("value"), 2).alias("bin_min"),
+        stable_round(F.max("value"), 2).alias("bin_max"),
+    )
+
+
 def q_events_unpivot(spark, sf_dir):
     """UNPIVOT (melt): the wide per-user count matrix from
     ``q_events_pivot`` back to long form — wide-to-long is the

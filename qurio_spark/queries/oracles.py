@@ -1026,6 +1026,18 @@ JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY ROLLUP (n_name, year(o_orderdate))""",
+        "events_histogram": """
+WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+x AS (
+  SELECT least(CAST(floor((value - b.lo) / ((b.hi - b.lo) / 10)) AS INT),
+               9) AS bin,
+         value
+  FROM events CROSS JOIN b
+)
+SELECT bin, count(*) AS n,
+       (floor((CAST(min(value) AS DOUBLE)) * 100.0 + 0.5) / 100.0) AS bin_min,
+       (floor((CAST(max(value) AS DOUBLE)) * 100.0 + 0.5) / 100.0) AS bin_max
+FROM x GROUP BY bin""",
         "events_unpivot": """
 WITH u AS (SELECT DISTINCT user_id FROM events),
 t(event_type) AS (VALUES ('click'), ('view'), ('purchase'),
