@@ -217,3 +217,69 @@ class TestPdfUploadRoundTrip:
         # the good upload is NOT quarantined
         ok = docs_raw.filter("status = 'success'").collect()
         assert len(ok) == 1 and ok[0]["url"].endswith("ok.md")
+
+
+class TestTrainingDataPipeline:
+    """The canonical training-corpus composition of this engine's
+    operator families end to end on real testdata: near-dup candidate
+    removal -> benchmark decontamination -> quality/budget curation ->
+    shard packing.  Asserts the row-flow invariants each stage
+    guarantees, not goldens — the per-stage numerics are already
+    oracle-checked query by query."""
+
+    def test_full_composition(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from qurio_spark.operators.curate import curate_corpus
+        from qurio_spark.operators.dedup import (
+            contamination_flags,
+            minhash_lsh_pairs,
+        )
+        from qurio_spark.operators.sharding import pack_shards
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n0 = docs.count()
+
+        # 1. near-dup removal: drop the higher id of every LSH pair
+        pairs = minhash_lsh_pairs(docs, num_perm=4, bands=2)
+        losers = pairs.select(
+            F.greatest("id_a", "id_b").alias("doc_id")
+        ).distinct()
+        deduped = docs.join(losers, "doc_id", "left_anti")
+        n1 = deduped.count()
+        assert 0 < n1 < n0  # the corpus HAS near-dups; some survive
+
+        # 2. decontamination vs the held-out eval slice
+        bench = deduped.filter(F.col("doc_id") % 100 == 7)
+        train = deduped.filter(F.col("doc_id") % 100 != 7)
+        flagged = contamination_flags(train, bench, n=4)
+        clean = train.join(flagged.select("doc_id"), "doc_id", "left_anti")
+        n2 = clean.count()
+        assert n2 <= n1
+
+        # 3. curation: per-source quality selection under token budget
+        kept = curate_corpus(clean, per_source_token_budget=2000)
+        budgets = kept.groupBy("source").agg(F.max("cum_tokens").alias("t"))
+        assert budgets.filter(F.col("t") > 2000).count() == 0
+        assert kept.count() > 0
+
+        # 4. shard packing over the curated set
+        curated_docs = clean.join(kept.select("doc_id"), "doc_id")
+        shards = pack_shards(curated_docs, token_budget=1000)
+        per_shard = shards.groupBy("source", "shard_id").agg(
+            F.sum("n_tokens").alias("t"), F.count("*").alias("n")
+        )
+        # offset-packing: a shard only exceeds budget via its LAST doc
+        # (a doc's START offset is in-window), so tokens < budget +
+        # that shard's largest doc
+        mx = shards.groupBy("source", "shard_id").agg(
+            F.max("n_tokens").alias("mx")
+        )
+        bad = (
+            per_shard.join(mx, ["source", "shard_id"])
+            .filter(F.col("t") >= 1000 + F.col("mx"))
+            .count()
+        )
+        assert bad == 0
+        # every curated doc landed in exactly one shard
+        assert shards.count() == curated_docs.count()

@@ -69,11 +69,12 @@ def test_asof_forward(spark, sides):
     }
 
 
-def test_asof_matches_naive_reference(spark):
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_asof_matches_naive_reference(spark, seed):
     """Dense pseudo-random case vs the quadratic reference."""
     import random
 
-    rnd = random.Random(7)
+    rnd = random.Random(seed)
     lrows = [(f"k{rnd.randrange(4)}", rnd.randrange(100), i) for i in range(60)]
     rrows = {(f"k{rnd.randrange(4)}", rnd.randrange(100)) for _ in range(40)}
     rrows = [(k, t, f"v{k}@{t}") for k, t in sorted(rrows)]
@@ -106,10 +107,11 @@ def test_range_join_binned_boundaries(spark):
     assert out.count() == 3
 
 
-def test_range_join_binned_matches_naive(spark):
+@pytest.mark.parametrize("seed", [11, 37])
+def test_range_join_binned_matches_naive(spark, seed):
     import random
 
-    rnd = random.Random(11)
+    rnd = random.Random(seed)
     lrows = [(i, float(rnd.randrange(0, 500))) for i in range(50)]
     rrows = [(i, float(rnd.randrange(0, 500))) for i in range(70)]
     left = spark.createDataFrame(lrows, "lid long, t double")
@@ -155,3 +157,29 @@ def test_asof_single_shuffle_plan(spark, sides):
     a = audit(out)
     assert a["shuffles"] <= 1, a["plan"]
     assert a["smj"] == a["bhj"] == a["bnlj"] == 0, a["plan"]
+
+
+def test_asof_hot_key_correct(spark):
+    """One key holding ~90% of both sides (window-skew class): results
+    must still match the quadratic reference — the union+window shape
+    degrades in latency under skew, never in correctness."""
+    import random
+
+    rnd = random.Random(5)
+    lrows = [("hot" if i % 10 else f"cold{i}", rnd.randrange(1000), i)
+             for i in range(200)]
+    rrows = sorted({("hot" if i % 10 else f"cold{i}", rnd.randrange(1000))
+                    for i in range(150)})
+    rrows = [(k, t, f"{k}@{t}") for k, t in rrows]
+    left = spark.createDataFrame(lrows, "key string, t long, lid long")
+    right = spark.createDataFrame(rrows, "key string, t long, val string")
+
+    out = asof_join(left, right, on=["key"], left_ts="t", right_ts="t",
+                    right_payload=["val"])
+    got = {r["lid"]: r["val"] for r in out.collect()}
+    by_key = {}
+    for k, t, v in rrows:
+        by_key.setdefault(k, []).append((t, v))
+    for k, t, lid in lrows:
+        cands = [(rt, v) for rt, v in by_key.get(k, []) if rt <= t]
+        assert got[lid] == (max(cands)[1] if cands else None)
