@@ -65,6 +65,13 @@ def asof_join(
     on = list(on)
     if right_payload is None:
         right_payload = [c for c in right.columns if c not in set(on) | {right_ts}]
+    clashes = (set(right_payload) | {matched_ts_col}) & set(left.columns)
+    if clashes:
+        # silently overwriting a left column would corrupt the output
+        raise ValueError(
+            f"right payload/matched_ts columns collide with left: {sorted(clashes)}"
+            " — alias the right side or pass a different matched_ts_col"
+        )
     payload_struct = F.struct(
         *[F.col(c) for c in right_payload],
         F.col(right_ts).alias(matched_ts_col),

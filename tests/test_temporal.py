@@ -183,3 +183,14 @@ def test_asof_hot_key_correct(spark):
     for k, t, lid in lrows:
         cands = [(rt, v) for rt, v in by_key.get(k, []) if rt <= t]
         assert got[lid] == (max(cands)[1] if cands else None)
+
+
+def test_asof_payload_collision_raises(spark, sides):
+    left, right = sides
+    bad_right = right.withColumnRenamed("val", "tag")  # collides with left.tag
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, bad_right, on=["key"], left_ts="t", right_ts="t",
+                  right_payload=["tag"])
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on=["key"], left_ts="t", right_ts="t",
+                  right_payload=["val"], matched_ts_col="tag")
