@@ -146,6 +146,7 @@ from qurio_spark.queries.ingest import (  # noqa: F401
     q_dlq_retry,
     q_doc_meta_norm,
     q_md_extract,
+    q_merge_orders,
     q_reingest_skip_unchanged,
     q_reingest_upsert,
     q_rerank_overlap,
@@ -215,8 +216,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (new: wide-to-long reshape, built ON the pivot output so it
     exercises both), ``keyword_extract`` (new: per-doc TF-IDF top-3),
     ``decontaminate`` (new: benchmark n-gram overlap flags) and
-    ``events_histogram`` (new: two-pass equi-width binning) enter
-    the window;
+    ``events_histogram`` (new: two-pass equi-width binning) and
+    ``merge_orders`` (new: generic keyed MERGE round-tripped through
+    a partitioned parquet table with dynamic overwrite) enter the
+    window;
     ``tpch_q5`` (plain multi-join agg, proven by the in-window q3/q9),
     ``tpch_q18`` (join+agg+having, proven by in-window q3/q21),
     ``parts_never_shipped`` (anti-join, proven by the in-window
@@ -236,7 +239,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``lang_id`` / ``pii_redact`` (pure column-expression text
     profiles, green since
     round 2, family represented in-window by repetition /
-    word_concentration / keyword_extract) rotate to 51+.
+    word_concentration / keyword_extract), and ``reingest_upsert``
+    (the fixed-key M1 anti-join+union shape, generalized AND
+    round-tripped through real parquet by the in-window merge_orders)
+    rotate to 51+.
     Positions 51+ hold (a) oracle-backed entries whose operator is
     already proven by an in-window sibling (count_global/count_filtered
     ⊂ stats_fanin, simhash ⊂ simhash_near, lsh_topk ⊂ lsh_prebuilt
@@ -306,7 +312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "md_extract": q_md_extract,
         "events_histogram": q_events_histogram,
         "events_cube": q_events_cube,
-        "reingest_upsert": q_reingest_upsert,
+        "merge_orders": q_merge_orders,
         "tpch_q16": q_tpch_q16,
         "audio_features": q_audio_features,
         "ann_pq": q_ann_pq,
@@ -326,6 +332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "pii_redact": q_pii_redact,
+        "reingest_upsert": q_reingest_upsert,
         "hybrid_filtered": q_hybrid_filtered,
         "batch_hybrid": q_batch_hybrid,
         "events_json": q_events_json,

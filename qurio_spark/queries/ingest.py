@@ -164,6 +164,46 @@ def q_reingest_upsert(spark, sf_dir):
     )
 
 
+def q_merge_orders(spark, sf_dir):
+    """Generic keyed MERGE (plans/merge.merge_upsert, Delta-MERGE
+    semantics on plain parquet): a REAL round-trip — orders is copied
+    to a scratch table partitioned by o_orderpriority, an update batch
+    (repriced existing keys + brand-new keys) is merged with dynamic
+    partition overwrite, and the table is read BACK from disk for the
+    per-priority rollup the oracle reconstructs relationally."""
+    import tempfile
+
+    from qurio_spark.plans.merge import merge_upsert
+
+    o = _t(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="qurio-merge-orders-") + "/orders"
+    o.repartition("o_orderpriority").write.mode("overwrite").partitionBy(
+        "o_orderpriority"
+    ).parquet(path)
+
+    repriced = o.filter(F.col("o_orderkey") % 50 == 0).withColumn(
+        "o_totalprice", stable_round(F.col("o_totalprice") * 1.1, 2)
+    )
+    inserted = o.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+    )
+    merge_upsert(
+        spark,
+        path,
+        repriced.unionByName(inserted),
+        key_cols=["o_orderkey"],
+        partition_col="o_orderpriority",
+    )
+    merged = spark.read.parquet(path)
+    return merged.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        stable_round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.sum((F.col("o_orderkey") >= 10_000_000).cast("int")).alias(
+            "n_inserted"
+        ),
+    )
+
+
 def q_reingest_skip_unchanged(spark, sf_dir):
     """M1 + body_hash change detection (result_consumer.go:195-198
     records the hash; SURVEY §4 calls the compare a cheap win): a

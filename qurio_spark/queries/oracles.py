@@ -936,6 +936,30 @@ SELECT user_id, count(*) AS n_pairs,
        (floor((CAST(sum(p_value) AS DOUBLE)) * 100.0 + 0.5) / 100.0)
          AS pair_value
 FROM pairs GROUP BY user_id""",
+        "merge_orders": """
+WITH upd AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         (floor((CAST(o_totalprice AS DOUBLE)) * 1.1 * 100.0 + 0.5) / 100.0)
+           AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 50 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 97 = 0
+),
+merged AS (
+  SELECT * FROM orders
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+  UNION ALL
+  SELECT * FROM upd
+)
+SELECT o_orderpriority, count(*) AS n,
+       (floor((CAST(sum(o_totalprice) AS DOUBLE)) * 100.0 + 0.5) / 100.0)
+         AS total_price,
+       CAST(sum(CASE WHEN o_orderkey >= 10000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_inserted
+FROM merged GROUP BY o_orderpriority""",
         "events_top_users": """
 WITH c AS (
   SELECT event_type, user_id, count(*) AS n
