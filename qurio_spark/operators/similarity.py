@@ -549,3 +549,67 @@ def read_ivf_index(spark, path: str):
         spark.read.parquet(f"{path}/labeled"),
         spark.read.parquet(f"{path}/centroids"),
     )
+
+
+def append_ivf_index(
+    spark,
+    path: str,
+    new_embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF maintenance (the vector twin of the segmented
+    BM25 append): label the new batch with the PERSISTED codebook (one
+    Arrow-batched assignment pass) and append into the existing label
+    partition directories — no refit, no rewrite of old files (append
+    mode adds files inside ``label=`` dirs; existing files untouched,
+    mtime-asserted in tests).  Probes see old + new vectors in the
+    same pruned directories immediately.
+
+    The codebook ages as the distribution drifts — gate refits with
+    :func:`ivf_assignment_drift` rather than refitting per batch."""
+    _, cdf = read_ivf_index(spark, path)
+    rows = sorted(cdf.collect(), key=lambda r: r["label"])
+    centroids = [[float(x) for x in r["centroid"]] for r in rows]
+    labeled = assign_labels(
+        new_embeddings.select(id_col, vec_col), centroids, id_col, vec_col
+    )
+    labeled.write.mode("append").partitionBy("label").parquet(f"{path}/labeled")
+
+
+def ivf_assignment_drift(
+    embeddings: DataFrame,
+    centroids: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Refit signal for the incremental path: per-label count and mean
+    squared distance of ``embeddings`` to their NEAREST persisted
+    centroid.  A new batch whose mean distance is far above the
+    fit-time corpus's says the codebook no longer fits the
+    distribution (time to refit + rewrite — offline, like BM25
+    compaction).  One map pass + a k-row aggregate."""
+    import numpy as np
+    import pandas
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+
+    def _mind2(vecs):
+        V = np.stack(vecs.to_numpy()).astype(np.float64)
+        d = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c_sq
+        return pandas.Series(d.min(axis=1))
+
+    _mind2.__annotations__ = {"vecs": pandas.Series, "return": pandas.Series}
+    mind2 = pandas_udf("double")(_mind2)
+
+    labeled = assign_labels(embeddings, centroids, id_col, vec_col)
+    return (
+        labeled.withColumn("_d2", mind2(F.col(vec_col)))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("_d2").alias("mean_sq_dist"),
+        )
+    )
