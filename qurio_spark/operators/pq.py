@@ -214,3 +214,22 @@ def read_pq_index(spark, path: str):
     for r in rows:
         books[r["subspace"]][r["code"]] = [float(x) for x in r["centroid"]]
     return codes, books
+
+
+def append_pq_index(
+    spark,
+    path: str,
+    new_embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: list[str] | None = None,
+) -> None:
+    """Incremental PQ maintenance: encode the new batch with the
+    PERSISTED codebooks (one Arrow-batched map pass) and append to the
+    codes table.  Old files untouched.  Like IVF, the codebooks age
+    under distribution drift — quantization error of new batches (vs
+    the fit-time corpus) is the refit signal; unlike IVF there is no
+    partition layout to preserve, so a refit is a plain re-encode."""
+    _, books = read_pq_index(spark, path)
+    codes = pq_encode(new_embeddings, books, id_col, vec_col, keep_cols)
+    codes.write.mode("append").parquet(f"{path}/codes")

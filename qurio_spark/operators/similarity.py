@@ -613,3 +613,25 @@ def ivf_assignment_drift(
             F.avg("_d2").alias("mean_sq_dist"),
         )
     )
+
+
+def append_lsh_index(
+    spark,
+    path: str,
+    new_embeddings: DataFrame,
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental LSH maintenance: bucket the new batch with the
+    PERSISTED plane parameters (md5-derived planes are pure functions
+    of (seed, n_planes, dim), so old and new rows hash identically by
+    construction — there is no drift concept here, unlike IVF) and
+    append inside the existing ``bucket=`` partition directories.
+    Old files untouched; probes see old + new immediately."""
+    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    planes = random_hyperplanes(int(m["dim"]), int(m["n_planes"]), int(m["seed"]))
+    bucketed = new_embeddings.withColumn(
+        "bucket", lsh_bucket_expr(F.col(vec_col), planes)
+    )
+    bucketed.write.mode("append").partitionBy("bucket").parquet(
+        f"{path}/bucketed"
+    )

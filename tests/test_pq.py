@@ -106,3 +106,36 @@ def test_adc_scan_stays_jvm_side(spark, emb, fitted, tmp_path):
     assert a["python_stages"] == 0, a["plan"]
     assert a["shuffles"] == 0, a["plan"]
     assert a["smj"] == a["bhj"] == a["bnlj"] == 0, a["plan"]
+
+
+def test_append_pq_index(spark, emb, fitted, tmp_path):
+    """Incremental encode-append: new batch coded with the persisted
+    codebooks; merged codes == single-shot encode of the union."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from qurio_spark.operators.pq import append_pq_index
+
+    books, _ = fitted
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    delta = emb.filter(F.col("vec_id") % 4 == 0)
+    path = str(tmp_path / "pq_inc")
+    write_pq_index(pq_encode(base, books), books, path)
+    before = {
+        os.path.join(r, f): os.path.getmtime(os.path.join(r, f))
+        for r, _, fs in os.walk(f"{path}/codes")
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    append_pq_index(spark, path, delta)
+    after = {p: os.path.getmtime(p) for p in before if os.path.exists(p)}
+    assert after == before
+
+    merged, books2 = read_pq_index(spark, path)
+    want = {
+        (r["vec_id"], tuple(r["codes"]))
+        for r in pq_encode(emb, books).collect()
+    }
+    got = {(r["vec_id"], tuple(r["codes"])) for r in merged.collect()}
+    assert got == want

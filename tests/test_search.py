@@ -608,3 +608,48 @@ class TestIncrementalIvf:
             r["mean_sq_dist"] * r["n"] for r in drift_stats
         ) / sum(r["n"] for r in drift_stats)
         assert drift_mean > 2 * base_mean
+
+
+def test_append_lsh_index(spark, sf_dir, tmp_path):
+    """Incremental LSH append: frozen-plane bucketing means old and new
+    rows hash identically; merged index == single-shot build."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from qurio_spark.operators.similarity import (
+        append_lsh_index,
+        read_lsh_index,
+        write_lsh_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dim = len(emb.first()["embedding"])
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    delta = emb.filter(F.col("vec_id") % 3 == 0)
+
+    inc_path = str(tmp_path / "lsh_inc")
+    write_lsh_index(base, inc_path, dim=dim, n_planes=3)
+    before = {
+        os.path.join(r, f): os.path.getmtime(os.path.join(r, f))
+        for r, _, fs in os.walk(f"{inc_path}/bucketed")
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    append_lsh_index(spark, inc_path, delta)
+    after = {p: os.path.getmtime(p) for p in before if os.path.exists(p)}
+    assert after == before
+
+    full_path = str(tmp_path / "lsh_full")
+    write_lsh_index(emb, full_path, dim=dim, n_planes=3)
+    got = {
+        (r["vec_id"], r["bucket"])
+        for r in read_lsh_index(spark, inc_path).bucketed.collect()
+    }
+    want = {
+        (r["vec_id"], r["bucket"])
+        for r in read_lsh_index(spark, full_path).bucketed.collect()
+    }
+    assert got == want
