@@ -194,3 +194,22 @@ def test_asof_payload_collision_raises(spark, sides):
     with pytest.raises(ValueError, match="collide"):
         asof_join(left, right, on=["key"], left_ts="t", right_ts="t",
                   right_payload=["val"], matched_ts_col="tag")
+
+
+def test_range_join_hot_bin_correct(spark):
+    """90% of right rows share one timestamp (a hot time slice — the
+    AQE-splittable skew case): pair results must still match the
+    quadratic reference exactly."""
+    lrows = [(i, float(100 + i)) for i in range(20)]
+    rrows = [(i, 110.0 if i % 10 else float(i)) for i in range(100)]
+    left = spark.createDataFrame(lrows, "lid long, t double")
+    right = spark.createDataFrame(rrows, "rid long, t double")
+    out = range_join_binned(left, right, "t", "t", lo=-15.0, hi=15.0)
+    got = sorted((r["lid"], r["rid"]) for r in out.collect())
+    want = sorted(
+        (lid, rid)
+        for lid, lt in lrows
+        for rid, rt in rrows
+        if lt - 15.0 <= rt <= lt + 15.0
+    )
+    assert got == want
