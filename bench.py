@@ -78,6 +78,27 @@ def main() -> None:
                 extras["batch_hybrid_ivf_recall"] = round(
                     len(dense & pruned) / len(dense), 4
                 )
+        # PQ shortlist recall vs the exact dot top-10 (ann_pq's oracle
+        # is only valid while this is 1.0 — report it every run)
+        if "ann_pq" in qs and "vector_topk" in qs:
+            from qurio_spark.operators.similarity import brute_force_topk
+
+            emb = spark.read.parquet(f"{target}/embeddings.parquet")
+            qvec = [
+                float(x)
+                for x in emb.filter("vec_id = 0").first()["embedding"]
+            ]
+            exact = {
+                r["vec_id"]
+                for r in brute_force_topk(emb, qvec, 10, metric="dot").collect()
+            }
+            approx = {
+                r["vec_id"] for r in qs["ann_pq"](spark, target).collect()
+            }
+            if exact:
+                extras["ann_pq_recall"] = round(
+                    len(exact & approx) / len(exact), 4
+                )
     except Exception as e:
         print(f"bench recall error: {e}", file=sys.stderr)
 
