@@ -171,6 +171,7 @@ from qurio_spark.queries.media import (  # noqa: F401
 )
 from qurio_spark.queries.temporal import (  # noqa: F401
     q_events_asof_attribution,
+    q_events_asof_recovery,
     q_events_range_proximity,
 )
 from qurio_spark.queries.pipelines import (  # noqa: F401
@@ -216,10 +217,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (new: wide-to-long reshape, built ON the pivot output so it
     exercises both), ``keyword_extract`` (new: per-doc TF-IDF top-3),
     ``decontaminate`` (new: benchmark n-gram overlap flags) and
-    ``events_histogram`` (new: two-pass equi-width binning) and
+    ``events_histogram`` (new: two-pass equi-width binning),
     ``merge_orders`` (new: generic keyed MERGE round-tripped through
-    a partitioned parquet table with dynamic overwrite) enter the
-    window;
+    a partitioned parquet table with dynamic overwrite) and
+    ``events_asof_recovery`` (new: the FORWARD as-of direction) enter
+    the window;
     ``tpch_q5`` (plain multi-join agg, proven by the in-window q3/q9),
     ``tpch_q18`` (join+agg+having, proven by in-window q3/q21),
     ``parts_never_shipped`` (anti-join, proven by the in-window
@@ -241,8 +243,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round 2, family represented in-window by repetition /
     word_concentration / keyword_extract), and ``reingest_upsert``
     (the fixed-key M1 anti-join+union shape, generalized AND
-    round-tripped through real parquet by the in-window merge_orders)
-    rotate to 51+.
+    round-tripped through real parquet by the in-window merge_orders),
+    and ``md_extract`` (regex markdown extraction, green since round
+    2, regex family represented in-window by pii_redact /
+    link_filter_chain) rotate to 51+.
     Positions 51+ hold (a) oracle-backed entries whose operator is
     already proven by an in-window sibling (count_global/count_filtered
     ⊂ stats_fanin, simhash ⊂ simhash_near, lsh_topk ⊂ lsh_prebuilt
@@ -309,7 +313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_filter_chain": q_link_filter_chain,
         "source_completion": q_source_completion,
         "events_range_proximity": q_events_range_proximity,
-        "md_extract": q_md_extract,
+        "events_asof_recovery": q_events_asof_recovery,
         "events_histogram": q_events_histogram,
         "events_cube": q_events_cube,
         "merge_orders": q_merge_orders,
@@ -333,6 +337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "pii_redact": q_pii_redact,
         "reingest_upsert": q_reingest_upsert,
+        "md_extract": q_md_extract,
         "hybrid_filtered": q_hybrid_filtered,
         "batch_hybrid": q_batch_hybrid,
         "events_json": q_events_json,

@@ -24,7 +24,11 @@ from .ingest import (
     _TYPE_RE,
 )
 from .media import audio_features_sql, resize_targets_sql
-from .temporal import events_asof_attribution_sql, events_range_proximity_sql
+from .temporal import (
+    events_asof_attribution_sql,
+    events_asof_recovery_sql,
+    events_range_proximity_sql,
+)
 from .search import _BATCH_QUERIES
 
 # Shared SQL fragments for the oracles ------------------------------------
@@ -681,6 +685,7 @@ def oracle_sql() -> dict[str, str]:
         "resize_targets": resize_targets_sql(),
         "audio_features": audio_features_sql(),
         "events_asof_attribution": events_asof_attribution_sql(),
+        "events_asof_recovery": events_asof_recovery_sql(),
         "events_range_proximity": events_range_proximity_sql(),
         "source_list": """
 SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars

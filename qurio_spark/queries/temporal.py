@@ -141,3 +141,62 @@ SELECT nearby_clicks, count(*) AS n_errors,
        (floor(CAST(sum(value) AS DOUBLE) * 100.0 + 0.5) / 100.0)
          AS err_value
 FROM per_error GROUP BY nearby_clicks"""
+
+
+def q_events_asof_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (the other direction of the attribution
+    query): each error is paired with the NEXT click by the same user
+    at-or-after it — time-to-recovery — then rolled up per user.
+    Same one-shuffle union+window shape, descending scan order."""
+    ev = _events(spark, sf_dir)
+    ev = ev.withColumn("tsec", _epoch_secs(ev))
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "tsec"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "tsec")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    paired = asof_join(
+        errors,
+        clicks,
+        on=["user_id"],
+        left_ts="tsec",
+        right_ts="tsec",
+        right_payload=["click_event_id"],
+        direction="forward",
+        matched_ts_col="click_tsec",
+    )
+    return paired.groupBy("user_id").agg(
+        F.count("*").alias("n_errors"),
+        F.count("click_event_id").alias("n_recovered"),
+        F.min(F.col("click_tsec") - F.col("tsec")).alias("min_recovery_secs"),
+        stable_round(F.avg(F.col("click_tsec") - F.col("tsec")), 2).alias(
+            "avg_recovery_secs"
+        ),
+    )
+
+
+def events_asof_recovery_sql() -> str:
+    return """
+WITH ev AS (
+  SELECT event_id, user_id, event_type,
+         epoch_ms(ts::TIMESTAMP) // 1000 AS tsec
+  FROM events
+),
+e AS (SELECT event_id, user_id, tsec FROM ev WHERE event_type = 'error'),
+c AS (SELECT user_id, tsec, max(event_id) AS click_event_id FROM ev
+      WHERE event_type = 'click' GROUP BY 1, 2),
+m AS (
+  SELECT e.user_id, e.tsec, c.click_event_id, c.tsec AS click_tsec
+  FROM e ASOF LEFT JOIN c
+    ON e.user_id = c.user_id AND e.tsec <= c.tsec
+)
+SELECT user_id,
+       count(*) AS n_errors,
+       count(click_event_id) AS n_recovered,
+       min(click_tsec - tsec) AS min_recovery_secs,
+       (floor(CAST(avg(click_tsec - tsec) AS DOUBLE) * 100.0 + 0.5) / 100.0)
+         AS avg_recovery_secs
+FROM m GROUP BY user_id"""
