@@ -175,6 +175,7 @@ from qurio_spark.queries.temporal import (  # noqa: F401
     q_events_range_proximity,
 )
 from qurio_spark.queries.pipelines import (  # noqa: F401
+    q_ann_ivfpq,
     q_ann_pq,
     q_chunk_corpus,
     q_ingest_pipeline,
@@ -284,7 +285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q9": q_tpch_q9,
         "tpch_q21": q_tpch_q21,
         "batch_hybrid_ivf": q_batch_hybrid_ivf,
-        "ann_ivf": q_ann_ivf,
+        "ann_ivfpq": q_ann_ivfpq,
         "lsh_prebuilt": q_lsh_prebuilt,
         "repetition": q_repetition,
         "keyword_extract": q_keyword_extract,
@@ -324,6 +325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 51+: oracle-backed, operator proven by in-window sibling
         # (or, for minhash_lsh, newly oracle-backed breadth) ----------
         "tpch_q5": q_tpch_q5,
+        "ann_ivf": q_ann_ivf,
         "parts_never_shipped": q_parts_never_shipped,
         "tpch_q18": q_tpch_q18,
         "sitemap_urls": q_sitemap_urls,

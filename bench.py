@@ -79,8 +79,11 @@ def main() -> None:
                     len(dense & pruned) / len(dense), 4
                 )
         # PQ shortlist recall vs the exact dot top-10 (ann_pq's oracle
-        # is only valid while this is 1.0 — report it every run)
+        # is only valid while this is 1.0 — report it every run; the
+        # adaptive shortlist_for sizing is what keeps it 1.0 across SFs)
         if "ann_pq" in qs and "vector_topk" in qs:
+            from pyspark.sql import functions as F
+
             from qurio_spark.operators.similarity import brute_force_topk
 
             emb = spark.read.parquet(f"{target}/embeddings.parquet")
@@ -99,6 +102,25 @@ def main() -> None:
                 extras["ann_pq_recall"] = round(
                     len(exact & approx) / len(exact), 4
                 )
+            # IVF x PQ recall vs the label-restricted exact dot top-10
+            # (the probe contract its oracle encodes)
+            if "ann_ivfpq" in qs:
+                lab = emb.filter("vec_id = 0").first()["label"]
+                part = emb.filter(F.col("label") == lab)
+                exact_p = {
+                    r["vec_id"]
+                    for r in brute_force_topk(
+                        part, qvec, 10, metric="dot"
+                    ).collect()
+                }
+                approx_p = {
+                    r["vec_id"]
+                    for r in qs["ann_ivfpq"](spark, target).collect()
+                }
+                if exact_p:
+                    extras["ann_ivfpq_recall"] = round(
+                        len(exact_p & approx_p) / len(exact_p), 4
+                    )
     except Exception as e:
         print(f"bench recall error: {e}", file=sys.stderr)
 

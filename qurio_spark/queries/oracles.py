@@ -767,6 +767,20 @@ SELECT vec_id, (floor(({_COS}) * 10000.0 + 0.5) / 10000.0) AS score
 FROM embeddings CROSS JOIN qv
 WHERE label = (SELECT label FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
 ORDER BY (floor(({_COS}) * 1000000.0 + 0.5) / 1000000.0) DESC, vec_id LIMIT 10""",
+        # IVF x PQ: probe = the query vector's own coarse label (same
+        # contract as ann_ivf), and within the probed partition the
+        # adaptive ADC shortlist + exact refine make the result the
+        # exact dot top-10 of that partition (recall 1.0 pinned in
+        # tests/test_pq.py, gated by the ann_ivfpq_recall bench extra)
+        "ann_ivfpq": f"""
+WITH {_QV}
+SELECT vec_id,
+       (floor((list_dot_product(embedding::DOUBLE[], qv.v)) * 10000.0 + 0.5)
+         / 10000.0) AS score
+FROM embeddings CROSS JOIN qv
+WHERE label = (SELECT label FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+ORDER BY (floor((list_dot_product(embedding::DOUBLE[], qv.v)) * 1000000.0
+          + 0.5) / 1000000.0) DESC, vec_id LIMIT 10""",
         "keyword_extract": f"""
 WITH t AS (SELECT doc_id, {_TOKS.format(col='text')} AS toks FROM documents),
 e AS (SELECT doc_id, unnest(toks) AS term FROM t),

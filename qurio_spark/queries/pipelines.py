@@ -71,20 +71,52 @@ def q_kmeans_ivf(spark, sf_dir):
 def q_ann_pq(spark, sf_dir):
     """Product-quantization ANN with exact refine (operators/pq.py):
     fit per-subspace codebooks on the deterministic hash sample,
-    encode the corpus to m=16 4-bit-sized codes, ADC-score a
-    shortlist of 100 over the compressed table, then exactly re-score
-    only the shortlist (broadcast semi-join).  Oracle-backed because
-    the committed config's shortlist recall is 1.0 on this corpus
-    (pinned in tests/test_pq.py), so the refined top-10 IS the exact
-    dot top-10 — at 100 TB the same plan scans ~40x fewer bytes than
-    the dense scorer."""
+    encode the corpus to m=16 4-bit codes PACKED into one 64-bit long
+    per vector (~32x smaller scan than the raw floats), ADC-score an
+    ADAPTIVELY-sized shortlist (shortlist_for: 20% of the corpus,
+    min 100 — a constant depth was the round-6 recall cliff: 1.0 at
+    sf0.01 but 0.8 at sf0.1), then exactly re-score only the shortlist
+    (broadcast semi-join).  Oracle-backed because the adaptive
+    shortlist's recall is 1.0 at EVERY test SF (pinned in
+    tests/test_pq.py and gated at the bench SF by the ann_pq_recall
+    extra), so the refined top-10 IS the exact dot top-10."""
     from qurio_spark.operators.pq import pq_encode, pq_fit, pq_topk_refined
 
     emb = _t(spark, sf_dir, "embeddings")
     q = _qvec(spark, sf_dir)
     books = pq_fit(emb, m=16, k=16, iters=10)
-    codes = pq_encode(emb, books)
-    top = pq_topk_refined(codes, emb, books, q, topk=10, shortlist=100)
+    codes = pq_encode(emb, books, packed=True)
+    # corpus count from the source table's parquet stats — sizing the
+    # shortlist must not re-run the encode lineage
+    top = pq_topk_refined(
+        codes, emb, books, q, topk=10, n_candidates=emb.count()
+    )
+    return top.select("vec_id", stable_round("score", 4).alias("score"))
+
+
+def q_ann_ivfpq(spark, sf_dir):
+    """IVF x PQ composed (operators/pq.ivfpq_topk — the FAISS
+    IndexIVFPQ shape, the actual 100 TB ANN serving plan): the coarse
+    label prunes the scan to the query vector's own cluster (same
+    probe contract as ann_ivf, so the oracle restricts to that label
+    in SQL), the ADC stage reads only that partition's PACKED codes,
+    and the exact refine re-scores the adaptively-sized shortlist
+    (30% of the probed partition, min 50) with the same label filter
+    pushed to the raw-vector fetch.  Recall vs the label-restricted
+    exact top-10 is 1.0 at every test SF (tests/test_pq.py) and gated
+    at the bench SF by the ann_ivfpq_recall extra."""
+    from qurio_spark.operators.pq import ivfpq_topk, pq_encode, pq_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _qvec(spark, sf_dir)
+    label = int(emb.filter(F.col("vec_id") == QUERY_VEC_ID).first()["label"])
+    books = pq_fit(emb, m=16, k=16, iters=10)
+    codes = pq_encode(emb, books, keep_cols=["label"], packed=True)
+    n_probe = emb.filter(F.col("label") == label).count()
+    top = ivfpq_topk(
+        codes, emb, books, q, probe_labels=[label], topk=10,
+        n_candidates=n_probe,
+    )
     return top.select("vec_id", stable_round("score", 4).alias("score"))
 
 

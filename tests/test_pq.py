@@ -1,6 +1,7 @@
 """Product quantization (operators/pq.py): codebook determinism,
-encode/index round-trip, ADC correctness against a numpy reference,
-and the shortlist-recall pin that justifies ann_pq's exact-dot oracle."""
+encode/index round-trip, 4-bit packing, ADC correctness against a
+numpy reference, the ADAPTIVE shortlist-recall pin that justifies
+ann_pq's exact-dot oracle, and the IVF x PQ composition."""
 
 from __future__ import annotations
 
@@ -9,12 +10,18 @@ import pytest
 from pyspark.sql import functions as F
 
 from qurio_spark.operators.pq import (
+    ivfpq_topk,
     pq_adc_score,
     pq_encode,
     pq_fit,
+    pq_pack_expr,
+    pq_quantization_error,
     pq_topk,
     pq_topk_refined,
+    pq_unpack_expr,
     read_pq_index,
+    shortlist_for,
+    write_ivfpq_index,
     write_pq_index,
 )
 from qurio_spark.operators.similarity import brute_force_topk
@@ -63,20 +70,203 @@ def test_adc_matches_numpy_reference(emb, fitted):
         assert got[r["vec_id"]] == pytest.approx(want, rel=1e-12)
 
 
+def test_adaptive_shortlist_sizing():
+    """The depth scales with the candidate count — a constant was the
+    round-6 recall cliff (1.0 at n=500, 0.8 at n=2000)."""
+    assert shortlist_for(500) == 100       # floor dominates small corpora
+    assert shortlist_for(2000) == 400      # 20% of n, > the measured 252 need
+    assert shortlist_for(1_000_000) == 200_000
+    assert shortlist_for(218, frac=0.3, min_n=50) == 66  # ivfpq partition
+
+
 def test_shortlist_recall_pin(emb, fitted):
-    """The committed ann_pq config (m=16, k=16, shortlist=100) must
-    keep the exact top-10 inside the ADC shortlist — this is the fact
-    that makes the exact-dot oracle valid for the approximate query."""
+    """The committed ann_pq config (m=16, k=16, ADAPTIVE shortlist)
+    must keep the exact top-10 inside the ADC shortlist — this is the
+    fact that makes the exact-dot oracle valid for the approximate
+    query.  The same pin at the bench SF is the ann_pq_recall extra."""
     books, codes = fitted
+    n = emb.count()
     q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
-    shortlist = {r["vec_id"] for r in pq_topk(codes, books, q, 100).collect()}
+    depth = shortlist_for(n)
+    shortlist = {r["vec_id"] for r in pq_topk(codes, books, q, depth).collect()}
     exact = [r["vec_id"] for r in brute_force_topk(emb, q, 10, metric="dot").collect()]
     assert set(exact) <= shortlist  # recall@10 == 1.0
     refined = [
         r["vec_id"]
-        for r in pq_topk_refined(codes, emb, books, q, 10, 100).collect()
+        for r in pq_topk_refined(codes, emb, books, q, 10, n_candidates=n).collect()
     ]
     assert refined == exact
+
+
+def test_packed_codes_roundtrip_and_adc_parity(emb, fitted):
+    """pack -> unpack is the identity, and the packed-form ADC score
+    equals the array-form ADC score bit-for-bit (same LUT, same adds,
+    just shift/mask extracts instead of element_at)."""
+    books, codes = fitted
+    m = len(books)
+    packed = codes.withColumn("packed", pq_pack_expr(F.col("codes"), m))
+    rt = packed.select(
+        "vec_id", "codes", pq_unpack_expr(F.col("packed"), m).alias("back")
+    )
+    assert rt.filter("codes <> back").count() == 0
+
+    q = [float(x) for x in emb.filter("vec_id = 2").first()["embedding"]]
+    arr_scores = {
+        r["vec_id"]: r["s"]
+        for r in codes.select(
+            "vec_id", pq_adc_score(books, q).alias("s")
+        ).collect()
+    }
+    packed_only = packed.select("vec_id", F.col("packed").alias("codes"))
+    packed_scores = {
+        r["vec_id"]: r["s"]
+        for r in packed_only.select(
+            "vec_id", pq_adc_score(books, q, packed=True).alias("s")
+        ).collect()
+    }
+    assert packed_scores == arr_scores
+
+
+def test_packed_encode_matches_array_encode(emb, fitted):
+    """pq_encode(packed=True) emits exactly the packed form of the
+    array codes — one projection, not a different quantization."""
+    books, codes = fitted
+    m = len(books)
+    want = {
+        (r["vec_id"], r["p"])
+        for r in codes.select(
+            "vec_id", pq_pack_expr(F.col("codes"), m).alias("p")
+        ).collect()
+    }
+    got = {
+        (r["vec_id"], r["codes"])
+        for r in pq_encode(emb, books, packed=True).collect()
+    }
+    assert got == want
+
+
+def test_packed_index_disk_shrink(spark, emb, fitted, tmp_path):
+    """Bytes-on-disk facts for the packed representation, measured on
+    the codes/embedding COLUMN CHUNKS (footers dwarf 500 rows of data):
+
+    - packed is a fixed 8 B/row (64 random bits, incompressible) —
+      >= 16x smaller than the raw embedding column it replaces as the
+      scan surface (measured ~46x: ~376 B/row of floats).
+    - vs the array<int> form the DISK delta is small — parquet's
+      dictionary/RLE encoding already bit-packs 0..15 ints to ~4 bits
+      — so packed must merely never be LARGER; the packing win vs the
+      array form is decode/memory width (one long vs 16 unpacked
+      4-byte ints + offsets in the columnar batch), not parquet bytes.
+    """
+    import os
+
+    books, codes = fitted
+    arr_path, packed_path = str(tmp_path / "arr"), str(tmp_path / "packed")
+    write_pq_index(codes, books, arr_path)
+    write_pq_index(pq_encode(emb, books, packed=True), books, packed_path)
+
+    def col_bytes(root, prefix):
+        import pyarrow.parquet as pq
+
+        if os.path.isfile(root):
+            files = [root]
+        else:
+            files = [
+                os.path.join(r, f)
+                for r, _, fs in os.walk(root)
+                for f in fs
+                if f.endswith(".parquet")
+            ]
+        total = 0
+        for path in files:
+            md = pq.ParquetFile(path).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for c in range(g.num_columns):
+                    col = g.column(c)
+                    if col.path_in_schema.startswith(prefix):
+                        total += col.total_compressed_size
+        return total
+
+    packed_b = col_bytes(f"{packed_path}/codes", "codes")
+    n = emb.count()
+    assert packed_b / n <= 9.0  # fixed-width long + page overhead
+    assert col_bytes(f"{arr_path}/codes", "codes") >= packed_b
+    emb_src = emb.inputFiles()[0].removeprefix("file:")
+    assert col_bytes(emb_src, "embedding") >= 16 * packed_b
+    # and the packed index round-trips through read -> search identically
+    codes2, books2 = read_pq_index(spark, packed_path)
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    got = [r["vec_id"] for r in pq_topk(codes2, books2, q, 10).collect()]
+    want = [r["vec_id"] for r in pq_topk(codes, books, q, 10).collect()]
+    assert got == want
+    # and the packed index round-trips through read -> search identically
+    codes2, books2 = read_pq_index(spark, packed_path)
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    got = [r["vec_id"] for r in pq_topk(codes2, books2, q, 10).collect()]
+    want = [r["vec_id"] for r in pq_topk(codes, books, q, 10).collect()]
+    assert got == want
+
+
+def test_ivfpq_matches_label_restricted_exact(emb, fitted):
+    """The composed probe (label pruning x packed ADC x exact refine)
+    returns the exact dot top-10 of the probed partition — the fact
+    that makes ann_ivfpq's label-restricted oracle valid."""
+    books, _ = fitted
+    codes = pq_encode(emb, books, keep_cols=["label"], packed=True)
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    label = int(emb.filter("vec_id = 0").first()["label"])
+    part = emb.filter(F.col("label") == label)
+    got = [
+        r["vec_id"]
+        for r in ivfpq_topk(
+            codes, emb, books, q, probe_labels=[label], topk=10,
+            n_candidates=part.count(),
+        ).collect()
+    ]
+    want = [
+        r["vec_id"] for r in brute_force_topk(part, q, 10, metric="dot").collect()
+    ]
+    assert got == want
+
+
+def test_ivfpq_persisted_probe_plan(spark, emb, fitted, tmp_path):
+    """Probing the persisted IVF x PQ index: the ADC stage's scan must
+    carry a label PartitionFilter (coarse pruning reaches the file
+    listing), stay zero-Python, and the only join is the broadcast
+    refine — both compression axes visible in one physical plan."""
+    from tools.plan_audit import audit
+
+    books, _ = fitted
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(emb, books, path)
+    codes = spark.read.parquet(f"{path}/codes")
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    label = int(emb.filter("vec_id = 0").first()["label"])
+    a = audit(
+        ivfpq_topk(
+            codes, emb, books, q, probe_labels=[label], topk=10,
+            n_candidates=codes.filter(F.col("label") == label).count(),
+        )
+    )
+    assert a["partition_filters"] >= 1, a["plan"]
+    assert a["python_stages"] == 0, a["plan"]
+    assert a["shuffles"] == 0, a["plan"]
+    assert a["bhj"] == 1 and a["smj"] == a["bnlj"] == 0, a["plan"]
+
+
+def test_pq_quantization_error_signal(emb, fitted):
+    """The refit signal: near-zero for vectors AT the codebook
+    centroids, strictly larger for a shifted batch (the drift case
+    maybe_refit_pq gates on)."""
+    books, _ = fitted
+    base = pq_quantization_error(emb, books).first()
+    assert base["n"] == emb.count() and base["mean_sq_err"] >= 0
+    shifted = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x + F.lit(5.0))
+    )
+    drifted = pq_quantization_error(shifted, books).first()
+    assert drifted["mean_sq_err"] > base["mean_sq_err"] * 2
 
 
 def test_index_roundtrip(spark, emb, fitted, tmp_path):
