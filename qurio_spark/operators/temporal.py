@@ -114,6 +114,7 @@ def range_join_binned(
     bin_width: float | None = None,
     on: Sequence[str] | None = None,
     how: str = "inner",
+    left_key: Sequence[str] | None = None,
 ) -> DataFrame:
     """Interval join: pairs (l, r) where
     ``l[left_time] + lo <= r[right_time] <= l[left_time] + hi``
@@ -125,9 +126,20 @@ def range_join_binned(
     which is the timezone-free path).  ``bin_width`` defaults to the
     window span ``hi - lo`` so each left row lands in at most 2-3
     buckets; every true pair meets in exactly the right row's single
-    bucket, so the output needs no dedup.  ``how='left'`` keeps
-    unmatched left rows with NULL right columns (grouped counts then
-    need ``count(<right col>)``, not ``count(*)``).
+    bucket, so the output needs no dedup.
+
+    ``how='left'`` keeps unmatched left rows (one NULL-right row each)
+    with standard left-join semantics, and requires ``left_key`` — the
+    column(s) that uniquely identify a left row.  The key is required
+    because the binned form EXPLODES each left row into 2-3 bucket
+    copies; collapsing back to per-left-row semantics needs an
+    identity to join the matches against (a synthetic surrogate like
+    ``monotonically_increasing_id`` would be recomputed differently on
+    the two lineage branches — silent corruption, not an option).
+    Plan shape: the bucket-equality inner join, then one hash join
+    back to the left table on ``left_key`` — two shuffles total,
+    still never a nested loop.  Grouped counts over the result need
+    ``count(<right col>)``, not ``count(*)``.
 
     Column collisions: right columns that clash with left names are
     suffixed ``_r``.
@@ -159,20 +171,27 @@ def range_join_binned(
     rt = ren[right_time]
     cond = [l["__bin"] == r["__bin"]] + [l[k] == r[k] for k in on]
     in_range = (F.col(rt) >= F.col("__lo")) & (F.col(rt) <= F.col("__hi"))
+    inner = (
+        l.join(r, cond)
+        .filter(in_range)
+        .drop("__lo", "__hi")
+        .drop(r["__bin"])
+        .drop(l["__bin"])
+        .drop(*[r[k] for k in on])
+    )
     if how == "inner":
-        out = l.join(r, cond).filter(in_range)
-        return out.drop("__lo", "__hi").drop(r["__bin"]).drop(l["__bin"]).drop(
-            *[r[k] for k in on]
-        )
+        return inner
     if how != "left":
         raise ValueError(f"how must be inner|left, got {how!r}")
-    # left: null-out right columns of out-of-range bucket-mates, then
-    # collapse the exploded bins back to one row per left row keeping
-    # any real match (true pairs exist in exactly one bin, so a left
-    # row has either all-null matches or exactly its true matches
-    # spread across bins -> dropDuplicates on the full row is safe
-    # only for aggregation use; callers wanting raw left rows use
-    # inner + join-back).
-    raise NotImplementedError(
-        "how='left' raw rows: use inner, aggregate, then join back to left"
-    )
+    if not left_key:
+        raise ValueError(
+            "how='left' requires left_key (columns uniquely identifying a"
+            " left row) — the exploded bins need an identity to collapse on"
+        )
+    left_key = list(left_key)
+    # every true pair survives in `inner` exactly once; join the match
+    # rows (key + right payload) back to the ORIGINAL left table so
+    # unmatched left rows surface with NULL right columns
+    right_out = [a for c, a in ren.items() if a not in set(on)]
+    matches = inner.select(*left_key, *right_out)
+    return left.join(matches, on=left_key, how="left")

@@ -213,3 +213,64 @@ def test_range_join_hot_bin_correct(spark):
         if lt - 15.0 <= rt <= lt + 15.0
     )
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [11, 37])
+def test_range_join_binned_left_matches_naive(spark, seed):
+    """how='left' (join-back on left_key): standard left-join semantics
+    — every true pair once, unmatched left rows once with NULL right
+    columns — verified against the naive inequality left join."""
+    import random
+
+    rnd = random.Random(seed)
+    lrows = [(i, float(rnd.randrange(0, 500))) for i in range(40)]
+    rrows = [(i, float(rnd.randrange(0, 500))) for i in range(30)]
+    left = spark.createDataFrame(lrows, "lid long, t double")
+    right = spark.createDataFrame(rrows, "rid long, t double")
+
+    for lo, hi in [(-25.0, 25.0), (-3.0, -1.0)]:
+        out = range_join_binned(
+            left, right, "t", "t", lo=lo, hi=hi, how="left", left_key=["lid"]
+        )
+        got = sorted(
+            (r["lid"], r["rid"]) for r in out.collect()
+        )
+        matched = {
+            (lid, rid)
+            for lid, lt in lrows
+            for rid, rt in rrows
+            if lt + lo <= rt <= lt + hi
+        }
+        matched_lids = {lid for lid, _ in matched}
+        want = sorted(
+            list(matched)
+            + [(lid, None) for lid, _ in lrows if lid not in matched_lids]
+        )
+        assert got == want, f"window=({lo},{hi})"
+        # left columns all preserved
+        assert set(out.columns) >= {"lid", "t", "rid"}
+
+
+def test_range_join_binned_left_requires_key(spark):
+    left = spark.createDataFrame([Row(lid=1, t=100.0)])
+    right = spark.createDataFrame([Row(rid=1, t=100.0)])
+    with pytest.raises(ValueError, match="left_key"):
+        range_join_binned(left, right, "t", "t", -1.0, 1.0, how="left")
+
+
+def test_range_join_binned_left_equi_keys_and_collision(spark):
+    """Equi-keyed left form, with a clashing right time column getting
+    the _r suffix and NULLs for the keyless user."""
+    left = spark.createDataFrame(
+        [("u1", 1, 100.0), ("u3", 3, 100.0)], "user string, lid long, t double"
+    )
+    right = spark.createDataFrame(
+        [("u1", 10, 110.0), ("u1", 11, 500.0)],
+        "user string, rid long, t double",
+    )
+    out = range_join_binned(
+        left, right, "t", "t", lo=-60.0, hi=60.0, on=["user"],
+        how="left", left_key=["lid"],
+    )
+    rows = {r["lid"]: (r["rid"], r["t_r"]) for r in out.collect()}
+    assert rows == {1: (10, 110.0), 3: (None, None)}
