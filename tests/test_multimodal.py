@@ -181,8 +181,14 @@ class TestBinaryIngestion:
 
         with pytest.raises(NotImplementedError):
             _decode_pixels(b"anything")
-        # codec containers (PNG) stay stubbed even with a valid header
+        # codec containers (JPEG/GIF) stay stubbed even with a valid
+        # header; PNG now decodes (TestPngDecode) and a data-less PNG
+        # header is a malformed-file error, not a stub
         with pytest.raises(NotImplementedError):
+            _decode_pixels(make_jpeg())
+        with pytest.raises(NotImplementedError):
+            _decode_pixels(make_gif())
+        with pytest.raises(ValueError, match="IDAT"):
             _decode_pixels(make_png())
 
     def test_resize_spec_geometry(self, spark):
@@ -269,7 +275,7 @@ class TestPixelDecode:
 
         df = spark.createDataFrame(
             [("img/a.bmp", bytearray(make_bmp(7, 5))),
-             ("img/b.png", bytearray(make_png(16, 9)))],
+             ("img/b.jpg", bytearray(make_jpeg(16, 9)))],
             "path string, content binary",
         )
         meta = df.withColumn("meta", decode_image_meta("content")).select(
@@ -287,7 +293,7 @@ class TestPixelDecode:
             np.frombuffer(bytes(a["pixels"]), dtype=np.uint8).reshape(3, 4, 3),
             golden,
         )
-        b = out["img/b.png"]
+        b = out["img/b.jpg"]
         assert b["pixels"] is None and "codec" in b["resize_error"]
 
     def test_pdf_image_xobjects(self):
@@ -718,3 +724,165 @@ class TestPcmSampleDecode:
         assert _wav_pcm_mono(_wav_bytes(frames, truncate_payload=2)) is None
         assert _wav_pcm_mono(b"garbage") is None
         assert _wav_pcm_mono(None) is None
+
+
+def make_png_full(arr, color_type=2, filters=None, depth=8, interlace=0,
+                  palette=None) -> bytes:
+    """Real PNG encoder (test-side twin of _decode_png_pixels): arr is
+    (h, w, nch) uint8; per-row filter types (0-4) are APPLIED per the
+    spec so decoding exercises the reconstruction paths.  stdlib only."""
+    import zlib
+
+    import numpy as np
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        if pb <= pc:
+            return b
+        return c
+
+    h, w, nch = arr.shape
+    filters = filters or [0] * h
+    raw = arr.astype(np.int64).reshape(h, w * nch)
+    scan = bytearray()
+    for y in range(h):
+        f = filters[y]
+        row = raw[y]
+        prev = raw[y - 1] if y else np.zeros(w * nch, dtype=np.int64)
+        filt = np.empty(w * nch, dtype=np.int64)
+        for x in range(w * nch):
+            a = row[x - nch] if x >= nch else 0
+            b = prev[x]
+            c = prev[x - nch] if x >= nch else 0
+            if f == 0:
+                filt[x] = row[x]
+            elif f == 1:
+                filt[x] = row[x] - a
+            elif f == 2:
+                filt[x] = row[x] - b
+            elif f == 3:
+                filt[x] = row[x] - (a + b) // 2
+            else:
+                filt[x] = row[x] - paeth(a, b, c)
+        scan.append(f)
+        scan += bytes((filt & 0xFF).astype(np.uint8))
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(palette.reshape(-1)))
+    out += chunk(b"IDAT", zlib.compress(bytes(scan)))
+    return out + chunk(b"IEND", b"")
+
+
+class TestPngDecode:
+    """_decode_png_pixels: stdlib zlib + filter reconstruction (round-7
+    hermetic slice — PNG is the one compressed raster stdlib decodes)."""
+
+    def _rgb(self, w=7, h=5):
+        return bmp_golden(w, h)  # same deterministic gradient
+
+    @pytest.mark.parametrize("f", [0, 1, 2, 3, 4])
+    def test_rgb_each_filter_type(self, f):
+        import numpy as np
+
+        from qurio_spark.sources.multimodal import _decode_pixels
+
+        arr = self._rgb(7, 5)
+        got = _decode_pixels(make_png_full(arr, filters=[f] * 5))
+        assert np.array_equal(got, arr), f"filter {f}"
+
+    def test_rgb_mixed_filters(self):
+        import numpy as np
+
+        from qurio_spark.sources.multimodal import _decode_pixels
+
+        arr = self._rgb(9, 6)
+        got = _decode_pixels(make_png_full(arr, filters=[0, 1, 2, 3, 4, 1]))
+        assert np.array_equal(got, arr)
+
+    def test_gray_alpha_palette_variants(self):
+        import numpy as np
+
+        from qurio_spark.sources.multimodal import _decode_pixels
+
+        rgb = self._rgb(5, 4)
+        gray = rgb[:, :, :1]
+        got = _decode_pixels(make_png_full(gray, color_type=0, filters=[1, 2, 3, 4]))
+        assert np.array_equal(got, np.repeat(gray, 3, axis=2))
+
+        ga = np.concatenate([gray, np.full_like(gray, 200)], axis=2)
+        got = _decode_pixels(make_png_full(ga, color_type=4))
+        assert np.array_equal(got, np.repeat(gray, 3, axis=2))
+
+        rgba = np.concatenate([rgb, np.full_like(rgb[:, :, :1], 128)], axis=2)
+        got = _decode_pixels(make_png_full(rgba, color_type=6, filters=[4, 4, 4, 4]))
+        assert np.array_equal(got, rgb)
+
+        palette = np.array(
+            [[10, 20, 30], [40, 50, 60], [70, 80, 90]], dtype=np.uint8
+        )
+        idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)[:, :, None]
+        got = _decode_pixels(
+            make_png_full(idx, color_type=3, palette=palette)
+        )
+        assert np.array_equal(got, palette[idx[:, :, 0]])
+
+    def test_unsupported_variants_stay_stubbed(self):
+        from qurio_spark.sources.multimodal import _decode_pixels
+
+        arr = self._rgb(4, 3)
+        with pytest.raises(NotImplementedError, match="interlace"):
+            _decode_pixels(make_png_full(arr, interlace=1))
+        with pytest.raises(NotImplementedError, match="depth"):
+            _decode_pixels(make_png_full(arr, depth=16))
+        # header-only stub (the old make_png) has no IDAT
+        with pytest.raises((ValueError, NotImplementedError)):
+            _decode_pixels(make_png(8, 8))
+
+    def test_resize_pixels_png_end_to_end(self, spark):
+        """The pixel path over a mixed PNG + BMP + JPEG frame: both
+        hermetic formats decode + resample; JPEG stays an honest
+        per-row error."""
+        import numpy as np
+
+        from qurio_spark.sources.multimodal import (
+            _resample_nearest,
+            decode_image_meta,
+            resize_pixels,
+            resize_spec,
+        )
+
+        arr = self._rgb(7, 5)
+        df = spark.createDataFrame(
+            [
+                ("img/p.png", bytearray(make_png_full(arr, filters=[4, 3, 2, 1, 0]))),
+                ("img/a.bmp", bytearray(make_bmp(7, 5))),
+                ("img/j.jpg", bytearray(make_jpeg(32, 24))),
+            ],
+            "path string, content binary",
+        )
+        meta = df.withColumn("meta", decode_image_meta("content")).select(
+            "path", "content", "meta.width", "meta.height"
+        )
+        out = {
+            r["path"]: r
+            for r in resize_pixels(resize_spec(meta, max_side=4)).collect()
+        }
+        golden = _resample_nearest(arr, 4, 3)
+        for p in ("img/p.png", "img/a.bmp"):
+            r = out[p]
+            assert (r["out_width"], r["out_height"]) == (4, 3)
+            got = np.frombuffer(bytes(r["pixels"]), np.uint8).reshape(3, 4, 3)
+            assert np.array_equal(got, golden), p
+        assert out["img/j.jpg"]["pixels"] is None
+        assert "codec" in out["img/j.jpg"]["resize_error"]
