@@ -136,14 +136,17 @@ def q_streaming_hourly(spark, sf_dir):
     def sink(batch_df, batch_id):
         batch_df.write.mode("overwrite").parquet(out_p)
 
-    q = (
-        agg.writeStream.outputMode("complete")
-        .foreachBatch(sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from qurio_spark.streaming.ingest import streaming_state_partitions
+
+    with streaming_state_partitions(spark, 8):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out_p)
 
 
@@ -165,13 +168,6 @@ def q_streaming_join(spark, sf_dir):
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")  # see _events
-    # a stream-stream join materializes one state-store instance PER
-    # shuffle partition per side; for a bounded availableNow batch the
-    # partition count should track input volume, not CPU count (32
-    # stores -> 8 cut this query 8.0s -> 2.8s at sf0.1 with identical
-    # results; on a real cluster size this to key cardinality)
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
     def stream():
@@ -219,7 +215,11 @@ def q_streaming_join(spark, sf_dir):
     def sink(batch_df, batch_id):
         batch_df.write.mode("append").parquet(out_p)
 
-    try:
+    from qurio_spark.streaming.ingest import streaming_state_partitions
+
+    # one state store per shuffle partition PER SIDE for a
+    # stream-stream join — the sizing rationale lives on the helper
+    with streaming_state_partitions(spark, 8):
         q = (
             pairs.writeStream.outputMode("append")
             .foreachBatch(sink)
@@ -228,8 +228,6 @@ def q_streaming_join(spark, sf_dir):
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     got = spark.read.parquet(out_p)
     return got.groupBy("user_id").agg(
         F.count("*").alias("n_pairs"),

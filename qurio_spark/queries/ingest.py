@@ -252,7 +252,10 @@ def q_streaming_near_dedup(spark, sf_dir):
     cross-batch suppression agree with that global minimum."""
     import tempfile
 
-    from qurio_spark.streaming.ingest import streaming_near_dup_dedup
+    from qurio_spark.streaming.ingest import (
+        streaming_near_dup_dedup,
+        streaming_state_partitions,
+    )
 
     base = tempfile.mkdtemp(prefix="qurio-stream-neardup-")
     in_dir = f"{base}/in"
@@ -262,15 +265,21 @@ def q_streaming_near_dedup(spark, sf_dir):
     mid = d.agg(F.max("doc_id")).first()[0] // 2
 
     def run(batch_df):
-        batch_df.write.mode("append").parquet(in_dir)
+        # stage the replay input as ONE file (it is ~2.5k rows): 32
+        # task-sized shards would make every later micro-batch re-list
+        # and re-open 32 tiny files
+        batch_df.coalesce(1).write.mode("append").parquet(in_dir)
         stream = spark.readStream.schema(batch_df.schema).parquet(in_dir)
         q = streaming_near_dup_dedup(
             stream, acc, store, ckpt, num_perm=4, bands=2, threshold=1.0
         ).start()
         q.awaitTermination()
 
-    run(d.filter(F.col("doc_id") <= mid))
-    run(d.filter(F.col("doc_id") > mid))
+    # bounded replay: size the micro-batch shuffles to the input, not
+    # the CPU count (see streaming_state_partitions)
+    with streaming_state_partitions(spark, 8):
+        run(d.filter(F.col("doc_id") <= mid))
+        run(d.filter(F.col("doc_id") > mid))
     return spark.read.parquet(acc).select("doc_id")
 
 
@@ -288,7 +297,10 @@ def q_streaming_ingest(spark, sf_dir):
     both persisted-state tables after the second micro-batch."""
     import tempfile
 
-    from qurio_spark.streaming.ingest import streaming_ingest_incremental
+    from qurio_spark.streaming.ingest import (
+        streaming_ingest_incremental,
+        streaming_state_partitions,
+    )
 
     base = tempfile.mkdtemp(prefix="qurio-stream-ingest-")
     in_dir = f"{base}/in"
@@ -323,13 +335,18 @@ def q_streaming_ingest(spark, sf_dir):
     schema = b1.schema
 
     def run_available(batch_df):
-        batch_df.write.mode("append").parquet(in_dir)
+        # one staged file per replay round (40-50 rows) — see the
+        # near-dedup twin for the listing rationale
+        batch_df.coalesce(1).write.mode("append").parquet(in_dir)
         stream = spark.readStream.schema(schema).parquet(in_dir)
         q = streaming_ingest_incremental(stream, chunks_p, ledger_p, ckpt).start()
         q.awaitTermination()
 
-    run_available(b1)
-    run_available(b2)
+    # bounded replay: size the micro-batch shuffles to the input, not
+    # the CPU count (see streaming_state_partitions)
+    with streaming_state_partitions(spark, 8):
+        run_available(b1)
+        run_available(b2)
 
     chunks = spark.read.parquet(chunks_p).select(
         "url", "source_id", "chunk_index", "content", "title"
