@@ -108,6 +108,42 @@ BUDGETS = {
         "shuffles": ("<=", 3), "smj": ("<=", 0), "bnlj": ("<=", 0),
         "python_stages": ("<=", 0),
     },
+    # -- round-6/7 families (VERDICT r6 item 5) -----------------------
+    # generic keyed MERGE read-back: the merged table re-reads as one
+    # partitioned scan + the result rollup's single exchange
+    "merge_orders": {"shuffles": ("<=", 1), "smj": ("<=", 0),
+                     "python_stages": ("<=", 0)},
+    # segmented BM25 builds BOTH segments in-DAG here (production
+    # scores persisted segments): per segment tf + df partial-aggs,
+    # then the additive merge and scoring joins; the single bnlj is
+    # the 1-row global-stats (N/sumdl) scalar attach, never a data join
+    "bm25_incremental": {"shuffles": ("<=", 9), "smj": ("<=", 0),
+                         "bnlj": ("<=", 1), "python_stages": ("<=", 0)},
+    # PQ retrieve+refine: map-only ADC scan + TakeOrdered, broadcast
+    # shortlist semi-join, zero corpus shuffles; the one python stage
+    # is the in-DAG encode (the persisted-index probe is plan-asserted
+    # zero-python in tests/test_pq.py)
+    "ann_pq": {"shuffles": ("<=", 0), "smj": ("<=", 0), "bnlj": ("<=", 0),
+               "bhj": ("<=", 1), "python_stages": ("<=", 1)},
+    # IVF x PQ composed probe: same shape with the label filter pushed
+    # into both scans
+    "ann_ivfpq": {"shuffles": ("<=", 0), "smj": ("<=", 0),
+                  "bnlj": ("<=", 0), "bhj": ("<=", 1),
+                  "python_stages": ("<=", 1), "pushed_filters": (">=", 1)},
+    # two-pass equi-width histogram: the 1-row min/max bounds attach by
+    # broadcast (the bnlj), then one bin agg + one result exchange
+    "events_histogram": {"shuffles": ("<=", 2), "smj": ("<=", 0),
+                         "bnlj": ("<=", 1), "python_stages": ("<=", 0)},
+    # CUBE = one expand + single grouping-sets agg exchange
+    "events_cube": {"shuffles": ("<=", 1), "smj": ("<=", 0),
+                    "python_stages": ("<=", 0)},
+    # unpivot runs ON the pivot output: pivot's agg + the final order
+    "events_unpivot": {"shuffles": ("<=", 2), "smj": ("<=", 0),
+                       "python_stages": ("<=", 0)},
+    # PCM decode -> RMS/peak/ZCR: exactly ONE Arrow stage (the decode
+    # batch), no shuffle before the rollup
+    "audio_features": {"shuffles": ("<=", 1), "smj": ("<=", 0),
+                       "python_stages": ("<=", 1)},
 }
 
 
