@@ -45,6 +45,8 @@ from qurio_spark.queries.search import (  # noqa: F401
     _IVF_INDEX_HANDLES,
     _LSH_INDEX_DIRS,
     _LSH_INDEX_HANDLES,
+    _PQ_INDEX_DIRS,
+    _PQ_INDEX_HANDLES,
     _batch_queries_frame,
     _bm25_index_handle,
     _bm25_index_path,
@@ -53,6 +55,8 @@ from qurio_spark.queries.search import (  # noqa: F401
     _ivf_index_handle,
     _ivf_index_path,
     _lsh_index_path,
+    _pq_index_handle,
+    _pq_index_path,
     prepare_indexes,
 )
 
@@ -172,6 +176,7 @@ from qurio_spark.queries.media import (  # noqa: F401
 from qurio_spark.queries.temporal import (  # noqa: F401
     q_events_asof_attribution,
     q_events_asof_recovery,
+    q_events_range_left,
     q_events_range_proximity,
 )
 from qurio_spark.queries.pipelines import (  # noqa: F401
@@ -204,50 +209,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     FIRST 50 dict entries, so positions 1-50 are exactly 50
     oracle-backed queries (one per operator family, every
     never-before-checked and new-this-round entry included).
-    Round 6 rotation: ``resize_targets`` (new: BMP header parse ->
-    resize geometry, the round's pixel-path addition),
-    ``streaming_near_dedup`` (new: cross-batch MinHash-LSH gate over a
-    persisted signature store), ``events_asof_attribution`` (new:
-    union+window as-of join) and ``events_range_proximity`` (new:
-    binned-bucket interval join), ``events_cube`` (new: grouping-sets
-    CUBE, rollup's sibling), ``audio_features`` (new: real PCM WAV
-    sample decode → RMS/peak/ZCR), ``ann_pq`` (new: product
-    quantization ADC + exact refine), ``bm25_incremental`` (new:
-    segmented-index scoring with additive stats), ``streaming_join``
-    (new: watermarked stream-stream interval join), ``events_unpivot``
-    (new: wide-to-long reshape, built ON the pivot output so it
-    exercises both), ``keyword_extract`` (new: per-doc TF-IDF top-3),
-    ``decontaminate`` (new: benchmark n-gram overlap flags) and
-    ``events_histogram`` (new: two-pass equi-width binning),
-    ``merge_orders`` (new: generic keyed MERGE round-tripped through
-    a partitioned parquet table with dynamic overwrite) and
-    ``events_asof_recovery`` (new: the FORWARD as-of direction) enter
-    the window;
-    ``tpch_q5`` (plain multi-join agg, proven by the in-window q3/q9),
-    ``tpch_q18`` (join+agg+having, proven by in-window q3/q21),
-    ``parts_never_shipped`` (anti-join, proven by the in-window
-    dedup_anti_join plus five green rounds), ``sitemap_urls``
-    (fixture XML parse, green since round 2, crawl family covered
-    in-window by link_filter_chain/source_completion) and
-    ``doc_meta_norm`` (coalesce-fallback struct normalization, green
-    since round 2, same fixture shape as the in-window md_extract) and
-    ``stuck_reset`` and ``dlq_retry`` (timestamp-filter /
-    quarantine-fixture state ops, green since round 2, M-family
-    covered in-window by reingest_upsert and the e2e-tested
-    scanned-PDF quarantine flow), ``events_top_users`` (plain
-    groupBy + top-k, proven by every in-window TakeOrdered query) and
-    ``events_hourly`` (its exact aggregation IS the in-window
-    streaming_hourly's shared oracle), ``events_pivot`` (executed
-    inside the in-window events_unpivot), and ``quality_scores`` /
-    ``lang_id`` / ``pii_redact`` (pure column-expression text
-    profiles, green since
-    round 2, family represented in-window by repetition /
-    word_concentration / keyword_extract), and ``reingest_upsert``
-    (the fixed-key M1 anti-join+union shape, generalized AND
-    round-tripped through real parquet by the in-window merge_orders),
-    and ``md_extract`` (regex markdown extraction, green since round
-    2, regex family represented in-window by pii_redact /
-    link_filter_chain) rotate to 51+.
+    Round 7 rotation — IN: ``ann_ivfpq`` (new: IVF label pruning
+    composed with the packed-PQ ADC scan + exact refine, the FAISS
+    IndexIVFPQ shape) and ``events_range_left`` (new: the
+    ``how='left'`` path of the binned range join, keyed join-back with
+    NULL-mate zero buckets).  CHANGED-in-place (already in-window):
+    ``ann_pq`` (adaptive shortlist — the round-6 recall cliff fix —
+    plus packed codes and the persisted-index bench path) and the four
+    streaming entries (state-partition sizing + staged-input coalesce;
+    results bit-identical, oracles unchanged).  OUT: ``ann_ivf``
+    (label-pruned probe now proven in-window by ann_ivfpq, which runs
+    the same probe contract plus the compressed scan; 4 green rounds)
+    and ``revenue_rollup`` (grouping-sets machinery proven by the
+    in-window events_cube, whose CUBE is rollup's superset; green
+    since round 5).
+    Round 6 brought in: resize_targets, streaming_near_dedup,
+    events_asof_attribution/recovery, events_range_proximity,
+    events_cube, audio_features, ann_pq, bm25_incremental,
+    streaming_join, events_unpivot, keyword_extract, decontaminate,
+    events_histogram, merge_orders — all still in-window; the round-6
+    OUT list (tpch_q5/q18, parts_never_shipped, sitemap_urls,
+    doc_meta_norm, stuck_reset, dlq_retry, events_top_users,
+    events_hourly, events_pivot, quality_scores, lang_id, pii_redact,
+    reingest_upsert, md_extract) stays at 51+, each justified by an
+    in-window sibling as recorded in the round-6 entry docstring
+    (git history) and re-verified by the committed out-of-window
+    oracle_check artifact each round.
     Positions 51+ hold (a) oracle-backed entries whose operator is
     already proven by an in-window sibling (count_global/count_filtered
     ⊂ stats_fanin, simhash ⊂ simhash_near, lsh_topk ⊂ lsh_prebuilt
@@ -256,6 +243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ngram_jaccard_capped [same join, uncapped], hybrid_filtered ⊂
     hybrid_topk + filter_equality, batch_hybrid ⊂ batch_hybrid_ivf
     [doc-set twin; exact-score parity in tests/test_search.py],
+    ann_ivf ⊂ ann_ivfpq [same label-probe contract, exact scan vs
+    ADC+refine], revenue_rollup ⊂ events_cube [grouping-sets subset],
     token_counts/fingerprints ⊂
     the in-window text_profile siblings quality_scores/lang_id,
     content_hash ⊂ the sha2 family fingerprints also exercises,
@@ -309,7 +298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_attribution": q_events_asof_attribution,
         "streaming_near_dedup": q_streaming_near_dedup,
         "first_order_per_customer": q_first_order_per_customer,
-        "revenue_rollup": q_revenue_rollup,
+        "events_range_left": q_events_range_left,
         "curate": q_curate,
         "link_filter_chain": q_link_filter_chain,
         "source_completion": q_source_completion,
@@ -326,6 +315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (or, for minhash_lsh, newly oracle-backed breadth) ----------
         "tpch_q5": q_tpch_q5,
         "ann_ivf": q_ann_ivf,
+        "revenue_rollup": q_revenue_rollup,
         "parts_never_shipped": q_parts_never_shipped,
         "tpch_q18": q_tpch_q18,
         "sitemap_urls": q_sitemap_urls,

@@ -27,6 +27,7 @@ from .media import audio_features_sql, resize_targets_sql
 from .temporal import (
     events_asof_attribution_sql,
     events_asof_recovery_sql,
+    events_range_left_sql,
     events_range_proximity_sql,
 )
 from .search import _BATCH_QUERIES
@@ -687,6 +688,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_attribution": events_asof_attribution_sql(),
         "events_asof_recovery": events_asof_recovery_sql(),
         "events_range_proximity": events_range_proximity_sql(),
+        "events_range_left": events_range_left_sql(),
         "source_list": """
 SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY source""",

@@ -56,6 +56,7 @@ _BM25_INDEX_DIRS: dict[tuple[str, str], str] = {}
 _IVF_INDEX_DIRS: dict[str, str] = {}
 _DEDUP_INDEX_DIRS: dict[str, str] = {}
 _LSH_INDEX_DIRS: dict[str, str] = {}
+_PQ_INDEX_DIRS: dict[str, str] = {}
 # Opened-handle caches: a serving system opens an index once and keeps
 # the handle (DataFrame over the persisted layout + driver-resident
 # metadata like the IVF codebook) across queries; re-opening parquet
@@ -64,6 +65,7 @@ _LSH_INDEX_DIRS: dict[str, str] = {}
 _BM25_INDEX_HANDLES: dict[tuple[str, str], object] = {}
 _IVF_INDEX_HANDLES: dict[str, tuple] = {}
 _LSH_INDEX_HANDLES: dict[str, object] = {}
+_PQ_INDEX_HANDLES: dict[str, tuple] = {}
 
 
 def _bm25_index_path(spark, sf_dir: str, corpus: str = "documents") -> str:
@@ -164,6 +166,45 @@ def _dedup_index_path(spark, sf_dir: str) -> str:
     return path
 
 
+def _pq_index_path(spark, sf_dir: str) -> str:
+    """Persist ONE IVF x PQ index per sf_dir — packed codes partitioned
+    by the embeddings table's coarse label, codebooks alongside — and
+    it serves BOTH PQ queries: ann_pq scans every label directory
+    (plain PQ), ann_ivfpq prunes to the probe labels.  Deterministic
+    (hash-sampled fit), so prebuilt == in-DAG results."""
+    import tempfile
+
+    from qurio_spark.operators.pq import pq_fit, write_ivfpq_index
+
+    path = _PQ_INDEX_DIRS.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="qurio-pq-idx-")
+        emb = _t(spark, sf_dir, "embeddings")
+        books = pq_fit(emb, m=16, k=16, iters=10)
+        write_ivfpq_index(emb, books, path)
+        _PQ_INDEX_DIRS[sf_dir] = path
+    return path
+
+
+def _pq_index_handle(spark, sf_dir: str):
+    """Open-once (codes_df, codebooks, total_n, per_label_counts) over
+    the persisted IVF x PQ layout; the counts are index metadata the
+    adaptive shortlist sizing needs (computed once at open, not per
+    query)."""
+    from qurio_spark.operators.pq import read_pq_index
+
+    h = _PQ_INDEX_HANDLES.get(sf_dir)
+    if h is None:
+        codes, books = read_pq_index(spark, _pq_index_path(spark, sf_dir))
+        counts = {
+            int(r["label"]): int(r["n"])
+            for r in codes.groupBy("label").agg(F.count("*").alias("n")).collect()
+        }
+        h = (codes, books, sum(counts.values()), counts)
+        _PQ_INDEX_HANDLES[sf_dir] = h
+    return h
+
+
 def _lsh_index_path(spark, sf_dir: str) -> str:
     import tempfile
 
@@ -189,9 +230,11 @@ def prepare_indexes(spark, sf_dir: str) -> None:
     _ivf_index_path(spark, sf_dir)
     _dedup_index_path(spark, sf_dir)
     _lsh_index_path(spark, sf_dir)
+    _pq_index_path(spark, sf_dir)
     _bm25_index_handle(spark, sf_dir, "documents")
     _bm25_index_handle(spark, sf_dir, "joined")
     _ivf_index_handle(spark, sf_dir)
+    _pq_index_handle(spark, sf_dir)
     if sf_dir not in _LSH_INDEX_HANDLES:
         _LSH_INDEX_HANDLES[sf_dir] = read_lsh_index(
             spark, _lsh_index_path(spark, sf_dir)

@@ -200,3 +200,60 @@ SELECT user_id,
        (floor(CAST(avg(click_tsec - tsec) AS DOUBLE) * 100.0 + 0.5) / 100.0)
          AS avg_recovery_secs
 FROM m GROUP BY user_id"""
+
+
+def q_events_range_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed LEFT interval join (the round-7 ``how='left'`` path of
+    ``range_join_binned``): each purchase keeps the error events by the
+    SAME user in the 2 minutes leading up to it — and purchases with no
+    such error survive as NULL-mate rows, so the zero bucket of the
+    per-purchase histogram falls straight out of the left join instead
+    of needing the separate join-back ``events_range_proximity`` does.
+
+    Scale shape: the inner bucket-equality join plus ONE hash join back
+    to the left table on its key — still never a nested loop over
+    |purchases| x |errors|."""
+    ev = _events(spark, sf_dir)
+    ev = ev.withColumn("tsec", _epoch_secs(ev).cast("double"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "tsec", "value"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id", "tsec"
+    )
+    pairs = range_join_binned(
+        purchases, errors, left_time="tsec", right_time="tsec",
+        lo=-120.0, hi=0.0, on=["user_id"], how="left",
+        left_key=["event_id"],
+    )
+    per_purchase = pairs.groupBy("event_id", "value").agg(
+        F.count("err_id").alias("nearby_errors")
+    )
+    return per_purchase.groupBy("nearby_errors").agg(
+        F.count("*").alias("n_purchases"),
+        stable_round(F.sum("value"), 2).alias("purchase_value"),
+    )
+
+
+def events_range_left_sql() -> str:
+    return """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, value,
+         CAST(epoch_ms(ts::TIMESTAMP) // 1000 AS DOUBLE) AS tsec
+  FROM events
+),
+p AS (SELECT event_id, user_id, tsec, value FROM ev
+      WHERE event_type = 'purchase'),
+e AS (SELECT event_id AS err_id, user_id, tsec FROM ev
+      WHERE event_type = 'error'),
+per_purchase AS (
+  SELECT p.event_id, p.value, count(e.err_id) AS nearby_errors
+  FROM p LEFT JOIN e
+    ON p.user_id = e.user_id
+   AND e.tsec >= p.tsec - 120.0 AND e.tsec <= p.tsec
+  GROUP BY 1, 2
+)
+SELECT nearby_errors, count(*) AS n_purchases,
+       (floor(CAST(sum(value) AS DOUBLE) * 100.0 + 0.5) / 100.0)
+         AS purchase_value
+FROM per_purchase GROUP BY nearby_errors"""

@@ -24,15 +24,16 @@ def prepared(spark, sf_dir):
     saved = (
         dict(m._BM25_INDEX_DIRS), dict(m._IVF_INDEX_DIRS),
         dict(m._DEDUP_INDEX_DIRS), dict(m._LSH_INDEX_DIRS),
+        dict(m._PQ_INDEX_DIRS),
         dict(m._BM25_INDEX_HANDLES), dict(m._IVF_INDEX_HANDLES),
-        dict(m._LSH_INDEX_HANDLES),
+        dict(m._LSH_INDEX_HANDLES), dict(m._PQ_INDEX_HANDLES),
     )
     m.prepare_indexes(spark, sf_dir)
     yield m
     for cache, snap in zip(
         (m._BM25_INDEX_DIRS, m._IVF_INDEX_DIRS, m._DEDUP_INDEX_DIRS,
-         m._LSH_INDEX_DIRS, m._BM25_INDEX_HANDLES, m._IVF_INDEX_HANDLES,
-         m._LSH_INDEX_HANDLES),
+         m._LSH_INDEX_DIRS, m._PQ_INDEX_DIRS, m._BM25_INDEX_HANDLES,
+         m._IVF_INDEX_HANDLES, m._LSH_INDEX_HANDLES, m._PQ_INDEX_HANDLES),
         saved,
     ):
         cache.clear()

@@ -284,6 +284,7 @@ class TestPreparedIndexParity:
         names = [
             "bm25_prebuilt", "hybrid_topk", "batch_hybrid", "batch_hybrid_ivf",
             "simhash_near", "minhash_lsh", "ngram_jaccard", "lsh_prebuilt",
+            "ann_pq", "ann_ivfpq",
         ]
 
         def rows(name):
@@ -291,14 +292,16 @@ class TestPreparedIndexParity:
 
         # force the inline path even if another test prepared indexes
         saved = (dict(m._BM25_INDEX_DIRS), dict(m._IVF_INDEX_DIRS),
-                 dict(m._DEDUP_INDEX_DIRS), dict(m._LSH_INDEX_DIRS))
+                 dict(m._DEDUP_INDEX_DIRS), dict(m._LSH_INDEX_DIRS),
+                 dict(m._PQ_INDEX_DIRS))
         saved_handles = (dict(m._BM25_INDEX_HANDLES), dict(m._IVF_INDEX_HANDLES),
-                         dict(m._LSH_INDEX_HANDLES))
+                         dict(m._LSH_INDEX_HANDLES), dict(m._PQ_INDEX_HANDLES))
         try:
             m._BM25_INDEX_DIRS.clear(); m._IVF_INDEX_DIRS.clear()
             m._DEDUP_INDEX_DIRS.clear(); m._LSH_INDEX_DIRS.clear()
+            m._PQ_INDEX_DIRS.clear()
             m._BM25_INDEX_HANDLES.clear(); m._IVF_INDEX_HANDLES.clear()
-            m._LSH_INDEX_HANDLES.clear()
+            m._LSH_INDEX_HANDLES.clear(); m._PQ_INDEX_HANDLES.clear()
             inline = {n: rows(n) for n in names}
             # the persisted-only LSH path must equal its in-DAG twin
             inline["lsh_prebuilt_vs_in_dag"] = rows("lsh_topk")
@@ -316,6 +319,9 @@ class TestPreparedIndexParity:
             m._IVF_INDEX_HANDLES.update(saved_handles[1])
             m._LSH_INDEX_HANDLES.clear()
             m._LSH_INDEX_HANDLES.update(saved_handles[2])
+            m._PQ_INDEX_DIRS.clear(); m._PQ_INDEX_DIRS.update(saved[4])
+            m._PQ_INDEX_HANDLES.clear()
+            m._PQ_INDEX_HANDLES.update(saved_handles[3])
         for n in list(names) + ["lsh_prebuilt_vs_in_dag"]:
             assert prepared[n] == inline[n], n
 
