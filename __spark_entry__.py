@@ -99,6 +99,7 @@ from qurio_spark.queries.dedup import (  # noqa: F401
     q_minhash_lsh,
     q_ngram_jaccard,
     q_ngram_jaccard_capped,
+    q_pagerank_centrality,
     q_simhash,
     q_simhash_near,
 )
@@ -297,7 +298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resize_targets": q_resize_targets,
         "events_asof_attribution": q_events_asof_attribution,
         "streaming_near_dedup": q_streaming_near_dedup,
-        "first_order_per_customer": q_first_order_per_customer,
+        "pagerank_centrality": q_pagerank_centrality,
         "events_range_left": q_events_range_left,
         "curate": q_curate,
         "link_filter_chain": q_link_filter_chain,
@@ -316,6 +317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "ann_ivf": q_ann_ivf,
         "revenue_rollup": q_revenue_rollup,
+        "first_order_per_customer": q_first_order_per_customer,
         "parts_never_shipped": q_parts_never_shipped,
         "tpch_q18": q_tpch_q18,
         "sitemap_urls": q_sitemap_urls,

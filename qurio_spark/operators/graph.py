@@ -1,0 +1,90 @@
+"""Iterative graph analytics over derived document graphs.
+
+The reference has no graph operators (SURVEY §2.7); this is §2.8
+extension surface for training-data curation: the near-duplicate pair
+graph (operators/dedup.py, operators/similarity.py) is a GRAPH, and
+centrality over it answers "which copy is the canonical one?" better
+than min-id — the most-connected member of a duplicate cluster is the
+version every other copy drifted from.
+
+``pagerank`` is the classic power-method iteration expressed as
+DataFrame joins, with a FIXED iteration count so results are
+deterministic and SQL-expressible (the DuckDB oracle unrolls the same
+iterations as chained CTEs — unlike the converge-until-stable form,
+fixed-k is hash-comparable across engines).
+
+Scale shape per iteration: one hash join of the per-vertex rank frame
+(narrow: id + double) against the edge table on ``src`` and one
+``groupBy(dst)`` partial-agg shuffle — the standard distributed
+PageRank plan.  The edge table and out-degrees are computed ONCE and
+checkpointed (every iteration reuses them; without the cut each
+iteration would re-run the similarity self-join that produced the
+edges).  Rank frames stay |V|-sized no matter how wide the graph.
+
+Connected components (the other graph op) lives in
+``operators/dedup.connected_components``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from qurio_spark.functions.checkpointing import checkpoint_df
+
+
+def pagerank(
+    edges: DataFrame,
+    vertices: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "id",
+    n_vertices: int | None = None,
+) -> DataFrame:
+    """Fixed-iteration PageRank -> (id_col, pr) for every vertex.
+
+    ``edges`` is DIRECTED (pass both directions for an undirected
+    graph); ``vertices`` must contain every vertex id exactly once
+    (isolated vertices keep the teleport mass).  Dangling vertices (no
+    out-edges) contribute nothing — the simplified variant where their
+    mass leaves the system; stated explicitly because the SQL oracle
+    must mirror the same choice.  pr_0 = 1/N and
+    pr_{t+1}(v) = (1-d)/N + d * sum_{u->v} pr_t(u)/outdeg(u).
+
+    ``n_vertices`` skips the count job when the caller already knows
+    |V| (e.g. from parquet stats).  The edge/out-degree frames are
+    materialized once (checkpoint) so the per-iteration joins never
+    re-run the upstream pair generation.
+    """
+    n = n_vertices if n_vertices is not None else vertices.count()
+    if n == 0:
+        return vertices.select(F.col(id_col), F.lit(0.0).alias("pr"))
+    e = checkpoint_df(
+        edges.select(F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")),
+        eager=True,
+    )
+    outdeg = e.groupBy("__src").agg(F.count("*").alias("__deg"))
+    # degree rides along with the edge so each iteration is ONE join
+    # (rank attach) instead of two
+    ed = checkpoint_df(e.join(outdeg, "__src"), eager=True)
+    teleport = F.lit((1.0 - damping) / n)
+    ranks = vertices.select(F.col(id_col), F.lit(1.0 / n).alias("pr"))
+    for _ in range(iters):
+        contribs = (
+            ed.join(ranks.withColumnRenamed(id_col, "__src"), "__src")
+            .select("__dst", (F.col("pr") / F.col("__deg")).alias("__c"))
+            .groupBy("__dst")
+            .agg(F.sum("__c").alias("__m"))
+        )
+        ranks = (
+            vertices.select(id_col)
+            .join(contribs.withColumnRenamed("__dst", id_col), id_col, "left")
+            .select(
+                F.col(id_col),
+                (teleport + F.lit(damping) * F.coalesce("__m", F.lit(0.0))).alias(
+                    "pr"
+                ),
+            )
+        )
+    return ranks

@@ -130,3 +130,35 @@ def q_embedding_near_dup(spark, sf_dir):
     return pairs.select("id_a", "id_b", stable_round("sim", 4).alias("sim"))
 
 
+
+def q_pagerank_centrality(spark, sf_dir):
+    """Iterative graph analytics (operators/graph.pagerank): PageRank
+    over the embedding near-dup graph — centrality picks the CANONICAL
+    member of a duplicate neighborhood (the version the other copies
+    drifted from), a better keep-rule than min-id when clusters are
+    star-shaped.  Fixed 3 power-method iterations, damping 0.85, so
+    the DuckDB oracle unrolls the exact same math as chained CTEs.
+
+    Scale shape: the similarity self-join runs ONCE (checkpointed
+    edge table); each iteration is one narrow rank-attach join + one
+    groupBy(dst) partial-agg — |V|-sized frames throughout."""
+    from qurio_spark.operators.graph import pagerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.3)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    verts = emb.select(F.col("vec_id").alias("id"))
+    pr = pagerank(edges, verts, iters=3, damping=0.85, n_vertices=emb.count())
+    # boundary-tolerant round: PageRank values are rationals over
+    # N * 20^iters * degs whose decimal expansions land EXACTLY on
+    # x.5 rounding boundaries (e.g. 0.001258375 at 1e8), where the
+    # engines' different summation orders flip plain stable_round's
+    # floor in opposite directions.  The 1e-6 bias (far above the
+    # ~1e-11 scaled float noise, far below the value spacing) pushes
+    # every boundary case up on BOTH engines; the SQL twin mirrors it.
+    rounded = F.floor(F.col("pr") * F.lit(1e8) + F.lit(0.5 + 1e-6)) / F.lit(1e8)
+    return pr.select(F.col("id").alias("vec_id"), rounded.alias("pr"))

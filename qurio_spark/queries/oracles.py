@@ -288,6 +288,59 @@ JOIN sizes sb ON sb.doc_id = id_b
 WHERE i / (sa.sz + sb.sz - i) >= {threshold}"""
 
 
+def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
+    """Fixed-iteration PageRank over the embedding near-dup graph,
+    unrolled as chained CTEs — the exact math of operators/graph.
+    pagerank (same teleport/damping literals, same dangling-mass-drop
+    variant), so fixed-k keeps the iterative Spark loop
+    hash-comparable."""
+    sim = (
+        "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+        " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+    )
+    ctes = [
+        f"""pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b USING (label)
+  WHERE a.vec_id < b.vec_id AND {sim} > 0.3
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+v AS (SELECT vec_id AS id FROM embeddings),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg
+           FROM edges GROUP BY src),
+pr0 AS (SELECT id, (SELECT 1.0 / n FROM nn) AS pr FROM v)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""pr{i} AS (
+  SELECT v.id,
+         (SELECT (1.0 - {damping}) / n FROM nn)
+           + {damping} * coalesce(s.m, 0.0) AS pr
+  FROM v LEFT JOIN (
+    SELECT e.dst AS id, sum(p.pr / d.deg) AS m
+    FROM edges e
+    JOIN pr{i - 1} p ON p.id = e.src
+    JOIN outdeg d ON d.src = e.src
+    GROUP BY e.dst
+  ) s ON s.id = v.id
+)"""
+        )
+    body = ",\n".join(ctes)
+    # 0.5 + 1e-6: boundary-tolerant round — see q_pagerank_centrality
+    # (PageRank rationals land exactly on x.5 rounding boundaries)
+    return f"""
+WITH {body}
+SELECT id AS vec_id,
+       (floor(pr * 100000000.0 + 0.5000010) / 100000000.0) AS pr
+FROM pr{iters}"""
+
+
 def _simhash_sql() -> str:
     toks = _TOKS.format(col="text")
     return f"""
@@ -888,6 +941,7 @@ SELECT doc_id FROM (
   FROM ({_minhash_sql(4)}) sigs
 ) t WHERE doc_id = cmin""",
         "minhash_lsh": _minhash_lsh_sql(0.5),
+        "pagerank_centrality": _pagerank_sql(iters=3, damping=0.85),
         "ngram_jaccard": _ngram_jaccard_sql(0.1),
         "ngram_jaccard_capped": _ngram_jaccard_sql(0.1, max_df=3),
         "simhash": _simhash_sql(),

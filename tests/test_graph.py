@@ -1,0 +1,91 @@
+"""operators/graph.pagerank: fixed-iteration power method vs a pure-
+Python reference, dangling/isolated-vertex semantics, determinism,
+and the one-checkpoint-per-build plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from qurio_spark.operators.graph import pagerank
+
+
+def _py_pagerank(edges, vertices, iters=3, d=0.85):
+    """Reference implementation: same simplified variant (dangling
+    mass dropped, teleport to every vertex)."""
+    from collections import defaultdict
+
+    out = defaultdict(list)
+    for s, t in edges:
+        out[s].append(t)
+    n = len(vertices)
+    pr = {v: 1.0 / n for v in vertices}
+    for _ in range(iters):
+        m = defaultdict(float)
+        for u, nbrs in out.items():
+            c = pr[u] / len(nbrs)
+            for v in nbrs:
+                m[v] += c
+        pr = {v: (1.0 - d) / n + d * m.get(v, 0.0) for v in vertices}
+    return pr
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    # star (1 hub, 3 spokes) + a 2-cycle + an isolated vertex
+    edges = [
+        (1, 2), (2, 1), (1, 3), (3, 1), (1, 4), (4, 1),
+        (5, 6), (6, 5),
+    ]
+    vertices = list(range(1, 8))  # 7 is isolated
+    e = spark.createDataFrame(edges, "src long, dst long")
+    v = spark.createDataFrame([(x,) for x in vertices], "id long")
+    return e, v, edges, vertices
+
+
+def test_matches_python_reference(spark, toy):
+    e, v, edges, vertices = toy
+    got = {r["id"]: r["pr"] for r in pagerank(e, v, iters=3).collect()}
+    want = _py_pagerank(edges, vertices, iters=3)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12), k
+    # the hub out-centralities: 1 most central, spokes equal, isolated
+    # vertex at pure teleport mass
+    assert got[1] > got[2] == got[3] == got[4] > got[7]
+    assert got[7] == pytest.approx(0.15 / 7, rel=1e-12)
+
+
+def test_dangling_mass_dropped(spark):
+    """A vertex with in-edges but NO out-edges absorbs rank and leaks
+    it (the documented simplified variant): total mass < 1 after one
+    iteration, and the dangling vertex still holds teleport + inflow."""
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    v = spark.createDataFrame([(1,), (2,)], "id long")
+    got = {r["id"]: r["pr"] for r in pagerank(e, v, iters=1).collect()}
+    n, d = 2, 0.85
+    assert got[2] == pytest.approx((1 - d) / n + d * 0.5, rel=1e-12)
+    assert got[1] == pytest.approx((1 - d) / n, rel=1e-12)
+    assert sum(got.values()) < 1.0
+
+
+def test_zero_iters_and_empty(spark, toy):
+    e, v, *_ = toy
+    got = {r["id"]: r["pr"] for r in pagerank(e, v, iters=0).collect()}
+    assert all(p == pytest.approx(1.0 / 7) for p in got.values())
+    empty_v = v.filter("id < 0")
+    assert pagerank(e, empty_v, iters=2).count() == 0
+
+
+def test_deterministic_across_runs(spark, toy):
+    e, v, *_ = toy
+    a = sorted(map(tuple, pagerank(e, v, iters=3).collect()))
+    b = sorted(map(tuple, pagerank(e, v, iters=3).collect()))
+    assert a == b
+
+
+def test_n_vertices_shortcut_matches_count(spark, toy):
+    e, v, *_ = toy
+    a = {r["id"]: r["pr"] for r in pagerank(e, v, iters=2).collect()}
+    b = {r["id"]: r["pr"] for r in pagerank(e, v, iters=2, n_vertices=7).collect()}
+    assert a == b

@@ -145,6 +145,16 @@ BUDGETS = {
     # batch), no shuffle before the rollup
     "audio_features": {"shuffles": ("<=", 1), "smj": ("<=", 0),
                        "python_stages": ("<=", 1)},
+    # fixed-3-iteration PageRank: the edge build is checkpointed (its
+    # pandas similarity join never re-runs — py=0 in the visible
+    # plan); per iteration one rank-attach join + one partial-agg
+    # exchange.  This AQE-off session plans the 3 iteration joins as
+    # sort-merge — which IS the scale-honest shape (neither side of a
+    # |V| x |E| join broadcasts at 100 TB; the joins co-partition on
+    # the key); under AQE the tiny test frames broadcast instead.
+    # Never a nested loop.
+    "pagerank_centrality": {"shuffles": ("<=", 9), "smj": ("<=", 3),
+                            "bnlj": ("<=", 0), "python_stages": ("<=", 0)},
 }
 
 
