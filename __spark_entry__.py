@@ -161,6 +161,7 @@ from qurio_spark.queries.ingest import (  # noqa: F401
     q_stuck_reset,
 )
 from qurio_spark.queries.relational import (  # noqa: F401
+    q_bloom_semi_join,
     q_parts_never_shipped,
     q_tpch_q4,
     q_tpch_q10,
@@ -294,7 +295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ingest": q_streaming_ingest,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
-        "tpch_q20": q_tpch_q20,
+        "bloom_semi_join": q_bloom_semi_join,
         "resize_targets": q_resize_targets,
         "events_asof_attribution": q_events_asof_attribution,
         "streaming_near_dedup": q_streaming_near_dedup,
@@ -318,6 +319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "revenue_rollup": q_revenue_rollup,
         "first_order_per_customer": q_first_order_per_customer,
+        "tpch_q20": q_tpch_q20,
         "parts_never_shipped": q_parts_never_shipped,
         "tpch_q18": q_tpch_q18,
         "sitemap_urls": q_sitemap_urls,

@@ -1296,6 +1296,17 @@ JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation   ON s_nationkey = n_nationkey
 WHERE p_name LIKE '%red%'
 GROUP BY 1, 2""",
+        # the bloom pre-filter only drops rows the join would drop
+        # anyway (false positives re-join), so the plain semi-join IS
+        # the oracle
+        "bloom_semi_join": """
+SELECT l_returnflag, count(*) AS n_items,
+       (floor(sum(l_extendedprice) * 100.0 + 0.5) / 100.0) AS revenue
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_totalprice > 494000.0
+)
+GROUP BY l_returnflag""",
         "tpch_q16": """
 SELECT p_brand, p_type, p_size,
        count(DISTINCT l_suppkey) AS supplier_cnt

@@ -193,3 +193,27 @@ def q_tpch_q19(spark, sf_dir):
     )
 
 
+
+
+def q_bloom_semi_join(spark, sf_dir):
+    """Runtime-filter pattern (operators/bloom.py): lineitems of the
+    top-priced ~1% of orders via a bloom-pre-filtered semi-join — the
+    8k-bit filter over the selective build side's keys is built
+    distributed (slot-wise bit_or, keys never collected), shipped as a
+    LITERAL into the probe scan, and drops ~99% of lineitem rows
+    BEFORE the join exchange; the surviving sliver joins normally so
+    the result is exactly the plain semi-join (the oracle).  Rolled up
+    per returnflag for a compact checkable output."""
+    from qurio_spark.operators.bloom import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    expensive = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 494000.0)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    hits = bloom_semi_join(li, expensive, on="l_orderkey")
+    return hits.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        stable_round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )

@@ -1,0 +1,78 @@
+"""operators/bloom.py: exact-result parity with the plain join at
+several densities, false-positive-rate sanity, membership soundness
+(no false negatives, by construction), and the codegen-only probe."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from qurio_spark.operators.bloom import (
+    bloom_build,
+    bloom_might_contain,
+    bloom_semi_join,
+)
+
+
+@pytest.mark.parametrize("step,how", [(97, "left_semi"), (7, "left_semi"), (97, "inner")])
+def test_result_parity_with_plain_join(spark, step, how):
+    probe = spark.range(0, 5000).withColumnRenamed("id", "k")
+    build = spark.range(0, 5000, step).withColumnRenamed("id", "k")
+    got = sorted(tuple(r) for r in bloom_semi_join(probe, build, "k", how=how).collect())
+    want = sorted(tuple(r) for r in probe.join(build, "k", how).collect())
+    assert got == want
+
+
+def test_no_false_negatives_and_fp_rate(spark):
+    """Every build key must pass its own filter (soundness — the join
+    result depends on it); the false-positive rate on non-members must
+    be near the theoretical (1 - e^{-kn/m})^k ~ 0.2% for n=100,
+    m=8192, k=5."""
+    build = spark.range(0, 10000, 100).withColumnRenamed("id", "k")  # n=100
+    bm = bloom_build(build, "k")
+    members = build.filter(bloom_might_contain("k", bm)).count()
+    assert members == build.count()  # zero false negatives
+
+    non_members = spark.range(0, 10000).withColumnRenamed("id", "k").filter(
+        (F.col("k") % 100) != 0
+    )
+    fp = non_members.filter(bloom_might_contain("k", bm)).count()
+    assert fp / non_members.count() < 0.01  # theory ~0.002
+
+
+def test_probe_filter_is_pure_codegen(spark):
+    """The membership test compiles to whole-stage codegen — no join,
+    no shuffle, no Python stage in the pre-filter."""
+    from tools.plan_audit import audit
+
+    build = spark.range(0, 1000, 50).withColumnRenamed("id", "k")
+    bm = bloom_build(build, "k")
+    probe = spark.range(0, 1000).withColumnRenamed("id", "k")
+    a = audit(probe.filter(bloom_might_contain("k", bm)))
+    assert a["shuffles"] == 0, a["plan"]
+    assert a["python_stages"] == 0, a["plan"]
+    assert a["smj"] == a["bhj"] == a["bnlj"] == 0, a["plan"]
+    assert a["codegen_spans"] >= 1, a["plan"]
+
+
+def test_build_is_distributed_and_deterministic(spark):
+    """Same keys -> bit-identical bitmap regardless of partitioning
+    (bit_or is order-insensitive), and the bitmap is the compact
+    ceil(m/64)-word shape."""
+    keys = spark.range(0, 500, 3).withColumnRenamed("id", "k")
+    a = bloom_build(keys, "k", m_bits=1 << 10, k_hashes=4)
+    b = bloom_build(keys.repartition(7), "k", m_bits=1 << 10, k_hashes=4)
+    assert a == b
+    assert len(a) == (1 << 10) // 64
+
+
+def test_string_keys(spark):
+    probe = spark.createDataFrame(
+        [(f"url-{i}",) for i in range(300)], "k string"
+    )
+    build = spark.createDataFrame(
+        [(f"url-{i}",) for i in range(0, 300, 30)], "k string"
+    )
+    got = sorted(r["k"] for r in bloom_semi_join(probe, build, "k").collect())
+    want = sorted(r["k"] for r in probe.join(build, "k", "left_semi").collect())
+    assert got == want

@@ -155,6 +155,12 @@ BUDGETS = {
     # Never a nested loop.
     "pagerank_centrality": {"shuffles": ("<=", 9), "smj": ("<=", 3),
                             "bnlj": ("<=", 0), "python_stages": ("<=", 0)},
+    # bloom-pre-filtered semi-join: the probe-side membership test is
+    # codegen on the scan (pushed literal bitmap), the residual join
+    # broadcasts the selective build side, one agg exchange
+    "bloom_semi_join": {"shuffles": ("<=", 1), "smj": ("<=", 0),
+                        "bnlj": ("<=", 0), "python_stages": ("<=", 0),
+                        "pushed_filters": (">=", 1)},
 }
 
 
