@@ -109,6 +109,7 @@ from qurio_spark.queries.events_tpch import (  # noqa: F401
     q_events_json,
     q_events_retention,
     q_events_top_users,
+    q_incremental_hourly,
     q_near_dup_clusters,
     q_streaming_hourly,
     q_streaming_join,
@@ -289,7 +290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "streaming_join": q_streaming_join,
         "bm25_incremental": q_bm25_incremental,
-        "tpch_q11": q_tpch_q11,
+        "incremental_hourly": q_incremental_hourly,
         "events_sessions": q_events_sessions,
         "events_unpivot": q_events_unpivot,
         "streaming_ingest": q_streaming_ingest,
@@ -320,6 +321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_rollup": q_revenue_rollup,
         "first_order_per_customer": q_first_order_per_customer,
         "tpch_q20": q_tpch_q20,
+        "tpch_q11": q_tpch_q11,
         "parts_never_shipped": q_parts_never_shipped,
         "tpch_q18": q_tpch_q18,
         "sitemap_urls": q_sitemap_urls,

@@ -1,0 +1,129 @@
+"""Incremental aggregate-view maintenance — additive refresh of a
+persisted rollup under streaming/batch appends.
+
+A 100 TB events table cannot be re-aggregated per dashboard query; the
+production pattern is a MATERIALIZED partial-aggregate view refreshed
+per delta batch: the view stores MERGEABLE partial states (count, sum,
+min, max — every state where state(A ∪ B) = state(A) ⊕ state(B)), a
+new batch contributes one partial-agg over ITS rows only, and the
+merge touches only the view rows whose keys the batch hit.  Finals
+that are not themselves mergeable (avg = sum/count) derive at read
+time from the states — never stored.
+
+Scale shape: the refresh cost is O(|delta| + |touched view rows|),
+independent of the view's (or the base table's) total size.  With the
+view partitioned on a key prefix (e.g. the hour), only the partitions
+the delta touches are rewritten (dynamic partition overwrite, same
+machinery as `plans/merge.py`); a delta of recent events leaves
+historical partition files byte-untouched (mtime-asserted in tests).
+
+The correctness contract — incremental refresh over any batch split
+== one-shot aggregation of the union — is the DuckDB oracle of
+`q_incremental_hourly` and the property pinned in
+tests/test_aggview.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from qurio_spark.functions.checkpointing import checkpoint_df
+
+
+#: partial-state columns the view persists for one value column
+STATE_COLS = ("n", "s", "mn", "mx")
+
+
+def partial_states(
+    delta: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Delta batch -> one mergeable state row per key."""
+    return delta.groupBy(*group_cols).agg(
+        F.count("*").alias("n"),
+        F.sum(value_col).alias("s"),
+        F.min(value_col).alias("mn"),
+        F.max(value_col).alias("mx"),
+    )
+
+
+def merge_states(
+    old: DataFrame, new: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """state(A) ⊕ state(B): full-outer on the keys; counts/sums add
+    (null = absent = identity), min/max via the null-skipping
+    least/greatest."""
+    o = old
+    for c in STATE_COLS:
+        o = o.withColumnRenamed(c, f"_o_{c}")
+    joined = o.join(new, group_cols, "full_outer")
+    return joined.select(
+        *group_cols,
+        (F.coalesce("_o_n", F.lit(0)) + F.coalesce("n", F.lit(0))).alias("n"),
+        (F.coalesce("_o_s", F.lit(0.0)) + F.coalesce("s", F.lit(0.0))).alias("s"),
+        F.least("_o_mn", "mn").alias("mn"),
+        F.greatest("_o_mx", "mx").alias("mx"),
+    )
+
+
+def refresh_agg_view(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    partition_col: str | None = None,
+) -> None:
+    """Refresh the persisted view at ``path`` with ``delta``'s rows.
+
+    First call creates the view.  With ``partition_col`` (must be one
+    of ``group_cols``) the view is partition-laid-out on it and a
+    refresh rewrites ONLY the partitions the delta touches — untouched
+    partition files stay byte-identical on disk.  The merged frame is
+    materialized before the overwrite so the write never races its
+    own read of the view."""
+    from qurio_spark.streaming.ingest import read_parquet_if_exists
+
+    new = partial_states(delta, group_cols, value_col)
+    old = read_parquet_if_exists(spark, path)
+    writer_part = [partition_col] if partition_col else []
+    if old is None:
+        out = new
+        if partition_col:
+            out.write.mode("overwrite").partitionBy(*writer_part).parquet(path)
+        else:
+            out.write.mode("overwrite").parquet(path)
+        return
+    if partition_col:
+        touched = new.select(partition_col).distinct()
+        old_touched = old.join(touched, partition_col, "left_semi")
+        merged = checkpoint_df(
+            merge_states(old_touched, new, group_cols), eager=True
+        )
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*writer_part)
+            .parquet(path)
+        )
+    else:
+        merged = checkpoint_df(merge_states(old, new, group_cols), eager=True)
+        merged.write.mode("overwrite").parquet(path)
+
+
+def read_agg_view(
+    spark: SparkSession, path: str, round_digits: int = 2
+) -> DataFrame:
+    """Read-time finals over the stored states: n, total (=s), avg
+    (=s/n) — derived, never stored, so they are always consistent
+    with the mergeable states."""
+    from qurio_spark.functions.numeric import stable_round
+
+    v = spark.read.parquet(path)
+    return v.select(
+        *[c for c in v.columns if c not in STATE_COLS],
+        F.col("n"),
+        stable_round(F.col("s"), round_digits).alias("total_value"),
+        stable_round(F.col("s") / F.col("n"), round_digits).alias("avg_value"),
+        stable_round(F.col("mn"), round_digits).alias("min_value"),
+        stable_round(F.col("mx"), round_digits).alias("max_value"),
+    )

@@ -650,3 +650,36 @@ def q_top_customers(spark, sf_dir):
     )
 
 
+
+
+def q_incremental_hourly(spark, sf_dir):
+    """Incremental materialized-view maintenance (plans/aggview.py):
+    the events table arrives as two batches (split on event_id); each
+    refresh merges the batch's partial states (count/sum/min/max) into
+    the persisted hourly view — O(|delta| + touched rows), never a
+    re-scan of history — and read time derives avg from the states.
+    The oracle is the ONE-SHOT aggregation of all events: incremental
+    ⊕ must equal recompute exactly (the mergeable-state contract;
+    untouched-partition mtime preservation is pinned in
+    tests/test_aggview.py)."""
+    import tempfile
+
+    from qurio_spark.plans.aggview import read_agg_view, refresh_agg_view
+
+    base = tempfile.mkdtemp(prefix="qurio-aggview-")
+    path = f"{base}/hourly"
+
+    ev = _events(spark, sf_dir).withColumn(
+        "hour_key", F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH")
+    )
+    mid = ev.agg(F.max("event_id")).first()[0] // 2
+    keys = ["hour_key", "event_type"]
+    refresh_agg_view(
+        spark, path, ev.filter(F.col("event_id") <= mid), keys, "value",
+        partition_col="hour_key",
+    )
+    refresh_agg_view(
+        spark, path, ev.filter(F.col("event_id") > mid), keys, "value",
+        partition_col="hour_key",
+    )
+    return read_agg_view(spark, path)

@@ -985,6 +985,22 @@ FROM reach GROUP BY node""",
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n, (floor((CAST(sum(value) AS DOUBLE)) * 100.0 + 0.5) / 100.0) AS total_value
 FROM events GROUP BY 1, 2""",
+        # the incremental view's two-batch refresh must equal the
+        # one-shot aggregation (mergeable-state contract); avg derives
+        # from the states at read time
+        "incremental_hourly": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour_key,
+       event_type,
+       count(*) AS n,
+       (floor((CAST(sum(value) AS DOUBLE)) * 100.0 + 0.5) / 100.0)
+         AS total_value,
+       (floor((CAST(sum(value) AS DOUBLE) / count(*)) * 100.0 + 0.5) / 100.0)
+         AS avg_value,
+       (floor((CAST(min(value) AS DOUBLE)) * 100.0 + 0.5) / 100.0)
+         AS min_value,
+       (floor((CAST(max(value) AS DOUBLE)) * 100.0 + 0.5) / 100.0)
+         AS max_value
+FROM events GROUP BY 1, 2""",
         # streaming twin: complete-mode windowed agg == the batch query
         "streaming_hourly": """
 SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -1,0 +1,124 @@
+"""plans/aggview.py: incremental refresh == one-shot recompute under
+ANY batch split (the mergeable-state contract), untouched partitions
+stay byte-identical on disk, and read-time finals derive correctly."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from qurio_spark.plans.aggview import (
+    merge_states,
+    partial_states,
+    read_agg_view,
+    refresh_agg_view,
+)
+
+
+@pytest.fixture()
+def events(spark, sf_dir):
+    from qurio_spark.queries.common import _events
+
+    ev = _events(spark, sf_dir)
+    return ev.withColumn(
+        "hour_key", F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH")
+    )
+
+
+def _final_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _oneshot(spark, events, path):
+    refresh_agg_view(
+        spark, path, events, ["hour_key", "event_type"], "value",
+        partition_col="hour_key",
+    )
+    return _final_rows(read_agg_view(spark, path))
+
+
+class TestSplitInvariance:
+    @pytest.mark.parametrize("n_batches", [2, 3])
+    def test_any_split_equals_oneshot(self, spark, events, tmp_path, n_batches):
+        keys = ["hour_key", "event_type"]
+        want = _oneshot(spark, events, str(tmp_path / "oneshot"))
+        path = str(tmp_path / f"split{n_batches}")
+        for i in range(n_batches):
+            refresh_agg_view(
+                spark, path,
+                events.filter(F.col("event_id") % n_batches == i),
+                keys, "value", partition_col="hour_key",
+            )
+        assert _final_rows(read_agg_view(spark, path)) == want
+
+    def test_unpartitioned_view(self, spark, events, tmp_path):
+        keys = ["event_type"]
+        path = str(tmp_path / "flat")
+        for i in range(2):
+            refresh_agg_view(
+                spark, path, events.filter(F.col("event_id") % 2 == i),
+                keys, "value",
+            )
+        got = _final_rows(read_agg_view(spark, path))
+        ref = str(tmp_path / "flat_ref")
+        refresh_agg_view(spark, ref, events, keys, "value")
+        assert got == _final_rows(read_agg_view(spark, ref))
+
+
+def test_untouched_partitions_not_rewritten(spark, events, tmp_path):
+    """A delta confined to LATER hours must leave earlier hours' files
+    byte-untouched (dynamic overwrite of touched partitions only) —
+    the O(|delta|) refresh claim made physical."""
+    path = str(tmp_path / "mtime")
+    hours = sorted(
+        r["hour_key"] for r in events.select("hour_key").distinct().collect()
+    )
+    assert len(hours) >= 2, "fixture needs >= 2 distinct hours"
+    early, late = hours[: len(hours) // 2], hours[len(hours) // 2 :]
+    refresh_agg_view(
+        spark, path, events.filter(F.col("hour_key").isin(early)),
+        ["hour_key", "event_type"], "value", partition_col="hour_key",
+    )
+    before = {
+        os.path.join(r, f): os.path.getmtime(os.path.join(r, f))
+        for r, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    refresh_agg_view(
+        spark, path, events.filter(F.col("hour_key").isin(late)),
+        ["hour_key", "event_type"], "value", partition_col="hour_key",
+    )
+    after = {p: os.path.getmtime(p) for p in before if os.path.exists(p)}
+    assert after == before
+
+
+def test_merge_states_identities(spark):
+    """Key present on only one side keeps its state verbatim; shared
+    keys add counts/sums and take null-skipping min/max."""
+    a = spark.createDataFrame(
+        [("x", 2, 10.0, 1.0, 9.0), ("only_a", 1, 5.0, 5.0, 5.0)],
+        "k string, n long, s double, mn double, mx double",
+    )
+    b = spark.createDataFrame(
+        [("x", 3, 30.0, 0.5, 20.0), ("only_b", 1, 7.0, 7.0, 7.0)],
+        "k string, n long, s double, mn double, mx double",
+    )
+    got = {r["k"]: (r["n"], r["s"], r["mn"], r["mx"])
+           for r in merge_states(a, b, ["k"]).collect()}
+    assert got == {
+        "x": (5, 40.0, 0.5, 20.0),
+        "only_a": (1, 5.0, 5.0, 5.0),
+        "only_b": (1, 7.0, 7.0, 7.0),
+    }
+
+
+def test_partial_states_shape(spark):
+    d = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", -2.0)], "k string, value double"
+    )
+    got = {r["k"]: (r["n"], r["s"], r["mn"], r["mx"])
+           for r in partial_states(d, ["k"], "value").collect()}
+    assert got == {"a": (2, 4.0, 1.0, 3.0), "b": (1, -2.0, -2.0, -2.0)}

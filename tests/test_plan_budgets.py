@@ -161,6 +161,12 @@ BUDGETS = {
     "bloom_semi_join": {"shuffles": ("<=", 1), "smj": ("<=", 0),
                         "bnlj": ("<=", 0), "python_stages": ("<=", 0),
                         "pushed_filters": (">=", 1)},
+    # aggview READ path: finals derive from the stored states in the
+    # scan projection — zero shuffles, zero joins, no re-aggregation
+    # (the refreshes run eagerly before this plan and are budgeted by
+    # their own O(|delta|) contract in tests/test_aggview.py)
+    "incremental_hourly": {"shuffles": ("<=", 0), "smj": ("<=", 0),
+                           "python_stages": ("<=", 0)},
 }
 
 
