@@ -144,6 +144,7 @@ from qurio_spark.queries.breadth import (  # noqa: F401
     q_revenue_rollup,
     q_sample_mixture,
     q_source_completion,
+    q_stratified_sample,
     q_tpch_q6,
     q_value_percentiles,
 )
@@ -302,7 +303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_near_dedup": q_streaming_near_dedup,
         "pagerank_centrality": q_pagerank_centrality,
         "events_range_left": q_events_range_left,
-        "curate": q_curate,
+        "stratified_sample": q_stratified_sample,
         "link_filter_chain": q_link_filter_chain,
         "source_completion": q_source_completion,
         "events_range_proximity": q_events_range_proximity,
@@ -322,6 +323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_order_per_customer": q_first_order_per_customer,
         "tpch_q20": q_tpch_q20,
         "tpch_q11": q_tpch_q11,
+        "curate": q_curate,
         "parts_never_shipped": q_parts_never_shipped,
         "tpch_q18": q_tpch_q18,
         "sitemap_urls": q_sitemap_urls,

@@ -104,3 +104,38 @@ def sample_mixture(
         F.lit(MIX_DENOM),
     )
     return docs.filter(draw < threshold)
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    n_per_stratum: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """EXACT-size stratified sample: exactly ``min(n, |stratum|)`` rows
+    per stratum, chosen by ranking each stratum's rows on the portable
+    md5 hash of (salt, id) and keeping the first n.
+
+    ``sample_mixture`` keeps each row independently (sample SIZE is
+    binomial — fine for mixtures, wrong when a downstream consumer
+    needs exactly-n evaluation/holdout rows per domain);
+    ``DataFrame.sampleBy`` has the same binomial behavior AND is
+    RNG-seeded per partition split, so its result set changes with the
+    physical plan.  Hash-ranking is deterministic across engines,
+    runs, and repartitioning — the auditable form.
+
+    Scale shape: one hash shuffle (the per-stratum window); the rank
+    only needs the TOP-n per stratum so the window never materializes
+    a global sort.  Ties cannot occur (the 60-bit hash is injective on
+    distinct ids for practical purposes; id is the tiebreak anyway).
+    """
+    if n_per_stratum <= 0:
+        raise ValueError(f"n_per_stratum must be positive, got {n_per_stratum}")
+    h = hash64(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )

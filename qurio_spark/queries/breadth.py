@@ -358,3 +358,18 @@ def q_first_order_per_customer(spark, sf_dir):
     )
 
 
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Exact-n stratified sample (operators/sharding.
+    stratified_sample_exact): exactly min(25, |source|) docs per
+    source, chosen by portable-hash rank — the deterministic holdout
+    sampler (sampleBy is binomial-sized AND plan-dependent; this is
+    neither).  Oracle: the same rank in SQL via row_number over the
+    md5 expression."""
+    from qurio_spark.operators.sharding import stratified_sample_exact
+
+    kept = stratified_sample_exact(
+        _t(spark, sf_dir, "documents"), n_per_stratum=25
+    )
+    return kept.select("doc_id", "source")

@@ -1522,6 +1522,16 @@ WHERE ('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
           WHEN 'src3' THEN {250_000}
           ELSE {100_000}
         END""",
+        "stratified_sample": """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substring(md5('strat:' || CAST(doc_id AS VARCHAR)),
+                     1, 15))::BIGINT ASC, doc_id ASC
+         ) AS rk
+  FROM documents
+) WHERE rk <= 25""",
         "tpch_q13": """
 WITH per_cust AS (
   SELECT c_custkey, count(o_orderkey) AS c_count

@@ -82,3 +82,52 @@ class TestSampleMixtureEdges:
         df = spark.createDataFrame([("s1", 1), ("s2", 2)], "source string, doc_id long")
         assert sample_mixture(df, {}, default_weight=1.0).count() == 2
         assert sample_mixture(df, {}, default_weight=0.0).count() == 0
+
+
+class TestStratifiedSampleExact:
+    def test_exact_counts_and_determinism(self, spark, sf_dir):
+        from qurio_spark.operators.sharding import stratified_sample_exact
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        got = stratified_sample_exact(d, n_per_stratum=10)
+        sizes = {
+            r["source"]: r["n"]
+            for r in got.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        full = {
+            r["source"]: r["n"]
+            for r in d.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        assert sizes == {s: min(10, n) for s, n in full.items()}
+        # physical layout must not change the sample (the sampleBy flaw)
+        a = sorted(r["doc_id"] for r in got.collect())
+        b = sorted(
+            r["doc_id"]
+            for r in stratified_sample_exact(
+                d.repartition(13), n_per_stratum=10
+            ).collect()
+        )
+        assert a == b
+
+    def test_salt_draws_different_sample(self, spark, sf_dir):
+        from qurio_spark.operators.sharding import stratified_sample_exact
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        a = {r["doc_id"] for r in stratified_sample_exact(d, 10, salt="a").collect()}
+        b = {r["doc_id"] for r in stratified_sample_exact(d, 10, salt="b").collect()}
+        assert a != b  # independent draws
+
+    def test_n_larger_than_stratum_keeps_all(self, spark):
+        from qurio_spark.operators.sharding import stratified_sample_exact
+
+        d = spark.createDataFrame(
+            [(i, "only") for i in range(5)], "doc_id long, source string"
+        )
+        assert stratified_sample_exact(d, 100).count() == 5
+
+    def test_invalid_n_raises(self, spark, sf_dir):
+        from qurio_spark.operators.sharding import stratified_sample_exact
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        with pytest.raises(ValueError, match="positive"):
+            stratified_sample_exact(d, 0)
