@@ -213,20 +213,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     FIRST 50 dict entries, so positions 1-50 are exactly 50
     oracle-backed queries (one per operator family, every
     never-before-checked and new-this-round entry included).
-    Round 7 rotation — IN: ``ann_ivfpq`` (new: IVF label pruning
-    composed with the packed-PQ ADC scan + exact refine, the FAISS
-    IndexIVFPQ shape) and ``events_range_left`` (new: the
+    Round 7 rotation — IN (all new this round): ``ann_ivfpq`` (IVF
+    label pruning composed with the packed-PQ ADC scan + exact refine,
+    the FAISS IndexIVFPQ shape), ``events_range_left`` (the
     ``how='left'`` path of the binned range join, keyed join-back with
-    NULL-mate zero buckets).  CHANGED-in-place (already in-window):
-    ``ann_pq`` (adaptive shortlist — the round-6 recall cliff fix —
-    plus packed codes and the persisted-index bench path) and the four
-    streaming entries (state-partition sizing + staged-input coalesce;
-    results bit-identical, oracles unchanged).  OUT: ``ann_ivf``
-    (label-pruned probe now proven in-window by ann_ivfpq, which runs
-    the same probe contract plus the compressed scan; 4 green rounds)
-    and ``revenue_rollup`` (grouping-sets machinery proven by the
-    in-window events_cube, whose CUBE is rollup's superset; green
-    since round 5).
+    NULL-mate zero buckets), ``pagerank_centrality`` (fixed-3-iteration
+    PageRank over the near-dup graph vs an unrolled-CTE oracle),
+    ``bloom_semi_join`` (distributed-built bloom runtime filter; plain
+    semi-join oracle), ``incremental_hourly`` (additive materialized
+    agg-view refresh == one-shot recompute), and ``stratified_sample``
+    (exact-n per-stratum hash-rank holdout).  CHANGED-in-place
+    (already in-window): ``ann_pq`` (adaptive shortlist — the round-6
+    recall cliff fix — plus packed codes and the persisted-index bench
+    path) and the four streaming entries (state-partition sizing +
+    staged-input coalesce; results bit-identical, oracles unchanged).
+    OUT: ``ann_ivf`` (label-pruned probe now proven in-window by
+    ann_ivfpq, which runs the same probe contract plus the compressed
+    scan; 4 green rounds), ``revenue_rollup`` (grouping-sets machinery
+    proven by the in-window events_cube, whose CUBE is rollup's
+    superset; green since round 5), ``first_order_per_customer``
+    (per-key window argmax, proven by the in-window events_sessions
+    and the 51+ cheapest_order sibling; green since round 3),
+    ``tpch_q20`` (threshold-vs-correlated-agg, join family covered
+    in-window by q3/q9/q16/q21; green since round 3), ``tpch_q11``
+    (fraction-of-global agg, proven by the in-window q9/q16 agg
+    family; green since rounds 5-6), and ``curate`` (the
+    dedup→quality→budget chain's components are all in-window —
+    exact_dedup, repetition, word_concentration — and the
+    sampling/curation family is now represented in-window by
+    stratified_sample; green since round 3).
     Round 6 brought in: resize_targets, streaming_near_dedup,
     events_asof_attribution/recovery, events_range_proximity,
     events_cube, audio_features, ann_pq, bm25_incremental,

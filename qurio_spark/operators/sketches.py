@@ -58,3 +58,83 @@ def exact_user_stats(
         F.percentile(value_col, 0.5).alias("exact_p50"),
         F.percentile(value_col, 0.9).alias("exact_p90"),
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    k_counters: int = 64,
+    top: int = 10,
+) -> DataFrame:
+    """Misra-Gries heavy hitters -> (item, est_count, err_bound)
+    ordered by estimate — the frequent-items sketch next to HLL and
+    the quantile sketch.
+
+    Why not groupBy-count?  Exact counting shuffles EVERY distinct
+    item; with billions of distinct values (urls, tokens) the shuffle
+    is the size of the dedup'd corpus.  Misra-Gries keeps
+    ``k_counters`` counters per partition (classic frequent-items
+    guarantee: per-summary undercount <= n_part/k); summaries are
+    mergeable by adding counters, so the shuffle moves at most
+    ``k_counters`` tiny rows per partition — fixed cost regardless of
+    cardinality.
+
+    The merged estimate undercounts by at most sum_p(n_p/k) <= n/k
+    (``err_bound``, returned as a column so consumers can act on the
+    guarantee): every item with true count > n/k is RETAINED, and
+    est_count <= true_count <= est_count + err_bound.  Bounds are
+    asserted against the exact twin in tests/test_sketches.py.
+
+    Implementation: Arrow-batched ``mapInPandas`` runs the counter
+    loop per partition (pure Python over a dict — the ONE shape
+    column expressions cannot say, since counter eviction is
+    sequential state), then a plain groupBy-sum over the tiny
+    summaries.
+    """
+    if k_counters < 1:
+        raise ValueError(f"k_counters must be >= 1, got {k_counters}")
+    import pandas as pd
+
+    def mg(batches):
+        counters: dict = {}
+        n_seen = 0
+        for pdf in batches:
+            for v in pdf[item_col]:
+                n_seen += 1
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k_counters:
+                    counters[v] = 1
+                else:  # decrement-all (evict zeros): the MG step
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame(
+            {
+                "item": list(counters.keys()) + [None],
+                "cnt": list(counters.values()) + [0],
+                # per-partition row count rides along (the None row)
+                # so the driver can compute the global n/k bound
+                "part_n": [0] * len(counters) + [n_seen],
+            }
+        )
+
+    field = df.schema[item_col].dataType.simpleString()
+    summaries = df.select(item_col).mapInPandas(
+        mg, f"item {field}, cnt long, part_n long"
+    )
+    merged = summaries.groupBy("item").agg(
+        F.sum("cnt").alias("est_count"), F.sum("part_n").alias("_n")
+    )
+    totals = merged.agg(F.sum("_n").alias("_total")).first()
+    err = int(totals["_total"]) // k_counters if totals["_total"] else 0
+    return (
+        merged.filter(F.col("item").isNotNull())
+        .select("item", "est_count", F.lit(err).alias("err_bound"))
+        .orderBy(F.desc("est_count"), F.asc("item"))
+        .limit(top)
+    )
