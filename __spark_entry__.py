@@ -78,6 +78,7 @@ from qurio_spark.queries.search import (  # noqa: F401
     q_bm25_prebuilt,
     q_bm25_topk,
     q_hybrid_filtered,
+    q_hybrid_rrf,
     q_hybrid_topk,
     q_vector_topk,
 )
@@ -221,8 +222,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     PageRank over the near-dup graph vs an unrolled-CTE oracle),
     ``bloom_semi_join`` (distributed-built bloom runtime filter; plain
     semi-join oracle), ``incremental_hourly`` (additive materialized
-    agg-view refresh == one-shot recompute), and ``stratified_sample``
-    (exact-n per-stratum hash-rank holdout).  CHANGED-in-place
+    agg-view refresh == one-shot recompute), ``stratified_sample``
+    (exact-n per-stratum hash-rank holdout), and ``hybrid_rrf``
+    (reciprocal-rank fusion over the two branches' top-100 lists —
+    integer ranks, float-exact fused scores).  CHANGED-in-place
     (already in-window): ``ann_pq`` (adaptive shortlist — the round-6
     recall cliff fix — plus packed codes and the persisted-index bench
     path) and the four streaming entries (state-partition sizing +
@@ -241,7 +244,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dedup→quality→budget chain's components are all in-window —
     exact_dedup, repetition, word_concentration — and the
     sampling/curation family is now represented in-window by
-    stratified_sample; green since round 3).
+    stratified_sample; green since round 3), and ``exact_dedup``
+    (sha256 groupBy, green since round 2; the dedup family stays
+    in-window via ngram_jaccard_capped, simhash_near,
+    embedding_near_dup, streaming_near_dedup, and
+    pagerank_centrality's edge build).
     Round 6 brought in: resize_targets, streaming_near_dedup,
     events_asof_attribution/recovery, events_range_proximity,
     events_cube, audio_features, ann_pq, bm25_incremental,
@@ -299,7 +306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_extract": q_keyword_extract,
         "decontaminate": q_decontaminate,
         "word_concentration": q_word_concentration,
-        "exact_dedup": q_exact_dedup,
+        "hybrid_rrf": q_hybrid_rrf,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "streaming_hourly": q_streaming_hourly,
         "simhash_near": q_simhash_near,
@@ -339,6 +346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20": q_tpch_q20,
         "tpch_q11": q_tpch_q11,
         "curate": q_curate,
+        "exact_dedup": q_exact_dedup,
         "parts_never_shipped": q_parts_never_shipped,
         "tpch_q18": q_tpch_q18,
         "sitemap_urls": q_sitemap_urls,

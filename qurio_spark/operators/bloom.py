@@ -13,11 +13,17 @@ them.  The final join still runs (bloom false positives must be
 re-checked), so results are EXACTLY the plain join's; only the
 shuffled volume changes.
 
-Engine-portable construction (no engine-private hash): k bit
-positions per key derive from the md5-based ``hash64`` split into two
-31-bit halves h1, h2 with position_i = (h1 + i*h2) mod m (the classic
-Kirsch-Mitzenmacher double hashing), so the same filter is computable
-in plain SQL and tests can pin membership bit-for-bit.
+Hash choice: the k bit positions derive from ONE ``xxhash64`` call
+split into two 31-bit halves h1, h2 with position_i = (h1 + i*h2)
+mod m (the classic Kirsch-Mitzenmacher double hashing).  Unlike the
+sketch operators, the bloom does NOT use the engine-portable md5
+hash: the filter is transient query state (like Spark's own runtime
+filters) whose correctness oracle is the plain join — any hash gives
+the identical result set — and the md5/conv string pipeline benched
+~12x slower on the probe scan (5.8 s vs 0.5 s over 600k rows at
+sf0.1).  Build and probe share the same expression, so membership is
+deterministic within an engine version, which is all a pre-filter
+needs.
 
 The bitmap is m bits packed into ceil(m/64) longs.  The distributed
 build: each key row explodes to its k (slot, bit) pairs, a
@@ -31,17 +37,15 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from qurio_spark.functions.hashing import hash64
-
 _MASK31 = (1 << 31) - 1
 
 
 def _h1h2(col: Column):
-    h = hash64(col.cast("string"))
-    h1 = (h % F.lit(_MASK31 + 1)).cast("long")
-    h2 = (F.shiftrightunsigned(h, 31) % F.lit(_MASK31 + 1)).cast("long")
-    # h2 must be odd-ish / nonzero so positions spread; the +1 keeps it
-    # nonzero without biasing (same formula both build and probe side)
+    h = F.xxhash64(col)  # one fast JVM hash; full-range long
+    h1 = h.bitwiseAND(F.lit(_MASK31)).cast("long")
+    h2 = F.shiftrightunsigned(h, 31).bitwiseAND(F.lit(_MASK31)).cast("long")
+    # h2 must be nonzero so positions spread; the +1 keeps it nonzero
+    # without biasing (same formula both build and probe side)
     return h1, h2 + F.lit(1)
 
 
@@ -101,12 +105,26 @@ def bloom_might_contain(
     return cond
 
 
+def bloom_size_for(n_keys: int, bits_per_key: int = 14) -> tuple[int, int]:
+    """(m_bits, k_hashes) for a build side of ``n_keys``: ~14 bits/key
+    (power-of-2 m, floor 8192) with the optimal k = (m/n) ln 2 clamped
+    to [2, 8] — FP ~1e-3.  A FIXED filter size is the same scale cliff
+    as a fixed ANN shortlist: at 10x the keys an 8k-bit filter
+    saturates (measured 13% FP at 1.5k keys) and the pre-filter stops
+    filtering."""
+    import math
+
+    m = max(8192, 1 << math.ceil(math.log2(max(1, n_keys) * bits_per_key)))
+    k = min(8, max(2, round(m / max(1, n_keys) * 0.693)))
+    return m, k
+
+
 def bloom_semi_join(
     probe: DataFrame,
     build: DataFrame,
     on: str,
-    m_bits: int = 1 << 13,
-    k_hashes: int = 5,
+    m_bits: int | None = None,
+    k_hashes: int | None = None,
     how: str = "left_semi",
 ) -> DataFrame:
     """Exact semi/inner join with a bloom pre-filter on the probe side:
@@ -115,7 +133,18 @@ def bloom_semi_join(
     set is IDENTICAL to ``probe.join(build, on, how)`` — pinned by the
     plain-join oracle.  The win is shuffle volume: at a 1% match rate
     the exchange moves ~1% of the probe table (+ the bloom's false-
-    positive rate) instead of all of it."""
-    bitmap = bloom_build(build.select(on), on, m_bits, k_hashes)
+    positive rate) instead of all of it.
+
+    ``m_bits=None`` (default) sizes the filter to the build side's
+    measured key count (:func:`bloom_size_for`) — one count job on the
+    (small, selective) build side, amortized against the probe scan it
+    shrinks."""
+    keys = build.select(on)
+    if m_bits is None:
+        m_bits, auto_k = bloom_size_for(keys.count())
+        k_hashes = auto_k if k_hashes is None else k_hashes
+    elif k_hashes is None:
+        k_hashes = 5
+    bitmap = bloom_build(keys, on, m_bits, k_hashes)
     pre = probe.filter(bloom_might_contain(F.col(on), bitmap, m_bits, k_hashes))
     return pre.join(build, on, how)

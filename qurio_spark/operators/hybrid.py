@@ -635,3 +635,73 @@ def hybrid_search_batch_ivf(
         .filter(F.col("_rn") <= k)
         .select(qid_col, id_col, "bm25_norm", "vec_norm", "score")
     )
+
+
+def hybrid_search_rrf(
+    docs: DataFrame,
+    query_text: str,
+    query_vec: list[float],
+    limit: int | None = None,
+    rrf_k: int = 60,
+    depth: int = 100,
+    filters: dict[str, str] | None = None,
+    settings: dict | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    bm25_index=None,
+) -> DataFrame:
+    """Reciprocal-rank fusion — the scoreless fusion mode next to the
+    reference's alpha/min-max (Q2): each branch contributes
+    1/(rrf_k + rank) for its top-``depth`` results, missing-from-list
+    contributes nothing.  Ranks are INTEGERS (ties broken by
+    stable-rounded score then id), so fusion is scale-free — immune to
+    the score-distribution mismatch min-max normalization papers over,
+    which is why RRF is the default hybrid combiner in several search
+    engines (Cormack et al., SIGIR 2009).
+
+    Scale shape: each branch ends in a TakeOrdered top-``depth`` (no
+    global sort, no corpus-wide rank), fusion is a full-outer join of
+    two depth-sized lists; ranks re-derive via a window over the tiny
+    shortlists.  Determinism note: every fused score is a sum of at
+    most two exactly-representable reciprocals of integers computed in
+    the same order on any engine — no float-aggregation-order hazard,
+    unlike score-sum fusion."""
+    from pyspark.sql.window import Window
+
+    _, k = resolve_params(None, limit, settings)
+    cand = apply_metadata_filters(docs, filters)
+    if bm25_index is not None and not filters:
+        kw = bm25_op.score_query_prebuilt(bm25_index, query_text)
+    else:
+        idx = bm25_op.build_index(cand, id_col, text_col)
+        kw = bm25_op.score_query(idx, query_text)
+
+    def branch_ranks(scored, score_col, rank_col):
+        top = (
+            scored.orderBy(
+                F.desc(stable_round(F.col(score_col), 6)), F.asc(id_col)
+            )
+            .limit(depth)
+        )
+        w = Window.orderBy(
+            F.desc(stable_round(F.col(score_col), 6)), F.asc(id_col)
+        )
+        return top.select(id_col, F.row_number().over(w).alias(rank_col))
+
+    b = branch_ranks(kw.filter(F.col("bm25") > 0), "bm25", "rb")
+    vec_scored = cand.select(
+        F.col(id_col), cosine(F.col(vec_col), literal_vector(query_vec)).alias("cos")
+    )
+    v = branch_ranks(vec_scored, "cos", "rv")
+    fused = b.join(v, id_col, "full").select(
+        F.col(id_col),
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("rb")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("rv")), F.lit(0.0))
+        ).alias("score"),
+    )
+    return (
+        fused.orderBy(F.desc(stable_round(F.col("score"), 6)), F.asc(id_col))
+        .limit(k)
+    )

@@ -803,6 +803,44 @@ SELECT vec_id, (floor(({_COS}) * 10000.0 + 0.5) / 10000.0) AS score
 FROM embeddings CROSS JOIN qv
 ORDER BY (floor(({_COS}) * 1000000.0 + 0.5) / 1000000.0) DESC, vec_id LIMIT 10""",
         "hybrid_topk": _hybrid_sql(alpha=0.5, k=10),
+        "hybrid_rrf": f"""
+WITH base AS (
+  SELECT d.doc_id, d.text, e.embedding
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+),
+{_QV},
+{_bm25_cte(base="base")},
+cos_scores AS (
+  SELECT b.doc_id, {_COS} AS cos FROM base b CROSS JOIN qv
+),
+b AS (
+  SELECT doc_id, rb FROM (
+    SELECT doc_id,
+           row_number() OVER (
+             ORDER BY (floor(bm25 * 1000000.0 + 0.5) / 1000000.0) DESC,
+                      doc_id ASC) AS rb
+    FROM bm25_scores WHERE bm25 > 0
+  ) WHERE rb <= 100
+),
+v AS (
+  SELECT doc_id, rv FROM (
+    SELECT doc_id,
+           row_number() OVER (
+             ORDER BY (floor(cos * 1000000.0 + 0.5) / 1000000.0) DESC,
+                      doc_id ASC) AS rv
+    FROM cos_scores
+  ) WHERE rv <= 100
+),
+f AS (
+  SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
+         coalesce(1.0 / (60 + rb), 0.0) + coalesce(1.0 / (60 + rv), 0.0)
+           AS score
+  FROM b FULL OUTER JOIN v ON b.doc_id = v.doc_id
+)
+SELECT doc_id, (floor(score * 1000000.0 + 0.5) / 1000000.0) AS score
+FROM f
+ORDER BY (floor(score * 1000000.0 + 0.5) / 1000000.0) DESC, doc_id
+LIMIT 10""",
         "hybrid_filtered": _hybrid_sql(alpha=0.3, k=5, lang_filter="en"),
         "batch_hybrid": _batch_hybrid_sql(alpha=0.5, k=5),
         # doc-set oracle: the pruned IVF path normalizes over its
@@ -989,7 +1027,8 @@ FROM events GROUP BY 1, 2""",
         # one-shot aggregation (mergeable-state contract); avg derives
         # from the states at read time
         "incremental_hourly": """
-SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour_key,
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_key,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour_key,
        event_type,
        count(*) AS n,
        (floor((CAST(sum(value) AS DOUBLE)) * 100.0 + 0.5) / 100.0)
@@ -1000,7 +1039,7 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour_key,
          AS min_value,
        (floor((CAST(max(value) AS DOUBLE)) * 100.0 + 0.5) / 100.0)
          AS max_value
-FROM events GROUP BY 1, 2""",
+FROM events GROUP BY 1, 2, 3""",
         # streaming twin: complete-mode windowed agg == the batch query
         "streaming_hourly": """
 SELECT date_trunc('hour', ts) AS hour, event_type,

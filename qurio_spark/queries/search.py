@@ -418,3 +418,20 @@ def q_ann_ivf(spark, sf_dir):
     return top.select("vec_id", stable_round("score", 4).alias("score"))
 
 
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Q2 with reciprocal-rank fusion (operators/hybrid.
+    hybrid_search_rrf): each branch's top-100 contributes
+    1/(60 + rank); integer ranks make the fusion scale-free and the
+    fused scores float-exact across engines (sums of two integer
+    reciprocals — no aggregation-order hazard), so the oracle unrolls
+    the same two ranked lists in SQL."""
+    from qurio_spark.operators.hybrid import hybrid_search_rrf
+
+    docs = _docs_with_vecs(spark, sf_dir)
+    res = hybrid_search_rrf(
+        docs, QUERY_TEXT, _qvec(spark, sf_dir), limit=10,
+        bm25_index=_hybrid_bm25_index(spark, sf_dir),
+    )
+    return res.select("doc_id", stable_round("score", 6).alias("score"))

@@ -659,3 +659,64 @@ def test_append_lsh_index(spark, sf_dir, tmp_path):
         for r in read_lsh_index(spark, full_path).bucketed.collect()
     }
     assert got == want
+
+
+class TestHybridRRF:
+    """Reciprocal-rank fusion (operators/hybrid.hybrid_search_rrf):
+    rank arithmetic against a driver-side reference, branch membership,
+    and the missing-from-one-list contribution rule."""
+
+    def test_matches_rank_reference(self, spark, sf_dir):
+        import __spark_entry__ as m
+        from qurio_spark.functions.numeric import stable_round
+        from qurio_spark.operators.hybrid import hybrid_search_rrf
+        from qurio_spark.operators import bm25 as bm25_op
+        from qurio_spark.operators.similarity import brute_force_topk
+
+        docs = m._docs_with_vecs(spark, sf_dir)
+        qvec = m._qvec(spark, sf_dir)
+        got = {
+            r["doc_id"]: r["score"]
+            for r in hybrid_search_rrf(
+                docs, m.QUERY_TEXT, qvec, limit=10
+            ).collect()
+        }
+
+        # reference ranks straight from the branch scorers
+        kw = bm25_op.score_query_inline(
+            docs.select("doc_id", "text"), m.QUERY_TEXT
+        )
+        brows = (
+            kw.filter("bm25 > 0")
+            .select("doc_id", stable_round("bm25", 6).alias("s"))
+            .collect()
+        )
+        border = [r["doc_id"] for r in sorted(brows, key=lambda r: (-r["s"], r["doc_id"]))][:100]
+        vrows = brute_force_topk(
+            docs.select(F.col("doc_id").alias("vec_id"), "embedding"), qvec,
+            k=100,
+        ).collect()
+        vorder = [r["vec_id"] for r in vrows]
+        want: dict = {}
+        for i, d in enumerate(border, 1):
+            want[d] = want.get(d, 0.0) + 1.0 / (60 + i)
+        for i, d in enumerate(vorder, 1):
+            want[d] = want.get(d, 0.0) + 1.0 / (60 + i)
+        top = sorted(want, key=lambda d: (-round(want[d], 6), d))[:10]
+        assert set(got) == set(top)
+        for d in got:
+            assert got[d] == pytest.approx(want[d], rel=1e-12)
+
+    def test_single_branch_doc_still_scores(self, spark, sf_dir):
+        """A doc in only one list gets exactly that branch's term."""
+        import __spark_entry__ as m
+        from qurio_spark.operators.hybrid import hybrid_search_rrf
+
+        docs = m._docs_with_vecs(spark, sf_dir)
+        res = hybrid_search_rrf(
+            docs, "zzzunmatchable qqqterms", m._qvec(spark, sf_dir), limit=5
+        ).collect()
+        # keyword branch empty -> pure vector ranks 1..5
+        assert [r["score"] for r in res] == [
+            pytest.approx(1.0 / (60 + i)) for i in range(1, 6)
+        ]
