@@ -74,3 +74,67 @@ def salted_broadcast_left(
     )
     fact_salted = with_salt(fact, salt_n)
     return fact_salted.join(F.broadcast(dim_salted), [on, "_salt"], "left").drop("_salt")
+
+
+def salted_shuffle_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    hot_keys: list | None = None,
+    salt_n: int = 16,
+    how: str = "inner",
+    auto_top: int = 20,
+    auto_counters: int = 256,
+) -> DataFrame:
+    """Targeted hot-key salting for a SHUFFLE join — the case neither
+    ``F.broadcast`` nor ``salted_broadcast_left`` covers: both sides
+    too big to broadcast/replicate wholesale, and a handful of keys own
+    enough rows that one reducer becomes the stage's tail.
+
+    Only HOT keys pay: hot left rows salt uniformly into ``salt_n``
+    buckets, hot right rows replicate ``salt_n`` ways; every cold key
+    keeps salt 0 on both sides — zero replication for the long tail
+    (contrast: salting everything multiplies the whole right side).
+    Each true pair still meets exactly once, so the result is
+    IDENTICAL to ``left.join(right, on, how)`` (parity-tested).
+
+    ``hot_keys=None`` detects them with the Misra-Gries sketch
+    (operators/sketches.heavy_hitters) over the LEFT side's keys —
+    fixed-size state, no exact pre-count — keeping keys whose
+    estimated share exceeds what one reducer should hold.  At 100 TB
+    this is the production loop: sketch once per input, salt only what
+    the sketch flags.  (AQE's skew split does this at runtime for
+    sort-merge joins; the explicit form also covers shuffled-hash
+    joins, persists the decision, and works when AQE is off.)
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    if hot_keys is None:
+        from qurio_spark.operators.sketches import heavy_hitters
+
+        hh = heavy_hitters(
+            left.select(on), on, k_counters=auto_counters, top=auto_top
+        ).collect()
+        # a key is worth salting when its (under)estimated count alone
+        # exceeds the error bound — i.e. it provably dominates n/k
+        hot_keys = [r["item"] for r in hh if r["est_count"] > r["err_bound"]]
+    if not hot_keys:
+        return left.join(right, on, how)
+    hot = [k for k in hot_keys]
+    l = left.withColumn(
+        "_salt",
+        F.when(
+            F.col(on).isin(hot),
+            F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_n)),
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    r = right.withColumn(
+        "_salts",
+        F.when(
+            F.col(on).isin(hot),
+            F.sequence(F.lit(0), F.lit(salt_n - 1)),
+        ).otherwise(F.array(F.lit(0))),
+    ).withColumn("_salt", F.explode("_salts")).drop("_salts")
+    return l.join(r, [on, "_salt"], how).drop("_salt")

@@ -172,3 +172,82 @@ class TestDedupLadderSkew:
             if f"c{c}_{a}" < f"c{c}_{b}"
         }
         assert per_pair == expected
+
+
+class TestSaltedShuffleJoin:
+    """salted_shuffle_join == the plain join on Zipf-skewed keys, with
+    only hot keys paying replication and the sketch-driven auto path."""
+
+    @pytest.fixture()
+    def zipf_pair(self, spark):
+        # key 'hot' owns 60% of the left side; right has rows per key
+        left = spark.createDataFrame(
+            [(("hot" if i % 5 < 3 else f"k{i % 97}"), i) for i in range(5000)],
+            "key string, lv long",
+        )
+        right = spark.createDataFrame(
+            [(f"k{j}", j * 10) for j in range(97)] + [("hot", -1), ("hot", -2)],
+            "key string, rv long",
+        )
+        return left, right
+
+    @pytest.mark.parametrize("how", ["inner", "left"])
+    def test_parity_with_plain_join(self, spark, zipf_pair, how):
+        from qurio_spark.operators.skew import salted_shuffle_join
+
+        left, right = zipf_pair
+        got = sorted(
+            tuple(r)
+            for r in salted_shuffle_join(
+                left, right, "key", hot_keys=["hot"], salt_n=8, how=how
+            ).collect()
+        )
+        want = sorted(tuple(r) for r in left.join(right, "key", how).collect())
+        assert got == want
+
+    def test_auto_detection_finds_the_hot_key(self, spark, zipf_pair):
+        from qurio_spark.operators.skew import salted_shuffle_join
+
+        left, right = zipf_pair
+        got = sorted(
+            tuple(r)
+            for r in salted_shuffle_join(left, right, "key", salt_n=8).collect()
+        )
+        want = sorted(tuple(r) for r in left.join(right, "key").collect())
+        assert got == want
+
+    def test_hot_key_spreads_cold_keys_do_not_replicate(self, spark, zipf_pair):
+        from qurio_spark.operators.skew import salted_shuffle_join
+        from pyspark.sql import functions as F
+
+        left, right = zipf_pair
+        # inspect the salted left side: the hot key must span many salt
+        # buckets, cold keys exactly one (salt 0)
+        l = left.withColumn(
+            "_salt",
+            F.when(
+                F.col("key").isin(["hot"]),
+                F.pmod(F.xxhash64("key", "lv"), F.lit(8)),
+            ).otherwise(F.lit(0)).cast("int"),
+        )
+        spread = (
+            l.groupBy("key").agg(F.countDistinct("_salt").alias("s")).collect()
+        )
+        by_key = {r["key"]: r["s"] for r in spread}
+        assert by_key["hot"] == 8
+        assert all(v == 1 for k, v in by_key.items() if k != "hot")
+
+    def test_no_hot_keys_degrades_to_plain_join(self, spark, zipf_pair):
+        from qurio_spark.operators.skew import salted_shuffle_join
+
+        left, right = zipf_pair
+        out = salted_shuffle_join(left, right, "key", hot_keys=[])
+        assert "_salt" not in out.columns
+        assert out.count() == left.join(right, "key").count()
+
+    def test_bad_how_raises(self, spark, zipf_pair):
+        from qurio_spark.operators.skew import salted_shuffle_join
+
+        left, right = zipf_pair
+        with pytest.raises(ValueError, match="inner|left"):
+            salted_shuffle_join(left, right, "key", hot_keys=["hot"], how="full")
