@@ -171,6 +171,7 @@ from qurio_spark.queries.relational import (  # noqa: F401
     q_tpch_q12,
     q_tpch_q13,
     q_tpch_q14,
+    q_time_travel,
     q_tpch_q18,
     q_tpch_q19,
 )
@@ -223,9 +224,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``bloom_semi_join`` (distributed-built bloom runtime filter; plain
     semi-join oracle), ``incremental_hourly`` (additive materialized
     agg-view refresh == one-shot recompute), ``stratified_sample``
-    (exact-n per-stratum hash-rank holdout), and ``hybrid_rrf``
+    (exact-n per-stratum hash-rank holdout), ``hybrid_rrf``
     (reciprocal-rank fusion over the two branches' top-100 lists —
-    integer ranks, float-exact fused scores).  CHANGED-in-place
+    integer ranks, float-exact fused scores), and ``time_travel``
+    (manifest-versioned snapshot table: v0 read == first batch, latest
+    == all, pinned files invisible to later commits).  CHANGED-in-place
     (already in-window): ``ann_pq`` (adaptive shortlist — the round-6
     recall cliff fix — plus packed codes and the persisted-index bench
     path) and the four streaming entries (state-partition sizing +
@@ -248,7 +251,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (sha256 groupBy, green since round 2; the dedup family stays
     in-window via ngram_jaccard_capped, simhash_near,
     embedding_near_dup, streaming_near_dedup, and
-    pagerank_centrality's edge build).
+    pagerank_centrality's edge build), and ``filter_offset``
+    (limit/offset pagination, green since round 1; the filter family
+    stays in-window via filter_equality and source_list).
     Round 6 brought in: resize_targets, streaming_near_dedup,
     events_asof_attribution/recovery, events_range_proximity,
     events_cube, audio_features, ann_pq, bm25_incremental,
@@ -289,7 +294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- driver-checked window (all oracle-backed) ----------------
         "source_list": q_source_list,
         "filter_equality": q_filter_equality,
-        "filter_offset": q_filter_offset,
+        "time_travel": q_time_travel,
         "stats_fanin": q_stats_fanin,
         "dedup_anti_join": q_dedup_anti_join,
         "read_page": q_read_page,
@@ -347,6 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q11": q_tpch_q11,
         "curate": q_curate,
         "exact_dedup": q_exact_dedup,
+        "filter_offset": q_filter_offset,
         "parts_never_shipped": q_parts_never_shipped,
         "tpch_q18": q_tpch_q18,
         "sitemap_urls": q_sitemap_urls,

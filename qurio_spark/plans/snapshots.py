@@ -1,0 +1,179 @@
+"""Snapshot table format: versioned manifests over immutable parquet —
+time travel, atomic visibility, and safe vacuum without a table-format
+dependency.
+
+Plain ``mode("append")`` parquet gives readers no isolation (a reader
+listing mid-write sees half a commit), no history, and no safe way to
+delete: the directory IS the table.  The lakehouse fix (Delta/Iceberg)
+is to make the MANIFEST the table: data files are immutable, each
+commit writes new files plus a new manifest (the authoritative file
+list), and readers pin one manifest — concurrent writers never change
+what an open reader sees.  This module is that idea at its smallest:
+
+  - ``<path>/data/c{N}-*.parquet``  immutable data files, never edited
+  - ``<path>/_manifests/v{N}.json`` file list + op + parent version
+  - ``<path>/_manifests/_latest``   current version (atomic rename)
+
+``snap_append`` adds files to the previous manifest's list;
+``snap_overwrite`` starts a fresh list (old files stay on disk for
+time travel until vacuumed).  ``snap_read(version=...)`` reads any
+retained version; ``snap_vacuum`` deletes only files unreachable from
+the retained manifests.  Commits are atomic for readers via
+write-temp-then-rename of the manifest pointer.
+
+Scope honesty: single-writer (no distributed commit lock — Delta uses
+an atomic log-store contract for that); local filesystem paths (an
+object-store port swaps the os calls for the store's list/rename).
+Readers are fully isolated and distributed: ``snap_read`` hands Spark
+the pinned file list, so scans parallelize exactly like any parquet
+read, and a version's file list never changes after commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _mdir(path: str) -> str:
+    return os.path.join(path, "_manifests")
+
+
+def _latest_version(path: str) -> int | None:
+    p = os.path.join(_mdir(path), "_latest")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(f.read().strip())
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(os.path.join(_mdir(path), f"v{version}.json")) as f:
+        return json.load(f)
+
+
+def _commit(path: str, version: int, manifest: dict) -> None:
+    os.makedirs(_mdir(path), exist_ok=True)
+    mpath = os.path.join(_mdir(path), f"v{version}.json")
+    tmp = mpath + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.rename(tmp, mpath)
+    lpath = os.path.join(_mdir(path), "_latest")
+    ltmp = lpath + f".tmp-{uuid.uuid4().hex}"
+    with open(ltmp, "w") as f:
+        f.write(str(version))
+    os.rename(ltmp, lpath)  # the atomic visibility point
+
+
+def _write_data_files(df: DataFrame, path: str, commit_id: int) -> list[str]:
+    """Write the frame as immutable files under data/ and return their
+    table-relative names.  A staging dir keeps half-written files out
+    of data/ listings (data/ is never listed by readers anyway — the
+    manifest is authoritative — but clean dirs make vacuum auditable)."""
+    staging = os.path.join(path, f"_staging-{commit_id}-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    names = []
+    for f in sorted(os.listdir(staging)):
+        if not f.endswith(".parquet"):
+            continue
+        name = f"c{commit_id}-{f}"
+        os.rename(os.path.join(staging, f), os.path.join(data_dir, name))
+        names.append(f"data/{name}")
+    # drop the staging leftovers (_SUCCESS etc.)
+    for f in os.listdir(staging):
+        os.remove(os.path.join(staging, f))
+    os.rmdir(staging)
+    return names
+
+
+def _snap_commit(df: DataFrame, path: str, op: str) -> int:
+    prev = _latest_version(path)
+    version = 0 if prev is None else prev + 1
+    new_files = _write_data_files(df, path, version)
+    if op == "append" and prev is not None:
+        files = _read_manifest(path, prev)["files"] + new_files
+    else:
+        files = new_files
+    _commit(
+        path, version,
+        {"version": version, "op": op, "parent": prev, "files": files},
+    )
+    return version
+
+
+def snap_append(df: DataFrame, path: str) -> int:
+    """Commit ``df``'s rows as a new version containing old + new
+    files.  Returns the committed version number."""
+    return _snap_commit(df, path, "append")
+
+
+def snap_overwrite(df: DataFrame, path: str) -> int:
+    """Commit ``df`` as the table's full new content.  Replaced files
+    stay on disk (older versions remain readable) until vacuum."""
+    return _snap_commit(df, path, "overwrite")
+
+
+def snap_versions(path: str) -> list[dict]:
+    """[{version, op, parent, n_files}] oldest-first for every
+    retained manifest."""
+    if not os.path.isdir(_mdir(path)):
+        return []
+    out = []
+    for f in sorted(os.listdir(_mdir(path))):
+        if f.startswith("v") and f.endswith(".json"):
+            m = _read_manifest(path, int(f[1:-5]))
+            out.append(
+                {
+                    "version": m["version"], "op": m["op"],
+                    "parent": m["parent"], "n_files": len(m["files"]),
+                }
+            )
+    return sorted(out, key=lambda m: m["version"])
+
+
+def snap_read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """Read the table at ``version`` (default: latest).  The pinned
+    file list comes from the manifest — never a directory listing — so
+    later commits are invisible to this frame even if executed while
+    it is still being consumed."""
+    v = _latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshot table at {path}")
+    m = _read_manifest(path, v)
+    if not m["files"]:
+        raise ValueError(f"version {v} of {path} is empty")
+    return spark.read.parquet(*[os.path.join(path, f) for f in m["files"]])
+
+
+def snap_vacuum(path: str, keep_last: int = 1) -> list[str]:
+    """Delete data files unreachable from the newest ``keep_last``
+    manifests (and drop the older manifests).  Returns deleted file
+    names.  Never touches a file any retained version references —
+    the correctness property pinned in tests."""
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    latest = _latest_version(path)
+    if latest is None:
+        return []
+    keep_versions = [v for v in range(latest - keep_last + 1, latest + 1) if v >= 0]
+    reachable = set()
+    for v in keep_versions:
+        reachable.update(_read_manifest(path, v)["files"])
+    deleted = []
+    data_dir = os.path.join(path, "data")
+    for f in sorted(os.listdir(data_dir)) if os.path.isdir(data_dir) else []:
+        rel = f"data/{f}"
+        if rel not in reachable:
+            os.remove(os.path.join(data_dir, f))
+            deleted.append(rel)
+    for f in os.listdir(_mdir(path)):
+        if f.startswith("v") and f.endswith(".json"):
+            if int(f[1:-5]) not in keep_versions:
+                os.remove(os.path.join(_mdir(path), f))
+    return deleted

@@ -1362,6 +1362,22 @@ WHERE l_orderkey IN (
   SELECT o_orderkey FROM orders WHERE o_totalprice > 494000.0
 )
 GROUP BY l_returnflag""",
+        # manifest pinning contract: v0 == first batch, latest == all
+        "time_travel": """
+WITH m AS (SELECT max(o_orderkey) // 2 AS mid FROM orders),
+v0 AS (
+  SELECT count(*) AS v0_n,
+         (floor(CAST(sum(o_totalprice) AS DOUBLE) * 100.0 + 0.5) / 100.0)
+           AS v0_revenue
+  FROM orders, m WHERE o_orderkey <= mid
+),
+cur AS (
+  SELECT count(*) AS n,
+         (floor(CAST(sum(o_totalprice) AS DOUBLE) * 100.0 + 0.5) / 100.0)
+           AS revenue
+  FROM orders
+)
+SELECT v0_n, v0_revenue, n, revenue FROM v0 CROSS JOIN cur""",
         "tpch_q16": """
 SELECT p_brand, p_type, p_size,
        count(DISTINCT l_suppkey) AS supplier_cnt

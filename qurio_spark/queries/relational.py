@@ -217,3 +217,32 @@ def q_bloom_semi_join(spark, sf_dir):
         F.count("*").alias("n_items"),
         stable_round(F.sum("l_extendedprice"), 2).alias("revenue"),
     )
+
+
+def q_time_travel(spark, sf_dir):
+    """Snapshot table format e2e (plans/snapshots.py): orders commit
+    as two appends into a manifest-versioned table; the query reads
+    BOTH version 0 (time travel — files pinned by the v0 manifest,
+    invisible to later commits) and latest, returning one row of
+    paired aggregates.  Oracle: v0 == the first batch's aggregation,
+    latest == the full table's — which is exactly what manifest
+    pinning must guarantee."""
+    import tempfile
+
+    from qurio_spark.plans.snapshots import snap_append, snap_read
+
+    path = f"{tempfile.mkdtemp(prefix='qurio-snap-')}/orders"
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    mid = o.agg(F.max("o_orderkey")).first()[0] // 2
+    snap_append(o.filter(F.col("o_orderkey") <= mid), path)
+    snap_append(o.filter(F.col("o_orderkey") > mid), path)
+
+    v0 = snap_read(spark, path, 0).agg(
+        F.count("*").alias("v0_n"),
+        stable_round(F.sum("o_totalprice"), 2).alias("v0_revenue"),
+    )
+    cur = snap_read(spark, path).agg(
+        F.count("*").alias("n"),
+        stable_round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    return v0.crossJoin(cur)

@@ -1,0 +1,89 @@
+"""plans/snapshots.py: manifest-pinned reads (time travel + isolation
+from later commits), append/overwrite lineage, vacuum reachability,
+and data-file immutability."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from qurio_spark.plans.snapshots import (
+    snap_append,
+    snap_overwrite,
+    snap_read,
+    snap_vacuum,
+    snap_versions,
+)
+
+
+def _rows(df):
+    return sorted(r["v"] for r in df.collect())
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "snap")
+    v0 = snap_append(spark.range(0, 5).select(F.col("id").alias("v")), path)
+    v1 = snap_append(spark.range(5, 8).select(F.col("id").alias("v")), path)
+    v2 = snap_overwrite(spark.range(100, 103).select(F.col("id").alias("v")), path)
+    assert (v0, v1, v2) == (0, 1, 2)
+    return path
+
+
+def test_time_travel_reads_every_version(spark, table):
+    assert _rows(snap_read(spark, table, 0)) == list(range(5))
+    assert _rows(snap_read(spark, table, 1)) == list(range(8))
+    assert _rows(snap_read(spark, table, 2)) == [100, 101, 102]
+    assert _rows(snap_read(spark, table)) == [100, 101, 102]  # latest
+    assert [m["op"] for m in snap_versions(table)] == [
+        "append", "append", "overwrite",
+    ]
+
+
+def test_open_reader_isolated_from_later_commits(spark, table):
+    """A frame pinned to a version must not see a commit that lands
+    after it was opened — the manifest IS the table."""
+    pinned = snap_read(spark, table, 1)
+    snap_append(spark.range(1000, 1002).select(F.col("id").alias("v")), table)
+    assert _rows(pinned) == list(range(8))
+    assert _rows(snap_read(spark, table)) == [100, 101, 102, 1000, 1001]
+
+
+def test_data_files_immutable_across_commits(spark, table):
+    data = os.path.join(table, "data")
+    before = {f: os.path.getmtime(os.path.join(data, f)) for f in os.listdir(data)}
+    snap_append(spark.range(7).select(F.col("id").alias("v")), table)
+    after = {f: os.path.getmtime(os.path.join(data, f)) for f in before}
+    assert after == before
+
+
+def test_vacuum_deletes_only_unreachable(spark, table):
+    deleted = snap_vacuum(table, keep_last=2)
+    # retained v1 still references v0's c0-* files (append lineage),
+    # so NOTHING is deletable even though v0's manifest is dropped —
+    # reachability, not age, decides
+    assert deleted == []
+    assert _rows(snap_read(spark, table, 1)) == list(range(8))
+    assert _rows(snap_read(spark, table, 2)) == [100, 101, 102]
+    with pytest.raises(FileNotFoundError):
+        snap_read(spark, table, 0)  # manifest gone, data kept for v1
+
+
+def test_vacuum_keep_last_1_leaves_only_latest(spark, table):
+    snap_vacuum(table, keep_last=1)
+    assert [m["version"] for m in snap_versions(table)] == [2]
+    assert _rows(snap_read(spark, table)) == [100, 101, 102]
+    data = os.path.join(table, "data")
+    # every surviving file is referenced by v2
+    assert all(f.startswith("c2-") for f in os.listdir(data))
+
+
+def test_missing_table_and_bad_args(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        snap_read(spark, str(tmp_path / "nope"))
+    path = str(tmp_path / "t")
+    snap_append(spark.range(1).select(F.col("id").alias("v")), path)
+    with pytest.raises(ValueError, match="keep_last"):
+        snap_vacuum(path, keep_last=0)
