@@ -69,27 +69,59 @@ def _commit(path: str, version: int, manifest: dict) -> None:
     os.rename(ltmp, lpath)  # the atomic visibility point
 
 
-def _write_data_files(df: DataFrame, path: str, commit_id: int) -> list[str]:
+def _file_stats(fpath: str) -> dict:
+    """Per-file column min/max from the parquet footer (json-safe
+    columns only: ints, floats, strings) — the manifest-level data-
+    skipping stats, gathered once at commit time from metadata the
+    writer already produced.  Columns without footer statistics are
+    simply absent (absent = not skippable, never wrong)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(fpath).metadata
+    stats: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for c in range(g.num_columns):
+            col = g.column(c)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes) or isinstance(mx, bytes):
+                continue
+            if not isinstance(mn, (int, float, str)):
+                continue
+            name = col.path_in_schema
+            if name in stats:
+                stats[name] = [min(stats[name][0], mn), max(stats[name][1], mx)]
+            else:
+                stats[name] = [mn, mx]
+    return stats
+
+
+def _write_data_files(df: DataFrame, path: str, commit_id: int) -> list[dict]:
     """Write the frame as immutable files under data/ and return their
-    table-relative names.  A staging dir keeps half-written files out
-    of data/ listings (data/ is never listed by readers anyway — the
-    manifest is authoritative — but clean dirs make vacuum auditable)."""
+    manifest entries ({name, stats}).  A staging dir keeps
+    half-written files out of data/ listings (data/ is never listed by
+    readers anyway — the manifest is authoritative — but clean dirs
+    make vacuum auditable)."""
     staging = os.path.join(path, f"_staging-{commit_id}-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
     data_dir = os.path.join(path, "data")
     os.makedirs(data_dir, exist_ok=True)
-    names = []
+    entries = []
     for f in sorted(os.listdir(staging)):
         if not f.endswith(".parquet"):
             continue
         name = f"c{commit_id}-{f}"
-        os.rename(os.path.join(staging, f), os.path.join(data_dir, name))
-        names.append(f"data/{name}")
+        dest = os.path.join(data_dir, name)
+        os.rename(os.path.join(staging, f), dest)
+        entries.append({"name": f"data/{name}", "stats": _file_stats(dest)})
     # drop the staging leftovers (_SUCCESS etc.)
     for f in os.listdir(staging):
         os.remove(os.path.join(staging, f))
     os.rmdir(staging)
-    return names
+    return entries
 
 
 def _snap_commit(df: DataFrame, path: str, op: str) -> int:
@@ -137,6 +169,10 @@ def snap_versions(path: str) -> list[dict]:
     return sorted(out, key=lambda m: m["version"])
 
 
+def _entry_name(e) -> str:
+    return e["name"] if isinstance(e, dict) else e
+
+
 def snap_read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
     """Read the table at ``version`` (default: latest).  The pinned
     file list comes from the manifest — never a directory listing — so
@@ -148,7 +184,53 @@ def snap_read(spark: SparkSession, path: str, version: int | None = None) -> Dat
     m = _read_manifest(path, v)
     if not m["files"]:
         raise ValueError(f"version {v} of {path} is empty")
-    return spark.read.parquet(*[os.path.join(path, f) for f in m["files"]])
+    return spark.read.parquet(
+        *[os.path.join(path, _entry_name(e)) for e in m["files"]]
+    )
+
+
+def snap_scan(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> DataFrame:
+    """Predicate scan with MANIFEST-LEVEL data skipping: files whose
+    footer [min, max] for ``col`` (gathered at commit into the
+    manifest) cannot intersect [lo, hi] are never handed to Spark at
+    all — pruning happens before any file is opened, the same layer
+    Delta/Iceberg prune at (parquet row-group pruning only helps after
+    the footer read; at 100 TB the file LISTING is the cost).  Files
+    without stats for ``col`` are kept (absent = not skippable), and
+    the residual filter still applies, so results are exact."""
+    v = _latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshot table at {path}")
+    m = _read_manifest(path, v)
+    keep = []
+    for e in m["files"]:
+        st = e.get("stats", {}).get(col) if isinstance(e, dict) else None
+        if st is not None:
+            mn, mx = st
+            if lo is not None and mx < lo:
+                continue
+            if hi is not None and mn > hi:
+                continue
+        keep.append(_entry_name(e))
+    if not keep:  # provably empty under the predicate
+        base = snap_read(spark, path, v).limit(0)
+    else:
+        base = spark.read.parquet(*[os.path.join(path, f) for f in keep])
+    from pyspark.sql import functions as F
+
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (F.col(col) >= F.lit(lo))
+    if hi is not None:
+        cond = cond & (F.col(col) <= F.lit(hi))
+    return base.filter(cond)
 
 
 def snap_vacuum(path: str, keep_last: int = 1) -> list[str]:
@@ -164,7 +246,9 @@ def snap_vacuum(path: str, keep_last: int = 1) -> list[str]:
     keep_versions = [v for v in range(latest - keep_last + 1, latest + 1) if v >= 0]
     reachable = set()
     for v in keep_versions:
-        reachable.update(_read_manifest(path, v)["files"])
+        reachable.update(
+            _entry_name(e) for e in _read_manifest(path, v)["files"]
+        )
     deleted = []
     data_dir = os.path.join(path, "data")
     for f in sorted(os.listdir(data_dir)) if os.path.isdir(data_dir) else []:

@@ -87,3 +87,66 @@ def test_missing_table_and_bad_args(spark, tmp_path):
     snap_append(spark.range(1).select(F.col("id").alias("v")), path)
     with pytest.raises(ValueError, match="keep_last"):
         snap_vacuum(path, keep_last=0)
+
+
+class TestDataSkipping:
+    """snap_scan: manifest-level min/max pruning — files outside the
+    predicate range are never handed to Spark, results stay exact."""
+
+    @pytest.fixture()
+    def ranged(self, spark, tmp_path):
+        path = str(tmp_path / "ranged")
+        # three commits with disjoint value ranges -> 3+ files with
+        # non-overlapping stats
+        for lo in (0, 1000, 2000):
+            snap_append(
+                spark.range(lo, lo + 100).select(F.col("id").alias("v"))
+                .coalesce(1),
+                path,
+            )
+        return path
+
+    def test_prunes_files_and_stays_exact(self, spark, ranged):
+        from qurio_spark.plans.snapshots import snap_scan
+
+        out = snap_scan(spark, ranged, "v", lo=1000, hi=1099)
+        assert sorted(r["v"] for r in out.collect()) == list(range(1000, 1100))
+        assert len(out.inputFiles()) == 1  # two of three files skipped
+
+        partial = snap_scan(spark, ranged, "v", lo=1050, hi=2050)
+        assert sorted(r["v"] for r in partial.collect()) == list(
+            range(1050, 1100)
+        ) + list(range(2000, 2051))
+        assert len(partial.inputFiles()) == 2
+
+    def test_provably_empty_range_reads_nothing(self, spark, ranged):
+        from qurio_spark.plans.snapshots import snap_scan
+
+        out = snap_scan(spark, ranged, "v", lo=5000, hi=6000)
+        assert out.count() == 0
+
+    def test_missing_stats_keep_files(self, spark, ranged):
+        import json
+
+        from qurio_spark.plans.snapshots import snap_scan
+
+        out = snap_scan(spark, ranged, "v", lo=0, hi=3000)
+        assert len(out.inputFiles()) == 3
+        # strip the stats from the manifest: absent stats must mean
+        # "not skippable", never "skip" — results identical, no pruning
+        mpath = os.path.join(ranged, "_manifests", "v2.json")
+        m = json.load(open(mpath))
+        for e in m["files"]:
+            e["stats"] = {}
+        json.dump(m, open(mpath, "w"))
+        out2 = snap_scan(spark, ranged, "v", lo=1000, hi=1099)
+        assert len(out2.inputFiles()) == 3  # nothing pruned...
+        assert sorted(r["v"] for r in out2.collect()) == list(
+            range(1000, 1100)
+        )  # ...results exact anyway (residual filter)
+
+    def test_time_travel_scan(self, spark, ranged):
+        from qurio_spark.plans.snapshots import snap_scan
+
+        v0 = snap_scan(spark, ranged, "v", lo=0, hi=5000, version=0)
+        assert v0.count() == 100
