@@ -261,3 +261,41 @@ def snap_vacuum(path: str, keep_last: int = 1) -> list[str]:
             if int(f[1:-5]) not in keep_versions:
                 os.remove(os.path.join(_mdir(path), f))
     return deleted
+
+
+def snap_diff(
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int | None = None,
+) -> DataFrame:
+    """Change-data feed between two versions: full rows tagged
+    ``_change`` in {insert, delete} (an update appears as delete +
+    insert — this format has no row identity, so value-level diff is
+    the honest contract).  Computed as two anti-joins over the version
+    reads; FILE-level reuse makes it cheap for append-only history:
+    files present in both manifests cancel out and are never read."""
+    from pyspark.sql import functions as F
+
+    v_to = _latest_version(path) if v_to is None else v_to
+    m_from = {_entry_name(e) for e in _read_manifest(path, v_from)["files"]}
+    m_to = {_entry_name(e) for e in _read_manifest(path, v_to)["files"]}
+    only_from = sorted(m_from - m_to)
+    only_to = sorted(m_to - m_from)
+
+    def read(files):
+        return spark.read.parquet(*[os.path.join(path, f) for f in files])
+
+    schema_src = next(iter(m_to | m_from))
+    empty = spark.read.parquet(os.path.join(path, schema_src)).limit(0)
+    added = read(only_to) if only_to else empty
+    removed = read(only_from) if only_from else empty
+    cols = added.columns
+    # value-level cancel: a row moved between files is not a change
+    ins = added.join(removed, cols, "left_anti").withColumn(
+        "_change", F.lit("insert")
+    )
+    del_ = removed.join(added, cols, "left_anti").withColumn(
+        "_change", F.lit("delete")
+    )
+    return ins.unionByName(del_)

@@ -150,3 +150,33 @@ class TestDataSkipping:
 
         v0 = snap_scan(spark, ranged, "v", lo=0, hi=5000, version=0)
         assert v0.count() == 100
+
+
+class TestSnapDiff:
+    def test_append_diff_is_pure_insert(self, spark, table):
+        from qurio_spark.plans.snapshots import snap_diff
+
+        d = snap_diff(spark, table, 0, 1)
+        rows = sorted((r["v"], r["_change"]) for r in d.collect())
+        assert rows == [(v, "insert") for v in range(5, 8)]
+
+    def test_overwrite_diff_has_both_sides(self, spark, table):
+        from qurio_spark.plans.snapshots import snap_diff
+
+        d = snap_diff(spark, table, 1, 2)
+        ins = sorted(r["v"] for r in d.collect() if r["_change"] == "insert")
+        dels = sorted(r["v"] for r in d.collect() if r["_change"] == "delete")
+        assert ins == [100, 101, 102]
+        assert dels == list(range(8))
+
+    def test_unchanged_rows_cancel(self, spark, tmp_path):
+        from qurio_spark.plans.snapshots import snap_diff, snap_overwrite
+
+        path = str(tmp_path / "cdc")
+        snap_overwrite(spark.range(0, 10).select(F.col("id").alias("v")), path)
+        # rewrite the same rows + one new: only the new row is a change
+        snap_overwrite(spark.range(0, 11).select(F.col("id").alias("v")), path)
+        d = snap_diff(spark, path, 0, 1)
+        assert sorted((r["v"], r["_change"]) for r in d.collect()) == [
+            (10, "insert")
+        ]
