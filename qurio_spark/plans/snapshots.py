@@ -299,3 +299,52 @@ def snap_diff(
         "_change", F.lit("delete")
     )
     return ins.unionByName(del_)
+
+
+def snap_append_txn(
+    df: DataFrame, path: str, app_id: str, batch_id: int
+) -> int | None:
+    """Idempotent append — the exactly-once building block for
+    streaming sinks (the Delta ``txn`` pattern): each manifest carries
+    the highest committed ``batch_id`` per ``app_id``; a replayed
+    batch (micro-batch retry after a sink failure, checkpoint
+    recovery) is detected and SKIPPED, so foreachBatch's at-least-once
+    delivery becomes exactly-once at the table.  Returns the committed
+    version, or None for a detected replay."""
+    prev = _latest_version(path)
+    if prev is not None:
+        txn = _read_manifest(path, prev).get("txn", {})
+        if txn.get(app_id, -1) >= batch_id:
+            return None  # replay: this batch is already in the table
+    version = 0 if prev is None else prev + 1
+    new_files = _write_data_files(df, path, version)
+    if prev is not None:
+        m_prev = _read_manifest(path, prev)
+        files = m_prev["files"] + new_files
+        txn = dict(m_prev.get("txn", {}))
+    else:
+        files, txn = new_files, {}
+    txn[app_id] = batch_id
+    _commit(
+        path, version,
+        {"version": version, "op": "append", "parent": prev,
+         "files": files, "txn": txn},
+    )
+    return version
+
+
+def snapshot_sink(stream_df: DataFrame, path: str, app_id: str, checkpoint: str):
+    """Structured Streaming -> snapshot table with exactly-once
+    semantics: foreachBatch is at-least-once (a batch can re-run after
+    a sink crash), and ``snap_append_txn`` makes the duplicate commit
+    a no-op.  Each micro-batch is also one ATOMIC table version —
+    readers never see a torn batch (plain parquet appends give
+    neither property)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        snap_append_txn(batch_df, path, app_id, batch_id)
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+    )

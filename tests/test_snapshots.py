@@ -180,3 +180,50 @@ class TestSnapDiff:
         assert sorted((r["v"], r["_change"]) for r in d.collect()) == [
             (10, "insert")
         ]
+
+
+class TestExactlyOnceSink:
+    def test_replayed_batch_is_skipped(self, spark, tmp_path):
+        from qurio_spark.plans.snapshots import snap_append_txn
+
+        path = str(tmp_path / "txn")
+        df = spark.range(5).select(F.col("id").alias("v"))
+        assert snap_append_txn(df, path, "app", 0) == 0
+        assert snap_append_txn(df, path, "app", 0) is None  # replay
+        assert _rows(snap_read(spark, path)) == list(range(5))
+        assert snap_append_txn(df, path, "app", 1) == 1  # next batch ok
+        assert snap_read(spark, path).count() == 10
+        # a DIFFERENT app's batch 0 is not a replay
+        from qurio_spark.plans.snapshots import _read_manifest
+
+        assert snap_append_txn(df, path, "other", 0) == 2
+        assert _read_manifest(path, 2)["txn"] == {"app": 1, "other": 0}
+
+    def test_streaming_sink_end_to_end(self, spark, tmp_path):
+        """Two availableNow runs over a file source sharing one
+        checkpoint: the second run commits ONLY the new files' batch,
+        and the table's versions are one-per-micro-batch."""
+        from qurio_spark.plans.snapshots import snap_versions, snapshot_sink
+        from qurio_spark.streaming.ingest import streaming_state_partitions
+
+        base = str(tmp_path)
+        in_dir, path, ckpt = f"{base}/in", f"{base}/snap", f"{base}/ckpt"
+
+        def run(lo, hi):
+            spark.range(lo, hi).select(F.col("id").alias("v")).coalesce(
+                1
+            ).write.mode("append").parquet(in_dir)
+            stream = spark.readStream.schema("v long").parquet(in_dir)
+            q = (
+                snapshot_sink(stream, path, "ingest", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        with streaming_state_partitions(spark, 4):
+            run(0, 10)
+            run(10, 15)
+        assert _rows(snap_read(spark, path)) == list(range(15))
+        assert len(snap_versions(path)) == 2
+        assert _rows(snap_read(spark, path, 0)) == list(range(10))
