@@ -171,6 +171,7 @@ from qurio_spark.queries.relational import (  # noqa: F401
     q_tpch_q12,
     q_tpch_q13,
     q_tpch_q14,
+    q_snap_scan,
     q_time_travel,
     q_tpch_q18,
     q_tpch_q19,
@@ -226,9 +227,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     agg-view refresh == one-shot recompute), ``stratified_sample``
     (exact-n per-stratum hash-rank holdout), ``hybrid_rrf``
     (reciprocal-rank fusion over the two branches' top-100 lists —
-    integer ranks, float-exact fused scores), and ``time_travel``
+    integer ranks, float-exact fused scores), ``time_travel``
     (manifest-versioned snapshot table: v0 read == first batch, latest
-    == all, pinned files invisible to later commits).  CHANGED-in-place
+    == all, pinned files invisible to later commits), and ``snap_scan``
+    (manifest-stats data skipping: pruned scan == plain BETWEEN).
+    CHANGED-in-place
     (already in-window): ``ann_pq`` (adaptive shortlist — the round-6
     recall cliff fix — plus packed codes and the persisted-index bench
     path) and the four streaming entries (state-partition sizing +
@@ -253,7 +256,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     embedding_near_dup, streaming_near_dedup, and
     pagerank_centrality's edge build), and ``filter_offset``
     (limit/offset pagination, green since round 1; the filter family
-    stays in-window via filter_equality and source_list).
+    stays in-window via filter_equality and source_list), and
+    ``source_completion`` (status-derivation agg, green since round 2;
+    the crawl family stays in-window via link_filter_chain).
     Round 6 brought in: resize_targets, streaming_near_dedup,
     events_asof_attribution/recovery, events_range_proximity,
     events_cube, audio_features, ann_pq, bm25_incremental,
@@ -332,7 +337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_left": q_events_range_left,
         "stratified_sample": q_stratified_sample,
         "link_filter_chain": q_link_filter_chain,
-        "source_completion": q_source_completion,
+        "snap_scan": q_snap_scan,
         "events_range_proximity": q_events_range_proximity,
         "events_asof_recovery": q_events_asof_recovery,
         "events_histogram": q_events_histogram,
@@ -353,6 +358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate": q_curate,
         "exact_dedup": q_exact_dedup,
         "filter_offset": q_filter_offset,
+        "source_completion": q_source_completion,
         "parts_never_shipped": q_parts_never_shipped,
         "tpch_q18": q_tpch_q18,
         "sitemap_urls": q_sitemap_urls,

@@ -1362,6 +1362,15 @@ WHERE l_orderkey IN (
   SELECT o_orderkey FROM orders WHERE o_totalprice > 494000.0
 )
 GROUP BY l_returnflag""",
+        # data-skipping contract: pruned scan == plain BETWEEN
+        "snap_scan": """
+WITH m AS (SELECT max(o_orderkey) AS mx FROM orders)
+SELECT o_orderpriority, count(*) AS n_orders,
+       (floor(CAST(sum(o_totalprice) AS DOUBLE) * 100.0 + 0.5) / 100.0)
+         AS revenue
+FROM orders, m
+WHERE o_orderkey > mx // 3 AND o_orderkey <= 2 * mx // 3
+GROUP BY o_orderpriority""",
         # manifest pinning contract: v0 == first batch, latest == all
         "time_travel": """
 WITH m AS (SELECT max(o_orderkey) // 2 AS mid FROM orders),

@@ -246,3 +246,36 @@ def q_time_travel(spark, sf_dir):
         stable_round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
     return v0.crossJoin(cur)
+
+
+def q_snap_scan(spark, sf_dir):
+    """Manifest-level data skipping e2e (plans/snapshots.snap_scan):
+    orders commit as three snapshots with disjoint o_orderkey ranges
+    (one file each); scanning the middle range prunes the other two
+    files from the manifest stats BEFORE Spark sees any path, and the
+    residual filter keeps the result exact — so the oracle is the
+    plain BETWEEN aggregation.  File-count pruning itself is pinned in
+    tests/test_snapshots.py (inputFiles)."""
+    import tempfile
+
+    from qurio_spark.plans.snapshots import snap_append, snap_scan
+
+    path = f"{tempfile.mkdtemp(prefix='qurio-snapscan-')}/orders"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    mx = o.agg(F.max("o_orderkey")).first()[0]
+    b1, b2 = mx // 3, 2 * mx // 3
+    snap_append(o.filter(F.col("o_orderkey") <= b1).coalesce(1), path)
+    snap_append(
+        o.filter((F.col("o_orderkey") > b1) & (F.col("o_orderkey") <= b2))
+        .coalesce(1),
+        path,
+    )
+    snap_append(o.filter(F.col("o_orderkey") > b2).coalesce(1), path)
+
+    mid = snap_scan(spark, path, "o_orderkey", lo=b1 + 1, hi=b2)
+    return mid.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        stable_round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

@@ -89,3 +89,28 @@ def test_n_vertices_shortcut_matches_count(spark, toy):
     a = {r["id"]: r["pr"] for r in pagerank(e, v, iters=2).collect()}
     b = {r["id"]: r["pr"] for r in pagerank(e, v, iters=2, n_vertices=7).collect()}
     assert a == b
+
+
+def test_hot_vertex_star_bounded(spark):
+    """Skew shape: a 20k-spoke star — the hub's in-contributions are a
+    partial-agg (groupBy dst), never a single-reducer row explosion,
+    and the math stays exact (hub rank == the closed form for one
+    iteration: (1-d)/n + d * sum(spoke_pr / 1))."""
+    n_spokes = 20_000
+    e = spark.range(1, n_spokes + 1).selectExpr(
+        "id AS src", "CAST(0 AS long) AS dst"
+    ).unionByName(
+        spark.range(1, n_spokes + 1).selectExpr(
+            "CAST(0 AS long) AS src", "id AS dst"
+        )
+    )
+    v = spark.range(0, n_spokes + 1).withColumnRenamed("id", "id")
+    got = {r["id"]: r["pr"] for r in pagerank(e, v, iters=1).collect()}
+    n = n_spokes + 1
+    d = 0.85
+    # hub: every spoke has outdeg 1 and pr0 = 1/n
+    want_hub = (1 - d) / n + d * (n_spokes * ((1.0 / n) / 1))
+    assert got[0] == pytest.approx(want_hub, rel=1e-9)
+    # each spoke gets 1/n_spokes of the hub's mass
+    want_spoke = (1 - d) / n + d * ((1.0 / n) / n_spokes)
+    assert got[1] == pytest.approx(want_spoke, rel=1e-9)
