@@ -181,12 +181,12 @@ class TestBinaryIngestion:
 
         with pytest.raises(NotImplementedError):
             _decode_pixels(b"anything")
-        # codec containers (JPEG/GIF) stay stubbed even with a valid
-        # header; PNG now decodes (TestPngDecode) and a data-less PNG
-        # header is a malformed-file error, not a stub
+        # JPEG (Huffman + DCT) stays stubbed even with a valid header;
+        # PNG and GIF now decode (TestPngDecode / TestGifDecode), so
+        # their data-less headers are malformed-file errors, not stubs
         with pytest.raises(NotImplementedError):
             _decode_pixels(make_jpeg())
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError):
             _decode_pixels(make_gif())
         with pytest.raises(ValueError, match="IDAT"):
             _decode_pixels(make_png())
@@ -886,3 +886,198 @@ class TestPngDecode:
             assert np.array_equal(got, golden), p
         assert out["img/j.jpg"]["pixels"] is None
         assert "codec" in out["img/j.jpg"]["resize_error"]
+
+
+def make_gif_full(idx, palette, interlaced=False, uncompressed=False,
+                  extra_frame=False) -> bytes:
+    """Real GIF encoder (test-side twin of _decode_gif_pixels): idx is
+    an (h, w) index grid into palette (n, 3).  Variable-width LZW with
+    proper width growth, or the clear-code-per-symbol 'uncompressed'
+    style; optional interlaced row order and a second (garbage) frame
+    to pin first-frame semantics.  stdlib only."""
+    import numpy as np
+
+    h, w = idx.shape
+    n = len(palette)
+    ctbits = max(1, (n - 1).bit_length())
+    min_code = max(2, ctbits)
+    clear, end = 1 << min_code, (1 << min_code) + 1
+
+    rows = list(range(h))
+    if interlaced:
+        rows = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+    seq = [int(v) for r in rows for v in idx[r]]
+
+    out_bits = []  # (code, width) pairs
+
+    def lzw(symbols):
+        width = min_code + 1
+        table = {(i,): i for i in range(clear)}
+        nxt = end + 1
+        out_bits.append((clear, width))
+        prev = ()
+        for s in symbols:
+            cand = prev + (s,)
+            if cand in table:
+                prev = cand
+                continue
+            out_bits.append((table[prev], width))
+            table[cand] = nxt
+            nxt += 1
+            # the canonical off-by-one: the DECODER lags one entry
+            # behind (it builds entry j after reading code j+1), so an
+            # aligned encoder grows its width one assignment later
+            # than next == 2^width — at next == 2^width + 1
+            if nxt == (1 << width) + 1 and width < 12:
+                width += 1
+            prev = (s,)
+        if prev:
+            out_bits.append((table[prev], width))
+        out_bits.append((end, width))
+
+    def lzw_uncompressed(symbols):
+        width = min_code + 1
+        for s in symbols:
+            out_bits.append((clear, width))
+            out_bits.append((s, width))
+        out_bits.append((end, width))
+
+    (lzw_uncompressed if uncompressed else lzw)(seq)
+
+    # little-endian bit packing
+    acc = bits = 0
+    data = bytearray()
+    for code, width in out_bits:
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        data.append(acc & 0xFF)
+
+    def subblocks(b):
+        out = bytearray()
+        for i in range(0, len(b), 255):
+            chunk = b[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+        return bytes(out)
+
+    gct_n = 1 << ctbits
+    gct = bytearray()
+    for i in range(gct_n):
+        gct += bytes(palette[i]) if i < n else b"\x00\x00\x00"
+    packed = 0x80 | (ctbits - 1)
+    hdr = b"GIF89a" + struct.pack("<HH", w, h) + bytes([packed, 0, 0]) + gct
+    ipacked = 0x40 if interlaced else 0
+    img = (
+        b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([ipacked])
+        + bytes([min_code]) + subblocks(data)
+    )
+    frames = img
+    if extra_frame:
+        # a second 1x1 frame that must be IGNORED (first-frame contract)
+        f2 = (
+            b"\x2c" + struct.pack("<HHHH", 0, 0, 1, 1) + b"\x00"
+            + bytes([min_code]) + subblocks(bytes([1, clear & 0xFF]))
+        )
+        frames = img + f2
+    # a comment extension before the image exercises the skip path
+    ext = b"\x21\xfe" + bytes([5]) + b"hello" + b"\x00"
+    return hdr + ext + frames + b"\x3b"
+
+
+class TestGifDecode:
+    """_decode_gif_pixels: pure-Python LZW (round-7 hermetic slice)."""
+
+    def _fixture(self, w=9, h=7):
+        import numpy as np
+
+        palette = np.array(
+            [[i * 16, 255 - i * 16, (i * 37) % 256] for i in range(16)],
+            dtype=np.uint8,
+        )
+        idx = np.fromfunction(
+            lambda y, x: (x + y * 3) % 16, (h, w), dtype=np.int64
+        )
+        return idx, palette
+
+    @pytest.mark.parametrize("uncompressed", [False, True])
+    def test_roundtrip(self, uncompressed):
+        import numpy as np
+
+        from qurio_spark.sources.multimodal import _decode_pixels
+
+        idx, palette = self._fixture()
+        got = _decode_pixels(
+            make_gif_full(idx, palette, uncompressed=uncompressed)
+        )
+        assert np.array_equal(got, palette[idx]), f"uncompressed={uncompressed}"
+
+    def test_interlaced_roundtrip(self):
+        import numpy as np
+
+        from qurio_spark.sources.multimodal import _decode_pixels
+
+        idx, palette = self._fixture(8, 11)
+        got = _decode_pixels(make_gif_full(idx, palette, interlaced=True))
+        assert np.array_equal(got, palette[idx])
+
+    def test_dictionary_growth_long_runs(self):
+        """Repetitive data drives real dictionary growth (and the
+        KwKwK special case) — the paths the clear-code variant never
+        touches."""
+        import numpy as np
+
+        from qurio_spark.sources.multimodal import _decode_pixels
+
+        palette = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+        idx = np.zeros((16, 64), dtype=np.int64)
+        idx[::2] = 1  # long alternating runs
+        got = _decode_pixels(make_gif_full(idx, palette))
+        assert np.array_equal(got, palette[idx])
+
+    def test_animated_takes_first_frame(self):
+        import numpy as np
+
+        from qurio_spark.sources.multimodal import _decode_pixels
+
+        idx, palette = self._fixture(5, 4)
+        got = _decode_pixels(make_gif_full(idx, palette, extra_frame=True))
+        assert got.shape == (4, 5, 3)
+        assert np.array_equal(got, palette[idx])
+
+    def test_header_only_is_malformed_not_stubbed(self):
+        from qurio_spark.sources.multimodal import _decode_pixels
+
+        with pytest.raises(ValueError):
+            _decode_pixels(make_gif())
+
+    def test_resize_pixels_gif_end_to_end(self, spark):
+        import numpy as np
+
+        from qurio_spark.sources.multimodal import (
+            _resample_nearest,
+            decode_image_meta,
+            resize_pixels,
+            resize_spec,
+        )
+
+        idx, palette = self._fixture(7, 5)
+        df = spark.createDataFrame(
+            [("img/g.gif", bytearray(make_gif_full(idx, palette)))],
+            "path string, content binary",
+        )
+        meta = df.withColumn("meta", decode_image_meta("content")).select(
+            "path", "content", "meta.width", "meta.height"
+        )
+        r = resize_pixels(resize_spec(meta, max_side=4)).collect()[0]
+        assert (r["out_width"], r["out_height"]) == (4, 3)
+        got = np.frombuffer(bytes(r["pixels"]), np.uint8).reshape(3, 4, 3)
+        assert np.array_equal(got, _resample_nearest(palette[idx], 4, 3))
