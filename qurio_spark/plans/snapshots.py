@@ -348,3 +348,52 @@ def snapshot_sink(stream_df: DataFrame, path: str, app_id: str, checkpoint: str)
         stream_df.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint)
     )
+
+
+def snap_delete_where(
+    spark: SparkSession, path: str, col: str, lo=None, hi=None
+) -> int | None:
+    """Row-level DELETE on the snapshot table — copy-on-write, the
+    Delta/Iceberg CoW shape: manifest stats first split the current
+    version's files into UNTOUCHED (range provably disjoint — carried
+    into the new manifest verbatim, bytes never read or moved) and
+    AFFECTED (rewritten without the matching rows).  One commit swaps
+    the affected files; deleted rows stay readable at older versions
+    until vacuum (deletes are just another version).  Returns the new
+    version, or None when the stats prove no file holds a matching
+    row (a provable no-op never commits)."""
+    from pyspark.sql import functions as F
+
+    v = _latest_version(path)
+    if v is None:
+        raise FileNotFoundError(f"no snapshot table at {path}")
+    m = _read_manifest(path, v)
+    untouched, affected = [], []
+    for e in m["files"]:
+        st = e.get("stats", {}).get(col) if isinstance(e, dict) else None
+        disjoint = False
+        if st is not None:
+            mn, mx = st
+            if lo is not None and mx < lo:
+                disjoint = True
+            if hi is not None and mn > hi:
+                disjoint = True
+        (untouched if disjoint else affected).append(e)
+    if not affected:
+        return None
+    version = v + 1
+    keep = F.lit(False)
+    if lo is not None:
+        keep = keep | (F.col(col) < F.lit(lo))
+    if hi is not None:
+        keep = keep | (F.col(col) > F.lit(hi))
+    survivors = spark.read.parquet(
+        *[os.path.join(path, _entry_name(e)) for e in affected]
+    ).filter(keep)
+    new_files = _write_data_files(survivors, path, version)
+    _commit(
+        path, version,
+        {"version": version, "op": "delete", "parent": v,
+         "files": untouched + new_files, "txn": dict(m.get("txn", {}))},
+    )
+    return version

@@ -227,3 +227,54 @@ class TestExactlyOnceSink:
         assert _rows(snap_read(spark, path)) == list(range(15))
         assert len(snap_versions(path)) == 2
         assert _rows(snap_read(spark, path, 0)) == list(range(10))
+
+
+class TestDeleteWhere:
+    @pytest.fixture()
+    def ranged(self, spark, tmp_path):
+        path = str(tmp_path / "del")
+        for lo in (0, 1000, 2000):
+            snap_append(
+                spark.range(lo, lo + 100).select(F.col("id").alias("v"))
+                .coalesce(1),
+                path,
+            )
+        return path
+
+    def test_copy_on_write_delete(self, spark, ranged):
+        import os as _os
+
+        from qurio_spark.plans.snapshots import snap_delete_where
+
+        data = _os.path.join(ranged, "data")
+        before = {
+            f: _os.path.getmtime(_os.path.join(data, f))
+            for f in _os.listdir(data)
+        }
+        v = snap_delete_where(spark, ranged, "v", lo=1010, hi=1019)
+        assert v == 3
+        got = sorted(r["v"] for r in snap_read(spark, ranged).collect())
+        assert got == [x for x in range(0, 100)] + [
+            x for x in range(1000, 1100) if not 1010 <= x <= 1019
+        ] + list(range(2000, 2100))
+        # time travel: the pre-delete version still has the rows
+        assert snap_read(spark, ranged, 2).count() == 300
+        # untouched files byte-identical (only the middle file rewrote)
+        after = {f: _os.path.getmtime(_os.path.join(data, f)) for f in before}
+        assert after == before  # originals never modified (CoW)
+
+    def test_provable_noop_never_commits(self, spark, ranged):
+        from qurio_spark.plans.snapshots import snap_delete_where
+
+        assert snap_delete_where(spark, ranged, "v", lo=5000, hi=6000) is None
+        assert [m["version"] for m in snap_versions(ranged)] == [0, 1, 2]
+
+    def test_vacuum_reclaims_replaced_files(self, spark, ranged):
+        import os as _os
+
+        from qurio_spark.plans.snapshots import snap_delete_where
+
+        snap_delete_where(spark, ranged, "v", lo=1010, hi=1019)
+        deleted = snap_vacuum(ranged, keep_last=1)
+        assert len(deleted) == 1 and deleted[0].startswith("data/c1-")
+        assert snap_read(spark, ranged).count() == 290
