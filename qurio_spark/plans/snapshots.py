@@ -397,3 +397,32 @@ def snap_delete_where(
          "files": untouched + new_files, "txn": dict(m.get("txn", {}))},
     )
     return version
+
+
+def snap_append_validated(
+    df: DataFrame, path: str, expectations: dict[str, "object"]
+) -> int:
+    """Quality-gated append (the Delta CHECK-constraint / dbt-test
+    shape): every expectation is a boolean Column that must hold on
+    EVERY row of the batch; violations abort the commit — the table
+    never holds a row that failed a gate, and the error carries
+    per-expectation violation counts so the producer can triage
+    without re-running the batch.  One validation pass (a single
+    aggregate over the batch), then the normal atomic commit."""
+    from pyspark.sql import functions as F
+
+    if not expectations:
+        return snap_append(df, path)
+    agg = df.agg(
+        *[
+            F.sum(F.when(~cond, 1).otherwise(0)).alias(name)
+            for name, cond in expectations.items()
+        ]
+    ).first()
+    bad = {name: int(agg[name] or 0) for name in expectations if agg[name]}
+    if bad:
+        raise ValueError(
+            f"expectations violated, commit aborted: {bad} "
+            f"(of {df.count()} batch rows)"
+        )
+    return snap_append(df, path)

@@ -278,3 +278,32 @@ class TestDeleteWhere:
         deleted = snap_vacuum(ranged, keep_last=1)
         assert len(deleted) == 1 and deleted[0].startswith("data/c1-")
         assert snap_read(spark, ranged).count() == 290
+
+
+class TestExpectations:
+    def test_clean_batch_commits(self, spark, tmp_path):
+        from qurio_spark.plans.snapshots import snap_append_validated
+
+        path = str(tmp_path / "gated")
+        v = snap_append_validated(
+            spark.range(1, 6).select(F.col("id").alias("v")), path,
+            {"v_positive": F.col("v") > 0, "v_small": F.col("v") < 100},
+        )
+        assert v == 0 and snap_read(spark, path).count() == 5
+
+    def test_dirty_batch_aborts_with_counts(self, spark, tmp_path):
+        from qurio_spark.plans.snapshots import snap_append_validated
+
+        path = str(tmp_path / "gated2")
+        snap_append_validated(
+            spark.range(1, 4).select(F.col("id").alias("v")), path,
+            {"v_positive": F.col("v") > 0},
+        )
+        with pytest.raises(ValueError, match="v_positive.*3"):
+            snap_append_validated(
+                spark.range(-2, 3).select(F.col("id").alias("v")), path,
+                {"v_positive": F.col("v") > 0},
+            )
+        # the table is untouched by the aborted commit
+        assert snap_read(spark, path).count() == 3
+        assert len(snap_versions(path)) == 1
