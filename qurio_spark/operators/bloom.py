@@ -139,6 +139,14 @@ def bloom_semi_join(
     measured key count (:func:`bloom_size_for`) — one count job on the
     (small, selective) build side, amortized against the probe scan it
     shrinks."""
+    if how not in ("left_semi", "semi", "inner"):
+        # A bloom PRE-filter drops probe rows before the join; outer
+        # joins must KEEP unmatched probe rows, so pre-filtering
+        # silently corrupts them. Same guard shape as
+        # skew.salted_shuffle_join.
+        raise ValueError(
+            f"bloom_semi_join supports semi/inner joins only, got {how!r}"
+        )
     keys = build.select(on)
     if m_bits is None:
         m_bits, auto_k = bloom_size_for(keys.count())

@@ -127,8 +127,19 @@ def heavy_hitters(
     summaries = df.select(item_col).mapInPandas(
         mg, f"item {field}, cnt long, part_n long"
     )
-    merged = summaries.groupBy("item").agg(
-        F.sum("cnt").alias("est_count"), F.sum("part_n").alias("_n")
+    from qurio_spark.functions.checkpointing import checkpoint_df
+
+    # Materialize the (tiny: <= k_counters+1 rows/partition) merged
+    # summaries ONCE before both consumers: without the cut, the
+    # .first() for the n/k bound and the returned frame would each
+    # re-run the mapInPandas sketch — 2x compute, and a
+    # nondeterministic upstream partitioning could make err_bound
+    # disagree with the summaries actually backing est_count.
+    merged = checkpoint_df(
+        summaries.groupBy("item").agg(
+            F.sum("cnt").alias("est_count"), F.sum("part_n").alias("_n")
+        ),
+        eager=True,
     )
     totals = merged.agg(F.sum("_n").alias("_total")).first()
     err = int(totals["_total"]) // k_counters if totals["_total"] else 0

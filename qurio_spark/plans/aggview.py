@@ -40,7 +40,11 @@ def partial_states(
     """Delta batch -> one mergeable state row per key."""
     return delta.groupBy(*group_cols).agg(
         F.count("*").alias("n"),
-        F.sum(value_col).alias("s"),
+        # fixed state type: merge_states coalesces with lit(0.0), which
+        # would promote an integer sum to double on the SECOND refresh
+        # only — leaving one view with mixed long/double parquet files.
+        # Casting here makes first-write and merged schemas identical.
+        F.sum(value_col).cast("double").alias("s"),
         F.min(value_col).alias("mn"),
         F.max(value_col).alias("mx"),
     )

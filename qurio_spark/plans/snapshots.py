@@ -286,6 +286,11 @@ def snap_diff(
     def read(files):
         return spark.read.parquet(*[os.path.join(path, f) for f in files])
 
+    if not (m_to | m_from):
+        raise ValueError(
+            f"snap_diff({path}, v{v_from}..v{v_to}): both versions are "
+            "empty — no schema source for the change feed"
+        )
     schema_src = next(iter(m_to | m_from))
     empty = spark.read.parquet(os.path.join(path, schema_src)).limit(0)
     added = read(only_to) if only_to else empty
@@ -382,7 +387,11 @@ def snap_delete_where(
     if not affected:
         return None
     version = v + 1
-    keep = F.lit(False)
+    # NULL-safe keep: SQL `DELETE WHERE col BETWEEN lo AND hi` never
+    # matches NULL, so NULL rows must SURVIVE the rewrite (without the
+    # isNull branch, `col < lo` evaluates NULL and filter drops them —
+    # and only in rewritten files, making behavior file-dependent).
+    keep = F.col(col).isNull()
     if lo is not None:
         keep = keep | (F.col(col) < F.lit(lo))
     if hi is not None:

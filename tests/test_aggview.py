@@ -67,6 +67,26 @@ class TestSplitInvariance:
         assert got == _final_rows(read_agg_view(spark, ref))
 
 
+def test_integer_value_col_keeps_one_schema(spark, tmp_path):
+    """An integer value_col must not leave the view with mixed
+    long/double parquet files: the first refresh writes `s` from
+    partial_states, later refreshes write it through merge_states'
+    lit(0.0) coalesce — both must be double."""
+    path = str(tmp_path / "intview")
+    mk = lambda rows: spark.createDataFrame(rows, "k string, p string, v long")
+    refresh_agg_view(spark, path, mk([("a", "x", 1), ("b", "y", 2)]),
+                     ["p", "k"], "v", partition_col="p")
+    refresh_agg_view(spark, path, mk([("a", "x", 3), ("c", "z", 4)]),
+                     ["p", "k"], "v", partition_col="p")
+    out = read_agg_view(spark, path)
+    rows = {(r["p"], r["k"]): (r["n"], r["total_value"]) for r in out.collect()}
+    assert rows == {("x", "a"): (2, 4.0), ("y", "b"): (1, 2.0),
+                    ("z", "c"): (1, 4.0)}
+    # the persisted state column is double in EVERY file
+    raw = spark.read.parquet(path)
+    assert dict(raw.dtypes)["s"] == "double"
+
+
 def test_untouched_partitions_not_rewritten(spark, events, tmp_path):
     """A delta confined to LATER hours must leave earlier hours' files
     byte-untouched (dynamic overwrite of touched partitions only) —

@@ -23,6 +23,16 @@ def test_result_parity_with_plain_join(spark, step, how):
     assert got == want
 
 
+def test_outer_join_how_rejected(spark):
+    """A bloom pre-filter drops unmatched probe rows; outer joins must
+    keep them — the guard refuses instead of silently corrupting."""
+    probe = spark.range(10).withColumnRenamed("id", "k")
+    build = spark.range(5).withColumnRenamed("id", "k")
+    for how in ("left", "left_outer", "full", "right"):
+        with pytest.raises(ValueError, match="semi/inner"):
+            bloom_semi_join(probe, build, "k", how=how)
+
+
 def test_no_false_negatives_and_fp_rate(spark):
     """Every build key must pass its own filter (soundness — the join
     result depends on it); the false-positive rate on non-members must

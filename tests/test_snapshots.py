@@ -182,6 +182,20 @@ class TestSnapDiff:
         ]
 
 
+    def test_both_versions_empty_raises_cleanly(self, spark, tmp_path):
+        """Manifests with no file entries (e.g. written by an external
+        producer) must raise a descriptive error, not StopIteration."""
+        from qurio_spark.plans.snapshots import _commit, snap_diff
+
+        path = str(tmp_path / "emptydiff")
+        _commit(path, 0, {"version": 0, "op": "append", "parent": None,
+                          "files": []})
+        _commit(path, 1, {"version": 1, "op": "append", "parent": 0,
+                          "files": []})
+        with pytest.raises(ValueError, match="both versions are empty"):
+            snap_diff(spark, path, 0, 1)
+
+
 class TestExactlyOnceSink:
     def test_replayed_batch_is_skipped(self, spark, tmp_path):
         from qurio_spark.plans.snapshots import snap_append_txn
@@ -262,6 +276,29 @@ class TestDeleteWhere:
         # untouched files byte-identical (only the middle file rewrote)
         after = {f: _os.path.getmtime(_os.path.join(data, f)) for f in before}
         assert after == before  # originals never modified (CoW)
+
+    def test_null_rows_survive_delete(self, spark, tmp_path):
+        """SQL `DELETE WHERE v BETWEEN lo AND hi` never matches NULL;
+        the CoW rewrite must keep NULL rows in every rewritten file —
+        including files with NO footer stats for the column (all-NULL
+        files are always classified affected)."""
+        from qurio_spark.plans.snapshots import snap_delete_where
+
+        path = str(tmp_path / "nulldel")
+        mixed = spark.createDataFrame(
+            [(1, 10), (2, None), (3, 15), (4, None), (5, 99)], "id int, v int"
+        ).coalesce(1)
+        all_null = spark.createDataFrame(
+            [(6, None), (7, None)], "id int, v int"
+        ).coalesce(1)
+        snap_append(mixed, path)
+        snap_append(all_null, path)
+        v = snap_delete_where(spark, path, "v", lo=10, hi=20)
+        assert v == 2
+        got = sorted(
+            (r["id"], r["v"]) for r in snap_read(spark, path).collect()
+        )
+        assert got == [(2, None), (4, None), (5, 99), (6, None), (7, None)]
 
     def test_provable_noop_never_commits(self, spark, ranged):
         from qurio_spark.plans.snapshots import snap_delete_where
