@@ -124,6 +124,7 @@ def main() -> None:
     except Exception as e:
         print(f"bench recall error: {e}", file=sys.stderr)
 
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     print(
         json.dumps(
             {
@@ -131,7 +132,35 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+                **({"extras": extras} if extras else {}),
+            }
+        )
+    )
+    # The driver records only the last ~2000 chars of stdout; with 100+
+    # queries the full dict above overflows that window and the
+    # captured artifact stops parsing.  Emit a compact machine-readable
+    # summary as the FINAL line — guaranteed to fit the tail — with the
+    # total, query count, failures, the 10 slowest timings, and the
+    # recall extras.  The full per-query dict stays on the line above
+    # for anyone reading complete stdout.
+    slowest = dict(
+        sorted(
+            ((k, v) for k, v in timings.items() if v >= 0),
+            key=lambda kv: -kv[1],
+        )[:10]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "sf": sf_val,
+                "n": len(timings),
+                "failed": sorted(k for k, v in timings.items() if v < 0),
+                "queries": slowest,
+                "queries_truncated_to_slowest": True,
                 **({"extras": extras} if extras else {}),
             }
         )
