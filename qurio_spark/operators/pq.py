@@ -2,14 +2,22 @@
 path next to IVF (`similarity.py`).
 
 A 100 TB embedding corpus is mostly vector bytes: 1B x 64-dim float32
-is 256 GB of raw vectors, but PQ codes at m=16 subspaces x k=16
-centroids are 16 4-bit codes — with ``packed=True`` one 64-bit long
-per vector, a ~32x scan-size cut vs the raw floats (``packed=False``
-keeps the debuggable ``array<int>`` form).  Search never touches raw
-vectors: the query builds an m x k lookup table of partial dot
-products (driver-side, tiny), and each row's approximate score is m
-array lookups + adds — pure column expressions inside codegen (bit
-shift/mask extracts for the packed form), no Python in the scan.
+is 256 GB of raw vectors, but PQ codes are a fraction of that.  Two
+committed quantizer shapes:
+
+  - m=16 subspaces x k=16 centroids: 16 4-bit codes, packed into ONE
+    64-bit long (~32x scan-size cut) — the narrowest scan;
+  - m=16 x k=256 (the FAISS PQ16x8 standard, and the default for the
+    ann_pq/ann_ivfpq queries): 16 8-bit codes packed into TWO longs
+    (~16x cut) — finer quantization, which is what lets the refine
+    shortlist be SUBLINEAR in the corpus (see ``shortlist_for``).
+
+``packed=False`` keeps the debuggable ``array<int>`` form.  Search
+never touches raw vectors: the query builds an m x k lookup table of
+partial dot products (driver-side, tiny), and each row's approximate
+score is m array lookups + adds — pure column expressions inside
+codegen (bit shift/mask extracts for the packed forms), no Python in
+the scan.
 
 Honesty note on packing: parquet's dictionary/RLE encoding already
 bit-packs 0..15 ints to ~4 bits, so ON DISK the packed long and the
@@ -41,59 +49,109 @@ from pyspark.sql import DataFrame, functions as F
 from qurio_spark.functions.hashing import hash64
 
 
-def shortlist_for(n_candidates: int, frac: float = 0.2, min_n: int = 100) -> int:
-    """ADC shortlist depth for a candidate set of ``n_candidates``.
+def shortlist_for(n_candidates: int, c: float = 6.0, min_n: int = 100) -> int:
+    """ADC shortlist depth for a candidate set of ``n_candidates`` —
+    SUBLINEAR in the corpus: ``max(min_n, ceil(c * sqrt(n)))``, capped
+    at n.
 
-    A constant shortlist is a recall cliff: at fixed quantization
-    distortion (fixed m, k) the number of vectors whose ADC score is
-    confusable with the true top-k grows with the corpus, so the depth
-    must scale WITH the candidate count, not sit at a constant.  A
-    constant FRACTION keeps recall stable as n grows (measured on the
-    test corpus: the minimal depth for recall@10 = 1.0 was 89/500 =
-    17.8% at n=500 and 252/2000 = 12.6% at n=2000 — the needed
-    fraction shrinks slowly, so frac=0.2 holds with margin at every
-    scale factor; gated at the bench SF by the ``ann_pq_recall``
-    extra).  ``min_n`` floors tiny candidate sets where the fraction
-    would undercut the refine stage's working margin.
+    Three generations of this dial, each fixing the previous one's
+    scale cliff:
 
-    The fraction is the recall/cost dial; if 20% refine traffic is too
-    much at the target scale, the right move is a finer quantizer
-    (larger m) or coarse pruning first (IVF x PQ, ``ivfpq_topk``) —
-    not a deeper constant."""
+    1. a CONSTANT depth was a recall cliff — at fixed quantization
+       distortion the number of ADC-confusable vectors grows with the
+       corpus (measured: recall@10 fell 1.0 -> 0.8 from n=500 to
+       n=2000 at depth 100);
+    2. a constant FRACTION (20%) fixed recall but made the shortlist
+       LINEAR in n — at 1B vectors a 200M-row TakeOrdered merge and
+       broadcast refine join are the bottleneck;
+    3. the fix for BOTH is a finer quantizer: at m=16, k=256 (8-bit
+       codes, 128-bit words — the FAISS PQ16x8 shape) the measured
+       minimal depth for worst-case-over-50-queries recall@10 = 1.0
+       is 33 at n=500 and 74 at n=2000 — a 2.2x depth for 4x corpus,
+       i.e. ~sqrt growth — so a c*sqrt(n) depth holds recall with a
+       >= 3x margin at every test SF (pinned in tests/test_pq.py and
+       gated at the bench SF by the ``ann_pq_recall`` extra) while
+       the refine traffic FRACTION decays as 1/sqrt(n): 27% at n=500,
+       13% at n=2000, 0.6% at n=1e6, 0.02% at n=1e9 (~190k rows —
+       trivially TakeOrdered-able and broadcast-able).
+
+    The coarse m=16, k=16 (64-bit) codes stay supported for
+    scan-width-critical corpora, but the committed ann_pq/ann_ivfpq
+    config is the 8-bit quantizer precisely so this sizing can be
+    sublinear.  Past ``pq_topk_refined``'s broadcast threshold the
+    refine join switches to a shuffle hash join — no broadcast
+    ceiling on the shortlist either."""
     import math
 
-    return max(min_n, int(math.ceil(frac * n_candidates)))
+    return min(
+        max(1, n_candidates),
+        max(min_n, int(math.ceil(c * math.sqrt(max(0, n_candidates))))),
+    )
 
 
-def _code_expr(codes_col, j: int, k: int, packed: bool):
-    """Subspace-j code as an int column from either representation."""
-    if packed:
-        return (
-            F.shiftrightunsigned(codes_col.cast("long"), 4 * j)
-            .bitwiseAND(F.lit(15))
-            .cast("int")
-        )
-    return F.element_at(codes_col, j + 1)
+def code_bits(k: int) -> int:
+    """Bits per code for a k-centroid quantizer: 4-bit fields for
+    k <= 16 (the coarse 64-bit-word config), 8-bit for k <= 256 (the
+    FAISS-standard fine config).  Power-of-two widths keep every field
+    inside one 64-bit word (64 % bits == 0 — no straddling)."""
+    if k <= 16:
+        return 4
+    if k <= 256:
+        return 8
+    raise ValueError(f"packed codes need k <= 256, got {k}")
 
 
-def pq_pack_expr(codes_col, m: int):
-    """``array<int>`` codes -> one packed 64-bit long (code_j in bits
-    [4j, 4j+4)).  Requires k <= 16 and m <= 16; fields don't overlap so
-    a sum is a bitwise-or.  Pure column expression — packing happens
-    inside the encode projection, never a second pass."""
-    if m > 16:
-        raise ValueError(f"packed codes need m <= 16, got {m}")
-    packed = F.lit(0).cast("long")
-    for j in range(m):
-        packed = packed + F.shiftleft(
-            F.element_at(codes_col, j + 1).cast("long"), 4 * j
-        )
-    return packed
+def _n_words(m: int, k: int) -> int:
+    return (m * code_bits(k) + 63) // 64
 
 
-def pq_unpack_expr(packed_col, m: int):
-    """Packed long -> ``array<int>`` codes (round-trip/debug surface)."""
-    return F.array(*[_code_expr(packed_col, j, 0, True) for j in range(m)])
+def _code_expr(codes_col, j: int, k: int, packed: bool, m: int | None = None):
+    """Subspace-j code as an int column from either representation.
+    Packed forms: one 64-bit long when m*bits <= 64, else
+    ``array<long>`` words — field j lives in word (j*bits) // 64
+    (64 % bits == 0, so fields never straddle words).  ``m`` is
+    required for packed extraction (it decides single- vs
+    multi-word)."""
+    if not packed:
+        return F.element_at(codes_col, j + 1)
+    bits = code_bits(k)
+    word = codes_col
+    if _n_words(m, k) > 1:
+        word = F.element_at(codes_col, (j * bits) // 64 + 1)
+    return (
+        F.shiftrightunsigned(word.cast("long"), (j * bits) % 64)
+        .bitwiseAND(F.lit((1 << bits) - 1))
+        .cast("int")
+    )
+
+
+def pq_pack_expr(codes_col, m: int, k: int = 16):
+    """``array<int>`` codes -> packed words (code_j in bits
+    [j*bits, (j+1)*bits) of word (j*bits)//64).  One long when
+    m*bits <= 64, else ``array<long>``.  Fields never overlap or
+    straddle words, so the sum is a bitwise-or.  Pure column
+    expression — packing happens inside the encode projection, never
+    a second pass."""
+    bits = code_bits(k)
+    words = []
+    per_word = 64 // bits
+    for w in range(_n_words(m, k)):
+        packed = F.lit(0).cast("long")
+        for j in range(w * per_word, min(m, (w + 1) * per_word)):
+            packed = packed + F.shiftleft(
+                F.element_at(codes_col, j + 1).cast("long"), (j * bits) % 64
+            )
+        words.append(packed)
+    return words[0] if len(words) == 1 else F.array(*words)
+
+
+def pq_unpack_expr(packed_col, m: int, k: int = 16):
+    """Packed word(s) -> ``array<int>`` codes (round-trip/debug
+    surface).  For the multi-word form pass the ``array<long>``
+    column."""
+    return F.array(
+        *[_code_expr(packed_col, j, k, True, m=m) for j in range(m)]
+    )
 
 
 def pq_fit(
@@ -132,12 +190,19 @@ def pq_fit(
         if C.shape[0] < k:  # degenerate tiny corpus: pad by repetition
             C = np.vstack([C] * (k // C.shape[0] + 1))[:k]
         for _ in range(iters):
-            d2 = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            # argmin over ||x-c||^2 = -2 x.c + ||c||^2 (+ ||x||^2,
+            # constant per row) — (n, k) matmul instead of the
+            # (n, k, ds) difference tensor; same argmin, ~k x faster
+            # at k=256
+            d2 = -2.0 * (Xj @ C.T) + (C * C).sum(axis=1)
             a = d2.argmin(axis=1)
-            for c in range(k):
-                mask = a == c
-                if mask.any():
-                    C[c] = Xj[mask].mean(axis=0)
+            # vectorized centroid update: per-cluster sums via
+            # np.add.at; empty clusters keep their previous centroid
+            sums = np.zeros_like(C)
+            np.add.at(sums, a, Xj)
+            counts = np.bincount(a, minlength=k).astype(np.float64)
+            nonempty = counts > 0
+            C[nonempty] = sums[nonempty] / counts[nonempty, None]
         codebooks.append(C.tolist())
     return codebooks
 
@@ -160,8 +225,8 @@ def pq_encode(
 
     CB = np.asarray(codebooks, dtype=np.float64)  # (m, k, ds)
     m, k, ds = CB.shape
-    if packed and k > 16:
-        raise ValueError(f"packed codes need k <= 16, got {k}")
+    if packed:
+        code_bits(k)  # validates k <= 256
     cb_sq = (CB * CB).sum(axis=2)  # (m, k)
 
     def _encode(vecs):
@@ -179,14 +244,19 @@ def pq_encode(
     cols = [F.col(id_col)] + [F.col(c) for c in (keep_cols or [])]
     out = embeddings.select(*cols, encode(F.col(vec_col)).alias("codes"))
     if packed:
-        out = out.withColumn("codes", pq_pack_expr(F.col("codes"), m))
+        out = out.withColumn("codes", pq_pack_expr(F.col("codes"), m, k))
     return out
 
 
 def _codes_packed(codes_df: DataFrame) -> bool:
-    """True when the ``codes`` column is the packed-long representation
-    (the dtype IS the format marker — survives parquet round-trips)."""
-    return not codes_df.schema["codes"].dataType.typeName().startswith("array")
+    """True when the ``codes`` column is a packed representation — a
+    single long (m*bits <= 64) or ``array<long>`` words (the 8-bit
+    multi-word form).  ``array<int>`` is the unpacked form.  The dtype
+    IS the format marker — survives parquet round-trips."""
+    dt = codes_df.schema["codes"].dataType
+    if not dt.typeName().startswith("array"):
+        return True
+    return dt.elementType.typeName() in ("long", "bigint")
 
 
 def pq_adc_score(codebooks: list, query_vec: list[float], packed: bool = False):
@@ -201,12 +271,22 @@ def pq_adc_score(codebooks: list, query_vec: list[float], packed: bool = False):
     q = np.asarray(query_vec, dtype=np.float64)
     if q.size != m * ds:
         raise ValueError(f"query dim {q.size} != {m * ds}")
-    lut = np.einsum("jkd,jd->jk", CB, q.reshape(m, ds)).ravel()  # (m*k,)
-    lut_col = F.array(*[F.lit(float(v)) for v in lut])
+    lut = np.einsum("jkd,jd->jk", CB, q.reshape(m, ds))  # (m, k)
     score = F.lit(0.0)
     for j in range(m):
-        c = _code_expr(F.col("codes"), j, k, packed)
-        score = score + F.element_at(lut_col, c + F.lit(j * k + 1))
+        # One LUT array per subspace, each referenced ONCE, built via a
+        # single F.expr call.  Two driver-cost traps measured at k=256:
+        # a shared F.array(*lits) column gets COPIED into all m sum
+        # terms (m*k*m expression nodes -> ~5x query slowdown from
+        # analysis alone), and F.lit(list)/F.array(*lits) per subspace
+        # issues k py4j calls per array (m*k round-trips -> ~2.4s of
+        # driver time per score build).  F.expr parses the k-element
+        # literal JVM-side in one call; the optimizer constant-folds it.
+        lut_j = F.expr(
+            "array(" + ",".join(repr(float(v)) + "D" for v in lut[j]) + ")"
+        )
+        c = _code_expr(F.col("codes"), j, k, packed, m=m)
+        score = score + F.element_at(lut_j, c + F.lit(1))
     return score
 
 
@@ -230,6 +310,29 @@ def pq_topk(
         .orderBy(F.desc(stable_round(F.col("score"), 6)), F.asc(id_col))
         .limit(topk)
     )
+
+
+#: Above this many shortlist ids the exact-refine join stops
+#: broadcasting the candidate set and shuffles instead — broadcasts
+#: have a hard size ceiling (8 GB) and a per-executor memory cost,
+#: while a shuffle hash join on the id scales with partition count.
+#: With the sublinear shortlist (c*sqrt(n)) this only triggers past
+#: n ~ 10^11 vectors, but the guard means NO corpus size can push the
+#: refine through a broadcast cliff.
+REFINE_BROADCAST_MAX = 2_000_000
+
+
+def _refine_join(
+    embeddings: DataFrame, cand: DataFrame, id_col: str, shortlist: int
+) -> DataFrame:
+    """Join the raw-vector table to the shortlist ids: broadcast for
+    normal shortlists (the raw vectors are read only where the pushed
+    id filter matches), shuffle-hash past ``REFINE_BROADCAST_MAX`` —
+    the shortlist side is always the (smaller) build side."""
+    ids = cand.select(id_col)
+    if shortlist <= REFINE_BROADCAST_MAX:
+        return embeddings.join(F.broadcast(ids), id_col)
+    return embeddings.join(ids.hint("shuffle_hash"), id_col)
 
 
 def pq_topk_refined(
@@ -269,8 +372,7 @@ def pq_topk_refined(
         n = n_candidates if n_candidates is not None else codes_df.count()
         shortlist = shortlist_for(n)
     cand = pq_topk(codes_df, codebooks, query_vec, shortlist, id_col)
-    ids = F.broadcast(cand.select(id_col))
-    refined = embeddings.join(ids, id_col)
+    refined = _refine_join(embeddings, cand, id_col, shortlist)
     score = dot(F.col(vec_col), literal_vector(query_vec))
     return (
         refined.select(F.col(id_col), score.alias("score"))
@@ -430,11 +532,10 @@ def ivfpq_topk(
     the exact refine's raw-vector fetch carries the same label filter
     so an embeddings table laid out by label prunes identically.
 
-    The shortlist is sized adaptively against the PROBED candidate
-    count (``shortlist_for(n, frac=0.3, min_n=50)`` — within a
-    partition the fraction runs higher than the global scan's 0.2
-    because the exact top-k is a larger share of a pruned set; recall
-    1.0 verified at every test SF and gated at the bench SF by the
+    The shortlist is sized sublinearly against the PROBED candidate
+    count (``shortlist_for(n, min_n=50)`` — c*sqrt(n) with a lower
+    floor, since a pruned partition is small; recall 1.0 verified at
+    every test SF and gated at the bench SF by the
     ``ann_ivfpq_recall`` extra)."""
     from qurio_spark.functions.numeric import stable_round
     from qurio_spark.functions.vector import dot, literal_vector
@@ -442,11 +543,11 @@ def ivfpq_topk(
     pruned = codes_df.filter(F.col(label_col).isin(probe_labels))
     if shortlist is None:
         n = n_candidates if n_candidates is not None else pruned.count()
-        shortlist = shortlist_for(n, frac=0.3, min_n=50)
+        shortlist = shortlist_for(n, min_n=50)
     cand = pq_topk(pruned, codebooks, query_vec, shortlist, id_col)
-    ids = F.broadcast(cand.select(id_col))
-    refined = embeddings.filter(F.col(label_col).isin(probe_labels)).join(
-        ids, id_col
+    refined = _refine_join(
+        embeddings.filter(F.col(label_col).isin(probe_labels)),
+        cand, id_col, shortlist,
     )
     score = dot(F.col(vec_col), literal_vector(query_vec))
     return (

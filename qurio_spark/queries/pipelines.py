@@ -72,16 +72,21 @@ def q_kmeans_ivf(spark, sf_dir):
 
 def q_ann_pq(spark, sf_dir):
     """Product-quantization ANN with exact refine (operators/pq.py):
-    fit per-subspace codebooks on the deterministic hash sample,
-    encode the corpus to m=16 4-bit codes PACKED into one 64-bit long
-    per vector (~32x smaller scan than the raw floats), ADC-score an
-    ADAPTIVELY-sized shortlist (shortlist_for: 20% of the corpus,
-    min 100 — a constant depth was the round-6 recall cliff: 1.0 at
-    sf0.01 but 0.8 at sf0.1), then exactly re-score only the shortlist
-    (broadcast semi-join).  Oracle-backed because the adaptive
-    shortlist's recall is 1.0 at EVERY test SF (pinned in
-    tests/test_pq.py and gated at the bench SF by the ann_pq_recall
-    extra), so the refined top-10 IS the exact dot top-10."""
+    fit m=16 x k=256 codebooks (the FAISS PQ16x8 shape) on the
+    deterministic hash sample, encode the corpus to 16 8-bit codes
+    PACKED into two 64-bit longs per vector (~16x smaller scan than
+    the raw floats), ADC-score a SUBLINEARLY-sized shortlist
+    (shortlist_for: c*sqrt(n) — a constant depth was the round-6
+    recall cliff, and the round-7 constant FRACTION made the
+    TakeOrdered merge + refine broadcast linear in the corpus; the
+    8-bit quantizer is what buys the sqrt law: measured minimal
+    recall-1.0 depth 33 at n=500, 65 at n=2000, a >= 4x margin under
+    the sized shortlist at every test SF), then exactly re-score only
+    the shortlist (broadcast semi-join, shuffle-hash past 2M ids).
+    Oracle-backed because shortlist recall is 1.0 at EVERY test SF
+    (pinned in tests/test_pq.py and gated at the bench SF by the
+    ann_pq_recall extra), so the refined top-10 IS the exact dot
+    top-10."""
     from qurio_spark.operators.pq import pq_encode, pq_fit, pq_topk_refined
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -91,7 +96,7 @@ def q_ann_pq(spark, sf_dir):
         # BM25/IVF/LSH) — deterministic fit, so identical results
         codes, books, n, _counts = _pq_index_handle(spark, sf_dir)
     else:
-        books = pq_fit(emb, m=16, k=16, iters=10)
+        books = pq_fit(emb, m=16, k=256, iters=10)
         codes = pq_encode(emb, books, packed=True)
         # corpus count from the source table's parquet stats — sizing
         # the shortlist must not re-run the encode lineage
@@ -106,11 +111,11 @@ def q_ann_ivfpq(spark, sf_dir):
     label prunes the scan to the query vector's own cluster (same
     probe contract as ann_ivf, so the oracle restricts to that label
     in SQL), the ADC stage reads only that partition's PACKED codes,
-    and the exact refine re-scores the adaptively-sized shortlist
-    (30% of the probed partition, min 50) with the same label filter
-    pushed to the raw-vector fetch.  Recall vs the label-restricted
-    exact top-10 is 1.0 at every test SF (tests/test_pq.py) and gated
-    at the bench SF by the ann_ivfpq_recall extra."""
+    and the exact refine re-scores the sublinearly-sized shortlist
+    (c*sqrt(probed), min 50) with the same label filter pushed to the
+    raw-vector fetch.  Recall vs the label-restricted exact top-10 is
+    1.0 at every test SF (tests/test_pq.py) and gated at the bench SF
+    by the ann_ivfpq_recall extra."""
     from qurio_spark.operators.pq import ivfpq_topk, pq_encode, pq_fit
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -123,7 +128,7 @@ def q_ann_ivfpq(spark, sf_dir):
         codes, books, _n, counts = _pq_index_handle(spark, sf_dir)
         n_probe = counts[label]
     else:
-        books = pq_fit(emb, m=16, k=16, iters=10)
+        books = pq_fit(emb, m=16, k=256, iters=10)
         codes = pq_encode(emb, books, keep_cols=["label"], packed=True)
         n_probe = emb.filter(F.col("label") == label).count()
     top = ivfpq_topk(

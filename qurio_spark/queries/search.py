@@ -180,7 +180,7 @@ def _pq_index_path(spark, sf_dir: str) -> str:
     if path is None:
         path = tempfile.mkdtemp(prefix="qurio-pq-idx-")
         emb = _t(spark, sf_dir, "embeddings")
-        books = pq_fit(emb, m=16, k=16, iters=10)
+        books = pq_fit(emb, m=16, k=256, iters=10)
         write_ivfpq_index(emb, books, path)
         _PQ_INDEX_DIRS[sf_dir] = path
     return path

@@ -70,32 +70,114 @@ def test_adc_matches_numpy_reference(emb, fitted):
         assert got[r["vec_id"]] == pytest.approx(want, rel=1e-12)
 
 
-def test_adaptive_shortlist_sizing():
-    """The depth scales with the candidate count — a constant was the
-    round-6 recall cliff (1.0 at n=500, 0.8 at n=2000)."""
-    assert shortlist_for(500) == 100       # floor dominates small corpora
-    assert shortlist_for(2000) == 400      # 20% of n, > the measured 252 need
-    assert shortlist_for(1_000_000) == 200_000
-    assert shortlist_for(218, frac=0.3, min_n=50) == 66  # ivfpq partition
+def test_sublinear_shortlist_sizing():
+    """The depth must grow SLOWER than the corpus: c*sqrt(n), floored
+    and capped at n.  A constant was the round-6 recall cliff; a
+    constant fraction (round 7) fixed recall but made the TakeOrdered
+    merge and refine broadcast linear in the corpus."""
+    assert shortlist_for(500) == 135         # ceil(6*sqrt(500))
+    assert shortlist_for(2000) == 269
+    assert shortlist_for(1_000_000) == 6000
+    assert shortlist_for(10**9) == 189_737   # trivially broadcastable
+    assert shortlist_for(50) == 50           # capped at n, floor above n
+    assert shortlist_for(218, min_n=50) == 89  # ivfpq partition sizing
+    # the FRACTION strictly decays as n grows (the sublinearity claim)
+    fracs = [shortlist_for(n) / n for n in (10**4, 10**5, 10**6, 10**7)]
+    assert fracs == sorted(fracs, reverse=True)
 
 
-def test_shortlist_recall_pin(emb, fitted):
-    """The committed ann_pq config (m=16, k=16, ADAPTIVE shortlist)
+@pytest.fixture(scope="module")
+def fitted256(emb):
+    """The committed ann_pq/ann_ivfpq quantizer: m=16, k=256 (8-bit
+    codes, two packed words) — fine enough that the sqrt shortlist
+    holds recall 1.0."""
+    books = pq_fit(emb, m=16, k=256, iters=10)
+    return books, pq_encode(emb, books, packed=True)
+
+
+def test_shortlist_recall_pin(emb, fitted256):
+    """The committed ann_pq config (m=16, k=256, SUBLINEAR shortlist)
     must keep the exact top-10 inside the ADC shortlist — this is the
     fact that makes the exact-dot oracle valid for the approximate
-    query.  The same pin at the bench SF is the ann_pq_recall extra."""
-    books, codes = fitted
+    query.  The same pin at the bench SF is the ann_pq_recall extra.
+    Beyond recall at the sized depth, the MEASURED minimal depth must
+    sit >= 3x under it (the safety margin the sqrt constant buys)."""
+    books, codes = fitted256
     n = emb.count()
     q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
     depth = shortlist_for(n)
-    shortlist = {r["vec_id"] for r in pq_topk(codes, books, q, depth).collect()}
     exact = [r["vec_id"] for r in brute_force_topk(emb, q, 10, metric="dot").collect()]
-    assert set(exact) <= shortlist  # recall@10 == 1.0
+    ranked = [
+        r["vec_id"] for r in pq_topk(codes, books, q, depth).collect()
+    ]
+    assert set(exact) <= set(ranked)  # recall@10 == 1.0 at sized depth
+    need = max(ranked.index(e) for e in exact) + 1
+    assert need * 3 <= depth, f"margin eroded: need {need}, sized {depth}"
     refined = [
         r["vec_id"]
         for r in pq_topk_refined(codes, emb, books, q, 10, n_candidates=n).collect()
     ]
     assert refined == exact
+
+
+def test_recall_fraction_decays_across_corpus_sizes(spark):
+    """The committed fraction-vs-n curve: at the fine quantizer the
+    minimal recall-1.0 depth grows ~sqrt(n), so the required FRACTION
+    of the corpus strictly DECREASES from the n=500 tables to the
+    n=2000 table — the round-7 design (constant fraction) assumed the
+    opposite.  Measured over the worst of 20 query vectors per SF."""
+    import numpy as np
+
+    fracs = {}
+    for path in ("/root/testdata/sf0.001", "/root/testdata/sf0.1"):
+        e = spark.read.parquet(f"{path}/embeddings.parquet")
+        books = pq_fit(e, m=16, k=256, iters=10)
+        rows = sorted(
+            e.select("vec_id", "embedding").collect(), key=lambda r: r["vec_id"]
+        )
+        E = np.stack([np.asarray(r["embedding"]) for r in rows])
+        codes = {
+            r["vec_id"]: r["codes"] for r in pq_encode(e, books).collect()
+        }
+        C = np.stack([codes[r["vec_id"]] for r in rows])
+        CB = np.asarray(books)
+        m, k, ds = CB.shape
+        n = len(rows)
+        worst = 0
+        for qi in range(20):
+            q = E[qi]
+            exact = set(np.argsort(-(E @ q), kind="stable")[:10])
+            lut = np.einsum("jkd,jd->jk", CB, q.reshape(m, ds))
+            s = lut[np.arange(m)[None, :], C].sum(axis=1)
+            pos = {v: i for i, v in enumerate(np.argsort(-s, kind="stable"))}
+            worst = max(worst, max(pos[x] for x in exact) + 1)
+        assert worst <= shortlist_for(n), (n, worst)
+        fracs[n] = worst / n
+    assert fracs[2000] < fracs[500], fracs  # sublinear in practice
+
+
+def test_refine_switches_to_shuffle_past_broadcast_max(
+    emb, fitted256, monkeypatch
+):
+    """Past REFINE_BROADCAST_MAX ids the refine join must not
+    broadcast (broadcasts have a hard ceiling); the shuffle-hash path
+    returns identical results."""
+    import qurio_spark.operators.pq as pqmod
+    from tools.plan_audit import audit
+
+    books, codes = fitted256
+    n = emb.count()
+    q = [float(x) for x in emb.filter("vec_id = 3").first()["embedding"]]
+    want = [
+        r["vec_id"]
+        for r in pq_topk_refined(codes, emb, books, q, 10, n_candidates=n).collect()
+    ]
+    monkeypatch.setattr(pqmod, "REFINE_BROADCAST_MAX", 10)
+    shuffled = pq_topk_refined(codes, emb, books, q, 10, n_candidates=n)
+    assert [r["vec_id"] for r in shuffled.collect()] == want
+    a = audit(shuffled)
+    assert a["bhj"] == 0, a["plan"]  # no broadcast join anywhere
+    assert a["bnlj"] == 0, a["plan"]
 
 
 def test_packed_codes_roundtrip_and_adc_parity(emb, fitted):
@@ -121,6 +203,37 @@ def test_packed_codes_roundtrip_and_adc_parity(emb, fitted):
     packed_scores = {
         r["vec_id"]: r["s"]
         for r in packed_only.select(
+            "vec_id", pq_adc_score(books, q, packed=True).alias("s")
+        ).collect()
+    }
+    assert packed_scores == arr_scores
+
+
+def test_multiword_pack_roundtrip_and_adc_parity(emb, fitted256):
+    """The 8-bit form (m=16, k=256 -> two 64-bit words as array<long>):
+    pack -> unpack is the identity and packed ADC == array ADC
+    bit-for-bit, including codes >= 128 in the top field of a word
+    (sign bit set — extraction must stay unsigned)."""
+    books, packed = fitted256
+    codes = pq_encode(emb, books)
+    m, k = 16, 256
+    rt = {
+        r["vec_id"]: list(r["back"])
+        for r in packed.select(
+            "vec_id", pq_unpack_expr(F.col("codes"), m, k).alias("back")
+        ).collect()
+    }
+    want = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    assert rt == want
+    assert any(c >= 128 for cs in want.values() for c in cs)  # sign-bit case real
+    q = [float(x) for x in emb.filter("vec_id = 2").first()["embedding"]]
+    arr_scores = {
+        r["vec_id"]: r["s"]
+        for r in codes.select("vec_id", pq_adc_score(books, q).alias("s")).collect()
+    }
+    packed_scores = {
+        r["vec_id"]: r["s"]
+        for r in packed.select(
             "vec_id", pq_adc_score(books, q, packed=True).alias("s")
         ).collect()
     }
