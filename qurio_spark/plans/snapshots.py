@@ -21,9 +21,27 @@ retained version; ``snap_vacuum`` deletes only files unreachable from
 the retained manifests.  Commits are atomic for readers via
 write-temp-then-rename of the manifest pointer.
 
-Scope honesty: single-writer (no distributed commit lock — Delta uses
-an atomic log-store contract for that); local filesystem paths (an
-object-store port swaps the os calls for the store's list/rename).
+TWO-LEVEL manifests (the Iceberg shape): each commit writes ONE
+immutable per-commit manifest file (``m-<uuid>.json`` — that commit's
+file entries + their skipping stats) and the version file
+``v{N}.json`` is a MANIFEST LIST: the names of every manifest the
+version comprises.  Commit cost is therefore O(delta files + number
+of prior commits), not O(total table files): a parent's manifests are
+carried forward BY NAME, byte-untouched (mtime-pinned in tests).
+Versions written by older single-level code (inline ``files``) stay
+readable and are upgraded to a manifest file on their first child
+commit.
+
+Concurrency: commits use OPTIMISTIC concurrency — the version file is
+created with an EXCLUSIVE link (hard-link of a fully-written temp
+file, so the claim is atomic AND the content complete), and a loser
+re-reads the new latest and retries its bookkeeping.  Data files are
+written once (uuid-unique names) regardless of retries; only manifest
+composition re-runs.  The ``_latest`` pointer only moves forward and
+readers roll it ahead over any version files a crashed writer left
+unpointed.  Local-filesystem paths; an object-store port swaps the
+exclusive link for the store's CAS/if-none-match primitive (the same
+contract Delta's log stores implement).
 Readers are fully isolated and distributed: ``snap_read`` hands Spark
 the pinned file list, so scans parallelize exactly like any parquet
 read, and a version's file list never changes after commit.
@@ -43,11 +61,18 @@ def _mdir(path: str) -> str:
 
 
 def _latest_version(path: str) -> int | None:
+    """Current version: the pointer, rolled FORWARD over any committed
+    version files the pointer doesn't cover yet (a writer that crashed
+    after claiming v{N}.json but before advancing the pointer, or that
+    lost a pointer race, must not hide its committed version)."""
     p = os.path.join(_mdir(path), "_latest")
     if not os.path.exists(p):
         return None
     with open(p) as f:
-        return int(f.read().strip())
+        v = int(f.read().strip())
+    while os.path.exists(os.path.join(_mdir(path), f"v{v + 1}.json")):
+        v += 1
+    return v
 
 
 def _read_manifest(path: str, version: int) -> dict:
@@ -55,18 +80,95 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(f)
 
 
-def _commit(path: str, version: int, manifest: dict) -> None:
+def _write_manifest_file(path: str, entries: list[dict]) -> str:
+    """Write ONE immutable per-commit manifest (this commit's file
+    entries + stats) and return its name.  Never rewritten — child
+    commits carry it by name."""
+    os.makedirs(_mdir(path), exist_ok=True)
+    name = f"m-{uuid.uuid4().hex}.json"
+    mpath = os.path.join(_mdir(path), name)
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"files": entries}, f, indent=1, sort_keys=True)
+    os.rename(tmp, mpath)
+    return name
+
+
+def _manifest_entries(path: str, m: dict) -> list[dict]:
+    """Resolve a version's full file-entry list: two-level versions
+    concatenate their per-commit manifest files; legacy single-level
+    versions carry the entries inline."""
+    if "manifests" not in m:
+        return m["files"]
+    out: list[dict] = []
+    for name in m["manifests"]:
+        with open(os.path.join(_mdir(path), name)) as f:
+            out.extend(json.load(f)["files"])
+    return out
+
+
+def _carried_manifests(path: str, m: dict | None) -> list[str]:
+    """Manifest names a child commit carries forward, BY NAME (bytes
+    untouched).  A legacy inline-files parent is upgraded once: its
+    list becomes a manifest file, and every later descendant carries
+    that file."""
+    if m is None:
+        return []
+    if "manifests" in m:
+        return list(m["manifests"])
+    return [_write_manifest_file(path, m["files"])]
+
+
+def _advance_pointer(path: str, version: int) -> None:
+    """Move ``_latest`` forward (never back — a racing writer with a
+    higher committed version must win the pointer)."""
+    lpath = os.path.join(_mdir(path), "_latest")
+    cur = None
+    if os.path.exists(lpath):
+        with open(lpath) as f:
+            cur = int(f.read().strip())
+    if cur is not None and cur >= version:
+        return
+    ltmp = lpath + f".tmp-{uuid.uuid4().hex}"
+    with open(ltmp, "w") as f:
+        f.write(str(version))
+    os.rename(ltmp, lpath)
+
+
+def _try_commit(path: str, version: int, manifest: dict) -> bool:
+    """Atomically CLAIM ``v{version}.json``: the content is fully
+    written to a temp file, then hard-linked into place — link fails
+    (False) if another writer claimed the version first, and a reader
+    can never observe a half-written version file.  On success the
+    pointer advances (the visibility point for pointer-readers)."""
     os.makedirs(_mdir(path), exist_ok=True)
     mpath = os.path.join(_mdir(path), f"v{version}.json")
     tmp = mpath + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
-    os.rename(tmp, mpath)
-    lpath = os.path.join(_mdir(path), "_latest")
-    ltmp = lpath + f".tmp-{uuid.uuid4().hex}"
-    with open(ltmp, "w") as f:
-        f.write(str(version))
-    os.rename(ltmp, lpath)  # the atomic visibility point
+    try:
+        os.link(tmp, mpath)  # atomic exclusive claim
+    except FileExistsError:
+        return False
+    finally:
+        os.remove(tmp)
+    _advance_pointer(path, version)
+    return True
+
+
+#: commit retries under contention before giving up — each retry means
+#: another writer committed first, so 50 losses in a row is pathology
+_MAX_COMMIT_RETRIES = 50
+
+
+def _commit(path: str, version: int, manifest: dict) -> None:
+    """Single-shot commit for callers that already resolved their
+    version (raises on a concurrent claim instead of retrying)."""
+    if not _try_commit(path, version, manifest):
+        raise RuntimeError(
+            f"concurrent commit: version {version} of {path} was claimed "
+            "by another writer"
+        )
 
 
 def _file_stats(fpath: str) -> dict:
@@ -125,18 +227,33 @@ def _write_data_files(df: DataFrame, path: str, commit_id: int) -> list[dict]:
 
 
 def _snap_commit(df: DataFrame, path: str, op: str) -> int:
-    prev = _latest_version(path)
-    version = 0 if prev is None else prev + 1
-    new_files = _write_data_files(df, path, version)
-    if op == "append" and prev is not None:
-        files = _read_manifest(path, prev)["files"] + new_files
-    else:
-        files = new_files
-    _commit(
-        path, version,
-        {"version": version, "op": op, "parent": prev, "files": files},
+    """Two-level commit with optimistic concurrency: data files and
+    this commit's manifest are written ONCE (uuid-unique names — safe
+    under races); only the manifest-list bookkeeping retries when
+    another writer claims the version first.  Append carries the
+    parent's manifests by name, so commit cost is O(delta files +
+    number of prior commits), never O(total table files)."""
+    prev0 = _latest_version(path)
+    new_files = _write_data_files(df, path, 0 if prev0 is None else prev0 + 1)
+    new_name = _write_manifest_file(path, new_files)
+    for _ in range(_MAX_COMMIT_RETRIES):
+        prev = _latest_version(path)
+        version = 0 if prev is None else prev + 1
+        if op == "append" and prev is not None:
+            manifests = _carried_manifests(
+                path, _read_manifest(path, prev)
+            ) + [new_name]
+        else:
+            manifests = [new_name]
+        if _try_commit(
+            path, version,
+            {"version": version, "op": op, "parent": prev,
+             "manifests": manifests},
+        ):
+            return version
+    raise RuntimeError(
+        f"commit contention on {path}: {_MAX_COMMIT_RETRIES} retries lost"
     )
-    return version
 
 
 def snap_append(df: DataFrame, path: str) -> int:
@@ -163,7 +280,8 @@ def snap_versions(path: str) -> list[dict]:
             out.append(
                 {
                     "version": m["version"], "op": m["op"],
-                    "parent": m["parent"], "n_files": len(m["files"]),
+                    "parent": m["parent"],
+                    "n_files": len(_manifest_entries(path, m)),
                 }
             )
     return sorted(out, key=lambda m: m["version"])
@@ -181,11 +299,11 @@ def snap_read(spark: SparkSession, path: str, version: int | None = None) -> Dat
     v = _latest_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no snapshot table at {path}")
-    m = _read_manifest(path, v)
-    if not m["files"]:
+    entries = _manifest_entries(path, _read_manifest(path, v))
+    if not entries:
         raise ValueError(f"version {v} of {path} is empty")
     return spark.read.parquet(
-        *[os.path.join(path, _entry_name(e)) for e in m["files"]]
+        *[os.path.join(path, _entry_name(e)) for e in entries]
     )
 
 
@@ -208,9 +326,8 @@ def snap_scan(
     v = _latest_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no snapshot table at {path}")
-    m = _read_manifest(path, v)
     keep = []
-    for e in m["files"]:
+    for e in _manifest_entries(path, _read_manifest(path, v)):
         st = e.get("stats", {}).get(col) if isinstance(e, dict) else None
         if st is not None:
             mn, mx = st
@@ -245,10 +362,11 @@ def snap_vacuum(path: str, keep_last: int = 1) -> list[str]:
         return []
     keep_versions = [v for v in range(latest - keep_last + 1, latest + 1) if v >= 0]
     reachable = set()
+    live_manifests = set()
     for v in keep_versions:
-        reachable.update(
-            _entry_name(e) for e in _read_manifest(path, v)["files"]
-        )
+        m = _read_manifest(path, v)
+        reachable.update(_entry_name(e) for e in _manifest_entries(path, m))
+        live_manifests.update(m.get("manifests", []))
     deleted = []
     data_dir = os.path.join(path, "data")
     for f in sorted(os.listdir(data_dir)) if os.path.isdir(data_dir) else []:
@@ -259,6 +377,9 @@ def snap_vacuum(path: str, keep_last: int = 1) -> list[str]:
     for f in os.listdir(_mdir(path)):
         if f.startswith("v") and f.endswith(".json"):
             if int(f[1:-5]) not in keep_versions:
+                os.remove(os.path.join(_mdir(path), f))
+        elif f.startswith("m-") and f.endswith(".json"):
+            if f not in live_manifests:  # unreferenced per-commit manifest
                 os.remove(os.path.join(_mdir(path), f))
     return deleted
 
@@ -278,8 +399,14 @@ def snap_diff(
     from pyspark.sql import functions as F
 
     v_to = _latest_version(path) if v_to is None else v_to
-    m_from = {_entry_name(e) for e in _read_manifest(path, v_from)["files"]}
-    m_to = {_entry_name(e) for e in _read_manifest(path, v_to)["files"]}
+    m_from = {
+        _entry_name(e)
+        for e in _manifest_entries(path, _read_manifest(path, v_from))
+    }
+    m_to = {
+        _entry_name(e)
+        for e in _manifest_entries(path, _read_manifest(path, v_to))
+    }
     only_from = sorted(m_from - m_to)
     only_to = sorted(m_to - m_from)
 
@@ -316,26 +443,37 @@ def snap_append_txn(
     recovery) is detected and SKIPPED, so foreachBatch's at-least-once
     delivery becomes exactly-once at the table.  Returns the committed
     version, or None for a detected replay."""
-    prev = _latest_version(path)
-    if prev is not None:
-        txn = _read_manifest(path, prev).get("txn", {})
-        if txn.get(app_id, -1) >= batch_id:
+    prev0 = _latest_version(path)
+    if prev0 is not None:
+        txn0 = _read_manifest(path, prev0).get("txn", {})
+        if txn0.get(app_id, -1) >= batch_id:
             return None  # replay: this batch is already in the table
-    version = 0 if prev is None else prev + 1
-    new_files = _write_data_files(df, path, version)
-    if prev is not None:
-        m_prev = _read_manifest(path, prev)
-        files = m_prev["files"] + new_files
-        txn = dict(m_prev.get("txn", {}))
-    else:
-        files, txn = new_files, {}
-    txn[app_id] = batch_id
-    _commit(
-        path, version,
-        {"version": version, "op": "append", "parent": prev,
-         "files": files, "txn": txn},
+    new_files = _write_data_files(df, path, 0 if prev0 is None else prev0 + 1)
+    new_name = _write_manifest_file(path, new_files)
+    for _ in range(_MAX_COMMIT_RETRIES):
+        prev = _latest_version(path)
+        if prev is not None:
+            m_prev = _read_manifest(path, prev)
+            txn = dict(m_prev.get("txn", {}))
+            # the replay check must re-run per attempt: a CONCURRENT
+            # writer of the same app may have committed this batch
+            # between our first check and this claim
+            if txn.get(app_id, -1) >= batch_id:
+                return None
+            manifests = _carried_manifests(path, m_prev) + [new_name]
+        else:
+            manifests, txn = [new_name], {}
+        txn[app_id] = batch_id
+        version = 0 if prev is None else prev + 1
+        if _try_commit(
+            path, version,
+            {"version": version, "op": "append", "parent": prev,
+             "manifests": manifests, "txn": txn},
+        ):
+            return version
+    raise RuntimeError(
+        f"commit contention on {path}: {_MAX_COMMIT_RETRIES} retries lost"
     )
-    return version
 
 
 def snapshot_sink(stream_df: DataFrame, path: str, app_id: str, checkpoint: str):
@@ -369,43 +507,61 @@ def snap_delete_where(
     row (a provable no-op never commits)."""
     from pyspark.sql import functions as F
 
-    v = _latest_version(path)
-    if v is None:
-        raise FileNotFoundError(f"no snapshot table at {path}")
-    m = _read_manifest(path, v)
-    untouched, affected = [], []
-    for e in m["files"]:
+    def _disjoint(e) -> bool:
         st = e.get("stats", {}).get(col) if isinstance(e, dict) else None
-        disjoint = False
-        if st is not None:
-            mn, mx = st
-            if lo is not None and mx < lo:
-                disjoint = True
-            if hi is not None and mn > hi:
-                disjoint = True
-        (untouched if disjoint else affected).append(e)
-    if not affected:
-        return None
-    version = v + 1
-    # NULL-safe keep: SQL `DELETE WHERE col BETWEEN lo AND hi` never
-    # matches NULL, so NULL rows must SURVIVE the rewrite (without the
-    # isNull branch, `col < lo` evaluates NULL and filter drops them —
-    # and only in rewritten files, making behavior file-dependent).
-    keep = F.col(col).isNull()
-    if lo is not None:
-        keep = keep | (F.col(col) < F.lit(lo))
-    if hi is not None:
-        keep = keep | (F.col(col) > F.lit(hi))
-    survivors = spark.read.parquet(
-        *[os.path.join(path, _entry_name(e)) for e in affected]
-    ).filter(keep)
-    new_files = _write_data_files(survivors, path, version)
-    _commit(
-        path, version,
-        {"version": version, "op": "delete", "parent": v,
-         "files": untouched + new_files, "txn": dict(m.get("txn", {}))},
+        if st is None:
+            return False  # absent stats = not skippable, must rewrite
+        mn, mx = st
+        return (lo is not None and mx < lo) or (hi is not None and mn > hi)
+
+    for _ in range(_MAX_COMMIT_RETRIES):
+        v = _latest_version(path)
+        if v is None:
+            raise FileNotFoundError(f"no snapshot table at {path}")
+        m = _read_manifest(path, v)
+        # Classify at MANIFEST granularity: a per-commit manifest whose
+        # every file is provably range-disjoint is carried forward BY
+        # NAME (bytes untouched); only manifests holding an affected
+        # file are re-listed, and only their affected files rewrite.
+        carried, loose_entries, affected = [], [], []
+        for name in _carried_manifests(path, m):
+            with open(os.path.join(_mdir(path), name)) as f:
+                entries = json.load(f)["files"]
+            if all(_disjoint(e) for e in entries):
+                carried.append(name)
+            else:
+                for e in entries:
+                    (loose_entries if _disjoint(e) else affected).append(e)
+        if not affected:
+            return None
+        # NULL-safe keep: SQL `DELETE WHERE col BETWEEN lo AND hi`
+        # never matches NULL, so NULL rows must SURVIVE the rewrite
+        # (without the isNull branch, `col < lo` evaluates NULL and
+        # filter drops them — and only in rewritten files, making
+        # behavior file-dependent).
+        keep = F.col(col).isNull()
+        if lo is not None:
+            keep = keep | (F.col(col) < F.lit(lo))
+        if hi is not None:
+            keep = keep | (F.col(col) > F.lit(hi))
+        survivors = spark.read.parquet(
+            *[os.path.join(path, _entry_name(e)) for e in affected]
+        ).filter(keep)
+        new_files = _write_data_files(survivors, path, v + 1)
+        new_name = _write_manifest_file(path, loose_entries + new_files)
+        if _try_commit(
+            path, v + 1,
+            {"version": v + 1, "op": "delete", "parent": v,
+             "manifests": carried + [new_name],
+             "txn": dict(m.get("txn", {}))},
+        ):
+            return v + 1
+        # a concurrent commit landed between classification and claim:
+        # the classification (and the survivor rewrite) must re-run
+        # against the new latest
+    raise RuntimeError(
+        f"commit contention on {path}: {_MAX_COMMIT_RETRIES} retries lost"
     )
-    return version
 
 
 def snap_append_validated(

@@ -132,13 +132,17 @@ class TestDataSkipping:
 
         out = snap_scan(spark, ranged, "v", lo=0, hi=3000)
         assert len(out.inputFiles()) == 3
-        # strip the stats from the manifest: absent stats must mean
-        # "not skippable", never "skip" — results identical, no pruning
-        mpath = os.path.join(ranged, "_manifests", "v2.json")
-        m = json.load(open(mpath))
-        for e in m["files"]:
-            e["stats"] = {}
-        json.dump(m, open(mpath, "w"))
+        # strip the stats from every per-commit manifest: absent stats
+        # must mean "not skippable", never "skip" — results identical,
+        # no pruning
+        mdir = os.path.join(ranged, "_manifests")
+        for f in os.listdir(mdir):
+            if f.startswith("m-") and f.endswith(".json"):
+                mpath = os.path.join(mdir, f)
+                m = json.load(open(mpath))
+                for e in m["files"]:
+                    e["stats"] = {}
+                json.dump(m, open(mpath, "w"))
         out2 = snap_scan(spark, ranged, "v", lo=1000, hi=1099)
         assert len(out2.inputFiles()) == 3  # nothing pruned...
         assert sorted(r["v"] for r in out2.collect()) == list(
@@ -150,6 +154,154 @@ class TestDataSkipping:
 
         v0 = snap_scan(spark, ranged, "v", lo=0, hi=5000, version=0)
         assert v0.count() == 100
+
+
+class TestTwoLevelManifests:
+    def test_commit_cost_proportional_to_delta(self, spark, tmp_path):
+        """Append cost must be O(delta), not O(total table files):
+        prior per-commit manifests are carried BY NAME — their bytes
+        never rewritten (mtime+size pinned) — and the version file
+        holds only manifest names (its size grows with commit count,
+        never with per-file stats entries)."""
+        import json as _json
+
+        path = str(tmp_path / "twolevel")
+        for lo in (0, 100, 200):
+            snap_append(
+                spark.range(lo, lo + 100).select(F.col("id").alias("v"))
+                .coalesce(1),
+                path,
+            )
+        mdir = os.path.join(path, "_manifests")
+        old = {
+            f: (os.path.getmtime(os.path.join(mdir, f)),
+                os.path.getsize(os.path.join(mdir, f)))
+            for f in os.listdir(mdir)
+            if f.startswith("m-")
+        }
+        assert len(old) == 3  # one immutable manifest per commit
+        snap_append(
+            spark.range(300, 400).select(F.col("id").alias("v")).coalesce(1),
+            path,
+        )
+        now = {
+            f: (os.path.getmtime(os.path.join(mdir, f)),
+                os.path.getsize(os.path.join(mdir, f)))
+            for f in old
+        }
+        assert now == old  # carried manifests byte-untouched
+        m3 = _json.load(open(os.path.join(mdir, "v3.json")))
+        assert "files" not in m3 and len(m3["manifests"]) == 4
+        # the version file carries names only — no stats blobs
+        assert os.path.getsize(os.path.join(mdir, "v3.json")) < 1024
+        assert sorted(
+            r["v"] for r in snap_read(spark, path).collect()
+        ) == list(range(400))
+
+    def test_legacy_inline_version_readable_and_upgraded(self, spark, tmp_path):
+        """A version written by the old single-level code (inline
+        `files`) must stay readable, and its first child commit
+        upgrades the list into a per-commit manifest file."""
+        import json as _json
+
+        from qurio_spark.plans.snapshots import (
+            _manifest_entries,
+            _read_manifest,
+        )
+
+        path = str(tmp_path / "legacy")
+        snap_append(
+            spark.range(5).select(F.col("id").alias("v")).coalesce(1), path
+        )
+        # rewrite v0 into the legacy inline shape
+        mdir = os.path.join(path, "_manifests")
+        m0 = _read_manifest(path, 0)
+        inline = {
+            "version": 0, "op": "append", "parent": None,
+            "files": _manifest_entries(path, m0),
+        }
+        _json.dump(inline, open(os.path.join(mdir, "v0.json"), "w"))
+        for f in list(os.listdir(mdir)):
+            if f.startswith("m-"):
+                os.remove(os.path.join(mdir, f))
+        assert sorted(r["v"] for r in snap_read(spark, path).collect()) == [
+            0, 1, 2, 3, 4,
+        ]
+        snap_append(
+            spark.range(5, 8).select(F.col("id").alias("v")).coalesce(1), path
+        )
+        m1 = _read_manifest(path, 1)
+        assert len(m1["manifests"]) == 2  # upgraded legacy + delta
+        assert sorted(r["v"] for r in snap_read(spark, path).collect()) == list(
+            range(8)
+        )
+
+    def test_interleaved_writers_never_clobber(self, spark, tmp_path):
+        """Two writers appending concurrently must serialize into a
+        linear version chain with NO lost batches — the optimistic
+        exclusive-claim commit turns a race into a retry, where the
+        old rename-clobber protocol silently dropped one writer's
+        rows."""
+        import threading
+
+        path = str(tmp_path / "occ")
+        # pre-create local frames so threads only contend on commit
+        frames = {
+            w: [
+                spark.createDataFrame(
+                    [(w * 1000 + b * 10 + i,) for i in range(10)], "v long"
+                ).coalesce(1)
+                for b in range(5)
+            ]
+            for w in range(2)
+        }
+        errors = []
+
+        def writer(w):
+            try:
+                for df in frames[w]:
+                    snap_append(df, path)
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        ts = [threading.Thread(target=writer, args=(w,)) for w in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errors
+        vs = snap_versions(path)
+        assert [m["version"] for m in vs] == list(range(10))
+        assert [m["parent"] for m in vs] == [None] + list(range(9))
+        got = sorted(r["v"] for r in snap_read(spark, path).collect())
+        want = sorted(
+            w * 1000 + b * 10 + i
+            for w in range(2) for b in range(5) for i in range(10)
+        )
+        assert got == want  # every batch from both writers present
+
+    def test_concurrent_txn_same_batch_commits_once(self, spark, tmp_path):
+        """Two sinks replaying the SAME (app, batch) concurrently must
+        land exactly one commit — the replay check re-runs inside the
+        claim-retry loop."""
+        import threading
+
+        from qurio_spark.plans.snapshots import snap_append_txn
+
+        path = str(tmp_path / "occtxn")
+        df = spark.range(7).select(F.col("id").alias("v")).coalesce(1)
+        results = [None, None]
+
+        def sink(slot):
+            results[slot] = snap_append_txn(df, path, "app", 0)
+
+        ts = [threading.Thread(target=sink, args=(i,)) for i in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert results.count(None) == 1 and results.count(0) == 1
+        assert snap_read(spark, path).count() == 7  # not 14
 
 
 class TestSnapDiff:
