@@ -94,6 +94,7 @@ from qurio_spark.queries.textstats import (  # noqa: F401
     q_word_concentration,
 )
 from qurio_spark.queries.dedup import (  # noqa: F401
+    q_canonical_docs,
     q_embedding_near_dup,
     q_exact_dedup,
     q_minhash,
@@ -216,7 +217,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     FIRST 50 dict entries, so positions 1-50 are exactly 50
     oracle-backed queries (one per operator family, every
     never-before-checked and new-this-round entry included).
-    Round 7 rotation — IN (all new this round): ``ann_ivfpq`` (IVF
+    Round 8 rotation — IN (new this round): ``canonical_docs`` (the
+    dedup keep-decision: CC cluster labels x PageRank centrality ->
+    argmax-per-cluster survivor with min-id demoted to tie-breaker,
+    vs an oracle composing the recursive-CTE closure with the
+    unrolled-PR CTEs).  CHANGED-in-place: ``ann_pq``/``ann_ivfpq``
+    (fine m=16,k=256 quantizer + SUBLINEAR c*sqrt(n) shortlist +
+    shuffle-refine guard — results still the exact top-10, oracles
+    unchanged), ``streaming_ingest`` (chunks table routed through the
+    exactly-once snapshot sink), ``time_travel``/``snap_scan`` (table
+    format now two-level manifests + optimistic concurrency;
+    read-path semantics identical).  OUT: ``tpch_q1`` (pure
+    scan-groupBy aggregation, green since round 1; the agg family
+    stays in-window via tpch_q9/tpch_q16/tpch_q21 and events_cube).
+    Round 7 rotation — IN (all new that round): ``ann_ivfpq`` (IVF
     label pruning composed with the packed-PQ ADC scan + exact refine,
     the FAISS IndexIVFPQ shape), ``events_range_left`` (the
     ``how='left'`` path of the binned range join, keyed join-back with
@@ -327,13 +341,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_unpivot": q_events_unpivot,
         "streaming_ingest": q_streaming_ingest,
-        "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "bloom_semi_join": q_bloom_semi_join,
         "resize_targets": q_resize_targets,
         "events_asof_attribution": q_events_asof_attribution,
         "streaming_near_dedup": q_streaming_near_dedup,
         "pagerank_centrality": q_pagerank_centrality,
+        "canonical_docs": q_canonical_docs,
         "events_range_left": q_events_range_left,
         "stratified_sample": q_stratified_sample,
         "link_filter_chain": q_link_filter_chain,
@@ -349,6 +363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rerank_overlap": q_rerank_overlap,
         # -- 51+: oracle-backed, operator proven by in-window sibling
         # (or, for minhash_lsh, newly oracle-backed breadth) ----------
+        "tpch_q1": q_tpch_q1,
         "tpch_q5": q_tpch_q5,
         "ann_ivf": q_ann_ivf,
         "revenue_rollup": q_revenue_rollup,

@@ -28,6 +28,7 @@ Connected components (the other graph op) lives in
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 from qurio_spark.functions.checkpointing import checkpoint_df
 
@@ -88,3 +89,44 @@ def pagerank(
             )
         )
     return ranks
+
+
+def canonical_pick(
+    clusters: DataFrame,
+    ranks: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "cluster_id",
+    rank_col: str = "pr",
+) -> DataFrame:
+    """Cluster labels x centrality -> ONE survivor per cluster: the
+    member with the highest rank, ties broken to the LOWEST id (the
+    min-id rule demoted to tie-breaker).  This is the keep-decision of
+    dedup: on a star-shaped duplicate cluster the center — the version
+    every copy drifted from — has the highest centrality even when a
+    spoke holds the smaller id, so the pr-pick keeps the source where
+    min-id would keep a drifted copy (pinned in tests/test_graph.py).
+
+    -> (cluster_col, canonical_id, rank_col, n_members), one row per
+    cluster (singletons included — a cluster of one is its own
+    canonical).  Scale shape: one hash join of two |V|-row narrow
+    frames + one window partitioned by cluster — no global sort, no
+    driver state.  Callers should pass PRE-ROUNDED ranks when the
+    pick must be reproducible across engines (float summation-order
+    noise near-ties otherwise flips the argmax)."""
+    joined = clusters.join(ranks, id_col)
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.desc(rank_col), F.asc(id_col)
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "n_members", F.count("*").over(Window.partitionBy(cluster_col))
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(cluster_col),
+            F.col(id_col).alias("canonical_id"),
+            F.col(rank_col),
+            "n_members",
+        )
+    )

@@ -162,3 +162,45 @@ def q_pagerank_centrality(spark, sf_dir):
     # every boundary case up on BOTH engines; the SQL twin mirrors it.
     rounded = F.floor(F.col("pr") * F.lit(1e8) + F.lit(0.5 + 1e-6)) / F.lit(1e8)
     return pr.select(F.col("id").alias("vec_id"), rounded.alias("pr"))
+
+
+def q_canonical_docs(spark, sf_dir):
+    """The dedup keep-decision the graph module exists for: connected
+    components label the duplicate clusters, PageRank ranks the
+    members, and `canonical_pick` keeps the argmax-centrality member
+    per cluster (ties to the lowest id) — on star-shaped clusters this
+    keeps the CENTER (the version every copy drifted from) where the
+    min-id rule would keep whichever drifted copy got the small id.
+    -> (cluster_id, canonical_id, pr, n_members), one row per cluster
+    incl. singletons.
+
+    Same near-dup graph (threshold 0.3) feeds both algorithms, built
+    once; CC is star-contraction (O(log n) rounds), PR is 3 fixed
+    power iterations, the pick is one |V|-row join + one
+    cluster-partitioned window.  The DuckDB oracle composes the
+    recursive-CTE closure with the unrolled PR CTEs and the same
+    argmax window; ranking uses the boundary-rounded pr on BOTH
+    engines (see q_pagerank_centrality for the x.5 device)."""
+    from qurio_spark.operators.dedup import connected_components
+    from qurio_spark.operators.graph import canonical_pick, pagerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.3)
+    from qurio_spark.functions.checkpointing import checkpoint_df
+
+    # both algorithms consume the pair set — cut the similarity
+    # self-join diamond once
+    pairs = checkpoint_df(pairs.select("id_a", "id_b"), eager=True)
+    cc = connected_components(pairs, emb, id_col="vec_id")
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    pr = pagerank(
+        edges, emb.select(F.col("vec_id").alias("id")),
+        iters=3, damping=0.85, n_vertices=emb.count(),
+    )
+    rounded = F.floor(F.col("pr") * F.lit(1e8) + F.lit(0.5 + 1e-6)) / F.lit(1e8)
+    ranks = pr.select(F.col("id").alias("vec_id"), rounded.alias("pr"))
+    return canonical_pick(cc, ranks, id_col="vec_id")

@@ -341,6 +341,42 @@ SELECT id AS vec_id,
 FROM pr{iters}"""
 
 
+def _canonical_docs_sql(iters: int = 3, damping: float = 0.85) -> str:
+    """CC (recursive transitive closure) x unrolled PageRank ->
+    argmax-per-cluster survivor, the composed keep-decision of
+    q_canonical_docs.  Shares the pairs/edges CTEs between both
+    algorithms and ranks by the SAME boundary-rounded pr as the Spark
+    side (x.5 device, see _pagerank_sql)."""
+    base = _pagerank_sql(iters, damping)
+    # reuse the full pagerank text as a prefix: swap its WITH for
+    # WITH RECURSIVE and its final SELECT for the composition
+    body = base.split("SELECT id AS vec_id")[0].rstrip().rstrip(",")
+    return f"""{body.replace("WITH pairs", "WITH RECURSIVE pairs", 1)},
+reach AS (
+  SELECT vec_id AS node, vec_id AS r FROM embeddings
+  UNION
+  SELECT reach.node, edges.dst AS r
+  FROM reach JOIN edges ON reach.r = edges.src
+),
+cc AS (SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node),
+pr_r AS (
+  SELECT id AS vec_id,
+         (floor(pr * 100000000.0 + 0.5000010) / 100000000.0) AS pr
+  FROM pr{iters}
+),
+ranked AS (
+  SELECT cc.cluster_id, cc.vec_id, pr_r.pr,
+         row_number() OVER (
+           PARTITION BY cc.cluster_id
+           ORDER BY pr_r.pr DESC, cc.vec_id ASC
+         ) AS rn,
+         count(*) OVER (PARTITION BY cc.cluster_id) AS n_members
+  FROM cc JOIN pr_r USING (vec_id)
+)
+SELECT cluster_id, vec_id AS canonical_id, pr, n_members
+FROM ranked WHERE rn = 1"""
+
+
 def _simhash_sql() -> str:
     toks = _TOKS.format(col="text")
     return f"""
@@ -980,6 +1016,7 @@ SELECT doc_id FROM (
 ) t WHERE doc_id = cmin""",
         "minhash_lsh": _minhash_lsh_sql(0.5),
         "pagerank_centrality": _pagerank_sql(iters=3, damping=0.85),
+        "canonical_docs": _canonical_docs_sql(iters=3, damping=0.85),
         "ngram_jaccard": _ngram_jaccard_sql(0.1),
         "ngram_jaccard_capped": _ngram_jaccard_sql(0.1, max_df=3),
         "simhash": _simhash_sql(),

@@ -114,3 +114,59 @@ def test_hot_vertex_star_bounded(spark):
     # each spoke gets 1/n_spokes of the hub's mass
     want_spoke = (1 - d) / n + d * ((1.0 / n) / n_spokes)
     assert got[1] == pytest.approx(want_spoke, rel=1e-9)
+
+
+class TestCanonicalPick:
+    def test_star_center_beats_min_id(self, spark):
+        """The motivating case: a star-shaped duplicate cluster whose
+        CENTER (the version every copy drifted from) does NOT hold the
+        minimum id — the pr-pick keeps the center, min-id would keep a
+        drifted spoke."""
+        from qurio_spark.operators.dedup import connected_components
+        from qurio_spark.operators.graph import canonical_pick
+
+        # center 7 linked to spokes 1, 2, 3; separate pair (10, 11);
+        # singleton 20
+        pairs = spark.createDataFrame(
+            [(1, 7), (2, 7), (3, 7), (10, 11)], "id_a long, id_b long"
+        )
+        nodes = spark.createDataFrame(
+            [(x,) for x in (1, 2, 3, 7, 10, 11, 20)], "id long"
+        )
+        edges = pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        ).unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        cc = connected_components(pairs, nodes, id_col="id")
+        pr = pagerank(edges, nodes, iters=3, n_vertices=7)
+        got = {
+            r["cluster_id"]: (r["canonical_id"], r["n_members"])
+            for r in canonical_pick(cc, pr, id_col="id").collect()
+        }
+        # min-id labels the star cluster 1, but the PICK is center 7
+        assert got[1] == (7, 4)
+        assert got[1][0] != 1  # differs from the min-id rule
+        # symmetric 2-cycle: equal pr, tie broken to the LOWER id
+        assert got[10] == (10, 2)
+        # a singleton is its own canonical
+        assert got[20] == (20, 1)
+
+    def test_one_row_per_cluster_covers_all_nodes(self, spark):
+        from qurio_spark.operators.dedup import connected_components
+        from qurio_spark.operators.graph import canonical_pick
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+        )
+        nodes = spark.createDataFrame([(x,) for x in range(1, 8)], "id long")
+        edges = pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        ).unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        cc = connected_components(pairs, nodes, id_col="id")
+        pr = pagerank(edges, nodes, iters=3, n_vertices=7)
+        out = canonical_pick(cc, pr, id_col="id").collect()
+        assert len(out) == 4  # {1,2,3}, {5,6}, {4}, {7}
+        assert sum(r["n_members"] for r in out) == 7

@@ -161,6 +161,13 @@ BUDGETS = {
     "bloom_semi_join": {"shuffles": ("<=", 1), "smj": ("<=", 0),
                         "bnlj": ("<=", 0), "python_stages": ("<=", 0),
                         "pushed_filters": (">=", 1)},
+    # CC x PageRank composed keep-decision: pagerank's per-iteration
+    # joins + CC's star rounds (both checkpoint-cut at the shared pair
+    # build) + ONE |V|-row pick join + one cluster-partitioned window
+    # exchange on top; still zero Python stages and no nested-loop
+    # joins anywhere
+    "canonical_docs": {"shuffles": ("<=", 14), "smj": ("<=", 4),
+                       "bnlj": ("<=", 0), "python_stages": ("<=", 0)},
     # aggview READ path: finals derive from the stored states in the
     # scan projection — zero shuffles, zero joins, no re-aggregation
     # (the refreshes run eagerly before this plan and are budgeted by
