@@ -591,3 +591,82 @@ def snap_append_validated(
             f"(of {df.count()} batch rows)"
         )
     return snap_append(df, path)
+
+
+def snap_append_quarantined(
+    df: DataFrame,
+    path: str,
+    expectations: dict[str, "object"],
+    dlq_path: str,
+) -> dict:
+    """Quality gates in DEAD-LETTER mode: instead of aborting the
+    whole commit on any violation (``snap_append_validated`` — the
+    CHECK-constraint posture), rows that fail an expectation are
+    routed to the quarantine snapshot table at ``dlq_path`` — tagged
+    with ``_violated`` (the names of every gate they failed) — and
+    the clean remainder commits normally.  This is the reference's
+    DLQ shape (failed work is retained, inspectable, and replayable
+    after a fix — `features/job/job.go:8-17`; M5 quarantine
+    semantics) applied at the table-commit boundary.
+
+    Returns ``{"version", "dlq_version", "n_clean", "n_quarantined",
+    "gate_counts"}`` (versions are None when the corresponding side
+    is empty — an all-clean batch writes no DLQ version, an all-bad
+    batch commits nothing to the main table).  Like the abort-mode
+    gate (and SQL CHECK), a NULL expectation result counts as a PASS
+    — gates must say ``col.isNotNull() & ...`` to reject NULLs.
+
+    One distributed pass annotates each row with its violation list
+    (pure column expressions); the annotated batch is materialized
+    once (checkpoint) so the clean/bad split and the per-gate counts
+    all read the same computation."""
+    from pyspark.sql import functions as F
+
+    from qurio_spark.functions.checkpointing import checkpoint_df
+
+    if not expectations:
+        return {
+            "version": snap_append(df, path), "dlq_version": None,
+            "n_clean": None, "n_quarantined": 0, "gate_counts": {},
+        }
+    empty = F.array().cast("array<string>")
+    violated = F.concat(
+        *[
+            F.when(~cond, F.array(F.lit(name))).otherwise(empty)
+            for name, cond in expectations.items()
+        ]
+    )
+    annotated = checkpoint_df(
+        df.withColumn("_violated", violated), eager=True
+    )
+    counts_row = annotated.agg(
+        F.count("*").alias("__n"),
+        F.sum(F.when(F.size("_violated") > 0, 1).otherwise(0)).alias("__bad"),
+        *[
+            F.sum(
+                F.when(F.array_contains("_violated", name), 1).otherwise(0)
+            ).alias(name)
+            for name in expectations
+        ],
+    ).first()
+    n_bad = int(counts_row["__bad"] or 0)
+    n_clean = int(counts_row["__n"]) - n_bad
+    gate_counts = {
+        name: int(counts_row[name] or 0)
+        for name in expectations
+        if counts_row[name]
+    }
+    version = dlq_version = None
+    if n_clean:
+        version = snap_append(
+            annotated.filter(F.size("_violated") == 0).drop("_violated"), path
+        )
+    if n_bad:
+        dlq_version = snap_append(
+            annotated.filter(F.size("_violated") > 0), dlq_path
+        )
+    return {
+        "version": version, "dlq_version": dlq_version,
+        "n_clean": n_clean, "n_quarantined": n_bad,
+        "gate_counts": gate_counts,
+    }

@@ -480,6 +480,59 @@ class TestExpectations:
         )
         assert v == 0 and snap_read(spark, path).count() == 5
 
+    def test_quarantine_mode_splits_batch(self, spark, tmp_path):
+        """Dead-letter posture: violating rows land in the DLQ table
+        tagged with every gate they failed; the clean remainder
+        commits; per-gate counts are exact."""
+        from qurio_spark.plans.snapshots import snap_append_quarantined
+
+        path, dlq = str(tmp_path / "q"), str(tmp_path / "q_dlq")
+        df = spark.createDataFrame(
+            [(1, 10.0), (2, -3.0), (3, 500.0), (4, -1.0), (5, None)],
+            "id int, v double",
+        )
+        gates = {
+            "v_positive": F.col("v") > 0,      # NULL passes (CHECK rule)
+            "v_small": F.col("v") < 100,
+        }
+        out = snap_append_quarantined(df, path, gates, dlq)
+        assert out["n_clean"] == 2 and out["n_quarantined"] == 3
+        assert out["gate_counts"] == {"v_positive": 2, "v_small": 1}
+        assert out["version"] == 0 and out["dlq_version"] == 0
+        clean = {r["id"] for r in snap_read(spark, path).collect()}
+        assert clean == {1, 5}  # NULL gate result = pass
+        bad = {
+            r["id"]: sorted(r["_violated"])
+            for r in snap_read(spark, dlq).collect()
+        }
+        assert bad == {2: ["v_positive"], 3: ["v_small"], 4: ["v_positive"]}
+
+    def test_quarantine_all_clean_writes_no_dlq(self, spark, tmp_path):
+        from qurio_spark.plans.snapshots import snap_append_quarantined
+
+        path, dlq = str(tmp_path / "qc"), str(tmp_path / "qc_dlq")
+        out = snap_append_quarantined(
+            spark.range(1, 4).select(F.col("id").alias("v")), path,
+            {"pos": F.col("v") > 0}, dlq,
+        )
+        assert out == {
+            "version": 0, "dlq_version": None, "n_clean": 3,
+            "n_quarantined": 0, "gate_counts": {},
+        }
+        assert not os.path.isdir(dlq)
+
+    def test_quarantine_all_bad_commits_nothing(self, spark, tmp_path):
+        from qurio_spark.plans.snapshots import snap_append_quarantined
+
+        path, dlq = str(tmp_path / "qb"), str(tmp_path / "qb_dlq")
+        out = snap_append_quarantined(
+            spark.range(1, 4).select(F.col("id").alias("v")), path,
+            {"neg": F.col("v") < 0}, dlq,
+        )
+        assert out["version"] is None and out["n_quarantined"] == 3
+        assert not os.path.isdir(os.path.join(path, "_manifests"))
+        assert snap_read(spark, dlq).count() == 3
+
     def test_dirty_batch_aborts_with_counts(self, spark, tmp_path):
         from qurio_spark.plans.snapshots import snap_append_validated
 
