@@ -59,10 +59,7 @@ def bloom_build(
     bitmap), via explode-to-(slot, bit) + groupBy(slot) bit_or.  Only
     the bitmap rows reach the driver — never the keys."""
     n_words = (m_bits + 63) // 64
-    h1, h2 = _h1h2(F.col(key_col))
-    pos = F.array(
-        *[((h1 + F.lit(i) * h2) % F.lit(m_bits)) for i in range(k_hashes)]
-    )
+    pos = _positions(F.col(key_col), m_bits, k_hashes)
     slots = (
         keys.select(F.explode(pos).alias("__p"))
         .select(
@@ -81,6 +78,27 @@ def bloom_build(
     return words
 
 
+#: Largest bitmap (in 64-bit words) inlined into the plan as a
+#: codegen literal.  4096 words = 32 KB = ~256k bits (~18k keys at 14
+#: bits/key).  Beyond this, literal inlining is the wrong shape twice
+#: over: building the F.array costs one py4j call PER WORD on the
+#: driver (a 1M-key build would be ~220k calls), and the expression
+#: bloats every task binary + codegen unit.  Larger filters route
+#: through the Arrow membership stage instead (`bloom_semi_join`
+#: switches automatically); the positions are still computed JVM-side
+#: with the same xxhash64, so build and probe stay hash-identical.
+BLOOM_LITERAL_MAX_WORDS = 4096
+
+
+def _positions(key_col: Column, m_bits: int, k_hashes: int) -> Column:
+    """The k double-hashed bit positions for a key, as array<long> —
+    shared by the literal and Arrow probe paths (and the build)."""
+    h1, h2 = _h1h2(key_col)
+    return F.array(
+        *[((h1 + F.lit(i) * h2) % F.lit(m_bits)) for i in range(k_hashes)]
+    )
+
+
 def bloom_might_contain(
     key_col: Column | str,
     bitmap: list[int],
@@ -89,7 +107,15 @@ def bloom_might_contain(
 ) -> Column:
     """Membership test as a pure column expression against the literal
     bitmap: k double-hash positions, each an element_at + bit test —
-    whole-stage codegen, zero Python, zero joins."""
+    whole-stage codegen, zero Python, zero joins.  Refuses bitmaps
+    over ``BLOOM_LITERAL_MAX_WORDS`` (use ``bloom_filter_rows`` /
+    ``bloom_semi_join``, which route large filters through the Arrow
+    membership stage instead of codegen literals)."""
+    if len(bitmap) > BLOOM_LITERAL_MAX_WORDS:
+        raise ValueError(
+            f"bitmap of {len(bitmap)} words exceeds the literal ceiling "
+            f"({BLOOM_LITERAL_MAX_WORDS}); use bloom_filter_rows"
+        )
     if isinstance(key_col, str):
         key_col = F.col(key_col)
     lit = F.array(*[F.lit(int(w)).cast("long") for w in bitmap])
@@ -103,6 +129,42 @@ def bloom_might_contain(
         )
         cond = cond & (word.bitwiseAND(bit) != 0)
     return cond
+
+
+def bloom_filter_rows(
+    probe: DataFrame,
+    on: str,
+    bitmap: list[int],
+    m_bits: int,
+    k_hashes: int,
+) -> DataFrame:
+    """Probe-side pre-filter for LARGE bitmaps: the k positions are
+    computed JVM-side (same xxhash64 expression the build used — the
+    two sides must stay hash-identical), then an Arrow ``mapInPandas``
+    stage gathers the bitmap words (a numpy array shipped once per
+    task in the closure, not per-row literals) and keeps rows whose k
+    bits are all set.  Same result contract as the literal path; the
+    trade is one Python stage against codegen-literal bloat that grows
+    with the filter."""
+    import numpy as np
+
+    words = np.asarray([np.uint64(w & 0xFFFFFFFFFFFFFFFF) for w in bitmap],
+                       dtype=np.uint64)
+    out_cols = list(probe.columns)
+    annotated = probe.withColumn(
+        "__bloom_pos", _positions(F.col(on), m_bits, k_hashes)
+    )
+
+    def member(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pos = np.stack(pdf["__bloom_pos"].to_numpy()).astype(np.int64)
+            w = words[pos // 64]
+            bits = (w >> (pos % 64).astype(np.uint64)) & np.uint64(1)
+            yield pdf.loc[bits.all(axis=1), out_cols]
+
+    return annotated.mapInPandas(member, probe.schema)
 
 
 def bloom_size_for(n_keys: int, bits_per_key: int = 14) -> tuple[int, int]:
@@ -154,5 +216,10 @@ def bloom_semi_join(
     elif k_hashes is None:
         k_hashes = 5
     bitmap = bloom_build(keys, on, m_bits, k_hashes)
-    pre = probe.filter(bloom_might_contain(F.col(on), bitmap, m_bits, k_hashes))
+    if len(bitmap) <= BLOOM_LITERAL_MAX_WORDS:
+        pre = probe.filter(
+            bloom_might_contain(F.col(on), bitmap, m_bits, k_hashes)
+        )
+    else:  # large filter: Arrow membership stage, never a literal
+        pre = bloom_filter_rows(probe, on, bitmap, m_bits, k_hashes)
     return pre.join(build, on, how)

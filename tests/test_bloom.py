@@ -33,6 +33,43 @@ def test_outer_join_how_rejected(spark):
             bloom_semi_join(probe, build, "k", how=how)
 
 
+def test_large_bitmap_routes_through_arrow_stage(spark, monkeypatch):
+    """Past BLOOM_LITERAL_MAX_WORDS the pre-filter must not inline the
+    bitmap as a codegen literal (py4j-per-word build cost + task-binary
+    bloat): the Arrow membership stage takes over — positions still
+    JVM-hashed — with results identical to the plain join."""
+    import qurio_spark.operators.bloom as bmod
+    from tools.plan_audit import audit
+
+    probe = spark.range(0, 4000).withColumnRenamed("id", "k")
+    build = spark.range(0, 4000, 61).withColumnRenamed("id", "k")
+    want = sorted(r["k"] for r in probe.join(build, "k", "left_semi").collect())
+    monkeypatch.setattr(bmod, "BLOOM_LITERAL_MAX_WORDS", 8)
+    out = bloom_semi_join(probe, build, "k", m_bits=1 << 12)  # 64 words
+    assert sorted(r["k"] for r in out.collect()) == want
+    assert audit(out)["python_stages"] >= 1  # the Arrow path, not a literal
+    # and the expression-level API refuses oversized bitmaps outright
+    with pytest.raises(ValueError, match="literal ceiling"):
+        bloom_might_contain("k", [0] * 9, m_bits=1 << 12)
+
+
+def test_bitmap_with_sign_bit_word_parity(spark):
+    """A build whose bitmap sets bit 63 of a word (negative long) must
+    probe identically through the literal and Arrow paths."""
+    from qurio_spark.operators.bloom import bloom_filter_rows
+
+    probe = spark.range(0, 2000).withColumnRenamed("id", "k")
+    build = spark.range(0, 2000, 13).withColumnRenamed("id", "k")
+    m_bits, k_hashes = 1 << 10, 5
+    bitmap = bloom_build(build.select("k"), "k", m_bits, k_hashes)
+    assert any(w < 0 for w in bitmap)  # the sign-bit case is real
+    lit = probe.filter(bloom_might_contain("k", bitmap, m_bits, k_hashes))
+    arrow = bloom_filter_rows(probe, "k", bitmap, m_bits, k_hashes)
+    assert sorted(r["k"] for r in lit.collect()) == sorted(
+        r["k"] for r in arrow.collect()
+    )
+
+
 def test_no_false_negatives_and_fp_rate(spark):
     """Every build key must pass its own filter (soundness — the join
     result depends on it); the false-positive rate on non-members must
