@@ -564,6 +564,90 @@ def snap_delete_where(
     )
 
 
+def snap_read_if_exists(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame | None:
+    """``snap_read`` that returns None for the not-yet-created table
+    (the first-batch case of incremental consumers) — any OTHER
+    failure still propagates."""
+    if _latest_version(path) is None:
+        return None
+    return snap_read(spark, path, version)
+
+
+def snap_replace_values(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    values: list,
+    replacement: DataFrame,
+) -> int:
+    """Delta's ``replaceWhere`` for a value list: ONE atomic commit
+    that deletes every row whose ``col`` is in ``values`` and inserts
+    ``replacement`` (caller contract: replacement rows all satisfy the
+    predicate — the incremental-ingest rebuild shape, where a
+    micro-batch replaces the touched sources' rows wholesale).
+
+    Because data files are immutable and the commit only swaps
+    manifests, the replacement frame may READ the current version
+    (e.g. merge kept rows with rebuilt ones) without any
+    materialize-before-overwrite checkpoint — the write creates new
+    files; it can never clobber the files the read is consuming.
+    That property is what lets the streaming ingest drop its eager
+    checkpoints (`streaming/ingest.py`).
+
+    Files whose stats prove they hold none of ``values`` are carried
+    by manifest/entry untouched; affected files are rewritten keeping
+    only non-matching rows (NULL-safe: NULL never matches an IN
+    list).  First call (no table) just commits ``replacement``.
+    ``values`` is a driver-side list — callers pass the micro-batch's
+    touched keys (bounded by batch size), not table-scale sets."""
+    from pyspark.sql import functions as F
+
+    if _latest_version(path) is None:
+        return _snap_commit(replacement, path, "append")
+    vs = sorted(values)
+
+    def _disjoint(e) -> bool:
+        st = e.get("stats", {}).get(col) if isinstance(e, dict) else None
+        if st is None:
+            return False
+        mn, mx = st
+        return all(v < mn or v > mx for v in vs)
+
+    for _ in range(_MAX_COMMIT_RETRIES):
+        v = _latest_version(path)
+        m = _read_manifest(path, v)
+        carried, loose_entries, affected = [], [], []
+        for name in _carried_manifests(path, m):
+            with open(os.path.join(_mdir(path), name)) as f:
+                entries = json.load(f)["files"]
+            if all(_disjoint(e) for e in entries):
+                carried.append(name)
+            else:
+                for e in entries:
+                    (loose_entries if _disjoint(e) else affected).append(e)
+        new_files = []
+        if affected:
+            keep = F.col(col).isNull() | ~F.col(col).isin(vs)
+            survivors = spark.read.parquet(
+                *[os.path.join(path, _entry_name(e)) for e in affected]
+            ).filter(keep)
+            new_files += _write_data_files(survivors, path, v + 1)
+        new_files += _write_data_files(replacement, path, v + 1)
+        new_name = _write_manifest_file(path, loose_entries + new_files)
+        if _try_commit(
+            path, v + 1,
+            {"version": v + 1, "op": "replace", "parent": v,
+             "manifests": carried + [new_name],
+             "txn": dict(m.get("txn", {}))},
+        ):
+            return v + 1
+    raise RuntimeError(
+        f"commit contention on {path}: {_MAX_COMMIT_RETRIES} retries lost"
+    )
+
+
 def snap_append_validated(
     df: DataFrame, path: str, expectations: dict[str, "object"]
 ) -> int:

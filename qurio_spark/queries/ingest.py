@@ -348,10 +348,12 @@ def q_streaming_ingest(spark, sf_dir):
         run_available(b1)
         run_available(b2)
 
-    chunks = spark.read.parquet(chunks_p).select(
+    from qurio_spark.plans.snapshots import snap_read
+
+    chunks = snap_read(spark, chunks_p).select(
         "url", "source_id", "chunk_index", "content", "title"
     )
-    ledger = spark.read.parquet(ledger_p)
+    ledger = snap_read(spark, ledger_p)
     return chunks.join(ledger, "url")
 
 

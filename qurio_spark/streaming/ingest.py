@@ -222,18 +222,37 @@ def streaming_ingest_incremental(
     is upserted.  The streaming twin of the batch skip-unchanged path:
     both call the same combinators, so they cannot drift.
 
-    State lives in two parquet tables (chunks + ledger), not in stream
-    state — micro-batches are the reference's queue drains (M7), and
-    the ledger is the pages table's body_hash column
-    (result_consumer.go:195-198).
+    State lives in two SNAPSHOT tables (chunks + ledger,
+    plans/snapshots.py), not in stream state — micro-batches are the
+    reference's queue drains (M7), and the ledger is the pages table's
+    body_hash column (result_consumer.go:195-198).
+
+    Why snapshot tables (round-8 change): the previous plain-parquet
+    form needed THREE materialize-before-overwrite checkpoints per
+    micro-batch, because dynamic partition overwrite clobbers the
+    very files the merge is reading.  Snapshot commits write new
+    immutable files and swap a manifest, so the merge can read the
+    current version while writing the next — the only remaining
+    checkpoint is the `changed` diamond (consumed by the chunk build
+    AND the ledger upsert).  Each commit is also atomic (no torn
+    micro-batch for concurrent readers) and versioned (time travel
+    across ingest history for free).  A replayed micro-batch
+    converges through the ledger: its re-sent pages hash as unchanged
+    and the batch becomes a no-op — the same idempotency the
+    reference gets from body-hash checks, now with atomic visibility.
     """
     from pyspark.sql import functions as F
 
     from qurio_spark.plans.pipeline import apply_incremental, split_unchanged
+    from qurio_spark.plans.snapshots import (
+        snap_overwrite,
+        snap_read_if_exists,
+        snap_replace_values,
+    )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        prior = read_parquet_if_exists(spark, ledger_path)
+        prior = snap_read_if_exists(spark, ledger_path)
         if prior is None:  # first batch: no ledger yet
             prior = spark.createDataFrame([], "url string, body_hash string")
         ok = batch_df.filter(F.col("status") == "success")
@@ -242,28 +261,37 @@ def streaming_ingest_incremental(
         if changed.limit(1).count() == 0:
             return
         new_chunks = build_chunks(changed.drop("body_hash"), embedder)
-        existing = read_parquet_if_exists(spark, chunks_path)
+        existing = snap_read_if_exists(spark, chunks_path)
         if existing is None:  # first batch: no chunks yet
-            merged = new_chunks
+            snap_replace_values(
+                spark, chunks_path, "source_id", [],
+                new_chunks.repartition("source_id"),
+            )
         else:
-            # only partitions containing a changed page are rewritten
-            # (dynamic partition overwrite): merge the kept rows of
-            # touched sources with the rebuilt chunks, leave every
-            # other partition's files untouched on disk
-            touched = changed.select("source_id").distinct()
-            existing_touched = existing.join(touched, "source_id", "left_semi")
+            # one atomic replaceWhere commit: only files holding a
+            # touched source rewrite (manifest stats prune the rest);
+            # kept rows of touched sources merge with the rebuilt
+            # chunks, every other file is carried by name untouched
+            touched = [
+                r["source_id"]
+                for r in changed.select("source_id").distinct().collect()
+            ]
+            existing_touched = existing.filter(
+                F.col("source_id").isin(touched)
+            )
             merged = apply_incremental(
                 existing_touched, new_chunks, changed.select("url")
-            ).transform(lambda d: checkpoint_df(d, eager=True))  # materialize BEFORE overwriting the input
-        merged.repartition("source_id").write.mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).partitionBy("source_id").parquet(chunks_path)
+            )
+            snap_replace_values(
+                spark, chunks_path, "source_id", touched,
+                merged.repartition("source_id"),
+            )
         ledger = prior.join(
             changed.select("url"), "url", "left_anti"
-        ).unionByName(changed.select("url", "body_hash")).transform(
-            lambda d: checkpoint_df(d, eager=True)
-        )
-        ledger.write.mode("overwrite").parquet(ledger_path)
+        ).unionByName(changed.select("url", "body_hash"))
+        # the ledger is (url, hash) — tiny relative to the corpus; one
+        # file per version keeps the per-commit task count flat
+        snap_overwrite(ledger.coalesce(1), ledger_path)
 
     return (
         docs_stream.writeStream.foreachBatch(process)

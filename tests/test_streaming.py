@@ -255,6 +255,7 @@ class TestIncrementalStreamIngest:
         all).  Unchanged pages' chunk rows survive byte-identical."""
         import os
 
+        from qurio_spark.plans.snapshots import snap_read
         from qurio_spark.schemas import DOCUMENTS_RAW
         from qurio_spark.streaming.ingest import streaming_ingest_incremental
 
@@ -285,7 +286,7 @@ class TestIncrementalStreamIngest:
         run([doc("s1", "u/a", body_a), doc("s1", "u/b", body_b)], 1)
         first = {
             (r["url"], r["chunk_index"]): r["content"]
-            for r in spark.read.parquet(chunks_path).collect()
+            for r in snap_read(spark, chunks_path).collect()
         }
         assert {u for u, _ in first} == {"u/a", "u/b"}
         mtime_before = max(
@@ -297,7 +298,7 @@ class TestIncrementalStreamIngest:
         run([doc("s1", "u/a", body_a), doc("s1", "u/b", body_b2)], 2)
         second = {
             (r["url"], r["chunk_index"]): r["content"]
-            for r in spark.read.parquet(chunks_path).collect()
+            for r in snap_read(spark, chunks_path).collect()
         }
         a_keys = [k for k in first if k[0] == "u/a"]
         assert all(second[k] == first[k] for k in a_keys)  # untouched
@@ -317,7 +318,7 @@ class TestIncrementalStreamIngest:
         assert mtime_after == mtime_mid
         third = {
             (r["url"], r["chunk_index"]): r["content"]
-            for r in spark.read.parquet(chunks_path).collect()
+            for r in snap_read(spark, chunks_path).collect()
         }
         assert third == second
 
