@@ -726,11 +726,23 @@ class TestPcmSampleDecode:
         assert _wav_pcm_mono(None) is None
 
 
+#: Adam7 pass geometry, copied from the PNG spec independently of the
+#: decoder's table (a transposition bug in either side breaks the
+#: round-trip tests)
+ADAM7_TEST = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def make_png_full(arr, color_type=2, filters=None, depth=8, interlace=0,
                   palette=None) -> bytes:
     """Real PNG encoder (test-side twin of _decode_png_pixels): arr is
-    (h, w, nch) uint8; per-row filter types (0-4) are APPLIED per the
-    spec so decoding exercises the reconstruction paths.  stdlib only."""
+    (h, w, nch) uint8 (uint16 for depth=16); per-row filter types
+    (0-4) are APPLIED per the spec — byte-wise, left neighbor ``bpp``
+    bytes back — so decoding exercises the reconstruction paths.
+    ``interlace=1`` emits the seven Adam7 sub-images, each filtered
+    independently.  stdlib only."""
     import zlib
 
     import numpy as np
@@ -746,29 +758,50 @@ def make_png_full(arr, color_type=2, filters=None, depth=8, interlace=0,
 
     h, w, nch = arr.shape
     filters = filters or [0] * h
-    raw = arr.astype(np.int64).reshape(h, w * nch)
+    bpp = nch * (depth // 8) if depth >= 8 else nch
+
+    def row_bytes(sub):
+        """(hp, wp, nch) samples -> (hp, row_bytes) int64 byte rows."""
+        a = sub.astype(np.int64)
+        if depth != 16:
+            return a.reshape(a.shape[0], -1)
+        hi, lo = (a >> 8) & 0xFF, a & 0xFF
+        return np.stack([hi, lo], axis=-1).reshape(a.shape[0], -1)
+
+    def filter_sub(sub, scan):
+        rows = row_bytes(sub)
+        hp, rb = rows.shape
+        for y in range(hp):
+            f = filters[y % len(filters)]
+            row, prev = rows[y], (
+                rows[y - 1] if y else np.zeros(rb, dtype=np.int64)
+            )
+            filt = np.empty(rb, dtype=np.int64)
+            for x in range(rb):
+                a = row[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if f == 0:
+                    filt[x] = row[x]
+                elif f == 1:
+                    filt[x] = row[x] - a
+                elif f == 2:
+                    filt[x] = row[x] - b
+                elif f == 3:
+                    filt[x] = row[x] - (a + b) // 2
+                else:
+                    filt[x] = row[x] - paeth(a, b, c)
+            scan.append(f)
+            scan += bytes((filt & 0xFF).astype(np.uint8))
+
     scan = bytearray()
-    for y in range(h):
-        f = filters[y]
-        row = raw[y]
-        prev = raw[y - 1] if y else np.zeros(w * nch, dtype=np.int64)
-        filt = np.empty(w * nch, dtype=np.int64)
-        for x in range(w * nch):
-            a = row[x - nch] if x >= nch else 0
-            b = prev[x]
-            c = prev[x - nch] if x >= nch else 0
-            if f == 0:
-                filt[x] = row[x]
-            elif f == 1:
-                filt[x] = row[x] - a
-            elif f == 2:
-                filt[x] = row[x] - b
-            elif f == 3:
-                filt[x] = row[x] - (a + b) // 2
-            else:
-                filt[x] = row[x] - paeth(a, b, c)
-        scan.append(f)
-        scan += bytes((filt & 0xFF).astype(np.uint8))
+    if interlace == 0:
+        filter_sub(arr, scan)
+    else:
+        for x0, y0, dx, dy in ADAM7_TEST:
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                filter_sub(sub, scan)
 
     def chunk(ctype, body):
         return (
@@ -837,14 +870,70 @@ class TestPngDecode:
         )
         assert np.array_equal(got, palette[idx[:, :, 0]])
 
+    @pytest.mark.parametrize("f", [0, 1, 2, 3, 4])
+    def test_16bit_high_byte_each_filter(self, f):
+        """depth=16 (round-8 slice): byte-wise filters with bpp=6 and
+        the standard high-byte downsample — 8-bit-upsampled content
+        (v*257) round-trips exactly."""
+        import numpy as np
+
+        from qurio_spark.sources.multimodal import _decode_pixels
+
+        arr = self._rgb(7, 5)
+        arr16 = arr.astype(np.uint16) * 257
+        got = _decode_pixels(make_png_full(arr16, depth=16, filters=[f] * 5))
+        assert np.array_equal(got, arr), f"filter {f}"
+
+    def test_16bit_gray_and_low_byte_ignored(self):
+        import numpy as np
+
+        from qurio_spark.sources.multimodal import _decode_pixels
+
+        gray = self._rgb(6, 4)[:, :, :1]
+        # arbitrary low bytes must not leak into the 8-bit output
+        g16 = (gray.astype(np.uint16) << 8) | 0x5A
+        got = _decode_pixels(
+            make_png_full(g16, color_type=0, depth=16, filters=[1, 2, 3, 4])
+        )
+        assert np.array_equal(got, np.repeat(gray, 3, axis=2))
+
+    @pytest.mark.parametrize("w,h", [(9, 6), (8, 8), (3, 3), (1, 1), (16, 2)])
+    def test_adam7_interlace_roundtrip(self, w, h):
+        """Adam7 (round-8 slice): seven independently-filtered passes
+        scattered back — sizes chosen so some passes are EMPTY (1x1,
+        3x3) or single-row (16x2), where pass-geometry bugs live."""
+        import numpy as np
+
+        from qurio_spark.sources.multimodal import _decode_pixels
+
+        arr = bmp_golden(w, h)
+        got = _decode_pixels(
+            make_png_full(arr, interlace=1, filters=[0, 1, 2, 3, 4])
+        )
+        assert np.array_equal(got, arr)
+
+    def test_adam7_16bit_combined(self):
+        import numpy as np
+
+        from qurio_spark.sources.multimodal import _decode_pixels
+
+        arr = self._rgb(11, 7)
+        arr16 = arr.astype(np.uint16) * 257
+        got = _decode_pixels(
+            make_png_full(arr16, depth=16, interlace=1, filters=[4, 3, 2, 1])
+        )
+        assert np.array_equal(got, arr)
+
     def test_unsupported_variants_stay_stubbed(self):
         from qurio_spark.sources.multimodal import _decode_pixels
 
         arr = self._rgb(4, 3)
-        with pytest.raises(NotImplementedError, match="interlace"):
-            _decode_pixels(make_png_full(arr, interlace=1))
+        # sub-byte depths remain honestly stubbed
         with pytest.raises(NotImplementedError, match="depth"):
-            _decode_pixels(make_png_full(arr, depth=16))
+            _decode_pixels(make_png_full(arr, depth=4))
+        # 16-bit palette is spec-invalid; refuse rather than misread
+        with pytest.raises(NotImplementedError):
+            _decode_pixels(make_png_full(arr, color_type=3, depth=16))
         # header-only stub (the old make_png) has no IDAT
         with pytest.raises((ValueError, NotImplementedError)):
             _decode_pixels(make_png(8, 8))
