@@ -3,10 +3,12 @@
 Image/audio/video are opaque ``binary`` columns with typed metadata
 structs.  The Spark-side plumbing — schema, binaryFile ingestion,
 Arrow-batched mapInPandas, partitioning — is real and tested; the
-actual byte decoding is hermetic where stdlib allows — uncompressed
-BMP, 8/16-bit PNG incl. Adam7 interlace (struct + zlib + PNG filter
-reconstruction), GIF (pure-Python LZW), PCM WAV samples — and
-STUBBED where it needs a codec library (JPEG, compressed audio): ``decode_image_meta`` parses container
+actual byte decoding is hermetic where stdlib+numpy allow —
+uncompressed BMP, 8/16-bit PNG incl. Adam7 interlace (struct + zlib +
+PNG filter reconstruction), GIF (pure-Python LZW), BASELINE JPEG
+(numpy Huffman + vectorized IDCT), PCM WAV samples — and STUBBED
+where it genuinely needs a codec library (progressive JPEG, JPX,
+compressed audio): ``decode_image_meta`` parses container
 headers (PNG/JPEG/GIF dimensions — plain struct parsing), and
 ``extract_features`` computes a deterministic byte-histogram feature
 vector standing in for a real vision embedding.  A production build
@@ -390,13 +392,281 @@ def _decode_gif_pixels(data: bytes) -> "np.ndarray":
     raise ValueError("GIF missing image descriptor")
 
 
+#: JPEG/zigzag scan order (spec figure A.6): zigzag position -> raster
+#: index in the 8x8 block.  Re-derived algorithmically in tests so a
+#: transcription slip here cannot hide behind a symmetric round-trip.
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+
+def _jpeg_dct_matrix() -> "np.ndarray":
+    """The 8x8 DCT-II basis C with C[u, x] = c(u)/2 cos((2x+1)u pi/16)
+    — spatial = C.T @ coeffs @ C (IDCT), coeffs = C @ spatial @ C.T
+    (FDCT, used by the test-side encoder twin)."""
+    x = np.arange(8)
+    C = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    C[0] /= np.sqrt(2.0)
+    return C
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    stuffing removed and RSTn awareness (``align_restart`` consumes a
+    restart marker and resets byte alignment)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos, self.bit = data, pos, 0
+
+    def read_bit(self) -> int:
+        d = self.data
+        if self.bit == 0:
+            # skip stuffed 0x00 after a literal 0xFF byte
+            if self.pos > 0 and d[self.pos - 1] == 0xFF and d[self.pos] == 0x00:
+                self.pos += 1
+        byte = d[self.pos]
+        if byte == 0xFF and d[self.pos + 1] != 0x00:
+            # a real marker inside entropy data (truncated scan):
+            # baseline decoders pad with 1-bits
+            return 1
+        b = (byte >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit, self.pos = 0, self.pos + 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_restart(self) -> None:
+        if self.bit:
+            self.bit, self.pos = 0, self.pos + 1
+        if self.pos + 1 < len(self.data) and self.data[self.pos] == 0xFF \
+                and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+            self.pos += 2
+
+
+def _jpeg_huff_decode_table(counts: list[int], symbols: bytes) -> dict:
+    """Canonical JPEG Huffman table -> {(length, code): symbol}."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code, k = code + 1, k + 1
+        code <<= 1
+    return table
+
+
+def _jpeg_huff_read(r: "_JpegBitReader", table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | r.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """DC/AC magnitude-category decode (spec F.12): t read bits map to
+    [-2^t+1, -2^(t-1)] U [2^(t-1), 2^t-1]."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _decode_jpeg_pixels(data: bytes) -> "np.ndarray":
+    """Baseline sequential JPEG (SOF0) -> (h, w, 3) uint8 RGB, pure
+    numpy: marker parse (DQT/DHT/SOF0/DRI/SOS), canonical Huffman
+    entropy decode with byte-stuffing and restart markers, dequantize
+    + dezigzag, one vectorized 8x8 IDCT over all blocks per component
+    (einsum against the DCT basis — the per-block work stays in BLAS,
+    only the Huffman bit loop is Python), nearest-neighbor chroma
+    upsampling for 4:2:0/4:2:2, BT.601 YCbCr -> RGB.  Grayscale
+    broadcasts.  Progressive (SOF2), arithmetic coding, and 12-bit
+    precision raise NotImplementedError — the honest stub boundary
+    moves from 'all JPEG' to 'non-baseline JPEG'."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps: list[dict] = []
+    w = h = 0
+    restart_interval = 0
+    i = 2
+    scan_pos = None
+    scan_comps: list[dict] = []
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = data[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = _struct.unpack(">H", data[i + 2 : i + 4])
+        body = data[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 15
+                p += 1
+                if pq == 0:
+                    tbl = np.frombuffer(body, np.uint8, 64, p).astype(np.int32)
+                    p += 64
+                else:
+                    tbl = np.frombuffer(
+                        body, ">u2", 64, p
+                    ).astype(np.int32)
+                    p += 128
+                qt[tq] = tbl
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 15
+                counts = list(body[p + 1 : p + 17])
+                n = sum(counts)
+                symbols = body[p + 17 : p + 17 + n]
+                (huff_dc if tc == 0 else huff_ac)[th] = (
+                    _jpeg_huff_decode_table(counts, symbols)
+                )
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0: baseline
+            prec, h, w, ncomp = body[0], *_struct.unpack(">HH", body[1:5]), body[5]
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec} != 8")
+            comps = [
+                {
+                    "id": body[6 + 3 * c],
+                    "hs": body[7 + 3 * c] >> 4,
+                    "vs": body[7 + 3 * c] & 15,
+                    "tq": body[8 + 3 * c],
+                }
+                for c in range(ncomp)
+            ]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF{marker - 0xC0}) not hermetically "
+                "decodable; swap in PIL/libvips in production"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = _struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = []
+            for c in range(ns):
+                cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
+                comp = next(x for x in comps if x["id"] == cid)
+                scan_comps.append(
+                    {**comp, "dc": tabs >> 4, "ac": tabs & 15}
+                )
+            scan_pos = i + 2 + seg_len
+            break
+        i += 2 + seg_len
+    if not comps or scan_pos is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # per-component coefficient stores: (blocks_y, blocks_x, 64)
+    store = {}
+    for c in scan_comps:
+        store[c["id"]] = np.zeros(
+            (mcuy * c["vs"], mcux * c["hs"], 64), dtype=np.int32
+        )
+    r = _JpegBitReader(data, scan_pos)
+    pred = {c["id"]: 0 for c in scan_comps}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count \
+                    and mcu_count % restart_interval == 0:
+                r.align_restart()
+                pred = {c["id"]: 0 for c in scan_comps}
+            for c in scan_comps:
+                dct, act = huff_dc[c["dc"]], huff_ac[c["ac"]]
+                for by in range(c["vs"]):
+                    for bx in range(c["hs"]):
+                        coeffs = np.zeros(64, dtype=np.int32)
+                        t = _jpeg_huff_read(r, dct)
+                        diff = _jpeg_extend(r.read_bits(t), t)
+                        pred[c["id"]] += diff
+                        coeffs[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_huff_read(r, act)
+                            rr, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if rr == 15:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += rr
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            coeffs[k] = _jpeg_extend(r.read_bits(s), s)
+                            k += 1
+                        store[c["id"]][
+                            my * c["vs"] + by, mx * c["hs"] + bx
+                        ] = coeffs
+            mcu_count += 1
+
+    C = _jpeg_dct_matrix()
+    zz = np.asarray(_JPEG_ZIGZAG)
+    planes = []
+    for c in scan_comps:
+        blocks = store[c["id"]]
+        by, bx = blocks.shape[:2]
+        deq = blocks.astype(np.float64) * qt[c["tq"]][None, None, :]
+        grid = np.zeros((by, bx, 64))
+        grid[:, :, zz] = deq  # dezigzag: zigzag position -> raster
+        grid = grid.reshape(by, bx, 8, 8)
+        # IDCT every block at once: spatial = C.T @ F @ C, i.e.
+        # spatial[x, y] = sum_{u,v} C[u, x] F[u, v] C[v, y]
+        spatial = np.einsum("ux,abuv,vy->abxy", C, grid, C, optimize=True)
+        plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8) + 128.0
+        # clip to this component's true extent, then upsample to full
+        ch = -(-h * c["vs"] // vmax)
+        cw = -(-w * c["hs"] // hmax)
+        plane = plane[:ch, :cw]
+        plane = np.repeat(plane, vmax // c["vs"], axis=0)
+        plane = np.repeat(plane, hmax // c["hs"], axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        y = np.clip(planes[0], 0, 255).astype(np.uint8)
+        return np.ascontiguousarray(np.repeat(y[:, :, None], 3, axis=2))
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return np.ascontiguousarray(np.clip(np.round(rgb), 0, 255).astype(np.uint8))
+
+
 def _decode_pixels(data: bytes):
     """Full pixel decode.  Real branches: uncompressed BMP (stdlib
     struct — VERDICT r5 item 7), PNG at 8 AND 16 bits, plain or
     Adam7-interlaced (stdlib zlib + byte-wise filter reconstruction —
-    rounds 6-8), and GIF (pure-Python LZW — round 7); JPEG (Huffman +
-    DCT) and sub-byte PNG depths remain honestly stubbed: no image
-    libraries in this environment.  The
+    rounds 6-8), GIF (pure-Python LZW — round 7), and BASELINE JPEG
+    (numpy Huffman + vectorized IDCT — round 8); progressive JPEG,
+    arithmetic coding, and sub-byte PNG depths remain honestly
+    stubbed: no image libraries in this environment.  The
     mapInPandas contract around it is the real, tested surface either
     way."""
     if data is not None and bytes(data[:2]) == b"BM":
@@ -405,6 +675,8 @@ def _decode_pixels(data: bytes):
         return _decode_png_pixels(bytes(data))
     if data is not None and bytes(data[:6]) in (b"GIF87a", b"GIF89a"):
         return _decode_gif_pixels(bytes(data))
+    if data is not None and bytes(data[:2]) == b"\xff\xd8":
+        return _decode_jpeg_pixels(bytes(data))
     raise NotImplementedError(
         "pixel decode requires an image codec library; swap this stub "
         "for PIL/libvips in production"
@@ -1125,12 +1397,13 @@ def _pdf_image_xobjects(data: bytes):
     """(width, height, (h, w, 3) uint8 RGB) per hermetically-decodable
     image XObject in a PDF: /Subtype /Image, 8 bits/component,
     /DeviceRGB or /DeviceGray, stored raw or FlateDecode (zlib is
-    stdlib — ``_pdf_streams`` already inflated it).  DCTDecode/JPX
-    (actual codecs) are skipped — that slice stays behind the
-    ``_decode_pixels`` stub boundary.
+    stdlib — ``_pdf_streams`` already inflated it) — and, since round
+    8, /DCTDecode streams whose bytes are a BASELINE JPEG
+    (``_decode_jpeg_pixels``); progressive-JPEG and JPX XObjects stay
+    behind the stub boundary.
 
     Reference parity: docling rasterizes PDF images for OCR
-    (handlers/file.py:196-299); this is the no-codec subset."""
+    (handlers/file.py:196-299); this is the no-codec-library subset."""
     for head, body in _pdf_streams(data):
         if b"/Subtype" not in head or b"/Image" not in head:
             continue
@@ -1140,8 +1413,17 @@ def _pdf_image_xobjects(data: bytes):
         w, h, bpc = _num(b"Width"), _num(b"Height"), _num(b"BitsPerComponent")
         if not w or not h or bpc != 8:
             continue
+        if _re.search(rb"/Filter\s*(?:/DCTDecode|\[\s*/DCTDecode\s*\])", head):
+            try:
+                px = _decode_jpeg_pixels(bytes(body))
+            except (NotImplementedError, ValueError):
+                continue  # progressive/corrupt: stays stubbed
+            if px.shape[0] != h or px.shape[1] != w:
+                continue
+            yield w, h, px
+            continue
         if _re.search(rb"/Filter(?!\s*(?:/FlateDecode|\[\s*/FlateDecode\s*\]))", head):
-            continue  # DCTDecode etc.: codec territory
+            continue  # JPX etc.: codec territory
         if b"/DeviceRGB" in head:
             nch = 3
         elif b"/DeviceGray" in head:

@@ -79,6 +79,12 @@ def make_jpeg(w=32, h=24) -> bytes:
     return b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00" + sof
 
 
+def make_jpeg_progressive(w=16, h=9) -> bytes:
+    """SOF2 (progressive) header — the slice that STAYS stubbed."""
+    sof = b"\xff\xc2" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", h, w) + b"\x03" + b"\x00" * 9
+    return b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00" + sof
+
+
 class TestHeaderParsing:
     def test_png_gif_jpeg_dims(self):
         assert _parse_image_header(make_png(16, 9)) == ("png", 16, 9, True)
@@ -181,10 +187,12 @@ class TestBinaryIngestion:
 
         with pytest.raises(NotImplementedError):
             _decode_pixels(b"anything")
-        # JPEG (Huffman + DCT) stays stubbed even with a valid header;
-        # PNG and GIF now decode (TestPngDecode / TestGifDecode), so
-        # their data-less headers are malformed-file errors, not stubs
-        with pytest.raises(NotImplementedError):
+        # BASELINE JPEG now decodes (TestJpegDecode) — progressive is
+        # the honest stub boundary; PNG/GIF/JPEG data-less headers are
+        # malformed-file errors, not stubs
+        with pytest.raises(NotImplementedError, match="SOF2"):
+            _decode_pixels(make_jpeg_progressive())
+        with pytest.raises(ValueError):
             _decode_pixels(make_jpeg())
         with pytest.raises(ValueError):
             _decode_pixels(make_gif())
@@ -275,7 +283,7 @@ class TestPixelDecode:
 
         df = spark.createDataFrame(
             [("img/a.bmp", bytearray(make_bmp(7, 5))),
-             ("img/b.jpg", bytearray(make_jpeg(16, 9)))],
+             ("img/b.jpg", bytearray(make_jpeg_progressive(16, 9)))],
             "path string, content binary",
         )
         meta = df.withColumn("meta", decode_image_meta("content")).select(
@@ -294,7 +302,7 @@ class TestPixelDecode:
             golden,
         )
         b = out["img/b.jpg"]
-        assert b["pixels"] is None and "codec" in b["resize_error"]
+        assert b["pixels"] is None and "SOF2" in b["resize_error"]
 
     def test_pdf_image_xobjects(self):
         import numpy as np
@@ -318,9 +326,17 @@ class TestPixelDecode:
         assert (w, h) == (6, 4)
         assert np.array_equal(px, np.repeat(gray, 3, axis=2))
 
-        # DCTDecode (actual JPEG codec) is skipped, not misdecoded
-        dct_pdf = make_image_pdf(6, 4, b"\xff\xd8jpegbytes", codec="DCTDecode")
-        assert list(_pdf_image_xobjects(dct_pdf)) == []
+        # DCTDecode with a real BASELINE JPEG now decodes (round 8)
+        jpeg = make_jpeg_full(rgb)
+        dct_pdf = make_image_pdf(6, 4, jpeg, codec="DCTDecode")
+        (w, h, px), = list(_pdf_image_xobjects(dct_pdf))
+        assert (w, h) == (6, 4)
+        from qurio_spark.sources.multimodal import _decode_pixels
+
+        assert np.array_equal(px, _decode_pixels(jpeg))
+        # corrupt/non-baseline DCT bytes are skipped, not misdecoded
+        bad_pdf = make_image_pdf(6, 4, b"\xff\xd8jpegbytes", codec="DCTDecode")
+        assert list(_pdf_image_xobjects(bad_pdf)) == []
 
     def test_pdf_image_inventory(self, spark):
         """Quarantine routing: decodable vs codec-bound image XObjects
@@ -956,7 +972,8 @@ class TestPngDecode:
             [
                 ("img/p.png", bytearray(make_png_full(arr, filters=[4, 3, 2, 1, 0]))),
                 ("img/a.bmp", bytearray(make_bmp(7, 5))),
-                ("img/j.jpg", bytearray(make_jpeg(32, 24))),
+                ("img/j.jpg", bytearray(make_jpeg_full(arr))),
+                ("img/pr.jpg", bytearray(make_jpeg_progressive(32, 24))),
             ],
             "path string, content binary",
         )
@@ -973,8 +990,18 @@ class TestPngDecode:
             assert (r["out_width"], r["out_height"]) == (4, 3)
             got = np.frombuffer(bytes(r["pixels"]), np.uint8).reshape(3, 4, 3)
             assert np.array_equal(got, golden), p
-        assert out["img/j.jpg"]["pixels"] is None
-        assert "codec" in out["img/j.jpg"]["resize_error"]
+        # the baseline JPEG row now decodes: lossy, so compare to the
+        # decoder's own full-size output resampled
+        from qurio_spark.sources.multimodal import _decode_pixels
+
+        j = out["img/j.jpg"]
+        assert (j["out_width"], j["out_height"]) == (4, 3)
+        want = _resample_nearest(_decode_pixels(make_jpeg_full(arr)), 4, 3)
+        got = np.frombuffer(bytes(j["pixels"]), np.uint8).reshape(3, 4, 3)
+        assert np.array_equal(got, want)
+        # progressive stays a visible per-row degrade, not a job failure
+        assert out["img/pr.jpg"]["pixels"] is None
+        assert "SOF2" in out["img/pr.jpg"]["resize_error"]
 
 
 def make_gif_full(idx, palette, interlaced=False, uncompressed=False,
@@ -1170,3 +1197,289 @@ class TestGifDecode:
         assert (r["out_width"], r["out_height"]) == (4, 3)
         got = np.frombuffer(bytes(r["pixels"]), np.uint8).reshape(3, 4, 3)
         assert np.array_equal(got, _resample_nearest(palette[idx], 4, 3))
+
+
+def make_jpeg_full(arr, subsample=(1, 1), qval=1, restart_interval=0):
+    """Baseline JPEG encoder (test-side twin of _decode_jpeg_pixels):
+    (h, w, 3) RGB or (h, w, 1) gray uint8 -> SOI..EOI bytes.  FDCT via
+    the same orthonormal basis, flat quant table of ``qval``, canonical
+    equal-length Huffman tables built per image and emitted as DHT
+    (so the decoder exercises arbitrary-table decode, not baked-in
+    constants), FF byte stuffing, optional restart markers.
+    ``subsample=(2, 2)`` emits 4:2:0 chroma."""
+    import zlib  # noqa: F401  (parity with PNG encoder imports)
+
+    import numpy as np
+
+    h, w, nch = arr.shape
+    gray = nch == 1
+    sh, sv = subsample if not gray else (1, 1)
+
+    a = arr.astype(np.float64)
+    if gray:
+        planes = [a[:, :, 0]]
+        samps = [(1, 1)]
+    else:
+        r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        def sub(p):
+            if sh == sv == 1:
+                return p
+            ph = -(-p.shape[0] // sv) * sv
+            pw = -(-p.shape[1] // sh) * sh
+            pp = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                        mode="edge")
+            return pp.reshape(ph // sv, sv, pw // sh, sh).mean(axis=(1, 3))
+        planes = [y, sub(cb), sub(cr)]
+        samps = [(sh, sv), (1, 1), (1, 1)]
+
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    x8 = np.arange(8)
+    C = np.cos((2 * x8[None, :] + 1) * x8[:, None] * np.pi / 16) / 2.0
+    C[0] /= np.sqrt(2.0)
+    ZZ = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+          12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+          35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+          58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+
+    # quantized zigzag coefficient blocks per component, MCU layout
+    comp_blocks = []
+    for p, (chs, cvs) in zip(planes, samps):
+        bh, bw = mcuy * cvs * 8, mcux * chs * 8
+        pp = np.pad(p, ((0, bh - p.shape[0]), (0, bw - p.shape[1])),
+                    mode="edge")
+        blocks = np.zeros((mcuy * cvs, mcux * chs, 64), dtype=np.int64)
+        for byi in range(mcuy * cvs):
+            for bxi in range(mcux * chs):
+                blk = pp[byi * 8:(byi + 1) * 8, bxi * 8:(bxi + 1) * 8] - 128.0
+                F_ = C @ blk @ C.T
+                q = np.round(F_ / qval).astype(np.int64)
+                blocks[byi, bxi] = q.reshape(64)[ZZ]
+        comp_blocks.append(blocks)
+
+    def category(v):
+        return int(abs(v)).bit_length()
+
+    # gather symbol sets to build per-table canonical codes
+    def dc_ac_symbols(blocks_list):
+        dcs, acs = set(), set()
+        for blocks in blocks_list:
+            for blk in blocks.reshape(-1, 64):
+                dcs.add(category(0))  # ensure 0 present for diffs
+                acs.add(0x00)
+                dcs.add(category(int(blk[0])))
+                # conservative: all categories that can appear as diffs
+        return dcs, acs
+
+    # simpler: fixed symbol universes (all DC categories 0-11, all AC
+    # run/size bytes that CAN occur) keep the encoder honest without
+    # tracking exact stats
+    dc_syms = list(range(12))
+    ac_syms = sorted({0x00, 0xF0} | {
+        (rr << 4) | s for rr in range(16) for s in range(1, 11)
+    })
+
+    def build_table(symbols):
+        n = len(symbols)
+        L = max(2, (n + 2 - 1).bit_length())  # 2^L >= n+2: all-ones unused
+        counts = [0] * 16
+        counts[L - 1] = n
+        code_of = {}
+        code = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                code_of[symbols[len(code_of)]] = (length, code)
+                code += 1
+            code <<= 1
+        return counts, symbols, code_of
+
+    dc_tbl = build_table(dc_syms)
+    ac_tbl = build_table(ac_syms)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker]))
+        out.extend(struct.pack(">H", len(body) + 2))
+        out.extend(body)
+
+    qtable = bytes([0]) + bytes([min(255, qval)] * 64)
+    seg(0xDB, qtable)
+    ncomp = len(planes)
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, ncomp))
+    for ci, (chs, cvs) in enumerate(samps):
+        sof += bytes([ci + 1, (chs << 4) | cvs, 0])
+    seg(0xC0, bytes(sof))
+    for tc, (counts, symbols, _) in ((0, dc_tbl), (1, ac_tbl)):
+        seg(0xC4, bytes([tc << 4]) + bytes(counts) + bytes(symbols))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytearray([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, bytes(sos))
+
+    bits = []
+
+    def put(code, length):
+        for i in range(length - 1, -1, -1):
+            bits.append((code >> i) & 1)
+
+    def put_coeff(v, t):
+        if t:
+            put(v if v >= 0 else v + (1 << t) - 1, t)
+
+    def flush_stuffed():
+        while len(bits) % 8:
+            bits.append(1)
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for b in bits[i:i + 8]:
+                byte = (byte << 1) | b
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        bits.clear()
+
+    pred = [0] * ncomp
+    mcu_count = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count \
+                    and mcu_count % restart_interval == 0:
+                flush_stuffed()
+                out.extend(bytes([0xFF, 0xD0 + (rst % 8)]))
+                rst += 1
+                pred = [0] * ncomp
+            for ci, (chs, cvs) in enumerate(samps):
+                for by in range(cvs):
+                    for bx in range(chs):
+                        blk = comp_blocks[ci][my * cvs + by, mx * chs + bx]
+                        dc = int(blk[0])
+                        diff = dc - pred[ci]
+                        pred[ci] = dc
+                        t = category(diff)
+                        ln, cd = dc_tbl[2][t]
+                        put(cd, ln)
+                        put_coeff(diff, t)
+                        run = 0
+                        last_nz = max(
+                            (k for k in range(1, 64) if blk[k]), default=0
+                        )
+                        for k in range(1, last_nz + 1):
+                            v = int(blk[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                ln, cd = ac_tbl[2][0xF0]
+                                put(cd, ln)
+                                run -= 16
+                            s = category(v)
+                            ln, cd = ac_tbl[2][(run << 4) | s]
+                            put(cd, ln)
+                            put_coeff(v, s)
+                            run = 0
+                        if last_nz < 63:
+                            ln, cd = ac_tbl[2][0x00]
+                            put(cd, ln)
+            mcu_count += 1
+    flush_stuffed()
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+class TestJpegDecode:
+    """_decode_jpeg_pixels (round-8 hermetic slice): baseline Huffman +
+    vectorized IDCT against the test-side encoder twin."""
+
+    def test_zigzag_table_matches_algorithmic_derivation(self):
+        """Independent re-derivation of the spec's zigzag walk — a
+        transcription slip in the module constant cannot hide behind
+        the (symmetric) encode/decode round-trip."""
+        from qurio_spark.sources.multimodal import _JPEG_ZIGZAG
+
+        # even diagonals run bottom-left -> top-right (x ascending),
+        # odd ones the reverse (y ascending)
+        order = sorted(
+            ((x + y, (x if (x + y) % 2 == 0 else y), x, y)
+             for y in range(8) for x in range(8))
+        )
+        derived = [y * 8 + x for (_, _, x, y) in order]
+        assert list(_JPEG_ZIGZAG) == derived
+
+    def test_rgb_444_near_lossless_roundtrip(self):
+        import numpy as np
+
+        from qurio_spark.sources.multimodal import _decode_pixels
+
+        arr = bmp_golden(24, 17)
+        got = _decode_pixels(make_jpeg_full(arr))
+        assert got.shape == arr.shape
+        diff = np.abs(got.astype(int) - arr.astype(int))
+        assert diff.max() <= 6 and diff.mean() < 2.0
+
+    def test_grayscale_single_component(self):
+        import numpy as np
+
+        from qurio_spark.sources.multimodal import _decode_pixels
+
+        gray = bmp_golden(19, 11)[:, :, :1]
+        got = _decode_pixels(make_jpeg_full(gray))
+        want = np.repeat(gray, 3, axis=2)
+        diff = np.abs(got.astype(int) - want.astype(int))
+        assert diff.max() <= 4
+
+    def test_420_subsampled_chroma(self):
+        """4:2:0: luma detail survives; constant-chroma content (pure
+        gray ramp) is exact up to DCT rounding even through the
+        subsample/upsample pair."""
+        import numpy as np
+
+        from qurio_spark.sources.multimodal import _decode_pixels
+
+        g = bmp_golden(20, 14)[:, :, :1]
+        arr = np.repeat(g, 3, axis=2)  # gray as RGB: Cb = Cr = 128
+        got = _decode_pixels(make_jpeg_full(arr, subsample=(2, 2)))
+        diff = np.abs(got.astype(int) - arr.astype(int))
+        assert diff.max() <= 6 and diff.mean() < 2.0
+
+    def test_restart_markers(self):
+        import numpy as np
+
+        from qurio_spark.sources.multimodal import _decode_pixels
+
+        arr = bmp_golden(40, 9)  # 5 MCUs wide at 4:4:4
+        got = _decode_pixels(make_jpeg_full(arr, restart_interval=2))
+        base = _decode_pixels(make_jpeg_full(arr))
+        assert np.array_equal(got, base)  # markers change bytes, not pixels
+
+    def test_coarse_quantization_still_decodes(self):
+        import numpy as np
+
+        from qurio_spark.sources.multimodal import _decode_pixels
+
+        arr = bmp_golden(16, 16)
+        got = _decode_pixels(make_jpeg_full(arr, qval=16))
+        assert got.shape == arr.shape
+        # lossy but recognizable: mean error bounded
+        assert np.abs(got.astype(int) - arr.astype(int)).mean() < 16
+
+    def test_progressive_stays_stubbed(self):
+        import pytest as _pytest
+
+        from qurio_spark.sources.multimodal import _decode_pixels
+
+        data = bytearray(make_jpeg_full(bmp_golden(8, 8)))
+        i = data.index(b"\xff\xc0")
+        data[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+        with _pytest.raises(NotImplementedError, match="SOF2"):
+            _decode_pixels(bytes(data))
