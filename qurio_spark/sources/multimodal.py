@@ -724,7 +724,9 @@ def _parse_wav_header(data: bytes | None) -> tuple:
     """Header-only WAV sniffing (RIFF/WAVE fmt + data chunks) —
     deterministic stdlib struct parsing, the audio twin of
     ``_parse_image_header``.  Compressed codecs (mp3/flac) are the
-    ``_decode_pixels``-class stub; PCM WAV metadata needs none."""
+    ``_decode_pixels``-class stub; PCM, G.711 mu/A-law, and IMA-ADPCM
+    metadata need none (ADPCM duration comes from the fmt extension's
+    samples-per-block, spec-mandated for tag 0x11)."""
     if (
         not data
         or len(data) < 12
@@ -734,6 +736,7 @@ def _parse_wav_header(data: bytes | None) -> tuple:
         return (None, None, None, None, None, False)
     i = 12
     rate = channels = bits = fmt_tag = None
+    block_align = spb = None
     data_len = None
     while i + 8 <= len(data):
         cid = data[i : i + 4]
@@ -741,17 +744,27 @@ def _parse_wav_header(data: bytes | None) -> tuple:
         if cid == b"fmt " and i + 24 <= len(data):
             (fmt_tag,) = _struct.unpack("<H", data[i + 8 : i + 10])
             channels, rate = _struct.unpack("<HI", data[i + 10 : i + 16])
+            (block_align,) = _struct.unpack("<H", data[i + 20 : i + 22])
             (bits,) = _struct.unpack("<H", data[i + 22 : i + 24])
+            if fmt_tag == 0x0011 and i + 28 <= len(data) and clen >= 20:
+                (spb,) = _struct.unpack("<H", data[i + 26 : i + 28])
         elif cid == b"data":
             data_len = clen
         i += 8 + clen + (clen % 2)  # chunks are word-aligned
     if not rate or not channels or not bits:
         return ("wav", rate, channels, bits, None, False)
-    # the PCM byte formula only holds for uncompressed sample frames:
-    # PCM (1), IEEE float (3), or EXTENSIBLE (0xFFFE, which wraps one
-    # of those).  Compressed codecs in a WAV container (mu/a-law,
-    # ADPCM, ...) get the same honest no-duration stub as mp3/flac.
-    if fmt_tag not in (0x0001, 0x0003, 0xFFFE):
+    # duration formulas per frame format: the PCM byte formula for
+    # uncompressed frames — PCM (1), IEEE float (3), EXTENSIBLE
+    # (0xFFFE) — and G.711 mu/A-law (6, 7: exactly one byte per
+    # sample); IMA-ADPCM (0x11) uses blocks x samples-per-block from
+    # the fmt extension.  Anything else (mp3/flac/GSM...) stays the
+    # honest no-duration stub.
+    if fmt_tag == 0x0011:
+        if data_len is not None and block_align and spb:
+            dur = round((data_len // block_align) * spb / rate, 6)
+            return ("wav", int(rate), int(channels), int(bits), dur, True)
+        return ("wav", int(rate), int(channels), int(bits), None, False)
+    if fmt_tag not in (0x0001, 0x0003, 0x0006, 0x0007, 0xFFFE):
         return ("wav", int(rate), int(channels), int(bits), None, False)
     dur = (
         round(data_len / (rate * channels * (bits // 8)), 6)
@@ -793,12 +806,87 @@ AUDIO_FEATURES = T.StructType(
 )
 
 
+def _g711_mulaw_lut() -> "np.ndarray":
+    """G.711 mu-law byte -> linear int16-range LUT (ITU-T G.711: the
+    inverted byte packs sign/exponent/mantissa; magnitude =
+    ((mant << 3) + 0x84 << exp) - 0x84).  256 entries, built once —
+    decode is one numpy fancy-index, no codec library."""
+    u = ~np.arange(256, dtype=np.int64) & 0xFF
+    sign = (u & 0x80) != 0
+    exp = (u >> 4) & 7
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag)
+
+
+def _g711_alaw_lut() -> "np.ndarray":
+    """G.711 A-law byte -> linear LUT (byte XOR 0x55; exponent 0 is
+    the linear segment; bit 7 SET means positive — the opposite sign
+    convention from mu-law)."""
+    a = np.arange(256, dtype=np.int64) ^ 0x55
+    sign = (a & 0x80) != 0
+    exp = (a >> 4) & 7
+    mant = a & 0x0F
+    mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (exp - 1))
+    return np.where(sign, mag, -mag)
+
+
+#: IMA-ADPCM tables (IMA ADPCM reference algorithm)
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX_ADJ = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_adpcm_mono(payload: bytes, block_align: int) -> "np.ndarray":
+    """Mono IMA-ADPCM WAV data -> int16-range samples.  Each block is
+    independent: a 4-byte header (predictor int16, step index, pad)
+    then 2 nibbles/byte, low nibble first.  Sequential per block (the
+    predictor is a running state) but blocks decode independently —
+    the same bounded-Python shape as the Huffman loop in the JPEG
+    decoder."""
+    out = []
+    for off in range(0, len(payload) - 3, block_align):
+        block = payload[off : off + block_align]
+        if len(block) < 4:
+            break
+        pred = _struct.unpack("<h", block[0:2])[0]
+        idx = min(88, block[2])
+        samples = [pred]
+        for byte in block[4:]:
+            for nib in (byte & 0x0F, byte >> 4):
+                step = _IMA_STEPS[idx]
+                diff = step >> 3
+                if nib & 1:
+                    diff += step >> 2
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 4:
+                    diff += step
+                pred = pred - diff if nib & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                idx = max(0, min(88, idx + _IMA_INDEX_ADJ[nib & 7]))
+                samples.append(pred)
+        out.extend(samples)
+    return np.asarray(out, dtype=np.float64)
+
+
 def _wav_pcm_mono(data: bytes | None):
-    """Decode integer-PCM (tag 1) / IEEE-float (tag 3) WAV bytes into
-    a mono float64 array in [-1, 1] (channels averaged).  Returns None
-    for non-RIFF payloads, compressed codecs, truncated data chunks,
-    or sample widths outside {8, 16, 32} — the honest-stub boundary,
-    same contract as ``_decode_pixels`` for codec image formats."""
+    """Decode WAV bytes into a mono float64 array in [-1, 1] (channels
+    averaged).  Real branches: integer PCM (tag 1), IEEE float (3),
+    G.711 mu-law (7) and A-law (6) via 256-entry LUTs, and mono
+    IMA-ADPCM (0x11) via the reference step-table algorithm — none of
+    which needs a codec library.  Returns None for non-RIFF payloads,
+    genuinely-compressed codecs (mp3/flac/GSM), stereo ADPCM,
+    truncated data chunks, or unexpected sample widths — the
+    honest-stub boundary, same contract as ``_decode_pixels`` for
+    codec image formats."""
     if (
         not data
         or len(data) < 12
@@ -808,6 +896,7 @@ def _wav_pcm_mono(data: bytes | None):
         return None
     i = 12
     fmt_tag = channels = rate = bits = None
+    block_align = None
     payload = None
     while i + 8 <= len(data):
         cid = data[i : i + 4]
@@ -815,6 +904,7 @@ def _wav_pcm_mono(data: bytes | None):
         if cid == b"fmt " and i + 24 <= len(data):
             (fmt_tag,) = _struct.unpack("<H", data[i + 8 : i + 10])
             channels, rate = _struct.unpack("<HI", data[i + 10 : i + 16])
+            (block_align,) = _struct.unpack("<H", data[i + 20 : i + 22])
             (bits,) = _struct.unpack("<H", data[i + 22 : i + 24])
         elif cid == b"data":
             if i + 8 + clen > len(data):  # truncated payload
@@ -823,7 +913,16 @@ def _wav_pcm_mono(data: bytes | None):
         i += 8 + clen + (clen % 2)
     if payload is None or not channels or not bits:
         return None
-    if fmt_tag == 0x0001 and bits == 16:
+    if fmt_tag == 0x0011:  # IMA-ADPCM: mono only, nibble stream
+        if channels != 1 or bits != 4 or not block_align:
+            return None
+        x = _ima_adpcm_mono(payload, block_align)
+        return x / 32768.0 if x.size else None
+    if fmt_tag == 0x0007 and bits == 8:  # G.711 mu-law
+        x = _g711_mulaw_lut()[np.frombuffer(payload, np.uint8)] / 32768.0
+    elif fmt_tag == 0x0006 and bits == 8:  # G.711 A-law
+        x = _g711_alaw_lut()[np.frombuffer(payload, np.uint8)] / 32768.0
+    elif fmt_tag == 0x0001 and bits == 16:
         x = np.frombuffer(payload, dtype="<i2").astype(np.float64) / 32768.0
     elif fmt_tag == 0x0001 and bits == 8:  # 8-bit WAV PCM is unsigned
         x = (np.frombuffer(payload, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0

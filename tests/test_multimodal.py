@@ -109,14 +109,20 @@ class TestHeaderParsing:
         assert _parse_wav_header(b"garbage")[5] is False
         assert _parse_wav_header(None)[5] is False
 
-    def test_wav_non_pcm_codec_not_valid(self):
-        """A compressed codec inside a WAV container (mu-law tag 7)
-        must not claim valid=True with a PCM-formula duration; IEEE
-        float (3) is an uncompressed frame format and stays valid."""
+    def test_wav_codec_tags_duration_boundaries(self):
+        """G.711 mu-law (tag 7) is one byte per sample — its duration
+        is computable and the header is now valid (round 8); a
+        genuinely compressed codec (GSM tag 0x31) must not claim
+        valid=True with a PCM-formula duration; IEEE float (3) is an
+        uncompressed frame format and stays valid."""
         from qurio_spark.sources.multimodal import _parse_wav_header
 
-        mulaw = make_wav(rate=8000, channels=1, bits=8, fmt_tag=7)
-        assert _parse_wav_header(mulaw) == ("wav", 8000, 1, 8, None, False)
+        mulaw = make_wav(rate=8000, channels=1, bits=8, n_frames=4000,
+                         fmt_tag=7)
+        got = _parse_wav_header(mulaw)
+        assert got[5] is True and got[4] == pytest.approx(0.5)
+        gsm = make_wav(rate=8000, channels=1, bits=0, fmt_tag=0x31)
+        assert _parse_wav_header(gsm)[5] is False
         f32 = make_wav(rate=8000, channels=1, bits=32, n_frames=8000,
                        fmt_tag=3)
         got = _parse_wav_header(f32)
@@ -686,6 +692,18 @@ class TestDocxExtraction:
         assert "a < b & c > d" in text
 
 
+def _g711_wav(payload: bytes, fmt_tag: int, bits: int = 8, rate: int = 8000,
+              channels: int = 1, block_align: int | None = None) -> bytes:
+    """Minimal WAV container around a pre-encoded codec payload."""
+    ba = block_align if block_align is not None else channels * max(1, bits // 8)
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, fmt_tag, channels, rate, rate * ba, ba, bits,
+    )
+    data = b"data" + struct.pack("<I", len(payload)) + payload
+    body = b"WAVE" + fmt + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 class TestPcmSampleDecode:
     """The hermetic audio sample path: _wav_pcm_mono really decodes
     int16/uint8/float32 PCM payloads; codecs and truncated chunks stay
@@ -736,10 +754,141 @@ class TestPcmSampleDecode:
         from qurio_spark.sources.multimodal import _wav_pcm_mono
 
         frames = [[0.01], [-0.01]]
-        assert _wav_pcm_mono(_wav_bytes(frames, fmt_tag=7)) is None  # mu-law
+        # tag 7 declaring 16-bit samples is malformed mu-law: rejected
+        assert _wav_pcm_mono(_wav_bytes(frames, fmt_tag=7)) is None
+        # genuinely compressed codec (GSM): rejected
+        assert _wav_pcm_mono(_wav_bytes(frames, fmt_tag=0x31)) is None
         assert _wav_pcm_mono(_wav_bytes(frames, truncate_payload=2)) is None
         assert _wav_pcm_mono(b"garbage") is None
         assert _wav_pcm_mono(None) is None
+
+    def test_g711_mulaw_roundtrip(self):
+        """G.711 mu-law: encode with the spec's bias/segment formula,
+        decode through the LUT — error bounded by half the largest
+        quantization step (~1/64 full scale), exact at silence
+        (0xFF -> 0)."""
+        import numpy as np
+
+        from qurio_spark.queries.media import _wav_bytes  # noqa: F401
+        from qurio_spark.sources.multimodal import _wav_pcm_mono
+
+        def mulaw_byte(v):
+            x = int(round(v * 32768.0))
+            sign = 0x80 if x < 0 else 0
+            x = min(abs(x), 32635) + 0x84
+            exp = x.bit_length() - 8
+            mant = (x >> (exp + 3)) & 0x0F
+            return ~(sign | (exp << 4) | mant) & 0xFF
+
+        vals = [0.0, 0.001, -0.001, 0.25, -0.25, 0.9, -0.9]
+        payload = bytes(mulaw_byte(v) for v in vals)
+        wav = _g711_wav(payload, fmt_tag=7)
+        got = _wav_pcm_mono(wav)
+        assert got is not None and len(got) == len(vals)
+        assert np.abs(got - np.asarray(vals)).max() < 1 / 64
+        assert _wav_pcm_mono(_g711_wav(b"\xff\xff", fmt_tag=7)).tolist() == [
+            0.0, 0.0,
+        ]
+
+    def test_g711_alaw_roundtrip(self):
+        import numpy as np
+
+        from qurio_spark.sources.multimodal import _wav_pcm_mono
+
+        def alaw_byte(v):
+            x = int(round(v * 32768.0))
+            sign = 0x80 if x >= 0 else 0
+            x = min(abs(x), 32767)
+            if x < 256:
+                byte = x >> 4
+            else:
+                exp = x.bit_length() - 8
+                mant = (x >> (exp + 3)) & 0x0F
+                byte = (exp << 4) | mant
+            return (sign | byte) ^ 0x55
+
+        vals = [0.0, 0.002, -0.002, 0.3, -0.3, 0.85, -0.85]
+        payload = bytes(alaw_byte(v) for v in vals)
+        got = _wav_pcm_mono(_g711_wav(payload, fmt_tag=6))
+        assert got is not None
+        assert np.abs(got - np.asarray(vals)).max() < 1 / 32
+
+    def test_ima_adpcm_roundtrip(self):
+        """Mono IMA-ADPCM: the test-side encoder runs the same state
+        machine choosing nibbles greedily; a smooth ramp decodes
+        within the adaptive step error.  Stereo ADPCM stays honestly
+        rejected."""
+        import numpy as np
+
+        from qurio_spark.sources.multimodal import (
+            _IMA_INDEX_ADJ,
+            _IMA_STEPS,
+            _wav_pcm_mono,
+        )
+
+        t = np.arange(249)
+        vals = (0.4 * np.sin(2 * np.pi * t / 50)).tolist()
+
+        def encode_block(samples, pred, idx):
+            body = bytearray()
+            nibs = []
+            for v in samples:
+                target = int(round(v * 32768.0))
+                step = _IMA_STEPS[idx]
+                diff = target - pred
+                nib = 0
+                if diff < 0:
+                    nib, diff = 8, -diff
+                if diff >= step:
+                    nib |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    nib |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    nib |= 1
+                # replicate the decoder's reconstruction exactly
+                d = step >> 3
+                if nib & 1:
+                    d += step >> 2
+                if nib & 2:
+                    d += step >> 1
+                if nib & 4:
+                    d += step
+                pred = pred - d if nib & 8 else pred + d
+                pred = max(-32768, min(32767, pred))
+                idx = max(0, min(88, idx + _IMA_INDEX_ADJ[nib & 7]))
+                nibs.append(nib)
+            for i in range(0, len(nibs), 2):
+                lo = nibs[i]
+                hi = nibs[i + 1] if i + 1 < len(nibs) else 0
+                body.append(lo | (hi << 4))
+            return bytes(body), pred, idx
+
+        block_samples = 124  # 4-byte header + 62 data bytes = 66-byte blocks
+        payload = bytearray()
+        for off in range(0, len(vals), block_samples + 1):
+            chunk = vals[off : off + block_samples + 1]
+            pred = int(round(chunk[0] * 32768.0))
+            # seed the step index from the block's first delta — the
+            # standard encoder practice (an idx-0 start can't track a
+            # steep signal until the step ramps up)
+            d0 = abs(int(round((chunk[1] - chunk[0]) * 32768.0))) if len(chunk) > 1 else 0
+            idx = next(
+                (i for i, st in enumerate(_IMA_STEPS) if st >= d0), 88
+            )
+            body, _, _ = encode_block(chunk[1:], pred, idx)
+            payload += struct.pack("<hBB", pred, idx, 0) + body
+        wav = _g711_wav(bytes(payload), fmt_tag=0x11, bits=4,
+                        block_align=4 + (block_samples // 2))
+        got = _wav_pcm_mono(wav)
+        assert got is not None and len(got) >= len(vals) - 2
+        err = np.abs(got[: len(vals)] - np.asarray(vals)[: len(got)])
+        assert err.max() < 0.06  # adaptive quantizer tracks the ramp
+        # stereo ADPCM is rejected, not misdecoded
+        stereo = _g711_wav(bytes(payload), fmt_tag=0x11, bits=4,
+                           block_align=4 + (block_samples // 2), channels=2)
+        assert _wav_pcm_mono(stereo) is None
 
 
 #: Adam7 pass geometry, copied from the PNG spec independently of the
