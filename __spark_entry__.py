@@ -107,6 +107,7 @@ from qurio_spark.queries.dedup import (  # noqa: F401
 )
 from qurio_spark.queries.events_tpch import (  # noqa: F401
     q_cheapest_order_per_customer,
+    q_tpch_q2,
     q_events_hourly,
     q_events_json,
     q_events_retention,
@@ -221,7 +222,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dedup keep-decision: CC cluster labels x PageRank centrality ->
     argmax-per-cluster survivor with min-id demoted to tie-breaker,
     vs an oracle composing the recursive-CTE closure with the
-    unrolled-PR CTEs).  CHANGED-in-place: ``ann_pq``/``ann_ivfpq``
+    unrolled-PR CTEs) and ``tpch_q2`` (min-cost supplier per part
+    within a region — the correlated-min decorrelated to per-part min
+    + join-back on the rounded cost; completes 22/22 TPC-H shapes).
+    CHANGED-in-place: ``ann_pq``/``ann_ivfpq``
     (fine m=16,k=256 quantizer + SUBLINEAR c*sqrt(n) shortlist +
     shuffle-refine guard — results still the exact top-10, oracles
     unchanged), ``streaming_ingest`` (chunks table routed through the
@@ -229,7 +233,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     format now two-level manifests + optimistic concurrency;
     read-path semantics identical).  OUT: ``tpch_q1`` (pure
     scan-groupBy aggregation, green since round 1; the agg family
-    stays in-window via tpch_q9/tpch_q16/tpch_q21 and events_cube).
+    stays in-window via tpch_q9/tpch_q16/tpch_q21 and events_cube)
+    and ``tpch_q3`` (join+agg+topk, green since round 1; covered
+    in-window by tpch_q9/tpch_q21 joins and events_top_users topk).
     Round 7 rotation — IN (all new that round): ``ann_ivfpq`` (IVF
     label pruning composed with the packed-PQ ADC scan + exact refine,
     the FAISS IndexIVFPQ shape), ``events_range_left`` (the
@@ -341,13 +347,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_unpivot": q_events_unpivot,
         "streaming_ingest": q_streaming_ingest,
-        "tpch_q3": q_tpch_q3,
         "bloom_semi_join": q_bloom_semi_join,
         "resize_targets": q_resize_targets,
         "events_asof_attribution": q_events_asof_attribution,
         "streaming_near_dedup": q_streaming_near_dedup,
         "pagerank_centrality": q_pagerank_centrality,
         "canonical_docs": q_canonical_docs,
+        "tpch_q2": q_tpch_q2,
         "events_range_left": q_events_range_left,
         "stratified_sample": q_stratified_sample,
         "link_filter_chain": q_link_filter_chain,
@@ -364,6 +370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 51+: oracle-backed, operator proven by in-window sibling
         # (or, for minhash_lsh, newly oracle-backed breadth) ----------
         "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "ann_ivf": q_ann_ivf,
         "revenue_rollup": q_revenue_rollup,

@@ -554,6 +554,62 @@ def q_tpch_q20(spark, sf_dir):
     ).select("s_suppkey", "s_name")
 
 
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2-shaped minimum-cost supplier (adapted: partsupp
+    absent, so a supplier's supply cost for a part = the minimum unit
+    price they ever shipped it at, from lineitem; p_mfgr absent, so
+    the part attributes are brand/type).  For each small part
+    (p_size <= 5), find the EUROPE-region supplier(s) whose cost
+    equals the regional minimum for that part — the classic
+    correlated-min subquery decorrelated into a per-part min joined
+    back on (part, cost).
+
+    Plan shape: the supplier->nation->region dimension chain
+    broadcasts (tiny), the fact aggregates to (part, supplier) cost
+    pairs in ONE pass, the per-part min reuses that aggregate, and
+    the join-back is an equality join on the rounded cost — no
+    correlated per-row subquery, no BroadcastNestedLoop.  Completes
+    the 22/22 TPC-H shape coverage."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    p = _t(spark, sf_dir, "part")
+    europe = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+            n["n_regionkey"] == r["r_regionkey"],
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    supply = (
+        l.join(F.broadcast(europe.select("s_suppkey")),
+               l["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            stable_round(
+                F.min(F.col("l_extendedprice") / F.col("l_quantity")), 6
+            ).alias("cost")
+        )
+    )
+    min_cost = supply.groupBy("l_partkey").agg(F.min("cost").alias("_mn"))
+    small = p.filter(F.col("p_size") <= 5).select(
+        "p_partkey", "p_brand", "p_type"
+    )
+    return (
+        supply.join(min_cost, "l_partkey")
+        .filter(F.col("cost") == F.col("_mn"))
+        .join(F.broadcast(small), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(europe), F.col("l_suppkey") == europe["s_suppkey"])
+        .select(
+            stable_round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name", "n_name", "p_partkey", "p_brand", "p_type",
+            "cost",
+        )
+    )
+
+
 def q_tpch_q15(spark, sf_dir):
     """TPC-H Q15-style top supplier: quarterly revenue per supplier,
     keep the maximum-revenue supplier(s) — the view + scalar-max

@@ -1473,6 +1473,30 @@ WHERE o_orderstatus = 'F'
 GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 10""",
+        "tpch_q2": """
+WITH europe AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+supply AS (
+  SELECT l_partkey, l_suppkey,
+         (floor((min(l_extendedprice / l_quantity)) * 1000000.0 + 0.5)
+          / 1000000.0) AS cost
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM europe)
+  GROUP BY 1, 2
+),
+mn AS (SELECT l_partkey AS mpk, min(cost) AS mcost FROM supply GROUP BY 1)
+SELECT (floor((s_acctbal) * 100.0 + 0.5) / 100.0) AS s_acctbal,
+       s_name, n_name, p_partkey, p_brand, p_type, cost
+FROM supply
+JOIN mn ON l_partkey = mpk AND cost = mcost
+JOIN part ON l_partkey = p_partkey
+JOIN europe ON l_suppkey = s_suppkey
+WHERE p_size <= 5""",
         "tpch_q15": """
 WITH rev AS (
   SELECT l_suppkey,
