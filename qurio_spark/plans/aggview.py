@@ -11,11 +11,12 @@ that are not themselves mergeable (avg = sum/count) derive at read
 time from the states — never stored.
 
 Scale shape: the refresh cost is O(|delta| + |touched view rows|),
-independent of the view's (or the base table's) total size.  With the
-view partitioned on a key prefix (e.g. the hour), only the partitions
-the delta touches are rewritten (dynamic partition overwrite, same
-machinery as `plans/merge.py`); a delta of recent events leaves
-historical partition files byte-untouched (mtime-asserted in tests).
+independent of the view's (or the base table's) total size.  The view
+is a SNAPSHOT table with value-clustered files on the partition
+column: a refresh is one atomic `snap_replace_values` commit over the
+partitions the delta touches, so a delta of recent events leaves
+historical files byte-untouched (mtime-asserted in tests) and readers
+mid-refresh see a whole version, never a torn mix.
 
 The correctness contract — incremental refresh over any batch split
 == one-shot aggregation of the union — is the DuckDB oracle of
@@ -27,7 +28,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from qurio_spark.functions.checkpointing import checkpoint_df
 
 
 #: partial-state columns the view persists for one value column
@@ -79,39 +79,53 @@ def refresh_agg_view(
 ) -> None:
     """Refresh the persisted view at ``path`` with ``delta``'s rows.
 
-    First call creates the view.  With ``partition_col`` (must be one
-    of ``group_cols``) the view is partition-laid-out on it and a
-    refresh rewrites ONLY the partitions the delta touches — untouched
-    partition files stay byte-identical on disk.  The merged frame is
-    materialized before the overwrite so the write never races its
-    own read of the view."""
-    from qurio_spark.streaming.ingest import read_parquet_if_exists
+    First call creates the view.  The view is a SNAPSHOT table
+    (plans/snapshots.py, round 8): with ``partition_col`` (must be one
+    of ``group_cols``) a refresh is ONE atomic ``snap_replace_values``
+    commit over the partitions the delta touches — the view's files
+    are value-clustered on the column, so untouched partitions' files
+    are carried by name, byte-identical (mtime-pinned in tests).
+    Because snapshot commits write new immutable files, the merge can
+    READ the current version while writing the next — the
+    materialize-before-overwrite checkpoint the dynamic-overwrite
+    form needed is gone, and a reader mid-refresh sees either the old
+    or the new version, never a torn mix."""
+    from pyspark.sql import functions as F
+
+    from qurio_spark.plans.snapshots import (
+        snap_overwrite,
+        snap_read_if_exists,
+        snap_replace_values,
+    )
+
+    from qurio_spark.functions.checkpointing import checkpoint_df
 
     new = partial_states(delta, group_cols, value_col)
-    old = read_parquet_if_exists(spark, path)
-    writer_part = [partition_col] if partition_col else []
+    old = snap_read_if_exists(spark, path)
+    if partition_col and old is not None:
+        # `new` feeds BOTH the touched-values collect and the merge —
+        # cut the diamond so the delta's partial-agg runs once (the
+        # states frame is one small row per touched key)
+        new = checkpoint_df(new, eager=True)
     if old is None:
-        out = new
         if partition_col:
-            out.write.mode("overwrite").partitionBy(*writer_part).parquet(path)
+            snap_replace_values(spark, path, partition_col, [], new,
+                                cluster=True)
         else:
-            out.write.mode("overwrite").parquet(path)
+            snap_overwrite(new, path)
         return
     if partition_col:
-        touched = new.select(partition_col).distinct()
-        old_touched = old.join(touched, partition_col, "left_semi")
-        merged = checkpoint_df(
-            merge_states(old_touched, new, group_cols), eager=True
-        )
-        (
-            merged.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*writer_part)
-            .parquet(path)
+        touched = [
+            r[partition_col]
+            for r in new.select(partition_col).distinct().collect()
+        ]
+        old_touched = old.filter(F.col(partition_col).isin(touched))
+        merged = merge_states(old_touched, new, group_cols)
+        snap_replace_values(
+            spark, path, partition_col, touched, merged, cluster=True
         )
     else:
-        merged = checkpoint_df(merge_states(old, new, group_cols), eager=True)
-        merged.write.mode("overwrite").parquet(path)
+        snap_overwrite(merge_states(old, new, group_cols), path)
 
 
 def read_agg_view(
@@ -121,8 +135,9 @@ def read_agg_view(
     (=s/n) — derived, never stored, so they are always consistent
     with the mergeable states."""
     from qurio_spark.functions.numeric import stable_round
+    from qurio_spark.plans.snapshots import snap_read
 
-    v = spark.read.parquet(path)
+    v = snap_read(spark, path)
     return v.select(
         *[c for c in v.columns if c not in STATE_COLS],
         F.col("n"),

@@ -201,27 +201,61 @@ def _file_stats(fpath: str) -> dict:
     return stats
 
 
-def _write_data_files(df: DataFrame, path: str, commit_id: int) -> list[dict]:
+def _write_data_files(
+    df: DataFrame, path: str, commit_id: int, cluster_by: str | None = None
+) -> list[dict]:
     """Write the frame as immutable files under data/ and return their
     manifest entries ({name, stats}).  A staging dir keeps
     half-written files out of data/ listings (data/ is never listed by
     readers anyway — the manifest is authoritative — but clean dirs
-    make vacuum auditable)."""
+    make vacuum auditable).
+
+    ``cluster_by``: write VALUE-EXACT files for that column — each
+    data file holds rows of exactly one value, so its footer stats
+    are a point range and manifest-level pruning / replace_values
+    classification become exact (the snapshot-table analogue of a
+    partitionBy layout).  Implemented by duplicating the column and
+    partitionBy-ing the duplicate (partitionBy drops its key from the
+    files; the original column survives), after a repartition on the
+    column so each value lands in ~one task -> ~one file."""
     staging = os.path.join(path, f"_staging-{commit_id}-{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(staging)
+    if cluster_by is None:
+        df.write.mode("overwrite").parquet(staging)
+        found = [(f, os.path.join(staging, f)) for f in sorted(os.listdir(staging))]
+    else:
+        from pyspark.sql import functions as F
+
+        (
+            df.repartition(F.col(cluster_by))
+            .withColumn("__cluster", F.col(cluster_by))
+            .write.mode("overwrite")
+            .partitionBy("__cluster")
+            .parquet(staging)
+        )
+        found = []
+        for sub in sorted(os.listdir(staging)):
+            subp = os.path.join(staging, sub)
+            if not (sub.startswith("__cluster=") and os.path.isdir(subp)):
+                continue
+            for i, f in enumerate(sorted(os.listdir(subp))):
+                if f.endswith(".parquet"):
+                    found.append((f"{len(found)}-{f}", os.path.join(subp, f)))
     data_dir = os.path.join(path, "data")
     os.makedirs(data_dir, exist_ok=True)
     entries = []
-    for f in sorted(os.listdir(staging)):
-        if not f.endswith(".parquet"):
+    for fname, src in found:
+        if not fname.endswith(".parquet"):
             continue
-        name = f"c{commit_id}-{f}"
+        name = f"c{commit_id}-{fname}"
         dest = os.path.join(data_dir, name)
-        os.rename(os.path.join(staging, f), dest)
+        os.rename(src, dest)
         entries.append({"name": f"data/{name}", "stats": _file_stats(dest)})
     # drop the staging leftovers (_SUCCESS etc.)
-    for f in os.listdir(staging):
-        os.remove(os.path.join(staging, f))
+    for root, dirs, files in os.walk(staging, topdown=False):
+        for f in files:
+            os.remove(os.path.join(root, f))
+        for d in dirs:
+            os.rmdir(os.path.join(root, d))
     os.rmdir(staging)
     return entries
 
@@ -581,6 +615,7 @@ def snap_replace_values(
     col: str,
     values: list,
     replacement: DataFrame,
+    cluster: bool = False,
 ) -> int:
     """Delta's ``replaceWhere`` for a value list: ONE atomic commit
     that deletes every row whose ``col`` is in ``values`` and inserts
@@ -601,11 +636,27 @@ def snap_replace_values(
     only non-matching rows (NULL-safe: NULL never matches an IN
     list).  First call (no table) just commits ``replacement``.
     ``values`` is a driver-side list — callers pass the micro-batch's
-    touched keys (bounded by batch size), not table-scale sets."""
+    touched keys (bounded by batch size), not table-scale sets.
+
+    ``cluster=True`` writes VALUE-EXACT files for ``col`` (see
+    ``_write_data_files``): each file holds one value, so later
+    replaces rewrite exactly the touched values' files and nothing
+    else — the property the agg view's O(|delta|) refresh pins by
+    mtime."""
     from pyspark.sql import functions as F
 
+    cb = col if cluster else None
     if _latest_version(path) is None:
-        return _snap_commit(replacement, path, "append")
+        new_files = _write_data_files(replacement, path, 0, cluster_by=cb)
+        name = _write_manifest_file(path, new_files)
+        if _try_commit(
+            path, 0,
+            {"version": 0, "op": "append", "parent": None,
+             "manifests": [name]},
+        ):
+            return 0
+        # lost the table-creation race: fall through and replace
+        # against whatever the winner committed
     vs = sorted(values)
 
     def _disjoint(e) -> bool:
@@ -627,14 +678,23 @@ def snap_replace_values(
             else:
                 for e in entries:
                     (loose_entries if _disjoint(e) else affected).append(e)
+        # a file whose stats are a POINT range on a replaced value is
+        # wholly replaced — no survivor rows can exist, so it needs no
+        # read or rewrite (the value-clustered layout makes this the
+        # common case: a refresh then only ever writes the delta)
+        def _wholly_replaced(e) -> bool:
+            st = e.get("stats", {}).get(col) if isinstance(e, dict) else None
+            return st is not None and st[0] == st[1] and st[0] in vs
+
+        mixed = [e for e in affected if not _wholly_replaced(e)]
         new_files = []
-        if affected:
+        if mixed:
             keep = F.col(col).isNull() | ~F.col(col).isin(vs)
             survivors = spark.read.parquet(
-                *[os.path.join(path, _entry_name(e)) for e in affected]
+                *[os.path.join(path, _entry_name(e)) for e in mixed]
             ).filter(keep)
             new_files += _write_data_files(survivors, path, v + 1)
-        new_files += _write_data_files(replacement, path, v + 1)
+        new_files += _write_data_files(replacement, path, v + 1, cluster_by=cb)
         new_name = _write_manifest_file(path, loose_entries + new_files)
         if _try_commit(
             path, v + 1,

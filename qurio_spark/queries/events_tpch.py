@@ -717,7 +717,13 @@ def q_incremental_hourly(spark, sf_dir):
     The oracle is the ONE-SHOT aggregation of all events: incremental
     ⊕ must equal recompute exactly (the mergeable-state contract;
     untouched-partition mtime preservation is pinned in
-    tests/test_aggview.py)."""
+    tests/test_aggview.py; any-split invariance — including the
+    every-key-touched worst case — is pinned there too).
+
+    The two batches split by TIME (early days / later days) — the
+    production shape: a delta of recent events arrives after history,
+    so the second refresh's replace commit carries the first batch's
+    value-clustered files by name and writes only the late days."""
     import tempfile
 
     from qurio_spark.plans.aggview import read_agg_view, refresh_agg_view
@@ -733,19 +739,20 @@ def q_incremental_hourly(spark, sf_dir):
         )
         # day_key is functionally dependent on hour_key, so adding it
         # to the group keys leaves the hourly grain unchanged — it
-        # exists ONLY as the partition column: 30 day directories
-        # instead of 720 hour directories (720 tiny dynamic-overwrite
-        # partitions per refresh benched 14 s; day layout ~2 s)
+        # exists ONLY as the clustering column: ~30 day files instead
+        # of 720 hourly ones (720 tiny per-refresh partitions benched
+        # 14 s; day layout ~2 s)
         .withColumn("day_key", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"))
     )
-    mid = ev.agg(F.max("event_id")).first()[0] // 2
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
     keys = ["day_key", "hour_key", "event_type"]
     refresh_agg_view(
-        spark, path, ev.filter(F.col("event_id") <= mid), keys, "value",
+        spark, path, ev.filter(F.col("ts") <= F.lit(mid)), keys, "value",
         partition_col="day_key",
     )
     refresh_agg_view(
-        spark, path, ev.filter(F.col("event_id") > mid), keys, "value",
+        spark, path, ev.filter(F.col("ts") > F.lit(mid)), keys, "value",
         partition_col="day_key",
     )
     return read_agg_view(spark, path)

@@ -83,7 +83,9 @@ def test_integer_value_col_keeps_one_schema(spark, tmp_path):
     assert rows == {("x", "a"): (2, 4.0), ("y", "b"): (1, 2.0),
                     ("z", "c"): (1, 4.0)}
     # the persisted state column is double in EVERY file
-    raw = spark.read.parquet(path)
+    from qurio_spark.plans.snapshots import snap_read
+
+    raw = snap_read(spark, path)
     assert dict(raw.dtypes)["s"] == "double"
 
 
