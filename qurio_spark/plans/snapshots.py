@@ -708,6 +708,59 @@ def snap_replace_values(
     )
 
 
+def snap_compact(
+    spark: SparkSession,
+    path: str,
+    small_bytes: int = 8 << 20,
+    target_bytes: int = 128 << 20,
+) -> int | None:
+    """Bin-pack small data files into fewer large ones as a new
+    version (Iceberg's rewrite_data_files / Delta OPTIMIZE): a
+    streaming sink committing per micro-batch accumulates one small
+    file per batch, and at 100 TB the per-file open/footer cost —
+    not the bytes — dominates such a table's scan time.  Files under
+    ``small_bytes`` are read once and rewritten coalesced to
+    ~``target_bytes`` chunks; larger files are carried by entry
+    untouched.  Rows are byte-equal (pinned in tests), history stays
+    time-travel-readable until vacuum, and the commit is OCC-safe
+    like every other path.  Returns the new version, or None when
+    fewer than two small files exist (a no-op never commits)."""
+    import math
+
+    for _ in range(_MAX_COMMIT_RETRIES):
+        v = _latest_version(path)
+        if v is None:
+            raise FileNotFoundError(f"no snapshot table at {path}")
+        m = _read_manifest(path, v)
+        small, kept = [], []
+        total_small = 0
+        for e in _manifest_entries(path, m):
+            fpath = os.path.join(path, _entry_name(e))
+            size = os.path.getsize(fpath)
+            if size < small_bytes:
+                small.append(e)
+                total_small += size
+            else:
+                kept.append(e)
+        if len(small) < 2:
+            return None
+        n_out = max(1, math.ceil(total_small / target_bytes))
+        packed = spark.read.parquet(
+            *[os.path.join(path, _entry_name(e)) for e in small]
+        ).coalesce(n_out)
+        new_files = _write_data_files(packed, path, v + 1)
+        new_name = _write_manifest_file(path, kept + new_files)
+        if _try_commit(
+            path, v + 1,
+            {"version": v + 1, "op": "compact", "parent": v,
+             "manifests": [new_name], "txn": dict(m.get("txn", {}))},
+        ):
+            return v + 1
+    raise RuntimeError(
+        f"commit contention on {path}: {_MAX_COMMIT_RETRIES} retries lost"
+    )
+
+
 def snap_append_validated(
     df: DataFrame, path: str, expectations: dict[str, "object"]
 ) -> int:

@@ -304,6 +304,89 @@ class TestTwoLevelManifests:
         assert snap_read(spark, path).count() == 7  # not 14
 
 
+class TestCompact:
+    def test_bin_packs_small_files(self, spark, tmp_path):
+        """Six micro-batch-sized commits -> one compact version: rows
+        identical, data files fewer, the manifest LIST collapses to
+        one, pre-compact versions stay readable, vacuum reclaims the
+        packed-away files."""
+        import json as _json
+
+        from qurio_spark.plans.snapshots import _read_manifest, snap_compact
+
+        path = str(tmp_path / "compact")
+        for i in range(6):
+            snap_append(
+                spark.range(i * 10, i * 10 + 10)
+                .select(F.col("id").alias("v")).coalesce(1),
+                path,
+            )
+        data = os.path.join(path, "data")
+        n_before = len(os.listdir(data))
+        v = snap_compact(spark, path)
+        assert v == 6
+        assert sorted(r["v"] for r in snap_read(spark, path).collect()) == list(
+            range(60)
+        )
+        m = _read_manifest(path, 6)
+        assert len(m["manifests"]) == 1  # manifest list compacted too
+        with open(os.path.join(path, "_manifests", m["manifests"][0])) as f:
+            assert len(_json.load(f)["files"]) < n_before
+        # history intact until vacuum
+        assert snap_read(spark, path, 3).count() == 40
+        deleted = snap_vacuum(path, keep_last=1)
+        assert len(deleted) == n_before
+        assert snap_read(spark, path).count() == 60
+
+    def test_noop_below_two_small_files(self, spark, tmp_path):
+        from qurio_spark.plans.snapshots import snap_compact
+
+        path = str(tmp_path / "nc")
+        snap_append(
+            spark.range(5).select(F.col("id").alias("v")).coalesce(1), path
+        )
+        assert snap_compact(spark, path) is None
+        assert [m["version"] for m in snap_versions(path)] == [0]
+
+    def test_large_files_carried_untouched(self, spark, tmp_path):
+        from qurio_spark.plans.snapshots import snap_compact
+
+        path = str(tmp_path / "mix")
+        snap_append(
+            spark.range(1000).select(F.col("id").alias("v")).coalesce(1), path
+        )
+        data = os.path.join(path, "data")
+        big = os.listdir(data)[0]
+        big_size = os.path.getsize(os.path.join(data, big))
+        for i in range(3):
+            snap_append(
+                spark.range(i * 3, i * 3 + 3).select(F.col("id").alias("v"))
+                .coalesce(1),
+                path,
+            )
+        mtime = os.path.getmtime(os.path.join(data, big))
+        # threshold between the small files and the big one
+        v = snap_compact(spark, path, small_bytes=big_size)
+        assert v == 4
+        assert os.path.getmtime(os.path.join(data, big)) == mtime
+        assert snap_read(spark, path).count() == 1009
+
+    def test_exactly_once_txn_survives_compaction(self, spark, tmp_path):
+        from qurio_spark.plans.snapshots import (
+            snap_append_txn,
+            snap_compact,
+        )
+
+        path = str(tmp_path / "txncompact")
+        df = spark.range(4).select(F.col("id").alias("v")).coalesce(1)
+        snap_append_txn(df, path, "app", 0)
+        snap_append_txn(df, path, "app", 1)
+        snap_compact(spark, path)
+        # replay after compaction still detected
+        assert snap_append_txn(df, path, "app", 1) is None
+        assert snap_read(spark, path).count() == 8
+
+
 class TestSnapDiff:
     def test_append_diff_is_pure_insert(self, spark, table):
         from qurio_spark.plans.snapshots import snap_diff
