@@ -167,6 +167,8 @@ from qurio_spark.queries.ingest import (  # noqa: F401
 )
 from qurio_spark.queries.relational import (  # noqa: F401
     q_bloom_semi_join,
+    q_snap_compact,
+    q_snap_quarantine,
     q_parts_never_shipped,
     q_tpch_q4,
     q_tpch_q10,
@@ -222,9 +224,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dedup keep-decision: CC cluster labels x PageRank centrality ->
     argmax-per-cluster survivor with min-id demoted to tie-breaker,
     vs an oracle composing the recursive-CTE closure with the
-    unrolled-PR CTEs) and ``tpch_q2`` (min-cost supplier per part
+    unrolled-PR CTEs), ``tpch_q2`` (min-cost supplier per part
     within a region — the correlated-min decorrelated to per-part min
-    + join-back on the rounded cost; completes 22/22 TPC-H shapes).
+    + join-back on the rounded cost; completes 22/22 TPC-H shapes),
+    ``snap_compact`` (small-file bin-packing: compacted table ==
+    plain full-table aggregation — the rows-byte-equal contract),
+    and ``snap_quarantine`` (dead-letter quality gates: quarantined
+    side == the complement-predicate SELECT with per-row gate tags).
     CHANGED-in-place: ``ann_pq``/``ann_ivfpq``
     (fine m=16,k=256 quantizer + SUBLINEAR c*sqrt(n) shortlist +
     shuffle-refine guard — results still the exact top-10, oracles
@@ -235,7 +241,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     scan-groupBy aggregation, green since round 1; the agg family
     stays in-window via tpch_q9/tpch_q16/tpch_q21 and events_cube)
     and ``tpch_q3`` (join+agg+topk, green since round 1; covered
-    in-window by tpch_q9/tpch_q21 joins and events_top_users topk).
+    in-window by tpch_q9/tpch_q21 joins and events_top_users topk),
+    ``word_concentration`` (textstats sibling of the in-window
+    repetition + keyword_extract; green since round 5), and
+    ``embedding_near_dup`` (the pair oracle is a strict subset of the
+    in-window canonical_docs/pagerank_centrality, which run the same
+    embedding_near_dup_pairs build against composed oracles; green
+    since round 5).
     Round 7 rotation — IN (all new that round): ``ann_ivfpq`` (IVF
     label pruning composed with the packed-PQ ADC scan + exact refine,
     the FAISS IndexIVFPQ shape), ``events_range_left`` (the
@@ -335,12 +347,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "keyword_extract": q_keyword_extract,
         "decontaminate": q_decontaminate,
-        "word_concentration": q_word_concentration,
         "hybrid_rrf": q_hybrid_rrf,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "streaming_hourly": q_streaming_hourly,
         "simhash_near": q_simhash_near,
-        "embedding_near_dup": q_embedding_near_dup,
         "streaming_join": q_streaming_join,
         "bm25_incremental": q_bm25_incremental,
         "incremental_hourly": q_incremental_hourly,
@@ -358,6 +368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "link_filter_chain": q_link_filter_chain,
         "snap_scan": q_snap_scan,
+        "snap_compact": q_snap_compact,
+        "snap_quarantine": q_snap_quarantine,
         "events_range_proximity": q_events_range_proximity,
         "events_asof_recovery": q_events_asof_recovery,
         "events_histogram": q_events_histogram,
@@ -369,6 +381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rerank_overlap": q_rerank_overlap,
         # -- 51+: oracle-backed, operator proven by in-window sibling
         # (or, for minhash_lsh, newly oracle-backed breadth) ----------
+        "word_concentration": q_word_concentration,
+        "embedding_near_dup": q_embedding_near_dup,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,

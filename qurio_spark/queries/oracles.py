@@ -1400,6 +1400,25 @@ WHERE l_orderkey IN (
 )
 GROUP BY l_returnflag""",
         # data-skipping contract: pruned scan == plain BETWEEN
+        # compaction is rows-byte-equal: the oracle is the plain
+        # full-table aggregation
+        "snap_compact": """
+SELECT o_orderpriority, count(*) AS n_orders,
+       (floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0) AS revenue
+FROM orders GROUP BY 1""",
+        # the DLQ split's quarantined side == the complement-predicate
+        # SELECT, tags built with the same gate order (concat_ws skips
+        # the NULL CASE arms in DuckDB like array_join over the
+        # conditional-concat array in Spark)
+        "snap_quarantine": """
+SELECT event_id, event_type,
+       (floor((value) * 100.0 + 0.5) / 100.0) AS value_r,
+       concat_ws(',',
+         CASE WHEN NOT (value < 400) THEN 'value_small' END,
+         CASE WHEN NOT (event_type <> 'error') THEN 'not_error' END
+       ) AS violated
+FROM events
+WHERE NOT (value < 400) OR NOT (event_type <> 'error')""",
         "snap_scan": """
 WITH m AS (SELECT max(o_orderkey) AS mx FROM orders)
 SELECT o_orderpriority, count(*) AS n_orders,

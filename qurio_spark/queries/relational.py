@@ -219,6 +219,73 @@ def q_bloom_semi_join(spark, sf_dir):
     )
 
 
+def q_snap_compact(spark, sf_dir):
+    """Small-file compaction e2e (plans/snapshots.snap_compact):
+    orders commit as four single-file micro-batches (the streaming-
+    sink accumulation shape), compaction bin-packs them into one
+    version, and the query aggregates the compacted table — the
+    oracle is the plain full-table aggregation, which is exactly the
+    rows-byte-equal contract.  File-count reduction and manifest-list
+    collapse are pinned in tests/test_snapshots.py."""
+    import tempfile
+
+    from qurio_spark.plans.snapshots import snap_append, snap_compact, snap_read
+
+    path = f"{tempfile.mkdtemp(prefix='qurio-snapcompact-')}/orders"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    mn, mx = o.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    bounds = [mn - 1, mx // 4, mx // 2, 3 * mx // 4, mx]
+    for lo, hi in zip(bounds, bounds[1:]):
+        snap_append(
+            o.filter((F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi))
+            .coalesce(1),
+            path,
+        )
+    v = snap_compact(spark, path, small_bytes=64 << 20)
+    assert v is not None  # four small files always compact
+    return snap_read(spark, path).groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        stable_round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+def q_snap_quarantine(spark, sf_dir):
+    """Dead-letter quality gates e2e
+    (plans/snapshots.snap_append_quarantined): the events batch passes
+    two expectations — value under 400 and not an error event — with
+    violating rows routed to the quarantine table tagged by every
+    gate they failed, and the clean remainder committed.  The query
+    returns the QUARANTINED rows with their tags; the oracle is the
+    complement-predicate SELECT with the same tag concatenation, so
+    both the split and the per-row tagging are value-checked (counts
+    and the all-clean/all-bad edge cases are pinned in
+    tests/test_snapshots.py)."""
+    import tempfile
+
+    from qurio_spark.plans.snapshots import snap_append_quarantined, snap_read
+
+    base = tempfile.mkdtemp(prefix="qurio-snapdlq-")
+    path, dlq = f"{base}/events", f"{base}/events_dlq"
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    out = snap_append_quarantined(
+        ev, path,
+        {
+            "value_small": F.col("value") < 400,
+            "not_error": F.col("event_type") != "error",
+        },
+        dlq,
+    )
+    assert out["n_quarantined"] > 0  # the fixture always has errors
+    return snap_read(spark, dlq).select(
+        "event_id",
+        "event_type",
+        stable_round("value", 2).alias("value_r"),
+        F.array_join("_violated", ",").alias("violated"),
+    )
+
+
 def q_time_travel(spark, sf_dir):
     """Snapshot table format e2e (plans/snapshots.py): orders commit
     as two appends into a manifest-versioned table; the query reads
