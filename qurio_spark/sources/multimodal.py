@@ -423,12 +423,16 @@ class _JpegBitReader:
 
     def read_bit(self) -> int:
         d = self.data
+        if self.pos >= len(d):
+            return 1  # past the stream: pad with 1-bits (spec F.2.2.5)
         if self.bit == 0:
             # skip stuffed 0x00 after a literal 0xFF byte
             if self.pos > 0 and d[self.pos - 1] == 0xFF and d[self.pos] == 0x00:
                 self.pos += 1
+                if self.pos >= len(d):
+                    return 1
         byte = d[self.pos]
-        if byte == 0xFF and d[self.pos + 1] != 0x00:
+        if byte == 0xFF and (self.pos + 1 >= len(d) or d[self.pos + 1] != 0x00):
             # a real marker inside entropy data (truncated scan):
             # baseline decoders pad with 1-bits
             return 1
