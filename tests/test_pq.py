@@ -155,6 +155,55 @@ def test_recall_fraction_decays_across_corpus_sizes(spark):
         fracs[n] = worst / n
     assert fracs[2000] < fracs[500], fracs  # sublinear in practice
 
+    # one more decade, beyond the real SFs: a deterministic hard
+    # augmentation of the n=2000 corpus (rotated mixtures + small
+    # offsets keep near-neighbor structure non-trivial) to n=8000.
+    # Measured min depth 33 -> 65 -> ~110 for 500 -> 2000 -> 8000 —
+    # the ~sqrt growth regime the shortlist law assumes — with the
+    # sized shortlist holding a >= 3x margin.
+    e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    rows = sorted(
+        e.select("vec_id", "embedding").collect(), key=lambda r: r["vec_id"]
+    )
+    X0 = np.stack([np.asarray(r["embedding"]) for r in rows])
+    parts = [X0]
+    for r in range(1, 4):
+        parts.append(
+            np.roll(X0, r, axis=0) * 0.6
+            + np.roll(X0, 7 * r, axis=0) * 0.4
+            + 0.003 * r
+        )
+    X = np.vstack(parts)
+    n = len(X)
+    books = pq_fit(
+        _np_frame(spark, X), m=16, k=256, iters=10
+    )
+    codes = {
+        r["vec_id"]: r["codes"]
+        for r in pq_encode(_np_frame(spark, X), books).collect()
+    }
+    C = np.stack([codes[i] for i in range(n)])
+    CB = np.asarray(books)
+    m, k, ds = CB.shape
+    worst = 0
+    for qi in range(20):
+        q = X[qi]
+        exact = set(np.argsort(-(X @ q), kind="stable")[:10])
+        lut = np.einsum("jkd,jd->jk", CB, q.reshape(m, ds))
+        s = lut[np.arange(m)[None, :], C].sum(axis=1)
+        pos = {v: i for i, v in enumerate(np.argsort(-s, kind="stable"))}
+        worst = max(worst, max(pos[x] for x in exact) + 1)
+    assert worst * 3 <= shortlist_for(n), (n, worst, shortlist_for(n))
+    assert worst / n < fracs[2000]  # the fraction keeps decaying
+
+
+def _np_frame(spark, X):
+    """(n, dim) float array -> (vec_id, embedding) frame."""
+    return spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+
 
 def test_refine_switches_to_shuffle_past_broadcast_max(
     emb, fitted256, monkeypatch
