@@ -260,6 +260,33 @@ def _write_data_files(
     return entries
 
 
+def _evolved_schema(parent_schema: dict | None, df: DataFrame, op: str) -> dict:
+    """The version's table schema (stored in the manifest — the Delta
+    shape: the LOG owns the schema, readers never sample footers).
+    Overwrite resets to the frame's schema; append UNIONS by name —
+    new columns are allowed (old files read them as NULL under the
+    pinned schema), same-name type changes are refused (silent type
+    evolution corrupts readers)."""
+    new = df.schema.jsonValue()
+    if parent_schema is None or op != "append":
+        return new
+    by_name = {f["name"]: f for f in parent_schema["fields"]}
+    for f in new["fields"]:
+        old = by_name.get(f["name"])
+        if old is None:
+            parent_schema = {
+                **parent_schema,
+                "fields": parent_schema["fields"] + [f],
+            }
+            by_name[f["name"]] = f
+        elif old["type"] != f["type"]:
+            raise ValueError(
+                f"schema evolution cannot change column {f['name']!r} "
+                f"from {old['type']} to {f['type']}"
+            )
+    return parent_schema
+
+
 def _snap_commit(df: DataFrame, path: str, op: str) -> int:
     """Two-level commit with optimistic concurrency: data files and
     this commit's manifest are written ONCE (uuid-unique names — safe
@@ -274,15 +301,16 @@ def _snap_commit(df: DataFrame, path: str, op: str) -> int:
         prev = _latest_version(path)
         version = 0 if prev is None else prev + 1
         if op == "append" and prev is not None:
-            manifests = _carried_manifests(
-                path, _read_manifest(path, prev)
-            ) + [new_name]
+            m_prev = _read_manifest(path, prev)
+            manifests = _carried_manifests(path, m_prev) + [new_name]
+            schema = _evolved_schema(m_prev.get("schema"), df, op)
         else:
             manifests = [new_name]
+            schema = _evolved_schema(None, df, op)
         if _try_commit(
             path, version,
             {"version": version, "op": op, "parent": prev,
-             "manifests": manifests},
+             "manifests": manifests, "schema": schema},
         ):
             return version
     raise RuntimeError(
@@ -325,6 +353,19 @@ def _entry_name(e) -> str:
     return e["name"] if isinstance(e, dict) else e
 
 
+def _pinned_reader(spark: SparkSession, m: dict):
+    """spark.read with the version's pinned schema applied (see
+    snap_read) — every internal multi-file read of a table's own data
+    must go through this, or files predating a column addition would
+    narrow the result."""
+    reader = spark.read
+    if m.get("schema") is not None:
+        from pyspark.sql import types as T
+
+        reader = reader.schema(T.StructType.fromJson(m["schema"]))
+    return reader
+
+
 def snap_read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
     """Read the table at ``version`` (default: latest).  The pinned
     file list comes from the manifest — never a directory listing — so
@@ -333,10 +374,14 @@ def snap_read(spark: SparkSession, path: str, version: int | None = None) -> Dat
     v = _latest_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no snapshot table at {path}")
-    entries = _manifest_entries(path, _read_manifest(path, v))
+    m = _read_manifest(path, v)
+    entries = _manifest_entries(path, m)
     if not entries:
         raise ValueError(f"version {v} of {path} is empty")
-    return spark.read.parquet(
+    # pinned schema from the manifest (the log owns the schema): no
+    # footer sampling at read time, and files written before a column
+    # was added read it back as NULL — schema evolution
+    return _pinned_reader(spark, m).parquet(
         *[os.path.join(path, _entry_name(e)) for e in entries]
     )
 
@@ -360,8 +405,9 @@ def snap_scan(
     v = _latest_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no snapshot table at {path}")
+    m = _read_manifest(path, v)
     keep = []
-    for e in _manifest_entries(path, _read_manifest(path, v)):
+    for e in _manifest_entries(path, m):
         st = e.get("stats", {}).get(col) if isinstance(e, dict) else None
         if st is not None:
             mn, mx = st
@@ -373,7 +419,9 @@ def snap_scan(
     if not keep:  # provably empty under the predicate
         base = snap_read(spark, path, v).limit(0)
     else:
-        base = spark.read.parquet(*[os.path.join(path, f) for f in keep])
+        base = _pinned_reader(spark, m).parquet(
+            *[os.path.join(path, f) for f in keep]
+        )
     from pyspark.sql import functions as F
 
     cond = F.lit(True)
@@ -499,10 +547,13 @@ def snap_append_txn(
             manifests, txn = [new_name], {}
         txn[app_id] = batch_id
         version = 0 if prev is None else prev + 1
+        schema = _evolved_schema(
+            m_prev.get("schema") if prev is not None else None, df, "append"
+        )
         if _try_commit(
             path, version,
             {"version": version, "op": "append", "parent": prev,
-             "manifests": manifests, "txn": txn},
+             "manifests": manifests, "txn": txn, "schema": schema},
         ):
             return version
     raise RuntimeError(
@@ -578,7 +629,7 @@ def snap_delete_where(
             keep = keep | (F.col(col) < F.lit(lo))
         if hi is not None:
             keep = keep | (F.col(col) > F.lit(hi))
-        survivors = spark.read.parquet(
+        survivors = _pinned_reader(spark, m).parquet(
             *[os.path.join(path, _entry_name(e)) for e in affected]
         ).filter(keep)
         new_files = _write_data_files(survivors, path, v + 1)
@@ -587,7 +638,7 @@ def snap_delete_where(
             path, v + 1,
             {"version": v + 1, "op": "delete", "parent": v,
              "manifests": carried + [new_name],
-             "txn": dict(m.get("txn", {}))},
+             "txn": dict(m.get("txn", {})), "schema": m.get("schema")},
         ):
             return v + 1
         # a concurrent commit landed between classification and claim:
@@ -652,7 +703,8 @@ def snap_replace_values(
         if _try_commit(
             path, 0,
             {"version": 0, "op": "append", "parent": None,
-             "manifests": [name]},
+             "manifests": [name],
+             "schema": _evolved_schema(None, replacement, "append")},
         ):
             return 0
         # lost the table-creation race: fall through and replace
@@ -690,7 +742,7 @@ def snap_replace_values(
         new_files = []
         if mixed:
             keep = F.col(col).isNull() | ~F.col(col).isin(vs)
-            survivors = spark.read.parquet(
+            survivors = _pinned_reader(spark, m).parquet(
                 *[os.path.join(path, _entry_name(e)) for e in mixed]
             ).filter(keep)
             new_files += _write_data_files(survivors, path, v + 1)
@@ -700,7 +752,7 @@ def snap_replace_values(
             path, v + 1,
             {"version": v + 1, "op": "replace", "parent": v,
              "manifests": carried + [new_name],
-             "txn": dict(m.get("txn", {}))},
+             "txn": dict(m.get("txn", {})), "schema": m.get("schema")},
         ):
             return v + 1
     raise RuntimeError(
@@ -745,7 +797,7 @@ def snap_compact(
         if len(small) < 2:
             return None
         n_out = max(1, math.ceil(total_small / target_bytes))
-        packed = spark.read.parquet(
+        packed = _pinned_reader(spark, m).parquet(
             *[os.path.join(path, _entry_name(e)) for e in small]
         ).coalesce(n_out)
         new_files = _write_data_files(packed, path, v + 1)
@@ -753,7 +805,8 @@ def snap_compact(
         if _try_commit(
             path, v + 1,
             {"version": v + 1, "op": "compact", "parent": v,
-             "manifests": [new_name], "txn": dict(m.get("txn", {}))},
+             "manifests": [new_name], "txn": dict(m.get("txn", {})),
+             "schema": m.get("schema")},
         ):
             return v + 1
     raise RuntimeError(

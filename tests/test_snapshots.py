@@ -304,6 +304,69 @@ class TestTwoLevelManifests:
         assert snap_read(spark, path).count() == 7  # not 14
 
 
+class TestSchemaEvolution:
+    def test_appended_column_backfills_null(self, spark, tmp_path):
+        """The manifest owns the schema (the Delta shape): an append
+        with a NEW column widens the table schema, files written
+        before the column read it back as NULL under the pinned
+        schema, and time travel still shows each version's own
+        schema."""
+        path = str(tmp_path / "evolve")
+        snap_append(
+            spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string"),
+            path,
+        )
+        snap_append(
+            spark.createDataFrame(
+                [(3, "c", 0.5)], "id int, name string, score double"
+            ),
+            path,
+        )
+        cur = snap_read(spark, path)
+        assert cur.columns == ["id", "name", "score"]
+        rows = {r["id"]: r["score"] for r in cur.collect()}
+        assert rows == {1: None, 2: None, 3: 0.5}
+        # version 0 keeps its original two-column schema
+        assert snap_read(spark, path, 0).columns == ["id", "name"]
+
+    def test_type_change_rejected(self, spark, tmp_path):
+        path = str(tmp_path / "evolvebad")
+        snap_append(spark.createDataFrame([(1,)], "v long"), path)
+        with pytest.raises(ValueError, match="cannot change column"):
+            snap_append(spark.createDataFrame([("x",)], "v string"), path)
+        assert len(snap_versions(path)) == 1  # nothing committed
+
+    def test_overwrite_resets_schema(self, spark, tmp_path):
+        path = str(tmp_path / "evolveow")
+        snap_append(
+            spark.createDataFrame([(1, "a")], "id int, name string"), path
+        )
+        snap_overwrite(spark.createDataFrame([(9,)], "id int"), path)
+        assert snap_read(spark, path).columns == ["id"]
+
+    def test_evolution_survives_compaction_and_scan(self, spark, tmp_path):
+        from qurio_spark.plans.snapshots import snap_compact, snap_scan
+
+        path = str(tmp_path / "evolvecompact")
+        snap_append(
+            spark.createDataFrame([(i,) for i in range(5)], "id int")
+            .coalesce(1),
+            path,
+        )
+        snap_append(
+            spark.createDataFrame(
+                [(i, i * 1.0) for i in range(5, 10)], "id int, w double"
+            ).coalesce(1),
+            path,
+        )
+        assert snap_compact(spark, path, small_bytes=1 << 20) == 2
+        out = snap_read(spark, path)
+        assert out.columns == ["id", "w"] and out.count() == 10
+        scanned = snap_scan(spark, path, "id", lo=0, hi=4)
+        assert scanned.columns == ["id", "w"]
+        assert all(r["w"] is None for r in scanned.collect())
+
+
 class TestCompact:
     def test_bin_packs_small_files(self, spark, tmp_path):
         """Six micro-batch-sized commits -> one compact version: rows
