@@ -193,6 +193,7 @@ from qurio_spark.queries.temporal import (  # noqa: F401
 from qurio_spark.queries.pipelines import (  # noqa: F401
     q_ann_ivfpq,
     q_ann_pq,
+    q_batch_ann_pq,
     q_chunk_corpus,
     q_ingest_pipeline,
     q_kmeans_ivf,
@@ -229,8 +230,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     + join-back on the rounded cost; completes 22/22 TPC-H shapes),
     ``snap_compact`` (small-file bin-packing: compacted table ==
     plain full-table aggregation — the rows-byte-equal contract),
-    and ``snap_quarantine`` (dead-letter quality gates: quarantined
-    side == the complement-predicate SELECT with per-row gate tags).
+    ``snap_quarantine`` (dead-letter quality gates: quarantined
+    side == the complement-predicate SELECT with per-row gate tags),
+    and ``batch_ann_pq`` (a query TABLE served in one Arrow scan of
+    the packed codes — (Q,m,k) LUT tensor, per-partition shortlists,
+    one refine join; oracle = per-query exact dot top-10).
     CHANGED-in-place: ``ann_pq``/``ann_ivfpq``
     (fine m=16,k=256 quantizer + SUBLINEAR c*sqrt(n) shortlist +
     shuffle-refine guard — results still the exact top-10, oracles
@@ -247,7 +251,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``embedding_near_dup`` (the pair oracle is a strict subset of the
     in-window canonical_docs/pagerank_centrality, which run the same
     embedding_near_dup_pairs build against composed oracles; green
-    since round 5).
+    since round 5), and ``streaming_hourly`` (its oracle SQL is
+    IDENTICAL to events_hourly's, and the streaming family keeps
+    three hard signals in-window: streaming_ingest, streaming_join,
+    streaming_near_dedup; green since round 3).
     Round 7 rotation — IN (all new that round): ``ann_ivfpq`` (IVF
     label pruning composed with the packed-PQ ADC scan + exact refine,
     the FAISS IndexIVFPQ shape), ``events_range_left`` (the
@@ -349,7 +356,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "hybrid_rrf": q_hybrid_rrf,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
-        "streaming_hourly": q_streaming_hourly,
         "simhash_near": q_simhash_near,
         "streaming_join": q_streaming_join,
         "bm25_incremental": q_bm25_incremental,
@@ -378,9 +384,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q16": q_tpch_q16,
         "audio_features": q_audio_features,
         "ann_pq": q_ann_pq,
+        "batch_ann_pq": q_batch_ann_pq,
         "rerank_overlap": q_rerank_overlap,
         # -- 51+: oracle-backed, operator proven by in-window sibling
         # (or, for minhash_lsh, newly oracle-backed breadth) ----------
+        "streaming_hourly": q_streaming_hourly,
         "word_concentration": q_word_concentration,
         "embedding_near_dup": q_embedding_near_dup,
         "tpch_q1": q_tpch_q1,

@@ -381,6 +381,140 @@ def pq_topk_refined(
     )
 
 
+def _codes_to_np(series, m: int, k: int, packed: bool) -> np.ndarray:
+    """A pandas Series of codes (packed long / array<long> words /
+    array<int>) -> (n, m) int64 numpy codes — the Arrow-side twin of
+    ``_code_expr`` for batch scoring."""
+    bits = code_bits(k)
+    if not packed:
+        return np.stack(series.to_numpy()).astype(np.int64)
+    first = series.iloc[0]
+    if np.ndim(first) == 0:  # single packed long
+        words = series.to_numpy().astype(np.uint64)[:, None]
+    else:  # array<long> words
+        words = np.stack(series.to_numpy()).astype(np.uint64)
+    per_word = 64 // bits
+    j = np.arange(m)
+    w_idx = (j * bits) // 64
+    shift = ((j * bits) % 64).astype(np.uint64)
+    mask = np.uint64((1 << bits) - 1)
+    return ((words[:, w_idx] >> shift) & mask).astype(np.int64)
+
+
+def pq_topk_batch(
+    codes_df: DataFrame,
+    embeddings: DataFrame,
+    codebooks: list,
+    queries: DataFrame,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    qvec_col: str = "qvec",
+    n_candidates: int | None = None,
+    shortlist: int | None = None,
+) -> DataFrame:
+    """A TABLE of queries served against ONE scan of the compressed
+    codes — the batch twin of ``pq_topk_refined`` and the PQ analogue
+    of the batch hybrid search.  -> (query_id, vec_id, score) with
+    ``topk`` exact-dot rows per query.
+
+    Per-query literal score expressions would repeat the single-query
+    plan Q times (the expression-bloat trap measured at k=256), so the
+    ADC stage is ONE Arrow ``mapInPandas`` over the codes table with
+    the (Q, m, k) LUT tensor in the closure: each input batch scores
+    all queries as numpy gathers, and each PARTITION emits only its
+    local top-``shortlist`` ids per query (a superset of every global
+    shortlist by construction) — the shuffle moves parts x Q x
+    shortlist tiny rows, never the corpus.  A window rank then cuts
+    the global per-query shortlist, the refine joins raw vectors once
+    for ALL queries' candidates (queries broadcast), and a final
+    per-query window returns the exact top-k.
+
+    ``queries`` is collected driver-side (a serving batch is bounded —
+    same contract as probe-label literals).  Recall follows the same
+    sublinear ``shortlist_for`` law as the single-query path."""
+    import pandas
+
+    from qurio_spark.functions.numeric import stable_round
+    from qurio_spark.functions.vector import dot
+    from pyspark.sql.window import Window
+
+    CB = np.asarray(codebooks, dtype=np.float64)  # (m, k, ds)
+    m, k, ds = CB.shape
+    qrows = queries.select(query_id_col, qvec_col).collect()
+    qids = [r[query_id_col] for r in qrows]
+    Q = np.stack([np.asarray(r[qvec_col], dtype=np.float64) for r in qrows])
+    # (Q, m, k) partial-dot LUT tensor — tiny, ships in the closure
+    LUT = np.einsum("jkd,qjd->qjk", CB, Q.reshape(len(qids), m, ds))
+    packed = _codes_packed(codes_df)
+    if shortlist is None:
+        n = n_candidates if n_candidates is not None else codes_df.count()
+        shortlist = shortlist_for(n)
+
+    def score_partition(batches):
+        ids_all, scores_all = [], []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = _codes_to_np(pdf["codes"], m, k, packed)  # (n, m)
+            s = np.zeros((len(LUT), len(codes)))
+            for j in range(m):
+                s += LUT[:, j, :][:, codes[:, j]]  # (Q, n) gather
+            ids_all.append(pdf[id_col].to_numpy())
+            scores_all.append(s)
+        if not ids_all:
+            return
+        ids = np.concatenate(ids_all)
+        s = np.concatenate(scores_all, axis=1)  # (Q, n_part)
+        depth = min(len(ids), shortlist)
+        out_q, out_id, out_s = [], [], []
+        for qi, qid in enumerate(qids):
+            top = np.argpartition(-s[qi], depth - 1)[:depth]
+            out_q.extend([qid] * len(top))
+            out_id.extend(ids[top])
+            out_s.extend(s[qi][top])
+        yield pandas.DataFrame(
+            {"query_id": out_q, "vec_id": out_id, "_adc": out_s}
+        )
+
+    cand = codes_df.select(F.col(id_col), F.col("codes")).mapInPandas(
+        score_partition, "query_id string, vec_id long, _adc double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(stable_round(F.col("_adc"), 6)), F.asc("vec_id")
+    )
+    short = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    refined = (
+        embeddings.withColumnRenamed(id_col, "vec_id")
+        .join(short, "vec_id")
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(query_id_col).alias("query_id"), F.col(qvec_col)
+                )
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id", "vec_id",
+            dot(F.col(vec_col), F.col(qvec_col)).alias("score"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc(stable_round(F.col("score"), 6)), F.asc("vec_id")
+    )
+    return (
+        refined.withColumn("_rn", F.row_number().over(wf))
+        .filter(F.col("_rn") <= topk)
+        .select("query_id", "vec_id", "score")
+    )
+
+
 def write_pq_index(
     codes_df: DataFrame, codebooks: list, path: str
 ) -> None:

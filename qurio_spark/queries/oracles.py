@@ -839,6 +839,29 @@ SELECT vec_id, (floor(({_COS}) * 10000.0 + 0.5) / 10000.0) AS score
 FROM embeddings CROSS JOIN qv
 ORDER BY (floor(({_COS}) * 1000000.0 + 0.5) / 1000000.0) DESC, vec_id LIMIT 10""",
         "hybrid_topk": _hybrid_sql(alpha=0.5, k=10),
+        # batch PQ ANN == per-query exact dot top-10 (sublinear
+        # shortlist holds recall 1.0, same law as ann_pq)
+        "batch_ann_pq": """
+WITH q(query_id, qvec_id) AS (VALUES ('q1', 0), ('q2', 1), ('q3', 2)),
+qv AS (
+  SELECT query_id, embedding::DOUBLE[] AS qvec
+  FROM q JOIN embeddings ON vec_id = qvec_id
+),
+scored AS (
+  SELECT qv.query_id, e.vec_id,
+         list_dot_product(e.embedding::DOUBLE[], qv.qvec) AS s
+  FROM embeddings e CROSS JOIN qv
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         (floor(s * 10000.0 + 0.5) / 10000.0) AS score,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY (floor(s * 1000000.0 + 0.5) / 1000000.0) DESC, vec_id
+         ) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, score FROM ranked WHERE rn <= 10""",
         "hybrid_rrf": f"""
 WITH base AS (
   SELECT d.doc_id, d.text, e.embedding

@@ -27,6 +27,7 @@ from qurio_spark.operators.similarity import lsh_topk
 from .search import (
     _LSH_INDEX_HANDLES,
     _PQ_INDEX_DIRS,
+    _batch_queries_frame,
     _lsh_index_path,
     _pq_index_handle,
 )
@@ -103,6 +104,37 @@ def q_ann_pq(spark, sf_dir):
         n = emb.count()
     top = pq_topk_refined(codes, emb, books, q, topk=10, n_candidates=n)
     return top.select("vec_id", stable_round("score", 4).alias("score"))
+
+
+def q_batch_ann_pq(spark, sf_dir):
+    """Batch ANN over the compressed codes (operators/pq.pq_topk_batch
+    — the PQ analogue of batch_hybrid): the three-query serving table
+    scores in ONE Arrow scan of the packed codes with a (Q, m, k) LUT
+    tensor (per-query literal expressions would repeat the ADC plan Q
+    times — the measured expression-bloat trap), each partition emits
+    only its local per-query shortlist, a window cuts the global
+    shortlist, and one refine join re-scores every query's candidates
+    exactly.  Oracle: per-query brute-force dot top-10 — valid because
+    the sublinear shortlist keeps recall 1.0 (same law as ann_pq,
+    pinned in tests/test_pq.py)."""
+    from qurio_spark.operators.pq import pq_encode, pq_fit, pq_topk_batch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = _batch_queries_frame(spark, sf_dir).select(
+        "query_id", F.col("query_vec").alias("qvec")
+    )
+    if sf_dir in _PQ_INDEX_DIRS:
+        codes, books, n, _counts = _pq_index_handle(spark, sf_dir)
+    else:
+        books = pq_fit(emb, m=16, k=256, iters=10)
+        codes = pq_encode(emb, books, packed=True)
+        n = emb.count()
+    out = pq_topk_batch(
+        codes, emb, books, queries, topk=10, n_candidates=n
+    )
+    return out.select(
+        "query_id", "vec_id", stable_round("score", 4).alias("score")
+    )
 
 
 def q_ann_ivfpq(spark, sf_dir):

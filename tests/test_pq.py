@@ -491,3 +491,59 @@ def test_append_pq_index(spark, emb, fitted, tmp_path):
     }
     got = {(r["vec_id"], tuple(r["codes"])) for r in merged.collect()}
     assert got == want
+
+
+class TestBatchPq:
+    def test_batch_equals_per_query_refined(self, spark, emb, fitted256):
+        """One Arrow scan for a query TABLE == the single-query
+        refine path per query, for every codes representation."""
+        books, packed = fitted256
+        arr_codes = pq_encode(emb, books)
+        from qurio_spark.operators.pq import pq_topk_batch
+
+        n = emb.count()
+        qrows = [
+            (f"q{r['vec_id']}", list(r["embedding"]))
+            for r in emb.filter(F.col("vec_id").isin([0, 3, 7])).collect()
+        ]
+        queries = spark.createDataFrame(
+            qrows, "query_id string, qvec array<double>"
+        )
+        want = {}
+        for qid, qv in qrows:
+            want[qid] = [
+                r["vec_id"]
+                for r in pq_topk_refined(
+                    packed, emb, books, qv, 10, n_candidates=n
+                ).collect()
+            ]
+        for codes in (packed, arr_codes):
+            got = {}
+            out = pq_topk_batch(
+                codes, emb, books, queries, topk=10, n_candidates=n
+            )
+            for r in out.collect():
+                got.setdefault(r["query_id"], []).append(r["vec_id"])
+            assert got == want
+
+    def test_batch_plan_shape(self, spark, emb, fitted256, tmp_path):
+        """Against a PERSISTED codes table (the serving shape): one
+        Python (Arrow) stage for the ADC scan; the rest is windows +
+        one refine join — no nested-loop joins."""
+        from tools.plan_audit import audit
+
+        from qurio_spark.operators.pq import pq_topk_batch
+
+        books, packed = fitted256
+        path = str(tmp_path / "batchpq")
+        write_pq_index(packed, books, path)
+        codes, books2 = read_pq_index(spark, path)
+        queries = spark.createDataFrame(
+            [("a", [0.1] * 64)], "query_id string, qvec array<double>"
+        )
+        a = audit(
+            pq_topk_batch(codes, emb, books2, queries, 5, n_candidates=500)
+        )
+        assert a["python_stages"] == 1, a["plan"]
+        assert a["bnlj"] == 0, a["plan"]
+        assert a["shuffles"] <= 4, a["plan"]
