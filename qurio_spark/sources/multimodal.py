@@ -91,14 +91,15 @@ def _parse_image_header(data: bytes | None) -> tuple:
         w, h = _struct.unpack("<HH", data[6:10])
         return ("gif", int(w), int(h), True)
     if data[:2] == b"\xff\xd8":
-        # walk JPEG segments to SOF0/SOF2
+        # walk JPEG segments to any SOFn (all frame types carry dims;
+        # 0xC4/0xC8/0xCC are DHT/JPG/DAC, not frames)
         i = 2
         while i + 9 < len(data):
             if data[i] != 0xFF:
                 break
             marker = data[i + 1]
             seg_len = _struct.unpack(">H", data[i + 2 : i + 4])[0]
-            if marker in (0xC0, 0xC2):
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 h, w = _struct.unpack(">HH", data[i + 5 : i + 9])
                 return ("jpeg", int(w), int(h), True)
             i += 2 + seg_len
@@ -449,10 +450,16 @@ class _JpegBitReader:
         return v
 
     def align_restart(self) -> None:
+        d = self.data
         if self.bit:
             self.bit, self.pos = 0, self.pos + 1
-        if self.pos + 1 < len(self.data) and self.data[self.pos] == 0xFF \
-                and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+        # an all-ones pad byte is 0xFF and carries a 0x00 stuffing byte
+        # before the RST marker — skip it like any stuffed byte
+        if self.pos > 0 and self.pos < len(d) and d[self.pos - 1] == 0xFF \
+                and d[self.pos] == 0x00:
+            self.pos += 1
+        if self.pos + 1 < len(d) and d[self.pos] == 0xFF \
+                and 0xD0 <= d[self.pos + 1] <= 0xD7:
             self.pos += 2
 
 
@@ -486,17 +493,33 @@ def _jpeg_extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _jpeg_entropy_end(data: bytes, pos: int) -> int:
+    """First byte of the next real marker after entropy data starting
+    at ``pos`` (skipping 0xFF00 stuffing and RSTn)."""
+    i = pos
+    while i + 1 < len(data):
+        if data[i] == 0xFF and data[i + 1] != 0x00 \
+                and not (0xD0 <= data[i + 1] <= 0xD7):
+            return i
+        i += 1
+    return len(data)
+
+
 def _decode_jpeg_pixels(data: bytes) -> "np.ndarray":
-    """Baseline sequential JPEG (SOF0) -> (h, w, 3) uint8 RGB, pure
-    numpy: marker parse (DQT/DHT/SOF0/DRI/SOS), canonical Huffman
-    entropy decode with byte-stuffing and restart markers, dequantize
-    + dezigzag, one vectorized 8x8 IDCT over all blocks per component
-    (einsum against the DCT basis — the per-block work stays in BLAS,
-    only the Huffman bit loop is Python), nearest-neighbor chroma
-    upsampling for 4:2:0/4:2:2, BT.601 YCbCr -> RGB.  Grayscale
-    broadcasts.  Progressive (SOF2), arithmetic coding, and 12-bit
-    precision raise NotImplementedError — the honest stub boundary
-    moves from 'all JPEG' to 'non-baseline JPEG'."""
+    """Baseline (SOF0) AND progressive (SOF2) JPEG -> (h, w, 3) uint8
+    RGB, pure numpy: marker parse (DQT/DHT/SOF/DRI/SOS), canonical
+    Huffman entropy decode with byte-stuffing and restart markers,
+    dequantize + dezigzag, one vectorized 8x8 IDCT over all blocks per
+    component (einsum against the DCT basis — the per-block work stays
+    in BLAS, only the Huffman bit loop is Python), nearest-neighbor
+    chroma upsampling for 4:2:0/4:2:2, BT.601 YCbCr -> RGB.  Grayscale
+    broadcasts.  Progressive scans accumulate into the per-component
+    coefficient stores across every SOS: DC first/refine (successive
+    approximation via point transform), AC first with EOB runs, and
+    AC refinement with correction bits (spec G.1.2.2-3, the libjpeg
+    shape).  Arithmetic coding, hierarchical (SOF3/5-7/9-15), and
+    12-bit precision raise NotImplementedError — the honest stub
+    boundary."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     qt: dict[int, np.ndarray] = {}
@@ -504,11 +527,180 @@ def _decode_jpeg_pixels(data: bytes) -> "np.ndarray":
     huff_ac: dict[int, dict] = {}
     comps: list[dict] = []
     w = h = 0
+    hmax = vmax = mcux = mcuy = 1
+    progressive = False
     restart_interval = 0
+    store: dict[int, np.ndarray] = {}
+    zz = np.asarray(_JPEG_ZIGZAG)
+    saw_scan = False
+
+    def nonint_grid(c):
+        """Non-interleaved block extent for one component (spec A.2.2:
+        ceil of the component's true sample dims, NOT the padded MCU
+        grid)."""
+        cw = -(-w * c["hs"] // hmax)
+        ch = -(-h * c["vs"] // vmax)
+        return -(-ch // 8), -(-cw // 8)
+
+    def decode_scan(scan_comps, ss, se, ah, al, pos) -> None:
+        # a DC-refinement scan reads raw bits only; every other scan
+        # type reads Huffman symbols from its declared table
+        needs_dc = ss == 0 and (not progressive or ah == 0)
+        needs_ac = not progressive or ss > 0
+        for c in scan_comps:
+            if needs_dc and c["dc"] not in huff_dc:
+                raise ValueError("JPEG scan references undefined DC table")
+            if needs_ac and c["ac"] not in huff_ac:
+                raise ValueError("JPEG scan references undefined AC table")
+        r = _JpegBitReader(data, pos)
+        pred = {c["id"]: 0 for c in scan_comps}
+        eobrun = 0
+        unit = 0  # MCUs (interleaved) or blocks (single-component)
+
+        def maybe_restart():
+            nonlocal pred, eobrun
+            if restart_interval and unit and unit % restart_interval == 0:
+                r.align_restart()
+                pred = {c["id"]: 0 for c in scan_comps}
+                eobrun = 0
+
+        def dc_first(c, block):
+            t = _jpeg_huff_read(r, huff_dc[c["dc"]])
+            pred[c["id"]] += _jpeg_extend(r.read_bits(t), t)
+            block[0] = pred[c["id"]] << al
+
+        def dc_refine(_c, block):
+            if r.read_bit():
+                block[0] |= 1 << al
+
+        def ac_first(c, block):
+            nonlocal eobrun
+            if eobrun > 0:
+                eobrun -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = _jpeg_huff_read(r, huff_ac[c["ac"]])
+                rr, s = rs >> 4, rs & 15
+                if s == 0:
+                    if rr == 15:
+                        k += 16
+                        continue
+                    eobrun = (1 << rr) - 1
+                    if rr:
+                        eobrun += r.read_bits(rr)
+                    break
+                k += rr
+                if k > se:
+                    raise ValueError("JPEG AC index overflow")
+                block[zz[k]] = _jpeg_extend(r.read_bits(s), s) << al
+                k += 1
+
+        def ac_refine(c, block):
+            # spec G.1.2.3 / libjpeg decode_mcu_AC_refine: correction
+            # bits for already-nonzero coefficients, s==1 symbols
+            # introduce newly-nonzero ones, EOB runs cover whole bands
+            nonlocal eobrun
+            p1, m1 = 1 << al, -1 << al
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _jpeg_huff_read(r, huff_ac[c["ac"]])
+                    rr, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if rr < 15:
+                            # refinement EOB runs INCLUDE the current
+                            # block's remainder (its history coeffs'
+                            # correction bits follow the EOBn symbol),
+                            # so the count stays N here and decrements
+                            # after the tail consume — unlike ac_first,
+                            # where the current block is already done
+                            eobrun = 1 << rr
+                            if rr:
+                                eobrun += r.read_bits(rr)
+                            break
+                        newval = 0  # ZRL: skip 16 zero-history coeffs
+                    else:  # s is always 1 in a refinement scan
+                        newval = p1 if r.read_bit() else m1
+                    while k <= se:
+                        ki = zz[k]
+                        if block[ki] != 0:
+                            if r.read_bit() and (block[ki] & p1) == 0:
+                                block[ki] += p1 if block[ki] >= 0 else m1
+                        else:
+                            if rr == 0:
+                                if newval:
+                                    block[ki] = newval
+                                k += 1
+                                break
+                            rr -= 1
+                        k += 1
+            if eobrun > 0:
+                while k <= se:
+                    ki = zz[k]
+                    if block[ki] != 0:
+                        if r.read_bit() and (block[ki] & p1) == 0:
+                            block[ki] += p1 if block[ki] >= 0 else m1
+                    k += 1
+                eobrun -= 1
+
+        def full_baseline(c, block):
+            dc_first(c, block)  # al == 0: plain DC
+            k = 1
+            while k < 64:
+                rs = _jpeg_huff_read(r, huff_ac[c["ac"]])
+                rr, s = rs >> 4, rs & 15
+                if s == 0:
+                    if rr == 15:
+                        k += 16
+                        continue
+                    break  # EOB
+                k += rr
+                if k > 63:
+                    raise ValueError("JPEG AC index overflow")
+                block[zz[k]] = _jpeg_extend(r.read_bits(s), s)
+                k += 1
+
+        if not progressive:
+            per_block = full_baseline
+        elif ss == 0 and ah == 0:
+            per_block = dc_first
+        elif ss == 0:
+            per_block = dc_refine
+        elif ah == 0:
+            per_block = ac_first
+        else:
+            per_block = ac_refine
+        if progressive and ss > 0 and len(scan_comps) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+
+        if len(scan_comps) == 1 and progressive:
+            # non-interleaved: raster over the component's own grid
+            c = scan_comps[0]
+            bh, bw = nonint_grid(c)
+            blocks = store[c["id"]]
+            for byi in range(bh):
+                for bxi in range(bw):
+                    maybe_restart()
+                    per_block(c, blocks[byi, bxi])
+                    unit += 1
+        else:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    maybe_restart()
+                    for c in scan_comps:
+                        for by in range(c["vs"]):
+                            for bx in range(c["hs"]):
+                                per_block(
+                                    c,
+                                    store[c["id"]][
+                                        my * c["vs"] + by, mx * c["hs"] + bx
+                                    ],
+                                )
+                    unit += 1
+
     i = 2
-    scan_pos = None
-    scan_comps: list[dict] = []
-    while i + 4 <= len(data):
+    while i + 2 <= len(data):
         if data[i] != 0xFF:
             raise ValueError("bad JPEG marker stream")
         marker = data[i + 1]
@@ -516,6 +708,8 @@ def _decode_jpeg_pixels(data: bytes) -> "np.ndarray":
             i += 2
             continue
         if marker == 0xD9:  # EOI
+            break
+        if i + 4 > len(data):
             break
         (seg_len,) = _struct.unpack(">H", data[i + 2 : i + 4])
         body = data[i + 4 : i + 2 + seg_len]
@@ -540,11 +734,16 @@ def _decode_jpeg_pixels(data: bytes) -> "np.ndarray":
                 counts = list(body[p + 1 : p + 17])
                 n = sum(counts)
                 symbols = body[p + 17 : p + 17 + n]
+                if len(counts) < 16 or len(symbols) < n:
+                    raise ValueError("truncated JPEG DHT")
                 (huff_dc if tc == 0 else huff_ac)[th] = (
                     _jpeg_huff_decode_table(counts, symbols)
                 )
                 p += 17 + n
-        elif marker == 0xC0:  # SOF0: baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
+            if len(body) < 6 or len(body) < 6 + 3 * body[5]:
+                raise ValueError("truncated JPEG SOF")
             prec, h, w, ncomp = body[0], *_struct.unpack(">HH", body[1:5]), body[5]
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec} != 8")
@@ -557,86 +756,66 @@ def _decode_jpeg_pixels(data: bytes) -> "np.ndarray":
                 }
                 for c in range(ncomp)
             ]
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            if not comps or not all(
+                1 <= c["hs"] <= 4 and 1 <= c["vs"] <= 4 for c in comps
+            ) or not w or not h:
+                raise ValueError("malformed JPEG SOF")
+            hmax = max(c["hs"] for c in comps)
+            vmax = max(c["vs"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for c in comps:
+                store[c["id"]] = np.zeros(
+                    (mcuy * c["vs"], mcux * c["hs"], 64), dtype=np.int32
+                )
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF{marker - 0xC0}) not hermetically "
-                "decodable; swap in PIL/libvips in production"
+                f"non-baseline/progressive JPEG (SOF{marker - 0xC0}) not "
+                "hermetically decodable; swap in PIL/libvips in production"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = _struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
+            if not comps:
+                raise ValueError("JPEG SOS before SOF")
+            if not body or len(body) < 4 + 2 * body[0]:
+                raise ValueError("truncated JPEG SOS")
             ns = body[0]
             scan_comps = []
             for c in range(ns):
                 cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
-                comp = next(x for x in comps if x["id"] == cid)
-                scan_comps.append(
-                    {**comp, "dc": tabs >> 4, "ac": tabs & 15}
+                comp = next(
+                    (x for x in comps if x["id"] == cid), None
                 )
-            scan_pos = i + 2 + seg_len
-            break
+                if comp is None:
+                    raise ValueError("JPEG SOS references unknown component")
+                scan_comps.append({**comp, "dc": tabs >> 4, "ac": tabs & 15})
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            approx = body[3 + 2 * ns]
+            ah, al = approx >> 4, approx & 15
+            scan_start = i + 2 + seg_len
+            decode_scan(scan_comps, ss, se, ah, al, scan_start)
+            saw_scan = True
+            i = _jpeg_entropy_end(data, scan_start)
+            continue
         i += 2 + seg_len
-    if not comps or scan_pos is None:
+    if not comps or not saw_scan:
         raise ValueError("JPEG missing SOF0/SOS")
 
-    hmax = max(c["hs"] for c in comps)
-    vmax = max(c["vs"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    # per-component coefficient stores: (blocks_y, blocks_x, 64)
-    store = {}
-    for c in scan_comps:
-        store[c["id"]] = np.zeros(
-            (mcuy * c["vs"], mcux * c["hs"], 64), dtype=np.int32
-        )
-    r = _JpegBitReader(data, scan_pos)
-    pred = {c["id"]: 0 for c in scan_comps}
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count \
-                    and mcu_count % restart_interval == 0:
-                r.align_restart()
-                pred = {c["id"]: 0 for c in scan_comps}
-            for c in scan_comps:
-                dct, act = huff_dc[c["dc"]], huff_ac[c["ac"]]
-                for by in range(c["vs"]):
-                    for bx in range(c["hs"]):
-                        coeffs = np.zeros(64, dtype=np.int32)
-                        t = _jpeg_huff_read(r, dct)
-                        diff = _jpeg_extend(r.read_bits(t), t)
-                        pred[c["id"]] += diff
-                        coeffs[0] = pred[c["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = _jpeg_huff_read(r, act)
-                            rr, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if rr == 15:  # ZRL: 16 zeros
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += rr
-                            if k > 63:
-                                raise ValueError("JPEG AC index overflow")
-                            coeffs[k] = _jpeg_extend(r.read_bits(s), s)
-                            k += 1
-                        store[c["id"]][
-                            my * c["vs"] + by, mx * c["hs"] + bx
-                        ] = coeffs
-            mcu_count += 1
-
     C = _jpeg_dct_matrix()
-    zz = np.asarray(_JPEG_ZIGZAG)
     planes = []
-    for c in scan_comps:
+    for c in comps:
         blocks = store[c["id"]]
         by, bx = blocks.shape[:2]
-        deq = blocks.astype(np.float64) * qt[c["tq"]][None, None, :]
-        grid = np.zeros((by, bx, 64))
-        grid[:, :, zz] = deq  # dezigzag: zigzag position -> raster
-        grid = grid.reshape(by, bx, 8, 8)
+        # the store holds NATURAL-order coefficients (progressive
+        # refinement indexes by raster position, the libjpeg layout),
+        # so the zigzag-order quant table is dezigzagged instead
+        qraster = np.zeros(64, dtype=np.int64)
+        qraster[zz] = qt[c["tq"]]
+        grid = (blocks.astype(np.float64) * qraster[None, None, :]).reshape(
+            by, bx, 8, 8
+        )
         # IDCT every block at once: spatial = C.T @ F @ C, i.e.
         # spatial[x, y] = sum_{u,v} C[u, x] F[u, v] C[v, y]
         spatial = np.einsum("ux,abuv,vy->abxy", C, grid, C, optimize=True)

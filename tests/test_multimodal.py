@@ -79,9 +79,10 @@ def make_jpeg(w=32, h=24) -> bytes:
     return b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00" + sof
 
 
-def make_jpeg_progressive(w=16, h=9) -> bytes:
-    """SOF2 (progressive) header — the slice that STAYS stubbed."""
-    sof = b"\xff\xc2" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", h, w) + b"\x03" + b"\x00" * 9
+def make_jpeg_arith(w=16, h=9) -> bytes:
+    """SOF9 (arithmetic) header — the slice that STAYS stubbed (SOF2
+    progressive decodes since round 8)."""
+    sof = b"\xff\xc9" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", h, w) + b"\x03" + b"\x00" * 9
     return b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00" + sof
 
 
@@ -196,8 +197,8 @@ class TestBinaryIngestion:
         # BASELINE JPEG now decodes (TestJpegDecode) — progressive is
         # the honest stub boundary; PNG/GIF/JPEG data-less headers are
         # malformed-file errors, not stubs
-        with pytest.raises(NotImplementedError, match="SOF2"):
-            _decode_pixels(make_jpeg_progressive())
+        with pytest.raises(NotImplementedError, match="SOF9"):
+            _decode_pixels(make_jpeg_arith())
         with pytest.raises(ValueError):
             _decode_pixels(make_jpeg())
         with pytest.raises(ValueError):
@@ -289,7 +290,7 @@ class TestPixelDecode:
 
         df = spark.createDataFrame(
             [("img/a.bmp", bytearray(make_bmp(7, 5))),
-             ("img/b.jpg", bytearray(make_jpeg_progressive(16, 9)))],
+             ("img/b.jpg", bytearray(make_jpeg_arith(16, 9)))],
             "path string, content binary",
         )
         meta = df.withColumn("meta", decode_image_meta("content")).select(
@@ -308,7 +309,7 @@ class TestPixelDecode:
             golden,
         )
         b = out["img/b.jpg"]
-        assert b["pixels"] is None and "SOF2" in b["resize_error"]
+        assert b["pixels"] is None and "SOF9" in b["resize_error"]
 
     def test_pdf_image_xobjects(self):
         import numpy as np
@@ -1122,7 +1123,7 @@ class TestPngDecode:
                 ("img/p.png", bytearray(make_png_full(arr, filters=[4, 3, 2, 1, 0]))),
                 ("img/a.bmp", bytearray(make_bmp(7, 5))),
                 ("img/j.jpg", bytearray(make_jpeg_full(arr))),
-                ("img/pr.jpg", bytearray(make_jpeg_progressive(32, 24))),
+                ("img/pr.jpg", bytearray(make_jpeg_arith(32, 24))),
             ],
             "path string, content binary",
         )
@@ -1148,9 +1149,10 @@ class TestPngDecode:
         want = _resample_nearest(_decode_pixels(make_jpeg_full(arr)), 4, 3)
         got = np.frombuffer(bytes(j["pixels"]), np.uint8).reshape(3, 4, 3)
         assert np.array_equal(got, want)
-        # progressive stays a visible per-row degrade, not a job failure
+        # arithmetic coding stays a visible per-row degrade, not a
+        # job failure (progressive itself decodes since round 8)
         assert out["img/pr.jpg"]["pixels"] is None
-        assert "SOF2" in out["img/pr.jpg"]["resize_error"]
+        assert "SOF9" in out["img/pr.jpg"]["resize_error"]
 
 
 def make_gif_full(idx, palette, interlaced=False, uncompressed=False,
@@ -1622,13 +1624,381 @@ class TestJpegDecode:
         # lossy but recognizable: mean error bounded
         assert np.abs(got.astype(int) - arr.astype(int)).mean() < 16
 
-    def test_progressive_stays_stubbed(self):
+    def test_arithmetic_sofs_stay_stubbed(self):
+        """Progressive (SOF2) now decodes — TestJpegProgressive — so
+        the stub boundary is arithmetic/lossless/hierarchical SOFs."""
         import pytest as _pytest
 
         from qurio_spark.sources.multimodal import _decode_pixels
 
         data = bytearray(make_jpeg_full(bmp_golden(8, 8)))
         i = data.index(b"\xff\xc0")
-        data[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-        with _pytest.raises(NotImplementedError, match="SOF2"):
+        data[i + 1] = 0xC9  # SOF9: arithmetic sequential
+        with _pytest.raises(NotImplementedError, match="SOF9"):
             _decode_pixels(bytes(data))
+
+
+def make_jpeg_progressive_full(arr, qval=1, bands=((1, 5), (6, 63)),
+                               restart_interval=0):
+    """Progressive JPEG encoder (test-side twin of the SOF2 decode
+    path): DC first scan at Al=1 + DC refinement, then per component
+    per band an AC first scan at Al=1 (with cross-block EOB runs) and
+    an AC refinement scan (Ah=1 -> Al=0: newly-significant s=1
+    symbols, correction bits, EOB-run pending bits) — the libjpeg
+    encode_mcu_AC_{first,refine} shapes.  4:4:4 only; stdlib+numpy."""
+    import numpy as np
+
+    h, w, nch = arr.shape
+    gray = nch == 1
+    ZZ = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+          12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+          35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+          58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+    x8 = np.arange(8)
+    C = np.cos((2 * x8[None, :] + 1) * x8[:, None] * np.pi / 16) / 2.0
+    C[0] /= np.sqrt(2.0)
+
+    a = arr.astype(np.float64)
+    if gray:
+        planes = [a[:, :, 0]]
+    else:
+        r_, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+        planes = [
+            0.299 * r_ + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r_ - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r_ - 0.418688 * g - 0.081312 * b,
+        ]
+    ncomp = len(planes)
+    bw, bh = -(-w // 8), -(-h // 8)
+    # quantized ZIGZAG-order coefficient blocks per component
+    comp_blocks = []
+    for p in planes:
+        pp = np.pad(p, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+        blocks = np.zeros((bh, bw, 64), dtype=np.int64)
+        for byi in range(bh):
+            for bxi in range(bw):
+                blk = pp[byi * 8:(byi + 1) * 8, bxi * 8:(bxi + 1) * 8] - 128.0
+                q = np.round((C @ blk @ C.T) / qval).astype(np.int64)
+                blocks[byi, bxi] = q.reshape(64)[ZZ]
+        comp_blocks.append(blocks)
+
+    def category(v):
+        return int(abs(v)).bit_length()
+
+    dc_syms = list(range(12))
+    # incl. every EOBn symbol (rr<<4) the progressive scans can emit
+    ac_syms = sorted({rr << 4 for rr in range(16)} | {
+        (rr << 4) | s for rr in range(16) for s in range(1, 11)
+    })
+
+    def build_table(symbols):
+        n = len(symbols)
+        L = max(2, (n + 2 - 1).bit_length())
+        counts = [0] * 16
+        counts[L - 1] = n
+        code_of, code = {}, 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                code_of[symbols[len(code_of)]] = (length, code)
+                code += 1
+            code <<= 1
+        return counts, symbols, code_of
+
+    dc_tbl, ac_tbl = build_table(dc_syms), build_table(ac_syms)
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker]))
+        out.extend(struct.pack(">H", len(body) + 2))
+        out.extend(body)
+
+    seg(0xDB, bytes([0]) + bytes([min(255, qval)] * 64))
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, ncomp))
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0])
+    seg(0xC2, bytes(sof))  # SOF2: progressive
+    for tc, tbl in ((0, dc_tbl), (1, ac_tbl)):
+        seg(0xC4, bytes([tc << 4]) + bytes(tbl[0]) + bytes(tbl[1]))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+
+    bits = []
+
+    def put(code, length):
+        for i in range(length - 1, -1, -1):
+            bits.append((code >> i) & 1)
+
+    def put_sym(tbl, sym):
+        ln, cd = tbl[2][sym]
+        put(cd, ln)
+
+    def put_coeff(v, t):
+        if t:
+            put(v if v >= 0 else v + (1 << t) - 1, t)
+
+    def flush_scan():
+        while len(bits) % 8:
+            bits.append(1)
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for b in bits[i:i + 8]:
+                byte = (byte << 1) | b
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        bits.clear()
+
+    def sos(scan_comps, ss, se, ah, al, dc_t=0, ac_t=0):
+        body = bytearray([len(scan_comps)])
+        for ci in scan_comps:
+            body += bytes([ci + 1, (dc_t << 4) | ac_t])
+        body += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, bytes(body))
+
+    rst = [0]
+
+    def emit_restart():
+        flush_scan()
+        out.extend(bytes([0xFF, 0xD0 + (rst[0] % 8)]))
+        rst[0] += 1
+
+    # --- scan 1: DC first, interleaved, Al=1 -------------------------
+    sos(list(range(ncomp)), 0, 0, 0, 1)
+    pred = [0] * ncomp
+    unit = 0
+    for byi in range(bh):
+        for bxi in range(bw):
+            if restart_interval and unit and unit % restart_interval == 0:
+                emit_restart()
+                pred = [0] * ncomp
+            for ci in range(ncomp):
+                dc1 = int(comp_blocks[ci][byi, bxi][0]) >> 1  # arith shift
+                diff = dc1 - pred[ci]
+                pred[ci] = dc1
+                t = category(diff)
+                put_sym(dc_tbl, t)
+                put_coeff(diff, t)
+            unit += 1
+    flush_scan()
+
+    # --- scan 2: DC refinement, Ah=1 -> Al=0 -------------------------
+    sos(list(range(ncomp)), 0, 0, 1, 0)
+    unit = 0
+    for byi in range(bh):
+        for bxi in range(bw):
+            if restart_interval and unit and unit % restart_interval == 0:
+                emit_restart()
+            for ci in range(ncomp):
+                bits.append(int(comp_blocks[ci][byi, bxi][0]) & 1)
+            unit += 1
+    flush_scan()
+
+    # --- AC scans per component per band -----------------------------
+    def ac_first_scan(ci, ss, se, al):
+        sos([ci], ss, se, 0, al)
+        eobrun = [0]
+
+        def flush_eobrun():
+            if eobrun[0] > 0:
+                rr = eobrun[0].bit_length() - 1
+                put_sym(ac_tbl, rr << 4)
+                if rr:
+                    put(eobrun[0] - (1 << rr), rr)
+                eobrun[0] = 0
+
+        unit = 0
+        for byi in range(bh):
+            for bxi in range(bw):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    flush_eobrun()
+                    emit_restart()
+                blk = comp_blocks[ci][byi, bxi]
+                vals = [int(blk[k]) for k in range(ss, se + 1)]
+                # point transform: toward-zero division
+                pt = [v // 2 if v >= 0 else -((-v) // 2) for v in vals] \
+                    if al else vals
+                last_nz = max(
+                    (idx for idx, v in enumerate(pt) if v), default=-1
+                )
+                if last_nz < 0:
+                    eobrun[0] += 1
+                    if eobrun[0] == 0x7FFF:
+                        flush_eobrun()
+                    unit += 1
+                    continue
+                flush_eobrun()
+                run = 0
+                for idx in range(last_nz + 1):
+                    v = pt[idx]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        put_sym(ac_tbl, 0xF0)
+                        run -= 16
+                    s = category(v)
+                    put_sym(ac_tbl, (run << 4) | s)
+                    put_coeff(v, s)
+                    run = 0
+                if last_nz < se - ss:
+                    eobrun[0] += 1
+                    if eobrun[0] == 0x7FFF:
+                        flush_eobrun()
+                unit += 1
+        flush_eobrun()
+        flush_scan()
+
+    def ac_refine_scan(ci, ss, se, ah, al):
+        """libjpeg encode_mcu_AC_refine: newly-significant s=1 symbols
+        with sign bits, correction bits for history coefficients,
+        cross-block EOB runs carrying pending correction bits."""
+        sos([ci], ss, se, ah, al)
+        eobrun = [0]
+        pending = []  # correction bits owed to the current EOB run
+
+        def flush_eobrun():
+            if eobrun[0] > 0 or pending:
+                if eobrun[0] == 0:
+                    pass
+                else:
+                    rr = eobrun[0].bit_length() - 1
+                    put_sym(ac_tbl, rr << 4)
+                    if rr:
+                        put(eobrun[0] - (1 << rr), rr)
+                bits.extend(pending)
+                pending.clear()
+                eobrun[0] = 0
+
+        unit = 0
+        for byi in range(bh):
+            for bxi in range(bw):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    flush_eobrun()
+                    emit_restart()
+                blk = comp_blocks[ci][byi, bxi]
+                vals = [int(blk[k]) for k in range(ss, se + 1)]
+                absv = [abs(v) >> al for v in vals]
+                # EOB = index after the LAST newly-significant coeff
+                eob = 0
+                for idx, t in enumerate(absv):
+                    if t == 1:
+                        eob = idx + 1
+                if eob == 0:
+                    # no new significance: whole block joins the EOB
+                    # run; history coeffs owe correction bits
+                    if eobrun[0] == 0x7FFF:
+                        flush_eobrun()
+                    eobrun[0] += 1
+                    pending.extend(t & 1 for t in absv if t > 1)
+                    unit += 1
+                    continue
+                flush_eobrun()
+                run = 0
+                local_pending = []
+                for idx in range(eob):
+                    t = absv[idx]
+                    if t == 0:
+                        run += 1
+                        # EAGER ZRL at exactly 16 zeros: the decoder's
+                        # ZRL window ends at its 16th zero-history
+                        # position, so correction bits flushed here are
+                        # precisely the ones that window passes —
+                        # deferring the ZRL to the next nonzero could
+                        # smear bits across two windows and desync
+                        if run == 16:
+                            put_sym(ac_tbl, 0xF0)
+                            bits.extend(local_pending)
+                            local_pending.clear()
+                            run = 0
+                        continue
+                    if t > 1:  # history: correction bit, no symbol
+                        local_pending.append(t & 1)
+                        continue
+                    put_sym(ac_tbl, (run << 4) | 1)
+                    run = 0
+                    bits.append(1 if vals[idx] >= 0 else 0)
+                    bits.extend(local_pending)
+                    local_pending.clear()
+                # positions past the last newly-significant coeff: the
+                # decoder keeps scanning, so an EOB must terminate the
+                # block whenever any remain (its history coeffs'
+                # correction bits ride the run)
+                if eob < len(absv):
+                    tail_bits = [
+                        absv[idx] & 1 for idx in range(eob, len(absv))
+                        if absv[idx] > 1
+                    ]
+                    if eobrun[0] == 0x7FFF:
+                        flush_eobrun()
+                    eobrun[0] += 1
+                    pending.extend(tail_bits)
+                unit += 1
+        flush_eobrun()
+        flush_scan()
+
+    for ci in range(ncomp):
+        for ss, se in bands:
+            ac_first_scan(ci, ss, se, 1)
+    for ci in range(ncomp):
+        for ss, se in bands:
+            ac_refine_scan(ci, ss, se, 1, 0)
+
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+class TestJpegProgressive:
+    """SOF2 decode (round-8): DC successive approximation, spectral
+    band selection, AC first with EOB runs, AC refinement with
+    correction bits — against the libjpeg-shaped encoder twin."""
+
+    def _assert_equals_baseline(self, arr, **kw):
+        import numpy as np
+
+        from qurio_spark.sources.multimodal import _decode_pixels
+
+        prog = _decode_pixels(make_jpeg_progressive_full(arr, **kw))
+        base = _decode_pixels(make_jpeg_full(arr, qval=kw.get("qval", 1)))
+        assert np.array_equal(prog, base), (
+            np.abs(prog.astype(int) - base.astype(int)).max()
+        )
+
+    def test_rgb_roundtrip_equals_baseline(self):
+        """Same quantized coefficients -> the progressive scan
+        sequence must reconstruct the baseline decode BIT-IDENTICALLY."""
+        self._assert_equals_baseline(bmp_golden(24, 17))
+
+    def test_grayscale(self):
+        self._assert_equals_baseline(bmp_golden(19, 11)[:, :, :1])
+
+    def test_block_multiple_and_single_block(self):
+        self._assert_equals_baseline(bmp_golden(16, 16))
+        self._assert_equals_baseline(bmp_golden(8, 8))
+        self._assert_equals_baseline(bmp_golden(5, 3))
+
+    def test_band_split_variants(self):
+        """Different spectral selections (single full AC band; three
+        bands) exercise EOB-run bookkeeping across band shapes."""
+        arr = bmp_golden(20, 14)
+        self._assert_equals_baseline(arr, bands=((1, 63),))
+        self._assert_equals_baseline(arr, bands=((1, 2), (3, 20), (21, 63)))
+
+    def test_coarse_quantization_eob_runs(self):
+        """qval=24 zeroes most AC coefficients -> long cross-block EOB
+        runs in both first and refinement scans."""
+        self._assert_equals_baseline(bmp_golden(32, 24), qval=24)
+
+    def test_restart_markers(self):
+        self._assert_equals_baseline(bmp_golden(24, 17), restart_interval=2)
+
+    def test_arithmetic_and_hierarchical_stay_stubbed(self):
+        import pytest as _pytest
+
+        from qurio_spark.sources.multimodal import _decode_pixels
+
+        data = bytearray(make_jpeg_full(bmp_golden(8, 8)))
+        i = data.index(b"\xff\xc0")
+        for sof in (0xC9, 0xC3, 0xCB):  # arithmetic / lossless / etc.
+            data[i + 1] = sof
+            with _pytest.raises(NotImplementedError, match="SOF"):
+                _decode_pixels(bytes(data))
