@@ -927,12 +927,24 @@ def make_png_full(arr, color_type=2, filters=None, depth=8, interlace=0,
     bpp = nch * (depth // 8) if depth >= 8 else nch
 
     def row_bytes(sub):
-        """(hp, wp, nch) samples -> (hp, row_bytes) int64 byte rows."""
+        """(hp, wp, nch) samples -> (hp, row_bytes) int64 byte rows
+        (16-bit -> big-endian pairs; sub-byte depths pack MSB-first)."""
         a = sub.astype(np.int64)
-        if depth != 16:
+        if depth == 16:
+            hi, lo = (a >> 8) & 0xFF, a & 0xFF
+            return np.stack([hi, lo], axis=-1).reshape(a.shape[0], -1)
+        if depth >= 8:
             return a.reshape(a.shape[0], -1)
-        hi, lo = (a >> 8) & 0xFF, a & 0xFF
-        return np.stack([hi, lo], axis=-1).reshape(a.shape[0], -1)
+        flat = a.reshape(a.shape[0], -1)  # nch == 1 for sub-byte
+        per_byte = 8 // depth
+        pad = (-flat.shape[1]) % per_byte
+        if pad:
+            flat = np.pad(flat, ((0, 0), (0, pad)))
+        grp = flat.reshape(flat.shape[0], -1, per_byte)
+        out = np.zeros(grp.shape[:2], dtype=np.int64)
+        for i in range(per_byte):
+            out |= grp[:, :, i] << (8 - depth * (i + 1))
+        return out
 
     def filter_sub(sub, scan):
         rows = row_bytes(sub)
@@ -2002,3 +2014,62 @@ class TestJpegProgressive:
             data[i + 1] = sof
             with _pytest.raises(NotImplementedError, match="SOF"):
                 _decode_pixels(bytes(data))
+
+
+class TestPngSubByte:
+    """1/2/4-bit PNG (round-8 slice): byte-wise filters with bpp=1,
+    MSB-first field unpacking, gray scale-up / raw palette indexes."""
+
+    @pytest.mark.parametrize("depth", [1, 2, 4])
+    def test_gray_scales_to_full_range(self, depth):
+        import numpy as np
+
+        from qurio_spark.sources.multimodal import _decode_pixels
+
+        mx = (1 << depth) - 1
+        vals = np.arange(9 * 7).reshape(7, 9, 1) % (mx + 1)
+        got = _decode_pixels(
+            make_png_full(vals.astype(np.uint8), color_type=0, depth=depth,
+                          filters=[0, 1, 2, 3, 4])
+        )
+        want = np.repeat((vals * 255 // mx).astype(np.uint8), 3, axis=2)
+        assert np.array_equal(got, want)
+
+    @pytest.mark.parametrize("depth", [1, 2, 4])
+    def test_palette_indexes(self, depth):
+        import numpy as np
+
+        from qurio_spark.sources.multimodal import _decode_pixels
+
+        n = 1 << depth
+        palette = np.stack(
+            [np.arange(n) * 7 % 256, np.arange(n) * 13 % 256,
+             np.arange(n) * 29 % 256], axis=1
+        ).astype(np.uint8)
+        idx = (np.arange(5 * 11).reshape(5, 11, 1) % n).astype(np.uint8)
+        got = _decode_pixels(
+            make_png_full(idx, color_type=3, depth=depth, palette=palette)
+        )
+        assert np.array_equal(got, palette[idx[:, :, 0]])
+
+    def test_1bit_adam7(self):
+        import numpy as np
+
+        from qurio_spark.sources.multimodal import _decode_pixels
+
+        bits = ((np.arange(10 * 9).reshape(9, 10, 1) * 7) % 2).astype(np.uint8)
+        got = _decode_pixels(
+            make_png_full(bits, color_type=0, depth=1, interlace=1)
+        )
+        assert np.array_equal(got, np.repeat(bits * 255, 3, axis=2))
+
+    def test_subbyte_rgb_rejected(self):
+        """Sub-byte RGB is spec-invalid (table 11.1) — refuse rather
+        than misread."""
+        import numpy as np
+
+        from qurio_spark.sources.multimodal import _decode_pixels
+
+        arr = bmp_golden(4, 3)
+        with pytest.raises(NotImplementedError):
+            _decode_pixels(make_png_full(arr % 4, color_type=2, depth=2))
