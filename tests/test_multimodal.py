@@ -1651,13 +1651,16 @@ class TestJpegDecode:
 
 
 def make_jpeg_progressive_full(arr, qval=1, bands=((1, 5), (6, 63)),
-                               restart_interval=0):
+                               restart_interval=0, subsample=(1, 1)):
     """Progressive JPEG encoder (test-side twin of the SOF2 decode
     path): DC first scan at Al=1 + DC refinement, then per component
     per band an AC first scan at Al=1 (with cross-block EOB runs) and
     an AC refinement scan (Ah=1 -> Al=0: newly-significant s=1
     symbols, correction bits, EOB-run pending bits) — the libjpeg
-    encode_mcu_AC_{first,refine} shapes.  4:4:4 only; stdlib+numpy."""
+    encode_mcu_AC_{first,refine} shapes.  ``subsample=(2, 2)`` emits
+    4:2:0 (interleaved-MCU DC scans over the padded grid,
+    non-interleaved AC scans over each component's TRUE block grid —
+    the libjpeg-default progressive layout).  stdlib+numpy."""
     import numpy as np
 
     h, w, nch = arr.shape
@@ -1670,29 +1673,52 @@ def make_jpeg_progressive_full(arr, qval=1, bands=((1, 5), (6, 63)),
     C = np.cos((2 * x8[None, :] + 1) * x8[:, None] * np.pi / 16) / 2.0
     C[0] /= np.sqrt(2.0)
 
+    sh, sv = subsample if not gray else (1, 1)
     a = arr.astype(np.float64)
     if gray:
         planes = [a[:, :, 0]]
+        samps = [(1, 1)]
     else:
         r_, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
-        planes = [
-            0.299 * r_ + 0.587 * g + 0.114 * b,
-            128.0 - 0.168736 * r_ - 0.331264 * g + 0.5 * b,
-            128.0 + 0.5 * r_ - 0.418688 * g - 0.081312 * b,
-        ]
+        y = 0.299 * r_ + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r_ - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r_ - 0.418688 * g - 0.081312 * b
+
+        def sub(p):
+            if sh == sv == 1:
+                return p
+            ph = -(-p.shape[0] // sv) * sv
+            pw = -(-p.shape[1] // sh) * sh
+            pp = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                        mode="edge")
+            return pp.reshape(ph // sv, sv, pw // sh, sh).mean(axis=(1, 3))
+
+        planes = [y, sub(cb), sub(cr)]
+        samps = [(sh, sv), (1, 1), (1, 1)]
     ncomp = len(planes)
-    bw, bh = -(-w // 8), -(-h // 8)
-    # quantized ZIGZAG-order coefficient blocks per component
-    comp_blocks = []
-    for p in planes:
-        pp = np.pad(p, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
-        blocks = np.zeros((bh, bw, 64), dtype=np.int64)
-        for byi in range(bh):
-            for bxi in range(bw):
+    hmax = max(s0 for s0, _ in samps)
+    vmax = max(s1 for _, s1 in samps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # per component: PADDED (MCU-grid) quantized zigzag blocks for the
+    # interleaved DC scans, plus the TRUE block grid the
+    # non-interleaved AC scans cover
+    comp_blocks, true_grids = [], []
+    for p, (chs, cvs) in zip(planes, samps):
+        pbh, pbw = mcuy * cvs, mcux * chs
+        pp = np.pad(
+            p, ((0, pbh * 8 - p.shape[0]), (0, pbw * 8 - p.shape[1])),
+            mode="edge",
+        )
+        blocks = np.zeros((pbh, pbw, 64), dtype=np.int64)
+        for byi in range(pbh):
+            for bxi in range(pbw):
                 blk = pp[byi * 8:(byi + 1) * 8, bxi * 8:(bxi + 1) * 8] - 128.0
                 q = np.round((C @ blk @ C.T) / qval).astype(np.int64)
                 blocks[byi, bxi] = q.reshape(64)[ZZ]
         comp_blocks.append(blocks)
+        true_grids.append((-(-p.shape[0] // 8), -(-p.shape[1] // 8)))
+    bh, bw = true_grids[0]  # luma true grid (== padded when 4:4:4)
 
     def category(v):
         return int(abs(v)).bit_length()
@@ -1726,8 +1752,8 @@ def make_jpeg_progressive_full(arr, qval=1, bands=((1, 5), (6, 63)),
 
     seg(0xDB, bytes([0]) + bytes([min(255, qval)] * 64))
     sof = bytearray(struct.pack(">BHHB", 8, h, w, ncomp))
-    for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0])
+    for ci, (chs, cvs) in enumerate(samps):
+        sof += bytes([ci + 1, (chs << 4) | cvs, 0])
     seg(0xC2, bytes(sof))  # SOF2: progressive
     for tc, tbl in ((0, dc_tbl), (1, ac_tbl)):
         seg(0xC4, bytes([tc << 4]) + bytes(tbl[0]) + bytes(tbl[1]))
@@ -1774,34 +1800,46 @@ def make_jpeg_progressive_full(arr, qval=1, bands=((1, 5), (6, 63)),
         out.extend(bytes([0xFF, 0xD0 + (rst[0] % 8)]))
         rst[0] += 1
 
-    # --- scan 1: DC first, interleaved, Al=1 -------------------------
+    # --- scan 1: DC first, interleaved MCU order, Al=1 ---------------
     sos(list(range(ncomp)), 0, 0, 0, 1)
     pred = [0] * ncomp
     unit = 0
-    for byi in range(bh):
-        for bxi in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and unit and unit % restart_interval == 0:
                 emit_restart()
                 pred = [0] * ncomp
-            for ci in range(ncomp):
-                dc1 = int(comp_blocks[ci][byi, bxi][0]) >> 1  # arith shift
-                diff = dc1 - pred[ci]
-                pred[ci] = dc1
-                t = category(diff)
-                put_sym(dc_tbl, t)
-                put_coeff(diff, t)
+            for ci, (chs, cvs) in enumerate(samps):
+                for by in range(cvs):
+                    for bx in range(chs):
+                        dc1 = int(
+                            comp_blocks[ci][my * cvs + by, mx * chs + bx][0]
+                        ) >> 1  # arith shift
+                        diff = dc1 - pred[ci]
+                        pred[ci] = dc1
+                        t = category(diff)
+                        put_sym(dc_tbl, t)
+                        put_coeff(diff, t)
             unit += 1
     flush_scan()
 
     # --- scan 2: DC refinement, Ah=1 -> Al=0 -------------------------
     sos(list(range(ncomp)), 0, 0, 1, 0)
     unit = 0
-    for byi in range(bh):
-        for bxi in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and unit and unit % restart_interval == 0:
                 emit_restart()
-            for ci in range(ncomp):
-                bits.append(int(comp_blocks[ci][byi, bxi][0]) & 1)
+            for ci, (chs, cvs) in enumerate(samps):
+                for by in range(cvs):
+                    for bx in range(chs):
+                        bits.append(
+                            int(
+                                comp_blocks[ci][
+                                    my * cvs + by, mx * chs + bx
+                                ][0]
+                            ) & 1
+                        )
             unit += 1
     flush_scan()
 
@@ -1819,8 +1857,9 @@ def make_jpeg_progressive_full(arr, qval=1, bands=((1, 5), (6, 63)),
                 eobrun[0] = 0
 
         unit = 0
-        for byi in range(bh):
-            for bxi in range(bw):
+        cbh, cbw = true_grids[ci]
+        for byi in range(cbh):
+            for bxi in range(cbw):
                 if restart_interval and unit and unit % restart_interval == 0:
                     flush_eobrun()
                     emit_restart()
@@ -1882,8 +1921,9 @@ def make_jpeg_progressive_full(arr, qval=1, bands=((1, 5), (6, 63)),
                 eobrun[0] = 0
 
         unit = 0
-        for byi in range(bh):
-            for bxi in range(bw):
+        cbh, cbw = true_grids[ci]
+        for byi in range(cbh):
+            for bxi in range(cbw):
                 if restart_interval and unit and unit % restart_interval == 0:
                     flush_eobrun()
                     emit_restart()
@@ -2002,6 +2042,39 @@ class TestJpegProgressive:
 
     def test_restart_markers(self):
         self._assert_equals_baseline(bmp_golden(24, 17), restart_interval=2)
+
+    def test_420_subsampled(self):
+        """The libjpeg-default progressive layout: interleaved 4:2:0
+        DC scans over the padded MCU grid, non-interleaved AC scans
+        over each component's TRUE block grid (luma grid larger than
+        chroma, both possibly smaller than the padded grid)."""
+        import numpy as np
+
+        from qurio_spark.sources.multimodal import _decode_pixels
+
+        for dims in ((24, 17), (16, 16), (20, 9)):
+            arr = bmp_golden(*dims)
+            prog = _decode_pixels(
+                make_jpeg_progressive_full(arr, subsample=(2, 2))
+            )
+            base = _decode_pixels(
+                make_jpeg_full(arr, subsample=(2, 2), qval=1)
+            )
+            assert np.array_equal(prog, base), dims
+
+    def test_420_with_restarts_and_coarse_quant(self):
+        import numpy as np
+
+        from qurio_spark.sources.multimodal import _decode_pixels
+
+        arr = bmp_golden(32, 24)
+        prog = _decode_pixels(
+            make_jpeg_progressive_full(
+                arr, subsample=(2, 2), qval=12, restart_interval=2
+            )
+        )
+        base = _decode_pixels(make_jpeg_full(arr, subsample=(2, 2), qval=12))
+        assert np.array_equal(prog, base)
 
     def test_arithmetic_and_hierarchical_stay_stubbed(self):
         import pytest as _pytest
