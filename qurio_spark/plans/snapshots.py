@@ -140,7 +140,15 @@ def _try_commit(path: str, version: int, manifest: dict) -> bool:
     written to a temp file, then hard-linked into place — link fails
     (False) if another writer claimed the version first, and a reader
     can never observe a half-written version file.  On success the
-    pointer advances (the visibility point for pointer-readers)."""
+    pointer advances (the visibility point for pointer-readers).
+
+    Every commit records its wall-clock time (``ts``) — the basis for
+    TIMESTAMP-AS-OF time travel (:func:`snap_version_at`).  Commit
+    times are runtime metadata, not query results, so the clock read
+    is safe for deterministic replays."""
+    import time as _time
+
+    manifest = {**manifest, "ts": _time.time()}
     os.makedirs(_mdir(path), exist_ok=True)
     mpath = os.path.join(_mdir(path), f"v{version}.json")
     tmp = mpath + f".tmp-{uuid.uuid4().hex}"
@@ -366,11 +374,44 @@ def _pinned_reader(spark: SparkSession, m: dict):
     return reader
 
 
-def snap_read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
-    """Read the table at ``version`` (default: latest).  The pinned
-    file list comes from the manifest — never a directory listing — so
-    later commits are invisible to this frame even if executed while
-    it is still being consumed."""
+def snap_version_at(path: str, as_of: float) -> int:
+    """TIMESTAMP AS OF: the newest RETAINED version whose commit time
+    is <= ``as_of`` (unix seconds) — the Delta/Iceberg timestamp
+    time-travel contract.  Raises if every retained version is newer
+    (the as-of point predates retained history; vacuumed versions
+    cannot be resurrected).  Versions written before commit
+    timestamps existed sort as time 0 (always eligible)."""
+    if not os.path.isdir(_mdir(path)):
+        raise FileNotFoundError(f"no snapshot table at {path}")
+    best = None
+    for f in os.listdir(_mdir(path)):
+        if f.startswith("v") and f.endswith(".json"):
+            v = int(f[1:-5])
+            ts = _read_manifest(path, v).get("ts", 0.0)
+            if ts <= as_of and (best is None or v > best):
+                best = v
+    if best is None:
+        raise ValueError(
+            f"no retained version of {path} at or before timestamp {as_of}"
+        )
+    return best
+
+
+def snap_read(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    as_of: float | None = None,
+) -> DataFrame:
+    """Read the table at ``version`` (default: latest), or at the
+    newest version committed at or before ``as_of`` (unix seconds —
+    TIMESTAMP AS OF).  The pinned file list comes from the manifest —
+    never a directory listing — so later commits are invisible to
+    this frame even if executed while it is still being consumed."""
+    if version is not None and as_of is not None:
+        raise ValueError("pass version OR as_of, not both")
+    if as_of is not None:
+        version = snap_version_at(path, as_of)
     v = _latest_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no snapshot table at {path}")

@@ -695,3 +695,45 @@ class TestExpectations:
         # the table is untouched by the aborted commit
         assert snap_read(spark, path).count() == 3
         assert len(snap_versions(path)) == 1
+
+
+class TestTimestampAsOf:
+    def test_as_of_picks_version_by_commit_time(self, spark, tmp_path):
+        import time
+
+        from qurio_spark.plans.snapshots import snap_version_at
+
+        path = str(tmp_path / "asof")
+        snap_append(spark.range(3).select(F.col("id").alias("v")), path)
+        time.sleep(0.05)
+        t_between = time.time()
+        time.sleep(0.05)
+        snap_append(spark.range(3, 6).select(F.col("id").alias("v")), path)
+        assert snap_version_at(path, t_between) == 0
+        assert snap_version_at(path, time.time()) == 1
+        got = sorted(
+            r["v"] for r in snap_read(spark, path, as_of=t_between).collect()
+        )
+        assert got == [0, 1, 2]
+        assert snap_read(spark, path, as_of=time.time()).count() == 6
+
+    def test_as_of_before_history_raises(self, spark, tmp_path):
+        path = str(tmp_path / "asof2")
+        snap_append(spark.range(2).select(F.col("id").alias("v")), path)
+        with pytest.raises(ValueError, match="at or before"):
+            snap_read(spark, path, as_of=1.0)
+        with pytest.raises(ValueError, match="not both"):
+            snap_read(spark, path, version=0, as_of=1.0)
+
+    def test_legacy_versions_without_ts_always_eligible(self, spark, tmp_path):
+        import json as _json
+
+        from qurio_spark.plans.snapshots import snap_version_at
+
+        path = str(tmp_path / "asof3")
+        snap_append(spark.range(2).select(F.col("id").alias("v")), path)
+        mpath = os.path.join(path, "_manifests", "v0.json")
+        m = _json.load(open(mpath))
+        del m["ts"]
+        _json.dump(m, open(mpath, "w"))
+        assert snap_version_at(path, 1.0) == 0
