@@ -697,8 +697,14 @@ def _decode_jpeg_pixels(data: bytes) -> "np.ndarray":
         if progressive and ss > 0 and len(scan_comps) != 1:
             raise ValueError("progressive AC scan must be single-component")
 
-        if len(scan_comps) == 1 and progressive:
-            # non-interleaved: raster over the component's own grid
+        if len(scan_comps) == 1:
+            # non-interleaved: raster over the component's OWN block
+            # grid (spec A.2.2 — ceil of the true component dims, NOT
+            # the padded MCU grid).  This applies to ANY single-
+            # component scan, baseline included: a baseline multi-scan
+            # file, or grayscale with sampling factors > 1, has a
+            # component grid smaller than the padded grid and the MCU
+            # loop would misdecode it silently.
             c = scan_comps[0]
             bh, bw = nonint_grid(c)
             blocks = store[c["id"]]

@@ -1650,6 +1650,206 @@ class TestJpegDecode:
             _decode_pixels(bytes(data))
 
 
+def make_jpeg_baseline_scanned(arr, subsample=(1, 1), qval=1,
+                               gray_sampling=None):
+    """Baseline (SOF0) encoder emitting ONE SOS PER COMPONENT — the
+    non-interleaved baseline layout spec A.2.2 allows (and some
+    encoders emit for 3-scan sequential files).  Each scan rasters its
+    component's TRUE block grid (ceil of the component dims), NOT the
+    padded MCU grid — the case the round-9 decode fix covers.
+    ``gray_sampling=(2, 2)`` declares sampling factors > 1 on a
+    single-component image (legal; single-component scans must ignore
+    them)."""
+    import numpy as np
+
+    h, w, nch = arr.shape
+    gray = nch == 1
+    sh, sv = subsample if not gray else (1, 1)
+    a = arr.astype(np.float64)
+    if gray:
+        planes = [a[:, :, 0]]
+        samps = [gray_sampling or (1, 1)]
+    else:
+        r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+
+        def sub(p):
+            if sh == sv == 1:
+                return p
+            ph = -(-p.shape[0] // sv) * sv
+            pw = -(-p.shape[1] // sh) * sh
+            pp = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                        mode="edge")
+            return pp.reshape(ph // sv, sv, pw // sh, sh).mean(axis=(1, 3))
+
+        planes = [y, sub(cb), sub(cr)]
+        samps = [(sh, sv), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    x8 = np.arange(8)
+    C = np.cos((2 * x8[None, :] + 1) * x8[:, None] * np.pi / 16) / 2.0
+    C[0] /= np.sqrt(2.0)
+    ZZ = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+          12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+          35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+          58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+
+    def category(v):
+        return int(abs(v)).bit_length()
+
+    dc_syms = list(range(12))
+    ac_syms = sorted({0x00, 0xF0} | {
+        (rr << 4) | s for rr in range(16) for s in range(1, 11)
+    })
+
+    def build_table(symbols):
+        n = len(symbols)
+        L = max(2, (n + 2 - 1).bit_length())
+        counts = [0] * 16
+        counts[L - 1] = n
+        code_of, code = {}, 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                code_of[symbols[len(code_of)]] = (length, code)
+                code += 1
+            code <<= 1
+        return counts, symbols, code_of
+
+    dc_tbl, ac_tbl = build_table(dc_syms), build_table(ac_syms)
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker]))
+        out.extend(struct.pack(">H", len(body) + 2))
+        out.extend(body)
+
+    seg(0xDB, bytes([0]) + bytes([min(255, qval)] * 64))
+    ncomp = len(planes)
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, ncomp))
+    for ci, (chs, cvs) in enumerate(samps):
+        sof += bytes([ci + 1, (chs << 4) | cvs, 0])
+    seg(0xC0, bytes(sof))
+    for tc, (counts, symbols, _) in ((0, dc_tbl), (1, ac_tbl)):
+        seg(0xC4, bytes([tc << 4]) + bytes(counts) + bytes(symbols))
+
+    bits = []
+
+    def put(code, length):
+        for i in range(length - 1, -1, -1):
+            bits.append((code >> i) & 1)
+
+    def put_coeff(v, t):
+        if t:
+            put(v if v >= 0 else v + (1 << t) - 1, t)
+
+    def flush_stuffed():
+        while len(bits) % 8:
+            bits.append(1)
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for b in bits[i:i + 8]:
+                byte = (byte << 1) | b
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        bits.clear()
+
+    # one scan per component over its TRUE (ceil-of-dims) block grid
+    for ci, (p, (chs, cvs)) in enumerate(zip(planes, samps)):
+        ch = -(-h * cvs // vmax)
+        cw = -(-w * chs // hmax)
+        p = p[:ch, :cw]
+        bh, bw = -(-ch // 8), -(-cw // 8)
+        pp = np.pad(p, ((0, bh * 8 - ch), (0, bw * 8 - cw)), mode="edge")
+        seg(0xDA, bytes([1, ci + 1, 0x00, 0, 63, 0]))
+        pred = 0
+        for byi in range(bh):
+            for bxi in range(bw):
+                blk8 = pp[byi * 8:(byi + 1) * 8, bxi * 8:(bxi + 1) * 8] - 128.0
+                blk = np.round((C @ blk8 @ C.T) / qval).astype(
+                    np.int64
+                ).reshape(64)[ZZ]
+                dc = int(blk[0])
+                diff = dc - pred
+                pred = dc
+                t = category(diff)
+                ln, cd = dc_tbl[2][t]
+                put(cd, ln)
+                put_coeff(diff, t)
+                run = 0
+                last_nz = max((k for k in range(1, 64) if blk[k]), default=0)
+                for k in range(1, last_nz + 1):
+                    v = int(blk[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ln, cd = ac_tbl[2][0xF0]
+                        put(cd, ln)
+                        run -= 16
+                    s = category(v)
+                    ln, cd = ac_tbl[2][(run << 4) | s]
+                    put(cd, ln)
+                    put_coeff(v, s)
+                    run = 0
+                if last_nz < 63:
+                    ln, cd = ac_tbl[2][0x00]
+                    put(cd, ln)
+        flush_stuffed()
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+class TestJpegBaselineNonInterleaved:
+    """Round-9 ADVICE fix: a single-component scan rasters the
+    component's OWN ceil-of-dims block grid (spec A.2.2) even in
+    BASELINE files — previously only progressive scans took that path,
+    so baseline multi-scan files and grayscale with sampling factors
+    > 1 misdecoded silently."""
+
+    def test_three_scan_444_matches_interleaved(self):
+        import numpy as np
+
+        from qurio_spark.sources.multimodal import _decode_pixels
+
+        arr = bmp_golden(24, 17)
+        got = _decode_pixels(make_jpeg_baseline_scanned(arr))
+        base = _decode_pixels(make_jpeg_full(arr))
+        assert np.array_equal(got, base)
+
+    def test_three_scan_420_subsampled(self):
+        """4:2:0 chroma components have a TRUE grid smaller than the
+        padded MCU grid whenever dims aren't multiples of 16 — the
+        silent-misdecode case the fix targets."""
+        import numpy as np
+
+        from qurio_spark.sources.multimodal import _decode_pixels
+
+        g = bmp_golden(20, 14)[:, :, :1]
+        arr = np.repeat(g, 3, axis=2)
+        got = _decode_pixels(make_jpeg_baseline_scanned(arr, subsample=(2, 2)))
+        diff = np.abs(got.astype(int) - arr.astype(int))
+        assert diff.max() <= 6 and diff.mean() < 2.0
+
+    def test_grayscale_with_sampling_factors_ignored(self):
+        """A single-component image may DECLARE hs=vs=2; a single-
+        component scan must ignore the factors and raster ceil(h/8) x
+        ceil(w/8) blocks (libjpeg behavior)."""
+        import numpy as np
+
+        from qurio_spark.sources.multimodal import _decode_pixels
+
+        gray = bmp_golden(19, 11)[:, :, :1]
+        got = _decode_pixels(
+            make_jpeg_baseline_scanned(gray, gray_sampling=(2, 2))
+        )
+        want = np.repeat(gray, 3, axis=2)
+        diff = np.abs(got.astype(int) - want.astype(int))
+        assert diff.max() <= 4
+
+
 def make_jpeg_progressive_full(arr, qval=1, bands=((1, 5), (6, 63)),
                                restart_interval=0, subsample=(1, 1)):
     """Progressive JPEG encoder (test-side twin of the SOF2 decode
