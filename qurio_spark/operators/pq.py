@@ -453,33 +453,46 @@ def pq_topk_batch(
         shortlist = shortlist_for(n)
 
     def score_partition(batches):
-        ids_all, scores_all = [], []
+        # RUNNING per-query top-``shortlist`` across Arrow batches:
+        # peak memory is O(Q x (shortlist + arrow_batch)), never
+        # O(Q x n_partition) — a partition of any size streams through
+        # in bounded space (the fix for the unbounded (Q, n_part)
+        # float64 score matrix this stage used to materialize).
+        best_s = best_i = None  # (Q, <=shortlist) running top
         for pdf in batches:
             if not len(pdf):
                 continue
-            codes = _codes_to_np(pdf["codes"], m, k, packed)  # (n, m)
+            codes = _codes_to_np(pdf["codes"], m, k, packed)  # (b, m)
             s = np.zeros((len(LUT), len(codes)))
             for j in range(m):
-                s += LUT[:, j, :][:, codes[:, j]]  # (Q, n) gather
-            ids_all.append(pdf[id_col].to_numpy())
-            scores_all.append(s)
-        if not ids_all:
+                s += LUT[:, j, :][:, codes[:, j]]  # (Q, b) gather
+            ids = pdf[id_col].to_numpy()
+            i = np.broadcast_to(ids, (len(LUT), len(ids)))
+            if best_s is not None:
+                s = np.concatenate([best_s, s], axis=1)
+                i = np.concatenate([best_i, i], axis=1)
+            depth = min(s.shape[1], shortlist)
+            idx = np.argpartition(-s, depth - 1, axis=1)[:, :depth]
+            best_s = np.take_along_axis(s, idx, axis=1)
+            best_i = np.take_along_axis(i, idx, axis=1)
+        if best_s is None:
             return
-        ids = np.concatenate(ids_all)
-        s = np.concatenate(scores_all, axis=1)  # (Q, n_part)
-        depth = min(len(ids), shortlist)
-        out_q, out_id, out_s = [], [], []
-        for qi, qid in enumerate(qids):
-            top = np.argpartition(-s[qi], depth - 1)[:depth]
-            out_q.extend([qid] * len(top))
-            out_id.extend(ids[top])
-            out_s.extend(s[qi][top])
+        depth = best_s.shape[1]
         yield pandas.DataFrame(
-            {"query_id": out_q, "vec_id": out_id, "_adc": out_s}
+            {
+                "query_id": np.repeat(np.asarray(qids), depth),
+                "vec_id": best_i.ravel(),
+                "_adc": best_s.ravel(),
+            }
         )
 
+    # stage schema DERIVED from the input frames (query/vector id
+    # columns keep their real types — integer query ids used to fail
+    # the Arrow cast against a hardcoded "query_id string")
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
+    vid_t = codes_df.schema[id_col].dataType.simpleString()
     cand = codes_df.select(F.col(id_col), F.col("codes")).mapInPandas(
-        score_partition, "query_id string, vec_id long, _adc double"
+        score_partition, f"query_id {qid_t}, vec_id {vid_t}, _adc double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc(stable_round(F.col("_adc"), 6)), F.asc("vec_id")

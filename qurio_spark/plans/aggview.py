@@ -55,13 +55,32 @@ def merge_states(
 ) -> DataFrame:
     """state(A) ⊕ state(B): full-outer on the keys; counts/sums add
     (null = absent = identity), min/max via the null-skipping
-    least/greatest."""
+    least/greatest.
+
+    The join is NULL-SAFE on the keys (eqNullSafe, SQL's <=>): a NULL
+    group key (null ts -> day_key) is a real group, and a plain
+    column-name equi-join would never match its two sides — the old
+    and new state rows would BOTH survive as duplicates instead of
+    merging (hash/sort-merge joins support null-safe equality, so the
+    plan shape is unchanged)."""
+    import functools
+    import operator
+
     o = old
-    for c in STATE_COLS:
+    for c in list(group_cols) + list(STATE_COLS):
         o = o.withColumnRenamed(c, f"_o_{c}")
-    joined = o.join(new, group_cols, "full_outer")
+    cond = functools.reduce(
+        operator.and_,
+        [o[f"_o_{c}"].eqNullSafe(new[c]) for c in group_cols],
+    )
+    joined = o.join(new, cond, "full_outer")
     return joined.select(
-        *group_cols,
+        # matched rows agree on the key (null-safe), so coalesce only
+        # picks the side that exists — a both-sides-NULL key stays NULL
+        *[
+            F.coalesce(new[c], F.col(f"_o_{c}")).alias(c)
+            for c in group_cols
+        ],
         (F.coalesce("_o_n", F.lit(0)) + F.coalesce("n", F.lit(0))).alias("n"),
         (F.coalesce("_o_s", F.lit(0.0)) + F.coalesce("s", F.lit(0.0))).alias("s"),
         F.least("_o_mn", "mn").alias("mn"),
@@ -96,6 +115,7 @@ def refresh_agg_view(
         snap_overwrite,
         snap_read_if_exists,
         snap_replace_values,
+        value_match,
     )
 
     from qurio_spark.functions.checkpointing import checkpoint_df
@@ -119,7 +139,10 @@ def refresh_agg_view(
             r[partition_col]
             for r in new.select(partition_col).distinct().collect()
         ]
-        old_touched = old.filter(F.col(partition_col).isin(touched))
+        # value_match, not isin: a NULL partition key (null ts ->
+        # day_key) must merge its OLD state too, or the replace would
+        # drop the prior counts for the NULL partition
+        old_touched = old.filter(value_match(F.col(partition_col), touched))
         merged = merge_states(old_touched, new, group_cols)
         snap_replace_values(
             spark, path, partition_col, touched, merged, cluster=True

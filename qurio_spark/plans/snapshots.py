@@ -60,6 +60,21 @@ def _mdir(path: str) -> str:
     return os.path.join(path, "_manifests")
 
 
+def value_match(c, values: list):
+    """Boolean Column: TRUE iff ``c``'s value is in ``values``, where
+    a ``None`` element matches NULL (plain ``isin`` never matches NULL
+    — SQL IN semantics — which silently exempts NULL-keyed rows from
+    replace/merge predicates).  Never evaluates to SQL NULL, so the
+    negation is a safe keep-filter: ``~value_match(...)`` keeps NULL
+    rows exactly when ``None`` is not in ``values``."""
+    from pyspark.sql import functions as F
+
+    non_null = [v for v in values if v is not None]
+    cond = c.isin(non_null) if non_null else F.lit(False)
+    wants_null = any(v is None for v in values)
+    return F.when(c.isNull(), F.lit(wants_null)).otherwise(cond)
+
+
 def _latest_version(path: str) -> int | None:
     """Current version: the pointer, rolled FORWARD over any committed
     version files the pointer doesn't cover yet (a writer that crashed
@@ -179,21 +194,33 @@ def _commit(path: str, version: int, manifest: dict) -> None:
         )
 
 
-def _file_stats(fpath: str) -> dict:
-    """Per-file column min/max from the parquet footer (json-safe
-    columns only: ints, floats, strings) — the manifest-level data-
-    skipping stats, gathered once at commit time from metadata the
-    writer already produced.  Columns without footer statistics are
-    simply absent (absent = not skippable, never wrong)."""
+def _file_stats(fpath: str) -> tuple[dict, dict]:
+    """Per-file column (min/max, null-count) from the parquet footer
+    (json-safe columns only: ints, floats, strings) — the
+    manifest-level data-skipping stats, gathered once at commit time
+    from metadata the writer already produced.  Columns without footer
+    statistics are simply absent (absent = not skippable, never
+    wrong); a null count is recorded only when EVERY row group reports
+    one (a partial count understates and would wrongly prove a file
+    NULL-free)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(fpath).metadata
     stats: dict = {}
+    nulls: dict = {}
+    no_nulls: set = set()  # columns where some row group lacks the count
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for c in range(g.num_columns):
             col = g.column(c)
             st = col.statistics
+            name = col.path_in_schema
+            if st is None or st.null_count is None or name in no_nulls:
+                if st is None or st.null_count is None:
+                    no_nulls.add(name)
+                    nulls.pop(name, None)
+            else:
+                nulls[name] = nulls.get(name, 0) + st.null_count
             if st is None or not st.has_min_max:
                 continue
             mn, mx = st.min, st.max
@@ -201,12 +228,11 @@ def _file_stats(fpath: str) -> dict:
                 continue
             if not isinstance(mn, (int, float, str)):
                 continue
-            name = col.path_in_schema
             if name in stats:
                 stats[name] = [min(stats[name][0], mn), max(stats[name][1], mx)]
             else:
                 stats[name] = [mn, mx]
-    return stats
+    return stats, nulls
 
 
 def _write_data_files(
@@ -257,7 +283,8 @@ def _write_data_files(
         name = f"c{commit_id}-{fname}"
         dest = os.path.join(data_dir, name)
         os.rename(src, dest)
-        entries.append({"name": f"data/{name}", "stats": _file_stats(dest)})
+        stats, nulls = _file_stats(dest)
+        entries.append({"name": f"data/{name}", "stats": stats, "nulls": nulls})
     # drop the staging leftovers (_SUCCESS etc.)
     for root, dirs, files in os.walk(staging, topdown=False):
         for f in files:
@@ -473,20 +500,65 @@ def snap_scan(
     return base.filter(cond)
 
 
-def snap_vacuum(path: str, keep_last: int = 1) -> list[str]:
+def snap_vacuum(
+    path: str, keep_last: int = 1, grace_seconds: float = 600.0
+) -> list[str]:
     """Delete data files unreachable from the newest ``keep_last``
     manifests (and drop the older manifests).  Returns deleted file
     names.  Never touches a file any retained version references —
-    the correctness property pinned in tests."""
+    the correctness property pinned in tests.
+
+    SAFE UNDER CONCURRENT COMMITS (the Delta/Iceberg retention
+    posture): a writer stages data files and its per-commit manifest
+    BEFORE claiming a version, so a naive vacuum would see those files
+    as unreferenced and delete them out from under a commit that then
+    reports success.  Two guards close the race:
+
+      - version files ABOVE the sampled latest are never touched — a
+        concurrent writer that claimed ``v{latest+1}.json`` after our
+        sample keeps its committed version (and, transitively, every
+        manifest/data file that version references is either carried
+        from a retained parent or newly staged — covered below);
+      - unreferenced ``m-*.json`` and data files younger than
+        ``grace_seconds`` survive — the staged-but-not-yet-committed
+        window.  The default (10 min) is far above the commit-retry
+        horizon; pass 0 only when the caller holds exclusive access.
+    """
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     latest = _latest_version(path)
     if latest is None:
         return []
+    return _vacuum_at(path, latest, keep_last, grace_seconds)
+
+
+def _vacuum_at(
+    path: str, latest: int, keep_last: int, grace_seconds: float
+) -> list[str]:
+    """Vacuum's delete phase against a SAMPLED latest — split out so
+    tests can replay the exact race (commit lands after the sample,
+    before the deletes) deterministically."""
+    import time as _time
+
+    now = _time.time()
+
+    def _in_grace(fpath: str) -> bool:
+        try:
+            return now - os.path.getmtime(fpath) < grace_seconds
+        except FileNotFoundError:
+            return True  # vanished mid-scan: someone owns it, skip
+
     keep_versions = [v for v in range(latest - keep_last + 1, latest + 1) if v >= 0]
+    # versions above the sampled latest are concurrent commits (or
+    # in-flight claims) — retain them AND everything they reference
+    above = []
+    v = latest + 1
+    while os.path.exists(os.path.join(_mdir(path), f"v{v}.json")):
+        above.append(v)
+        v += 1
     reachable = set()
     live_manifests = set()
-    for v in keep_versions:
+    for v in keep_versions + above:
         m = _read_manifest(path, v)
         reachable.update(_entry_name(e) for e in _manifest_entries(path, m))
         live_manifests.update(m.get("manifests", []))
@@ -494,16 +566,19 @@ def snap_vacuum(path: str, keep_last: int = 1) -> list[str]:
     data_dir = os.path.join(path, "data")
     for f in sorted(os.listdir(data_dir)) if os.path.isdir(data_dir) else []:
         rel = f"data/{f}"
-        if rel not in reachable:
-            os.remove(os.path.join(data_dir, f))
+        fpath = os.path.join(data_dir, f)
+        if rel not in reachable and not _in_grace(fpath):
+            os.remove(fpath)
             deleted.append(rel)
     for f in os.listdir(_mdir(path)):
+        fpath = os.path.join(_mdir(path), f)
         if f.startswith("v") and f.endswith(".json"):
-            if int(f[1:-5]) not in keep_versions:
-                os.remove(os.path.join(_mdir(path), f))
+            n = int(f[1:-5])
+            if n not in keep_versions and n <= latest:
+                os.remove(fpath)
         elif f.startswith("m-") and f.endswith(".json"):
-            if f not in live_manifests:  # unreferenced per-commit manifest
-                os.remove(os.path.join(_mdir(path), f))
+            if f not in live_manifests and not _in_grace(fpath):
+                os.remove(fpath)  # unreferenced per-commit manifest
     return deleted
 
 
@@ -522,27 +597,35 @@ def snap_diff(
     from pyspark.sql import functions as F
 
     v_to = _latest_version(path) if v_to is None else v_to
-    m_from = {
-        _entry_name(e)
-        for e in _manifest_entries(path, _read_manifest(path, v_from))
-    }
-    m_to = {
-        _entry_name(e)
-        for e in _manifest_entries(path, _read_manifest(path, v_to))
-    }
+    mf_from = _read_manifest(path, v_from)
+    mf_to = _read_manifest(path, v_to)
+    m_from = {_entry_name(e) for e in _manifest_entries(path, mf_from)}
+    m_to = {_entry_name(e) for e in _manifest_entries(path, mf_to)}
     only_from = sorted(m_from - m_to)
     only_to = sorted(m_to - m_from)
 
+    # pin BOTH sides to the NEWER version's manifest schema (falling
+    # back to the older's for legacy manifests): after schema
+    # evolution, a bare multi-file read would drop or narrow an added
+    # column depending on which file supplied the inferred schema
+    newer, older = (mf_to, mf_from) if v_to >= v_from else (mf_from, mf_to)
+    pin = {"schema": newer.get("schema") or older.get("schema")}
+
     def read(files):
-        return spark.read.parquet(*[os.path.join(path, f) for f in files])
+        return _pinned_reader(spark, pin).parquet(
+            *[os.path.join(path, f) for f in files]
+        )
 
     if not (m_to | m_from):
         raise ValueError(
             f"snap_diff({path}, v{v_from}..v{v_to}): both versions are "
             "empty — no schema source for the change feed"
         )
-    schema_src = next(iter(m_to | m_from))
-    empty = spark.read.parquet(os.path.join(path, schema_src)).limit(0)
+    # deterministic schema source for the empty frame (min, not
+    # set-iteration order) — only reached for legacy manifests with
+    # no pinned schema; otherwise the pin fully determines the schema
+    schema_src = min(m_to | m_from)
+    empty = read([schema_src]).limit(0)
     added = read(only_to) if only_to else empty
     removed = read(only_from) if only_from else empty
     cols = added.columns
@@ -734,7 +817,13 @@ def snap_replace_values(
     ``_write_data_files``): each file holds one value, so later
     replaces rewrite exactly the touched values' files and nothing
     else — the property the agg view's O(|delta|) refresh pins by
-    mtime."""
+    mtime.
+
+    NULL-safe: ``values`` may contain ``None`` (a NULL cluster key —
+    null ts -> day_key, null source_id).  NULL never matches an IN
+    list, so the match/keep predicates branch on ``isNull``
+    explicitly, and file skipping uses the manifests' per-file NULL
+    COUNTS (absent count = may hold NULLs = not skippable)."""
     from pyspark.sql import functions as F
 
     cb = col if cluster else None
@@ -750,10 +839,19 @@ def snap_replace_values(
             return 0
         # lost the table-creation race: fall through and replace
         # against whatever the winner committed
-    vs = sorted(values)
+    has_null = any(v is None for v in values)
+    vs = sorted(v for v in values if v is not None)
 
     def _disjoint(e) -> bool:
-        st = e.get("stats", {}).get(col) if isinstance(e, dict) else None
+        if not isinstance(e, dict):
+            return False
+        if has_null:
+            nc = e.get("nulls", {}).get(col)
+            if nc is None or nc > 0:
+                return False  # may hold NULL-keyed rows to replace
+        if not vs:
+            return True  # only NULL sought; this file provably has none
+        st = e.get("stats", {}).get(col)
         if st is None:
             return False
         mn, mx = st
@@ -771,18 +869,22 @@ def snap_replace_values(
             else:
                 for e in entries:
                     (loose_entries if _disjoint(e) else affected).append(e)
-        # a file whose stats are a POINT range on a replaced value is
-        # wholly replaced — no survivor rows can exist, so it needs no
-        # read or rewrite (the value-clustered layout makes this the
-        # common case: a refresh then only ever writes the delta)
+        # a file whose stats are a POINT range on a replaced value —
+        # and which provably holds no NULLs — is wholly replaced: no
+        # survivor rows can exist, so it needs no read or rewrite (the
+        # value-clustered layout makes this the common case: a refresh
+        # then only ever writes the delta)
         def _wholly_replaced(e) -> bool:
             st = e.get("stats", {}).get(col) if isinstance(e, dict) else None
-            return st is not None and st[0] == st[1] and st[0] in vs
+            return (
+                st is not None and st[0] == st[1] and st[0] in vs
+                and e.get("nulls", {}).get(col) == 0
+            )
 
         mixed = [e for e in affected if not _wholly_replaced(e)]
         new_files = []
         if mixed:
-            keep = F.col(col).isNull() | ~F.col(col).isin(vs)
+            keep = ~value_match(F.col(col), values)
             survivors = _pinned_reader(spark, m).parquet(
                 *[os.path.join(path, _entry_name(e)) for e in mixed]
             ).filter(keep)

@@ -248,6 +248,7 @@ def streaming_ingest_incremental(
         snap_overwrite,
         snap_read_if_exists,
         snap_replace_values,
+        value_match,
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -276,8 +277,11 @@ def streaming_ingest_incremental(
                 r["source_id"]
                 for r in changed.select("source_id").distinct().collect()
             ]
+            # value_match, not isin: a NULL source_id's existing
+            # chunks must join the merge too, or the replace would
+            # drop them while inserting the rebuilt NULL-keyed rows
             existing_touched = existing.filter(
-                F.col("source_id").isin(touched)
+                value_match(F.col("source_id"), touched)
             )
             merged = apply_incremental(
                 existing_touched, new_chunks, changed.select("url")

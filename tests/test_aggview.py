@@ -144,3 +144,33 @@ def test_partial_states_shape(spark):
     got = {r["k"]: (r["n"], r["s"], r["mn"], r["mx"])
            for r in partial_states(d, ["k"], "value").collect()}
     assert got == {"a": (2, 4.0, 1.0, 3.0), "b": (1, -2.0, -2.0, -2.0)}
+
+
+def test_null_partition_key_merges_not_duplicates(spark, tmp_path):
+    """A NULL partition key (null ts -> day_key) must behave like any
+    other key: its old state MERGES with the delta's — plain isin()
+    would skip the old NULL row (never matched by SQL IN) while the
+    NULL-safe replace deletes it, losing the prior counts; before the
+    replace was NULL-safe it instead survived alongside the new row,
+    duplicating state."""
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "hour_key string, event_type string, value double"
+        )
+
+    path = str(tmp_path / "nullview")
+    keys = ["hour_key", "event_type"]
+    refresh_agg_view(
+        spark, path, mk([(None, "x", 1.0), ("h1", "x", 2.0)]),
+        keys, "value", partition_col="hour_key",
+    )
+    refresh_agg_view(
+        spark, path, mk([(None, "x", 3.0)]),
+        keys, "value", partition_col="hour_key",
+    )
+    rows = read_agg_view(spark, path).collect()
+    null_rows = [r for r in rows if r["hour_key"] is None]
+    assert len(null_rows) == 1  # exactly one state row, no duplicate
+    assert null_rows[0]["n"] == 2 and null_rows[0]["total_value"] == 4.0
+    (h1,) = [r for r in rows if r["hour_key"] == "h1"]
+    assert h1["n"] == 1 and h1["total_value"] == 2.0

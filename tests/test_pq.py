@@ -547,3 +547,62 @@ class TestBatchPq:
         assert a["python_stages"] == 1, a["plan"]
         assert a["bnlj"] == 0, a["plan"]
         assert a["shuffles"] <= 4, a["plan"]
+
+    def test_batch_integer_query_ids(self, spark, emb, fitted256):
+        """The ADC stage schema derives from the input frames: integer
+        query ids work end-to-end (the hardcoded "query_id string"
+        used to fail the Arrow cast)."""
+        from qurio_spark.operators.pq import pq_topk_batch
+
+        books, packed = fitted256
+        n = emb.count()
+        qrows = [
+            (int(r["vec_id"]), list(r["embedding"]))
+            for r in emb.filter(F.col("vec_id").isin([0, 7])).collect()
+        ]
+        queries = spark.createDataFrame(
+            qrows, "query_id long, qvec array<double>"
+        )
+        out = pq_topk_batch(packed, emb, books, queries, topk=5, n_candidates=n)
+        got = {}
+        for r in out.collect():
+            got.setdefault(r["query_id"], []).append(r["vec_id"])
+        assert set(got) == {0, 7}
+        # self is its own nearest neighbor under exact-dot refine
+        assert got[0][0] == 0 and got[7][0] == 7
+
+    def test_batch_running_shortlist_across_arrow_batches(
+        self, spark, emb, fitted256
+    ):
+        """Tiny Arrow batches force the per-partition RUNNING top-
+        shortlist merge (memory O(Q x shortlist), never O(Q x n_part))
+        — results must be identical to the one-big-batch path."""
+        from qurio_spark.operators.pq import pq_topk_batch
+
+        books, packed = fitted256
+        n = emb.count()
+        qrows = [
+            (f"q{r['vec_id']}", list(r["embedding"]))
+            for r in emb.filter(F.col("vec_id").isin([0, 3, 7])).collect()
+        ]
+        queries = spark.createDataFrame(
+            qrows, "query_id string, qvec array<double>"
+        )
+
+        def run():
+            out = pq_topk_batch(
+                packed, emb, books, queries, topk=10, n_candidates=n
+            )
+            return sorted(
+                (r["query_id"], r["vec_id"], round(r["score"], 9))
+                for r in out.collect()
+            )
+
+        want = run()
+        key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, "7")
+        try:
+            assert run() == want
+        finally:
+            spark.conf.set(key, prev)

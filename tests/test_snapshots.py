@@ -72,7 +72,9 @@ def test_vacuum_deletes_only_unreachable(spark, table):
 
 
 def test_vacuum_keep_last_1_leaves_only_latest(spark, table):
-    snap_vacuum(table, keep_last=1)
+    # grace_seconds=0: the test holds exclusive access, so the
+    # in-flight-commit grace window does not apply
+    snap_vacuum(table, keep_last=1, grace_seconds=0)
     assert [m["version"] for m in snap_versions(table)] == [2]
     assert _rows(snap_read(spark, table)) == [100, 101, 102]
     data = os.path.join(table, "data")
@@ -397,7 +399,7 @@ class TestCompact:
             assert len(_json.load(f)["files"]) < n_before
         # history intact until vacuum
         assert snap_read(spark, path, 3).count() == 40
-        deleted = snap_vacuum(path, keep_last=1)
+        deleted = snap_vacuum(path, keep_last=1, grace_seconds=0)
         assert len(deleted) == n_before
         assert snap_read(spark, path).count() == 60
 
@@ -610,7 +612,7 @@ class TestDeleteWhere:
         from qurio_spark.plans.snapshots import snap_delete_where
 
         snap_delete_where(spark, ranged, "v", lo=1010, hi=1019)
-        deleted = snap_vacuum(ranged, keep_last=1)
+        deleted = snap_vacuum(ranged, keep_last=1, grace_seconds=0)
         assert len(deleted) == 1 and deleted[0].startswith("data/c1-")
         assert snap_read(spark, ranged).count() == 290
 
@@ -737,3 +739,151 @@ class TestTimestampAsOf:
         del m["ts"]
         _json.dump(m, open(mpath, "w"))
         assert snap_version_at(path, 1.0) == 0
+
+
+class TestVacuumConcurrency:
+    """snap_vacuum vs an in-flight commit (the OCC contract): staged
+    data/manifest files survive the grace window, and version files
+    above the sampled latest — concurrent commits that landed after
+    the sample — are never deleted."""
+
+    def test_staged_commit_survives_vacuum(self, spark, table):
+        from qurio_spark.plans.snapshots import (
+            _carried_manifests,
+            _latest_version,
+            _read_manifest,
+            _try_commit,
+            _write_data_files,
+            _write_manifest_file,
+        )
+
+        # first half of a commit: stage data files + per-commit
+        # manifest (exactly what _snap_commit does before _try_commit)
+        prev = _latest_version(table)
+        df = spark.range(500, 503).select(F.col("id").alias("v"))
+        new_files = _write_data_files(df, table, prev + 1)
+        new_name = _write_manifest_file(table, new_files)
+        # vacuum runs NOW with the default grace: the staged files are
+        # unreferenced by any retained manifest but young -> untouched
+        snap_vacuum(table, keep_last=1)
+        m_prev = _read_manifest(table, prev)
+        assert _try_commit(
+            table, prev + 1,
+            {"version": prev + 1, "op": "append", "parent": prev,
+             "manifests": _carried_manifests(table, m_prev) + [new_name],
+             "schema": m_prev.get("schema")},
+        )
+        # the commit reads back whole — nothing vacuum-corrupted
+        assert _rows(snap_read(spark, table)) == [100, 101, 102, 500, 501, 502]
+
+    def test_version_above_sampled_latest_survives(self, spark, table):
+        from qurio_spark.plans.snapshots import _vacuum_at
+
+        # a concurrent writer commits v3 AFTER vacuum sampled latest=2
+        snap_append(spark.range(600, 603).select(F.col("id").alias("v")), table)
+        # grace 0: only the above-latest guard protects v3 here
+        _vacuum_at(table, latest=2, keep_last=1, grace_seconds=0)
+        assert _rows(snap_read(spark, table, 3)) == [
+            100, 101, 102, 600, 601, 602,
+        ]
+        # the stale-sampled retention target still applied to history
+        with pytest.raises(FileNotFoundError):
+            snap_read(spark, table, 0)
+
+
+class TestNullKeyReplace:
+    """snap_replace_values with None in the value list: NULL-keyed
+    rows are replaced (not duplicated, not crashed on), NULL rows
+    SURVIVE a non-NULL replace, and null-count stats keep pruning
+    exact."""
+
+    def _kv(self, spark, rows):
+        return spark.createDataFrame(rows, "k string, v int")
+
+    def _sorted(self, df):
+        return sorted(
+            ((r["k"], r["v"]) for r in df.collect()),
+            key=lambda t: (t[0] is None, t[0] or "", t[1]),
+        )
+
+    def test_null_key_replaced_once(self, spark, tmp_path):
+        from qurio_spark.plans.snapshots import snap_read, snap_replace_values
+
+        path = str(tmp_path / "nullkey")
+        snap_replace_values(
+            spark, path, "k", [],
+            self._kv(spark, [("a", 1), (None, 2), ("b", 3)]), cluster=True,
+        )
+        # mixed None/str values: used to raise in sorted(values); the
+        # NULL-keyed old row used to survive -> duplicate state
+        snap_replace_values(
+            spark, path, "k", ["a", None],
+            self._kv(spark, [("a", 10), (None, 20)]), cluster=True,
+        )
+        assert self._sorted(snap_read(spark, path)) == [
+            ("a", 10), ("b", 3), (None, 20),
+        ]
+
+    def test_null_rows_survive_non_null_replace(self, spark, tmp_path):
+        from qurio_spark.plans.snapshots import snap_read, snap_replace_values
+
+        path = str(tmp_path / "keepnull")
+        snap_replace_values(
+            spark, path, "k", [],
+            self._kv(spark, [("a", 1), (None, 2)]),
+        )
+        snap_replace_values(
+            spark, path, "k", ["a"], self._kv(spark, [("a", 10)]),
+        )
+        assert self._sorted(snap_read(spark, path)) == [("a", 10), (None, 2)]
+
+    def test_null_replace_prunes_non_null_files(self, spark, tmp_path):
+        """Replacing [None] on a value-clustered table must carry the
+        non-NULL keys' files byte-untouched — the per-file null counts
+        prove them NULL-free."""
+        import os as _os
+
+        from qurio_spark.plans.snapshots import snap_read, snap_replace_values
+
+        path = str(tmp_path / "nullprune")
+        snap_replace_values(
+            spark, path, "k", [],
+            self._kv(spark, [("a", 1), ("b", 2), (None, 3)]), cluster=True,
+        )
+        data = _os.path.join(path, "data")
+        before = {
+            f: _os.path.getmtime(_os.path.join(data, f))
+            for f in _os.listdir(data)
+        }
+        snap_replace_values(
+            spark, path, "k", [None], self._kv(spark, [(None, 30)]),
+            cluster=True,
+        )
+        after = {f: _os.path.getmtime(_os.path.join(data, f)) for f in before}
+        assert after == before  # old files never rewritten in place
+        assert self._sorted(snap_read(spark, path)) == [
+            ("a", 1), ("b", 2), (None, 30),
+        ]
+
+
+class TestSnapDiffSchemaPinning:
+    def test_added_column_survives_diff(self, spark, tmp_path):
+        """After schema evolution the change feed must carry the added
+        column on BOTH sides (bare inferred reads could drop or narrow
+        it depending on which file supplied the schema)."""
+        from qurio_spark.plans.snapshots import snap_diff
+
+        path = str(tmp_path / "evodiff")
+        snap_append(spark.range(0, 3).select(F.col("id").alias("v")), path)
+        snap_append(
+            spark.range(3, 5).select(
+                F.col("id").alias("v"), (F.col("id") * 10).alias("w")
+            ),
+            path,
+        )
+        d = snap_diff(spark, path, 0, 1)
+        assert "w" in d.columns
+        rows = sorted(
+            (r["v"], r["w"], r["_change"]) for r in d.collect()
+        )
+        assert rows == [(3, 30, "insert"), (4, 40, "insert")]

@@ -323,6 +323,62 @@ class TestIncrementalStreamIngest:
         assert third == second
 
 
+    def test_null_source_id_replaces_not_duplicates(self, spark, tmp_path):
+        """A NULL source_id page must replace its own chunks on change
+        like any other source: plain isin(touched) skipped the
+        NULL-keyed existing chunks (SQL IN never matches NULL) and the
+        non-NULL-safe replace either kept them (duplicates) or crashed
+        sorting a mixed None/str value list."""
+        import os
+
+        from pyspark.sql import types as T
+
+        from qurio_spark.plans.snapshots import snap_read
+        from qurio_spark.schemas import DOCUMENTS_RAW
+        from qurio_spark.streaming.ingest import streaming_ingest_incremental
+
+        # nullable twin of DOCUMENTS_RAW: the contract says source_id
+        # is non-null, but an upstream violating it must not corrupt
+        # the chunks table
+        schema = T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in DOCUMENTS_RAW]
+        )
+        src = str(tmp_path / "src")
+        chunks_path = str(tmp_path / "chunks")
+        ledger_path = str(tmp_path / "ledger")
+        os.makedirs(src)
+
+        def doc(sid, url, body):
+            return (
+                sid, url, "T", "p", body, [], 0, "success", None, None,
+            )
+
+        body1 = "# Null page\n\nOriginal content for the null-source page."
+        body2 = "# Null page\n\nEdited content for the null-source page."
+        other = "# Other\n\nA second page owned by a real source id."
+
+        def run(rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = streaming_ingest_incremental(
+                stream, chunks_path, ledger_path, str(tmp_path / "ckpt")
+            ).start()
+            q.awaitTermination(120)
+
+        run([doc(None, "u/n", body1), doc("s1", "u/o", other)])
+        run([doc(None, "u/n", body2), doc("s1", "u/o", other)])
+        rows = snap_read(spark, chunks_path).collect()
+        keys = [(r["url"], r["chunk_index"]) for r in rows]
+        assert len(keys) == len(set(keys))  # no duplicated chunk rows
+        null_contents = [r["content"] for r in rows if r["url"] == "u/n"]
+        assert any("Edited content" in c for c in null_contents)
+        assert not any("Original content" in c for c in null_contents)
+        # the untouched real-source page survived
+        assert any(r["url"] == "u/o" for r in rows)
+
+
 class TestReadParquetIfExists:
     def test_missing_path_is_first_batch(self, spark, tmp_path):
         from qurio_spark.streaming.ingest import read_parquet_if_exists
