@@ -1,0 +1,214 @@
+"""Commit-store abstraction for snapshot tables — the Delta LogStore /
+Iceberg catalog-swap pattern.
+
+The snapshot format (plans/snapshots.py) needs exactly three
+primitives from its metadata store:
+
+  - PUT-IF-ABSENT of an immutable object (the version-file claim —
+    optimistic concurrency's only synchronization point),
+  - a MONOTONIC pointer advance (the ``_latest`` visibility hint),
+  - plain GET/PUT/LIST/DELETE of immutable manifest objects.
+
+The local filesystem gives put-if-absent via an exclusive hard link
+and pointer swaps via atomic rename (:class:`LocalCommitStore`).  The
+object stores a real 100 TB deployment lives on (S3/GCS/ABFS) have
+NEITHER links nor atomic rename — but they all expose a conditional
+put (If-None-Match: * / x-goog-if-generation-match: 0 / If-None-Match
+on ABFS), which is the exact same contract.
+:class:`MemoryCommitStore` implements that object-store semantics
+honestly (flat key space, no rename, conditional put only) so the
+commit protocol is TESTED against the semantics it must survive in
+production; a cloud port implements the same five methods over the
+store's conditional-put API and registers itself for its path prefix.
+
+DATA files are unaffected: they are uuid-unique immutable parquet
+written once and referenced by name, so plain eventually-visible PUTs
+are safe for them on any store — only the metadata needs conditions.
+
+Registry: :func:`register_commit_store` maps a path prefix to a store;
+unmatched paths use the local filesystem store.  Reference parity:
+this generalizes the same commit the reference performs inside
+Postgres transactions (its tables are the catalog); the lakehouse
+shape needs the catalog to be the store itself.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+import uuid
+
+
+class LocalCommitStore:
+    """POSIX-filesystem commit store: put-if-absent = exclusive hard
+    link of a fully-written temp file (claim is atomic AND content
+    complete), pointer advance = write-temp-then-rename."""
+
+    def _mdir(self, path: str) -> str:
+        return os.path.join(path, "_manifests")
+
+    def put(self, path: str, name: str, data: bytes) -> None:
+        os.makedirs(self._mdir(path), exist_ok=True)
+        dest = os.path.join(self._mdir(path), name)
+        tmp = dest + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.rename(tmp, dest)
+
+    def put_if_absent(self, path: str, name: str, data: bytes) -> bool:
+        os.makedirs(self._mdir(path), exist_ok=True)
+        dest = os.path.join(self._mdir(path), name)
+        tmp = dest + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        try:
+            os.link(tmp, dest)  # atomic exclusive claim
+        except FileExistsError:
+            return False
+        finally:
+            os.remove(tmp)
+        return True
+
+    def read(self, path: str, name: str) -> bytes:
+        with open(os.path.join(self._mdir(path), name), "rb") as f:
+            return f.read()
+
+    def exists(self, path: str, name: str) -> bool:
+        return os.path.exists(os.path.join(self._mdir(path), name))
+
+    def list(self, path: str) -> list[str]:
+        d = self._mdir(path)
+        return sorted(os.listdir(d)) if os.path.isdir(d) else []
+
+    def delete(self, path: str, name: str) -> None:
+        try:
+            os.remove(os.path.join(self._mdir(path), name))
+        except FileNotFoundError:
+            pass  # delete is idempotent (object-store DELETE semantics)
+
+    def mtime(self, path: str, name: str) -> float | None:
+        try:
+            return os.path.getmtime(os.path.join(self._mdir(path), name))
+        except FileNotFoundError:
+            return None
+
+    def read_pointer(self, path: str) -> int | None:
+        try:
+            return int(self.read(path, "_latest").decode().strip())
+        except FileNotFoundError:
+            return None
+
+    def advance_pointer(self, path: str, version: int) -> None:
+        cur = self.read_pointer(path)
+        if cur is not None and cur >= version:
+            return
+        self.put(path, "_latest", str(version).encode())
+
+
+class MemoryCommitStore:
+    """In-memory store with OBJECT-STORE semantics — the test double
+    for S3/GCS/ABFS: a flat key space with GET/PUT/LIST/DELETE and a
+    CONDITIONAL put (If-None-Match / If-Match generation).  No hard
+    links, no rename, no directories — if the commit protocol passes
+    against this store, it only ever relied on primitives every cloud
+    store provides.
+
+    The lock models the store's server-side atomicity of ONE
+    conditional request (S3 strong consistency, GCS generation match),
+    not any client-side coordination."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        #: key -> (bytes, put-time, generation)
+        self._objects: dict[tuple[str, str], tuple[bytes, float, int]] = {}
+
+    def put(self, path: str, name: str, data: bytes) -> None:
+        with self._lock:
+            _, _, gen = self._objects.get((path, name), (None, 0.0, 0))
+            self._objects[(path, name)] = (data, time.time(), gen + 1)
+
+    def put_if_absent(self, path: str, name: str, data: bytes) -> bool:
+        with self._lock:  # If-None-Match: * — fails if the key exists
+            if (path, name) in self._objects:
+                return False
+            self._objects[(path, name)] = (data, time.time(), 1)
+            return True
+
+    def _put_if_generation(
+        self, path: str, name: str, data: bytes, expect_gen: int
+    ) -> bool:
+        """x-goog-if-generation-match / If-Match: succeed only if the
+        object's current generation equals ``expect_gen`` (0 = absent)."""
+        with self._lock:
+            _, _, gen = self._objects.get((path, name), (None, 0.0, 0))
+            if gen != expect_gen:
+                return False
+            self._objects[(path, name)] = (data, time.time(), gen + 1)
+            return True
+
+    def read(self, path: str, name: str) -> bytes:
+        try:
+            return self._objects[(path, name)][0]
+        except KeyError:
+            raise FileNotFoundError(f"{path}/_manifests/{name}") from None
+
+    def exists(self, path: str, name: str) -> bool:
+        return (path, name) in self._objects
+
+    def list(self, path: str) -> list[str]:
+        return sorted(n for p, n in self._objects if p == path)
+
+    def delete(self, path: str, name: str) -> None:
+        with self._lock:
+            self._objects.pop((path, name), None)
+
+    def mtime(self, path: str, name: str) -> float | None:
+        try:
+            return self._objects[(path, name)][1]
+        except KeyError:
+            return None
+
+    def read_pointer(self, path: str) -> int | None:
+        try:
+            return int(self.read(path, "_latest").decode())
+        except FileNotFoundError:
+            return None
+
+    def advance_pointer(self, path: str, version: int) -> None:
+        """Monotonic CAS loop over the conditional put: losing a race
+        to a HIGHER version is success (the pointer only moves
+        forward), losing to a lower one retries."""
+        while True:
+            with self._lock:
+                cur = self._objects.get((path, "_latest"))
+            gen = cur[2] if cur else 0
+            if cur is not None and int(cur[0].decode()) >= version:
+                return
+            if self._put_if_generation(
+                path, "_latest", str(version).encode(), gen
+            ):
+                return
+
+
+_LOCAL = LocalCommitStore()
+_REGISTRY: dict[str, object] = {}
+
+
+def register_commit_store(prefix: str, store) -> None:
+    """Route every snapshot table whose path starts with ``prefix``
+    through ``store`` (longest prefix wins).  Data files stay wherever
+    Spark writes them; only commit metadata moves."""
+    _REGISTRY[prefix] = store
+
+
+def unregister_commit_store(prefix: str) -> None:
+    _REGISTRY.pop(prefix, None)
+
+
+def store_for(path: str):
+    best = None
+    for prefix in _REGISTRY:
+        if path.startswith(prefix) and (best is None or len(prefix) > len(best)):
+            best = prefix
+    return _REGISTRY[best] if best is not None else _LOCAL

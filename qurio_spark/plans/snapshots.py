@@ -33,15 +33,19 @@ readable and are upgraded to a manifest file on their first child
 commit.
 
 Concurrency: commits use OPTIMISTIC concurrency — the version file is
-created with an EXCLUSIVE link (hard-link of a fully-written temp
-file, so the claim is atomic AND the content complete), and a loser
-re-reads the new latest and retries its bookkeeping.  Data files are
-written once (uuid-unique names) regardless of retries; only manifest
+claimed with the commit store's PUT-IF-ABSENT, and a loser re-reads
+the new latest and retries its bookkeeping.  Data files are written
+once (uuid-unique names) regardless of retries; only manifest
 composition re-runs.  The ``_latest`` pointer only moves forward and
 readers roll it ahead over any version files a crashed writer left
-unpointed.  Local-filesystem paths; an object-store port swaps the
-exclusive link for the store's CAS/if-none-match primitive (the same
-contract Delta's log stores implement).
+unpointed.  All commit METADATA goes through a pluggable CommitStore
+(plans/commitstore.py — the Delta LogStore / Iceberg catalog-swap
+pattern): the default local store claims via exclusive hard link and
+advances the pointer by atomic rename; object-store deployments
+register a store built on the platform's conditional put
+(If-None-Match / generation match), and the protocol is tested
+against an in-memory fake with exactly those semantics (no links, no
+rename, flat keys).
 Readers are fully isolated and distributed: ``snap_read`` hands Spark
 the pinned file list, so scans parallelize exactly like any parquet
 read, and a version's file list never changes after commit.
@@ -54,6 +58,8 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+from qurio_spark.plans.commitstore import store_for
 
 
 def _mdir(path: str) -> str:
@@ -80,32 +86,34 @@ def _latest_version(path: str) -> int | None:
     version files the pointer doesn't cover yet (a writer that crashed
     after claiming v{N}.json but before advancing the pointer, or that
     lost a pointer race, must not hide its committed version)."""
-    p = os.path.join(_mdir(path), "_latest")
-    if not os.path.exists(p):
+    st = store_for(path)
+    v = st.read_pointer(path)
+    if v is None:
         return None
-    with open(p) as f:
-        v = int(f.read().strip())
-    while os.path.exists(os.path.join(_mdir(path), f"v{v + 1}.json")):
+    while st.exists(path, f"v{v + 1}.json"):
         v += 1
     return v
 
 
 def _read_manifest(path: str, version: int) -> dict:
-    with open(os.path.join(_mdir(path), f"v{version}.json")) as f:
-        return json.load(f)
+    return json.loads(store_for(path).read(path, f"v{version}.json"))
+
+
+def _read_manifest_file(path: str, name: str) -> list[dict]:
+    """Entries of ONE per-commit manifest file."""
+    return json.loads(store_for(path).read(path, name))["files"]
 
 
 def _write_manifest_file(path: str, entries: list[dict]) -> str:
     """Write ONE immutable per-commit manifest (this commit's file
     entries + stats) and return its name.  Never rewritten — child
-    commits carry it by name."""
-    os.makedirs(_mdir(path), exist_ok=True)
+    commits carry it by name (uuid-unique, so a plain unconditional
+    PUT is race-safe on any store)."""
     name = f"m-{uuid.uuid4().hex}.json"
-    mpath = os.path.join(_mdir(path), name)
-    tmp = mpath + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"files": entries}, f, indent=1, sort_keys=True)
-    os.rename(tmp, mpath)
+    store_for(path).put(
+        path, name,
+        json.dumps({"files": entries}, indent=1, sort_keys=True).encode(),
+    )
     return name
 
 
@@ -117,8 +125,7 @@ def _manifest_entries(path: str, m: dict) -> list[dict]:
         return m["files"]
     out: list[dict] = []
     for name in m["manifests"]:
-        with open(os.path.join(_mdir(path), name)) as f:
-            out.extend(json.load(f)["files"])
+        out.extend(_read_manifest_file(path, name))
     return out
 
 
@@ -137,25 +144,16 @@ def _carried_manifests(path: str, m: dict | None) -> list[str]:
 def _advance_pointer(path: str, version: int) -> None:
     """Move ``_latest`` forward (never back — a racing writer with a
     higher committed version must win the pointer)."""
-    lpath = os.path.join(_mdir(path), "_latest")
-    cur = None
-    if os.path.exists(lpath):
-        with open(lpath) as f:
-            cur = int(f.read().strip())
-    if cur is not None and cur >= version:
-        return
-    ltmp = lpath + f".tmp-{uuid.uuid4().hex}"
-    with open(ltmp, "w") as f:
-        f.write(str(version))
-    os.rename(ltmp, lpath)
+    store_for(path).advance_pointer(path, version)
 
 
 def _try_commit(path: str, version: int, manifest: dict) -> bool:
-    """Atomically CLAIM ``v{version}.json``: the content is fully
-    written to a temp file, then hard-linked into place — link fails
-    (False) if another writer claimed the version first, and a reader
-    can never observe a half-written version file.  On success the
-    pointer advances (the visibility point for pointer-readers).
+    """Atomically CLAIM ``v{version}.json`` via the commit store's
+    put-if-absent (exclusive hard link on local fs, conditional put on
+    object stores) — False if another writer claimed the version
+    first, and a reader can never observe a half-written version file.
+    On success the pointer advances (the visibility point for
+    pointer-readers).
 
     Every commit records its wall-clock time (``ts``) — the basis for
     TIMESTAMP-AS-OF time travel (:func:`snap_version_at`).  Commit
@@ -164,17 +162,9 @@ def _try_commit(path: str, version: int, manifest: dict) -> bool:
     import time as _time
 
     manifest = {**manifest, "ts": _time.time()}
-    os.makedirs(_mdir(path), exist_ok=True)
-    mpath = os.path.join(_mdir(path), f"v{version}.json")
-    tmp = mpath + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-    try:
-        os.link(tmp, mpath)  # atomic exclusive claim
-    except FileExistsError:
+    data = json.dumps(manifest, indent=1, sort_keys=True).encode()
+    if not store_for(path).put_if_absent(path, f"v{version}.json", data):
         return False
-    finally:
-        os.remove(tmp)
     _advance_pointer(path, version)
     return True
 
@@ -368,10 +358,8 @@ def snap_overwrite(df: DataFrame, path: str) -> int:
 def snap_versions(path: str) -> list[dict]:
     """[{version, op, parent, n_files}] oldest-first for every
     retained manifest."""
-    if not os.path.isdir(_mdir(path)):
-        return []
     out = []
-    for f in sorted(os.listdir(_mdir(path))):
+    for f in store_for(path).list(path):
         if f.startswith("v") and f.endswith(".json"):
             m = _read_manifest(path, int(f[1:-5]))
             out.append(
@@ -408,10 +396,11 @@ def snap_version_at(path: str, as_of: float) -> int:
     (the as-of point predates retained history; vacuumed versions
     cannot be resurrected).  Versions written before commit
     timestamps existed sort as time 0 (always eligible)."""
-    if not os.path.isdir(_mdir(path)):
+    names = store_for(path).list(path)
+    if not names:
         raise FileNotFoundError(f"no snapshot table at {path}")
     best = None
-    for f in os.listdir(_mdir(path)):
+    for f in names:
         if f.startswith("v") and f.endswith(".json"):
             v = int(f[1:-5])
             ts = _read_manifest(path, v).get("ts", 0.0)
@@ -540,20 +529,25 @@ def _vacuum_at(
     before the deletes) deterministically."""
     import time as _time
 
+    st = store_for(path)
     now = _time.time()
 
-    def _in_grace(fpath: str) -> bool:
+    def _file_in_grace(fpath: str) -> bool:
         try:
             return now - os.path.getmtime(fpath) < grace_seconds
         except FileNotFoundError:
             return True  # vanished mid-scan: someone owns it, skip
+
+    def _obj_in_grace(name: str) -> bool:
+        ts = st.mtime(path, name)
+        return ts is None or now - ts < grace_seconds
 
     keep_versions = [v for v in range(latest - keep_last + 1, latest + 1) if v >= 0]
     # versions above the sampled latest are concurrent commits (or
     # in-flight claims) — retain them AND everything they reference
     above = []
     v = latest + 1
-    while os.path.exists(os.path.join(_mdir(path), f"v{v}.json")):
+    while st.exists(path, f"v{v}.json"):
         above.append(v)
         v += 1
     reachable = set()
@@ -567,18 +561,17 @@ def _vacuum_at(
     for f in sorted(os.listdir(data_dir)) if os.path.isdir(data_dir) else []:
         rel = f"data/{f}"
         fpath = os.path.join(data_dir, f)
-        if rel not in reachable and not _in_grace(fpath):
+        if rel not in reachable and not _file_in_grace(fpath):
             os.remove(fpath)
             deleted.append(rel)
-    for f in os.listdir(_mdir(path)):
-        fpath = os.path.join(_mdir(path), f)
+    for f in st.list(path):
         if f.startswith("v") and f.endswith(".json"):
             n = int(f[1:-5])
             if n not in keep_versions and n <= latest:
-                os.remove(fpath)
+                st.delete(path, f)
         elif f.startswith("m-") and f.endswith(".json"):
-            if f not in live_manifests and not _in_grace(fpath):
-                os.remove(fpath)  # unreferenced per-commit manifest
+            if f not in live_manifests and not _obj_in_grace(f):
+                st.delete(path, f)  # unreferenced per-commit manifest
     return deleted
 
 
@@ -734,8 +727,7 @@ def snap_delete_where(
         # file are re-listed, and only their affected files rewrite.
         carried, loose_entries, affected = [], [], []
         for name in _carried_manifests(path, m):
-            with open(os.path.join(_mdir(path), name)) as f:
-                entries = json.load(f)["files"]
+            entries = _read_manifest_file(path, name)
             if all(_disjoint(e) for e in entries):
                 carried.append(name)
             else:
@@ -862,8 +854,7 @@ def snap_replace_values(
         m = _read_manifest(path, v)
         carried, loose_entries, affected = [], [], []
         for name in _carried_manifests(path, m):
-            with open(os.path.join(_mdir(path), name)) as f:
-                entries = json.load(f)["files"]
+            entries = _read_manifest_file(path, name)
             if all(_disjoint(e) for e in entries):
                 carried.append(name)
             else:

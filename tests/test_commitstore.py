@@ -1,0 +1,182 @@
+"""plans/commitstore.py: the snapshot commit protocol must hold on
+BOTH metadata stores — the POSIX store (hard-link claim, rename
+pointer) and an object-store-semantics store (flat keys, conditional
+put, NO link, NO rename).  Interleaved/concurrent writers and the
+exactly-once txn sink are exercised under each."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from qurio_spark.plans.commitstore import (
+    LocalCommitStore,
+    MemoryCommitStore,
+    register_commit_store,
+    unregister_commit_store,
+)
+from qurio_spark.plans.snapshots import (
+    snap_append,
+    snap_append_txn,
+    snap_overwrite,
+    snap_read,
+    snap_replace_values,
+    snap_vacuum,
+    snap_versions,
+)
+
+
+@pytest.fixture(params=["local", "memory"])
+def table_path(request, tmp_path):
+    """A table path whose commit metadata routes through the
+    parametrized store (data parquet stays on the local fs either
+    way — only the commit protocol differs)."""
+    path = str(tmp_path / "snapstore")
+    if request.param == "memory":
+        register_commit_store(path, MemoryCommitStore())
+        yield path
+        unregister_commit_store(path)
+    else:
+        yield path
+
+
+def _rows(df):
+    return sorted(r["v"] for r in df.collect())
+
+
+class TestProtocolOnBothStores:
+    def test_append_overwrite_time_travel(self, spark, table_path):
+        snap_append(spark.range(0, 5).select(F.col("id").alias("v")), table_path)
+        snap_append(spark.range(5, 8).select(F.col("id").alias("v")), table_path)
+        snap_overwrite(
+            spark.range(100, 103).select(F.col("id").alias("v")), table_path
+        )
+        assert _rows(snap_read(spark, table_path, 0)) == list(range(5))
+        assert _rows(snap_read(spark, table_path, 1)) == list(range(8))
+        assert _rows(snap_read(spark, table_path)) == [100, 101, 102]
+        assert [m["op"] for m in snap_versions(table_path)] == [
+            "append", "append", "overwrite",
+        ]
+
+    def test_replace_values_and_vacuum(self, spark, table_path):
+        kv = lambda rows: spark.createDataFrame(rows, "k string, v int")  # noqa: E731
+        snap_replace_values(
+            spark, table_path, "k", [],
+            kv([("a", 1), ("b", 2)]), cluster=True,
+        )
+        snap_replace_values(
+            spark, table_path, "k", ["a"], kv([("a", 10)]), cluster=True,
+        )
+        got = sorted((r["k"], r["v"]) for r in snap_read(spark, table_path).collect())
+        assert got == [("a", 10), ("b", 2)]
+        snap_vacuum(table_path, keep_last=1, grace_seconds=0)
+        assert [m["version"] for m in snap_versions(table_path)] == [1]
+        got = sorted((r["k"], r["v"]) for r in snap_read(spark, table_path).collect())
+        assert got == [("a", 10), ("b", 2)]
+
+    def test_interleaved_writers_all_land(self, spark, table_path):
+        """N concurrent appenders: optimistic concurrency must give
+        every writer a distinct version and lose no rows (losers
+        retry bookkeeping only — data files are written once)."""
+        snap_append(spark.range(0, 1).select(F.col("id").alias("v")), table_path)
+        errs = []
+
+        def writer(base):
+            try:
+                snap_append(
+                    spark.range(base, base + 10).select(F.col("id").alias("v")),
+                    table_path,
+                )
+            except Exception as e:  # pragma: no cover - failure reporting
+                errs.append(e)
+
+        threads = [
+            threading.Thread(target=writer, args=(100 * (i + 1),))
+            for i in range(4)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs
+        versions = [m["version"] for m in snap_versions(table_path)]
+        assert versions == [0, 1, 2, 3, 4]  # contiguous, no gaps
+        want = [0] + [100 * (i + 1) + j for i in range(4) for j in range(10)]
+        assert _rows(snap_read(spark, table_path)) == sorted(want)
+
+    def test_concurrent_txn_commits_exactly_once(self, spark, table_path):
+        """Two writers of the SAME (app_id, batch_id) — the replayed
+        micro-batch shape — must land exactly one commit."""
+        df = spark.range(0, 5).select(F.col("id").alias("v"))
+        results = []
+
+        def txn():
+            results.append(snap_append_txn(df, table_path, "app", 7))
+
+        threads = [threading.Thread(target=txn) for _ in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        committed = [r for r in results if r is not None]
+        assert len(committed) == 1  # one winner, one detected replay
+        assert _rows(snap_read(spark, table_path)) == list(range(5))
+        # an explicit later replay is also a no-op
+        assert snap_append_txn(df, table_path, "app", 7) is None
+
+
+class TestMemoryStoreSemantics:
+    """The fake must model the object-store contract honestly — these
+    pin the primitives the commit protocol is allowed to rely on."""
+
+    def test_put_if_absent_is_exclusive(self):
+        st = MemoryCommitStore()
+        assert st.put_if_absent("t", "v0.json", b"a")
+        assert not st.put_if_absent("t", "v0.json", b"b")
+        assert st.read("t", "v0.json") == b"a"  # loser never overwrites
+
+    def test_pointer_only_moves_forward(self):
+        st = MemoryCommitStore()
+        st.advance_pointer("t", 3)
+        st.advance_pointer("t", 1)  # stale writer loses silently
+        assert st.read_pointer("t") == 3
+        st.advance_pointer("t", 4)
+        assert st.read_pointer("t") == 4
+
+    def test_generation_cas(self):
+        st = MemoryCommitStore()
+        assert st._put_if_generation("t", "x", b"a", 0)
+        assert not st._put_if_generation("t", "x", b"b", 0)  # stale gen
+        assert st._put_if_generation("t", "x", b"b", 1)
+        assert st.read("t", "x") == b"b"
+
+    def test_delete_is_idempotent_and_list_is_flat(self):
+        st = MemoryCommitStore()
+        st.put("t", "m-1.json", b"{}")
+        st.put("other", "m-2.json", b"{}")
+        assert st.list("t") == ["m-1.json"]
+        st.delete("t", "m-1.json")
+        st.delete("t", "m-1.json")  # no error on missing (S3 DELETE)
+        assert st.list("t") == []
+        assert not st.exists("t", "m-1.json")
+
+    def test_local_and_memory_agree_on_interface(self, tmp_path):
+        """Same call sequence, same observable results, both stores."""
+        for st in (LocalCommitStore(), MemoryCommitStore()):
+            p = str(tmp_path / type(st).__name__)
+            assert st.read_pointer(p) is None
+            assert st.list(p) == []
+            st.put(p, "m-a.json", b"1")
+            assert st.put_if_absent(p, "v0.json", b"2")
+            assert not st.put_if_absent(p, "v0.json", b"3")
+            st.advance_pointer(p, 0)
+            st.advance_pointer(p, 2)
+            st.advance_pointer(p, 1)
+            assert st.read_pointer(p) == 2
+            assert st.read(p, "v0.json") == b"2"
+            assert st.mtime(p, "m-a.json") is not None
+            assert st.mtime(p, "nope") is None
+            with pytest.raises(FileNotFoundError):
+                st.read(p, "nope")
