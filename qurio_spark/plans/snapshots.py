@@ -678,16 +678,65 @@ def snap_append_txn(
     )
 
 
-def snapshot_sink(stream_df: DataFrame, path: str, app_id: str, checkpoint: str):
+def maybe_compact(
+    spark: SparkSession,
+    path: str,
+    small_bytes: int = 8 << 20,
+    target_bytes: int = 128 << 20,
+    max_manifests: int = 16,
+) -> int | None:
+    """Compact IF the manifest list has grown past ``max_manifests`` —
+    the auto-compaction gate for per-micro-batch committers (each
+    commit appends one manifest, so an unattended streaming sink grows
+    the list without bound; Delta's checkpoint-every-10-commits is the
+    same bound).  ``max_manifests`` caps per-commit/per-scan metadata
+    work (a per-commit-overhead constant, not a data-size constant);
+    the BYTE thresholds shape the output: only files under
+    ``small_bytes`` rewrite, packed to ~``target_bytes`` — once a
+    packed file crosses ``small_bytes`` it is never rewritten again,
+    so total compaction I/O per byte is bounded regardless of how many
+    micro-batches the stream runs.  Returns the compaction commit's
+    version or None (gate not met / nothing to pack)."""
+    v = _latest_version(path)
+    if v is None:
+        return None
+    if len(_read_manifest(path, v).get("manifests", [])) < max_manifests:
+        return None
+    return snap_compact(spark, path, small_bytes, target_bytes)
+
+
+def snapshot_sink(
+    stream_df: DataFrame,
+    path: str,
+    app_id: str,
+    checkpoint: str,
+    auto_compact: bool = True,
+    small_bytes: int = 8 << 20,
+    target_bytes: int = 128 << 20,
+    max_manifests: int = 16,
+):
     """Structured Streaming -> snapshot table with exactly-once
     semantics: foreachBatch is at-least-once (a batch can re-run after
     a sink crash), and ``snap_append_txn`` makes the duplicate commit
     a no-op.  Each micro-batch is also one ATOMIC table version —
     readers never see a torn batch (plain parquet appends give
-    neither property)."""
+    neither property).
+
+    ``auto_compact`` (default on) runs :func:`maybe_compact` after
+    each commit: a long-running sink otherwise accumulates one small
+    file and one manifest per micro-batch, and at 100 TB the per-file
+    open/footer and per-manifest listing cost — not the bytes —
+    dominate scans of such a table.  Compaction is its own OCC commit
+    AFTER the batch's txn commit, so replay markers and exactly-once
+    semantics are untouched (pinned in tests)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         snap_append_txn(batch_df, path, app_id, batch_id)
+        if auto_compact:
+            maybe_compact(
+                batch_df.sparkSession, path,
+                small_bytes, target_bytes, max_manifests,
+            )
 
     return (
         stream_df.writeStream.foreachBatch(process)

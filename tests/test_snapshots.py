@@ -542,6 +542,46 @@ class TestExactlyOnceSink:
         assert len(snap_versions(path)) == 2
         assert _rows(snap_read(spark, path, 0)) == list(range(10))
 
+    def test_auto_compaction_bounds_metadata(self, spark, tmp_path):
+        """25 micro-batches through the sink's commit+maybe_compact
+        path: the manifest-list length and small-file count stay
+        BOUNDED (never past max_manifests + the compaction commit),
+        rows are exact, and txn replay markers survive compaction."""
+        from qurio_spark.plans.snapshots import (
+            _latest_version,
+            _manifest_entries,
+            _read_manifest,
+            maybe_compact,
+            snap_append_txn,
+        )
+
+        path = str(tmp_path / "autocompact")
+        max_m = 6
+        seen_manifest_lens = []
+        for b in range(25):
+            df = spark.range(10 * b, 10 * (b + 1)).select(
+                F.col("id").alias("v")
+            ).coalesce(1)
+            # exactly what snapshot_sink's process() does per batch
+            snap_append_txn(df, path, "app", b)
+            maybe_compact(spark, path, max_manifests=max_m)
+            m = _read_manifest(path, _latest_version(path))
+            seen_manifest_lens.append(len(m["manifests"]))
+        # bounded: compaction collapses the list whenever it reaches
+        # max_m — it can never exceed max_m (the gate fires the same
+        # batch it is crossed)
+        assert max(seen_manifest_lens) <= max_m
+        assert min(seen_manifest_lens) == 1  # compaction actually ran
+        m = _read_manifest(path, _latest_version(path))
+        assert len(_manifest_entries(path, m)) <= max_m + 1
+        assert _rows(snap_read(spark, path)) == list(range(250))
+        # replay markers preserved across compactions: every committed
+        # batch is still detected as a replay
+        df0 = spark.range(5).select(F.col("id").alias("v"))
+        for b in (0, 12, 24):
+            assert snap_append_txn(df0, path, "app", b) is None
+        assert _rows(snap_read(spark, path)) == list(range(250))
+
 
 class TestDeleteWhere:
     @pytest.fixture()
