@@ -124,6 +124,62 @@ def main() -> None:
     except Exception as e:
         print(f"bench recall error: {e}", file=sys.stderr)
 
+    # Decode-throughput extra: the hermetic pixel path (byte/pixel
+    # guarded since r10) over 32 deterministic 128x128 RGB PNGs,
+    # reported as megapixels/s — a regression here means the serial-
+    # Python decode got slower, which no query timing would surface
+    # (the bench corpus has no image blobs).
+    try:
+        import struct
+        import zlib
+
+        import numpy as _np
+
+        from qurio_spark.sources.multimodal import (
+            decode_image_meta,
+            resize_pixels,
+            resize_spec,
+        )
+
+        w = h = 128
+        arr = (
+            (_np.arange(w * h * 3, dtype=_np.uint64) * 2654435761 % 255)
+            .astype(_np.uint8)
+            .reshape(h, w, 3)
+        )
+        raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+
+        def _chunk(tag: bytes, body: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body))
+            )
+
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + _chunk(b"IDAT", zlib.compress(raw))
+            + _chunk(b"IEND", b"")
+        )
+        imgs = spark.createDataFrame(
+            [(f"img/{i}.png", bytearray(png)) for i in range(32)],
+            "path string, content binary",
+        )
+        meta = imgs.withColumn("meta", decode_image_meta("content")).select(
+            "path", "content", "meta.width", "meta.height"
+        )
+        t0 = time.time()
+        n_ok = (
+            resize_pixels(resize_spec(meta, max_side=64))
+            .filter("pixels is not null")
+            .count()
+        )
+        dt = time.time() - t0
+        if n_ok == 32 and dt > 0:
+            extras["decode_mpix_per_s"] = round(32 * w * h / 1e6 / dt, 2)
+    except Exception as e:
+        print(f"bench decode error: {e}", file=sys.stderr)
+
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     print(
         json.dumps(

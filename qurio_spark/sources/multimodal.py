@@ -871,7 +871,43 @@ def _decode_jpeg_pixels(data: bytes) -> "np.ndarray":
     return np.ascontiguousarray(np.clip(np.round(rgb), 0, 255).astype(np.uint8))
 
 
-def _decode_pixels(data: bytes):
+#: decode ceilings, checked BEFORE any entropy-decode work: the JPEG
+#: Huffman scan is serial Python per image, so one adversarial 100-MP
+#: file (a few hundred KB of bytes) would otherwise wedge an executor
+#: core for minutes.  Both are caller-tunable resource guards (pass
+#: None to lift), not result-shaping constants — a refused file is a
+#: NULL-honest quarantined row, never a wrong answer.
+MAX_DECODE_BYTES = 64 << 20
+MAX_DECODE_PIXELS = 1 << 24  # ~16.8 MP
+
+
+def _decode_guard(
+    data: bytes, max_bytes: int | None, max_pixels: int | None
+) -> None:
+    """Refuse oversized inputs before decoding: the byte ceiling reads
+    len() only; the pixel ceiling reads the HEADER-declared dimensions
+    (cheap struct sniff — the point is to never start the expensive
+    entropy decode).  Raises ValueError, the same taxonomy the codecs
+    use, so callers' quarantine routing applies unchanged."""
+    if max_bytes is not None and len(data) > max_bytes:
+        raise ValueError(
+            f"decode refused: {len(data)} bytes > max_decode_bytes "
+            f"{max_bytes}"
+        )
+    if max_pixels is not None:
+        _, w, h, _ = _parse_image_header(data)
+        if w and h and w * h > max_pixels:
+            raise ValueError(
+                f"decode refused: {w}x{h} = {w * h} pixels > "
+                f"max_decode_pixels {max_pixels}"
+            )
+
+
+def _decode_pixels(
+    data: bytes,
+    max_bytes: int | None = MAX_DECODE_BYTES,
+    max_pixels: int | None = MAX_DECODE_PIXELS,
+):
     """Full pixel decode.  Real branches: uncompressed BMP (stdlib
     struct — VERDICT r5 item 7), PNG at every spec depth/color pair —
     1/2/4/8/16-bit, plain or Adam7-interlaced (stdlib zlib +
@@ -881,7 +917,12 @@ def _decode_pixels(data: bytes):
     spectral selection + AC refinement — round 8); arithmetic coding
     and hierarchical/lossless SOFs remain honestly stubbed: no image
     libraries in this environment.  The mapInPandas contract around
-    it is the real, tested surface either way."""
+    it is the real, tested surface either way.
+
+    Inputs over the byte/pixel ceilings are REFUSED with ValueError
+    before any decode work (see :func:`_decode_guard`)."""
+    if data is not None:
+        _decode_guard(bytes(data), max_bytes, max_pixels)
     if data is not None and bytes(data[:2]) == b"BM":
         return _decode_bmp_pixels(bytes(data))
     if data is not None and bytes(data[:8]) == b"\x89PNG\r\n\x1a\n":
@@ -1667,13 +1708,20 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
-def resize_pixels(df: DataFrame) -> DataFrame:
+def resize_pixels(
+    df: DataFrame,
+    max_decode_bytes: int | None = MAX_DECODE_BYTES,
+    max_decode_pixels: int | None = MAX_DECODE_PIXELS,
+) -> DataFrame:
     """The end-to-end pixel path: ``content`` bytes -> ``_decode_pixels``
     -> nearest-neighbor resample to the ``resize_spec`` targets -> raw
     RGB24 bytes.  Real for uncompressed BMP and 8-bit PNG; codec
     formats surface NotImplementedError per-row in ``resize_error`` (NULL pixels)
     instead of failing the job, so a mixed 100 TB corpus keeps flowing
-    and the un-decodable slice stays countable.
+    and the un-decodable slice stays countable.  Oversized inputs
+    (byte/pixel ceilings — one adversarial 100-MP JPEG must not wedge
+    an executor core) are refused the same NULL-honest way, with the
+    refusal reason in ``resize_error``.
 
     Arrow-batched mapInPandas: decode + resample are per-row numpy on
     executor-local batches, no shuffle — parallelism is the binaryFile
@@ -1691,7 +1739,9 @@ def resize_pixels(df: DataFrame) -> DataFrame:
                     out.append((path, None, None, None, "no target dims"))
                     continue
                 try:
-                    px = _decode_pixels(bytes(content))
+                    px = _decode_pixels(
+                        bytes(content), max_decode_bytes, max_decode_pixels
+                    )
                     rs = _resample_nearest(px, int(tw), int(th))
                     out.append(
                         (path, int(tw), int(th), rs.tobytes(), None)
@@ -1726,6 +1776,10 @@ def _pdf_image_xobjects(data: bytes):
         if not w or not h or bpc != 8:
             continue
         if _re.search(rb"/Filter\s*(?:/DCTDecode|\[\s*/DCTDecode\s*\])", head):
+            # same ceilings as _decode_pixels, checked on the PDF
+            # dict's declared dims before the serial entropy decode
+            if len(body) > MAX_DECODE_BYTES or w * h > MAX_DECODE_PIXELS:
+                continue  # oversized: refused, stays quarantinable
             try:
                 px = _decode_jpeg_pixels(bytes(body))
             except (NotImplementedError, ValueError):

@@ -2346,3 +2346,72 @@ class TestPngSubByte:
         arr = bmp_golden(4, 3)
         with pytest.raises(NotImplementedError):
             _decode_pixels(make_png_full(arr % 4, color_type=2, depth=2))
+
+
+class TestDecodeGuards:
+    """Byte/pixel ceilings refuse oversized inputs BEFORE any entropy
+    decode — one adversarial 100-MP JPEG (a few hundred KB of bytes)
+    must not wedge an executor core; refused rows stay NULL-honest
+    quarantinable, never wrong."""
+
+    def _huge_png_header(self, w=100_000, h=100_000) -> bytes:
+        """A tiny byte string whose PNG header declares w*h pixels —
+        the shape of the attack (small payload, huge declared dims)."""
+        import struct
+        import zlib
+
+        ihdr = struct.pack(">II", w, h) + bytes([8, 2, 0, 0, 0])
+        chunk = (
+            struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+        )
+        return b"\x89PNG\r\n\x1a\n" + chunk
+
+    def test_pixel_ceiling_refuses_by_header(self):
+        from qurio_spark.sources.multimodal import _decode_pixels
+
+        with pytest.raises(ValueError, match="max_decode_pixels"):
+            _decode_pixels(self._huge_png_header())
+
+    def test_byte_ceiling_refuses_by_length(self):
+        from qurio_spark.sources.multimodal import _decode_pixels
+
+        data = b"\x89PNG\r\n\x1a\n" + b"x" * 100
+        with pytest.raises(ValueError, match="max_decode_bytes"):
+            _decode_pixels(data, max_bytes=50)
+
+    def test_ceilings_liftable_and_defaults_pass_real_images(self):
+        import numpy as np
+
+        from qurio_spark.sources.multimodal import _decode_pixels
+
+        px = _decode_pixels(make_bmp(7, 5))
+        assert px.shape == (5, 7, 3)
+        # None lifts a ceiling (the caller owns the tradeoff)
+        px2 = _decode_pixels(make_bmp(7, 5), max_bytes=None, max_pixels=None)
+        assert np.array_equal(px, px2)
+
+    def test_resize_pixels_quarantines_oversized(self, spark):
+        from qurio_spark.sources.multimodal import (
+            decode_image_meta,
+            resize_pixels,
+            resize_spec,
+        )
+
+        df = spark.createDataFrame(
+            [("img/huge.png", bytearray(self._huge_png_header())),
+             ("img/ok.bmp", bytearray(make_bmp(7, 5)))],
+            "path string, content binary",
+        )
+        meta = df.withColumn("meta", decode_image_meta("content")).select(
+            "path", "content", "meta.width", "meta.height"
+        )
+        out = {
+            r["path"]: r
+            for r in resize_pixels(resize_spec(meta, max_side=4)).collect()
+        }
+        huge = out["img/huge.png"]
+        assert huge["pixels"] is None
+        assert "decode refused" in huge["resize_error"]
+        ok = out["img/ok.bmp"]
+        assert ok["resize_error"] is None and ok["pixels"] is not None
