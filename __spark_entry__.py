@@ -75,6 +75,7 @@ from qurio_spark.queries.search import (  # noqa: F401
     q_batch_hybrid,
     q_batch_hybrid_ivf,
     q_bm25_incremental,
+    q_bm25_maxscore,
     q_bm25_prebuilt,
     q_bm25_topk,
     q_hybrid_filtered,
@@ -330,6 +331,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     top_customers/tpch_q6/tpch_q14/events_setops/value_percentiles —
     all green in earlier rounds' CORRECTNESS_r0*.json), then (b) the
     rows-only entries (chunker / embedder / iterative k-means).
+    Round 10 rotation — IN (new): ``bm25_maxscore`` (MaxScore/WAND
+    top-k pruning — build-time per-term max-impact bounds, theta from
+    the highest-bound list's exact partials, non-essential-term
+    candidate elimination; LOSSLESS, so its oracle is bm25_topk's SQL
+    verbatim).  OUT: ``bm25_prebuilt`` — oracle SQL identical to the
+    in-window bm25_topk's; the persisted-layout pruning stays pinned
+    by pytest (test_search) and the persisted-index pattern stays
+    in-window via lsh_prebuilt.  The bm25 family keeps three
+    in-window signals (bm25_topk, bm25_incremental, bm25_maxscore).
     EVERY entry, in-window or not, is additionally oracle-compared at
     sf0.001 by ``tests/test_queries_full.py`` on each pytest run — the
     round-4 lesson was that out-of-window entries had no committed
@@ -343,7 +353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_anti_join": q_dedup_anti_join,
         "read_page": q_read_page,
         "bm25_topk": q_bm25_topk,
-        "bm25_prebuilt": q_bm25_prebuilt,
+        "bm25_maxscore": q_bm25_maxscore,
         "vector_topk": q_vector_topk,
         "hybrid_topk": q_hybrid_topk,
         "tpch_q9": q_tpch_q9,
@@ -388,6 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rerank_overlap": q_rerank_overlap,
         # -- 51+: oracle-backed, operator proven by in-window sibling
         # (or, for minhash_lsh, newly oracle-backed breadth) ----------
+        "bm25_prebuilt": q_bm25_prebuilt,
         "streaming_hourly": q_streaming_hourly,
         "word_concentration": q_word_concentration,
         "embedding_near_dup": q_embedding_near_dup,

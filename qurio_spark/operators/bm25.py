@@ -48,12 +48,19 @@ class BM25Index:
     """postings: (doc id cols..., term, tf, df); doclen: (doc id, dl);
     stats: ONE-ROW frame (n, avgdl) kept lazy so building the index
     schedules no job — the scalars enter query plans via a broadcast
-    cross join (scalar-subquery shape), not driver literals."""
+    cross join (scalar-subquery shape), not driver literals.
+
+    ``termmax``: (term, max_impact) — each term's maximum possible
+    per-document BM25 contribution under the index's frozen stats, the
+    metadata MaxScore/WAND pruning needs (:func:`score_query_maxscore`).
+    Computed lazily at build; persisted indexes read it as a tiny
+    sidecar so query time never scans postings for bounds."""
 
     postings: DataFrame
     doclen: DataFrame
     stats: DataFrame
     id_col: str
+    termmax: DataFrame | None = None
 
     @property
     def n_docs(self) -> int:
@@ -93,12 +100,38 @@ def build_index(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     stats = doclen.agg(
         F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
     )
-    return BM25Index(postings, doclen, stats, id_col)
+    idx = BM25Index(postings, doclen, stats, id_col)
+    idx.termmax = term_max_impacts(idx)
+    return idx
 
 
 def idf_expr(df_col: Column, n_docs: Column | float) -> Column:
     n = n_docs if isinstance(n_docs, Column) else F.lit(float(n_docs))
     return F.log(F.lit(1.0) + (n - df_col + 0.5) / (df_col + 0.5))
+
+
+def _impact_expr(k1: float = K1, b: float = B) -> Column:
+    """One posting's exact BM25 contribution — over columns (tf, dl,
+    df, n, avgdl)."""
+    tf, dl = F.col("tf").cast("double"), F.col("dl").cast("double")
+    return idf_expr(F.col("df").cast("double"), F.col("n")) * (
+        tf * (k1 + 1.0)
+    ) / (tf + k1 * (1.0 - b + b * dl / F.col("avgdl")))
+
+
+def term_max_impacts(
+    index: BM25Index, k1: float = K1, b: float = B
+) -> DataFrame:
+    """(term, max_impact): each term's maximum per-document BM25
+    contribution under the index's frozen df/N/avgdl — one lazy
+    partial-agg over postings, |vocab| output rows.  This is the
+    per-term upper bound MaxScore/WAND pruning keys on."""
+    return (
+        index.postings.crossJoin(F.broadcast(index.stats))
+        .select(F.col("term"), _impact_expr(k1, b).alias("imp"))
+        .groupBy("term")
+        .agg(F.max("imp").alias("max_impact"))
+    )
 
 
 def score_query(
@@ -158,16 +191,33 @@ def write_index(
     ).partitionBy("term_bucket").parquet(f"{path}/postings")
     index.doclen.write.mode("overwrite").parquet(f"{path}/doclen")
     index.stats.write.mode("overwrite").parquet(f"{path}/stats")
+    # per-term max-impact sidecar (|vocab| rows, bucket-partitioned
+    # like the postings) — MaxScore bounds come from here at query
+    # time, never from a postings scan
+    tm = index.termmax if index.termmax is not None else term_max_impacts(index)
+    tm.withColumn(
+        "term_bucket", term_bucket(F.col("term"), n_buckets)
+    ).write.mode("overwrite").partitionBy("term_bucket").parquet(
+        f"{path}/termmax"
+    )
 
 
 def read_index(spark: SparkSession, path: str, id_col: str = "doc_id") -> BM25Index:
     """Open a persisted index; partition pruning on ``term_bucket``
-    happens in ``score_query_prebuilt``'s filter."""
+    happens in ``score_query_prebuilt``'s filter.  Indexes persisted
+    before the termmax sidecar existed open with ``termmax=None``
+    (MaxScore then recomputes bounds lazily)."""
+    import os as _os
+
+    termmax = None
+    if _os.path.isdir(f"{path}/termmax"):
+        termmax = spark.read.parquet(f"{path}/termmax")
     return BM25Index(
         postings=spark.read.parquet(f"{path}/postings"),
         doclen=spark.read.parquet(f"{path}/doclen"),
         stats=spark.read.parquet(f"{path}/stats"),
         id_col=id_col,
+        termmax=termmax,
     )
 
 
@@ -192,6 +242,129 @@ def score_query_prebuilt(
     )
 
 
+# -- MaxScore / WAND top-k pruning -------------------------------------------
+#
+# score_query aggregates EVERY matched posting; for a query mixing one
+# rare term with a stopword-class term (df ~ N) that is O(N) scoring
+# work for a top-k answer the rare list almost determines.  MaxScore
+# (Turtle & Flood; the max-impact half of WAND) makes the hot-term work
+# proportional to the CANDIDATES instead:
+#
+#   1. per-term upper bound UB(t) = max per-doc contribution (from the
+#      build-time termmax sidecar — no postings scan at query time);
+#   2. a LOWER bound theta on the k-th best final score: the k-th best
+#      exact partial impact on the highest-UB term's own postings (a
+#      partial score is <= the doc's full score, so theta <= true kth);
+#   3. term split: the largest low-UB prefix with sum(UB) < theta is
+#      NON-ESSENTIAL — a doc containing only those terms provably
+#      scores < theta and can never enter the top-k;
+#   4. candidates = docs on the ESSENTIAL lists; hot non-essential
+#      postings are semi-join-filtered to candidates BEFORE the
+#      scoring aggregate.
+#
+# LOSSLESS for top-k: every returned score is exact and every doc with
+# score >= theta survives — pinned against the unpruned scorer in
+# tests/test_bm25_segments.py.  At 100 TB the win is the shape change:
+# the groupBy(doc) shuffle carries O(sum df(essential) * q) rows, not
+# O(df(stopword)).
+
+
+def maxscore_split(
+    ubs: dict[str, float], theta: float
+) -> tuple[list[str], list[str]]:
+    """(essential, non_essential): the largest ascending-UB prefix
+    whose UB sum stays strictly under ``theta`` is non-essential."""
+    order = sorted(ubs, key=lambda t: (ubs[t], t))
+    non_essential: list[str] = []
+    acc = 0.0
+    for t in order:
+        if acc + ubs[t] < theta:
+            non_essential.append(t)
+            acc += ubs[t]
+        else:
+            break
+    ness = set(non_essential)
+    return [t for t in ubs if t not in ness], non_essential
+
+
+def score_query_maxscore(
+    index: BM25Index,
+    query: str,
+    topk: int,
+    k1: float = K1,
+    b: float = B,
+    prune_stats: dict | None = None,
+) -> DataFrame:
+    """Top-k-lossless pruned scoring: -> (id_col, bm25) containing at
+    least every document of the true top-``topk`` with EXACT scores
+    (possibly plus lower-scored candidates — harmless to the caller's
+    TakeOrdered).  Driver-side work is bounded by the query length
+    (<= q termmax rows + topk impact values), the same literal
+    contract as the probe-label ANN paths.
+
+    ``prune_stats`` (tests/diagnostics): filled with theta, the term
+    split, and matched-vs-scored posting counts (costs extra count
+    jobs — leave None in production)."""
+    terms = list(dict.fromkeys(tokenize_query(query)))
+    if not terms:
+        return index.doclen.select(index.id_col, F.lit(0.0).alias("bm25")).limit(0)
+    tm = index.termmax if index.termmax is not None else term_max_impacts(index, k1, b)
+    ubs = {
+        r["term"]: float(r["max_impact"])
+        for r in tm.filter(F.col("term").isin(terms)).collect()
+    }
+    if not ubs:  # no query term occurs in the corpus
+        return index.doclen.select(index.id_col, F.lit(0.0).alias("bm25")).limit(0)
+    # theta from the highest-UB (typically rarest) term's own postings
+    t_star = max(ubs, key=lambda t: (ubs[t], t))
+    star_imps = (
+        index.postings.filter(F.col("term") == t_star)
+        .crossJoin(F.broadcast(index.stats))
+        .select(_impact_expr(k1, b).alias("imp"))
+        .orderBy(F.desc("imp"))
+        .limit(topk)
+        .collect()
+    )
+    theta = float(star_imps[-1]["imp"]) if len(star_imps) >= topk else float("-inf")
+    essential, non_essential = maxscore_split(ubs, theta)
+    if prune_stats is not None:
+        prune_stats.update(
+            theta=theta, essential=essential, non_essential=non_essential
+        )
+    if not non_essential:
+        if prune_stats is not None:
+            full = index.postings.filter(F.col("term").isin(terms))
+            prune_stats["postings_matched"] = full.count()
+            prune_stats["postings_scored"] = prune_stats["postings_matched"]
+        return score_query(index, query, k1, b)
+    cand = (
+        index.postings.filter(F.col("term").isin(essential))
+        .select(index.id_col)
+        .distinct()
+    )
+    # candidates are SMALL by construction — they come from the
+    # essential (high-impact, therefore rare) lists; when every list
+    # is hot, theta never demotes a term and the full path above runs
+    # with no join at all.  Broadcast makes the hot-postings filter a
+    # map-side semi join instead of shuffling the hot list.
+    matched = index.postings.filter(F.col("term").isin(terms)).join(
+        F.broadcast(cand), index.id_col, "left_semi"
+    )
+    if "dl" not in matched.columns:
+        matched = matched.join(index.doclen, index.id_col)
+    scored = matched.crossJoin(F.broadcast(index.stats))
+    if prune_stats is not None:
+        prune_stats["postings_matched"] = index.postings.filter(
+            F.col("term").isin(terms)
+        ).count()
+        prune_stats["postings_scored"] = matched.count()
+    return (
+        scored.withColumn("s", _impact_expr(k1, b))
+        .groupBy(index.id_col)
+        .agg(F.sum("s").alias("bm25"))
+    )
+
+
 # -- incremental / segmented index maintenance ------------------------------
 #
 # The monolithic index above freezes df/N/avgdl at write time, so
@@ -209,8 +382,11 @@ def score_query_prebuilt(
 @dataclass
 class BM25SegmentedIndex:
     """postings: (id, term, tf, dl) — segment-local df is deliberately
-    NOT carried (it is meaningless after a merge); termdf: (term, df)
-    additive partials; stats: 1-row-per-segment (n, sumdl) additive
+    NOT carried (it is meaningless after a merge); termdf: (term, df,
+    max_tf, min_dl) additive partials (df sums, max_tf maxes, min_dl
+    mins — the MaxScore bound inputs stay mergeable because a
+    segment-local IMPACT would be meaningless after a merge: idf and
+    avgdl are global); stats: 1-row-per-segment (n, sumdl) additive
     partials."""
 
     postings: DataFrame
@@ -230,7 +406,11 @@ def build_segment(
         F.col(id_col), F.size(tokenize(F.col(text_col))).alias("dl")
     )
     postings = tf.join(doclen, id_col)
-    termdf = tf.groupBy("term").agg(F.count("*").alias("df"))
+    termdf = postings.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.max("tf").alias("max_tf"),
+        F.min("dl").alias("min_dl"),
+    )
     stats = doclen.agg(
         F.count("*").cast("double").alias("n"),
         F.sum("dl").cast("double").alias("sumdl"),
@@ -358,6 +538,105 @@ def score_query_segmented_pruned(
     return score_query_segmented(pruned, query, k1, b)
 
 
+def score_query_segmented_maxscore(
+    index: BM25SegmentedIndex,
+    query: str,
+    topk: int,
+    k1: float = K1,
+    b: float = B,
+    prune_stats: dict | None = None,
+) -> DataFrame:
+    """MaxScore pruning over the SEGMENT model — same lossless top-k
+    contract as :func:`score_query_maxscore`.  Per-term upper bounds
+    derive from the ADDITIVE sidecar partials: UB(t) = idf(global df,
+    global N) * tfnorm(max over segments max_tf, min over segments
+    min_dl, global avgdl) — tfnorm is increasing in tf and decreasing
+    in dl, so the cross-segment (max_tf, min_dl) pair dominates every
+    real posting.  Bounds therefore stay correct across any merge
+    without touching old segments."""
+    import math
+
+    terms = list(dict.fromkeys(tokenize_query(query)))
+    if not terms:
+        return score_query_segmented(index, query, k1, b)
+    meta = (
+        index.termdf.filter(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(
+            F.sum("df").cast("double").alias("df"),
+            F.max("max_tf").cast("double").alias("max_tf"),
+            F.min("min_dl").cast("double").alias("min_dl"),
+        )
+        .collect()
+    )
+    if not meta:
+        return score_query_segmented(index, query, k1, b)
+    srow = index.stats.agg(
+        F.sum("n").alias("n"), (F.sum("sumdl") / F.sum("n")).alias("avgdl")
+    ).collect()[0]
+    n, avgdl = float(srow["n"]), float(srow["avgdl"])
+
+    def _idf(df: float) -> float:
+        return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+    def _tfnorm(tf: float, dl: float) -> float:
+        return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+    dfs = {r["term"]: float(r["df"]) for r in meta}
+    ubs = {
+        r["term"]: _idf(float(r["df"]))
+        * _tfnorm(float(r["max_tf"]), float(r["min_dl"]))
+        for r in meta
+    }
+    t_star = max(ubs, key=lambda t: (ubs[t], t))
+    imp_star = (
+        F.lit(_idf(dfs[t_star]))
+        * F.col("tf").cast("double") * (k1 + 1.0)
+        / (
+            F.col("tf").cast("double")
+            + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl)
+        )
+    )
+    star_imps = (
+        index.postings.filter(F.col("term") == t_star)
+        .select(imp_star.alias("imp"))
+        .orderBy(F.desc("imp"))
+        .limit(topk)
+        .collect()
+    )
+    theta = float(star_imps[-1]["imp"]) if len(star_imps) >= topk else float("-inf")
+    essential, non_essential = maxscore_split(ubs, theta)
+    if prune_stats is not None:
+        prune_stats.update(
+            theta=theta, essential=essential, non_essential=non_essential
+        )
+    if not non_essential:
+        if prune_stats is not None:
+            m = index.postings.filter(F.col("term").isin(terms))
+            prune_stats["postings_matched"] = m.count()
+            prune_stats["postings_scored"] = prune_stats["postings_matched"]
+        return score_query_segmented(index, query, k1, b)
+    cand = (
+        index.postings.filter(F.col("term").isin(essential))
+        .select(index.id_col)
+        .distinct()
+    )
+    pruned = BM25SegmentedIndex(
+        postings=index.postings.filter(F.col("term").isin(terms)).join(
+            F.broadcast(cand), index.id_col, "left_semi"
+        ),
+        termdf=index.termdf,
+        stats=index.stats,
+        id_col=index.id_col,
+    )
+    if prune_stats is not None:
+        prune_stats["postings_matched"] = index.postings.filter(
+            F.col("term").isin(terms)
+        ).count()
+        prune_stats["postings_scored"] = pruned.postings.count()
+    return score_query_segmented(pruned, query, k1, b)
+
+
 def compact_segments(
     spark: SparkSession,
     path: str,
@@ -374,7 +653,11 @@ def compact_segments(
         postings=merged.postings.drop("term_bucket"),
         termdf=merged.termdf.drop("term_bucket")
         .groupBy("term")
-        .agg(F.sum("df").alias("df")),
+        .agg(
+            F.sum("df").alias("df"),
+            F.max("max_tf").alias("max_tf"),
+            F.min("min_dl").alias("min_dl"),
+        ),
         stats=merged.stats.agg(
             F.sum("n").alias("n"), F.sum("sumdl").alias("sumdl")
         ),

@@ -815,6 +815,14 @@ WITH {_bm25_cte()}
 SELECT doc_id, (floor((bm25) * 10000.0 + 0.5) / 10000.0) AS bm25 FROM bm25_scores
 WHERE bm25 > 0
 ORDER BY (floor((bm25) * 1000000.0 + 0.5) / 1000000.0) DESC, doc_id LIMIT 10""",
+        # identical oracle to bm25_topk on purpose: MaxScore/WAND
+        # pruning is LOSSLESS for top-k — the pruned path must
+        # reproduce the exhaustive scorer's top-10 exactly
+        "bm25_maxscore": f"""
+WITH {_bm25_cte()}
+SELECT doc_id, (floor((bm25) * 10000.0 + 0.5) / 10000.0) AS bm25 FROM bm25_scores
+WHERE bm25 > 0
+ORDER BY (floor((bm25) * 1000000.0 + 0.5) / 1000000.0) DESC, doc_id LIMIT 10""",
         # identical oracle to bm25_topk on purpose: the persisted-index
         # path must reproduce the in-DAG build's scores exactly
         "bm25_prebuilt": f"""

@@ -40,6 +40,28 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+def q_bm25_maxscore(spark, sf_dir):
+    """Q2 alpha=0 through MaxScore/WAND top-k pruning (r10): per-term
+    max-impact bounds + theta from the highest-bound list's exact
+    partials + non-essential-term candidate elimination.  LOSSLESS for
+    top-k, so the oracle is bm25_topk's SQL verbatim — the pruned path
+    must reproduce the exhaustive scorer's top-10 exactly.
+
+    Pruned at depth 20 while returning 10: theta from the 20th-best
+    partial is strictly below any score that could round-collide with
+    the true 10th at the 6-decimal tie-break, so rounding-boundary
+    ties can never differ from the exhaustive oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    idx = bm25_op.build_index(docs)
+    scored = bm25_op.score_query_maxscore(idx, QUERY_TEXT, 20)
+    return (
+        scored.filter(F.col("bm25") > 0)
+        .select("doc_id", stable_round("bm25", 4).alias("bm25"))
+        .orderBy(F.desc(stable_round("bm25", 6)), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 # Per-process cache of persisted index locations (sf_dir -> path).
 # bench.py populates these via prepare_indexes() OUTSIDE the timed
 # region (index builds amortize over a query stream in production); the

@@ -104,3 +104,103 @@ def test_pruned_scan_has_partition_filters(spark, docs, tmp_path):
     idx = read_segments(spark, path, ["s"])
     a = audit(score_query_segmented_pruned(idx, QUERY))
     assert a["partition_filters"] >= 2, a["plan"]
+
+
+class TestMaxScore:
+    """MaxScore/WAND pruning: LOSSLESS for top-k (identical top-k sets
+    and exact scores vs the unpruned scorer) while scanning
+    dramatically fewer postings into the scoring aggregate when a
+    query mixes rare and stopword-class terms."""
+
+    def _topk(self, df, k):
+        rows = df.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k).collect()
+        return [(r["doc_id"], round(r["bm25"], 9)) for r in rows]
+
+    def test_monolithic_lossless_on_real_corpus(self, spark, docs):
+        from qurio_spark.operators.bm25 import score_query_maxscore
+
+        idx = build_index(docs)
+        want = self._topk(score_query(idx, QUERY), 10)
+        got = self._topk(score_query_maxscore(idx, QUERY, 10), 10)
+        assert got == want
+
+    def test_segmented_lossless_on_real_corpus(self, spark, docs):
+        from qurio_spark.operators.bm25 import score_query_segmented_maxscore
+
+        base = docs.filter(F.col("doc_id") % 3 != 0)
+        delta = docs.filter(F.col("doc_id") % 3 == 0)
+        merged = merge_segments([build_segment(base), build_segment(delta)])
+        want = self._topk(score_query_segmented(merged, QUERY), 10)
+        got = self._topk(
+            score_query_segmented_maxscore(merged, QUERY, 10), 10
+        )
+        assert got == want
+
+    @pytest.fixture()
+    def adversarial(self, spark):
+        """400 docs ALL containing the stopword 'the'; only 6 contain
+        'zyzzyva'.  A top-5 'zyzzyva the' query is the WAND showcase:
+        the stopword's postings dwarf the useful list."""
+        rows = []
+        for i in range(400):
+            body = "the common filler words " + ("the " * (i % 5 + 1))
+            if i % 67 == 0:
+                body += " zyzzyva rarity"
+            rows.append((i, body))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_adversarial_high_df_prunes_and_stays_exact(self, spark, adversarial):
+        from qurio_spark.operators.bm25 import score_query_maxscore
+
+        idx = build_index(adversarial)
+        q = "zyzzyva the"
+        want = self._topk(score_query(idx, q), 5)
+        stats: dict = {}
+        got = self._topk(
+            score_query_maxscore(idx, q, 5, prune_stats=stats), 5
+        )
+        assert got == want
+        # the stopword must be classified non-essential and its
+        # postings semi-join-filtered before the scoring aggregate
+        assert "the" in stats["non_essential"]
+        assert "zyzzyva" in stats["essential"]
+        assert stats["postings_scored"] < stats["postings_matched"] / 5, stats
+
+    def test_adversarial_segmented_prunes_and_stays_exact(self, spark, adversarial):
+        from qurio_spark.operators.bm25 import score_query_segmented_maxscore
+
+        segs = [
+            build_segment(adversarial.filter(F.col("doc_id") % 2 == i))
+            for i in (0, 1)
+        ]
+        merged = merge_segments(segs)
+        q = "zyzzyva the"
+        want = self._topk(score_query_segmented(merged, q), 5)
+        stats: dict = {}
+        got = self._topk(
+            score_query_segmented_maxscore(merged, q, 5, prune_stats=stats), 5
+        )
+        assert got == want
+        assert "the" in stats["non_essential"]
+        assert stats["postings_scored"] < stats["postings_matched"] / 5, stats
+
+    def test_fewer_matches_than_topk_disables_pruning(self, spark, adversarial):
+        """theta needs topk exact partials; with a rarer-than-k term
+        the scorer must fall back to full scoring, not over-prune."""
+        from qurio_spark.operators.bm25 import score_query_maxscore
+
+        idx = build_index(adversarial)
+        got = self._topk(score_query_maxscore(idx, "zyzzyva the", 50), 50)
+        want = self._topk(score_query(idx, "zyzzyva the"), 50)
+        assert got == want
+
+    def test_split_math(self):
+        from qurio_spark.operators.bm25 import maxscore_split
+
+        ess, ness = maxscore_split({"a": 5.0, "b": 0.5, "c": 0.3}, 1.0)
+        assert set(ness) == {"b", "c"} and ess == ["a"]
+        ess, ness = maxscore_split({"a": 5.0, "b": 0.5, "c": 0.6}, 1.0)
+        assert set(ness) == {"b"} and set(ess) == {"a", "c"}
+        # theta -inf (unknown kth score): nothing is prunable
+        ess, ness = maxscore_split({"a": 1.0}, float("-inf"))
+        assert ness == [] and ess == ["a"]

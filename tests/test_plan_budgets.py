@@ -48,6 +48,11 @@ BUDGETS = {
     "tpch_q3": {"shuffles": ("<=", 1), "smj": ("<=", 0)},
     # prebuilt BM25: one scoring shuffle, term-bucket directory pruning
     "bm25_prebuilt": {"shuffles": ("<=", 1), "partition_filters": (">=", 1)},
+    # MaxScore BM25 (in-DAG index build like bm25_topk's 5 shuffles,
+    # plus the candidate distinct + semi-join; no sort-merge, no
+    # python; the bnlj is the 1-row stats scalar attach)
+    "bm25_maxscore": {"shuffles": ("<=", 8), "smj": ("<=", 0),
+                      "bnlj": ("<=", 1), "python_stages": ("<=", 0)},
     # persisted LSH probe: map-only pruned scan + TakeOrdered
     "lsh_prebuilt": {"shuffles": ("<=", 0), "partition_filters": (">=", 1)},
     # IVF single probe: map-only pruned scan
