@@ -172,6 +172,69 @@ class HttpEmbedder:
         return F.pandas_udf(T.ArrayType(T.FloatType()))(_embed)
 
 
+class HttpOcrProvider:
+    """Docling-serve-shaped OCR/convert provider — the reference's
+    docling OCR boundary (``handlers/file.py:196-299``: scanned PDFs
+    rasterized + OCR'd to markdown) behind the same provider-interface
+    pattern as the embedder: the engine stays hermetic by default
+    (scanned PDFs quarantine with ``ERR_CONVERSION_STUBBED``) and a
+    deployment points this client at its OCR service to close the gap.
+
+    Request:  ``{"model": m, "documents": ["<base64>", ...]}`` with
+    ``Authorization: Bearer <key>`` resolved per call (hot-swap).
+    Response: ``{"results": [{"text": "...", "pages": n}, ...]}`` —
+    one result per document, count-validated; a null/absent ``text``
+    marks a document the provider could not OCR (the caller keeps its
+    quarantine row).  One HTTP call per ``max_batch`` documents,
+    retried on the transient taxonomy like every other provider."""
+
+    def __init__(
+        self,
+        endpoint: str,
+        model: str = "docling-ocr",
+        key_provider: Callable[[], str] | None = None,
+        timeout_s: float = DEFAULT_TIMEOUT_S,
+        policy: RetryPolicy | None = None,
+        max_batch: int = 16,
+    ):
+        self.endpoint = endpoint
+        self.model = model
+        self.key_provider = key_provider or (lambda: "")
+        self.timeout_s = timeout_s
+        self.policy = policy or RetryPolicy()
+        self.max_batch = max_batch
+
+    def _call(self, blobs: list[bytes]) -> list[dict]:
+        import base64
+
+        payload = {
+            "model": self.model,
+            "documents": [
+                base64.b64encode(bytes(b)).decode("ascii") for b in blobs
+            ],
+        }
+        key = self.key_provider()
+        headers = {"Authorization": f"Bearer {key}"} if key else {}
+        body = _post_json(self.endpoint, payload, headers, self.timeout_s)
+        results = body.get("results")
+        if not isinstance(results, list) or len(results) != len(blobs):
+            raise IngestionError(
+                ERR_PROVIDER_SHAPE,
+                f"expected {len(blobs)} OCR results, got "
+                f"{len(results) if isinstance(results, list) else type(results).__name__}",
+            )
+        return results
+
+    def ocr_batch(self, blobs: Sequence[bytes]) -> list[dict]:
+        """Chunked + retried batch OCR (worker-side: one call per
+        ``max_batch`` documents, never per row)."""
+        out: list[dict] = []
+        for i in range(0, len(blobs), self.max_batch):
+            chunk = list(blobs[i : i + self.max_batch])
+            out.extend(with_retries(lambda c=chunk: self._call(c), self.policy))
+        return out
+
+
 class HttpReranker:
     """Jina/Cohere-shaped rerank client (adapter/reranker/client.go:31-160).
 

@@ -1593,19 +1593,69 @@ def _convert_one(path: str, data) -> tuple:
 
 
 def convert_files(
-    df: DataFrame, path_col: str = "path", content_col: str = "content"
+    df: DataFrame,
+    path_col: str = "path",
+    content_col: str = "content",
+    ocr=None,
 ) -> DataFrame:
     """binaryFile rows -> CONVERTED_SCHEMA rows via mapInPandas (the
     Spark shape of the reference's process-pool conversion: per-file
     parallelism, failures as coded rows instead of dead tasks — they
-    flow to the M5 quarantine)."""
+    flow to the M5 quarantine).
+
+    ``ocr``: an OCR provider (``functions/providers.HttpOcrProvider``
+    shape — ``ocr_batch(blobs) -> [{"text", "pages"}]``) applied to
+    the PDFs the hermetic extractor quarantines as scanned
+    (ERR_CONVERSION_STUBBED) — the reference's docling OCR boundary
+    (handlers/file.py:196-299) behind the provider-interface pattern.
+    ONE provider call per Arrow batch's scanned slice, never per row;
+    a provider failure keeps those rows quarantined under its
+    taxonomy code instead of failing the task, and a null/empty OCR
+    text keeps the original quarantine row.  Absent provider (the
+    default) preserves today's hermetic quarantine exactly."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from qurio_spark.functions.resilience import IngestionError
+
         cols = [f.name for f in CONVERTED_SCHEMA.fields]
         for pdf in batches:
             out = [
                 _convert_one(p, d)
                 for p, d in zip(pdf[path_col], pdf[content_col])
             ]
+            if ocr is not None:
+                idxs = [
+                    i for i, r in enumerate(out)
+                    if r[1] == "failed" and r[2] == ERR_CONVERSION_STUBBED
+                ]
+                if idxs:
+                    blobs = [
+                        bytes(pdf[content_col].iloc[i]) for i in idxs
+                    ]
+                    try:
+                        results = ocr.ocr_batch(blobs)
+                    except IngestionError as e:
+                        # quarantine the slice under the provider's
+                        # code — per-file failure rows, never a dead
+                        # task (M5/M8 posture)
+                        for i in idxs:
+                            r = out[i]
+                            out[i] = (
+                                r[0], "failed", e.code, None, r[4],
+                                None, None, 0, "en",
+                            )
+                        results = []
+                        idxs = []
+                    for i, res in zip(idxs, results):
+                        text = res.get("text") if isinstance(res, dict) else None
+                        if text and str(text).strip():
+                            pages = res.get("pages")
+                            r = out[i]
+                            out[i] = (
+                                r[0], "success", None, str(text), r[4],
+                                None, None,
+                                int(pages) if isinstance(pages, int) else 0,
+                                "en",
+                            )
             yield pd.DataFrame(out, columns=cols)
 
     return df.select(path_col, content_col).mapInPandas(gen, CONVERTED_SCHEMA)

@@ -95,6 +95,45 @@ class Handler(BaseHTTPRequestHandler):
                 self.send_error(429)
             else:
                 self._json({"results": [{"index": 0, "relevance_score": 1.0}]})
+        elif self.path == "/ocr":
+            docs = payload["documents"]
+            import base64 as _b64
+
+            texts = []
+            for d in docs:
+                blob = _b64.b64decode(d)
+                # deterministic fake OCR: "recognizes" a fixed body
+                # tagged with the blob size so tests can assert the
+                # right bytes arrived
+                texts.append(
+                    {
+                        "text": "# Scanned report\n\nThe zymurgy "
+                        f"process description ({len(blob)} bytes).",
+                        "pages": 1,
+                    }
+                )
+            self._json({"results": texts})
+        elif self.path == "/ocr-short":
+            self._json({"results": [{"text": "only one"}]})
+        elif self.path == "/ocr-null":
+            self._json(
+                {"results": [{"text": None} for _ in payload["documents"]]}
+            )
+        elif self.path == "/ocr-bad":
+            self.send_error(400)
+        elif self.path == "/ocr-flaky":
+            if STATE["flaky_left"] > 0:
+                STATE["flaky_left"] -= 1
+                self.send_error(503)
+            else:
+                self._json(
+                    {
+                        "results": [
+                            {"text": "ocr ok", "pages": 2}
+                            for _ in payload["documents"]
+                        ]
+                    }
+                )
         else:
             self.send_error(404)
 
@@ -283,3 +322,127 @@ class TestProviderIntegration:
             chunks=chunks, reranker=HttpReranker(f"{server}/rerank", policy=FAST)
         ).search("spark shuffle", alpha=0.0, limit=5)
         assert [r["chunk_id"] for r in rr] == [r["chunk_id"] for r in base][::-1]
+
+
+class TestHttpOcrProvider:
+    def test_batch_happy_path(self, server):
+        from qurio_spark.functions.providers import HttpOcrProvider
+
+        o = HttpOcrProvider(f"{server}/ocr", policy=FAST)
+        res = o.ocr_batch([b"abc", b"defgh"])
+        assert len(res) == 2
+        assert "(3 bytes)" in res[0]["text"]
+        assert "(5 bytes)" in res[1]["text"]
+        assert res[0]["pages"] == 1
+
+    def test_count_mismatch_is_shape_error(self, server):
+        from qurio_spark.functions.providers import HttpOcrProvider
+
+        o = HttpOcrProvider(f"{server}/ocr-short", policy=FAST)
+        with pytest.raises(IngestionError) as ei:
+            o.ocr_batch([b"a", b"b"])
+        assert ei.value.code == ERR_PROVIDER_SHAPE
+
+    def test_permanent_http_error_no_retry(self, server):
+        from qurio_spark.functions.providers import HttpOcrProvider
+
+        STATE["requests"].clear()
+        o = HttpOcrProvider(f"{server}/ocr-bad", policy=FAST)
+        with pytest.raises(IngestionError) as ei:
+            o.ocr_batch([b"a"])
+        assert ei.value.code == ERR_PROVIDER_HTTP
+        assert len(STATE["requests"]) == 1  # 4xx never retries
+
+    def test_transient_retries_then_succeeds(self, server):
+        from qurio_spark.functions.providers import HttpOcrProvider
+
+        STATE["flaky_left"] = 2
+        o = HttpOcrProvider(f"{server}/ocr-flaky", policy=FAST)
+        res = o.ocr_batch([b"a"])
+        assert res[0]["text"] == "ocr ok" and res[0]["pages"] == 2
+
+
+class TestOcrConvertPipeline:
+    """The reference-gap e2e: scanned PDF (image-only, no text
+    operators) -> hermetic quarantine without a provider -> with the
+    fake OCR provider: convert -> chunk -> BM25 search finds the
+    recognized text."""
+
+    def _scanned_pdf(self) -> bytes:
+        from tests.pdf_fixture import make_image_pdf
+
+        px = bytes(range(48)) * 4  # 8x8 RGB raw samples
+        return make_image_pdf(8, 8, px)
+
+    def test_absent_provider_keeps_quarantine(self, spark):
+        from qurio_spark.sources.multimodal import convert_files
+
+        df = spark.createDataFrame(
+            [("up/scan.pdf", bytearray(self._scanned_pdf()))],
+            "path string, content binary",
+        )
+        row = convert_files(df).collect()[0]
+        assert row["status"] == "failed"
+        assert row["error"] == "ERR_CONVERSION_STUBBED"
+
+    def test_ocr_to_chunk_to_search(self, spark, server):
+        from qurio_spark.functions.providers import HttpOcrProvider
+        from qurio_spark.operators.bm25 import score_query_inline
+        from qurio_spark.plans.pipeline import build_chunks
+        from qurio_spark.sources.multimodal import (
+            convert_files,
+            uploads_to_docs_raw,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [
+                ("up/scan.pdf", bytearray(self._scanned_pdf())),
+                ("up/notes.md", bytearray(b"# Notes\n\nplain markdown")),
+            ],
+            "path string, content binary",
+        )
+        ocr = HttpOcrProvider(f"{server}/ocr", policy=FAST)
+        converted = convert_files(df, ocr=ocr)
+        rows = {r["path"]: r for r in converted.collect()}
+        assert rows["up/scan.pdf"]["status"] == "success"
+        assert "zymurgy" in rows["up/scan.pdf"]["content"]
+        assert rows["up/scan.pdf"]["pages"] == 1
+        assert rows["up/notes.md"]["status"] == "success"  # untouched
+
+        docs = uploads_to_docs_raw(converted, "uploads")
+        chunks = build_chunks(docs)
+        hits = score_query_inline(
+            chunks.select(
+                F.concat_ws("#", "url", "chunk_index").alias("doc_id"),
+                F.col("content").alias("text"),
+            ),
+            "zymurgy process",
+        ).filter(F.col("bm25") > 0).collect()
+        assert any(h["doc_id"].startswith("up/scan.pdf") for h in hits)
+
+    def test_provider_failure_quarantines_slice(self, spark, server):
+        from qurio_spark.functions.providers import HttpOcrProvider
+        from qurio_spark.sources.multimodal import convert_files
+
+        df = spark.createDataFrame(
+            [("up/scan.pdf", bytearray(self._scanned_pdf()))],
+            "path string, content binary",
+        )
+        ocr = HttpOcrProvider(f"{server}/ocr-bad", policy=FAST)
+        row = convert_files(df, ocr=ocr).collect()[0]
+        assert row["status"] == "failed"
+        assert row["error"] == ERR_PROVIDER_HTTP
+
+    def test_null_ocr_text_keeps_quarantine(self, spark, server):
+        from qurio_spark.functions.providers import HttpOcrProvider
+        from qurio_spark.sources.multimodal import convert_files
+
+        df = spark.createDataFrame(
+            [("up/scan.pdf", bytearray(self._scanned_pdf()))],
+            "path string, content binary",
+        )
+        ocr = HttpOcrProvider(f"{server}/ocr-null", policy=FAST)
+        row = convert_files(df, ocr=ocr).collect()[0]
+        assert row["status"] == "failed"
+        assert row["error"] == "ERR_CONVERSION_STUBBED"
