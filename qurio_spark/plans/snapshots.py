@@ -434,6 +434,16 @@ def snap_read(
     m = _read_manifest(path, v)
     entries = _manifest_entries(path, m)
     if not entries:
+        # a zero-file version is a legitimate table state (a mutation
+        # can empty a control table); with the manifest-owned schema
+        # the empty frame is fully determined.  Legacy schema-less
+        # manifests have no schema source and must still raise.
+        if m.get("schema") is not None:
+            from pyspark.sql import types as T
+
+            return spark.createDataFrame(
+                [], T.StructType.fromJson(m["schema"])
+            )
         raise ValueError(f"version {v} of {path} is empty")
     # pinned schema from the manifest (the log owns the schema): no
     # footer sampling at read time, and files written before a column
@@ -809,6 +819,46 @@ def snap_delete_where(
         # a concurrent commit landed between classification and claim:
         # the classification (and the survivor rewrite) must re-run
         # against the new latest
+    raise RuntimeError(
+        f"commit contention on {path}: {_MAX_COMMIT_RETRIES} retries lost"
+    )
+
+
+def snap_mutate(
+    spark: SparkSession,
+    path: str,
+    fn,
+) -> int:
+    """Atomic OPTIMISTIC read-modify-write: ``fn(current frame | None)
+    -> new full table content``, committed as an overwrite claimed at
+    exactly the version that was read + 1 — if a concurrent writer
+    claims it first, ``fn`` RE-RUNS against the winner's table (a
+    plain snap_overwrite retry would replay stale bookkeeping over a
+    result computed from a stale read: the lost-update anomaly).
+    This is the snapshot-table analogue of the reference's Postgres
+    transactions around catalog mutations — dup-checked inserts,
+    status merges, and quarantine clears compose safely across
+    concurrent mutators.
+
+    ``fn`` receives None when the table does not exist yet (creation
+    races are settled by the same version-0 claim)."""
+    for _ in range(_MAX_COMMIT_RETRIES):
+        v = _latest_version(path)
+        cur = snap_read(spark, path, v) if v is not None else None
+        new = fn(cur)
+        version = 0 if v is None else v + 1
+        # the new content may read `cur` lazily during this write —
+        # safe: version v's files are immutable even if a concurrent
+        # commit lands meanwhile
+        new_files = _write_data_files(new, path, version)
+        name = _write_manifest_file(path, new_files)
+        if _try_commit(
+            path, version,
+            {"version": version, "op": "overwrite", "parent": v,
+             "manifests": [name],
+             "schema": _evolved_schema(None, new, "overwrite")},
+        ):
+            return version
     raise RuntimeError(
         f"commit contention on {path}: {_MAX_COMMIT_RETRIES} retries lost"
     )
