@@ -61,6 +61,7 @@ from qurio_spark.queries.search import (  # noqa: F401
 )
 
 from qurio_spark.queries.catalog import (  # noqa: F401
+    q_catalog_crud,
     q_count_filtered,
     q_count_global,
     q_dedup_anti_join,
@@ -340,13 +341,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     by pytest (test_search) and the persisted-index pattern stays
     in-window via lsh_prebuilt.  The bm25 family keeps three
     in-window signals (bm25_topk, bm25_incremental, bm25_maxscore).
+    Also IN (new): ``catalog_crud`` — the snapshot-backed catalog
+    store e2e (dedup-checked create x2 per source, soft delete,
+    status merge, list; every mutation an atomic OCC snapshot
+    commit) with the surviving list reproduced by the oracle from
+    documents.  OUT: ``source_list`` — its group/count oracle is a
+    strict subset of the in-window stats_fanin count family, and the
+    S7 listing semantic is covered STRONGER by catalog_crud (list
+    after real mutations); green since round 1.
     EVERY entry, in-window or not, is additionally oracle-compared at
     sf0.001 by ``tests/test_queries_full.py`` on each pytest run — the
     round-4 lesson was that out-of-window entries had no committed
     signal."""
     return {
         # -- driver-checked window (all oracle-backed) ----------------
-        "source_list": q_source_list,
+        "catalog_crud": q_catalog_crud,
         "filter_equality": q_filter_equality,
         "time_travel": q_time_travel,
         "stats_fanin": q_stats_fanin,
@@ -399,6 +408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 51+: oracle-backed, operator proven by in-window sibling
         # (or, for minhash_lsh, newly oracle-backed breadth) ----------
         "bm25_prebuilt": q_bm25_prebuilt,
+        "source_list": q_source_list,
         "streaming_hourly": q_streaming_hourly,
         "word_concentration": q_word_concentration,
         "embedding_near_dup": q_embedding_near_dup,

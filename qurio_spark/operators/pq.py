@@ -543,7 +543,7 @@ def write_pq_index(
     ]
     spark.createDataFrame(
         rows, "subspace int, code int, centroid array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/codebooks")
 
 
 def read_pq_index(spark, path: str):
@@ -657,7 +657,7 @@ def write_ivfpq_index(
     ]
     spark.createDataFrame(
         rows, "subspace int, code int, centroid array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/codebooks")
 
 
 def ivfpq_topk(

@@ -22,8 +22,13 @@ snapshot layer (plans/snapshots.py):
 
 The row/filter logic stays in ``operators/catalog.py`` — this module
 owns ONLY persistence, so the two cannot drift.  Control tables are
-tiny relative to the corpus; each mutation coalesces to one file and
-the snapshot auto-compaction/vacuum tools apply unchanged.
+tiny relative to the corpus; each mutation lands one file —
+``repartition(1)``, NOT ``coalesce(1)``: coalescing a LocalTableScan
+to one partition measured ~4 s/write of pure overhead (it forces the
+local rows through the legacy non-Arrow single-partition path), while
+repartition keeps the Arrow conversion and costs one trivial shuffle
+of human-scale rows.  The snapshot auto-compaction/vacuum tools apply
+unchanged.
 
 Reference parity: source/source.go:96-112 (dup-checked create),
 source/repo.go:40-57 (list), features/job/job.go:8-17 (quarantine +
@@ -93,42 +98,62 @@ class SnapshotCatalog:
         re-runs on every claim attempt, so two concurrent creates of
         the same content_hash cannot both insert (the Postgres-
         transaction guarantee the plain-parquet form lacked)."""
-        created = {"v": False}
+        return self.create_sources([row])[0]
+
+    def create_sources(self, rows: list[dict]) -> list[bool]:
+        """BULK dup-checked insert as ONE atomic commit — the batch
+        shape (a crawl scheduler registering many discovered sources
+        at once): N creates cost one snapshot commit, not N.  Returns
+        per-row created flags; within the batch, later duplicates of
+        an earlier row are rejected too.  An all-duplicate batch is a
+        provable no-op and commits nothing (SnapNoChange).
+
+        The dup check collects the live content hashes driver-side —
+        the sources table is control-plane (human-scale) by contract,
+        the same index lookup the reference's Postgres would do; the
+        check re-runs on every claim attempt, so concurrent batches
+        cannot double-insert a hash."""
+        from qurio_spark.plans.snapshots import SnapNoChange
+
+        flags: dict = {"v": [False] * len(rows)}
 
         def mutate(cur: DataFrame | None) -> DataFrame:
             base = cur if cur is not None else self.spark.createDataFrame([], SOURCES)
-            dup = (
-                base.filter(
-                    (F.col("content_hash") == row["content_hash"])
-                    & F.col("deleted_at").isNull()
-                )
-                .limit(1)
-                .count()
-                > 0
-            )
-            created["v"] = not dup
-            if dup:
-                return base.coalesce(1)
-            new = self.spark.createDataFrame(
-                [tuple(row[f.name] for f in SOURCES.fields)], SOURCES
-            )
-            return base.unionByName(new).coalesce(1)
+            live = {
+                r["content_hash"]
+                for r in base.filter(F.col("deleted_at").isNull())
+                .select("content_hash")
+                .collect()
+            }
+            out, fl = [], []
+            for row in rows:
+                if row["content_hash"] in live:
+                    fl.append(False)
+                else:
+                    live.add(row["content_hash"])
+                    out.append(tuple(row[f.name] for f in SOURCES.fields))
+                    fl.append(True)
+            flags["v"] = fl
+            if not out:
+                raise SnapNoChange()
+            new = self.spark.createDataFrame(out, SOURCES)
+            return base.unionByName(new).repartition(1)
 
         snap_mutate(self.spark, self.sources_path, mutate)
-        return created["v"]
+        return flags["v"]
 
     def soft_delete(self, source_id: str) -> None:
         snap_mutate(
             self.spark,
             self.sources_path,
-            lambda cur: soft_delete_source(cur, source_id).coalesce(1),
+            lambda cur: soft_delete_source(cur, source_id).repartition(1),
         )
 
     def update_statuses(self, status_by_id: DataFrame) -> None:
         snap_mutate(
             self.spark,
             self.sources_path,
-            lambda cur: update_source_status(cur, status_by_id).coalesce(1),
+            lambda cur: update_source_status(cur, status_by_id).repartition(1),
         )
 
     # -- quarantine (append-only) + retry bookkeeping -------------------
@@ -136,13 +161,13 @@ class SnapshotCatalog:
     def quarantine(self, docs: DataFrame, handler: str = "ingestion-worker") -> int:
         """Append this batch's failed rows as one atomic version."""
         rows = quarantine_failures(self.spark, docs, handler)
-        return snap_append(rows.coalesce(1), self.failed_path)
+        return snap_append(rows.repartition(1), self.failed_path)
 
     def clear_retried(self, ids: list[str]) -> None:
         snap_mutate(
             self.spark,
             self.failed_path,
-            lambda cur: clear_retried(cur, ids).coalesce(1),
+            lambda cur: clear_retried(cur, ids).repartition(1),
         )
 
     # -- query log (append-only) ----------------------------------------
@@ -152,7 +177,7 @@ class SnapshotCatalog:
         append per flush (retrieval/logger.go's JSONL appends, with
         isolation)."""
         df = self.spark.createDataFrame(rows, QUERY_LOG)
-        return snap_append(df.coalesce(1), self.log_path)
+        return snap_append(df.repartition(1), self.log_path)
 
     # -- stats fan-in ----------------------------------------------------
 

@@ -95,7 +95,7 @@ def compact_partitions(
 def _write_stats(spark: SparkSession, path: str, mean_err: float, n: int) -> None:
     spark.createDataFrame(
         [(float(mean_err), int(n))], "mean_err double, n bigint"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/stats")
 
 
 def _read_stats(spark: SparkSession, path: str):

@@ -824,6 +824,13 @@ def snap_delete_where(
     )
 
 
+class SnapNoChange(Exception):
+    """Raised by a ``snap_mutate`` transform to signal the mutation is
+    a provable no-op — no version is committed (the same posture as
+    ``snap_delete_where`` returning None): an all-duplicate bulk
+    create or an empty status merge must not churn versions."""
+
+
 def snap_mutate(
     spark: SparkSession,
     path: str,
@@ -845,7 +852,10 @@ def snap_mutate(
     for _ in range(_MAX_COMMIT_RETRIES):
         v = _latest_version(path)
         cur = snap_read(spark, path, v) if v is not None else None
-        new = fn(cur)
+        try:
+            new = fn(cur)
+        except SnapNoChange:
+            return v if v is not None else -1
         version = 0 if v is None else v + 1
         # the new content may read `cur` lazily during this write —
         # safe: version v's files are immutable even if a concurrent

@@ -104,3 +104,40 @@ def q_read_page(spark, sf_dir):
     )
 
 
+
+
+def q_catalog_crud(spark, sf_dir):
+    """M3/F6 CRUD e2e on the SNAPSHOT-BACKED catalog store (r10,
+    plans/catalog_store.py): create one source per distinct
+    documents.source (each duplicate re-create must be rejected by the
+    content-hash dedup check), soft-delete 'src2', merge a 'completed'
+    status for 'src1', then list the survivors.  Every mutation is an
+    atomic OCC snapshot commit; the oracle reproduces the surviving
+    list from ``documents`` directly (uuid ids / timestamps —
+    nondeterministic — are excluded from the output)."""
+    import tempfile
+
+    from qurio_spark.operators.catalog import new_source_row
+    from qurio_spark.plans.catalog_store import SnapshotCatalog
+
+    cat = SnapshotCatalog(spark, tempfile.mkdtemp(prefix="catalog_crud_"))
+    srcs = sorted(
+        r["source"]
+        for r in _t(spark, sf_dir, "documents").select("source").distinct().collect()
+    )
+    batch = [new_source_row(f"https://{s}.example", name=s) for s in srcs]
+    created = cat.create_sources(batch)  # ONE commit for N creates
+    # the whole batch re-sent: every row dup-rejected, nothing commits
+    dups = cat.create_sources(
+        [new_source_row(f"https://{s}.example", name=s) for s in srcs]
+    )
+    if not all(created) or any(dups):
+        raise AssertionError("dedup-checked bulk create broken")
+    rows = {r["name"]: r["id"] for r in cat.sources().collect()}
+    cat.soft_delete(rows["src2"])
+    cat.update_statuses(
+        spark.createDataFrame(
+            [(rows["src1"], "completed")], "source_id string, status string"
+        )
+    )
+    return cat.list_sources().select("name", "url", "status")

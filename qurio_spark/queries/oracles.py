@@ -781,6 +781,14 @@ def oracle_sql() -> dict[str, str]:
         "source_list": """
 SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY source""",
+        # the CRUD outcome is fully determined by documents.source:
+        # every distinct source created once (dups rejected), src2
+        # soft-deleted, src1 status-merged to completed
+        "catalog_crud": """
+SELECT source AS name, 'https://' || source || '.example' AS url,
+       CASE WHEN source = 'src1' THEN 'completed' ELSE 'in_progress' END AS status
+FROM (SELECT DISTINCT source FROM documents)
+WHERE source <> 'src2'""",
         "filter_equality": """
 SELECT doc_id, source, lang, n_chars FROM documents
 WHERE lang = 'en' AND source = 'src1'""",

@@ -126,3 +126,26 @@ def test_query_log_appends_atomically(spark, cat):
     cat.log_queries([(t, "spark shuffle", 5, 8.0)])
     rows = cat.query_log().collect()
     assert sorted(r["query"] for r in rows) == ["hash join", "spark shuffle"]
+
+
+def test_bulk_create_one_commit_and_no_churn(spark, cat):
+    """N creates = ONE snapshot commit; an all-duplicate batch commits
+    NOTHING (SnapNoChange) — no version churn from idempotent
+    re-registration."""
+    from qurio_spark.plans.snapshots import snap_versions
+
+    rows = [new_source_row(f"https://b{i}.example") for i in range(5)]
+    flags = cat.create_sources(rows)
+    assert flags == [True] * 5
+    assert len(snap_versions(cat.sources_path)) == 1  # one commit
+    # in-batch duplicate: second copy of b0 rejected within the batch
+    flags = cat.create_sources(
+        [new_source_row("https://b9.example"),
+         new_source_row("https://b0.example")]
+    )
+    assert flags == [True, False]
+    assert len(snap_versions(cat.sources_path)) == 2
+    # full replay: every row a duplicate -> provable no-op, no commit
+    assert cat.create_sources(rows) == [False] * 5
+    assert len(snap_versions(cat.sources_path)) == 2
+    assert cat.sources().count() == 6
