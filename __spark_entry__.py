@@ -111,6 +111,7 @@ from qurio_spark.queries.events_tpch import (  # noqa: F401
     q_cheapest_order_per_customer,
     q_tpch_q2,
     q_events_hourly,
+    q_events_gapfill,
     q_events_json,
     q_events_retention,
     q_events_top_users,
@@ -150,6 +151,7 @@ from qurio_spark.queries.breadth import (  # noqa: F401
     q_sample_mixture,
     q_source_completion,
     q_stratified_sample,
+    q_weighted_sample,
     q_tpch_q6,
     q_value_percentiles,
 )
@@ -349,6 +351,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     strict subset of the in-window stats_fanin count family, and the
     S7 listing semantic is covered STRONGER by catalog_crud (list
     after real mutations); green since round 1.
+    Also IN (new): ``weighted_sample`` (Efraimidis-Spirakis A-ES
+    deterministic weighted sampling — portable-hash u, ln(u)/w key
+    through stable_round, exact-key oracle) and ``events_gapfill``
+    (regular-grid resample + LOCF forward fill vs a
+    generate_series x last_value-IGNORE-NULLS oracle).  OUT:
+    ``events_histogram`` (binning agg; proven by the in-window
+    events_cube and the 51+ value_percentiles sibling; green since
+    round 6) and ``events_unpivot`` (stack/melt, sibling of the 51+
+    events_pivot — same reshaping family; green since round 6).
     EVERY entry, in-window or not, is additionally oracle-compared at
     sf0.001 by ``tests/test_queries_full.py`` on each pytest run — the
     round-4 lesson was that out-of-window entries had no committed
@@ -380,7 +391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_incremental": q_bm25_incremental,
         "incremental_hourly": q_incremental_hourly,
         "events_sessions": q_events_sessions,
-        "events_unpivot": q_events_unpivot,
+        "events_gapfill": q_events_gapfill,
         "streaming_ingest": q_streaming_ingest,
         "bloom_semi_join": q_bloom_semi_join,
         "resize_targets": q_resize_targets,
@@ -397,7 +408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_quarantine": q_snap_quarantine,
         "events_range_proximity": q_events_range_proximity,
         "events_asof_recovery": q_events_asof_recovery,
-        "events_histogram": q_events_histogram,
+        "weighted_sample": q_weighted_sample,
         "events_cube": q_events_cube,
         "merge_orders": q_merge_orders,
         "tpch_q16": q_tpch_q16,
@@ -409,6 +420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (or, for minhash_lsh, newly oracle-backed breadth) ----------
         "bm25_prebuilt": q_bm25_prebuilt,
         "source_list": q_source_list,
+        "events_histogram": q_events_histogram,
+        "events_unpivot": q_events_unpivot,
         "streaming_hourly": q_streaming_hourly,
         "word_concentration": q_word_concentration,
         "embedding_near_dup": q_embedding_near_dup,

@@ -139,3 +139,44 @@ def stratified_sample_exact(
         .filter(F.col("_rk") <= n_per_stratum)
         .drop("_rk")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "ws:",
+    key_digits: int = 9,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis-Spirakis A-ES scheme: each row gets key u^(1/w) for a
+    uniform u and positive weight w, and the n LARGEST keys are the
+    sample (inclusion odds rise with weight; the scheme is the
+    standard one-pass weighted reservoir).  Training-data mixtures
+    weight domains/quality this way when a per-source rate
+    (``sample_mixture``) is too coarse.
+
+    Engine-deterministic, like the stratified holdout: u derives from
+    the md5-portable ``hash64`` of the row id (no RNG, stable across
+    partitionings/engines — the DuckDB oracle reproduces it exactly),
+    and the key is ranked through ``stable_round`` with an id
+    tie-break.  Keys compare via ln(u)/w — the monotone log transform
+    of u^(1/w) (w > 0), numerically safer than pow for tiny u.
+
+    Scale shape: one map-side key projection + TakeOrdered(n) — no
+    shuffle of the corpus, no per-stratum state; works unchanged at
+    any row count."""
+    from qurio_spark.functions.numeric import stable_round
+
+    u = (
+        hash64(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 60))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    out = df.withColumn("_wkey", stable_round(key, key_digits))
+    return (
+        out.orderBy(F.desc("_wkey"), F.asc(id_col))
+        .limit(n)
+    )

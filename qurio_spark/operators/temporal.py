@@ -195,3 +195,56 @@ def range_join_binned(
     right_out = [a for c, a in ren.items() if a not in set(on)]
     matches = inner.select(*left_key, *right_out)
     return left.join(matches, on=left_key, how="left")
+
+
+def gap_fill_locf(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    unit: str = "hour",
+) -> DataFrame:
+    """Regular-grid resample with forward fill (LOCF — last
+    observation carried forward): aggregate ``value_col`` per
+    (``key_cols``, ``unit`` bucket), then EMIT EVERY bucket of the data's
+    [min, max] range for every key — buckets with no rows carry the
+    previous bucket's value (NULL before the first observation), plus
+    ``n=0``.  The time-series normalization step the reference's
+    event analytics lacks: dashboards and window models need a dense
+    regular grid, not the sparse buckets a plain groupBy yields.
+
+    Scale shape: the grid is ``sequence()``-generated from ONE global
+    min/max row cross-joined with the distinct keys — grid size =
+    range/step x |keys|, independent of the event count; the fill is
+    one ``last(ignorenulls)`` window per key over the grid (bounded
+    rows per partition), never a window over raw events.  The event
+    table itself sees one partial-agg shuffle, nothing else."""
+    from pyspark.sql.window import Window
+
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    agg = df.groupBy(*key_cols, bucket.alias("bucket")).agg(
+        F.count("*").alias("n"), F.sum(value_col).alias("v")
+    )
+    bounds = df.agg(
+        F.date_trunc(unit, F.min(ts_col)).alias("lo"),
+        F.date_trunc(unit, F.max(ts_col)).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr(f"interval 1 {unit}"))
+        ).alias("bucket")
+    )
+    keys = df.select(*key_cols).distinct()
+    dense = keys.crossJoin(grid)
+    joined = dense.join(agg, [*key_cols, "bucket"], "left")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        *key_cols,
+        F.col("bucket"),
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+    )

@@ -373,3 +373,20 @@ def q_stratified_sample(spark, sf_dir):
         _t(spark, sf_dir, "documents"), n_per_stratum=25
     )
     return kept.select("doc_id", "source")
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (operators/sharding.weighted_sample, r10 — Efraimidis-Spirakis
+    A-ES over the md5-portable hash): top-60 documents by
+    u^(1/n_chars) key, i.e. inclusion odds proportional to document
+    length.  The oracle reproduces the exact key arithmetic
+    (ln(u)/w through stable_round) in SQL."""
+    from qurio_spark.operators.sharding import weighted_sample
+
+    kept = weighted_sample(
+        _t(spark, sf_dir, "documents"), n=60, weight_col="n_chars"
+    )
+    return kept.select(
+        "doc_id", "n_chars", F.col("_wkey").alias("sk")
+    )

@@ -756,3 +756,22 @@ def q_incremental_hourly(spark, sf_dir):
         partition_col="day_key",
     )
     return read_agg_view(spark, path)
+
+
+def q_events_gapfill(spark, sf_dir):
+    """Regular-grid resample + LOCF forward fill
+    (operators/temporal.gap_fill_locf, r10): per event_type, EVERY
+    hour of the data's range — empty hours carry n=0 and the previous
+    hour's summed value (NULL before the first observation).  Oracle:
+    generate_series grid x distinct keys, last_value IGNORE NULLS."""
+    from qurio_spark.operators.temporal import gap_fill_locf
+
+    filled = gap_fill_locf(
+        _events(spark, sf_dir), "ts", ["event_type"], "value", unit="hour"
+    )
+    return filled.select(
+        "event_type",
+        F.col("bucket").alias("hour"),
+        "n",
+        stable_round("v_filled", 2).alias("v_filled"),
+    )

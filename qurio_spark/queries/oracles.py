@@ -1705,6 +1705,30 @@ WHERE ('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
           WHEN 'src3' THEN {250_000}
           ELSE {100_000}
         END""",
+        # the A-ES weighted-sample key is exact integer-hash math up
+        # to ln(); stable_round(9) + id tie-break absorbs cross-engine
+        # ulp noise like every float-ranked oracle here
+        "weighted_sample": """
+SELECT doc_id, n_chars, k AS sk FROM (
+  SELECT doc_id, n_chars,
+    (floor((ln((CAST(('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 0.5)
+         / 1152921504606846976.0) / CAST(n_chars AS DOUBLE)) * 1000000000.0 + 0.5) / 1000000000.0) AS k
+  FROM documents)
+ORDER BY k DESC, doc_id ASC LIMIT 60""",
+        "events_gapfill": """
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM events),
+grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM bounds),
+keys AS (SELECT DISTINCT event_type FROM events),
+agg AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+               count(*) AS n, sum(value) AS v
+        FROM events GROUP BY 1, 2)
+SELECT k.event_type, g.bucket AS hour, coalesce(a.n, 0) AS n,
+       (floor((CAST(last_value(a.v IGNORE NULLS) OVER (
+            PARTITION BY k.event_type ORDER BY g.bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)) * 100.0 + 0.5) / 100.0) AS v_filled
+FROM keys k CROSS JOIN grid g
+LEFT JOIN agg a ON a.event_type = k.event_type AND a.bucket = g.bucket""",
         "stratified_sample": """
 SELECT doc_id, source FROM (
   SELECT doc_id, source,

@@ -48,6 +48,13 @@ BUDGETS = {
     "tpch_q3": {"shuffles": ("<=", 1), "smj": ("<=", 0)},
     # prebuilt BM25: one scoring shuffle, term-bucket directory pruning
     "bm25_prebuilt": {"shuffles": ("<=", 1), "partition_filters": (">=", 1)},
+    # A-ES weighted sample: map-side key projection + TakeOrdered —
+    # ZERO shuffles, the corpus never moves
+    "weighted_sample": {"shuffles": ("<=", 0), "python_stages": ("<=", 0)},
+    # gap-fill: one partial-agg over events + grid join + per-key
+    # window; the bnlj is the 1-row bounds attach to the grid explode
+    "events_gapfill": {"shuffles": ("<=", 4), "smj": ("<=", 0),
+                       "bnlj": ("<=", 1), "python_stages": ("<=", 0)},
     # MaxScore BM25 (in-DAG index build like bm25_topk's 5 shuffles,
     # plus the candidate distinct + semi-join; no sort-merge, no
     # python; the bnlj is the 1-row stats scalar attach)

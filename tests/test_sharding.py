@@ -131,3 +131,30 @@ class TestStratifiedSampleExact:
         d = spark.read.parquet(f"{sf_dir}/documents.parquet")
         with pytest.raises(ValueError, match="positive"):
             stratified_sample_exact(d, 0)
+
+
+class TestWeightedSample:
+    def test_deterministic_and_weight_monotone(self, spark):
+        from qurio_spark.operators.sharding import weighted_sample
+
+        rows = [(i, 10 if i % 10 else 10_000) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, w long")
+        a = [r["doc_id"] for r in weighted_sample(df, 50, "w").collect()]
+        b = [r["doc_id"] for r in weighted_sample(df, 50, "w").collect()]
+        assert a == b  # no RNG, plan/partitioning independent
+        # the 20 heavy rows (1000x weight) should essentially all make
+        # a 50-of-200 sample; a uniform sampler would take ~5
+        heavy = [d for d in a if d % 10 == 0]
+        assert len(heavy) >= 18
+
+    def test_sample_is_without_replacement_and_sized(self, spark):
+        from qurio_spark.operators.sharding import weighted_sample
+
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(30)], "doc_id long, w long"
+        )
+        out = weighted_sample(df, 10, "w").collect()
+        ids = [r["doc_id"] for r in out]
+        assert len(ids) == 10 == len(set(ids))
+        # n >= rows: everything included once
+        assert len(weighted_sample(df, 100, "w").collect()) == 30

@@ -274,3 +274,34 @@ def test_range_join_binned_left_equi_keys_and_collision(spark):
     )
     rows = {r["lid"]: (r["rid"], r["t_r"]) for r in out.collect()}
     assert rows == {1: (10, 110.0), 3: (None, None)}
+
+
+class TestGapFillLocf:
+    def test_gaps_filled_with_locf_and_zero_counts(self, spark):
+        from datetime import datetime
+
+        from qurio_spark.operators.temporal import gap_fill_locf
+
+        ev = spark.createDataFrame(
+            [
+                ("a", datetime(2026, 1, 1, 0, 10), 1.0),
+                ("a", datetime(2026, 1, 1, 0, 50), 2.0),
+                # hours 1-2 empty for 'a'
+                ("a", datetime(2026, 1, 1, 3, 5), 7.0),
+                # 'b' starts late: hours 0-2 have no observation
+                ("b", datetime(2026, 1, 1, 3, 30), 5.0),
+            ],
+            "k string, ts timestamp, v double",
+        )
+        out = gap_fill_locf(ev, "ts", ["k"], "v", unit="hour")
+        got = {
+            (r["k"], r["bucket"].hour): (r["n"], r["v_filled"])
+            for r in out.collect()
+        }
+        assert len(got) == 8  # 2 keys x 4 hours: the dense grid
+        assert got[("a", 0)] == (2, 3.0)
+        assert got[("a", 1)] == (0, 3.0)  # LOCF carries hour 0's sum
+        assert got[("a", 2)] == (0, 3.0)
+        assert got[("a", 3)] == (1, 7.0)
+        assert got[("b", 0)] == (0, None)  # before first observation
+        assert got[("b", 3)] == (1, 5.0)
