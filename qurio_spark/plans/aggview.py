@@ -34,11 +34,28 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 STATE_COLS = ("n", "s", "mn", "mx")
 
 
+#: Datasketches HLL precision for the optional distinct state — 2^12
+#: registers (~2 KB dense); the sketch stays EXACT in sparse mode for
+#: small per-key cardinalities and ~1.6% RSE beyond
+HLL_LGK = 12
+
+
 def partial_states(
-    delta: DataFrame, group_cols: list[str], value_col: str
+    delta: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    distinct_col: str | None = None,
 ) -> DataFrame:
-    """Delta batch -> one mergeable state row per key."""
-    return delta.groupBy(*group_cols).agg(
+    """Delta batch -> one mergeable state row per key.
+
+    ``distinct_col`` adds a MERGEABLE approximate-distinct state: a
+    Datasketches HLL sketch of that column (``hs``, binary).  Exact
+    distinct is not a mergeable state (it needs the full key set);
+    the sketch is — union(state(A), state(B)) == state(A ∪ B) holds
+    exactly at the sketch level, so incremental refresh stays
+    split-invariant (the property pinned in tests).  The estimate
+    derives at read time like avg does."""
+    aggs = [
         F.count("*").alias("n"),
         # fixed state type: merge_states coalesces with lit(0.0), which
         # would promote an integer sum to double on the SECOND refresh
@@ -47,7 +64,10 @@ def partial_states(
         F.sum(value_col).cast("double").alias("s"),
         F.min(value_col).alias("mn"),
         F.max(value_col).alias("mx"),
-    )
+    ]
+    if distinct_col is not None:
+        aggs.append(F.hll_sketch_agg(distinct_col, F.lit(HLL_LGK)).alias("hs"))
+    return delta.groupBy(*group_cols).agg(*aggs)
 
 
 def merge_states(
@@ -66,15 +86,17 @@ def merge_states(
     import functools
     import operator
 
+    has_hs = "hs" in old.columns
     o = old
-    for c in list(group_cols) + list(STATE_COLS):
+    state = list(STATE_COLS) + (["hs"] if has_hs else [])
+    for c in list(group_cols) + state:
         o = o.withColumnRenamed(c, f"_o_{c}")
     cond = functools.reduce(
         operator.and_,
         [o[f"_o_{c}"].eqNullSafe(new[c]) for c in group_cols],
     )
     joined = o.join(new, cond, "full_outer")
-    return joined.select(
+    out = [
         # matched rows agree on the key (null-safe), so coalesce only
         # picks the side that exists — a both-sides-NULL key stays NULL
         *[
@@ -85,7 +107,17 @@ def merge_states(
         (F.coalesce("_o_s", F.lit(0.0)) + F.coalesce("s", F.lit(0.0))).alias("s"),
         F.least("_o_mn", "mn").alias("mn"),
         F.greatest("_o_mx", "mx").alias("mx"),
-    )
+    ]
+    if has_hs:
+        # sketch union is the state's ⊕; hll_union needs both sides
+        # non-null, so one-sided rows pass their sketch through
+        out.append(
+            F.when(F.col("_o_hs").isNull(), F.col("hs"))
+            .when(F.col("hs").isNull(), F.col("_o_hs"))
+            .otherwise(F.hll_union("_o_hs", "hs"))
+            .alias("hs")
+        )
+    return joined.select(*out)
 
 
 def refresh_agg_view(
@@ -95,6 +127,7 @@ def refresh_agg_view(
     group_cols: list[str],
     value_col: str,
     partition_col: str | None = None,
+    distinct_col: str | None = None,
 ) -> None:
     """Refresh the persisted view at ``path`` with ``delta``'s rows.
 
@@ -120,7 +153,7 @@ def refresh_agg_view(
 
     from qurio_spark.functions.checkpointing import checkpoint_df
 
-    new = partial_states(delta, group_cols, value_col)
+    new = partial_states(delta, group_cols, value_col, distinct_col)
     old = snap_read_if_exists(spark, path)
     if partition_col and old is not None:
         # `new` feeds BOTH the touched-values collect and the merge —
@@ -161,11 +194,15 @@ def read_agg_view(
     from qurio_spark.plans.snapshots import snap_read
 
     v = snap_read(spark, path)
-    return v.select(
-        *[c for c in v.columns if c not in STATE_COLS],
+    state = set(STATE_COLS) | {"hs"}
+    finals = [
+        *[c for c in v.columns if c not in state],
         F.col("n"),
         stable_round(F.col("s"), round_digits).alias("total_value"),
         stable_round(F.col("s") / F.col("n"), round_digits).alias("avg_value"),
         stable_round(F.col("mn"), round_digits).alias("min_value"),
         stable_round(F.col("mx"), round_digits).alias("max_value"),
-    )
+    ]
+    if "hs" in v.columns:
+        finals.append(F.hll_sketch_estimate("hs").alias("n_distinct"))
+    return v.select(*finals)

@@ -642,6 +642,26 @@ def snap_diff(
     return ins.unionByName(del_)
 
 
+def snap_changes_since(
+    spark: SparkSession, path: str, last_version: int
+) -> tuple[DataFrame, int]:
+    """Incremental CDC consumption cursor: ``(change feed from
+    last_version to the current latest, new cursor)`` — the
+    subscription shape downstream incremental jobs poll with (store
+    the returned cursor, pass it back next call).  No new versions ->
+    an empty frame with the change-feed schema and the same cursor.
+    File-level cancellation makes each poll O(delta files) for
+    append-mostly history (see :func:`snap_diff`); vacuum bounds how
+    far back a lapsed cursor may reach — a cursor older than the
+    retained history raises (the consumer must re-bootstrap from a
+    full read, the Delta CDF contract)."""
+    latest = _latest_version(path)
+    if latest is None:
+        raise FileNotFoundError(f"no snapshot table at {path}")
+    v_from = min(last_version, latest)
+    return snap_diff(spark, path, v_from, latest), latest
+
+
 def snap_append_txn(
     df: DataFrame, path: str, app_id: str, batch_id: int
 ) -> int | None:

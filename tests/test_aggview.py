@@ -174,3 +174,47 @@ def test_null_partition_key_merges_not_duplicates(spark, tmp_path):
     assert null_rows[0]["n"] == 2 and null_rows[0]["total_value"] == 4.0
     (h1,) = [r for r in rows if r["hour_key"] == "h1"]
     assert h1["n"] == 1 and h1["total_value"] == 2.0
+
+
+def test_distinct_state_is_split_invariant(spark, tmp_path):
+    """Approximate-distinct as a MERGEABLE HLL state: incremental
+    refresh over any batch split must equal the one-shot view, and at
+    test cardinality the sparse-mode sketch is exact vs
+    countDistinct."""
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "day string, event_type string, value double, user_id long"
+        )
+
+    rows = [
+        (f"d{i % 3}", "click" if i % 2 else "view", float(i), i % 37)
+        for i in range(300)
+    ]
+    keys = ["day", "event_type"]
+
+    one = str(tmp_path / "oneshot")
+    refresh_agg_view(spark, one, mk(rows), keys, "value",
+                     partition_col="day", distinct_col="user_id")
+    inc = str(tmp_path / "incr")
+    refresh_agg_view(spark, inc, mk(rows[:100]), keys, "value",
+                     partition_col="day", distinct_col="user_id")
+    refresh_agg_view(spark, inc, mk(rows[100:]), keys, "value",
+                     partition_col="day", distinct_col="user_id")
+
+    def finals(path):
+        return sorted(
+            tuple(r) for r in read_agg_view(spark, path).collect()
+        )
+
+    assert finals(inc) == finals(one)
+    got = {
+        (r["day"], r["event_type"]): r["n_distinct"]
+        for r in read_agg_view(spark, one).collect()
+    }
+    exact = {
+        (r["day"], r["event_type"]): r["x"]
+        for r in mk(rows).groupBy(*keys).agg(
+            F.countDistinct("user_id").alias("x")
+        ).collect()
+    }
+    assert got == exact  # sparse-mode exactness at this cardinality

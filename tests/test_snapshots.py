@@ -927,3 +927,30 @@ class TestSnapDiffSchemaPinning:
             (r["v"], r["w"], r["_change"]) for r in d.collect()
         )
         assert rows == [(3, 30, "insert"), (4, 40, "insert")]
+
+
+class TestChangesSince:
+    def test_cursor_consumption(self, spark, tmp_path):
+        from qurio_spark.plans.snapshots import snap_changes_since
+
+        path = str(tmp_path / "cdc")
+        snap_append(spark.range(0, 3).select(F.col("id").alias("v")), path)
+        snap_append(spark.range(3, 5).select(F.col("id").alias("v")), path)
+        feed, cur = snap_changes_since(spark, path, 0)
+        assert cur == 1
+        assert sorted((r["v"], r["_change"]) for r in feed.collect()) == [
+            (3, "insert"), (4, "insert"),
+        ]
+        # caught up: empty feed, same schema, cursor unchanged
+        feed2, cur2 = snap_changes_since(spark, path, cur)
+        assert cur2 == 1 and feed2.count() == 0
+        assert feed2.columns == feed.columns
+        # next commit advances the cursor again
+        snap_overwrite(spark.range(9, 10).select(F.col("id").alias("v")), path)
+        feed3, cur3 = snap_changes_since(spark, path, cur2)
+        assert cur3 == 2
+        changes = sorted((r["v"], r["_change"]) for r in feed3.collect())
+        assert changes == [
+            (0, "delete"), (1, "delete"), (2, "delete"),
+            (3, "delete"), (4, "delete"), (9, "insert"),
+        ]
