@@ -172,6 +172,7 @@ from qurio_spark.queries.ingest import (  # noqa: F401
 from qurio_spark.queries.relational import (  # noqa: F401
     q_bloom_semi_join,
     q_snap_compact,
+    q_snap_dv,
     q_snap_quarantine,
     q_parts_never_shipped,
     q_tpch_q4,
@@ -360,6 +361,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     events_cube and the 51+ value_percentiles sibling; green since
     round 6) and ``events_unpivot`` (stack/melt, sibling of the 51+
     events_pivot — same reshaping family; green since round 6).
+    Also IN (new): ``snap_dv`` (merge-on-read DELETE via deletion
+    vectors — two stacked positional-delete commits that move zero
+    data bytes, read-side anti-join application, then
+    snap_materialize_dvs folding the vectors away; both phases vs the
+    complement-predicate oracle).  OUT: ``events_asof_recovery`` —
+    the as-of join operator keeps ``events_asof_attribution``
+    in-window (same temporal.asof_join contract, opposite direction)
+    plus the two range-join siblings; green since round 6.
     EVERY entry, in-window or not, is additionally oracle-compared at
     sf0.001 by ``tests/test_queries_full.py`` on each pytest run — the
     round-4 lesson was that out-of-window entries had no committed
@@ -406,8 +415,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_scan": q_snap_scan,
         "snap_compact": q_snap_compact,
         "snap_quarantine": q_snap_quarantine,
+        "snap_dv": q_snap_dv,
         "events_range_proximity": q_events_range_proximity,
-        "events_asof_recovery": q_events_asof_recovery,
         "weighted_sample": q_weighted_sample,
         "events_cube": q_events_cube,
         "merge_orders": q_merge_orders,
@@ -418,6 +427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rerank_overlap": q_rerank_overlap,
         # -- 51+: oracle-backed, operator proven by in-window sibling
         # (or, for minhash_lsh, newly oracle-backed breadth) ----------
+        "events_asof_recovery": q_events_asof_recovery,
         "bm25_prebuilt": q_bm25_prebuilt,
         "source_list": q_source_list,
         "events_histogram": q_events_histogram,

@@ -49,6 +49,14 @@ rename, flat keys).
 Readers are fully isolated and distributed: ``snap_read`` hands Spark
 the pinned file list, so scans parallelize exactly like any parquet
 read, and a version's file list never changes after commit.
+
+Row-level DELETE comes in both lakehouse flavors: COPY-ON-WRITE
+(``snap_delete_where`` — affected files rewrite without the matching
+rows) and MERGE-ON-READ (``snap_delete_where_mor`` — a positional
+DELETION VECTOR sidecar under ``dv/`` commits with zero data movement;
+readers apply it as an anti-join via ``_read_files``, and
+``snap_materialize_dvs`` folds vectors back into files when the
+read-side tax outgrows ``maybe_materialize``'s gate).
 """
 
 from __future__ import annotations
@@ -226,7 +234,11 @@ def _file_stats(fpath: str) -> tuple[dict, dict]:
 
 
 def _write_data_files(
-    df: DataFrame, path: str, commit_id: int, cluster_by: str | None = None
+    df: DataFrame,
+    path: str,
+    commit_id: int,
+    cluster_by: str | None = None,
+    zorder_by: list[str] | None = None,
 ) -> list[dict]:
     """Write the frame as immutable files under data/ and return their
     manifest entries ({name, stats}).  A staging dir keeps
@@ -241,8 +253,28 @@ def _write_data_files(
     partitionBy layout).  Implemented by duplicating the column and
     partitionBy-ing the duplicate (partitionBy drops its key from the
     files; the original column survives), after a repartition on the
-    column so each value lands in ~one task -> ~one file."""
+    column so each value lands in ~one task -> ~one file.
+
+    ``zorder_by``: MULTI-dimensional clustering — rows are laid out
+    along the Morton curve of the named numeric columns
+    (plans/zorder), so every file's footer [min, max] is tight on ALL
+    participating columns and manifest-level skipping works for
+    predicates on ANY of them (Delta's OPTIMIZE ZORDER BY).  The file
+    budget follows the frame's own partition count — layout never
+    changes the write's scale shape."""
     staging = os.path.join(path, f"_staging-{commit_id}-{uuid.uuid4().hex}")
+    if cluster_by is not None and zorder_by is not None:
+        raise ValueError("pass cluster_by OR zorder_by, not both")
+    if zorder_by is not None:
+        from qurio_spark.plans.zorder import with_zvalue
+
+        n = max(1, df.rdd.getNumPartitions())
+        df = (
+            with_zvalue(df, zorder_by)
+            .repartitionByRange(n, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
     if cluster_by is None:
         df.write.mode("overwrite").parquet(staging)
         found = [(f, os.path.join(staging, f)) for f in sorted(os.listdir(staging))]
@@ -312,7 +344,9 @@ def _evolved_schema(parent_schema: dict | None, df: DataFrame, op: str) -> dict:
     return parent_schema
 
 
-def _snap_commit(df: DataFrame, path: str, op: str) -> int:
+def _snap_commit(
+    df: DataFrame, path: str, op: str, zorder_by: list[str] | None = None
+) -> int:
     """Two-level commit with optimistic concurrency: data files and
     this commit's manifest are written ONCE (uuid-unique names — safe
     under races); only the manifest-list bookkeeping retries when
@@ -320,22 +354,32 @@ def _snap_commit(df: DataFrame, path: str, op: str) -> int:
     parent's manifests by name, so commit cost is O(delta files +
     number of prior commits), never O(total table files)."""
     prev0 = _latest_version(path)
-    new_files = _write_data_files(df, path, 0 if prev0 is None else prev0 + 1)
+    new_files = _write_data_files(
+        df, path, 0 if prev0 is None else prev0 + 1, zorder_by=zorder_by
+    )
     new_name = _write_manifest_file(path, new_files)
     for _ in range(_MAX_COMMIT_RETRIES):
         prev = _latest_version(path)
         version = 0 if prev is None else prev + 1
-        if op == "append" and prev is not None:
-            m_prev = _read_manifest(path, prev)
+        m_prev = _read_manifest(path, prev) if prev is not None else None
+        if op == "append" and m_prev is not None:
             manifests = _carried_manifests(path, m_prev) + [new_name]
             schema = _evolved_schema(m_prev.get("schema"), df, op)
+            # append keeps the parent's deletion vectors (its files
+            # are all still live); overwrite drops them with the files
+            dv = _dv_carry(m_prev)
         else:
             manifests = [new_name]
             schema = _evolved_schema(None, df, op)
+            dv = {}
+        # streaming replay markers survive ANY commit (the Delta txn
+        # posture): an append or overwrite between micro-batches must
+        # not reopen the exactly-once window
+        txn = dict(m_prev.get("txn", {})) if m_prev is not None else {}
         if _try_commit(
             path, version,
             {"version": version, "op": op, "parent": prev,
-             "manifests": manifests, "schema": schema},
+             "manifests": manifests, "schema": schema, "txn": txn, **dv},
         ):
             return version
     raise RuntimeError(
@@ -343,16 +387,25 @@ def _snap_commit(df: DataFrame, path: str, op: str) -> int:
     )
 
 
-def snap_append(df: DataFrame, path: str) -> int:
+def snap_append(
+    df: DataFrame, path: str, zorder_by: list[str] | None = None
+) -> int:
     """Commit ``df``'s rows as a new version containing old + new
-    files.  Returns the committed version number."""
-    return _snap_commit(df, path, "append")
+    files.  Returns the committed version number.  ``zorder_by`` lays
+    the new files out along the Morton curve of those columns (see
+    ``_write_data_files``)."""
+    return _snap_commit(df, path, "append", zorder_by=zorder_by)
 
 
-def snap_overwrite(df: DataFrame, path: str) -> int:
+def snap_overwrite(
+    df: DataFrame, path: str, zorder_by: list[str] | None = None
+) -> int:
     """Commit ``df`` as the table's full new content.  Replaced files
-    stay on disk (older versions remain readable) until vacuum."""
-    return _snap_commit(df, path, "overwrite")
+    stay on disk (older versions remain readable) until vacuum.
+    ``zorder_by`` writes the content multi-dimensionally clustered so
+    ``snap_scan``/``snap_scan_multi`` skip files for predicates on any
+    participating column."""
+    return _snap_commit(df, path, "overwrite", zorder_by=zorder_by)
 
 
 def snap_versions(path: str) -> list[dict]:
@@ -387,6 +440,78 @@ def _pinned_reader(spark: SparkSession, m: dict):
 
         reader = reader.schema(T.StructType.fromJson(m["schema"]))
     return reader
+
+
+#: DV row count up to which the anti-join build side is broadcast —
+#: a per-read metadata-size bound (~tens of MB of (file, pos) pairs),
+#: not a data-size constant; past it the join falls back to shuffle.
+_BROADCAST_DV_ROWS = 4_000_000
+
+
+def _apply_dvs(spark: SparkSession, path: str, m: dict, base: DataFrame):
+    """Filter out rows a version's DELETION VECTORS mark deleted: an
+    anti-join of (file name, row position) against the union of the
+    version's DV sidecar files (broadcast while small).  Data file
+    names are uuid-unique and never reused, so DV entries referencing
+    files a later commit rewrote or dropped simply never match —
+    stale entries are harmless, which is what lets every commit carry
+    the DV list forward untouched.  No DVs -> ``base`` unchanged (the
+    common case costs nothing)."""
+    names = m.get("dvs", [])
+    if not names:
+        return base
+    from pyspark.sql import functions as F
+
+    dv = spark.read.parquet(
+        *[os.path.join(path, n) for n in names]
+    ).select("file", "pos")
+    if m.get("dv_rows", 0) <= _BROADCAST_DV_ROWS:
+        dv = F.broadcast(dv)
+    # tag position into real columns BEFORE the join: the _metadata
+    # pseudo-column resolves on the scan relation, not join outputs
+    tagged = base.withColumns(
+        {
+            "__dv_file": F.col("_metadata.file_name"),
+            "__dv_pos": F.col("_metadata.row_index"),
+        }
+    )
+    cond = (tagged["__dv_file"] == dv["file"]) & (tagged["__dv_pos"] == dv["pos"])
+    return tagged.join(dv, cond, "left_anti").drop("__dv_file", "__dv_pos")
+
+
+def _read_files(
+    spark: SparkSession, path: str, m: dict, files: list[str]
+) -> DataFrame:
+    """THE data read path: pinned-schema scan of a version's files
+    with its deletion vectors applied.  Every internal read of table
+    data (snap_read/snap_scan/diff/compact and the CoW rewrites) must
+    come through here — a path that bypasses it resurrects
+    MOR-deleted rows."""
+    base = _pinned_reader(spark, m).parquet(
+        *[os.path.join(path, f) for f in files]
+    )
+    return _apply_dvs(spark, path, m, base)
+
+
+def _range_disjoint(e, col: str, lo, hi) -> bool:
+    """TRUE iff the entry's manifest stats PROVE no row of the file
+    has ``col`` in [lo, hi] (absent stats = not skippable)."""
+    st = e.get("stats", {}).get(col) if isinstance(e, dict) else None
+    if st is None:
+        return False
+    mn, mx = st
+    return (lo is not None and mx < lo) or (hi is not None and mn > hi)
+
+
+def _dv_carry(m: dict) -> dict:
+    """The DV bookkeeping a child commit carries from its parent
+    (append/delete/replace/compact keep the parent's vectors;
+    overwrite resets them along with the file list)."""
+    out = {}
+    if m.get("dvs"):
+        out["dvs"] = list(m["dvs"])
+        out["dv_rows"] = m.get("dv_rows", 0)
+    return out
 
 
 def snap_version_at(path: str, as_of: float) -> int:
@@ -447,10 +572,67 @@ def snap_read(
         raise ValueError(f"version {v} of {path} is empty")
     # pinned schema from the manifest (the log owns the schema): no
     # footer sampling at read time, and files written before a column
-    # was added read it back as NULL — schema evolution
-    return _pinned_reader(spark, m).parquet(
-        *[os.path.join(path, _entry_name(e)) for e in entries]
-    )
+    # was added read it back as NULL — schema evolution; deletion
+    # vectors (if any) filter inside _read_files
+    return _read_files(spark, path, m, [_entry_name(e) for e in entries])
+
+
+def snap_scan_files(
+    path: str, preds: dict[str, tuple], version: int | None = None
+) -> list[str]:
+    """The file names a predicated scan would read: manifest entries
+    whose stats cannot disprove EVERY (col, [lo, hi]) conjunct are
+    kept (absent stats = not skippable).  Split out so tests can pin
+    pruning effectiveness (e.g. a z-ordered layout skipping on any
+    participating dimension) without executing the scan."""
+    v = _latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshot table at {path}")
+    m = _read_manifest(path, v)
+    return [
+        _entry_name(e)
+        for e in _manifest_entries(path, m)
+        if not any(
+            _range_disjoint(e, col, lo, hi) for col, (lo, hi) in preds.items()
+        )
+    ]
+
+
+def snap_scan_multi(
+    spark: SparkSession,
+    path: str,
+    preds: dict[str, tuple],
+    version: int | None = None,
+) -> DataFrame:
+    """Predicate scan with MANIFEST-LEVEL data skipping over a
+    CONJUNCTION of range predicates ``{col: (lo, hi)}`` (None = open
+    bound): files whose footer [min, max] (gathered at commit into the
+    manifest) cannot intersect ANY conjunct's range are never handed
+    to Spark at all — pruning happens before a single file is opened,
+    the same layer Delta/Iceberg prune at (parquet row-group pruning
+    only helps after the footer read; at 100 TB the file LISTING is
+    the cost).  Multi-column pruning is what a ``zorder_by`` write
+    layout pays for: the Morton layout keeps every file's range tight
+    on all participating columns, so either column's predicate skips.
+    The residual filter still applies, so results are exact."""
+    v = _latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshot table at {path}")
+    m = _read_manifest(path, v)
+    keep = snap_scan_files(path, preds, v)
+    if not keep:  # provably empty under the predicate
+        base = snap_read(spark, path, v).limit(0)
+    else:
+        base = _read_files(spark, path, m, keep)
+    from pyspark.sql import functions as F
+
+    cond = F.lit(True)
+    for col, (lo, hi) in preds.items():
+        if lo is not None:
+            cond = cond & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(col) <= F.lit(hi))
+    return base.filter(cond)
 
 
 def snap_scan(
@@ -461,42 +643,8 @@ def snap_scan(
     hi=None,
     version: int | None = None,
 ) -> DataFrame:
-    """Predicate scan with MANIFEST-LEVEL data skipping: files whose
-    footer [min, max] for ``col`` (gathered at commit into the
-    manifest) cannot intersect [lo, hi] are never handed to Spark at
-    all — pruning happens before any file is opened, the same layer
-    Delta/Iceberg prune at (parquet row-group pruning only helps after
-    the footer read; at 100 TB the file LISTING is the cost).  Files
-    without stats for ``col`` are kept (absent = not skippable), and
-    the residual filter still applies, so results are exact."""
-    v = _latest_version(path) if version is None else version
-    if v is None:
-        raise FileNotFoundError(f"no snapshot table at {path}")
-    m = _read_manifest(path, v)
-    keep = []
-    for e in _manifest_entries(path, m):
-        st = e.get("stats", {}).get(col) if isinstance(e, dict) else None
-        if st is not None:
-            mn, mx = st
-            if lo is not None and mx < lo:
-                continue
-            if hi is not None and mn > hi:
-                continue
-        keep.append(_entry_name(e))
-    if not keep:  # provably empty under the predicate
-        base = snap_read(spark, path, v).limit(0)
-    else:
-        base = _pinned_reader(spark, m).parquet(
-            *[os.path.join(path, f) for f in keep]
-        )
-    from pyspark.sql import functions as F
-
-    cond = F.lit(True)
-    if lo is not None:
-        cond = cond & (F.col(col) >= F.lit(lo))
-    if hi is not None:
-        cond = cond & (F.col(col) <= F.lit(hi))
-    return base.filter(cond)
+    """Single-column sugar over :func:`snap_scan_multi`."""
+    return snap_scan_multi(spark, path, {col: (lo, hi)}, version)
 
 
 def snap_vacuum(
@@ -562,16 +710,28 @@ def _vacuum_at(
         v += 1
     reachable = set()
     live_manifests = set()
+    live_dvs = set()
     for v in keep_versions + above:
         m = _read_manifest(path, v)
         reachable.update(_entry_name(e) for e in _manifest_entries(path, m))
         live_manifests.update(m.get("manifests", []))
+        live_dvs.update(m.get("dvs", []))
     deleted = []
     data_dir = os.path.join(path, "data")
     for f in sorted(os.listdir(data_dir)) if os.path.isdir(data_dir) else []:
         rel = f"data/{f}"
         fpath = os.path.join(data_dir, f)
         if rel not in reachable and not _file_in_grace(fpath):
+            os.remove(fpath)
+            deleted.append(rel)
+    # deletion-vector sidecars: same lifecycle as data files — live
+    # while any retained version lists them, grace-protected while a
+    # concurrent delete-mor may be about to commit them
+    dv_dir = os.path.join(path, "dv")
+    for f in sorted(os.listdir(dv_dir)) if os.path.isdir(dv_dir) else []:
+        rel = f"dv/{f}"
+        fpath = os.path.join(dv_dir, f)
+        if rel not in live_dvs and not _file_in_grace(fpath):
             os.remove(fpath)
             deleted.append(rel)
     for f in st.list(path):
@@ -604,8 +764,16 @@ def snap_diff(
     mf_to = _read_manifest(path, v_to)
     m_from = {_entry_name(e) for e in _manifest_entries(path, mf_from)}
     m_to = {_entry_name(e) for e in _manifest_entries(path, mf_to)}
-    only_from = sorted(m_from - m_to)
-    only_to = sorted(m_to - m_from)
+    if mf_from.get("dvs", []) != mf_to.get("dvs", []):
+        # a MOR delete between the versions changed row visibility
+        # INSIDE files both manifests share — file-level cancellation
+        # is unsound, so diff the full file lists (the value-level
+        # anti-joins still cancel unchanged rows; only the file-reuse
+        # shortcut is lost, and only when DVs actually changed)
+        only_from, only_to = sorted(m_from), sorted(m_to)
+    else:
+        only_from = sorted(m_from - m_to)
+        only_to = sorted(m_to - m_from)
 
     # pin BOTH sides to the NEWER version's manifest schema (falling
     # back to the older's for legacy manifests): after schema
@@ -614,10 +782,11 @@ def snap_diff(
     newer, older = (mf_to, mf_from) if v_to >= v_from else (mf_from, mf_to)
     pin = {"schema": newer.get("schema") or older.get("schema")}
 
-    def read(files):
-        return _pinned_reader(spark, pin).parquet(
+    def read(files, side_m):
+        base = _pinned_reader(spark, pin).parquet(
             *[os.path.join(path, f) for f in files]
         )
+        return _apply_dvs(spark, path, side_m, base)
 
     if not (m_to | m_from):
         raise ValueError(
@@ -628,9 +797,9 @@ def snap_diff(
     # set-iteration order) — only reached for legacy manifests with
     # no pinned schema; otherwise the pin fully determines the schema
     schema_src = min(m_to | m_from)
-    empty = read([schema_src]).limit(0)
-    added = read(only_to) if only_to else empty
-    removed = read(only_from) if only_from else empty
+    empty = read([schema_src], mf_to).limit(0)
+    added = read(only_to, mf_to) if only_to else empty
+    removed = read(only_from, mf_from) if only_from else empty
     cols = added.columns
     # value-level cancel: a row moved between files is not a change
     ins = added.join(removed, cols, "left_anti").withColumn(
@@ -697,10 +866,11 @@ def snap_append_txn(
         schema = _evolved_schema(
             m_prev.get("schema") if prev is not None else None, df, "append"
         )
+        dv = _dv_carry(m_prev) if prev is not None else {}
         if _try_commit(
             path, version,
             {"version": version, "op": "append", "parent": prev,
-             "manifests": manifests, "txn": txn, "schema": schema},
+             "manifests": manifests, "txn": txn, "schema": schema, **dv},
         ):
             return version
     raise RuntimeError(
@@ -789,11 +959,7 @@ def snap_delete_where(
     from pyspark.sql import functions as F
 
     def _disjoint(e) -> bool:
-        st = e.get("stats", {}).get(col) if isinstance(e, dict) else None
-        if st is None:
-            return False  # absent stats = not skippable, must rewrite
-        mn, mx = st
-        return (lo is not None and mx < lo) or (hi is not None and mn > hi)
+        return _range_disjoint(e, col, lo, hi)
 
     for _ in range(_MAX_COMMIT_RETRIES):
         v = _latest_version(path)
@@ -824,8 +990,10 @@ def snap_delete_where(
             keep = keep | (F.col(col) < F.lit(lo))
         if hi is not None:
             keep = keep | (F.col(col) > F.lit(hi))
-        survivors = _pinned_reader(spark, m).parquet(
-            *[os.path.join(path, _entry_name(e)) for e in affected]
+        # the rewrite read applies the version's deletion vectors —
+        # a CoW delete after a MOR delete must not resurrect rows
+        survivors = _read_files(
+            spark, path, m, [_entry_name(e) for e in affected]
         ).filter(keep)
         new_files = _write_data_files(survivors, path, v + 1)
         new_name = _write_manifest_file(path, loose_entries + new_files)
@@ -833,7 +1001,8 @@ def snap_delete_where(
             path, v + 1,
             {"version": v + 1, "op": "delete", "parent": v,
              "manifests": carried + [new_name],
-             "txn": dict(m.get("txn", {})), "schema": m.get("schema")},
+             "txn": dict(m.get("txn", {})), "schema": m.get("schema"),
+             **_dv_carry(m)},
         ):
             return v + 1
         # a concurrent commit landed between classification and claim:
@@ -842,6 +1011,195 @@ def snap_delete_where(
     raise RuntimeError(
         f"commit contention on {path}: {_MAX_COMMIT_RETRIES} retries lost"
     )
+
+
+def snap_delete_where_mor(
+    spark: SparkSession, path: str, col: str, lo=None, hi=None
+) -> int | None:
+    """MERGE-ON-READ row-level DELETE — the Delta deletion-vector /
+    Iceberg positional-delete shape.  ``snap_delete_where`` (CoW)
+    rewrites every file holding a matching row: deleting 0.1% of rows
+    scattered across a 100 TB table rewrites nearly all of it.  This
+    op instead records the matching rows' POSITIONS — (data file name,
+    row index) pairs — as a deletion-vector sidecar under ``dv/`` and
+    commits a version whose manifests are carried verbatim: commit
+    cost is O(matching rows), zero data bytes move.  Readers apply the
+    vectors as an anti-join (:func:`_apply_dvs` — broadcast while
+    small); ``snap_materialize_dvs`` folds them back into rewritten
+    files when the read-side tax grows.
+
+    Manifest stats prune the scan: only files whose [min, max] for
+    ``col`` can intersect [lo, hi] are read, and the read projects
+    just ``col`` + the parquet metadata column.  Rows already deleted
+    by earlier vectors are excluded, so ``dv_rows`` stays an exact
+    live-deleted count and re-running the same delete is a no-op.
+    NULL never matches (SQL DELETE WHERE semantics).  Returns the new
+    version, or None when no row matches (a no-op never commits)."""
+    import math
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    for _ in range(_MAX_COMMIT_RETRIES):
+        v = _latest_version(path)
+        if v is None:
+            raise FileNotFoundError(f"no snapshot table at {path}")
+        m = _read_manifest(path, v)
+        cand = [
+            _entry_name(e)
+            for e in _manifest_entries(path, m)
+            if not _range_disjoint(e, col, lo, hi)
+        ]
+        if not cand:
+            return None
+        # project ONLY the predicate column + position metadata: the
+        # scan reads one column of the candidate files, not the table
+        tagged = _pinned_reader(spark, m).parquet(
+            *[os.path.join(path, f) for f in cand]
+        ).select(
+            F.col("_metadata.file_name").alias("file"),
+            F.col("_metadata.row_index").alias("pos"),
+            F.col(col).alias("__v"),
+        )
+        match = F.lit(True)
+        if lo is not None:
+            match = match & (F.col("__v") >= F.lit(lo))
+        if hi is not None:
+            match = match & (F.col("__v") <= F.lit(hi))
+        hits = tagged.filter(match).select("file", "pos")
+        prior = m.get("dvs", [])
+        if prior:
+            old = spark.read.parquet(
+                *[os.path.join(path, n) for n in prior]
+            ).select("file", "pos")
+            if m.get("dv_rows", 0) <= _BROADCAST_DV_ROWS:
+                old = F.broadcast(old)
+            hits = hits.join(old, ["file", "pos"], "left_anti")
+        # write the vector via staging (same discipline as data
+        # files); output file count sized from the candidate scan,
+        # not a constant
+        staging = os.path.join(path, f"_dvstaging-{uuid.uuid4().hex}")
+        n_out = max(1, math.ceil(len(cand) / 512))
+        (
+            hits.repartition(n_out)
+            .sortWithinPartitions("file", "pos")
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        dv_dir = os.path.join(path, "dv")
+        os.makedirs(dv_dir, exist_ok=True)
+        moved: list[str] = []
+        total = 0
+        for f in sorted(os.listdir(staging)):
+            src = os.path.join(staging, f)
+            if f.endswith(".parquet"):
+                n = pq.ParquetFile(src).metadata.num_rows
+                if n:
+                    name = f"dv-{uuid.uuid4().hex}.parquet"
+                    os.rename(src, os.path.join(dv_dir, name))
+                    moved.append(f"dv/{name}")
+                    total += n
+                    continue
+            os.remove(src)
+        os.rmdir(staging)
+        if total == 0:
+            return None
+        if _try_commit(
+            path, v + 1,
+            {"version": v + 1, "op": "delete-mor", "parent": v,
+             "manifests": _carried_manifests(path, m),
+             "txn": dict(m.get("txn", {})), "schema": m.get("schema"),
+             "dvs": prior + moved,
+             "dv_rows": m.get("dv_rows", 0) + total},
+        ):
+            return v + 1
+        # lost the claim: positions were computed against a stale
+        # version (the winner may have rewritten candidate files) —
+        # drop our unreferenced vectors and redo against the new latest
+        for n in moved:
+            try:
+                os.remove(os.path.join(path, n))
+            except FileNotFoundError:
+                pass
+    raise RuntimeError(
+        f"commit contention on {path}: {_MAX_COMMIT_RETRIES} retries lost"
+    )
+
+
+def snap_materialize_dvs(spark: SparkSession, path: str) -> int | None:
+    """Fold the table's deletion vectors back into its data files
+    (Iceberg's rewrite-position-deletes / Delta PURGE): files a vector
+    touches are rewritten without their deleted rows; untouched
+    manifests are carried by name; the commit drops the ``dvs`` list,
+    so subsequent reads pay no anti-join.  The DV sidecar files become
+    unreferenced and age out via :func:`snap_vacuum`.  Returns the new
+    version, or None when the table has no vectors.  Vectors whose
+    every referenced file is already gone (rewritten by later CoW /
+    compaction) clear with a metadata-only commit — no data moves."""
+    for _ in range(_MAX_COMMIT_RETRIES):
+        v = _latest_version(path)
+        if v is None:
+            raise FileNotFoundError(f"no snapshot table at {path}")
+        m = _read_manifest(path, v)
+        names = m.get("dvs", [])
+        if not names:
+            return None
+        dead = {
+            r["file"]
+            for r in spark.read.parquet(
+                *[os.path.join(path, n) for n in names]
+            ).select("file").distinct().collect()
+        }  # distinct FILE names: bounded by the manifest's file count
+        carried, loose, affected = [], [], []
+        for name in _carried_manifests(path, m):
+            entries = _read_manifest_file(path, name)
+            if all(
+                os.path.basename(_entry_name(e)) not in dead for e in entries
+            ):
+                carried.append(name)
+            else:
+                for e in entries:
+                    (
+                        affected
+                        if os.path.basename(_entry_name(e)) in dead
+                        else loose
+                    ).append(e)
+        new_files: list[dict] = []
+        if affected:
+            survivors = _read_files(
+                spark, path, m, [_entry_name(e) for e in affected]
+            )
+            new_files = _write_data_files(survivors, path, v + 1)
+        manifests = list(carried)
+        if loose or new_files:
+            manifests.append(_write_manifest_file(path, loose + new_files))
+        if _try_commit(
+            path, v + 1,
+            {"version": v + 1, "op": "materialize", "parent": v,
+             "manifests": manifests,
+             "txn": dict(m.get("txn", {})), "schema": m.get("schema")},
+        ):
+            return v + 1
+    raise RuntimeError(
+        f"commit contention on {path}: {_MAX_COMMIT_RETRIES} retries lost"
+    )
+
+
+def maybe_materialize(
+    spark: SparkSession, path: str, max_dv_rows: int = 1 << 20
+) -> int | None:
+    """Materialize IF the live deleted-row count has outgrown
+    ``max_dv_rows`` — the auto-purge gate for workloads issuing many
+    MOR deletes.  The threshold bounds the per-read anti-join build
+    side (a read-overhead constant, like ``maybe_compact``'s
+    ``max_manifests`` — not a data-size constant).  Returns the
+    materialize commit's version or None (gate not met)."""
+    v = _latest_version(path)
+    if v is None:
+        return None
+    if _read_manifest(path, v).get("dv_rows", 0) < max_dv_rows:
+        return None
+    return snap_materialize_dvs(spark, path)
 
 
 class SnapNoChange(Exception):
@@ -882,10 +1240,11 @@ def snap_mutate(
         # commit lands meanwhile
         new_files = _write_data_files(new, path, version)
         name = _write_manifest_file(path, new_files)
+        txn = dict(_read_manifest(path, v).get("txn", {})) if v is not None else {}
         if _try_commit(
             path, version,
             {"version": version, "op": "overwrite", "parent": v,
-             "manifests": [name],
+             "manifests": [name], "txn": txn,
              "schema": _evolved_schema(None, new, "overwrite")},
         ):
             return version
@@ -1005,8 +1364,8 @@ def snap_replace_values(
         new_files = []
         if mixed:
             keep = ~value_match(F.col(col), values)
-            survivors = _pinned_reader(spark, m).parquet(
-                *[os.path.join(path, _entry_name(e)) for e in mixed]
+            survivors = _read_files(
+                spark, path, m, [_entry_name(e) for e in mixed]
             ).filter(keep)
             new_files += _write_data_files(survivors, path, v + 1)
         new_files += _write_data_files(replacement, path, v + 1, cluster_by=cb)
@@ -1015,7 +1374,8 @@ def snap_replace_values(
             path, v + 1,
             {"version": v + 1, "op": "replace", "parent": v,
              "manifests": carried + [new_name],
-             "txn": dict(m.get("txn", {})), "schema": m.get("schema")},
+             "txn": dict(m.get("txn", {})), "schema": m.get("schema"),
+             **_dv_carry(m)},
         ):
             return v + 1
     raise RuntimeError(
@@ -1028,6 +1388,7 @@ def snap_compact(
     path: str,
     small_bytes: int = 8 << 20,
     target_bytes: int = 128 << 20,
+    zorder_by: list[str] | None = None,
 ) -> int | None:
     """Bin-pack small data files into fewer large ones as a new
     version (Iceberg's rewrite_data_files / Delta OPTIMIZE): a
@@ -1039,7 +1400,12 @@ def snap_compact(
     untouched.  Rows are byte-equal (pinned in tests), history stays
     time-travel-readable until vacuum, and the commit is OCC-safe
     like every other path.  Returns the new version, or None when
-    fewer than two small files exist (a no-op never commits)."""
+    fewer than two small files exist (a no-op never commits).
+
+    ``zorder_by`` re-clusters the packed rows along the Morton curve
+    of those columns — Delta's ``OPTIMIZE ... ZORDER BY``: the
+    maintenance pass that turns a stream of small time-ordered files
+    into a multi-dimensionally skippable layout."""
     import math
 
     for _ in range(_MAX_COMMIT_RETRIES):
@@ -1060,16 +1426,18 @@ def snap_compact(
         if len(small) < 2:
             return None
         n_out = max(1, math.ceil(total_small / target_bytes))
-        packed = _pinned_reader(spark, m).parquet(
-            *[os.path.join(path, _entry_name(e)) for e in small]
+        # the packed read applies deletion vectors: compaction must
+        # not resurrect MOR-deleted rows into the rewritten files
+        packed = _read_files(
+            spark, path, m, [_entry_name(e) for e in small]
         ).coalesce(n_out)
-        new_files = _write_data_files(packed, path, v + 1)
+        new_files = _write_data_files(packed, path, v + 1, zorder_by=zorder_by)
         new_name = _write_manifest_file(path, kept + new_files)
         if _try_commit(
             path, v + 1,
             {"version": v + 1, "op": "compact", "parent": v,
              "manifests": [new_name], "txn": dict(m.get("txn", {})),
-             "schema": m.get("schema")},
+             "schema": m.get("schema"), **_dv_carry(m)},
         ):
             return v + 1
     raise RuntimeError(

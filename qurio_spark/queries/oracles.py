@@ -1466,6 +1466,24 @@ SELECT o_orderpriority, count(*) AS n_orders,
 FROM orders, m
 WHERE o_orderkey > mx // 3 AND o_orderkey <= 2 * mx // 3
 GROUP BY o_orderpriority""",
+        # two stacked MOR deletes = the complement predicate; the
+        # 'materialized' phase must reproduce the same aggregates
+        "snap_dv": """
+WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),
+surv AS (
+  SELECT o_orderstatus, o_totalprice FROM orders, m
+  WHERE NOT (o_orderkey > mx // 4 AND o_orderkey <= mx // 2)
+    AND NOT (o_totalprice >= 150000.0)
+),
+a AS (
+  SELECT o_orderstatus, count(*) AS n_orders,
+         (floor(CAST(sum(o_totalprice) AS DOUBLE) * 100.0 + 0.5) / 100.0)
+           AS revenue
+  FROM surv GROUP BY o_orderstatus
+)
+SELECT 'mor' AS phase, o_orderstatus, n_orders, revenue FROM a
+UNION ALL
+SELECT 'materialized' AS phase, o_orderstatus, n_orders, revenue FROM a""",
         # manifest pinning contract: v0 == first batch, latest == all
         "time_travel": """
 WITH m AS (SELECT max(o_orderkey) // 2 AS mid FROM orders),

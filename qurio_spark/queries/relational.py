@@ -346,3 +346,52 @@ def q_snap_scan(spark, sf_dir):
         F.count("*").alias("n_orders"),
         stable_round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+def q_snap_dv(spark, sf_dir):
+    """Merge-on-read DELETE via deletion vectors e2e
+    (plans/snapshots.snap_delete_where_mor): orders commit as two
+    snapshots; two stacked MOR deletes — an o_orderkey range and an
+    o_totalprice threshold (different columns, so the second vector
+    stacks on the first) — commit POSITIONS only (zero data bytes
+    move, pinned in tests/test_dv.py); the 'mor' read applies the
+    vectors as an anti-join.  ``snap_materialize_dvs`` then folds the
+    vectors into rewritten files and the 'materialized' read takes the
+    join-free path — both phases must equal the oracle's complement-
+    predicate aggregation (the reference bar: Delta deletion vectors /
+    Iceberg positional deletes)."""
+    import tempfile
+
+    from qurio_spark.plans.snapshots import (
+        snap_append,
+        snap_delete_where_mor,
+        snap_materialize_dvs,
+        snap_read,
+    )
+
+    path = f"{tempfile.mkdtemp(prefix='qurio-snapdv-')}/orders"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    mx = o.agg(F.max("o_orderkey")).first()[0]
+    snap_append(o.filter(F.col("o_orderkey") <= mx // 2), path)
+    snap_append(o.filter(F.col("o_orderkey") > mx // 2), path)
+    snap_delete_where_mor(spark, path, "o_orderkey", lo=mx // 4 + 1, hi=mx // 2)
+    snap_delete_where_mor(spark, path, "o_totalprice", lo=150000.0)
+
+    def phase_agg(df: DataFrame, phase: str) -> DataFrame:
+        return (
+            df.groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_orders"),
+                stable_round(F.sum("o_totalprice"), 2).alias("revenue"),
+            )
+            .withColumn("phase", F.lit(phase))
+        )
+
+    mor = phase_agg(snap_read(spark, path), "mor")
+    snap_materialize_dvs(spark, path)
+    materialized = phase_agg(snap_read(spark, path), "materialized")
+    return mor.unionByName(materialized).select(
+        "phase", "o_orderstatus", "n_orders", "revenue"
+    )

@@ -180,6 +180,13 @@ BUDGETS = {
     # joins anywhere
     "canonical_docs": {"shuffles": ("<=", 14), "smj": ("<=", 4),
                        "bnlj": ("<=", 0), "python_stages": ("<=", 0)},
+    # MOR-delete read path: the deletion-vector application is ONE
+    # broadcast anti-join on (file, pos) — never a sort-merge — and
+    # the two phase aggs are the only exchanges; the materialized
+    # phase reads join-free (same scan, vectors folded away)
+    "snap_dv": {"shuffles": ("<=", 2), "smj": ("<=", 0),
+                "bnlj": ("<=", 0), "bhj": ("<=", 1),
+                "python_stages": ("<=", 0)},
     # aggview READ path: finals derive from the stored states in the
     # scan projection — zero shuffles, zero joins, no re-aggregation
     # (the refreshes run eagerly before this plan and are budgeted by
