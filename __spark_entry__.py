@@ -174,6 +174,7 @@ from qurio_spark.queries.relational import (  # noqa: F401
     q_snap_compact,
     q_snap_dv,
     q_snap_quarantine,
+    q_snap_zorder,
     q_parts_never_shipped,
     q_tpch_q4,
     q_tpch_q10,
@@ -369,6 +370,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the as-of join operator keeps ``events_asof_attribution``
     in-window (same temporal.asof_join contract, opposite direction)
     plus the two range-join siblings; green since round 6.
+    Also IN (new): ``snap_zorder`` (Morton-clustered snapshot write +
+    multi-column manifest skipping: the two-dimensional box predicate
+    prunes files on BOTH columns before Spark sees a path, residual
+    filter exact vs the conjunctive-range oracle).  OUT:
+    ``events_range_proximity`` — the binned range-join operator keeps
+    ``events_range_left`` in-window (same bucket-equality join
+    contract plus the left-outer path); green since round 6.
     EVERY entry, in-window or not, is additionally oracle-compared at
     sf0.001 by ``tests/test_queries_full.py`` on each pytest run — the
     round-4 lesson was that out-of-window entries had no committed
@@ -416,7 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_compact": q_snap_compact,
         "snap_quarantine": q_snap_quarantine,
         "snap_dv": q_snap_dv,
-        "events_range_proximity": q_events_range_proximity,
+        "snap_zorder": q_snap_zorder,
         "weighted_sample": q_weighted_sample,
         "events_cube": q_events_cube,
         "merge_orders": q_merge_orders,
@@ -428,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 51+: oracle-backed, operator proven by in-window sibling
         # (or, for minhash_lsh, newly oracle-backed breadth) ----------
         "events_asof_recovery": q_events_asof_recovery,
+        "events_range_proximity": q_events_range_proximity,
         "bm25_prebuilt": q_bm25_prebuilt,
         "source_list": q_source_list,
         "events_histogram": q_events_histogram,

@@ -1466,6 +1466,17 @@ SELECT o_orderpriority, count(*) AS n_orders,
 FROM orders, m
 WHERE o_orderkey > mx // 3 AND o_orderkey <= 2 * mx // 3
 GROUP BY o_orderpriority""",
+        # z-ordered layout changes only WHICH files a scan reads —
+        # the residual filter makes the box predicate exact
+        "snap_zorder": """
+WITH m AS (SELECT max(o_custkey) AS mxc FROM orders)
+SELECT o_orderpriority, count(*) AS n_orders,
+       (floor(CAST(sum(o_totalprice) AS DOUBLE) * 100.0 + 0.5) / 100.0)
+         AS revenue
+FROM orders, m
+WHERE o_custkey >= mxc // 4 AND o_custkey <= mxc // 2
+  AND o_totalprice >= 50000.0 AND o_totalprice <= 150000.0
+GROUP BY o_orderpriority""",
         # two stacked MOR deletes = the complement predicate; the
         # 'materialized' phase must reproduce the same aggregates
         "snap_dv": """

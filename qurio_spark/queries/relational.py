@@ -395,3 +395,36 @@ def q_snap_dv(spark, sf_dir):
     return mor.unionByName(materialized).select(
         "phase", "o_orderstatus", "n_orders", "revenue"
     )
+
+
+def q_snap_zorder(spark, sf_dir):
+    """Z-order clustered snapshot + multi-column manifest skipping e2e
+    (plans/zorder + plans/snapshots.snap_scan_multi): orders commit
+    laid out along the Morton curve of (o_custkey, o_totalprice), so
+    every file's footer range is tight on BOTH columns and the
+    two-dimensional box predicate prunes files at the manifest level
+    before Spark sees a path (pruning effectiveness pinned in
+    tests/test_zorder.py; Delta's OPTIMIZE ZORDER BY).  The residual
+    filter keeps the result exact, so the oracle is the plain
+    conjunctive-range aggregation."""
+    import tempfile
+
+    from qurio_spark.plans.snapshots import snap_overwrite, snap_scan_multi
+
+    path = f"{tempfile.mkdtemp(prefix='qurio-snapz-')}/orders"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    mxc = o.agg(F.max("o_custkey")).first()[0]
+    snap_overwrite(o, path, zorder_by=["o_custkey", "o_totalprice"])
+    box = snap_scan_multi(
+        spark, path,
+        {
+            "o_custkey": (mxc // 4, mxc // 2),
+            "o_totalprice": (50000.0, 150000.0),
+        },
+    )
+    return box.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        stable_round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

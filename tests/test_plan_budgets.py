@@ -187,6 +187,12 @@ BUDGETS = {
     "snap_dv": {"shuffles": ("<=", 2), "smj": ("<=", 0),
                 "bnlj": ("<=", 0), "bhj": ("<=", 1),
                 "python_stages": ("<=", 0)},
+    # z-ordered box scan: manifest pruning feeds a plain pushed-filter
+    # scan + ONE agg exchange — no joins of any kind at read time
+    "snap_zorder": {"shuffles": ("<=", 1), "smj": ("<=", 0),
+                    "bhj": ("<=", 0), "bnlj": ("<=", 0),
+                    "python_stages": ("<=", 0),
+                    "pushed_filters": (">=", 1)},
     # aggview READ path: finals derive from the stored states in the
     # scan projection — zero shuffles, zero joins, no re-aggregation
     # (the refreshes run eagerly before this plan and are budgeted by

@@ -128,3 +128,80 @@ class TestZOrderedLayout:
         assert zy <= N_FILES // 2, zy
         # the conjunctive box touches very few
         assert files_touched(z.filter(tight_x & tight_y)) <= 4
+
+
+class TestSnapshotZOrder:
+    """zorder_by on snapshot writes: manifest-level skipping becomes
+    effective on EVERY participating column (snap_scan_files is the
+    observable), and OPTIMIZE-style compaction re-clusters."""
+
+    @pytest.fixture(scope="class")
+    def tables(self, spark, grid, tmp_path_factory):
+        from qurio_spark.plans.snapshots import snap_overwrite
+
+        d = tmp_path_factory.mktemp("zsnap")
+        zp, xp = str(d / "z"), str(d / "x")
+        g = grid.repartition(N_FILES)
+        snap_overwrite(g, zp, zorder_by=["x", "y"])
+        # baseline: single-column range layout
+        snap_overwrite(
+            g.repartitionByRange(N_FILES, "x").sortWithinPartitions("x"), xp
+        )
+        return zp, xp
+
+    def test_manifest_prunes_both_dimensions(self, spark, tables):
+        from qurio_spark.plans.snapshots import snap_scan_files
+
+        zp, xp = tables
+        total = len(snap_scan_files(zp, {}))
+        assert total >= N_FILES // 2
+        # x-only layout: y predicate prunes (almost) nothing
+        assert len(snap_scan_files(xp, {"x": (10, 19)})) <= 4
+        assert len(snap_scan_files(xp, {"y": (40, 49)})) >= N_FILES - 2
+        # z-ordered: BOTH dimensions prune, conjunction prunes hardest
+        zx = len(snap_scan_files(zp, {"x": (10, 19)}))
+        zy = len(snap_scan_files(zp, {"y": (40, 49)}))
+        zb = len(snap_scan_files(zp, {"x": (10, 19), "y": (40, 49)}))
+        assert zx <= total // 2, zx
+        assert zy <= total // 2, zy
+        assert zb <= 4, zb
+
+    def test_multi_scan_exact_on_any_layout(self, spark, grid, tables):
+        from qurio_spark.plans.snapshots import snap_scan_multi
+
+        expect = grid.filter(
+            F.col("x").between(10, 19) & F.col("y").between(40, 49)
+        ).agg(F.count("*"), F.sum("payload")).first()
+        for path in tables:
+            got = snap_scan_multi(
+                spark, path, {"x": (10, 19), "y": (40, 49)}
+            ).agg(F.count("*"), F.sum("payload")).first()
+            assert tuple(got) == tuple(expect)
+
+    def test_compact_zorder_reclusters(self, spark, grid, tmp_path):
+        """The OPTIMIZE ZORDER shape: many small unclustered appends,
+        one compaction pass -> multi-dimensionally skippable files,
+        rows unchanged."""
+        from qurio_spark.plans.snapshots import (
+            snap_compact,
+            snap_read,
+            snap_scan_files,
+        )
+
+        path = str(tmp_path / "t")
+        for i in range(4):
+            snap_append_chunk = grid.filter(F.col("payload") % 4 == i)
+            from qurio_spark.plans.snapshots import snap_append
+
+            snap_append(snap_append_chunk.repartition(4), path)
+        before = len(snap_scan_files(path, {"y": (40, 49)}))
+        v = snap_compact(
+            spark, path, small_bytes=1 << 20, zorder_by=["x", "y"]
+        )
+        assert v is not None
+        total = len(snap_scan_files(path, {}))
+        after = len(snap_scan_files(path, {"y": (40, 49)}))
+        assert after < before and after <= max(1, total // 2)
+        assert snap_read(spark, path).agg(F.sum("payload")).first()[0] == (
+            grid.agg(F.sum("payload")).first()[0]
+        )
