@@ -172,6 +172,7 @@ from qurio_spark.queries.ingest import (  # noqa: F401
 from qurio_spark.queries.relational import (  # noqa: F401
     q_bloom_semi_join,
     q_snap_compact,
+    q_snap_bloom,
     q_snap_dv,
     q_snap_quarantine,
     q_snap_zorder,
@@ -377,6 +378,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``events_range_proximity`` — the binned range-join operator keeps
     ``events_range_left`` in-window (same bucket-equality join
     contract plus the left-outer path); green since round 6.
+    Also IN (new): ``snap_bloom`` (manifest-level bloom skipping:
+    per-file bloom filters recorded at commit prune an equality probe
+    on a high-cardinality unsorted hash column before any file opens;
+    residual filter exact vs the plain hash-equality oracle).  OUT:
+    ``audio_features`` — the S5 media family keeps ``resize_targets``
+    in-window (same mapInPandas decode-pipeline contract) and the
+    full codec matrix stays pytest-pinned in test_multimodal.py;
+    green since round 6.
     EVERY entry, in-window or not, is additionally oracle-compared at
     sf0.001 by ``tests/test_queries_full.py`` on each pytest run — the
     round-4 lesson was that out-of-window entries had no committed
@@ -425,11 +434,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_quarantine": q_snap_quarantine,
         "snap_dv": q_snap_dv,
         "snap_zorder": q_snap_zorder,
+        "snap_bloom": q_snap_bloom,
         "weighted_sample": q_weighted_sample,
         "events_cube": q_events_cube,
         "merge_orders": q_merge_orders,
         "tpch_q16": q_tpch_q16,
-        "audio_features": q_audio_features,
         "ann_pq": q_ann_pq,
         "batch_ann_pq": q_batch_ann_pq,
         "rerank_overlap": q_rerank_overlap,
@@ -437,6 +446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (or, for minhash_lsh, newly oracle-backed breadth) ----------
         "events_asof_recovery": q_events_asof_recovery,
         "events_range_proximity": q_events_range_proximity,
+        "audio_features": q_audio_features,
         "bm25_prebuilt": q_bm25_prebuilt,
         "source_list": q_source_list,
         "events_histogram": q_events_histogram,

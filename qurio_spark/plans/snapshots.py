@@ -57,6 +57,13 @@ DELETION VECTOR sidecar under ``dv/`` commits with zero data movement;
 readers apply it as an anti-join via ``_read_files``, and
 ``snap_materialize_dvs`` folds vectors back into files when the
 read-side tax outgrows ``maybe_materialize``'s gate).
+
+Data skipping covers all three predicate shapes: RANGE (per-file
+min/max stats in the manifest), MULTI-COLUMN boxes (``zorder_by``
+writes + ``snap_scan_multi``), and EQUALITY on high-cardinality
+unsorted columns (``bloom_cols`` writes per-file bloom filters to a
+``bloom/`` sidecar; ``snap_scan_multi(eq=)`` probes them before any
+data file opens).
 """
 
 from __future__ import annotations
@@ -233,12 +240,121 @@ def _file_stats(fpath: str) -> tuple[dict, dict]:
     return stats, nulls
 
 
+def _attach_blooms(
+    spark: SparkSession,
+    path: str,
+    entries: list[dict],
+    bloom_cols: list[str],
+    fpp: float,
+) -> list[dict]:
+    """Build a per-file BLOOM FILTER over each of ``bloom_cols`` for
+    the just-written entries and record it in the manifest: min/max
+    stats cannot skip on a high-cardinality unsorted column (every
+    file's range spans everything), which is exactly the doc_id / url
+    / content_hash point-lookup case — the Parquet column-bloom /
+    Iceberg puffin idea lifted to the manifest layer, where pruning
+    happens before any data file is opened.
+
+    Shape: ONE distributed pass over the new files (k xxhash64 probes
+    per row, word-level ``bit_or`` partial aggregation — the shuffle
+    carries ~m/64 words per file, a fraction of the data just
+    written), one sidecar parquet per commit under ``bloom/`` holding
+    (file, col, word_idx, word) rows.  Each entry records its bloom
+    geometry {m, k} with m SIZED FROM THE FILE'S OWN ROW COUNT for
+    the target ``fpp`` (never a fixed capacity constant); probes
+    read just the k words per file via row-group pushdown on the
+    sidecar."""
+    import math
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    k = max(1, round(-math.log2(fpp)))
+    geom: dict[str, int] = {}
+    for e in entries:
+        rows = pq.ParquetFile(
+            os.path.join(path, e["name"])
+        ).metadata.num_rows
+        bits = max(1, rows) * -math.log(fpp) / (math.log(2) ** 2)
+        geom[os.path.basename(e["name"])] = 64 * max(1, math.ceil(bits / 64))
+    mmap = F.broadcast(
+        spark.createDataFrame(
+            list(geom.items()), "file string, m long"
+        )
+    )
+    base = spark.read.parquet(
+        *[os.path.join(path, e["name"]) for e in entries]
+    ).select(
+        F.col("_metadata.file_name").alias("file"),
+        *[F.col(c) for c in bloom_cols],
+    ).join(mmap, "file")
+    seeds = F.array(*[F.lit(i) for i in range(k)])
+    parts = []
+    for c in bloom_cols:
+        parts.append(
+            base.where(F.col(c).isNotNull())
+            .select(
+                "file", "m",
+                F.explode(seeds).alias("seed"),
+                F.col(c).alias("val"),
+            )
+            .withColumn(
+                "pos", F.pmod(F.xxhash64(F.col("val"), F.col("seed")), F.col("m"))
+            )
+            .select(
+                "file",
+                F.lit(c).alias("col"),
+                (F.col("pos") / 64).cast("long").alias("word_idx"),
+                # variable-distance shift needs the SQL form (the
+                # PySpark wrapper only takes a literal distance)
+                F.expr("shiftleft(1L, cast(pmod(pos, 64) as int))").alias(
+                    "mask"
+                ),
+            )
+        )
+    words = parts[0]
+    for p in parts[1:]:
+        words = words.unionByName(p)
+    words = words.groupBy("file", "col", "word_idx").agg(
+        F.bit_or("mask").alias("word")
+    )
+    staging = os.path.join(path, f"_bloomstaging-{uuid.uuid4().hex}")
+    words.repartition(1).write.mode("overwrite").parquet(staging)
+    bloom_dir = os.path.join(path, "bloom")
+    os.makedirs(bloom_dir, exist_ok=True)
+    sidecar = None
+    for f in sorted(os.listdir(staging)):
+        src = os.path.join(staging, f)
+        if f.endswith(".parquet") and sidecar is None:
+            name = f"b-{uuid.uuid4().hex}.parquet"
+            os.rename(src, os.path.join(bloom_dir, name))
+            sidecar = f"bloom/{name}"
+        else:
+            os.remove(src)
+    os.rmdir(staging)
+    return [
+        {
+            **e,
+            "bloom": {
+                "sidecar": sidecar,
+                "cols": {
+                    c: {"m": geom[os.path.basename(e["name"])], "k": k}
+                    for c in bloom_cols
+                },
+            },
+        }
+        for e in entries
+    ]
+
+
 def _write_data_files(
     df: DataFrame,
     path: str,
     commit_id: int,
     cluster_by: str | None = None,
     zorder_by: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_fpp: float = 0.01,
 ) -> list[dict]:
     """Write the frame as immutable files under data/ and return their
     manifest entries ({name, stats}).  A staging dir keeps
@@ -307,6 +423,10 @@ def _write_data_files(
         os.rename(src, dest)
         stats, nulls = _file_stats(dest)
         entries.append({"name": f"data/{name}", "stats": stats, "nulls": nulls})
+    if bloom_cols and entries:
+        entries = _attach_blooms(
+            df.sparkSession, path, entries, bloom_cols, bloom_fpp
+        )
     # drop the staging leftovers (_SUCCESS etc.)
     for root, dirs, files in os.walk(staging, topdown=False):
         for f in files:
@@ -345,7 +465,11 @@ def _evolved_schema(parent_schema: dict | None, df: DataFrame, op: str) -> dict:
 
 
 def _snap_commit(
-    df: DataFrame, path: str, op: str, zorder_by: list[str] | None = None
+    df: DataFrame,
+    path: str,
+    op: str,
+    zorder_by: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Two-level commit with optimistic concurrency: data files and
     this commit's manifest are written ONCE (uuid-unique names — safe
@@ -355,7 +479,8 @@ def _snap_commit(
     number of prior commits), never O(total table files)."""
     prev0 = _latest_version(path)
     new_files = _write_data_files(
-        df, path, 0 if prev0 is None else prev0 + 1, zorder_by=zorder_by
+        df, path, 0 if prev0 is None else prev0 + 1,
+        zorder_by=zorder_by, bloom_cols=bloom_cols,
     )
     new_name = _write_manifest_file(path, new_files)
     for _ in range(_MAX_COMMIT_RETRIES):
@@ -388,24 +513,37 @@ def _snap_commit(
 
 
 def snap_append(
-    df: DataFrame, path: str, zorder_by: list[str] | None = None
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df``'s rows as a new version containing old + new
     files.  Returns the committed version number.  ``zorder_by`` lays
-    the new files out along the Morton curve of those columns (see
-    ``_write_data_files``)."""
-    return _snap_commit(df, path, "append", zorder_by=zorder_by)
+    the new files out along the Morton curve of those columns;
+    ``bloom_cols`` records per-file bloom filters for equality
+    skipping on high-cardinality columns (see ``_write_data_files``
+    and ``_attach_blooms``)."""
+    return _snap_commit(
+        df, path, "append", zorder_by=zorder_by, bloom_cols=bloom_cols
+    )
 
 
 def snap_overwrite(
-    df: DataFrame, path: str, zorder_by: list[str] | None = None
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as the table's full new content.  Replaced files
     stay on disk (older versions remain readable) until vacuum.
     ``zorder_by`` writes the content multi-dimensionally clustered so
     ``snap_scan``/``snap_scan_multi`` skip files for predicates on any
-    participating column."""
-    return _snap_commit(df, path, "overwrite", zorder_by=zorder_by)
+    participating column; ``bloom_cols`` adds per-file equality-probe
+    blooms."""
+    return _snap_commit(
+        df, path, "overwrite", zorder_by=zorder_by, bloom_cols=bloom_cols
+    )
 
 
 def snap_versions(path: str) -> list[dict]:
@@ -577,25 +715,111 @@ def snap_read(
     return _read_files(spark, path, m, [_entry_name(e) for e in entries])
 
 
+def _bloom_hashes(spark: SparkSession, value, k: int) -> list[int]:
+    """The k xxhash64 probe values for ``value`` — computed through
+    Spark itself (one local 1-row job) so the build pass and the
+    probe share one hash definition by construction."""
+    from pyspark.sql import functions as F
+
+    row = spark.range(1).select(
+        *[
+            F.xxhash64(F.lit(value), F.lit(s)).alias(f"h{s}")
+            for s in range(k)
+        ]
+    ).first()
+    return [row[f"h{s}"] for s in range(k)]
+
+
+def _bloom_excluded(
+    spark: SparkSession, path: str, entries: list, col: str, value
+) -> set:
+    """Entry names whose bloom filter PROVES ``col`` never equals
+    ``value``.  Reads only the probed word positions from each
+    commit's sidecar (k words per file — row-group pushdown keeps the
+    metadata read tiny even for wide tables); entries without a bloom
+    for ``col`` are never excluded (absent = not skippable)."""
+    import pyarrow.parquet as papq
+
+    probes: dict[str, list[tuple[str, int, int]]] = {}
+    kmax = 0
+    for e in entries:
+        info = e.get("bloom") if isinstance(e, dict) else None
+        geom = (info or {}).get("cols", {}).get(col)
+        if geom:
+            probes.setdefault(info["sidecar"], []).append(
+                (e["name"], geom["m"], geom["k"])
+            )
+            kmax = max(kmax, geom["k"])
+    if not probes:
+        return set()
+    hashes = _bloom_hashes(spark, value, kmax)
+    excluded = set()
+    for sidecar, files in probes.items():
+        needed = sorted(
+            {(h % m) // 64 for _, m, k in files for h in hashes[:k]}
+        )
+        tbl = papq.read_table(
+            os.path.join(path, sidecar),
+            filters=[("col", "==", col), ("word_idx", "in", needed)],
+            columns=["file", "word_idx", "word"],
+        )
+        words = {
+            (f, w): int(v)
+            for f, w, v in zip(
+                tbl.column("file").to_pylist(),
+                tbl.column("word_idx").to_pylist(),
+                tbl.column("word").to_pylist(),
+            )
+        }
+        for name, m, k in files:
+            base = os.path.basename(name)
+            hit = all(
+                words.get((base, (h % m) // 64), 0) >> ((h % m) % 64) & 1
+                for h in hashes[:k]
+            )
+            if not hit:
+                excluded.add(name)
+    return excluded
+
+
 def snap_scan_files(
-    path: str, preds: dict[str, tuple], version: int | None = None
+    path: str,
+    preds: dict[str, tuple],
+    version: int | None = None,
+    spark: SparkSession | None = None,
+    eq: dict | None = None,
 ) -> list[str]:
     """The file names a predicated scan would read: manifest entries
     whose stats cannot disprove EVERY (col, [lo, hi]) conjunct are
-    kept (absent stats = not skippable).  Split out so tests can pin
-    pruning effectiveness (e.g. a z-ordered layout skipping on any
-    participating dimension) without executing the scan."""
+    kept (absent stats = not skippable).  ``eq`` adds equality
+    conjuncts ``{col: value}``, pruned first by range stats (an
+    equality is the point range [v, v]) and then by per-file BLOOM
+    probes where the manifest carries them (requires ``spark`` for
+    the probe hashes).  Split out so tests can pin pruning
+    effectiveness without executing the scan."""
     v = _latest_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no snapshot table at {path}")
     m = _read_manifest(path, v)
-    return [
-        _entry_name(e)
+    entries = [
+        e
         for e in _manifest_entries(path, m)
         if not any(
             _range_disjoint(e, col, lo, hi) for col, (lo, hi) in preds.items()
         )
+        and not any(
+            _range_disjoint(e, col, val, val) for col, val in (eq or {}).items()
+        )
     ]
+    for col, val in (eq or {}).items():
+        if val is None:
+            raise ValueError("eq probe value cannot be None (= NULL never matches)")
+        if spark is None:
+            raise ValueError("eq pruning needs the SparkSession for probe hashes")
+        dropped = _bloom_excluded(spark, path, entries, col, val)
+        if dropped:
+            entries = [e for e in entries if _entry_name(e) not in dropped]
+    return [_entry_name(e) for e in entries]
 
 
 def snap_scan_multi(
@@ -603,6 +827,7 @@ def snap_scan_multi(
     path: str,
     preds: dict[str, tuple],
     version: int | None = None,
+    eq: dict | None = None,
 ) -> DataFrame:
     """Predicate scan with MANIFEST-LEVEL data skipping over a
     CONJUNCTION of range predicates ``{col: (lo, hi)}`` (None = open
@@ -614,12 +839,16 @@ def snap_scan_multi(
     the cost).  Multi-column pruning is what a ``zorder_by`` write
     layout pays for: the Morton layout keeps every file's range tight
     on all participating columns, so either column's predicate skips.
-    The residual filter still applies, so results are exact."""
+    ``eq`` adds equality conjuncts pruned by range stats AND per-file
+    bloom probes where the manifest carries them (``bloom_cols`` at
+    write) — the high-cardinality point-lookup path where min/max is
+    useless.  The residual filter still applies, so results are
+    exact."""
     v = _latest_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no snapshot table at {path}")
     m = _read_manifest(path, v)
-    keep = snap_scan_files(path, preds, v)
+    keep = snap_scan_files(path, preds, v, spark=spark, eq=eq)
     if not keep:  # provably empty under the predicate
         base = snap_read(spark, path, v).limit(0)
     else:
@@ -632,6 +861,8 @@ def snap_scan_multi(
             cond = cond & (F.col(col) >= F.lit(lo))
         if hi is not None:
             cond = cond & (F.col(col) <= F.lit(hi))
+    for col, val in (eq or {}).items():
+        cond = cond & (F.col(col) == F.lit(val))
     return base.filter(cond)
 
 
@@ -711,9 +942,13 @@ def _vacuum_at(
     reachable = set()
     live_manifests = set()
     live_dvs = set()
+    live_blooms = set()
     for v in keep_versions + above:
         m = _read_manifest(path, v)
-        reachable.update(_entry_name(e) for e in _manifest_entries(path, m))
+        for e in _manifest_entries(path, m):
+            reachable.add(_entry_name(e))
+            if isinstance(e, dict) and e.get("bloom"):
+                live_blooms.add(e["bloom"]["sidecar"])
         live_manifests.update(m.get("manifests", []))
         live_dvs.update(m.get("dvs", []))
     deleted = []
@@ -732,6 +967,15 @@ def _vacuum_at(
         rel = f"dv/{f}"
         fpath = os.path.join(dv_dir, f)
         if rel not in live_dvs and not _file_in_grace(fpath):
+            os.remove(fpath)
+            deleted.append(rel)
+    # bloom sidecars: live while any retained version's entry points
+    # at them; same grace window for a commit mid-flight
+    bloom_dir = os.path.join(path, "bloom")
+    for f in sorted(os.listdir(bloom_dir)) if os.path.isdir(bloom_dir) else []:
+        rel = f"bloom/{f}"
+        fpath = os.path.join(bloom_dir, f)
+        if rel not in live_blooms and not _file_in_grace(fpath):
             os.remove(fpath)
             deleted.append(rel)
     for f in st.list(path):

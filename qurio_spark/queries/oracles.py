@@ -1466,6 +1466,17 @@ SELECT o_orderpriority, count(*) AS n_orders,
 FROM orders, m
 WHERE o_orderkey > mx // 3 AND o_orderkey <= 2 * mx // 3
 GROUP BY o_orderpriority""",
+        # bloom pruning changes only WHICH files the point lookup
+        # reads; the residual hash equality keeps the result exact
+        "snap_bloom": """
+WITH probe AS (
+  SELECT sha256(text) AS h FROM documents
+  WHERE doc_id = (SELECT max(doc_id) FROM documents)
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d, probe p
+WHERE sha256(d.text) = p.h
+ORDER BY d.doc_id""",
         # z-ordered layout changes only WHICH files a scan reads —
         # the residual filter makes the box predicate exact
         "snap_zorder": """

@@ -428,3 +428,40 @@ def q_snap_zorder(spark, sf_dir):
         F.count("*").alias("n_orders"),
         stable_round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+def q_snap_bloom(spark, sf_dir):
+    """Manifest-level BLOOM skipping e2e
+    (plans/snapshots._attach_blooms + snap_scan_multi(eq=)):
+    documents commit in two bloomed snapshots keyed by a sha2 content
+    hash — a high-cardinality UNSORTED column where every file's
+    [min, max] spans the whole key space, so range stats prune
+    nothing and the per-file bloom probe is what keeps a point lookup
+    from scanning the table (pruning counts pinned in
+    tests/test_manifest_bloom.py).  The probe key is the max-doc_id
+    document's hash; the result is every document sharing that text
+    (duplicate texts in the corpus make this legitimately multi-row),
+    so the oracle is the plain hash-equality SELECT."""
+    import tempfile
+
+    from qurio_spark.plans.snapshots import snap_append, snap_scan_multi
+
+    path = f"{tempfile.mkdtemp(prefix='qurio-snapbloom-')}/documents"
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars",
+        F.sha2(F.col("text"), 256).alias("content_hash"),
+    )
+    mx = d.agg(F.max("doc_id")).first()[0]
+    snap_append(
+        d.filter(F.col("doc_id") <= mx // 2).repartition(4), path,
+        bloom_cols=["content_hash"],
+    )
+    snap_append(
+        d.filter(F.col("doc_id") > mx // 2).repartition(4), path,
+        bloom_cols=["content_hash"],
+    )
+    probe = (
+        d.filter(F.col("doc_id") == mx).select("content_hash").first()[0]
+    )
+    hit = snap_scan_multi(spark, path, {}, eq={"content_hash": probe})
+    return hit.select("doc_id", "lang", "n_chars").orderBy("doc_id")

@@ -1,0 +1,187 @@
+"""Manifest-level bloom skipping (plans/snapshots._attach_blooms +
+snap_scan_files(eq=)): per-file bloom filters recorded at commit make
+EQUALITY predicates on high-cardinality unsorted columns prunable —
+the point-lookup case where min/max stats span everything.
+
+Pins: exactness (a kept-file scan still returns exactly the matching
+rows; a bloom can only produce false KEEPS, never false drops), the
+false-positive bound at the written fpp, the not-skippable posture for
+unbloomed files, sizing ∝ file rows, and sidecar vacuum lifecycle.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from qurio_spark.plans.snapshots import (
+    _read_manifest,
+    snap_append,
+    snap_read,
+    snap_scan_files,
+    snap_scan_multi,
+    snap_vacuum,
+)
+
+
+def _docs(spark, lo, hi):
+    """High-cardinality unsorted string ids (sha2 — every file's
+    [min, max] range spans essentially the whole key space)."""
+    return spark.range(lo, hi).select(
+        F.concat(
+            F.lit("doc-"), F.sha2(F.col("id").cast("string"), 256)
+        ).alias("doc_id"),
+        F.col("id").alias("payload"),
+    )
+
+
+@pytest.fixture(scope="module")
+def table(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("bloom") / "t")
+    snap_append(_docs(spark, 0, 4000).repartition(8), path,
+                bloom_cols=["doc_id"])
+    snap_append(_docs(spark, 4000, 6000).repartition(4), path,
+                bloom_cols=["doc_id"])
+    return path
+
+
+def _id_of(spark, payload):
+    return (
+        _docs(spark, payload, payload + 1).select("doc_id").first()[0]
+    )
+
+
+def test_point_lookup_prunes_to_one_file(spark, table):
+    total = len(snap_scan_files(table, {}))
+    assert total == 12
+    target = _id_of(spark, 1234)
+    kept = snap_scan_files(table, {}, spark=spark, eq={"doc_id": target})
+    # the true file plus at most a false positive or two at fpp=0.01
+    assert 1 <= len(kept) <= 2
+    rows = snap_scan_multi(spark, table, {}, eq={"doc_id": target}).collect()
+    assert [r["payload"] for r in rows] == [1234]
+
+
+def test_absent_key_reads_nothing(spark, table):
+    kept = snap_scan_files(
+        table, {}, spark=spark, eq={"doc_id": "doc-definitely-absent"}
+    )
+    assert kept == []
+    assert (
+        snap_scan_multi(
+            spark, table, {}, eq={"doc_id": "doc-definitely-absent"}
+        ).count()
+        == 0
+    )
+
+
+def test_false_positive_rate_at_fpp(spark, table):
+    """Probe 50 absent keys: expected false keeps per probe is
+    ~fpp * 12 files = 0.12; assert a generous 6x envelope so the test
+    never flakes while still catching a broken hash or sizing."""
+    false_keeps = 0
+    for i in range(50):
+        kept = snap_scan_files(
+            table, {}, spark=spark, eq={"doc_id": f"doc-absent-{i}"}
+        )
+        false_keeps += len(kept)
+    assert false_keeps <= 36, false_keeps
+
+
+def test_no_false_drops_exhaustive(spark, table):
+    """Every present key's file is kept — blooms can only over-keep.
+    Checked for a deterministic sample of 20 keys."""
+    for p in range(0, 6000, 300):
+        target = _id_of(spark, p)
+        rows = snap_scan_multi(
+            spark, table, {}, eq={"doc_id": target}
+        ).collect()
+        assert [r["payload"] for r in rows] == [p], p
+
+
+def test_unbloomed_files_never_excluded(spark, table, tmp_path):
+    path = str(tmp_path / "mixed")
+    snap_append(_docs(spark, 0, 100).coalesce(1), path,
+                bloom_cols=["doc_id"])
+    snap_append(_docs(spark, 100, 200).coalesce(1), path)  # no bloom
+    kept = snap_scan_files(
+        path, {}, spark=spark, eq={"doc_id": "doc-absent"}
+    )
+    # the bloomed file drops, the unbloomed one must survive
+    assert len(kept) == 1
+    target = _id_of(spark, 150)
+    rows = snap_scan_multi(spark, path, {}, eq={"doc_id": target}).collect()
+    assert [r["payload"] for r in rows] == [150]
+
+
+def test_bloom_sized_from_file_rows(spark, tmp_path):
+    path = str(tmp_path / "sized")
+    snap_append(_docs(spark, 0, 10).coalesce(1), path, bloom_cols=["doc_id"])
+    snap_append(
+        _docs(spark, 10, 5010).coalesce(1), path, bloom_cols=["doc_id"]
+    )
+    m = _read_manifest(path, 1)
+    from qurio_spark.plans.snapshots import _manifest_entries
+
+    geoms = sorted(
+        e["bloom"]["cols"]["doc_id"]["m"] for e in _manifest_entries(path, m)
+    )
+    assert geoms[0] >= 64 and geoms[1] >= 400 * geoms[0] // 10
+
+
+def test_eq_composes_with_range_preds(spark, table):
+    target = _id_of(spark, 2345)
+    hit = snap_scan_multi(
+        spark, table, {"payload": (2000, 3000)}, eq={"doc_id": target}
+    )
+    assert [r["payload"] for r in hit.collect()] == [2345]
+    miss = snap_scan_multi(
+        spark, table, {"payload": (0, 1000)}, eq={"doc_id": target}
+    )
+    assert miss.count() == 0
+
+
+def test_eq_probe_guards(spark, table):
+    with pytest.raises(ValueError, match="NULL"):
+        snap_scan_files(table, {}, spark=spark, eq={"doc_id": None})
+    with pytest.raises(ValueError, match="SparkSession"):
+        snap_scan_files(table, {}, eq={"doc_id": "x"})
+
+
+def test_null_values_skipped_in_build(spark, tmp_path):
+    path = str(tmp_path / "nulls")
+    df = spark.createDataFrame(
+        [("a", 1), (None, 2), ("b", 3)], "doc_id string, payload long"
+    )
+    snap_append(df.coalesce(1), path, bloom_cols=["doc_id"])
+    rows = snap_scan_multi(spark, path, {}, eq={"doc_id": "b"}).collect()
+    assert [r["payload"] for r in rows] == [3]
+    # NULL-id rows are untouched in the table itself
+    assert snap_read(spark, path).count() == 3
+
+
+def test_vacuum_collects_retired_sidecars(spark, tmp_path):
+    path = str(tmp_path / "vac")
+    snap_append(_docs(spark, 0, 100).coalesce(1), path,
+                bloom_cols=["doc_id"])
+    from qurio_spark.plans.snapshots import snap_overwrite
+
+    bloom_dir = os.path.join(path, "bloom")
+    first = set(os.listdir(bloom_dir))
+    assert len(first) == 1
+    snap_overwrite(_docs(spark, 0, 50).coalesce(1), path,
+                   bloom_cols=["doc_id"])
+    # v0's sidecar still referenced while v0 is retained
+    assert snap_vacuum(path, keep_last=2, grace_seconds=0.0) == []
+    assert first <= set(os.listdir(bloom_dir))
+    deleted = snap_vacuum(path, keep_last=1, grace_seconds=0.0)
+    assert {d for d in deleted if d.startswith("bloom/")} == {
+        f"bloom/{f}" for f in first
+    }
+    # the surviving version's sidecar still probes correctly
+    kept = snap_scan_files(
+        path, {}, spark=spark, eq={"doc_id": "doc-absent"}
+    )
+    assert kept == []

@@ -193,6 +193,13 @@ BUDGETS = {
                     "bhj": ("<=", 0), "bnlj": ("<=", 0),
                     "python_stages": ("<=", 0),
                     "pushed_filters": (">=", 1)},
+    # bloom point lookup: the kept-file scan is a plain pushed-filter
+    # parquet read (the bloom pruning happened at planning time); the
+    # one exchange is the final orderBy
+    "snap_bloom": {"shuffles": ("<=", 1), "smj": ("<=", 0),
+                   "bhj": ("<=", 0), "bnlj": ("<=", 0),
+                   "python_stages": ("<=", 0),
+                   "pushed_filters": (">=", 1)},
     # aggview READ path: finals derive from the stored states in the
     # scan projection — zero shuffles, zero joins, no re-aggregation
     # (the refreshes run eagerly before this plan and are budgeted by
