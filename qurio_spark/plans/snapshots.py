@@ -199,15 +199,15 @@ def _commit(path: str, version: int, manifest: dict) -> None:
         )
 
 
-def _file_stats(fpath: str) -> tuple[dict, dict]:
-    """Per-file column (min/max, null-count) from the parquet footer
-    (json-safe columns only: ints, floats, strings) — the
-    manifest-level data-skipping stats, gathered once at commit time
-    from metadata the writer already produced.  Columns without footer
-    statistics are simply absent (absent = not skippable, never
-    wrong); a null count is recorded only when EVERY row group reports
-    one (a partial count understates and would wrongly prove a file
-    NULL-free)."""
+def _file_stats(fpath: str) -> tuple[dict, dict, int]:
+    """Per-file column (min/max, null-count) and the file's ROW COUNT
+    from the parquet footer (json-safe columns only: ints, floats,
+    strings) — the manifest-level data-skipping stats, gathered once
+    at commit time from metadata the writer already produced.  Columns
+    without footer statistics are simply absent (absent = not
+    skippable, never wrong); a null count is recorded only when EVERY
+    row group reports one (a partial count understates and would
+    wrongly prove a file NULL-free)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(fpath).metadata
@@ -237,7 +237,7 @@ def _file_stats(fpath: str) -> tuple[dict, dict]:
                 stats[name] = [min(stats[name][0], mn), max(stats[name][1], mx)]
             else:
                 stats[name] = [mn, mx]
-    return stats, nulls
+    return stats, nulls, md.num_rows
 
 
 def _attach_blooms(
@@ -266,16 +266,12 @@ def _attach_blooms(
     sidecar."""
     import math
 
-    import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
     k = max(1, round(-math.log2(fpp)))
     geom: dict[str, int] = {}
     for e in entries:
-        rows = pq.ParquetFile(
-            os.path.join(path, e["name"])
-        ).metadata.num_rows
-        bits = max(1, rows) * -math.log(fpp) / (math.log(2) ** 2)
+        bits = max(1, e["rows"]) * -math.log(fpp) / (math.log(2) ** 2)
         geom[os.path.basename(e["name"])] = 64 * max(1, math.ceil(bits / 64))
     mmap = F.broadcast(
         spark.createDataFrame(
@@ -421,8 +417,11 @@ def _write_data_files(
         name = f"c{commit_id}-{fname}"
         dest = os.path.join(data_dir, name)
         os.rename(src, dest)
-        stats, nulls = _file_stats(dest)
-        entries.append({"name": f"data/{name}", "stats": stats, "nulls": nulls})
+        stats, nulls, rows = _file_stats(dest)
+        entries.append(
+            {"name": f"data/{name}", "stats": stats, "nulls": nulls,
+             "rows": rows}
+        )
     if bloom_cols and entries:
         entries = _attach_blooms(
             df.sparkSession, path, entries, bloom_cols, bloom_fpp
@@ -641,15 +640,32 @@ def _range_disjoint(e, col: str, lo, hi) -> bool:
     return (lo is not None and mx < lo) or (hi is not None and mn > hi)
 
 
-def _dv_carry(m: dict) -> dict:
+def _dv_carry(m: dict, drop_files: set | None = None) -> dict:
     """The DV bookkeeping a child commit carries from its parent
     (append/delete/replace/compact keep the parent's vectors;
-    overwrite resets them along with the file list)."""
-    out = {}
-    if m.get("dvs"):
-        out["dvs"] = list(m["dvs"])
-        out["dv_rows"] = m.get("dv_rows", 0)
-    return out
+    overwrite resets them along with the file list).  ``drop_files``:
+    BASENAMES of data files the commit rewrote or dropped — their
+    per-file deleted-row counts leave the ledger, so ``dv_rows``
+    stays the EXACT count of vector entries still masking live files
+    (what the metadata-only ``snap_count`` subtracts and the
+    broadcast bound consults).  A ledger that empties proves every
+    vector stale, and the dvs list drops entirely — readers skip the
+    anti-join.  A legacy manifest (dvs without a per-file ledger)
+    carries unchanged — without counts nothing is provably stale."""
+    if not m.get("dvs"):
+        return {}
+    if "dv_counts" not in m:
+        return {"dvs": list(m["dvs"]), "dv_rows": m.get("dv_rows", 0)}
+    counts = dict(m.get("dv_counts", {}))
+    for f in drop_files or ():
+        counts.pop(f, None)
+    if not counts:
+        return {}
+    return {
+        "dvs": list(m["dvs"]),
+        "dv_counts": counts,
+        "dv_rows": sum(counts.values()),
+    }
 
 
 def snap_version_at(path: str, as_of: float) -> int:
@@ -1246,12 +1262,80 @@ def snap_delete_where(
             {"version": v + 1, "op": "delete", "parent": v,
              "manifests": carried + [new_name],
              "txn": dict(m.get("txn", {})), "schema": m.get("schema"),
-             **_dv_carry(m)},
+             **_dv_carry(
+                 m,
+                 {os.path.basename(_entry_name(e)) for e in affected},
+             )},
         ):
             return v + 1
         # a concurrent commit landed between classification and claim:
         # the classification (and the survivor rewrite) must re-run
         # against the new latest
+    raise RuntimeError(
+        f"commit contention on {path}: {_MAX_COMMIT_RETRIES} retries lost"
+    )
+
+
+def snap_count(path: str, version: int | None = None) -> int | None:
+    """Metadata-only COUNT(*) — the Iceberg/Delta manifest-count
+    shape: per-file row counts recorded at commit time sum straight
+    from the manifest, minus the exact deleted-row ledger the MOR
+    deletes maintain (``dv_counts`` prunes file-by-file on every
+    rewrite, so the subtraction never drifts).  No data file is
+    opened; at 100 TB this is the difference between a catalog call
+    and a cluster job.  Returns None when any entry predates
+    row-count stats (caller falls back to a real count)."""
+    v = _latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshot table at {path}")
+    m = _read_manifest(path, v)
+    total = 0
+    for e in _manifest_entries(path, m):
+        if not isinstance(e, dict) or "rows" not in e:
+            return None
+        total += e["rows"]
+    return total - m.get("dv_rows", 0)
+
+
+def snap_restore(path: str, version: int) -> int:
+    """``RESTORE TABLE ... TO VERSION AS OF`` (Delta parity): commit
+    a NEW version whose content is the target version's — manifests,
+    schema, and deletion vectors copied by reference, zero data
+    movement — so the rewind is itself history (re-restorable,
+    diffable, vacuum-safe).  Raises if the target version or any data
+    file it references was already vacuumed (vacuumed history cannot
+    be resurrected).  Streaming replay markers (``txn``) carry from
+    the CURRENT version, not the target: restore rewinds data, never
+    the exactly-once ledger."""
+    target = _read_manifest(path, version)  # raises if retired
+    missing = [
+        _entry_name(e)
+        for e in _manifest_entries(path, target)
+        if not os.path.exists(os.path.join(path, _entry_name(e)))
+    ] + [
+        n
+        for n in target.get("dvs", [])
+        if not os.path.exists(os.path.join(path, n))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore {path} to v{version}: vacuum already "
+            f"removed {missing[:3]}{'...' if len(missing) > 3 else ''}"
+        )
+    manifests = _carried_manifests(path, target)
+    for _ in range(_MAX_COMMIT_RETRIES):
+        cur = _latest_version(path)
+        if cur is None:
+            raise FileNotFoundError(f"no snapshot table at {path}")
+        m_cur = _read_manifest(path, cur)
+        if _try_commit(
+            path, cur + 1,
+            {"version": cur + 1, "op": "restore", "parent": cur,
+             "restored": version, "manifests": manifests,
+             "txn": dict(m_cur.get("txn", {})),
+             "schema": target.get("schema"), **_dv_carry(target)},
+        ):
+            return cur + 1
     raise RuntimeError(
         f"commit contention on {path}: {_MAX_COMMIT_RETRIES} retries lost"
     )
@@ -1330,31 +1414,43 @@ def snap_delete_where_mor(
             .write.mode("overwrite")
             .parquet(staging)
         )
+        # per-file deleted-row counts (one distributed pass over the
+        # tiny staged vector): the exact ledger snap_count subtracts
+        # and rewrite commits prune file-by-file
+        new_counts = {
+            r["file"]: r["n"]
+            for r in spark.read.parquet(staging)
+            .groupBy("file")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
         dv_dir = os.path.join(path, "dv")
         os.makedirs(dv_dir, exist_ok=True)
         moved: list[str] = []
-        total = 0
         for f in sorted(os.listdir(staging)):
             src = os.path.join(staging, f)
-            if f.endswith(".parquet"):
+            if f.endswith(".parquet") and new_counts:
                 n = pq.ParquetFile(src).metadata.num_rows
                 if n:
                     name = f"dv-{uuid.uuid4().hex}.parquet"
                     os.rename(src, os.path.join(dv_dir, name))
                     moved.append(f"dv/{name}")
-                    total += n
                     continue
             os.remove(src)
         os.rmdir(staging)
-        if total == 0:
+        if not new_counts:
             return None
+        counts = dict(m.get("dv_counts", {}))
+        for f, n in new_counts.items():
+            counts[f] = counts.get(f, 0) + n
         if _try_commit(
             path, v + 1,
             {"version": v + 1, "op": "delete-mor", "parent": v,
              "manifests": _carried_manifests(path, m),
              "txn": dict(m.get("txn", {})), "schema": m.get("schema"),
              "dvs": prior + moved,
-             "dv_rows": m.get("dv_rows", 0) + total},
+             "dv_counts": counts,
+             "dv_rows": sum(counts.values())},
         ):
             return v + 1
         # lost the claim: positions were computed against a stale
@@ -1619,7 +1715,10 @@ def snap_replace_values(
             {"version": v + 1, "op": "replace", "parent": v,
              "manifests": carried + [new_name],
              "txn": dict(m.get("txn", {})), "schema": m.get("schema"),
-             **_dv_carry(m)},
+             **_dv_carry(
+                 m,
+                 {os.path.basename(_entry_name(e)) for e in affected},
+             )},
         ):
             return v + 1
     raise RuntimeError(
@@ -1681,7 +1780,10 @@ def snap_compact(
             path, v + 1,
             {"version": v + 1, "op": "compact", "parent": v,
              "manifests": [new_name], "txn": dict(m.get("txn", {})),
-             "schema": m.get("schema"), **_dv_carry(m)},
+             "schema": m.get("schema"),
+             **_dv_carry(
+                 m, {os.path.basename(_entry_name(e)) for e in small}
+             )},
         ):
             return v + 1
     raise RuntimeError(

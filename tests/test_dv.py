@@ -119,14 +119,11 @@ def test_compact_does_not_resurrect(spark, table):
     assert _vals(snap_read(spark, table)) == list(range(7)) + list(
         range(13, 20)
     )
-    # the packed files physically exclude the rows: materializing now
-    # finds every vector stale and clears with a metadata-only commit
-    data = os.path.join(table, "data")
-    before = set(os.listdir(data))
-    vm = snap_materialize_dvs(spark, table)
-    assert vm is not None
-    assert "dvs" not in _read_manifest(table, vm)
-    assert set(os.listdir(data)) == before
+    # the packed files physically exclude the rows AND every masked
+    # file was rewritten, so the compact commit drops the vectors
+    # itself (the dv ledger emptied) — materialize is then a no-op
+    assert "dvs" not in _read_manifest(table, v)
+    assert snap_materialize_dvs(spark, table) is None
 
 
 def test_diff_sees_mor_deletes(spark, table):

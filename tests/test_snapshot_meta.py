@@ -1,0 +1,144 @@
+"""Metadata-only COUNT (snap_count) and RESTORE (snap_restore).
+
+snap_count must stay EXACT through the whole mutation surface —
+appends, MOR deletes (ledger subtraction), rewrites that strand
+vector entries (ledger prunes file-by-file), materialization — or it
+is worse than useless: a metadata count that can drift silently poisons
+every downstream consumer that trusted it.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from qurio_spark.plans.snapshots import (
+    _read_manifest,
+    snap_append,
+    snap_append_txn,
+    snap_compact,
+    snap_count,
+    snap_delete_where,
+    snap_delete_where_mor,
+    snap_materialize_dvs,
+    snap_read,
+    snap_restore,
+    snap_vacuum,
+    snap_versions,
+)
+
+
+def _vals(spark, path):
+    return sorted(r["v"] for r in snap_read(spark, path).collect())
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snap_append(
+        spark.range(0, 10).select(F.col("id").alias("v")).coalesce(1), path
+    )
+    snap_append(
+        spark.range(10, 20).select(F.col("id").alias("v")).coalesce(1), path
+    )
+    return path
+
+
+class TestSnapCount:
+    def test_counts_without_opening_files(self, spark, table):
+        assert snap_count(table) == 20
+        assert snap_count(table, version=0) == 10
+
+    def test_exact_through_mor_deletes(self, spark, table):
+        snap_delete_where_mor(spark, table, "v", lo=3, hi=7)
+        assert snap_count(table) == 15
+        snap_delete_where_mor(spark, table, "v", lo=15, hi=16)
+        assert snap_count(table) == 13
+        assert snap_count(table) == snap_read(spark, table).count()
+
+    def test_ledger_prunes_on_cow_rewrite(self, spark, table):
+        """A CoW delete rewrites a file that MOR vectors masked: the
+        stranded vector entries must leave the ledger or the count
+        undercounts forever."""
+        snap_delete_where_mor(spark, table, "v", lo=0, hi=2)   # file 1
+        snap_delete_where_mor(spark, table, "v", lo=12, hi=13)  # file 2
+        snap_delete_where(spark, table, "v", lo=4, hi=4)  # rewrites file 1
+        assert snap_count(table) == snap_read(spark, table).count() == 14
+        m = _read_manifest(table, 4)
+        # only file 2's vector rows remain in the ledger
+        assert m["dv_rows"] == 2
+
+    def test_ledger_clears_on_compact_and_materialize(self, spark, table):
+        snap_delete_where_mor(spark, table, "v", lo=0, hi=4)
+        snap_compact(spark, table, small_bytes=1 << 20)
+        m = _read_manifest(table, 3)
+        # every masked file was rewritten -> the dvs drop entirely
+        assert "dvs" not in m and "dv_rows" not in m
+        assert snap_count(table) == 15 == snap_read(spark, table).count()
+        # materialize on a vector-free table is a no-op
+        assert snap_materialize_dvs(spark, table) is None
+
+    def test_exact_after_materialize(self, spark, table):
+        snap_delete_where_mor(spark, table, "v", lo=0, hi=4)
+        snap_materialize_dvs(spark, table)
+        assert snap_count(table) == 15 == snap_read(spark, table).count()
+
+    def test_legacy_manifest_without_ledger_carries_unchanged(self):
+        """A manifest written before the per-file ledger existed (dvs
+        + dv_rows, no dv_counts) must carry its vectors verbatim —
+        without counts nothing is provably stale, and dropping them
+        would resurrect deleted rows."""
+        from qurio_spark.plans.snapshots import _dv_carry
+
+        legacy = {"dvs": ["dv/a.parquet"], "dv_rows": 7}
+        assert _dv_carry(legacy, {"f1.parquet"}) == {
+            "dvs": ["dv/a.parquet"], "dv_rows": 7,
+        }
+
+
+class TestSnapRestore:
+    def test_restore_rewinds_data_as_new_version(self, spark, table):
+        v = snap_restore(table, 0)
+        assert v == 2
+        assert _vals(spark, table) == list(range(10))
+        assert [m["op"] for m in snap_versions(table)] == [
+            "append", "append", "restore",
+        ]
+        assert _read_manifest(table, v)["restored"] == 0
+        # pre-restore history is still readable
+        assert len(snap_read(spark, table, 1).collect()) == 20
+
+    def test_restore_preserves_targets_vectors(self, spark, table):
+        vd = snap_delete_where_mor(spark, table, "v", lo=0, hi=4)
+        snap_append(
+            spark.range(50, 55).select(F.col("id").alias("v")), table
+        )
+        snap_restore(table, vd)
+        assert _vals(spark, table) == list(range(5, 20))
+        assert snap_count(table) == 15
+
+    def test_restore_carries_current_txn_ledger(self, spark, table):
+        snap_append_txn(
+            spark.range(30, 32).select(F.col("id").alias("v")), table,
+            "app", 7,
+        )
+        snap_restore(table, 0)
+        # the replayed batch is STILL detected after the rewind
+        assert (
+            snap_append_txn(
+                spark.range(2).select(F.col("id").alias("v")), table,
+                "app", 7,
+            )
+            is None
+        )
+        assert _vals(spark, table) == list(range(10))
+
+    def test_restore_past_vacuum_raises(self, spark, table):
+        from qurio_spark.plans.snapshots import snap_overwrite
+
+        snap_overwrite(
+            spark.range(3).select(F.col("id").alias("v")), table
+        )
+        snap_vacuum(table, keep_last=1, grace_seconds=0.0)
+        with pytest.raises(FileNotFoundError):
+            snap_restore(table, 0)
