@@ -174,6 +174,7 @@ from qurio_spark.queries.relational import (  # noqa: F401
     q_snap_compact,
     q_snap_bloom,
     q_snap_dv,
+    q_snap_merge,
     q_snap_quarantine,
     q_snap_zorder,
     q_parts_never_shipped,
@@ -386,6 +387,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in-window (same mapInPandas decode-pipeline contract) and the
     full codec matrix stays pytest-pinned in test_multimodal.py;
     green since round 6.
+    Also IN (new): ``snap_merge`` (snapshot-table MERGE INTO +
+    UPDATE WHERE — Delta DML parity: stats-pruned discovery join
+    rewrites only matched files, source appends, mid-band UPDATE
+    CoW; vs the oracle's CASE-reconstruction of both mutations).
+    OUT: ``snap_scan`` — the single-column manifest range-pruning
+    contract is a strict subset of the in-window snap_zorder
+    (conjunctive multi-column ranges) and snap_bloom (equality +
+    range) scans; green since round 7.
     EVERY entry, in-window or not, is additionally oracle-compared at
     sf0.001 by ``tests/test_queries_full.py`` on each pytest run — the
     round-4 lesson was that out-of-window entries had no committed
@@ -429,7 +438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_left": q_events_range_left,
         "stratified_sample": q_stratified_sample,
         "link_filter_chain": q_link_filter_chain,
-        "snap_scan": q_snap_scan,
+        "snap_merge": q_snap_merge,
         "snap_compact": q_snap_compact,
         "snap_quarantine": q_snap_quarantine,
         "snap_dv": q_snap_dv,
@@ -444,6 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rerank_overlap": q_rerank_overlap,
         # -- 51+: oracle-backed, operator proven by in-window sibling
         # (or, for minhash_lsh, newly oracle-backed breadth) ----------
+        "snap_scan": q_snap_scan,
         "events_asof_recovery": q_events_asof_recovery,
         "events_range_proximity": q_events_range_proximity,
         "audio_features": q_audio_features,

@@ -617,16 +617,27 @@ def _apply_dvs(spark: SparkSession, path: str, m: dict, base: DataFrame):
 
 
 def _read_files(
-    spark: SparkSession, path: str, m: dict, files: list[str]
+    spark: SparkSession,
+    path: str,
+    m: dict,
+    files: list[str],
+    file_col: str | None = None,
 ) -> DataFrame:
     """THE data read path: pinned-schema scan of a version's files
     with its deletion vectors applied.  Every internal read of table
     data (snap_read/snap_scan/diff/compact and the CoW rewrites) must
     come through here — a path that bypasses it resurrects
-    MOR-deleted rows."""
+    MOR-deleted rows.  ``file_col`` additionally tags each row with
+    its source file's basename (resolved on the scan relation, before
+    the DV anti-join) — the merge discovery pass uses it to map
+    matched keys back to the files that must rewrite."""
+    from pyspark.sql import functions as F
+
     base = _pinned_reader(spark, m).parquet(
         *[os.path.join(path, f) for f in files]
     )
+    if file_col is not None:
+        base = base.withColumn(file_col, F.col("_metadata.file_name"))
     return _apply_dvs(spark, path, m, base)
 
 
@@ -1713,6 +1724,230 @@ def snap_replace_values(
         if _try_commit(
             path, v + 1,
             {"version": v + 1, "op": "replace", "parent": v,
+             "manifests": carried + [new_name],
+             "txn": dict(m.get("txn", {})), "schema": m.get("schema"),
+             **_dv_carry(
+                 m,
+                 {os.path.basename(_entry_name(e)) for e in affected},
+             )},
+        ):
+            return v + 1
+    raise RuntimeError(
+        f"commit contention on {path}: {_MAX_COMMIT_RETRIES} retries lost"
+    )
+
+
+def snap_merge(
+    spark: SparkSession, path: str, source: DataFrame, keys: list[str]
+) -> int | None:
+    """``MERGE INTO`` the snapshot table (Delta parity: WHEN MATCHED
+    UPDATE SET * / WHEN NOT MATCHED INSERT *): target rows whose key
+    tuple appears in ``source`` are replaced by the source row, the
+    rest of the source inserts, everything else is untouched — ONE
+    atomic commit.
+
+    Scale shape (the Delta MERGE file-pruning discipline):
+
+    1. Source key tuples reduce to one partial-agg frame (dup counts
+       ride along for the ambiguity check).
+    2. Manifest stats prune candidate files per key column (a file
+       range-disjoint from the source's key bounds on ANY key column
+       cannot hold a match) — at 100 TB most files never reach Spark.
+    3. ONE discovery join of the candidate scan (keys + file tag,
+       deletion vectors applied — a key matching only MOR-deleted
+       rows is NOT matched) against the source keys yields the
+       affected-file set (bounded by file count, never row count) and
+       the max per-key source multiplicity.
+    4. Only affected files rewrite: survivors = anti-join on keys
+       (NULL-keyed target rows always survive — SQL equality);
+       the whole source appends as new files.  Untouched manifests
+       carry by name; rewritten files leave the DV ledger.
+
+    A source key tuple that is duplicated AND matched raises (Delta's
+    "multiple source rows matched" error — replacing one row with two
+    is not an update); duplicated unmatched tuples simply both insert.
+    NULL-keyed source rows never match and always insert.  Appends may
+    evolve the schema (new columns union by name, type changes
+    refused).  First call creates the table; an empty source returns
+    None (no version committed)."""
+    from pyspark.sql import functions as F
+
+    from qurio_spark.functions.checkpointing import checkpoint_df
+
+    if not keys:
+        raise ValueError("snap_merge needs at least one key column")
+    missing = [k for k in keys if k not in source.columns]
+    if missing:
+        raise ValueError(f"source is missing key columns {missing}")
+    source = checkpoint_df(source, eager=True)
+    if source.isEmpty():
+        return None
+    if _latest_version(path) is None:
+        new_files = _write_data_files(source, path, 0)
+        name = _write_manifest_file(path, new_files)
+        if _try_commit(
+            path, 0,
+            {"version": 0, "op": "merge", "parent": None,
+             "manifests": [name],
+             "schema": _evolved_schema(None, source, "append")},
+        ):
+            return 0
+        # lost the table-creation race: merge against the winner
+    src_keys = source.groupBy(*keys).agg(F.count("*").alias("__cnt"))
+    for k in keys:
+        src_keys = src_keys.filter(F.col(k).isNotNull())
+    src_keys = checkpoint_df(src_keys, eager=True)
+    bounds = src_keys.agg(
+        *[f for k in keys for f in (
+            F.min(k).alias(f"__mn_{k}"), F.max(k).alias(f"__mx_{k}"),
+        )]
+    ).first()
+
+    def _candidate(e) -> bool:
+        # disjoint on ANY key column proves no row can match
+        return not any(
+            _range_disjoint(e, k, bounds[f"__mn_{k}"], bounds[f"__mx_{k}"])
+            for k in keys
+        )
+
+    for _ in range(_MAX_COMMIT_RETRIES):
+        v = _latest_version(path)
+        m = _read_manifest(path, v)
+        if m.get("schema"):
+            table_cols = [f["name"] for f in m["schema"]["fields"]]
+            absent = [k for k in keys if k not in table_cols]
+            if absent:
+                raise ValueError(f"table is missing key columns {absent}")
+        cand = [
+            e
+            for name in _carried_manifests(path, m)
+            for e in _read_manifest_file(path, name)
+            if _candidate(e)
+        ]
+        affected_names: set[str] = set()
+        if cand:
+            hit = (
+                _read_files(
+                    spark, path, m,
+                    [_entry_name(e) for e in cand], file_col="__file",
+                )
+                .select("__file", *keys)
+                .join(src_keys, keys, "inner")
+                .agg(
+                    F.collect_set("__file").alias("files"),
+                    F.max("__cnt").alias("max_cnt"),
+                )
+                .first()
+            )
+            if hit["max_cnt"] is not None and hit["max_cnt"] > 1:
+                raise ValueError(
+                    "snap_merge: multiple source rows share a matched "
+                    "key tuple — an update cannot replace one target "
+                    "row with several"
+                )
+            affected_names = set(hit["files"])
+        carried, loose, affected = [], [], []
+        for name in _carried_manifests(path, m):
+            entries = _read_manifest_file(path, name)
+            if all(
+                os.path.basename(_entry_name(e)) not in affected_names
+                for e in entries
+            ):
+                carried.append(name)
+            else:
+                for e in entries:
+                    (
+                        affected
+                        if os.path.basename(_entry_name(e)) in affected_names
+                        else loose
+                    ).append(e)
+        new_files = []
+        if affected:
+            survivors = _read_files(
+                spark, path, m, [_entry_name(e) for e in affected]
+            ).join(src_keys.select(*keys), keys, "left_anti")
+            new_files += _write_data_files(survivors, path, v + 1)
+        new_files += _write_data_files(source, path, v + 1)
+        new_name = _write_manifest_file(path, loose + new_files)
+        if _try_commit(
+            path, v + 1,
+            {"version": v + 1, "op": "merge", "parent": v,
+             "manifests": carried + [new_name],
+             "txn": dict(m.get("txn", {})),
+             "schema": _evolved_schema(m.get("schema"), source, "append"),
+             **_dv_carry(m, {os.path.basename(n) for n in affected_names})},
+        ):
+            return v + 1
+        # lost the claim: matched files were computed against a stale
+        # version — rerun discovery against the new latest
+    raise RuntimeError(
+        f"commit contention on {path}: {_MAX_COMMIT_RETRIES} retries lost"
+    )
+
+
+def snap_update_where(
+    spark: SparkSession,
+    path: str,
+    set_exprs: dict,
+    col: str,
+    lo=None,
+    hi=None,
+) -> int | None:
+    """Row-level ``UPDATE ... SET ... WHERE col BETWEEN lo AND hi`` —
+    copy-on-write like :func:`snap_delete_where`: manifest stats carry
+    provably-disjoint files untouched, affected files rewrite with the
+    SET expressions applied to matching rows only (NULL predicate
+    values never match, so NULL rows pass through unchanged — and
+    identically in rewritten and carried files).  ``set_exprs`` maps
+    EXISTING column names to Column expressions (they may reference
+    other columns' pre-update values, standard UPDATE semantics); each
+    is cast to the column's pinned type so a SET can never evolve the
+    schema sideways.  Returns the new version, or None when stats
+    prove no file holds a matching row."""
+    from pyspark.sql import functions as F
+
+    for _ in range(_MAX_COMMIT_RETRIES):
+        v = _latest_version(path)
+        if v is None:
+            raise FileNotFoundError(f"no snapshot table at {path}")
+        m = _read_manifest(path, v)
+        if m.get("schema"):
+            table_cols = [f["name"] for f in m["schema"]["fields"]]
+            unknown = [c for c in set_exprs if c not in table_cols]
+            if unknown:
+                raise ValueError(f"UPDATE SET on unknown columns {unknown}")
+        carried, loose, affected = [], [], []
+        for name in _carried_manifests(path, m):
+            entries = _read_manifest_file(path, name)
+            if all(_range_disjoint(e, col, lo, hi) for e in entries):
+                carried.append(name)
+            else:
+                for e in entries:
+                    (
+                        loose
+                        if _range_disjoint(e, col, lo, hi)
+                        else affected
+                    ).append(e)
+        if not affected:
+            return None
+        matched = F.lit(True)
+        if lo is not None:
+            matched = matched & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            matched = matched & (F.col(col) <= F.lit(hi))
+        rows = _read_files(spark, path, m, [_entry_name(e) for e in affected])
+        types = {f.name: f.dataType for f in rows.schema.fields}
+        rows = rows.withColumns(
+            {
+                c: F.when(matched, expr.cast(types[c])).otherwise(F.col(c))
+                for c, expr in set_exprs.items()
+            }
+        )
+        new_files = _write_data_files(rows, path, v + 1)
+        new_name = _write_manifest_file(path, loose + new_files)
+        if _try_commit(
+            path, v + 1,
+            {"version": v + 1, "op": "update", "parent": v,
              "manifests": carried + [new_name],
              "txn": dict(m.get("txn", {})), "schema": m.get("schema"),
              **_dv_carry(

@@ -1488,6 +1488,32 @@ FROM orders, m
 WHERE o_custkey >= mxc // 4 AND o_custkey <= mxc // 2
   AND o_totalprice >= 50000.0 AND o_totalprice <= 150000.0
 GROUP BY o_orderpriority""",
+        # MERGE = CASE-rewrite the matched decile + UNION the inserted
+        # rows; UPDATE = CASE-bump the mid band — same mutations the
+        # snapshot DML commits file-granularly
+        "snap_merge": """
+WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),
+merged AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey <= mx // 10 THEN 'U'
+              ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey <= mx // 10
+              THEN CAST(o_totalprice AS DOUBLE) * 2
+              ELSE CAST(o_totalprice AS DOUBLE) END AS p
+  FROM orders, m
+  UNION ALL
+  SELECT mx + s, 'N', CAST(1000.0 AS DOUBLE)
+  FROM m, generate_series(1, 100) AS g(s)
+),
+upd AS (
+  SELECT o_orderstatus,
+         CASE WHEN o_orderkey > mx // 2 AND o_orderkey <= (3 * mx) // 4
+              THEN p + 10 ELSE p END AS p
+  FROM merged, m
+)
+SELECT o_orderstatus, count(*) AS n_orders,
+       (floor(CAST(sum(p) AS DOUBLE) * 100.0 + 0.5) / 100.0) AS revenue
+FROM upd GROUP BY o_orderstatus ORDER BY o_orderstatus""",
         # two stacked MOR deletes = the complement predicate; the
         # 'materialized' phase must reproduce the same aggregates
         "snap_dv": """

@@ -465,3 +465,57 @@ def q_snap_bloom(spark, sf_dir):
     )
     hit = snap_scan_multi(spark, path, {}, eq={"content_hash": probe})
     return hit.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
+def q_snap_merge(spark, sf_dir):
+    """Snapshot-table DML e2e (plans/snapshots.snap_merge +
+    snap_update_where — the Delta MERGE INTO / UPDATE shape): orders
+    commit as two snapshots; a MERGE source rewrites the low-decile
+    keys (status 'U', doubled price) and inserts 100 synthetic 'N'
+    orders past the key space — file pruning + the discovery join
+    rewrite only matched files (pinned in tests/test_snap_merge.py);
+    then an UPDATE bumps a mid-range band's price by 10.  The final
+    per-status aggregate must equal the oracle's CASE-reconstruction
+    of the same two mutations over plain orders."""
+    import tempfile
+
+    from qurio_spark.plans.snapshots import (
+        snap_append,
+        snap_merge,
+        snap_read,
+        snap_update_where,
+    )
+
+    path = f"{tempfile.mkdtemp(prefix='qurio-snapmerge-')}/orders"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    mx = o.agg(F.max("o_orderkey")).first()[0]
+    snap_append(o.filter(F.col("o_orderkey") <= mx // 2), path)
+    snap_append(o.filter(F.col("o_orderkey") > mx // 2), path)
+    updates = o.filter(F.col("o_orderkey") <= mx // 10).withColumns(
+        {
+            "o_orderstatus": F.lit("U"),
+            "o_totalprice": F.col("o_totalprice") * 2,
+        }
+    )
+    inserts = spark.range(1, 101).select(
+        (F.lit(mx) + F.col("id")).cast("long").alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(1000.0).alias("o_totalprice"),
+    )
+    snap_merge(spark, path, updates.unionByName(inserts), ["o_orderkey"])
+    snap_update_where(
+        spark, path,
+        {"o_totalprice": F.col("o_totalprice") + 10},
+        "o_orderkey", lo=mx // 2 + 1, hi=(3 * mx) // 4,
+    )
+    return (
+        snap_read(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            stable_round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
