@@ -116,6 +116,7 @@ from qurio_spark.queries.events_tpch import (  # noqa: F401
     q_events_retention,
     q_events_top_users,
     q_incremental_hourly,
+    q_rollup_daily,
     q_near_dup_clusters,
     q_streaming_hourly,
     q_streaming_join,
@@ -395,6 +396,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     contract is a strict subset of the in-window snap_zorder
     (conjunctive multi-column ranges) and snap_bloom (equality +
     range) scans; green since round 7.
+    Also IN (new): ``rollup_daily`` (CASCADING materialized views —
+    the daily view maintained from the hourly view's CDC feed via
+    refresh_rollup, mergeable states re-aggregated to the coarser
+    grain; vs the direct daily aggregation oracle under
+    boundary-tolerant rounding).  OUT: ``events_cube`` — the
+    grouping-sets family keeps its reshaping siblings events_pivot /
+    events_unpivot / value_percentiles at 51+ and cube itself is a
+    one-call builtin; green since round 6.
     EVERY entry, in-window or not, is additionally oracle-compared at
     sf0.001 by ``tests/test_queries_full.py`` on each pytest run — the
     round-4 lesson was that out-of-window entries had no committed
@@ -445,7 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_zorder": q_snap_zorder,
         "snap_bloom": q_snap_bloom,
         "weighted_sample": q_weighted_sample,
-        "events_cube": q_events_cube,
+        "rollup_daily": q_rollup_daily,
         "merge_orders": q_merge_orders,
         "tpch_q16": q_tpch_q16,
         "ann_pq": q_ann_pq,
@@ -454,6 +463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 51+: oracle-backed, operator proven by in-window sibling
         # (or, for minhash_lsh, newly oracle-backed breadth) ----------
         "snap_scan": q_snap_scan,
+        "events_cube": q_events_cube,
         "events_asof_recovery": q_events_asof_recovery,
         "events_range_proximity": q_events_range_proximity,
         "audio_features": q_audio_features,

@@ -184,6 +184,96 @@ def refresh_agg_view(
         snap_overwrite(merge_states(old, new, group_cols), path)
 
 
+def rollup_states(src_states: DataFrame, dst_group_cols: list[str]) -> DataFrame:
+    """Re-aggregate MERGEABLE states to a coarser key: because every
+    persisted state is associative-commutative (count/sum add, min/max
+    fold, HLL sketches union), a day row IS the ⊕ of its hour rows —
+    no raw-event read ever happens above the first view."""
+    aggs = [
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s").cast("double").alias("s"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    ]
+    if "hs" in src_states.columns:
+        aggs.append(F.hll_union_agg("hs").alias("hs"))
+    return src_states.groupBy(*dst_group_cols).agg(*aggs)
+
+
+def refresh_rollup(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    dst_group_cols: list[str],
+    partition_col: str,
+    cursor: int | None = None,
+) -> int:
+    """CASCADING materialized view (the TimescaleDB continuous-
+    aggregate / Materialize hierarchy shape): maintain a COARSER
+    rollup (e.g. daily) from a finer agg view (e.g. hourly) —
+    consuming the fine view's CDC feed, never the raw events.
+
+    ``cursor`` is the fine view's snapshot version this rollup has
+    already consumed (``None`` = bootstrap: full re-aggregation of
+    the fine view).  Each refresh polls
+    :func:`~qurio_spark.plans.snapshots.snap_changes_since`: the
+    change feed's rows name exactly the fine-state rows that moved,
+    their ``partition_col`` values name the coarse partitions to
+    rebuild, and the rebuild re-aggregates ONLY those partitions'
+    fine rows — cost O(|changed fine rows| + |touched partitions| ×
+    fan-in), independent of either view's total size (a day touches
+    24 hour rows, never the events table).  The rebuilt partitions
+    commit as one atomic value-clustered ``snap_replace_values`` (a
+    partition whose fine rows all vanished empties correctly —
+    replace deletes the touched values and inserts the recomputed
+    rows, which for that value are none).  ``dst_group_cols`` must be
+    columns of the fine view (the fine grain's keys carry their
+    coarser derivations, e.g. hourly rows carry ``day_key``);
+    ``partition_col`` must be one of them.  Returns the new cursor —
+    store it, pass it back next poll (a cursor older than the fine
+    view's retained history raises; re-bootstrap with ``None``, the
+    Delta CDF contract)."""
+    from qurio_spark.plans.snapshots import (
+        snap_changes_since,
+        snap_read,
+        snap_replace_values,
+        snap_versions,
+        value_match,
+    )
+
+    if partition_col not in dst_group_cols:
+        raise ValueError(
+            f"partition_col {partition_col!r} must be in dst_group_cols"
+        )
+    if cursor is None:
+        v = snap_versions(src_path)[-1]["version"]
+        states = rollup_states(
+            snap_read(spark, src_path, v), dst_group_cols
+        )
+        snap_replace_values(
+            spark, dst_path, partition_col, [], states, cluster=True
+        )
+        return v
+    feed, new_cursor = snap_changes_since(spark, src_path, cursor)
+    touched = [
+        r[partition_col]
+        for r in feed.select(partition_col).distinct().collect()
+    ]
+    if not touched:
+        return new_cursor
+    # pin the rebuild read to EXACTLY the version the cursor consumed:
+    # a commit racing this refresh lands in the next poll, not half
+    # into this rebuild
+    rows = snap_read(spark, src_path, new_cursor).filter(
+        value_match(F.col(partition_col), touched)
+    )
+    states = rollup_states(rows, dst_group_cols)
+    snap_replace_values(
+        spark, dst_path, partition_col, touched, states, cluster=True
+    )
+    return new_cursor
+
+
 def read_agg_view(
     spark: SparkSession, path: str, round_digits: int = 2
 ) -> DataFrame:

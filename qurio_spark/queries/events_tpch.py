@@ -758,6 +758,70 @@ def q_incremental_hourly(spark, sf_dir):
     return read_agg_view(spark, path)
 
 
+def q_rollup_daily(spark, sf_dir):
+    """CASCADING materialized views (plans/aggview.refresh_rollup —
+    the TimescaleDB continuous-aggregate hierarchy): events arrive as
+    two time-split batches into the HOURLY view; the DAILY view is
+    maintained FROM the hourly view's CDC feed
+    (snap_changes_since), never the raw events — bootstrap after
+    batch 1, then one incremental poll whose rebuild touches only the
+    days batch 2's hour-state changes name (cost O(changed hour rows
+    + 24 x touched days); untouched-day mtime pinning and the
+    empty-poll no-op are in tests/test_aggview.py).  Mergeable states
+    re-aggregate to the coarser grain (counts/sums add, min/max fold),
+    so the oracle is the direct daily aggregation of all events.
+    Rounding is boundary-tolerant (floor(x*100 + 0.5 + 1e-6), both
+    engines): the cascade sums hour sums while the oracle sums raw
+    values, and a last-ulp summation-order difference must not flip
+    an exact x.5 boundary (the PageRank lesson)."""
+    import tempfile
+
+    from qurio_spark.plans.aggview import refresh_agg_view, refresh_rollup
+    from qurio_spark.plans.snapshots import snap_read
+
+    base = tempfile.mkdtemp(prefix="qurio-rollup-")
+    hour, day = f"{base}/hourly", f"{base}/daily"
+
+    ev = (
+        _events(spark, sf_dir)
+        .withColumn(
+            "hour_key",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH"),
+        )
+        .withColumn(
+            "day_key", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+        )
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+    keys = ["day_key", "hour_key", "event_type"]
+    dst_keys = ["day_key", "event_type"]
+    refresh_agg_view(
+        spark, hour, ev.filter(F.col("ts") <= F.lit(mid)), keys, "value",
+        partition_col="day_key",
+    )
+    cur = refresh_rollup(spark, hour, day, dst_keys, "day_key")
+    refresh_agg_view(
+        spark, hour, ev.filter(F.col("ts") > F.lit(mid)), keys, "value",
+        partition_col="day_key",
+    )
+    refresh_rollup(spark, hour, day, dst_keys, "day_key", cursor=cur)
+
+    def br(c):  # boundary-tolerant stable round, 2 digits
+        return F.floor(c.cast("double") * 100.0 + F.lit(0.5 + 1e-6)) / 100.0
+
+    v = snap_read(spark, day)
+    return v.select(
+        "day_key",
+        "event_type",
+        "n",
+        br(F.col("s")).alias("total_value"),
+        br(F.col("s") / F.col("n")).alias("avg_value"),
+        br(F.col("mn")).alias("min_value"),
+        br(F.col("mx")).alias("max_value"),
+    )
+
+
 def q_events_gapfill(spark, sf_dir):
     """Regular-grid resample + LOCF forward fill
     (operators/temporal.gap_fill_locf, r10): per event_type, EVERY

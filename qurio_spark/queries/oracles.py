@@ -1116,6 +1116,22 @@ SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_key,
        (floor((CAST(max(value) AS DOUBLE)) * 100.0 + 0.5) / 100.0)
          AS max_value
 FROM events GROUP BY 1, 2, 3""",
+        # cascade (hourly states re-aggregated to days) == direct
+        # daily aggregation; 0.5 + 1e-6 = boundary-tolerant round
+        # (summation order differs between the two shapes)
+        "rollup_daily": """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_key,
+       event_type,
+       count(*) AS n,
+       (floor((CAST(sum(value) AS DOUBLE)) * 100.0 + 0.500001) / 100.0)
+         AS total_value,
+       (floor((CAST(sum(value) AS DOUBLE) / count(*)) * 100.0 + 0.500001)
+         / 100.0) AS avg_value,
+       (floor((CAST(min(value) AS DOUBLE)) * 100.0 + 0.500001) / 100.0)
+         AS min_value,
+       (floor((CAST(max(value) AS DOUBLE)) * 100.0 + 0.500001) / 100.0)
+         AS max_value
+FROM events GROUP BY 1, 2""",
         # streaming twin: complete-mode windowed agg == the batch query
         "streaming_hourly": """
 SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -14,6 +14,7 @@ from qurio_spark.plans.aggview import (
     partial_states,
     read_agg_view,
     refresh_agg_view,
+    refresh_rollup,
 )
 
 
@@ -218,3 +219,134 @@ def test_distinct_state_is_split_invariant(spark, tmp_path):
         ).collect()
     }
     assert got == exact  # sparse-mode exactness at this cardinality
+
+
+class TestRollupCascade:
+    """refresh_rollup: a daily view maintained FROM the hourly view's
+    CDC feed — never the raw events.  Contract: cascade result ==
+    direct daily aggregation of the union, untouched day partitions
+    stay byte-identical, an empty poll commits nothing."""
+
+    def _hourly(self, spark, events, path, batch):
+        refresh_agg_view(
+            spark, path, batch,
+            ["day_key", "hour_key", "event_type"], "value",
+            partition_col="day_key",
+        )
+
+    @pytest.fixture()
+    def devents(self, events):
+        return events.withColumn(
+            "day_key", F.substring("hour_key", 1, 10)
+        )
+
+    def test_cascade_equals_direct_daily(self, spark, devents, tmp_path):
+        hour, day, direct = (
+            str(tmp_path / n) for n in ("h", "d", "direct")
+        )
+        b1 = devents.filter(F.col("event_id") % 2 == 0)
+        b2 = devents.filter(F.col("event_id") % 2 == 1)
+        self._hourly(spark, devents, hour, b1)
+        cur = refresh_rollup(
+            spark, hour, day, ["day_key", "event_type"], "day_key"
+        )
+        self._hourly(spark, devents, hour, b2)
+        cur = refresh_rollup(
+            spark, hour, day, ["day_key", "event_type"], "day_key",
+            cursor=cur,
+        )
+        refresh_agg_view(
+            spark, direct, devents, ["day_key", "event_type"], "value",
+            partition_col="day_key",
+        )
+        # compare RAW states: n/mn/mx are exact; the double sum may
+        # differ by summation order (cascade adds hour sums), so `s`
+        # gets a relative tolerance — rounding finals instead would
+        # flip on exact x.5 boundaries
+        from qurio_spark.plans.snapshots import snap_read
+
+        got = {
+            (r["day_key"], r["event_type"]): r
+            for r in snap_read(spark, day).collect()
+        }
+        want = {
+            (r["day_key"], r["event_type"]): r
+            for r in snap_read(spark, direct).collect()
+        }
+        assert set(got) == set(want)
+        for k, w in want.items():
+            g = got[k]
+            assert (g["n"], g["mn"], g["mx"]) == (w["n"], w["mn"], w["mx"])
+            assert g["s"] == pytest.approx(w["s"], rel=1e-9)
+
+    def test_untouched_days_not_rewritten(self, spark, devents, tmp_path):
+        from qurio_spark.plans.snapshots import snap_versions
+
+        hour, day = str(tmp_path / "h"), str(tmp_path / "d")
+        days = sorted(
+            r["day_key"] for r in devents.select("day_key").distinct().collect()
+        )
+        assert len(days) >= 2
+        self._hourly(spark, devents, hour, devents)
+        cur = refresh_rollup(
+            spark, hour, day, ["day_key", "event_type"], "day_key"
+        )
+        mtimes = {
+            f: os.path.getmtime(os.path.join(day, "data", f))
+            for f in os.listdir(os.path.join(day, "data"))
+        }
+        # a delta touching ONLY the first day
+        self._hourly(
+            spark, devents, hour,
+            devents.filter(F.col("day_key") == days[0]).limit(50),
+        )
+        cur = refresh_rollup(
+            spark, hour, day, ["day_key", "event_type"], "day_key",
+            cursor=cur,
+        )
+        kept = [
+            f
+            for f in os.listdir(os.path.join(day, "data"))
+            if f in mtimes
+            and os.path.getmtime(os.path.join(day, "data", f)) == mtimes[f]
+        ]
+        # other days' value-clustered files carried byte-untouched
+        assert kept
+        # and the empty poll after catching up commits NOTHING
+        n_versions = len(snap_versions(day))
+        cur2 = refresh_rollup(
+            spark, hour, day, ["day_key", "event_type"], "day_key",
+            cursor=cur,
+        )
+        assert cur2 == cur
+        assert len(snap_versions(day)) == n_versions
+
+    def test_distinct_state_cascades(self, spark, devents, tmp_path):
+        hour, day = str(tmp_path / "h"), str(tmp_path / "d")
+        b1 = devents.filter(F.col("event_id") % 2 == 0)
+        b2 = devents.filter(F.col("event_id") % 2 == 1)
+        for b in (b1, b2):
+            refresh_agg_view(
+                spark, hour, b, ["day_key", "event_type"], "value",
+                partition_col="day_key", distinct_col="user_id",
+            )
+        refresh_rollup(spark, hour, day, ["day_key"], "day_key")
+        got = {
+            r["day_key"]: r["n_distinct"]
+            for r in read_agg_view(spark, day).collect()
+        }
+        want = {
+            r["day_key"]: r["nd"]
+            for r in devents.groupBy("day_key")
+            .agg(F.countDistinct("user_id").alias("nd"))
+            .collect()
+        }
+        # sketch stays exact in sparse mode at test cardinality
+        assert got == want
+
+    def test_partition_col_must_be_grouped(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="must be in dst_group_cols"):
+            refresh_rollup(
+                spark, str(tmp_path / "h"), str(tmp_path / "d"),
+                ["event_type"], "day_key",
+            )
