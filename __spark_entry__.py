@@ -116,6 +116,7 @@ from qurio_spark.queries.events_tpch import (  # noqa: F401
     q_events_retention,
     q_events_top_users,
     q_incremental_hourly,
+    q_quantile_view,
     q_rollup_daily,
     q_near_dup_clusters,
     q_streaming_hourly,
@@ -404,6 +405,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     grouping-sets family keeps its reshaping siblings events_pivot /
     events_unpivot / value_percentiles at 51+ and cube itself is a
     one-call builtin; green since round 6.
+    Also IN (new): ``quantile_view`` (mergeable fixed-bound
+    histogram state + read-time interpolated p50/p90/p99 — the oracle
+    repeats the histogram definition and arithmetic order in SQL, so
+    pre-rounding doubles are bit-identical).  OUT: ``merge_orders`` —
+    the M1/F5 upsert family keeps reingest_upsert (sweep) and the
+    STRONGER snap_merge (Delta MERGE semantics) in-window;
+    plans/merge.py stays pinned by 6 pytest cases; green since
+    round 6.
     EVERY entry, in-window or not, is additionally oracle-compared at
     sf0.001 by ``tests/test_queries_full.py`` on each pytest run — the
     round-4 lesson was that out-of-window entries had no committed
@@ -455,7 +464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_bloom": q_snap_bloom,
         "weighted_sample": q_weighted_sample,
         "rollup_daily": q_rollup_daily,
-        "merge_orders": q_merge_orders,
+        "quantile_view": q_quantile_view,
         "tpch_q16": q_tpch_q16,
         "ann_pq": q_ann_pq,
         "batch_ann_pq": q_batch_ann_pq,
@@ -463,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 51+: oracle-backed, operator proven by in-window sibling
         # (or, for minhash_lsh, newly oracle-backed breadth) ----------
         "snap_scan": q_snap_scan,
+        "merge_orders": q_merge_orders,
         "events_cube": q_events_cube,
         "events_asof_recovery": q_events_asof_recovery,
         "events_range_proximity": q_events_range_proximity,

@@ -40,11 +40,31 @@ STATE_COLS = ("n", "s", "mn", "mx")
 HLL_LGK = 12
 
 
+def _bucket_idx(value_col: str, bounds: tuple[float, float, int]):
+    """Clamped equi-width bucket index for ``bounds = (lo, hi, B)``:
+    floor((v - lo)/width) clamped into [0, B-1], so out-of-range
+    values land in the edge buckets (counts never lost).  NULL values
+    contribute to no bucket."""
+    lo, hi, b = bounds
+    width = (hi - lo) / b
+    idx = F.least(
+        F.greatest(
+            F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width)),
+            F.lit(0),
+        ),
+        F.lit(b - 1),
+    )
+    # greatest/least SKIP nulls (a NULL value would land in bucket 0);
+    # gate explicitly so NULL contributes to no bucket
+    return F.when(F.col(value_col).isNotNull(), idx)
+
+
 def partial_states(
     delta: DataFrame,
     group_cols: list[str],
     value_col: str,
     distinct_col: str | None = None,
+    hist_bounds: tuple[float, float, int] | None = None,
 ) -> DataFrame:
     """Delta batch -> one mergeable state row per key.
 
@@ -54,7 +74,17 @@ def partial_states(
     the sketch is — union(state(A), state(B)) == state(A ∪ B) holds
     exactly at the sketch level, so incremental refresh stays
     split-invariant (the property pinned in tests).  The estimate
-    derives at read time like avg does."""
+    derives at read time like avg does.
+
+    ``hist_bounds = (lo, hi, n_buckets)`` adds a MERGEABLE quantile
+    state: a fixed-bound equi-width histogram (``hb``,
+    ``array<long>`` of bucket counts — the Prometheus/HDR posture:
+    bounds are part of the view's definition, so bucket counts add
+    exactly across any split and the state stays a pure JVM column
+    expression, no sketch library and no Python).  Quantiles derive
+    at read time by interpolation (:func:`quantile_estimates`) with
+    error bounded by one bucket width; exact quantiles are not
+    mergeable (they need the full value multiset)."""
     aggs = [
         F.count("*").alias("n"),
         # fixed state type: merge_states coalesces with lit(0.0), which
@@ -67,6 +97,20 @@ def partial_states(
     ]
     if distinct_col is not None:
         aggs.append(F.hll_sketch_agg(distinct_col, F.lit(HLL_LGK)).alias("hs"))
+    if hist_bounds is not None:
+        idx = _bucket_idx(value_col, hist_bounds)
+        aggs.append(
+            F.array(
+                *[
+                    # coalesce: an all-NULL-value group sums to NULL,
+                    # but its histogram is legitimately all-zero
+                    F.coalesce(
+                        F.sum((idx == i).cast("long")), F.lit(0).cast("long")
+                    ).alias(f"b{i}")
+                    for i in range(hist_bounds[2])
+                ]
+            ).alias("hb")
+        )
     return delta.groupBy(*group_cols).agg(*aggs)
 
 
@@ -87,8 +131,13 @@ def merge_states(
     import operator
 
     has_hs = "hs" in old.columns
+    has_hb = "hb" in old.columns
     o = old
-    state = list(STATE_COLS) + (["hs"] if has_hs else [])
+    state = (
+        list(STATE_COLS)
+        + (["hs"] if has_hs else [])
+        + (["hb"] if has_hb else [])
+    )
     for c in list(group_cols) + state:
         o = o.withColumnRenamed(c, f"_o_{c}")
     cond = functools.reduce(
@@ -117,6 +166,16 @@ def merge_states(
             .otherwise(F.hll_union("_o_hs", "hs"))
             .alias("hs")
         )
+    if has_hb:
+        # element-wise bucket-count add is the histogram's ⊕
+        out.append(
+            F.when(F.col("_o_hb").isNull(), F.col("hb"))
+            .when(F.col("hb").isNull(), F.col("_o_hb"))
+            .otherwise(
+                F.zip_with("_o_hb", "hb", lambda a, b: a + b)
+            )
+            .alias("hb")
+        )
     return joined.select(*out)
 
 
@@ -128,6 +187,7 @@ def refresh_agg_view(
     value_col: str,
     partition_col: str | None = None,
     distinct_col: str | None = None,
+    hist_bounds: tuple[float, float, int] | None = None,
 ) -> None:
     """Refresh the persisted view at ``path`` with ``delta``'s rows.
 
@@ -153,7 +213,11 @@ def refresh_agg_view(
 
     from qurio_spark.functions.checkpointing import checkpoint_df
 
-    new = partial_states(delta, group_cols, value_col, distinct_col)
+    if hist_bounds is not None:
+        _check_hist_bounds(path, hist_bounds)
+    new = partial_states(
+        delta, group_cols, value_col, distinct_col, hist_bounds
+    )
     old = snap_read_if_exists(spark, path)
     if partition_col and old is not None:
         # `new` feeds BOTH the touched-values collect and the merge —
@@ -184,6 +248,135 @@ def refresh_agg_view(
         snap_overwrite(merge_states(old, new, group_cols), path)
 
 
+def _check_hist_bounds(path: str, hist_bounds) -> None:
+    """Persist the view's histogram bounds next to its snapshot data
+    (they are part of the view DEFINITION — states built under
+    different bounds cannot merge) and refuse a refresh whose bounds
+    differ from the recorded ones."""
+    import json
+    import os
+
+    f = os.path.join(path, "hist_bounds.json")
+    rec = [float(hist_bounds[0]), float(hist_bounds[1]), int(hist_bounds[2])]
+    if os.path.exists(f):
+        prev = json.load(open(f))
+        if prev != rec:
+            raise ValueError(
+                f"histogram bounds {rec} differ from the view's "
+                f"recorded bounds {prev}; a bounds change needs a "
+                "full rebuild (bucket counts cannot be re-binned)"
+            )
+        return
+    os.makedirs(path, exist_ok=True)
+    with open(f, "w") as fh:
+        json.dump(rec, fh)
+
+
+def read_hist_bounds(path: str) -> tuple[float, float, int]:
+    import json
+    import os
+
+    lo, hi, b = json.load(open(os.path.join(path, "hist_bounds.json")))
+    return lo, hi, int(b)
+
+
+def quantile_estimates(
+    spark: SparkSession,
+    path: str,
+    ps: list[float],
+    round_digits: int = 2,
+) -> DataFrame:
+    """Read-time quantiles from the view's histogram state — pure
+    column expressions (one ``aggregate`` walk of the bucket array
+    per percentile, whole-stage codegen, no Python): rank = ceil(p·N)
+    over the cumulative counts, linear interpolation inside the
+    crossing bucket, clamped by the exact mn/mx states (which tightens
+    the edge buckets).  Error ≤ one bucket width by construction.
+    Output: the group columns + ``n`` + one ``p{NN}`` column per
+    requested percentile."""
+    from qurio_spark.functions.numeric import stable_round
+    from qurio_spark.plans.snapshots import snap_read
+
+    lo, hi, b = read_hist_bounds(path)
+    width = (hi - lo) / b
+    v = snap_read(spark, path)
+    total = F.aggregate(
+        "hb", F.lit(0).cast("long"), lambda a, x: a + x
+    ).alias("__total")
+    v = v.withColumn("__total", total)
+
+    def est(p: float):
+        target = F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.lit(float(p)) * F.col("__total")).cast("long"),
+        )
+        zero = F.lit(0).cast("long")
+        walk = F.aggregate(
+            "hb",
+            F.struct(
+                zero.alias("cum"),
+                F.lit(0).alias("idx"),
+                F.lit(-1).alias("fidx"),
+                zero.alias("before"),
+            ),
+            lambda acc, x: F.struct(
+                (acc["cum"] + x).alias("cum"),
+                (acc["idx"] + 1).alias("idx"),
+                F.when(
+                    (acc["fidx"] < 0) & (acc["cum"] + x >= target),
+                    acc["idx"],
+                )
+                .otherwise(acc["fidx"])
+                .alias("fidx"),
+                F.when(
+                    (acc["fidx"] < 0) & (acc["cum"] + x >= target),
+                    acc["cum"],
+                )
+                .otherwise(acc["before"])
+                .alias("before"),
+            ),
+        )
+        frac = (target - walk["before"]) / F.element_at(
+            F.col("hb"), walk["fidx"] + 1
+        )
+        # edge buckets are CLAMP buckets (out-of-range values land
+        # there), so their real extent is [mn, bucket_hi) / [bucket_lo,
+        # mx] — interpolate against the exact mn/mx states instead of
+        # the nominal bounds, or a heavy tail past hi would estimate
+        # as ~hi with unbounded error
+        b_lo = F.lit(lo) + walk["fidx"] * F.lit(width)
+        b_hi = F.lit(lo) + (walk["fidx"] + 1) * F.lit(width)
+        eff_lo = F.when(
+            walk["fidx"] == 0, F.least(F.col("mn").cast("double"), b_lo)
+        ).otherwise(b_lo)
+        eff_hi = F.when(
+            walk["fidx"] == F.lit(b - 1),
+            F.greatest(F.col("mx").cast("double"), b_hi),
+        ).otherwise(b_hi)
+        raw = eff_lo + frac * (eff_hi - eff_lo)
+        clamped = F.least(
+            F.greatest(raw, F.col("mn").cast("double")),
+            F.col("mx").cast("double"),
+        )
+        return F.when(F.col("__total") > 0, clamped)
+
+    group_cols = [
+        c
+        for c in v.columns
+        if c not in set(STATE_COLS) | {"hs", "hb", "__total"}
+    ]
+    return v.select(
+        *group_cols,
+        F.col("n"),
+        *[
+            stable_round(est(p), round_digits).alias(
+                f"p{int(round(p * 100)):02d}"
+            )
+            for p in ps
+        ],
+    )
+
+
 def rollup_states(src_states: DataFrame, dst_group_cols: list[str]) -> DataFrame:
     """Re-aggregate MERGEABLE states to a coarser key: because every
     persisted state is associative-commutative (count/sum add, min/max
@@ -197,6 +390,17 @@ def rollup_states(src_states: DataFrame, dst_group_cols: list[str]) -> DataFrame
     ]
     if "hs" in src_states.columns:
         aggs.append(F.hll_union_agg("hs").alias("hs"))
+    if "hb" in src_states.columns:
+        # histograms fold to coarser grains by element-wise add
+        aggs.append(
+            F.reduce(
+                F.collect_list("hb"),
+                F.lit(None).cast("array<long>"),
+                lambda acc, x: F.when(acc.isNull(), x).otherwise(
+                    F.zip_with(acc, x, lambda a, b: a + b)
+                ),
+            ).alias("hb")
+        )
     return src_states.groupBy(*dst_group_cols).agg(*aggs)
 
 

@@ -822,6 +822,34 @@ def q_rollup_daily(spark, sf_dir):
     )
 
 
+def q_quantile_view(spark, sf_dir):
+    """Mergeable QUANTILE state in the incremental agg view
+    (plans/aggview hist_bounds + quantile_estimates): events arrive as
+    two batches; each refresh adds fixed-bound equi-width bucket
+    counts (array<long> — exactly mergeable, pure JVM expressions) and
+    read time derives p50/p90/p99 by interpolation over the cumulative
+    counts, with edge buckets interpolating against the exact mn/mx
+    states.  The oracle repeats the same histogram definition and the
+    same arithmetic order in SQL, so the pre-rounding doubles are
+    bit-identical (split-invariance and the one-bucket-width error
+    bound are pinned in tests/test_aggview.py)."""
+    import tempfile
+
+    from qurio_spark.plans.aggview import (
+        quantile_estimates,
+        refresh_agg_view,
+    )
+
+    path = f"{tempfile.mkdtemp(prefix='qurio-qview-')}/view"
+    ev = _events(spark, sf_dir)
+    for i in range(2):
+        refresh_agg_view(
+            spark, path, ev.filter(F.col("event_id") % 2 == i),
+            ["event_type"], "value", hist_bounds=(0.0, 150.0, 30),
+        )
+    return quantile_estimates(spark, path, [0.5, 0.9, 0.99])
+
+
 def q_events_gapfill(spark, sf_dir):
     """Regular-grid resample + LOCF forward fill
     (operators/temporal.gap_fill_locf, r10): per event_type, EVERY

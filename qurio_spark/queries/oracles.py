@@ -770,8 +770,80 @@ FROM cand
 ORDER BY rerank_score DESC, doc_id LIMIT 10"""
 
 
+def _quantile_view_sql(
+    ps=(0.5, 0.9, 0.99), lo=0.0, hi=150.0, b=30
+) -> str:
+    """Twin of plans/aggview.quantile_estimates over the same
+    fixed-bound histogram definition: bucket counts are integer-exact
+    in both engines, and the interpolation repeats the engine's
+    arithmetic ORDER exactly (eff_lo + frac*(eff_hi - eff_lo), edge
+    buckets interpolating against the true mn/mx) so the doubles are
+    bit-identical before rounding."""
+    w = (hi - lo) / b
+    ctes = [
+        f"""v AS (SELECT event_type, CAST(value AS DOUBLE) AS val FROM events),
+st AS (SELECT event_type, min(val) AS mn, max(val) AS mx,
+              count(*) AS n, count(val) AS nv
+       FROM v GROUP BY 1),
+cum AS (
+  SELECT event_type, b, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY b) AS cs
+  FROM (
+    SELECT event_type,
+           CAST(LEAST(GREATEST(floor((val - {lo}) / {w}), 0), {b - 1})
+                AS BIGINT) AS b,
+           count(*) AS c
+    FROM v WHERE val IS NOT NULL GROUP BY 1, 2
+  )
+)"""
+    ]
+    sels = []
+    for p in ps:
+        tag = f"{int(round(p * 100)):02d}"
+        ctes.append(
+            f"""t{tag} AS (
+  SELECT event_type, mn, mx,
+         GREATEST(CAST(1 AS BIGINT),
+                  CAST(ceil({p} * nv) AS BIGINT)) AS target
+  FROM st),
+f{tag} AS (
+  SELECT c.event_type, min(c.b) AS fidx
+  FROM cum c JOIN t{tag} t ON t.event_type = c.event_type
+  WHERE c.cs >= t.target GROUP BY 1),
+e{tag} AS (
+  SELECT f.event_type,
+         (CASE WHEN f.fidx = 0 THEN LEAST(t.mn, {lo})
+               ELSE {lo} + f.fidx * {w} END)
+         + ((t.target - (c.cs - c.c)) / c.c)
+           * ((CASE WHEN f.fidx = {b - 1} THEN GREATEST(t.mx, {hi})
+                    ELSE {lo} + (f.fidx + 1) * {w} END)
+              - (CASE WHEN f.fidx = 0 THEN LEAST(t.mn, {lo})
+                      ELSE {lo} + f.fidx * {w} END)) AS raw,
+         t.mn, t.mx
+  FROM f{tag} f
+  JOIN cum c ON c.event_type = f.event_type AND c.b = f.fidx
+  JOIN t{tag} t ON t.event_type = f.event_type)"""
+        )
+        sels.append(
+            f"(floor(LEAST(GREATEST(e{tag}.raw, e{tag}.mn), e{tag}.mx)"
+            f" * 100.0 + 0.5) / 100.0) AS p{tag}"
+        )
+    joins = "".join(
+        f"\nJOIN e{int(round(p * 100)):02d}"
+        f" ON e{int(round(p * 100)):02d}.event_type = st.event_type"
+        for p in ps
+    )
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\nSELECT st.event_type, st.n, "
+        + ", ".join(sels)
+        + f"\nFROM st{joins}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "quantile_view": _quantile_view_sql(),
         "resize_targets": resize_targets_sql(),
         "audio_features": audio_features_sql(),
         "events_asof_attribution": events_asof_attribution_sql(),

@@ -350,3 +350,127 @@ class TestRollupCascade:
                 spark, str(tmp_path / "h"), str(tmp_path / "d"),
                 ["event_type"], "day_key",
             )
+
+
+class TestHistogramState:
+    """hist_bounds: the mergeable fixed-bound histogram state (hb) —
+    bucket counts add exactly across any split, quantile estimates
+    derive at read time with error <= one bucket width, and the bounds
+    are part of the view definition (mismatched refresh refused)."""
+
+    BOUNDS = (0.0, 100.0, 25)
+
+    def _view(self, spark, events, path, batches):
+        for b in batches:
+            refresh_agg_view(
+                spark, path, b, ["event_type"], "value",
+                hist_bounds=self.BOUNDS,
+            )
+
+    def test_histogram_split_invariant(self, spark, events, tmp_path):
+        from qurio_spark.plans.snapshots import snap_read
+
+        one, two = str(tmp_path / "one"), str(tmp_path / "two")
+        self._view(spark, events, one, [events])
+        self._view(
+            spark, events, two,
+            [events.filter(F.col("event_id") % 2 == i) for i in range(2)],
+        )
+        a = {r["event_type"]: r["hb"] for r in snap_read(spark, one).collect()}
+        b = {r["event_type"]: r["hb"] for r in snap_read(spark, two).collect()}
+        assert a == b
+        # counts conserved: every value lands in exactly one bucket
+        n = {r["event_type"]: r["n"] for r in snap_read(spark, one).collect()}
+        assert {k: sum(v) for k, v in a.items()} == n
+
+    def test_quantile_error_bounded_by_bucket_width(
+        self, spark, events, tmp_path
+    ):
+        """With bounds covering the data, every bucket is interior and
+        the interpolation error is <= one bucket width."""
+        import math
+
+        from qurio_spark.plans.aggview import quantile_estimates
+
+        vmin, vmax = events.agg(F.min("value"), F.max("value")).first()
+        lo, hi = math.floor(vmin), math.ceil(vmax)
+        nb = 25
+        width = (hi - lo) / nb
+        path = str(tmp_path / "v")
+        refresh_agg_view(
+            spark, path, events, ["event_type"], "value",
+            hist_bounds=(float(lo), float(hi), nb),
+        )
+        got = {
+            r["event_type"]: (r["p50"], r["p95"])
+            for r in quantile_estimates(spark, path, [0.5, 0.95]).collect()
+        }
+        vals = {}
+        for r in events.select("event_type", "value").collect():
+            vals.setdefault(r["event_type"], []).append(r["value"])
+        for et, vs in vals.items():
+            vs.sort()
+            for p, est in zip((0.5, 0.95), got[et]):
+                exact = vs[min(len(vs) - 1, int(p * len(vs)))]
+                assert abs(est - exact) <= width + 1e-9, (et, p, est, exact)
+
+    def test_tail_beyond_bounds_interpolates_to_mx(self, spark, tmp_path):
+        """Values past hi clamp into the last bucket; its estimate
+        interpolates toward the EXACT max state, not the nominal hi —
+        a p99 over a heavy tail must not flatline at the bound."""
+        from qurio_spark.plans.aggview import quantile_estimates
+
+        rows = [("k", float(v)) for v in range(1, 100)] + [("k", 1000.0)]
+        df = spark.createDataFrame(rows, "k string, value double")
+        path = str(tmp_path / "tail")
+        refresh_agg_view(
+            spark, path, df, ["k"], "value", hist_bounds=(0.0, 100.0, 10)
+        )
+        r = quantile_estimates(spark, path, [0.995]).first()
+        # rank 100 of 100 -> the clamped outlier's bucket: the
+        # estimate must reach past hi toward mx=1000
+        est = r["p100"]
+        assert 100.0 < est <= 1000.0
+
+    def test_bounds_mismatch_refused(self, spark, events, tmp_path):
+        path = str(tmp_path / "v")
+        self._view(spark, events, path, [events.limit(10)])
+        with pytest.raises(ValueError, match="recorded bounds"):
+            refresh_agg_view(
+                spark, path, events.limit(10), ["event_type"], "value",
+                hist_bounds=(0.0, 50.0, 25),
+            )
+
+    def test_histogram_cascades_to_rollup(self, spark, events, tmp_path):
+        from qurio_spark.plans.snapshots import snap_read
+
+        devents = events.withColumn(
+            "day_key", F.substring("hour_key", 1, 10)
+        )
+        hour, day, direct = (str(tmp_path / n) for n in ("h", "d", "x"))
+        refresh_agg_view(
+            spark, hour, devents, ["day_key", "event_type"], "value",
+            partition_col="day_key", hist_bounds=self.BOUNDS,
+        )
+        refresh_rollup(spark, hour, day, ["day_key"], "day_key")
+        refresh_agg_view(
+            spark, direct, devents, ["day_key"], "value",
+            partition_col="day_key", hist_bounds=self.BOUNDS,
+        )
+        a = {r["day_key"]: r["hb"] for r in snap_read(spark, day).collect()}
+        b = {r["day_key"]: r["hb"] for r in snap_read(spark, direct).collect()}
+        assert a == b
+
+    def test_all_null_value_group_is_zero_histogram(self, spark, tmp_path):
+        from qurio_spark.plans.snapshots import snap_read
+
+        path = str(tmp_path / "v")
+        df = spark.createDataFrame(
+            [("a", None), ("a", None), ("b", 5.0)], "k string, value double"
+        )
+        refresh_agg_view(
+            spark, path, df, ["k"], "value", hist_bounds=(0.0, 10.0, 4)
+        )
+        hb = {r["k"]: r["hb"] for r in snap_read(spark, path).collect()}
+        assert hb["a"] == [0, 0, 0, 0]
+        assert hb["b"] == [0, 0, 1, 0]
