@@ -1071,15 +1071,76 @@ def snap_diff(
     empty = read([schema_src], mf_to).limit(0)
     added = read(only_to, mf_to) if only_to else empty
     removed = read(only_from, mf_from) if only_from else empty
+    import functools
+    import operator
+
     cols = added.columns
-    # value-level cancel: a row moved between files is not a change
-    ins = added.join(removed, cols, "left_anti").withColumn(
-        "_change", F.lit("insert")
-    )
-    del_ = removed.join(added, cols, "left_anti").withColumn(
-        "_change", F.lit("delete")
-    )
+
+    # value-level cancel: a row moved between files is not a change.
+    # NULL-SAFE equality on every column — a plain column anti-join
+    # never matches a NULL-bearing row, so an untouched row with any
+    # NULL field in a rewritten file would emit a phantom
+    # insert+delete pair
+    def _cancel(keep, other):
+        cond = functools.reduce(
+            operator.and_,
+            [keep[c].eqNullSafe(other[c]) for c in cols],
+        )
+        return keep.join(other, cond, "left_anti")
+
+    ins = _cancel(added, removed).withColumn("_change", F.lit("insert"))
+    del_ = _cancel(removed, added).withColumn("_change", F.lit("delete"))
     return ins.unionByName(del_)
+
+
+def snap_diff_keyed(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    v_from: int,
+    v_to: int | None = None,
+) -> DataFrame:
+    """Change-data feed WITH row identity (Delta CDF parity): given
+    the table's key columns, a key present on both sides of the value
+    diff is an UPDATE — its old row tagged ``update_preimage`` and its
+    new row ``update_postimage`` — while one-sided keys stay
+    ``insert``/``delete``.  One partial-agg over the (already
+    O(delta)) feed plus a null-safe key join; NULL-keyed rows classify
+    like any other key (groupBy keeps the NULL group).  With
+    non-unique keys every changed row of the key is tagged as an
+    update image (the feed has no finer identity to pair on)."""
+    from pyspark.sql import functions as F
+
+    feed = snap_diff(spark, path, v_from, v_to)
+    flags = feed.groupBy(*keys).agg(
+        F.max((F.col("_change") == "insert").cast("int")).alias("__ins"),
+        F.max((F.col("_change") == "delete").cast("int")).alias("__del"),
+    )
+    import functools
+    import operator
+
+    fl = flags
+    for k in keys:
+        fl = fl.withColumnRenamed(k, f"__k_{k}")
+    cond = functools.reduce(
+        operator.and_,
+        [feed[k].eqNullSafe(fl[f"__k_{k}"]) for k in keys],
+    )
+    both = (F.col("__ins") == 1) & (F.col("__del") == 1)
+    return (
+        feed.join(fl, cond, "left")
+        .withColumn(
+            "_change_type",
+            F.when(
+                both,
+                F.when(
+                    F.col("_change") == "insert",
+                    F.lit("update_postimage"),
+                ).otherwise(F.lit("update_preimage")),
+            ).otherwise(F.col("_change")),
+        )
+        .drop("_change", "__ins", "__del", *[f"__k_{k}" for k in keys])
+    )
 
 
 def snap_changes_since(
