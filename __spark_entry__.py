@@ -97,6 +97,7 @@ from qurio_spark.queries.textstats import (  # noqa: F401
 )
 from qurio_spark.queries.dedup import (  # noqa: F401
     q_canonical_docs,
+    q_line_dedup,
     q_embedding_near_dup,
     q_exact_dedup,
     q_minhash,
@@ -413,6 +414,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     STRONGER snap_merge (Delta MERGE semantics) in-window;
     plans/merge.py stays pinned by 6 pytest cases; green since
     round 6.
+    Also IN (new): ``line_dedup`` (corpus-level duplicated-line
+    removal — the CCNet/RefinedWeb boilerplate-cleanup step: one
+    global trimmed-line count shuffle + anti-join vs the hot set,
+    docs rebuilt in order; vs a generate_subscripts/string_agg
+    oracle).  OUT: ``dedup_anti_join`` — the sha2-anti-join family
+    keeps content_hash (sweep) and exact_dedup (51+, auto-oracled
+    each pytest run), and the catalog-mutation semantics moved
+    in-window with catalog_crud; green since round 1.
     EVERY entry, in-window or not, is additionally oracle-compared at
     sf0.001 by ``tests/test_queries_full.py`` on each pytest run — the
     round-4 lesson was that out-of-window entries had no committed
@@ -423,7 +432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_equality": q_filter_equality,
         "time_travel": q_time_travel,
         "stats_fanin": q_stats_fanin,
-        "dedup_anti_join": q_dedup_anti_join,
+        "line_dedup": q_line_dedup,
         "read_page": q_read_page,
         "bm25_topk": q_bm25_topk,
         "bm25_maxscore": q_bm25_maxscore,
@@ -472,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 51+: oracle-backed, operator proven by in-window sibling
         # (or, for minhash_lsh, newly oracle-backed breadth) ----------
         "snap_scan": q_snap_scan,
+        "dedup_anti_join": q_dedup_anti_join,
         "merge_orders": q_merge_orders,
         "events_cube": q_events_cube,
         "events_asof_recovery": q_events_asof_recovery,

@@ -677,3 +677,56 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def remove_duplicate_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_count: int = 1,
+) -> DataFrame:
+    """Corpus-level duplicate-LINE removal — the CCNet / RefinedWeb
+    cleanup step (boilerplate lines repeat across pages: nav bars,
+    cookie banners, footers): any line whose TRIMMED text appears more
+    than ``max_count`` times in the whole corpus is dropped from every
+    document, and each document is rebuilt with its surviving lines in
+    original order.
+
+    Scale shape: posexplode -> ONE global count shuffle keyed on the
+    trimmed line (partial-agg absorbs the hot-line skew: a nav line
+    appearing a billion times arrives at the reducer once per map
+    partition), an anti-join of lines against the hot set (small —
+    only lines over the threshold; AQE broadcasts it when it fits),
+    and one groupBy-doc rebuild via array_sort on (pos, line) — no
+    window, no global sort.  Documents whose every line was dropped
+    disappear from the result (nothing left to keep).
+
+    Returns ``(id_col, text_clean, n_kept, n_removed)``."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("tl", F.trim("line"))
+    hot = (
+        lines.groupBy("tl")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > max_count)
+        .select("tl")
+    )
+    kept = lines.join(hot, "tl", "left_anti")
+    n_lines = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+        ).alias("text_clean"),
+        F.count("*").alias("n_kept"),
+    )
+    return rebuilt.join(n_lines, id_col).select(
+        id_col,
+        "text_clean",
+        "n_kept",
+        (F.col("n_lines") - F.col("n_kept")).alias("n_removed"),
+    )

@@ -204,3 +204,41 @@ def q_canonical_docs(spark, sf_dir):
     rounded = F.floor(F.col("pr") * F.lit(1e8) + F.lit(0.5 + 1e-6)) / F.lit(1e8)
     ranks = pr.select(F.col("id").alias("vec_id"), rounded.alias("pr"))
     return canonical_pick(cc, ranks, id_col="vec_id")
+
+
+def q_line_dedup(spark, sf_dir):
+    """Corpus-level duplicated-line removal
+    (operators/dedup.remove_duplicate_lines — the CCNet/RefinedWeb
+    boilerplate-cleanup step): each source's docs concatenate into one
+    multi-line page (ordered by doc_id) with a shared BANNER line (the
+    max-doc_id document's text) prepended to every page — the nav-bar
+    shape.  The banner repeats across all pages, so it must vanish
+    from every one (including its own source's body copy); all other
+    lines are corpus-unique and survive in order.  One global
+    trimmed-line count shuffle + an anti-join against the hot set —
+    never a cross join."""
+    from qurio_spark.operators.dedup import remove_duplicate_lines
+
+    d = _t(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    banner = (
+        d.orderBy(F.col("doc_id").desc()).select("text").first()["text"]
+    )
+    pages = d.groupBy("source").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                lambda x: x["text"],
+            ),
+        ).alias("body")
+    ).select(
+        "source",
+        F.concat(F.lit(banner), F.lit("\n"), F.col("body")).alias("text"),
+    )
+    out = remove_duplicate_lines(pages, id_col="source", text_col="text")
+    return out.select(
+        "source",
+        "n_kept",
+        "n_removed",
+        F.md5("text_clean").alias("clean_hash"),
+    )

@@ -844,6 +844,39 @@ e{tag} AS (
 def oracle_sql() -> dict[str, str]:
     return {
         "quantile_view": _quantile_view_sql(),
+        # pages = per-source doc concat + a shared banner line; the
+        # banner (count 21 > 1) drops from every page, all other
+        # lines are corpus-unique and survive in order
+        "line_dedup": """
+WITH banner AS (
+  SELECT text FROM documents
+  WHERE doc_id = (SELECT max(doc_id) FROM documents)
+),
+pages AS (
+  SELECT source,
+         (SELECT text FROM banner) || chr(10)
+           || string_agg(text, chr(10) ORDER BY doc_id) AS text
+  FROM documents GROUP BY source
+),
+l AS (
+  SELECT source, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line
+  FROM (SELECT source, string_split(text, chr(10)) AS ls FROM pages)
+),
+counts AS (SELECT trim(line) AS tl, count(*) AS c FROM l GROUP BY 1),
+kept AS (
+  SELECT l.source, l.pos, l.line
+  FROM l JOIN counts ON trim(l.line) = counts.tl
+  WHERE counts.c <= 1
+),
+tot AS (SELECT source, count(*) AS n_lines FROM l GROUP BY 1),
+reb AS (
+  SELECT source, string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+         count(*) AS n_kept
+  FROM kept GROUP BY source
+)
+SELECT reb.source, n_kept, (n_lines - n_kept) AS n_removed,
+       md5(text_clean) AS clean_hash
+FROM reb JOIN tot USING (source)""",
         "resize_targets": resize_targets_sql(),
         "audio_features": audio_features_sql(),
         "events_asof_attribution": events_asof_attribution_sql(),

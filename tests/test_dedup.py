@@ -397,3 +397,56 @@ class TestMinhashLshMatch:
         }
         assert got == expected
         assert got  # the fixture must actually produce cross matches
+
+
+class TestRemoveDuplicateLines:
+    """remove_duplicate_lines — corpus-level duplicated-line cleanup
+    (CCNet/RefinedWeb): lines whose trimmed text repeats beyond
+    max_count drop from EVERY document, order preserved, fully-cleaned
+    docs disappear."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_drops_repeated_lines_everywhere(self, spark):
+        from qurio_spark.operators.dedup import remove_duplicate_lines
+
+        docs = self._docs(spark, [
+            (1, "unique one\ncookie banner\nunique two"),
+            (2, "cookie banner\nother text"),
+            (3, "  cookie banner \nthird"),
+        ])
+        got = {
+            r["doc_id"]: (r["text_clean"], r["n_kept"], r["n_removed"])
+            for r in remove_duplicate_lines(spark.createDataFrame(
+                docs.collect(), docs.schema)).collect()
+        }
+        # trimmed-equal "cookie banner" appears 3x -> dropped from all
+        assert got == {
+            1: ("unique one\nunique two", 2, 1),
+            2: ("other text", 1, 1),
+            3: ("third", 1, 1),
+        }
+
+    def test_order_preserved_and_threshold(self, spark):
+        from qurio_spark.operators.dedup import remove_duplicate_lines
+
+        docs = self._docs(spark, [
+            (1, "a\nb\nc\nb\na"),
+            (2, "z\nb"),
+        ])
+        # max_count=2: 'a' (2x) kept, 'b' (3x) dropped
+        got = {
+            r["doc_id"]: r["text_clean"]
+            for r in remove_duplicate_lines(docs, max_count=2).collect()
+        }
+        assert got == {1: "a\nc\na", 2: "z"}
+
+    def test_fully_cleaned_doc_disappears(self, spark):
+        from qurio_spark.operators.dedup import remove_duplicate_lines
+
+        docs = self._docs(spark, [
+            (1, "dup"), (2, "dup"), (3, "keep me"),
+        ])
+        out = remove_duplicate_lines(docs).collect()
+        assert {r["doc_id"] for r in out} == {3}
