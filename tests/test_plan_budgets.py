@@ -206,6 +206,22 @@ BUDGETS = {
     # their own O(|delta|) contract in tests/test_aggview.py)
     "incremental_hourly": {"shuffles": ("<=", 0), "smj": ("<=", 0),
                            "python_stages": ("<=", 0)},
+    # quantile finals walk the stored bucket arrays in the scan
+    # projection — zero shuffles, zero joins, pure codegen
+    "quantile_view": {"shuffles": ("<=", 0), "smj": ("<=", 0),
+                      "python_stages": ("<=", 0)},
+    # cascade READ path: the daily states scan directly (refresh cost
+    # is budgeted by its own O(delta) contract in tests/test_aggview)
+    "rollup_daily": {"shuffles": ("<=", 0), "smj": ("<=", 0),
+                     "python_stages": ("<=", 0)},
+    # post-DML read: one agg exchange + the orderBy sort; the merge/
+    # update commits themselves ran eagerly before this plan
+    "snap_merge": {"shuffles": ("<=", 2), "smj": ("<=", 0),
+                   "python_stages": ("<=", 0)},
+    # line dedup: pages groupBy + global line count + rebuild groupBy;
+    # the hot-set anti-join and n_lines attach broadcast (no SMJ)
+    "line_dedup": {"shuffles": ("<=", 4), "smj": ("<=", 0),
+                   "python_stages": ("<=", 0)},
 }
 
 
