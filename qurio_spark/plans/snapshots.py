@@ -1413,6 +1413,53 @@ def snap_restore(path: str, version: int) -> int:
     )
 
 
+def _stage_dvs(
+    spark: SparkSession, path: str, hits: DataFrame, n_cand: int
+) -> tuple[list[str], dict]:
+    """Write a (file, pos) frame as deletion-vector sidecars under
+    ``dv/`` via a staging dir (same discipline as data files; output
+    file count sized from the candidate scan, not a constant) and
+    return ``(moved sidecar names, per-file deleted-row counts)`` —
+    the exact ledger ``snap_count`` subtracts and rewrite commits
+    prune file-by-file.  Empty hits stage nothing."""
+    import math
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    staging = os.path.join(path, f"_dvstaging-{uuid.uuid4().hex}")
+    n_out = max(1, math.ceil(n_cand / 512))
+    (
+        hits.select("file", "pos")
+        .repartition(n_out)
+        .sortWithinPartitions("file", "pos")
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    new_counts = {
+        r["file"]: r["n"]
+        for r in spark.read.parquet(staging)
+        .groupBy("file")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    dv_dir = os.path.join(path, "dv")
+    os.makedirs(dv_dir, exist_ok=True)
+    moved: list[str] = []
+    for f in sorted(os.listdir(staging)):
+        src = os.path.join(staging, f)
+        if f.endswith(".parquet") and new_counts:
+            n = pq.ParquetFile(src).metadata.num_rows
+            if n:
+                name = f"dv-{uuid.uuid4().hex}.parquet"
+                os.rename(src, os.path.join(dv_dir, name))
+                moved.append(f"dv/{name}")
+                continue
+        os.remove(src)
+    os.rmdir(staging)
+    return moved, new_counts
+
+
 def snap_delete_where_mor(
     spark: SparkSession, path: str, col: str, lo=None, hi=None
 ) -> int | None:
@@ -1435,9 +1482,6 @@ def snap_delete_where_mor(
     live-deleted count and re-running the same delete is a no-op.
     NULL never matches (SQL DELETE WHERE semantics).  Returns the new
     version, or None when no row matches (a no-op never commits)."""
-    import math
-
-    import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
     for _ in range(_MAX_COMMIT_RETRIES):
@@ -1475,41 +1519,7 @@ def snap_delete_where_mor(
             if m.get("dv_rows", 0) <= _BROADCAST_DV_ROWS:
                 old = F.broadcast(old)
             hits = hits.join(old, ["file", "pos"], "left_anti")
-        # write the vector via staging (same discipline as data
-        # files); output file count sized from the candidate scan,
-        # not a constant
-        staging = os.path.join(path, f"_dvstaging-{uuid.uuid4().hex}")
-        n_out = max(1, math.ceil(len(cand) / 512))
-        (
-            hits.repartition(n_out)
-            .sortWithinPartitions("file", "pos")
-            .write.mode("overwrite")
-            .parquet(staging)
-        )
-        # per-file deleted-row counts (one distributed pass over the
-        # tiny staged vector): the exact ledger snap_count subtracts
-        # and rewrite commits prune file-by-file
-        new_counts = {
-            r["file"]: r["n"]
-            for r in spark.read.parquet(staging)
-            .groupBy("file")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
-        dv_dir = os.path.join(path, "dv")
-        os.makedirs(dv_dir, exist_ok=True)
-        moved: list[str] = []
-        for f in sorted(os.listdir(staging)):
-            src = os.path.join(staging, f)
-            if f.endswith(".parquet") and new_counts:
-                n = pq.ParquetFile(src).metadata.num_rows
-                if n:
-                    name = f"dv-{uuid.uuid4().hex}.parquet"
-                    os.rename(src, os.path.join(dv_dir, name))
-                    moved.append(f"dv/{name}")
-                    continue
-            os.remove(src)
-        os.rmdir(staging)
+        moved, new_counts = _stage_dvs(spark, path, hits, len(cand))
         if not new_counts:
             return None
         counts = dict(m.get("dv_counts", {}))
@@ -1941,6 +1951,152 @@ def snap_merge(
             return v + 1
         # lost the claim: matched files were computed against a stale
         # version — rerun discovery against the new latest
+    raise RuntimeError(
+        f"commit contention on {path}: {_MAX_COMMIT_RETRIES} retries lost"
+    )
+
+
+def snap_merge_mor(
+    spark: SparkSession, path: str, source: DataFrame, keys: list[str]
+) -> int | None:
+    """MERGE-ON-READ ``MERGE INTO`` (the Delta "deletion vectors for
+    MERGE" shape): same semantics as :func:`snap_merge`, but matched
+    target rows are masked by DELETION-VECTOR sidecars instead of
+    rewriting their files — the parent's manifests carry verbatim and
+    only the source appends as new files.  Commit cost is O(matched
+    rows + |source|) where CoW merge is O(affected file BYTES): an
+    upsert touching 0.1% of rows scattered across a 100 TB table
+    moves ~nothing here and rewrites ~everything there.  The read-side
+    tax is the usual DV anti-join; ``maybe_materialize`` folds the
+    vectors away when it grows.
+
+    The position scan projects ONLY the key columns + parquet
+    metadata over stats-pruned candidate files, applies the prior
+    vectors first (a key matching only already-deleted rows is NOT
+    matched — it inserts, and no duplicate vector entry is written),
+    then joins the deduped source keys once.  Duplicated-AND-matched
+    source keys raise, like CoW merge.  Returns the new version, or
+    None for an empty source."""
+    from pyspark.sql import functions as F
+
+    from qurio_spark.functions.checkpointing import checkpoint_df
+
+    if not keys:
+        raise ValueError("snap_merge_mor needs at least one key column")
+    absent = [k for k in keys if k not in source.columns]
+    if absent:
+        raise ValueError(f"source is missing key columns {absent}")
+    source = checkpoint_df(source, eager=True)
+    if source.isEmpty():
+        return None
+    if _latest_version(path) is None:
+        new_files = _write_data_files(source, path, 0)
+        name = _write_manifest_file(path, new_files)
+        if _try_commit(
+            path, 0,
+            {"version": 0, "op": "merge-mor", "parent": None,
+             "manifests": [name],
+             "schema": _evolved_schema(None, source, "append")},
+        ):
+            return 0
+    src_keys = source.groupBy(*keys).agg(F.count("*").alias("__cnt"))
+    for k in keys:
+        src_keys = src_keys.filter(F.col(k).isNotNull())
+    src_keys = checkpoint_df(src_keys, eager=True)
+    bounds = src_keys.agg(
+        *[f for k in keys for f in (
+            F.min(k).alias(f"__mn_{k}"), F.max(k).alias(f"__mx_{k}"),
+        )]
+    ).first()
+
+    def _candidate(e) -> bool:
+        return not any(
+            _range_disjoint(e, k, bounds[f"__mn_{k}"], bounds[f"__mx_{k}"])
+            for k in keys
+        )
+
+    for _ in range(_MAX_COMMIT_RETRIES):
+        v = _latest_version(path)
+        m = _read_manifest(path, v)
+        if m.get("schema"):
+            table_cols = [f["name"] for f in m["schema"]["fields"]]
+            miss = [k for k in keys if k not in table_cols]
+            if miss:
+                raise ValueError(f"table is missing key columns {miss}")
+        cand = [
+            _entry_name(e)
+            for e in _manifest_entries(path, m)
+            if _candidate(e)
+        ]
+        moved: list[str] = []
+        new_counts: dict = {}
+        if cand:
+            scan = _pinned_reader(spark, m).parquet(
+                *[os.path.join(path, f) for f in cand]
+            ).select(
+                F.col("_metadata.file_name").alias("file"),
+                F.col("_metadata.row_index").alias("pos"),
+                *keys,
+            )
+            prior = m.get("dvs", [])
+            if prior:
+                old = spark.read.parquet(
+                    *[os.path.join(path, n) for n in prior]
+                ).select("file", "pos")
+                if m.get("dv_rows", 0) <= _BROADCAST_DV_ROWS:
+                    old = F.broadcast(old)
+                scan = scan.join(old, ["file", "pos"], "left_anti")
+            hits = checkpoint_df(
+                scan.join(src_keys, keys, "inner").select(
+                    "file", "pos", "__cnt"
+                ),
+                eager=True,
+            )
+            mx_cnt = hits.agg(F.max("__cnt")).first()[0]
+            if mx_cnt is not None and mx_cnt > 1:
+                raise ValueError(
+                    "snap_merge_mor: multiple source rows share a "
+                    "matched key tuple — an update cannot replace one "
+                    "target row with several"
+                )
+            moved, new_counts = _stage_dvs(spark, path, hits, len(cand))
+        new_files = _write_data_files(source, path, v + 1)
+        new_name = _write_manifest_file(path, new_files)
+        dv_meta = _dv_carry(m)  # nothing rewritten: carry verbatim
+        if moved:
+            if dv_meta and "dv_counts" not in dv_meta:
+                # legacy parent ledger (dvs without per-file counts):
+                # extend the list, keep the row total additive
+                dv_meta = {
+                    "dvs": dv_meta["dvs"] + moved,
+                    "dv_rows": dv_meta["dv_rows"]
+                    + sum(new_counts.values()),
+                }
+            else:
+                counts = dict(dv_meta.get("dv_counts", {}))
+                for f, n in new_counts.items():
+                    counts[f] = counts.get(f, 0) + n
+                dv_meta = {
+                    "dvs": dv_meta.get("dvs", []) + moved,
+                    "dv_counts": counts,
+                    "dv_rows": sum(counts.values()),
+                }
+        if _try_commit(
+            path, v + 1,
+            {"version": v + 1, "op": "merge-mor", "parent": v,
+             "manifests": _carried_manifests(path, m) + [new_name],
+             "txn": dict(m.get("txn", {})),
+             "schema": _evolved_schema(m.get("schema"), source, "append"),
+             **dv_meta},
+        ):
+            return v + 1
+        # lost the claim: positions were computed against a stale
+        # version — drop our unreferenced vectors and redo
+        for n in moved:
+            try:
+                os.remove(os.path.join(path, n))
+            except FileNotFoundError:
+                pass
     raise RuntimeError(
         f"commit contention on {path}: {_MAX_COMMIT_RETRIES} retries lost"
     )

@@ -342,3 +342,82 @@ class TestKeyedDiff:
             "update_preimage": (None, "tnull"),
             "update_postimage": (None, "snull"),
         }
+
+
+class TestSnapMergeMor:
+    """snap_merge_mor: MERGE whose matched rows are masked by deletion
+    vectors — ZERO parent files move (entries + mtimes pinned), only
+    the source appends; matched-via-deleted-row inserts cleanly; the
+    dv ledger stays exact through a later materialize."""
+
+    def test_upsert_semantics_match_cow(self, spark, table, tmp_path):
+        from qurio_spark.plans.snapshots import snap_merge_mor
+
+        src = _kv(spark, [(3, "U3"), (15, "U15"), (30, "N30")])
+        snap_merge_mor(spark, table, src, ["k"])
+        got = dict(_rows(spark, table))
+        assert got[3] == "U3" and got[15] == "U15" and got[30] == "N30"
+        assert got[4] == "a4" and len(got) == 21
+        assert snap_count(table) == 21 == snap_read(spark, table).count()
+
+    def test_zero_data_files_move(self, spark, table):
+        from qurio_spark.plans.snapshots import snap_merge_mor
+
+        m1 = _read_manifest(table, 1)
+        names = {
+            e["name"]: os.path.getmtime(os.path.join(table, e["name"]))
+            for e in _manifest_entries(table, m1)
+        }
+        v = snap_merge_mor(spark, table, _kv(spark, [(3, "U3")]), ["k"])
+        m2 = _read_manifest(table, v)
+        after = {e["name"] for e in _manifest_entries(table, m2)}
+        # every parent file still referenced, byte-untouched
+        for n, mt in names.items():
+            assert n in after
+            assert os.path.getmtime(os.path.join(table, n)) == mt
+        assert m2["dv_rows"] == 1
+
+    def test_key_matching_only_deleted_rows_inserts(self, spark, table):
+        from qurio_spark.plans.snapshots import snap_merge_mor
+
+        snap_delete_where_mor(spark, table, "k", lo=3, hi=3)
+        v = snap_merge_mor(spark, table, _kv(spark, [(3, "back")]), ["k"])
+        got = _rows(spark, table)
+        assert got.count((3, "back")) == 1 and (3, "a3") not in got
+        # no duplicate vector entry was written for the dead row
+        assert _read_manifest(table, v)["dv_rows"] == 1
+        assert snap_count(table) == 20 == snap_read(spark, table).count()
+
+    def test_duplicate_matched_raises(self, spark, table):
+        from qurio_spark.plans.snapshots import snap_merge_mor
+
+        with pytest.raises(ValueError, match="multiple source rows"):
+            snap_merge_mor(
+                spark, table, _kv(spark, [(3, "x"), (3, "y")]), ["k"]
+            )
+
+    def test_materialize_folds_merge_vectors(self, spark, table):
+        from qurio_spark.plans.snapshots import (
+            snap_materialize_dvs,
+            snap_merge_mor,
+        )
+
+        snap_merge_mor(spark, table, _kv(spark, [(3, "U3")]), ["k"])
+        before = _rows(spark, table)
+        vm = snap_materialize_dvs(spark, table)
+        assert vm is not None
+        assert "dvs" not in _read_manifest(table, vm)
+        assert _rows(spark, table) == before
+        assert snap_count(table) == 20 == snap_read(spark, table).count()
+
+    def test_txn_and_schema_evolution(self, spark, table):
+        from qurio_spark.plans.snapshots import snap_merge_mor
+
+        snap_append_txn(_kv(spark, [(40, "t")]), table, "app", 9)
+        src = _kv(spark, [(3, "U3")], {"extra": F.lit(1)})
+        snap_merge_mor(spark, table, src, ["k"])
+        df = snap_read(spark, table)
+        assert "extra" in df.columns
+        assert (
+            snap_append_txn(_kv(spark, [(41, "t")]), table, "app", 9) is None
+        )
