@@ -188,8 +188,17 @@ def refresh_agg_view(
     partition_col: str | None = None,
     distinct_col: str | None = None,
     hist_bounds: tuple[float, float, int] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> None:
     """Refresh the persisted view at ``path`` with ``delta``'s rows.
+
+    ``txn = (app_id, batch_id)`` makes the refresh EXACTLY-ONCE under
+    streaming replays (foreachBatch is at-least-once): a batch the
+    view's latest manifest already records is skipped before ANY work
+    runs — without it, a replayed delta would merge into the states a
+    second time and silently double-count.  (`refresh_rollup` needs no
+    marker: its cursor is the idempotency token — a replayed poll with
+    the same cursor rebuilds the same partitions to the same values.)
 
     First call creates the view.  The view is a SNAPSHOT table
     (plans/snapshots.py, round 8): with ``partition_col`` (must be one
@@ -212,7 +221,10 @@ def refresh_agg_view(
     )
 
     from qurio_spark.functions.checkpointing import checkpoint_df
+    from qurio_spark.plans.snapshots import snap_txn_seen
 
+    if txn is not None and snap_txn_seen(path, *txn):
+        return  # replayed micro-batch: already merged into the view
     if hist_bounds is not None:
         _check_hist_bounds(path, hist_bounds)
     new = partial_states(
@@ -227,9 +239,9 @@ def refresh_agg_view(
     if old is None:
         if partition_col:
             snap_replace_values(spark, path, partition_col, [], new,
-                                cluster=True)
+                                cluster=True, txn=txn)
         else:
-            snap_overwrite(new, path)
+            snap_overwrite(new, path, txn=txn)
         return
     if partition_col:
         touched = [
@@ -242,10 +254,11 @@ def refresh_agg_view(
         old_touched = old.filter(value_match(F.col(partition_col), touched))
         merged = merge_states(old_touched, new, group_cols)
         snap_replace_values(
-            spark, path, partition_col, touched, merged, cluster=True
+            spark, path, partition_col, touched, merged, cluster=True,
+            txn=txn,
         )
     else:
-        snap_overwrite(merge_states(old, new, group_cols), path)
+        snap_overwrite(merge_states(old, new, group_cols), path, txn=txn)
 
 
 def _check_hist_bounds(path: str, hist_bounds) -> None:

@@ -463,19 +463,38 @@ def _evolved_schema(parent_schema: dict | None, df: DataFrame, op: str) -> dict:
     return parent_schema
 
 
+def snap_txn_seen(path: str, app_id: str, batch_id: int) -> bool:
+    """True when the table's latest manifest already records
+    ``batch_id`` (or later) for ``app_id`` — the cheap pre-flight a
+    streaming caller uses to skip ALL batch work on a replay, before
+    any Spark job runs."""
+    v = _latest_version(path)
+    if v is None:
+        return False
+    return _read_manifest(path, v).get("txn", {}).get(app_id, -1) >= batch_id
+
+
 def _snap_commit(
     df: DataFrame,
     path: str,
     op: str,
     zorder_by: list[str] | None = None,
     bloom_cols: list[str] | None = None,
-) -> int:
+    txn_mark: tuple[str, int] | None = None,
+) -> int | None:
     """Two-level commit with optimistic concurrency: data files and
     this commit's manifest are written ONCE (uuid-unique names — safe
     under races); only the manifest-list bookkeeping retries when
     another writer claims the version first.  Append carries the
     parent's manifests by name, so commit cost is O(delta files +
-    number of prior commits), never O(total table files)."""
+    number of prior commits), never O(total table files).
+
+    ``txn_mark = (app_id, batch_id)`` makes the commit IDEMPOTENT
+    under streaming replays (the Delta txn pattern): a batch the
+    latest manifest already records is skipped (returns None), and
+    the committed manifest advances the app's high-water mark."""
+    if txn_mark is not None and snap_txn_seen(path, *txn_mark):
+        return None
     prev0 = _latest_version(path)
     new_files = _write_data_files(
         df, path, 0 if prev0 is None else prev0 + 1,
@@ -500,6 +519,12 @@ def _snap_commit(
         # posture): an append or overwrite between micro-batches must
         # not reopen the exactly-once window
         txn = dict(m_prev.get("txn", {})) if m_prev is not None else {}
+        if txn_mark is not None:
+            # re-check per claim attempt: a concurrent writer of the
+            # same app may have landed this batch since the pre-flight
+            if txn.get(txn_mark[0], -1) >= txn_mark[1]:
+                return None
+            txn[txn_mark[0]] = txn_mark[1]
         if _try_commit(
             path, version,
             {"version": version, "op": op, "parent": prev,
@@ -533,15 +558,18 @@ def snap_overwrite(
     path: str,
     zorder_by: list[str] | None = None,
     bloom_cols: list[str] | None = None,
-) -> int:
+    txn: tuple[str, int] | None = None,
+) -> int | None:
     """Commit ``df`` as the table's full new content.  Replaced files
     stay on disk (older versions remain readable) until vacuum.
     ``zorder_by`` writes the content multi-dimensionally clustered so
     ``snap_scan``/``snap_scan_multi`` skip files for predicates on any
     participating column; ``bloom_cols`` adds per-file equality-probe
-    blooms."""
+    blooms; ``txn = (app_id, batch_id)`` skips streaming replays
+    (returns None) and advances the app's high-water mark."""
     return _snap_commit(
-        df, path, "overwrite", zorder_by=zorder_by, bloom_cols=bloom_cols
+        df, path, "overwrite", zorder_by=zorder_by, bloom_cols=bloom_cols,
+        txn_mark=txn,
     )
 
 
@@ -1693,7 +1721,8 @@ def snap_replace_values(
     values: list,
     replacement: DataFrame,
     cluster: bool = False,
-) -> int:
+    txn: tuple[str, int] | None = None,
+) -> int | None:
     """Delta's ``replaceWhere`` for a value list: ONE atomic commit
     that deletes every row whose ``col`` is in ``values`` and inserts
     ``replacement`` (caller contract: replacement rows all satisfy the
@@ -1725,9 +1754,18 @@ def snap_replace_values(
     null ts -> day_key, null source_id).  NULL never matches an IN
     list, so the match/keep predicates branch on ``isNull``
     explicitly, and file skipping uses the manifests' per-file NULL
-    COUNTS (absent count = may hold NULLs = not skippable)."""
+    COUNTS (absent count = may hold NULLs = not skippable).
+
+    ``txn = (app_id, batch_id)`` makes the replace IDEMPOTENT under
+    streaming replays (the Delta txn pattern): a batch the latest
+    manifest already records returns None without committing — the
+    exactly-once building block for INCREMENTAL VIEW refreshes in
+    foreachBatch, where a replayed delta would otherwise double-count
+    into the merged states."""
     from pyspark.sql import functions as F
 
+    if txn is not None and snap_txn_seen(path, *txn):
+        return None
     cb = col if cluster else None
     if _latest_version(path) is None:
         new_files = _write_data_files(replacement, path, 0, cluster_by=cb)
@@ -1736,7 +1774,8 @@ def snap_replace_values(
             path, 0,
             {"version": 0, "op": "append", "parent": None,
              "manifests": [name],
-             "schema": _evolved_schema(None, replacement, "append")},
+             "schema": _evolved_schema(None, replacement, "append"),
+             **({"txn": {txn[0]: txn[1]}} if txn is not None else {})},
         ):
             return 0
         # lost the table-creation race: fall through and replace
@@ -1762,6 +1801,13 @@ def snap_replace_values(
     for _ in range(_MAX_COMMIT_RETRIES):
         v = _latest_version(path)
         m = _read_manifest(path, v)
+        txn_map = dict(m.get("txn", {}))
+        if txn is not None:
+            # re-check per claim attempt: a concurrent writer of the
+            # same app may have landed this batch since the pre-flight
+            if txn_map.get(txn[0], -1) >= txn[1]:
+                return None
+            txn_map[txn[0]] = txn[1]
         carried, loose_entries, affected = [], [], []
         for name in _carried_manifests(path, m):
             entries = _read_manifest_file(path, name)
@@ -1796,7 +1842,7 @@ def snap_replace_values(
             path, v + 1,
             {"version": v + 1, "op": "replace", "parent": v,
              "manifests": carried + [new_name],
-             "txn": dict(m.get("txn", {})), "schema": m.get("schema"),
+             "txn": txn_map, "schema": m.get("schema"),
              **_dv_carry(
                  m,
                  {os.path.basename(_entry_name(e)) for e in affected},

@@ -474,3 +474,60 @@ class TestHistogramState:
         hb = {r["k"]: r["hb"] for r in snap_read(spark, path).collect()}
         assert hb["a"] == [0, 0, 0, 0]
         assert hb["b"] == [0, 0, 1, 0]
+
+
+class TestExactlyOnceRefresh:
+    """refresh_agg_view(txn=): a replayed micro-batch (foreachBatch is
+    at-least-once) must NOT merge into the states a second time."""
+
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "hour_key string, event_type string, value double"
+        )
+
+    def test_replay_is_noop(self, spark, tmp_path):
+        from qurio_spark.plans.snapshots import snap_versions
+
+        path = str(tmp_path / "v")
+        keys = ["hour_key", "event_type"]
+        b0 = self._mk(spark, [("h1", "x", 1.0), ("h2", "x", 2.0)])
+        b1 = self._mk(spark, [("h1", "x", 3.0)])
+        refresh_agg_view(spark, path, b0, keys, "value",
+                         partition_col="hour_key", txn=("app", 0))
+        refresh_agg_view(spark, path, b1, keys, "value",
+                         partition_col="hour_key", txn=("app", 1))
+        n_versions = len(snap_versions(path))
+        # the replay: same app, same batch id — no merge, no version
+        refresh_agg_view(spark, path, b1, keys, "value",
+                         partition_col="hour_key", txn=("app", 1))
+        assert len(snap_versions(path)) == n_versions
+        got = {
+            (r["hour_key"]): (r["n"], r["total_value"])
+            for r in read_agg_view(spark, path).collect()
+        }
+        assert got == {"h1": (2, 4.0), "h2": (1, 2.0)}
+
+    def test_unpartitioned_replay_is_noop(self, spark, tmp_path):
+        from qurio_spark.plans.snapshots import snap_versions
+
+        path = str(tmp_path / "flat")
+        b = self._mk(spark, [("h1", "x", 1.0)])
+        refresh_agg_view(spark, path, b, ["event_type"], "value",
+                         txn=("app", 0))
+        refresh_agg_view(spark, path, b, ["event_type"], "value",
+                         txn=("app", 0))
+        assert len(snap_versions(path)) == 1
+        (r,) = read_agg_view(spark, path).collect()
+        assert (r["n"], r["total_value"]) == (1, 1.0)
+
+    def test_distinct_apps_do_not_collide(self, spark, tmp_path):
+        path = str(tmp_path / "v")
+        keys = ["event_type"]
+        b = self._mk(spark, [("h1", "x", 1.0)])
+        refresh_agg_view(spark, path, b, keys, "value",
+                         partition_col="event_type", txn=("app-a", 5))
+        # a DIFFERENT app at a lower batch id must still apply
+        refresh_agg_view(spark, path, b, keys, "value",
+                         partition_col="event_type", txn=("app-b", 0))
+        (r,) = read_agg_view(spark, path).collect()
+        assert r["n"] == 2
