@@ -531,3 +531,78 @@ class TestExactlyOnceRefresh:
                          partition_col="event_type", txn=("app-b", 0))
         (r,) = read_agg_view(spark, path).collect()
         assert r["n"] == 2
+
+
+class TestStreamingCascade:
+    """The full streaming hierarchy e2e: foreachBatch maintains the
+    HOURLY view exactly-once (txn markers) and polls the DAILY rollup
+    off its CDC feed per micro-batch; a replayed batch changes
+    nothing; the final daily view equals the direct aggregation."""
+
+    def test_foreachbatch_cascade_with_replay(self, spark, events, tmp_path):
+        from qurio_spark.plans.snapshots import snap_versions
+
+        devents = events.withColumn(
+            "day_key", F.substring("hour_key", 1, 10)
+        ).select("event_id", "hour_key", "day_key", "event_type", "value")
+        src = str(tmp_path / "src")
+        # two source files -> two availableNow micro-batches
+        devents.filter(F.col("event_id") % 2 == 0).coalesce(1) \
+            .write.parquet(src)
+        devents.filter(F.col("event_id") % 2 == 1).coalesce(1) \
+            .write.mode("append").parquet(src)
+        hour, day = str(tmp_path / "hour"), str(tmp_path / "day")
+        keys = ["day_key", "hour_key", "event_type"]
+        cursor = [None]
+        seen = []
+
+        def process(batch_df, batch_id):
+            refresh_agg_view(
+                spark, hour, batch_df, keys, "value",
+                partition_col="day_key", txn=("cascade", batch_id),
+            )
+            cursor[0] = refresh_rollup(
+                spark, hour, day, ["day_key", "event_type"], "day_key",
+                cursor=cursor[0],
+            )
+            seen.append(batch_id)
+
+        q = (
+            spark.readStream.schema(devents.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(process)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert len(seen) >= 2
+        hv, dv = len(snap_versions(hour)), len(snap_versions(day))
+        want = _final_rows(read_agg_view(spark, day))
+
+        # at-least-once REPLAY of the last batch: the hourly txn
+        # marker skips the merge, the caught-up cursor polls empty —
+        # no new version anywhere, values unchanged
+        process(devents.filter(F.col("event_id") % 2 == 1), seen[-1])
+        assert len(snap_versions(hour)) == hv
+        assert len(snap_versions(day)) == dv
+        assert _final_rows(read_agg_view(spark, day)) == want
+
+        # the cascade equals the direct daily aggregation
+        direct = str(tmp_path / "direct")
+        refresh_agg_view(
+            spark, direct, devents, ["day_key", "event_type"], "value",
+            partition_col="day_key",
+        )
+        got = {
+            (r["day_key"], r["event_type"]): (r["n"], r["min_value"],
+                                              r["max_value"])
+            for r in read_agg_view(spark, day).collect()
+        }
+        ref = {
+            (r["day_key"], r["event_type"]): (r["n"], r["min_value"],
+                                              r["max_value"])
+            for r in read_agg_view(spark, direct).collect()
+        }
+        assert got == ref
