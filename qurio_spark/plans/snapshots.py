@@ -574,17 +574,35 @@ def snap_overwrite(
 
 
 def snap_versions(path: str) -> list[dict]:
-    """[{version, op, parent, n_files}] oldest-first for every
-    retained manifest."""
+    """[{version, op, parent, n_files, n_rows, dv_rows, ts}]
+    oldest-first for every retained manifest (the DESCRIBE HISTORY
+    shape): ``n_rows`` is the metadata-only live-row count (file row
+    counts minus the deleted-row ledger — None when any entry
+    predates row-count stats), ``dv_rows`` the live deletion-vector
+    rows, ``ts`` the commit wall time (None for legacy commits)."""
     out = []
     for f in store_for(path).list(path):
         if f.startswith("v") and f.endswith(".json"):
             m = _read_manifest(path, int(f[1:-5]))
+            entries = _manifest_entries(path, m)
+            rows = 0
+            for e in entries:
+                if not isinstance(e, dict) or "rows" not in e:
+                    rows = None
+                    break
+                rows += e["rows"]
             out.append(
                 {
                     "version": m["version"], "op": m["op"],
                     "parent": m["parent"],
-                    "n_files": len(_manifest_entries(path, m)),
+                    "n_files": len(entries),
+                    "n_rows": (
+                        rows - m.get("dv_rows", 0)
+                        if rows is not None
+                        else None
+                    ),
+                    "dv_rows": m.get("dv_rows", 0),
+                    "ts": m.get("ts"),
                 }
             )
     return sorted(out, key=lambda m: m["version"])
@@ -934,7 +952,10 @@ def snap_scan(
 
 
 def snap_vacuum(
-    path: str, keep_last: int = 1, grace_seconds: float = 600.0
+    path: str,
+    keep_last: int = 1,
+    grace_seconds: float = 600.0,
+    dry_run: bool = False,
 ) -> list[str]:
     """Delete data files unreachable from the newest ``keep_last``
     manifests (and drop the older manifests).  Returns deleted file
@@ -956,17 +977,25 @@ def snap_vacuum(
         ``grace_seconds`` survive — the staged-but-not-yet-committed
         window.  The default (10 min) is far above the commit-retry
         horizon; pass 0 only when the caller holds exclusive access.
+
+    ``dry_run=True`` (Delta's ``VACUUM ... DRY RUN``) reports exactly
+    the files a real run would delete, touching nothing — the
+    operator's pre-flight before an irreversible retention pass.
     """
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     latest = _latest_version(path)
     if latest is None:
         return []
-    return _vacuum_at(path, latest, keep_last, grace_seconds)
+    return _vacuum_at(path, latest, keep_last, grace_seconds, dry_run)
 
 
 def _vacuum_at(
-    path: str, latest: int, keep_last: int, grace_seconds: float
+    path: str,
+    latest: int,
+    keep_last: int,
+    grace_seconds: float,
+    dry_run: bool = False,
 ) -> list[str]:
     """Vacuum's delete phase against a SAMPLED latest — split out so
     tests can replay the exact race (commit lands after the sample,
@@ -1012,7 +1041,8 @@ def _vacuum_at(
         rel = f"data/{f}"
         fpath = os.path.join(data_dir, f)
         if rel not in reachable and not _file_in_grace(fpath):
-            os.remove(fpath)
+            if not dry_run:
+                os.remove(fpath)
             deleted.append(rel)
     # deletion-vector sidecars: same lifecycle as data files — live
     # while any retained version lists them, grace-protected while a
@@ -1022,7 +1052,8 @@ def _vacuum_at(
         rel = f"dv/{f}"
         fpath = os.path.join(dv_dir, f)
         if rel not in live_dvs and not _file_in_grace(fpath):
-            os.remove(fpath)
+            if not dry_run:
+                os.remove(fpath)
             deleted.append(rel)
     # bloom sidecars: live while any retained version's entry points
     # at them; same grace window for a commit mid-flight
@@ -1031,16 +1062,18 @@ def _vacuum_at(
         rel = f"bloom/{f}"
         fpath = os.path.join(bloom_dir, f)
         if rel not in live_blooms and not _file_in_grace(fpath):
-            os.remove(fpath)
+            if not dry_run:
+                os.remove(fpath)
             deleted.append(rel)
-    for f in st.list(path):
-        if f.startswith("v") and f.endswith(".json"):
-            n = int(f[1:-5])
-            if n not in keep_versions and n <= latest:
-                st.delete(path, f)
-        elif f.startswith("m-") and f.endswith(".json"):
-            if f not in live_manifests and not _obj_in_grace(f):
-                st.delete(path, f)  # unreferenced per-commit manifest
+    if not dry_run:
+        for f in st.list(path):
+            if f.startswith("v") and f.endswith(".json"):
+                n = int(f[1:-5])
+                if n not in keep_versions and n <= latest:
+                    st.delete(path, f)
+            elif f.startswith("m-") and f.endswith(".json"):
+                if f not in live_manifests and not _obj_in_grace(f):
+                    st.delete(path, f)  # unreferenced per-commit manifest
     return deleted
 
 

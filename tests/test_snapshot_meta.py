@@ -142,3 +142,43 @@ class TestSnapRestore:
         snap_vacuum(table, keep_last=1, grace_seconds=0.0)
         with pytest.raises(FileNotFoundError):
             snap_restore(table, 0)
+
+
+class TestHistoryAndDryRun:
+    def test_versions_carry_row_metrics(self, spark, table):
+        snap_delete_where_mor(spark, table, "v", lo=0, hi=4)
+        hist = snap_versions(table)
+        assert [h["n_rows"] for h in hist] == [10, 20, 15]
+        assert [h["dv_rows"] for h in hist] == [0, 0, 5]
+        assert all(h["ts"] is not None for h in hist)
+        # history n_rows agrees with the metadata-only count per version
+        for h in hist:
+            assert snap_count(table, version=h["version"]) == h["n_rows"]
+
+    def test_vacuum_dry_run_touches_nothing(self, spark, table):
+        import os
+
+        from qurio_spark.plans.snapshots import snap_overwrite
+
+        snap_overwrite(
+            spark.range(3).select(F.col("id").alias("v")), table
+        )
+        listing_before = {
+            os.path.join(r, f)
+            for r, _, fs in os.walk(table)
+            for f in fs
+        }
+        would = snap_vacuum(table, keep_last=1, grace_seconds=0.0,
+                            dry_run=True)
+        assert would  # the overwrite stranded the old data files
+        listing_after = {
+            os.path.join(r, f)
+            for r, _, fs in os.walk(table)
+            for f in fs
+        }
+        assert listing_after == listing_before
+        # the real run deletes exactly the dry run's report
+        deleted = snap_vacuum(table, keep_last=1, grace_seconds=0.0)
+        assert sorted(deleted) == sorted(would)
+        for rel in deleted:
+            assert not os.path.exists(os.path.join(table, rel))
