@@ -1521,6 +1521,58 @@ def _stage_dvs(
     return moved, new_counts
 
 
+def snap_clone(src_path: str, dst_path: str, version: int | None = None) -> int:
+    """SHALLOW CLONE (Delta parity): create a NEW table at
+    ``dst_path`` whose first version references the source table's
+    data files, deletion vectors, and bloom sidecars BY ABSOLUTE PATH
+    — zero bytes copy, the clone is writable immediately, and every
+    mutation on either table is invisible to the other (immutable
+    files + per-table manifests).  ``version`` clones a historical
+    version (time-travel fork).  Streaming txn markers do NOT carry —
+    the clone is a new exactly-once domain.
+
+    The Delta caveat applies verbatim: VACUUM ON THE SOURCE can
+    retire files the clone still references (the source does not know
+    its clones).  Vacuum on the clone is safe — absolute references
+    live outside the clone's own directories, so its reachability
+    scan never deletes them.  Clone-local writes create relative
+    entries; the two kinds mix freely in one manifest."""
+    v = _latest_version(src_path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshot table at {src_path}")
+    m = _read_manifest(src_path, v)
+    entries = []
+    for e in _manifest_entries(src_path, m):
+        if isinstance(e, dict):
+            e2 = dict(e)
+            e2["name"] = os.path.join(src_path, e["name"])
+            if e.get("bloom"):
+                b = dict(e["bloom"])
+                b["sidecar"] = os.path.join(src_path, b["sidecar"])
+                e2["bloom"] = b
+            entries.append(e2)
+        else:
+            entries.append(os.path.join(src_path, e))
+    if _latest_version(dst_path) is not None:
+        raise FileExistsError(f"snapshot table already exists at {dst_path}")
+    name = _write_manifest_file(dst_path, entries)
+    manifest = {
+        "version": 0, "op": "clone", "parent": None,
+        "cloned": {"src": src_path, "version": v},
+        "manifests": [name], "schema": m.get("schema"),
+    }
+    if m.get("dvs"):
+        manifest["dvs"] = [os.path.join(src_path, n) for n in m["dvs"]]
+        manifest["dv_rows"] = m.get("dv_rows", 0)
+        if "dv_counts" in m:
+            manifest["dv_counts"] = dict(m["dv_counts"])
+    if not _try_commit(dst_path, 0, manifest):
+        raise FileExistsError(
+            f"lost the table-creation race at {dst_path}"
+        )
+    return 0
+
+
 def snap_delete_where_mor(
     spark: SparkSession, path: str, col: str, lo=None, hi=None
 ) -> int | None:
