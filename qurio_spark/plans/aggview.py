@@ -265,31 +265,34 @@ def _check_hist_bounds(path: str, hist_bounds) -> None:
     """Persist the view's histogram bounds next to its snapshot data
     (they are part of the view DEFINITION — states built under
     different bounds cannot merge) and refuse a refresh whose bounds
-    differ from the recorded ones."""
+    differ from the recorded ones.  Routed through the table's
+    COMMIT STORE (put-if-absent), so the definition record works on
+    the same object-store primitives the commit protocol needs —
+    no raw filesystem writes outside the store abstraction."""
     import json
-    import os
 
-    f = os.path.join(path, "hist_bounds.json")
+    from qurio_spark.plans.commitstore import store_for
+
+    st = store_for(path)
     rec = [float(hist_bounds[0]), float(hist_bounds[1]), int(hist_bounds[2])]
-    if os.path.exists(f):
-        prev = json.load(open(f))
-        if prev != rec:
-            raise ValueError(
-                f"histogram bounds {rec} differ from the view's "
-                f"recorded bounds {prev}; a bounds change needs a "
-                "full rebuild (bucket counts cannot be re-binned)"
-            )
+    data = json.dumps(rec).encode()
+    if st.put_if_absent(path, "hist_bounds.json", data):
         return
-    os.makedirs(path, exist_ok=True)
-    with open(f, "w") as fh:
-        json.dump(rec, fh)
+    prev = json.loads(st.read(path, "hist_bounds.json"))
+    if prev != rec:
+        raise ValueError(
+            f"histogram bounds {rec} differ from the view's "
+            f"recorded bounds {prev}; a bounds change needs a "
+            "full rebuild (bucket counts cannot be re-binned)"
+        )
 
 
 def read_hist_bounds(path: str) -> tuple[float, float, int]:
     import json
-    import os
 
-    lo, hi, b = json.load(open(os.path.join(path, "hist_bounds.json")))
+    from qurio_spark.plans.commitstore import store_for
+
+    lo, hi, b = json.loads(store_for(path).read(path, "hist_bounds.json"))
     return lo, hi, int(b)
 
 

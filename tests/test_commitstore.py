@@ -180,3 +180,39 @@ class TestMemoryStoreSemantics:
             assert st.mtime(p, "nope") is None
             with pytest.raises(FileNotFoundError):
                 st.read(p, "nope")
+
+
+def test_histogram_bounds_record_works_on_object_store(spark, tmp_path):
+    """The agg view's histogram-bounds definition record must need
+    only commit-store primitives (put-if-absent + read) — a raw
+    filesystem write would break the view on S3/GCS/ABFS."""
+    from qurio_spark.plans.aggview import (
+        quantile_estimates,
+        refresh_agg_view,
+    )
+    from qurio_spark.plans.commitstore import (
+        MemoryCommitStore,
+        register_commit_store,
+        unregister_commit_store,
+    )
+
+    path = str(tmp_path / "qview")
+    register_commit_store(path, MemoryCommitStore())
+    try:
+        df = spark.createDataFrame(
+            [("a", float(v)) for v in range(1, 11)], "k string, value double"
+        )
+        refresh_agg_view(
+            spark, path, df, ["k"], "value", hist_bounds=(0.0, 10.0, 5)
+        )
+        (r,) = quantile_estimates(spark, path, [0.5]).collect()
+        assert r["n"] == 10 and r["p50"] is not None
+        with pytest.raises(ValueError, match="recorded bounds"):
+            refresh_agg_view(
+                spark, path, df, ["k"], "value", hist_bounds=(0.0, 9.0, 5)
+            )
+        import os
+
+        assert not os.path.exists(os.path.join(path, "hist_bounds.json"))
+    finally:
+        unregister_commit_store(path)
