@@ -865,15 +865,28 @@ def snap_scan_files(
     """The file names a predicated scan would read: manifest entries
     whose stats cannot disprove EVERY (col, [lo, hi]) conjunct are
     kept (absent stats = not skippable).  ``eq`` adds equality
-    conjuncts ``{col: value}``, pruned first by range stats (an
-    equality is the point range [v, v]) and then by per-file BLOOM
-    probes where the manifest carries them (requires ``spark`` for
-    the probe hashes).  Split out so tests can pin pruning
-    effectiveness without executing the scan."""
+    conjuncts ``{col: value}`` — or IN-list conjuncts
+    ``{col: [v1, v2, ...]}`` — pruned first by range stats (an
+    equality is the point range [v, v]; an IN list keeps a file when
+    ANY value might be present) and then by per-file BLOOM probes
+    where the manifest carries them (a file drops only when the bloom
+    excludes EVERY listed value; requires ``spark`` for the probe
+    hashes).  Split out so tests can pin pruning effectiveness
+    without executing the scan."""
     v = _latest_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no snapshot table at {path}")
     m = _read_manifest(path, v)
+    eqs = {
+        col: (list(vals) if isinstance(vals, (list, tuple, set)) else [vals])
+        for col, vals in (eq or {}).items()
+    }
+    for col, vals in eqs.items():
+        if not vals or any(v_ is None for v_ in vals):
+            raise ValueError(
+                "eq probe values cannot be empty or None (= NULL never "
+                "matches)"
+            )
     entries = [
         e
         for e in _manifest_entries(path, m)
@@ -881,15 +894,19 @@ def snap_scan_files(
             _range_disjoint(e, col, lo, hi) for col, (lo, hi) in preds.items()
         )
         and not any(
-            _range_disjoint(e, col, val, val) for col, val in (eq or {}).items()
+            all(_range_disjoint(e, col, v_, v_) for v_ in vals)
+            for col, vals in eqs.items()
         )
     ]
-    for col, val in (eq or {}).items():
-        if val is None:
-            raise ValueError("eq probe value cannot be None (= NULL never matches)")
+    for col, vals in eqs.items():
         if spark is None:
             raise ValueError("eq pruning needs the SparkSession for probe hashes")
-        dropped = _bloom_excluded(spark, path, entries, col, val)
+        dropped = None
+        for v_ in vals:
+            d = _bloom_excluded(spark, path, entries, col, v_)
+            dropped = d if dropped is None else (dropped & d)
+            if not dropped:
+                break
         if dropped:
             entries = [e for e in entries if _entry_name(e) not in dropped]
     return [_entry_name(e) for e in entries]
@@ -934,8 +951,11 @@ def snap_scan_multi(
             cond = cond & (F.col(col) >= F.lit(lo))
         if hi is not None:
             cond = cond & (F.col(col) <= F.lit(hi))
-    for col, val in (eq or {}).items():
-        cond = cond & (F.col(col) == F.lit(val))
+    for col, vals in (eq or {}).items():
+        if isinstance(vals, (list, tuple, set)):
+            cond = cond & F.col(col).isin(list(vals))
+        else:
+            cond = cond & (F.col(col) == F.lit(vals))
     return base.filter(cond)
 
 

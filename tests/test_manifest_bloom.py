@@ -185,3 +185,36 @@ def test_vacuum_collects_retired_sidecars(spark, tmp_path):
         path, {}, spark=spark, eq={"doc_id": "doc-absent"}
     )
     assert kept == []
+
+
+def test_in_list_prunes_union_of_files(spark, table):
+    """eq={col: [v1, v2]}: a file survives when ANY listed value might
+    be present — the pruned set is the union of the per-value keeps,
+    and the residual isin keeps results exact."""
+    a, b = _id_of(spark, 7), _id_of(spark, 4321)
+    only_a = set(snap_scan_files(table, {}, spark=spark, eq={"doc_id": a}))
+    only_b = set(snap_scan_files(table, {}, spark=spark, eq={"doc_id": b}))
+    both = set(
+        snap_scan_files(table, {}, spark=spark, eq={"doc_id": [a, b]})
+    )
+    assert only_a | only_b <= both
+    # far fewer than the table's 12 files
+    assert len(both) < 12
+    rows = snap_scan_multi(
+        spark, table, {}, eq={"doc_id": [a, b]}
+    ).collect()
+    assert sorted(r["payload"] for r in rows) == [7, 4321]
+
+
+def test_in_list_all_absent_reads_nothing(spark, table):
+    kept = snap_scan_files(
+        table, {}, spark=spark, eq={"doc_id": ["nope-1", "nope-2"]}
+    )
+    assert kept == []
+
+
+def test_in_list_guards(spark, table):
+    with pytest.raises(ValueError, match="empty or None"):
+        snap_scan_files(table, {}, spark=spark, eq={"doc_id": []})
+    with pytest.raises(ValueError, match="empty or None"):
+        snap_scan_files(table, {}, spark=spark, eq={"doc_id": ["x", None]})
