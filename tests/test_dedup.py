@@ -450,3 +450,47 @@ class TestRemoveDuplicateLines:
         ])
         out = remove_duplicate_lines(docs).collect()
         assert {r["doc_id"] for r in out} == {3}
+
+
+@pytest.mark.parametrize("seed", [3, 17, 40])
+def test_remove_duplicate_lines_matches_reference(spark, seed):
+    """Reference-twin property: random corpora with a small line pool
+    (forcing duplicates), whitespace padding (trim semantics), empty
+    lines, and varying thresholds — the distributed operator must
+    match a pure-Python Counter reference exactly."""
+    import random
+    from collections import Counter
+
+    from qurio_spark.operators.dedup import remove_duplicate_lines
+
+    rng = random.Random(seed)
+    pool = ["alpha", "beta beta", "gamma", "", "  padded  ", "delta d"]
+    docs = {}
+    for doc_id in range(rng.randrange(5, 12)):
+        n = rng.randrange(1, 8)
+        docs[doc_id] = "\n".join(
+            rng.choice(pool) + (" " * rng.randrange(3)) for _ in range(n)
+        )
+    max_count = rng.randrange(1, 4)
+
+    counts = Counter(
+        line.strip() for txt in docs.values() for line in txt.split("\n")
+    )
+    want = {}
+    for doc_id, txt in docs.items():
+        kept = [
+            line for line in txt.split("\n")
+            if counts[line.strip()] <= max_count
+        ]
+        if kept:
+            n_all = len(txt.split("\n"))
+            want[doc_id] = ("\n".join(kept), len(kept), n_all - len(kept))
+
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_kept"], r["n_removed"])
+        for r in remove_duplicate_lines(df, max_count=max_count).collect()
+    }
+    assert got == want
