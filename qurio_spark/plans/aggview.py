@@ -231,6 +231,21 @@ def refresh_agg_view(
         delta, group_cols, value_col, distinct_col, hist_bounds
     )
     old = snap_read_if_exists(spark, path)
+    if old is not None:
+        # the optional states are part of the view DEFINITION: adding
+        # one to an existing view would silently drop the new batch's
+        # state column in merge_states (keyed off old.columns) while
+        # appearing to succeed — refuse instead
+        for flag, col_name, opt in (
+            (distinct_col, "hs", "distinct_col"),
+            (hist_bounds, "hb", "hist_bounds"),
+        ):
+            if flag is not None and col_name not in old.columns:
+                raise ValueError(
+                    f"view at {path} was created without {opt}; adding "
+                    "it needs a full rebuild (old batches carry no "
+                    f"{col_name} state)"
+                )
     if partition_col and old is not None:
         # `new` feeds BOTH the touched-values collect and the merge —
         # cut the diamond so the delta's partial-agg runs once (the
@@ -454,10 +469,11 @@ def refresh_rollup(
     view's retained history raises; re-bootstrap with ``None``, the
     Delta CDF contract)."""
     from qurio_spark.plans.snapshots import (
+        _latest_version,
         snap_changes_since,
         snap_read,
+        snap_read_if_exists,
         snap_replace_values,
-        snap_versions,
         value_match,
     )
 
@@ -466,12 +482,28 @@ def refresh_rollup(
             f"partition_col {partition_col!r} must be in dst_group_cols"
         )
     if cursor is None:
-        v = snap_versions(src_path)[-1]["version"]
+        v = _latest_version(src_path)
+        if v is None:
+            raise FileNotFoundError(f"no snapshot table at {src_path}")
         states = rollup_states(
             snap_read(spark, src_path, v), dst_group_cols
         )
+        # RE-bootstrap onto an existing rollup (a lapsed cursor, per
+        # the CDF contract) must REPLACE the old states, not append a
+        # second copy: the replaced value set is every partition the
+        # destination holds plus every partition the rebuild produces
+        existing = snap_read_if_exists(spark, dst_path)
+        values: list = []
+        if existing is not None:
+            values = [
+                r[partition_col]
+                for r in existing.select(partition_col)
+                .unionByName(states.select(partition_col))
+                .distinct()
+                .collect()
+            ]
         snap_replace_values(
-            spark, dst_path, partition_col, [], states, cluster=True
+            spark, dst_path, partition_col, values, states, cluster=True
         )
         return v
     feed, new_cursor = snap_changes_since(spark, src_path, cursor)

@@ -1461,14 +1461,20 @@ def snap_restore(path: str, version: int) -> int:
     the CURRENT version, not the target: restore rewinds data, never
     the exactly-once ledger."""
     target = _read_manifest(path, version)  # raises if retired
+    entries = _manifest_entries(path, target)
     missing = [
         _entry_name(e)
-        for e in _manifest_entries(path, target)
+        for e in entries
         if not os.path.exists(os.path.join(path, _entry_name(e)))
     ] + [
         n
         for n in target.get("dvs", [])
         if not os.path.exists(os.path.join(path, n))
+    ] + [
+        e["bloom"]["sidecar"]
+        for e in entries
+        if isinstance(e, dict) and e.get("bloom")
+        and not os.path.exists(os.path.join(path, e["bloom"]["sidecar"]))
     ]
     if missing:
         raise FileNotFoundError(
@@ -1638,7 +1644,10 @@ def snap_delete_where_mor(
             F.col("_metadata.row_index").alias("pos"),
             F.col(col).alias("__v"),
         )
-        match = F.lit(True)
+        # NULL never matches (SQL DELETE WHERE semantics) — even with
+        # both bounds open, NULL-valued rows survive, matching the CoW
+        # delete's keep predicate
+        match = F.col("__v").isNotNull()
         if lo is not None:
             match = match & (F.col("__v") >= F.lit(lo))
         if hi is not None:
@@ -1655,17 +1664,31 @@ def snap_delete_where_mor(
         moved, new_counts = _stage_dvs(spark, path, hits, len(cand))
         if not new_counts:
             return None
-        counts = dict(m.get("dv_counts", {}))
-        for f, n in new_counts.items():
-            counts[f] = counts.get(f, 0) + n
+        if prior and "dv_counts" not in m:
+            # legacy parent ledger (dvs without per-file counts): a
+            # fresh dv_counts would OMIT the legacy vectors' rows —
+            # snap_count overcounts and a later rewrite could drop the
+            # legacy vectors via an emptied ledger, resurrecting
+            # deleted rows.  Stay additive without per-file counts.
+            dv_meta = {
+                "dvs": prior + moved,
+                "dv_rows": m.get("dv_rows", 0) + sum(new_counts.values()),
+            }
+        else:
+            counts = dict(m.get("dv_counts", {}))
+            for f, n in new_counts.items():
+                counts[f] = counts.get(f, 0) + n
+            dv_meta = {
+                "dvs": prior + moved,
+                "dv_counts": counts,
+                "dv_rows": sum(counts.values()),
+            }
         if _try_commit(
             path, v + 1,
             {"version": v + 1, "op": "delete-mor", "parent": v,
              "manifests": _carried_manifests(path, m),
              "txn": dict(m.get("txn", {})), "schema": m.get("schema"),
-             "dvs": prior + moved,
-             "dv_counts": counts,
-             "dv_rows": sum(counts.values())},
+             **dv_meta},
         ):
             return v + 1
         # lost the claim: positions were computed against a stale
@@ -2298,7 +2321,10 @@ def snap_update_where(
                     ).append(e)
         if not affected:
             return None
-        matched = F.lit(True)
+        # NULL predicate values never match — even with both bounds
+        # open, NULL rows pass through unchanged (the documented
+        # contract, and snap_delete_where's behavior)
+        matched = F.col(col).isNotNull()
         if lo is not None:
             matched = matched & (F.col(col) >= F.lit(lo))
         if hi is not None:

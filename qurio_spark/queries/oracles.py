@@ -790,8 +790,9 @@ cum AS (
          sum(c) OVER (PARTITION BY event_type ORDER BY b) AS cs
   FROM (
     SELECT event_type,
-           CAST(LEAST(GREATEST(floor((val - {lo}) / {w}), 0), {b - 1})
-                AS BIGINT) AS b,
+           CAST(LEAST(GREATEST(
+                floor((val - CAST({lo} AS DOUBLE)) / CAST({w} AS DOUBLE)),
+                0), {b - 1}) AS BIGINT) AS b,
            count(*) AS c
     FROM v WHERE val IS NOT NULL GROUP BY 1, 2
   )
@@ -800,11 +801,18 @@ cum AS (
     sels = []
     for p in ps:
         tag = f"{int(round(p * 100)):02d}"
+        # every numeric literal casts to DOUBLE: DuckDB parses bare
+        # decimals as DECIMAL and would evaluate the interpolation in
+        # exact arithmetic while Spark uses IEEE doubles (the recorded
+        # oracle-parity rule)
+        dlo = f"CAST({lo} AS DOUBLE)"
+        dhi = f"CAST({hi} AS DOUBLE)"
+        dw = f"CAST({w} AS DOUBLE)"
         ctes.append(
             f"""t{tag} AS (
   SELECT event_type, mn, mx,
          GREATEST(CAST(1 AS BIGINT),
-                  CAST(ceil({p} * nv) AS BIGINT)) AS target
+                  CAST(ceil(CAST({p} AS DOUBLE) * nv) AS BIGINT)) AS target
   FROM st),
 f{tag} AS (
   SELECT c.event_type, min(c.b) AS fidx
@@ -812,13 +820,13 @@ f{tag} AS (
   WHERE c.cs >= t.target GROUP BY 1),
 e{tag} AS (
   SELECT f.event_type,
-         (CASE WHEN f.fidx = 0 THEN LEAST(t.mn, {lo})
-               ELSE {lo} + f.fidx * {w} END)
+         (CASE WHEN f.fidx = 0 THEN LEAST(t.mn, {dlo})
+               ELSE {dlo} + f.fidx * {dw} END)
          + ((t.target - (c.cs - c.c)) / c.c)
-           * ((CASE WHEN f.fidx = {b - 1} THEN GREATEST(t.mx, {hi})
-                    ELSE {lo} + (f.fidx + 1) * {w} END)
-              - (CASE WHEN f.fidx = 0 THEN LEAST(t.mn, {lo})
-                      ELSE {lo} + f.fidx * {w} END)) AS raw,
+           * ((CASE WHEN f.fidx = {b - 1} THEN GREATEST(t.mx, {dhi})
+                    ELSE {dlo} + (f.fidx + 1) * {dw} END)
+              - (CASE WHEN f.fidx = 0 THEN LEAST(t.mn, {dlo})
+                      ELSE {dlo} + f.fidx * {dw} END)) AS raw,
          t.mn, t.mx
   FROM f{tag} f
   JOIN cum c ON c.event_type = f.event_type AND c.b = f.fidx

@@ -606,3 +606,42 @@ class TestStreamingCascade:
             for r in read_agg_view(spark, direct).collect()
         }
         assert got == ref
+
+
+class TestReviewRegressions:
+    def test_rebootstrap_replaces_not_appends(self, spark, events, tmp_path):
+        """The CDF contract tells a lapsed consumer to re-bootstrap
+        with cursor=None: onto an EXISTING rollup that must REPLACE
+        the old states — appending a second copy doubles every
+        count."""
+        devents = events.withColumn(
+            "day_key", F.substring("hour_key", 1, 10)
+        )
+        hour, day = str(tmp_path / "h"), str(tmp_path / "d")
+        refresh_agg_view(
+            spark, hour, devents, ["day_key", "event_type"], "value",
+            partition_col="day_key",
+        )
+        refresh_rollup(spark, hour, day, ["day_key"], "day_key")
+        want = _final_rows(read_agg_view(spark, day))
+        # the lapsed-cursor path: bootstrap again onto the existing dst
+        refresh_rollup(spark, hour, day, ["day_key"], "day_key")
+        assert _final_rows(read_agg_view(spark, day)) == want
+
+    def test_adding_optional_state_to_existing_view_refused(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "v")
+        df = spark.createDataFrame(
+            [("a", 1.0, 5)], "k string, value double, user_id long"
+        )
+        refresh_agg_view(spark, path, df, ["k"], "value")
+        with pytest.raises(ValueError, match="full rebuild"):
+            refresh_agg_view(
+                spark, path, df, ["k"], "value",
+                hist_bounds=(0.0, 10.0, 4),
+            )
+        with pytest.raises(ValueError, match="full rebuild"):
+            refresh_agg_view(
+                spark, path, df, ["k"], "value", distinct_col="user_id"
+            )

@@ -263,3 +263,78 @@ class TestShallowClone:
         snap_clone(table, clone)
         with pytest.raises(FileExistsError):
             snap_clone(table, clone)
+
+
+class TestReviewRegressions:
+    """Round-10 review findings, each pinned."""
+
+    def test_legacy_delete_mor_stays_additive(self, spark, table):
+        """A MOR delete onto a LEGACY parent (dvs + dv_rows, no
+        dv_counts) must not start a fresh ledger that omits the legacy
+        vectors — snap_count would overcount and a later rewrite could
+        drop the legacy vectors, resurrecting deleted rows."""
+        import json
+        import os
+
+        v1 = snap_delete_where_mor(spark, table, "v", lo=0, hi=4)
+        # simulate a pre-ledger manifest: strip dv_counts in place
+        mf = os.path.join(table, "_manifests", f"v{v1}.json")
+        m = json.load(open(mf))
+        del m["dv_counts"]
+        json.dump(m, open(mf, "w"))
+        v2 = snap_delete_where_mor(spark, table, "v", lo=15, hi=16)
+        m2 = _read_manifest(table, v2)
+        assert "dv_counts" not in m2  # stayed additive, no partial ledger
+        assert m2["dv_rows"] == 7
+        assert snap_count(table) == 13 == snap_read(spark, table).count()
+        # a CoW rewrite must carry the vectors (nothing provably stale)
+        snap_delete_where(spark, table, "v", lo=9, hi=9)
+        assert sorted(
+            r["v"] for r in snap_read(spark, table).collect()
+        ) == [5, 6, 7, 8] + [10, 11, 12, 13, 14, 17, 18, 19]
+
+    def test_unbounded_update_and_mor_delete_skip_nulls(self, spark, tmp_path):
+        from qurio_spark.plans.snapshots import snap_update_where
+
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(1, "a"), (None, "n"), (2, "b")], "k int, val string"
+        )
+        snap_append(df, path)
+        # unbounded UPDATE: NULL-keyed row passes through unchanged
+        snap_update_where(spark, path, {"val": F.lit("x")}, "k")
+        got = {
+            (r["k"]): r["val"] for r in snap_read(spark, path).collect()
+        }
+        assert got == {1: "x", 2: "x", None: "n"}
+        # unbounded MOR delete: NULL-keyed row survives
+        snap_delete_where_mor(spark, path, "k")
+        rows = snap_read(spark, path).collect()
+        assert [(r["k"], r["val"]) for r in rows] == [(None, "n")]
+        assert snap_count(path) == 1
+
+    def test_restore_checks_bloom_sidecars(self, spark, tmp_path):
+        import os
+
+        from qurio_spark.plans.snapshots import snap_overwrite
+
+        path = str(tmp_path / "t")
+        snap_append(
+            spark.range(10).select(
+                F.col("id").alias("v"),
+                F.sha2(F.col("id").cast("string"), 256).alias("h"),
+            ),
+            path, bloom_cols=["h"],
+        )
+        snap_overwrite(
+            spark.range(3).select(
+                F.col("id").alias("v"), F.lit("z").alias("h")
+            ),
+            path,
+        )
+        # the v0 bloom sidecar vanishes (a crashed/racing vacuum)
+        bloom_dir = os.path.join(path, "bloom")
+        for f in os.listdir(bloom_dir):
+            os.remove(os.path.join(bloom_dir, f))
+        with pytest.raises(FileNotFoundError, match="vacuum already"):
+            snap_restore(path, 0)
