@@ -213,15 +213,16 @@ def refresh_agg_view(
     or the new version, never a torn mix."""
     from pyspark.sql import functions as F
 
+    from qurio_spark.functions.checkpointing import checkpoint_df
     from qurio_spark.plans.snapshots import (
+        SnapConflict,
+        _latest_version,
         snap_overwrite,
-        snap_read_if_exists,
+        snap_read,
         snap_replace_values,
+        snap_txn_seen,
         value_match,
     )
-
-    from qurio_spark.functions.checkpointing import checkpoint_df
-    from qurio_spark.plans.snapshots import snap_txn_seen
 
     if txn is not None and snap_txn_seen(path, *txn):
         return  # replayed micro-batch: already merged into the view
@@ -230,7 +231,43 @@ def refresh_agg_view(
     new = partial_states(
         delta, group_cols, value_col, distinct_col, hist_bounds
     )
-    old = snap_read_if_exists(spark, path)
+    # OCC transform-rerun (the snap_mutate posture, lifted here
+    # because the merge is computed OUTSIDE the commit helper): the
+    # commit carries expect_version = the version the merge read; a
+    # concurrent refresher moving the head raises SnapConflict and the
+    # WHOLE read-merge-commit re-runs — a blind commit-retry would
+    # replay a stale merge over the winner's delta (lost update), and
+    # a lost creation race would append duplicate key rows
+    for _attempt in range(12):
+        try:
+            _refresh_once(
+                spark, path, new, group_cols, partition_col,
+                distinct_col, hist_bounds, txn,
+            )
+            return
+        except SnapConflict:
+            continue
+    raise RuntimeError(f"refresh contention on {path}: 12 rerounds lost")
+
+
+def _refresh_once(
+    spark, path, new, group_cols, partition_col, distinct_col,
+    hist_bounds, txn,
+):
+    from pyspark.sql import functions as F
+
+    from qurio_spark.functions.checkpointing import checkpoint_df
+    from qurio_spark.plans.snapshots import (
+        _latest_version,
+        snap_overwrite,
+        snap_read,
+        snap_replace_values,
+        value_match,
+    )
+
+    v = _latest_version(path)
+    expect = -1 if v is None else v
+    old = None if v is None else snap_read(spark, path, v)
     if old is not None:
         # the optional states are part of the view DEFINITION: adding
         # one to an existing view would silently drop the new batch's
@@ -246,6 +283,12 @@ def refresh_agg_view(
                     "it needs a full rebuild (old batches carry no "
                     f"{col_name} state)"
                 )
+            if flag is None and col_name in old.columns:
+                raise ValueError(
+                    f"view at {path} carries the {col_name} state; every "
+                    f"refresh must pass {opt} (omitting it would merge "
+                    "batches with mismatched state columns)"
+                )
     if partition_col and old is not None:
         # `new` feeds BOTH the touched-values collect and the merge —
         # cut the diamond so the delta's partial-agg runs once (the
@@ -254,9 +297,10 @@ def refresh_agg_view(
     if old is None:
         if partition_col:
             snap_replace_values(spark, path, partition_col, [], new,
-                                cluster=True, txn=txn)
+                                cluster=True, txn=txn,
+                                expect_version=expect)
         else:
-            snap_overwrite(new, path, txn=txn)
+            snap_overwrite(new, path, txn=txn, expect_version=expect)
         return
     if partition_col:
         touched = [
@@ -270,10 +314,13 @@ def refresh_agg_view(
         merged = merge_states(old_touched, new, group_cols)
         snap_replace_values(
             spark, path, partition_col, touched, merged, cluster=True,
-            txn=txn,
+            txn=txn, expect_version=expect,
         )
     else:
-        snap_overwrite(merge_states(old, new, group_cols), path, txn=txn)
+        snap_overwrite(
+            merge_states(old, new, group_cols), path, txn=txn,
+            expect_version=expect,
+        )
 
 
 def _check_hist_bounds(path: str, hist_bounds) -> None:
@@ -408,6 +455,20 @@ def quantile_estimates(
     )
 
 
+def _copy_hist_bounds(src_path: str, dst_path: str) -> None:
+    """A rollup folds the fine view's histogram state, so it inherits
+    the same bounds DEFINITION — copy the record so
+    :func:`quantile_estimates` works on the coarse view too."""
+    from qurio_spark.plans.commitstore import store_for
+
+    src_st = store_for(src_path)
+    if src_st.exists(src_path, "hist_bounds.json"):
+        store_for(dst_path).put_if_absent(
+            dst_path, "hist_bounds.json",
+            src_st.read(src_path, "hist_bounds.json"),
+        )
+
+
 def rollup_states(src_states: DataFrame, dst_group_cols: list[str]) -> DataFrame:
     """Re-aggregate MERGEABLE states to a coarser key: because every
     persisted state is associative-commutative (count/sum add, min/max
@@ -505,6 +566,7 @@ def refresh_rollup(
         snap_replace_values(
             spark, dst_path, partition_col, values, states, cluster=True
         )
+        _copy_hist_bounds(src_path, dst_path)
         return v
     feed, new_cursor = snap_changes_since(spark, src_path, cursor)
     touched = [
@@ -523,6 +585,7 @@ def refresh_rollup(
     snap_replace_values(
         spark, dst_path, partition_col, touched, states, cluster=True
     )
+    _copy_hist_bounds(src_path, dst_path)
     return new_cursor
 
 
@@ -536,7 +599,7 @@ def read_agg_view(
     from qurio_spark.plans.snapshots import snap_read
 
     v = snap_read(spark, path)
-    state = set(STATE_COLS) | {"hs"}
+    state = set(STATE_COLS) | {"hs", "hb"}
     finals = [
         *[c for c in v.columns if c not in state],
         F.col("n"),

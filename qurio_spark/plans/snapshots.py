@@ -481,6 +481,7 @@ def _snap_commit(
     zorder_by: list[str] | None = None,
     bloom_cols: list[str] | None = None,
     txn_mark: tuple[str, int] | None = None,
+    expect_version: int | None = None,
 ) -> int | None:
     """Two-level commit with optimistic concurrency: data files and
     this commit's manifest are written ONCE (uuid-unique names — safe
@@ -503,6 +504,13 @@ def _snap_commit(
     new_name = _write_manifest_file(path, new_files)
     for _ in range(_MAX_COMMIT_RETRIES):
         prev = _latest_version(path)
+        if expect_version is not None:
+            actual = -1 if prev is None else prev
+            if actual != expect_version:
+                raise SnapConflict(
+                    f"{path}: expected version {expect_version}, found "
+                    f"{actual} — content was computed from a stale read"
+                )
         version = 0 if prev is None else prev + 1
         m_prev = _read_manifest(path, prev) if prev is not None else None
         if op == "append" and m_prev is not None:
@@ -559,6 +567,7 @@ def snap_overwrite(
     zorder_by: list[str] | None = None,
     bloom_cols: list[str] | None = None,
     txn: tuple[str, int] | None = None,
+    expect_version: int | None = None,
 ) -> int | None:
     """Commit ``df`` as the table's full new content.  Replaced files
     stay on disk (older versions remain readable) until vacuum.
@@ -566,10 +575,13 @@ def snap_overwrite(
     ``snap_scan``/``snap_scan_multi`` skip files for predicates on any
     participating column; ``bloom_cols`` adds per-file equality-probe
     blooms; ``txn = (app_id, batch_id)`` skips streaming replays
-    (returns None) and advances the app's high-water mark."""
+    (returns None) and advances the app's high-water mark;
+    ``expect_version`` raises :class:`SnapConflict` when the latest
+    version moved since the caller's read (lost-update protection for
+    read-modify-write overwrites)."""
     return _snap_commit(
         df, path, "overwrite", zorder_by=zorder_by, bloom_cols=bloom_cols,
-        txn_mark=txn,
+        txn_mark=txn, expect_version=expect_version,
     )
 
 
@@ -586,7 +598,11 @@ def snap_versions(path: str) -> list[dict]:
             m = _read_manifest(path, int(f[1:-5]))
             entries = _manifest_entries(path, m)
             rows = 0
+            if m.get("dvs") and "dv_counts" not in m:
+                rows = None  # legacy ledger: dv_rows may be stale
             for e in entries:
+                if rows is None:
+                    break
                 if not isinstance(e, dict) or "rows" not in e:
                     rows = None
                     break
@@ -1035,7 +1051,13 @@ def _vacuum_at(
         ts = st.mtime(path, name)
         return ts is None or now - ts < grace_seconds
 
-    keep_versions = [v for v in range(latest - keep_last + 1, latest + 1) if v >= 0]
+    # a version already vacuumed by an earlier, tighter retention pass
+    # has no manifest to read — a dense range would crash on it
+    keep_versions = [
+        v
+        for v in range(latest - keep_last + 1, latest + 1)
+        if v >= 0 and st.exists(path, f"v{v}.json")
+    ]
     # versions above the sampled latest are concurrent commits (or
     # in-flight claims) — retain them AND everything they reference
     above = []
@@ -1442,6 +1464,11 @@ def snap_count(path: str, version: int | None = None) -> int | None:
     if v is None:
         raise FileNotFoundError(f"no snapshot table at {path}")
     m = _read_manifest(path, v)
+    if m.get("dvs") and "dv_counts" not in m:
+        # legacy ledger: dv_rows cannot prune on rewrites, so after
+        # any rewrite it may double-subtract — fall back to a real
+        # count rather than drift
+        return None
     total = 0
     for e in _manifest_entries(path, m):
         if not isinstance(e, dict) or "rows" not in e:
@@ -1462,20 +1489,29 @@ def snap_restore(path: str, version: int) -> int:
     the exactly-once ledger."""
     target = _read_manifest(path, version)  # raises if retired
     entries = _manifest_entries(path, target)
-    missing = [
-        _entry_name(e)
-        for e in entries
-        if not os.path.exists(os.path.join(path, _entry_name(e)))
-    ] + [
-        n
-        for n in target.get("dvs", [])
-        if not os.path.exists(os.path.join(path, n))
-    ] + [
-        e["bloom"]["sidecar"]
-        for e in entries
-        if isinstance(e, dict) and e.get("bloom")
-        and not os.path.exists(os.path.join(path, e["bloom"]["sidecar"]))
-    ]
+    refs = (
+        [_entry_name(e) for e in entries]
+        + list(target.get("dvs", []))
+        + [
+            e["bloom"]["sidecar"]
+            for e in entries
+            if isinstance(e, dict) and e.get("bloom")
+        ]
+    )
+    missing = []
+    for n in refs:
+        fp = os.path.join(path, n)
+        try:
+            # touching the referenced files re-enters them into
+            # vacuum's mtime GRACE window: a concurrent vacuum that
+            # sampled the head before this restore committed would
+            # otherwise see them as unreachable-and-old and delete
+            # them out from under the new head (the restore-vs-vacuum
+            # race; full elimination needs retention >= restore
+            # duration, the Delta caveat)
+            os.utime(fp)
+        except FileNotFoundError:
+            missing.append(n)
     if missing:
         raise FileNotFoundError(
             f"cannot restore {path} to v{version}: vacuum already "
@@ -1780,6 +1816,14 @@ def maybe_materialize(
     return snap_materialize_dvs(spark, path)
 
 
+class SnapConflict(Exception):
+    """Raised by a versioned write when ``expect_version`` no longer
+    matches the table's latest — the caller's read (and anything
+    derived from it) is stale and must re-run against the new head
+    (the snap_mutate transform-rerun posture, exposed to callers that
+    compute their replacement OUTSIDE the commit helper)."""
+
+
 class SnapNoChange(Exception):
     """Raised by a ``snap_mutate`` transform to signal the mutation is
     a provable no-op — no version is committed (the same posture as
@@ -1850,6 +1894,7 @@ def snap_replace_values(
     replacement: DataFrame,
     cluster: bool = False,
     txn: tuple[str, int] | None = None,
+    expect_version: int | None = None,
 ) -> int | None:
     """Delta's ``replaceWhere`` for a value list: ONE atomic commit
     that deletes every row whose ``col`` is in ``values`` and inserts
@@ -1889,8 +1934,26 @@ def snap_replace_values(
     manifest already records returns None without committing — the
     exactly-once building block for INCREMENTAL VIEW refreshes in
     foreachBatch, where a replayed delta would otherwise double-count
-    into the merged states."""
+    into the merged states.
+
+    ``expect_version`` (an int; -1 = "expect no table yet") raises
+    :class:`SnapConflict` when the table's latest differs at claim
+    time: the caller computed ``replacement`` from a read of that
+    version, and blindly retrying would commit a merge that silently
+    drops a concurrent writer's delta (the lost-update anomaly) — the
+    caller must re-read and recompute (see ``refresh_agg_view``)."""
     from pyspark.sql import functions as F
+
+    def _check_expected():
+        if expect_version is None:
+            return
+        cur = _latest_version(path)
+        actual = -1 if cur is None else cur
+        if actual != expect_version:
+            raise SnapConflict(
+                f"{path}: expected version {expect_version}, found "
+                f"{actual} — replacement was computed from a stale read"
+            )
 
     if txn is not None and snap_txn_seen(path, *txn):
         return None
@@ -1906,8 +1969,10 @@ def snap_replace_values(
              **({"txn": {txn[0]: txn[1]}} if txn is not None else {})},
         ):
             return 0
-        # lost the table-creation race: fall through and replace
-        # against whatever the winner committed
+        # lost the table-creation race: with an expectation this IS a
+        # conflict (the replacement assumed an empty table); without
+        # one, fall through and replace against the winner
+        _check_expected()
     has_null = any(v is None for v in values)
     vs = sorted(v for v in values if v is not None)
 
@@ -1927,6 +1992,7 @@ def snap_replace_values(
         return all(v < mn or v > mx for v in vs)
 
     for _ in range(_MAX_COMMIT_RETRIES):
+        _check_expected()
         v = _latest_version(path)
         m = _read_manifest(path, v)
         txn_map = dict(m.get("txn", {}))
@@ -2055,6 +2121,10 @@ def snap_merge(
             for k in keys
         )
 
+    # the source's data files are version-independent (uuid-unique
+    # names): write them ONCE — an OCC retry must not re-shuffle and
+    # re-write the whole source as orphans
+    src_files = _write_data_files(source, path, _latest_version(path) + 1)
     for _ in range(_MAX_COMMIT_RETRIES):
         v = _latest_version(path)
         m = _read_manifest(path, v)
@@ -2063,9 +2133,10 @@ def snap_merge(
             absent = [k for k in keys if k not in table_cols]
             if absent:
                 raise ValueError(f"table is missing key columns {absent}")
+        parent_manifests = _carried_manifests(path, m)
         cand = [
             e
-            for name in _carried_manifests(path, m)
+            for name in parent_manifests
             for e in _read_manifest_file(path, name)
             if _candidate(e)
         ]
@@ -2092,7 +2163,7 @@ def snap_merge(
                 )
             affected_names = set(hit["files"])
         carried, loose, affected = [], [], []
-        for name in _carried_manifests(path, m):
+        for name in parent_manifests:
             entries = _read_manifest_file(path, name)
             if all(
                 os.path.basename(_entry_name(e)) not in affected_names
@@ -2106,13 +2177,12 @@ def snap_merge(
                         if os.path.basename(_entry_name(e)) in affected_names
                         else loose
                     ).append(e)
-        new_files = []
+        new_files = list(src_files)
         if affected:
             survivors = _read_files(
                 spark, path, m, [_entry_name(e) for e in affected]
             ).join(src_keys.select(*keys), keys, "left_anti")
             new_files += _write_data_files(survivors, path, v + 1)
-        new_files += _write_data_files(source, path, v + 1)
         new_name = _write_manifest_file(path, loose + new_files)
         if _try_commit(
             path, v + 1,
@@ -2189,6 +2259,9 @@ def snap_merge_mor(
             for k in keys
         )
 
+    # source data files are version-independent: write once (see
+    # snap_merge)
+    src_files = _write_data_files(source, path, _latest_version(path) + 1)
     for _ in range(_MAX_COMMIT_RETRIES):
         v = _latest_version(path)
         m = _read_manifest(path, v)
@@ -2234,8 +2307,7 @@ def snap_merge_mor(
                     "target row with several"
                 )
             moved, new_counts = _stage_dvs(spark, path, hits, len(cand))
-        new_files = _write_data_files(source, path, v + 1)
-        new_name = _write_manifest_file(path, new_files)
+        new_name = _write_manifest_file(path, src_files)
         dv_meta = _dv_carry(m)  # nothing rewritten: carry verbatim
         if moved:
             if dv_meta and "dv_counts" not in dv_meta:

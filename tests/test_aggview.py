@@ -645,3 +645,71 @@ class TestReviewRegressions:
             refresh_agg_view(
                 spark, path, df, ["k"], "value", distinct_col="user_id"
             )
+
+
+class TestSecondReviewRegressions:
+    def test_read_agg_view_hides_histogram_state(self, spark, tmp_path):
+        path = str(tmp_path / "v")
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0)], "k string, value double"
+        )
+        refresh_agg_view(
+            spark, path, df, ["k"], "value", hist_bounds=(0.0, 10.0, 4)
+        )
+        cols = read_agg_view(spark, path).columns
+        assert "hb" not in cols and "hs" not in cols
+
+    def test_rollup_carries_quantile_bounds(self, spark, events, tmp_path):
+        from qurio_spark.plans.aggview import quantile_estimates
+
+        devents = events.withColumn(
+            "day_key", F.substring("hour_key", 1, 10)
+        )
+        hour, day = str(tmp_path / "h"), str(tmp_path / "d")
+        refresh_agg_view(
+            spark, hour, devents, ["day_key", "event_type"], "value",
+            partition_col="day_key", hist_bounds=(0.0, 150.0, 30),
+        )
+        refresh_rollup(spark, hour, day, ["day_key"], "day_key")
+        # the coarse view's histogram is readable: bounds were copied
+        rows = quantile_estimates(spark, day, [0.5]).collect()
+        assert rows and all(r["p50"] is not None for r in rows)
+
+    def test_concurrent_refreshers_lose_no_updates(self, spark, tmp_path):
+        """Two refreshers racing the same view (no txn, different
+        deltas): the OCC transform-rerun must converge to the union —
+        a blind commit retry would silently drop one side's delta."""
+        import threading
+
+        path = str(tmp_path / "v")
+
+        def mk(rows):
+            return spark.createDataFrame(
+                rows, "p string, k string, value double"
+            )
+
+        # sequential reference
+        ref = str(tmp_path / "ref")
+        a = [("x", "a", 1.0), ("y", "b", 2.0)]
+        b = [("x", "a", 3.0), ("z", "c", 4.0)]
+        for batch in (a, b):
+            refresh_agg_view(spark, ref, mk(batch), ["p", "k"], "value",
+                             partition_col="p")
+        want = _final_rows(read_agg_view(spark, ref))
+
+        errs = []
+
+        def run(batch):
+            try:
+                refresh_agg_view(spark, path, mk(batch), ["p", "k"],
+                                 "value", partition_col="p")
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        ts = [threading.Thread(target=run, args=(x,)) for x in (a, b)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs
+        assert _final_rows(read_agg_view(spark, path)) == want

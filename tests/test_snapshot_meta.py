@@ -286,7 +286,10 @@ class TestReviewRegressions:
         m2 = _read_manifest(table, v2)
         assert "dv_counts" not in m2  # stayed additive, no partial ledger
         assert m2["dv_rows"] == 7
-        assert snap_count(table) == 13 == snap_read(spark, table).count()
+        # a legacy ledger cannot prove its dv_rows is still live after
+        # rewrites — the metadata count honestly declines
+        assert snap_count(table) is None
+        assert snap_read(spark, table).count() == 13
         # a CoW rewrite must carry the vectors (nothing provably stale)
         snap_delete_where(spark, table, "v", lo=9, hi=9)
         assert sorted(
@@ -338,3 +341,60 @@ class TestReviewRegressions:
             os.remove(os.path.join(bloom_dir, f))
         with pytest.raises(FileNotFoundError, match="vacuum already"):
             snap_restore(path, 0)
+
+
+class TestSecondReviewRegressions:
+    def test_vacuum_retention_growth_does_not_crash(self, spark, table):
+        from qurio_spark.plans.snapshots import snap_overwrite
+
+        for i in range(3):
+            snap_overwrite(
+                spark.range(i, i + 3).select(F.col("id").alias("v")), table
+            )
+        snap_vacuum(table, keep_last=1, grace_seconds=0.0)
+        # growing the retention after a tighter pass must not read
+        # already-vacuumed manifests
+        assert snap_vacuum(table, keep_last=3, grace_seconds=0.0) == []
+        assert sorted(
+            r["v"] for r in snap_read(spark, table).collect()
+        ) == [2, 3, 4]
+
+    def test_replace_expect_version_conflict(self, spark, table):
+        from qurio_spark.plans.snapshots import (
+            SnapConflict,
+            snap_replace_values,
+        )
+
+        df = spark.range(100, 102).select(F.col("id").alias("v"))
+        with pytest.raises(SnapConflict, match="stale read"):
+            snap_replace_values(
+                spark, table, "v", [0], df, expect_version=0
+            )  # latest is 1
+        # matching expectation commits
+        v = snap_replace_values(
+            spark, table, "v", [0], df, expect_version=1
+        )
+        assert v == 2
+
+    def test_restore_touch_reenters_grace(self, spark, table):
+        """snap_restore bumps its referenced files' mtimes, so a
+        vacuum sampling the PRE-restore head within the grace window
+        cannot delete the restored version's files."""
+        import os
+
+        from qurio_spark.plans.snapshots import _vacuum_at, snap_overwrite
+
+        snap_overwrite(
+            spark.range(3).select(F.col("id").alias("v")), table
+        )
+        # age every data file far past any grace window
+        for r, _, fs in os.walk(os.path.join(table, "data")):
+            for f in fs:
+                os.utime(os.path.join(r, f), (1, 1))
+        snap_restore(table, 0)
+        # the race: vacuum runs with the PRE-restore latest sample
+        _vacuum_at(table, 2, 1, grace_seconds=3600.0)
+        # restore's touch kept v0's files alive: the head reads whole
+        assert sorted(
+            r["v"] for r in snap_read(spark, table).collect()
+        ) == list(range(10))
