@@ -84,7 +84,7 @@ def test_random_dml_interleaving_matches_model(spark, tmp_path, seed):
     for step in range(24):
         op = rng.choice(
             ["append", "delete_cow", "delete_mor", "merge", "merge_mor",
-             "update", "compact", "materialize", "restore"]
+             "update", "compact", "materialize", "restore", "vacuum"]
         )
         if op == "append":
             rows = [
@@ -127,13 +127,21 @@ def test_random_dml_interleaving_matches_model(spark, tmp_path, seed):
             snap_materialize_dvs(spark, path)
         elif op == "restore":
             # rewind to a version whose model is known: the bootstrap
-            # state (full rewind) or the current latest (a
-            # content-identical commit) — both then mutate onward
+            # state (full rewind — only while v0 is still retained;
+            # after a vacuum the oldest RETAINED version is not the
+            # bootstrap) or the current latest (a content-identical
+            # commit) — both then mutate onward
             versions = snap_versions(path)
-            if rng.random() < 0.5:
-                snap_restore(path, versions[0]["version"])
+            if rng.random() < 0.5 and versions[0]["version"] == 0:
+                snap_restore(path, 0)
                 model = dict(bootstrap_model)
             else:
                 snap_restore(path, versions[-1]["version"])
+        elif op == "vacuum":
+            from qurio_spark.plans.snapshots import snap_vacuum
+
+            snap_vacuum(
+                path, keep_last=rng.randrange(1, 4), grace_seconds=0.0
+            )
         check(op)
     assert len(ops) >= 15  # the loop actually exercised the surface
