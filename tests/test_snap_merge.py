@@ -421,3 +421,38 @@ class TestSnapMergeMor:
         assert (
             snap_append_txn(_kv(spark, [(41, "t")]), table, "app", 9) is None
         )
+
+
+def test_concurrent_merges_both_land(spark, tmp_path):
+    """Two merges racing the same table with disjoint key sets: the
+    loser's OCC retry must re-run discovery against the winner's
+    version — both sources land, nothing is lost or duplicated."""
+    import threading
+
+    path = str(tmp_path / "t")
+    snap_append(
+        _kv(spark, [(i, f"a{i}") for i in range(20)]).repartition(2), path
+    )
+    srcs = [
+        [(1, "L1"), (3, "L3"), (100, "LN")],
+        [(2, "R2"), (4, "R4"), (200, "RN")],
+    ]
+    errs = []
+
+    def run(rows):
+        try:
+            snap_merge(spark, path, _kv(spark, rows), ["k"])
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=run, args=(s,)) for s in srcs]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    got = dict(_rows(spark, path))
+    assert got[1] == "L1" and got[3] == "L3" and got[100] == "LN"
+    assert got[2] == "R2" and got[4] == "R4" and got[200] == "RN"
+    assert got[0] == "a0" and len(got) == 22
+    assert snap_count(path) == 22
