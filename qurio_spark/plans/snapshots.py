@@ -1340,6 +1340,43 @@ def maybe_compact(
     return snap_compact(spark, path, small_bytes, target_bytes)
 
 
+def snap_maintain(
+    spark: SparkSession,
+    path: str,
+    max_manifests: int = 16,
+    small_bytes: int = 8 << 20,
+    target_bytes: int = 128 << 20,
+    max_dv_rows: int = 1 << 20,
+    keep_last: int = 2,
+    grace_seconds: float = 600.0,
+    vacuum: bool = False,
+) -> dict:
+    """ONE maintenance entry point (the OPTIMIZE + VACUUM operational
+    routine): run the gated small-file compaction
+    (:func:`maybe_compact`), fold deletion vectors away when the
+    read-side tax outgrew its bound (:func:`maybe_materialize`), then
+    report — or with ``vacuum=True`` perform — the retention pass.
+    Every step keeps its own no-op gate, so an unconditional periodic
+    call does bounded work: a healthy table pays three metadata reads.
+
+    Returns ``{"compacted": version|None, "materialized":
+    version|None, "vacuumed": bool, "removable": [names]}`` —
+    ``removable`` is the vacuum report (what was deleted, or with the
+    default dry run, what a real pass would delete)."""
+    report = {
+        "compacted": maybe_compact(
+            spark, path, small_bytes, target_bytes, max_manifests
+        ),
+        "materialized": maybe_materialize(spark, path, max_dv_rows),
+        "vacuumed": vacuum,
+    }
+    report["removable"] = snap_vacuum(
+        path, keep_last=keep_last, grace_seconds=grace_seconds,
+        dry_run=not vacuum,
+    )
+    return report
+
+
 def snapshot_sink(
     stream_df: DataFrame,
     path: str,

@@ -398,3 +398,46 @@ class TestSecondReviewRegressions:
         assert sorted(
             r["v"] for r in snap_read(spark, table).collect()
         ) == list(range(10))
+
+
+class TestMaintain:
+    def test_maintain_is_bounded_noop_on_healthy_table(self, spark, table):
+        from qurio_spark.plans.snapshots import snap_maintain
+
+        r = snap_maintain(spark, table)
+        assert r["compacted"] is None and r["materialized"] is None
+        assert r["vacuumed"] is False and r["removable"] == []
+        assert len(snap_versions(table)) == 2  # nothing committed
+
+    def test_maintain_runs_every_gate(self, spark, tmp_path):
+        import os
+
+        from qurio_spark.plans.snapshots import snap_maintain
+
+        path = str(tmp_path / "t")
+        # many tiny commits -> compaction gate; a MOR delete past the
+        # dv bound -> materialize gate; stranded files -> vacuum report
+        for i in range(6):
+            snap_append(
+                spark.range(i * 10, i * 10 + 10)
+                .select(F.col("id").alias("v")).coalesce(1),
+                path,
+            )
+        snap_delete_where_mor(spark, path, "v", lo=0, hi=4)
+        r = snap_maintain(
+            spark, path, max_manifests=3, max_dv_rows=1,
+            keep_last=1, grace_seconds=0.0, vacuum=True,
+        )
+        assert r["compacted"] is not None
+        # compaction rewrote every masked file, so the vectors dropped
+        # with the ledger and materialize had nothing left to do
+        assert r["materialized"] is None
+        assert "dvs" not in _read_manifest(
+            path, snap_versions(path)[-1]["version"]
+        )
+        assert r["vacuumed"] is True and r["removable"]
+        for rel in r["removable"]:
+            assert not os.path.exists(os.path.join(path, rel))
+        assert sorted(
+            x["v"] for x in snap_read(spark, path).collect()
+        ) == list(range(5, 60))
