@@ -363,6 +363,7 @@ def quantile_estimates(
     path: str,
     ps: list[float],
     round_digits: int = 2,
+    version: int | None = None,
 ) -> DataFrame:
     """Read-time quantiles from the view's histogram state — pure
     column expressions (one ``aggregate`` walk of the bucket array
@@ -377,7 +378,7 @@ def quantile_estimates(
 
     lo, hi, b = read_hist_bounds(path)
     width = (hi - lo) / b
-    v = snap_read(spark, path)
+    v = snap_read(spark, path, version)
     total = F.aggregate(
         "hb", F.lit(0).cast("long"), lambda a, x: a + x
     ).alias("__total")
@@ -590,15 +591,20 @@ def refresh_rollup(
 
 
 def read_agg_view(
-    spark: SparkSession, path: str, round_digits: int = 2
+    spark: SparkSession,
+    path: str,
+    round_digits: int = 2,
+    version: int | None = None,
 ) -> DataFrame:
     """Read-time finals over the stored states: n, total (=s), avg
     (=s/n) — derived, never stored, so they are always consistent
-    with the mergeable states."""
+    with the mergeable states.  ``version`` time-travels: the view is
+    a snapshot table, so "the dashboard as of refresh N" is a pinned
+    manifest read, not a recompute."""
     from qurio_spark.functions.numeric import stable_round
     from qurio_spark.plans.snapshots import snap_read
 
-    v = snap_read(spark, path)
+    v = snap_read(spark, path, version)
     state = set(STATE_COLS) | {"hs", "hb"}
     finals = [
         *[c for c in v.columns if c not in state],

@@ -713,3 +713,25 @@ class TestSecondReviewRegressions:
             t.join()
         assert not errs
         assert _final_rows(read_agg_view(spark, path)) == want
+
+
+def test_view_time_travel(spark, tmp_path):
+    """The view is a snapshot table: read_agg_view(version=) shows the
+    dashboard as of any retained refresh."""
+    path = str(tmp_path / "v")
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "p string, k string, value double"
+        )
+
+    refresh_agg_view(spark, path, mk([("x", "a", 1.0)]), ["p", "k"],
+                     "value", partition_col="p")
+    refresh_agg_view(spark, path, mk([("x", "a", 2.0)]), ["p", "k"],
+                     "value", partition_col="p")
+    now = {r["k"]: r["n"] for r in read_agg_view(spark, path).collect()}
+    then = {
+        r["k"]: r["n"]
+        for r in read_agg_view(spark, path, version=0).collect()
+    }
+    assert now == {"a": 2} and then == {"a": 1}
