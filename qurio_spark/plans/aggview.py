@@ -211,18 +211,7 @@ def refresh_agg_view(
     materialize-before-overwrite checkpoint the dynamic-overwrite
     form needed is gone, and a reader mid-refresh sees either the old
     or the new version, never a torn mix."""
-    from pyspark.sql import functions as F
-
-    from qurio_spark.functions.checkpointing import checkpoint_df
-    from qurio_spark.plans.snapshots import (
-        SnapConflict,
-        _latest_version,
-        snap_overwrite,
-        snap_read,
-        snap_replace_values,
-        snap_txn_seen,
-        value_match,
-    )
+    from qurio_spark.plans.snapshots import SnapConflict, snap_txn_seen
 
     if txn is not None and snap_txn_seen(path, *txn):
         return  # replayed micro-batch: already merged into the view
@@ -534,7 +523,6 @@ def refresh_rollup(
         _latest_version,
         snap_changes_since,
         snap_read,
-        snap_read_if_exists,
         snap_replace_values,
         value_match,
     )
@@ -544,6 +532,8 @@ def refresh_rollup(
             f"partition_col {partition_col!r} must be in dst_group_cols"
         )
     if cursor is None:
+        from qurio_spark.plans.snapshots import SnapConflict
+
         v = _latest_version(src_path)
         if v is None:
             raise FileNotFoundError(f"no snapshot table at {src_path}")
@@ -553,20 +543,37 @@ def refresh_rollup(
         # RE-bootstrap onto an existing rollup (a lapsed cursor, per
         # the CDF contract) must REPLACE the old states, not append a
         # second copy: the replaced value set is every partition the
-        # destination holds plus every partition the rebuild produces
-        existing = snap_read_if_exists(spark, dst_path)
-        values: list = []
-        if existing is not None:
-            values = [
-                r[partition_col]
-                for r in existing.select(partition_col)
-                .unionByName(states.select(partition_col))
-                .distinct()
-                .collect()
-            ]
-        snap_replace_values(
-            spark, dst_path, partition_col, values, states, cluster=True
-        )
+        # destination holds plus every partition the rebuild produces.
+        # expect_version + rerun: a lost creation race (two processes
+        # bootstrapping at once) would otherwise append a duplicate
+        # copy through the values=[] fall-through
+        for _ in range(12):
+            dv = _latest_version(dst_path)
+            existing = (
+                None if dv is None else snap_read(spark, dst_path, dv)
+            )
+            values: list = []
+            if existing is not None:
+                values = [
+                    r[partition_col]
+                    for r in existing.select(partition_col)
+                    .unionByName(states.select(partition_col))
+                    .distinct()
+                    .collect()
+                ]
+            try:
+                snap_replace_values(
+                    spark, dst_path, partition_col, values, states,
+                    cluster=True,
+                    expect_version=(-1 if dv is None else dv),
+                )
+                break
+            except SnapConflict:
+                continue
+        else:
+            raise RuntimeError(
+                f"bootstrap contention on {dst_path}: 12 rerounds lost"
+            )
         _copy_hist_bounds(src_path, dst_path)
         return v
     feed, new_cursor = snap_changes_since(spark, src_path, cursor)

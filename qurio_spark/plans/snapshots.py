@@ -804,29 +804,38 @@ def snap_read(
     return _read_files(spark, path, m, [_entry_name(e) for e in entries])
 
 
-def _bloom_hashes(spark: SparkSession, value, k: int) -> list[int]:
-    """The k xxhash64 probe values for ``value`` — computed through
-    Spark itself (one local 1-row job) so the build pass and the
-    probe share one hash definition by construction."""
+def _bloom_hashes(
+    spark: SparkSession, values: list, k: int
+) -> list[list[int]]:
+    """The k xxhash64 probe values for EVERY value in ``values`` —
+    computed through Spark itself (ONE local 1-row job, |values|·k
+    columns) so the build pass and the probe share one hash
+    definition by construction, and an IN-list probe costs one driver
+    round-trip, not one per value."""
     from pyspark.sql import functions as F
 
     row = spark.range(1).select(
         *[
-            F.xxhash64(F.lit(value), F.lit(s)).alias(f"h{s}")
+            F.xxhash64(F.lit(v), F.lit(s)).alias(f"h{i}_{s}")
+            for i, v in enumerate(values)
             for s in range(k)
         ]
     ).first()
-    return [row[f"h{s}"] for s in range(k)]
+    return [
+        [row[f"h{i}_{s}"] for s in range(k)] for i in range(len(values))
+    ]
 
 
 def _bloom_excluded(
-    spark: SparkSession, path: str, entries: list, col: str, value
+    spark: SparkSession, path: str, entries: list, col: str, values: list
 ) -> set:
-    """Entry names whose bloom filter PROVES ``col`` never equals
-    ``value``.  Reads only the probed word positions from each
-    commit's sidecar (k words per file — row-group pushdown keeps the
-    metadata read tiny even for wide tables); entries without a bloom
-    for ``col`` are never excluded (absent = not skippable)."""
+    """Entry names whose bloom filter PROVES ``col`` equals NONE of
+    ``values`` (an IN-list is excluded only when every listed value
+    is).  Reads only the probed word positions from each commit's
+    sidecar, ONCE per sidecar for the union of all values' positions
+    (row-group pushdown keeps the metadata read tiny even for wide
+    tables); entries without a bloom for ``col`` are never excluded
+    (absent = not skippable)."""
     import pyarrow.parquet as papq
 
     probes: dict[str, list[tuple[str, int, int]]] = {}
@@ -841,11 +850,16 @@ def _bloom_excluded(
             kmax = max(kmax, geom["k"])
     if not probes:
         return set()
-    hashes = _bloom_hashes(spark, value, kmax)
+    all_hashes = _bloom_hashes(spark, values, kmax)
     excluded = set()
     for sidecar, files in probes.items():
         needed = sorted(
-            {(h % m) // 64 for _, m, k in files for h in hashes[:k]}
+            {
+                (h % m) // 64
+                for _, m, k in files
+                for hashes in all_hashes
+                for h in hashes[:k]
+            }
         )
         tbl = papq.read_table(
             os.path.join(path, sidecar),
@@ -862,11 +876,15 @@ def _bloom_excluded(
         }
         for name, m, k in files:
             base = os.path.basename(name)
-            hit = all(
-                words.get((base, (h % m) // 64), 0) >> ((h % m) % 64) & 1
-                for h in hashes[:k]
+            any_hit = any(
+                all(
+                    words.get((base, (h % m) // 64), 0)
+                    >> ((h % m) % 64) & 1
+                    for h in hashes[:k]
+                )
+                for hashes in all_hashes
             )
-            if not hit:
+            if not any_hit:
                 excluded.add(name)
     return excluded
 
@@ -917,12 +935,7 @@ def snap_scan_files(
     for col, vals in eqs.items():
         if spark is None:
             raise ValueError("eq pruning needs the SparkSession for probe hashes")
-        dropped = None
-        for v_ in vals:
-            d = _bloom_excluded(spark, path, entries, col, v_)
-            dropped = d if dropped is None else (dropped & d)
-            if not dropped:
-                break
+        dropped = _bloom_excluded(spark, path, entries, col, vals)
         if dropped:
             entries = [e for e in entries if _entry_name(e) not in dropped]
     return [_entry_name(e) for e in entries]
@@ -1555,6 +1568,13 @@ def snap_restore(path: str, version: int) -> int:
             f"removed {missing[:3]}{'...' if len(missing) > 3 else ''}"
         )
     manifests = _carried_manifests(path, target)
+    st = store_for(path)
+    for name in manifests:
+        # the carried m-*.json files vacuum on the same mtime-grace
+        # rule as data files: re-putting their identical bytes
+        # refreshes the store mtime, re-entering them into the grace
+        # window alongside the utime'd data/dv/bloom files above
+        st.put(path, name, st.read(path, name))
     for _ in range(_MAX_COMMIT_RETRIES):
         cur = _latest_version(path)
         if cur is None:
@@ -1981,10 +2001,9 @@ def snap_replace_values(
     caller must re-read and recompute (see ``refresh_agg_view``)."""
     from pyspark.sql import functions as F
 
-    def _check_expected():
+    def _check_expected(cur: int | None):
         if expect_version is None:
             return
-        cur = _latest_version(path)
         actual = -1 if cur is None else cur
         if actual != expect_version:
             raise SnapConflict(
@@ -1996,6 +2015,7 @@ def snap_replace_values(
         return None
     cb = col if cluster else None
     if _latest_version(path) is None:
+        _check_expected(None)
         new_files = _write_data_files(replacement, path, 0, cluster_by=cb)
         name = _write_manifest_file(path, new_files)
         if _try_commit(
@@ -2009,7 +2029,7 @@ def snap_replace_values(
         # lost the table-creation race: with an expectation this IS a
         # conflict (the replacement assumed an empty table); without
         # one, fall through and replace against the winner
-        _check_expected()
+        _check_expected(_latest_version(path))
     has_null = any(v is None for v in values)
     vs = sorted(v for v in values if v is not None)
 
@@ -2029,8 +2049,12 @@ def snap_replace_values(
         return all(v < mn or v > mx for v in vs)
 
     for _ in range(_MAX_COMMIT_RETRIES):
-        _check_expected()
         v = _latest_version(path)
+        # compare the SAME version the claim will parent on — a
+        # separate pre-read would leave a window where a concurrent
+        # commit slips between check and claim (the lost update this
+        # parameter exists to prevent)
+        _check_expected(v)
         m = _read_manifest(path, v)
         txn_map = dict(m.get("txn", {}))
         if txn is not None:
@@ -2159,9 +2183,11 @@ def snap_merge(
         )
 
     # the source's data files are version-independent (uuid-unique
-    # names): write them ONCE — an OCC retry must not re-shuffle and
-    # re-write the whole source as orphans
-    src_files = _write_data_files(source, path, _latest_version(path) + 1)
+    # names): written ONCE, lazily after the first discovery pass —
+    # an OCC retry must not re-shuffle and re-write the whole source
+    # as orphans, and staging before the (long) discovery join would
+    # expose unreferenced files to a concurrent vacuum's grace clock
+    src_files: list | None = None
     for _ in range(_MAX_COMMIT_RETRIES):
         v = _latest_version(path)
         m = _read_manifest(path, v)
@@ -2214,6 +2240,8 @@ def snap_merge(
                         if os.path.basename(_entry_name(e)) in affected_names
                         else loose
                     ).append(e)
+        if src_files is None:
+            src_files = _write_data_files(source, path, v + 1)
         new_files = list(src_files)
         if affected:
             survivors = _read_files(
@@ -2296,9 +2324,9 @@ def snap_merge_mor(
             for k in keys
         )
 
-    # source data files are version-independent: write once (see
+    # source data files: written once, lazily after discovery (see
     # snap_merge)
-    src_files = _write_data_files(source, path, _latest_version(path) + 1)
+    src_files: list | None = None
     for _ in range(_MAX_COMMIT_RETRIES):
         v = _latest_version(path)
         m = _read_manifest(path, v)
@@ -2344,6 +2372,8 @@ def snap_merge_mor(
                     "target row with several"
                 )
             moved, new_counts = _stage_dvs(spark, path, hits, len(cand))
+        if src_files is None:
+            src_files = _write_data_files(source, path, v + 1)
         new_name = _write_manifest_file(path, src_files)
         dv_meta = _dv_carry(m)  # nothing rewritten: carry verbatim
         if moved:

@@ -387,10 +387,15 @@ class TestSecondReviewRegressions:
         snap_overwrite(
             spark.range(3).select(F.col("id").alias("v")), table
         )
-        # age every data file far past any grace window
+        # age every data file AND per-commit manifest far past any
+        # grace window — vacuum deletes unreferenced m-*.json on the
+        # same mtime rule, so restore must refresh those too
         for r, _, fs in os.walk(os.path.join(table, "data")):
             for f in fs:
                 os.utime(os.path.join(r, f), (1, 1))
+        for f in os.listdir(os.path.join(table, "_manifests")):
+            if f.startswith("m-"):
+                os.utime(os.path.join(table, "_manifests", f), (1, 1))
         snap_restore(table, 0)
         # the race: vacuum runs with the PRE-restore latest sample
         _vacuum_at(table, 2, 1, grace_seconds=3600.0)
