@@ -100,10 +100,30 @@ class LocalCommitStore:
             return None
 
     def advance_pointer(self, path: str, version: int) -> None:
+        # Rename is atomic but check-then-write is not: a laggard
+        # writer can read a stale pointer, be descheduled while higher
+        # versions advance it, then clobber it backwards — violating
+        # the forward-only contract (MemoryCommitStore's CAS loop is
+        # immune).  flock() is the filesystem's honest equivalent of
+        # that CAS: the re-check and write happen inside one exclusive
+        # section, so the pointer can only move forward.  Works across
+        # processes on local/NFSv4 filesystems, which is exactly this
+        # store's documented scope.
         cur = self.read_pointer(path)
         if cur is not None and cur >= version:
-            return
-        self.put(path, "_latest", str(version).encode())
+            return  # fast path, no lock needed
+        import fcntl
+
+        os.makedirs(self._mdir(path), exist_ok=True)
+        with open(os.path.join(self._mdir(path), "_latest.lock"), "a") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                cur = self.read_pointer(path)
+                if cur is not None and cur >= version:
+                    return
+                self.put(path, "_latest", str(version).encode())
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
 
 
 class MemoryCommitStore:

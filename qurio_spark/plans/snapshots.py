@@ -177,6 +177,21 @@ def _try_commit(path: str, version: int, manifest: dict) -> bool:
     import time as _time
 
     manifest = {**manifest, "ts": _time.time()}
+    # Propagate the parent's value-clustered marker (see
+    # snap_replace_values(cluster=True)): the layout property lives on
+    # the TABLE, not one commit, so intermediate appends/deletes/merges
+    # must not silently drop it — compaction consults it to avoid
+    # merging value-exact files (ADVICE r10).  An overwrite replaces
+    # the whole content with an unclustered write, so it resets.
+    if "clustered" not in manifest and manifest.get("op") != "overwrite":
+        parent = manifest.get("parent")
+        if parent is not None:
+            try:
+                pc = _read_manifest(path, parent).get("clustered")
+            except FileNotFoundError:
+                pc = None
+            if pc:
+                manifest = {**manifest, "clustered": pc}
     data = json.dumps(manifest, indent=1, sort_keys=True).encode()
     if not store_for(path).put_if_absent(path, f"v{version}.json", data):
         return False
@@ -933,6 +948,17 @@ def snap_scan_files(
         )
     ]
     for col, vals in eqs.items():
+        # range-stats eq pruning (the point range [v, v]) already ran
+        # above and needs no Spark — only an actual BLOOM probe does,
+        # so raise only when a surviving entry carries a bloom for
+        # this column and spark wasn't supplied
+        has_bloom = any(
+            isinstance(e, dict)
+            and (e.get("bloom") or {}).get("cols", {}).get(col)
+            for e in entries
+        )
+        if not has_bloom:
+            continue
         if spark is None:
             raise ValueError("eq pruning needs the SparkSession for probe hashes")
         dropped = _bloom_excluded(spark, path, entries, col, vals)
@@ -1121,6 +1147,15 @@ def _vacuum_at(
                 os.remove(fpath)
             deleted.append(rel)
     if not dry_run:
+        # Advance the pointer INTO the retained window before deleting
+        # any version file.  With a lagging pointer (writer crashed
+        # after claiming v{N}.json, or lost a pointer race) the deletes
+        # below would remove the pointed-at version plus the roll-
+        # forward gap, after which _latest_version lands on a vacuumed
+        # version and every read/commit raises — table wedged.
+        # Pointer advances are forward-only, so this is a no-op when
+        # the pointer is already current.
+        st.advance_pointer(path, latest)
         for f in st.list(path):
             if f.startswith("v") and f.endswith(".json"):
                 n = int(f[1:-5])
@@ -1348,7 +1383,15 @@ def maybe_compact(
     v = _latest_version(path)
     if v is None:
         return None
-    if len(_read_manifest(path, v).get("manifests", [])) < max_manifests:
+    m = _read_manifest(path, v)
+    # value-clustered tables (agg views, snap_replace_values
+    # cluster=True) are exempt: compaction would merge value-exact
+    # files and silently destroy the O(|delta|) refresh property the
+    # aggview layer pins by mtime — results stay correct, but every
+    # later refresh would rewrite mixed files (ADVICE r10)
+    if m.get("clustered"):
+        return None
+    if len(m.get("manifests", [])) < max_manifests:
         return None
     return snap_compact(spark, path, small_bytes, target_bytes)
 
@@ -2023,6 +2066,7 @@ def snap_replace_values(
             {"version": 0, "op": "append", "parent": None,
              "manifests": [name],
              "schema": _evolved_schema(None, replacement, "append"),
+             **({"clustered": col} if cluster else {}),
              **({"txn": {txn[0]: txn[1]}} if txn is not None else {})},
         ):
             return 0
@@ -2098,6 +2142,7 @@ def snap_replace_values(
             {"version": v + 1, "op": "replace", "parent": v,
              "manifests": carried + [new_name],
              "txn": txn_map, "schema": m.get("schema"),
+             **({"clustered": col} if cluster else {}),
              **_dv_carry(
                  m,
                  {os.path.basename(_entry_name(e)) for e in affected},
@@ -2524,6 +2569,12 @@ def snap_compact(
         if v is None:
             raise FileNotFoundError(f"no snapshot table at {path}")
         m = _read_manifest(path, v)
+        if m.get("clustered"):
+            # VALUE-CLUSTERED table (snap_replace_values cluster=True /
+            # agg views): bin-packing would merge value-exact files and
+            # destroy the O(|delta|) replace property — a no-op, like
+            # every other not-applicable maintenance gate (ADVICE r10)
+            return None
         small, kept = [], []
         total_small = 0
         for e in _manifest_entries(path, m):

@@ -1631,31 +1631,37 @@ def convert_files(
                     blobs = [
                         bytes(pdf[content_col].iloc[i]) for i in idxs
                     ]
-                    try:
-                        results = ocr.ocr_batch(blobs)
-                    except IngestionError as e:
-                        # quarantine the slice under the provider's
-                        # code — per-file failure rows, never a dead
-                        # task (M5/M8 posture)
-                        for i in idxs:
-                            r = out[i]
-                            out[i] = (
-                                r[0], "failed", e.code, None, r[4],
-                                None, None, 0, "en",
-                            )
-                        results = []
-                        idxs = []
-                    for i, res in zip(idxs, results):
-                        text = res.get("text") if isinstance(res, dict) else None
-                        if text and str(text).strip():
-                            pages = res.get("pages")
-                            r = out[i]
-                            out[i] = (
-                                r[0], "success", None, str(text), r[4],
-                                None, None,
-                                int(pages) if isinstance(pages, int) else 0,
-                                "en",
-                            )
+                    # Iterate in PROVIDER-SIZED chunks and catch per
+                    # chunk: a later chunk's terminal failure (after
+                    # retries) must not discard the OCR texts already
+                    # won by earlier chunks — only the failed chunk's
+                    # rows quarantine under the provider's code
+                    # (per-file failure rows, never a dead task —
+                    # M5/M8 posture).
+                    step = max(1, int(getattr(ocr, "max_batch", 0) or len(blobs)))
+                    for s in range(0, len(blobs), step):
+                        sub_idx = idxs[s : s + step]
+                        try:
+                            results = ocr.ocr_batch(blobs[s : s + step])
+                        except IngestionError as e:
+                            for i in sub_idx:
+                                r = out[i]
+                                out[i] = (
+                                    r[0], "failed", e.code, None, r[4],
+                                    None, None, 0, "en",
+                                )
+                            continue
+                        for i, res in zip(sub_idx, results):
+                            text = res.get("text") if isinstance(res, dict) else None
+                            if text and str(text).strip():
+                                pages = res.get("pages")
+                                r = out[i]
+                                out[i] = (
+                                    r[0], "success", None, str(text), r[4],
+                                    None, None,
+                                    int(pages) if isinstance(pages, int) else 0,
+                                    "en",
+                                )
             yield pd.DataFrame(out, columns=cols)
 
     return df.select(path_col, content_col).mapInPandas(gen, CONVERTED_SCHEMA)

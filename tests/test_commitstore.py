@@ -216,3 +216,40 @@ def test_histogram_bounds_record_works_on_object_store(spark, tmp_path):
         assert not os.path.exists(os.path.join(path, "hist_bounds.json"))
     finally:
         unregister_commit_store(path)
+
+
+class TestPointerForwardOnly:
+    """ADVICE r10: LocalCommitStore.advance_pointer was check-then-
+    write — a laggard thread could regress the pointer below a version
+    a faster writer already published.  Both stores must keep the
+    pointer monotonic under concurrent advances."""
+
+    @pytest.mark.parametrize("store_cls", [LocalCommitStore, MemoryCommitStore])
+    def test_concurrent_advances_never_regress(self, tmp_path, store_cls):
+        import random
+
+        st = store_cls()
+        p = str(tmp_path / "ptr")
+        versions = list(range(1, 65))
+        random.Random(7).shuffle(versions)
+        barrier = threading.Barrier(8)
+        observed_regression = []
+
+        def worker(chunk):
+            barrier.wait()
+            for v in chunk:
+                st.advance_pointer(p, v)
+                cur = st.read_pointer(p)
+                if cur is not None and cur < v:
+                    observed_regression.append((v, cur))
+
+        threads = [
+            threading.Thread(target=worker, args=(versions[i::8],))
+            for i in range(8)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert observed_regression == []
+        assert st.read_pointer(p) == 64

@@ -146,8 +146,29 @@ def test_eq_composes_with_range_preds(spark, table):
 def test_eq_probe_guards(spark, table):
     with pytest.raises(ValueError, match="NULL"):
         snap_scan_files(table, {}, spark=spark, eq={"doc_id": None})
+    # in-range probe value: range stats can't disprove it, so the
+    # bloom probe (which needs spark) would actually run
     with pytest.raises(ValueError, match="SparkSession"):
-        snap_scan_files(table, {}, eq={"doc_id": "x"})
+        snap_scan_files(table, {}, eq={"doc_id": "doc-aaaa"})
+    # out-of-range value: range pruning alone empties the scan — no
+    # bloom probe runs, so no SparkSession is needed (ADVICE r10)
+    assert snap_scan_files(table, {}, eq={"doc_id": "zzz"}) == []
+
+
+def test_eq_without_bloom_needs_no_spark(spark, table):
+    """ADVICE r10: eq pruning on a column NO surviving entry carries a
+    bloom for must not demand the SparkSession — the range-stats point
+    check [v, v] already ran and suffices."""
+    # payload has min/max stats but no bloom: range pruning works
+    # sparkless, and an out-of-range point prunes everything
+    kept = snap_scan_files(table, {}, eq={"payload": 1234})
+    assert len(kept) >= 1
+    assert snap_scan_files(table, {}, eq={"payload": 10_000_000}) == []
+    # a bloomed column still demands spark even mixed with a plain one
+    with pytest.raises(ValueError, match="SparkSession"):
+        snap_scan_files(
+            table, {}, eq={"payload": 1234, "doc_id": "doc-aaaa"}
+        )
 
 
 def test_null_values_skipped_in_build(spark, tmp_path):

@@ -121,6 +121,22 @@ class Handler(BaseHTTPRequestHandler):
             )
         elif self.path == "/ocr-bad":
             self.send_error(400)
+        elif self.path == "/ocr-failsecond":
+            # first call OCRs fine, every later call is a permanent
+            # 4xx — reproduces a mid-batch provider outage across the
+            # caller's max_batch chunks
+            STATE["ocr_calls"] = STATE.get("ocr_calls", 0) + 1
+            if STATE["ocr_calls"] > 1:
+                self.send_error(400)
+            else:
+                self._json(
+                    {
+                        "results": [
+                            {"text": "chunk-one text", "pages": 1}
+                            for _ in payload["documents"]
+                        ]
+                    }
+                )
         elif self.path == "/ocr-flaky":
             if STATE["flaky_left"] > 0:
                 STATE["flaky_left"] -= 1
@@ -433,6 +449,34 @@ class TestOcrConvertPipeline:
         row = convert_files(df, ocr=ocr).collect()[0]
         assert row["status"] == "failed"
         assert row["error"] == ERR_PROVIDER_HTTP
+
+    def test_late_chunk_failure_keeps_earlier_chunk_results(self, spark, server):
+        """ADVICE r10: a terminal failure in a LATER provider chunk
+        must not discard the OCR texts the earlier chunks already
+        returned — only the failed chunk's rows quarantine."""
+        from qurio_spark.functions.providers import HttpOcrProvider
+        from qurio_spark.sources.multimodal import convert_files
+
+        STATE["ocr_calls"] = 0
+        df = spark.createDataFrame(
+            [
+                ("up/a.pdf", bytearray(self._scanned_pdf())),
+                ("up/b.pdf", bytearray(self._scanned_pdf())),
+                ("up/c.pdf", bytearray(self._scanned_pdf())),
+            ],
+            "path string, content binary",
+        ).coalesce(1)  # one Arrow batch -> chunks split inside it
+        ocr = HttpOcrProvider(
+            f"{server}/ocr-failsecond", policy=FAST, max_batch=2
+        )
+        rows = {r["path"]: r for r in convert_files(df, ocr=ocr).collect()}
+        # chunk 1 (a, b) succeeded and MUST keep its texts
+        assert rows["up/a.pdf"]["status"] == "success"
+        assert rows["up/a.pdf"]["content"] == "chunk-one text"
+        assert rows["up/b.pdf"]["status"] == "success"
+        # chunk 2 (c) failed permanently -> quarantined under the code
+        assert rows["up/c.pdf"]["status"] == "failed"
+        assert rows["up/c.pdf"]["error"] == ERR_PROVIDER_HTTP
 
     def test_null_ocr_text_keeps_quarantine(self, spark, server):
         from qurio_spark.functions.providers import HttpOcrProvider

@@ -954,3 +954,115 @@ class TestChangesSince:
             (0, "delete"), (1, "delete"), (2, "delete"),
             (3, "delete"), (4, "delete"), (9, "insert"),
         ]
+
+
+class TestVacuumLaggingPointer:
+    """ADVICE r10: vacuum with a _latest pointer lagging the true
+    latest (writers crashed after claiming v{N}.json, before the
+    pointer advance) must not delete the pointed-at version without
+    first advancing the pointer — else _latest_version lands on a
+    vacuumed version and the table is permanently wedged."""
+
+    def test_vacuum_advances_stale_pointer_before_deleting(self, spark, tmp_path):
+        from qurio_spark.plans.commitstore import store_for
+        from qurio_spark.plans.snapshots import _latest_version
+
+        path = str(tmp_path / "lag")
+        for i in range(5):  # v0..v4
+            snap_append(
+                spark.range(i, i + 1).select(F.col("id").alias("v")), path
+            )
+        # regress the pointer by 4 (two+ consecutive crashed writers)
+        store_for(path).put(path, "_latest", b"0")
+        assert _latest_version(path) == 4  # roll-forward still finds v4
+        snap_vacuum(path, keep_last=1, grace_seconds=0)
+        # pointer must now be inside the retained window...
+        assert store_for(path).read_pointer(path) == 4
+        assert _latest_version(path) == 4
+        # ...and the table fully usable: read AND commit still work
+        assert _rows(snap_read(spark, path)) == [0, 1, 2, 3, 4]
+        snap_append(spark.range(9, 10).select(F.col("id").alias("v")), path)
+        assert _rows(snap_read(spark, path)) == [0, 1, 2, 3, 4, 9]
+
+    def test_dry_run_with_stale_pointer_touches_nothing(self, spark, tmp_path):
+        from qurio_spark.plans.commitstore import store_for
+
+        path = str(tmp_path / "lagdry")
+        for i in range(3):
+            snap_append(
+                spark.range(i, i + 1).select(F.col("id").alias("v")), path
+            )
+        store_for(path).put(path, "_latest", b"0")
+        snap_vacuum(path, keep_last=1, grace_seconds=0, dry_run=True)
+        # dry run must not move the pointer (it deletes nothing)
+        assert store_for(path).read_pointer(path) == 0
+        assert _rows(snap_read(spark, path, 0)) == [0]
+
+
+class TestClusteredCompactionGuard:
+    """ADVICE r10: compaction must not merge value-exact files of a
+    value-clustered table — it would silently destroy the O(|delta|)
+    refresh property agg views pin by mtime."""
+
+    def _clustered(self, spark, tmp_path):
+        from qurio_spark.plans.snapshots import snap_replace_values
+
+        path = str(tmp_path / "clus")
+        df = spark.createDataFrame(
+            [(k, k * 10 + i) for k in range(4) for i in range(3)],
+            "k int, v int",
+        )
+        snap_replace_values(spark, path, "k", [0, 1, 2, 3], df, cluster=True)
+        return path
+
+    def test_compact_noop_and_flag_survives_append(self, spark, tmp_path):
+        from qurio_spark.plans.snapshots import (
+            _read_manifest,
+            snap_compact,
+            snap_maintain,
+            snap_replace_values,
+        )
+
+        path = self._clustered(spark, tmp_path)
+        assert _read_manifest(path, 0)["clustered"] == "k"
+        # explicit compaction: no-op, no new version
+        assert snap_compact(spark, path, small_bytes=64 << 20) is None
+        # append (no cluster arg) must CARRY the marker
+        snap_append(
+            spark.createDataFrame([(9, 99)], "k int, v int"), path
+        )
+        assert _read_manifest(path, 1)["clustered"] == "k"
+        # one-call maintenance on a clustered table never compacts
+        rep = snap_maintain(spark, path, max_manifests=1)
+        assert rep["compacted"] is None
+        # untouched values' files keep their mtimes across a replace
+        import os as _os
+
+        data = _os.path.join(path, "data")
+        before = {
+            f: _os.path.getmtime(_os.path.join(data, f))
+            for f in _os.listdir(data)
+        }
+        snap_replace_values(
+            spark, path, "k", [2],
+            spark.createDataFrame([(2, 777)], "k int, v int"),
+            cluster=True,
+        )
+        after = {
+            f: _os.path.getmtime(_os.path.join(data, f)) for f in before
+        }
+        assert sum(before[f] != after.get(f) for f in before) == 0
+
+    def test_overwrite_resets_marker(self, spark, tmp_path):
+        from qurio_spark.plans.snapshots import _read_manifest, snap_compact
+
+        path = self._clustered(spark, tmp_path)
+        snap_overwrite(
+            spark.createDataFrame(
+                [(i % 3, i) for i in range(20)], "k int, v int"
+            ).repartition(6),
+            path,
+        )
+        assert "clustered" not in _read_manifest(path, 1)
+        # unclustered again -> compaction applies once more
+        assert snap_compact(spark, path, small_bytes=64 << 20) == 2
