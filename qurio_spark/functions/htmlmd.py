@@ -199,30 +199,77 @@ def html_to_markdown(html: str) -> tuple[str, str | None]:
     return "\n".join(out).strip(), b.title
 
 
-def convert_html_column(df, html_col: str = "html", out_col: str = "markdown"):
+def _is_text_url(url: str) -> bool:
+    """The reference's LLM-filter bypass for plain-text resources
+    (web.py:245-246: ``.txt`` and ``llms.txt`` skip the filter — the
+    manifest format must survive verbatim)."""
+    return (url or "").endswith(".txt")
+
+
+def convert_html_column(
+    df,
+    html_col: str = "html",
+    out_col: str = "markdown",
+    content_filter=None,
+    url_col: str | None = None,
+):
     """Arrow-batched column form: adds ``out_col`` (markdown) and
-    ``{out_col}_title`` next to the input columns."""
+    ``{out_col}_title`` next to the input columns.
+
+    ``content_filter``: an optional LLM boilerplate filter
+    (``functions/providers.HttpContentFilter`` shape —
+    ``filter_batch(texts) -> [str | None]``) applied AFTER the
+    deterministic conversion, ONE provider call per ``max_batch``
+    slice of the Arrow batch, never per row.  ``None`` entries
+    (breaker open, provider failure, empty filter output) keep the
+    deterministic markdown — the reference's raw-markdown fallback
+    (web.py:196-203).  ``url_col`` enables the reference's text-file
+    bypass: rows whose URL ends in ``.txt`` (incl. ``llms.txt``) are
+    never sent to the filter (web.py:245-252).  Absent filter (the
+    default) this is byte-identical to the deterministic path."""
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    def _conv(s):
+    def _conv(s, urls=None):
         mds, titles = [], []
         for h in s:
             md, title = html_to_markdown(h or "")
             mds.append(md)
             titles.append(title)
+        if content_filter is not None:
+            idxs = [
+                i for i in range(len(mds))
+                if urls is None or not _is_text_url(urls.iloc[i])
+            ]
+            if idxs:
+                filtered = content_filter.filter_batch(
+                    [mds[i] for i in idxs]
+                )
+                for i, ftext in zip(idxs, filtered):
+                    if ftext is not None:
+                        mds[i] = ftext
         return pd.DataFrame({"md": mds, "title": titles})
 
-    _conv.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
     schema = T.StructType(
         [
             T.StructField("md", T.StringType()),
             T.StructField("title", T.StringType()),
         ]
     )
-    udf = F.pandas_udf(schema)(_conv)
-    tmp = df.withColumn("_conv", udf(F.col(html_col)))
+    if url_col is not None:
+        _conv.__annotations__ = {
+            "s": pd.Series, "urls": pd.Series, "return": pd.DataFrame,
+        }
+        udf = F.pandas_udf(schema)(_conv)
+        tmp = df.withColumn("_conv", udf(F.col(html_col), F.col(url_col)))
+    else:
+        def _conv1(s):
+            return _conv(s)
+
+        _conv1.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
+        udf = F.pandas_udf(schema)(_conv1)
+        tmp = df.withColumn("_conv", udf(F.col(html_col)))
     return (
         tmp.withColumn(out_col, F.col("_conv.md"))
         .withColumn(f"{out_col}_title", F.col("_conv.title"))

@@ -172,6 +172,125 @@ class HttpEmbedder:
         return F.pandas_udf(T.ArrayType(T.FloatType()))(_embed)
 
 
+#: The extraction brief sent with every content-filter call — same
+#: contract as the reference's LLM filter instruction
+#: (handlers/web.py:29-51): keep the technical substance of a docs
+#: page, drop the chrome.
+CONTENT_FILTER_INSTRUCTION = (
+    "Extract the technical content from this software documentation "
+    "page.\n"
+    "Keep: code examples and their comments, function and method "
+    "signatures, configuration syntax, technical explanations, error "
+    "messages and troubleshooting steps, links to related API docs.\n"
+    "Remove: navigation menus and sidebars, copyright and legal "
+    "notices, unrelated marketing, edit-this-page links, cookie "
+    "banners.\n"
+    "Preserve: code-block language annotations, heading hierarchy, "
+    "inline code references, numbered step lists."
+)
+
+
+class HttpContentFilter:
+    """Gemini-flash-shaped LLM content filter — the S2 boilerplate
+    strip (handlers/web.py:28-84, 244-276: ``LLMContentFilter`` over
+    gemini-flash with a 3-failure/5-minute circuit breaker).
+
+    Request:  ``{"model": m, "instruction": ..., "documents": [md,
+    ...]}`` with ``Authorization: Bearer <key>`` resolved per call
+    (hot-swap).  Response: ``{"results": [{"text": "..."}, ...]}`` —
+    one result per document, count-validated.
+
+    :meth:`filter_batch` returns one entry per input: the filtered
+    markdown, or ``None`` when the caller must KEEP its deterministic
+    markdown — breaker open (bypass), terminal provider failure, or an
+    empty filter result (the reference treats empty ``fit_markdown``
+    as a filter failure and falls back to raw markdown,
+    web.py:196-203, 292-296).  A provider failure therefore never
+    fails a page — the deterministic ``html_to_markdown`` +
+    ``clean_markdown_noise`` path is always the floor.
+
+    The breaker lives on the instance: under ``mapInPandas`` each
+    Python worker process holds its own copy, so the open-circuit
+    bypass is per-executor-worker — the distributed analogue of the
+    reference's per-worker-process globals (web.py:54-57)."""
+
+    def __init__(
+        self,
+        endpoint: str,
+        model: str = "gemini-flash",
+        instruction: str | None = None,
+        key_provider: Callable[[], str] | None = None,
+        timeout_s: float = DEFAULT_TIMEOUT_S,
+        policy: RetryPolicy | None = None,
+        max_batch: int = 8,
+        breaker=None,
+    ):
+        from qurio_spark.functions.resilience import CircuitBreaker
+
+        self.endpoint = endpoint
+        self.model = model
+        self.instruction = instruction or CONTENT_FILTER_INSTRUCTION
+        self.key_provider = key_provider or (lambda: "")
+        self.timeout_s = timeout_s
+        self.policy = policy or RetryPolicy()
+        self.max_batch = max_batch
+        # web.py:58-59 — 3 consecutive failures open it for 5 min
+        self.breaker = breaker if breaker is not None else CircuitBreaker()
+
+    def _call(self, texts: list[str]) -> list[dict]:
+        key = self.key_provider()
+        headers = {"Authorization": f"Bearer {key}"} if key else {}
+        body = _post_json(
+            self.endpoint,
+            {
+                "model": self.model,
+                "instruction": self.instruction,
+                "documents": list(texts),
+            },
+            headers,
+            self.timeout_s,
+        )
+        results = body.get("results")
+        if not isinstance(results, list) or len(results) != len(texts):
+            raise IngestionError(
+                ERR_PROVIDER_SHAPE,
+                f"expected {len(texts)} filter results, got "
+                f"{len(results) if isinstance(results, list) else type(results).__name__}",
+            )
+        return results
+
+    def filter_batch(self, texts: Sequence[str]) -> list:
+        """One entry per input text: filtered markdown, or ``None`` =
+        keep the deterministic markdown.  Chunked one HTTP call per
+        ``max_batch`` documents; each chunk is breaker-gated and
+        caught independently, so a mid-batch outage bypasses only the
+        remaining chunks (same posture as the OCR provider)."""
+        out: list = []
+        for i in range(0, len(texts), self.max_batch):
+            chunk = [t or "" for t in texts[i : i + self.max_batch]]
+            if self.breaker.is_open():
+                out.extend([None] * len(chunk))  # llm_bypass_circuit_open
+                continue
+            try:
+                results = with_retries(
+                    lambda c=chunk: self._call(c), self.policy
+                )
+            except IngestionError:
+                self.breaker.record_failure()
+                out.extend([None] * len(chunk))
+                continue
+            for res in results:
+                text = res.get("text") if isinstance(res, dict) else None
+                if text and str(text).strip():
+                    self.breaker.record_success()
+                    out.append(str(text))
+                else:
+                    # empty filter output = failure (web.py:292-296)
+                    self.breaker.record_failure()
+                    out.append(None)
+        return out
+
+
 class HttpOcrProvider:
     """Docling-serve-shaped OCR/convert provider — the reference's
     docling OCR boundary (``handlers/file.py:196-299``: scanned PDFs

@@ -370,6 +370,40 @@ def run_crawl(
     return pages, docs
 
 
+def with_content_filter(
+    fetch_one: Callable[[dict], dict],
+    content_filter,
+) -> Callable[[dict], dict]:
+    """Compose an LLM content filter into the crawl's per-page fetch —
+    the S2 boilerplate strip wired the way the reference builds its
+    markdown generator per page (handlers/web.py:244-276):
+    ``.txt``/``llms.txt`` pages bypass the filter, a ``None`` filter
+    result (breaker open / provider failure / empty output) keeps the
+    deterministic markdown, and link discovery is untouched (the
+    reference discovers links from RAW markdown, web.py:152-153,
+    because the filter may strip them).
+
+    ``content_filter``: ``functions/providers.HttpContentFilter``
+    shape.  Wrap BEFORE :func:`resilient_fetch` /
+    :func:`run_crawl_distributed` so the filter runs inside the same
+    executor task as the fetch; its breaker state is then
+    per-executor-worker, matching the reference's per-worker-process
+    breaker globals."""
+    from qurio_spark.functions.htmlmd import _is_text_url
+
+    def fetch(task: dict) -> dict:
+        page = fetch_one(task)
+        if _is_text_url(task.get("url", "")):
+            return page
+        content = page.get("content", "")
+        filtered = content_filter.filter_batch([content])[0]
+        if filtered is not None:
+            page = {**page, "content": filtered}
+        return page
+
+    return fetch
+
+
 def resilient_fetch(
     fetch_one: Callable[[dict], dict],
     policy=None,

@@ -119,6 +119,24 @@ class Handler(BaseHTTPRequestHandler):
             self._json(
                 {"results": [{"text": None} for _ in payload["documents"]]}
             )
+        elif self.path == "/filter":
+            # deterministic fake LLM filter: strips lines containing
+            # the NAVNOISE marker and tags the output so tests can
+            # tell filtered from deterministic markdown
+            outs = []
+            for d in payload["documents"]:
+                kept = [
+                    ln for ln in (d or "").splitlines()
+                    if "NAVNOISE" not in ln
+                ]
+                outs.append({"text": "\n".join(kept).strip()})
+            self._json({"results": outs})
+        elif self.path == "/filter-empty":
+            self._json(
+                {"results": [{"text": ""} for _ in payload["documents"]]}
+            )
+        elif self.path == "/filter-bad":
+            self.send_error(400)
         elif self.path == "/ocr-bad":
             self.send_error(400)
         elif self.path == "/ocr-failsecond":
@@ -490,3 +508,168 @@ class TestOcrConvertPipeline:
         row = convert_files(df, ocr=ocr).collect()[0]
         assert row["status"] == "failed"
         assert row["error"] == "ERR_CONVERSION_STUBBED"
+
+
+class TestHttpContentFilter:
+    """S2 closing adapter: the gemini-flash-shaped LLM boilerplate
+    filter with the reference's 3-failure/5-min circuit breaker
+    (handlers/web.py:28-84) — always falling back to the deterministic
+    markdown, never failing a page."""
+
+    def test_filter_batch_happy_path_and_payload_shape(self, server):
+        from qurio_spark.functions.providers import (
+            CONTENT_FILTER_INSTRUCTION,
+            HttpContentFilter,
+        )
+
+        STATE["requests"].clear()
+        f = HttpContentFilter(
+            f"{server}/filter", policy=FAST,
+            key_provider=lambda: "sk-123",
+        )
+        out = f.filter_batch(["keep me\nNAVNOISE menu\nand me", "solo"])
+        assert out == ["keep me\nand me", "solo"]
+        req = STATE["requests"][-1]
+        assert req["payload"]["instruction"] == CONTENT_FILTER_INSTRUCTION
+        assert req["headers"]["authorization"] == "Bearer sk-123"
+
+    def test_terminal_failure_returns_none_and_opens_breaker(self, server):
+        from qurio_spark.functions.providers import HttpContentFilter
+
+        STATE["requests"].clear()
+        f = HttpContentFilter(f"{server}/filter-bad", policy=FAST)
+        # three consecutive chunk failures open the breaker...
+        for _ in range(3):
+            assert f.filter_batch(["x"]) == [None]
+        assert f.breaker.is_open()
+        n = len(STATE["requests"])
+        # ...after which calls bypass WITHOUT hitting the provider
+        assert f.filter_batch(["y", "z"]) == [None, None]
+        assert len(STATE["requests"]) == n
+
+    def test_empty_filter_output_is_failure_and_falls_back(self, server):
+        from qurio_spark.functions.providers import HttpContentFilter
+
+        f = HttpContentFilter(f"{server}/filter-empty", policy=FAST)
+        assert f.filter_batch(["some page"]) == [None]
+        assert f.breaker._consecutive == 1  # counted toward opening
+
+    def test_success_resets_breaker(self, server):
+        from qurio_spark.functions.providers import HttpContentFilter
+
+        f = HttpContentFilter(f"{server}/filter", policy=FAST)
+        f.breaker.record_failure()
+        f.breaker.record_failure()
+        assert f.filter_batch(["ok"]) == ["ok"]
+        assert f.breaker._consecutive == 0
+
+    def test_convert_html_column_with_filter_and_txt_bypass(
+        self, spark, server
+    ):
+        from qurio_spark.functions.htmlmd import convert_html_column
+        from qurio_spark.functions.providers import HttpContentFilter
+
+        STATE["requests"].clear()
+        html = (
+            "<html><body><p>real content</p>"
+            "<p>NAVNOISE cookie banner</p></body></html>"
+        )
+        df = spark.createDataFrame(
+            [
+                ("https://d.io/guide", html),
+                ("https://d.io/llms.txt", html),
+            ],
+            "url string, html string",
+        ).coalesce(1)
+        f = HttpContentFilter(f"{server}/filter", policy=FAST)
+        rows = {
+            r["url"]: r["markdown"]
+            for r in convert_html_column(
+                df, content_filter=f, url_col="url"
+            ).collect()
+        }
+        assert "NAVNOISE" not in rows["https://d.io/guide"]
+        assert "real content" in rows["https://d.io/guide"]
+        # text-file bypass: llms.txt keeps deterministic markdown
+        assert "NAVNOISE" in rows["https://d.io/llms.txt"]
+        sent = [
+            d
+            for req in STATE["requests"]
+            for d in req["payload"]["documents"]
+        ]
+        assert len(sent) == 1  # only the non-.txt page reached the provider
+
+    def test_convert_html_column_filter_failure_keeps_deterministic(
+        self, spark, server
+    ):
+        from qurio_spark.functions.htmlmd import convert_html_column
+        from qurio_spark.functions.providers import HttpContentFilter
+
+        df = spark.createDataFrame(
+            [("<html><body><p>page text</p></body></html>",)], "html string"
+        )
+        f = HttpContentFilter(f"{server}/filter-bad", policy=FAST)
+        row = convert_html_column(df, content_filter=f).collect()[0]
+        assert "page text" in row["markdown"]
+
+    def test_crawl_fetch_wrapper_filters_and_bypasses(self, server):
+        from qurio_spark.functions.providers import HttpContentFilter
+        from qurio_spark.operators.crawl import with_content_filter
+
+        def fake_fetch(task):
+            return {
+                "content": "body line\nNAVNOISE footer",
+                "links": ["https://d.io/a"],
+                "title": "T",
+            }
+
+        f = HttpContentFilter(f"{server}/filter", policy=FAST)
+        fetch = with_content_filter(fake_fetch, f)
+        page = fetch({"url": "https://d.io/p", "source_id": "s", "depth": 0})
+        assert page["content"] == "body line"
+        assert page["links"] == ["https://d.io/a"]  # link discovery untouched
+        # .txt bypass
+        page = fetch({"url": "https://d.io/llms.txt"})
+        assert "NAVNOISE" in page["content"]
+
+    def test_crawl_e2e_breaker_open_bypasses_to_deterministic(self, server):
+        """The done-criterion e2e: crawl with a DEAD filter endpoint —
+        after 3 failures the breaker opens and every later page keeps
+        its deterministic markdown; the crawl itself never fails."""
+        from pyspark.sql import SparkSession
+
+        from qurio_spark.functions.providers import HttpContentFilter
+        from qurio_spark.operators.crawl import run_crawl, with_content_filter
+
+        spark = SparkSession.getActiveSession()
+        pages_payload = {
+            f"https://d.io/p{i}": {
+                "content": f"page {i} body",
+                "links": [],
+                "title": f"P{i}",
+            }
+            for i in range(5)
+        }
+
+        def fake_fetch(task):
+            return dict(pages_payload[task["url"]])
+
+        f = HttpContentFilter(f"{server}/filter-bad", policy=FAST)
+        wrapped = with_content_filter(fake_fetch, f)
+
+        def batch_fetch(tasks):
+            return [
+                {**t, "status": "success", **wrapped(t)} for t in tasks
+            ]
+
+        seeds = spark.createDataFrame(
+            [("s", u) for u in pages_payload], "source_id string, url string"
+        )
+        STATE["requests"].clear()
+        pages, docs = run_crawl(spark, seeds, batch_fetch, max_depth=0)
+        got = {r["url"]: r["content"] for r in docs.collect()}
+        assert got == {u: p["content"] for u, p in pages_payload.items()}
+        # breaker opened after 3 terminal failures -> at most 3 calls
+        # (x FAST retries is 3 exactly: 4xx never retries)
+        assert len(STATE["requests"]) == 3
+        assert f.breaker.is_open()
