@@ -177,6 +177,26 @@ def main() -> None:
         dt = time.time() - t0
         if n_ok == 32 and dt > 0:
             extras["decode_mpix_per_s"] = round(32 * w * h / 1e6 / dt, 2)
+        # native decode provider path (PilDecodeProvider) — reported
+        # alongside the hermetic number where the library exists so
+        # the two paths' throughput is always visible side by side
+        try:
+            from qurio_spark.sources.multimodal import PilDecodeProvider
+
+            prov = PilDecodeProvider()
+            t0 = time.time()
+            n_ok = (
+                resize_pixels(resize_spec(meta, max_side=64), decode=prov)
+                .filter("pixels is not null")
+                .count()
+            )
+            dt = time.time() - t0
+            if n_ok == 32 and dt > 0:
+                extras["decode_mpix_per_s_native"] = round(
+                    32 * w * h / 1e6 / dt, 2
+                )
+        except ImportError:
+            pass  # no image library in this environment — hermetic only
     except Exception as e:
         print(f"bench decode error: {e}", file=sys.stderr)
 

@@ -937,6 +937,87 @@ def _decode_pixels(
     )
 
 
+class HermeticDecodeProvider:
+    """Default decode provider: the pure-Python/numpy codecs above —
+    the CORRECTNESS TWIN, not a production scan path (~0.3 MP/s on
+    JPEG; fine for tests and small re-ingests).  Provider contract
+    (the OCR/embedder pattern, one slot a deployment swaps):
+    ``decode_batch(blobs) -> [HxWx3 uint8 ndarray | None]`` — one
+    entry per blob, ``None`` = this provider cannot decode that blob
+    (caller falls back / quarantines); resource refusals raise
+    ValueError so the caller's guard taxonomy applies unchanged."""
+
+    def __init__(
+        self,
+        max_bytes: int | None = MAX_DECODE_BYTES,
+        max_pixels: int | None = MAX_DECODE_PIXELS,
+    ):
+        self.max_bytes = max_bytes
+        self.max_pixels = max_pixels
+
+    def decode_batch(self, blobs) -> list:
+        out = []
+        for b in blobs:
+            if b is None:
+                out.append(None)
+                continue
+            try:
+                out.append(
+                    _decode_pixels(bytes(b), self.max_bytes, self.max_pixels)
+                )
+            except NotImplementedError:
+                out.append(None)
+        return out
+
+
+class PilDecodeProvider:
+    """Native decode provider over Pillow — the production slot for
+    the 100 TB multimodal scan (libjpeg-turbo class throughput instead
+    of the hermetic ~0.3 MP/s).  Import-gated: this container has no
+    image libraries, so constructing it raises ImportError and tests
+    skip; the Spark-side plumbing (batch contract, guard-first order,
+    fallback) is exercised with a test double either way.
+
+    Parity with the hermetic codecs is EXACT for the losslessly
+    specified formats (BMP/PNG/GIF — the spec mandates the pixels) and
+    near-exact for JPEG (IDCT rounding differs across conformant
+    decoders; the parity test pins a small tolerance)."""
+
+    def __init__(
+        self,
+        max_bytes: int | None = MAX_DECODE_BYTES,
+        max_pixels: int | None = MAX_DECODE_PIXELS,
+    ):
+        from PIL import Image  # noqa: F401 — fail fast when absent
+
+        self._Image = Image
+        # PIL's own decompression-bomb guard replaced by ours so both
+        # paths refuse identically
+        self.max_bytes = max_bytes
+        self.max_pixels = max_pixels
+
+    def decode_batch(self, blobs) -> list:
+        import io
+
+        out = []
+        for b in blobs:
+            if b is None:
+                out.append(None)
+                continue
+            data = bytes(b)
+            _decode_guard(data, self.max_bytes, self.max_pixels)
+            try:
+                with self._Image.open(io.BytesIO(data)) as im:
+                    out.append(
+                        np.ascontiguousarray(
+                            np.asarray(im.convert("RGB"), dtype=np.uint8)
+                        )
+                    )
+            except Exception:  # noqa: BLE001 — corrupt/unknown: not ours
+                out.append(None)
+        return out
+
+
 def _resample_nearest(px: "np.ndarray", tw: int, th: int) -> "np.ndarray":
     """Nearest-neighbor resample (pixel-center convention: source index
     floor((i + 0.5) * src/dst)) — deterministic, vectorized numpy
@@ -1693,29 +1774,60 @@ def uploads_to_docs_raw(converted: DataFrame, source_id: str) -> DataFrame:
 FEATURE_DIM = 32
 
 
-def extract_features(df: DataFrame, content_col: str = "content") -> DataFrame:
+def extract_features(
+    df: DataFrame, content_col: str = "content", decode=None
+) -> DataFrame:
     """mapInPandas feature extractor: byte-histogram features (a
     deterministic stand-in for a vision encoder) over Arrow batches.
     Output schema: input columns minus content, plus
-    features array<float>."""
+    features array<float>.
+
+    ``decode``: an optional decode provider (see
+    :class:`HermeticDecodeProvider` for the contract).  When given,
+    features histogram the DECODED RGB pixels instead of the encoded
+    bytes — the same feature regardless of which codec wrote the file
+    (a byte histogram of a JPEG is mostly entropy-coder noise).  One
+    ``decode_batch`` call per Arrow batch; rows the provider cannot
+    decode (or the guard refuses) get NULL features, consistent with
+    the NULL-honest quarantine everywhere else."""
     out_fields = [f for f in df.schema.fields if f.name != content_col]
     schema = T.StructType(
         out_fields + [T.StructField("features", T.ArrayType(T.FloatType()), True)]
     )
     out_cols = [f.name for f in out_fields]
 
+    def _hist(arr: "np.ndarray"):
+        hist, _ = np.histogram(arr, bins=FEATURE_DIM, range=(0, 256))
+        v = hist.astype(np.float32)
+        n = float(np.linalg.norm(v))
+        return v / n if n > 0 else v
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for data in pdf[content_col]:
-                if data is None:
-                    feats.append(None)
-                    continue
-                arr = np.frombuffer(bytes(data), dtype=np.uint8)
-                hist, _ = np.histogram(arr, bins=FEATURE_DIM, range=(0, 256))
-                v = hist.astype(np.float32)
-                n = float(np.linalg.norm(v))
-                feats.append(v / n if n > 0 else v)
+            if decode is None:
+                feats = [
+                    None
+                    if data is None
+                    else _hist(np.frombuffer(bytes(data), dtype=np.uint8))
+                    for data in pdf[content_col]
+                ]
+            else:
+                blobs = []
+                for data in pdf[content_col]:
+                    if data is None:
+                        blobs.append(None)
+                        continue
+                    try:
+                        _decode_guard(
+                            bytes(data), MAX_DECODE_BYTES, MAX_DECODE_PIXELS
+                        )
+                        blobs.append(bytes(data))
+                    except ValueError:
+                        blobs.append(None)
+                feats = [
+                    None if px is None else _hist(px.reshape(-1))
+                    for px in decode.decode_batch(blobs)
+                ]
             out = pdf[out_cols].copy()
             out["features"] = feats
             yield out
@@ -1768,6 +1880,7 @@ def resize_pixels(
     df: DataFrame,
     max_decode_bytes: int | None = MAX_DECODE_BYTES,
     max_decode_pixels: int | None = MAX_DECODE_PIXELS,
+    decode=None,
 ) -> DataFrame:
     """The end-to-end pixel path: ``content`` bytes -> ``_decode_pixels``
     -> nearest-neighbor resample to the ``resize_spec`` targets -> raw
@@ -1782,30 +1895,63 @@ def resize_pixels(
     Arrow-batched mapInPandas: decode + resample are per-row numpy on
     executor-local batches, no shuffle — parallelism is the binaryFile
     source's file splits.  Expects ``path``/``content`` plus the
-    ``target_width``/``target_height`` columns ``resize_spec`` adds."""
+    ``target_width``/``target_height`` columns ``resize_spec`` adds.
+
+    ``decode``: an optional decode provider (``decode_batch(blobs) ->
+    [HxWx3 uint8 | None]``, e.g. :class:`PilDecodeProvider`) that
+    replaces the hermetic codecs on the hot path — ONE provider call
+    per Arrow batch's decodable slice, never per row.  The byte/pixel
+    GUARD still runs per row BEFORE the provider (the DoS ceiling is
+    path-independent); a ``None`` provider result falls back to the
+    hermetic codecs, so a provider that handles only some formats
+    narrows the quarantine instead of widening it."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for path, content, tw, th in zip(
-                pdf["path"], pdf["content"],
-                pdf["target_width"], pdf["target_height"],
-            ):
-                if content is None or pd.isna(tw) or pd.isna(th):
-                    out.append((path, None, None, None, "no target dims"))
+            n = len(pdf)
+            paths = list(pdf["path"])
+            contents = list(pdf["content"])
+            tws = list(pdf["target_width"])
+            ths = list(pdf["target_height"])
+            results: list = [None] * n
+            todo: list[int] = []
+            for i in range(n):
+                if contents[i] is None or pd.isna(tws[i]) or pd.isna(ths[i]):
+                    results[i] = (paths[i], None, None, None, "no target dims")
                     continue
                 try:
-                    px = _decode_pixels(
-                        bytes(content), max_decode_bytes, max_decode_pixels
+                    _decode_guard(
+                        bytes(contents[i]), max_decode_bytes,
+                        max_decode_pixels,
                     )
-                    rs = _resample_nearest(px, int(tw), int(th))
-                    out.append(
-                        (path, int(tw), int(th), rs.tobytes(), None)
+                except ValueError as exc:
+                    results[i] = (paths[i], None, None, None, str(exc))
+                    continue
+                todo.append(i)
+            decoded: dict[int, "np.ndarray"] = {}
+            if decode is not None and todo:
+                provided = decode.decode_batch(
+                    [bytes(contents[i]) for i in todo]
+                )
+                for i, px in zip(todo, provided):
+                    if px is not None:
+                        decoded[i] = px
+            for i in todo:
+                try:
+                    px = decoded.get(i)
+                    if px is None:
+                        # guard already passed; ceilings=None avoids
+                        # re-sniffing the header
+                        px = _decode_pixels(bytes(contents[i]), None, None)
+                    rs = _resample_nearest(px, int(tws[i]), int(ths[i]))
+                    results[i] = (
+                        paths[i], int(tws[i]), int(ths[i]), rs.tobytes(),
+                        None,
                     )
                 except (NotImplementedError, ValueError) as exc:
-                    out.append((path, None, None, None, str(exc)))
+                    results[i] = (paths[i], None, None, None, str(exc))
             yield pd.DataFrame(
-                out, columns=[f.name for f in RESIZED_SCHEMA.fields]
+                results, columns=[f.name for f in RESIZED_SCHEMA.fields]
             )
 
     return df.mapInPandas(gen, RESIZED_SCHEMA)

@@ -2415,3 +2415,188 @@ class TestDecodeGuards:
         assert "decode refused" in huge["resize_error"]
         ok = out["img/ok.bmp"]
         assert ok["resize_error"] is None and ok["pixels"] is not None
+
+
+class TestDecodeProviderSlot:
+    """VERDICT r10 item 3: the native decode provider slot — the
+    production swap for the hermetic ~0.3 MP/s codecs, mirroring the
+    OCR/embedder provider pattern.  The plumbing (one batched call,
+    guard-before-provider, None-falls-back-to-hermetic) is pinned with
+    a test double; real-library parity is import-gated."""
+
+    class FakeNativeProvider:
+        """Test double: decodes BMP via a fixed color, refuses
+        everything else, and FAILS THE TASK if a blob whose header
+        declares more than the pixel ceiling ever reaches it — pinning
+        that the guard runs before the provider (provider state lives
+        in the executor worker, so ordering must be asserted by
+        behavior, not driver-side counters)."""
+
+        def decode_batch(self, blobs):
+            import numpy as np
+
+            from qurio_spark.sources.multimodal import (
+                MAX_DECODE_PIXELS,
+                _parse_image_header,
+            )
+
+            out = []
+            for b in blobs:
+                if b is None:
+                    out.append(None)
+                    continue
+                _, w, h, _ = _parse_image_header(bytes(b))
+                if w and h and w * h > MAX_DECODE_PIXELS:
+                    raise AssertionError(
+                        "guard bypassed: oversized blob reached provider"
+                    )
+                if bytes(b[:2]) == b"BM":
+                    out.append(np.full((h, w, 3), 200, dtype=np.uint8))
+                else:
+                    out.append(None)
+            return out
+
+    def _meta(self, spark, rows):
+        from qurio_spark.sources.multimodal import decode_image_meta
+
+        df = spark.createDataFrame(rows, "path string, content binary")
+        return df.withColumn("meta", decode_image_meta("content")).select(
+            "path", "content", "meta.width", "meta.height"
+        )
+
+    def test_provider_used_fallback_and_guard_order(self, spark):
+        import numpy as np
+
+        from qurio_spark.sources.multimodal import (
+            resize_pixels,
+            resize_spec,
+        )
+
+        huge_png = make_png(6000, 6000)  # header-declared 36 MP bomb
+        meta = self._meta(
+            spark,
+            [
+                ("img/a.bmp", bytearray(make_bmp(7, 5))),
+                ("img/b.png", bytearray(make_png_full(bmp_golden(16, 9)))),
+                ("img/bomb.png", bytearray(huge_png)),
+            ],
+        ).coalesce(1)
+        prov = self.FakeNativeProvider()
+        out = {
+            r["path"]: r
+            for r in resize_pixels(
+                resize_spec(meta, max_side=4), decode=prov
+            ).collect()
+        }
+        # provider decoded the BMP (fixed color 200, not the real pixels)
+        a = np.frombuffer(bytes(out["img/a.bmp"]["pixels"]), dtype=np.uint8)
+        assert set(a.tolist()) == {200}
+        # provider returned None for the PNG -> hermetic fallback decoded it
+        assert out["img/b.png"]["resize_error"] is None
+        assert out["img/b.png"]["pixels"] is not None
+        # the pixel-ceiling bomb was refused BEFORE the provider saw it
+        # (the provider raises if it ever sees one — task would fail)
+        assert "max_decode_pixels" in out["img/bomb.png"]["resize_error"]
+
+    def test_hermetic_provider_parity_with_inline_path(self, spark):
+        """resize_pixels(decode=HermeticDecodeProvider()) is
+        byte-identical to the inline hermetic path on the golden
+        fixtures — the correctness-twin contract."""
+        from qurio_spark.sources.multimodal import (
+            HermeticDecodeProvider,
+            resize_pixels,
+            resize_spec,
+        )
+
+        import numpy as np
+
+        idx = np.arange(20, dtype=np.uint8).reshape(4, 5) % 3
+        palette = np.array(
+            [[250, 10, 10], [10, 250, 10], [10, 10, 250]], dtype=np.uint8
+        )
+        rows = [
+            ("img/a.bmp", bytearray(make_bmp(7, 5))),
+            ("img/b.png", bytearray(make_png_full(bmp_golden(16, 9)))),
+            ("img/c.gif", bytearray(make_gif_full(idx, palette))),
+            ("img/d.jpg", bytearray(make_jpeg_full(bmp_golden(24, 17)))),
+            ("img/e.jpg", bytearray(make_jpeg_arith(16, 9))),  # stubbed
+        ]
+        spec = resize_spec(self._meta(spark, rows), max_side=4)
+        base = {
+            r["path"]: r for r in resize_pixels(spec).collect()
+        }
+        via_provider = {
+            r["path"]: r
+            for r in resize_pixels(
+                spec, decode=HermeticDecodeProvider()
+            ).collect()
+        }
+        assert set(base) == set(via_provider)
+        for p in base:
+            assert base[p]["pixels"] == via_provider[p]["pixels"], p
+            assert (
+                base[p]["resize_error"] is None
+            ) == (via_provider[p]["resize_error"] is None), p
+
+    def test_pil_parity(self, spark):
+        """Real-library parity — runs only where Pillow exists."""
+        pytest.importorskip("PIL")
+        import numpy as np
+
+        from qurio_spark.sources.multimodal import (
+            PilDecodeProvider,
+            _decode_pixels,
+        )
+
+        prov = PilDecodeProvider()
+        idx = np.arange(20, dtype=np.uint8).reshape(4, 5) % 3
+        palette = np.array(
+            [[250, 10, 10], [10, 250, 10], [10, 10, 250]], dtype=np.uint8
+        )
+        # lossless formats: exact pixel equality is spec-mandated
+        for blob in (
+            make_bmp(7, 5),
+            make_png_full(bmp_golden(16, 9)),
+            make_gif_full(idx, palette),
+        ):
+            got = prov.decode_batch([blob])[0]
+            assert np.array_equal(got, _decode_pixels(blob))
+        # JPEG: conformant decoders may differ by IDCT rounding
+        blob = make_jpeg_full(bmp_golden(24, 17))
+        got = prov.decode_batch([blob])[0].astype(np.int16)
+        ref = _decode_pixels(blob).astype(np.int16)
+        assert np.abs(got - ref).max() <= 4
+
+    def test_extract_features_with_decode_provider(self, spark):
+        import numpy as np
+
+        from qurio_spark.sources.multimodal import (
+            FEATURE_DIM,
+            HermeticDecodeProvider,
+            _decode_pixels,
+            extract_features,
+        )
+
+        df = spark.createDataFrame(
+            [
+                ("img/a.bmp", bytearray(make_bmp(7, 5))),
+                ("img/bad.jpg", bytearray(make_jpeg_arith(16, 9))),
+                ("img/null", None),
+            ],
+            "path string, content binary",
+        )
+        rows = {
+            r["path"]: r["features"]
+            for r in extract_features(
+                df, decode=HermeticDecodeProvider()
+            ).collect()
+        }
+        # decoded-pixel histogram, not byte histogram
+        px = _decode_pixels(make_bmp(7, 5)).reshape(-1)
+        hist, _ = np.histogram(px, bins=FEATURE_DIM, range=(0, 256))
+        v = hist.astype(np.float32)
+        expect = v / np.linalg.norm(v)
+        assert np.allclose(rows["img/a.bmp"], expect, atol=1e-6)
+        # undecodable + null rows stay NULL-honest
+        assert rows["img/bad.jpg"] is None
+        assert rows["img/null"] is None
