@@ -370,6 +370,110 @@ def run_crawl(
     return pages, docs
 
 
+def run_crawl_resumable(
+    spark: SparkSession,
+    seeds: DataFrame,
+    fetch_one: Callable[[dict], dict],
+    max_depth: int,
+    ledger_path: str,
+    docs_path: str,
+    exclusions: list[str] | None = None,
+    max_rounds: int | None = None,
+    policy=None,
+    breaker_factory: Callable[[], object] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`run_crawl_distributed` with the pages ledger PERSISTED
+    through snapshot-table commits — the reference semantics where
+    ``source_pages`` IS the resumable frontier (migrations/000010: a
+    crawl interrupted mid-source resumes from the rows still
+    'pending'; nothing completed refetches).  A killed driver loses
+    only the round in flight: calling this again with the same paths
+    continues from the committed ledger, and the per-round docs append
+    is txn-marked with the ledger version it derives from, so a crash
+    between the docs commit and the ledger commit cannot double-append
+    on resume (exactly-once at the docs table).
+
+    Round protocol (single crawl driver per ledger; OCC still guards
+    against operator error):
+      1. frontier = pending rows of the committed ledger,
+      2. distributed fetch (executors, resilient_fetch semantics),
+      3. ``snap_append_txn(docs, app_id='crawl:<ledger>', batch_id=v)``
+         where v is the ledger version the frontier was read from,
+      4. one atomic ledger overwrite -> version v+1.
+
+    ``seeds`` merge in with conflict-ignore semantics on every call
+    (repo.go:98-137): new (source_id, url) pairs enter as pending
+    depth-0 rows, already-known pairs are untouched — so adding a new
+    source to a finished ledger crawls just that source.
+
+    Returns (pages, docs) DataFrames read from the committed tables —
+    same schemas as :func:`run_crawl_distributed`."""
+    from qurio_spark.plans.snapshots import (
+        _latest_version,
+        snap_append,
+        snap_append_txn,
+        snap_overwrite,
+        snap_read,
+    )
+
+    ex_lit = F.array(*[F.lit(e) for e in (exclusions or [])])
+    seed_rows = seeds.select(
+        "source_id",
+        "url",
+        F.lit("pending").alias("status"),
+        F.lit(0).cast("int").alias("depth"),
+    )
+    if _latest_version(ledger_path) is None:
+        snap_append(seed_rows, ledger_path)
+    else:
+        fresh = new_frontier(seed_rows, snap_read(spark, ledger_path))
+        if fresh.limit(1).count() > 0:
+            snap_append(fresh, ledger_path)
+
+    app_id = f"crawl:{ledger_path}"
+    rounds = 0
+    limit = max_rounds if max_rounds is not None else max_depth + 2
+    while rounds < limit:
+        v = _latest_version(ledger_path)
+        pages = snap_read(spark, ledger_path, v)
+        frontier = pages.filter(F.col("status") == "pending")
+        if frontier.limit(1).count() == 0:
+            break
+        # eager checkpoint: the fetched frame feeds BOTH commits —
+        # fetch must run exactly once per round
+        fetched = distributed_fetch(
+            frontier, fetch_one, policy=policy,
+            breaker_factory=breaker_factory,
+        ).transform(lambda d: checkpoint_df(d, eager=True))
+        # docs first, ledger second: a crash in the window re-runs the
+        # round on resume, and the txn marker (ledger version) makes
+        # the duplicate docs append a detected no-op
+        snap_append_txn(
+            fetched.select(
+                "source_id", "url", "title", "path", "content", "links",
+                "depth", "status", "error",
+            ),
+            docs_path, app_id, v,
+        )
+        snap_overwrite(
+            _advance_ledger(pages, fetched, max_depth, ex_lit),
+            ledger_path,
+        )
+        rounds += 1
+
+    docs_cols = (
+        "source_id string, url string, title string, path string, "
+        "content string, links array<string>, depth int, status string, "
+        "error string"
+    )
+    docs = (
+        snap_read(spark, docs_path)
+        if _latest_version(docs_path) is not None
+        else spark.createDataFrame([], docs_cols)
+    )
+    return snap_read(spark, ledger_path), docs
+
+
 def with_content_filter(
     fetch_one: Callable[[dict], dict],
     content_filter,

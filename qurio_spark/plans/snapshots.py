@@ -177,21 +177,28 @@ def _try_commit(path: str, version: int, manifest: dict) -> bool:
     import time as _time
 
     manifest = {**manifest, "ts": _time.time()}
-    # Propagate the parent's value-clustered marker (see
-    # snap_replace_values(cluster=True)): the layout property lives on
-    # the TABLE, not one commit, so intermediate appends/deletes/merges
-    # must not silently drop it — compaction consults it to avoid
-    # merging value-exact files (ADVICE r10).  An overwrite replaces
-    # the whole content with an unclustered write, so it resets.
-    if "clustered" not in manifest and manifest.get("op") != "overwrite":
+    # Propagate TABLE-level layout markers from the parent: the
+    # value-clustered marker (snap_replace_values(cluster=True) —
+    # compaction consults it to avoid merging value-exact files,
+    # ADVICE r10) and the bloom-column list (DML rewrites re-derive
+    # blooms for the files they write so point-lookup pruning
+    # survives mutation).  These properties live on the TABLE, not
+    # one commit, so intermediate appends/deletes/merges must not
+    # silently drop them; an overwrite replaces the whole content
+    # with a fresh write, so it resets both.
+    if manifest.get("op") != "overwrite":
+        missing = [
+            k for k in ("clustered", "bloom_cols") if k not in manifest
+        ]
         parent = manifest.get("parent")
-        if parent is not None:
+        if missing and parent is not None:
             try:
-                pc = _read_manifest(path, parent).get("clustered")
+                pm = _read_manifest(path, parent)
             except FileNotFoundError:
-                pc = None
-            if pc:
-                manifest = {**manifest, "clustered": pc}
+                pm = {}
+            for k in missing:
+                if pm.get(k):
+                    manifest = {**manifest, k: pm[k]}
     data = json.dumps(manifest, indent=1, sort_keys=True).encode()
     if not store_for(path).put_if_absent(path, f"v{version}.json", data):
         return False
@@ -451,6 +458,16 @@ def _write_data_files(
     return entries
 
 
+def _inherit_bloom_cols(m: dict, df: DataFrame) -> list[str] | None:
+    """The parent manifest's table-level bloom columns that exist in
+    the frame being written — DML rewrites pass this to
+    ``_write_data_files`` so the files they create keep the bloom
+    pruning the table was built with (a merged/rewritten file without
+    a bloom is forever unprunable for point lookups)."""
+    cols = [c for c in m.get("bloom_cols", []) if c in df.columns]
+    return cols or None
+
+
 def _evolved_schema(parent_schema: dict | None, df: DataFrame, op: str) -> dict:
     """The version's table schema (stored in the manifest — the Delta
     shape: the LOG owns the schema, readers never sample footers).
@@ -512,6 +529,10 @@ def _snap_commit(
     if txn_mark is not None and snap_txn_seen(path, *txn_mark):
         return None
     prev0 = _latest_version(path)
+    if bloom_cols is None and op == "append" and prev0 is not None:
+        # a plain append to a bloomed table keeps blooming its new
+        # files — the table-level property, not a per-call option
+        bloom_cols = _inherit_bloom_cols(_read_manifest(path, prev0), df)
     new_files = _write_data_files(
         df, path, 0 if prev0 is None else prev0 + 1,
         zorder_by=zorder_by, bloom_cols=bloom_cols,
@@ -551,7 +572,9 @@ def _snap_commit(
         if _try_commit(
             path, version,
             {"version": version, "op": op, "parent": prev,
-             "manifests": manifests, "schema": schema, "txn": txn, **dv},
+             "manifests": manifests, "schema": schema, "txn": txn,
+             **({"bloom_cols": bloom_cols} if bloom_cols else {}),
+             **dv},
         ):
             return version
     raise RuntimeError(
@@ -1329,7 +1352,14 @@ def snap_append_txn(
         txn0 = _read_manifest(path, prev0).get("txn", {})
         if txn0.get(app_id, -1) >= batch_id:
             return None  # replay: this batch is already in the table
-    new_files = _write_data_files(df, path, 0 if prev0 is None else prev0 + 1)
+    bc = (
+        _inherit_bloom_cols(_read_manifest(path, prev0), df)
+        if prev0 is not None
+        else None
+    )
+    new_files = _write_data_files(
+        df, path, 0 if prev0 is None else prev0 + 1, bloom_cols=bc
+    )
     new_name = _write_manifest_file(path, new_files)
     for _ in range(_MAX_COMMIT_RETRIES):
         prev = _latest_version(path)
@@ -1523,7 +1553,10 @@ def snap_delete_where(
         survivors = _read_files(
             spark, path, m, [_entry_name(e) for e in affected]
         ).filter(keep)
-        new_files = _write_data_files(survivors, path, v + 1)
+        new_files = _write_data_files(
+                survivors, path, v + 1,
+                bloom_cols=_inherit_bloom_cols(m, survivors),
+            )
         new_name = _write_manifest_file(path, loose_entries + new_files)
         if _try_commit(
             path, v + 1,
@@ -1883,7 +1916,10 @@ def snap_materialize_dvs(spark: SparkSession, path: str) -> int | None:
             survivors = _read_files(
                 spark, path, m, [_entry_name(e) for e in affected]
             )
-            new_files = _write_data_files(survivors, path, v + 1)
+            new_files = _write_data_files(
+                survivors, path, v + 1,
+                bloom_cols=_inherit_bloom_cols(m, survivors),
+            )
         manifests = list(carried)
         if loose or new_files:
             manifests.append(_write_manifest_file(path, loose + new_files))
@@ -2134,8 +2170,14 @@ def snap_replace_values(
             survivors = _read_files(
                 spark, path, m, [_entry_name(e) for e in mixed]
             ).filter(keep)
-            new_files += _write_data_files(survivors, path, v + 1)
-        new_files += _write_data_files(replacement, path, v + 1, cluster_by=cb)
+            new_files += _write_data_files(
+                survivors, path, v + 1,
+                bloom_cols=_inherit_bloom_cols(m, survivors),
+            )
+        new_files += _write_data_files(
+            replacement, path, v + 1, cluster_by=cb,
+            bloom_cols=_inherit_bloom_cols(m, replacement),
+        )
         new_name = _write_manifest_file(path, loose_entries + new_files)
         if _try_commit(
             path, v + 1,
@@ -2286,13 +2328,19 @@ def snap_merge(
                         else loose
                     ).append(e)
         if src_files is None:
-            src_files = _write_data_files(source, path, v + 1)
+            src_files = _write_data_files(
+                source, path, v + 1,
+                bloom_cols=_inherit_bloom_cols(m, source),
+            )
         new_files = list(src_files)
         if affected:
             survivors = _read_files(
                 spark, path, m, [_entry_name(e) for e in affected]
             ).join(src_keys.select(*keys), keys, "left_anti")
-            new_files += _write_data_files(survivors, path, v + 1)
+            new_files += _write_data_files(
+                survivors, path, v + 1,
+                bloom_cols=_inherit_bloom_cols(m, survivors),
+            )
         new_name = _write_manifest_file(path, loose + new_files)
         if _try_commit(
             path, v + 1,
@@ -2418,7 +2466,10 @@ def snap_merge_mor(
                 )
             moved, new_counts = _stage_dvs(spark, path, hits, len(cand))
         if src_files is None:
-            src_files = _write_data_files(source, path, v + 1)
+            src_files = _write_data_files(
+                source, path, v + 1,
+                bloom_cols=_inherit_bloom_cols(m, source),
+            )
         new_name = _write_manifest_file(path, src_files)
         dv_meta = _dv_carry(m)  # nothing rewritten: carry verbatim
         if moved:
@@ -2521,7 +2572,9 @@ def snap_update_where(
                 for c, expr in set_exprs.items()
             }
         )
-        new_files = _write_data_files(rows, path, v + 1)
+        new_files = _write_data_files(
+            rows, path, v + 1, bloom_cols=_inherit_bloom_cols(m, rows)
+        )
         new_name = _write_manifest_file(path, loose + new_files)
         if _try_commit(
             path, v + 1,
@@ -2593,7 +2646,10 @@ def snap_compact(
         packed = _read_files(
             spark, path, m, [_entry_name(e) for e in small]
         ).coalesce(n_out)
-        new_files = _write_data_files(packed, path, v + 1, zorder_by=zorder_by)
+        new_files = _write_data_files(
+            packed, path, v + 1, zorder_by=zorder_by,
+            bloom_cols=_inherit_bloom_cols(m, packed),
+        )
         new_name = _write_manifest_file(path, kept + new_files)
         if _try_commit(
             path, v + 1,

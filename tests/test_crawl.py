@@ -333,3 +333,132 @@ class TestDistributedBreaker:
         # on the opened breaker — both are recorded failures
         assert {r["error"] for r in d} <= {"ERR_CRAWL_TIMEOUT", "ERR_UNKNOWN"}
         assert any(r["error"] == "ERR_CRAWL_TIMEOUT" for r in d)
+
+
+class TestResumableCrawl:
+    """run_crawl_resumable: the pages ledger persisted through
+    snapshot-table commits — reference semantics where source_pages IS
+    the resumable frontier (migrations/000010).  A killed crawl
+    resumes from the committed ledger; the round-scoped docs txn makes
+    the crash window between the two commits exactly-once."""
+
+    def _canon_pages(self, pages):
+        return sorted(
+            (r["source_id"], r["url"], r["status"], r["depth"])
+            for r in pages.collect()
+        )
+
+    def _canon_docs(self, docs):
+        return sorted(
+            (r["source_id"], r["url"], r["status"], r["depth"], r["content"])
+            for r in docs.collect()
+        )
+
+    def _seeds(self, spark):
+        return spark.createDataFrame(
+            [("s1", "https://d.com/")], "source_id string, url string"
+        )
+
+    def test_kill_resume_equals_uninterrupted(self, spark, tmp_path):
+        """Run round-by-round (killed after every round) and compare
+        the final ledger + docs with one uninterrupted distributed
+        run on the same site."""
+        from qurio_spark.operators.crawl import (
+            run_crawl_distributed,
+            run_crawl_resumable,
+        )
+
+        ref_pages, ref_docs = run_crawl_distributed(
+            spark, self._seeds(spark), fake_fetch_one, max_depth=2
+        )
+        lp, dp = str(tmp_path / "ledger"), str(tmp_path / "docs")
+        for _ in range(5):  # one round per call = kill after each round
+            pages, docs = run_crawl_resumable(
+                spark, self._seeds(spark), fake_fetch_one, max_depth=2,
+                ledger_path=lp, docs_path=dp, max_rounds=1,
+            )
+        assert self._canon_pages(pages) == self._canon_pages(ref_pages)
+        assert self._canon_docs(docs) == self._canon_docs(ref_docs)
+        # frontier drained: a further resume is a no-op (no commits)
+        from qurio_spark.plans.snapshots import _latest_version
+
+        v = _latest_version(lp)
+        run_crawl_resumable(
+            spark, self._seeds(spark), fake_fetch_one, max_depth=2,
+            ledger_path=lp, docs_path=dp,
+        )
+        assert _latest_version(lp) == v
+
+    def test_crash_between_docs_and_ledger_commit(self, spark, tmp_path):
+        """The crash window: docs committed, ledger not yet advanced.
+        On resume the round re-runs — the refetch must NOT append its
+        docs a second time (txn marker = ledger version)."""
+        from qurio_spark.operators.crawl import run_crawl_resumable
+        from qurio_spark.plans.snapshots import (
+            _latest_version,
+            snap_append_txn,
+            snap_read,
+        )
+
+        lp, dp = str(tmp_path / "ledger"), str(tmp_path / "docs")
+        # round 0 completes normally
+        run_crawl_resumable(
+            spark, self._seeds(spark), fake_fetch_one, max_depth=2,
+            ledger_path=lp, docs_path=dp, max_rounds=1,
+        )
+        # simulate the crash: round 1's docs land (txn = ledger v1)
+        # but the driver dies before the ledger overwrite
+        v = _latest_version(lp)
+        frontier = snap_read(spark, lp).filter(F.col("status") == "pending")
+        fetched = frontier.select(
+            "source_id", "url",
+            F.lit("t").alias("title"), F.lit("").alias("path"),
+            F.lit("pre-crash fetch").alias("content"),
+            F.array().cast("array<string>").alias("links"),
+            "depth", F.lit("success").alias("status"),
+            F.lit(None).cast("string").alias("error"),
+        )
+        assert snap_append_txn(fetched, dp, f"crawl:{lp}", v) is not None
+        docs_rows_after_crash = snap_read(spark, dp).count()
+        # resume: the round re-runs, docs append is a detected replay
+        pages, docs = run_crawl_resumable(
+            spark, self._seeds(spark), fake_fetch_one, max_depth=2,
+            ledger_path=lp, docs_path=dp,
+        )
+        urls_in_docs = [
+            r["url"] for r in docs.groupBy("url").count()
+            .filter("count > 1").collect()
+        ]
+        assert urls_in_docs == []  # no page appended twice
+        # and the crawl still completed the whole reachable site
+        # (deeper sits at depth 3, past max_depth=2's link gate)
+        assert {r["url"] for r in pages.collect()} == set(SITE) - {
+            "https://d.com/deeper"
+        }
+        assert docs.count() >= docs_rows_after_crash
+
+    def test_new_source_added_to_finished_ledger(self, spark, tmp_path):
+        """Conflict-ignore seed merge: adding a second source to a
+        completed ledger crawls only the new source's pages."""
+        from qurio_spark.operators.crawl import run_crawl_resumable
+
+        lp, dp = str(tmp_path / "ledger"), str(tmp_path / "docs")
+        run_crawl_resumable(
+            spark, self._seeds(spark), fake_fetch_one, max_depth=2,
+            ledger_path=lp, docs_path=dp,
+        )
+        both = spark.createDataFrame(
+            [("s1", "https://d.com/"), ("s2", "https://d.com/b")],
+            "source_id string, url string",
+        )
+        pages, docs = run_crawl_resumable(
+            spark, both, fake_fetch_one, max_depth=2,
+            ledger_path=lp, docs_path=dp,
+        )
+        by_src = {
+            (r["source_id"], r["url"]) for r in pages.collect()
+        }
+        assert ("s2", "https://d.com/b") in by_src
+        # s1's rows unchanged (one per reachable page, completed)
+        s1 = [s for s in by_src if s[0] == "s1"]
+        assert len(s1) == len(SITE) - 1  # deeper is past the depth gate

@@ -102,10 +102,15 @@ def test_no_false_drops_exhaustive(spark, table):
 
 
 def test_unbloomed_files_never_excluded(spark, table, tmp_path):
+    """A file without a bloom is never skippable.  Since r11 a plain
+    append to a bloomed table inherits the property, so the mixed
+    state is built the other way round: the FIRST commit is plain
+    (no table property yet), the second turns blooming on — the
+    first commit's file stays bloomless and must always survive."""
     path = str(tmp_path / "mixed")
+    snap_append(_docs(spark, 100, 200).coalesce(1), path)  # no bloom
     snap_append(_docs(spark, 0, 100).coalesce(1), path,
                 bloom_cols=["doc_id"])
-    snap_append(_docs(spark, 100, 200).coalesce(1), path)  # no bloom
     kept = snap_scan_files(
         path, {}, spark=spark, eq={"doc_id": "doc-absent"}
     )
@@ -239,3 +244,96 @@ def test_in_list_guards(spark, table):
         snap_scan_files(table, {}, spark=spark, eq={"doc_id": []})
     with pytest.raises(ValueError, match="empty or None"):
         snap_scan_files(table, {}, spark=spark, eq={"doc_id": ["x", None]})
+
+
+class TestBloomSurvivesDml:
+    """r11: bloom_cols is a TABLE-level property recorded in the
+    manifest — DML rewrites re-derive blooms for the files they write,
+    so point-lookup pruning does not silently degrade as a bloomed
+    table is mutated (found by tools/storage_scale_check.py: before
+    this, every merged/rewritten file was forever unprunable)."""
+
+    def _mk(self, spark, lo, hi, v=0.0):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("doc_id"),
+            F.lit(v).alias("payload"),
+        )
+
+    def _table(self, spark, tmp_path):
+        path = str(tmp_path / "dml")
+        snap_append(
+            self._mk(spark, 0, 4000).repartitionByRange(6, "k"),
+            path, bloom_cols=["doc_id"],
+        )
+        return path
+
+    def _target(self, spark, payload):
+        return (
+            self._mk(spark, payload, payload + 1)
+            .select("doc_id").first()[0]
+        )
+
+    def _all_bloomed(self, path):
+        from qurio_spark.plans.snapshots import (
+            _latest_version,
+            _manifest_entries,
+            _read_manifest,
+        )
+
+        m = _read_manifest(path, _latest_version(path))
+        es = _manifest_entries(path, m)
+        return m.get("bloom_cols"), sum(
+            1 for e in es if (e.get("bloom") or {}).get("cols", {}).get("doc_id")
+        ), len(es)
+
+    def test_merge_append_delete_compact_keep_blooming(self, spark, tmp_path):
+        from qurio_spark.plans.snapshots import (
+            snap_compact,
+            snap_delete_where,
+            snap_merge,
+            snap_read,
+        )
+
+        path = self._table(spark, tmp_path)
+        snap_merge(
+            spark, path, self._mk(spark, 2000, 2040, -1.0).coalesce(1),
+            keys=["k"],
+        )
+        cols, bloomed, total = self._all_bloomed(path)
+        assert cols == ["doc_id"] and bloomed == total
+        # plain append (no bloom_cols arg) inherits the table property
+        snap_append(self._mk(spark, 50_000, 50_100).coalesce(1), path)
+        cols, bloomed, total = self._all_bloomed(path)
+        assert cols == ["doc_id"] and bloomed == total
+        # CoW delete rewrites keep blooming
+        snap_delete_where(spark, path, "k", lo=100, hi=120)
+        cols, bloomed, total = self._all_bloomed(path)
+        assert cols == ["doc_id"] and bloomed == total
+        # compaction repack keeps blooming
+        snap_compact(spark, path, small_bytes=64 << 20)
+        cols, bloomed, total = self._all_bloomed(path)
+        assert cols == ["doc_id"] and bloomed == total
+        # and the point lookup still prunes on the mutated table
+        target = self._target(spark, 3500)
+        kept = snap_scan_files(path, {}, spark=spark, eq={"doc_id": target})
+        assert len(kept) <= 2
+        got = snap_scan_multi(spark, path, {}, eq={"doc_id": target})
+        assert [r["k"] for r in got.collect()] == [3500]
+        # correctness floor: merged key's row reflects the merge
+        assert (
+            snap_read(spark, path).filter(F.col("k") == 2000)
+            .first()["payload"] == -1.0
+        )
+
+    def test_overwrite_resets_bloom_property(self, spark, tmp_path):
+        from qurio_spark.plans.snapshots import snap_overwrite
+
+        path = self._table(spark, tmp_path)
+        snap_overwrite(self._mk(spark, 0, 100).coalesce(1), path)
+        cols, bloomed, total = self._all_bloomed(path)
+        assert cols is None and bloomed == 0
+        # ...and a later append to the overwritten table stays plain
+        snap_append(self._mk(spark, 100, 200).coalesce(1), path)
+        cols, bloomed, total = self._all_bloomed(path)
+        assert cols is None and bloomed == 0
