@@ -211,7 +211,11 @@ def refresh_agg_view(
     materialize-before-overwrite checkpoint the dynamic-overwrite
     form needed is gone, and a reader mid-refresh sees either the old
     or the new version, never a torn mix."""
-    from qurio_spark.plans.snapshots import SnapConflict, snap_txn_seen
+    from qurio_spark.plans.snapshots import (
+        SnapConflict,
+        _conflict_backoff,
+        snap_txn_seen,
+    )
 
     if txn is not None and snap_txn_seen(path, *txn):
         return  # replayed micro-batch: already merged into the view
@@ -228,6 +232,7 @@ def refresh_agg_view(
     # replay a stale merge over the winner's delta (lost update), and
     # a lost creation race would append duplicate key rows
     for _attempt in range(12):
+        _conflict_backoff(_attempt)
         try:
             _refresh_once(
                 spark, path, new, group_cols, partition_col,
@@ -520,6 +525,7 @@ def refresh_rollup(
     view's retained history raises; re-bootstrap with ``None``, the
     Delta CDF contract)."""
     from qurio_spark.plans.snapshots import (
+        _conflict_backoff,
         _latest_version,
         snap_changes_since,
         snap_read,
@@ -547,7 +553,8 @@ def refresh_rollup(
         # expect_version + rerun: a lost creation race (two processes
         # bootstrapping at once) would otherwise append a duplicate
         # copy through the values=[] fall-through
-        for _ in range(12):
+        for _battempt in range(12):
+            _conflict_backoff(_battempt)
             dv = _latest_version(dst_path)
             existing = (
                 None if dv is None else snap_read(spark, dst_path, dv)

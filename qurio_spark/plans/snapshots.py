@@ -211,6 +211,29 @@ def _try_commit(path: str, version: int, manifest: dict) -> bool:
 _MAX_COMMIT_RETRIES = 50
 
 
+def _conflict_backoff(
+    attempt: int,
+    base_s: float = 0.05,
+    cap_s: float = 2.0,
+    sleep=None,
+) -> None:
+    """Jittered exponential backoff between OCC retries (Delta's
+    commit-conflict posture): attempt 0 is free (the first try is not
+    a conflict), each loss then waits ``base * 2^(losses-1)`` capped
+    at ``cap``, scaled by a uniform [0.5, 1.0) jitter so N writers
+    that lost the SAME claim don't re-collide in lockstep (the
+    thundering-herd livelock an immediate-retry loop invites once
+    writer count exceeds ~2).  Pure wall-clock pacing — never affects
+    results, so the randomness is replay-safe."""
+    if attempt <= 0:
+        return
+    import random
+    import time as _time
+
+    delay = min(cap_s, base_s * (2 ** (attempt - 1)))
+    (sleep or _time.sleep)(delay * (0.5 + 0.5 * random.random()))
+
+
 def _commit(path: str, version: int, manifest: dict) -> None:
     """Single-shot commit for callers that already resolved their
     version (raises on a concurrent claim instead of retrying)."""
@@ -538,7 +561,8 @@ def _snap_commit(
         zorder_by=zorder_by, bloom_cols=bloom_cols,
     )
     new_name = _write_manifest_file(path, new_files)
-    for _ in range(_MAX_COMMIT_RETRIES):
+    for _attempt in range(_MAX_COMMIT_RETRIES):
+        _conflict_backoff(_attempt)
         prev = _latest_version(path)
         if expect_version is not None:
             actual = -1 if prev is None else prev
@@ -1361,7 +1385,8 @@ def snap_append_txn(
         df, path, 0 if prev0 is None else prev0 + 1, bloom_cols=bc
     )
     new_name = _write_manifest_file(path, new_files)
-    for _ in range(_MAX_COMMIT_RETRIES):
+    for _attempt in range(_MAX_COMMIT_RETRIES):
+        _conflict_backoff(_attempt)
         prev = _latest_version(path)
         if prev is not None:
             m_prev = _read_manifest(path, prev)
@@ -1519,7 +1544,8 @@ def snap_delete_where(
     def _disjoint(e) -> bool:
         return _range_disjoint(e, col, lo, hi)
 
-    for _ in range(_MAX_COMMIT_RETRIES):
+    for _attempt in range(_MAX_COMMIT_RETRIES):
+        _conflict_backoff(_attempt)
         v = _latest_version(path)
         if v is None:
             raise FileNotFoundError(f"no snapshot table at {path}")
@@ -1651,7 +1677,8 @@ def snap_restore(path: str, version: int) -> int:
         # refreshes the store mtime, re-entering them into the grace
         # window alongside the utime'd data/dv/bloom files above
         st.put(path, name, st.read(path, name))
-    for _ in range(_MAX_COMMIT_RETRIES):
+    for _attempt in range(_MAX_COMMIT_RETRIES):
+        _conflict_backoff(_attempt)
         cur = _latest_version(path)
         if cur is None:
             raise FileNotFoundError(f"no snapshot table at {path}")
@@ -1792,7 +1819,8 @@ def snap_delete_where_mor(
     version, or None when no row matches (a no-op never commits)."""
     from pyspark.sql import functions as F
 
-    for _ in range(_MAX_COMMIT_RETRIES):
+    for _attempt in range(_MAX_COMMIT_RETRIES):
+        _conflict_backoff(_attempt)
         v = _latest_version(path)
         if v is None:
             raise FileNotFoundError(f"no snapshot table at {path}")
@@ -1883,7 +1911,8 @@ def snap_materialize_dvs(spark: SparkSession, path: str) -> int | None:
     version, or None when the table has no vectors.  Vectors whose
     every referenced file is already gone (rewritten by later CoW /
     compaction) clear with a metadata-only commit — no data moves."""
-    for _ in range(_MAX_COMMIT_RETRIES):
+    for _attempt in range(_MAX_COMMIT_RETRIES):
+        _conflict_backoff(_attempt)
         v = _latest_version(path)
         if v is None:
             raise FileNotFoundError(f"no snapshot table at {path}")
@@ -1985,7 +2014,8 @@ def snap_mutate(
 
     ``fn`` receives None when the table does not exist yet (creation
     races are settled by the same version-0 claim)."""
-    for _ in range(_MAX_COMMIT_RETRIES):
+    for _attempt in range(_MAX_COMMIT_RETRIES):
+        _conflict_backoff(_attempt)
         v = _latest_version(path)
         cur = snap_read(spark, path, v) if v is not None else None
         try:
@@ -2128,7 +2158,8 @@ def snap_replace_values(
         mn, mx = st
         return all(v < mn or v > mx for v in vs)
 
-    for _ in range(_MAX_COMMIT_RETRIES):
+    for _attempt in range(_MAX_COMMIT_RETRIES):
+        _conflict_backoff(_attempt)
         v = _latest_version(path)
         # compare the SAME version the claim will parent on — a
         # separate pre-read would leave a window where a concurrent
@@ -2275,7 +2306,8 @@ def snap_merge(
     # as orphans, and staging before the (long) discovery join would
     # expose unreferenced files to a concurrent vacuum's grace clock
     src_files: list | None = None
-    for _ in range(_MAX_COMMIT_RETRIES):
+    for _attempt in range(_MAX_COMMIT_RETRIES):
+        _conflict_backoff(_attempt)
         v = _latest_version(path)
         m = _read_manifest(path, v)
         if m.get("schema"):
@@ -2420,7 +2452,8 @@ def snap_merge_mor(
     # source data files: written once, lazily after discovery (see
     # snap_merge)
     src_files: list | None = None
-    for _ in range(_MAX_COMMIT_RETRIES):
+    for _attempt in range(_MAX_COMMIT_RETRIES):
+        _conflict_backoff(_attempt)
         v = _latest_version(path)
         m = _read_manifest(path, v)
         if m.get("schema"):
@@ -2532,7 +2565,8 @@ def snap_update_where(
     prove no file holds a matching row."""
     from pyspark.sql import functions as F
 
-    for _ in range(_MAX_COMMIT_RETRIES):
+    for _attempt in range(_MAX_COMMIT_RETRIES):
+        _conflict_backoff(_attempt)
         v = _latest_version(path)
         if v is None:
             raise FileNotFoundError(f"no snapshot table at {path}")
@@ -2617,7 +2651,8 @@ def snap_compact(
     into a multi-dimensionally skippable layout."""
     import math
 
-    for _ in range(_MAX_COMMIT_RETRIES):
+    for _attempt in range(_MAX_COMMIT_RETRIES):
+        _conflict_backoff(_attempt)
         v = _latest_version(path)
         if v is None:
             raise FileNotFoundError(f"no snapshot table at {path}")
