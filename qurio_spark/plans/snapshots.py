@@ -491,31 +491,61 @@ def _inherit_bloom_cols(m: dict, df: DataFrame) -> list[str] | None:
     return cols or None
 
 
+# Delta Lake's type-widening whitelist (the set whose parquet files
+# stay readable under the wider pinned schema — Spark's parquet reader
+# up-converts these at scan, verified on 4.1): the integer ladder,
+# float->double, and integer->double.  Everything else (long->double
+# loses precision, string<->anything, decimal re-scale) is refused.
+_INT_LADDER = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+
+
+def _widens(frm: object, to: object) -> bool:
+    """True when a column of parquet type ``frm`` reads losslessly
+    under pinned type ``to`` (types are schema-JSON values: strings
+    for atomics, dicts for nested — nested types never widen)."""
+    if not isinstance(frm, str) or not isinstance(to, str):
+        return False
+    if frm in _INT_LADDER and to in _INT_LADDER:
+        return _INT_LADDER[frm] < _INT_LADDER[to]
+    if frm == "float" and to == "double":
+        return True
+    return frm in ("byte", "short", "integer") and to == "double"
+
+
 def _evolved_schema(parent_schema: dict | None, df: DataFrame, op: str) -> dict:
     """The version's table schema (stored in the manifest — the Delta
     shape: the LOG owns the schema, readers never sample footers).
     Overwrite resets to the frame's schema; append UNIONS by name —
     new columns are allowed (old files read them as NULL under the
-    pinned schema), same-name type changes are refused (silent type
-    evolution corrupts readers)."""
+    pinned schema), and same-name type changes are allowed ONLY for
+    the safe widenings in ``_widens`` (int ladder, float->double,
+    int->double — Delta's type-widening feature): the manifest schema
+    takes the wider type and every file on either side of the change
+    reads correctly under it.  A narrower incoming frame keeps the
+    pinned wider type (its file up-converts at scan).  Any other type
+    change is refused (silent type evolution corrupts readers)."""
     new = df.schema.jsonValue()
     if parent_schema is None or op != "append":
         return new
     by_name = {f["name"]: f for f in parent_schema["fields"]}
+    fields = list(parent_schema["fields"])
     for f in new["fields"]:
         old = by_name.get(f["name"])
         if old is None:
-            parent_schema = {
-                **parent_schema,
-                "fields": parent_schema["fields"] + [f],
-            }
+            fields.append(f)
             by_name[f["name"]] = f
         elif old["type"] != f["type"]:
-            raise ValueError(
-                f"schema evolution cannot change column {f['name']!r} "
-                f"from {old['type']} to {f['type']}"
-            )
-    return parent_schema
+            if _widens(old["type"], f["type"]):
+                widened = {**old, "type": f["type"]}
+                fields[fields.index(old)] = widened
+                by_name[f["name"]] = widened
+            elif not _widens(f["type"], old["type"]):
+                raise ValueError(
+                    f"schema evolution cannot change column {f['name']!r} "
+                    f"from {old['type']} to {f['type']}"
+                )
+            # else: narrower incoming frame — pinned wider type wins
+    return {**parent_schema, "fields": fields}
 
 
 def snap_txn_seen(path: str, app_id: str, batch_id: int) -> bool:

@@ -338,6 +338,81 @@ class TestSchemaEvolution:
             snap_append(spark.createDataFrame([("x",)], "v string"), path)
         assert len(snap_versions(path)) == 1  # nothing committed
 
+    def test_type_widening_int_to_long(self, spark, tmp_path):
+        """Delta-style type widening: appending long rows to an int
+        column widens the pinned schema to long; files written before
+        the change up-convert at scan, time travel still shows each
+        version's own type, and a later NARROW (int) append keeps the
+        widened type without touching the schema."""
+        path = str(tmp_path / "widen")
+        snap_append(spark.createDataFrame([(1,)], "v int"), path)
+        snap_append(
+            spark.createDataFrame([(1 << 40,)], "v long"), path
+        )
+        cur = snap_read(spark, path)
+        assert dict(cur.dtypes)["v"] == "bigint"
+        assert sorted(r["v"] for r in cur.collect()) == [1, 1 << 40]
+        # time travel: v0 keeps its original narrow type
+        v0 = snap_read(spark, path, 0)
+        assert dict(v0.dtypes)["v"] == "int"
+        assert [r["v"] for r in v0.collect()] == [1]
+        # narrow append after the widening: pinned wider type wins
+        snap_append(spark.createDataFrame([(7,)], "v int"), path)
+        cur = snap_read(spark, path)
+        assert dict(cur.dtypes)["v"] == "bigint"
+        assert sorted(r["v"] for r in cur.collect()) == [1, 7, 1 << 40]
+
+    def test_type_widening_float_and_int_to_double(self, spark, tmp_path):
+        path = str(tmp_path / "widenf")
+        snap_append(
+            spark.createDataFrame([(1, 1.5)], "a int, b float"), path
+        )
+        snap_append(
+            spark.createDataFrame([(2.5, 9.0)], "a double, b double"), path
+        )
+        cur = snap_read(spark, path)
+        assert dict(cur.dtypes) == {"a": "double", "b": "double"}
+        got = sorted((r["a"], r["b"]) for r in cur.collect())
+        assert got == [(1.0, 1.5), (2.5, 9.0)]
+
+    def test_lossy_and_incompatible_changes_still_rejected(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "widenbad")
+        snap_append(spark.createDataFrame([(1,)], "v long"), path)
+        # long->double loses precision above 2^53: refused
+        with pytest.raises(ValueError, match="cannot change column"):
+            snap_append(spark.createDataFrame([(0.5,)], "v double"), path)
+        with pytest.raises(ValueError, match="cannot change column"):
+            snap_append(spark.createDataFrame([("x",)], "v string"), path)
+        assert len(snap_versions(path)) == 1
+
+    def test_widening_survives_cdf_and_compaction(self, spark, tmp_path):
+        """The change feed pins the NEWER manifest's (wider) schema on
+        both sides of the diff, and compaction rewrites mixed
+        narrow/wide files into the widened type."""
+        from qurio_spark.plans.snapshots import (
+            snap_changes_since,
+            snap_compact,
+        )
+
+        path = str(tmp_path / "widencdf")
+        snap_append(
+            spark.createDataFrame([(i,) for i in range(5)], "v int")
+            .coalesce(1),
+            path,
+        )
+        snap_append(
+            spark.createDataFrame([(1 << 40,)], "v long").coalesce(1), path
+        )
+        changes, cursor = snap_changes_since(spark, path, 0)
+        assert dict(changes.dtypes)["v"] == "bigint"
+        assert [r["v"] for r in changes.collect()] == [1 << 40]
+        assert snap_compact(spark, path, small_bytes=1 << 20) == 2
+        cur = snap_read(spark, path)
+        assert dict(cur.dtypes)["v"] == "bigint"
+        assert cur.count() == 6
+
     def test_overwrite_resets_schema(self, spark, tmp_path):
         path = str(tmp_path / "evolveow")
         snap_append(
