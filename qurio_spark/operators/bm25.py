@@ -42,6 +42,14 @@ B = 0.75
 #: query touching q terms still prunes to <= q of 64 buckets.
 N_TERM_BUCKETS = 64
 
+#: Doc-block count for block-max pruning (Ding & Suel's Block-Max WAND
+#: adapted to the batch shape): each term's postings are summarized per
+#: doc-block, so theta can discard WHOLE blocks — pruning inside a long
+#: postings list, where the global per-term bound cannot help.  Blocks
+#: key on the engine-portable ``hash64(doc id)`` so the same block is
+#: computable driver-side and across segments.
+N_DOC_BLOCKS = 64
+
 
 @dataclass
 class BM25Index:
@@ -54,13 +62,19 @@ class BM25Index:
     per-document BM25 contribution under the index's frozen stats, the
     metadata MaxScore/WAND pruning needs (:func:`score_query_maxscore`).
     Computed lazily at build; persisted indexes read it as a tiny
-    sidecar so query time never scans postings for bounds."""
+    sidecar so query time never scans postings for bounds.
+
+    ``blockmax``: (term, doc_block, block_max) — the same bound per
+    (term, doc-block), the Block-Max refinement that prunes INSIDE a
+    long postings list (:func:`score_query_maxscore`); <= |vocab| x
+    ``N_DOC_BLOCKS`` rows, also a build-time sidecar."""
 
     postings: DataFrame
     doclen: DataFrame
     stats: DataFrame
     id_col: str
     termmax: DataFrame | None = None
+    blockmax: DataFrame | None = None
 
     @property
     def n_docs(self) -> int:
@@ -102,6 +116,7 @@ def build_index(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
     idx = BM25Index(postings, doclen, stats, id_col)
     idx.termmax = term_max_impacts(idx)
+    idx.blockmax = term_block_max_impacts(idx)
     return idx
 
 
@@ -132,6 +147,69 @@ def term_max_impacts(
         .groupBy("term")
         .agg(F.max("imp").alias("max_impact"))
     )
+
+
+def doc_block(col: Column, n_blocks: int = N_DOC_BLOCKS) -> Column:
+    """Engine-portable doc -> block map (md5 ``hash64`` mod n, mirrored
+    driver-side by :func:`doc_block_py` — the query planner needs the
+    same block ids as literals)."""
+    return F.pmod(hash64(col.cast("string")), F.lit(n_blocks)).cast("int")
+
+
+def doc_block_py(doc_id, n_blocks: int = N_DOC_BLOCKS) -> int:
+    return hash64_py(str(doc_id)) % n_blocks
+
+
+def _with_doc_block(
+    postings: DataFrame, id_col: str, n_blocks: int = N_DOC_BLOCKS
+) -> DataFrame:
+    """Postings with a ``doc_block`` column — reuses the stored column
+    on persisted indexes (where it is a sorted, stats-skippable scan
+    predicate) and derives it on the fly for in-memory frames."""
+    if "doc_block" in postings.columns:
+        return postings
+    return postings.withColumn("doc_block", doc_block(F.col(id_col), n_blocks))
+
+
+def term_block_max_impacts(
+    index: BM25Index,
+    k1: float = K1,
+    b: float = B,
+    n_blocks: int = N_DOC_BLOCKS,
+) -> DataFrame:
+    """(term, doc_block, block_max): each term's maximum per-document
+    BM25 contribution WITHIN each doc-block — the Block-Max WAND
+    sidecar (Ding & Suel, SIGIR'11).  One partial-agg over postings,
+    <= |vocab| x n_blocks output rows; a query consults <= q x
+    n_blocks of them."""
+    return (
+        _with_doc_block(index.postings, index.id_col, n_blocks)
+        .crossJoin(F.broadcast(index.stats))
+        .select(
+            F.col("term"), F.col("doc_block"), _impact_expr(k1, b).alias("imp")
+        )
+        .groupBy("term", "doc_block")
+        .agg(F.max("imp").alias("block_max"))
+    )
+
+
+def _alive_blocks(
+    blockmax: DataFrame, terms: list[str], theta: float
+) -> list[int] | None:
+    """Doc-blocks that could still hold a top-k document: block B
+    survives iff sum over query terms of block_max(t, B) >= theta (a
+    doc's full score is bounded by its block's per-term maxima, so a
+    failing block provably holds no doc scoring >= theta).  Driver-side
+    cost is <= N_DOC_BLOCKS aggregated rows.  Returns None when every
+    block survives (callers then skip the redundant filter)."""
+    rows = (
+        blockmax.filter(F.col("term").isin(terms))
+        .groupBy("doc_block")
+        .agg(F.sum("block_max").alias("ub"))
+        .collect()
+    )
+    alive = sorted(int(r["doc_block"]) for r in rows if float(r["ub"]) >= theta)
+    return None if len(alive) == len(rows) else alive
 
 
 def score_query(
@@ -186,9 +264,19 @@ def write_index(
     just row-group skipping); ``doclen/`` and the 1-row ``stats/``
     alongside.  df/N/avgdl are frozen at write time, exactly the
     semantics of a Lucene-style segment snapshot."""
-    index.postings.withColumn("term_bucket", term_bucket(F.col("term"), n_buckets)).write.mode(
-        "overwrite"
-    ).partitionBy("term_bucket").parquet(f"{path}/postings")
+    # doc_block rides on the stored postings rows, sorted within each
+    # term bucket, so a block-max ``doc_block IN (...)`` predicate
+    # skips whole parquet row groups inside a hot term's list — the
+    # on-disk analogue of BMW's block skipping
+    (
+        _with_doc_block(index.postings, index.id_col)
+        .withColumn("term_bucket", term_bucket(F.col("term"), n_buckets))
+        .repartition("term_bucket")
+        .sortWithinPartitions("term", "doc_block")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(f"{path}/postings")
+    )
     index.doclen.write.mode("overwrite").parquet(f"{path}/doclen")
     index.stats.write.mode("overwrite").parquet(f"{path}/stats")
     # per-term max-impact sidecar (|vocab| rows, bucket-partitioned
@@ -199,6 +287,17 @@ def write_index(
         "term_bucket", term_bucket(F.col("term"), n_buckets)
     ).write.mode("overwrite").partitionBy("term_bucket").parquet(
         f"{path}/termmax"
+    )
+    # per-(term, doc-block) bound sidecar — Block-Max refinement
+    bm = (
+        index.blockmax
+        if index.blockmax is not None
+        else term_block_max_impacts(index)
+    )
+    bm.withColumn(
+        "term_bucket", term_bucket(F.col("term"), n_buckets)
+    ).write.mode("overwrite").partitionBy("term_bucket").parquet(
+        f"{path}/blockmax"
     )
 
 
@@ -212,12 +311,16 @@ def read_index(spark: SparkSession, path: str, id_col: str = "doc_id") -> BM25In
     termmax = None
     if _os.path.isdir(f"{path}/termmax"):
         termmax = spark.read.parquet(f"{path}/termmax")
+    blockmax = None
+    if _os.path.isdir(f"{path}/blockmax"):
+        blockmax = spark.read.parquet(f"{path}/blockmax")
     return BM25Index(
         postings=spark.read.parquet(f"{path}/postings"),
         doclen=spark.read.parquet(f"{path}/doclen"),
         stats=spark.read.parquet(f"{path}/stats"),
         id_col=id_col,
         termmax=termmax,
+        blockmax=blockmax,
     )
 
 
@@ -336,20 +439,37 @@ def score_query_maxscore(
             full = index.postings.filter(F.col("term").isin(terms))
             prune_stats["postings_matched"] = full.count()
             prune_stats["postings_scored"] = prune_stats["postings_matched"]
+            prune_stats["alive_blocks"] = None
         return score_query(index, query, k1, b)
-    cand = (
-        index.postings.filter(F.col("term").isin(essential))
-        .select(index.id_col)
-        .distinct()
+    # Block-Max refinement: discard whole doc-blocks whose summed
+    # per-term block maxima cannot reach theta — this prunes INSIDE
+    # the essential lists too (where the global split cannot), and on
+    # persisted indexes the doc_block IN predicate skips row groups
+    bm = (
+        index.blockmax
+        if index.blockmax is not None
+        else term_block_max_impacts(index, k1, b)
     )
+    alive = _alive_blocks(bm, terms, theta)
+    if prune_stats is not None:
+        prune_stats["alive_blocks"] = alive
+    ess = index.postings.filter(F.col("term").isin(essential))
+    if alive is not None:
+        ess = _with_doc_block(ess, index.id_col).filter(
+            F.col("doc_block").isin(alive)
+        )
+    cand = ess.select(index.id_col).distinct()
     # candidates are SMALL by construction — they come from the
     # essential (high-impact, therefore rare) lists; when every list
     # is hot, theta never demotes a term and the full path above runs
     # with no join at all.  Broadcast makes the hot-postings filter a
     # map-side semi join instead of shuffling the hot list.
-    matched = index.postings.filter(F.col("term").isin(terms)).join(
-        F.broadcast(cand), index.id_col, "left_semi"
-    )
+    matched = index.postings.filter(F.col("term").isin(terms))
+    if alive is not None:
+        matched = _with_doc_block(matched, index.id_col).filter(
+            F.col("doc_block").isin(alive)
+        )
+    matched = matched.join(F.broadcast(cand), index.id_col, "left_semi")
     if "dl" not in matched.columns:
         matched = matched.join(index.doclen, index.id_col)
     scored = matched.crossJoin(F.broadcast(index.stats))
@@ -387,12 +507,18 @@ class BM25SegmentedIndex:
     mins — the MaxScore bound inputs stay mergeable because a
     segment-local IMPACT would be meaningless after a merge: idf and
     avgdl are global); stats: 1-row-per-segment (n, sumdl) additive
-    partials."""
+    partials; blockdf: (term, doc_block, max_tf, min_dl) — the SAME
+    additive partials per doc-block, feeding Block-Max pruning (block
+    ids hash on the doc id, so a doc keeps its block across segments
+    and the per-block max/min partials merge exactly like termdf's).
+    None on segments persisted before the sidecar existed (Block-Max
+    then degrades to plain MaxScore)."""
 
     postings: DataFrame
     termdf: DataFrame
     stats: DataFrame
     id_col: str
+    blockdf: DataFrame | None = None
 
 
 def build_segment(
@@ -415,7 +541,12 @@ def build_segment(
         F.count("*").cast("double").alias("n"),
         F.sum("dl").cast("double").alias("sumdl"),
     )
-    return BM25SegmentedIndex(postings, termdf, stats, id_col)
+    blockdf = (
+        _with_doc_block(postings, id_col)
+        .groupBy("term", "doc_block")
+        .agg(F.max("tf").alias("max_tf"), F.min("dl").alias("min_dl"))
+    )
+    return BM25SegmentedIndex(postings, termdf, stats, id_col, blockdf)
 
 
 def merge_segments(segments: list[BM25SegmentedIndex]) -> BM25SegmentedIndex:
@@ -427,11 +558,20 @@ def merge_segments(segments: list[BM25SegmentedIndex]) -> BM25SegmentedIndex:
     postings = first.postings
     termdf = first.termdf
     stats = first.stats
+    blockdf = first.blockdf
     for s in segments[1:]:
         postings = postings.unionByName(s.postings)
         termdf = termdf.unionByName(s.termdf)
         stats = stats.unionByName(s.stats)
-    return BM25SegmentedIndex(postings, termdf, stats, first.id_col)
+        # one legacy segment without the sidecar poisons the merged
+        # bound (a missing block row would UNDER-state the block UB) —
+        # degrade the whole merge to plain MaxScore instead
+        blockdf = (
+            blockdf.unionByName(s.blockdf)
+            if blockdf is not None and s.blockdf is not None
+            else None
+        )
+    return BM25SegmentedIndex(postings, termdf, stats, first.id_col, blockdf)
 
 
 def score_query_segmented(
@@ -496,18 +636,31 @@ def write_segment(
         f"{base}/termdf"
     )
     seg.stats.write.mode("overwrite").parquet(f"{base}/stats")
+    if seg.blockdf is not None:
+        seg.blockdf.withColumn(
+            "term_bucket", term_bucket(F.col("term"), n_buckets)
+        ).write.mode("overwrite").partitionBy("term_bucket").parquet(
+            f"{base}/blockdf"
+        )
 
 
 def read_segments(
     spark: SparkSession, path: str, names: list[str], id_col: str = "doc_id"
 ) -> BM25SegmentedIndex:
     """Open persisted segments as one logical index."""
+    import os as _os
+
     segs = [
         BM25SegmentedIndex(
             postings=spark.read.parquet(f"{path}/{n}/postings"),
             termdf=spark.read.parquet(f"{path}/{n}/termdf"),
             stats=spark.read.parquet(f"{path}/{n}/stats"),
             id_col=id_col,
+            blockdf=(
+                spark.read.parquet(f"{path}/{n}/blockdf")
+                if _os.path.isdir(f"{path}/{n}/blockdf")
+                else None
+            ),
         )
         for n in names
     ]
@@ -615,16 +768,49 @@ def score_query_segmented_maxscore(
             m = index.postings.filter(F.col("term").isin(terms))
             prune_stats["postings_matched"] = m.count()
             prune_stats["postings_scored"] = prune_stats["postings_matched"]
+            prune_stats["alive_blocks"] = None
         return score_query_segmented(index, query, k1, b)
-    cand = (
-        index.postings.filter(F.col("term").isin(essential))
-        .select(index.id_col)
-        .distinct()
-    )
+    # Block-Max refinement from the additive per-block partials: the
+    # cross-segment (max max_tf, min min_dl) pair dominates every real
+    # posting in the block, so UB(t, B) bounds any block member's
+    # contribution and a block whose summed UBs miss theta holds no
+    # top-k doc.  <= q x N_DOC_BLOCKS rows reach the driver.
+    alive = None
+    if index.blockdf is not None:
+        brows = (
+            index.blockdf.filter(F.col("term").isin(terms))
+            .groupBy("term", "doc_block")
+            .agg(
+                F.max("max_tf").cast("double").alias("max_tf"),
+                F.min("min_dl").cast("double").alias("min_dl"),
+            )
+            .collect()
+        )
+        block_ub: dict[int, float] = {}
+        for r in brows:
+            ub = _idf(dfs[r["term"]]) * _tfnorm(r["max_tf"], r["min_dl"])
+            block_ub[int(r["doc_block"])] = (
+                block_ub.get(int(r["doc_block"]), 0.0) + ub
+            )
+        kept = sorted(bk for bk, u in block_ub.items() if u >= theta)
+        alive = None if len(kept) == len(block_ub) else kept
+    if prune_stats is not None:
+        prune_stats["alive_blocks"] = alive
+    ess = index.postings.filter(F.col("term").isin(essential))
+    if alive is not None:
+        ess = _with_doc_block(ess, index.id_col).filter(
+            F.col("doc_block").isin(alive)
+        )
+    cand = ess.select(index.id_col).distinct()
+    hot = index.postings.filter(F.col("term").isin(terms))
+    if alive is not None:
+        hot = _with_doc_block(hot, index.id_col).filter(
+            F.col("doc_block").isin(alive)
+        )
     pruned = BM25SegmentedIndex(
-        postings=index.postings.filter(F.col("term").isin(terms)).join(
+        postings=hot.join(
             F.broadcast(cand), index.id_col, "left_semi"
-        ),
+        ).drop("doc_block"),
         termdf=index.termdf,
         stats=index.stats,
         id_col=index.id_col,
@@ -662,6 +848,13 @@ def compact_segments(
             F.sum("n").alias("n"), F.sum("sumdl").alias("sumdl")
         ),
         id_col=id_col,
+        blockdf=(
+            None
+            if merged.blockdf is None
+            else merged.blockdf.drop("term_bucket")
+            .groupBy("term", "doc_block")
+            .agg(F.max("max_tf").alias("max_tf"), F.min("min_dl").alias("min_dl"))
+        ),
     )
     write_segment(folded, path, out_name, n_buckets)
 

@@ -204,3 +204,158 @@ class TestMaxScore:
         # theta -inf (unknown kth score): nothing is prunable
         ess, ness = maxscore_split({"a": 1.0}, float("-inf"))
         assert ness == [] and ess == ["a"]
+
+
+class TestBlockMax:
+    """Block-Max refinement (Ding & Suel's BMW adapted to the batch
+    shape): per-(term, doc-block) bounds let theta discard whole
+    doc-blocks, pruning INSIDE long postings lists where the global
+    per-term bound cannot — strictly fewer postings scored than plain
+    MaxScore on a block-skewed corpus, still lossless for top-k."""
+
+    def _topk(self, df, k):
+        rows = df.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k).collect()
+        return [(r["doc_id"], round(r["bm25"], 9)) for r in rows]
+
+    @pytest.fixture()
+    def block_skewed(self, spark):
+        """'rare' appears in 10 docs: 2 HIGH-impact (tf=5, short) that
+        share one doc-block, and 8 low-impact (tf=1, long) spread over
+        OTHER blocks — chosen via doc_block_py so the block geometry is
+        deterministic.  Every doc carries the stopword 'common'.  A
+        top-2 'rare common' query's theta comes from the two strong
+        docs, so every weak-only block is provably dead."""
+        from qurio_spark.operators.bm25 import doc_block_py
+
+        by_block: dict[int, list[int]] = {}
+        for i in range(4000):
+            by_block.setdefault(doc_block_py(i), []).append(i)
+        blocks = sorted(by_block)
+        strong_block = blocks[0]
+        strong = by_block[strong_block][:2]
+        weak = [by_block[b][0] for b in blocks[1:9]]
+        filler = [by_block[b][1] for b in blocks[9:40]]
+        rows = (
+            [(i, "rare rare rare rare rare common") for i in strong]
+            + [
+                (i, "rare common " + " ".join(f"junk{i}x{j}" for j in range(10)))
+                for i in weak
+            ]
+            + [(i, f"common filler{i}") for i in filler]
+        )
+        return (
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            strong_block,
+            set(strong),
+        )
+
+    def test_fewer_postings_scored_than_plain_maxscore(
+        self, spark, block_skewed, monkeypatch
+    ):
+        import qurio_spark.operators.bm25 as bm25_mod
+        from qurio_spark.operators.bm25 import score_query_maxscore
+
+        corpus, strong_block, strong_ids = block_skewed
+        idx = build_index(corpus)
+        q = "rare common"
+        want = self._topk(score_query(idx, q), 2)
+        assert {d for d, _ in want} == strong_ids
+
+        # plain MaxScore baseline: block pruning neutralized
+        plain: dict = {}
+        monkeypatch.setattr(bm25_mod, "_alive_blocks", lambda *a: None)
+        got_plain = self._topk(
+            score_query_maxscore(idx, q, 2, prune_stats=plain), 2
+        )
+        monkeypatch.undo()
+        assert got_plain == want
+
+        bmw: dict = {}
+        got = self._topk(score_query_maxscore(idx, q, 2, prune_stats=bmw), 2)
+        assert got == want  # lossless
+        assert bmw["alive_blocks"] == [strong_block]
+        assert bmw["postings_scored"] < plain["postings_scored"], (bmw, plain)
+
+    def test_segmented_blockmax_additive_across_segments(
+        self, spark, block_skewed, monkeypatch
+    ):
+        """The per-block (max_tf, min_dl) partials must merge across a
+        segment split that separates the strong docs — pruning and
+        scores identical to the unsplit run."""
+        import qurio_spark.operators.bm25 as bm25_mod
+        from qurio_spark.operators.bm25 import score_query_segmented_maxscore
+
+        corpus, strong_block, strong_ids = block_skewed
+        merged = merge_segments([
+            build_segment(corpus.filter(F.col("doc_id") % 2 == 0)),
+            build_segment(corpus.filter(F.col("doc_id") % 2 == 1)),
+        ])
+        q = "rare common"
+        want = self._topk(score_query_segmented(merged, q), 2)
+
+        plain: dict = {}
+        monkeypatch.setattr(bm25_mod, "_alive_blocks", lambda *a: None)
+        # segmented path computes blocks inline; neutralize via blockdf
+        stripped = merge_segments([
+            build_segment(corpus.filter(F.col("doc_id") % 2 == 0)),
+            build_segment(corpus.filter(F.col("doc_id") % 2 == 1)),
+        ])
+        stripped.blockdf = None
+        got_plain = self._topk(
+            score_query_segmented_maxscore(stripped, q, 2, prune_stats=plain),
+            2,
+        )
+        monkeypatch.undo()
+        assert got_plain == want
+        assert plain["alive_blocks"] is None
+
+        bmw: dict = {}
+        got = self._topk(
+            score_query_segmented_maxscore(merged, q, 2, prune_stats=bmw), 2
+        )
+        assert got == want
+        assert bmw["alive_blocks"] == [strong_block]
+        assert bmw["postings_scored"] < plain["postings_scored"], (bmw, plain)
+
+    def test_legacy_segment_without_blockdf_degrades_gracefully(
+        self, spark, block_skewed
+    ):
+        """Merging one pre-sidecar segment poisons the additive bound,
+        so the merge must drop to plain MaxScore — never a wrong UB."""
+        from qurio_spark.operators.bm25 import score_query_segmented_maxscore
+
+        corpus, _, _ = block_skewed
+        old = build_segment(corpus.filter(F.col("doc_id") % 2 == 0))
+        old.blockdf = None
+        merged = merge_segments([
+            old, build_segment(corpus.filter(F.col("doc_id") % 2 == 1)),
+        ])
+        assert merged.blockdf is None
+        q = "rare common"
+        stats: dict = {}
+        got = self._topk(
+            score_query_segmented_maxscore(merged, q, 2, prune_stats=stats), 2
+        )
+        assert got == self._topk(score_query_segmented(merged, q), 2)
+        assert stats["alive_blocks"] is None
+
+    def test_persisted_index_roundtrips_blockmax(
+        self, spark, block_skewed, tmp_path
+    ):
+        from qurio_spark.operators.bm25 import (
+            read_index,
+            score_query_maxscore,
+            write_index,
+        )
+
+        corpus, strong_block, _ = block_skewed
+        path = str(tmp_path / "bmw_idx")
+        write_index(build_index(corpus), path)
+        idx = read_index(spark, path)
+        assert idx.blockmax is not None
+        assert "doc_block" in idx.postings.columns
+        q = "rare common"
+        stats: dict = {}
+        got = self._topk(score_query_maxscore(idx, q, 2, prune_stats=stats), 2)
+        assert got == self._topk(score_query(idx, q), 2)
+        assert stats["alive_blocks"] == [strong_block]
