@@ -18,8 +18,10 @@ on ABFS), which is the exact same contract.
 :class:`MemoryCommitStore` implements that object-store semantics
 honestly (flat key space, no rename, conditional put only) so the
 commit protocol is TESTED against the semantics it must survive in
-production; a cloud port implements the same five methods over the
-store's conditional-put API and registers itself for its path prefix.
+production, and :class:`S3CommitStore` is the real cloud port — the
+same five methods over boto3 conditional writes, exercised end-to-end
+against moto's S3 mock in tests/test_commitstore.py (protocol, 8-writer
+OCC stress, and pointer-race suites all run on it).
 
 DATA files are unaffected: they are uuid-unique immutable parquet
 written once and referenced by name, so plain eventually-visible PUTs
@@ -209,6 +211,180 @@ class MemoryCommitStore:
                 path, "_latest", str(version).encode(), gen
             ):
                 return
+
+
+class S3CommitStore:
+    """Commit store over the S3 API's conditional writes — the cloud
+    port the module doc promises, primitive by primitive:
+
+      - ``put_if_absent``  -> ``PutObject`` + ``If-None-Match: *``
+        (HTTP 412 PreconditionFailed = lost the claim; 409
+        ConditionalRequestConflict = a concurrent conditional write is
+        in flight, retry the same request);
+      - ``advance_pointer`` -> ETag CAS loop: ``GET`` the pointer's
+        ETag, then ``PutObject`` + ``If-Match: <etag>`` (or
+        ``If-None-Match: *`` when absent); 412/409 = re-read & retry,
+        losing to a HIGHER version is success (forward-only contract);
+      - ``put/read/list/delete/exists/mtime`` -> plain PutObject /
+        GetObject / ListObjectsV2 / DeleteObject / HeadObject (S3 is
+        strongly consistent read-after-write since 2020, so a read
+        after a won claim always sees the claim).
+
+    Works against AWS S3 (conditional writes GA since 2024-08) and any
+    S3-compatible endpoint implementing them (MinIO, R2).  A GCS-native
+    port would use ``x-goog-if-generation-match: 0`` / generation CAS
+    instead; ABFS uses ``If-None-Match`` on Put Blob — same contract.
+
+    Keys: ``{prefix}/{table path}/_manifests/{name}``, so the same
+    logical table path routes here untouched once registered.  The
+    boto3 client is injectable for tests (moto) and custom endpoints.
+    """
+
+    def __init__(self, bucket: str, prefix: str = "", client=None) -> None:
+        if client is None:
+            import boto3  # gated: only needed when this store is used
+
+            client = boto3.client("s3")
+        self._s3 = client
+        self._bucket = bucket
+        self._prefix = prefix.strip("/")
+
+    def _key(self, path: str, name: str | None = None) -> str:
+        parts = [p for p in (self._prefix, path.strip("/"), "_manifests") if p]
+        if name is not None:
+            parts.append(name)
+        return "/".join(parts)
+
+    @staticmethod
+    def _code(err) -> str:
+        return err.response.get("Error", {}).get("Code", "")
+
+    def put(self, path: str, name: str, data: bytes) -> None:
+        self._s3.put_object(
+            Bucket=self._bucket, Key=self._key(path, name), Body=data
+        )
+
+    def put_if_absent(self, path: str, name: str, data: bytes) -> bool:
+        from botocore.exceptions import ClientError
+
+        while True:
+            try:
+                self._s3.put_object(
+                    Bucket=self._bucket,
+                    Key=self._key(path, name),
+                    Body=data,
+                    IfNoneMatch="*",
+                )
+                return True
+            except ClientError as e:
+                code = self._code(e)
+                if code in ("PreconditionFailed", "412"):
+                    return False  # somebody else holds the claim
+                if code in ("ConditionalRequestConflict", "409"):
+                    continue  # concurrent conditional write: retry
+                raise
+
+    def read(self, path: str, name: str) -> bytes:
+        from botocore.exceptions import ClientError
+
+        try:
+            resp = self._s3.get_object(
+                Bucket=self._bucket, Key=self._key(path, name)
+            )
+        except ClientError as e:
+            if self._code(e) in ("NoSuchKey", "404"):
+                raise FileNotFoundError(
+                    f"{path}/_manifests/{name}"
+                ) from None
+            raise
+        return resp["Body"].read()
+
+    def exists(self, path: str, name: str) -> bool:
+        from botocore.exceptions import ClientError
+
+        try:
+            self._s3.head_object(
+                Bucket=self._bucket, Key=self._key(path, name)
+            )
+            return True
+        except ClientError as e:
+            if self._code(e) in ("NoSuchKey", "404"):
+                return False
+            raise
+
+    def list(self, path: str) -> list[str]:
+        prefix = self._key(path) + "/"
+        names: list[str] = []
+        paginator = self._s3.get_paginator("list_objects_v2")
+        for page in paginator.paginate(Bucket=self._bucket, Prefix=prefix):
+            for obj in page.get("Contents", []):
+                tail = obj["Key"][len(prefix):]
+                if tail and "/" not in tail:  # flat namespace, like local
+                    names.append(tail)
+        return sorted(names)
+
+    def delete(self, path: str, name: str) -> None:
+        # S3 DeleteObject is idempotent by spec: deleting a missing
+        # key succeeds
+        self._s3.delete_object(Bucket=self._bucket, Key=self._key(path, name))
+
+    def mtime(self, path: str, name: str) -> float | None:
+        from botocore.exceptions import ClientError
+
+        try:
+            resp = self._s3.head_object(
+                Bucket=self._bucket, Key=self._key(path, name)
+            )
+        except ClientError as e:
+            if self._code(e) in ("NoSuchKey", "404"):
+                return None
+            raise
+        return resp["LastModified"].timestamp()
+
+    def _pointer_with_etag(self, path: str) -> tuple[int | None, str | None]:
+        from botocore.exceptions import ClientError
+
+        try:
+            resp = self._s3.get_object(
+                Bucket=self._bucket, Key=self._key(path, "_latest")
+            )
+        except ClientError as e:
+            if self._code(e) in ("NoSuchKey", "404"):
+                return None, None
+            raise
+        return int(resp["Body"].read().decode().strip()), resp["ETag"]
+
+    def read_pointer(self, path: str) -> int | None:
+        return self._pointer_with_etag(path)[0]
+
+    def advance_pointer(self, path: str, version: int) -> None:
+        from botocore.exceptions import ClientError
+
+        key = self._key(path, "_latest")
+        body = str(version).encode()
+        while True:
+            cur, etag = self._pointer_with_etag(path)
+            if cur is not None and cur >= version:
+                return  # forward-only: losing to a higher version is fine
+            try:
+                if etag is None:
+                    self._s3.put_object(
+                        Bucket=self._bucket, Key=key, Body=body,
+                        IfNoneMatch="*",
+                    )
+                else:
+                    self._s3.put_object(
+                        Bucket=self._bucket, Key=key, Body=body,
+                        IfMatch=etag,
+                    )
+                return
+            except ClientError as e:
+                if self._code(e) in (
+                    "PreconditionFailed", "412",
+                    "ConditionalRequestConflict", "409",
+                ):
+                    continue  # lost the CAS: re-read and retry
+                raise
 
 
 _LOCAL = LocalCommitStore()

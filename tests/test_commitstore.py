@@ -1,11 +1,14 @@
 """plans/commitstore.py: the snapshot commit protocol must hold on
-BOTH metadata stores — the POSIX store (hard-link claim, rename
-pointer) and an object-store-semantics store (flat keys, conditional
-put, NO link, NO rename).  Interleaved/concurrent writers and the
-exactly-once txn sink are exercised under each."""
+ALL metadata stores — the POSIX store (hard-link claim, rename
+pointer), an object-store-semantics fake (flat keys, conditional put,
+NO link, NO rename), and the real S3 port running against moto's S3
+mock (HTTP-level If-None-Match / If-Match conditional writes).
+Interleaved/concurrent writers and the exactly-once txn sink are
+exercised under each."""
 
 from __future__ import annotations
 
+import contextlib
 import threading
 
 import pytest
@@ -14,6 +17,7 @@ from pyspark.sql import functions as F
 from qurio_spark.plans.commitstore import (
     LocalCommitStore,
     MemoryCommitStore,
+    S3CommitStore,
     register_commit_store,
     unregister_commit_store,
 )
@@ -27,8 +31,34 @@ from qurio_spark.plans.snapshots import (
     snap_versions,
 )
 
+try:
+    import boto3
+    from moto import mock_aws
 
-@pytest.fixture(params=["local", "memory"])
+    HAVE_MOTO = True
+except ImportError:  # pragma: no cover - moto is present in CI
+    HAVE_MOTO = False
+
+
+@contextlib.contextmanager
+def _moto_s3_store():
+    """An S3CommitStore against moto's in-process S3 mock — the real
+    boto3 request path, including the conditional-write status codes
+    the store's CAS loops key on."""
+    if not HAVE_MOTO:
+        pytest.skip("moto not installed")
+    with mock_aws():
+        client = boto3.client(
+            "s3",
+            region_name="us-east-1",
+            aws_access_key_id="testing",
+            aws_secret_access_key="testing",
+        )
+        client.create_bucket(Bucket="commitstore-test")
+        yield S3CommitStore("commitstore-test", prefix="t", client=client)
+
+
+@pytest.fixture(params=["local", "memory", "s3"])
 def table_path(request, tmp_path):
     """A table path whose commit metadata routes through the
     parametrized store (data parquet stays on the local fs either
@@ -38,6 +68,13 @@ def table_path(request, tmp_path):
         register_commit_store(path, MemoryCommitStore())
         yield path
         unregister_commit_store(path)
+    elif request.param == "s3":
+        with _moto_s3_store() as store:
+            register_commit_store(path, store)
+            try:
+                yield path
+            finally:
+                unregister_commit_store(path)
     else:
         yield path
 
@@ -162,24 +199,30 @@ class TestMemoryStoreSemantics:
         assert st.list("t") == []
         assert not st.exists("t", "m-1.json")
 
-    def test_local_and_memory_agree_on_interface(self, tmp_path):
-        """Same call sequence, same observable results, both stores."""
-        for st in (LocalCommitStore(), MemoryCommitStore()):
-            p = str(tmp_path / type(st).__name__)
-            assert st.read_pointer(p) is None
-            assert st.list(p) == []
-            st.put(p, "m-a.json", b"1")
-            assert st.put_if_absent(p, "v0.json", b"2")
-            assert not st.put_if_absent(p, "v0.json", b"3")
-            st.advance_pointer(p, 0)
-            st.advance_pointer(p, 2)
-            st.advance_pointer(p, 1)
-            assert st.read_pointer(p) == 2
-            assert st.read(p, "v0.json") == b"2"
-            assert st.mtime(p, "m-a.json") is not None
-            assert st.mtime(p, "nope") is None
-            with pytest.raises(FileNotFoundError):
-                st.read(p, "nope")
+    def test_all_stores_agree_on_interface(self, tmp_path):
+        """Same call sequence, same observable results, every store."""
+        with _moto_s3_store() as s3_store:
+            for st in (LocalCommitStore(), MemoryCommitStore(), s3_store):
+                p = str(tmp_path / type(st).__name__)
+                assert st.read_pointer(p) is None
+                assert st.list(p) == []
+                st.put(p, "m-a.json", b"1")
+                assert st.put_if_absent(p, "v0.json", b"2")
+                assert not st.put_if_absent(p, "v0.json", b"3")
+                st.advance_pointer(p, 0)
+                st.advance_pointer(p, 2)
+                st.advance_pointer(p, 1)
+                assert st.read_pointer(p) == 2
+                assert st.read(p, "v0.json") == b"2"
+                # pointer bookkeeping objects may also appear in list
+                assert {"m-a.json", "v0.json"} <= set(st.list(p))
+                assert st.mtime(p, "m-a.json") is not None
+                assert st.mtime(p, "nope") is None
+                with pytest.raises(FileNotFoundError):
+                    st.read(p, "nope")
+                st.delete(p, "v0.json")
+                st.delete(p, "v0.json")  # idempotent
+                assert not st.exists(p, "v0.json")
 
 
 def test_histogram_bounds_record_works_on_object_store(spark, tmp_path):
@@ -224,12 +267,24 @@ class TestPointerForwardOnly:
     a faster writer already published.  Both stores must keep the
     pointer monotonic under concurrent advances."""
 
-    @pytest.mark.parametrize("store_cls", [LocalCommitStore, MemoryCommitStore])
-    def test_concurrent_advances_never_regress(self, tmp_path, store_cls):
+    @pytest.mark.parametrize("store_kind", ["local", "memory", "s3"])
+    def test_concurrent_advances_never_regress(self, tmp_path, store_kind):
         import random
 
-        st = store_cls()
-        p = str(tmp_path / "ptr")
+        ctx = (
+            _moto_s3_store()
+            if store_kind == "s3"
+            else contextlib.nullcontext(
+                LocalCommitStore() if store_kind == "local"
+                else MemoryCommitStore()
+            )
+        )
+        with ctx as st:
+            self._race(st, str(tmp_path / "ptr"))
+
+    def _race(self, st, p):
+        import random
+
         versions = list(range(1, 65))
         random.Random(7).shuffle(versions)
         barrier = threading.Barrier(8)

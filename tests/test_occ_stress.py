@@ -33,13 +33,22 @@ from qurio_spark.plans.snapshots import (
 N_WRITERS = 8
 
 
-@pytest.fixture(params=["local", "memory"])
+@pytest.fixture(params=["local", "memory", "s3"])
 def table_path(request, tmp_path):
     path = str(tmp_path / "occstress")
     if request.param == "memory":
         register_commit_store(path, MemoryCommitStore())
         yield path
         unregister_commit_store(path)
+    elif request.param == "s3":
+        from tests.test_commitstore import _moto_s3_store
+
+        with _moto_s3_store() as store:
+            register_commit_store(path, store)
+            try:
+                yield path
+            finally:
+                unregister_commit_store(path)
     else:
         yield path
 
