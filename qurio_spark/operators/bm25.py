@@ -116,7 +116,12 @@ def build_index(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
     idx = BM25Index(postings, doclen, stats, id_col)
     idx.termmax = term_max_impacts(idx)
-    idx.blockmax = term_block_max_impacts(idx)
+    # blockmax deliberately stays None here: on an in-memory index a
+    # lazy blockmax would re-run the whole tokenize/join pipeline for
+    # one extra aggregation per query — costing more than the block
+    # pruning saves (measured ~2x on bm25_maxscore at sf0.1).  The
+    # sidecar is materialized once at write_index time; persisted
+    # indexes get Block-Max, throwaway in-memory ones get MaxScore.
     return idx
 
 
@@ -444,13 +449,15 @@ def score_query_maxscore(
     # Block-Max refinement: discard whole doc-blocks whose summed
     # per-term block maxima cannot reach theta — this prunes INSIDE
     # the essential lists too (where the global split cannot), and on
-    # persisted indexes the doc_block IN predicate skips row groups
-    bm = (
-        index.blockmax
+    # persisted indexes the doc_block IN predicate skips row groups.
+    # Engaged only when the blockmax SIDECAR exists (persisted /
+    # explicitly attached): computing it on the fly would re-scan the
+    # postings pipeline and cost more than the pruning saves.
+    alive = (
+        _alive_blocks(index.blockmax, terms, theta)
         if index.blockmax is not None
-        else term_block_max_impacts(index, k1, b)
+        else None
     )
-    alive = _alive_blocks(bm, terms, theta)
     if prune_stats is not None:
         prune_stats["alive_blocks"] = alive
     ess = index.postings.filter(F.col("term").isin(essential))

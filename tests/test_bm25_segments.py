@@ -253,10 +253,16 @@ class TestBlockMax:
         self, spark, block_skewed, monkeypatch
     ):
         import qurio_spark.operators.bm25 as bm25_mod
-        from qurio_spark.operators.bm25 import score_query_maxscore
+        from qurio_spark.operators.bm25 import (
+            score_query_maxscore,
+            term_block_max_impacts,
+        )
 
         corpus, strong_block, strong_ids = block_skewed
         idx = build_index(corpus)
+        # in-memory indexes skip Block-Max unless the sidecar is
+        # attached (build_index leaves it None by design)
+        idx.blockmax = term_block_max_impacts(idx)
         q = "rare common"
         want = self._topk(score_query(idx, q), 2)
         assert {d for d, _ in want} == strong_ids
