@@ -75,6 +75,7 @@ from qurio_spark.queries.search import (  # noqa: F401
     q_ann_ivf,
     q_batch_hybrid,
     q_batch_hybrid_ivf,
+    q_bm25_blockmax,
     q_bm25_incremental,
     q_bm25_maxscore,
     q_bm25_prebuilt,
@@ -178,6 +179,7 @@ from qurio_spark.queries.relational import (  # noqa: F401
     q_snap_bloom,
     q_snap_dv,
     q_snap_merge,
+    q_snap_widen,
     q_snap_quarantine,
     q_snap_zorder,
     q_parts_never_shipped,
@@ -422,6 +424,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     keeps content_hash (sweep) and exact_dedup (51+, auto-oracled
     each pytest run), and the catalog-mutation semantics moved
     in-window with catalog_crud; green since round 1.
+    Round 11 rotation — IN (new): ``snap_widen`` (type-widening
+    schema evolution: a narrow int/float batch then a wide
+    bigint/double append widens the manifest schema; v0 time-travels
+    with its own narrow types and the widened read must carry the
+    narrow files' float-truncated bytes exactly — the oracle repeats
+    the REAL-cast roundtrip) and ``bm25_blockmax`` (Block-Max
+    MaxScore: per-(term, doc-block) bounds discard whole doc-blocks
+    against theta; LOSSLESS, oracle = bm25_topk SQL verbatim).
+    OUT: ``snap_compact`` — the bin-pack rows-identical contract is a
+    strict subset of every other in-window snapshot read (merge, DV,
+    zorder, bloom all read through the same pinned-manifest path) and
+    the layout/file-count contract stays pinned by pytest TestCompact
+    + test_maintenance; green since round 7.  OUT: ``ann_pq`` — the
+    flat ADC+refine contract is a strict subset of the in-window
+    ann_ivfpq (IVF partition pruning + the same ADC + the same exact
+    refine) and batch_ann_pq (same codebooks, batched probe); recall
+    extras stay pinned in tests/test_pq.py; green since round 8.
     EVERY entry, in-window or not, is additionally oracle-compared at
     sf0.001 by ``tests/test_queries_full.py`` on each pytest run — the
     round-4 lesson was that out-of-window entries had no committed
@@ -436,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "read_page": q_read_page,
         "bm25_topk": q_bm25_topk,
         "bm25_maxscore": q_bm25_maxscore,
+        "bm25_blockmax": q_bm25_blockmax,
         "vector_topk": q_vector_topk,
         "hybrid_topk": q_hybrid_topk,
         "tpch_q9": q_tpch_q9,
@@ -466,20 +486,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "link_filter_chain": q_link_filter_chain,
         "snap_merge": q_snap_merge,
-        "snap_compact": q_snap_compact,
         "snap_quarantine": q_snap_quarantine,
         "snap_dv": q_snap_dv,
+        "snap_widen": q_snap_widen,
         "snap_zorder": q_snap_zorder,
         "snap_bloom": q_snap_bloom,
         "weighted_sample": q_weighted_sample,
         "rollup_daily": q_rollup_daily,
         "quantile_view": q_quantile_view,
         "tpch_q16": q_tpch_q16,
-        "ann_pq": q_ann_pq,
         "batch_ann_pq": q_batch_ann_pq,
         "rerank_overlap": q_rerank_overlap,
         # -- 51+: oracle-backed, operator proven by in-window sibling
         # (or, for minhash_lsh, newly oracle-backed breadth) ----------
+        "snap_compact": q_snap_compact,
+        "ann_pq": q_ann_pq,
         "snap_scan": q_snap_scan,
         "dedup_anti_join": q_dedup_anti_join,
         "merge_orders": q_merge_orders,

@@ -944,6 +944,14 @@ WITH {_bm25_cte()}
 SELECT doc_id, (floor((bm25) * 10000.0 + 0.5) / 10000.0) AS bm25 FROM bm25_scores
 WHERE bm25 > 0
 ORDER BY (floor((bm25) * 1000000.0 + 0.5) / 1000000.0) DESC, doc_id LIMIT 10""",
+        # identical oracle to bm25_topk on purpose: Block-Max pruning
+        # (per-(term, doc-block) bounds) is LOSSLESS for top-k — the
+        # block-pruned path must reproduce the exhaustive top-10
+        "bm25_blockmax": f"""
+WITH {_bm25_cte()}
+SELECT doc_id, (floor((bm25) * 10000.0 + 0.5) / 10000.0) AS bm25 FROM bm25_scores
+WHERE bm25 > 0
+ORDER BY (floor((bm25) * 1000000.0 + 0.5) / 1000000.0) DESC, doc_id LIMIT 10""",
         # identical oracle to bm25_topk on purpose: the persisted-index
         # path must reproduce the in-DAG build's scores exactly
         "bm25_prebuilt": f"""
@@ -1661,6 +1669,36 @@ a AS (
 SELECT 'mor' AS phase, o_orderstatus, n_orders, revenue FROM a
 UNION ALL
 SELECT 'materialized' AS phase, o_orderstatus, n_orders, revenue FROM a""",
+        # type widening: v0 reads with the narrow batch's own types;
+        # the widened read must carry the narrow files' float-truncated
+        # prices EXACTLY (CAST to REAL and back reproduces the bytes)
+        "snap_widen": """
+WITH m AS (SELECT max(o_orderkey) // 2 AS mid FROM orders),
+narrow AS (
+  SELECT CAST(o_orderkey AS INTEGER) AS o_orderkey, o_orderstatus,
+         CAST(o_totalprice AS REAL) AS o_totalprice
+  FROM orders, m WHERE o_orderkey <= mid
+),
+widened AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+         CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS o_totalprice
+  FROM orders, m WHERE o_orderkey <= mid
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders, m WHERE o_orderkey > mid
+)
+SELECT 'v0_narrow' AS phase, o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       (floor(CAST(max(o_totalprice) AS DOUBLE) * 100.0 + 0.5) / 100.0)
+         AS price_max
+FROM narrow GROUP BY o_orderstatus
+UNION ALL
+SELECT 'widened' AS phase, o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       (floor(max(o_totalprice) * 100.0 + 0.5) / 100.0) AS price_max
+FROM widened GROUP BY o_orderstatus""",
         # manifest pinning contract: v0 == first batch, latest == all
         "time_travel": """
 WITH m AS (SELECT max(o_orderkey) // 2 AS mid FROM orders),

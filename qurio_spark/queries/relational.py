@@ -348,6 +348,57 @@ def q_snap_scan(spark, sf_dir):
     )
 
 
+def q_snap_widen(spark, sf_dir):
+    """Type-widening schema evolution e2e (plans/snapshots.py,
+    Delta's type-widening feature): the first orders batch commits
+    with NARROW types (o_orderkey int, o_totalprice float), the second
+    with the natural wide ones (bigint, double) — the append widens
+    the manifest schema instead of refusing, the narrow files read
+    up-converted under the wider pinned schema, and time travel shows
+    v0 with its own narrow types.  The oracle reproduces BOTH phases,
+    including the float truncation the narrow batch's prices went
+    through (CAST to REAL and back), so the value compare proves the
+    narrow files' bytes survive the widening exactly.  Integer sums
+    keep the compare order-proof (no double-summation hazard)."""
+    import tempfile
+
+    from qurio_spark.plans.snapshots import snap_append, snap_read
+
+    path = f"{tempfile.mkdtemp(prefix='qurio-snapwiden-')}/orders"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    mid = o.agg(F.max("o_orderkey")).first()[0] // 2
+    snap_append(
+        o.filter(F.col("o_orderkey") <= mid).select(
+            F.col("o_orderkey").cast("int").alias("o_orderkey"),
+            "o_orderstatus",
+            F.col("o_totalprice").cast("float").alias("o_totalprice"),
+        ),
+        path,
+    )
+    snap_append(o.filter(F.col("o_orderkey") > mid), path)
+
+    def phase_agg(df: DataFrame, phase: str) -> DataFrame:
+        return (
+            df.groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(F.col("o_orderkey").cast("long")).alias("key_sum"),
+                stable_round(
+                    F.max(F.col("o_totalprice").cast("double")), 2
+                ).alias("price_max"),
+            )
+            .withColumn("phase", F.lit(phase))
+        )
+
+    v0 = phase_agg(snap_read(spark, path, 0), "v0_narrow")
+    cur = phase_agg(snap_read(spark, path), "widened")
+    return v0.unionByName(cur).select(
+        "phase", "o_orderstatus", "n_orders", "key_sum", "price_max"
+    )
+
+
 def q_snap_dv(spark, sf_dir):
     """Merge-on-read DELETE via deletion vectors e2e
     (plans/snapshots.snap_delete_where_mor): orders commit as two

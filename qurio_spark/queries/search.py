@@ -62,6 +62,31 @@ def q_bm25_maxscore(spark, sf_dir):
     )
 
 
+def q_bm25_blockmax(spark, sf_dir):
+    """Q2 alpha=0 through Block-Max MaxScore (r11, Ding & Suel's BMW
+    in the batch shape): a per-(term, doc-block) max-impact sidecar
+    lets theta discard WHOLE doc-blocks — blocks whose summed per-term
+    maxima miss theta provably hold no top-k doc — pruning inside long
+    postings lists where the global per-term bound cannot.  LOSSLESS
+    for top-k, so the oracle is bm25_topk's SQL verbatim.
+
+    The query runs against the PERSISTED index (the production shape:
+    ``read_index`` loads the ``blockmax/`` sidecar, and the stored
+    ``doc_block`` column — sorted within term buckets — turns the
+    block predicate into parquet row-group skipping).  In-memory
+    indexes deliberately skip the refinement (build_index leaves the
+    sidecar None: the extra postings pass costs more than it saves);
+    both paths pinned in tests/test_bm25_segments.py::TestBlockMax."""
+    idx = _bm25_index_handle(spark, sf_dir, "documents")
+    scored = bm25_op.score_query_maxscore(idx, QUERY_TEXT, 20)
+    return (
+        scored.filter(F.col("bm25") > 0)
+        .select("doc_id", stable_round("bm25", 4).alias("bm25"))
+        .orderBy(F.desc(stable_round("bm25", 6)), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 # Per-process cache of persisted index locations (sf_dir -> path).
 # bench.py populates these via prepare_indexes() OUTSIDE the timed
 # region (index builds amortize over a query stream in production); the
