@@ -2287,9 +2287,10 @@ def snap_merge(
     "multiple source rows matched" error — replacing one row with two
     is not an update); duplicated unmatched tuples simply both insert.
     NULL-keyed source rows never match and always insert.  Appends may
-    evolve the schema (new columns union by name, type changes
-    refused).  First call creates the table; an empty source returns
-    None (no version committed)."""
+    evolve the schema (new columns union by name; safe type WIDENINGS
+    — int ladder, float->double — adopt the wider type, see
+    ``_widens``; other type changes refused).  First call creates the
+    table; an empty source returns None (no version committed)."""
     from pyspark.sql import functions as F
 
     from qurio_spark.functions.checkpointing import checkpoint_df

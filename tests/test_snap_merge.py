@@ -456,3 +456,66 @@ def test_concurrent_merges_both_land(spark, tmp_path):
     assert got[2] == "R2" and got[4] == "R4" and got[200] == "RN"
     assert got[0] == "a0" and len(got) == 22
     assert snap_count(path) == 22
+
+
+class TestMergeTypeWidening:
+    """MERGE composes with type-widening schema evolution: a wider
+    source widens the table schema (narrow survivor rewrites and old
+    files up-convert at scan), a narrower source keeps the pinned
+    wider type, and lossy changes still refuse before any commit."""
+
+    def test_wider_source_widens_then_narrow_source_keeps(
+        self, spark, tmp_path
+    ):
+        from qurio_spark.plans.snapshots import (
+            snap_append,
+            snap_merge,
+            snap_read,
+        )
+
+        path = str(tmp_path / "mergewiden")
+        snap_append(
+            spark.createDataFrame([(1, 10), (2, 20)], "k int, v int"), path
+        )
+        snap_merge(
+            spark, path,
+            spark.createDataFrame([(2, 1 << 40), (3, 30)], "k long, v long"),
+            ["k"],
+        )
+        cur = snap_read(spark, path)
+        assert dict(cur.dtypes) == {"k": "bigint", "v": "bigint"}
+        assert sorted((r["k"], r["v"]) for r in cur.collect()) == [
+            (1, 10), (2, 1 << 40), (3, 30),
+        ]
+        # narrow source after the widening: pinned wider type wins
+        snap_merge(
+            spark, path,
+            spark.createDataFrame([(4, 40)], "k int, v int"), ["k"],
+        )
+        cur = snap_read(spark, path)
+        assert dict(cur.dtypes) == {"k": "bigint", "v": "bigint"}
+        assert sorted((r["k"], r["v"]) for r in cur.collect()) == [
+            (1, 10), (2, 1 << 40), (3, 30), (4, 40),
+        ]
+        # time travel: v0 keeps its narrow types
+        assert dict(snap_read(spark, path, 0).dtypes) == {
+            "k": "int", "v": "int",
+        }
+
+    def test_incompatible_source_type_refused(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from qurio_spark.plans.snapshots import (
+            snap_append,
+            snap_merge,
+            snap_versions,
+        )
+
+        path = str(tmp_path / "mergewidenbad")
+        snap_append(spark.createDataFrame([(1, 10)], "k int, v int"), path)
+        with _pytest.raises(ValueError, match="cannot change column"):
+            snap_merge(
+                spark, path,
+                spark.createDataFrame([(2, "x")], "k int, v string"), ["k"],
+            )
+        assert len(snap_versions(path)) == 1  # nothing committed
