@@ -527,11 +527,19 @@ def _evolved_schema(parent_schema: dict | None, df: DataFrame, op: str) -> dict:
     new = df.schema.jsonValue()
     if parent_schema is None or op != "append":
         return new
+    tombstoned = set(parent_schema.get("dropped", []))
     by_name = {f["name"]: f for f in parent_schema["fields"]}
     fields = list(parent_schema["fields"])
     for f in new["fields"]:
         old = by_name.get(f["name"])
         if old is None:
+            if f["name"] in tombstoned:
+                raise ValueError(
+                    f"column {f['name']!r} was dropped from this table "
+                    "and cannot be re-added: old data files still hold "
+                    "its former values, which the pinned-schema read "
+                    "would resurrect (overwrite the table to reset)"
+                )
             fields.append(f)
             by_name[f["name"]] = f
         elif old["type"] != f["type"]:
@@ -1721,6 +1729,65 @@ def snap_restore(path: str, version: int) -> int:
              "schema": target.get("schema"), **_dv_carry(target)},
         ):
             return cur + 1
+    raise RuntimeError(
+        f"commit contention on {path}: {_MAX_COMMIT_RETRIES} retries lost"
+    )
+
+
+def snap_drop_column(path: str, col: str) -> int:
+    """Metadata-only ``DROP COLUMN``: the manifest schema loses the
+    field, every data file keeps its bytes untouched (no rewrite, no
+    data movement — commit cost O(1)), and the pinned-schema read
+    simply never requests the column again.  Time travel still shows
+    the column at pre-drop versions.
+
+    The name is TOMBSTONED against re-adding: a later append reusing
+    it would RESURRECT the old files' stale values under the pinned
+    schema — the hazard Delta's column-mapping field IDs exist to
+    prevent; without physical-name mapping the honest posture is to
+    refuse (``overwrite`` resets the table wholesale and clears the
+    tombstones).  Refuses the last column and the value-cluster
+    column; the bloom table property sheds the dropped name."""
+    for _attempt in range(_MAX_COMMIT_RETRIES):
+        _conflict_backoff(_attempt)
+        v = _latest_version(path)
+        if v is None:
+            raise FileNotFoundError(f"no snapshot table at {path}")
+        m = _read_manifest(path, v)
+        schema = m.get("schema")
+        if schema is None:
+            raise ValueError(
+                "drop column needs a schema-carrying manifest "
+                "(legacy schema-less table)"
+            )
+        keep = [f for f in schema["fields"] if f["name"] != col]
+        if len(keep) == len(schema["fields"]):
+            raise ValueError(f"no such column {col!r}")
+        if not keep:
+            raise ValueError("cannot drop the last column")
+        if m.get("clustered") == col:
+            raise ValueError(
+                f"column {col!r} is the table's value-cluster key — "
+                "refresh machinery depends on it"
+            )
+        new_schema = {
+            **schema,
+            "fields": keep,
+            "dropped": sorted(set(schema.get("dropped", [])) | {col}),
+        }
+        if _try_commit(
+            path, v + 1,
+            {"version": v + 1, "op": "drop_column", "parent": v,
+             "dropped_col": col,
+             "manifests": _carried_manifests(path, m),
+             "txn": dict(m.get("txn", {})),
+             "schema": new_schema,
+             "bloom_cols": [
+                 c for c in m.get("bloom_cols", []) if c != col
+             ],
+             **_dv_carry(m)},
+        ):
+            return v + 1
     raise RuntimeError(
         f"commit contention on {path}: {_MAX_COMMIT_RETRIES} retries lost"
     )

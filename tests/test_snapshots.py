@@ -1141,3 +1141,139 @@ class TestClusteredCompactionGuard:
         assert "clustered" not in _read_manifest(path, 1)
         # unclustered again -> compaction applies once more
         assert snap_compact(spark, path, small_bytes=64 << 20) == 2
+
+
+class TestDropColumn:
+    """Metadata-only DROP COLUMN: no data movement, pinned-schema
+    reads stop requesting the column, time travel keeps it at old
+    versions, and the tombstone refuses resurrection by re-add."""
+
+    def _table(self, spark, tmp_path, name="dropcol"):
+        from qurio_spark.plans.snapshots import snap_append
+
+        path = str(tmp_path / name)
+        snap_append(
+            spark.createDataFrame(
+                [(1, "a", 1.5), (2, "b", 2.5)], "k int, s string, w double"
+            ),
+            path,
+        )
+        return path
+
+    def test_drop_is_metadata_only_and_time_travels(self, spark, tmp_path):
+        import glob
+        import os as _os
+
+        from qurio_spark.plans.snapshots import snap_drop_column, snap_read
+
+        path = self._table(spark, tmp_path)
+        files_before = {
+            f: _os.path.getmtime(f)
+            for f in glob.glob(f"{path}/data/**/*.parquet", recursive=True)
+        }
+        assert snap_drop_column(path, "s") == 1
+        files_after = {
+            f: _os.path.getmtime(f)
+            for f in glob.glob(f"{path}/data/**/*.parquet", recursive=True)
+        }
+        assert files_after == files_before  # zero data bytes moved
+        cur = snap_read(spark, path)
+        assert cur.columns == ["k", "w"]
+        assert sorted((r["k"], r["w"]) for r in cur.collect()) == [
+            (1, 1.5), (2, 2.5),
+        ]
+        v0 = snap_read(spark, path, 0)
+        assert v0.columns == ["k", "s", "w"]
+        assert sorted(r["s"] for r in v0.collect()) == ["a", "b"]
+
+    def test_append_after_drop_and_resurrection_refused(
+        self, spark, tmp_path
+    ):
+        from qurio_spark.plans.snapshots import (
+            snap_append,
+            snap_drop_column,
+            snap_overwrite,
+            snap_read,
+        )
+
+        path = self._table(spark, tmp_path)
+        snap_drop_column(path, "s")
+        snap_append(
+            spark.createDataFrame([(3, 3.5)], "k int, w double"), path
+        )
+        assert snap_read(spark, path).count() == 3
+        with pytest.raises(ValueError, match="cannot be re-added"):
+            snap_append(
+                spark.createDataFrame([(4, "zz", 4.5)], "k int, s string, w double"),
+                path,
+            )
+        # overwrite resets the table wholesale — tombstones clear
+        snap_overwrite(
+            spark.createDataFrame([(9, "fresh")], "k int, s string"), path
+        )
+        assert snap_read(spark, path).columns == ["k", "s"]
+
+    def test_drop_refusals(self, spark, tmp_path):
+        from qurio_spark.plans.snapshots import (
+            snap_drop_column,
+            snap_replace_values,
+        )
+
+        path = self._table(spark, tmp_path)
+        with pytest.raises(ValueError, match="no such column"):
+            snap_drop_column(path, "nope")
+        # cluster-key guard
+        cpath = str(tmp_path / "dropclustered")
+        snap_replace_values(
+            spark, cpath, "k", [],
+            spark.createDataFrame([("a", 1)], "k string, v int"),
+            cluster=True,
+        )
+        with pytest.raises(ValueError, match="value-cluster key"):
+            snap_drop_column(cpath, "k")
+        snap_drop_column(path, "s")
+        snap_drop_column(path, "w")
+        with pytest.raises(ValueError, match="last column"):
+            snap_drop_column(path, "k")
+
+    def test_dml_after_drop_sheds_the_column(self, spark, tmp_path):
+        """A CoW rewrite after the drop writes survivor files from the
+        pinned read — the dropped bytes do not come back."""
+        from qurio_spark.plans.snapshots import (
+            snap_drop_column,
+            snap_merge,
+            snap_read,
+        )
+
+        path = self._table(spark, tmp_path)
+        snap_drop_column(path, "s")
+        snap_merge(
+            spark, path,
+            spark.createDataFrame([(2, 20.0), (5, 5.5)], "k int, w double"),
+            ["k"],
+        )
+        cur = snap_read(spark, path)
+        assert cur.columns == ["k", "w"]
+        assert sorted((r["k"], r["w"]) for r in cur.collect()) == [
+            (1, 1.5), (2, 20.0), (5, 5.5),
+        ]
+
+    def test_bloom_property_sheds_dropped_column(self, spark, tmp_path):
+        from qurio_spark.plans.snapshots import (
+            _latest_version,
+            _read_manifest,
+            snap_append,
+            snap_drop_column,
+        )
+
+        path = str(tmp_path / "dropbloom")
+        snap_append(
+            spark.createDataFrame(
+                [(1, "a", 1.5)], "k int, s string, w double"
+            ),
+            path,
+            bloom_cols=["k", "s"],
+        )
+        snap_drop_column(path, "s")
+        m = _read_manifest(path, _latest_version(path))
+        assert m.get("bloom_cols") == ["k"]
