@@ -179,6 +179,7 @@ from qurio_spark.queries.relational import (  # noqa: F401
     q_snap_bloom,
     q_snap_dv,
     q_snap_merge,
+    q_snap_dropcol,
     q_snap_widen,
     q_snap_quarantine,
     q_snap_zorder,
@@ -441,6 +442,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ann_ivfpq (IVF partition pruning + the same ADC + the same exact
     refine) and batch_ann_pq (same codebooks, batched probe); recall
     extras stay pinned in tests/test_pq.py; green since round 8.
+    Also IN (new): ``snap_dropcol`` (metadata-only DROP COLUMN with
+    resurrection tombstones: O(1) manifest commit, live read sheds
+    the column — sees_col is computed from the actual read schema —
+    and time travel to the pre-drop version still groups by it).
+    OUT: ``time_travel`` — its v0/latest pinning contract is a strict
+    subset of snap_widen (v0 read under the narrow schema) and
+    snap_dropcol (pre-drop version read); green since round 6.
     EVERY entry, in-window or not, is additionally oracle-compared at
     sf0.001 by ``tests/test_queries_full.py`` on each pytest run — the
     round-4 lesson was that out-of-window entries had no committed
@@ -449,7 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- driver-checked window (all oracle-backed) ----------------
         "catalog_crud": q_catalog_crud,
         "filter_equality": q_filter_equality,
-        "time_travel": q_time_travel,
+        "snap_dropcol": q_snap_dropcol,
         "stats_fanin": q_stats_fanin,
         "line_dedup": q_line_dedup,
         "read_page": q_read_page,
@@ -500,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 51+: oracle-backed, operator proven by in-window sibling
         # (or, for minhash_lsh, newly oracle-backed breadth) ----------
         "snap_compact": q_snap_compact,
+        "time_travel": q_time_travel,
         "ann_pq": q_ann_pq,
         "snap_scan": q_snap_scan,
         "dedup_anti_join": q_dedup_anti_join,

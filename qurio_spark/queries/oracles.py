@@ -1699,6 +1699,21 @@ SELECT 'widened' AS phase, o_orderstatus,
        CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
        (floor(max(o_totalprice) * 100.0 + 0.5) / 100.0) AS price_max
 FROM widened GROUP BY o_orderstatus""",
+        # drop column: time travel still groups by the dropped field;
+        # the live read groups by a surviving one and must report
+        # sees_col = 0 (computed from the actual read schema)
+        "snap_dropcol": """
+SELECT 'pre_drop' AS phase, o_orderpriority AS grp, 1 AS sees_col,
+       count(*) AS n_orders,
+       (floor(CAST(sum(o_totalprice) AS DOUBLE) * 100.0 + 0.5) / 100.0)
+         AS revenue
+FROM orders GROUP BY o_orderpriority
+UNION ALL
+SELECT 'post_drop' AS phase, 'status:' || o_orderstatus AS grp,
+       0 AS sees_col, count(*) AS n_orders,
+       (floor(CAST(sum(o_totalprice) AS DOUBLE) * 100.0 + 0.5) / 100.0)
+         AS revenue
+FROM orders GROUP BY o_orderstatus""",
         # manifest pinning contract: v0 == first batch, latest == all
         "time_travel": """
 WITH m AS (SELECT max(o_orderkey) // 2 AS mid FROM orders),

@@ -399,6 +399,63 @@ def q_snap_widen(spark, sf_dir):
     )
 
 
+def q_snap_dropcol(spark, sf_dir):
+    """Metadata-only DROP COLUMN e2e (plans/snapshots.snap_drop_column,
+    Delta's ``ALTER TABLE DROP COLUMN``): orders commit as two
+    snapshots carrying o_orderpriority; the drop is an O(1) manifest
+    commit (zero data bytes move — pinned in tests/test_snapshots.py),
+    after which the pinned-schema read no longer surfaces the column
+    while TIME TRAVEL to the pre-drop version still groups by it.
+    ``sees_col`` is computed from the live read's actual schema, so a
+    read that leaked the dropped field would fail the value compare,
+    not just a pytest."""
+    import tempfile
+
+    from qurio_spark.plans.snapshots import (
+        snap_append,
+        snap_drop_column,
+        snap_read,
+    )
+
+    path = f"{tempfile.mkdtemp(prefix='qurio-snapdrop-')}/orders"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    mid = o.agg(F.max("o_orderkey")).first()[0] // 2
+    snap_append(o.filter(F.col("o_orderkey") <= mid), path)
+    snap_append(o.filter(F.col("o_orderkey") > mid), path)
+    snap_drop_column(path, "o_orderpriority")
+
+    pre = snap_read(spark, path, 1)
+    cur = snap_read(spark, path)
+
+    def phase_agg(df: DataFrame, phase: str, grp) -> DataFrame:
+        return (
+            df.groupBy(grp.alias("grp"))
+            .agg(
+                F.count("*").alias("n_orders"),
+                stable_round(F.sum("o_totalprice"), 2).alias("revenue"),
+            )
+            .select(
+                F.lit(phase).alias("phase"),
+                "grp",
+                F.lit(
+                    int("o_orderpriority" in df.columns)
+                ).alias("sees_col"),
+                "n_orders",
+                "revenue",
+            )
+        )
+
+    return phase_agg(pre, "pre_drop", F.col("o_orderpriority")).unionByName(
+        phase_agg(
+            cur,
+            "post_drop",
+            F.concat(F.lit("status:"), F.col("o_orderstatus")),
+        )
+    )
+
+
 def q_snap_dv(spark, sf_dir):
     """Merge-on-read DELETE via deletion vectors e2e
     (plans/snapshots.snap_delete_where_mor): orders commit as two
