@@ -256,7 +256,13 @@ def _decode_png_pixels(data: bytes) -> "np.ndarray":
         )
     import zlib
 
-    raw = zlib.decompress(b"".join(idat))
+    # zlib.error is NOT a ValueError — left raw it would escape every
+    # caller's (NotImplementedError, ValueError) quarantine net and
+    # kill the Spark task on one truncated upload
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"truncated PNG pixel data: {exc}") from exc
     # filter reconstruction is byte-wise; for sub-byte depths the left
     # neighbor is ONE byte back (spec 9.2: bpp rounds up to 1)
     bpp = max(1, nch * depth // 8)
@@ -923,14 +929,29 @@ def _decode_pixels(
     before any decode work (see :func:`_decode_guard`)."""
     if data is not None:
         _decode_guard(bytes(data), max_bytes, max_pixels)
+    codec = None
     if data is not None and bytes(data[:2]) == b"BM":
-        return _decode_bmp_pixels(bytes(data))
-    if data is not None and bytes(data[:8]) == b"\x89PNG\r\n\x1a\n":
-        return _decode_png_pixels(bytes(data))
-    if data is not None and bytes(data[:6]) in (b"GIF87a", b"GIF89a"):
-        return _decode_gif_pixels(bytes(data))
-    if data is not None and bytes(data[:2]) == b"\xff\xd8":
-        return _decode_jpeg_pixels(bytes(data))
+        codec = ("BMP", _decode_bmp_pixels)
+    elif data is not None and bytes(data[:8]) == b"\x89PNG\r\n\x1a\n":
+        codec = ("PNG", _decode_png_pixels)
+    elif data is not None and bytes(data[:6]) in (b"GIF87a", b"GIF89a"):
+        codec = ("GIF", _decode_gif_pixels)
+    elif data is not None and bytes(data[:2]) == b"\xff\xd8":
+        codec = ("JPEG", _decode_jpeg_pixels)
+    if codec is not None:
+        fmt, fn = codec
+        # corrupt bytes surface as whatever the parser tripped on
+        # (struct.error, IndexError, numpy shape errors...) — normalize
+        # to the ValueError taxonomy so every caller's per-row
+        # quarantine net catches them instead of the task dying
+        try:
+            return fn(bytes(data))
+        except (NotImplementedError, ValueError):
+            raise
+        except Exception as exc:  # noqa: BLE001 — corrupt upload, not ours
+            raise ValueError(
+                f"corrupt {fmt} data: {type(exc).__name__}: {exc}"
+            ) from exc
     raise NotImplementedError(
         "pixel decode requires an image codec library; swap this stub "
         "for PIL/libvips in production"
@@ -1016,6 +1037,34 @@ class PilDecodeProvider:
             except Exception:  # noqa: BLE001 — corrupt/unknown: not ours
                 out.append(None)
         return out
+
+
+def _provider_decode_batch(decode, blobs: list) -> list:
+    """Run a decode provider over a blob batch without letting one bad
+    row kill the Spark task.  The provider contract returns ``None``
+    for rows it cannot decode, but a provider that RAISES mid-batch —
+    corrupt bytes surfacing as ValueError from the hermetic codecs,
+    or a provider whose own ceilings are stricter than the caller's
+    (``PilDecodeProvider`` re-runs ``_decode_guard``) — would abort
+    every row in the Arrow batch and fail the job, violating the
+    'per-file failure rows, never a dead task' contract.  On a
+    batch-level raise (or a wrong-length result), retry per blob and
+    map each row's raise to ``None`` — the caller's existing
+    fallback/quarantine path."""
+    try:
+        out = list(decode.decode_batch(blobs))
+        if len(out) == len(blobs):
+            return out
+    except Exception:  # noqa: BLE001 — provider fault must not kill rows
+        pass
+    per_row = []
+    for b in blobs:
+        try:
+            got = decode.decode_batch([b])
+            per_row.append(got[0] if len(got) == 1 else None)
+        except Exception:  # noqa: BLE001
+            per_row.append(None)
+    return per_row
 
 
 def _resample_nearest(px: "np.ndarray", tw: int, th: int) -> "np.ndarray":
@@ -1826,7 +1875,7 @@ def extract_features(
                         blobs.append(None)
                 feats = [
                     None if px is None else _hist(px.reshape(-1))
-                    for px in decode.decode_batch(blobs)
+                    for px in _provider_decode_batch(decode, blobs)
                 ]
             out = pdf[out_cols].copy()
             out["features"] = feats
@@ -1930,8 +1979,8 @@ def resize_pixels(
                 todo.append(i)
             decoded: dict[int, "np.ndarray"] = {}
             if decode is not None and todo:
-                provided = decode.decode_batch(
-                    [bytes(contents[i]) for i in todo]
+                provided = _provider_decode_batch(
+                    decode, [bytes(contents[i]) for i in todo]
                 )
                 for i, px in zip(todo, provided):
                     if px is not None:

@@ -2567,6 +2567,82 @@ class TestDecodeProviderSlot:
         ref = _decode_pixels(blob).astype(np.int16)
         assert np.abs(got - ref).max() <= 4
 
+    def test_provider_raise_quarantines_row_not_task(self, spark):
+        """A corrupt blob that makes the provider RAISE (the hermetic
+        codecs raise ValueError on truncated pixel data; PIL-backed
+        providers re-run the guard) must quarantine that row, not kill
+        the Spark task — the other rows in the same Arrow batch keep
+        their results.  Regression: decode_batch used to be called
+        outside any try at both call sites."""
+        import numpy as np
+
+        from qurio_spark.sources.multimodal import (
+            HermeticDecodeProvider,
+            extract_features,
+            resize_pixels,
+            resize_spec,
+        )
+
+        good = make_png_full(bmp_golden(16, 9))
+        corrupt = bytes(good[: len(good) - 24])  # truncate IDAT tail
+        meta = self._meta(
+            spark,
+            [
+                ("img/good.png", bytearray(good)),
+                ("img/corrupt.png", bytearray(corrupt)),
+            ],
+        ).coalesce(1)  # one Arrow batch: the raise would poison both
+        out = {
+            r["path"]: r
+            for r in resize_pixels(
+                resize_spec(meta, max_side=4),
+                decode=HermeticDecodeProvider(),
+            ).collect()
+        }
+        assert out["img/good.png"]["resize_error"] is None
+        assert out["img/good.png"]["pixels"] is not None
+        assert out["img/corrupt.png"]["pixels"] is None
+        assert out["img/corrupt.png"]["resize_error"] is not None
+
+        feats = {
+            r["path"]: r["features"]
+            for r in extract_features(
+                meta.select("path", "content"),
+                decode=HermeticDecodeProvider(),
+            ).collect()
+        }
+        assert feats["img/good.png"] is not None
+        assert feats["img/corrupt.png"] is None
+
+        class BatchPoisonProvider:
+            """Raises on any multi-blob batch containing the corrupt
+            blob — pins that the per-row retry salvages the good rows
+            WITH the provider (fixed color), not just via fallback."""
+
+            def decode_batch(self, blobs):
+                outs = []
+                for b in blobs:
+                    if b is not None and bytes(b) == corrupt:
+                        raise ValueError("poisoned batch")
+                    from qurio_spark.sources.multimodal import (
+                        _parse_image_header,
+                    )
+
+                    _, w, h, _ = _parse_image_header(bytes(b))
+                    outs.append(np.full((h, w, 3), 77, dtype=np.uint8))
+                return outs
+
+        out2 = {
+            r["path"]: r
+            for r in resize_pixels(
+                resize_spec(meta, max_side=4), decode=BatchPoisonProvider()
+            ).collect()
+        }
+        px = np.frombuffer(
+            bytes(out2["img/good.png"]["pixels"]), dtype=np.uint8
+        )
+        assert set(px.tolist()) == {77}  # provider result, not fallback
+
     def test_extract_features_with_decode_provider(self, spark):
         import numpy as np
 
