@@ -243,7 +243,11 @@ def convert_html_column(
                 if urls is None or not _is_text_url(urls.iloc[i])
             ]
             if idxs:
-                filtered = content_filter.filter_batch(
+                from qurio_spark.functions.providers import worker_shared
+
+                # per-worker singleton: breaker state must span tasks,
+                # not reset with each task's pickled copy
+                filtered = worker_shared(content_filter).filter_batch(
                     [mds[i] for i in idxs]
                 )
                 for i, ftext in zip(idxs, filtered):

@@ -83,6 +83,32 @@ def _post_json(
         raise IngestionError(ERR_PROVIDER_SHAPE, f"bad JSON from {url}") from e
 
 
+_WORKER_PROVIDER_CACHE: dict = {}
+
+
+def worker_shared(provider):
+    """Per-worker-process provider singleton.  Closures ship a PICKLED
+    COPY of a provider into every Spark task, so instance state — the
+    circuit breaker above all — resets per task: the 3-failure/5-minute
+    open window can never accumulate across tasks, and each task
+    re-pays the doomed calls during an outage.  The reference's breaker
+    is a per-worker-process GLOBAL (web.py:54-57); this is the
+    distributed analogue: the first copy deserialized in this worker
+    process is cached by the provider's config identity and every later
+    task in the same worker reuses it, so breaker state genuinely
+    spans tasks.  Call it INSIDE the executed function (mapInPandas
+    body / UDF), never at closure-capture time on the driver."""
+    key = (
+        type(provider).__module__,
+        type(provider).__qualname__,
+        getattr(provider, "endpoint", None),
+        getattr(provider, "model", None),
+        getattr(provider, "instruction", None),
+        getattr(provider, "max_batch", None),
+    )
+    return _WORKER_PROVIDER_CACHE.setdefault(key, provider)
+
+
 class HttpEmbedder:
     """Gemini-shaped batch embedding provider (dynamic_embedder.go:30-56).
 
@@ -209,10 +235,13 @@ class HttpContentFilter:
     fails a page — the deterministic ``html_to_markdown`` +
     ``clean_markdown_noise`` path is always the floor.
 
-    The breaker lives on the instance: under ``mapInPandas`` each
-    Python worker process holds its own copy, so the open-circuit
-    bypass is per-executor-worker — the distributed analogue of the
-    reference's per-worker-process globals (web.py:54-57)."""
+    The breaker lives on the instance; executor-side call sites route
+    through :func:`worker_shared` so one copy per Python worker
+    process carries the breaker across tasks — the distributed
+    analogue of the reference's per-worker-process globals
+    (web.py:54-57).  A bare instance captured in a task closure would
+    deserialize fresh per task and the open window would never
+    accumulate."""
 
     def __init__(
         self,

@@ -856,7 +856,14 @@ def compact_segments(
         ),
         id_col=id_col,
         blockdf=(
-            None
+            # a legacy input segment without the sidecar degrades live
+            # queries to plain MaxScore (merge_segments), but compaction
+            # is exactly the maintenance pass that should HEAL it: the
+            # fold already reads every posting, so rebuild the bounds
+            # the same way build_segment derives them
+            _with_doc_block(merged.postings.drop("term_bucket"), id_col)
+            .groupBy("term", "doc_block")
+            .agg(F.max("tf").alias("max_tf"), F.min("dl").alias("min_dl"))
             if merged.blockdf is None
             else merged.blockdf.drop("term_bucket")
             .groupBy("term", "doc_block")

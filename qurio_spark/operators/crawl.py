@@ -388,18 +388,29 @@ def run_crawl_resumable(
     crawl interrupted mid-source resumes from the rows still
     'pending'; nothing completed refetches).  A killed driver loses
     only the round in flight: calling this again with the same paths
-    continues from the committed ledger, and the per-round docs append
-    is txn-marked with the ledger version it derives from, so a crash
+    continues from the committed ledger, and each round carries a
+    MONOTONIC ROUND COUNTER txn-marked into BOTH tables, so a crash
     between the docs commit and the ledger commit cannot double-append
-    on resume (exactly-once at the docs table).
+    on resume (exactly-once at the docs table).  The counter lives in
+    the manifests themselves — NOT the ledger version number, which
+    other commits (seed merges, maintenance) legitimately advance;
+    keying the replay check on the version was the round-11 bug this
+    protocol replaces.
 
     Round protocol (single crawl driver per ledger; OCC still guards
-    against operator error):
-      1. frontier = pending rows of the committed ledger,
+    against operator error), app_id = 'crawl-round:<ledger>':
+      1. R = ledger txn mark + 1; frontier = pending rows of the
+         committed ledger,
       2. distributed fetch (executors, resilient_fetch semantics),
-      3. ``snap_append_txn(docs, app_id='crawl:<ledger>', batch_id=v)``
-         where v is the ledger version the frontier was read from,
-      4. one atomic ledger overwrite -> version v+1.
+      3. ``snap_append_txn(docs, app_id, batch_id=R)``,
+      4. one atomic ledger overwrite carrying ``txn=(app_id, R)``.
+    Crash recovery: docs mark == ledger mark + 1 means round R's
+    fetches are committed but the ledger never advanced — the round
+    is COMPLETED from the docs table's own committed rows (the change
+    feed of the commit that wrote batch R), never refetched, so rows
+    merged into the frontier between crash and resume (new seeds)
+    stay pending for the next normal round instead of being marked
+    fetched with their docs dropped.
 
     ``seeds`` merge in with conflict-ignore semantics on every call
     (repo.go:98-137): new (source_id, url) pairs enter as pending
@@ -412,8 +423,11 @@ def run_crawl_resumable(
         _latest_version,
         snap_append,
         snap_append_txn,
+        snap_diff,
         snap_overwrite,
         snap_read,
+        snap_txn_mark,
+        snap_txn_version,
     )
 
     ex_lit = F.array(*[F.lit(e) for e in (exclusions or [])])
@@ -430,12 +444,43 @@ def run_crawl_resumable(
         if fresh.limit(1).count() > 0:
             snap_append(fresh, ledger_path)
 
-    app_id = f"crawl:{ledger_path}"
+    app_id = f"crawl-round:{ledger_path}"
+    doc_cols = [
+        "source_id", "url", "title", "path", "content", "links",
+        "depth", "status", "error",
+    ]
+
+    r_docs = snap_txn_mark(docs_path, app_id)
+    if r_docs == snap_txn_mark(ledger_path, app_id) + 1:
+        # crashed in the docs->ledger window: round r_docs is IN the
+        # docs table; complete it from those committed rows, no refetch
+        v_doc = snap_txn_version(docs_path, app_id, r_docs)
+        if v_doc is None:
+            raise RuntimeError(
+                f"crawl round {r_docs} committed to {docs_path} but its "
+                "version was vacuumed before the ledger advanced — "
+                "re-bootstrap the ledger"
+            )
+        recovered = (
+            snap_diff(spark, docs_path, max(v_doc - 1, 0), v_doc)
+            .filter(F.col("_change") == "insert")
+            .select(*doc_cols)
+            if v_doc > 0
+            else snap_read(spark, docs_path, 0).select(*doc_cols)
+        )
+        snap_overwrite(
+            _advance_ledger(
+                snap_read(spark, ledger_path), recovered, max_depth, ex_lit
+            ),
+            ledger_path,
+            txn=(app_id, r_docs),
+        )
+
     rounds = 0
     limit = max_rounds if max_rounds is not None else max_depth + 2
     while rounds < limit:
-        v = _latest_version(ledger_path)
-        pages = snap_read(spark, ledger_path, v)
+        r = snap_txn_mark(ledger_path, app_id) + 1
+        pages = snap_read(spark, ledger_path)
         frontier = pages.filter(F.col("status") == "pending")
         if frontier.limit(1).count() == 0:
             break
@@ -445,19 +490,15 @@ def run_crawl_resumable(
             frontier, fetch_one, policy=policy,
             breaker_factory=breaker_factory,
         ).transform(lambda d: checkpoint_df(d, eager=True))
-        # docs first, ledger second: a crash in the window re-runs the
-        # round on resume, and the txn marker (ledger version) makes
-        # the duplicate docs append a detected no-op
+        # docs first, ledger second: a crash in the window is healed by
+        # the recovery branch above on the next call
         snap_append_txn(
-            fetched.select(
-                "source_id", "url", "title", "path", "content", "links",
-                "depth", "status", "error",
-            ),
-            docs_path, app_id, v,
+            fetched.select(*doc_cols), docs_path, app_id, r,
         )
         snap_overwrite(
             _advance_ledger(pages, fetched, max_depth, ex_lit),
             ledger_path,
+            txn=(app_id, r),
         )
         rounds += 1
 
@@ -490,17 +531,27 @@ def with_content_filter(
     ``content_filter``: ``functions/providers.HttpContentFilter``
     shape.  Wrap BEFORE :func:`resilient_fetch` /
     :func:`run_crawl_distributed` so the filter runs inside the same
-    executor task as the fetch; its breaker state is then
-    per-executor-worker, matching the reference's per-worker-process
-    breaker globals."""
+    executor task as the fetch; the instance is routed through
+    :func:`~qurio_spark.functions.providers.worker_shared` so breaker
+    state accumulates per executor WORKER (the reference's
+    per-worker-process globals), not per task.  FAILED and empty
+    fetches are never filtered — the reference only filters
+    successfully fetched markdown (web.py:244-276), and a site outage
+    must neither spend LLM calls nor poison the filter's breaker with
+    crawl failures."""
     from qurio_spark.functions.htmlmd import _is_text_url
+    from qurio_spark.functions.providers import worker_shared
 
     def fetch(task: dict) -> dict:
         page = fetch_one(task)
+        if page.get("status", "success") != "success":
+            return page
         if _is_text_url(task.get("url", "")):
             return page
-        content = page.get("content", "")
-        filtered = content_filter.filter_batch([content])[0]
+        content = page.get("content") or ""
+        if not content.strip():
+            return page
+        filtered = worker_shared(content_filter).filter_batch([content])[0]
         if filtered is not None:
             page = {**page, "content": filtered}
         return page

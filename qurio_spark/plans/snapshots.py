@@ -567,6 +567,34 @@ def snap_txn_seen(path: str, app_id: str, batch_id: int) -> bool:
     return _read_manifest(path, v).get("txn", {}).get(app_id, -1) >= batch_id
 
 
+def snap_txn_mark(path: str, app_id: str) -> int:
+    """The app's committed high-water ``batch_id`` at the latest
+    version (-1 when the table or the marker doesn't exist) — the
+    read side of the Delta txn pattern, for callers that derive their
+    NEXT batch id from the table instead of an external counter
+    (e.g. the resumable crawl's round protocol)."""
+    v = _latest_version(path)
+    if v is None:
+        return -1
+    return _read_manifest(path, v).get("txn", {}).get(app_id, -1)
+
+
+def snap_txn_version(path: str, app_id: str, batch_id: int) -> int | None:
+    """The earliest RETAINED version whose txn high-water mark for
+    ``app_id`` reached ``batch_id`` — i.e. the commit that wrote that
+    batch (None when no retained version has; vacuum may have removed
+    the answer, in which case the caller must re-bootstrap)."""
+    hits = []
+    for f in store_for(path).list(path):
+        if f.startswith("v") and f.endswith(".json"):
+            n = int(f[1:-5])
+            if _read_manifest(path, n).get("txn", {}).get(
+                app_id, -1
+            ) >= batch_id:
+                hits.append(n)
+    return min(hits) if hits else None
+
+
 def _snap_commit(
     df: DataFrame,
     path: str,

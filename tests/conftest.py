@@ -17,3 +17,15 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _fresh_worker_provider_cache():
+    """providers.worker_shared caches one provider per config key per
+    PROCESS — exactly right in an executor worker, but in the test
+    process two tests using config-identical providers would share
+    breaker state across tests.  Clear it per test."""
+    from qurio_spark.functions.providers import _WORKER_PROVIDER_CACHE
+
+    _WORKER_PROVIDER_CACHE.clear()
+    yield

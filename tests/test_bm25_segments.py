@@ -94,6 +94,35 @@ def test_compaction_preserves_scores(spark, docs, tmp_path):
     assert _scores(score_query_segmented_pruned(one, QUERY)) == want
 
 
+def test_compaction_heals_missing_blockmax_sidecar(spark, docs, tmp_path):
+    """A legacy (pre-sidecar) input segment degrades LIVE merged
+    queries to plain MaxScore, but compaction reads every posting
+    anyway — it must REBUILD the Block-Max sidecar, not write a
+    permanently unprunable segment."""
+    import shutil
+
+    path = str(tmp_path / "bm25_heal")
+    write_segment(build_segment(docs.filter(F.col("doc_id") % 2 == 0)), path, "a")
+    write_segment(build_segment(docs.filter(F.col("doc_id") % 2 == 1)), path, "b")
+    shutil.rmtree(f"{path}/a/blockdf")  # simulate a pre-sidecar segment
+    assert read_segments(spark, path, ["a", "b"]).blockdf is None
+    compact_segments(spark, path, ["a", "b"], "compacted")
+    healed = read_segments(spark, path, ["compacted"])
+    assert healed.blockdf is not None
+    # rebuilt bounds == a fresh build's bounds over the same corpus
+    want = sorted(
+        map(tuple, build_segment(docs).blockdf.collect())
+    )
+    got = sorted(
+        map(tuple, healed.blockdf.drop("term_bucket").collect())
+    )
+    assert got == want
+    # and the healed segment scores exactly like the monolithic build
+    assert _scores(score_query_segmented_pruned(healed, QUERY)) == _scores(
+        score_query(build_index(docs), QUERY)
+    )
+
+
 def test_pruned_scan_has_partition_filters(spark, docs, tmp_path):
     """Both the postings and termdf scans must carry term_bucket
     partition filters (the driver-side hash pruning)."""

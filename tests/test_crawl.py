@@ -389,16 +389,33 @@ class TestResumableCrawl:
         )
         assert _latest_version(lp) == v
 
-    def test_crash_between_docs_and_ledger_commit(self, spark, tmp_path):
-        """The crash window: docs committed, ledger not yet advanced.
-        On resume the round re-runs — the refetch must NOT append its
-        docs a second time (txn marker = ledger version)."""
-        from qurio_spark.operators.crawl import run_crawl_resumable
+    def _simulate_crash_window(self, spark, lp, dp):
+        """Run the docs half of a round exactly as run_crawl_resumable
+        does (real fetch of the pending frontier, round-counter txn),
+        then 'die' before the ledger overwrite.  Returns the docs row
+        count at the crash point."""
+        from qurio_spark.operators.crawl import distributed_fetch
         from qurio_spark.plans.snapshots import (
-            _latest_version,
             snap_append_txn,
             snap_read,
+            snap_txn_mark,
         )
+
+        app = f"crawl-round:{lp}"
+        r = snap_txn_mark(lp, app) + 1
+        frontier = snap_read(spark, lp).filter(F.col("status") == "pending")
+        fetched = distributed_fetch(frontier, fake_fetch_one).select(
+            "source_id", "url", "title", "path", "content", "links",
+            "depth", "status", "error",
+        )
+        assert snap_append_txn(fetched, dp, app, r) is not None
+        return snap_read(spark, dp).count()
+
+    def test_crash_between_docs_and_ledger_commit(self, spark, tmp_path):
+        """The crash window: docs committed, ledger not yet advanced.
+        On resume the round is COMPLETED from the committed docs rows
+        — never refetched, never appended a second time."""
+        from qurio_spark.operators.crawl import run_crawl_resumable
 
         lp, dp = str(tmp_path / "ledger"), str(tmp_path / "docs")
         # round 0 completes normally
@@ -406,21 +423,8 @@ class TestResumableCrawl:
             spark, self._seeds(spark), fake_fetch_one, max_depth=2,
             ledger_path=lp, docs_path=dp, max_rounds=1,
         )
-        # simulate the crash: round 1's docs land (txn = ledger v1)
-        # but the driver dies before the ledger overwrite
-        v = _latest_version(lp)
-        frontier = snap_read(spark, lp).filter(F.col("status") == "pending")
-        fetched = frontier.select(
-            "source_id", "url",
-            F.lit("t").alias("title"), F.lit("").alias("path"),
-            F.lit("pre-crash fetch").alias("content"),
-            F.array().cast("array<string>").alias("links"),
-            "depth", F.lit("success").alias("status"),
-            F.lit(None).cast("string").alias("error"),
-        )
-        assert snap_append_txn(fetched, dp, f"crawl:{lp}", v) is not None
-        docs_rows_after_crash = snap_read(spark, dp).count()
-        # resume: the round re-runs, docs append is a detected replay
+        docs_rows_after_crash = self._simulate_crash_window(spark, lp, dp)
+        # resume: recovery advances the ledger from the committed rows
         pages, docs = run_crawl_resumable(
             spark, self._seeds(spark), fake_fetch_one, max_depth=2,
             ledger_path=lp, docs_path=dp,
@@ -436,6 +440,48 @@ class TestResumableCrawl:
             "https://d.com/deeper"
         }
         assert docs.count() >= docs_rows_after_crash
+
+    def test_seed_merge_between_crash_and_resume(self, spark, tmp_path):
+        """Round-11 regression: the txn batch id used to be the LEDGER
+        VERSION, so any ledger commit between a crash in the
+        docs->ledger window and the resume (here: merging a new seed
+        source, the documented resume-with-more-seeds usage) bumped the
+        version past the marker and the refetched round DOUBLE-APPENDED
+        every in-flight page.  The round counter + recovery path must
+        keep docs exactly-once AND still crawl the new source."""
+        from qurio_spark.operators.crawl import run_crawl_resumable
+
+        lp, dp = str(tmp_path / "ledger"), str(tmp_path / "docs")
+        run_crawl_resumable(
+            spark, self._seeds(spark), fake_fetch_one, max_depth=2,
+            ledger_path=lp, docs_path=dp, max_rounds=1,
+        )
+        self._simulate_crash_window(spark, lp, dp)
+        # resume WITH an extra seed source: the merge commits a new
+        # ledger version before the recovery round
+        both = spark.createDataFrame(
+            [("s1", "https://d.com/"), ("s2", "https://d.com/b")],
+            "source_id string, url string",
+        )
+        pages, docs = run_crawl_resumable(
+            spark, both, fake_fetch_one, max_depth=2,
+            ledger_path=lp, docs_path=dp,
+        )
+        dupes = (
+            docs.groupBy("source_id", "url").count()
+            .filter("count > 1").collect()
+        )
+        assert dupes == []  # the in-flight round did not double-append
+        by_src = {(r["source_id"], r["url"]) for r in pages.collect()}
+        assert ("s2", "https://d.com/b") in by_src
+        assert {u for s, u in by_src if s == "s1"} == set(SITE) - {
+            "https://d.com/deeper"
+        }
+        # the new seed's doc landed too (it was pending during
+        # recovery, fetched by the following normal round)
+        assert ("s2", "https://d.com/b") in {
+            (r["source_id"], r["url"]) for r in docs.collect()
+        }
 
     def test_new_source_added_to_finished_ledger(self, spark, tmp_path):
         """Conflict-ignore seed merge: adding a second source to a

@@ -632,6 +632,56 @@ class TestHttpContentFilter:
         page = fetch({"url": "https://d.io/llms.txt"})
         assert "NAVNOISE" in page["content"]
 
+    def test_failed_and_empty_fetches_never_reach_the_filter(self):
+        """A site outage must neither spend LLM calls nor poison the
+        filter's breaker with crawl failures (the reference only
+        filters successfully fetched markdown, web.py:244-276) — and a
+        provider response to an empty doc must not overwrite a failed
+        page's content."""
+        from qurio_spark.operators.crawl import with_content_filter
+
+        class MustNotBeCalled:
+            def filter_batch(self, texts):
+                raise AssertionError(
+                    f"filter called on unfit fetch: {texts!r}"
+                )
+
+        fetch = with_content_filter(
+            lambda t: {
+                "status": "failed", "content": None,
+                "error": "ERR_CRAWL_TIMEOUT",
+            },
+            MustNotBeCalled(),
+        )
+        page = fetch({"url": "https://d.io/down", "source_id": "s"})
+        assert page["status"] == "failed" and page["content"] is None
+
+        fetch = with_content_filter(
+            lambda t: {"status": "success", "content": "   \n"},
+            MustNotBeCalled(),
+        )
+        page = fetch({"url": "https://d.io/empty", "source_id": "s"})
+        assert page["content"] == "   \n"  # untouched
+
+    def test_worker_shared_is_one_instance_per_config(self, server):
+        """worker_shared: config-identical copies (what each task
+        deserializes) resolve to ONE instance per process, so breaker
+        state accumulates across tasks; a different endpoint is a
+        different slot."""
+        from qurio_spark.functions.providers import (
+            HttpContentFilter,
+            worker_shared,
+        )
+
+        a = HttpContentFilter(f"{server}/filter", policy=FAST)
+        b = HttpContentFilter(f"{server}/filter", policy=FAST)
+        other = HttpContentFilter(f"{server}/filter-bad", policy=FAST)
+        assert worker_shared(a) is worker_shared(b)
+        assert worker_shared(a) is not worker_shared(other)
+        # breaker mutations through either handle land on the shared one
+        worker_shared(b).breaker.record_failure()
+        assert worker_shared(a).breaker._consecutive == 1
+
     def test_crawl_e2e_breaker_open_bypasses_to_deterministic(self, server):
         """The done-criterion e2e: crawl with a DEAD filter endpoint —
         after 3 failures the breaker opens and every later page keeps
