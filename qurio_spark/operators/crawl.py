@@ -144,31 +144,24 @@ FetchFn = Callable[[list[dict]], list[dict]]
 #: depth, status('success'|'failed'), content, links: [str], error}]
 
 
-def _advance_ledger(pages: DataFrame, fetched: DataFrame, max_depth: int, ex_lit) -> DataFrame:
-    """One BFS round's declarative tail, shared by the driver-loop and
-    distributed crawls: flip fetched rows to completed/failed
-    (result_consumer.go:265), discover+filter links, anti-join against
-    the ledger, union the fresh frontier in."""
-    pages = (
-        pages.alias("p")
-        .join(
-            fetched.select(
-                "source_id",
-                "url",
-                F.when(F.col("status") == "success", F.lit("completed"))
-                .otherwise(F.lit("failed"))
-                .alias("new_status"),
-            ),
-            ["source_id", "url"],
-            "left",
-        )
-        .select(
-            "source_id",
-            "url",
-            F.coalesce("new_status", "status").alias("status"),
-            "depth",
-        )
+def _status_flips(fetched: DataFrame) -> DataFrame:
+    """(source_id, url, completed|failed, depth) — one ledger-update
+    row per fetched page (result_consumer.go:265)."""
+    return fetched.select(
+        "source_id",
+        "url",
+        F.when(F.col("status") == "success", F.lit("completed"))
+        .otherwise(F.lit("failed"))
+        .alias("status"),
+        "depth",
     )
+
+
+def _frontier_candidates(
+    pages: DataFrame, fetched: DataFrame, max_depth: int, ex_lit
+) -> DataFrame:
+    """The round's FRESH frontier: discover+filter links from the
+    successful fetches, anti-join against the ledger."""
     links = (
         fetched.filter(F.col("status") == "success")
         .select(
@@ -182,7 +175,48 @@ def _advance_ledger(pages: DataFrame, fetched: DataFrame, max_depth: int, ex_lit
     cand = discover_links(
         links.withColumn("max_depth", F.lit(max_depth)).withColumn("exclusions", ex_lit)
     )
-    return pages.unionByName(new_frontier(cand, pages))
+    return new_frontier(cand, pages)
+
+
+def _ledger_delta(
+    pages: DataFrame, fetched: DataFrame, max_depth: int, ex_lit
+) -> DataFrame:
+    """The round's CHANGED ROWS ONLY — status flips plus the fresh
+    frontier — the MERGE source for the persisted-ledger crawl, so the
+    per-round commit rewrites O(frontier) files, never the whole
+    ledger.  Keys are unique by construction: flips come from ledger
+    rows, candidates are in-batch deduped and anti-joined against the
+    ledger (flips included)."""
+    return _status_flips(fetched).unionByName(
+        _frontier_candidates(pages, fetched, max_depth, ex_lit)
+    )
+
+
+def _advance_ledger(pages: DataFrame, fetched: DataFrame, max_depth: int, ex_lit) -> DataFrame:
+    """One BFS round's declarative tail, shared by the driver-loop and
+    distributed crawls (whole-frame form — the persisted ledger uses
+    :func:`_ledger_delta` + MERGE instead): flip fetched rows to
+    completed/failed, discover+filter links, anti-join against the
+    ledger, union the fresh frontier in."""
+    pages = (
+        pages.alias("p")
+        .join(
+            _status_flips(fetched).select(
+                "source_id", "url", F.col("status").alias("new_status"),
+            ),
+            ["source_id", "url"],
+            "left",
+        )
+        .select(
+            "source_id",
+            "url",
+            F.coalesce("new_status", "status").alias("status"),
+            "depth",
+        )
+    )
+    return pages.unionByName(
+        _frontier_candidates(pages, fetched, max_depth, ex_lit)
+    )
 
 
 #: output schema of a distributed fetch stage
@@ -403,7 +437,11 @@ def run_crawl_resumable(
          committed ledger,
       2. distributed fetch (executors, resilient_fetch semantics),
       3. ``snap_append_txn(docs, app_id, batch_id=R)``,
-      4. one atomic ledger overwrite carrying ``txn=(app_id, R)``.
+      4. one atomic ledger MERGE of the round's changed rows only
+         (status flips + fresh frontier) carrying ``txn=(app_id, R)``
+         — the per-round commit rewrites the files holding the
+         frontier rows (the previous round's appends), O(frontier),
+         never the whole ledger.
     Crash recovery: docs mark == ledger mark + 1 means round R's
     fetches are committed but the ledger never advanced — the round
     is COMPLETED from the docs table's own committed rows (the change
@@ -424,7 +462,7 @@ def run_crawl_resumable(
         snap_append,
         snap_append_txn,
         snap_diff,
-        snap_overwrite,
+        snap_merge,
         snap_read,
         snap_txn_mark,
         snap_txn_version,
@@ -468,13 +506,18 @@ def run_crawl_resumable(
             if v_doc > 0
             else snap_read(spark, docs_path, 0).select(*doc_cols)
         )
-        snap_overwrite(
-            _advance_ledger(
-                snap_read(spark, ledger_path), recovered, max_depth, ex_lit
-            ),
-            ledger_path,
+        delta = _ledger_delta(
+            snap_read(spark, ledger_path), recovered, max_depth, ex_lit
+        )
+        snap_merge(
+            spark, ledger_path, delta, ["source_id", "url"],
             txn=(app_id, r_docs),
         )
+        if snap_txn_mark(ledger_path, app_id) < r_docs:
+            # unreachable-in-practice edge: an EMPTY delta can't commit
+            # through merge — advance the marker with an empty append
+            # so recovery can't re-trigger forever
+            snap_append_txn(delta, ledger_path, app_id, r_docs)
 
     rounds = 0
     limit = max_rounds if max_rounds is not None else max_depth + 2
@@ -495,9 +538,15 @@ def run_crawl_resumable(
         snap_append_txn(
             fetched.select(*doc_cols), docs_path, app_id, r,
         )
-        snap_overwrite(
-            _advance_ledger(pages, fetched, max_depth, ex_lit),
+        # MERGE, not overwrite: the delta rewrites only the files
+        # holding this round's frontier rows (the previous round's
+        # appends) — per-round commit cost stays O(frontier) as the
+        # ledger grows, never a full-table rewrite
+        snap_merge(
+            spark,
             ledger_path,
+            _ledger_delta(pages, fetched, max_depth, ex_lit),
+            ["source_id", "url"],
             txn=(app_id, r),
         )
         rounds += 1

@@ -2353,7 +2353,11 @@ def snap_replace_values(
 
 
 def snap_merge(
-    spark: SparkSession, path: str, source: DataFrame, keys: list[str]
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    keys: list[str],
+    txn: tuple[str, int] | None = None,
 ) -> int | None:
     """``MERGE INTO`` the snapshot table (Delta parity: WHEN MATCHED
     UPDATE SET * / WHEN NOT MATCHED INSERT *): target rows whose key
@@ -2385,7 +2389,13 @@ def snap_merge(
     evolve the schema (new columns union by name; safe type WIDENINGS
     — int ladder, float->double — adopt the wider type, see
     ``_widens``; other type changes refused).  First call creates the
-    table; an empty source returns None (no version committed)."""
+    table; an empty source returns None (no version committed).
+
+    ``txn = (app_id, batch_id)`` makes the merge IDEMPOTENT under
+    replays (the Delta txn pattern, same as :func:`snap_append_txn`):
+    a batch the table already records for the app returns None without
+    touching anything — the building block for read-modify-write
+    round protocols (the resumable crawl's ledger advance)."""
     from pyspark.sql import functions as F
 
     from qurio_spark.functions.checkpointing import checkpoint_df
@@ -2395,6 +2405,8 @@ def snap_merge(
     missing = [k for k in keys if k not in source.columns]
     if missing:
         raise ValueError(f"source is missing key columns {missing}")
+    if txn is not None and snap_txn_seen(path, *txn):
+        return None  # replay: this batch is already in the table
     source = checkpoint_df(source, eager=True)
     if source.isEmpty():
         return None
@@ -2405,6 +2417,7 @@ def snap_merge(
             path, 0,
             {"version": 0, "op": "merge", "parent": None,
              "manifests": [name],
+             "txn": {txn[0]: txn[1]} if txn is not None else {},
              "schema": _evolved_schema(None, source, "append")},
         ):
             return 0
@@ -2500,11 +2513,18 @@ def snap_merge(
                 bloom_cols=_inherit_bloom_cols(m, survivors),
             )
         new_name = _write_manifest_file(path, loose + new_files)
+        txn_map = dict(m.get("txn", {}))
+        if txn is not None:
+            # re-check per attempt: a concurrent writer of the same app
+            # may have committed this batch since the pre-flight
+            if txn_map.get(txn[0], -1) >= txn[1]:
+                return None
+            txn_map[txn[0]] = txn[1]
         if _try_commit(
             path, v + 1,
             {"version": v + 1, "op": "merge", "parent": v,
              "manifests": carried + [new_name],
-             "txn": dict(m.get("txn", {})),
+             "txn": txn_map,
              "schema": _evolved_schema(m.get("schema"), source, "append"),
              **_dv_carry(m, {os.path.basename(n) for n in affected_names})},
         ):

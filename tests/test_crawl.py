@@ -441,6 +441,54 @@ class TestResumableCrawl:
         }
         assert docs.count() >= docs_rows_after_crash
 
+    def test_ledger_advance_rewrites_only_frontier_files(
+        self, spark, tmp_path
+    ):
+        """The per-round ledger commit is a MERGE of the changed rows
+        — files holding only already-completed pages carry by name
+        with their bytes untouched, so per-round cost is O(frontier)
+        as the ledger grows, never a full rewrite."""
+        import os
+
+        from qurio_spark.operators.crawl import run_crawl_resumable
+        from qurio_spark.plans.snapshots import (
+            _latest_version,
+            _manifest_entries,
+            _read_manifest,
+        )
+
+        lp, dp = str(tmp_path / "ledger"), str(tmp_path / "docs")
+        for _ in range(2):
+            run_crawl_resumable(
+                spark, self._seeds(spark), fake_fetch_one, max_depth=2,
+                ledger_path=lp, docs_path=dp, max_rounds=1,
+            )
+        m = _read_manifest(lp, _latest_version(lp))
+        settled = {}  # completed-only files: next round must not touch
+        for e in _manifest_entries(lp, m):
+            name = e["name"] if isinstance(e, dict) else e
+            full = os.path.join(lp, name)
+            pend = (
+                spark.read.parquet(full)
+                .filter(F.col("status") == "pending")
+                .count()
+            )
+            if pend == 0:
+                settled[name] = os.path.getmtime(full)
+        assert settled  # two rounds in, some files are fully settled
+        run_crawl_resumable(
+            spark, self._seeds(spark), fake_fetch_one, max_depth=2,
+            ledger_path=lp, docs_path=dp, max_rounds=1,
+        )
+        m2 = _read_manifest(lp, _latest_version(lp))
+        names = {
+            (e["name"] if isinstance(e, dict) else e)
+            for e in _manifest_entries(lp, m2)
+        }
+        for name, mt in settled.items():
+            assert name in names  # carried, not rewritten
+            assert os.path.getmtime(os.path.join(lp, name)) == mt
+
     def test_seed_merge_between_crash_and_resume(self, spark, tmp_path):
         """Round-11 regression: the txn batch id used to be the LEDGER
         VERSION, so any ledger commit between a crash in the

@@ -131,6 +131,37 @@ class TestSnapMerge:
             snap_read(spark, table).filter(F.col("k") == 50).count() == 2
         )
 
+    def test_txn_marker_makes_merge_idempotent(self, spark, table):
+        """txn=(app, batch): the first merge commits and records the
+        marker; a replay of the same batch returns None and changes
+        NOTHING (the crash-window building block the resumable crawl's
+        round protocol relies on); the next batch commits normally."""
+        src = _kv(spark, [(3, "U3"), (30, "N30")])
+        v = snap_merge(spark, table, src, ["k"], txn=("app", 0))
+        assert v == 2
+        before = _rows(spark, table)
+        assert snap_merge(
+            spark, table, _kv(spark, [(3, "EVIL"), (31, "X")]), ["k"],
+            txn=("app", 0),
+        ) is None
+        assert _rows(spark, table) == before
+        assert snap_versions(table)[-1]["version"] == 2
+        # the next batch id is not a replay
+        assert snap_merge(
+            spark, table, _kv(spark, [(4, "U4")]), ["k"], txn=("app", 1)
+        ) == 3
+        assert dict(_rows(spark, table))[4] == "U4"
+
+    def test_txn_marker_on_table_creation(self, spark, tmp_path):
+        path = str(tmp_path / "fresh")
+        assert snap_merge(
+            spark, path, _kv(spark, [(1, "a")]), ["k"], txn=("app", 7)
+        ) == 0
+        assert snap_merge(
+            spark, path, _kv(spark, [(1, "b")]), ["k"], txn=("app", 7)
+        ) is None
+        assert dict(_rows(spark, path))[1] == "a"
+
     def test_composite_keys(self, spark, tmp_path):
         path = str(tmp_path / "c")
         df = spark.createDataFrame(
