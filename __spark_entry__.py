@@ -180,6 +180,7 @@ from qurio_spark.queries.relational import (  # noqa: F401
     q_snap_dv,
     q_snap_merge,
     q_snap_dropcol,
+    q_snap_renamecol,
     q_snap_widen,
     q_snap_quarantine,
     q_snap_zorder,
@@ -449,6 +450,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     OUT: ``time_travel`` — its v0/latest pinning contract is a strict
     subset of snap_widen (v0 read under the narrow schema) and
     snap_dropcol (pre-drop version read); green since round 6.
+    Also IN (new): ``snap_renamecol`` (metadata-only RENAME COLUMN
+    via column mapping: the live aggregation spans pre- and
+    post-rename physical files through the union-schema coalescing
+    read; time travel shows the old name; sees computed from the
+    actual read schema).  OUT: ``batch_ann_pq`` — its batched
+    flat-PQ contract decomposes into the in-window ann_ivfpq (same
+    codebooks, same ADC, same exact refine) plus batch_hybrid_ivf
+    (the batched-probe shape); recall extras stay pinned in
+    tests/test_pq.py; green since round 9.
     EVERY entry, in-window or not, is additionally oracle-compared at
     sf0.001 by ``tests/test_queries_full.py`` on each pytest run — the
     round-4 lesson was that out-of-window entries had no committed
@@ -503,12 +513,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_daily": q_rollup_daily,
         "quantile_view": q_quantile_view,
         "tpch_q16": q_tpch_q16,
-        "batch_ann_pq": q_batch_ann_pq,
+        "snap_renamecol": q_snap_renamecol,
         "rerank_overlap": q_rerank_overlap,
         # -- 51+: oracle-backed, operator proven by in-window sibling
         # (or, for minhash_lsh, newly oracle-backed breadth) ----------
         "snap_compact": q_snap_compact,
         "time_travel": q_time_travel,
+        "batch_ann_pq": q_batch_ann_pq,
         "ann_pq": q_ann_pq,
         "snap_scan": q_snap_scan,
         "dedup_anti_join": q_dedup_anti_join,

@@ -760,12 +760,26 @@ def _pinned_reader(spark: SparkSession, m: dict):
     """spark.read with the version's pinned schema applied (see
     snap_read) — every internal multi-file read of a table's own data
     must go through this, or files predating a column addition would
-    narrow the result."""
+    narrow the result.
+
+    Renamed columns (``snap_rename_column``) pin a UNION schema: the
+    logical name plus a nullable sibling per prior physical name, at
+    the field's CURRENT (widest) type — each file fills exactly the
+    name it was written with, parquet-missing names read as NULL, and
+    the caller folds them back via :func:`_coalesce_renamed`."""
     reader = spark.read
     if m.get("schema") is not None:
         from pyspark.sql import types as T
 
-        reader = reader.schema(T.StructType.fromJson(m["schema"]))
+        schema = m["schema"]
+        extra = [
+            {"name": s, "type": f["type"], "nullable": True, "metadata": {}}
+            for f in schema.get("fields", [])
+            for s in _field_sources(f)
+        ]
+        if extra:
+            schema = {**schema, "fields": list(schema["fields"]) + extra}
+        reader = reader.schema(T.StructType.fromJson(schema))
     return reader
 
 
@@ -828,7 +842,9 @@ def _read_files(
     )
     if file_col is not None:
         base = base.withColumn(file_col, F.col("_metadata.file_name"))
-    return _apply_dvs(spark, path, m, base)
+    return _coalesce_renamed(
+        _apply_dvs(spark, path, m, base), m.get("schema")
+    )
 
 
 def _range_disjoint(e, col: str, lo, hi) -> bool:
@@ -839,6 +855,54 @@ def _range_disjoint(e, col: str, lo, hi) -> bool:
         return False
     mn, mx = st
     return (lo is not None and mx < lo) or (hi is not None and mn > hi)
+
+
+def _field_sources(f: dict) -> list[str]:
+    """A field's PRIOR physical names (newest first) — non-empty only
+    after :func:`snap_rename_column`.  Files keep the column name they
+    were written with; the read path coalesces, and stats/bloom
+    lookups must try every name the column ever had."""
+    return list((f.get("metadata") or {}).get("sources", []))
+
+
+def _stat_names(m: dict, col: str) -> list[str]:
+    """``col`` plus its rename sources: the names under which a file
+    of this table may carry stats/blooms for the logical column (each
+    file has exactly ONE of them — the name at its write time)."""
+    for f in (m.get("schema") or {}).get("fields", []):
+        if f["name"] == col:
+            srcs = _field_sources(f)
+            return [col] + srcs if srcs else [col]
+    return [col]
+
+
+def _range_disjoint_m(m: dict, e, col: str, lo, hi) -> bool:
+    """Rename-aware :func:`_range_disjoint`: disjoint iff the file's
+    stats — under whichever of the column's names it was written with
+    — prove it (at most one name has stats, so ``any`` is exact)."""
+    return any(_range_disjoint(e, n, lo, hi) for n in _stat_names(m, col))
+
+
+def _coalesce_renamed(df: DataFrame, schema: dict | None) -> DataFrame:
+    """Fold a pinned read's rename-source sibling columns into their
+    logical column: per renamed field, exactly one of
+    [name, *sources] is non-NULL per row (a file physically contains
+    only its write-time name; the union schema fills the rest with
+    NULL), so ``coalesce`` reconstructs the column exactly."""
+    from pyspark.sql import functions as F
+
+    renamed = [
+        (f["name"], _field_sources(f))
+        for f in (schema or {}).get("fields", [])
+        if _field_sources(f)
+    ]
+    if not renamed:
+        return df
+    for name, sources in renamed:
+        df = df.withColumn(
+            name, F.coalesce(*[F.col(c) for c in [name] + sources])
+        )
+    return df.drop(*[s for _, srcs in renamed for s in srcs])
 
 
 def _dv_carry(m: dict, drop_files: set | None = None) -> dict:
@@ -955,27 +1019,37 @@ def _bloom_hashes(
 
 
 def _bloom_excluded(
-    spark: SparkSession, path: str, entries: list, col: str, values: list
+    spark: SparkSession,
+    path: str,
+    entries: list,
+    col: str | list[str],
+    values: list,
 ) -> set:
     """Entry names whose bloom filter PROVES ``col`` equals NONE of
     ``values`` (an IN-list is excluded only when every listed value
-    is).  Reads only the probed word positions from each commit's
-    sidecar, ONCE per sidecar for the union of all values' positions
-    (row-group pushdown keeps the metadata read tiny even for wide
-    tables); entries without a bloom for ``col`` are never excluded
-    (absent = not skippable)."""
+    is).  ``col`` may be a list of names (a renamed column's
+    ``_stat_names``): each file carries its bloom under the single
+    name it was written with, so the first matching geometry per
+    entry is THE probe.  Reads only the probed word positions from
+    each commit's sidecar, ONCE per sidecar for the union of all
+    values' positions (row-group pushdown keeps the metadata read
+    tiny even for wide tables); entries without a bloom for any of
+    the names are never excluded (absent = not skippable)."""
     import pyarrow.parquet as papq
 
-    probes: dict[str, list[tuple[str, int, int]]] = {}
+    names = [col] if isinstance(col, str) else list(col)
+    probes: dict[str, list[tuple[str, str, int, int]]] = {}
     kmax = 0
     for e in entries:
         info = e.get("bloom") if isinstance(e, dict) else None
-        geom = (info or {}).get("cols", {}).get(col)
-        if geom:
-            probes.setdefault(info["sidecar"], []).append(
-                (e["name"], geom["m"], geom["k"])
-            )
-            kmax = max(kmax, geom["k"])
+        for n in names:
+            geom = (info or {}).get("cols", {}).get(n)
+            if geom:
+                probes.setdefault(info["sidecar"], []).append(
+                    (e["name"], n, geom["m"], geom["k"])
+                )
+                kmax = max(kmax, geom["k"])
+                break
     if not probes:
         return set()
     all_hashes = _bloom_hashes(spark, values, kmax)
@@ -984,29 +1058,30 @@ def _bloom_excluded(
         needed = sorted(
             {
                 (h % m) // 64
-                for _, m, k in files
+                for _, _, m, k in files
                 for hashes in all_hashes
                 for h in hashes[:k]
             }
         )
         tbl = papq.read_table(
             os.path.join(path, sidecar),
-            filters=[("col", "==", col), ("word_idx", "in", needed)],
-            columns=["file", "word_idx", "word"],
+            filters=[("col", "in", names), ("word_idx", "in", needed)],
+            columns=["col", "file", "word_idx", "word"],
         )
         words = {
-            (f, w): int(v)
-            for f, w, v in zip(
+            (c, f, w): int(v)
+            for c, f, w, v in zip(
+                tbl.column("col").to_pylist(),
                 tbl.column("file").to_pylist(),
                 tbl.column("word_idx").to_pylist(),
                 tbl.column("word").to_pylist(),
             )
         }
-        for name, m, k in files:
+        for name, n, m, k in files:
             base = os.path.basename(name)
             any_hit = any(
                 all(
-                    words.get((base, (h % m) // 64), 0)
+                    words.get((n, base, (h % m) // 64), 0)
                     >> ((h % m) % 64) & 1
                     for h in hashes[:k]
                 )
@@ -1053,10 +1128,11 @@ def snap_scan_files(
         e
         for e in _manifest_entries(path, m)
         if not any(
-            _range_disjoint(e, col, lo, hi) for col, (lo, hi) in preds.items()
+            _range_disjoint_m(m, e, col, lo, hi)
+            for col, (lo, hi) in preds.items()
         )
         and not any(
-            all(_range_disjoint(e, col, v_, v_) for v_ in vals)
+            all(_range_disjoint_m(m, e, col, v_, v_) for v_ in vals)
             for col, vals in eqs.items()
         )
     ]
@@ -1065,16 +1141,20 @@ def snap_scan_files(
         # above and needs no Spark — only an actual BLOOM probe does,
         # so raise only when a surviving entry carries a bloom for
         # this column and spark wasn't supplied
+        names = _stat_names(m, col)
         has_bloom = any(
             isinstance(e, dict)
-            and (e.get("bloom") or {}).get("cols", {}).get(col)
+            and any(
+                (e.get("bloom") or {}).get("cols", {}).get(n)
+                for n in names
+            )
             for e in entries
         )
         if not has_bloom:
             continue
         if spark is None:
             raise ValueError("eq pruning needs the SparkSession for probe hashes")
-        dropped = _bloom_excluded(spark, path, entries, col, vals)
+        dropped = _bloom_excluded(spark, path, entries, names, vals)
         if dropped:
             entries = [e for e in entries if _entry_name(e) not in dropped]
     return [_entry_name(e) for e in entries]
@@ -1321,7 +1401,9 @@ def snap_diff(
         base = _pinned_reader(spark, pin).parquet(
             *[os.path.join(path, f) for f in files]
         )
-        return _apply_dvs(spark, path, side_m, base)
+        return _coalesce_renamed(
+            _apply_dvs(spark, path, side_m, base), pin.get("schema")
+        )
 
     if not (m_to | m_from):
         raise ValueError(
@@ -1607,15 +1689,16 @@ def snap_delete_where(
     row (a provable no-op never commits)."""
     from pyspark.sql import functions as F
 
-    def _disjoint(e) -> bool:
-        return _range_disjoint(e, col, lo, hi)
-
     for _attempt in range(_MAX_COMMIT_RETRIES):
         _conflict_backoff(_attempt)
         v = _latest_version(path)
         if v is None:
             raise FileNotFoundError(f"no snapshot table at {path}")
         m = _read_manifest(path, v)
+
+        def _disjoint(e) -> bool:
+            return _range_disjoint_m(m, e, col, lo, hi)
+
         # Classify at MANIFEST granularity: a per-commit manifest whose
         # every file is provably range-disjoint is carried forward BY
         # NAME (bytes untouched); only manifests holding an affected
@@ -1821,6 +1904,89 @@ def snap_drop_column(path: str, col: str) -> int:
     )
 
 
+def snap_rename_column(path: str, old: str, new: str) -> int:
+    """Metadata-only ``RENAME COLUMN`` via COLUMN MAPPING (Delta's
+    ``ALTER TABLE RENAME COLUMN`` under column-mapping mode): an O(1)
+    manifest commit — no data bytes move.  Files keep the column
+    under the name they were WRITTEN with; the renamed field records
+    its prior names in ``metadata.sources`` and the read path pins a
+    union schema and coalesces them back (:func:`_pinned_reader` /
+    :func:`_coalesce_renamed`), while stats, bloom probes, and DML
+    file pruning consult every name the column ever had
+    (:func:`_stat_names`).  Files rewritten by later DML carry the
+    NEW name physically, so a chain shrinks as the table churns.
+
+    Time travel shows the old name at pre-rename versions.  The OLD
+    name is TOMBSTONED (same ledger as ``snap_drop_column``): it is
+    still the physical name inside old files, so re-adding it would
+    resurrect those values under the new column — the exact hazard
+    Delta's physical-name field IDs exist to prevent.  Renaming the
+    value-cluster key is refused (refresh machinery addresses it by
+    name); the bloom table property follows the rename."""
+    for _attempt in range(_MAX_COMMIT_RETRIES):
+        _conflict_backoff(_attempt)
+        v = _latest_version(path)
+        if v is None:
+            raise FileNotFoundError(f"no snapshot table at {path}")
+        m = _read_manifest(path, v)
+        schema = m.get("schema")
+        if schema is None:
+            raise ValueError(
+                "rename column needs a schema-carrying manifest "
+                "(legacy schema-less table)"
+            )
+        names = [f["name"] for f in schema["fields"]]
+        if old not in names:
+            raise ValueError(f"no such column {old!r}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        if new in schema.get("dropped", []):
+            raise ValueError(
+                f"column name {new!r} is tombstoned (dropped or renamed "
+                "away) — old data files still carry it physically, so "
+                "reusing it would resurrect their values"
+            )
+        if any(new in _field_sources(f) for f in schema["fields"]):
+            raise ValueError(
+                f"column name {new!r} is a prior physical name of "
+                "another column"
+            )
+        if m.get("clustered") == old:
+            raise ValueError(
+                f"column {old!r} is the table's value-cluster key — "
+                "refresh machinery depends on it"
+            )
+        fields = []
+        for f in schema["fields"]:
+            if f["name"] == old:
+                meta = dict(f.get("metadata") or {})
+                meta["sources"] = [old] + _field_sources(f)
+                fields.append({**f, "name": new, "metadata": meta})
+            else:
+                fields.append(f)
+        new_schema = {
+            **schema,
+            "fields": fields,
+            "dropped": sorted(set(schema.get("dropped", [])) | {old}),
+        }
+        if _try_commit(
+            path, v + 1,
+            {"version": v + 1, "op": "rename_column", "parent": v,
+             "renamed": {"from": old, "to": new},
+             "manifests": _carried_manifests(path, m),
+             "txn": dict(m.get("txn", {})),
+             "schema": new_schema,
+             "bloom_cols": [
+                 new if c == old else c for c in m.get("bloom_cols", [])
+             ],
+             **_dv_carry(m)},
+        ):
+            return v + 1
+    raise RuntimeError(
+        f"commit contention on {path}: {_MAX_COMMIT_RETRIES} retries lost"
+    )
+
+
 def _stage_dvs(
     spark: SparkSession, path: str, hits: DataFrame, n_cand: int
 ) -> tuple[list[str], dict]:
@@ -1953,7 +2119,7 @@ def snap_delete_where_mor(
         cand = [
             _entry_name(e)
             for e in _manifest_entries(path, m)
-            if not _range_disjoint(e, col, lo, hi)
+            if not _range_disjoint_m(m, e, col, lo, hi)
         ]
         if not cand:
             return None
@@ -1964,7 +2130,11 @@ def snap_delete_where_mor(
         ).select(
             F.col("_metadata.file_name").alias("file"),
             F.col("_metadata.row_index").alias("pos"),
-            F.col(col).alias("__v"),
+            # rename-aware: a candidate file carries the column under
+            # whichever name it was written with
+            F.coalesce(
+                *[F.col(n) for n in _stat_names(m, col)]
+            ).alias("__v"),
         )
         # NULL never matches (SQL DELETE WHERE semantics) — even with
         # both bounds open, NULL-valued rows survive, matching the CoW
@@ -2432,10 +2602,11 @@ def snap_merge(
         )]
     ).first()
 
-    def _candidate(e) -> bool:
-        # disjoint on ANY key column proves no row can match
+    def _candidate(e, m) -> bool:
+        # disjoint on ANY key column proves no row can match (rename-
+        # aware: a file's stats sit under its write-time column name)
         return not any(
-            _range_disjoint(e, k, bounds[f"__mn_{k}"], bounds[f"__mx_{k}"])
+            _range_disjoint_m(m, e, k, bounds[f"__mn_{k}"], bounds[f"__mx_{k}"])
             for k in keys
         )
 
@@ -2459,7 +2630,7 @@ def snap_merge(
             e
             for name in parent_manifests
             for e in _read_manifest_file(path, name)
-            if _candidate(e)
+            if _candidate(e, m)
         ]
         affected_names: set[str] = set()
         if cand:
@@ -2589,9 +2760,9 @@ def snap_merge_mor(
         )]
     ).first()
 
-    def _candidate(e) -> bool:
+    def _candidate(e, m) -> bool:
         return not any(
-            _range_disjoint(e, k, bounds[f"__mn_{k}"], bounds[f"__mx_{k}"])
+            _range_disjoint_m(m, e, k, bounds[f"__mn_{k}"], bounds[f"__mx_{k}"])
             for k in keys
         )
 
@@ -2610,7 +2781,7 @@ def snap_merge_mor(
         cand = [
             _entry_name(e)
             for e in _manifest_entries(path, m)
-            if _candidate(e)
+            if _candidate(e, m)
         ]
         moved: list[str] = []
         new_counts: dict = {}
@@ -2620,7 +2791,12 @@ def snap_merge_mor(
             ).select(
                 F.col("_metadata.file_name").alias("file"),
                 F.col("_metadata.row_index").alias("pos"),
-                *keys,
+                *[
+                    F.coalesce(
+                        *[F.col(n) for n in _stat_names(m, k)]
+                    ).alias(k)
+                    for k in keys
+                ],
             )
             prior = m.get("dvs", [])
             if prior:
@@ -2725,13 +2901,13 @@ def snap_update_where(
         carried, loose, affected = [], [], []
         for name in _carried_manifests(path, m):
             entries = _read_manifest_file(path, name)
-            if all(_range_disjoint(e, col, lo, hi) for e in entries):
+            if all(_range_disjoint_m(m, e, col, lo, hi) for e in entries):
                 carried.append(name)
             else:
                 for e in entries:
                     (
                         loose
-                        if _range_disjoint(e, col, lo, hi)
+                        if _range_disjoint_m(m, e, col, lo, hi)
                         else affected
                     ).append(e)
         if not affected:

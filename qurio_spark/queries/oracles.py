@@ -1714,6 +1714,22 @@ SELECT 'post_drop' AS phase, 'status:' || o_orderstatus AS grp,
        (floor(CAST(sum(o_totalprice) AS DOUBLE) * 100.0 + 0.5) / 100.0)
          AS revenue
 FROM orders GROUP BY o_orderstatus""",
+        # rename via column mapping: the live aggregation spans the
+        # pre-rename (old physical name) and post-rename files; time
+        # travel shows v0 = the first batch under the old name
+        "snap_renamecol": """
+WITH m AS (SELECT max(o_orderkey) // 2 AS mid FROM orders)
+SELECT 'renamed_live' AS phase, o_orderstatus, 1 AS sees,
+       count(*) AS n_orders,
+       (floor(CAST(sum(o_totalprice) AS DOUBLE) * 100.0 + 0.5) / 100.0)
+         AS revenue
+FROM orders GROUP BY o_orderstatus
+UNION ALL
+SELECT 'pre_rename_v0' AS phase, o_orderstatus, 1 AS sees,
+       count(*) AS n_orders,
+       (floor(CAST(sum(o_totalprice) AS DOUBLE) * 100.0 + 0.5) / 100.0)
+         AS revenue
+FROM orders, m WHERE o_orderkey <= mid GROUP BY o_orderstatus""",
         # manifest pinning contract: v0 == first batch, latest == all
         "time_travel": """
 WITH m AS (SELECT max(o_orderkey) // 2 AS mid FROM orders),

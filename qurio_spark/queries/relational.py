@@ -456,6 +456,67 @@ def q_snap_dropcol(spark, sf_dir):
     )
 
 
+def q_snap_renamecol(spark, sf_dir):
+    """Metadata-only RENAME COLUMN via column mapping e2e
+    (plans/snapshots.snap_rename_column, Delta's ``ALTER TABLE RENAME
+    COLUMN`` under column-mapping mode): the first orders batch
+    commits under the ORIGINAL name, the rename is an O(1) manifest
+    commit (zero data bytes move — pinned in tests/test_snapshots.py),
+    and the second batch appends under the NEW name — so the live
+    aggregation SPANS both physical eras through the union-schema
+    coalescing read, while time travel shows the pre-rename version
+    under the old name.  ``sees`` is computed from the live read's
+    actual schema (new name present AND old name absent), so a leaked
+    or missing column fails the value compare."""
+    import tempfile
+
+    from qurio_spark.plans.snapshots import (
+        snap_append,
+        snap_read,
+        snap_rename_column,
+    )
+
+    path = f"{tempfile.mkdtemp(prefix='qurio-snaprename-')}/orders"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    mid = o.agg(F.max("o_orderkey")).first()[0] // 2
+    snap_append(o.filter(F.col("o_orderkey") <= mid), path)
+    snap_rename_column(path, "o_totalprice", "price")
+    snap_append(
+        o.filter(F.col("o_orderkey") > mid).withColumnRenamed(
+            "o_totalprice", "price"
+        ),
+        path,
+    )
+
+    pre = snap_read(spark, path, 0)
+    cur = snap_read(spark, path)
+    live = cur.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        stable_round(F.sum("price"), 2).alias("revenue"),
+    ).select(
+        F.lit("renamed_live").alias("phase"),
+        "o_orderstatus",
+        F.lit(
+            int("price" in cur.columns and "o_totalprice" not in cur.columns)
+        ).alias("sees"),
+        "n_orders",
+        "revenue",
+    )
+    tt = pre.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        stable_round(F.sum("o_totalprice"), 2).alias("revenue"),
+    ).select(
+        F.lit("pre_rename_v0").alias("phase"),
+        "o_orderstatus",
+        F.lit(int("o_totalprice" in pre.columns)).alias("sees"),
+        "n_orders",
+        "revenue",
+    )
+    return live.unionByName(tt)
+
+
 def q_snap_dv(spark, sf_dir):
     """Merge-on-read DELETE via deletion vectors e2e
     (plans/snapshots.snap_delete_where_mor): orders commit as two

@@ -1277,3 +1277,279 @@ class TestDropColumn:
         snap_drop_column(path, "s")
         m = _read_manifest(path, _latest_version(path))
         assert m.get("bloom_cols") == ["k"]
+
+
+class TestRenameColumn:
+    """Metadata-only RENAME COLUMN via column mapping: files keep
+    their write-time column name, the pinned union-schema read
+    coalesces prior names back into the logical column, stats/bloom/
+    DML pruning consult every name the column ever had, and the old
+    name is tombstoned against resurrection."""
+
+    def _table(self, spark, tmp_path, name="renamecol"):
+        from qurio_spark.plans.snapshots import snap_append
+
+        path = str(tmp_path / name)
+        snap_append(
+            spark.createDataFrame(
+                [(1, "a", 1.5), (2, "b", 2.5)], "k int, s string, w double"
+            ).repartition(1),
+            path,
+        )
+        snap_append(
+            spark.createDataFrame(
+                [(3, "c", 3.5), (4, "d", 4.5)], "k int, s string, w double"
+            ).repartition(1),
+            path,
+        )
+        return path
+
+    def test_rename_is_metadata_only_and_time_travels(
+        self, spark, tmp_path
+    ):
+        import glob
+        import os as _os
+
+        from qurio_spark.plans.snapshots import (
+            snap_read,
+            snap_rename_column,
+        )
+
+        path = self._table(spark, tmp_path)
+        files_before = {
+            f: _os.path.getmtime(f)
+            for f in glob.glob(f"{path}/data/**/*.parquet", recursive=True)
+        }
+        assert snap_rename_column(path, "s", "label") == 2
+        files_after = {
+            f: _os.path.getmtime(f)
+            for f in glob.glob(f"{path}/data/**/*.parquet", recursive=True)
+        }
+        assert files_after == files_before  # zero data bytes moved
+        cur = snap_read(spark, path)
+        assert cur.columns == ["k", "label", "w"]
+        assert sorted((r["k"], r["label"]) for r in cur.collect()) == [
+            (1, "a"), (2, "b"), (3, "c"), (4, "d"),
+        ]
+        v1 = snap_read(spark, path, 1)
+        assert v1.columns == ["k", "s", "w"]
+        assert sorted(r["s"] for r in v1.collect()) == ["a", "b", "c", "d"]
+
+    def test_append_and_cow_after_rename(self, spark, tmp_path):
+        """Post-rename appends write the NEW name physically; a CoW
+        rewrite touching pre-rename files re-writes them under the
+        new name; values stay exact across eras; NULLs in the renamed
+        column survive (coalesce must not leak across names)."""
+        from pyspark.sql import Row
+
+        from qurio_spark.plans.snapshots import (
+            snap_append,
+            snap_delete_where,
+            snap_read,
+            snap_rename_column,
+        )
+
+        path = self._table(spark, tmp_path)
+        snap_rename_column(path, "s", "label")
+        snap_append(
+            spark.createDataFrame(
+                [Row(k=5, label=None, w=5.5), Row(k=6, label="f", w=6.5)]
+            ),
+            path,
+        )
+        got = {
+            r["k"]: r["label"] for r in snap_read(spark, path).collect()
+        }
+        assert got == {1: "a", 2: "b", 3: "c", 4: "d", 5: None, 6: "f"}
+        # CoW delete keyed on k rewrites a pre-rename file's survivors
+        snap_delete_where(spark, path, "k", lo=1, hi=1)
+        got = {
+            r["k"]: r["label"] for r in snap_read(spark, path).collect()
+        }
+        assert got == {2: "b", 3: "c", 4: "d", 5: None, 6: "f"}
+
+    def test_scan_pruning_consults_both_names(self, spark, tmp_path):
+        """snap_scan on the renamed column prunes files written BEFORE
+        the rename by their old-name stats and files written after by
+        their new-name stats."""
+        from qurio_spark.plans.snapshots import (
+            snap_append,
+            snap_rename_column,
+            snap_scan,
+            snap_scan_files,
+        )
+
+        path = str(tmp_path / "renamescan")
+        snap_append(
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(10)], "a int, w double"
+            ).coalesce(1),
+            path,
+        )
+        snap_rename_column(path, "a", "b")
+        snap_append(
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(100, 110)], "b int, w double"
+            ).coalesce(1),
+            path,
+        )
+        # range hitting only the OLD file
+        assert len(snap_scan_files(path, {"b": (2, 4)})) == 1
+        # range hitting only the NEW file
+        assert len(snap_scan_files(path, {"b": (105, 106)})) == 1
+        # disjoint from both
+        assert snap_scan_files(path, {"b": (50, 60)}) == []
+        got = sorted(
+            r["b"]
+            for r in snap_scan(spark, path, "b", lo=2, hi=105).collect()
+        )
+        assert got == [2, 3, 4, 5, 6, 7, 8, 9, 100, 101, 102, 103, 104, 105]
+
+    def test_bloom_probe_spans_the_rename(self, spark, tmp_path):
+        """Equality file-skipping probes the bloom under whichever
+        name each file was written with."""
+        from qurio_spark.plans.snapshots import (
+            _latest_version,
+            _read_manifest,
+            snap_append,
+            snap_rename_column,
+            snap_scan_files,
+        )
+
+        path = str(tmp_path / "renamebloom")
+        snap_append(
+            spark.createDataFrame(
+                [(f"u{i}", i) for i in range(50)], "a string, v int"
+            ).coalesce(1),
+            path,
+            bloom_cols=["a"],
+        )
+        snap_rename_column(path, "a", "b")
+        m = _read_manifest(path, _latest_version(path))
+        assert m.get("bloom_cols") == ["b"]  # property follows the rename
+        snap_append(
+            spark.createDataFrame(
+                [(f"z{i}", i) for i in range(50)], "b string, v int"
+            ).coalesce(1),
+            path,
+        )
+        # value only in the pre-rename file: post-rename file excluded
+        assert len(
+            snap_scan_files(path, {}, spark=spark, eq={"b": "u7"})
+        ) == 1
+        # value in neither: both excluded
+        assert snap_scan_files(path, {}, spark=spark, eq={"b": "nope"}) == []
+
+    def test_merge_and_mor_delete_on_renamed_key(self, spark, tmp_path):
+        from qurio_spark.plans.snapshots import (
+            snap_delete_where_mor,
+            snap_merge,
+            snap_read,
+            snap_rename_column,
+        )
+
+        path = self._table(spark, tmp_path)
+        snap_rename_column(path, "k", "id")
+        # merge keyed on the renamed column, source uses the new names
+        snap_merge(
+            spark, path,
+            spark.createDataFrame(
+                [(2, "B2", 20.0), (9, "N9", 9.5)],
+                "id int, s string, w double",
+            ),
+            ["id"],
+        )
+        got = {r["id"]: r["s"] for r in snap_read(spark, path).collect()}
+        assert got == {1: "a", 2: "B2", 3: "c", 4: "d", 9: "N9"}
+        # MOR delete on the renamed column: positions found in
+        # pre-rename files via their old physical name
+        snap_delete_where_mor(spark, path, "id", lo=3, hi=3)
+        got = {r["id"]: r["s"] for r in snap_read(spark, path).collect()}
+        assert got == {1: "a", 2: "B2", 4: "d", 9: "N9"}
+
+    def test_rename_chain_and_diff(self, spark, tmp_path):
+        from qurio_spark.plans.snapshots import (
+            snap_diff,
+            snap_read,
+            snap_rename_column,
+        )
+
+        path = self._table(spark, tmp_path)
+        snap_rename_column(path, "s", "mid")
+        snap_rename_column(path, "mid", "final")
+        cur = snap_read(spark, path)
+        assert cur.columns == ["k", "final", "w"]
+        assert sorted(r["final"] for r in cur.collect()) == [
+            "a", "b", "c", "d",
+        ]
+        # a rename changes no rows: the change feed across it is empty
+        assert snap_diff(spark, path, 1, 3).count() == 0
+
+    def test_rename_refusals_and_tombstones(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from qurio_spark.plans.snapshots import (
+            snap_append,
+            snap_drop_column,
+            snap_rename_column,
+            snap_replace_values,
+        )
+
+        path = self._table(spark, tmp_path)
+        with _pytest.raises(ValueError, match="no such column"):
+            snap_rename_column(path, "nope", "x")
+        with _pytest.raises(ValueError, match="already exists"):
+            snap_rename_column(path, "s", "w")
+        snap_rename_column(path, "s", "label")
+        # re-adding the old name would resurrect old files' values
+        with _pytest.raises(ValueError, match="cannot be re-added"):
+            snap_append(
+                spark.createDataFrame(
+                    [(7, "zz", 7.5, "evil")],
+                    "k int, label string, w double, s string",
+                ),
+                path,
+            )
+        # renaming another column INTO a prior physical name refused
+        with _pytest.raises(ValueError, match="tombstoned"):
+            snap_rename_column(path, "w", "s")
+        # dropped names cannot be taken either
+        snap_drop_column(path, "w")
+        with _pytest.raises(ValueError, match="tombstoned"):
+            snap_rename_column(path, "label", "w")
+        # cluster-key guard
+        cpath = str(tmp_path / "renameclustered")
+        snap_replace_values(
+            spark, cpath, "k", [],
+            spark.createDataFrame([("a", 1)], "k string, v int"),
+            cluster=True,
+        )
+        with _pytest.raises(ValueError, match="value-cluster key"):
+            snap_rename_column(cpath, "k", "kk")
+
+    def test_widen_then_rename_reads_exact(self, spark, tmp_path):
+        """Interplay with type widening: a narrow pre-rename file
+        up-converts under the renamed field's current (wide) type."""
+        from qurio_spark.plans.snapshots import (
+            snap_append,
+            snap_read,
+            snap_rename_column,
+        )
+
+        path = str(tmp_path / "renamewiden")
+        snap_append(
+            spark.createDataFrame([(1, 10)], "k int, v int").coalesce(1),
+            path,
+        )
+        snap_append(  # widens v to bigint
+            spark.createDataFrame(
+                [(2, 2**40)], "k int, v bigint"
+            ).coalesce(1),
+            path,
+        )
+        snap_rename_column(path, "v", "big")
+        got = dict(
+            (r["k"], r["big"]) for r in snap_read(spark, path).collect()
+        )
+        assert got == {1: 10, 2: 2**40}
+        assert dict(snap_read(spark, path).dtypes)["big"] == "bigint"
