@@ -876,11 +876,14 @@ def _stat_names(m: dict, col: str) -> list[str]:
     return [col]
 
 
-def _range_disjoint_m(m: dict, e, col: str, lo, hi) -> bool:
-    """Rename-aware :func:`_range_disjoint`: disjoint iff the file's
-    stats — under whichever of the column's names it was written with
-    — prove it (at most one name has stats, so ``any`` is exact)."""
-    return any(_range_disjoint(e, n, lo, hi) for n in _stat_names(m, col))
+def _range_disjoint_any(e, names: list[str], lo, hi) -> bool:
+    """Rename-aware :func:`_range_disjoint` over a column's
+    pre-hoisted ``_stat_names``: disjoint iff the file's stats — under
+    whichever of the names it was written with — prove it (at most one
+    name has stats, so ``any`` is exact).  Callers hoist the names
+    ONCE per (manifest, column), never per entry — the pruning loops
+    must stay O(entries), not O(entries x schema fields)."""
+    return any(_range_disjoint(e, n, lo, hi) for n in names)
 
 
 def _coalesce_renamed(df: DataFrame, schema: dict | None) -> DataFrame:
@@ -1124,15 +1127,18 @@ def snap_scan_files(
                 "eq probe values cannot be empty or None (= NULL never "
                 "matches)"
             )
+    names_of = {
+        c: _stat_names(m, c) for c in set(preds) | set(eqs)
+    }  # hoisted once per column, not per entry
     entries = [
         e
         for e in _manifest_entries(path, m)
         if not any(
-            _range_disjoint_m(m, e, col, lo, hi)
+            _range_disjoint_any(e, names_of[col], lo, hi)
             for col, (lo, hi) in preds.items()
         )
         and not any(
-            all(_range_disjoint_m(m, e, col, v_, v_) for v_ in vals)
+            all(_range_disjoint_any(e, names_of[col], v_, v_) for v_ in vals)
             for col, vals in eqs.items()
         )
     ]
@@ -1141,7 +1147,7 @@ def snap_scan_files(
         # above and needs no Spark — only an actual BLOOM probe does,
         # so raise only when a surviving entry carries a bloom for
         # this column and spark wasn't supplied
-        names = _stat_names(m, col)
+        names = names_of[col]
         has_bloom = any(
             isinstance(e, dict)
             and any(
@@ -1695,9 +1701,10 @@ def snap_delete_where(
         if v is None:
             raise FileNotFoundError(f"no snapshot table at {path}")
         m = _read_manifest(path, v)
+        names = _stat_names(m, col)  # hoisted once per attempt
 
         def _disjoint(e) -> bool:
-            return _range_disjoint_m(m, e, col, lo, hi)
+            return _range_disjoint_any(e, names, lo, hi)
 
         # Classify at MANIFEST granularity: a per-commit manifest whose
         # every file is provably range-disjoint is carried forward BY
@@ -2116,10 +2123,11 @@ def snap_delete_where_mor(
         if v is None:
             raise FileNotFoundError(f"no snapshot table at {path}")
         m = _read_manifest(path, v)
+        names = _stat_names(m, col)  # hoisted once per attempt
         cand = [
             _entry_name(e)
             for e in _manifest_entries(path, m)
-            if not _range_disjoint_m(m, e, col, lo, hi)
+            if not _range_disjoint_any(e, names, lo, hi)
         ]
         if not cand:
             return None
@@ -2438,20 +2446,25 @@ def snap_replace_values(
     has_null = any(v is None for v in values)
     vs = sorted(v for v in values if v is not None)
 
-    def _disjoint(e) -> bool:
+    def _disjoint_under(e, nm: str) -> bool:
         if not isinstance(e, dict):
             return False
         if has_null:
-            nc = e.get("nulls", {}).get(col)
+            nc = e.get("nulls", {}).get(nm)
             if nc is None or nc > 0:
                 return False  # may hold NULL-keyed rows to replace
         if not vs:
             return True  # only NULL sought; this file provably has none
-        st = e.get("stats", {}).get(col)
+        st = e.get("stats", {}).get(nm)
         if st is None:
             return False
         mn, mx = st
         return all(v < mn or v > mx for v in vs)
+
+    def _disjoint(e, names: list[str]) -> bool:
+        # rename-aware: a file's stats/null-counts sit under its
+        # write-time column name (exactly one of names has them)
+        return any(_disjoint_under(e, nm) for nm in names)
 
     for _attempt in range(_MAX_COMMIT_RETRIES):
         _conflict_backoff(_attempt)
@@ -2469,25 +2482,35 @@ def snap_replace_values(
             if txn_map.get(txn[0], -1) >= txn[1]:
                 return None
             txn_map[txn[0]] = txn[1]
+        col_names = _stat_names(m, col)  # hoisted once per attempt
         carried, loose_entries, affected = [], [], []
         for name in _carried_manifests(path, m):
             entries = _read_manifest_file(path, name)
-            if all(_disjoint(e) for e in entries):
+            if all(_disjoint(e, col_names) for e in entries):
                 carried.append(name)
             else:
                 for e in entries:
-                    (loose_entries if _disjoint(e) else affected).append(e)
+                    (
+                        loose_entries
+                        if _disjoint(e, col_names)
+                        else affected
+                    ).append(e)
         # a file whose stats are a POINT range on a replaced value —
         # and which provably holds no NULLs — is wholly replaced: no
         # survivor rows can exist, so it needs no read or rewrite (the
         # value-clustered layout makes this the common case: a refresh
         # then only ever writes the delta)
         def _wholly_replaced(e) -> bool:
-            st = e.get("stats", {}).get(col) if isinstance(e, dict) else None
-            return (
-                st is not None and st[0] == st[1] and st[0] in vs
-                and e.get("nulls", {}).get(col) == 0
-            )
+            if not isinstance(e, dict):
+                return False
+            for nm in col_names:
+                st = e.get("stats", {}).get(nm)
+                if (
+                    st is not None and st[0] == st[1] and st[0] in vs
+                    and e.get("nulls", {}).get(nm) == 0
+                ):
+                    return True
+            return False
 
         mixed = [e for e in affected if not _wholly_replaced(e)]
         new_files = []
@@ -2602,11 +2625,14 @@ def snap_merge(
         )]
     ).first()
 
-    def _candidate(e, m) -> bool:
+    def _candidate(e, names_of) -> bool:
         # disjoint on ANY key column proves no row can match (rename-
-        # aware: a file's stats sit under its write-time column name)
+        # aware: a file's stats sit under its write-time column name;
+        # names hoisted once per attempt, not per entry)
         return not any(
-            _range_disjoint_m(m, e, k, bounds[f"__mn_{k}"], bounds[f"__mx_{k}"])
+            _range_disjoint_any(
+                e, names_of[k], bounds[f"__mn_{k}"], bounds[f"__mx_{k}"]
+            )
             for k in keys
         )
 
@@ -2626,11 +2652,12 @@ def snap_merge(
             if absent:
                 raise ValueError(f"table is missing key columns {absent}")
         parent_manifests = _carried_manifests(path, m)
+        key_names = {k: _stat_names(m, k) for k in keys}  # per attempt
         cand = [
             e
             for name in parent_manifests
             for e in _read_manifest_file(path, name)
-            if _candidate(e, m)
+            if _candidate(e, key_names)
         ]
         affected_names: set[str] = set()
         if cand:
@@ -2760,9 +2787,11 @@ def snap_merge_mor(
         )]
     ).first()
 
-    def _candidate(e, m) -> bool:
+    def _candidate(e, names_of) -> bool:
         return not any(
-            _range_disjoint_m(m, e, k, bounds[f"__mn_{k}"], bounds[f"__mx_{k}"])
+            _range_disjoint_any(
+                e, names_of[k], bounds[f"__mn_{k}"], bounds[f"__mx_{k}"]
+            )
             for k in keys
         )
 
@@ -2778,10 +2807,11 @@ def snap_merge_mor(
             miss = [k for k in keys if k not in table_cols]
             if miss:
                 raise ValueError(f"table is missing key columns {miss}")
+        key_names = {k: _stat_names(m, k) for k in keys}  # per attempt
         cand = [
             _entry_name(e)
             for e in _manifest_entries(path, m)
-            if _candidate(e, m)
+            if _candidate(e, key_names)
         ]
         moved: list[str] = []
         new_counts: dict = {}
@@ -2898,16 +2928,17 @@ def snap_update_where(
             unknown = [c for c in set_exprs if c not in table_cols]
             if unknown:
                 raise ValueError(f"UPDATE SET on unknown columns {unknown}")
+        names = _stat_names(m, col)  # hoisted once per attempt
         carried, loose, affected = [], [], []
         for name in _carried_manifests(path, m):
             entries = _read_manifest_file(path, name)
-            if all(_range_disjoint_m(m, e, col, lo, hi) for e in entries):
+            if all(_range_disjoint_any(e, names, lo, hi) for e in entries):
                 carried.append(name)
             else:
                 for e in entries:
                     (
                         loose
-                        if _range_disjoint_m(m, e, col, lo, hi)
+                        if _range_disjoint_any(e, names, lo, hi)
                         else affected
                     ).append(e)
         if not affected:

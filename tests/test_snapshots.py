@@ -1553,3 +1553,62 @@ class TestRenameColumn:
         )
         assert got == {1: 10, 2: 2**40}
         assert dict(snap_read(spark, path).dtypes)["big"] == "bigint"
+
+    def test_replace_values_after_rename_stays_o_delta(
+        self, spark, tmp_path
+    ):
+        """replaceWhere on a RENAMED column: pre-rename files whose
+        old-name stats prove them disjoint are carried by name (bytes
+        untouched), and a point-range pre-rename file on a replaced
+        value is wholly replaced without a read."""
+        import glob
+        import os as _os
+
+        from qurio_spark.plans.snapshots import (
+            snap_append,
+            snap_read,
+            snap_rename_column,
+            snap_replace_values,
+        )
+
+        path = str(tmp_path / "renamereplace")
+        # two value-pure files under the ORIGINAL name
+        for day in ("d1", "d2"):
+            snap_append(
+                spark.createDataFrame(
+                    [(day, i) for i in range(5)], "day string, v int"
+                ).coalesce(1),
+                path,
+            )
+        snap_rename_column(path, "day", "dt")
+        untouched = {
+            f: _os.path.getmtime(f)
+            for f in glob.glob(f"{path}/data/**/*.parquet", recursive=True)
+        }
+        # replace d2 only: the d1 file (old-name stats) must carry
+        snap_replace_values(
+            spark, path, "dt", ["d2"],
+            spark.createDataFrame([("d2", 99)], "dt string, v int"),
+        )
+        from qurio_spark.plans.snapshots import (
+            _latest_version,
+            _manifest_entries,
+            _read_manifest,
+        )
+
+        m = _read_manifest(path, _latest_version(path))
+        referenced = {
+            _os.path.join(path, e["name"] if isinstance(e, dict) else e)
+            for e in _manifest_entries(path, m)
+        }
+        # replaced files stay on disk until vacuum: judge by the
+        # MANIFEST — exactly one pre-rename file (d1) is still
+        # referenced, and its bytes are untouched
+        surviving_old = referenced & set(untouched)
+        assert len(surviving_old) == 1
+        for f in surviving_old:
+            assert _os.path.getmtime(f) == untouched[f]
+        got = sorted(
+            (r["dt"], r["v"]) for r in snap_read(spark, path).collect()
+        )
+        assert got == [("d1", i) for i in range(5)] + [("d2", 99)]

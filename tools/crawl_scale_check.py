@@ -133,7 +133,7 @@ def main() -> None:
                 "ledger_files": len(cur),
                 "carried_files": len(cur & prev_files),
                 "rewritten_or_new": len(cur - prev_files),
-                "crash_before": rnd == 2,
+                **({"crash_before": True} if rnd == 2 else {}),
             }
         )
         prev_files = cur
