@@ -30,6 +30,7 @@ from qurio_spark.plans.snapshots import (
     snap_merge,
     snap_merge_mor,
     snap_read,
+    snap_rename_column,
     snap_restore,
     snap_update_where,
     snap_versions,
@@ -38,14 +39,14 @@ from qurio_spark.plans.snapshots import (
 KEYSPACE = 60
 
 
-def _frame(spark, rows):
-    return spark.createDataFrame(rows, "k int, val string")
+def _frame(spark, rows, key_col="k", val_col="val"):
+    return spark.createDataFrame(rows, f"{key_col} int, {val_col} string")
 
 
-def _table_state(spark, path):
+def _table_state(spark, path, key_col="k", val_col="val"):
     return {
-        r["k"]: r["val"]
-        for r in snap_read(spark, path).select("k", "val").collect()
+        r[key_col]: r[val_col]
+        for r in snap_read(spark, path).select(key_col, val_col).collect()
     }
 
 
@@ -55,6 +56,10 @@ def test_random_dml_interleaving_matches_model(spark, tmp_path, seed):
     path = str(tmp_path / "t")
     model: dict[int, str] = {}
     tick = 0
+    # column-mapping renames rotate the LOGICAL names mid-history;
+    # every later op must address the current names, and a full
+    # restore rewinds them with the schema
+    key_col, val_col = "k", "val"
 
     def fresh_rows(n):
         nonlocal tick
@@ -77,14 +82,15 @@ def test_random_dml_interleaving_matches_model(spark, tmp_path, seed):
 
     def check(op):
         ops.append(op)
-        got = _table_state(spark, path)
+        got = _table_state(spark, path, key_col, val_col)
         assert got == model, f"after {ops[-6:]}: {got} != {model}"
         assert snap_count(path) == len(model), f"count drift after {ops[-6:]}"
 
     for step in range(24):
         op = rng.choice(
             ["append", "delete_cow", "delete_mor", "merge", "merge_mor",
-             "update", "compact", "materialize", "restore", "vacuum"]
+             "update", "compact", "materialize", "restore", "vacuum",
+             "rename"]
         )
         if op == "append":
             rows = [
@@ -94,20 +100,20 @@ def test_random_dml_interleaving_matches_model(spark, tmp_path, seed):
             ]
             if not rows:
                 continue
-            snap_append(_frame(spark, rows), path)
+            snap_append(_frame(spark, rows, key_col, val_col), path)
             model.update({k: v for k, v in rows})
         elif op in ("delete_cow", "delete_mor"):
             lo = rng.randrange(KEYSPACE)
             hi = min(KEYSPACE, lo + rng.randrange(1, 12))
             fn = snap_delete_where if op == "delete_cow" else snap_delete_where_mor
-            fn(spark, path, "k", lo=lo, hi=hi)
+            fn(spark, path, key_col, lo=lo, hi=hi)
             for k in list(model):
                 if lo <= k <= hi:
                     del model[k]
         elif op in ("merge", "merge_mor"):
             rows = fresh_rows(rng.randrange(1, 6))
             fn = snap_merge if op == "merge" else snap_merge_mor
-            fn(spark, path, _frame(spark, rows), ["k"])
+            fn(spark, path, _frame(spark, rows, key_col, val_col), [key_col])
             model.update({k: v for k, v in rows})
         elif op == "update":
             lo = rng.randrange(KEYSPACE)
@@ -115,8 +121,8 @@ def test_random_dml_interleaving_matches_model(spark, tmp_path, seed):
             suffix = f"-u{step}"
             snap_update_where(
                 spark, path,
-                {"val": F.concat(F.col("val"), F.lit(suffix))},
-                "k", lo=lo, hi=hi,
+                {val_col: F.concat(F.col(val_col), F.lit(suffix))},
+                key_col, lo=lo, hi=hi,
             )
             for k in model:
                 if lo <= k <= hi:
@@ -135,8 +141,22 @@ def test_random_dml_interleaving_matches_model(spark, tmp_path, seed):
             if rng.random() < 0.5 and versions[0]["version"] == 0:
                 snap_restore(path, 0)
                 model = dict(bootstrap_model)
+                # restore rewinds the SCHEMA too: logical names and
+                # tombstones are v0's again
+                key_col, val_col = "k", "val"
             else:
                 snap_restore(path, versions[-1]["version"])
+        elif op == "rename":
+            # rotate a logical name (never reused across steps, so
+            # tombstones and full restores cannot collide)
+            if rng.random() < 0.5:
+                new = f"kk{step}"
+                snap_rename_column(path, key_col, new)
+                key_col = new
+            else:
+                new = f"vv{step}"
+                snap_rename_column(path, val_col, new)
+                val_col = new
         elif op == "vacuum":
             from qurio_spark.plans.snapshots import snap_vacuum
 
