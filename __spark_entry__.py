@@ -212,6 +212,7 @@ from qurio_spark.queries.pipelines import (  # noqa: F401
     q_chunk_corpus,
     q_ingest_pipeline,
     q_kmeans_ivf,
+    q_semantic_dedup,
     q_lsh_multiprobe,
     q_lsh_prebuilt,
     q_lsh_topk,
@@ -602,4 +603,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_corpus": q_chunk_corpus,
         "ingest_pipeline": q_ingest_pipeline,
         "kmeans_ivf": q_kmeans_ivf,
+        "semantic_dedup": q_semantic_dedup,
     }

@@ -493,6 +493,76 @@ def kmeans_fit(
     return centroids
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 5,
+    max_block: int | None = 4096,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
+    deduplication for training corpora — k-means cluster the embedding
+    space, find cosine near-duplicates only WITHIN clusters, resolve
+    the pair graph into duplicate groups, and keep ONE representative
+    per group: the member with the LOWEST cosine to its cluster
+    centroid (the paper's keep rule — prefer the example farthest
+    from the cluster's dense core; ties break on id).  Returns the
+    SURVIVOR rows of ``embeddings`` (original columns).
+
+    This is the cluster-scoped sibling of the flat
+    :func:`embedding_near_dup_pairs` rung on the dedup ladder: the
+    O(n^2) pair problem becomes sum-of-squares over clusters (the
+    same blocked gram-matrix kernel, with the oversized-cluster
+    hash-split guard), the duplicate graph is tiny relative to the
+    corpus, and groups resolve through the same O(log n)
+    alternating-star connected components the MinHash ladder uses.
+    At 100 TB: fit the codebook on a sample (``kmeans_fit`` collects
+    only the k x dim matrix), one labeling pass over the corpus, and
+    every pairwise computation stays cluster-bounded.
+
+    Determinism: md5-seeded k-means init and an id tiebreak on the
+    keep rule, so reruns keep identical survivors (no RNG anywhere).
+    """
+    from qurio_spark.operators.dedup import connected_components
+
+    centroids = kmeans_fit(
+        embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    labeled, cdf = _label_with(embeddings, centroids, id_col, vec_col)
+    pairs = embedding_near_dup_pairs(
+        labeled,
+        threshold=threshold,
+        block_col="label",
+        id_col=id_col,
+        vec_col=vec_col,
+        max_block=max_block,
+    )
+    comps = connected_components(
+        pairs, labeled.select(id_col), id_col=id_col
+    )
+    scored = (
+        labeled.join(F.broadcast(cdf), "label")
+        .select(
+            id_col,
+            cosine(F.col(vec_col), F.col("centroid")).alias("__csim"),
+        )
+        .join(comps, id_col)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.asc("__csim"), F.asc(id_col)
+    )
+    survivors = (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(id_col)
+    )
+    return embeddings.join(survivors, id_col, "left_semi")
+
+
 def ivf_build(
     embeddings: DataFrame,
     k: int = 10,

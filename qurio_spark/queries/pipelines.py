@@ -71,6 +71,26 @@ def q_kmeans_ivf(spark, sf_dir):
     return labeled.groupBy("label").agg(F.count("*").alias("n_vecs"))
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over the embeddings table
+    (operators/similarity.semantic_dedup): k-means clusters, cosine
+    near-dup groups WITHIN clusters, one survivor per group (lowest
+    centroid cosine).  k-means is iterative -> rows-only check; the
+    keep rule, determinism, and column preservation are pinned in
+    tests/test_dedup.py::TestSemanticDedup.  Returns a deterministic
+    survivor summary, stable across reruns."""
+    from qurio_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # threshold matches q_embedding_near_dup's 0.3 (the synthetic
+    # embeddings are near-orthogonal; 0.3 yields real dup groups)
+    out = semantic_dedup(emb, k=8, threshold=0.3, iters=3)
+    return out.agg(
+        F.count("*").alias("n_survivors"),
+        F.sum("vec_id").alias("id_sum"),
+    )
+
+
 def q_ann_pq(spark, sf_dir):
     """Product-quantization ANN with exact refine (operators/pq.py):
     fit m=16 x k=256 codebooks (the FAISS PQ16x8 shape) on the

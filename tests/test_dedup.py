@@ -494,3 +494,81 @@ def test_remove_duplicate_lines_matches_reference(spark, seed):
         for r in remove_duplicate_lines(df, max_count=max_count).collect()
     }
     assert got == want
+
+
+class TestSemanticDedup:
+    """SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup —
+    near-dup groups resolve within k-means clusters and the survivor
+    is the member with the LOWEST cosine to its cluster centroid."""
+
+    @staticmethod
+    def _corpus(spark):
+        """Two well-separated blobs; inside blob A a planted
+        3-member near-dup group (pairwise cosine ~1) plus two
+        distinct singletons; blob B all distinct."""
+        import numpy as np
+
+        rows = []
+        # dup group: same direction, different magnitudes + tiny tilt
+        base = np.array([10.0, 0.2, 0.1, 0.0])
+        for vid, scale, tilt in ((0, 1.0, 0.0), (1, 1.3, 0.01), (2, 0.8, 0.02)):
+            v = base * scale + np.array([0.0, tilt, 0.0, 0.0])
+            rows.append((vid, [float(x) for x in v]))
+        # blob-A singletons: same cluster, different directions
+        rows.append((3, [9.0, 3.5, 0.0, 0.0]))
+        rows.append((4, [9.0, 0.0, 3.5, 0.0]))
+        # blob B: distinct directions around a far center
+        for vid, tilt in ((5, 0.0), (6, 2.5), (7, -2.5)):
+            rows.append((vid, [0.0, tilt, 1.0, 10.0]))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    def test_keeps_lowest_centroid_cosine_per_group(self, spark):
+        import numpy as np
+
+        from qurio_spark.operators.similarity import (
+            _label_with,
+            kmeans_fit,
+            semantic_dedup,
+        )
+
+        emb = self._corpus(spark)
+        out = semantic_dedup(emb, k=2, threshold=0.98)
+        kept = sorted(r["vec_id"] for r in out.collect())
+        # exactly one of {0,1,2} survives; everything else is distinct
+        assert len(kept) == 6
+        assert set(kept) >= {3, 4, 5, 6, 7}
+        winner = (set(kept) & {0, 1, 2}).pop()
+
+        # pin the paper's keep rule: lowest cosine-to-centroid wins
+        centroids = kmeans_fit(emb, k=2)
+        labeled, _ = _label_with(emb, centroids, "vec_id", "embedding")
+        lab = {r["vec_id"]: r["label"] for r in labeled.collect()}
+        vecs = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
+        C = np.asarray(centroids)
+
+        def csim(vid):
+            v, c = vecs[vid], C[lab[vid]]
+            return float(v @ c / (np.linalg.norm(v) * np.linalg.norm(c)))
+
+        expect = min((round(csim(v), 9), v) for v in (0, 1, 2))[1]
+        assert winner == expect
+
+    def test_deterministic_and_column_preserving(self, spark):
+        from qurio_spark.operators.similarity import semantic_dedup
+
+        emb = self._corpus(spark).withColumn("extra", F.lit("x"))
+        a = sorted(r["vec_id"] for r in semantic_dedup(emb, k=2).collect())
+        b = sorted(r["vec_id"] for r in semantic_dedup(emb, k=2).collect())
+        assert a == b
+        out = semantic_dedup(emb, k=2)
+        assert set(out.columns) == {"vec_id", "embedding", "extra"}
+
+    def test_threshold_one_keeps_everything_distinct(self, spark):
+        from qurio_spark.operators.similarity import semantic_dedup
+
+        emb = self._corpus(spark)
+        # only the exactly-parallel pair collapses at sim >= 0.9999999
+        out = semantic_dedup(emb, k=2, threshold=0.9999999)
+        assert out.count() >= 6
