@@ -140,7 +140,7 @@ def test_every_rows_only_entry_has_a_real_check():
     """Tripwire: a new queries() entry without an oracle_sql twin must
     get a real check here (golden hash / recall floor / invariants) —
     it cannot silently join the rows-only set."""
-    checked = set(GOLDEN) | {"kmeans_ivf"}
+    checked = set(GOLDEN) | {"kmeans_ivf", "semantic_dedup"}
     assert set(ROWS_ONLY) == checked, (
         f"rows-only entries without a dedicated check: "
         f"{sorted(set(ROWS_ONLY) - checked)}; "
@@ -158,6 +158,20 @@ def test_kmeans_ivf_codebook(spark, sf_dir):
     assert sorted(labels) == list(range(8))
     assert sum(labels.values()) == total
     assert max(labels.values()) <= total // 2, f"degenerate cluster: {labels}"
+
+
+def test_semantic_dedup_summary(spark, sf_dir):
+    """Fixed-seed SemDeDup survivor summary: deterministic across
+    runs, strictly dedupes the sf embeddings at threshold 0.3, never
+    drops a vector that has no near-dup (the keep rule itself is
+    pinned against a numpy recomputation in
+    tests/test_dedup.py::TestSemanticDedup)."""
+    a = QUERIES["semantic_dedup"](spark, sf_dir).first()
+    b = QUERIES["semantic_dedup"](spark, sf_dir).first()
+    assert (a["n_survivors"], a["id_sum"]) == (b["n_survivors"], b["id_sum"])
+    total = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert 0 < a["n_survivors"] < total  # real dedup, not a no-op
+    assert 0 < a["id_sum"] < total * total
 
 
 def test_driver_window_is_fully_oracle_backed():
