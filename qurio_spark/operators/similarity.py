@@ -483,6 +483,8 @@ def kmeans_fit(
         .collect()
     )
     centroids = [[float(x) for x in r[vec_col]] for r in seed_rows]
+    if not centroids:
+        return []  # empty corpus: no codebook (callers guard on [])
     for _ in range(iters):
         assigned = assign_labels(embeddings, centroids, id_col, vec_col)
         rows = compute_centroids(assigned, "label", vec_col).collect()
@@ -530,6 +532,8 @@ def semantic_dedup(
     centroids = kmeans_fit(
         embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col
     )
+    if not centroids:
+        return embeddings  # empty corpus dedups to empty, not a crash
     labeled, cdf = _label_with(embeddings, centroids, id_col, vec_col)
     pairs = embedding_near_dup_pairs(
         labeled,

@@ -2140,9 +2140,7 @@ def snap_delete_where_mor(
             F.col("_metadata.row_index").alias("pos"),
             # rename-aware: a candidate file carries the column under
             # whichever name it was written with
-            F.coalesce(
-                *[F.col(n) for n in _stat_names(m, col)]
-            ).alias("__v"),
+            F.coalesce(*[F.col(n) for n in names]).alias("__v"),
         )
         # NULL never matches (SQL DELETE WHERE semantics) — even with
         # both bounds open, NULL-valued rows survive, matching the CoW
@@ -2823,7 +2821,7 @@ def snap_merge_mor(
                 F.col("_metadata.row_index").alias("pos"),
                 *[
                     F.coalesce(
-                        *[F.col(n) for n in _stat_names(m, k)]
+                        *[F.col(n) for n in key_names[k]]
                     ).alias(k)
                     for k in keys
                 ],

@@ -569,6 +569,14 @@ class TestSemanticDedup:
         from qurio_spark.operators.similarity import semantic_dedup
 
         emb = self._corpus(spark)
-        # only the exactly-parallel pair collapses at sim >= 0.9999999
-        out = semantic_dedup(emb, k=2, threshold=0.9999999)
-        assert out.count() >= 6
+        # no corpus pair reaches sim >= 0.99999999 (the planted group's
+        # tilts separate them below that) -> threshold plumbing must
+        # keep ALL 8 rows; a dropped/ignored threshold would dedup
+        out = semantic_dedup(emb, k=2, threshold=0.99999999)
+        assert out.count() == 8
+
+    def test_empty_input_returns_empty(self, spark):
+        from qurio_spark.operators.similarity import semantic_dedup
+
+        emb = self._corpus(spark).filter("vec_id < 0")
+        assert semantic_dedup(emb, k=2).count() == 0
