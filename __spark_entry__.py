@@ -123,6 +123,7 @@ from qurio_spark.queries.events_tpch import (  # noqa: F401
     q_near_dup_clusters,
     q_streaming_hourly,
     q_streaming_join,
+    q_streaming_sessions_final,
     q_top_customers,
     q_tpch_q1,
     q_tpch_q3,
@@ -460,6 +461,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     codebooks, same ADC, same exact refine) plus batch_hybrid_ivf
     (the batched-probe shape); recall extras stay pinned in
     tests/test_pq.py; green since round 9.
+    Also IN (new): ``streaming_sessions_final`` (the EVICTING
+    applyInPandasWithState sessionizer — event-time timeouts finalize
+    idle sessions and REMOVE state; append-mode closed sessions only;
+    the oracle recomputes the closed set from the batch
+    sessionization + the final-watermark condition).  OUT:
+    ``events_sessions`` — the batch lag+cumsum sessionization is a
+    strict subset of the new oracle's CTEs and stays sweep-checked at
+    51+; green since round 5.
     EVERY entry, in-window or not, is additionally oracle-compared at
     sf0.001 by ``tests/test_queries_full.py`` on each pytest run — the
     round-4 lesson was that out-of-window entries had no committed
@@ -491,7 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_join": q_streaming_join,
         "bm25_incremental": q_bm25_incremental,
         "incremental_hourly": q_incremental_hourly,
-        "events_sessions": q_events_sessions,
+        "streaming_sessions_final": q_streaming_sessions_final,
         "events_gapfill": q_events_gapfill,
         "streaming_ingest": q_streaming_ingest,
         "bloom_semi_join": q_bloom_semi_join,
@@ -519,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 51+: oracle-backed, operator proven by in-window sibling
         # (or, for minhash_lsh, newly oracle-backed breadth) ----------
         "snap_compact": q_snap_compact,
+        "events_sessions": q_events_sessions,
         "time_travel": q_time_travel,
         "batch_ann_pq": q_batch_ann_pq,
         "ann_pq": q_ann_pq,

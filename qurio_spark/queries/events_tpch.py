@@ -236,6 +236,61 @@ def q_streaming_join(spark, sf_dir):
     )
 
 
+def q_streaming_sessions_final(spark, sf_dir):
+    """EVICTING stateful sessionizer e2e
+    (streaming/ingest.sessionize_stream_evicting — the
+    applyInPandasWithState operator WITH event-time timeouts): the
+    events stream runs availableNow; the sink sees each session
+    exactly ONCE when it closes (append semantics) and closed users'
+    state is REMOVED.  The closed set is batching-invariant (pinned in
+    tests/test_streaming.py): a session is closed iff a LATER session
+    exists for its user (inline close) OR its end + gap lies strictly
+    before the final watermark (max event ts - delay) — which is
+    exactly what the oracle computes from the batch sessionization.
+    Per-user rollup of closed sessions only."""
+    import tempfile
+
+    from qurio_spark.streaming.ingest import (
+        sessionize_stream_evicting,
+        streaming_state_partitions,
+    )
+
+    base = tempfile.mkdtemp(prefix="qurio-stream-sess-")
+    out_p, ckpt = f"{base}/out", f"{base}/ckpt"
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # see _events
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = _normalize_events_ts(
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    closed = sessionize_stream_evicting(
+        stream, gap_s=1800, watermark="10 seconds"
+    )
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_p)
+
+    with streaming_state_partitions(spark, 8):
+        q = (
+            closed.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    got = spark.read.parquet(out_p)
+    return got.groupBy("user_id").agg(
+        F.count("*").alias("n_closed"),
+        F.sum("n_events").alias("closed_events"),
+        stable_round(F.sum("session_value"), 2).alias("closed_value"),
+    )
+
+
 def q_events_top_users(spark, sf_dir):
     """Window function: top-3 users per event_type by event count."""
     counts = (

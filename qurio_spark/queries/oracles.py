@@ -1466,6 +1466,42 @@ SELECT user_id, count(*) AS n_sessions,
        max(n_events) AS max_session_events,
        (floor((CAST(sum(session_value) AS DOUBLE)) * 100.0 + 0.5) / 100.0) AS total_value
 FROM per_session GROUP BY user_id""",
+        # evicting sessionizer: closed = non-final sessions (inline)
+        # UNION final sessions whose end + gap < final watermark
+        # (max ts - 10s delay), all in ms like the stream's timeouts
+        "streaming_sessions_final": """
+WITH g AS (
+  SELECT user_id, event_id, value, ts,
+         CASE WHEN (epoch_ms(ts::TIMESTAMP) // 1000)
+                   - lag(epoch_ms(ts::TIMESTAMP) // 1000)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+s AS (
+  SELECT user_id, value, ts,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM g
+),
+per_session AS (
+  SELECT user_id, session_seq, count(*) AS n_events,
+         sum(value) AS session_value,
+         max(epoch_ms(ts::TIMESTAMP)) AS end_ms,
+         max(session_seq) OVER (PARTITION BY user_id) AS last_seq
+  FROM s GROUP BY user_id, session_seq
+),
+wm AS (SELECT max(epoch_ms(ts::TIMESTAMP)) - 10000 AS wm_ms FROM events),
+closed AS (
+  SELECT * FROM per_session, wm
+  WHERE session_seq < last_seq OR end_ms + 1800000 < wm_ms
+)
+SELECT user_id, count(*) AS n_closed,
+       sum(n_events) AS closed_events,
+       (floor(CAST(sum(session_value) AS DOUBLE) * 100.0 + 0.5) / 100.0)
+         AS closed_value
+FROM closed GROUP BY user_id""",
         "sitemap_urls": _sitemap_sql(),
         "md_extract": _md_extract_sql(),
         "content_hash": """

@@ -124,10 +124,11 @@ def sessionize_stream(
     lag+cumsum sessionization in ``__spark_entry__.q_events_sessions``
     (oracle-checked); equivalence is asserted in tests.
 
-    State scales with |active users|, not |events| — sessions are
-    self-evicting in spirit (a production variant adds an event-time
-    timeout to finalize + drop idle users; kept timeout-free here so
-    the single-pass twin check is exact).
+    State scales with |active users|, not |events|; this twin is kept
+    timeout-free so the single-pass batch-equivalence check is exact.
+    The PRODUCTION variant is :func:`sessionize_stream_evicting` —
+    event-time timeouts finalize idle sessions and REMOVE their state,
+    so long-running streams hold state only for currently-active keys.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -165,6 +166,91 @@ def sessionize_stream(
 
     return events_stream.groupBy(user_col).applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def sessionize_stream_evicting(
+    events_stream: DataFrame,
+    gap_s: int = 1800,
+    watermark: str = "10 seconds",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """The production twin of :func:`sessionize_stream`: emits each
+    session exactly ONCE when it CLOSES (append semantics) and EVICTS
+    the user's state via an EVENT-TIME TIMEOUT — the piece the
+    update-mode twin documents as its 100 TB caveat.
+
+    A session closes two ways, both emitted here:
+      - INLINE: a later event for the same user arrives more than
+        ``gap_s`` after the session's last event (the previous session
+        finalizes in that micro-batch);
+      - TIMEOUT: the stream's watermark passes ``last_ts + gap_s``
+        with no newer event — the open session finalizes and
+        ``state.remove()`` drops the user entirely.
+
+    State therefore scales with |users active within one gap of the
+    watermark|, not |all users ever seen| — idle keys cost nothing.
+    Sessions still open when the stream stops are never emitted (the
+    append contract: only finalized rows).  Timeout timestamps clamp
+    to just past the current watermark, so late-arriving groups
+    cannot request an already-passed timeout (an API error)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        f"{user_col} long, session_seq int, n_events long, session_value double"
+    )
+    state_schema = (
+        "last_ts double, session_seq int, n_events long, session_value double"
+    )
+
+    def fn(key, pdfs, state):
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            _last_ts, seq, n, sv = state.get
+            closed.append((key[0], seq, n, sv))
+            state.remove()
+        else:
+            if state.exists:
+                last_ts, seq, n, sv = state.get
+            else:
+                last_ts, seq, n, sv = None, 0, 0, 0.0
+            for pdf in pdfs:
+                pdf = pdf.sort_values([ts_col, order_col])
+                for ts, val in zip(pdf[ts_col], pdf[value_col]):
+                    t = ts.timestamp()
+                    if last_ts is not None and t - last_ts > gap_s:
+                        closed.append((key[0], seq, n, sv))
+                        seq, n, sv = seq + 1, 0, 0.0
+                    last_ts = t
+                    n += 1
+                    sv += float(val)
+            state.update((last_ts, seq, n, sv))
+            state.setTimeoutTimestamp(
+                max(
+                    int((last_ts + gap_s) * 1000),
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
+        yield pd.DataFrame(
+            {
+                user_col: [c[0] for c in closed],
+                "session_seq": [c[1] for c in closed],
+                "n_events": [c[2] for c in closed],
+                "session_value": [c[3] for c in closed],
+            }
+        )
+
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
     )
 
 

@@ -449,3 +449,94 @@ class TestStreamingNearDupDedup:
         assert {
             r["doc_id"] for r in spark.read.parquet(store).collect()
         } == {1, 3, 5}
+
+
+class TestEvictingSessionize:
+    def test_closed_sessions_emitted_once_and_state_evicted(
+        self, spark, tmp_path
+    ):
+        """sessionize_stream_evicting: inline-closed sessions emit in
+        the closing batch, idle sessions finalize via event-time
+        timeout once the watermark passes last_ts + gap, and
+        still-open sessions are never emitted (append contract)."""
+        import glob
+        import os
+        import shutil
+
+        from qurio_spark.streaming.ingest import sessionize_stream_evicting
+
+        t0 = 1_700_000_000
+        T2, T3 = t0 + 1_000_000, t0 + 2_000_000
+        batches = [
+            # user1 session0 (2 events), user2 session0 (1 event)
+            [(0, t0, 1, 1.0), (1, t0 + 10, 1, 2.0), (2, t0, 2, 5.0)],
+            # user1: far later -> inline-closes session0, opens session1
+            [(3, T2, 1, 7.0)],
+            # user3 advances the stream so batch-2's watermark (T2-10s)
+            # fires user2's timeout; user1 session1 + user3 stay open
+            [(4, T3, 3, 9.0)],
+        ]
+        src = tmp_path / "src"
+        src.mkdir()
+        for i, rows in enumerate(batches):
+            df = spark.createDataFrame(
+                [(e, float(ts), u, v) for e, ts, u, v in rows],
+                "event_id long, epoch double, user_id long, value double",
+            ).select(
+                "event_id",
+                F.col("epoch").cast("timestamp").alias("ts"),
+                "user_id",
+                "value",
+            )
+            stage = str(tmp_path / f"stage{i}")
+            df.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = glob.glob(f"{stage}/part-*.parquet")[0]
+            dest = str(src / f"b{i}.parquet")
+            shutil.copy(part, dest)
+            os.utime(dest, (1000 + i, 1000 + i))  # deterministic order
+
+        schema = "event_id long, ts timestamp, user_id long, value double"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            sessionize_stream_evicting(stream, gap_s=1800)
+            .writeStream.format("memory")
+            .queryName("closed_sessions")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = sorted(
+            (r["user_id"], r["session_seq"], r["n_events"], r["session_value"])
+            for r in spark.sql("SELECT * FROM closed_sessions").collect()
+        )
+        assert got == [
+            (1, 0, 2, 3.0),   # inline close (batch 2's gap jump)
+            (1, 1, 1, 7.0),   # timeout: availableNow's final flush
+            (2, 0, 1, 5.0),   # event-time timeout (batch 3)
+        ]
+        # user3 (last event at the stream's max ts) stays OPEN and is
+        # never emitted — the append contract.  Rerun the same source
+        # as one batch: the closed set must converge to the same rows
+        # (availableNow's final no-data batch flushes the timeouts)
+        q2 = (
+            sessionize_stream_evicting(
+                spark.readStream.schema(schema).parquet(str(src)),
+                gap_s=1800,
+            )
+            .writeStream.format("memory")
+            .queryName("closed_one_batch")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(180)
+        one = sorted(
+            (r["user_id"], r["session_seq"], r["n_events"], r["session_value"])
+            for r in spark.sql("SELECT * FROM closed_one_batch").collect()
+        )
+        assert one == got  # batching-invariant closed set
