@@ -55,6 +55,25 @@ def _moto_s3_store():
             aws_secret_access_key="testing",
         )
         client.create_bucket(Bucket="commitstore-test")
+        # Real S3 serializes conditional writes SERVER-SIDE (that
+        # atomicity is the primitive the CAS loop is built on); moto's
+        # in-memory backend evaluates If-Match/If-None-Match with a
+        # plain check-then-write, so two racing threads can both pass
+        # the check and the later (possibly LOWER-version) body wins —
+        # a mock artifact, not a protocol bug (seen once as a pointer
+        # regression in the 8-thread race).  Restore the contract by
+        # making each conditional put atomic under a lock; plain
+        # reads/lists stay unserialized.
+        lock = threading.Lock()
+        orig_put = client.put_object
+
+        def atomic_put(**kw):
+            if "IfMatch" in kw or "IfNoneMatch" in kw:
+                with lock:
+                    return orig_put(**kw)
+            return orig_put(**kw)
+
+        client.put_object = atomic_put
         yield S3CommitStore("commitstore-test", prefix="t", client=client)
 
 
