@@ -308,7 +308,18 @@ def _attach_blooms(
     geometry {m, k} with m SIZED FROM THE FILE'S OWN ROW COUNT for
     the target ``fpp`` (never a fixed capacity constant); probes
     read just the k words per file via row-group pushdown on the
-    sidecar."""
+    sidecar.
+
+    Values are hashed at ONE CANONICAL TYPE per type family (int
+    ladder -> long, float -> double — ``_bloom_canon_cast``) on both
+    this build pass and the probe, recorded per-column as
+    ``canon: true`` in the geometry: xxhash64 hashes the same number
+    differently at int vs long width, so without the pin a
+    type-widening append (int->long) would leave pre- and
+    post-widening files bloomed at incompatible hashes and a probe
+    would silently exclude files that hold matching rows (ADVICE
+    r11).  Legacy entries without the flag are probed with the
+    literal's natural type, preserving their recorded bits."""
     import math
 
     from pyspark.sql import functions as F
@@ -323,9 +334,11 @@ def _attach_blooms(
             list(geom.items()), "file string, m long"
         )
     )
-    base = spark.read.parquet(
+    raw = spark.read.parquet(
         *[os.path.join(path, e["name"]) for e in entries]
-    ).select(
+    )
+    dtypes = dict(raw.dtypes)
+    base = raw.select(
         F.col("_metadata.file_name").alias("file"),
         *[F.col(c) for c in bloom_cols],
     ).join(mmap, "file")
@@ -337,7 +350,7 @@ def _attach_blooms(
             .select(
                 "file", "m",
                 F.explode(seeds).alias("seed"),
-                F.col(c).alias("val"),
+                _bloom_canon_cast(F.col(c), dtypes[c]).alias("val"),
             )
             .withColumn(
                 "pos", F.pmod(F.xxhash64(F.col("val"), F.col("seed")), F.col("m"))
@@ -379,7 +392,11 @@ def _attach_blooms(
             "bloom": {
                 "sidecar": sidecar,
                 "cols": {
-                    c: {"m": geom[os.path.basename(e["name"])], "k": k}
+                    c: {
+                        "m": geom[os.path.basename(e["name"])],
+                        "k": k,
+                        "canon": True,
+                    }
                     for c in bloom_cols
                 },
             },
@@ -999,26 +1016,66 @@ def snap_read(
     return _read_files(spark, path, m, [_entry_name(e) for e in entries])
 
 
-def _bloom_hashes(
-    spark: SparkSession, values: list, k: int
-) -> list[list[int]]:
-    """The k xxhash64 probe values for EVERY value in ``values`` —
-    computed through Spark itself (ONE local 1-row job, |values|·k
-    columns) so the build pass and the probe share one hash
-    definition by construction, and an IN-list probe costs one driver
-    round-trip, not one per value."""
+def _bloom_canon_cast(col, dtype: str):
+    """``col`` cast to its type family's single canonical hash type
+    (int ladder -> long, float -> double); other types hash as-is.
+    xxhash64 is width-sensitive (xxhash64(5 INT) != xxhash64(5
+    BIGINT)), so both bloom build and probe must agree on ONE width
+    per family or a type-widening append silently breaks eq-pruning
+    (ADVICE r11)."""
+    t = dtype.lower()
+    if t in ("tinyint", "smallint", "int", "integer", "bigint", "long"):
+        return col.cast("long")
+    if t in ("float", "double"):
+        return col.cast("double")
+    return col
+
+
+def _bloom_lit(v, canon: bool):
+    """The probe-side literal for value ``v``: canonical entries hash
+    ints at long and floats at double (mirroring ``_bloom_canon_cast``
+    on the build side); legacy entries keep the literal's naturally
+    inferred type so their recorded bits stay probeable."""
     from pyspark.sql import functions as F
 
+    lit = F.lit(v)
+    if not canon or isinstance(v, bool):
+        return lit
+    if isinstance(v, int):
+        return lit.cast("long")
+    if isinstance(v, float):
+        return lit.cast("double")
+    return lit
+
+
+def _bloom_hashes(
+    spark: SparkSession, values: list, k: int, canons: set[bool]
+) -> dict[bool, list[list[int]]]:
+    """The k xxhash64 probe values for EVERY value in ``values``, per
+    hashing variant in ``canons`` (True = canonical-type literals,
+    False = legacy natural-type literals) — computed through Spark
+    itself (ONE local 1-row job, |canons|·|values|·k columns) so the
+    build pass and the probe share one hash definition by
+    construction, and an IN-list probe costs one driver round-trip,
+    not one per value."""
+    from pyspark.sql import functions as F
+
+    variants = sorted(canons)
     row = spark.range(1).select(
         *[
-            F.xxhash64(F.lit(v), F.lit(s)).alias(f"h{i}_{s}")
+            F.xxhash64(_bloom_lit(v, c), F.lit(s)).alias(f"h{c}_{i}_{s}")
+            for c in variants
             for i, v in enumerate(values)
             for s in range(k)
         ]
     ).first()
-    return [
-        [row[f"h{i}_{s}"] for s in range(k)] for i in range(len(values))
-    ]
+    return {
+        c: [
+            [row[f"h{c}_{i}_{s}"] for s in range(k)]
+            for i in range(len(values))
+        ]
+        for c in variants
+    }
 
 
 def _bloom_excluded(
@@ -1041,28 +1098,31 @@ def _bloom_excluded(
     import pyarrow.parquet as papq
 
     names = [col] if isinstance(col, str) else list(col)
-    probes: dict[str, list[tuple[str, str, int, int]]] = {}
+    probes: dict[str, list[tuple[str, str, int, int, bool]]] = {}
     kmax = 0
+    canons: set[bool] = set()
     for e in entries:
         info = e.get("bloom") if isinstance(e, dict) else None
         for n in names:
             geom = (info or {}).get("cols", {}).get(n)
             if geom:
+                canon = bool(geom.get("canon"))
                 probes.setdefault(info["sidecar"], []).append(
-                    (e["name"], n, geom["m"], geom["k"])
+                    (e["name"], n, geom["m"], geom["k"], canon)
                 )
                 kmax = max(kmax, geom["k"])
+                canons.add(canon)
                 break
     if not probes:
         return set()
-    all_hashes = _bloom_hashes(spark, values, kmax)
+    hashes_by_canon = _bloom_hashes(spark, values, kmax, canons)
     excluded = set()
     for sidecar, files in probes.items():
         needed = sorted(
             {
                 (h % m) // 64
-                for _, _, m, k in files
-                for hashes in all_hashes
+                for _, _, m, k, canon in files
+                for hashes in hashes_by_canon[canon]
                 for h in hashes[:k]
             }
         )
@@ -1080,7 +1140,7 @@ def _bloom_excluded(
                 tbl.column("word").to_pylist(),
             )
         }
-        for name, n, m, k in files:
+        for name, n, m, k, canon in files:
             base = os.path.basename(name)
             any_hit = any(
                 all(
@@ -1088,7 +1148,7 @@ def _bloom_excluded(
                     >> ((h % m) % 64) & 1
                     for h in hashes[:k]
                 )
-                for hashes in all_hashes
+                for hashes in hashes_by_canon[canon]
             )
             if not any_hit:
                 excluded.add(name)

@@ -95,17 +95,23 @@ def q_events_sessions(spark, sf_dir):
             w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+    # value sums run in INTEGER CENTS (floor(v*100+0.5), summed as
+    # longs, divided once at the end): integer addition is
+    # order-invariant, so Spark's partial-agg order can never flip a
+    # rounding boundary against the oracle (r11 flake class).
     return (
         gapped.groupBy("user_id", "session_seq")
         .agg(
             F.count("*").alias("n_events"),
-            stable_round(F.sum("value"), 2).alias("session_value"),
+            F.sum(
+                F.floor(F.col("value") * 100.0 + F.lit(0.5))
+            ).alias("session_cents"),
         )
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_sessions"),
             F.max("n_events").alias("max_session_events"),
-            stable_round(F.sum("session_value"), 2).alias("total_value"),
+            (F.sum("session_cents") / 100.0).alias("total_value"),
         )
     )
 

@@ -229,10 +229,13 @@ def q_streaming_join(spark, sf_dir):
         )
         q.awaitTermination()
     got = spark.read.parquet(out_p)
+    # integer-cents sum (order-invariant) — see q_streaming_sessions_final
     return got.groupBy("user_id").agg(
         F.count("*").alias("n_pairs"),
         F.countDistinct("p_id").alias("n_purchases_with_view"),
-        stable_round(F.sum("p_value"), 2).alias("pair_value"),
+        (
+            F.sum(F.floor(F.col("p_value") * 100.0 + F.lit(0.5))) / 100.0
+        ).alias("pair_value"),
     )
 
 
@@ -284,10 +287,20 @@ def q_streaming_sessions_final(spark, sf_dir):
         )
         q.awaitTermination()
     got = spark.read.parquet(out_p)
+    # closed_value sums INTEGER CENTS and divides once: long addition
+    # is order-invariant, so the result is bit-stable across partial-agg
+    # orders — a plain double sum rounded at the end flipped a .005
+    # boundary once on the driver (r11 hash flake).  session_end_ms is
+    # the collision-free session key (session_seq restarts at 0 after
+    # eviction); max() of it pins the eviction timeline in the oracle.
     return got.groupBy("user_id").agg(
         F.count("*").alias("n_closed"),
         F.sum("n_events").alias("closed_events"),
-        stable_round(F.sum("session_value"), 2).alias("closed_value"),
+        F.max("session_end_ms").alias("last_closed_ms"),
+        (
+            F.sum(F.floor(F.col("session_value") * 100.0 + F.lit(0.5)))
+            / 100.0
+        ).alias("closed_value"),
     )
 
 

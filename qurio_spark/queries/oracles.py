@@ -1276,8 +1276,8 @@ pairs AS (
 )
 SELECT user_id, count(*) AS n_pairs,
        count(DISTINCT p_id) AS n_purchases_with_view,
-       (floor((CAST(sum(p_value) AS DOUBLE)) * 100.0 + 0.5) / 100.0)
-         AS pair_value
+       (CAST(sum(CAST(floor(p_value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 100.0) AS pair_value
 FROM pairs GROUP BY user_id""",
         "merge_orders": """
 WITH upd AS (
@@ -1459,12 +1459,12 @@ s AS (
 ),
 per_session AS (
   SELECT user_id, session_seq, count(*) AS n_events,
-         (floor((CAST(sum(value) AS DOUBLE)) * 100.0 + 0.5) / 100.0) AS session_value
+         sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS session_cents
   FROM s GROUP BY 1, 2
 )
 SELECT user_id, count(*) AS n_sessions,
        max(n_events) AS max_session_events,
-       (floor((CAST(sum(session_value) AS DOUBLE)) * 100.0 + 0.5) / 100.0) AS total_value
+       (CAST(sum(session_cents) AS DOUBLE) / 100.0) AS total_value
 FROM per_session GROUP BY user_id""",
         # evicting sessionizer: closed = non-final sessions (inline)
         # UNION final sessions whose end + gap < final watermark
@@ -1487,7 +1487,7 @@ s AS (
 ),
 per_session AS (
   SELECT user_id, session_seq, count(*) AS n_events,
-         sum(value) AS session_value,
+         sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS session_cents,
          max(epoch_ms(ts::TIMESTAMP)) AS end_ms,
          max(session_seq) OVER (PARTITION BY user_id) AS last_seq
   FROM s GROUP BY user_id, session_seq
@@ -1499,8 +1499,8 @@ closed AS (
 )
 SELECT user_id, count(*) AS n_closed,
        sum(n_events) AS closed_events,
-       (floor(CAST(sum(session_value) AS DOUBLE) * 100.0 + 0.5) / 100.0)
-         AS closed_value
+       max(end_ms) AS last_closed_ms,
+       (CAST(sum(session_cents) AS DOUBLE) / 100.0) AS closed_value
 FROM closed GROUP BY user_id""",
         "sitemap_urls": _sitemap_sql(),
         "md_extract": _md_extract_sql(),

@@ -129,38 +129,58 @@ def sessionize_stream(
     The PRODUCTION variant is :func:`sessionize_stream_evicting` —
     event-time timeouts finalize idle sessions and REMOVE their state,
     so long-running streams hold state only for currently-active keys.
+
+    All arithmetic is EXACT-INTEGER (r12, after the r11 oracle hash
+    flake): event times are integer microseconds (``Timestamp.value``,
+    never float ``timestamp()`` whose last-ulp can truncate a
+    millisecond), the gap test compares floor-second epochs exactly
+    like the batch twin's ``cast(ts as long)`` lag diff, and values
+    accumulate as integer CENTS (``floor(v*100+0.5)``, the
+    ``stable_round`` half-up) — integer sums are order- and
+    batching-invariant, so no summation order can flip a rounding
+    boundary downstream.
     """
+    import math
+
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = (
         f"{user_col} long, session_seq int, n_events long, session_value double"
     )
-    state_schema = "last_ts double, session_seq int, n_events long, session_value double"
+    state_schema = "last_us long, session_seq int, n_events long, session_cents long"
 
     def fn(key, pdfs, state):
         if state.exists:
-            last_ts, seq, n, sv = state.get
+            last_us, seq, n, cents = state.get
         else:
-            last_ts, seq, n, sv = None, 0, 0, 0.0
-        touched: dict[int, tuple[int, float]] = {}
-        for pdf in pdfs:
-            pdf = pdf.sort_values([ts_col, order_col])
+            last_us, seq, n, cents = None, 0, 0, 0
+        touched: dict[int, tuple[int, int]] = {}
+        # ONE global sort over the whole group: a group larger than
+        # the Arrow batch size arrives as several chunks in
+        # delivery-dependent order, and sorting each chunk separately
+        # would make session assignment nondeterministic run-to-run
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values([ts_col, order_col])
             for ts, val in zip(pdf[ts_col], pdf[value_col]):
-                t = ts.timestamp()
-                if last_ts is not None and t - last_ts > gap_s:
-                    seq, n, sv = seq + 1, 0, 0.0
-                last_ts = t
+                t_us = ts.value // 1000  # exact integer micros
+                if (
+                    last_us is not None
+                    and t_us // 1_000_000 - last_us // 1_000_000 > gap_s
+                ):
+                    seq, n, cents = seq + 1, 0, 0
+                last_us = t_us
                 n += 1
-                sv += float(val)
-                touched[seq] = (n, sv)
-        state.update((last_ts, seq, n, sv))
+                cents += int(math.floor(float(val) * 100.0 + 0.5))
+                touched[seq] = (n, cents)
+        state.update((last_us, seq, n, cents))
         yield pd.DataFrame(
             {
                 user_col: [key[0]] * len(touched),
                 "session_seq": list(touched.keys()),
                 "n_events": [v[0] for v in touched.values()],
-                "session_value": [v[1] for v in touched.values()],
+                "session_value": [v[1] / 100.0 for v in touched.values()],
             }
         )
 
@@ -196,42 +216,67 @@ def sessionize_stream_evicting(
     Sessions still open when the stream stops are never emitted (the
     append contract: only finalized rows).  Timeout timestamps clamp
     to just past the current watermark, so late-arriving groups
-    cannot request an already-passed timeout (an API error)."""
+    cannot request an already-passed timeout (an API error).
+
+    Output rows carry ``session_end_ms`` (the closed session's last
+    event time, exact epoch ms) because ``session_seq`` ALONE is not a
+    key: eviction drops the counter, so a returning user's next
+    session restarts at seq 0 — ``(user, seq)`` pairs repeat across
+    active periods (ADVICE r11).  ``(user_id, session_end_ms)`` is
+    collision-free by construction (a user's sessions are time-ordered
+    and > gap apart); ``session_seq`` is only unique within one
+    contiguous active period.
+
+    Exact-integer arithmetic throughout (r12): integer-microsecond
+    event times, floor-second gap diffs matching the batch twin, the
+    timeout at exactly ``end_ms + gap_ms`` (fires when the watermark
+    passes it STRICTLY — the same ``end_ms + gap*1000 < wm_ms``
+    closedness predicate the oracle computes), and integer-cents value
+    accumulation so emitted sums are batching-order-invariant."""
+    import math
+
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = (
-        f"{user_col} long, session_seq int, n_events long, session_value double"
+        f"{user_col} long, session_seq int, session_end_ms long, "
+        "n_events long, session_value double"
     )
     state_schema = (
-        "last_ts double, session_seq int, n_events long, session_value double"
+        "last_us long, session_seq int, n_events long, session_cents long"
     )
 
     def fn(key, pdfs, state):
         closed: list[tuple] = []
         if state.hasTimedOut:
-            _last_ts, seq, n, sv = state.get
-            closed.append((key[0], seq, n, sv))
+            last_us, seq, n, cents = state.get
+            closed.append((key[0], seq, last_us // 1000, n, cents))
             state.remove()
         else:
             if state.exists:
-                last_ts, seq, n, sv = state.get
+                last_us, seq, n, cents = state.get
             else:
-                last_ts, seq, n, sv = None, 0, 0, 0.0
-            for pdf in pdfs:
-                pdf = pdf.sort_values([ts_col, order_col])
+                last_us, seq, n, cents = None, 0, 0, 0
+            # one global sort over the whole group (see
+            # sessionize_stream: per-chunk sorting is order-unstable)
+            chunks = [p for p in pdfs if len(p)]
+            if chunks:
+                pdf = pd.concat(chunks).sort_values([ts_col, order_col])
                 for ts, val in zip(pdf[ts_col], pdf[value_col]):
-                    t = ts.timestamp()
-                    if last_ts is not None and t - last_ts > gap_s:
-                        closed.append((key[0], seq, n, sv))
-                        seq, n, sv = seq + 1, 0, 0.0
-                    last_ts = t
+                    t_us = ts.value // 1000  # exact integer micros
+                    if (
+                        last_us is not None
+                        and t_us // 1_000_000 - last_us // 1_000_000 > gap_s
+                    ):
+                        closed.append((key[0], seq, last_us // 1000, n, cents))
+                        seq, n, cents = seq + 1, 0, 0
+                    last_us = t_us
                     n += 1
-                    sv += float(val)
-            state.update((last_ts, seq, n, sv))
+                    cents += int(math.floor(float(val) * 100.0 + 0.5))
+            state.update((last_us, seq, n, cents))
             state.setTimeoutTimestamp(
                 max(
-                    int((last_ts + gap_s) * 1000),
+                    last_us // 1000 + gap_s * 1000,
                     state.getCurrentWatermarkMs() + 1,
                 )
             )
@@ -239,8 +284,9 @@ def sessionize_stream_evicting(
             {
                 user_col: [c[0] for c in closed],
                 "session_seq": [c[1] for c in closed],
-                "n_events": [c[2] for c in closed],
-                "session_value": [c[3] for c in closed],
+                "session_end_ms": [c[2] for c in closed],
+                "n_events": [c[3] for c in closed],
+                "session_value": [c[4] / 100.0 for c in closed],
             }
         )
 

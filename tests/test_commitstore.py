@@ -55,25 +55,44 @@ def _moto_s3_store():
             aws_secret_access_key="testing",
         )
         client.create_bucket(Bucket="commitstore-test")
-        # Real S3 serializes conditional writes SERVER-SIDE (that
-        # atomicity is the primitive the CAS loop is built on); moto's
-        # in-memory backend evaluates If-Match/If-None-Match with a
-        # plain check-then-write, so two racing threads can both pass
-        # the check and the later (possibly LOWER-version) body wins —
-        # a mock artifact, not a protocol bug (seen once as a pointer
-        # regression in the 8-thread race).  Restore the contract by
-        # making each conditional put atomic under a lock; plain
-        # reads/lists stay unserialized.
+        # Real S3 linearizes every request SERVER-SIDE: conditional
+        # writes are atomic (the primitive the CAS loop is built on)
+        # and a GET always materializes a complete object.  moto's
+        # in-memory backend has neither property under threads — two
+        # racing conditional puts can both pass the If-Match check and
+        # the later (possibly LOWER-version) body wins (seen once as a
+        # pointer regression in the 8-thread race), and a concurrent
+        # PUT closes the SpooledTemporaryFile a GET is still reading
+        # ("I/O operation on closed file", seen as a full-suite flake
+        # in r11).  Both are mock artifacts, not protocol bugs; restore
+        # the per-request atomicity contract by serializing every
+        # put/get under one lock — request INTERLEAVING (what the race
+        # tests exercise) stays arbitrary between acquisitions, exactly
+        # like real S3.
         lock = threading.Lock()
         orig_put = client.put_object
+        orig_get = client.get_object
 
         def atomic_put(**kw):
-            if "IfMatch" in kw or "IfNoneMatch" in kw:
-                with lock:
-                    return orig_put(**kw)
-            return orig_put(**kw)
+            with lock:
+                return orig_put(**kw)
+
+        def atomic_get(**kw):
+            with lock:
+                resp = orig_get(**kw)
+                # drain the body INSIDE the lock: StreamingBody reads
+                # from the store's buffer, which a later put may close
+                body = resp["Body"].read()
+
+            class _Done:
+                def read(self):
+                    return body
+
+            resp["Body"] = _Done()
+            return resp
 
         client.put_object = atomic_put
+        client.get_object = atomic_get
         yield S3CommitStore("commitstore-test", prefix="t", client=client)
 
 

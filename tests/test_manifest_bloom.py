@@ -326,6 +326,92 @@ class TestBloomSurvivesDml:
             .first()["payload"] == -1.0
         )
 
+    def test_bloom_survives_type_widening(self, spark, tmp_path):
+        """ADVICE r11 (high): blooms hash at ONE canonical type per
+        family, so an int->long widening append leaves pre- and
+        post-widening files probeable by the same literal — before
+        the canon pin, xxhash64(5 INT) != xxhash64(5 BIGINT) meant
+        eq-probes silently excluded pre-widening files that held
+        matching rows."""
+        path = str(tmp_path / "widen")
+        ints = spark.range(0, 4000).select(
+            F.col("id").cast("int").alias("k"),
+            F.col("id").alias("payload"),
+        )
+        snap_append(ints.repartition(4), path, bloom_cols=["k"])
+        longs = spark.range(4000, 6000).select(
+            F.col("id").alias("k"),  # bigint — widens the pinned type
+            F.col("id").alias("payload"),
+        )
+        snap_append(longs.repartition(2), path)  # inherits bloom_cols
+        # probe a value that lives in a PRE-widening file: range stats
+        # can't skip (every file's [min,max] spans it is false here —
+        # k is sorted-ish, so pick values and assert exact results)
+        for probe in (1234, 5678):
+            rows = snap_scan_multi(
+                spark, path, {}, eq={"k": probe}
+            ).collect()
+            assert [r["payload"] for r in rows] == [probe], probe
+        # float->double widening, same guarantee
+        fpath = str(tmp_path / "widenf")
+        floats = spark.range(0, 1000).select(
+            (F.col("id") * 0.5).cast("float").alias("v"),
+            F.col("id").alias("payload"),
+        )
+        snap_append(floats.coalesce(1), fpath, bloom_cols=["v"])
+        doubles = spark.range(1000, 2000).select(
+            (F.col("id") * 0.5).alias("v"),
+            F.col("id").alias("payload"),
+        )
+        snap_append(doubles.coalesce(1), fpath)
+        # 21.0 is exactly representable as float: lives pre-widening
+        rows = snap_scan_multi(spark, fpath, {}, eq={"v": 21.0}).collect()
+        assert [r["payload"] for r in rows] == [42]
+
+    def test_long_column_bloom_probed_with_small_int(self, spark, tmp_path):
+        """The canon pin also fixes the UNwidened case: a bigint
+        column's bloom hashed at long, but a small Python int literal
+        naturally infers INT — before the pin every such probe
+        false-dropped all files."""
+        path = str(tmp_path / "longcol")
+        df = spark.range(0, 2000).select(
+            F.col("id").alias("k"), F.col("id").alias("payload")
+        )
+        snap_append(df.repartition(3), path, bloom_cols=["k"])
+        rows = snap_scan_multi(spark, path, {}, eq={"k": 777}).collect()
+        assert [r["payload"] for r in rows] == [777]
+
+    def test_legacy_entries_probe_at_natural_type(self, spark, tmp_path):
+        """Entries written before the canon flag (string blooms — the
+        only shape older tables used) keep pruning: the probe hashes
+        the literal at its natural type for flagless geometries."""
+        import json
+
+        path = str(tmp_path / "legacy")
+        snap_append(_docs(spark, 0, 500).coalesce(1), path,
+                    bloom_cols=["doc_id"])
+        mdir = os.path.join(path, "_manifests")
+        stripped = 0
+        for f in os.listdir(mdir):
+            if not (f.startswith("m-") and f.endswith(".json")):
+                continue
+            fp = os.path.join(mdir, f)
+            m = json.loads(open(fp).read())
+            for e in m.get("files", []):
+                if isinstance(e, dict) and e.get("bloom"):
+                    for g in e["bloom"]["cols"].values():
+                        stripped += g.pop("canon", None) is not None
+            open(fp, "w").write(json.dumps(m))
+        assert stripped >= 1
+        target = _id_of(spark, 123)
+        rows = snap_scan_multi(
+            spark, path, {}, eq={"doc_id": target}
+        ).collect()
+        assert [r["payload"] for r in rows] == [123]
+        assert snap_scan_files(
+            path, {}, spark=spark, eq={"doc_id": "doc-absent"}
+        ) == []
+
     def test_overwrite_resets_bloom_property(self, spark, tmp_path):
         from qurio_spark.plans.snapshots import snap_overwrite
 
