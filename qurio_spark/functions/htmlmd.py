@@ -202,8 +202,12 @@ def html_to_markdown(html: str) -> tuple[str, str | None]:
 def _is_text_url(url: str) -> bool:
     """The reference's LLM-filter bypass for plain-text resources
     (web.py:245-246: ``.txt`` and ``llms.txt`` skip the filter — the
-    manifest format must survive verbatim)."""
-    return (url or "").endswith(".txt")
+    manifest format must survive verbatim).  The check runs on the URL
+    PATH, so a query string or fragment (``/llms.txt?v=2``) cannot
+    defeat the bypass (ADVICE r11)."""
+    from urllib.parse import urlsplit
+
+    return urlsplit(url or "").path.endswith(".txt")
 
 
 def convert_html_column(

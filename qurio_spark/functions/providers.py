@@ -86,6 +86,36 @@ def _post_json(
 _WORKER_PROVIDER_CACHE: dict = {}
 
 
+def _config_fingerprint(v, depth: int = 0):
+    """A hashable, deep fingerprint of a provider's FULL config, stable
+    across pickled copies of the same instance: scalars verbatim,
+    containers element-wise, callables by their code object's
+    (file, line, bytecode) — stable under cloudpickle round-trips while
+    distinct for different functions/lambdas — and nested objects
+    (RetryPolicy, an injected breaker) by type + their own vars()."""
+    if isinstance(v, (str, int, float, bool, bytes, type(None))):
+        return v
+    if isinstance(v, (list, tuple)):
+        return tuple(_config_fingerprint(x, depth + 1) for x in v)
+    if isinstance(v, (dict,)):
+        return tuple(
+            sorted(
+                (str(k), _config_fingerprint(x, depth + 1))
+                for k, x in v.items()
+            )
+        )
+    if callable(v) and hasattr(v, "__code__"):
+        c = v.__code__
+        return ("fn", c.co_filename, c.co_firstlineno, c.co_code)
+    if depth < 3 and hasattr(v, "__dict__"):
+        return (
+            type(v).__module__,
+            type(v).__qualname__,
+            _config_fingerprint(vars(v), depth + 1),
+        )
+    return (type(v).__module__, type(v).__qualname__)
+
+
 def worker_shared(provider):
     """Per-worker-process provider singleton.  Closures ship a PICKLED
     COPY of a provider into every Spark task, so instance state — the
@@ -97,14 +127,22 @@ def worker_shared(provider):
     process is cached by the provider's config identity and every later
     task in the same worker reuses it, so breaker state genuinely
     spans tasks.  Call it INSIDE the executed function (mapInPandas
-    body / UDF), never at closure-capture time on the driver."""
+    body / UDF), never at closure-capture time on the driver.
+
+    Identity is the provider's FULL config (every constructor-set
+    field, via ``_config_fingerprint``), not a hand-picked subset:
+    two providers sharing endpoint+model but differing in
+    ``key_provider``/``timeout_s``/retry policy/injected breaker must
+    NOT collapse to whichever copy a worker saw first (ADVICE r11 —
+    that silently used the wrong credentials for later tasks).  A
+    provider may pin its own identity by exposing ``cache_key``."""
+    explicit = getattr(provider, "cache_key", None)
     key = (
         type(provider).__module__,
         type(provider).__qualname__,
-        getattr(provider, "endpoint", None),
-        getattr(provider, "model", None),
-        getattr(provider, "instruction", None),
-        getattr(provider, "max_batch", None),
+        explicit
+        if explicit is not None
+        else _config_fingerprint(vars(provider)),
     )
     return _WORKER_PROVIDER_CACHE.setdefault(key, provider)
 

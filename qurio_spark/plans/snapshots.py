@@ -597,19 +597,39 @@ def snap_txn_mark(path: str, app_id: str) -> int:
 
 
 def snap_txn_version(path: str, app_id: str, batch_id: int) -> int | None:
-    """The earliest RETAINED version whose txn high-water mark for
-    ``app_id`` reached ``batch_id`` — i.e. the commit that wrote that
-    batch (None when no retained version has; vacuum may have removed
-    the answer, in which case the caller must re-bootstrap)."""
+    """The version of the commit that INTRODUCED ``app_id``'s txn
+    high-water mark ``>= batch_id`` — i.e. the commit that wrote that
+    batch.  None when no retained version proves it: every later
+    commit (compaction, maintenance, other appends) CARRIES the txn
+    map forward, so the earliest retained hit is the introducing
+    commit only if its PARENT is still readable with a smaller mark —
+    otherwise vacuum may have removed the true writer and the earliest
+    surviving carrier would be an unrelated commit whose diff recovers
+    the wrong (likely empty) row set (ADVICE r11).  A None forces the
+    caller down its documented re-bootstrap path instead."""
+    st = store_for(path)
     hits = []
-    for f in store_for(path).list(path):
+    for f in st.list(path):
         if f.startswith("v") and f.endswith(".json"):
             n = int(f[1:-5])
             if _read_manifest(path, n).get("txn", {}).get(
                 app_id, -1
             ) >= batch_id:
                 hits.append(n)
-    return min(hits) if hits else None
+    if not hits:
+        return None
+    v = min(hits)
+    if v == 0:
+        # no parent exists by construction: v0 introduced its marks
+        return 0
+    if not st.exists(path, f"v{v - 1}.json"):
+        # parent vacuumed — cannot prove v introduced the mark
+        return None
+    if _read_manifest(path, v - 1).get("txn", {}).get(app_id, -1) >= batch_id:
+        # defensive: an unlisted-but-readable parent already carries
+        # the mark, so v merely inherited it
+        return None
+    return v
 
 
 def _snap_commit(

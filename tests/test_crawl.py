@@ -556,3 +556,40 @@ class TestResumableCrawl:
         # s1's rows unchanged (one per reachable page, completed)
         s1 = [s for s in by_src if s[0] == "s1"]
         assert len(s1) == len(SITE) - 1  # deeper is past the depth gate
+
+
+class TestVacuumedCrashWindow:
+    """ADVICE r11 medium: if the commit that wrote round R's docs is
+    vacuumed during the crash window, a LATER unrelated commit still
+    carries the txn mark — recovery must hit the documented
+    re-bootstrap error, never silently replay the wrong commit's diff
+    (which would lose round R's status flips and double-append its
+    pages on the next round)."""
+
+    def _seeds(self, spark):
+        return spark.createDataFrame(
+            [("s1", "https://d.com/")], "source_id string, url string"
+        )
+
+    def test_resume_raises_when_introducing_commit_vacuumed(
+        self, spark, tmp_path
+    ):
+        from qurio_spark.operators.crawl import run_crawl_resumable
+        from qurio_spark.plans.snapshots import snap_compact, snap_vacuum
+
+        lp, dp = str(tmp_path / "ledger"), str(tmp_path / "docs")
+        run_crawl_resumable(
+            spark, self._seeds(spark), fake_fetch_one, max_depth=2,
+            ledger_path=lp, docs_path=dp, max_rounds=1,
+        )
+        TestResumableCrawl._simulate_crash_window(None, spark, lp, dp)
+        # unrelated maintenance commit carries the txn map forward...
+        snap_compact(spark, dp, small_bytes=64 << 20)
+        # ...and retention removes the commit that actually wrote the
+        # in-flight round
+        snap_vacuum(dp, keep_last=1, grace_seconds=0.0)
+        with pytest.raises(RuntimeError, match="vacuumed"):
+            run_crawl_resumable(
+                spark, self._seeds(spark), fake_fetch_one, max_depth=2,
+                ledger_path=lp, docs_path=dp,
+            )

@@ -631,6 +631,14 @@ class TestHttpContentFilter:
         # .txt bypass
         page = fetch({"url": "https://d.io/llms.txt"})
         assert "NAVNOISE" in page["content"]
+        # ...and a query string / fragment must not defeat the bypass
+        # (ADVICE r11: the check runs on the URL path)
+        for u in (
+            "https://d.io/llms.txt?v=2",
+            "https://d.io/notes.txt#sec",
+        ):
+            page = fetch({"url": u})
+            assert "NAVNOISE" in page["content"], u
 
     def test_failed_and_empty_fetches_never_reach_the_filter(self):
         """A site outage must neither spend LLM calls nor poison the
@@ -681,6 +689,43 @@ class TestHttpContentFilter:
         # breaker mutations through either handle land on the shared one
         worker_shared(b).breaker.record_failure()
         assert worker_shared(a).breaker._consecutive == 1
+
+    def test_worker_shared_keys_on_full_config(self, server):
+        """ADVICE r11: providers sharing endpoint+model but differing
+        in key_provider / timeout_s / retry policy must NOT collapse to
+        one slot — that silently used the wrong credentials/timeouts
+        for later tasks in the same worker."""
+        from qurio_spark.functions.providers import (
+            HttpEmbedder,
+            RetryPolicy,
+            worker_shared,
+        )
+
+        def key_a():
+            return "key-a"
+
+        def key_b():
+            return "key-b"
+
+        base = dict(endpoint=f"{server}/embed", dim=4)
+        e1 = HttpEmbedder(key_provider=key_a, **base)
+        e2 = HttpEmbedder(key_provider=key_b, **base)
+        assert worker_shared(e1) is not worker_shared(e2)
+        t1 = HttpEmbedder(timeout_s=1.0, **base)
+        t2 = HttpEmbedder(timeout_s=9.0, **base)
+        assert worker_shared(t1) is not worker_shared(t2)
+        p1 = HttpEmbedder(policy=RetryPolicy(max_attempts=1), **base)
+        p2 = HttpEmbedder(policy=RetryPolicy(max_attempts=5), **base)
+        assert worker_shared(p1) is not worker_shared(p2)
+        # ...while genuinely identical config still shares one slot
+        s1 = HttpEmbedder(key_provider=key_a, timeout_s=2.0, **base)
+        s2 = HttpEmbedder(key_provider=key_a, timeout_s=2.0, **base)
+        assert worker_shared(s1) is worker_shared(s2)
+        # an explicit cache_key pins identity outright
+        c1 = HttpEmbedder(timeout_s=1.0, **base)
+        c2 = HttpEmbedder(timeout_s=9.0, **base)
+        c1.cache_key = c2.cache_key = "pinned"
+        assert worker_shared(c1) is worker_shared(c2)
 
     def test_crawl_e2e_breaker_open_bypasses_to_deterministic(self, server):
         """The done-criterion e2e: crawl with a DEAD filter endpoint —

@@ -446,3 +446,37 @@ class TestMaintain:
         assert sorted(
             x["v"] for x in snap_read(spark, path).collect()
         ) == list(range(5, 60))
+
+
+class TestTxnVersionIntroducer:
+    """snap_txn_version must identify the commit that INTRODUCED a txn
+    mark, never a later carrier (ADVICE r11 medium): every descendant
+    commit carries the txn map forward, so after the true writer is
+    vacuumed the earliest surviving hit is an unrelated commit whose
+    diff would silently recover the wrong row set."""
+
+    def _mk(self, spark, lo, hi):
+        return spark.range(lo, hi).select(F.col("id").alias("v")).coalesce(1)
+
+    def test_finds_introducer_while_parent_retained(self, spark, tmp_path):
+        from qurio_spark.plans.snapshots import snap_txn_version
+
+        path = str(tmp_path / "t")
+        snap_append_txn(self._mk(spark, 0, 5), path, "app", 0)     # v0
+        snap_append_txn(self._mk(spark, 5, 10), path, "app", 1)    # v1
+        snap_append(self._mk(spark, 10, 15), path)                 # v2 carries
+        assert snap_txn_version(path, "app", 0) == 0
+        assert snap_txn_version(path, "app", 1) == 1
+        assert snap_txn_version(path, "app", 2) is None
+
+    def test_none_when_introducer_vacuumed(self, spark, tmp_path):
+        from qurio_spark.plans.snapshots import snap_txn_version
+
+        path = str(tmp_path / "t")
+        snap_append_txn(self._mk(spark, 0, 5), path, "app", 0)     # v0
+        snap_append_txn(self._mk(spark, 5, 10), path, "app", 1)    # v1: writer
+        snap_compact(spark, path, small_bytes=64 << 20)            # v2 carries
+        assert snap_txn_version(path, "app", 1) == 1
+        snap_vacuum(path, keep_last=1, grace_seconds=0.0)          # drops v0,v1
+        # v2 still carries mark 1 but did NOT write batch 1 — must be None
+        assert snap_txn_version(path, "app", 1) is None
