@@ -77,8 +77,11 @@ def q_semantic_dedup(spark, sf_dir):
     near-dup groups WITHIN clusters, one survivor per group (lowest
     centroid cosine).  k-means is iterative -> rows-only check; the
     keep rule, determinism, and column preservation are pinned in
-    tests/test_dedup.py::TestSemanticDedup.  Returns a deterministic
-    survivor summary, stable across reruns."""
+    tests/test_dedup.py::TestSemanticDedup.  Returns the survivor
+    count plus sha256 OF THE FULL SORTED SURVIVOR ID LIST — the
+    pipeline is md5-seeded deterministic, so the hash is a golden
+    value (pinned in tests/test_queries_full.py), and unlike the old
+    (count, id_sum) summary a survivor swap cannot collide."""
     from qurio_spark.operators.similarity import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -87,7 +90,16 @@ def q_semantic_dedup(spark, sf_dir):
     out = semantic_dedup(emb, k=8, threshold=0.3, iters=3)
     return out.agg(
         F.count("*").alias("n_survivors"),
-        F.sum("vec_id").alias("id_sum"),
+        F.sha2(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("vec_id")),
+                    lambda x: x.cast("string"),
+                ),
+            ),
+            256,
+        ).alias("survivor_sha"),
     )
 
 

@@ -162,7 +162,8 @@ def sessionize_stream(
         # would make session assignment nondeterministic run-to-run
         chunks = [p for p in pdfs if len(p)]
         if chunks:
-            pdf = pd.concat(chunks).sort_values([ts_col, order_col])
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+            pdf = pdf.sort_values([ts_col, order_col])
             for ts, val in zip(pdf[ts_col], pdf[value_col]):
                 t_us = ts.value // 1000  # exact integer micros
                 if (
@@ -261,7 +262,8 @@ def sessionize_stream_evicting(
             # sessionize_stream: per-chunk sorting is order-unstable)
             chunks = [p for p in pdfs if len(p)]
             if chunks:
-                pdf = pd.concat(chunks).sort_values([ts_col, order_col])
+                pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+                pdf = pdf.sort_values([ts_col, order_col])
                 for ts, val in zip(pdf[ts_col], pdf[value_col]):
                     t_us = ts.value // 1000  # exact integer micros
                     if (
