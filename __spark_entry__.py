@@ -88,6 +88,7 @@ from qurio_spark.queries.search import (  # noqa: F401
 from qurio_spark.queries.textstats import (  # noqa: F401
     q_decontaminate,
     q_fingerprints,
+    q_gopher_rules,
     q_keyword_extract,
     q_lang_id,
     q_pii_redact,
@@ -469,6 +470,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``events_sessions`` — the batch lag+cumsum sessionization is a
     strict subset of the new oracle's CTEs and stays sweep-checked at
     51+; green since round 5.
+    Round 12 rotation — IN (new): ``gopher_rules`` (the Gopher
+    quality-filter rule set, Rae et al. 2021 A1.1, as per-document 0/1
+    gates + pass conjunction — the canonical pretraining hard document
+    filter; pure column expressions, one map-stage scan).  OUT:
+    ``rerank_overlap`` — the identity-rerank contract (stable sort,
+    overlap with the unranked top-k) is pinned by tests/test_rerank.py
+    and the Jina/Cohere-shaped provider fake-server tests; green since
+    round 3, stays sweep-checked at 51+.  ``streaming_sessions_final``
+    stays in-window per the r11 verdict (its oracle hash-flaked once on
+    the driver; r12 made both sides exact-integer — it needs a clean
+    driver round before it can rotate).
+
     EVERY entry, in-window or not, is additionally oracle-compared at
     sf0.001 by ``tests/test_queries_full.py`` on each pytest run — the
     round-4 lesson was that out-of-window entries had no committed
@@ -524,9 +537,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_view": q_quantile_view,
         "tpch_q16": q_tpch_q16,
         "snap_renamecol": q_snap_renamecol,
-        "rerank_overlap": q_rerank_overlap,
+        "gopher_rules": q_gopher_rules,
         # -- 51+: oracle-backed, operator proven by in-window sibling
         # (or, for minhash_lsh, newly oracle-backed breadth) ----------
+        "rerank_overlap": q_rerank_overlap,
         "snap_compact": q_snap_compact,
         "events_sessions": q_events_sessions,
         "time_travel": q_time_travel,

@@ -232,3 +232,97 @@ def keyword_extract(
             stable_round("score", 4).alias("tfidf"),
         )
     )
+
+
+#: The Gopher rule-set stop words (Rae et al. 2021, MassiveText A1.1):
+#: a document must contain at least 2 of these to pass the stop-word
+#: rule — the cheapest "is this prose at all" signal in the ladder.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """The GOPHER quality-filter rule set (Rae et al. 2021, MassiveText
+    appendix A1.1) as per-document boolean gates — the canonical
+    pretraining-corpus document filter, complementing the soft
+    ``quality_score_expr`` with the published hard thresholds:
+
+      1. word count in [50, 100k]          (``r_word_count``)
+      2. mean word length in [3, 10]       (``r_mean_word_len``)
+      3. (#-symbols + ellipses)/words <= 0.1  (``r_symbol_ratio``)
+      4. <= 90% of lines start with a bullet  (``r_bullet_lines``)
+      5. <= 30% of lines end with an ellipsis (``r_ellipsis_lines``)
+      6. >= 80% of words contain an alphabetic char (``r_alpha_words``)
+      7. >= 2 of the 8 Gopher stop words present   (``r_stopwords``)
+
+    "Words" are whitespace-split non-empty strings (punctuation kept —
+    the paper's definition, distinct from ``tokenize``'s alnum terms,
+    which rule 7 uses).  Flags are INTs (0/1) so the DuckDB oracle
+    hashes identically; ``gopher_pass`` is the conjunction.  Pure
+    column expressions — whole-stage codegen end to end, no shuffle,
+    no Python: at 100 TB this is a single map-stage scan."""
+    c = F.col(text_col)
+    words = F.filter(F.split(c, r"\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(words)
+    sum_len = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    ).cast("double")
+    mean_len = F.when(n_words > 0, sum_len / n_words).otherwise(F.lit(0.0))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    n_sym = F.regexp_count(c, F.lit("#")) + F.regexp_count(
+        c, F.lit(r"\.\.\.")
+    )
+    lines = F.filter(
+        F.split(c, "\n"), lambda ln: F.trim(ln) != F.lit("")
+    )
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[•\-\*]"))
+    )
+    n_ell_end = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$"))
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(tokenize(c)),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    flags = {
+        "r_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "r_mean_word_len": (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len),
+        "r_symbol_ratio": F.when(
+            n_words > 0, n_sym / n_words <= max_symbol_ratio
+        ).otherwise(F.lit(False)),
+        "r_bullet_lines": F.when(
+            n_lines > 0, n_bullet / n_lines <= max_bullet_ratio
+        ).otherwise(F.lit(True)),
+        "r_ellipsis_lines": F.when(
+            n_lines > 0, n_ell_end / n_lines <= max_ellipsis_ratio
+        ).otherwise(F.lit(True)),
+        "r_alpha_words": F.when(
+            n_words > 0, n_alpha / n_words >= min_alpha_ratio
+        ).otherwise(F.lit(False)),
+        "r_stopwords": n_stop >= min_stopwords,
+    }
+    out = docs.select(
+        F.col(id_col),
+        *[v.cast("int").alias(k) for k, v in flags.items()],
+    )
+    pass_expr = F.lit(1)
+    for k in flags:
+        pass_expr = pass_expr * F.col(k)
+    return out.withColumn("gopher_pass", pass_expr.cast("int"))

@@ -1113,6 +1113,55 @@ SELECT doc_id,
        len(list_distinct({_TOKS.format(col='text')})) AS n_distinct_tokens
 FROM documents""",
         "quality_scores": _quality_sql(),
+        "gopher_rules": f"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+           AS words,
+         list_filter(regexp_split_to_array(text, '\\n'),
+                     l -> trim(l) <> '') AS lines,
+         {_TOKS.format(col='text')} AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         coalesce(list_aggregate(list_transform(words, x -> length(x)),
+                                 'sum'), 0)::DOUBLE AS sum_len,
+         len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+           AS n_alpha,
+         len(regexp_extract_all(text, '#'))
+           + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_sym,
+         len(lines) AS n_lines,
+         len(list_filter(lines,
+             l -> regexp_matches(trim(l), '^[•\\-\\*]'))) AS n_bullet,
+         len(list_filter(lines,
+             l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$'))) AS n_ell,
+         len(list_intersect(list_distinct(toks),
+             ['the','be','to','of','and','that','have','with'])) AS n_stop
+  FROM w
+),
+fl AS (
+  SELECT doc_id,
+         (n_words >= 50 AND n_words <= 100000)::INT AS r_word_count,
+         (CASE WHEN n_words > 0 THEN sum_len / n_words ELSE 0.0 END
+            BETWEEN 3.0 AND 10.0)::INT AS r_mean_word_len,
+         (CASE WHEN n_words > 0 THEN n_sym / n_words <= 0.1
+               ELSE FALSE END)::INT AS r_symbol_ratio,
+         (CASE WHEN n_lines > 0 THEN n_bullet / n_lines <= 0.9
+               ELSE TRUE END)::INT AS r_bullet_lines,
+         (CASE WHEN n_lines > 0 THEN n_ell / n_lines <= 0.3
+               ELSE TRUE END)::INT AS r_ellipsis_lines,
+         (CASE WHEN n_words > 0 THEN n_alpha / n_words >= 0.8
+               ELSE FALSE END)::INT AS r_alpha_words,
+         (n_stop >= 2)::INT AS r_stopwords
+  FROM m
+)
+SELECT doc_id, r_word_count, r_mean_word_len, r_symbol_ratio,
+       r_bullet_lines, r_ellipsis_lines, r_alpha_words, r_stopwords,
+       (r_word_count * r_mean_word_len * r_symbol_ratio * r_bullet_lines
+        * r_ellipsis_lines * r_alpha_words * r_stopwords) AS gopher_pass
+FROM fl""",
         "lang_id": _lang_id_sql(),
         "fingerprints": """
 SELECT doc_id,

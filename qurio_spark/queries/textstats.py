@@ -91,3 +91,16 @@ def q_decontaminate(spark, sf_dir):
     bench = docs.filter(F.col("doc_id") % 100 == 7)
     train = docs.filter(F.col("doc_id") % 100 != 7)
     return contamination_flags(train, bench, n=4)
+
+
+def q_gopher_rules(spark, sf_dir):
+    """The Gopher quality-filter rule set (Rae et al. 2021 A1.1) as
+    per-document 0/1 gates + the pass conjunction
+    (operators/textstats.gopher_rules): word-count bounds, mean word
+    length, symbol ratio, bullet/ellipsis line ratios, alphabetic-word
+    ratio, stop-word presence — the canonical hard document filter a
+    pretraining corpus runs before anything else.  Pure column
+    expressions, one map-stage scan."""
+    from qurio_spark.operators.textstats import gopher_rules
+
+    return gopher_rules(_t(spark, sf_dir, "documents"))

@@ -218,3 +218,81 @@ class TestContaminationFlags:
             for r in contamination_flags(train, bench, n=5).collect()
         }
         assert got == {1: 1}
+
+
+class TestGopherRules:
+    """operators/textstats.gopher_rules: each published rule (Rae et
+    al. 2021 A1.1) exercised on a crafted doc that fails EXACTLY that
+    rule while a control prose doc passes all seven — the synthetic
+    corpus can only vary the word-count rule, so the per-rule
+    semantics are pinned here."""
+
+    PROSE = (
+        "The quick brown fox jumps over the lazy dog and runs off to "
+        "the woods with great speed because it wants to be far away "
+        "from danger and noise of any kind that could have found it "
+        "there during one of those long quiet afternoons full of sun "
+        "and wind and the kind of calm that only open country has."
+    )
+
+    def _run(self, spark, rows):
+        from qurio_spark.operators.textstats import gopher_rules
+
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        return {r["doc_id"]: r.asDict() for r in gopher_rules(df).collect()}
+
+    def test_each_rule_fails_exactly_its_doc(self, spark):
+        long_words = "to be of and " + " ".join(
+            ["pneumonoultramicroscopic"] * 60
+        )
+        symbols = "to be of and " + "alpha # beta # " * 20
+        bullets = "to be of and word\n" + "\n".join(
+            ["- bullet line"] * 30
+        )
+        ellipses = "to be of and word\n" + "\n".join(
+            ["a trailing line..."] * 10
+        )
+        numeric = "to be of and " + " ".join(str(i) for i in range(60))
+        no_stop = " ".join(["garden window river stone cloud"] * 12)
+        rows = [
+            (0, self.PROSE),
+            (1, "too few words"),
+            (2, long_words),
+            (3, symbols),
+            (4, bullets),
+            (5, ellipses),
+            (6, numeric),
+            (7, no_stop),
+        ]
+        got = self._run(spark, rows)
+        assert got[0]["gopher_pass"] == 1, got[0]
+        failing_rule = {
+            1: "r_word_count",
+            2: "r_mean_word_len",
+            3: "r_symbol_ratio",
+            4: "r_bullet_lines",
+            5: "r_ellipsis_lines",
+            6: "r_alpha_words",
+            7: "r_stopwords",
+        }
+        for doc, rule in failing_rule.items():
+            assert got[doc][rule] == 0, (doc, rule, got[doc])
+            assert got[doc]["gopher_pass"] == 0, (doc, got[doc])
+
+    def test_empty_and_blank_docs_fail_safely(self, spark):
+        got = self._run(spark, [(0, ""), (1, "   \n  \n ")])
+        for d in (0, 1):
+            assert got[d]["gopher_pass"] == 0
+            assert got[d]["r_word_count"] == 0
+            # line rules are vacuously true on empty docs (the rule
+            # gates bullet/ellipsis EXCESS, not presence)
+            assert got[d]["r_bullet_lines"] == 1
+            assert got[d]["r_ellipsis_lines"] == 1
+
+    def test_boundaries_inclusive(self, spark):
+        """50 words exactly passes the count rule; mean length 3.0 and
+        10.0 exactly pass the mean-word-length rule."""
+        fifty = " ".join(["the", "and"] + ["cat"] * 48)  # mean len 3.0
+        got = self._run(spark, [(0, fifty)])
+        assert got[0]["r_word_count"] == 1
+        assert got[0]["r_mean_word_len"] == 1  # exactly 3.0, inclusive
