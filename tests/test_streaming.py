@@ -540,3 +540,95 @@ class TestEvictingSessionize:
             for r in spark.sql("SELECT * FROM closed_one_batch").collect()
         )
         assert one == got  # batching-invariant closed set
+
+
+class TestSessionizerExactArithmetic:
+    """r12: the sessionizer's time/value arithmetic is exact-integer —
+    these pin the CONTRACT at its boundaries, where the old float path
+    could diverge from the batch twin / oracle:
+
+      - gap decisions are FLOOR-SECOND diffs (== the batch twin's
+        cast(ts as long) lag), not exact-microsecond diffs;
+      - session_end_ms is the exact epoch millisecond (the float path
+        could truncate 1 ms low when seconds*1000 rounded down);
+      - values accumulate as integer cents.
+    """
+
+    def _closed(self, spark, tmp_path, rows):
+        from qurio_spark.streaming.ingest import sessionize_stream_evicting
+
+        df = spark.createDataFrame(
+            [(e, float(ts), u, v) for e, ts, u, v in rows],
+            "event_id long, epoch double, user_id long, value double",
+        ).select(
+            "event_id",
+            F.col("epoch").cast("timestamp").alias("ts"),
+            "user_id",
+            "value",
+        )
+        src = str(tmp_path / "src")
+        df.coalesce(1).write.mode("overwrite").parquet(src)
+        schema = "event_id long, ts timestamp, user_id long, value double"
+        q = (
+            sessionize_stream_evicting(
+                spark.readStream.schema(schema).parquet(src), gap_s=1800
+            )
+            .writeStream.format("memory")
+            .queryName(f"exact_{tmp_path.name}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(
+            (
+                r["user_id"], r["session_seq"], r["session_end_ms"],
+                r["n_events"], r["session_value"],
+            )
+            for r in spark.sql(f"SELECT * FROM exact_{tmp_path.name}").collect()
+        )
+
+    def test_gap_is_floor_second_diff(self, spark, tmp_path):
+        """u1: floor diff exactly 1800 -> SAME session even though the
+        exact diff is 1800.999998s; u2: floor diff 1801 -> SPLIT even
+        though the exact diff is 1800.000002s.  This is the batch
+        twin's cast-to-long semantics, which the old float path got
+        wrong on both counts."""
+        t0 = 1_700_000_000
+        far = t0 + 100_000  # advances the watermark past everything
+        rows = [
+            (0, t0 + 10.000001, 1, 1.0),
+            (1, t0 + 1810.999999, 1, 2.0),   # floor diff 1800 -> same
+            (2, t0 + 10.999999, 2, 1.0),
+            (3, t0 + 1811.000001, 2, 2.0),   # floor diff 1801 -> split
+            (4, far, 9, 0.0),
+        ]
+        got = self._closed(spark, tmp_path, rows)
+        by_user = {}
+        for u, seq, end_ms, n, v in got:
+            by_user.setdefault(u, []).append((seq, n, v))
+        assert by_user[1] == [(0, 2, 3.0)]            # one 2-event session
+        assert by_user[2] == [(0, 1, 1.0), (1, 1, 2.0)]  # split
+
+    def test_session_end_ms_is_exact_epoch_ms(self, spark, tmp_path):
+        """ts = ...002.000000 exactly: float(epoch)*1000 lands at
+        x001.9999999 and int() truncates a millisecond low; the
+        integer path must report the exact ms."""
+        t0 = 1_700_000_002.0  # float repr is ...001.9999999...
+        rows = [(0, t0, 1, 6.55), (1, t0 + 100_000, 9, 0.0)]
+        got = self._closed(spark, tmp_path, rows)
+        u1 = [g for g in got if g[0] == 1]
+        assert u1 == [(1, 0, 1_700_000_002_000, 1, 6.55)]
+
+    def test_equal_timestamps_order_by_event_id(self, spark, tmp_path):
+        """Two events at the SAME timestamp: event_id breaks the tie,
+        so the session state machine is deterministic."""
+        t0 = 1_700_000_000
+        rows = [
+            (7, t0 + 5, 1, 1.25),
+            (3, t0 + 5, 1, 2.50),
+            (9, t0 + 100_000, 9, 0.0),
+        ]
+        got = self._closed(spark, tmp_path, rows)
+        u1 = [g for g in got if g[0] == 1]
+        assert u1 == [(1, 0, (t0 + 5) * 1000, 2, 3.75)]
