@@ -632,3 +632,106 @@ class TestSessionizerExactArithmetic:
         got = self._closed(spark, tmp_path, rows)
         u1 = [g for g in got if g[0] == 1]
         assert u1 == [(1, 0, (t0 + 5) * 1000, 2, 3.75)]
+
+
+class TestEvictingMatchesBatchPredicateRandomized:
+    """Seeded-random equivalence: for arbitrary event sets, the
+    evicting sessionizer's closed set must equal the BATCH
+    computation of the oracle's closedness predicate (lag+cumsum
+    sessions; closed = a later session exists OR end_ms + gap_ms <
+    final watermark).  The committed sweep checks one fixed corpus —
+    this pins the contract on adversarial shapes: duplicate
+    timestamps, gaps AT the floor-second boundary, microsecond
+    offsets, single-event users."""
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_random_event_sets(self, spark, tmp_path, seed):
+        import random
+
+        from pyspark.sql.window import Window
+        from qurio_spark.streaming.ingest import sessionize_stream_evicting
+
+        rng = random.Random(seed)
+        t0 = 1_700_000_000
+        rows = []
+        eid = 0
+        for u in range(1, 41):
+            t = t0 + rng.uniform(0, 60)
+            for _ in range(rng.randint(1, 12)):
+                # adversarial step mix: tiny, exactly-at-boundary (in
+                # floor seconds), just-over, and huge
+                step = rng.choice(
+                    [0.0, 0.000001, 5.0, 1799.5, 1800.0, 1800.999,
+                     1801.0, 3600.0, 40_000.0]
+                )
+                t += step
+                rows.append((eid, round(t, 6), u, rng.randint(1, 999) / 100.0))
+                eid += 1
+        df = spark.createDataFrame(
+            [(e, float(ts), u, v) for e, ts, u, v in rows],
+            "event_id long, epoch double, user_id long, value double",
+        ).select(
+            "event_id",
+            F.col("epoch").cast("timestamp").alias("ts"),
+            "user_id", "value",
+        )
+        src = str(tmp_path / "src")
+        df.coalesce(1).write.mode("overwrite").parquet(src)
+        schema = "event_id long, ts timestamp, user_id long, value double"
+        q = (
+            sessionize_stream_evicting(
+                spark.readStream.schema(schema).parquet(src),
+                gap_s=1800, watermark="10 seconds",
+            )
+            .writeStream.format("memory")
+            .queryName(f"rand_closed_{seed}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (r["user_id"], r["session_seq"], r["n_events"],
+             r["session_value"])
+            for r in spark.sql(f"SELECT * FROM rand_closed_{seed}").collect()
+        )
+
+        # batch twin of the oracle's closedness predicate
+        batch = spark.read.parquet(src)
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        secs = F.col("ts").cast("long")
+        ms = (F.col("ts").cast("double") * 1000).cast("long")
+        flagged = batch.withColumn(
+            "new_session",
+            F.when(secs - F.lag(secs).over(w) > 1800, 1).otherwise(0),
+        ).withColumn(
+            "session_seq",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).cast("int"),
+        ).withColumn("ms", ms)
+        per = flagged.groupBy("user_id", "session_seq").agg(
+            F.count("*").alias("n_events"),
+            (F.sum(F.floor(F.col("value") * 100.0 + F.lit(0.5))) / 100.0)
+            .alias("session_value"),
+            F.max("ms").alias("end_ms"),
+        )
+        wm = batch.agg(
+            ((F.max("ts").cast("double") * 1000).cast("long") - 10_000)
+            .alias("wm")
+        ).first()["wm"]
+        last = per.groupBy("user_id").agg(
+            F.max("session_seq").alias("last_seq")
+        )
+        want = sorted(
+            (r["user_id"], r["session_seq"], r["n_events"],
+             r["session_value"])
+            for r in per.join(last, "user_id")
+            .filter(
+                (F.col("session_seq") < F.col("last_seq"))
+                | (F.col("end_ms") + 1_800_000 < F.lit(wm))
+            )
+            .collect()
+        )
+        assert got == want, f"seed {seed}: {len(got)} vs {len(want)}"
+        assert len(want) > 10  # the generator really produced sessions
