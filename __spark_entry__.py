@@ -99,6 +99,7 @@ from qurio_spark.queries.textstats import (  # noqa: F401
 )
 from qurio_spark.queries.dedup import (  # noqa: F401
     q_canonical_docs,
+    q_fuzzy_join,
     q_line_dedup,
     q_embedding_near_dup,
     q_exact_dedup,
@@ -111,6 +112,7 @@ from qurio_spark.queries.dedup import (  # noqa: F401
     q_simhash_near,
 )
 from qurio_spark.queries.events_tpch import (  # noqa: F401
+    q_anomaly_events,
     q_cheapest_order_per_customer,
     q_tpch_q2,
     q_events_hourly,
@@ -142,6 +144,7 @@ from qurio_spark.queries.events_tpch import (  # noqa: F401
 )
 from qurio_spark.queries.breadth import (  # noqa: F401
     q_curate,
+    q_data_quality,
     q_events_cube,
     q_events_funnel,
     q_events_histogram,
@@ -481,6 +484,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stays in-window per the r11 verdict (its oracle hash-flaked once on
     the driver; r12 made both sides exact-integer — it needs a clean
     driver round before it can rotate).
+    Round 12 additions (appended out-of-window; sweep + pytest
+    coverage from day one): ``fuzzy_join`` (SymSpell symmetric-delete
+    edit-distance join — lossless k=1 blocking, levenshtein verify,
+    vs a brute-force quadratic oracle), ``data_quality`` (Deequ-style
+    one-pass metric profile of orders — single agg, stack unpivot,
+    exact-integer fractions), ``anomaly_events`` (per-user 3x-mean
+    outliers — one window shuffle, all-integer comparison).
 
     EVERY entry, in-window or not, is additionally oracle-compared at
     sf0.001 by ``tests/test_queries_full.py`` on each pytest run — the
@@ -623,6 +633,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
         "tpch_q22": q_tpch_q22,
+        "fuzzy_join": q_fuzzy_join,
+        "data_quality": q_data_quality,
+        "anomaly_events": q_anomaly_events,
         # -- rows-only (non-SQL-expressible) ---------------------------
         "chunk_corpus": q_chunk_corpus,
         "ingest_pipeline": q_ingest_pipeline,

@@ -1,0 +1,114 @@
+"""Data-quality profiling + per-group outlier detection.
+
+Training-data-pipeline extensions (SURVEY §2.8): before a corpus or a
+fact table feeds training, a pipeline runs (a) a one-pass
+constraint/metric profile (the Deequ / dbt-test shape — completeness,
+uniqueness, domain compliance, bounds) and (b) statistical outlier
+flagging on numeric facts.  The reference has no equivalent (its only
+"validation" is the ext/size whitelist on file upload, handlers/
+sources.go); these are beyond-reference extensions.
+
+Scale shape:
+  - ``dq_profile`` is ONE aggregation over ONE scan: every metric is a
+    column expression inside a single global agg (partial agg
+    map-side, a one-row final), then the wide row is unpivoted to the
+    long (metric, column, value) report with ``stack`` — no second
+    scan, no joins.  Exact ``count(distinct)`` triggers Spark's expand
+    (one input-row copy per distinct agg); at 100 TB swap
+    ``approx_count_distinct`` in via ``exact_distinct=False`` — HLL
+    keeps it a plain two-phase agg.
+  - ``outlier_events`` is one shuffle (window over the group key) with
+    EXACT INTEGER arithmetic: values go to cents, and the 3x-mean test
+    is ``cents * n > factor * sum_cents`` — long multiplications, no
+    division, so the flag can never flip on a float boundary between
+    engines (the r11/r12 rounding rule, .claude/skills/verify).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def dq_profile(
+    df: DataFrame,
+    completeness: list[str] = (),
+    distinctness: list[str] = (),
+    bounds: list[str] = (),
+    compliance: dict[str, F.Column] | None = None,
+    unique_key: str | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """One-pass metric profile -> rows of (metric, column, value).
+
+    completeness: non-null fraction per column
+    distinctness: (approx) distinct count per column
+    bounds:       min/max per numeric column
+    compliance:   name -> boolean Column; fraction of rows satisfying
+    unique_key:   distinct(key)/count == 1.0 when the key is unique
+
+    Fractions are exact integer counts divided once at the end — both
+    engines divide the same two longs, so the doubles are identical
+    (IEEE 754) and need no rounding.
+    """
+    compliance = compliance or {}
+    n = F.count(F.lit(1))
+    aggs: list[tuple[str, str, F.Column]] = [("row_count", "*", n.cast("double"))]
+    for c in completeness:
+        aggs.append(
+            ("completeness", c, F.count(F.col(c)).cast("double") / n.cast("double"))
+        )
+    ndistinct = F.countDistinct if exact_distinct else F.approx_count_distinct
+    for c in distinctness:
+        aggs.append(("distinct_count", c, ndistinct(F.col(c)).cast("double")))
+    for c in bounds:
+        aggs.append(("min", c, F.min(F.col(c)).cast("double")))
+        aggs.append(("max", c, F.max(F.col(c)).cast("double")))
+    for name, pred in compliance.items():
+        aggs.append(
+            (
+                "compliance",
+                name,
+                F.sum(pred.cast("long")).cast("double") / n.cast("double"),
+            )
+        )
+    if unique_key is not None:
+        aggs.append(
+            (
+                "uniqueness",
+                unique_key,
+                ndistinct(F.col(unique_key)).cast("double") / n.cast("double"),
+            )
+        )
+
+    wide = df.agg(*[col.alias(f"_m{i}") for i, (_, _, col) in enumerate(aggs)])
+    stack_args = ", ".join(
+        f"'{metric}', '{column}', _m{i}" for i, (metric, column, _) in enumerate(aggs)
+    )
+    return wide.selectExpr(
+        f"stack({len(aggs)}, {stack_args}) AS (metric, column, value)"
+    )
+
+
+def outlier_events(
+    events: DataFrame,
+    group_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    factor: int = 3,
+    min_group: int = 20,
+) -> DataFrame:
+    """Events whose value exceeds ``factor`` x their group's mean, for
+    groups with >= min_group events — all-integer comparison
+    (cents * n > factor * sum_cents), one window shuffle."""
+    cents = F.floor(F.col(value_col).cast("double") * 100.0 + F.lit(0.5)).cast("long")
+    w = Window.partitionBy(group_col)
+    flagged = (
+        events.select(F.col(id_col), F.col(group_col), cents.alias("value_cents"))
+        .withColumn("n_group", F.count(F.lit(1)).over(w))
+        .withColumn("_sum", F.sum("value_cents").over(w))
+    )
+    return flagged.filter(
+        (F.col("n_group") >= F.lit(min_group))
+        & (F.col("value_cents") * F.col("n_group") > F.lit(factor) * F.col("_sum"))
+    ).drop("_sum")

