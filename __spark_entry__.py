@@ -101,6 +101,7 @@ from qurio_spark.queries.dedup import (  # noqa: F401
     q_canonical_docs,
     q_fuzzy_join,
     q_line_dedup,
+    q_span_dedup,
     q_embedding_near_dup,
     q_exact_dedup,
     q_minhash,
@@ -490,7 +491,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     vs a brute-force quadratic oracle), ``data_quality`` (Deequ-style
     one-pass metric profile of orders — single agg, stack unpivot,
     exact-integer fractions), ``anomaly_events`` (per-user 3x-mean
-    outliers — one window shuffle, all-integer comparison).
+    outliers — one window shuffle, all-integer comparison),
+    ``span_dedup`` (Lee et al. ExactSubstr duplicate-substring
+    removal at 10-token-gram granularity — the span-level twin of the
+    in-window line_dedup).
 
     EVERY entry, in-window or not, is additionally oracle-compared at
     sf0.001 by ``tests/test_queries_full.py`` on each pytest run — the
@@ -634,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17": q_tpch_q17,
         "tpch_q22": q_tpch_q22,
         "fuzzy_join": q_fuzzy_join,
+        "span_dedup": q_span_dedup,
         "data_quality": q_data_quality,
         "anomaly_events": q_anomaly_events,
         # -- rows-only (non-SQL-expressible) ---------------------------

@@ -730,3 +730,88 @@ def remove_duplicate_lines(
         "n_kept",
         (F.col("n_lines") - F.col("n_kept")).alias("n_removed"),
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-level exact duplicate-SUBSTRING removal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr) on the shared token contract: every token position
+    covered by a k-token gram that occurs >= min_count times in the
+    WHOLE corpus is dropped, and each document is rebuilt from its
+    surviving tokens in order.  Complements remove_duplicate_lines
+    (line granularity) with span granularity — the step that removes
+    licence boilerplate / quoted passages that cross line boundaries.
+
+    Scale shape (the line_dedup pattern one level down): tokenize ->
+    per-doc k-gram windows as a single array expression (transform +
+    slice, no UDF) -> posexplode -> ONE global gram-count shuffle
+    (partial agg absorbs hot-gram skew) -> semi-join flagged starts
+    (only duplicated grams travel) -> per-doc coverage test as a
+    higher-order filter (exists over the doc's flagged starts — spans
+    per doc are small; an interval-merge fold is the drop-in if a
+    pathological doc collects thousands).  Never a cross join; the
+    suffix-array of the original is replaced by the gram-equality
+    join, trading the paper's single-node suffix automaton for a
+    shuffle that partitions by gram hash.
+
+    Returns ``(id_col, text_clean, n_kept, n_removed)`` for every
+    input document (unchanged docs pass through with n_removed = 0).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda x: x != "",
+        ).alias("_toks"),
+    )
+    # sequence(0, size-k) steps BACKWARDS when size < k -> guard
+    grams = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.size("_toks") >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_toks") - k),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("_toks"), i + 1, F.lit(k))
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("start", "gram"),
+    )
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("gram")
+    )
+    flagged = (
+        grams.join(hot, "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("start").alias("_starts"))
+    )
+    base = toks.join(flagged, id_col, "left").withColumn(
+        "_starts", F.coalesce("_starts", F.array().cast("array<int>"))
+    )
+    kept = base.select(
+        F.col(id_col),
+        F.filter(
+            F.col("_toks"),
+            lambda x, p: ~F.exists(
+                F.col("_starts"), lambda s: (s <= p) & (p < s + F.lit(k))
+            ),
+        ).alias("_kept"),
+        F.size("_toks").alias("_n"),
+    )
+    return kept.select(
+        F.col(id_col),
+        F.concat_ws(" ", "_kept").alias("text_clean"),
+        F.size("_kept").alias("n_kept"),
+        (F.col("_n") - F.size("_kept")).alias("n_removed"),
+    )

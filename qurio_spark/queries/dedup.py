@@ -273,3 +273,20 @@ def q_fuzzy_join(spark, sf_dir):
         dirty, clean, "dirty_custkey", "dirty_name",
         "clean_custkey", "clean_name", max_dist=1,
     )
+
+
+def q_span_dedup(spark, sf_dir):
+    """Exact duplicate-substring removal (operators/dedup.
+    remove_duplicate_spans): any 10-token gram occurring >= 2 times in
+    the corpus has its covered positions dropped from every document
+    (Lee et al. 2022 ExactSubstr at span granularity; the
+    line-granularity twin is line_dedup).  One global gram-count
+    shuffle + a semi-join of flagged starts — never a cross join."""
+    from qurio_spark.operators.dedup import remove_duplicate_spans
+
+    out = remove_duplicate_spans(
+        _t(spark, sf_dir, "documents"), k=10, min_count=2
+    )
+    return out.select(
+        "doc_id", "n_kept", "n_removed", F.md5("text_clean").alias("clean_hash")
+    )

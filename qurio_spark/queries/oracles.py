@@ -2116,6 +2116,31 @@ WHERE NOT EXISTS (SELECT 1 FROM lineitem
                   WHERE l_partkey = p_partkey
                     AND l_shipdate >= TIMESTAMP '2000-06-01')
 GROUP BY p_brand""",
+        # Exact duplicate-substring removal (Lee et al. ExactSubstr):
+        # k=10 token grams occurring >= 2x corpus-wide; covered
+        # positions dropped, docs rebuilt from surviving tokens.
+        "span_dedup": f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS.format(col='text')} AS toks FROM documents),
+g AS (
+  SELECT doc_id, i AS s, array_to_string(toks[i+1:i+10], ' ') AS gram
+  FROM t, unnest(range(0, greatest(len(toks) - 9, 0))) AS u(i)),
+hot AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+fl AS (
+  SELECT doc_id, list(s) AS starts
+  FROM g JOIN hot USING (gram) GROUP BY doc_id),
+r AS (
+  SELECT t.doc_id, t.toks, coalesce(fl.starts, []) AS starts
+  FROM t LEFT JOIN fl USING (doc_id)),
+kept AS (
+  SELECT doc_id, len(toks) AS n,
+         list_filter(toks, (x, i) ->
+           len(list_filter(starts,
+               s -> s <= i - 1 AND i - 1 < s + 10)) = 0) AS kt
+  FROM r)
+SELECT doc_id, len(kt) AS n_kept, n - len(kt) AS n_removed,
+       md5(coalesce(array_to_string(kt, ' '), '')) AS clean_hash
+FROM kept""",
         # Spark side: SymSpell symmetric-delete blocking (lossless for
         # k=1) + levenshtein verify; the oracle is the brute-force
         # quadratic scan the blocking must equal.

@@ -580,3 +580,57 @@ class TestSemanticDedup:
 
         emb = self._corpus(spark).filter("vec_id < 0")
         assert semantic_dedup(emb, k=2).count() == 0
+
+
+class TestSpanDedup:
+    """remove_duplicate_spans: Lee et al. ExactSubstr semantics at
+    k-token-gram granularity."""
+
+    def _run(self, spark, texts, k=3, min_count=2):
+        from qurio_spark.operators.dedup import remove_duplicate_spans
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+        )
+        return {
+            r["doc_id"]: (r["text_clean"], r["n_kept"], r["n_removed"])
+            for r in remove_duplicate_spans(df, k=k, min_count=min_count).collect()
+        }
+
+    def test_shared_span_removed_from_both(self, spark):
+        out = self._run(
+            spark,
+            ["aa bb cc dd unique1 unique2", "zz aa bb cc dd yy xx"],
+            k=4,
+        )
+        # 'aa bb cc dd' occurs twice -> its 4 positions drop everywhere
+        assert out[0] == ("unique1 unique2", 2, 4)
+        assert out[1] == ("zz yy xx", 3, 4)
+
+    def test_untouched_doc_passes_through(self, spark):
+        out = self._run(spark, ["p q r s t", "p q r s t", "x y z w v"], k=5)
+        assert out[2] == ("x y z w v", 5, 0)
+        assert out[0] == ("", 0, 5) and out[1] == ("", 0, 5)
+
+    def test_overlapping_spans_merge_coverage(self, spark):
+        # both grams of the 4-token run are duplicated; coverage is the
+        # union, not double-removal
+        out = self._run(
+            spark,
+            ["a b c d tail1 tail2", "a b c d tail3 tail4"],
+            k=3,
+        )
+        assert out[0] == ("tail1 tail2", 2, 4)
+        assert out[1] == ("tail3 tail4", 2, 4)
+
+    def test_within_doc_repeat_counts(self, spark):
+        # the SAME doc repeating a gram counts toward min_count
+        out = self._run(spark, ["m n o x m n o", "q r s t u v w"], k=3)
+        assert out[0] == ("x", 1, 6)
+        assert out[1][2] == 0
+
+    def test_short_doc_no_grams(self, spark):
+        out = self._run(spark, ["one two", "one two"], k=3)
+        # shorter than k -> no grams -> untouched even though identical
+        assert out[0] == ("one two", 2, 0)
+        assert out[1] == ("one two", 2, 0)
