@@ -146,6 +146,7 @@ from qurio_spark.queries.events_tpch import (  # noqa: F401
 from qurio_spark.queries.breadth import (  # noqa: F401
     q_curate,
     q_data_quality,
+    q_export_shards,
     q_events_cube,
     q_events_funnel,
     q_events_histogram,
@@ -494,7 +495,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     outliers — one window shuffle, all-integer comparison),
     ``span_dedup`` (Lee et al. ExactSubstr duplicate-substring
     removal at 10-token-gram granularity — the span-level twin of the
-    in-window line_dedup).
+    in-window line_dedup), ``export_shards`` (the JSONL training-shard
+    export sink: executor-side writes, manifest packing rule
+    oracle-checked, bytes/checksums pytest-pinned).
 
     EVERY entry, in-window or not, is additionally oracle-compared at
     sf0.001 by ``tests/test_queries_full.py`` on each pytest run — the
@@ -639,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22": q_tpch_q22,
         "fuzzy_join": q_fuzzy_join,
         "span_dedup": q_span_dedup,
+        "export_shards": q_export_shards,
         "data_quality": q_data_quality,
         "anomaly_events": q_anomaly_events,
         # -- rows-only (non-SQL-expressible) ---------------------------

@@ -180,3 +180,115 @@ def weighted_sample(
         out.orderBy(F.desc("_wkey"), F.asc(id_col))
         .limit(n)
     )
+
+
+def export_jsonl_shards(
+    docs: DataFrame,
+    out_dir: str,
+    token_budget: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize token-budget training shards as JSONL files — the
+    export sink a pretraining pipeline runs after curation (the
+    WebDataset/llm-foundry convention: fixed-size shards + a manifest
+    with per-shard checksums for resumable, verifiable downloads).
+
+    Each (source, shard_id) from :func:`pack_shards` becomes ONE file
+    ``<source>-<shard_id>.jsonl`` whose lines are ``{"id": ..,
+    "text": ..}`` in ``id_col`` order; the returned manifest frame
+    (also written to ``<out_dir>/_manifest.jsonl``) carries
+    ``(shard, n_docs, n_tokens, n_bytes, sha256)``.  Deterministic end
+    to end: same input -> byte-identical shards and manifest.
+
+    Scale shape: one repartition on the shard key routes each shard's
+    docs to ONE task (``repartition`` + in-partition sort, the
+    partitioned-write pattern); shard files are written inside
+    executors via ``foreachPartition``-free ``mapInPandas`` so the
+    driver never sees document bytes; the manifest is the only thing
+    collected (one small row per shard).  JSON encoding uses Spark's
+    ``to_json`` (JVM, codegen) — Python touches only raw bytes ->
+    file + sha256.
+    """
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    shards = pack_shards(
+        docs, token_budget, source_col=source_col,
+        id_col=id_col, text_col=text_col,
+    )
+    rows = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.col(id_col),
+            F.col(text_col).alias("text"),
+        )
+        .join(shards.select("source", id_col, "n_tokens", "shard_id"),
+              ["source", id_col])
+        .select(
+            F.concat_ws("-", "source", F.col("shard_id").cast("string"))
+            .alias("shard"),
+            F.col(id_col).alias("_id"),
+            "n_tokens",
+            F.to_json(
+                F.struct(F.col(id_col).alias("id"), F.col("text"))
+            ).alias("line"),
+        )
+    )
+    schema = T.StructType(
+        [
+            T.StructField("shard", T.StringType()),
+            T.StructField("n_docs", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("sha256", T.StringType()),
+        ]
+    )
+
+    def _write(batches):
+        import hashlib
+        import os
+
+        import pandas as pd
+
+        # ONE concat per partition: a shard's rows may span Arrow
+        # batches, and per-batch writes would clobber the file (same
+        # lesson as the sessionizer's per-chunk sort).  Memory is
+        # bounded by the partition's shards (~token_budget each).
+        batches = [b for b in batches if not b.empty]
+        if batches:
+            pdf = pd.concat(batches, ignore_index=True)
+            for shard, grp in pdf.groupby("shard", sort=True):
+                grp = grp.sort_values("_id")
+                payload = ("\n".join(grp["line"]) + "\n").encode("utf-8")
+                path = os.path.join(out_dir, f"{shard}.jsonl")
+                tmp = path + ".inprogress"
+                with open(tmp, "wb") as f:
+                    f.write(payload)
+                os.replace(tmp, path)  # atomic publish
+                yield pd.DataFrame(
+                    {
+                        "shard": [shard],
+                        "n_docs": [len(grp)],
+                        "n_tokens": [int(grp["n_tokens"].sum())],
+                        "n_bytes": [len(payload)],
+                        "sha256": [hashlib.sha256(payload).hexdigest()],
+                    }
+                )
+
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = (
+        rows.repartition("shard")
+        .mapInPandas(_write, schema=schema)
+        .collect()
+    )
+    manifest = sorted(manifest, key=lambda r: r["shard"])
+    with open(os.path.join(out_dir, "_manifest.jsonl"), "w") as f:
+        for r in manifest:
+            f.write(_json.dumps(r.asDict(), sort_keys=True) + "\n")
+    spark = docs.sparkSession
+    return spark.createDataFrame(manifest, schema)

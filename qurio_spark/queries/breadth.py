@@ -420,3 +420,22 @@ def q_data_quality(spark, sf_dir):
         },
         unique_key="o_orderkey",
     )
+
+
+def q_export_shards(spark, sf_dir):
+    """Training-shard EXPORT sink (operators/sharding.
+    export_jsonl_shards): pack documents into ~1000-token shards per
+    source, write one JSONL file per shard inside executors
+    (mapInPandas — the driver never sees document bytes), and return
+    the manifest.  The oracle checks the packing (shard membership,
+    doc/token counts — the cumulative-sum window rule); byte/checksum
+    determinism is pinned by tests/test_sharding.py."""
+    import tempfile
+
+    from qurio_spark.operators.sharding import export_jsonl_shards
+
+    out_dir = tempfile.mkdtemp(prefix="qurio-shard-export-")
+    m = export_jsonl_shards(
+        _t(spark, sf_dir, "documents"), out_dir, token_budget=1000
+    )
+    return m.select("shard", "n_docs", "n_tokens")

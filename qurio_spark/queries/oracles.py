@@ -2116,6 +2116,22 @@ WHERE NOT EXISTS (SELECT 1 FROM lineitem
                   WHERE l_partkey = p_partkey
                     AND l_shipdate >= TIMESTAMP '2000-06-01')
 GROUP BY p_brand""",
+        # Export-sink manifest: the offset-packing rule (cumsum window
+        # per source, shard = floor(start/budget)) re-derived in SQL;
+        # file bytes/checksums are pytest-pinned, not SQL-visible.
+        "export_shards": f"""
+WITH t AS (
+  SELECT source, doc_id,
+         len({_TOKS.format(col='text')})::BIGINT AS n_tokens
+  FROM documents),
+c AS (
+  SELECT source, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+  FROM t)
+SELECT concat(source, '-', CAST(floor(start / 1000) AS INT)) AS shard,
+       count(*) AS n_docs, sum(n_tokens) AS n_tokens
+FROM c GROUP BY 1""",
         # Exact duplicate-substring removal (Lee et al. ExactSubstr):
         # k=10 token grams occurring >= 2x corpus-wide; covered
         # positions dropped, docs rebuilt from surviving tokens.

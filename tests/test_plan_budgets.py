@@ -222,6 +222,22 @@ BUDGETS = {
     # the hot-set anti-join and n_lines attach broadcast (no SMJ)
     "line_dedup": {"shuffles": ("<=", 4), "smj": ("<=", 0),
                    "python_stages": ("<=", 0)},
+    # symdelete fuzzy join: key explode is map-side (array_distinct,
+    # no per-side dedup shuffle); one pair-distinct exchange + the
+    # candidate join (broadcast at test SF, +1 exchange if it shuffles)
+    "fuzzy_join": {"shuffles": ("<=", 3), "smj": ("<=", 0),
+                   "python_stages": ("<=", 0)},
+    # one-pass profile: the single global agg two-phase (distinct
+    # expand folds into it) + the stack unpivot — no joins, no python
+    "data_quality": {"shuffles": ("<=", 2), "smj": ("<=", 0),
+                     "bhj": ("<=", 0), "python_stages": ("<=", 0)},
+    # per-group outliers: ONE window exchange on the group key
+    "anomaly_events": {"shuffles": ("<=", 1), "smj": ("<=", 0),
+                       "python_stages": ("<=", 0)},
+    # span dedup: gram-count agg + flagged-starts groupBy; hot-set
+    # semi-join and starts attach broadcast at test SF
+    "span_dedup": {"shuffles": ("<=", 4), "smj": ("<=", 0),
+                   "python_stages": ("<=", 0)},
 }
 
 

@@ -158,3 +158,69 @@ class TestWeightedSample:
         assert len(ids) == 10 == len(set(ids))
         # n >= rows: everything included once
         assert len(weighted_sample(df, 100, "w").collect()) == 30
+
+
+class TestExportJsonlShards:
+    def _docs(self, spark):
+        rows = [
+            ("a", i, f"tok{i} " * 5) for i in range(12)
+        ] + [("b", i, f"btk{i} " * 3) for i in range(6)]
+        return spark.createDataFrame(rows, "source string, doc_id long, text string")
+
+    def test_files_manifest_and_determinism(self, spark, tmp_path):
+        import hashlib
+        import json
+        import os
+
+        from qurio_spark.operators.sharding import export_jsonl_shards
+
+        d1, d2 = str(tmp_path / "x1"), str(tmp_path / "x2")
+        m1 = export_jsonl_shards(self._docs(spark), d1, token_budget=20).collect()
+        m2 = export_jsonl_shards(self._docs(spark), d2, token_budget=20).collect()
+        assert [r.asDict() for r in m1] == [r.asDict() for r in m2]
+        assert m1, "at least one shard"
+        for r in m1:
+            p = os.path.join(d1, r["shard"] + ".jsonl")
+            payload = open(p, "rb").read()
+            # manifest checksum matches bytes on disk
+            assert hashlib.sha256(payload).hexdigest() == r["sha256"]
+            assert len(payload) == r["n_bytes"]
+            lines = payload.decode().splitlines()
+            assert len(lines) == r["n_docs"]
+            ids = [json.loads(ln)["id"] for ln in lines]
+            assert ids == sorted(ids)
+        # byte-identical across the two runs
+        for r in m1:
+            b1 = open(os.path.join(d1, r["shard"] + ".jsonl"), "rb").read()
+            b2 = open(os.path.join(d2, r["shard"] + ".jsonl"), "rb").read()
+            assert b1 == b2
+        # every doc lands in exactly one shard line
+        total = sum(r["n_docs"] for r in m1)
+        assert total == 18
+        # manifest file mirrors the returned frame
+        mf = [
+            json.loads(ln)
+            for ln in open(os.path.join(d1, "_manifest.jsonl"))
+        ]
+        assert [m["shard"] for m in mf] == [r["shard"] for r in m1]
+
+    def test_matches_pack_shards_assignment(self, spark, tmp_path):
+        import json
+        import os
+
+        from qurio_spark.operators.sharding import export_jsonl_shards
+
+        docs = self._docs(spark)
+        out = str(tmp_path / "x3")
+        export_jsonl_shards(docs, out, token_budget=20)
+        assign = {
+            (r["source"], r["doc_id"]): r["shard_id"]
+            for r in pack_shards(docs, 20).collect()
+        }
+        for fn in os.listdir(out):
+            if fn == "_manifest.jsonl" or not fn.endswith(".jsonl"):
+                continue
+            src, sid = fn[:-6].rsplit("-", 1)
+            for ln in open(os.path.join(out, fn)):
+                doc = json.loads(ln)
+                assert assign[(src, doc["id"])] == int(sid)
