@@ -486,18 +486,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stays in-window per the r11 verdict (its oracle hash-flaked once on
     the driver; r12 made both sides exact-integer — it needs a clean
     driver round before it can rotate).
-    Round 12 additions (appended out-of-window; sweep + pytest
-    coverage from day one): ``fuzzy_join`` (SymSpell symmetric-delete
-    edit-distance join — lossless k=1 blocking, levenshtein verify,
-    vs a brute-force quadratic oracle), ``data_quality`` (Deequ-style
-    one-pass metric profile of orders — single agg, stack unpivot,
-    exact-integer fractions), ``anomaly_events`` (per-user 3x-mean
-    outliers — one window shuffle, all-integer comparison),
-    ``span_dedup`` (Lee et al. ExactSubstr duplicate-substring
-    removal at 10-token-gram granularity — the span-level twin of the
-    in-window line_dedup), ``export_shards`` (the JSONL training-shard
-    export sink: executor-side writes, manifest packing rule
-    oracle-checked, bytes/checksums pytest-pinned).
+    Round 12 second rotation — IN (all new this round, per the
+    every-new-entry-in-window rule): ``fuzzy_join`` (SymSpell
+    symmetric-delete edit-distance join — lossless k=1 blocking,
+    levenshtein verify, vs a brute-force quadratic oracle; planted
+    recall 1.0 at 200k strings, SCALE.md), ``span_dedup`` (Lee et al.
+    ExactSubstr duplicate-substring removal at 10-token-gram
+    granularity — the span-level twin of the in-window line_dedup;
+    planted-span exactness at 100k docs), ``data_quality``
+    (Deequ-style one-pass metric profile of orders — single agg,
+    stack unpivot, exact-integer fractions), ``anomaly_events``
+    (per-user 3x-mean outliers — one window shuffle, all-integer
+    comparison), ``export_shards`` (the JSONL training-shard export
+    sink: executor-side writes, manifest packing rule oracle-checked,
+    bytes/checksums pytest-pinned).  OUT (all long-green,
+    sweep-checked at 51+ and pinned by their own pytest suites):
+    ``repetition``/``keyword_extract`` (map-stage text profiles,
+    golden-tested in test_textstats paths; green since r5/r6),
+    ``simhash_near`` (banded near-pair contract — sibling of the
+    in-window ngram_jaccard_capped, pinned in test_dedup; green since
+    r5), ``weighted_sample`` (exact A-ES contract pinned by pytest +
+    a frozen zero-shuffle plan budget; green since r9),
+    ``tpch_q16`` (relational breadth — q2/q9/q21 remain the
+    in-window TPC-H representatives; green since r6).
 
     EVERY entry, in-window or not, is additionally oracle-compared at
     sf0.001 by ``tests/test_queries_full.py`` on each pytest run — the
@@ -521,12 +532,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_hybrid_ivf": q_batch_hybrid_ivf,
         "ann_ivfpq": q_ann_ivfpq,
         "lsh_prebuilt": q_lsh_prebuilt,
-        "repetition": q_repetition,
-        "keyword_extract": q_keyword_extract,
+        "fuzzy_join": q_fuzzy_join,
+        "span_dedup": q_span_dedup,
         "decontaminate": q_decontaminate,
         "hybrid_rrf": q_hybrid_rrf,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
-        "simhash_near": q_simhash_near,
+        "data_quality": q_data_quality,
         "streaming_join": q_streaming_join,
         "bm25_incremental": q_bm25_incremental,
         "incremental_hourly": q_incremental_hourly,
@@ -549,10 +560,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_widen": q_snap_widen,
         "snap_zorder": q_snap_zorder,
         "snap_bloom": q_snap_bloom,
-        "weighted_sample": q_weighted_sample,
+        "anomaly_events": q_anomaly_events,
         "rollup_daily": q_rollup_daily,
         "quantile_view": q_quantile_view,
-        "tpch_q16": q_tpch_q16,
+        "export_shards": q_export_shards,
         "snap_renamecol": q_snap_renamecol,
         "gopher_rules": q_gopher_rules,
         # -- 51+: oracle-backed, operator proven by in-window sibling
@@ -640,11 +651,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
         "tpch_q22": q_tpch_q22,
-        "fuzzy_join": q_fuzzy_join,
-        "span_dedup": q_span_dedup,
-        "export_shards": q_export_shards,
-        "data_quality": q_data_quality,
-        "anomaly_events": q_anomaly_events,
+        "repetition": q_repetition,
+        "keyword_extract": q_keyword_extract,
+        "simhash_near": q_simhash_near,
+        "weighted_sample": q_weighted_sample,
+        "tpch_q16": q_tpch_q16,
         # -- rows-only (non-SQL-expressible) ---------------------------
         "chunk_corpus": q_chunk_corpus,
         "ingest_pipeline": q_ingest_pipeline,
