@@ -634,3 +634,51 @@ class TestSpanDedup:
         # shorter than k -> no grams -> untouched even though identical
         assert out[0] == ("one two", 2, 0)
         assert out[1] == ("one two", 2, 0)
+
+
+class TestSpanDedupRandomized:
+    def test_random_corpus_equals_python_reference(self, spark):
+        """Seeded-random tiny-vocab corpus (gram repeats common) vs an
+        independent Python implementation of the ExactSubstr
+        semantics — one Spark job, 120 docs, k=3."""
+        import random
+        import re
+        from collections import Counter
+
+        from qurio_spark.operators.dedup import remove_duplicate_spans
+
+        k, rng = 3, random.Random(0x5BA9)
+        texts = [
+            " ".join(
+                rng.choice(["aa", "bb", "cc", "dd"])
+                for _ in range(rng.randint(0, 12))
+            )
+            for _ in range(120)
+        ]
+
+        def tok(t):
+            return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+        cnt = Counter()
+        toks = {i: tok(t) for i, t in enumerate(texts)}
+        for ts in toks.values():
+            for s in range(len(ts) - k + 1):
+                cnt[tuple(ts[s : s + k])] += 1
+        want = {}
+        for i, ts in toks.items():
+            cov = set()
+            for s in range(len(ts) - k + 1):
+                if cnt[tuple(ts[s : s + k])] >= 2:
+                    cov.update(range(s, s + k))
+            kept = [t for p, t in enumerate(ts) if p not in cov]
+            want[i] = (" ".join(kept), len(kept), len(ts) - len(kept))
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+        )
+        got = {
+            r["doc_id"]: (r["text_clean"], r["n_kept"], r["n_removed"])
+            for r in remove_duplicate_spans(df, k=k, min_count=2).collect()
+        }
+        assert sum(1 for v in want.values() if v[2]) > 50, "removals common"
+        assert got == want

@@ -144,10 +144,7 @@ class TestOutlierEvents:
         ]
 
     def test_boundary_not_flagged(self, spark):
-        # exactly 3x the mean is NOT an outlier (strict >)
-        rows = [(1, 1, 1.0)] * 0 + [(i, 1, 1.0) for i in range(19)] + [(19, 1, 57.0 / 19)]
-        # sum_cents = 19*100 + 300 = 2200; n = 20... construct exact 3x:
-        # use 20 events of 1.00 and one of exactly 3.15? keep simple:
+        # at/below 3x the mean is NOT an outlier (strict >)
         df = spark.createDataFrame(
             [(i, 1, 1.0) for i in range(24)] + [(24, 1, 3.125)],
             "event_id int, user_id int, value double",
@@ -155,3 +152,36 @@ class TestOutlierEvents:
         # cents: 24*100 + 313 (floor(312.5+0.5)=313) = 2713
         # test: 313 * 25 = 7825 <= 3 * 2713 = 8139 -> not flagged
         assert outlier_events(df, factor=3, min_group=20).count() == 0
+
+
+class TestFuzzyJoinRandomized:
+    def test_dense_random_space_equals_bruteforce(self, spark):
+        """Seeded-random dense space (3-letter alphabet, lengths 0-5):
+        hundreds of strings where distance-1 pairs are COMMON across
+        every edit class, verified in one Spark job against the exact
+        quadratic reference."""
+        import random
+
+        rng = random.Random(0xF0221)
+        words = [
+            "".join(rng.choice("abc") for _ in range(rng.randint(0, 5)))
+            for _ in range(250)
+        ]
+        left = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(words)], "lid int, ls string"
+        )
+        right = spark.createDataFrame(
+            [(1000 + i, w) for i, w in enumerate(words)], "rid int, rs string"
+        )
+        got = {
+            (r["lid"], r["rid"], r["dist"])
+            for r in fuzzy_join(left, right, "lid", "ls", "rid", "rs").collect()
+        }
+        want = {
+            (i, 1000 + j, _lev(a, b))
+            for i, a in enumerate(words)
+            for j, b in enumerate(words)
+            if _lev(a, b) <= 1
+        }
+        assert len(want) > 3000, "dense space sanity"
+        assert got == want
