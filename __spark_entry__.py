@@ -102,6 +102,7 @@ from qurio_spark.queries.dedup import (  # noqa: F401
     q_fuzzy_join,
     q_line_dedup,
     q_span_dedup,
+    q_triangle_count,
     q_embedding_near_dup,
     q_exact_dedup,
     q_minhash,
@@ -499,7 +500,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (per-user 3x-mean outliers — one window shuffle, all-integer
     comparison), ``export_shards`` (the JSONL training-shard export
     sink: executor-side writes, manifest packing rule oracle-checked,
-    bytes/checksums pytest-pinned).  OUT (all long-green,
+    bytes/checksums pytest-pinned), ``triangle_count`` (global
+    triangle census via degree-ordered orientation, hash-thinned
+    co-event graph; vs the a<b<c three-way-join oracle).  Additional
+    OUT for the triangle slot: ``events_asof_attribution`` — the
+    as-of union-window contract is pinned by tests/test_temporal.py
+    and its sibling events_asof_recovery stays sweep-checked at 51+;
+    green since round 6.  OUT (all long-green,
     sweep-checked at 51+ and pinned by their own pytest suites):
     ``repetition``/``keyword_extract`` (map-stage text profiles,
     golden-tested in test_textstats paths; green since r5/r6),
@@ -546,7 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ingest": q_streaming_ingest,
         "bloom_semi_join": q_bloom_semi_join,
         "resize_targets": q_resize_targets,
-        "events_asof_attribution": q_events_asof_attribution,
+        "triangle_count": q_triangle_count,
         "streaming_near_dedup": q_streaming_near_dedup,
         "pagerank_centrality": q_pagerank_centrality,
         "canonical_docs": q_canonical_docs,
@@ -651,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
         "tpch_q22": q_tpch_q22,
+        "events_asof_attribution": q_events_asof_attribution,
         "repetition": q_repetition,
         "keyword_extract": q_keyword_extract,
         "simhash_near": q_simhash_near,

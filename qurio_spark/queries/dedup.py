@@ -290,3 +290,53 @@ def q_span_dedup(spark, sf_dir):
     return out.select(
         "doc_id", "n_kept", "n_removed", F.md5("text_clean").alias("clean_hash")
     )
+
+
+def q_triangle_count(spark, sf_dir):
+    """Global triangle census of the co-event graph (operators/graph.
+    triangle_count): users are linked when they act in the same
+    (event_type, hour) bucket; triangles + global clustering measure
+    the burst-collusion structure curation cares about (bot rings
+    co-fire in the same buckets).  Degree-ordered orientation keeps
+    the wedge join arboricity-bounded — the hub-user explosion a
+    naive wedge join suffers cannot happen; at corpus scale the
+    bucket self-join gets the same max-bucket guard as the embedding
+    block join.  The synthetic events saturate the pair space (few
+    users, many buckets), so edges are THINNED 1-in-20 by a portable
+    per-pair key both engines reproduce bit-identically: the md5-based
+    hash64 is computed ONCE PER USER on the incidence frame (not once
+    per candidate pair — md5 on the 22M joined rows was the hot spot),
+    then mixed with the partner id as ((h_src % 20) * 31 + dst) % 20
+    (reduced before the multiply — ANSI overflow), pure
+    integer ops on the join output.  The filter is a deterministic
+    function of the pair, so it sits BELOW the dedup shuffle
+    (distinct(thinned) == thinned(distinct)) at 1/20th the exchange
+    volume."""
+    from qurio_spark.functions.hashing import hash64
+    from qurio_spark.operators.graph import triangle_count
+
+    ev = _events(spark, sf_dir)
+    b = (
+        ev.select(
+            "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
+        )
+        .distinct()
+        .withColumn(
+            "hu",
+            hash64(F.concat(F.lit("tu:"), F.col("user_id").cast("string"))),
+        )
+    )
+    x, y = b.alias("x"), b.alias("y")
+    e = (
+        x.join(y, ["event_type", "h"])
+        .filter(F.col("x.user_id") < F.col("y.user_id"))
+        .select(
+            F.col("x.user_id").alias("src"),
+            F.col("y.user_id").alias("dst"),
+            F.col("x.hu").alias("hsrc"),
+        )
+        .filter(((F.col("hsrc") % 20) * 31 + F.col("dst")) % 20 == 0)
+        .select("src", "dst")
+        .distinct()
+    )
+    return triangle_count(e)

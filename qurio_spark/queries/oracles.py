@@ -2116,6 +2116,39 @@ WHERE NOT EXISTS (SELECT 1 FROM lineitem
                   WHERE l_partkey = p_partkey
                     AND l_shipdate >= TIMESTAMP '2000-06-01')
 GROUP BY p_brand""",
+        # Triangle census over the co-event graph; the oracle counts
+        # each triangle once via the a<b<c three-way join (no
+        # orientation needed at oracle scale).
+        "triangle_count": """
+WITH b AS (
+  SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id
+  FROM events),
+hu AS (
+  SELECT user_id,
+         ('0x' || substring(md5('tu:' || CAST(user_id AS VARCHAR)),
+                            1, 15))::BIGINT AS h
+  FROM (SELECT DISTINCT user_id FROM b)),
+e AS (
+  SELECT DISTINCT x.user_id AS u, y.user_id AS v
+  FROM b x JOIN b y USING (event_type, h) JOIN hu ON hu.user_id = x.user_id
+  WHERE x.user_id < y.user_id
+    AND ((hu.h % 20) * 31 + y.user_id) % 20 = 0),
+deg AS (
+  SELECT x, count(*) AS d
+  FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e)
+  GROUP BY 1),
+tri AS (
+  SELECT count(*) AS t
+  FROM e e1 JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+SELECT (SELECT count(*) FROM deg) AS n_nodes,
+       (SELECT count(*) FROM e) AS n_edges,
+       (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+       (SELECT t FROM tri) AS n_triangles,
+       CASE WHEN (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg) > 0
+            THEN 3.0 * (SELECT t FROM tri)
+                 / (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg)
+            END AS global_clustering""",
         # Export-sink manifest: the offset-packing rule (cumsum window
         # per source, shard = floor(start/budget)) re-derived in SQL;
         # file bytes/checksums are pytest-pinned, not SQL-visible.

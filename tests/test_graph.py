@@ -170,3 +170,59 @@ class TestCanonicalPick:
         out = canonical_pick(cc, pr, id_col="id").collect()
         assert len(out) == 4  # {1,2,3}, {5,6}, {4}, {7}
         assert sum(r["n_members"] for r in out) == 7
+
+
+class TestTriangleCount:
+    def _tc(self, spark, edges):
+        from qurio_spark.operators.graph import triangle_count
+
+        df = spark.createDataFrame(edges, "src int, dst int")
+        return triangle_count(df).collect()[0]
+
+    def test_k4_complete(self, spark):
+        import itertools
+
+        r = self._tc(spark, list(itertools.combinations(range(4), 2)))
+        assert (r["n_nodes"], r["n_edges"], r["n_wedges"], r["n_triangles"]) == (
+            4, 6, 12, 4,
+        )
+        assert r["global_clustering"] == 1.0
+
+    def test_path_has_no_triangles(self, spark):
+        r = self._tc(spark, [(0, 1), (1, 2), (2, 3)])
+        assert r["n_triangles"] == 0
+        assert r["n_wedges"] == 2
+        assert r["global_clustering"] == 0.0
+
+    def test_dups_selfloops_and_orientation_tolerated(self, spark):
+        # triangle given with mixed orientations, a duplicate edge and
+        # a self-loop: still exactly one triangle
+        r = self._tc(spark, [(0, 1), (2, 1), (0, 2), (1, 0), (2, 2)])
+        assert (r["n_edges"], r["n_triangles"]) == (3, 1)
+
+    def test_random_graph_vs_bruteforce(self, spark):
+        import itertools
+        import random
+
+        rng = random.Random(41)
+        edges = {
+            (a, b)
+            for a in range(25)
+            for b in range(a + 1, 25)
+            if rng.random() < 0.25
+        }
+        adj = {i: set() for i in range(25)}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        want = sum(
+            1
+            for a, b, c in itertools.combinations(range(25), 3)
+            if b in adj[a] and c in adj[a] and c in adj[b]
+        )
+        mixed = [
+            (b, a) if rng.random() < 0.5 else (a, b) for a, b in edges
+        ]
+        r = self._tc(spark, mixed)
+        assert r["n_triangles"] == want
+        assert r["n_edges"] == len(edges)

@@ -238,6 +238,13 @@ BUDGETS = {
     # semi-join and starts attach broadcast at test SF
     "span_dedup": {"shuffles": ("<=", 4), "smj": ("<=", 0),
                    "python_stages": ("<=", 0)},
+    # triangle census: edge build (bucket join + pair distinct) +
+    # degree agg + orientation joins + the wedge/closing joins; the 3
+    # bnlj are the 1-row census crossJoins.  AQE-off static planning
+    # keeps the two degree-attach joins sort-merge (AQE broadcasts
+    # them at runtime, like tpch_q21's self-join)
+    "triangle_count": {"shuffles": ("<=", 12), "smj": ("<=", 2),
+                       "bnlj": ("<=", 3), "python_stages": ("<=", 0)},
 }
 
 
