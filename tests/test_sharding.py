@@ -224,3 +224,36 @@ class TestExportJsonlShards:
             for ln in open(os.path.join(out, fn)):
                 doc = json.loads(ln)
                 assert assign[(src, doc["id"])] == int(sid)
+
+    def test_inprogress_leftover_and_reexport(self, spark, tmp_path):
+        import json
+        import os
+
+        from qurio_spark.operators.sharding import export_jsonl_shards
+
+        out = str(tmp_path / "x4")
+        os.makedirs(out)
+        # crash leftover from a previous attempt + a stale shard file:
+        # the atomic tmp+rename publish must replace the stale file and
+        # never expose partial bytes under the final name
+        with open(os.path.join(out, "a-0.jsonl.inprogress"), "w") as f:
+            f.write("partial garbage")
+        with open(os.path.join(out, "a-0.jsonl"), "w") as f:
+            f.write("stale content\n")
+        m = export_jsonl_shards(self._docs(spark), out, token_budget=20).collect()
+        shard0 = [r for r in m if r["shard"] == "a-0"]
+        assert shard0, "shard a-0 exists"
+        payload = open(os.path.join(out, "a-0.jsonl"), "rb").read()
+        assert b"stale" not in payload
+        assert len(payload) == shard0[0]["n_bytes"]
+        # every published line is complete JSON (atomicity: no partials)
+        for ln in payload.decode().splitlines():
+            json.loads(ln)
+        # manifest lists no phantom shards from the leftover tmp file
+        names = {r["shard"] for r in m}
+        files = {
+            fn[:-6]
+            for fn in os.listdir(out)
+            if fn.endswith(".jsonl") and fn != "_manifest.jsonl"
+        }
+        assert files == names
