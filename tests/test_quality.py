@@ -185,3 +185,46 @@ class TestFuzzyJoinRandomized:
         }
         assert len(want) > 3000, "dense space sanity"
         assert got == want
+
+
+class TestDqProfileApprox:
+    def test_approx_distinct_path(self, spark):
+        """exact_distinct=False swaps countDistinct for HLL: no expand
+        in the plan, values within HLL tolerance."""
+        df = spark.range(10000).selectExpr("id AS k", "id % 997 AS g")
+        out = {
+            (r["metric"], r["column"]): r["value"]
+            for r in dq_profile(
+                df, distinctness=["g"], unique_key="k", exact_distinct=False
+            ).collect()
+        }
+        assert abs(out[("distinct_count", "g")] - 997) / 997 < 0.05
+        assert abs(out[("uniqueness", "k")] - 1.0) < 0.05
+        plan = dq_profile(
+            df, distinctness=["g"], unique_key="k", exact_distinct=False
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Expand" not in plan
+
+
+class TestSymdeleteKeysReference:
+    def test_keys_match_python_reference_incl_unicode(self, spark):
+        """symdelete_keys (codegen substring arithmetic) vs Python
+        slicing over 300 seeded-random strings including multibyte
+        codepoints — Spark substring is codepoint-based, so the two
+        must agree exactly."""
+        import random
+
+        rng = random.Random(0xD11)
+        alpha = "abcé漢🙂0"
+        words = [
+            "".join(rng.choice(alpha) for _ in range(rng.randint(0, 8)))
+            for _ in range(300)
+        ]
+        df = spark.createDataFrame([(i, w) for i, w in enumerate(words)], "i int, s string")
+        got = {
+            r["i"]: r["k"]
+            for r in df.select("i", symdelete_keys(F.col("s")).alias("k")).collect()
+        }
+        for i, w in enumerate(words):
+            want = [w] + [w[:j] + w[j + 1 :] for j in range(len(w))] if w else [w]
+            assert got[i] == want, (w, got[i], want)

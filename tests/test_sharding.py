@@ -257,3 +257,25 @@ class TestExportJsonlShards:
             if fn.endswith(".jsonl") and fn != "_manifest.jsonl"
         }
         assert files == names
+
+    def test_shard_spanning_arrow_batches(self, spark, tmp_path):
+        """12k docs land in ONE shard: mapInPandas receives the
+        partition as multiple Arrow batches (default 10k rows/batch),
+        and the per-partition concat must write the shard ONCE with
+        every row — the per-batch-write bug would truncate to the last
+        batch."""
+        import json
+        import os
+
+        from qurio_spark.operators.sharding import export_jsonl_shards
+
+        docs = spark.range(12000).selectExpr(
+            "'s' AS source", "id AS doc_id", "'t' AS text"
+        )
+        out = str(tmp_path / "x5")
+        m = export_jsonl_shards(docs, out, token_budget=10**9).collect()
+        assert len(m) == 1 and m[0]["n_docs"] == 12000
+        lines = open(os.path.join(out, m[0]["shard"] + ".jsonl")).read().splitlines()
+        assert len(lines) == 12000
+        ids = [json.loads(ln)["id"] for ln in lines]
+        assert ids == list(range(12000))
