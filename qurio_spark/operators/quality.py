@@ -100,7 +100,13 @@ def outlier_events(
 ) -> DataFrame:
     """Events whose value exceeds ``factor`` x their group's mean, for
     groups with >= min_group events — all-integer comparison
-    (cents * n > factor * sum_cents), one window shuffle."""
+    (cents * n > factor * sum_cents), one window shuffle.
+
+    NULL values: a NULL-valued event is never flagged (NULL cents fail
+    the comparison) but still counts toward ``n_group`` while being
+    absent from the sum — i.e. the mean is over non-null values scaled
+    by the full group size.  The events table carries no NULLs; pin
+    this choice before pointing the operator at data that does."""
     cents = F.floor(F.col(value_col).cast("double") * 100.0 + F.lit(0.5)).cast("long")
     w = Window.partitionBy(group_col)
     flagged = (

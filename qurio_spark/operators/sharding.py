@@ -207,7 +207,10 @@ def export_jsonl_shards(
     partitioned-write pattern); shard files are written inside
     executors via ``foreachPartition``-free ``mapInPandas`` so the
     driver never sees document bytes; the manifest is the only thing
-    collected (one small row per shard).  JSON encoding uses Spark's
+    collected (one small row per shard).  On a real cluster
+    ``out_dir`` must be shared storage (NFS/FUSE-mounted object
+    store) — executors open plain files there; local[‍*] writes to
+    the local filesystem.  JSON encoding uses Spark's
     ``to_json`` (JVM, codegen) — Python touches only raw bytes ->
     file + sha256.
     """
