@@ -279,3 +279,32 @@ class TestExportJsonlShards:
         assert len(lines) == 12000
         ids = [json.loads(ln)["id"] for ln in lines]
         assert ids == list(range(12000))
+
+    def test_text_roundtrip_escaping(self, spark, tmp_path):
+        """Newlines, quotes, backslashes and multibyte text must
+        round-trip through the JSONL encoding exactly — one line per
+        doc regardless of embedded newlines."""
+        import json
+        import os
+
+        from qurio_spark.operators.sharding import export_jsonl_shards
+
+        texts = [
+            'line1\nline2\n\ttabbed "quoted" back\\slash',
+            "unicode: é 漢字 🙂    ",
+            "",
+            "plain",
+        ]
+        docs = spark.createDataFrame(
+            [("s", i, t) for i, t in enumerate(texts)],
+            "source string, doc_id long, text string",
+        )
+        out = str(tmp_path / "x6")
+        export_jsonl_shards(docs, out, token_budget=10**9)
+        got = {}
+        for fn in os.listdir(out):
+            if fn.endswith(".jsonl") and fn != "_manifest.jsonl":
+                for ln in open(os.path.join(out, fn), encoding="utf-8"):
+                    d = json.loads(ln)
+                    got[d["id"]] = d["text"]
+        assert got == {i: t for i, t in enumerate(texts)}
