@@ -100,6 +100,7 @@ from qurio_spark.queries.textstats import (  # noqa: F401
 from qurio_spark.queries.dedup import (  # noqa: F401
     q_canonical_docs,
     q_fuzzy_join,
+    q_fuzzy_join2,
     q_line_dedup,
     q_span_dedup,
     q_triangle_count,
@@ -502,7 +503,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sink: executor-side writes, manifest packing rule oracle-checked,
     bytes/checksums pytest-pinned), ``triangle_count`` (global
     triangle census via degree-ordered orientation, hash-thinned
-    co-event graph; vs the a<b<c three-way-join oracle).  Additional
+    co-event graph; vs the a<b<c three-way-join oracle),
+    ``fuzzy_join2`` (the k=2 double-delete neighborhood — two planted
+    deletions per dirty name, brute-force lev<=2 oracle).  Additional
+    OUT for the fuzzy_join2 slot: ``ngram_jaccard_capped`` — the
+    stop-shingle cap is pinned by pytest and its uncapped sibling
+    ngram_jaccard stays sweep-checked at 51+; green since round 7.  Additional
     OUT for the triangle slot: ``events_asof_attribution`` — the
     as-of union-window contract is pinned by tests/test_temporal.py
     and its sibling events_asof_recovery stays sweep-checked at 51+;
@@ -543,7 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "decontaminate": q_decontaminate,
         "hybrid_rrf": q_hybrid_rrf,
-        "ngram_jaccard_capped": q_ngram_jaccard_capped,
+        "fuzzy_join2": q_fuzzy_join2,
         "data_quality": q_data_quality,
         "streaming_join": q_streaming_join,
         "bm25_incremental": q_bm25_incremental,
@@ -658,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
         "tpch_q22": q_tpch_q22,
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "events_asof_attribution": q_events_asof_attribution,
         "repetition": q_repetition,
         "keyword_extract": q_keyword_extract,

@@ -63,14 +63,45 @@ def symdelete_keys(col: F.Column) -> F.Column:
     )
 
 
-def _keyed(df: DataFrame, id_col: str, s_col: str) -> DataFrame:
+def symdelete_keys2(col: F.Column) -> F.Column:
+    """Deletion neighborhood for k=2: the k=1 set plus every
+    double-delete del(s, i, j) with i < j (O(len^2 / 2) keys).
+
+    For an optimal alignment with <= 2 edits, deleting from each side
+    the characters its edits touch reaches the alignment's common
+    subsequence with <= 2 deletions per side, so two strings within
+    Levenshtein distance 2 always share a key — the candidate join
+    stays LOSSLESS (executable proof: the dense-random brute-force
+    equivalence test in tests/test_quality.py).
+    """
+    # del(s, i, j), 1-based i < j: s[1..i-1] + s[i+1..j-1] + s[j+1..]
+    del2 = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length(col) - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.length(col)),
+                lambda j: F.concat(
+                    F.substring(col, F.lit(1), i - 1),
+                    col.substr(i + 1, j - i - 1),
+                    col.substr(j + 1, F.length(col)),
+                ),
+            ),
+        )
+    )
+    return F.when(
+        F.length(col) < 2, symdelete_keys(col)
+    ).otherwise(F.concat(symdelete_keys(col), del2))
+
+
+def _keyed(df: DataFrame, id_col: str, s_col: str, k: int) -> DataFrame:
     # array_distinct dedups within-string keys (deleting either of two
     # equal adjacent chars yields the same key) MAP-SIDE — no shuffle;
     # cross-string candidate dups fall to the final pair-distinct.
+    keys = symdelete_keys if k == 1 else symdelete_keys2
     return df.select(
         F.col(id_col),
         F.col(s_col),
-        F.explode(F.array_distinct(symdelete_keys(F.col(s_col)))).alias("_k"),
+        F.explode(F.array_distinct(keys(F.col(s_col)))).alias("_k"),
     )
 
 
@@ -84,14 +115,16 @@ def fuzzy_join(
     max_dist: int = 1,
 ) -> DataFrame:
     """All (left, right) pairs with levenshtein(left_str, right_str)
-    <= max_dist.  Only ``max_dist=1`` is supported (the k=1
-    neighborhood is what :func:`symdelete_keys` generates; k=2 would
-    emit the O(len^2) double-delete set the same way).
+    <= max_dist, for ``max_dist`` in {1, 2}.  k=1 uses the O(len)
+    deletion neighborhood; k=2 the O(len^2 / 2) double-delete set —
+    still a constant-factor explode, never a cross join, but expect
+    a larger candidate set on near-identical corpora (the standard
+    SymSpell k tradeoff).
     """
-    if max_dist != 1:
-        raise ValueError("symdelete blocking implemented for max_dist=1")
-    lk = _keyed(left, left_id, left_str)
-    rk = _keyed(right, right_id, right_str)
+    if max_dist not in (1, 2):
+        raise ValueError("symdelete blocking implemented for max_dist in {1, 2}")
+    lk = _keyed(left, left_id, left_str, max_dist)
+    rk = _keyed(right, right_id, right_str, max_dist)
     cand = (
         lk.join(rk, "_k")
         .select(left_id, left_str, right_id, right_str)

@@ -340,3 +340,40 @@ def q_triangle_count(spark, sf_dir):
         .distinct()
     )
     return triangle_count(e)
+
+
+def q_fuzzy_join2(spark, sf_dir):
+    """fuzzy_join at edit distance 2 (operators/fuzzy.symdelete_keys2):
+    every 7th customer name is corrupted by TWO character deletions
+    (positions custkey % len, then custkey % (len-1) of the shortened
+    string) and matched back against all clean names within
+    Levenshtein distance 2 via the O(len^2/2) double-delete
+    neighborhood — still an equality join, never a cross join; the
+    oracle is the brute-force quadratic scan the lossless blocking
+    must equal."""
+    from qurio_spark.operators.fuzzy import fuzzy_join
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    once = F.concat(
+        F.expr("substr(c_name, 1, c_custkey % length(c_name))"),
+        F.expr("substr(c_name, c_custkey % length(c_name) + 2)"),
+    )
+    dirty = (
+        cust.filter(F.col("c_custkey") % 7 == 3)
+        .withColumn("_d1", once)
+        .select(
+            F.col("c_custkey").alias("dirty_custkey"),
+            F.concat(
+                F.expr("substr(_d1, 1, c_custkey % length(_d1))"),
+                F.expr("substr(_d1, c_custkey % length(_d1) + 2)"),
+            ).alias("dirty_name"),
+        )
+    )
+    clean = cust.select(
+        F.col("c_custkey").alias("clean_custkey"),
+        F.col("c_name").alias("clean_name"),
+    )
+    return fuzzy_join(
+        dirty, clean, "dirty_custkey", "dirty_name",
+        "clean_custkey", "clean_name", max_dist=2,
+    )

@@ -227,6 +227,9 @@ BUDGETS = {
     # candidate join (broadcast at test SF, +1 exchange if it shuffles)
     "fuzzy_join": {"shuffles": ("<=", 3), "smj": ("<=", 0),
                    "python_stages": ("<=", 0)},
+    # k=2 variant: same plan shape, O(len^2/2) keys instead of O(len)
+    "fuzzy_join2": {"shuffles": ("<=", 3), "smj": ("<=", 0),
+                    "python_stages": ("<=", 0)},
     # one-pass profile: the single global agg two-phase (distinct
     # expand folds into it) + the stack unpivot — no joins, no python
     "data_quality": {"shuffles": ("<=", 2), "smj": ("<=", 0),

@@ -81,10 +81,10 @@ class TestFuzzyJoin:
         }
         assert rows == {2: 0, 3: 1, 4: 1}
 
-    def test_k2_unsupported(self, spark):
+    def test_k3_out_of_range(self, spark):
         df = spark.createDataFrame([(1, "x")], "i int, s string")
         with pytest.raises(ValueError):
-            fuzzy_join(df, df, "i", "s", "i", "s", max_dist=2)
+            fuzzy_join(df, df, "i", "s", "i", "s", max_dist=3)
 
 
 class TestDqProfile:
@@ -228,3 +228,64 @@ class TestSymdeleteKeysReference:
         for i, w in enumerate(words):
             want = [w] + [w[:j] + w[j + 1 :] for j in range(len(w))] if w else [w]
             assert got[i] == want, (w, got[i], want)
+
+
+class TestFuzzyJoinK2:
+    def test_keys2_shape(self, spark):
+        row = (
+            spark.range(1)
+            .select(
+                __import__("qurio_spark.operators.fuzzy", fromlist=["x"])
+                .symdelete_keys2(F.lit("abc"))
+                .alias("k")
+            )
+            .first()
+        )
+        assert row["k"] == ["abc", "bc", "ac", "ab", "c", "b", "a"]
+
+    def test_short_strings(self, spark):
+        from qurio_spark.operators.fuzzy import symdelete_keys2
+
+        assert spark.range(1).select(
+            symdelete_keys2(F.lit("a")).alias("k")
+        ).first()["k"] == ["a", ""]
+        assert spark.range(1).select(
+            symdelete_keys2(F.lit("")).alias("k")
+        ).first()["k"] == [""]
+
+    def test_dense_random_space_equals_bruteforce_k2(self, spark):
+        """150 strings over a 2-letter alphabet (lengths 0-6): >9000
+        true distance<=2 pairs spanning every double-edit class,
+        verified against the exact quadratic reference."""
+        import random
+
+        rng = random.Random(0xBEEF)
+        words = [
+            "".join(rng.choice("ab") for _ in range(rng.randint(0, 6)))
+            for _ in range(150)
+        ]
+        left = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(words)], "lid int, ls string"
+        )
+        right = spark.createDataFrame(
+            [(900 + i, w) for i, w in enumerate(words)], "rid int, rs string"
+        )
+        got = {
+            (r["lid"], r["rid"], r["dist"])
+            for r in fuzzy_join(
+                left, right, "lid", "ls", "rid", "rs", max_dist=2
+            ).collect()
+        }
+        want = {
+            (i, 900 + j, _lev(a, b))
+            for i, a in enumerate(words)
+            for j, b in enumerate(words)
+            if _lev(a, b) <= 2
+        }
+        assert len(want) > 9000
+        assert got == want
+
+    def test_k3_unsupported(self, spark):
+        df = spark.createDataFrame([(1, "x")], "i int, s string")
+        with pytest.raises(ValueError):
+            fuzzy_join(df, df, "i", "s", "i", "s", max_dist=3)
