@@ -95,8 +95,11 @@ def symdelete_keys2(col: F.Column) -> F.Column:
 
 def _keyed(df: DataFrame, id_col: str, s_col: str, k: int) -> DataFrame:
     # array_distinct dedups within-string keys (deleting either of two
-    # equal adjacent chars yields the same key) MAP-SIDE — no shuffle;
-    # cross-string candidate dups fall to the final pair-distinct.
+    # equal adjacent chars yields the same key) MAP-SIDE — no shuffle.
+    # At k=2 its quadratic compare is a real cost (~2s on 15k 18-char
+    # strings) but measured CHEAPER than shipping the ~1.6x duplicate
+    # keys into the candidate join (dup x dup key groups multiply the
+    # join output); cross-string dups fall to the final pair-distinct.
     keys = symdelete_keys if k == 1 else symdelete_keys2
     return df.select(
         F.col(id_col),

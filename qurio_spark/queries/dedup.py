@@ -344,11 +344,12 @@ def q_triangle_count(spark, sf_dir):
 
 def q_fuzzy_join2(spark, sf_dir):
     """fuzzy_join at edit distance 2 (operators/fuzzy.symdelete_keys2):
-    every 7th customer name is corrupted by TWO character deletions
+    every 62nd customer name (odd custkeys, so each planted source
+    stays in the reference set) is corrupted by TWO character deletions
     (positions custkey % len, then custkey % (len-1) of the shortened
     string) and matched back against all clean names within
-    Levenshtein distance 2 via the O(len^2/2) double-delete
-    neighborhood — still an equality join, never a cross join; the
+    Levenshtein distance 2 (reference set = odd-custkey names) via
+    the O(len^2/2) double-delete neighborhood — still an equality join, never a cross join; the
     oracle is the brute-force quadratic scan the lossless blocking
     must equal."""
     from qurio_spark.operators.fuzzy import fuzzy_join
@@ -359,7 +360,7 @@ def q_fuzzy_join2(spark, sf_dir):
         F.expr("substr(c_name, c_custkey % length(c_name) + 2)"),
     )
     dirty = (
-        cust.filter(F.col("c_custkey") % 7 == 3)
+        cust.filter(F.col("c_custkey") % 62 == 3)
         .withColumn("_d1", once)
         .select(
             F.col("c_custkey").alias("dirty_custkey"),
@@ -369,7 +370,7 @@ def q_fuzzy_join2(spark, sf_dir):
             ).alias("dirty_name"),
         )
     )
-    clean = cust.select(
+    clean = cust.filter(F.col("c_custkey") % 2 == 1).select(
         F.col("c_custkey").alias("clean_custkey"),
         F.col("c_name").alias("clean_name"),
     )

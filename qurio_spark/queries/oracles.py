@@ -2196,7 +2196,7 @@ WITH d1 AS (
   SELECT c_custkey,
          concat(substr(c_name, 1, c_custkey % length(c_name)),
                 substr(c_name, c_custkey % length(c_name) + 2)) AS n1
-  FROM customer WHERE c_custkey % 7 = 3),
+  FROM customer WHERE c_custkey % 62 = 3),
 dirty AS (
   SELECT c_custkey AS dirty_custkey,
          concat(substr(n1, 1, c_custkey % length(n1)),
@@ -2205,7 +2205,8 @@ dirty AS (
 SELECT d.dirty_custkey, d.dirty_name,
        c.c_custkey AS clean_custkey, c.c_name AS clean_name,
        levenshtein(d.dirty_name, c.c_name) AS dist
-FROM dirty d JOIN customer c ON levenshtein(d.dirty_name, c.c_name) <= 2""",
+FROM dirty d JOIN customer c ON c.c_custkey % 2 = 1
+                 AND levenshtein(d.dirty_name, c.c_name) <= 2""",
         # Spark side: SymSpell symmetric-delete blocking (lossless for
         # k=1) + levenshtein verify; the oracle is the brute-force
         # quadratic scan the blocking must equal.
