@@ -22,7 +22,11 @@ generates a dirty twin with ONE character deleted at position
 xxhash64(i, 1) % len.  Planted truth: (dirty_i, clean_i) must appear
 in the output with dist == 1.
 
-Usage:  python tools/fuzzy_scale_check.py [n_strings]
+Usage:  python tools/fuzzy_scale_check.py [n_strings] [k]
+
+k=2 plants TWO deletions per dirty string (positions hashed
+independently) and joins with max_dist=2 — recall must still be
+exactly 1.0 (the double-delete neighborhood is lossless too).
 
 Prints one JSON line; committed evidence lives in SCALE.md.
 """
@@ -39,6 +43,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     from pyspark.sql import functions as F
 
     from qurio_spark.operators.fuzzy import fuzzy_join
@@ -55,15 +60,19 @@ def main() -> None:
         ).alias("clean_s"),
     )
     # one deletion at a hash-chosen position (1-based, within length)
-    pos = (
-        F.abs(F.xxhash64("clean_id", F.lit(1))) % F.length("clean_s")
-    ) + F.lit(1)
-    dirty = base.filter(F.col("clean_id") % 7 == 3).select(
-        F.col("clean_id").alias("dirty_id"),
-        F.concat(
-            F.substring(F.col("clean_s"), F.lit(1), pos - 1),
-            F.col("clean_s").substr(pos + 1, F.length("clean_s")),
-        ).alias("dirty_s"),
+    def _del_at(scol, salt):
+        pos = (F.abs(F.xxhash64("clean_id", F.lit(salt))) % F.length(scol)) + F.lit(1)
+        return F.concat(
+            F.substring(scol, F.lit(1), pos - 1),
+            scol.substr(pos + 1, F.length(scol)),
+        )
+
+    dirty = base.filter(F.col("clean_id") % 7 == 3)
+    d = _del_at(F.col("clean_s"), 1)
+    if k == 2:
+        d = _del_at(d, 2)
+    dirty = dirty.select(
+        F.col("clean_id").alias("dirty_id"), d.alias("dirty_s")
     )
     base = base.persist()
     dirty = dirty.persist()
@@ -75,13 +84,14 @@ def main() -> None:
     # the levenshtein filter)
     t0 = time.time()
     out = fuzzy_join(
-        dirty, base, "dirty_id", "dirty_s", "clean_id", "clean_s"
+        dirty, base, "dirty_id", "dirty_s", "clean_id", "clean_s",
+        max_dist=k,
     ).persist()
     found = out.count()
     join_s = time.time() - t0
 
     planted_hit = out.filter(
-        (F.col("dirty_id") == F.col("clean_id")) & (F.col("dist") == 1)
+        (F.col("dirty_id") == F.col("clean_id")) & (F.col("dist") <= k)
     ).count()
 
     # brute-force spot audit on a 1/199 slice of dirty x full clean:
@@ -90,7 +100,7 @@ def main() -> None:
     sl = dirty.filter(F.col("dirty_id") % 199 == 5)
     brute = (
         sl.crossJoin(base)
-        .filter(F.levenshtein("dirty_s", "clean_s") <= 1)
+        .filter(F.levenshtein("dirty_s", "clean_s") <= k)
         .count()
     )
     blocked = out.join(
@@ -102,6 +112,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "fuzzy_scale_check",
+                "k": k,
                 "ok": bool(planted_hit == n_dirty and brute == blocked),
                 "n_clean": n_clean,
                 "n_dirty": n_dirty,
