@@ -1547,7 +1547,7 @@ closed AS (
   WHERE session_seq < last_seq OR end_ms + 1800000 < wm_ms
 )
 SELECT user_id, count(*) AS n_closed,
-       sum(n_events) AS closed_events,
+       CAST(sum(n_events) AS BIGINT) AS closed_events,
        max(end_ms) AS last_closed_ms,
        (CAST(sum(session_cents) AS DOUBLE) / 100.0) AS closed_value
 FROM closed GROUP BY user_id""",
@@ -2098,8 +2098,8 @@ SELECT c_count, count(*) AS custdist
 FROM per_cust GROUP BY c_count""",
         "tpch_q12": """
 SELECT l_returnflag,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
 GROUP BY l_returnflag""",
@@ -2163,7 +2163,7 @@ c AS (
                              ROWS UNBOUNDED PRECEDING) - n_tokens AS start
   FROM t)
 SELECT concat(source, '-', CAST(floor(start / 1000) AS INT)) AS shard,
-       count(*) AS n_docs, sum(n_tokens) AS n_tokens
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
 FROM c GROUP BY 1""",
         # Exact duplicate-substring removal (Lee et al. ExactSubstr):
         # k=10 token grams occurring >= 2x corpus-wide; covered
