@@ -126,13 +126,33 @@ def fuzzy_join(
     """
     if max_dist not in (1, 2):
         raise ValueError("symdelete blocking implemented for max_dist in {1, 2}")
-    lk = _keyed(left, left_id, left_str, max_dist)
-    rk = _keyed(right, right_id, right_str, max_dist)
+    # Alias the keyed frames internally so self-joins (same column
+    # names on both sides) never hit Spark's ambiguous-reference
+    # resolution, and compute levenshtein ONCE (filter on the column).
+    lk = _keyed(left, left_id, left_str, max_dist).select(
+        F.col(left_id).alias("_lid"), F.col(left_str).alias("_ls"), "_k"
+    )
+    rk = _keyed(right, right_id, right_str, max_dist).select(
+        F.col(right_id).alias("_rid"), F.col(right_str).alias("_rs"), "_k"
+    )
     cand = (
         lk.join(rk, "_k")
-        .select(left_id, left_str, right_id, right_str)
-        .dropDuplicates([left_id, right_id])
+        .select("_lid", "_ls", "_rid", "_rs")
+        .dropDuplicates(["_lid", "_rid"])
     )
-    return cand.filter(
-        F.levenshtein(F.col(left_str), F.col(right_str)) <= max_dist
-    ).withColumn("dist", F.levenshtein(F.col(left_str), F.col(right_str)))
+    # On a self-join the caller's names collide; keep the left names
+    # and suffix the right side's with "_r" so the output stays
+    # unambiguous.
+    out_rid = right_id if right_id != left_id else right_id + "_r"
+    out_rs = right_str if right_str != left_str else right_str + "_r"
+    return (
+        cand.withColumn("dist", F.levenshtein(F.col("_ls"), F.col("_rs")))
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            F.col("_lid").alias(left_id),
+            F.col("_ls").alias(left_str),
+            F.col("_rid").alias(out_rid),
+            F.col("_rs").alias(out_rs),
+            "dist",
+        )
+    )

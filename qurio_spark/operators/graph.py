@@ -175,9 +175,13 @@ def triangle_count(
         .agg(F.count("*").alias("d"))
     )
     n_nodes = deg.select(F.count("*").alias("n")).withColumnRenamed("n", "n_nodes")
+    # Long arithmetic end to end: d*(d-1) is always even, so sum the
+    # long products and integer-divide once — a double accumulation
+    # (`/ 2` before the sum) is exact only below 2^53 and its final
+    # cast truncates rather than rounds.
     wedges = deg.select(
-        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
-    )
+        F.sum(F.col("d") * (F.col("d") - 1)).alias("_s2")
+    ).select(F.expr("_s2 DIV 2").alias("n_wedges"))
     # orient toward the higher (degree, id) rank
     fwd = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))

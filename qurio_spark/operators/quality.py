@@ -82,11 +82,22 @@ def dq_profile(
         )
 
     wide = df.agg(*[col.alias(f"_m{i}") for i, (_, _, col) in enumerate(aggs)])
-    stack_args = ", ".join(
-        f"'{metric}', '{column}', _m{i}" for i, (metric, column, _) in enumerate(aggs)
+    # Typed literals (F.lit), not string-spliced selectExpr: a metric
+    # or column name containing a quote must not break (or inject
+    # into) the generated expression.  explode(array(struct...)) is
+    # the same single-row unpivot as stack().
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(metric).alias("metric"),
+                F.lit(column).alias("column"),
+                F.col(f"_m{i}").alias("value"),
+            )
+            for i, (metric, column, _) in enumerate(aggs)
+        ]
     )
-    return wide.selectExpr(
-        f"stack({len(aggs)}, {stack_args}) AS (metric, column, value)"
+    return wide.select(F.explode(entries).alias("_e")).select(
+        "_e.metric", "_e.column", "_e.value"
     )
 
 

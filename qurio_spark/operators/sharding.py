@@ -267,7 +267,19 @@ def export_jsonl_shards(
                 grp = grp.sort_values("_id")
                 payload = ("\n".join(grp["line"]) + "\n").encode("utf-8")
                 path = os.path.join(out_dir, f"{shard}.jsonl")
-                tmp = path + ".inprogress"
+                # Tmp name is unique PER ATTEMPT: under task retry or
+                # speculative execution two attempts of the same
+                # partition may run concurrently, and a shared tmp
+                # path would interleave bytes before the atomic
+                # publish (corrupt file, manifest sha mismatch).
+                try:
+                    from pyspark import TaskContext
+
+                    ctx = TaskContext.get()
+                    attempt = ctx.taskAttemptId() if ctx else 0
+                except Exception:
+                    attempt = 0
+                tmp = f"{path}.inprogress.{attempt}.{os.getpid()}"
                 with open(tmp, "wb") as f:
                     f.write(payload)
                 os.replace(tmp, path)  # atomic publish

@@ -429,12 +429,25 @@ def q_export_shards(spark, sf_dir):
     (mapInPandas — the driver never sees document bytes), and return
     the manifest.  The oracle checks the packing (shard membership,
     doc/token counts — the cumulative-sum window rule); byte/checksum
-    determinism is pinned by tests/test_sharding.py."""
+    determinism is pinned by tests/test_sharding.py.
+
+    NOTE: unlike every other queries() entry, this one executes
+    EAGERLY at construction time (export_jsonl_shards writes the
+    shards and collects the manifest internally); the returned frame
+    is a small driver-local manifest.  The output directory is a
+    single deterministic per-process path wiped on entry, so repeated
+    bench/oracle runs reuse it instead of leaking one mkdtemp of the
+    full corpus per invocation."""
+    import os
+    import shutil
     import tempfile
 
     from qurio_spark.operators.sharding import export_jsonl_shards
 
-    out_dir = tempfile.mkdtemp(prefix="qurio-shard-export-")
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"qurio-shard-export-{os.getpid()}"
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
     m = export_jsonl_shards(
         _t(spark, sf_dir, "documents"), out_dir, token_budget=1000
     )

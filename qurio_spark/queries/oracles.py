@@ -2143,11 +2143,11 @@ tri AS (
             JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
 SELECT (SELECT count(*) FROM deg) AS n_nodes,
        (SELECT count(*) FROM e) AS n_edges,
-       (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+       (SELECT CAST(sum(d * (d - 1)) AS BIGINT) // 2 FROM deg) AS n_wedges,
        (SELECT t FROM tri) AS n_triangles,
-       CASE WHEN (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg) > 0
+       CASE WHEN (SELECT CAST(sum(d * (d - 1)) AS BIGINT) // 2 FROM deg) > 0
             THEN 3.0 * (SELECT t FROM tri)
-                 / (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg)
+                 / (SELECT CAST(sum(d * (d - 1)) AS BIGINT) // 2 FROM deg)
             END AS global_clustering""",
         # Export-sink manifest: the offset-packing rule (cumsum window
         # per source, shard = floor(start/budget)) re-derived in SQL;

@@ -86,6 +86,18 @@ class TestFuzzyJoin:
         with pytest.raises(ValueError):
             fuzzy_join(df, df, "i", "s", "i", "s", max_dist=3)
 
+    def test_self_join_same_column_names(self, spark):
+        # Joining a frame to itself (identical column names on both
+        # sides) must not raise an ambiguous-reference error; the
+        # right side's colliding names come back suffixed "_r".
+        df = spark.createDataFrame(
+            [(1, "spark"), (2, "spork"), (3, "zzz")], "i int, s string"
+        )
+        out = fuzzy_join(df, df, "i", "s", "i", "s", max_dist=1)
+        assert out.columns == ["i", "s", "i_r", "s_r", "dist"]
+        pairs = {(r["i"], r["i_r"]) for r in out.collect()}
+        assert pairs == {(1, 1), (2, 2), (3, 3), (1, 2), (2, 1)}
+
 
 class TestDqProfile:
     def test_metrics(self, spark):
@@ -111,6 +123,18 @@ class TestDqProfile:
         assert out[("max", "v")] == 10.0
         assert out[("compliance", "v_positive")] == 0.75
         assert out[("uniqueness", "k")] == 0.75
+
+    def test_quote_in_compliance_name(self, spark):
+        # Metric/check names are typed literals, not spliced SQL — a
+        # single quote in a check name must survive verbatim.
+        df = spark.createDataFrame([(1, 2.0), (2, -1.0)], "k int, v double")
+        out = {
+            (r["metric"], r["column"]): r["value"]
+            for r in dq_profile(
+                df, compliance={"isn't negative": F.col("v") >= 0}
+            ).collect()
+        }
+        assert out[("compliance", "isn't negative")] == 0.5
 
     def test_single_job_single_scan(self, spark):
         df = spark.createDataFrame([(1, 2.0)], "k int, v double")
