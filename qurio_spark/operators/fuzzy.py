@@ -29,7 +29,17 @@ Scale shape (100 TB posture):
     boilerplate) can be layered exactly like ngram_jaccard's
     stop-shingle cap if a corpus needs it;
   - candidate pairs are ``distinct``-ed BEFORE the verify so each pair
-    pays one levenshtein call.
+    pays one levenshtein call;
+  - SymSpell is a SHORT-KEY algorithm (names, titles, codes): the
+    neighborhood is O(len) keys at k=1 and O(len^2 / 2) at k=2, so one
+    dirty 5,000-char field would materialize ~12.5M keys in a single
+    row's array before the explode and wedge an executor.
+    ``fuzzy_join`` therefore enforces ``max_len`` (default 128 chars —
+    ~8k keys worst case at k=2) BEFORE key generation: the default
+    ``long_strings="error"`` fails fast with a clear message
+    (executor-side ``raise_error``, still codegen), and
+    ``long_strings="drop"`` excludes overlong rows for pipelines that
+    prefer to skip dirty fields.
 
 The reference has no fuzzy matching at all (SURVEY §2.7 — retrieval is
 BM25/vector only); this is a beyond-reference extension in the dedup
@@ -93,7 +103,38 @@ def symdelete_keys2(col: F.Column) -> F.Column:
     ).otherwise(F.concat(symdelete_keys(col), del2))
 
 
-def _keyed(df: DataFrame, id_col: str, s_col: str, k: int) -> DataFrame:
+def _keyed(
+    df: DataFrame,
+    id_col: str,
+    s_col: str,
+    k: int,
+    max_len: int,
+    long_strings: str,
+) -> DataFrame:
+    # Length guard FIRST: the k=2 neighborhood is O(len^2 / 2) keys in
+    # one row's array pre-explode, so an unguarded long field is an
+    # executor-wedging hazard (module doc).  "error" fails fast inside
+    # codegen via raise_error; "drop" filters the row out.
+    guard = F.length(F.col(s_col)) <= max_len
+    if long_strings == "drop":
+        df = df.filter(guard)
+    else:
+        df = df.withColumn(
+            s_col,
+            F.when(guard, F.col(s_col)).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"fuzzy_join: '{s_col}' exceeds max_len="
+                            f"{max_len} chars (symdelete neighborhood "
+                            "is O(len^k)); pass long_strings='drop' or "
+                            "raise max_len. Prefix: "
+                        ),
+                        F.substring(F.col(s_col), 1, 64),
+                    )
+                )
+            ),
+        )
     # array_distinct dedups within-string keys (deleting either of two
     # equal adjacent chars yields the same key) MAP-SIDE — no shuffle.
     # At k=2 its quadratic compare is a real cost (~2s on 15k 18-char
@@ -116,6 +157,8 @@ def fuzzy_join(
     right_id: str,
     right_str: str,
     max_dist: int = 1,
+    max_len: int = 128,
+    long_strings: str = "error",
 ) -> DataFrame:
     """All (left, right) pairs with levenshtein(left_str, right_str)
     <= max_dist, for ``max_dist`` in {1, 2}.  k=1 uses the O(len)
@@ -123,16 +166,25 @@ def fuzzy_join(
     still a constant-factor explode, never a cross join, but expect
     a larger candidate set on near-identical corpora (the standard
     SymSpell k tradeoff).
+
+    Strings longer than ``max_len`` (default 128 — SymSpell is a
+    short-key algorithm; see the module doc's scale note) either fail
+    fast (``long_strings="error"``, the default) or are excluded
+    (``long_strings="drop"``).  On a self-join where the caller's
+    column names collide, the right side's output columns come back
+    suffixed ``_r``.
     """
     if max_dist not in (1, 2):
         raise ValueError("symdelete blocking implemented for max_dist in {1, 2}")
+    if long_strings not in ("error", "drop"):
+        raise ValueError("long_strings must be 'error' or 'drop'")
     # Alias the keyed frames internally so self-joins (same column
     # names on both sides) never hit Spark's ambiguous-reference
     # resolution, and compute levenshtein ONCE (filter on the column).
-    lk = _keyed(left, left_id, left_str, max_dist).select(
+    lk = _keyed(left, left_id, left_str, max_dist, max_len, long_strings).select(
         F.col(left_id).alias("_lid"), F.col(left_str).alias("_ls"), "_k"
     )
-    rk = _keyed(right, right_id, right_str, max_dist).select(
+    rk = _keyed(right, right_id, right_str, max_dist, max_len, long_strings).select(
         F.col(right_id).alias("_rid"), F.col(right_str).alias("_rs"), "_k"
     )
     cand = (

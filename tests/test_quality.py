@@ -86,6 +86,32 @@ class TestFuzzyJoin:
         with pytest.raises(ValueError):
             fuzzy_join(df, df, "i", "s", "i", "s", max_dist=3)
 
+    def test_long_string_errors_by_default(self, spark):
+        # One dirty 5,000-char field would be ~12.5M symdelete keys at
+        # k=2; the guard must fail fast, not materialize them.
+        left = spark.createDataFrame([(1, "x" * 5000)], "lid int, ls string")
+        right = spark.createDataFrame([(2, "ok")], "rid int, rs string")
+        with pytest.raises(Exception, match="max_len"):
+            fuzzy_join(
+                left, right, "lid", "ls", "rid", "rs", max_dist=2
+            ).collect()
+
+    def test_long_string_drop_policy(self, spark):
+        left = spark.createDataFrame(
+            [(1, "x" * 5000), (2, "spark")], "lid int, ls string"
+        )
+        right = spark.createDataFrame([(3, "spork")], "rid int, rs string")
+        rows = fuzzy_join(
+            left, right, "lid", "ls", "rid", "rs",
+            max_dist=1, long_strings="drop",
+        ).collect()
+        assert [(r["lid"], r["rid"]) for r in rows] == [(2, 3)]
+
+    def test_long_strings_bad_policy(self, spark):
+        df = spark.createDataFrame([(1, "x")], "i int, s string")
+        with pytest.raises(ValueError, match="long_strings"):
+            fuzzy_join(df, df, "i", "s", "i", "s", long_strings="ignore")
+
     def test_self_join_same_column_names(self, spark):
         # Joining a frame to itself (identical column names on both
         # sides) must not raise an ambiguous-reference error; the
