@@ -110,19 +110,21 @@ def outlier_events(
     min_group: int = 20,
 ) -> DataFrame:
     """Events whose value exceeds ``factor`` x their group's mean, for
-    groups with >= min_group events — all-integer comparison
-    (cents * n > factor * sum_cents), one window shuffle.
+    groups with >= min_group OBSERVED (non-null) values — all-integer
+    comparison (cents * n > factor * sum_cents), one window shuffle.
 
     NULL values: a NULL-valued event is never flagged (NULL cents fail
-    the comparison) but still counts toward ``n_group`` while being
-    absent from the sum — i.e. the mean is over non-null values scaled
-    by the full group size.  The events table carries no NULLs; pin
-    this choice before pointing the operator at data that does."""
+    the comparison) and does not count toward ``n_group`` either —
+    both the sum and the count range over observed values only, so the
+    implied mean is the mean of the non-null values (the r13 contract;
+    previously NULL rows inflated ``n_group`` and deflated the mean).
+    Pinned by the NULL-bearing test in tests/test_quality.py; moot on
+    the NULL-free events table."""
     cents = F.floor(F.col(value_col).cast("double") * 100.0 + F.lit(0.5)).cast("long")
     w = Window.partitionBy(group_col)
     flagged = (
         events.select(F.col(id_col), F.col(group_col), cents.alias("value_cents"))
-        .withColumn("n_group", F.count(F.lit(1)).over(w))
+        .withColumn("n_group", F.count("value_cents").over(w))
         .withColumn("_sum", F.sum("value_cents").over(w))
     )
     return flagged.filter(

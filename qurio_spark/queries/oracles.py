@@ -2251,7 +2251,7 @@ WITH c AS (
          CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS value_cents
   FROM events),
 w AS (
-  SELECT *, count(*) OVER (PARTITION BY user_id) AS n_group,
+  SELECT *, count(value_cents) OVER (PARTITION BY user_id) AS n_group,
          sum(value_cents) OVER (PARTITION BY user_id) AS s
   FROM c)
 SELECT event_id, user_id, value_cents, n_group

@@ -203,6 +203,33 @@ class TestOutlierEvents:
         # test: 313 * 25 = 7825 <= 3 * 2713 = 8139 -> not flagged
         assert outlier_events(df, factor=3, min_group=20).count() == 0
 
+    def test_null_values_excluded_from_n_group(self, spark):
+        # r13 contract: NULL values count toward NEITHER the sum NOR
+        # n_group — the implied mean is over observed values only.
+        # 20 observed 1.0s + one 5.0 spike + 30 NULLs: the spike is
+        # 5x the observed mean (flagged); under the old count(*) rule
+        # n_group=51 would both pass min_group trivially and deflate
+        # nothing — here the NULLs must be invisible.
+        rows = (
+            [(i, 1, 1.0) for i in range(20)]
+            + [(20, 1, 5.0)]
+            + [(100 + i, 1, None) for i in range(30)]
+        )
+        df = spark.createDataFrame(
+            rows, "event_id int, user_id int, value double"
+        )
+        out = outlier_events(df, factor=3, min_group=20).collect()
+        assert [(r["event_id"], r["n_group"]) for r in out] == [(20, 21)]
+        # and a group whose OBSERVED count is below min_group is out,
+        # even though its raw row count clears the bar
+        rows2 = [(i, 2, 1.0) for i in range(10)] + [
+            (200 + i, 2, None) for i in range(15)
+        ]
+        df2 = spark.createDataFrame(
+            rows2 + [(999, 2, 99.0)], "event_id int, user_id int, value double"
+        )
+        assert outlier_events(df2, factor=3, min_group=20).count() == 0
+
 
 class TestFuzzyJoinRandomized:
     def test_dense_random_space_equals_bruteforce(self, spark):
