@@ -488,3 +488,90 @@ class HttpReranker:
                 seen.add(i)
         order += [i for i in range(len(contents)) if i not in seen]
         return order
+
+
+class HttpTokenizer:
+    """HTTP-shaped batch tokenizer for PRODUCTION-faithful token
+    counts (tiktoken/SentencePiece-server convention: POST a text
+    batch, get one count per text back).
+
+    The curation/packing/export family budgets shards on the hermetic
+    whitespace/BPE-ish estimates in ``functions/text.py`` by default —
+    fine for parity, but a real training pipeline packs against the
+    ACTUAL tokenizer of the target model.  This provider is the slot
+    for that: same retry/breaker/hot-key posture as ``HttpEmbedder``,
+    and ``udf()`` drops straight into ``pack_shards`` /
+    ``export_jsonl_shards`` via their ``token_count`` override.
+
+    Request:  ``{"model": m, "texts": [...]}``
+    Response: ``{"counts": [n0, n1, ...]}`` — one non-negative int per
+    text, validated for count and type.
+    """
+
+    def __init__(
+        self,
+        endpoint: str,
+        model: str = "cl100k_base",
+        key_provider: Callable[[], str] | None = None,
+        timeout_s: float = DEFAULT_TIMEOUT_S,
+        policy: RetryPolicy | None = None,
+        max_batch: int = 256,
+    ):
+        self.endpoint = endpoint
+        self.model = model
+        self.key_provider = key_provider or (lambda: "")
+        self.timeout_s = timeout_s
+        self.policy = policy or RetryPolicy()
+        self.max_batch = max_batch
+
+    def _headers(self) -> dict[str, str]:
+        key = self.key_provider()
+        return {"Authorization": f"Bearer {key}"} if key else {}
+
+    def _call(self, texts: list[str]) -> list[int]:
+        body = _post_json(
+            self.endpoint,
+            {"model": self.model, "texts": texts},
+            self._headers(),
+            self.timeout_s,
+        )
+        counts = body.get("counts")
+        if not isinstance(counts, list) or len(counts) != len(texts):
+            raise IngestionError(
+                ERR_PROVIDER_SHAPE,
+                f"expected {len(texts)} counts, got "
+                f"{len(counts) if isinstance(counts, list) else type(counts).__name__}",
+            )
+        for c in counts:
+            if not isinstance(c, int) or isinstance(c, bool) or c < 0:
+                raise IngestionError(
+                    ERR_PROVIDER_SHAPE, "counts must be non-negative ints"
+                )
+        return counts
+
+    def count_batch(self, texts: Sequence[str]) -> list[int]:
+        """Chunked + retried batch count (usable driver- or worker-side)."""
+        out: list[int] = []
+        for i in range(0, len(texts), self.max_batch):
+            chunk = [t or "" for t in texts[i : i + self.max_batch]]
+            out.extend(with_retries(lambda c=chunk: self._call(c), self.policy))
+        return out
+
+    def udf(self):
+        """Arrow-batched pandas UDF ``string -> long``: one HTTP call
+        per ``max_batch`` texts, retry/backoff inside the worker.
+        Callable on a Column, so it satisfies the ``token_count``
+        override contract of ``operators/sharding.pack_shards``."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        provider = self
+
+        def _count(texts):
+            return pd.Series(
+                provider.count_batch(texts.tolist()), dtype="int64"
+            )
+
+        _count.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+        return F.pandas_udf(T.LongType())(_count)

@@ -29,6 +29,7 @@ def pack_shards(
     source_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    token_count=None,
 ) -> DataFrame:
     """Assign each document to a token-budget shard within its source:
     docs accumulate in ``id_col`` order and a doc's shard is the budget
@@ -42,11 +43,19 @@ def pack_shards(
     range-partition on the order key instead.  Shard ids feed a
     ``repartition(source, shard_id)`` + partitioned write, giving
     training shards of ~token_budget tokens each.
+
+    ``token_count`` overrides the counting rule: any callable mapping
+    the text Column to a numeric Column — a builtin expression
+    (``bpeish_token_count``), or a real tokenizer's Arrow-batched UDF
+    (``functions.providers.HttpTokenizer.udf()``) for
+    production-faithful budgets.  Default: hermetic whitespace/alnum
+    token count (JVM-side, codegen).
     """
+    counter = token_count or (lambda c: F.size(tokenize(c)))
     toks = docs.select(
         F.col(source_col).alias("source"),
         F.col(id_col),
-        F.size(tokenize(F.col(text_col))).cast("bigint").alias("n_tokens"),
+        counter(F.col(text_col)).cast("bigint").alias("n_tokens"),
     )
     w = (
         Window.partitionBy("source")
@@ -189,6 +198,7 @@ def export_jsonl_shards(
     source_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    token_count=None,
 ) -> DataFrame:
     """Materialize token-budget training shards as JSONL files — the
     export sink a pretraining pipeline runs after curation (the
@@ -220,7 +230,7 @@ def export_jsonl_shards(
 
     shards = pack_shards(
         docs, token_budget, source_col=source_col,
-        id_col=id_col, text_col=text_col,
+        id_col=id_col, text_col=text_col, token_count=token_count,
     )
     rows = (
         docs.select(

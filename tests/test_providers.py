@@ -20,6 +20,7 @@ from qurio_spark.functions.providers import (
     ERR_TIMEOUT,
     HttpEmbedder,
     HttpReranker,
+    HttpTokenizer,
 )
 from qurio_spark.functions.resilience import IngestionError, RetryPolicy
 
@@ -64,6 +65,13 @@ class Handler(BaseHTTPRequestHandler):
             self._json({"embeddings": [[1.0]] * len(payload["texts"])})
         elif self.path == "/embed-bad":
             self.send_error(400)
+        elif self.path == "/tokenize":
+            # deterministic fake tokenizer: 2 tokens per whitespace word
+            self._json({"counts": [2 * len(t.split()) for t in payload["texts"]]})
+        elif self.path == "/tokenize-short":
+            self._json({"counts": [1]})
+        elif self.path == "/tokenize-bad-type":
+            self._json({"counts": [1.5 for _ in payload["texts"]]})
         elif self.path == "/rerank":
             docs = payload["documents"]
             # score = position from the end -> reversed order
@@ -356,6 +364,73 @@ class TestProviderIntegration:
             chunks=chunks, reranker=HttpReranker(f"{server}/rerank", policy=FAST)
         ).search("spark shuffle", alpha=0.0, limit=5)
         assert [r["chunk_id"] for r in rr] == [r["chunk_id"] for r in base][::-1]
+
+
+class TestHttpTokenizer:
+    def test_batch_happy_path(self, server):
+        t = HttpTokenizer(f"{server}/tokenize", policy=FAST)
+        assert t.count_batch(["one two", "a b c", ""]) == [4, 6, 0]
+
+    def test_count_mismatch_is_shape_error(self, server):
+        t = HttpTokenizer(f"{server}/tokenize-short", policy=FAST)
+        with pytest.raises(IngestionError) as e:
+            t.count_batch(["a", "b"])
+        assert e.value.code == ERR_PROVIDER_SHAPE
+
+    def test_non_int_counts_are_shape_error(self, server):
+        t = HttpTokenizer(f"{server}/tokenize-bad-type", policy=FAST)
+        with pytest.raises(IngestionError) as e:
+            t.count_batch(["a"])
+        assert e.value.code == ERR_PROVIDER_SHAPE
+
+    def test_bearer_key_header(self, server):
+        STATE["requests"].clear()
+        t = HttpTokenizer(
+            f"{server}/tokenize", key_provider=lambda: "tok-key", policy=FAST
+        )
+        t.count_batch(["x"])
+        assert (
+            STATE["requests"][-1]["headers"]["authorization"]
+            == "Bearer tok-key"
+        )
+
+    def test_udf_overrides_pack_shards_budget(self, server, spark):
+        """The production-faithful path: pack_shards budgets on the
+        provider's counts (2x the hermetic whitespace count via the
+        fake), so shard boundaries move vs the default estimate."""
+        from qurio_spark.operators.sharding import pack_shards
+
+        docs = spark.createDataFrame(
+            [("s", i, "w " * 10) for i in range(6)],
+            "source string, doc_id int, text string",
+        )
+        t = HttpTokenizer(f"{server}/tokenize", policy=FAST)
+        default = pack_shards(docs, token_budget=40)
+        custom = pack_shards(docs, token_budget=40, token_count=t.udf())
+        # hermetic: 10 tokens/doc -> 4 docs per 40-token shard;
+        # provider: 20 tokens/doc -> 2 docs per shard
+        assert [r["shard_id"] for r in default.orderBy("doc_id").collect()] \
+            == [0, 0, 0, 0, 1, 1]
+        assert [r["n_tokens"] for r in custom.orderBy("doc_id").collect()] \
+            == [20] * 6
+        assert [r["shard_id"] for r in custom.orderBy("doc_id").collect()] \
+            == [0, 0, 1, 1, 2, 2]
+
+    def test_export_packs_under_custom_count(self, server, spark, tmp_path):
+        from qurio_spark.operators.sharding import export_jsonl_shards
+
+        docs = spark.createDataFrame(
+            [("s", i, "w " * 10) for i in range(4)],
+            "source string, doc_id int, text string",
+        )
+        t = HttpTokenizer(f"{server}/tokenize", policy=FAST)
+        m = export_jsonl_shards(
+            docs, str(tmp_path), token_budget=40, token_count=t.udf()
+        ).orderBy("shard").collect()
+        assert [(r["shard"], r["n_docs"], r["n_tokens"]) for r in m] == [
+            ("s-0", 2, 40),
+            ("s-1", 2, 40),
+        ]
 
 
 class TestHttpOcrProvider:
