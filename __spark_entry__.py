@@ -89,6 +89,7 @@ from qurio_spark.queries.textstats import (  # noqa: F401
     q_decontaminate,
     q_fingerprints,
     q_gopher_rules,
+    q_lm_quality,
     q_keyword_extract,
     q_lang_id,
     q_pii_redact,
@@ -546,6 +547,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``sample_mixture`` (deterministic domain-mixture sampling).
     The remaining never-windowed TPC-H breadth entries
     (q8/q10/q13/q15/q17/q19/q22) rotate in over future rounds.
+    Also IN (new this round, per the every-new-entry-in-window rule):
+    ``lm_quality`` (operators/lm — CCNet-shaped bigram-LM
+    cross-entropy quality scoring, exact integer milli-nats).  OUT
+    for its slot: ``snap_quarantine`` — the dead-letter gate contract
+    is pinned by pytest and the snapshot family keeps SIX in-window
+    signals (snap_merge, snap_dv, snap_widen, snap_zorder,
+    snap_bloom, snap_renamecol) plus catalog_crud and
+    streaming_ingest's exactly-once sink; green since r8.
     OUT (all green every appearance, each with an in-window sibling):
     ``bm25_maxscore`` (lossless pruning, oracle = bm25_topk verbatim;
     bm25_topk/bm25_blockmax/bm25_incremental stay in-window; green
@@ -602,7 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_left": q_events_range_left,
         "link_filter_chain": q_link_filter_chain,
         "snap_merge": q_snap_merge,
-        "snap_quarantine": q_snap_quarantine,
+        "lm_quality": q_lm_quality,
         "snap_dv": q_snap_dv,
         "snap_widen": q_snap_widen,
         "snap_zorder": q_snap_zorder,
@@ -623,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": q_pack_shards,
         "sample_mixture": q_sample_mixture,
         # -- 51+: oracle-backed, operator proven by in-window sibling -
+        "snap_quarantine": q_snap_quarantine,
         "bm25_maxscore": q_bm25_maxscore,
         "hybrid_rrf": q_hybrid_rrf,
         "decontaminate": q_decontaminate,

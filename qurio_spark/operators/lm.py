@@ -1,0 +1,177 @@
+"""N-gram language-model quality scoring (the CCNet/RedPajama filter).
+
+Training-data-pipeline extension: score every document by its
+cross-entropy under a bigram language model trained on a reference
+(clean) subset — the public CCNet recipe (Wenzek et al. 2020) scores
+Common Crawl against a Wikipedia-trained KenLM and buckets documents
+into head/middle/tail by perplexity.  The reference engine has no LM
+scoring (SURVEY §2.7); this is a beyond-reference extension in the
+text-analysis family (SURVEY §2.8) next to gopher_rules /
+quality_scores.
+
+Model: add-one-smoothed bigram LM over the shared alnum tokenizer
+(``functions.text.tokenize`` — the same token rule every other text
+operator and every SQL oracle uses), with the vocabulary capped to the
+``max_vocab`` most frequent training unigrams (ties broken by token
+string) and all other tokens mapped to ``<unk>``:
+
+    p(w2 | w1) = (c2(m(w1), m(w2)) + 1) / (c1(m(w1)) + V)
+
+where ``m`` is the vocab mapping, ``c2``/``c1`` are mapped train
+bigram/unigram occurrence counts, and ``V`` = |selected vocab| + 1
+(the ``<unk>`` bucket).  A document's score is reported EXACTLY, in
+integer milli-nats:
+
+    cost_millinats = sum over bigrams of
+                     floor(1000 * (ln(c1 + V) - ln(c2 + 1)))
+
+All inputs to ``ln`` are exact integers, so both engines evaluate the
+same IEEE ops on the same values and the floor/sum pipeline is
+order-invariant integer arithmetic — the r12 summation-order rule
+(never round or sum derived doubles) holds by construction.
+Perplexity per bigram is ``exp(cost_millinats / 1000 / n_bigrams)``,
+derivable by the caller; bucketing into head/middle/tail is a
+follow-on quantile over ``cost_millinats / n_bigrams``.
+
+Scale shape (100 TB posture):
+  - the corpus-side plan is: one token explode (map), a broadcast
+    LEFT join against the <= max_vocab vocab rows for the OOV
+    mapping, joins against the two LM count tables, and ONE shuffle
+    (the per-doc groupBy).  With the default 64k vocab cap the LM
+    tables are bounded (uni <= V rows, bi <= corpus-distinct mapped
+    pairs, itself <= V^2 but in practice vocab-sized) and AQE picks
+    broadcast when they fit; the corpus never shuffles on token keys,
+    so hot-word skew ("the") never concentrates on one reducer.
+  - training aggregations are map-side-partial groupBy counts over
+    the train subset (vocab-sized results, not corpus-sized);
+  - the top-K vocab selection is ``orderBy(...).limit(K)`` — Spark's
+    distributed TakeOrdered, no single-partition global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from qurio_spark.functions.text import tokenize
+
+UNK = "<unk>"
+
+
+def _toks(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(F.col(id_col), tokenize(F.col(text_col)).alias("toks"))
+
+
+def _bigrams(toked: DataFrame, id_col: str) -> DataFrame:
+    """(id, w1, w2) for each adjacent token pair — pairs are built
+    JVM-side inside one ``transform`` over the token array (0-based
+    bracket indexing), then exploded once."""
+    pairs = F.expr(
+        "transform(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+        " (x, i) -> struct(x AS w1, toks[i + 1] AS w2))"
+    )
+    return toked.select(F.col(id_col), F.explode(pairs).alias("p")).select(
+        id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+
+
+def train_bigram_lm(
+    train: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_vocab: int = 65536,
+):
+    """Fit the capped-vocab add-one bigram LM on ``train``.
+
+    Returns ``(vocab, uni, bi, v_size)``: the vocab frame (``w``),
+    mapped unigram counts (``w1m, c1``), mapped bigram counts
+    (``w1m, w2m, c2``), and the smoothing denominator
+    ``V = |vocab| + 1``.  ``v_size`` is the one driver-side scalar
+    (a count over the <= max_vocab vocab rows).
+    """
+    toked = _toks(train, id_col, text_col)
+    uni_raw = (
+        toked.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    vocab = uni_raw.orderBy(F.desc("c"), F.asc("w")).limit(max_vocab).select("w")
+    v_size = vocab.count() + 1  # + the <unk> bucket
+
+    def _mapped(df: DataFrame, col: str) -> F.Column:
+        return F.coalesce(F.col(f"_v{col}.w"), F.lit(UNK))
+
+    uni = (
+        toked.select(F.explode("toks").alias("w1"))
+        .join(F.broadcast(vocab.alias("_vw1")), F.col("w1") == F.col("_vw1.w"), "left")
+        .select(_mapped(None, "w1").alias("w1m"))
+        .groupBy("w1m")
+        .agg(F.count("*").alias("c1"))
+    )
+    bi = (
+        _bigrams(toked, id_col)
+        .join(F.broadcast(vocab.alias("_vw1")), F.col("w1") == F.col("_vw1.w"), "left")
+        .join(F.broadcast(vocab.alias("_vw2")), F.col("w2") == F.col("_vw2.w"), "left")
+        .select(
+            F.coalesce(F.col("_vw1.w"), F.lit(UNK)).alias("w1m"),
+            F.coalesce(F.col("_vw2.w"), F.lit(UNK)).alias("w2m"),
+        )
+        .groupBy("w1m", "w2m")
+        .agg(F.count("*").alias("c2"))
+    )
+    return vocab, uni, bi, v_size
+
+
+def lm_cross_entropy(
+    docs: DataFrame,
+    train: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_vocab: int = 65536,
+) -> DataFrame:
+    """Score every doc in ``docs`` under the bigram LM fit on
+    ``train`` -> ``(id_col, n_bigrams, cost_millinats)``, exact
+    integers (module doc).  Docs with fewer than 2 tokens score
+    ``(0, 0)``."""
+    vocab, uni, bi, v_size = train_bigram_lm(
+        train, text_col=text_col, id_col=id_col, max_vocab=max_vocab
+    )
+    scored = (
+        _bigrams(_toks(docs, id_col, text_col), id_col)
+        .join(F.broadcast(vocab.alias("_vw1")), F.col("w1") == F.col("_vw1.w"), "left")
+        .join(F.broadcast(vocab.alias("_vw2")), F.col("w2") == F.col("_vw2.w"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_vw1.w"), F.lit(UNK)).alias("w1m"),
+            F.coalesce(F.col("_vw2.w"), F.lit(UNK)).alias("w2m"),
+        )
+        .join(bi, ["w1m", "w2m"], "left")
+        .join(uni, ["w1m"], "left")
+        .select(
+            id_col,
+            F.floor(
+                F.lit(1000.0)
+                * (
+                    F.log(F.coalesce(F.col("c1"), F.lit(0)) + F.lit(v_size))
+                    - F.log(F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1))
+                )
+            )
+            .cast("long")
+            .alias("_cost"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("_cost").alias("cost_millinats"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, [id_col], "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("cost_millinats", F.lit(0))
+            .cast("long")
+            .alias("cost_millinats"),
+        )
+    )

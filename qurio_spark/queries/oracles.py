@@ -2256,6 +2256,55 @@ w AS (
   FROM c)
 SELECT event_id, user_id, value_cents, n_group
 FROM w WHERE n_group >= 20 AND value_cents * n_group > 3 * s""",
+        # CCNet-shaped bigram-LM cross-entropy: capped-vocab (512)
+        # add-one LM fit on doc_id % 5 = 0, scores in exact integer
+        # milli-nats (ln over integer counts only — order-invariant).
+        "lm_quality": f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS.format(col='text')} AS toks FROM documents),
+tr AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+uc AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(toks) AS w FROM tr) GROUP BY w),
+voc AS (
+  SELECT w FROM (
+    SELECT w, row_number() OVER (ORDER BY c DESC, w) AS rk FROM uc)
+  WHERE rk <= 512),
+vsz AS (SELECT count(*) + 1 AS v FROM voc),
+uni AS (
+  SELECT coalesce(voc.w, '<unk>') AS w1m, count(*) AS c1
+  FROM (SELECT unnest(toks) AS w FROM tr) t
+  LEFT JOIN voc ON t.w = voc.w GROUP BY 1),
+trb AS (
+  SELECT toks[i + 1] AS w1, toks[i + 2] AS w2
+  FROM tr, unnest(range(0, greatest(len(toks) - 1, 0))) AS u(i)),
+bi AS (
+  SELECT coalesce(v1.w, '<unk>') AS w1m, coalesce(v2.w, '<unk>') AS w2m,
+         count(*) AS c2
+  FROM trb LEFT JOIN voc v1 ON trb.w1 = v1.w
+           LEFT JOIN voc v2 ON trb.w2 = v2.w
+  GROUP BY 1, 2),
+db AS (
+  SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2
+  FROM d, unnest(range(0, greatest(len(toks) - 1, 0))) AS u(i)),
+dm AS (
+  SELECT doc_id, coalesce(v1.w, '<unk>') AS w1m, coalesce(v2.w, '<unk>') AS w2m
+  FROM db LEFT JOIN voc v1 ON db.w1 = v1.w
+          LEFT JOIN voc v2 ON db.w2 = v2.w),
+costs AS (
+  SELECT doc_id,
+         CAST(floor(1000.0 * (ln(coalesce(uni.c1, 0) + (SELECT v FROM vsz))
+                              - ln(coalesce(bi.c2, 0) + 1))) AS BIGINT) AS cost
+  FROM dm
+  LEFT JOIN bi ON dm.w1m = bi.w1m AND dm.w2m = bi.w2m
+  LEFT JOIN uni ON dm.w1m = uni.w1m),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(cost) AS BIGINT) AS cost_millinats
+  FROM costs GROUP BY doc_id)
+SELECT d.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
+       coalesce(agg.cost_millinats, 0) AS cost_millinats
+FROM d LEFT JOIN agg USING (doc_id)""",
         # chunk_corpus, ingest_pipeline, kmeans_ivf: intentionally no
         # oracle (non-SQL ops — chunker UDF, embedder, iterative
         # k-means; rows-only check; chunker is golden-tested in

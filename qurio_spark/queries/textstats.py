@@ -104,3 +104,22 @@ def q_gopher_rules(spark, sf_dir):
     from qurio_spark.operators.textstats import gopher_rules
 
     return gopher_rules(_t(spark, sf_dir, "documents"))
+
+
+def q_lm_quality(spark, sf_dir):
+    """Bigram-LM cross-entropy quality scoring (operators/lm.
+    lm_cross_entropy) — the CCNet/RedPajama perplexity filter shape
+    (Wenzek et al. 2020): an add-one bigram LM with a 512-token capped
+    vocabulary is fit on the reference subset ``doc_id % 5 = 0`` and
+    every document is scored in EXACT integer milli-nats
+    (floor(1000 * (ln(c1+V) - ln(c2+1))) summed per doc — ln over
+    exact integer counts only, so the contract is order-invariant
+    integer arithmetic; see the module doc).  Corpus side: token
+    explode + broadcast vocab mapping + LM joins + ONE per-doc
+    shuffle.  Beyond-reference extension (SURVEY §2.8 text-analysis
+    family)."""
+    from qurio_spark.operators.lm import lm_cross_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 == 0)
+    return lm_cross_entropy(docs, train, max_vocab=512)

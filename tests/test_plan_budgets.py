@@ -237,6 +237,12 @@ BUDGETS = {
     # per-group outliers: ONE window exchange on the group key
     "anomaly_events": {"shuffles": ("<=", 1), "smj": ("<=", 0),
                        "python_stages": ("<=", 0)},
+    # bigram LM scoring: 4 vocab-sized count shuffles (train uni raw,
+    # train uni mapped, train bi, per-doc agg); EVERY join broadcast
+    # (vocab exchange reused x5) — the corpus never shuffles on token
+    # keys, so hot-word skew can't concentrate on a reducer
+    "lm_quality": {"shuffles": ("<=", 4), "smj": ("<=", 0),
+                   "bnlj": ("<=", 0), "python_stages": ("<=", 0)},
     # span dedup: gram-count agg + flagged-starts groupBy; hot-set
     # semi-join and starts attach broadcast at test SF
     "span_dedup": {"shuffles": ("<=", 4), "smj": ("<=", 0),

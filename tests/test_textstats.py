@@ -296,3 +296,62 @@ class TestGopherRules:
         got = self._run(spark, [(0, fifty)])
         assert got[0]["r_word_count"] == 1
         assert got[0]["r_mean_word_len"] == 1  # exactly 3.0, inclusive
+
+
+class TestBigramLm:
+    """operators/lm: CCNet-shaped bigram-LM cross-entropy scoring."""
+
+    def _score(self, spark, rows, train_rows, max_vocab=100):
+        from qurio_spark.operators.lm import lm_cross_entropy
+
+        docs = spark.createDataFrame(rows, "doc_id int, text string")
+        train = spark.createDataFrame(train_rows, "doc_id int, text string")
+        return {
+            r["doc_id"]: (r["n_bigrams"], r["cost_millinats"])
+            for r in lm_cross_entropy(docs, train, max_vocab=max_vocab).collect()
+        }
+
+    def test_hand_computed_exact(self, spark):
+        import math
+
+        # train: "a b a b" -> uni: a=2, b=2; bi: (a,b)=2, (b,a)=1;
+        # vocab = {a, b}, V = 3
+        train = [(0, "a b a b")]
+        out = self._score(spark, [(1, "a b"), (2, "b b")], train)
+        # doc 1: one bigram (a,b): cost = floor(1000*(ln(2+3)-ln(2+1)))
+        want_ab = math.floor(1000 * (math.log(5) - math.log(3)))
+        assert out[1] == (1, want_ab)
+        # doc 2: (b,b): c2=0 -> floor(1000*(ln(2+3)-ln(1)))
+        want_bb = math.floor(1000 * (math.log(5) - math.log(1)))
+        assert out[2] == (1, want_bb)
+
+    def test_oov_maps_to_unk(self, spark):
+        import math
+
+        # max_vocab=1 keeps only the most frequent token 'a' (count 3
+        # beats b=2); b and z both become <unk>, so the trained
+        # bigrams collapse: (a,<unk>)=2, (<unk>,a)=1; uni: a=3, unk=2;
+        # V = 2.
+        train = [(0, "a b a b a")]
+        out = self._score(spark, [(1, "a z")], train, max_vocab=1)
+        # (a,<unk>): c1(a)=3, c2=2 -> floor(1000*(ln(3+2)-ln(3)))
+        want = math.floor(1000 * (math.log(5) - math.log(3)))
+        assert out[1] == (1, want)
+
+    def test_short_docs_score_zero(self, spark):
+        out = self._score(
+            spark, [(1, "solo"), (2, ""), (3, "two tokens")], [(0, "two tokens")]
+        )
+        assert out[1] == (0, 0)
+        assert out[2] == (0, 0)
+        assert out[3][0] == 1
+
+    def test_unseen_context_uses_v_floor(self, spark):
+        import math
+
+        # context never seen in train: c1=0, c2=0 ->
+        # floor(1000*(ln(0+V)-ln(1))) per bigram, V = |vocab|+1
+        train = [(0, "a b")]
+        out = self._score(spark, [(1, "q r")], train)
+        want = math.floor(1000 * math.log(3))  # V = 3 (a, b, unk)
+        assert out[1] == (1, want)
