@@ -149,6 +149,7 @@ from qurio_spark.queries.events_tpch import (  # noqa: F401
 from qurio_spark.queries.breadth import (  # noqa: F401
     q_curate,
     q_data_quality,
+    q_dsir_weights,
     q_export_shards,
     q_events_cube,
     q_events_funnel,
@@ -555,6 +556,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     signals (snap_merge, snap_dv, snap_widen, snap_zorder,
     snap_bloom, snap_renamecol) plus catalog_crud and
     streaming_ingest's exactly-once sink; green since r8.
+    Also IN (new this round): ``dsir_weights`` (operators/dsir —
+    hashed-ngram importance weights for target-domain data selection,
+    exact integer milli-nats over portable-hash bucket counts).  OUT
+    for its slot: ``lsh_prebuilt`` — the ANN family keeps ann_ivfpq +
+    batch_hybrid_ivf in-window, the persisted-index pattern's oracle
+    twins lsh_topk/lsh_multiprobe (same SQL) stay sweep-checked at
+    51+, and the index persistence/layout is pinned by pytest; green
+    since r8.
     OUT (all green every appearance, each with an in-window sibling):
     ``bm25_maxscore`` (lossless pruning, oracle = bm25_topk verbatim;
     bm25_topk/bm25_blockmax/bm25_incremental stay in-window; green
@@ -595,7 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21": q_tpch_q21,
         "batch_hybrid_ivf": q_batch_hybrid_ivf,
         "ann_ivfpq": q_ann_ivfpq,
-        "lsh_prebuilt": q_lsh_prebuilt,
+        "dsir_weights": q_dsir_weights,
         "fuzzy_join": q_fuzzy_join,
         "span_dedup": q_span_dedup,
         "fuzzy_join2": q_fuzzy_join2,
@@ -632,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": q_pack_shards,
         "sample_mixture": q_sample_mixture,
         # -- 51+: oracle-backed, operator proven by in-window sibling -
+        "lsh_prebuilt": q_lsh_prebuilt,
         "snap_quarantine": q_snap_quarantine,
         "bm25_maxscore": q_bm25_maxscore,
         "hybrid_rrf": q_hybrid_rrf,

@@ -452,3 +452,22 @@ def q_export_shards(spark, sf_dir):
         _t(spark, sf_dir, "documents"), out_dir, token_budget=1000
     )
     return m.select("shard", "n_docs", "n_tokens")
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR hashed-ngram importance weights (operators/dsir.
+    dsir_weights — Xie et al. 2023): every document in the raw pool is
+    scored by the log-likelihood ratio of its tokens under
+    4096-bucket hashed bag-of-token distributions estimated from the
+    TARGET domain (sources src0/src1/src2) vs the raw pool — the
+    public data-selection recipe for "more documents like these".
+    Scores are exact integer milli-nats (ln over integer bucket counts
+    only; see the module doc); the bucket tables are bounded at 4096
+    rows regardless of corpus size, broadcast into the scoring join,
+    and the only corpus-keyed shuffle is the per-doc aggregation.
+    Beyond-reference extension (SURVEY §2.8 curation family)."""
+    from qurio_spark.operators.dsir import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source").isin("src0", "src1", "src2"))
+    return dsir_weights(docs, target, n_buckets=4096)

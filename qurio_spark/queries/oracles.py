@@ -2305,6 +2305,31 @@ agg AS (
 SELECT d.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
        coalesce(agg.cost_millinats, 0) AS cost_millinats
 FROM d LEFT JOIN agg USING (doc_id)""",
+        # DSIR hashed-ngram importance weights (Xie et al. 2023):
+        # target = src0/src1/src2, 4096 portable-hash buckets, exact
+        # integer milli-nats (ln over integer bucket counts only).
+        "dsir_weights": f"""
+WITH d AS (
+  SELECT doc_id, source, {_TOKS.format(col='text')} AS toks FROM documents),
+tb AS (
+  SELECT doc_id, source,
+         (('0x' || substring(md5('ds:' || w), 1, 15))::BIGINT % 4096) AS b
+  FROM (SELECT doc_id, source, unnest(toks) AS w FROM d)),
+ct AS (SELECT b, count(*) AS ct FROM tb
+       WHERE source IN ('src0', 'src1', 'src2') GROUP BY b),
+cq AS (SELECT b, count(*) AS cq FROM tb GROUP BY b),
+costs AS (
+  SELECT doc_id,
+         CAST(floor(1000.0 * (ln(coalesce(ct, 0) + 1)
+                              - ln(coalesce(cq, 0) + 1))) AS BIGINT) AS lw
+  FROM tb LEFT JOIN ct USING (b) LEFT JOIN cq USING (b)),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(lw) AS BIGINT) AS logw_millinats
+  FROM costs GROUP BY doc_id)
+SELECT d.doc_id, coalesce(agg.n_tokens, 0) AS n_tokens,
+       coalesce(agg.logw_millinats, 0) AS logw_millinats
+FROM (SELECT DISTINCT doc_id FROM d) d LEFT JOIN agg USING (doc_id)""",
         # chunk_corpus, ingest_pipeline, kmeans_ivf: intentionally no
         # oracle (non-SQL ops — chunker UDF, embedder, iterative
         # k-means; rows-only check; chunker is golden-tested in

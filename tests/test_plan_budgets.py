@@ -243,6 +243,11 @@ BUDGETS = {
     # keys, so hot-word skew can't concentrate on a reducer
     "lm_quality": {"shuffles": ("<=", 4), "smj": ("<=", 0),
                    "bnlj": ("<=", 0), "python_stages": ("<=", 0)},
+    # DSIR importance weights: 2 bounded (<=4096-row) bucket-count
+    # shuffles + the per-doc agg; bucket tables broadcast — the
+    # corpus never shuffles on token/bucket keys
+    "dsir_weights": {"shuffles": ("<=", 3), "smj": ("<=", 0),
+                     "bnlj": ("<=", 0), "python_stages": ("<=", 0)},
     # span dedup: gram-count agg + flagged-starts groupBy; hot-set
     # semi-join and starts attach broadcast at test SF
     "span_dedup": {"shuffles": ("<=", 4), "smj": ("<=", 0),

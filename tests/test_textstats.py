@@ -355,3 +355,48 @@ class TestBigramLm:
         out = self._score(spark, [(1, "q r")], train)
         want = math.floor(1000 * math.log(3))  # V = 3 (a, b, unk)
         assert out[1] == (1, want)
+
+
+class TestDsirWeights:
+    """operators/dsir: hashed-ngram importance weights."""
+
+    def _run(self, spark, raw_rows, target_rows, n_buckets=4096):
+        from qurio_spark.operators.dsir import dsir_weights
+
+        raw = spark.createDataFrame(raw_rows, "doc_id int, text string")
+        target = spark.createDataFrame(target_rows, "doc_id int, text string")
+        return {
+            r["doc_id"]: (r["n_tokens"], r["logw_millinats"])
+            for r in dsir_weights(raw, target, n_buckets=n_buckets).collect()
+        }
+
+    def test_hand_computed_exact(self, spark):
+        import math
+
+        from qurio_spark.functions.hashing import hash64_py
+
+        # distinct buckets for a/b at 4096 (verified below); raw has
+        # a x2 + b x1, target has a x1 only.
+        ba = hash64_py("ds:a") % 4096
+        bb = hash64_py("ds:b") % 4096
+        assert ba != bb
+        out = self._run(spark, [(1, "a a b")], [(9, "a")])
+        # token a: ln(1+1) - ln(2+1); token b: ln(0+1) - ln(1+1)
+        wa = math.floor(1000 * (math.log(2) - math.log(3)))
+        wb = math.floor(1000 * (math.log(1) - math.log(2)))
+        assert out[1] == (3, 2 * wa + wb)
+
+    def test_target_like_scores_higher(self, spark):
+        # a doc made of target-domain tokens must outscore one made of
+        # tokens absent from the target
+        out = self._run(
+            spark,
+            [(1, "alpha beta alpha beta"), (2, "zeta yotta zeta yotta")],
+            [(9, "alpha beta alpha beta alpha")],
+        )
+        assert out[1][1] > out[2][1]
+
+    def test_empty_doc_scores_zero(self, spark):
+        out = self._run(spark, [(1, ""), (2, "alpha")], [(9, "alpha")])
+        assert out[1] == (0, 0)
+        assert out[2][0] == 1
