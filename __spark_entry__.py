@@ -88,6 +88,7 @@ from qurio_spark.queries.search import (  # noqa: F401
 from qurio_spark.queries.textstats import (  # noqa: F401
     q_decontaminate,
     q_fingerprints,
+    q_bpe_tokenize,
     q_gopher_rules,
     q_lm_quality,
     q_keyword_extract,
@@ -738,4 +739,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_pipeline": q_ingest_pipeline,
         "kmeans_ivf": q_kmeans_ivf,
         "semantic_dedup": q_semantic_dedup,
+        "bpe_tokenize": q_bpe_tokenize,
     }
