@@ -140,13 +140,34 @@ def test_every_rows_only_entry_has_a_real_check():
     """Tripwire: a new queries() entry without an oracle_sql twin must
     get a real check here (golden hash / recall floor / invariants) —
     it cannot silently join the rows-only set."""
-    checked = set(GOLDEN) | {"kmeans_ivf", "semantic_dedup"}
+    checked = set(GOLDEN) | {"kmeans_ivf", "semantic_dedup", "bpe_tokenize"}
     assert set(ROWS_ONLY) == checked, (
         f"rows-only entries without a dedicated check: "
         f"{sorted(set(ROWS_ONLY) - checked)}; "
         f"stale checks for entries no longer rows-only: "
         f"{sorted(checked - set(ROWS_ONLY))}"
     )
+
+
+def test_bpe_tokenize_matches_driver_reference(spark, sf_dir):
+    """The UDF's counts must equal a driver-side re-encode with the
+    SAME trained merges (catches closure/broadcast drift), and the
+    training must be run-to-run deterministic.  The BPE algorithm
+    itself is golden-pinned in tests/test_bpe.py."""
+    from qurio_spark.functions.bpe import BpeTokenizer, train_bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = train_bpe(docs, n_merges=100, max_words=5000)
+    assert merges == train_bpe(docs, n_merges=100, max_words=5000)
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in QUERIES["bpe_tokenize"](spark, sf_dir).collect()
+    }
+    tok = BpeTokenizer(merges)
+    sample = docs.orderBy("doc_id").limit(20).collect()
+    for r in sample:
+        assert got[r["doc_id"]] == len(tok.encode_text(r["text"]))
+    assert len(got) == docs.count()
 
 
 def test_kmeans_ivf_codebook(spark, sf_dir):
