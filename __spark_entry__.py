@@ -162,6 +162,7 @@ from qurio_spark.queries.breadth import (  # noqa: F401
     q_events_unpivot,
     q_first_order_per_customer,
     q_link_filter_chain,
+    q_pack_sequences,
     q_pack_shards,
     q_revenue_rollup,
     q_sample_mixture,
@@ -565,6 +566,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     twins lsh_topk/lsh_multiprobe (same SQL) stay sweep-checked at
     51+, and the index persistence/layout is pinned by pytest; green
     since r8.
+    Also IN (new this round): ``pack_sequences`` (GPT-style
+    concat-and-chunk sequence packing — long docs span fixed 512-token
+    sequences; the whole-doc sibling pack_shards is also in-window
+    this round).  OUT for its slot: ``resize_targets`` — the S5 media
+    decode-pipeline contract is pinned by the full codec matrix in
+    tests/test_multimodal.py and stays sweep-checked at 51+ (its
+    mapInPandas shape is also exercised in-window by export_shards);
+    green since r6.
     OUT (all green every appearance, each with an in-window sibling):
     ``bm25_maxscore`` (lossless pruning, oracle = bm25_topk verbatim;
     bm25_topk/bm25_blockmax/bm25_incremental stay in-window; green
@@ -614,7 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_incremental": q_bm25_incremental,
         "streaming_sessions_final": q_streaming_sessions_final,
         "streaming_ingest": q_streaming_ingest,
-        "resize_targets": q_resize_targets,
+        "pack_sequences": q_pack_sequences,
         "triangle_count": q_triangle_count,
         "streaming_near_dedup": q_streaming_near_dedup,
         "canonical_docs": q_canonical_docs,
@@ -642,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": q_pack_shards,
         "sample_mixture": q_sample_mixture,
         # -- 51+: oracle-backed, operator proven by in-window sibling -
+        "resize_targets": q_resize_targets,
         "lsh_prebuilt": q_lsh_prebuilt,
         "snap_quarantine": q_snap_quarantine,
         "bm25_maxscore": q_bm25_maxscore,

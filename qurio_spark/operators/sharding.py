@@ -317,3 +317,75 @@ def export_jsonl_shards(
             f.write(_json.dumps(r.asDict(), sort_keys=True) + "\n")
     spark = docs.sparkSession
     return spark.createDataFrame(manifest, schema)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_count=None,
+) -> DataFrame:
+    """Concat-and-chunk SEQUENCE packing — the step after shard export
+    in a pretraining pipeline: documents are laid end-to-end in
+    ``id_col`` order within each source and cut into fixed
+    ``seq_len``-token training sequences; a long document SPANS
+    consecutive sequences (no padding between docs, the GPT-style
+    packing convention), unlike :func:`pack_shards` where a document
+    belongs wholly to its start-offset shard.
+
+    -> one row per (source, seq_id): ``n_docs`` documents contributing
+    tokens to the sequence, ``n_tokens`` tokens filled (== seq_len for
+    every sequence but each source's last).  All-integer arithmetic.
+
+    Scale shape: ONE window shuffle per source for the cumulative
+    offsets (parallelism = source cardinality, same note as
+    pack_shards), then a bounded explode — a doc of n tokens touches
+    ``n/seq_len + 1`` sequences, so the exploded row count is
+    ``corpus_tokens/seq_len`` + n_docs, a fraction of the token
+    explode every scoring operator already pays — and one groupBy on
+    (source, seq).  ``token_count`` overrides the counting rule
+    exactly as in pack_shards (builtin estimate, HttpTokenizer.udf(),
+    or a trained BpeTokenizer.count_udf()).
+    """
+    counter = token_count or (lambda c: F.size(tokenize(c)))
+    toks = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col),
+        counter(F.col(text_col)).cast("bigint").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = toks.withColumn("_end", F.sum("n_tokens").over(w)).select(
+        "source",
+        id_col,
+        (F.col("_end") - F.col("n_tokens")).alias("_start"),
+        "_end",
+    )
+    # doc spans sequences floor(start/L) .. floor((end-1)/L)
+    per_seq = spans.select(
+        "source",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_start") / seq_len),
+                F.floor((F.col("_end") - 1) / seq_len),
+            )
+        ).alias("seq_id"),
+        "_start",
+        "_end",
+    ).select(
+        "source",
+        F.col("seq_id").cast("int").alias("seq_id"),
+        (
+            F.least(F.col("_end"), (F.col("seq_id") + 1) * F.lit(seq_len))
+            - F.greatest(F.col("_start"), F.col("seq_id") * F.lit(seq_len))
+        ).alias("_fill"),
+    )
+    return per_seq.groupBy("source", "seq_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_fill").cast("long").alias("n_tokens"),
+    )

@@ -471,3 +471,17 @@ def q_dsir_weights(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     target = docs.filter(F.col("source").isin("src0", "src1", "src2"))
     return dsir_weights(docs, target, n_buckets=4096)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (operators/sharding.
+    pack_sequences): documents laid end-to-end per source and cut into
+    fixed 512-token training sequences, long docs spanning consecutive
+    sequences (the GPT-style packing convention; pack_shards is the
+    whole-doc offset-packing sibling).  One cumsum window per source +
+    a bounded explode (corpus_tokens/512 + n_docs rows) + one groupBy;
+    all-integer arithmetic.  Beyond-reference extension (SURVEY §2.8
+    curation & sharding family)."""
+    from qurio_spark.operators.sharding import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), seq_len=512)

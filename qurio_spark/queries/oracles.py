@@ -2330,6 +2330,26 @@ agg AS (
 SELECT d.doc_id, coalesce(agg.n_tokens, 0) AS n_tokens,
        coalesce(agg.logw_millinats, 0) AS logw_millinats
 FROM (SELECT DISTINCT doc_id FROM d) d LEFT JOIN agg USING (doc_id)""",
+        # GPT-style sequence packing: docs laid end-to-end per source,
+        # cut into fixed 512-token sequences; long docs span.
+        "pack_sequences": f"""
+WITH t AS (
+  SELECT source, doc_id,
+         len({_TOKS.format(col='text')})::BIGINT AS n
+  FROM documents),
+c AS (
+  SELECT source, n,
+         CAST(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+  FROM t WHERE n > 0),
+s AS (SELECT source, e - n AS st, e FROM c),
+x AS (
+  SELECT source, CAST(q AS INT) AS seq_id,
+         least(e, (q + 1) * 512) - greatest(st, q * 512) AS fill
+  FROM s, unnest(range(st // 512, (e - 1) // 512 + 1)) AS u(q))
+SELECT source, seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(fill) AS BIGINT) AS n_tokens
+FROM x GROUP BY 1, 2""",
         # chunk_corpus, ingest_pipeline, kmeans_ivf: intentionally no
         # oracle (non-SQL ops — chunker UDF, embedder, iterative
         # k-means; rows-only check; chunker is golden-tested in

@@ -248,6 +248,10 @@ BUDGETS = {
     # corpus never shuffles on token/bucket keys
     "dsir_weights": {"shuffles": ("<=", 3), "smj": ("<=", 0),
                      "bnlj": ("<=", 0), "python_stages": ("<=", 0)},
+    # sequence packing: ONE shuffle — the per-source cumsum window;
+    # the (source, seq) groupBy reuses its partitioning
+    "pack_sequences": {"shuffles": ("<=", 1), "smj": ("<=", 0),
+                       "bnlj": ("<=", 0), "python_stages": ("<=", 0)},
     # span dedup: gram-count agg + flagged-starts groupBy; hot-set
     # semi-join and starts attach broadcast at test SF
     "span_dedup": {"shuffles": ("<=", 4), "smj": ("<=", 0),

@@ -308,3 +308,73 @@ class TestExportJsonlShards:
                     d = json.loads(ln)
                     got[d["id"]] = d["text"]
         assert got == {i: t for i, t in enumerate(texts)}
+
+
+class TestPackSequences:
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "source string, doc_id int, text string"
+        )
+
+    def test_long_doc_spans_sequences(self, spark):
+        from qurio_spark.operators.sharding import pack_sequences
+
+        # 10 tokens at seq_len 4 -> seqs 0,1 full + seq 2 with 2
+        docs = self._mk(spark, [("s", 1, "t " * 10)])
+        out = {
+            r["seq_id"]: (r["n_docs"], r["n_tokens"])
+            for r in pack_sequences(docs, 4).collect()
+        }
+        assert out == {0: (1, 4), 1: (1, 4), 2: (1, 2)}
+
+    def test_boundary_and_carryover(self, spark):
+        from qurio_spark.operators.sharding import pack_sequences
+
+        # 3 + 4 + 1 tokens at seq_len 4: doc2 straddles seqs 0/1
+        docs = self._mk(
+            spark, [("s", 1, "a b c"), ("s", 2, "d e f g"), ("s", 3, "h")]
+        )
+        out = {
+            r["seq_id"]: (r["n_docs"], r["n_tokens"])
+            for r in pack_sequences(docs, 4).collect()
+        }
+        assert out == {0: (2, 4), 1: (2, 4)}
+
+    def test_empty_docs_skipped_and_sources_independent(self, spark):
+        from qurio_spark.operators.sharding import pack_sequences
+
+        docs = self._mk(
+            spark,
+            [("a", 1, "x y"), ("a", 2, ""), ("a", 3, "z"),
+             ("b", 1, "p q r")],
+        )
+        rows = {
+            (r["source"], r["seq_id"]): (r["n_docs"], r["n_tokens"])
+            for r in pack_sequences(docs, 4).collect()
+        }
+        # the empty doc contributes nothing; each source packs alone
+        assert rows == {("a", 0): (2, 3), ("b", 0): (1, 3)}
+
+    def test_every_sequence_full_except_last(self, spark):
+        from qurio_spark.operators.sharding import pack_sequences
+
+        docs = self._mk(
+            spark, [("s", i, "w " * (3 + i % 5)) for i in range(40)]
+        )
+        rows = sorted(
+            pack_sequences(docs, 16).collect(), key=lambda r: r["seq_id"]
+        )
+        assert all(r["n_tokens"] == 16 for r in rows[:-1])
+        total = sum(3 + i % 5 for i in range(40))
+        assert sum(r["n_tokens"] for r in rows) == total
+
+    def test_token_count_override(self, spark):
+        from qurio_spark.operators.sharding import pack_sequences
+
+        docs = self._mk(spark, [("s", 1, "a b"), ("s", 2, "c d")])
+        out = pack_sequences(
+            docs, 4, token_count=lambda c: F.lit(4)
+        ).collect()
+        assert {(r["seq_id"], r["n_docs"], r["n_tokens"]) for r in out} == {
+            (0, 1, 4), (1, 1, 4),
+        }
