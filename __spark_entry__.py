@@ -90,6 +90,7 @@ from qurio_spark.queries.textstats import (  # noqa: F401
     q_fingerprints,
     q_bpe_tokenize,
     q_gopher_rules,
+    q_lm_buckets,
     q_lm_quality,
     q_keyword_extract,
     q_lang_id,
@@ -574,6 +575,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tests/test_multimodal.py and stays sweep-checked at 51+ (its
     mapInPandas shape is also exercised in-window by export_shards);
     green since r6.
+    Also IN (new this round): ``lm_buckets`` (the CCNet head/middle/
+    tail selection — per-source ntile(3) over the lm_quality scores).
+    OUT for its slot: ``snap_widen`` — the schema-evolution family
+    keeps BOTH its siblings in-window (snap_dropcol, snap_renamecol —
+    the same union-schema coalescing read path), the snapshot family
+    keeps six signals overall, and widening itself stays pinned by
+    pytest + the 51+ sweep; green since r11.
     OUT (all green every appearance, each with an in-window sibling):
     ``bm25_maxscore`` (lossless pruning, oracle = bm25_topk verbatim;
     bm25_topk/bm25_blockmax/bm25_incremental stay in-window; green
@@ -632,7 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_merge": q_snap_merge,
         "lm_quality": q_lm_quality,
         "snap_dv": q_snap_dv,
-        "snap_widen": q_snap_widen,
+        "lm_buckets": q_lm_buckets,
         "snap_zorder": q_snap_zorder,
         "snap_bloom": q_snap_bloom,
         "anomaly_events": q_anomaly_events,
@@ -651,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": q_pack_shards,
         "sample_mixture": q_sample_mixture,
         # -- 51+: oracle-backed, operator proven by in-window sibling -
+        "snap_widen": q_snap_widen,
         "resize_targets": q_resize_targets,
         "lsh_prebuilt": q_lsh_prebuilt,
         "snap_quarantine": q_snap_quarantine,

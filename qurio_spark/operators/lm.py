@@ -175,3 +175,57 @@ def lm_cross_entropy(
             .alias("cost_millinats"),
         )
     )
+
+
+def lm_buckets(
+    docs: DataFrame,
+    train: DataFrame,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    max_vocab: int = 65536,
+) -> DataFrame:
+    """The CCNet selection step: rank every document by its LM
+    cross-entropy WITHIN its source and split into ``n_buckets``
+    equal-frequency buckets (bucket 1 = head = most target-like, the
+    slice CCNet keeps; Wenzek et al. 2020 buckets per language
+    snapshot the same way) -> ``(id_col, source_col, n_bigrams,
+    cost_millinats, bucket)``.  Docs with no bigrams are dropped
+    (nothing to score — the CCNet convention for empty docs).
+
+    Determinism: the rank orders by the per-bigram ratio
+    ``cost_millinats / n_bigrams`` — ONE IEEE division of two exact
+    integers, bit-identical in any engine — with an ``id_col``
+    tie-break, and ntile's remainder rule is the SQL standard both
+    Spark and DuckDB implement.
+
+    Scale: one extra window shuffle partitioned BY SOURCE on top of
+    the scoring plan — never a global sort; a corpus-wide bucketing
+    at 100 TB would switch to approximate percentile cutoffs instead
+    (documented here so nobody reaches for a global ntile).
+    """
+    from pyspark.sql.window import Window
+
+    scored = lm_cross_entropy(
+        docs.select(id_col, text_col),
+        train,
+        text_col=text_col,
+        id_col=id_col,
+        max_vocab=max_vocab,
+    )
+    withsrc = docs.select(id_col, source_col).join(scored, [id_col])
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(
+            (F.col("cost_millinats") / F.col("n_bigrams")).asc(),
+            F.col(id_col).asc(),
+        )
+    )
+    return (
+        withsrc.filter(F.col("n_bigrams") > 0)
+        # long, matching the oracle's BIGINT ntile (the r13 typing rule:
+        # integer output columns are int64 on both sides)
+        .withColumn("bucket", F.ntile(n_buckets).over(w).cast("long"))
+        .select(id_col, source_col, "n_bigrams", "cost_millinats", "bucket")
+    )

@@ -849,6 +849,57 @@ e{tag} AS (
     )
 
 
+# Shared CCNet bigram-LM scoring SQL: (doc_id, n_bigrams,
+# cost_millinats) in exact integer milli-nats — used verbatim by
+# lm_quality and as the base CTE of lm_buckets.
+_LM_SCORE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS.format(col='text')} AS toks FROM documents),
+tr AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+uc AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(toks) AS w FROM tr) GROUP BY w),
+voc AS (
+  SELECT w FROM (
+    SELECT w, row_number() OVER (ORDER BY c DESC, w) AS rk FROM uc)
+  WHERE rk <= 512),
+vsz AS (SELECT count(*) + 1 AS v FROM voc),
+uni AS (
+  SELECT coalesce(voc.w, '<unk>') AS w1m, count(*) AS c1
+  FROM (SELECT unnest(toks) AS w FROM tr) t
+  LEFT JOIN voc ON t.w = voc.w GROUP BY 1),
+trb AS (
+  SELECT toks[i + 1] AS w1, toks[i + 2] AS w2
+  FROM tr, unnest(range(0, greatest(len(toks) - 1, 0))) AS u(i)),
+bi AS (
+  SELECT coalesce(v1.w, '<unk>') AS w1m, coalesce(v2.w, '<unk>') AS w2m,
+         count(*) AS c2
+  FROM trb LEFT JOIN voc v1 ON trb.w1 = v1.w
+           LEFT JOIN voc v2 ON trb.w2 = v2.w
+  GROUP BY 1, 2),
+db AS (
+  SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2
+  FROM d, unnest(range(0, greatest(len(toks) - 1, 0))) AS u(i)),
+dm AS (
+  SELECT doc_id, coalesce(v1.w, '<unk>') AS w1m, coalesce(v2.w, '<unk>') AS w2m
+  FROM db LEFT JOIN voc v1 ON db.w1 = v1.w
+          LEFT JOIN voc v2 ON db.w2 = v2.w),
+costs AS (
+  SELECT doc_id,
+         CAST(floor(1000.0 * (ln(coalesce(uni.c1, 0) + (SELECT v FROM vsz))
+                              - ln(coalesce(bi.c2, 0) + 1))) AS BIGINT) AS cost
+  FROM dm
+  LEFT JOIN bi ON dm.w1m = bi.w1m AND dm.w2m = bi.w2m
+  LEFT JOIN uni ON dm.w1m = uni.w1m),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(cost) AS BIGINT) AS cost_millinats
+  FROM costs GROUP BY doc_id)
+SELECT d.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
+       coalesce(agg.cost_millinats, 0) AS cost_millinats
+FROM d LEFT JOIN agg USING (doc_id)"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "quantile_view": _quantile_view_sql(),
@@ -2259,52 +2310,20 @@ FROM w WHERE n_group >= 20 AND value_cents * n_group > 3 * s""",
         # CCNet-shaped bigram-LM cross-entropy: capped-vocab (512)
         # add-one LM fit on doc_id % 5 = 0, scores in exact integer
         # milli-nats (ln over integer counts only — order-invariant).
-        "lm_quality": f"""
-WITH d AS (
-  SELECT doc_id, {_TOKS.format(col='text')} AS toks FROM documents),
-tr AS (SELECT * FROM d WHERE doc_id % 5 = 0),
-uc AS (
-  SELECT w, count(*) AS c
-  FROM (SELECT unnest(toks) AS w FROM tr) GROUP BY w),
-voc AS (
-  SELECT w FROM (
-    SELECT w, row_number() OVER (ORDER BY c DESC, w) AS rk FROM uc)
-  WHERE rk <= 512),
-vsz AS (SELECT count(*) + 1 AS v FROM voc),
-uni AS (
-  SELECT coalesce(voc.w, '<unk>') AS w1m, count(*) AS c1
-  FROM (SELECT unnest(toks) AS w FROM tr) t
-  LEFT JOIN voc ON t.w = voc.w GROUP BY 1),
-trb AS (
-  SELECT toks[i + 1] AS w1, toks[i + 2] AS w2
-  FROM tr, unnest(range(0, greatest(len(toks) - 1, 0))) AS u(i)),
-bi AS (
-  SELECT coalesce(v1.w, '<unk>') AS w1m, coalesce(v2.w, '<unk>') AS w2m,
-         count(*) AS c2
-  FROM trb LEFT JOIN voc v1 ON trb.w1 = v1.w
-           LEFT JOIN voc v2 ON trb.w2 = v2.w
-  GROUP BY 1, 2),
-db AS (
-  SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2
-  FROM d, unnest(range(0, greatest(len(toks) - 1, 0))) AS u(i)),
-dm AS (
-  SELECT doc_id, coalesce(v1.w, '<unk>') AS w1m, coalesce(v2.w, '<unk>') AS w2m
-  FROM db LEFT JOIN voc v1 ON db.w1 = v1.w
-          LEFT JOIN voc v2 ON db.w2 = v2.w),
-costs AS (
-  SELECT doc_id,
-         CAST(floor(1000.0 * (ln(coalesce(uni.c1, 0) + (SELECT v FROM vsz))
-                              - ln(coalesce(bi.c2, 0) + 1))) AS BIGINT) AS cost
-  FROM dm
-  LEFT JOIN bi ON dm.w1m = bi.w1m AND dm.w2m = bi.w2m
-  LEFT JOIN uni ON dm.w1m = uni.w1m),
-agg AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         CAST(sum(cost) AS BIGINT) AS cost_millinats
-  FROM costs GROUP BY doc_id)
-SELECT d.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
-       coalesce(agg.cost_millinats, 0) AS cost_millinats
-FROM d LEFT JOIN agg USING (doc_id)""",
+        "lm_quality": _LM_SCORE_SQL,
+        # CCNet head/middle/tail: per-source ntile(3) over the
+        # per-bigram ratio (one IEEE division of two exact ints).
+        "lm_buckets": f"""
+WITH base AS ({_LM_SCORE_SQL}),
+j AS (
+  SELECT d.doc_id, d.source, base.n_bigrams, base.cost_millinats
+  FROM documents d JOIN base USING (doc_id)
+  WHERE base.n_bigrams > 0)
+SELECT doc_id, source, n_bigrams, cost_millinats,
+       ntile(3) OVER (PARTITION BY source
+                      ORDER BY CAST(cost_millinats AS DOUBLE) / n_bigrams,
+                               doc_id) AS bucket
+FROM j""",
         # DSIR hashed-ngram importance weights (Xie et al. 2023):
         # target = src0/src1/src2, 4096 portable-hash buckets, exact
         # integer milli-nats (ln over integer bucket counts only).

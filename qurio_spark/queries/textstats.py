@@ -144,3 +144,19 @@ def q_bpe_tokenize(spark, sf_dir):
     return docs.select(
         "doc_id", tok.count_udf()(F.col("text")).alias("n_bpe_tokens")
     )
+
+
+def q_lm_buckets(spark, sf_dir):
+    """CCNet head/middle/tail selection (operators/lm.lm_buckets):
+    the lm_quality scores ranked WITHIN each source by the per-bigram
+    ratio (one IEEE division of two exact integers, bit-identical in
+    any engine; doc_id tie-break) and split into 3 equal-frequency
+    buckets via the SQL-standard ntile — bucket 1 is the head slice a
+    CCNet pipeline keeps.  One extra per-source window shuffle on top
+    of the scoring plan, never a global sort.  Beyond-reference
+    extension (SURVEY §2.8)."""
+    from qurio_spark.operators.lm import lm_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 == 0)
+    return lm_buckets(docs, train, n_buckets=3, max_vocab=512)

@@ -252,6 +252,10 @@ BUDGETS = {
     # the (source, seq) groupBy reuses its partitioning
     "pack_sequences": {"shuffles": ("<=", 1), "smj": ("<=", 0),
                        "bnlj": ("<=", 0), "python_stages": ("<=", 0)},
+    # CCNet bucketing: the lm_quality plan (4 shuffles, all-broadcast
+    # joins) + ONE per-source ntile window — never a global sort
+    "lm_buckets": {"shuffles": ("<=", 5), "smj": ("<=", 0),
+                   "bnlj": ("<=", 0), "python_stages": ("<=", 0)},
     # span dedup: gram-count agg + flagged-starts groupBy; hot-set
     # semi-join and starts attach broadcast at test SF
     "span_dedup": {"shuffles": ("<=", 4), "smj": ("<=", 0),

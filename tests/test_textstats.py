@@ -400,3 +400,45 @@ class TestDsirWeights:
         out = self._run(spark, [(1, ""), (2, "alpha")], [(9, "alpha")])
         assert out[1] == (0, 0)
         assert out[2][0] == 1
+
+
+class TestLmBuckets:
+    def test_equal_frequency_and_head_is_cheapest(self, spark):
+        from qurio_spark.operators.lm import lm_buckets
+
+        # 9 scoreable docs in one source: ntile(3) -> 3/3/3, and the
+        # head bucket must hold the lowest per-bigram costs
+        docs = spark.createDataFrame(
+            [(i, "s", "a b " * (2 + i)) for i in range(9)]
+            + [(99, "s", "solo")],  # no bigrams -> dropped
+            "doc_id int, source string, text string",
+        )
+        train = spark.createDataFrame(
+            [(0, "a b a b a b")], "doc_id int, text string"
+        )
+        rows = lm_buckets(docs, train, n_buckets=3).collect()
+        assert len(rows) == 9 and all(r["doc_id"] != 99 for r in rows)
+        by_bucket = {}
+        for r in rows:
+            by_bucket.setdefault(r["bucket"], []).append(
+                r["cost_millinats"] / r["n_bigrams"]
+            )
+        assert {k: len(v) for k, v in by_bucket.items()} == {1: 3, 2: 3, 3: 3}
+        assert max(by_bucket[1]) <= min(by_bucket[2]) <= min(by_bucket[3])
+
+    def test_sources_bucket_independently(self, spark):
+        from qurio_spark.operators.lm import lm_buckets
+
+        docs = spark.createDataFrame(
+            [(i, f"s{i % 2}", "x y " * 3) for i in range(6)],
+            "doc_id int, source string, text string",
+        )
+        train = docs.select("doc_id", "text")
+        rows = lm_buckets(docs, train, n_buckets=3).collect()
+        per_src = {}
+        for r in rows:
+            per_src.setdefault(r["source"], []).append(r["bucket"])
+        # 3 docs per source -> each gets buckets {1, 2, 3} of its own
+        assert {s: sorted(b) for s, b in per_src.items()} == {
+            "s0": [1, 2, 3], "s1": [1, 2, 3],
+        }
