@@ -45,14 +45,19 @@ from qurio_spark.functions.text import tokenize
 
 def _buckets(df: DataFrame, id_col: str, text_col: str, n_buckets: int,
              with_id: bool = True) -> DataFrame:
-    """(id?, b): one row per token, hashed into its bucket."""
-    toked = df.select(
-        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("w")
-    )
+    """(id?, b): one row per token, hashed into its bucket.  Without
+    ``with_id`` the id column is never touched, so a bare-text TARGET
+    frame (no id column) works."""
     b = F.pmod(
         hash64(F.concat(F.lit("ds:"), F.col("w"))), F.lit(n_buckets)
     ).alias("b")
-    return toked.select(id_col, b) if with_id else toked.select(b)
+    if not with_id:
+        return df.select(
+            F.explode(tokenize(F.col(text_col))).alias("w")
+        ).select(b)
+    return df.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("w")
+    ).select(id_col, b)
 
 
 def dsir_weights(

@@ -114,8 +114,11 @@ def _keyed(
     # Length guard FIRST: the k=2 neighborhood is O(len^2 / 2) keys in
     # one row's array pre-explode, so an unguarded long field is an
     # executor-wedging hazard (module doc).  "error" fails fast inside
-    # codegen via raise_error; "drop" filters the row out.
-    guard = F.length(F.col(s_col)) <= max_len
+    # codegen via raise_error; "drop" filters the row out.  NULL
+    # strings pass the guard (coalesce-true): they generate NULL key
+    # arrays that explode to nothing — the pre-guard behavior — and
+    # must not trip the overlong error.
+    guard = F.coalesce(F.length(F.col(s_col)) <= max_len, F.lit(True))
     if long_strings == "drop":
         df = df.filter(guard)
     else:
@@ -192,11 +195,13 @@ def fuzzy_join(
         .select("_lid", "_ls", "_rid", "_rs")
         .dropDuplicates(["_lid", "_rid"])
     )
-    # On a self-join the caller's names collide; keep the left names
-    # and suffix the right side's with "_r" so the output stays
-    # unambiguous.
-    out_rid = right_id if right_id != left_id else right_id + "_r"
-    out_rs = right_str if right_str != left_str else right_str + "_r"
+    # When a right-side name collides with EITHER left name (self-join,
+    # or cross collisions like right_id == left_str), keep the left
+    # names and suffix the right side's with "_r" so the output never
+    # carries duplicate column names.
+    left_names = {left_id, left_str}
+    out_rid = right_id if right_id not in left_names else right_id + "_r"
+    out_rs = right_str if right_str not in left_names else right_str + "_r"
     return (
         cand.withColumn("dist", F.levenshtein(F.col("_ls"), F.col("_rs")))
         .filter(F.col("dist") <= max_dist)

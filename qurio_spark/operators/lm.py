@@ -97,15 +97,20 @@ def train_bigram_lm(
     vocab = uni_raw.orderBy(F.desc("c"), F.asc("w")).limit(max_vocab).select("w")
     v_size = vocab.count() + 1  # + the <unk> bucket
 
-    def _mapped(df: DataFrame, col: str) -> F.Column:
-        return F.coalesce(F.col(f"_v{col}.w"), F.lit(UNK))
-
+    # Mapped unigram counts derive from uni_raw (vocab-sized rows —
+    # sum the raw counts under the mapping) rather than re-exploding
+    # the whole train corpus; the raw-count exchange is reused by the
+    # vocab subtree, so the corpus is tokenized once for unigrams.
     uni = (
-        toked.select(F.explode("toks").alias("w1"))
-        .join(F.broadcast(vocab.alias("_vw1")), F.col("w1") == F.col("_vw1.w"), "left")
-        .select(_mapped(None, "w1").alias("w1m"))
+        uni_raw.alias("_uc")
+        .join(
+            F.broadcast(vocab.alias("_vw1")),
+            F.col("_uc.w") == F.col("_vw1.w"),
+            "left",
+        )
+        .select(F.coalesce(F.col("_vw1.w"), F.lit(UNK)).alias("w1m"), "c")
         .groupBy("w1m")
-        .agg(F.count("*").alias("c1"))
+        .agg(F.sum("c").alias("c1"))
     )
     bi = (
         _bigrams(toked, id_col)

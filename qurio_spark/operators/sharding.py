@@ -63,12 +63,14 @@ def pack_shards(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = toks.withColumn("_cum", F.sum("n_tokens").over(w))
+    # long, not int: a single source past ~2^31 * budget tokens would
+    # silently wrap an int shard_id and collide distinct shards
     return cum.select(
         "source",
         id_col,
         "n_tokens",
         F.floor((F.col("_cum") - F.col("n_tokens")) / F.lit(token_budget))
-        .cast("int")
+        .cast("long")
         .alias("shard_id"),
     )
 
@@ -367,6 +369,9 @@ def pack_sequences(
         "_end",
     )
     # doc spans sequences floor(start/L) .. floor((end-1)/L)
+    # seq_id stays long end to end: an int cast would wrap past 2^31
+    # sequences in one source (~4 TB of text at seq_len 512) and
+    # collide distinct sequences in the groupBy
     per_seq = spans.select(
         "source",
         F.explode(
@@ -379,7 +384,7 @@ def pack_sequences(
         "_end",
     ).select(
         "source",
-        F.col("seq_id").cast("int").alias("seq_id"),
+        F.col("seq_id").cast("long").alias("seq_id"),
         (
             F.least(F.col("_end"), (F.col("seq_id") + 1) * F.lit(seq_len))
             - F.greatest(F.col("_start"), F.col("seq_id") * F.lit(seq_len))

@@ -26,6 +26,10 @@ from qurio_spark.operators.dedup import exact_dedup
 
 # --------------------------------------------------------------------------
 
+#: q_export_shards' per-process output dir (mkdtemp once, wiped+
+#: recreated per call — see its docstring)
+_EXPORT_DIR = None
+
 _LINK_FIXTURE = [
     # (source_id, page_url, link, parent_depth, max_depth)
     ("s1", "https://docs.example.com/guide", "https://docs.example.com/a", 0, 2),
@@ -431,25 +435,28 @@ def q_export_shards(spark, sf_dir):
     doc/token counts — the cumulative-sum window rule); byte/checksum
     determinism is pinned by tests/test_sharding.py.
 
-    NOTE: unlike every other queries() entry, this one executes
-    EAGERLY at construction time (export_jsonl_shards writes the
-    shards and collects the manifest internally); the returned frame
-    is a small driver-local manifest.  The output directory is a
-    single deterministic per-process path wiped on entry, so repeated
-    bench/oracle runs reuse it instead of leaking one mkdtemp of the
-    full corpus per invocation."""
-    import os
+    NOTE: this entry (like the LM/BPE scoring entries, which train at
+    construction) does its heavy work EAGERLY at construction time —
+    export_jsonl_shards writes the shards and collects the manifest
+    internally; the returned frame is a small driver-local manifest.
+    The output directory is created ONCE per process via mkdtemp
+    (secure creation — a predictable /tmp name could be pre-created
+    by another local user) and its contents wiped on each call, so
+    repeated bench/oracle runs reuse it instead of leaking one full
+    corpus copy per invocation."""
     import shutil
     import tempfile
 
     from qurio_spark.operators.sharding import export_jsonl_shards
 
-    out_dir = os.path.join(
-        tempfile.gettempdir(), f"qurio-shard-export-{os.getpid()}"
-    )
-    shutil.rmtree(out_dir, ignore_errors=True)
+    global _EXPORT_DIR
+    if _EXPORT_DIR is None:
+        _EXPORT_DIR = tempfile.mkdtemp(prefix="qurio-shard-export-")
+    else:
+        shutil.rmtree(_EXPORT_DIR, ignore_errors=True)
+        _EXPORT_DIR = tempfile.mkdtemp(prefix="qurio-shard-export-")
     m = export_jsonl_shards(
-        _t(spark, sf_dir, "documents"), out_dir, token_budget=1000
+        _t(spark, sf_dir, "documents"), _EXPORT_DIR, token_budget=1000
     )
     return m.select("shard", "n_docs", "n_tokens")
 

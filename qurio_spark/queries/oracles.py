@@ -2092,7 +2092,7 @@ c AS (
   FROM t
 )
 SELECT source, doc_id, n_tokens,
-       CAST(floor((cum - n_tokens) / 2000.0) AS INT) AS shard_id
+       CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT) AS shard_id
 FROM c""",
         "sample_mixture": f"""
 SELECT doc_id, source
@@ -2363,7 +2363,7 @@ c AS (
   FROM t WHERE n > 0),
 s AS (SELECT source, e - n AS st, e FROM c),
 x AS (
-  SELECT source, CAST(q AS INT) AS seq_id,
+  SELECT source, CAST(q AS BIGINT) AS seq_id,
          least(e, (q + 1) * 512) - greatest(st, q * 512) AS fill
   FROM s, unnest(range(st // 512, (e - 1) // 512 + 1)) AS u(q))
 SELECT source, seq_id, CAST(count(*) AS BIGINT) AS n_docs,

@@ -107,6 +107,29 @@ class TestFuzzyJoin:
         ).collect()
         assert [(r["lid"], r["rid"]) for r in rows] == [(2, 3)]
 
+    def test_null_strings_pass_the_guard(self, spark):
+        # NULL strings must NOT trip the overlong error (their key
+        # arrays explode to nothing — the pre-guard behavior)
+        left = spark.createDataFrame(
+            [(1, None), (2, "spark")], "lid int, ls string"
+        )
+        right = spark.createDataFrame(
+            [(3, "spork"), (4, None)], "rid int, rs string"
+        )
+        rows = fuzzy_join(left, right, "lid", "ls", "rid", "rs").collect()
+        assert [(r["lid"], r["rid"]) for r in rows] == [(2, 3)]
+
+    def test_cross_collision_names_suffixed(self, spark):
+        # right_id colliding with LEFT_STR (not just its own twin)
+        # must also come back suffixed — no duplicate output names
+        left = spark.createDataFrame([(1, "spark")], "id int, name string")
+        right = spark.createDataFrame(
+            [("spork", "x")], "name string, label string"
+        )
+        out = fuzzy_join(left, right, "id", "name", "name", "label")
+        assert out.columns == ["id", "name", "name_r", "label", "dist"]
+        assert len(out.columns) == len(set(out.columns))
+
     def test_long_strings_bad_policy(self, spark):
         df = spark.createDataFrame([(1, "x")], "i int, s string")
         with pytest.raises(ValueError, match="long_strings"):

@@ -442,3 +442,20 @@ class TestLmBuckets:
         assert {s: sorted(b) for s, b in per_src.items()} == {
             "s0": [1, 2, 3], "s1": [1, 2, 3],
         }
+
+
+class TestDsirBareTarget:
+    def test_target_without_id_column(self, spark):
+        # the TARGET distribution needs only text — a bare-text frame
+        # (the natural shape for a small reference corpus) must work
+        from qurio_spark.operators.dsir import dsir_weights
+
+        raw = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "zeta yotta")], "doc_id int, text string"
+        )
+        target = spark.createDataFrame([("alpha beta alpha",)], "text string")
+        out = {
+            r["doc_id"]: r["logw_millinats"]
+            for r in dsir_weights(raw, target).collect()
+        }
+        assert out[1] > out[2]

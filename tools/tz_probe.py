@@ -35,7 +35,20 @@ def main():
     register_views(con, sf_dir)
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    names = [n for n in (list(qs)[:50] if not only else only) if n in oracles]
+    if only:
+        unknown = sorted(only - set(qs))
+        rows_only = sorted((only & set(qs)) - set(oracles))
+        if unknown or rows_only:
+            print(
+                f"ERROR: not probe-able — unknown: {unknown}, "
+                f"no oracle (rows-only): {rows_only}"
+            )
+            sys.exit(2)
+    names = [n for n in (list(qs)[:50] if not only else sorted(only))
+             if n in oracles]
+    if not names:
+        print("ERROR: nothing to probe")
+        sys.exit(2)
     passed = failed = 0
     for name in names:
         try:
