@@ -248,10 +248,17 @@ BUDGETS = {
     # corpus never shuffles on token/bucket keys
     "dsir_weights": {"shuffles": ("<=", 3), "smj": ("<=", 0),
                      "bnlj": ("<=", 0), "python_stages": ("<=", 0)},
-    # sequence packing: ONE shuffle — the per-source cumsum window;
-    # the (source, seq) groupBy reuses its partitioning
-    "pack_sequences": {"shuffles": ("<=", 1), "smj": ("<=", 0),
+    # sequence packing over the DISTRIBUTED prefix sum (r14): the
+    # corpus exchange on (source, bucket) for the running sums, the
+    # tiny partial-agged totals exchange + per-part offsets window
+    # (<= n_buckets rows/part), and the (source, seq) groupBy after
+    # the explode; the offsets attach back by broadcast (no SMJ)
+    "pack_sequences": {"shuffles": ("<=", 5), "smj": ("<=", 0),
                        "bnlj": ("<=", 0), "python_stages": ("<=", 0)},
+    # whole-doc offset packing, same prefix-sum plan minus the explode
+    # groupBy: corpus exchange + tiny totals + tiny offsets window
+    "pack_shards": {"shuffles": ("<=", 4), "smj": ("<=", 0),
+                    "bnlj": ("<=", 0), "python_stages": ("<=", 0)},
     # CCNet bucketing: the lm_quality plan (4 shuffles, all-broadcast
     # joins) + ONE per-source ntile window — never a global sort
     "lm_buckets": {"shuffles": ("<=", 5), "smj": ("<=", 0),

@@ -1,0 +1,122 @@
+"""Distributed prefix sum (operators/prefix) — exactness vs the plain
+window form, bucket monotonicity, and the single-dominant-source shape
+the r13 verdict flagged (VERDICT r13 #1)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from qurio_spark.operators.prefix import (
+    distributed_cumsum,
+    order_key_boundaries,
+)
+
+
+def _window_cumsum(df, value, part, order, out):
+    w = (
+        Window.partitionBy(part)
+        .orderBy(F.asc(order))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out, F.sum(value).over(w))
+
+
+def _mkdf(spark, n, n_sources):
+    """Deterministic synthetic rows: value derived from id arithmetic."""
+    return spark.range(n).select(
+        F.concat(F.lit("src"), (F.col("id") % n_sources).cast("string")).alias("s"),
+        F.concat(F.lit("d"), F.lpad(F.col("id").cast("string"), 7, "0")).alias("k"),
+        (F.pmod(F.col("id") * 2654435761, F.lit(97)) + 1).alias("v"),
+    )
+
+
+class TestDistributedCumsum:
+    @pytest.mark.parametrize("n_sources", [1, 5])
+    def test_matches_window_cumsum(self, spark, n_sources):
+        df = _mkdf(spark, 3000, n_sources)
+        got = {
+            (r["s"], r["k"]): r["cum"]
+            for r in distributed_cumsum(
+                df, "v", "s", "k", "cum", n_buckets=8, sample_target=200
+            ).collect()
+        }
+        want = {
+            (r["s"], r["k"]): r["cum"]
+            for r in _window_cumsum(df, "v", "s", "k", "cum").collect()
+        }
+        assert got == want
+
+    def test_multiple_buckets_actually_used(self, spark):
+        """The dominant-source fix is only real if one source's rows
+        span many buckets."""
+        df = _mkdf(spark, 3000, 1)
+        out = distributed_cumsum(
+            df, "v", "s", "k", "cum", n_buckets=8, sample_target=200,
+            keep_bucket="b",
+        )
+        per_bucket = {
+            r["b"]: r["n"]
+            for r in out.groupBy("b").agg(F.count("*").alias("n")).collect()
+        }
+        assert len(per_bucket) >= 6  # 8 requested; sampling may merge a couple
+        assert max(per_bucket.values()) < 3000 / 2  # no degenerate bucket
+
+    def test_tiny_input_degenerates_to_window(self, spark):
+        df = _mkdf(spark, 3, 2)
+        got = {
+            (r["s"], r["k"]): r["cum"]
+            for r in distributed_cumsum(df, "v", "s", "k", "cum").collect()
+        }
+        want = {
+            (r["s"], r["k"]): r["cum"]
+            for r in _window_cumsum(df, "v", "s", "k", "cum").collect()
+        }
+        assert got == want
+
+    def test_numeric_order_key(self, spark):
+        df = spark.range(500).select(
+            F.lit("s").alias("s"),
+            F.col("id").alias("k"),
+            F.lit(3).alias("v"),
+        )
+        out = distributed_cumsum(df, "v", "s", "k", "cum", n_buckets=4,
+                                 sample_target=50).collect()
+        assert {r["k"]: r["cum"] for r in out} == {
+            i: 3 * (i + 1) for i in range(500)
+        }
+
+    def test_reserved_column_collision_raises(self, spark):
+        df = _mkdf(spark, 10, 1).withColumn("_psb", F.lit(1))
+        with pytest.raises(ValueError, match="reserved"):
+            distributed_cumsum(df, "v", "s", "k", "cum")
+
+    def test_sample_df_prunes_to_order_key(self, spark):
+        """Boundary passes accept a cheaper sibling frame; results stay
+        identical to sampling from df itself."""
+        df = _mkdf(spark, 2000, 2)
+        sample = df.select("k")
+        a = distributed_cumsum(
+            df, "v", "s", "k", "cum", n_buckets=6, sample_df=sample,
+            sample_target=150,
+        ).collect()
+        b = _window_cumsum(df, "v", "s", "k", "cum").collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestBoundaries:
+    def test_deterministic(self, spark):
+        df = _mkdf(spark, 5000, 3)
+        a = order_key_boundaries(df, "k", 16, sample_target=300)
+        b = order_key_boundaries(df, "k", 16, sample_target=300)
+        assert a == b and len(a) >= 8
+        assert a == sorted(a)
+
+    def test_small_input_no_bounds(self, spark):
+        df = _mkdf(spark, 1, 1)
+        assert order_key_boundaries(df, "k", 8) == []
+
+    def test_single_bucket_no_bounds(self, spark):
+        df = _mkdf(spark, 100, 1)
+        assert order_key_boundaries(df, "k", 1) == []
