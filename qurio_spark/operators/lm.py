@@ -36,12 +36,23 @@ follow-on quantile over ``cost_millinats / n_bigrams``.
 Scale shape (100 TB posture):
   - the corpus-side plan is: one token explode (map), a broadcast
     LEFT join against the <= max_vocab vocab rows for the OOV
-    mapping, joins against the two LM count tables, and ONE shuffle
-    (the per-doc groupBy).  With the default 64k vocab cap the LM
-    tables are bounded (uni <= V rows, bi <= corpus-distinct mapped
-    pairs, itself <= V^2 but in practice vocab-sized) and AQE picks
-    broadcast when they fit; the corpus never shuffles on token keys,
-    so hot-word skew ("the") never concentrates on one reducer.
+    mapping, a pre-aggregation of the doc's bigrams to
+    ``(doc, w1m, w2m, cnt)`` (map-side partials collapse each doc's
+    repeats BEFORE any exchange — a doc's exploded bigrams never
+    leave their partition unaggregated), the count joins, and the
+    per-doc groupBy.
+  - ``uni`` is bounded by construction (<= V+1 rows) and carries an
+    explicit broadcast hint.  ``bi`` is bounded by the train corpus's
+    DISTINCT mapped pairs — <= min(train bigram count, V^2), vocab-
+    sized on natural text but NOT guaranteed broadcastable (V^2 =
+    4.3e9 at the default 64k cap); when it exceeds the broadcast
+    threshold the scoring join falls back to a shuffle on
+    (w1m, w2m), and the r14 pre-aggregation is what keeps that
+    fallback safe: a hot pair ("of the") contributes at most ONE row
+    per document to the exchange, not one per occurrence.  Callers
+    who need the all-broadcast plan bound ``bi`` directly by lowering
+    ``max_vocab`` (bi <= V^2).  Skew evidence: tools/lm_skew_check.py
+    (planted Zipf bigrams, broadcast forced off).
   - training aggregations are map-side-partial groupBy counts over
     the train subset (vocab-sized results, not corpus-sized);
   - the top-K vocab selection is ``orderBy(...).limit(K)`` — Spark's
@@ -140,6 +151,14 @@ def lm_cross_entropy(
     vocab, uni, bi, v_size = train_bigram_lm(
         train, text_col=text_col, id_col=id_col, max_vocab=max_vocab
     )
+    # Pre-aggregate each doc's bigrams to (id, w1m, w2m, cnt) BEFORE
+    # the count joins (r14, VERDICT r13 #2): map-side partials collapse
+    # a doc's repeated pairs inside its own partition (explode never
+    # crosses partitions), so if ``bi`` ever exceeds the broadcast
+    # threshold and the join degrades to a shuffle on (w1m, w2m), a hot
+    # pair carries at most one row PER DOCUMENT — the per-occurrence
+    # skew the module doc describes cannot reach a reducer.  The exact
+    # integer pipeline is unchanged: cost-per-occurrence x cnt.
     scored = (
         _bigrams(_toks(docs, id_col, text_col), id_col)
         .join(F.broadcast(vocab.alias("_vw1")), F.col("w1") == F.col("_vw1.w"), "left")
@@ -149,10 +168,13 @@ def lm_cross_entropy(
             F.coalesce(F.col("_vw1.w"), F.lit(UNK)).alias("w1m"),
             F.coalesce(F.col("_vw2.w"), F.lit(UNK)).alias("w2m"),
         )
+        .groupBy(id_col, "w1m", "w2m")
+        .agg(F.count("*").alias("_cnt"))
         .join(bi, ["w1m", "w2m"], "left")
-        .join(uni, ["w1m"], "left")
+        .join(F.broadcast(uni), ["w1m"], "left")
         .select(
             id_col,
+            "_cnt",
             F.floor(
                 F.lit(1000.0)
                 * (
@@ -165,8 +187,8 @@ def lm_cross_entropy(
         )
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_bigrams"),
-            F.sum("_cost").alias("cost_millinats"),
+            F.sum("_cnt").cast("long").alias("n_bigrams"),
+            F.sum(F.col("_cost") * F.col("_cnt")).alias("cost_millinats"),
         )
     )
     return (
@@ -190,6 +212,8 @@ def lm_buckets(
     id_col: str = "doc_id",
     source_col: str = "source",
     max_vocab: int = 65536,
+    exact: bool = True,
+    approx_accuracy: int = 10000,
 ) -> DataFrame:
     """The CCNet selection step: rank every document by its LM
     cross-entropy WITHIN its source and split into ``n_buckets``
@@ -199,16 +223,23 @@ def lm_buckets(
     cost_millinats, bucket)``.  Docs with no bigrams are dropped
     (nothing to score — the CCNet convention for empty docs).
 
-    Determinism: the rank orders by the per-bigram ratio
+    Determinism (exact path): the rank orders by the per-bigram ratio
     ``cost_millinats / n_bigrams`` — ONE IEEE division of two exact
     integers, bit-identical in any engine — with an ``id_col``
     tie-break, and ntile's remainder rule is the SQL standard both
     Spark and DuckDB implement.
 
-    Scale: one extra window shuffle partitioned BY SOURCE on top of
-    the scoring plan — never a global sort; a corpus-wide bucketing
-    at 100 TB would switch to approximate percentile cutoffs instead
-    (documented here so nobody reaches for a global ntile).
+    Scale: the exact ntile is one window shuffle partitioned BY
+    SOURCE — a corpus that is effectively one source serializes it
+    through a single reducer (the pack_shards problem; VERDICT r13
+    #1).  ``exact=False`` is the 100-TB path: per-source
+    ``percentile_approx`` cutoffs (one map-side-partial aggregation,
+    cutoff arrays broadcast back, bucket = a comparison per row — the
+    corpus never shuffles at all for the bucketing step).  Bucket
+    sizes are then approximately equal (error bounded by the sketch
+    ``approx_accuracy``), which is what CCNet's selection actually
+    needs; the exact path stays the default because its output is
+    oracle-checkable.
     """
     from pyspark.sql.window import Window
 
@@ -219,18 +250,33 @@ def lm_buckets(
         id_col=id_col,
         max_vocab=max_vocab,
     )
-    withsrc = docs.select(id_col, source_col).join(scored, [id_col])
-    w = (
-        Window.partitionBy(source_col)
-        .orderBy(
-            (F.col("cost_millinats") / F.col("n_bigrams")).asc(),
-            F.col(id_col).asc(),
-        )
+    withsrc = (
+        docs.select(id_col, source_col)
+        .join(scored, [id_col])
+        .filter(F.col("n_bigrams") > 0)
     )
-    return (
-        withsrc.filter(F.col("n_bigrams") > 0)
-        # long, matching the oracle's BIGINT ntile (the r13 typing rule:
-        # integer output columns are int64 on both sides)
-        .withColumn("bucket", F.ntile(n_buckets).over(w).cast("long"))
-        .select(id_col, source_col, "n_bigrams", "cost_millinats", "bucket")
+    ratio = F.col("cost_millinats") / F.col("n_bigrams")
+    if exact:
+        w = Window.partitionBy(source_col).orderBy(
+            ratio.asc(), F.col(id_col).asc()
+        )
+        # long, matching the oracle's BIGINT ntile (the r13 typing
+        # rule: integer output columns are int64 on both sides)
+        out = withsrc.withColumn(
+            "bucket", F.ntile(n_buckets).over(w).cast("long")
+        )
+    else:
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        cuts = withsrc.groupBy(source_col).agg(
+            F.percentile_approx(ratio, probs, approx_accuracy).alias("_cuts")
+        )
+        out = withsrc.join(F.broadcast(cuts), [source_col]).withColumn(
+            "bucket",
+            (
+                F.lit(1)
+                + F.size(F.filter("_cuts", lambda c: c < ratio))
+            ).cast("long"),
+        )
+    return out.select(
+        id_col, source_col, "n_bigrams", "cost_millinats", "bucket"
     )

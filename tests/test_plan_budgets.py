@@ -238,10 +238,13 @@ BUDGETS = {
     "anomaly_events": {"shuffles": ("<=", 1), "smj": ("<=", 0),
                        "python_stages": ("<=", 0)},
     # bigram LM scoring: 4 vocab-sized count shuffles (train uni raw,
-    # train uni mapped, train bi, per-doc agg); EVERY join broadcast
-    # (vocab exchange reused x5) — the corpus never shuffles on token
-    # keys, so hot-word skew can't concentrate on a reducer
-    "lm_quality": {"shuffles": ("<=", 4), "smj": ("<=", 0),
+    # train uni mapped, train bi, per-doc agg) + the r14 per-doc
+    # bigram pre-aggregation (map-side partials collapse a doc's
+    # repeats before the exchange, capping hot-pair rows at one per
+    # doc if the bi join ever falls back to a shuffle); every join
+    # broadcast AT THIS SF (bi is bounded by distinct train pairs,
+    # not guaranteed under the threshold at 100 TB — see operators/lm)
+    "lm_quality": {"shuffles": ("<=", 5), "smj": ("<=", 0),
                    "bnlj": ("<=", 0), "python_stages": ("<=", 0)},
     # DSIR importance weights: 2 bounded (<=4096-row) bucket-count
     # shuffles + the per-doc agg; bucket tables broadcast — the
@@ -259,9 +262,10 @@ BUDGETS = {
     # groupBy: corpus exchange + tiny totals + tiny offsets window
     "pack_shards": {"shuffles": ("<=", 4), "smj": ("<=", 0),
                     "bnlj": ("<=", 0), "python_stages": ("<=", 0)},
-    # CCNet bucketing: the lm_quality plan (4 shuffles, all-broadcast
-    # joins) + ONE per-source ntile window — never a global sort
-    "lm_buckets": {"shuffles": ("<=", 5), "smj": ("<=", 0),
+    # CCNet bucketing: the lm_quality plan (5 shuffles) + ONE
+    # per-source ntile window — never a global sort; the exact=False
+    # path drops the window for broadcast percentile cutoffs
+    "lm_buckets": {"shuffles": ("<=", 6), "smj": ("<=", 0),
                    "bnlj": ("<=", 0), "python_stages": ("<=", 0)},
     # span dedup: gram-count agg + flagged-starts groupBy; hot-set
     # semi-join and starts attach broadcast at test SF

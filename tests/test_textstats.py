@@ -443,6 +443,33 @@ class TestLmBuckets:
             "s0": [1, 2, 3], "s1": [1, 2, 3],
         }
 
+    def test_approx_path_matches_exact_on_distinct_ratios(self, spark):
+        """exact=False (broadcast percentile cutoffs, no per-source
+        window — the 100-TB path) must agree with the exact ntile when
+        per-bigram ratios are distinct and bucket sizes divide evenly;
+        in general its bucket is a monotone function of the ratio."""
+        from qurio_spark.operators.lm import lm_buckets
+
+        docs = spark.createDataFrame(
+            [(i, "s", "a b " * (2 + i)) for i in range(9)],
+            "doc_id int, source string, text string",
+        )
+        train = spark.createDataFrame(
+            [(0, "a b a b a b")], "doc_id int, text string"
+        )
+        exact = {
+            r["doc_id"]: r["bucket"]
+            for r in lm_buckets(docs, train, n_buckets=3).collect()
+        }
+        approx = {
+            r["doc_id"]: r["bucket"]
+            for r in lm_buckets(docs, train, n_buckets=3, exact=False).collect()
+        }
+        assert set(approx.values()) <= {1, 2, 3}
+        # monotone: sort docs by exact bucket; approx buckets must be
+        # non-decreasing along the same ratio order
+        assert approx == exact
+
 
 class TestDsirBareTarget:
     def test_target_without_id_column(self, spark):
