@@ -173,14 +173,21 @@ def fuzzy_join(
     Strings longer than ``max_len`` (default 128 — SymSpell is a
     short-key algorithm; see the module doc's scale note) either fail
     fast (``long_strings="error"``, the default) or are excluded
-    (``long_strings="drop"``).  On a self-join where the caller's
-    column names collide, the right side's output columns come back
-    suffixed ``_r``.
+    (``long_strings="drop"``).  ``dist`` is a RESERVED output name
+    (left inputs named ``dist`` are rejected); when a right-side name
+    collides with any other output column — a self-join, a cross
+    collision like ``right_id == left_str``, or ``dist`` itself — it
+    comes back suffixed with as many ``_r`` as uniqueness needs.
     """
     if max_dist not in (1, 2):
         raise ValueError("symdelete blocking implemented for max_dist in {1, 2}")
     if long_strings not in ("error", "drop"):
         raise ValueError("long_strings must be 'error' or 'drop'")
+    if "dist" in (left_id, left_str):
+        raise ValueError(
+            "'dist' is a reserved fuzzy_join output name; rename the "
+            "left column"
+        )
     # Alias the keyed frames internally so self-joins (same column
     # names on both sides) never hit Spark's ambiguous-reference
     # resolution, and compute levenshtein ONCE (filter on the column).
@@ -195,13 +202,21 @@ def fuzzy_join(
         .select("_lid", "_ls", "_rid", "_rs")
         .dropDuplicates(["_lid", "_rid"])
     )
-    # When a right-side name collides with EITHER left name (self-join,
-    # or cross collisions like right_id == left_str), keep the left
-    # names and suffix the right side's with "_r" so the output never
-    # carries duplicate column names.
-    left_names = {left_id, left_str}
-    out_rid = right_id if right_id not in left_names else right_id + "_r"
-    out_rs = right_str if right_str not in left_names else right_str + "_r"
+    # When a right-side name collides with ANY other output column
+    # (self-join, cross collisions like right_id == left_str, or the
+    # reserved "dist"), keep the left names and suffix the right
+    # side's with "_r" until unique, so the output never carries
+    # duplicate column names.
+    taken = {left_id, left_str, "dist"}
+
+    def _uniq(name: str) -> str:
+        while name in taken:
+            name += "_r"
+        taken.add(name)
+        return name
+
+    out_rid = _uniq(right_id)
+    out_rs = _uniq(right_str)
     return (
         cand.withColumn("dist", F.levenshtein(F.col("_ls"), F.col("_rs")))
         .filter(F.col("dist") <= max_dist)

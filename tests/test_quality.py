@@ -135,6 +135,29 @@ class TestFuzzyJoin:
         with pytest.raises(ValueError, match="long_strings"):
             fuzzy_join(df, df, "i", "s", "i", "s", long_strings="ignore")
 
+    def test_dist_is_reserved_on_left(self, spark):
+        df = spark.createDataFrame([(1, "x")], "dist int, s string")
+        with pytest.raises(ValueError, match="reserved"):
+            fuzzy_join(df, df, "dist", "s", "dist", "s")
+
+    def test_right_named_dist_gets_suffixed(self, spark):
+        left = spark.createDataFrame([(1, "spark")], "id int, name string")
+        right = spark.createDataFrame(
+            [("spork", "x")], "name string, dist string"
+        )
+        out = fuzzy_join(left, right, "id", "name", "name", "dist")
+        assert out.columns == ["id", "name", "name_r", "dist_r", "dist"]
+        assert len(out.columns) == len(set(out.columns))
+
+    def test_suffix_chain_until_unique(self, spark):
+        # right_id collides with left_id AND the suffixed form collides
+        # with left_str — the suffix must chain, never duplicate
+        left = spark.createDataFrame([(1, "spark")], "a int, a_r string")
+        right = spark.createDataFrame([(2, "spork")], "a int, b string")
+        out = fuzzy_join(left, right, "a", "a_r", "a", "b")
+        assert out.columns == ["a", "a_r", "a_r_r", "b", "dist"]
+        assert len(out.columns) == len(set(out.columns))
+
     def test_self_join_same_column_names(self, spark):
         # Joining a frame to itself (identical column names on both
         # sides) must not raise an ambiguous-reference error; the
