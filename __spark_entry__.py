@@ -528,6 +528,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``tpch_q16`` (relational breadth — q2/q9/q21 remain the
     in-window TPC-H representatives; green since r6).
 
+    Round 14 rotation — the r13 verdict asked for the 7 remaining
+    never-windowed TPC-H breadth entries (#3), completing the rotation
+    plan: IN ``tpch_q8`` (two-nation market share),
+    ``tpch_q10`` (returned-item revenue), ``tpch_q13`` (customer
+    order-count distribution), ``tpch_q15`` (top supplier via view
+    decorrelation), ``tpch_q17`` (small-quantity avg subquery),
+    ``tpch_q19`` (disjunctive part-lineitem predicate), ``tpch_q22``
+    (global-avg anti-join) — with q8/q10/q13/q15/q17/q19/q22 every
+    TPC-H entry has now had a driver-window appearance.  The round-14
+    diff also touches pack_shards/pack_sequences (distributed prefix
+    sum), lm_quality (per-doc bigram pre-agg), lm_buckets (approx
+    flag; exact default unchanged) and fuzzy_join (name guard) — all
+    already in-window, per the changed-entry rule.  OUT (all
+    long-green, each with in-window siblings + pytest pins):
+    ``bm25_blockmax`` (bm25_topk + bm25_incremental stay; green since
+    r10), ``batch_hybrid_ivf`` (ann_ivfpq + hybrid_topk stay; pruned
+    recall pinned by test_queries_full; green since r8),
+    ``streaming_near_dedup`` (streaming family keeps streaming_join /
+    streaming_ingest / streaming_sessions_final; green since r9),
+    ``canonical_docs`` (graph family keeps triangle_count +
+    near_dup_clusters; green since r7), ``events_range_left``
+    (temporal family pinned by test_temporal; green since r6),
+    ``snap_zorder`` (snapshot family keeps snap_merge / snap_dv /
+    snap_dropcol / snap_renamecol / snap_bloom; green since r8),
+    ``gopher_rules`` (text family keeps lm_quality / lm_buckets /
+    span_dedup / line_dedup; pinned in test_textstats; green since
+    r6).
+
     Round 13 rotation — the r12 verdict traced the two red driver
     cells (streaming_sessions_final, export_shards) to uncast DuckDB
     ``sum()`` HUGEINT outputs in their oracles, now CAST to BIGINT
@@ -615,12 +643,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "read_page": q_read_page,
         "bm25_topk": q_bm25_topk,
-        "bm25_blockmax": q_bm25_blockmax,
+        "tpch_q22": q_tpch_q22,
         "vector_topk": q_vector_topk,
         "hybrid_topk": q_hybrid_topk,
         "tpch_q9": q_tpch_q9,
         "tpch_q21": q_tpch_q21,
-        "batch_hybrid_ivf": q_batch_hybrid_ivf,
+        "tpch_q19": q_tpch_q19,
         "ann_ivfpq": q_ann_ivfpq,
         "dsir_weights": q_dsir_weights,
         "fuzzy_join": q_fuzzy_join,
@@ -633,22 +661,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ingest": q_streaming_ingest,
         "pack_sequences": q_pack_sequences,
         "triangle_count": q_triangle_count,
-        "streaming_near_dedup": q_streaming_near_dedup,
-        "canonical_docs": q_canonical_docs,
-        "events_range_left": q_events_range_left,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q13": q_tpch_q13,
         "link_filter_chain": q_link_filter_chain,
         "snap_merge": q_snap_merge,
         "lm_quality": q_lm_quality,
         "snap_dv": q_snap_dv,
         "lm_buckets": q_lm_buckets,
-        "snap_zorder": q_snap_zorder,
+        "tpch_q15": q_tpch_q15,
         "snap_bloom": q_snap_bloom,
         "anomaly_events": q_anomaly_events,
         "rollup_daily": q_rollup_daily,
         "quantile_view": q_quantile_view,
         "export_shards": q_export_shards,
         "snap_renamecol": q_snap_renamecol,
-        "gopher_rules": q_gopher_rules,
+        "tpch_q17": q_tpch_q17,
         "tpch_q12": q_tpch_q12,
         "tpch_q7": q_tpch_q7,
         "minhash_lsh": q_minhash_lsh,
@@ -659,6 +687,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": q_pack_shards,
         "sample_mixture": q_sample_mixture,
         # -- 51+: oracle-backed, operator proven by in-window sibling -
+        "bm25_blockmax": q_bm25_blockmax,
+        "batch_hybrid_ivf": q_batch_hybrid_ivf,
+        "streaming_near_dedup": q_streaming_near_dedup,
+        "canonical_docs": q_canonical_docs,
+        "events_range_left": q_events_range_left,
+        "snap_zorder": q_snap_zorder,
+        "gopher_rules": q_gopher_rules,
         "snap_widen": q_snap_widen,
         "resize_targets": q_resize_targets,
         "lsh_prebuilt": q_lsh_prebuilt,
@@ -739,13 +774,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14": q_tpch_q14,
         "events_setops": q_events_setops,
         "value_percentiles": q_value_percentiles,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q22": q_tpch_q22,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "events_asof_attribution": q_events_asof_attribution,
         "repetition": q_repetition,
