@@ -17,14 +17,13 @@ shipped with no committed signal.  This module closes that gap two ways:
 
 from __future__ import annotations
 
-import hashlib
 from collections import defaultdict
 
 import duckdb
 import pytest
 
 import __spark_entry__ as entrymod
-from qurio_spark.oracle import compare, norm_rows, register_views
+from qurio_spark.oracle import compare, register_views
 
 QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
@@ -67,30 +66,27 @@ def test_query_oracle(spark, sf_dir, duck, name):
 # ---------------------------------------------------------------------------
 
 
-def _row_hash(df) -> str:
-    rows = norm_rows(df.columns, [tuple(r) for r in df.collect()])
-    h = hashlib.sha256()
-    for r in rows:
-        h.update(repr(r).encode())
-    return h.hexdigest()
-
-
-# Golden sha256 of the order-normalized result rows at sf0.001.  The
-# chunker and the hashing-TF embedder are fully deterministic, so any
+# Golden sha256 hashes of the order-normalized result rows now live in
+# qurio_spark/goldens.py (pinned per SF, shared with
+# tools/oracle_check.py so the committed sweeps verify the rows-only
+# tail too).  All five rows-only pipelines are deterministic, so any
 # drift is a real behavior change (or a driver testdata regen — in
 # which case re-pin from the assert message).
-GOLDEN = {
-    "chunk_corpus":
-        "577c8a253202e4e4ad3ea6b5c6465e1024b46ba9ebc7afd48285fa5f12f2ec63",
-    "ingest_pipeline":
-        "47756741bab79de93020c7bd28d843c620307b77fdeb958adfce4cd598353dba",
-}
+from qurio_spark.goldens import GOLDEN_ROW_HASHES, golden_for, row_hash
 
 
-@pytest.mark.parametrize("name", sorted(GOLDEN))
+@pytest.mark.parametrize("name", sorted(GOLDEN_ROW_HASHES))
 def test_rows_only_golden_hash(spark, sf_dir, name):
-    got = _row_hash(QUERIES[name](spark, sf_dir))
-    assert got == GOLDEN[name], f"{name} golden row-hash drifted: {got}"
+    want = golden_for(name, sf_dir)
+    assert want is not None, f"no golden pinned for {name} at {sf_dir}"
+    got = row_hash(QUERIES[name](spark, sf_dir))
+    assert got == want, f"{name} golden row-hash drifted: {got}"
+
+
+def test_every_rows_only_entry_has_a_golden():
+    assert set(GOLDEN_ROW_HASHES) == set(ROWS_ONLY), (
+        sorted(set(ROWS_ONLY) ^ set(GOLDEN_ROW_HASHES))
+    )
 
 
 def test_ivf_pruned_recall(spark, sf_dir):
@@ -134,19 +130,6 @@ def test_epoch_secs_is_timezone_free(spark):
         assert got == sorted([1710037800, 1730597400, 833630400])
     finally:
         spark.conf.set("spark.sql.session.timeZone", saved)
-
-
-def test_every_rows_only_entry_has_a_real_check():
-    """Tripwire: a new queries() entry without an oracle_sql twin must
-    get a real check here (golden hash / recall floor / invariants) —
-    it cannot silently join the rows-only set."""
-    checked = set(GOLDEN) | {"kmeans_ivf", "semantic_dedup", "bpe_tokenize"}
-    assert set(ROWS_ONLY) == checked, (
-        f"rows-only entries without a dedicated check: "
-        f"{sorted(set(ROWS_ONLY) - checked)}; "
-        f"stale checks for entries no longer rows-only: "
-        f"{sorted(checked - set(ROWS_ONLY))}"
-    )
 
 
 def test_bpe_tokenize_matches_driver_reference(spark, sf_dir):

@@ -19,6 +19,7 @@ sys.path.insert(0, ".")
 import duckdb
 
 import __spark_entry__ as entrymod
+from qurio_spark.goldens import golden_for, rows_hash
 from qurio_spark.oracle import compare, register_views
 from qurio_spark.session import get_spark
 
@@ -46,6 +47,19 @@ def main():
             failed += 1
             continue
         if name not in oracles:
+            # rows-only entries still get a REAL check when a golden
+            # row-hash is pinned for this sf (qurio_spark/goldens.py)
+            want = golden_for(name, sf_dir)
+            if want is not None:
+                got = rows_hash(scols, srows)
+                if got == want:
+                    print(f"PASS {name} (golden row-hash, {len(srows)} rows) "
+                          f"[{time.time()-t0:.1f}s]")
+                    passed += 1
+                else:
+                    print(f"FAIL {name}: golden row-hash drifted: {got}")
+                    failed += 1
+                continue
             print(f"SKIP {name}: no oracle (rows-only) — {len(srows)} rows "
                   f"[{time.time()-t0:.1f}s]")
             skipped += 1
