@@ -133,6 +133,60 @@ class TestEightWriterStress:
         assert max(count_retries, default=0) < S._MAX_COMMIT_RETRIES
 
 
+class TestSixteenWriterS3Stress:
+    """The r13 verdict's #8: the 'protocol needs only S3 primitives'
+    claim gets a decade more contention — 16 writers racing ONE table
+    through the moto S3 commit store (conditional-put CAS path), both
+    append and read-modify-write shapes."""
+
+    N16 = 16
+
+    @pytest.fixture
+    def s3_path(self, tmp_path):
+        from tests.test_commitstore import _moto_s3_store
+
+        path = str(tmp_path / "occ16")
+        with _moto_s3_store() as store:
+            register_commit_store(path, store)
+            try:
+                yield path
+            finally:
+                unregister_commit_store(path)
+
+    def test_16_appenders_land_exactly_once(
+        self, spark, s3_path, count_retries
+    ):
+        _run_writers(
+            lambda i: snap_append(
+                spark.range(10 * i, 10 * i + 10).select(
+                    F.col("id").alias("v")
+                ),
+                s3_path,
+            ),
+            n=self.N16,
+        )
+        versions = [m["version"] for m in snap_versions(s3_path)]
+        assert versions == list(range(self.N16))
+        got = sorted(r["v"] for r in snap_read(spark, s3_path).collect())
+        assert got == list(range(10 * self.N16))
+        assert max(count_retries, default=0) < S._MAX_COMMIT_RETRIES
+
+    def test_16_mutators_no_lost_updates(
+        self, spark, s3_path, count_retries
+    ):
+        def bump(cur):
+            n = 0 if cur is None else cur.collect()[0]["n"]
+            return spark.createDataFrame([(n + 1,)], "n int")
+
+        _run_writers(
+            lambda i: snap_mutate(spark, s3_path, bump), n=self.N16
+        )
+        assert snap_read(spark, s3_path).collect()[0]["n"] == self.N16
+        versions = [m["version"] for m in snap_versions(s3_path)]
+        assert versions == list(range(self.N16))
+        assert max(count_retries, default=0) < S._MAX_COMMIT_RETRIES
+
+
 class TestBackoffContract:
     def test_first_attempt_is_free(self):
         calls = []
