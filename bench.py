@@ -200,6 +200,36 @@ def main() -> None:
     except Exception as e:
         print(f"bench decode error: {e}", file=sys.stderr)
 
+    # Production-token-budget export (r14, VERDICT r13 #7): the JSONL
+    # shard export sink budgeted by a REAL trained tokenizer's
+    # count_udf() — train -> Arrow-batched subword counting ->
+    # executor-side shard writes, end to end at the bench SF (the
+    # token_count override was previously proven only in unit tests).
+    try:
+        import shutil
+        import tempfile
+
+        from qurio_spark.functions.bpe import BpeTokenizer, train_bpe
+        from qurio_spark.operators.sharding import export_jsonl_shards
+
+        docs = spark.read.parquet(f"{target}/documents.parquet")
+        t0 = time.time()
+        tok = BpeTokenizer(train_bpe(docs, n_merges=200, max_words=20000))
+        out_dir = tempfile.mkdtemp(prefix="qurio-bpe-export-")
+        try:
+            manifest = export_jsonl_shards(
+                docs, out_dir, token_budget=4000, token_count=tok.count_udf()
+            )
+            n_shards = manifest.count()  # small driver-local manifest
+            dt = time.time() - t0
+            if n_shards > 0:
+                extras["bpe_export_shards"] = n_shards
+                extras["bpe_export_s"] = round(dt, 2)
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+    except Exception as e:
+        print(f"bench bpe-export error: {e}", file=sys.stderr)
+
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     print(
         json.dumps(

@@ -288,8 +288,10 @@ def q_events_funnel(spark, sf_dir):
 
 
 def q_pack_shards(spark, sf_dir):
-    """Training-shard packing: per-source token cumsum -> offset-rule
-    shard assignment (operators/sharding.pack_shards, budget 2000)."""
+    """Training-shard packing: distributed-prefix-sum token cumsum ->
+    offset-rule shard assignment (operators/sharding.pack_shards over
+    operators/prefix, budget 2000; r14 — no per-source single
+    reducer)."""
     from qurio_spark.operators.sharding import pack_shards
 
     return pack_shards(_t(spark, sf_dir, "documents"), token_budget=2000)
@@ -485,8 +487,9 @@ def q_pack_sequences(spark, sf_dir):
     pack_sequences): documents laid end-to-end per source and cut into
     fixed 512-token training sequences, long docs spanning consecutive
     sequences (the GPT-style packing convention; pack_shards is the
-    whole-doc offset-packing sibling).  One cumsum window per source +
-    a bounded explode (corpus_tokens/512 + n_docs rows) + one groupBy;
+    whole-doc offset-packing sibling).  Distributed prefix-sum cumsum
+    (operators/prefix, r14 — no per-source single reducer) + a bounded
+    explode (corpus_tokens/512 + n_docs rows) + one groupBy;
     all-integer arithmetic.  Beyond-reference extension (SURVEY §2.8
     curation & sharding family)."""
     from qurio_spark.operators.sharding import pack_sequences
