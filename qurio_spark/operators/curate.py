@@ -6,11 +6,12 @@ operators: drop exact duplicates (keep lowest id), score every
 document with the cheap C4/Gopher-style quality heuristic
 (operators/textstats.quality_score_expr), then greedily keep the
 best documents per source until that source's token budget is spent —
-per-domain budgets are how real pipelines balance corpora, and they
-keep the cumulative-sum window PARTITIONED (by source), so the
-selection scales with source cardinality instead of collapsing into a
-single global sort.  A global budget variant would range-partition on
-the quality key and resolve the boundary bucket driver-side.
+per-domain budgets are how real pipelines balance corpora.  The
+budget cumsum is the range-bucketed DISTRIBUTED prefix sum
+(operators/prefix, r14) over the composite (quality desc, id asc)
+key, so the selection scales with sources x buckets — a corpus that
+is effectively one source no longer serializes through a single
+window reducer, and a global budget is just the one-source case.
 
 Everything is deterministic: quality ties break on doc id, token
 counts are exact integers, and the whole pipeline is hash-checked
@@ -37,12 +38,16 @@ def curate_corpus(
     documents: per source, highest-quality first, while the running
     token total stays within budget.
 
-    Stages (one job, two shuffles — dedup hash, then source window):
+    Stages:
       1. exact dedup: row_number over sha256(text), keep lowest id;
       2. quality + token count: pure column expressions, map-side;
-      3. budget: cumulative token sum over a window partitioned by
-         source ordered by (quality desc, id asc); rows whose running
-         total exceeds the budget fall away.
+      3. budget: cumulative token sum in (quality desc, id asc) order
+         via the distributed prefix sum (operators/prefix — quality
+         negated so the composite key is all-ascending; boundary
+         sampling hash-filters on the id so only sampled rows pay for
+         the quality expression); rows whose running total exceeds the
+         budget fall away.  Output is bit-identical to the per-source
+         window form.
     """
     # quality/token/hash are all map-side column expressions: project
     # them in the scan and drop the text BEFORE the first exchange, so
@@ -65,13 +70,22 @@ def curate_corpus(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_h")
     )
-    w = (
-        Window.partitionBy(source_col)
-        .orderBy(F.desc("quality"), F.asc(id_col))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    from qurio_spark.operators.prefix import distributed_cumsum
+
+    cum = distributed_cumsum(
+        prof.withColumn("_negq", -F.col("quality")),
+        value_col="n_tokens",
+        part_col=source_col,
+        order_cols=["_negq", id_col],
+        out_col="cum_tokens",
+        # boundary passes sample from the PRE-dedup projection (dup
+        # rows only skew bucket balance, never correctness) so they
+        # never replay the dedup exchange
+        sample_df=prof0.withColumn("_negq", -F.col("quality")),
+        hash_col=id_col,
     )
     return (
-        prof.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+        cum.withColumn("cum_tokens", F.col("cum_tokens").cast("bigint"))
         .filter(F.col("cum_tokens") <= per_source_token_budget)
         .select(source_col, id_col, "quality", "n_tokens", "cum_tokens")
     )

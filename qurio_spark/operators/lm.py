@@ -229,20 +229,20 @@ def lm_buckets(
     tie-break, and ntile's remainder rule is the SQL standard both
     Spark and DuckDB implement.
 
-    Scale: the exact ntile is one window shuffle partitioned BY
-    SOURCE — a corpus that is effectively one source serializes it
-    through a single reducer (the pack_shards problem; VERDICT r13
-    #1).  ``exact=False`` is the 100-TB path: per-source
-    ``percentile_approx`` cutoffs (one map-side-partial aggregation,
-    cutoff arrays broadcast back, bucket = a comparison per row — the
-    corpus never shuffles at all for the bucketing step).  Bucket
-    sizes are then approximately equal (error bounded by the sketch
-    ``approx_accuracy``), which is what CCNet's selection actually
-    needs; the exact path stays the default because its output is
-    oracle-checkable.
+    Scale (r14): NEITHER path serializes a dominant source through one
+    reducer.  The exact default computes the per-source rank as a
+    DISTRIBUTED prefix sum of 1s (operators/prefix — parallelism =
+    sources x buckets) and derives ntile's SQL-standard remainder rule
+    arithmetically from (rank, source size, n_buckets), so the output
+    is still bit-identical to the window ntile and oracle-checkable.
+    ``exact=False`` trades exact bucket sizes for per-source
+    ``percentile_approx`` cutoffs broadcast back (bucket = a
+    comparison per row — the bucketing step never shuffles the corpus
+    at all; size error bounded by the sketch ``approx_accuracy``).
+    The scored frame is persisted (narrow: id, source, 2 ints) —
+    both paths consume it more than once, and re-deriving it would
+    re-run LM training.
     """
-    from pyspark.sql.window import Window
-
     scored = lm_cross_entropy(
         docs.select(id_col, text_col),
         train,
@@ -254,16 +254,38 @@ def lm_buckets(
         docs.select(id_col, source_col)
         .join(scored, [id_col])
         .filter(F.col("n_bigrams") > 0)
+        .persist()
     )
     ratio = F.col("cost_millinats") / F.col("n_bigrams")
     if exact:
-        w = Window.partitionBy(source_col).orderBy(
-            ratio.asc(), F.col(id_col).asc()
+        from qurio_spark.operators.prefix import distributed_rank
+
+        ranked = distributed_rank(
+            withsrc.withColumn("_ratio", ratio),
+            part_col=source_col,
+            order_cols=["_ratio", id_col],
+            out_col="_rk",
+            hash_col=id_col,
+        )
+        totals = withsrc.groupBy(source_col).agg(F.count("*").alias("_T"))
+        # SQL-standard ntile remainder rule: with T rows and n buckets,
+        # the first T % n buckets hold ceil(T/n) rows, the rest
+        # floor(T/n) — identical to Spark's AND DuckDB's ntile, so the
+        # oracle keeps using plain ntile().  q = floor(T/n), r = T % n;
+        # the else branch never divides by zero: q = 0 implies
+        # T = r < n, so every rank satisfies rk <= r * (q + 1).
+        q = F.floor(F.col("_T") / n_buckets)
+        r = F.col("_T") % n_buckets
+        bucket = F.when(
+            F.col("_rk") <= r * (q + F.lit(1)),
+            F.floor((F.col("_rk") - 1) / (q + F.lit(1))) + F.lit(1),
+        ).otherwise(
+            r + F.floor((F.col("_rk") - 1 - r * (q + F.lit(1))) / q) + F.lit(1)
         )
         # long, matching the oracle's BIGINT ntile (the r13 typing
         # rule: integer output columns are int64 on both sides)
-        out = withsrc.withColumn(
-            "bucket", F.ntile(n_buckets).over(w).cast("long")
+        out = ranked.join(F.broadcast(totals), [source_col]).withColumn(
+            "bucket", bucket.cast("long")
         )
     else:
         probs = [i / n_buckets for i in range(1, n_buckets)]

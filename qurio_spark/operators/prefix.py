@@ -1,11 +1,12 @@
 """Distributed prefix sum — the scale-safe cumulative-sum primitive.
 
 ``Window.partitionBy(source).orderBy(key)`` cumsums (pack_shards,
-pack_sequences) serialize each source through ONE reducer: a corpus
-that is effectively a single source (the Common Crawl pretraining
-shape) funnels every row through one task no matter how many executors
-exist.  This module replaces that with the textbook two-pass
-distributed prefix sum, expressed declaratively:
+pack_sequences, curate's budget, lm_buckets' ntile rank) serialize
+each source through ONE reducer: a corpus that is effectively a single
+source (the Common Crawl pretraining shape) funnels every row through
+one task no matter how many executors exist.  This module replaces
+that with the textbook two-pass distributed prefix sum, expressed
+declaratively:
 
   1. *Range-bucket* every row by its order key against ``n_buckets-1``
      boundary keys sampled deterministically from the corpus (portable
@@ -27,11 +28,19 @@ split across buckets, REGARDLESS of how B was chosen (a skewed sample
 only unbalances task sizes).  The output is therefore bit-identical to
 the single-window cumsum, and every oracle over it stays green.
 
-Scale shape: one pruned count + one pruned sample scan over the order
-key only (no token counting), one corpus exchange on (part, bucket)
-for the running sums, and one tiny partial-agged exchange for the
-totals.  The only serialized fraction is the offsets window:
-<= n_buckets rows per part.
+Composite order keys (e.g. curate's quality desc, id asc) pass
+``order_cols=[...]`` — all ascending; descending components are
+pre-negated by the caller.  Comparison uses Spark's lexicographic
+struct ordering, for which the same transitivity argument holds.
+Order keys must be non-null and unique within a part (the same
+contract as the window form — ties would make any cumsum
+order-dependent).
+
+Scale shape: one pruned count + one pruned/hash-filtered sample scan
+over the order key only, one corpus exchange on (part, bucket) for the
+running sums, and one tiny partial-agged exchange for the totals.  The
+only serialized fraction is the offsets window: <= n_buckets rows per
+part.
 
 No reference counterpart (the reference has no windowed analytics at
 all — SURVEY §2.7); this hardens the §2.8 curation/sharding extensions
@@ -50,35 +59,69 @@ SAMPLE_TARGET = 50_000
 _MOD = 1_000_000
 
 
+def _as_list(order_cols) -> list:
+    return [order_cols] if isinstance(order_cols, str) else list(order_cols)
+
+
+def _key_expr(order_cols: list):
+    """The comparable order key: the bare column for a single key,
+    a struct (lexicographic Spark ordering) for composite keys."""
+    if len(order_cols) == 1:
+        return F.col(order_cols[0])
+    return F.struct(*[F.col(c) for c in order_cols])
+
+
+def _key_lit(order_cols: list, val, schema):
+    """Boundary literal, field types cast to the frame's own column
+    types (struct comparison requires exactly matching field types —
+    e.g. a Python int literal is INT, a bigint column is not)."""
+    if len(order_cols) == 1:
+        return F.lit(val)
+    return F.struct(
+        *[
+            F.lit(v).cast(schema[c].dataType).alias(c)
+            for c, v in zip(order_cols, val)
+        ]
+    )
+
+
 def order_key_boundaries(
     sample_df: DataFrame,
-    order_col: str,
+    order_cols,
     n_buckets: int,
     sample_target: int = SAMPLE_TARGET,
+    hash_col: str | None = None,
 ) -> list:
     """Pick ``<= n_buckets - 1`` boundary keys that roughly equi-split
-    the rows by ``order_col``.  Deterministic: the sample filter is the
-    portable md5 hash mod 1e6 (same keys every run, every plan), not
-    ``DataFrame.sample``'s partition-seeded RNG.  Both passes read ONLY
-    the order-key column (column pruning keeps any expensive sibling
-    columns, e.g. a tokenizer UDF, out of these scans)."""
-    keys_df = sample_df.select(F.col(order_col).alias("_k")).filter(
-        F.col("_k").isNotNull()
-    )
-    n = keys_df.count()
+    the rows by the order key.  Deterministic: the sample filter is the
+    portable md5 hash mod 1e6 over ``hash_col`` (default: the first
+    order column) — same keys every run, every plan, and the filter
+    applies BEFORE any expensive derived order column is computed for
+    non-sampled rows.  Both passes read only what the keys need
+    (column pruning keeps expensive sibling columns out)."""
+    order_cols = _as_list(order_cols)
+    hash_col = hash_col or order_cols[0]
+    n = sample_df.count()
     if n == 0 or n_buckets <= 1:
         return []
+    filtered = sample_df
     if n > sample_target:
         thresh = max(1, int(_MOD * sample_target / n))
-        keys_df = keys_df.filter(
-            F.pmod(hash64(F.col("_k").cast("string")), F.lit(_MOD))
+        filtered = filtered.filter(
+            F.pmod(hash64(F.col(hash_col).cast("string")), F.lit(_MOD))
             < F.lit(thresh)
         )
-    keys = sorted({r["_k"] for r in keys_df.collect()})
+    rows = filtered.select(*order_cols).collect()
+    if len(order_cols) == 1:
+        keys = sorted({r[0] for r in rows if r[0] is not None})
+    else:
+        keys = sorted({tuple(r) for r in rows if None not in tuple(r)})
     if len(keys) < 2:
         return []
     # evenly spaced interior quantile points, deduped (duplicates would
-    # only create empty buckets, but there is no reason to keep them)
+    # only create empty buckets, but there is no reason to keep them).
+    # A Python-vs-engine sort disagreement (exotic collations) would
+    # only unbalance buckets, never break correctness — see module doc.
     pts = []
     for k in range(1, n_buckets):
         b = keys[(len(keys) * k) // n_buckets]
@@ -91,26 +134,31 @@ def distributed_cumsum(
     df: DataFrame,
     value_col: str,
     part_col: str,
-    order_col: str,
+    order_cols,
     out_col: str,
     n_buckets: int | None = None,
     sample_df: DataFrame | None = None,
     sample_target: int = SAMPLE_TARGET,
     keep_bucket: str | None = None,
+    hash_col: str | None = None,
 ) -> DataFrame:
     """``df`` + ``out_col`` = inclusive running sum of ``value_col``
-    within ``part_col`` in ``order_col`` order — the exact result of
-    ``sum(value).over(partitionBy(part).orderBy(order))`` computed with
-    parallelism ``parts x n_buckets`` instead of ``parts`` (module
-    doc).  ``order_col`` must be unique within a part (same contract as
-    the window form — ties would make any cumsum order-dependent).
+    within ``part_col`` in ``order_cols`` (all-ascending) order — the
+    exact result of ``sum(value).over(partitionBy(part).orderBy(...))``
+    computed with parallelism ``parts x n_buckets`` instead of
+    ``parts`` (module doc).
 
-    ``sample_df``: a cheaper frame to draw boundary keys from (e.g. the
-    raw table before expensive derived columns); defaults to ``df``.
+    ``sample_df``: a cheaper frame to draw boundary keys from; it must
+    carry the order columns (and ``hash_col``).  Defaults to ``df``.
+    ``hash_col``: the column the deterministic sample filter hashes
+    (defaults to the first order column) — pass a cheap unique id when
+    the order key itself is expensive to compute, so only sampled rows
+    pay for it.
     ``n_buckets`` defaults to ``spark.sql.shuffle.partitions``.
     ``keep_bucket``: optionally expose the bucket id under this name
     (scale checks assert multi-bucket execution through it).
     """
+    order_cols = _as_list(order_cols)
     reserved = {"_psb", "_psrun", "_psoff", "_t", out_col}
     clash = reserved & set(df.columns)
     if clash:
@@ -121,16 +169,18 @@ def distributed_cumsum(
         )
     bounds = order_key_boundaries(
         sample_df if sample_df is not None else df,
-        order_col,
+        order_cols,
         n_buckets,
         sample_target,
+        hash_col=hash_col,
     )
+    asc = [F.asc(c) for c in order_cols]
     if not bounds:
         # degenerate input (tiny / single key): the plain window IS the
         # right plan
         w = (
             Window.partitionBy(part_col)
-            .orderBy(F.asc(order_col))
+            .orderBy(*asc)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         out = df.withColumn(out_col, F.sum(value_col).over(w))
@@ -143,13 +193,15 @@ def distributed_cumsum(
     # this frame with its own aggregate, and NamedLambdaVariable
     # rebinding across the duplicated lineage trips
     # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at runtime (observed on 4.1)
+    key = _key_expr(order_cols)
     bucket = sum(
-        (F.lit(b) <= F.col(order_col)).cast("int") for b in bounds
+        (_key_lit(order_cols, b, df.schema) <= key).cast("int")
+        for b in bounds
     )
     bucketed = df.withColumn("_psb", bucket)
     w_run = (
         Window.partitionBy(part_col, "_psb")
-        .orderBy(F.asc(order_col))
+        .orderBy(*asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = bucketed.withColumn("_psrun", F.sum(value_col).over(w_run))
@@ -159,7 +211,7 @@ def distributed_cumsum(
     # partition, so this exchange carries <= parts x buckets x tasks
     # rows — tiny.  (The probe and build branches scan the source
     # twice; the scans are embarrassingly parallel and the narrow
-    # projection prunes everything but the three columns, so this is
+    # projection prunes everything but the key columns, so this is
     # the cheap half of the two-pass algorithm.  Callers with a very
     # expensive value expression can persist ``df`` first.)  Each
     # bucket's offset = sum of the totals of the buckets before it —
@@ -187,3 +239,34 @@ def distributed_cumsum(
     else:
         out = out.drop("_psb")
     return out
+
+
+def distributed_rank(
+    df: DataFrame,
+    part_col: str,
+    order_cols,
+    out_col: str,
+    n_buckets: int | None = None,
+    sample_df: DataFrame | None = None,
+    sample_target: int = SAMPLE_TARGET,
+    hash_col: str | None = None,
+) -> DataFrame:
+    """``row_number() over (partitionBy(part).orderBy(...))`` computed
+    as a distributed prefix sum of 1s — same contract, same exactness
+    argument, no per-part single reducer.  Requires the order key to be
+    unique within a part (true row_number semantics need no tie rule
+    then)."""
+    if "_psone" in df.columns:
+        raise ValueError("distributed_rank reserved column in input: _psone")
+    ranked = distributed_cumsum(
+        df.withColumn("_psone", F.lit(1)),
+        value_col="_psone",
+        part_col=part_col,
+        order_cols=order_cols,
+        out_col=out_col,
+        n_buckets=n_buckets,
+        sample_df=sample_df,
+        sample_target=sample_target,
+        hash_col=hash_col,
+    )
+    return ranked.drop("_psone")

@@ -79,8 +79,11 @@ BUDGETS = {
     "pii_redact": {"shuffles": ("<=", 0), "codegen_spans": (">=", 1), "python_stages": ("<=", 0)},
     # top-word argmax: (doc, word) partial-agg shuffle + per-doc window
     "word_concentration": {"shuffles": ("<=", 2), "python_stages": ("<=", 0)},
-    # curation: dedup + per-source window, no global sort
-    "curate": {"shuffles": ("<=", 2)},
+    # curation (r14): dedup hash + the distributed prefix-sum budget
+    # cumsum (corpus exchange on (source, bucket) + tiny partial-agged
+    # totals + tiny per-part offsets window) — no single-reducer
+    # source, no global sort
+    "curate": {"shuffles": ("<=", 4)},
     # sessionization: one per-user window shuffle
     "events_sessions": {"shuffles": ("<=", 1)},
     # q9-shaped profit: one groupBy shuffle, every dim broadcast

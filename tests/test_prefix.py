@@ -105,6 +105,50 @@ class TestDistributedCumsum:
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+class TestCompositeKeys:
+    def test_matches_window_on_composite_desc_key(self, spark):
+        """curate's shape: order by (quality desc, id asc), expressed
+        as an all-ascending composite key with quality negated."""
+        df = _mkdf(spark, 2000, 3).withColumn(
+            "q", (F.pmod(F.xxhash64("k"), F.lit(50)) / 10.0)
+        ).withColumn("negq", -F.col("q"))
+        got = {
+            (r["s"], r["k"]): r["cum"]
+            for r in distributed_cumsum(
+                df, "v", "s", ["negq", "k"], "cum",
+                n_buckets=8, sample_target=150, hash_col="k",
+            ).collect()
+        }
+        w = (
+            Window.partitionBy("s")
+            .orderBy(F.desc("q"), F.asc("k"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        want = {
+            (r["s"], r["k"]): r["cum"]
+            for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+        }
+        assert got == want
+
+    def test_distributed_rank_matches_row_number(self, spark):
+        from qurio_spark.operators.prefix import distributed_rank
+
+        df = _mkdf(spark, 1500, 2)
+        got = {
+            (r["s"], r["k"]): r["rk"]
+            for r in distributed_rank(
+                df, "s", ["v", "k"], "rk", n_buckets=6, sample_target=100,
+                hash_col="k",
+            ).collect()
+        }
+        w = Window.partitionBy("s").orderBy(F.asc("v"), F.asc("k"))
+        want = {
+            (r["s"], r["k"]): r["rk"]
+            for r in df.withColumn("rk", F.row_number().over(w)).collect()
+        }
+        assert got == want
+
+
 class TestBoundaries:
     def test_deterministic(self, spark):
         df = _mkdf(spark, 5000, 3)

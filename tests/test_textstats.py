@@ -443,6 +443,39 @@ class TestLmBuckets:
             "s0": [1, 2, 3], "s1": [1, 2, 3],
         }
 
+    def test_ntile_arithmetic_matches_spark_ntile(self, spark):
+        """The r14 exact path derives ntile from (distributed rank, T,
+        n) arithmetically; it must reproduce Spark's ntile on BOTH the
+        remainder case (T=10, n=3 -> 4/3/3) and the T < n case (q=0 —
+        the branch where the divisor would be zero if evaluated)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from qurio_spark.operators.lm import lm_buckets
+
+        train = spark.createDataFrame(
+            [(0, "a b a b a b")], "doc_id int, text string"
+        )
+        for n_docs, n_buckets in ((10, 3), (2, 3)):
+            docs = spark.createDataFrame(
+                [(i, "s", "a b " * (2 + i)) for i in range(n_docs)],
+                "doc_id int, source string, text string",
+            )
+            got = lm_buckets(docs, train, n_buckets=n_buckets)
+            ref = got.select("doc_id", "source", "n_bigrams",
+                             "cost_millinats").withColumn(
+                "bucket",
+                F.ntile(n_buckets).over(
+                    Window.partitionBy("source").orderBy(
+                        (F.col("cost_millinats") / F.col("n_bigrams")).asc(),
+                        F.col("doc_id").asc(),
+                    )
+                ).cast("long"),
+            )
+            g = {r["doc_id"]: r["bucket"] for r in got.collect()}
+            w = {r["doc_id"]: r["bucket"] for r in ref.collect()}
+            assert g == w, (n_docs, n_buckets, g, w)
+
     def test_approx_path_matches_exact_on_distinct_ratios(self, spark):
         """exact=False (broadcast percentile cutoffs, no per-source
         window — the 100-TB path) must agree with the exact ntile when

@@ -52,8 +52,35 @@ def audit(df):
             if re.search(pat, l) and not (exclude and re.search(exclude, l))
         )
 
+    # Exchanges nested under an InMemoryRelation execute ONCE when the
+    # cache materializes, not once per InMemoryTableScan occurrence in
+    # the plan text — count shuffles outside cached subtrees so a
+    # persisted diamond doesn't multiply its build shuffles in the
+    # audit.  (Subtree = the indented block under the IMR line.)
+    def _depth(line):
+        return len(line) - len(line.lstrip(" :+-*("))
+
+    live = []
+    imr_depth = None
+    for line in lines:
+        d = _depth(line)
+        if imr_depth is not None and d <= imr_depth:
+            imr_depth = None
+        if "InMemoryRelation" in line and imr_depth is None:
+            imr_depth = d
+            continue
+        if imr_depth is None:
+            live.append(line)
+
+    shuffles = sum(
+        1
+        for l in live
+        if re.search(r"\bExchange\b", l)
+        and not re.search(r"Broadcast|Reused", l)
+    )
+
     return {
-        "shuffles": count(r"\bExchange\b", exclude=r"Broadcast|Reused"),
+        "shuffles": shuffles,
         "broadcasts": count(r"BroadcastExchange"),
         "smj": count(r"SortMergeJoin"),
         "bhj": count(r"BroadcastHashJoin"),
