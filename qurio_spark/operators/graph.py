@@ -108,27 +108,49 @@ def canonical_pick(
 
     -> (cluster_col, canonical_id, rank_col, n_members), one row per
     cluster (singletons included — a cluster of one is its own
-    canonical).  Scale shape: one hash join of two |V|-row narrow
-    frames + one window partitioned by cluster — no global sort, no
-    driver state.  Callers should pass PRE-ROUNDED ranks when the
-    pick must be reproducible across engines (float summation-order
-    noise near-ties otherwise flips the argmax)."""
+    canonical).  Scale shape (r14): TWO-PHASE argmax, so one
+    mega-cluster (the boilerplate near-dup shape) never funnels all
+    its members through a single window reducer — phase 1 takes the
+    per-(cluster, deterministic md5 sub-bucket) best, phase 2 ranks
+    only the <= n_prebuckets survivors per cluster (argmax of a union
+    IS the argmax of per-bucket argmaxes); member counts come from a
+    map-side-partial groupBy, never a whole-cluster window frame.
+    Callers should pass PRE-ROUNDED ranks when the pick must be
+    reproducible across engines (float summation-order noise
+    near-ties otherwise flips the argmax)."""
     joined = clusters.join(ranks, id_col)
-    w = Window.partitionBy(cluster_col).orderBy(
-        F.desc(rank_col), F.asc(id_col)
+    n_prebuckets = int(
+        clusters.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    return (
-        joined.withColumn("_rn", F.row_number().over(w))
-        .withColumn(
-            "n_members", F.count("*").over(Window.partitionBy(cluster_col))
+    counts = joined.groupBy(cluster_col).agg(F.count("*").alias("n_members"))
+    order = [F.desc(rank_col), F.asc(id_col)]
+    cand = joined
+    if n_prebuckets > 1:
+        from qurio_spark.functions.hashing import hash64
+
+        sb = F.pmod(
+            hash64(F.concat(F.lit("cb:"), F.col(id_col).cast("string"))),
+            F.lit(n_prebuckets),
         )
+        w1 = Window.partitionBy(cluster_col, "_sb").orderBy(*order)
+        cand = (
+            joined.withColumn("_sb", sb)
+            .withColumn("_rn1", F.row_number().over(w1))
+            .filter(F.col("_rn1") == 1)
+            .drop("_rn1", "_sb")
+        )
+    w = Window.partitionBy(cluster_col).orderBy(*order)
+    picked = (
+        cand.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select(
             F.col(cluster_col),
             F.col(id_col).alias("canonical_id"),
             F.col(rank_col),
-            "n_members",
         )
+    )
+    return picked.join(counts, cluster_col).select(
+        cluster_col, "canonical_id", rank_col, "n_members"
     )
 
 
