@@ -21,7 +21,6 @@ against a DuckDB oracle in ``__spark_entry__`` (query ``curate``).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.window import Window
 
 from qurio_spark.functions.text import token_count
 from qurio_spark.operators.textstats import quality_score_expr
@@ -39,7 +38,8 @@ def curate_corpus(
     token total stays within budget.
 
     Stages:
-      1. exact dedup: row_number over sha256(text), keep lowest id;
+      1. exact dedup: min/min_by over sha256(text), keep lowest id —
+         map-side partials absorb hot-hash skew;
       2. quality + token count: pure column expressions, map-side;
       3. budget: cumulative token sum in (quality desc, id asc) order
          via the distributed prefix sum (operators/prefix — quality
@@ -60,15 +60,19 @@ def curate_corpus(
         quality_score_expr(F.col(text_col)).alias("quality"),
         token_count(F.col(text_col)).alias("n_tokens"),
     )
+    # keep-lowest-id per hash as a min/min_by aggregation (r14, same
+    # rationale as operators/dedup.exact_dedup): partial aggregation
+    # collapses a hot hash inside each map partition, so a document
+    # duplicated millions of times never concentrates on one reducer
     prof = (
-        prof0.withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy("_h").orderBy(F.asc(id_col))
-            ),
+        prof0.groupBy("_h")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.min_by(source_col, F.col(id_col)).alias(source_col),
+            F.min_by("quality", F.col(id_col)).alias("quality"),
+            F.min_by("n_tokens", F.col(id_col)).alias("n_tokens"),
         )
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_h")
+        .drop("_h")
     )
     from qurio_spark.operators.prefix import distributed_cumsum
 

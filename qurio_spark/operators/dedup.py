@@ -23,7 +23,6 @@ so every sketch is reproducible in the DuckDB oracle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.window import Window
 
 from qurio_spark.functions.checkpointing import checkpoint_df
 from qurio_spark.functions.hashing import MERSENNE_61, hash64, minhash_coeffs
@@ -34,15 +33,28 @@ from qurio_spark.functions.text import word_ngrams
 def exact_dedup(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Keep the lowest-id representative per exact content hash.
-    Shuffle key = sha256 — uniformly distributed, skew-free."""
-    ranked = docs.select(
-        F.col(id_col), F.col(text_col), F.sha2(F.col(text_col), 256).alias("_h")
-    ).withColumn(
-        "_rn",
-        F.row_number().over(Window.partitionBy("_h").orderBy(F.asc(id_col))),
+    """Keep the lowest-id representative per exact content hash, as a
+    ``min``/``min_by`` AGGREGATION rather than a per-hash window (r14):
+    partial aggregation collapses each hash to one row per map
+    partition BEFORE the exchange, so even a single document
+    duplicated millions of times (the boilerplate shape — hash keys
+    are uniform across reducers, but one hot VALUE still lands on one
+    reducer) contributes one row per task to the shuffle, text bytes
+    included.  ``min_by`` is deterministic here because ids are unique
+    (no ordering ties).  One shuffle, map-side combined."""
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.sha2(F.col(text_col), 256).alias("_h"),
+        )
+        .groupBy("_h")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.min_by(text_col, F.col(id_col)).alias(text_col),
+        )
+        .select(id_col, text_col)
     )
-    return ranked.filter(F.col("_rn") == 1).drop("_rn", "_h")
 
 
 def shingle_docs(
