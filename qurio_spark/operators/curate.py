@@ -64,6 +64,9 @@ def curate_corpus(
     # rationale as operators/dedup.exact_dedup): partial aggregation
     # collapses a hot hash inside each map partition, so a document
     # duplicated millions of times never concentrates on one reducer
+    # persisted: the prefix sum's running-sum and totals branches both
+    # consume prof, and without the cache each would replay the dedup
+    # aggregation; the frame is narrow (source, id, 2 scalars)
     prof = (
         prof0.groupBy("_h")
         .agg(
@@ -73,6 +76,7 @@ def curate_corpus(
             F.min_by("n_tokens", F.col(id_col)).alias("n_tokens"),
         )
         .drop("_h")
+        .persist()
     )
     from qurio_spark.operators.prefix import distributed_cumsum
 
