@@ -554,16 +554,16 @@ def semantic_dedup(
         )
         .join(comps, id_col)
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.asc("__csim"), F.asc(id_col)
-    )
-    survivors = (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .select(id_col)
-    )
+    # argmin per near-dup group as a min_by AGGREGATION (r14): the keep
+    # rule is unchanged (lowest centroid cosine, id tie-break — the
+    # struct ordering key), but partial aggregation collapses a giant
+    # cluster inside each map partition instead of funneling its rows
+    # through one window reducer; deterministic because ids are unique
+    survivors = scored.groupBy("cluster_id").agg(
+        F.min_by(
+            F.col(id_col), F.struct(F.col("__csim"), F.col(id_col))
+        ).alias(id_col)
+    ).select(id_col)
     return embeddings.join(survivors, id_col, "left_semi")
 
 
