@@ -149,6 +149,68 @@ class TestCompositeKeys:
         assert got == want
 
 
+class TestPrefixSumAlgebra:
+    """Pure-Python fuzz of the module's central claim: the two-pass
+    reconstruction equals the direct cumsum for ANY boundary set —
+    unsorted, duplicated, out of range, adversarially skewed — because
+    bucket(r) = |{b <= r}| is monotone in the key order and bucket
+    ranges can never interleave."""
+
+    from hypothesis import given, settings, strategies as st
+
+    ROWS = st.lists(
+        st.tuples(
+            st.integers(0, 3),          # part
+            st.integers(-50, 50),       # order key (deduped per part)
+            st.integers(-100, 100),     # value (negatives allowed)
+        ),
+        max_size=60,
+    )
+    BOUNDS = st.lists(st.integers(-80, 80), max_size=12)
+
+    @given(ROWS, BOUNDS)
+    @settings(max_examples=300, deadline=None)
+    def test_any_boundary_set_reconstructs_exactly(self, rows, bounds):
+        # unique key within part (the operator's contract)
+        seen = {}
+        for p, k, v in rows:
+            seen.setdefault((p, k), v)
+        rows = [(p, k, v) for (p, k), v in seen.items()]
+
+        def direct(rows):
+            out = {}
+            for p in {r[0] for r in rows}:
+                run = 0
+                for pp, k, v in sorted(
+                    (r for r in rows if r[0] == p), key=lambda r: r[1]
+                ):
+                    run += v
+                    out[(p, k)] = run
+            return out
+
+        def bucket(k):
+            return sum(1 for b in bounds if b <= k)
+
+        # two-pass: per-(part, bucket) running sums + offsets
+        got = {}
+        parts = {r[0] for r in rows}
+        for p in parts:
+            mine = sorted((r for r in rows if r[0] == p), key=lambda r: r[1])
+            totals = {}
+            for _, k, v in mine:
+                totals[bucket(k)] = totals.get(bucket(k), 0) + v
+            offs = {
+                b: sum(t for bb, t in totals.items() if bb < b)
+                for b in totals
+            }
+            run = {}
+            for _, k, v in mine:
+                b = bucket(k)
+                run[b] = run.get(b, 0) + v
+                got[(p, k)] = run[b] + offs[b]
+        assert got == direct(rows)
+
+
 class TestBoundaries:
     def test_deterministic(self, spark):
         df = _mkdf(spark, 5000, 3)
