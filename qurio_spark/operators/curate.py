@@ -32,6 +32,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     source_col: str = "source",
+    persist: bool = True,
 ) -> DataFrame:
     """-> (source, doc id, quality, n_tokens, cum_tokens) of the kept
     documents: per source, highest-quality first, while the running
@@ -64,9 +65,13 @@ def curate_corpus(
     # rationale as operators/dedup.exact_dedup): partial aggregation
     # collapses a hot hash inside each map partition, so a document
     # duplicated millions of times never concentrates on one reducer
-    # persisted: the prefix sum's running-sum and totals branches both
-    # consume prof, and without the cache each would replay the dedup
-    # aggregation; the frame is narrow (source, id, 2 scalars)
+    # persisted (persist=True): the prefix sum's running-sum and totals
+    # branches both consume prof, and without the cache each would
+    # replay the dedup aggregation; the frame is narrow (source, id,
+    # 2 scalars).  The cache lives until Spark evicts it — callers
+    # running many curations in one long session can pass
+    # persist=False (paying the extra dedup exchange) or unpersist via
+    # spark.catalog.clearCache() between jobs.
     prof = (
         prof0.groupBy("_h")
         .agg(
@@ -76,8 +81,9 @@ def curate_corpus(
             F.min_by("n_tokens", F.col(id_col)).alias("n_tokens"),
         )
         .drop("_h")
-        .persist()
     )
+    if persist:
+        prof = prof.persist()
     from qurio_spark.operators.prefix import distributed_cumsum
 
     cum = distributed_cumsum(

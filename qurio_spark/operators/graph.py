@@ -119,9 +119,9 @@ def canonical_pick(
     reproducible across engines (float summation-order noise
     near-ties otherwise flips the argmax)."""
     joined = clusters.join(ranks, id_col)
-    n_prebuckets = int(
-        clusters.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    from qurio_spark.operators.prefix import default_buckets
+
+    n_prebuckets = default_buckets(clusters.sparkSession)
     counts = joined.groupBy(cluster_col).agg(F.count("*").alias("n_members"))
     order = [F.desc(rank_col), F.asc(id_col)]
     cand = joined

@@ -214,6 +214,7 @@ def lm_buckets(
     max_vocab: int = 65536,
     exact: bool = True,
     approx_accuracy: int = 10000,
+    persist: bool = True,
 ) -> DataFrame:
     """The CCNet selection step: rank every document by its LM
     cross-entropy WITHIN its source and split into ``n_buckets``
@@ -241,7 +242,9 @@ def lm_buckets(
     at all; size error bounded by the sketch ``approx_accuracy``).
     The scored frame is persisted (narrow: id, source, 2 ints) —
     both paths consume it more than once, and re-deriving it would
-    re-run LM training.
+    re-run LM training.  The cache lives until Spark evicts it; pass
+    ``persist=False`` (or ``spark.catalog.clearCache()`` between jobs)
+    in long sessions that bucket many corpora.
     """
     scored = lm_cross_entropy(
         docs.select(id_col, text_col),
@@ -254,8 +257,9 @@ def lm_buckets(
         docs.select(id_col, source_col)
         .join(scored, [id_col])
         .filter(F.col("n_bigrams") > 0)
-        .persist()
     )
+    if persist:
+        withsrc = withsrc.persist()
     ratio = F.col("cost_millinats") / F.col("n_bigrams")
     if exact:
         from qurio_spark.operators.prefix import distributed_rank

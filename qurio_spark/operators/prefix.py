@@ -63,6 +63,16 @@ def _as_list(order_cols) -> list:
     return [order_cols] if isinstance(order_cols, str) else list(order_cols)
 
 
+def default_buckets(spark) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, falling back to 200
+    when the platform sets a non-numeric value (e.g. ``auto`` under
+    some AQE deployments)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except (TypeError, ValueError):
+        return 200
+
+
 def _key_expr(order_cols: list):
     """The comparable order key: the bare column for a single key,
     a struct (lexicographic Spark ordering) for composite keys."""
@@ -160,13 +170,13 @@ def distributed_cumsum(
     """
     order_cols = _as_list(order_cols)
     reserved = {"_psb", "_psrun", "_psoff", "_t", out_col}
+    if keep_bucket:
+        reserved.add(keep_bucket)
     clash = reserved & set(df.columns)
     if clash:
         raise ValueError(f"distributed_cumsum reserved columns in input: {clash}")
     if n_buckets is None:
-        n_buckets = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-        )
+        n_buckets = default_buckets(df.sparkSession)
     bounds = order_key_boundaries(
         sample_df if sample_df is not None else df,
         order_cols,
@@ -229,8 +239,15 @@ def distributed_cumsum(
         "_psb",
         F.coalesce(F.sum("_t").over(w_off), F.lit(0)).alias("_psoff"),
     )
+    # No forced broadcast hint: offs is |non-empty (part, bucket)|
+    # rows — tiny for few sources, but up to parts x n_buckets for a
+    # many-source corpus with interleaved keys, where a forced hint
+    # would bypass AQE sizing and hit Spark's broadcast limits.  AQE
+    # broadcasts it when it is actually small; otherwise the equi-join
+    # shuffles on exactly the (part, bucket) partitioning the window
+    # just established — skew-free by construction.
     out = (
-        local.join(F.broadcast(offs), [part_col, "_psb"])
+        local.join(offs, [part_col, "_psb"])
         .withColumn(out_col, F.col("_psrun") + F.col("_psoff"))
         .drop("_psrun", "_psoff")
     )

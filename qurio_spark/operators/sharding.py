@@ -66,6 +66,13 @@ def pack_shards(
         F.col(id_col),
         counter(F.col(text_col)).cast("bigint").alias("n_tokens"),
     )
+    if token_count is not None:
+        # a caller-supplied counter is potentially expensive (Arrow
+        # UDF, HTTP tokenizer); the prefix sum's running-sum and
+        # totals branches both scan toks, so persist the narrow frame
+        # to count each document once (the default JVM counter is
+        # cheaper than the cache round-trip and stays unpersisted)
+        toks = toks.persist()
     cum = distributed_cumsum(
         toks,
         value_col="n_tokens",
@@ -166,9 +173,9 @@ def stratified_sample_exact(
     if clash:
         raise ValueError(f"stratified_sample_exact reserved columns: {clash}")
     if n_prebuckets is None:
-        n_prebuckets = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-        )
+        from qurio_spark.operators.prefix import default_buckets
+
+        n_prebuckets = default_buckets(df.sparkSession)
     h = hash64(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
     if n_prebuckets > 1:
         sb = F.pmod(
@@ -400,6 +407,10 @@ def pack_sequences(
         F.col(id_col),
         counter(F.col(text_col)).cast("bigint").alias("n_tokens"),
     ).filter(F.col("n_tokens") > 0)
+    if token_count is not None:
+        # same rationale as pack_shards: count each doc once when the
+        # counter is a caller-supplied (potentially Python/HTTP) UDF
+        toks = toks.persist()
     spans = distributed_cumsum(
         toks,
         value_col="n_tokens",

@@ -265,10 +265,14 @@ BUDGETS = {
     # groupBy: corpus exchange + tiny totals + tiny offsets window
     "pack_shards": {"shuffles": ("<=", 4), "smj": ("<=", 0),
                     "bnlj": ("<=", 0), "python_stages": ("<=", 0)},
-    # CCNet bucketing: the lm_quality plan (5 shuffles) + ONE
-    # per-source ntile window — never a global sort; the exact=False
-    # path drops the window for broadcast percentile cutoffs
-    "lm_buckets": {"shuffles": ("<=", 6), "smj": ("<=", 0),
+    # CCNet bucketing (r14, distributed exact ntile): the persisted
+    # scoring subtree's 5 shuffles (counted once — the audit dedupes
+    # cached blocks) + the distributed-rank machinery (corpus exchange
+    # on (source, bucket), tiny totals + offsets exchanges) and the
+    # ntile-totals agg; joins broadcast at test SF.  No per-source
+    # single reducer anywhere; the exact=False path drops the rank for
+    # broadcast percentile cutoffs
+    "lm_buckets": {"shuffles": ("<=", 9), "smj": ("<=", 0),
                    "bnlj": ("<=", 0), "python_stages": ("<=", 0)},
     # span dedup: gram-count agg + flagged-starts groupBy; hot-set
     # semi-join and starts attach broadcast at test SF

@@ -54,13 +54,14 @@ def audit(df):
 
     # Exchanges nested under an InMemoryRelation execute ONCE when the
     # cache materializes, not once per InMemoryTableScan occurrence in
-    # the plan text — count shuffles outside cached subtrees so a
-    # persisted diamond doesn't multiply its build shuffles in the
-    # audit.  (Subtree = the indented block under the IMR line.)
+    # the plan text — count shuffles outside cached subtrees plus each
+    # DISTINCT cached build plan's shuffles once.  (Subtree = the
+    # indented block under the IMR line.)
     def _depth(line):
         return len(line) - len(line.lstrip(" :+-*("))
 
     live = []
+    imr_blocks: list[list[str]] = []
     imr_depth = None
     for line in lines:
         d = _depth(line)
@@ -68,15 +69,34 @@ def audit(df):
             imr_depth = None
         if "InMemoryRelation" in line and imr_depth is None:
             imr_depth = d
+            imr_blocks.append([])
             continue
         if imr_depth is None:
             live.append(line)
+        else:
+            imr_blocks[-1].append(line)
 
-    shuffles = sum(
-        1
-        for l in live
-        if re.search(r"\bExchange\b", l)
-        and not re.search(r"Broadcast|Reused", l)
+    def _exchanges(ls):
+        return sum(
+            1
+            for l in ls
+            if re.search(r"\bExchange\b", l)
+            and not re.search(r"Broadcast|Reused", l)
+        )
+
+    # normalize before deduping: two printings of the SAME cached
+    # relation differ in re-aliased attribute #ids, plan_ids, codegen
+    # stage numbers, and per-line tree-prefix indentation (the block's
+    # position in the outer tree)
+    def _norm(block):
+        t = "\n".join(x.strip(" :+-") for x in block)
+        t = re.sub(r"#\d+", "#", t)
+        t = re.sub(r"plan_id=\d+", "plan_id=", t)
+        return re.sub(r"\*\(\d+\)", "*", t)
+
+    unique_blocks = {_norm(b) for b in imr_blocks}
+    shuffles = _exchanges(live) + sum(
+        _exchanges(b.splitlines()) for b in unique_blocks
     )
 
     return {
