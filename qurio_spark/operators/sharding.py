@@ -34,6 +34,7 @@ def pack_shards(
     text_col: str = "text",
     token_count=None,
     n_buckets: int | None = None,
+    persist_counts: bool | None = None,
 ) -> DataFrame:
     """Assign each document to a token-budget shard within its source:
     docs accumulate in ``id_col`` order and a doc's shard is the budget
@@ -66,12 +67,16 @@ def pack_shards(
         F.col(id_col),
         counter(F.col(text_col)).cast("bigint").alias("n_tokens"),
     )
-    if token_count is not None:
-        # a caller-supplied counter is potentially expensive (Arrow
-        # UDF, HTTP tokenizer); the prefix sum's running-sum and
-        # totals branches both scan toks, so persist the narrow frame
-        # to count each document once (the default JVM counter is
-        # cheaper than the cache round-trip and stays unpersisted)
+    if persist_counts is None:
+        persist_counts = token_count is not None
+    if persist_counts:
+        # a caller-supplied counter is usually expensive (Arrow UDF,
+        # HTTP tokenizer); the prefix sum's running-sum and totals
+        # branches both scan toks, so persist the narrow frame to
+        # count each document once.  Callers overriding with a CHEAP
+        # column expression pass persist_counts=False (and the default
+        # JVM counter stays unpersisted — cheaper than the cache
+        # round-trip).
         toks = toks.persist()
     cum = distributed_cumsum(
         toks,
@@ -376,6 +381,7 @@ def pack_sequences(
     text_col: str = "text",
     token_count=None,
     n_buckets: int | None = None,
+    persist_counts: bool | None = None,
 ) -> DataFrame:
     """Concat-and-chunk SEQUENCE packing — the step after shard export
     in a pretraining pipeline: documents are laid end-to-end in
@@ -407,7 +413,9 @@ def pack_sequences(
         F.col(id_col),
         counter(F.col(text_col)).cast("bigint").alias("n_tokens"),
     ).filter(F.col("n_tokens") > 0)
-    if token_count is not None:
+    if persist_counts is None:
+        persist_counts = token_count is not None
+    if persist_counts:
         # same rationale as pack_shards: count each doc once when the
         # counter is a caller-supplied (potentially Python/HTTP) UDF
         toks = toks.persist()

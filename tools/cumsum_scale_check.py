@@ -85,7 +85,10 @@ def main():
     # 2. + 3. pack_shards end-to-end: distributed vs single-window
     t0 = time.time()
     got = _checksum(
-        pack_shards(docs, budget, text_col="n", token_count=lambda c: c)
+        pack_shards(
+            docs, budget, text_col="n", token_count=lambda c: c,
+            persist_counts=False,  # the override is a trivial column
+        )
     )
     packed_s = time.time() - t0
 

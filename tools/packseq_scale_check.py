@@ -40,7 +40,8 @@ def main():
         (F.pmod(F.xxhash64("id"), F.lit(500)) + 1).alias("n"),
     )
     out = pack_sequences(
-        docs, seq_len, text_col="n", token_count=lambda c: c
+        docs, seq_len, text_col="n", token_count=lambda c: c,
+        persist_counts=False,  # the override is a trivial column
     ).persist()
     per_src = (
         out.groupBy("source")
