@@ -92,6 +92,29 @@ class TestDistributedCumsum:
         with pytest.raises(ValueError, match="reserved"):
             distributed_cumsum(df, "v", "s", "k", "cum")
 
+    def test_keep_bucket_collision_raises(self, spark):
+        df = _mkdf(spark, 10, 1).withColumn("b", F.lit(1))
+        with pytest.raises(ValueError, match="reserved"):
+            distributed_cumsum(df, "v", "s", "k", "cum", keep_bucket="b")
+
+    def test_default_buckets_tolerates_non_numeric_conf(self, spark):
+        """Platform-specific values like 'auto' (vanilla Spark rejects
+        them at conf.set, so simulate the read) must fall back instead
+        of crashing every prefix-sum caller."""
+        from qurio_spark.operators.prefix import default_buckets
+
+        class _FakeConf:
+            def get(self, k, d=None):
+                return "auto"
+
+        class _FakeSpark:
+            conf = _FakeConf()
+
+        assert default_buckets(_FakeSpark()) == 200
+        assert default_buckets(spark) == int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
+
     def test_sample_df_prunes_to_order_key(self, spark):
         """Boundary passes accept a cheaper sibling frame; results stay
         identical to sampling from df itself."""
