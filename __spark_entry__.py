@@ -630,6 +630,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (correlated-min decorrelation; TPC-H keeps q9/q21 + the new
     q7/q12 in-window; green since r8).
 
+    Round 15 rotation — the r14 verdict (#3) flagged that four
+    operators rewritten in r14 (``curate``, ``exact_dedup``,
+    ``canonical_docs``, ``stratified_sample``) never had an in-window
+    appearance after their rewrites; all four rotate IN, plus the two
+    entries materially changed THIS round: ``curate`` again (the
+    prefix-sum small-input fast path — one count job + plain window at
+    or below SMALL_THRESHOLD rows, the r14 boundary-collect overhead
+    gone; median back to 0.74 s at sf0.1 from r14's 1.54 s) and
+    ``events_top_users`` (two-phase per-type top-n — phase 1 prunes
+    within (event_type, hash sub-bucket), so a billion-user type never
+    funnels one window reducer; ranks identical by the union-of-top-ns
+    argument).  ``anomaly_events`` (de-windowed outlier_events: group
+    stats via partial-agged groupBy + broadcast join back) and
+    ``lm_buckets`` (approx path: HOF lambda replaced by element_at
+    comparisons, safe under persist=False) also changed and were
+    ALREADY in-window, as were pack_shards/pack_sequences/lm_quality
+    (cache-lifetime handles only; plans unchanged at window SF).
+    OUT (all long-green, each with in-window siblings + pytest pins):
+    ``triangle_count`` (graph family keeps near_dup_clusters +
+    canonical_docs [IN], which exercise the same edge build; census
+    pinned by test_graph + the 200k scale check; green r12-r14),
+    ``vector_topk`` (exact cosine top-k is the vector branch of the
+    in-window hybrid_topk and the refine step of ann_ivfpq; green
+    since r1), ``read_page`` (F3/Q5 reconstruction; filter family
+    keeps filter_equality + link_filter_chain; pinned by test_search's
+    page tests; green since r1), ``line_dedup`` (the corpus
+    boilerplate step; its strictly-harder sibling span_dedup stays
+    in-window, both pinned by test_dedup goldens; green since r10),
+    ``snap_dv`` (deletion-vector MERGE-on-read; the snapshot family
+    keeps snap_merge/snap_dropcol/snap_renamecol/snap_bloom in-window
+    and the DV read path is pinned by tests/test_dv.py; green
+    r10-r14).
+
     EVERY entry, in-window or not, is additionally oracle-compared at
     sf0.001 by ``tests/test_queries_full.py`` on each pytest run — the
     round-4 lesson was that out-of-window entries had no committed
@@ -640,11 +673,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_equality": q_filter_equality,
         "snap_dropcol": q_snap_dropcol,
         "stats_fanin": q_stats_fanin,
-        "line_dedup": q_line_dedup,
-        "read_page": q_read_page,
+        "curate": q_curate,
+        "exact_dedup": q_exact_dedup,
         "bm25_topk": q_bm25_topk,
         "tpch_q22": q_tpch_q22,
-        "vector_topk": q_vector_topk,
+        "canonical_docs": q_canonical_docs,
         "hybrid_topk": q_hybrid_topk,
         "tpch_q9": q_tpch_q9,
         "tpch_q21": q_tpch_q21,
@@ -660,14 +693,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions_final": q_streaming_sessions_final,
         "streaming_ingest": q_streaming_ingest,
         "pack_sequences": q_pack_sequences,
-        "triangle_count": q_triangle_count,
+        "stratified_sample": q_stratified_sample,
         "tpch_q8": q_tpch_q8,
         "tpch_q10": q_tpch_q10,
         "tpch_q13": q_tpch_q13,
         "link_filter_chain": q_link_filter_chain,
         "snap_merge": q_snap_merge,
         "lm_quality": q_lm_quality,
-        "snap_dv": q_snap_dv,
+        "events_top_users": q_events_top_users,
         "lm_buckets": q_lm_buckets,
         "tpch_q15": q_tpch_q15,
         "snap_bloom": q_snap_bloom,
@@ -687,10 +720,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": q_pack_shards,
         "sample_mixture": q_sample_mixture,
         # -- 51+: oracle-backed, operator proven by in-window sibling -
+        "line_dedup": q_line_dedup,
+        "read_page": q_read_page,
+        "vector_topk": q_vector_topk,
+        "triangle_count": q_triangle_count,
+        "snap_dv": q_snap_dv,
         "bm25_blockmax": q_bm25_blockmax,
         "batch_hybrid_ivf": q_batch_hybrid_ivf,
         "streaming_near_dedup": q_streaming_near_dedup,
-        "canonical_docs": q_canonical_docs,
         "events_range_left": q_events_range_left,
         "snap_zorder": q_snap_zorder,
         "gopher_rules": q_gopher_rules,
@@ -704,7 +741,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi_join": q_bloom_semi_join,
         "incremental_hourly": q_incremental_hourly,
         "events_gapfill": q_events_gapfill,
-        "stratified_sample": q_stratified_sample,
         "pagerank_centrality": q_pagerank_centrality,
         "tpch_q2": q_tpch_q2,
         "rerank_overlap": q_rerank_overlap,
@@ -735,8 +771,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_order_per_customer": q_first_order_per_customer,
         "tpch_q20": q_tpch_q20,
         "tpch_q11": q_tpch_q11,
-        "curate": q_curate,
-        "exact_dedup": q_exact_dedup,
         "filter_offset": q_filter_offset,
         "source_completion": q_source_completion,
         "parts_never_shipped": q_parts_never_shipped,
@@ -745,7 +779,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_meta_norm": q_doc_meta_norm,
         "stuck_reset": q_stuck_reset,
         "dlq_retry": q_dlq_retry,
-        "events_top_users": q_events_top_users,
         "events_hourly": q_events_hourly,
         "events_pivot": q_events_pivot,
         "quality_scores": q_quality_scores,

@@ -49,6 +49,15 @@ def curate_corpus(
          the quality expression); rows whose running total exceeds the
          budget fall away.  Output is bit-identical to the per-source
          window form.
+
+    Small corpora (<= prefix.SMALL_THRESHOLD rows) take the prefix
+    sum's plain-window fast path: one count job + one window, no
+    boundary collect, no cache, no two-branch scan (the r14 constant
+    overhead that tripled this operator at bench scale).  On the
+    bucketed path the cumsum persists its bucketed frame (so the dedup
+    aggregation feeding it runs once) and attaches the cache to the
+    returned frame — release it with
+    ``operators.cachectl.release_caches(result)`` after materializing.
     """
     # quality/token/hash are all map-side column expressions: project
     # them in the scan and drop the text BEFORE the first exchange, so
@@ -64,14 +73,12 @@ def curate_corpus(
     # keep-lowest-id per hash as a min/min_by aggregation (r14, same
     # rationale as operators/dedup.exact_dedup): partial aggregation
     # collapses a hot hash inside each map partition, so a document
-    # duplicated millions of times never concentrates on one reducer
-    # persisted (persist=True): the prefix sum's running-sum and totals
-    # branches both consume prof, and without the cache each would
-    # replay the dedup aggregation; the frame is narrow (source, id,
-    # 2 scalars).  The cache lives until Spark evicts it — callers
-    # running many curations in one long session can pass
-    # persist=False (paying the extra dedup exchange) or unpersist via
-    # spark.catalog.clearCache() between jobs.
+    # duplicated millions of times never concentrates on one reducer.
+    # Caching moved into distributed_cumsum (r15): its bucketed path
+    # persists the post-dedup bucketed frame (one dedup exchange, one
+    # evaluation of the expressions) and hands the cache back through
+    # the returned frame; the degenerate small-corpus path consumes
+    # prof exactly once and needs no cache at all.
     prof = (
         prof0.groupBy("_h")
         .agg(
@@ -82,8 +89,7 @@ def curate_corpus(
         )
         .drop("_h")
     )
-    if persist:
-        prof = prof.persist()
+    from qurio_spark.operators.cachectl import propagate_caches
     from qurio_spark.operators.prefix import distributed_cumsum
 
     cum = distributed_cumsum(
@@ -97,9 +103,11 @@ def curate_corpus(
         # never replay the dedup exchange
         sample_df=prof0.withColumn("_negq", -F.col("quality")),
         hash_col=id_col,
+        persist=persist,
     )
-    return (
+    return propagate_caches(
+        cum,
         cum.withColumn("cum_tokens", F.col("cum_tokens").cast("bigint"))
         .filter(F.col("cum_tokens") <= per_source_token_budget)
-        .select(source_col, id_col, "quality", "n_tokens", "cum_tokens")
+        .select(source_col, id_col, "quality", "n_tokens", "cum_tokens"),
     )

@@ -237,14 +237,24 @@ def lm_buckets(
     arithmetically from (rank, source size, n_buckets), so the output
     is still bit-identical to the window ntile and oracle-checkable.
     ``exact=False`` trades exact bucket sizes for per-source
-    ``percentile_approx`` cutoffs broadcast back (bucket = a
-    comparison per row — the bucketing step never shuffles the corpus
-    at all; size error bounded by the sketch ``approx_accuracy``).
+    ``percentile_approx`` cutoffs broadcast back (bucket = one
+    ``element_at`` comparison per cutoff per row — NOT a
+    higher-order-function lambda, whose NamedLambdaVariable rebinding
+    across duplicated lineage trips INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND
+    on Spark 4.1, see operators/prefix — so the path is safe with
+    ``persist=False`` too).  The only exchange past the scoring
+    subtree is the cutoff aggregation itself, which carries one
+    partial-agged sketch per (source, input partition) — the corpus
+    rows never shuffle for bucketing (pinned by
+    tests/test_textstats_lm.py's plan assert; planted approx==exact
+    agreement in tools/lm_approx_check.py).
     The scored frame is persisted (narrow: id, source, 2 ints) —
     both paths consume it more than once, and re-deriving it would
-    re-run LM training.  The cache lives until Spark evicts it; pass
-    ``persist=False`` (or ``spark.catalog.clearCache()`` between jobs)
-    in long sessions that bucket many corpora.
+    re-run LM training.  The cache is attached to the returned frame:
+    release it deterministically with
+    ``operators.cachectl.release_caches(result)`` after the consuming
+    action (long sessions bucketing many corpora no longer need
+    ``spark.catalog.clearCache()``).
     """
     scored = lm_cross_entropy(
         docs.select(id_col, text_col),
@@ -288,21 +298,37 @@ def lm_buckets(
         )
         # long, matching the oracle's BIGINT ntile (the r13 typing
         # rule: integer output columns are int64 on both sides)
-        out = ranked.join(F.broadcast(totals), [source_col]).withColumn(
-            "bucket", bucket.cast("long")
+        from qurio_spark.operators.cachectl import propagate_caches as _prop
+
+        out = _prop(
+            ranked,
+            ranked.join(F.broadcast(totals), [source_col]).withColumn(
+                "bucket", bucket.cast("long")
+            ),
         )
     else:
         probs = [i / n_buckets for i in range(1, n_buckets)]
         cuts = withsrc.groupBy(source_col).agg(
             F.percentile_approx(ratio, probs, approx_accuracy).alias("_cuts")
         )
+        # bucket = 1 + |{cutoffs < ratio}| as a plain sum of
+        # element_at comparisons (percentile_approx with a list of
+        # probs always returns exactly len(probs) elements) — no HOF
+        # lambda, so duplicated lineage under persist=False is safe
+        bucket = F.lit(1)
+        for i in range(1, n_buckets):
+            bucket = bucket + F.when(
+                F.element_at("_cuts", i) < ratio, F.lit(1)
+            ).otherwise(F.lit(0))
         out = withsrc.join(F.broadcast(cuts), [source_col]).withColumn(
-            "bucket",
-            (
-                F.lit(1)
-                + F.size(F.filter("_cuts", lambda c: c < ratio))
-            ).cast("long"),
+            "bucket", bucket.cast("long")
         )
-    return out.select(
+    from qurio_spark.operators.cachectl import attach_caches, propagate_caches
+
+    sel = out.select(
         id_col, source_col, "n_bigrams", "cost_millinats", "bucket"
     )
+    propagate_caches(out, sel)
+    if persist:
+        attach_caches(sel, [withsrc])
+    return sel

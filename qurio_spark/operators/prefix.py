@@ -40,7 +40,16 @@ Scale shape: one pruned count + one pruned/hash-filtered sample scan
 over the order key only, one corpus exchange on (part, bucket) for the
 running sums, and one tiny partial-agged exchange for the totals.  The
 only serialized fraction is the offsets window: <= n_buckets rows per
-part.
+part.  Inputs at or below ``small_threshold`` rows (default 1M) skip
+the boundary machinery entirely and take the plain window — at that
+size one reducer per part is trivially fine, and the constant overhead
+(boundary collect + two-branch scan + join) tripled small-corpus
+callers like ``curate`` (VERDICT r14 #1).  The bucketed path persists
+the bucketed frame by default (its running-sum and totals branches
+both scan it — without the cache an expensive value expression, e.g.
+a UDF token counter, would be computed twice); the cache is attached
+to the returned frame for deterministic release via
+``operators.cachectl.release_caches``.
 
 No reference counterpart (the reference has no windowed analytics at
 all — SURVEY §2.7); this hardens the §2.8 curation/sharding extensions
@@ -56,7 +65,24 @@ from qurio_spark.functions.hashing import hash64
 
 #: how many order keys the boundary pass collects to the driver
 SAMPLE_TARGET = 50_000
-_MOD = 1_000_000
+#: sample-filter modulus.  1e9 (not 1e6, the pre-r15 value): the
+#: threshold ``_MOD * sample_target / n`` floors at 1 only past
+#: n ~ 5e13 rows, so the driver collect stays near sample_target at
+#: any realistic corpus size (ADVICE r14: at _MOD=1e6 the floor hit
+#: at ~5e10 rows and the collect grew as n/1e6 beyond it).
+_MOD = 1_000_000_000
+#: inputs at or below this many rows take the degenerate window path —
+#: one reducer per part is trivially fine for <= 1M narrow rows, and
+#: skipping the boundary collect + two-branch scan removes the
+#: constant overhead that tripled small-corpus callers (VERDICT r14 #1)
+SMALL_THRESHOLD = 1_000_000
+#: cap on the DEFAULT bucket count: bucket assignment is a chain of
+#: n_buckets-1 comparisons per row, and clusters configured with
+#: thousands of shuffle partitions would otherwise build expression
+#: trees large enough to fall out of codegen (ADVICE r14).  256
+#: buckets x sources is ample parallelism for the offsets pass;
+#: callers wanting more pass n_buckets explicitly.
+MAX_DEFAULT_BUCKETS = 256
 
 
 def _as_list(order_cols) -> list:
@@ -66,11 +92,13 @@ def _as_list(order_cols) -> list:
 def default_buckets(spark) -> int:
     """``spark.sql.shuffle.partitions`` as an int, falling back to 200
     when the platform sets a non-numeric value (e.g. ``auto`` under
-    some AQE deployments)."""
+    some AQE deployments), capped at ``MAX_DEFAULT_BUCKETS`` (the
+    per-row comparison chain grows linearly with the bucket count)."""
     try:
-        return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        conf = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     except (TypeError, ValueError):
-        return 200
+        conf = 200
+    return min(conf, MAX_DEFAULT_BUCKETS)
 
 
 def _key_expr(order_cols: list):
@@ -101,18 +129,22 @@ def order_key_boundaries(
     n_buckets: int,
     sample_target: int = SAMPLE_TARGET,
     hash_col: str | None = None,
+    small_threshold: int = 0,
 ) -> list:
     """Pick ``<= n_buckets - 1`` boundary keys that roughly equi-split
     the rows by the order key.  Deterministic: the sample filter is the
-    portable md5 hash mod 1e6 over ``hash_col`` (default: the first
-    order column) — same keys every run, every plan, and the filter
-    applies BEFORE any expensive derived order column is computed for
-    non-sampled rows.  Both passes read only what the keys need
-    (column pruning keeps expensive sibling columns out)."""
+    portable md5 hash mod ``_MOD`` over ``hash_col`` (default: the
+    first order column) — same keys every run, every plan, and the
+    filter applies BEFORE any expensive derived order column is
+    computed for non-sampled rows.  Both passes read only what the
+    keys need (column pruning keeps expensive sibling columns out).
+    Returns ``[]`` (degenerate single bucket) when the input has at
+    most ``small_threshold`` rows — the caller's plain-window path is
+    the right plan there and the sample collect is skipped entirely."""
     order_cols = _as_list(order_cols)
     hash_col = hash_col or order_cols[0]
     n = sample_df.count()
-    if n == 0 or n_buckets <= 1:
+    if n == 0 or n_buckets <= 1 or n <= small_threshold:
         return []
     filtered = sample_df
     if n > sample_target:
@@ -151,6 +183,8 @@ def distributed_cumsum(
     sample_target: int = SAMPLE_TARGET,
     keep_bucket: str | None = None,
     hash_col: str | None = None,
+    small_threshold: int | None = None,
+    persist: bool | None = None,
 ) -> DataFrame:
     """``df`` + ``out_col`` = inclusive running sum of ``value_col``
     within ``part_col`` in ``order_cols`` (all-ascending) order — the
@@ -164,9 +198,21 @@ def distributed_cumsum(
     (defaults to the first order column) — pass a cheap unique id when
     the order key itself is expensive to compute, so only sampled rows
     pay for it.
-    ``n_buckets`` defaults to ``spark.sql.shuffle.partitions``.
+    ``n_buckets`` defaults to ``spark.sql.shuffle.partitions`` capped
+    at ``MAX_DEFAULT_BUCKETS``.
     ``keep_bucket``: optionally expose the bucket id under this name
     (scale checks assert multi-bucket execution through it).
+    ``small_threshold`` (default ``SMALL_THRESHOLD``): at or below
+    this many rows the plain window runs instead — one cheap count
+    job, no boundary collect, no two-branch scan.  Scale checks that
+    must force bucketed execution on small frames pass 0.
+    ``persist``: the bucketed path scans ``df`` twice (running sums +
+    totals).  ``None``/``True`` persists the bucketed frame so an
+    expensive ``value_col`` expression is computed once; the cache is
+    attached to the result for ``cachectl.release_caches``.  ``False``
+    skips the cache (callers whose value column is a trivial
+    projection of an already-materialized frame).  The degenerate
+    window path never persists (single consumer).
     """
     order_cols = _as_list(order_cols)
     reserved = {"_psb", "_psrun", "_psoff", "_t", out_col}
@@ -177,12 +223,15 @@ def distributed_cumsum(
         raise ValueError(f"distributed_cumsum reserved columns in input: {clash}")
     if n_buckets is None:
         n_buckets = default_buckets(df.sparkSession)
+    if small_threshold is None:
+        small_threshold = SMALL_THRESHOLD
     bounds = order_key_boundaries(
         sample_df if sample_df is not None else df,
         order_cols,
         n_buckets,
         sample_target,
         hash_col=hash_col,
+        small_threshold=small_threshold,
     )
     asc = [F.asc(c) for c in order_cols]
     if not bounds:
@@ -209,6 +258,12 @@ def distributed_cumsum(
         for b in bounds
     )
     bucketed = df.withColumn("_psb", bucket)
+    if persist is None or persist:
+        # both branches below scan this frame; the cache guarantees an
+        # expensive value expression (UDF token counter, quality
+        # heuristic) is evaluated once per row.  Released by the
+        # caller via cachectl.release_caches on the returned frame.
+        bucketed = bucketed.persist()
     w_run = (
         Window.partitionBy(part_col, "_psb")
         .orderBy(*asc)
@@ -255,6 +310,10 @@ def distributed_cumsum(
         out = out.withColumnRenamed("_psb", keep_bucket)
     else:
         out = out.drop("_psb")
+    if persist is None or persist:
+        from qurio_spark.operators.cachectl import attach_caches
+
+        attach_caches(out, [bucketed])
     return out
 
 
@@ -267,12 +326,16 @@ def distributed_rank(
     sample_df: DataFrame | None = None,
     sample_target: int = SAMPLE_TARGET,
     hash_col: str | None = None,
+    small_threshold: int | None = None,
+    persist: bool | None = None,
 ) -> DataFrame:
     """``row_number() over (partitionBy(part).orderBy(...))`` computed
     as a distributed prefix sum of 1s — same contract, same exactness
     argument, no per-part single reducer.  Requires the order key to be
     unique within a part (true row_number semantics need no tie rule
-    then)."""
+    then).  The summed value is a literal 1, so the double-scan cost
+    the cumsum cache exists for does not arise — ``persist`` defaults
+    to False here."""
     if "_psone" in df.columns:
         raise ValueError("distributed_rank reserved column in input: _psone")
     ranked = distributed_cumsum(
@@ -285,5 +348,9 @@ def distributed_rank(
         sample_df=sample_df,
         sample_target=sample_target,
         hash_col=hash_col,
+        small_threshold=small_threshold,
+        persist=False if persist is None else persist,
     )
-    return ranked.drop("_psone")
+    from qurio_spark.operators.cachectl import propagate_caches
+
+    return propagate_caches(ranked, ranked.drop("_psone"))

@@ -17,17 +17,24 @@ Scale shape:
     (one input-row copy per distinct agg); at 100 TB swap
     ``approx_count_distinct`` in via ``exact_distinct=False`` — HLL
     keeps it a plain two-phase agg.
-  - ``outlier_events`` is one shuffle (window over the group key) with
-    EXACT INTEGER arithmetic: values go to cents, and the 3x-mean test
-    is ``cents * n > factor * sum_cents`` — long multiplications, no
-    division, so the flag can never flip on a float boundary between
-    engines (the r11/r12 rounding rule, .claude/skills/verify).
+  - ``outlier_events`` computes group stats as a ``groupBy`` partial
+    aggregation joined back (r15; previously an unordered per-group
+    window, which shipped EVERY row of a group to one reducer — a
+    dominant user funneled its whole event stream through one task).
+    Map-side partials collapse a hot group inside each input
+    partition before the exchange; the join back broadcasts when the
+    group-stats side is small and otherwise falls to a shuffle join
+    that AQE skew-splits (a window cannot be skew-split).  The test
+    itself is EXACT INTEGER arithmetic: values go to cents, and the
+    3x-mean test is ``cents * n > factor * sum_cents`` — long
+    multiplications, no division, so the flag can never flip on a
+    float boundary between engines (the r11/r12 rounding rule,
+    .claude/skills/verify).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.window import Window
 
 
 def dq_profile(
@@ -111,7 +118,10 @@ def outlier_events(
 ) -> DataFrame:
     """Events whose value exceeds ``factor`` x their group's mean, for
     groups with >= min_group OBSERVED (non-null) values — all-integer
-    comparison (cents * n > factor * sum_cents), one window shuffle.
+    comparison (cents * n > factor * sum_cents), group stats via
+    partial-agged groupBy + join back (module doc; r15 de-windowing —
+    output identical to the window form, pinned by the in-window
+    ``anomaly_events`` oracle).
 
     NULL values: a NULL-valued event is never flagged (NULL cents fail
     the comparison) and does not count toward ``n_group`` either —
@@ -121,13 +131,25 @@ def outlier_events(
     Pinned by the NULL-bearing test in tests/test_quality.py; moot on
     the NULL-free events table."""
     cents = F.floor(F.col(value_col).cast("double") * 100.0 + F.lit(0.5)).cast("long")
-    w = Window.partitionBy(group_col)
-    flagged = (
-        events.select(F.col(id_col), F.col(group_col), cents.alias("value_cents"))
-        .withColumn("n_group", F.count("value_cents").over(w))
-        .withColumn("_sum", F.sum("value_cents").over(w))
+    sel = events.select(
+        F.col(id_col), F.col(group_col), cents.alias("value_cents")
     )
-    return flagged.filter(
-        (F.col("n_group") >= F.lit(min_group))
-        & (F.col("value_cents") * F.col("n_group") > F.lit(factor) * F.col("_sum"))
-    ).drop("_sum")
+    # count/sum over the observed (non-null) cents only — identical to
+    # the window form's count("value_cents")/sum("value_cents").  No
+    # forced broadcast hint: one row per group can exceed the
+    # threshold at scale; AQE broadcasts when it is actually small.
+    stats = sel.groupBy(group_col).agg(
+        F.count("value_cents").alias("n_group"),
+        F.sum("value_cents").alias("_sum"),
+    )
+    return (
+        sel.join(stats, [group_col])
+        .filter(
+            (F.col("n_group") >= F.lit(min_group))
+            & (
+                F.col("value_cents") * F.col("n_group")
+                > F.lit(factor) * F.col("_sum")
+            )
+        )
+        .select(id_col, group_col, "value_cents", "n_group")
+    )

@@ -68,16 +68,16 @@ def pack_shards(
         counter(F.col(text_col)).cast("bigint").alias("n_tokens"),
     )
     if persist_counts is None:
-        persist_counts = token_count is not None
-    if persist_counts:
         # a caller-supplied counter is usually expensive (Arrow UDF,
-        # HTTP tokenizer); the prefix sum's running-sum and totals
-        # branches both scan toks, so persist the narrow frame to
-        # count each document once.  Callers overriding with a CHEAP
-        # column expression pass persist_counts=False (and the default
-        # JVM counter stays unpersisted — cheaper than the cache
-        # round-trip).
-        toks = toks.persist()
+        # HTTP tokenizer); the prefix sum's bucketed path scans the
+        # counted frame twice (running sums + totals), so it caches it
+        # to count each document once.  The default JVM counter stays
+        # unpersisted — cheaper than the cache round-trip.  (r15: the
+        # persist now happens INSIDE distributed_cumsum on its bucketed
+        # frame — one cache covers both branches — and is attached to
+        # the result for cachectl.release_caches; the degenerate
+        # small-corpus path scans once and never caches.)
+        persist_counts = token_count is not None
     cum = distributed_cumsum(
         toks,
         value_col="n_tokens",
@@ -86,16 +86,22 @@ def pack_shards(
         out_col="_cum",
         n_buckets=n_buckets,
         sample_df=docs,
+        persist=persist_counts,
     )
+    from qurio_spark.operators.cachectl import propagate_caches
+
     # long, not int: a single source past ~2^31 * budget tokens would
     # silently wrap an int shard_id and collide distinct shards
-    return cum.select(
-        "source",
-        id_col,
-        "n_tokens",
-        F.floor((F.col("_cum") - F.col("n_tokens")) / F.lit(token_budget))
-        .cast("long")
-        .alias("shard_id"),
+    return propagate_caches(
+        cum,
+        cum.select(
+            "source",
+            id_col,
+            "n_tokens",
+            F.floor((F.col("_cum") - F.col("n_tokens")) / F.lit(token_budget))
+            .cast("long")
+            .alias("shard_id"),
+        ),
     )
 
 
@@ -414,12 +420,12 @@ def pack_sequences(
         counter(F.col(text_col)).cast("bigint").alias("n_tokens"),
     ).filter(F.col("n_tokens") > 0)
     if persist_counts is None:
-        persist_counts = token_count is not None
-    if persist_counts:
         # same rationale as pack_shards: count each doc once when the
-        # counter is a caller-supplied (potentially Python/HTTP) UDF
-        toks = toks.persist()
-    spans = distributed_cumsum(
+        # counter is a caller-supplied (potentially Python/HTTP) UDF;
+        # r15: the cache lives inside distributed_cumsum's bucketed
+        # path and rides the returned frame (cachectl.release_caches)
+        persist_counts = token_count is not None
+    cum = distributed_cumsum(
         toks,
         value_col="n_tokens",
         part_col="source",
@@ -427,7 +433,9 @@ def pack_sequences(
         out_col="_end",
         n_buckets=n_buckets,
         sample_df=docs,
-    ).select(
+        persist=persist_counts,
+    )
+    spans = cum.select(
         "source",
         id_col,
         (F.col("_end") - F.col("n_tokens")).alias("_start"),
@@ -455,7 +463,12 @@ def pack_sequences(
             - F.greatest(F.col("_start"), F.col("seq_id") * F.lit(seq_len))
         ).alias("_fill"),
     )
-    return per_seq.groupBy("source", "seq_id").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("_fill").cast("long").alias("n_tokens"),
+    from qurio_spark.operators.cachectl import propagate_caches
+
+    return propagate_caches(
+        cum,
+        per_seq.groupBy("source", "seq_id").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_fill").cast("long").alias("n_tokens"),
+        ),
     )

@@ -79,11 +79,12 @@ BUDGETS = {
     "pii_redact": {"shuffles": ("<=", 0), "codegen_spans": (">=", 1), "python_stages": ("<=", 0)},
     # top-word argmax: (doc, word) partial-agg shuffle + per-doc window
     "word_concentration": {"shuffles": ("<=", 2), "python_stages": ("<=", 0)},
-    # curation (r14): dedup hash + the distributed prefix-sum budget
-    # cumsum (corpus exchange on (source, bucket) + tiny partial-agged
-    # totals + tiny per-part offsets window) — no single-reducer
-    # source, no global sort
-    "curate": {"shuffles": ("<=", 4)},
+    # curation (r15): at test SF the prefix sum's small-input fast
+    # path runs — ONE dedup-agg exchange + ONE per-source window
+    # exchange, no boundary collect, no cache (the r14 bucketed
+    # machinery tripled the query at toy scale; it still engages past
+    # SMALL_THRESHOLD rows — tools/cumsum_scale_check.py)
+    "curate": {"shuffles": ("<=", 2)},
     # sessionization: one per-user window shuffle
     "events_sessions": {"shuffles": ("<=", 1)},
     # q9-shaped profit: one groupBy shuffle, every dim broadcast
@@ -237,9 +238,18 @@ BUDGETS = {
     # expand folds into it) + the stack unpivot — no joins, no python
     "data_quality": {"shuffles": ("<=", 2), "smj": ("<=", 0),
                      "bhj": ("<=", 0), "python_stages": ("<=", 0)},
-    # per-group outliers: ONE window exchange on the group key
+    # per-group outliers (r15 de-windowed): group stats via partial
+    # aggregation (one exchange) joined back by broadcast — the corpus
+    # itself never shuffles, and a dominant group collapses map-side
+    # instead of funneling one window reducer
     "anomaly_events": {"shuffles": ("<=", 1), "smj": ("<=", 0),
-                       "python_stages": ("<=", 0)},
+                       "bhj": ("<=", 1), "python_stages": ("<=", 0)},
+    # top-3 users per event_type (r15 two-phase top-n): the per-user
+    # count agg + the (type, sub-bucket) phase-1 window + the
+    # survivors-only phase-2 window — a billion-user event_type prunes
+    # to <= 3 x n_buckets rows before the per-type window
+    "events_top_users": {"shuffles": ("<=", 3), "smj": ("<=", 0),
+                         "python_stages": ("<=", 0)},
     # bigram LM scoring: 4 vocab-sized count shuffles (train uni raw,
     # train uni mapped, train bi, per-doc agg) + the r14 per-doc
     # bigram pre-aggregation (map-side partials collapse a doc's

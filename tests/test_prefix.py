@@ -39,7 +39,8 @@ class TestDistributedCumsum:
         got = {
             (r["s"], r["k"]): r["cum"]
             for r in distributed_cumsum(
-                df, "v", "s", "k", "cum", n_buckets=8, sample_target=200
+                df, "v", "s", "k", "cum", n_buckets=8, sample_target=200,
+                small_threshold=0,
             ).collect()
         }
         want = {
@@ -54,7 +55,7 @@ class TestDistributedCumsum:
         df = _mkdf(spark, 3000, 1)
         out = distributed_cumsum(
             df, "v", "s", "k", "cum", n_buckets=8, sample_target=200,
-            keep_bucket="b",
+            keep_bucket="b", small_threshold=0,
         )
         per_bucket = {
             r["b"]: r["n"]
@@ -82,7 +83,7 @@ class TestDistributedCumsum:
             F.lit(3).alias("v"),
         )
         out = distributed_cumsum(df, "v", "s", "k", "cum", n_buckets=4,
-                                 sample_target=50).collect()
+                                 sample_target=50, small_threshold=0).collect()
         assert {r["k"]: r["cum"] for r in out} == {
             i: 3 * (i + 1) for i in range(500)
         }
@@ -122,10 +123,81 @@ class TestDistributedCumsum:
         sample = df.select("k")
         a = distributed_cumsum(
             df, "v", "s", "k", "cum", n_buckets=6, sample_df=sample,
-            sample_target=150,
+            sample_target=150, small_threshold=0,
         ).collect()
         b = _window_cumsum(df, "v", "s", "k", "cum").collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestSmallInputFastPath:
+    """r15 (VERDICT r14 #1): inputs at or below small_threshold skip
+    boundary collection and run the plain window — no cache, no
+    two-branch scan, no collect beyond the one count job."""
+
+    def test_default_threshold_takes_window_path(self, spark):
+        df = _mkdf(spark, 3000, 2)
+        out = distributed_cumsum(df, "v", "s", "k", "cum", keep_bucket="b")
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "InMemoryRelation" not in plan  # no cache on the fast path
+        rows = out.collect()
+        assert {r["b"] for r in rows} == {0}  # degenerate single bucket
+        want = {
+            (r["s"], r["k"]): r["cum"]
+            for r in _window_cumsum(df, "v", "s", "k", "cum").collect()
+        }
+        assert {(r["s"], r["k"]): r["cum"] for r in rows} == want
+
+    def test_threshold_boundary_is_inclusive(self, spark):
+        df = _mkdf(spark, 100, 1)
+        out = distributed_cumsum(
+            df, "v", "s", "k", "cum", n_buckets=4, sample_target=50,
+            small_threshold=100, keep_bucket="b",
+        )
+        assert {r["b"] for r in out.collect()} == {0}
+        out2 = distributed_cumsum(
+            df, "v", "s", "k", "cum", n_buckets=4, sample_target=50,
+            small_threshold=99, keep_bucket="b",
+        )
+        assert len({r["b"] for r in out2.collect()}) > 1
+
+    def test_no_cache_attached_on_fast_path(self, spark):
+        from qurio_spark.operators.cachectl import cached_frames
+
+        out = distributed_cumsum(_mkdf(spark, 50, 1), "v", "s", "k", "cum")
+        assert cached_frames(out) == []
+
+
+class TestCumsumCacheLifetime:
+    """r15 (VERDICT r14 #3/#6): the bucketed path persists its bucketed
+    frame once (both branches share it) and hands the cache back for
+    deterministic release."""
+
+    def test_bucketed_path_attaches_and_releases(self, spark):
+        from qurio_spark.operators.cachectl import cached_frames, release_caches
+
+        df = _mkdf(spark, 2000, 2)
+        out = distributed_cumsum(
+            df, "v", "s", "k", "cum", n_buckets=6, sample_target=150,
+            small_threshold=0,
+        )
+        frames = cached_frames(out)
+        assert len(frames) == 1
+        out.count()  # materialize (fills the cache)
+        assert frames[0].storageLevel.useMemory
+        assert release_caches(out) == 1
+        assert not frames[0].storageLevel.useMemory  # unpersisted
+        assert release_caches(out) == 0  # idempotent
+
+    def test_persist_false_skips_cache(self, spark):
+        from qurio_spark.operators.cachectl import cached_frames
+
+        out = distributed_cumsum(
+            _mkdf(spark, 2000, 2), "v", "s", "k", "cum", n_buckets=6,
+            sample_target=150, small_threshold=0, persist=False,
+        )
+        assert cached_frames(out) == []
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "InMemoryRelation" not in plan
 
 
 class TestCompositeKeys:
@@ -140,6 +212,7 @@ class TestCompositeKeys:
             for r in distributed_cumsum(
                 df, "v", "s", ["negq", "k"], "cum",
                 n_buckets=8, sample_target=150, hash_col="k",
+                small_threshold=0,
             ).collect()
         }
         w = (
@@ -161,7 +234,7 @@ class TestCompositeKeys:
             (r["s"], r["k"]): r["rk"]
             for r in distributed_rank(
                 df, "s", ["v", "k"], "rk", n_buckets=6, sample_target=100,
-                hash_col="k",
+                hash_col="k", small_threshold=0,
             ).collect()
         }
         w = Window.partitionBy("s").orderBy(F.asc("v"), F.asc("k"))
