@@ -245,9 +245,9 @@ def lm_buckets(
     ``persist=False`` too).  The only exchange past the scoring
     subtree is the cutoff aggregation itself, which carries one
     partial-agged sketch per (source, input partition) — the corpus
-    rows never shuffle for bucketing (pinned by
-    tests/test_textstats_lm.py's plan assert; planted approx==exact
-    agreement in tools/lm_approx_check.py).
+    rows never shuffle for bucketing (pinned by the plan assert in
+    tests/test_textstats.py; planted approx==exact agreement at scale
+    in tools/lm_approx_check.py, committed in SCALE.md).
     The scored frame is persisted (narrow: id, source, 2 ints) —
     both paths consume it more than once, and re-deriving it would
     re-run LM training.  The cache is attached to the returned frame:

@@ -45,3 +45,47 @@ def test_quality_orders_selection(spark):
     # only the good doc fits; it must win the ordering despite higher id
     assert [r["doc_id"] for r in kept] == [2]
     assert all(r["quality"] > 0.5 for r in kept)
+
+
+def test_multi_corpus_session_no_cache_growth(spark):
+    """r15 cache-lifetime contract (VERDICT r14 #3): a session that
+    curates several corpora and releases each result leaves NO cached
+    frames behind — the handle protocol replaces clearCache().  The
+    small corpora here take the fast path (no cache at all); the
+    bucketed path's attach/release is pinned in test_prefix."""
+    from qurio_spark.operators.cachectl import cached_frames, release_caches
+
+    # order-robust baseline: other test files share this session and
+    # may legitimately hold caches of their own
+    rdds = spark.sparkContext._jsc.getPersistentRDDs()
+    baseline = rdds.size()
+    for salt in range(3):
+        docs = spark.createDataFrame(
+            [(i + salt * 100, GOOD + f" tail {i} {salt}", f"s{i % 2}")
+             for i in range(8)],
+            "doc_id long, text string, source string",
+        )
+        kept = curate_corpus(docs, per_source_token_budget=200)
+        kept.count()
+        release_caches(kept)
+        assert cached_frames(kept) == []
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == baseline
+
+
+def test_bucketed_curate_releases_cache(spark):
+    """Force the bucketed path through distributed_cumsum's knobs via a
+    larger corpus than SMALL_THRESHOLD is impractical in a unit test;
+    instead pin that curate's persist flag reaches the cumsum: with
+    persist=False no cache may appear even on the bucketed path (the
+    fast path never caches regardless)."""
+    from qurio_spark.operators.cachectl import cached_frames
+
+    docs = spark.createDataFrame(
+        [(i, GOOD + f" t{i}", "s") for i in range(20)],
+        "doc_id long, text string, source string",
+    )
+    baseline = spark.sparkContext._jsc.getPersistentRDDs().size()
+    kept = curate_corpus(docs, per_source_token_budget=500, persist=False)
+    kept.count()
+    assert cached_frames(kept) == []
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == baseline

@@ -188,6 +188,52 @@ class TestCumsumCacheLifetime:
         assert not frames[0].storageLevel.useMemory  # unpersisted
         assert release_caches(out) == 0  # idempotent
 
+    def test_udf_counter_materializes_once(self, spark):
+        """VERDICT r14 #6: with an expensive (Python UDF) value
+        expression, the bucketed path's auto-persist means the UDF
+        runs inside the ONE cached materialization — the live plan
+        (outside the InMemoryRelation subtree) carries no Python
+        stage, so neither the running-sum nor the totals branch
+        re-evaluates the counter."""
+        import re
+
+        from pyspark.sql.functions import pandas_udf
+
+        from qurio_spark.operators.cachectl import release_caches
+
+        _pycount = pandas_udf(
+            lambda s: s.str.len().astype("int64"), "long"
+        )
+
+        df = _mkdf(spark, 2000, 2).withColumn("v2", _pycount("k"))
+        out = distributed_cumsum(
+            df, "v2", "s", "k", "cum", n_buckets=6, sample_target=150,
+            small_threshold=0,
+        )
+        out.collect()
+        from tools.plan_audit import strip_initial_plans
+
+        plan = strip_initial_plans(
+            out._jdf.queryExecution().executedPlan().toString()
+        )
+
+        def _depth(line):
+            return len(line) - len(line.lstrip(" :+-*("))
+
+        live, imr, imr_depth = [], [], None
+        for line in plan.splitlines():
+            d = _depth(line)
+            if imr_depth is not None and d <= imr_depth:
+                imr_depth = None
+            if "InMemoryRelation" in line and imr_depth is None:
+                imr_depth = d
+                continue
+            (live if imr_depth is None else imr).append(line)
+        pyth = re.compile(r"ArrowEvalPython|BatchEvalPython|MapInPandas")
+        assert not any(pyth.search(l) for l in live), plan
+        assert any(pyth.search(l) for l in imr), plan
+        release_caches(out)
+
     def test_persist_false_skips_cache(self, spark):
         from qurio_spark.operators.cachectl import cached_frames
 

@@ -550,8 +550,11 @@ class TestLmBuckets:
         )
         out = lm_buckets(docs, train, n_buckets=3, exact=False)
         out.collect()
-        plan = out._jdf.queryExecution().executedPlan().toString()
-        plan = plan.split("== Initial Plan ==")[0]
+        from tools.plan_audit import strip_initial_plans
+
+        plan = strip_initial_plans(
+            out._jdf.queryExecution().executedPlan().toString()
+        )
         # live lines = everything outside InMemoryRelation subtrees
         def _depth(line):
             return len(line) - len(line.lstrip(" :+-*("))

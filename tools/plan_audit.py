@@ -35,14 +35,40 @@ DEFAULT_QUERIES = [
 ]
 
 
+def _depth_of(line):
+    return len(line) - len(line.lstrip(" :+-*("))
+
+
+def strip_initial_plans(plan: str) -> str:
+    """Drop every "== Initial Plan ==" section, at ANY depth.  AQE
+    appends the pre-adaptive plan under that marker — and a CACHED
+    subtree that already executed prints its own nested Final/Initial
+    pair INSIDE the InMemoryRelation body, so splitting the string at
+    the first marker (the r14 form) truncated everything after the
+    first cached block, silently undercounting live shuffles.  A
+    section runs from its marker line until the first line at depth
+    <= the marker's (same end rule as the IMR-block walk)."""
+    out, skip_depth = [], None
+    for line in plan.splitlines():
+        d = _depth_of(line)
+        if skip_depth is not None:
+            if d > skip_depth:
+                continue
+            skip_depth = None
+        if "== Initial Plan ==" in line:
+            skip_depth = d
+            continue
+        out.append(line)
+    return "\n".join(out)
+
+
 def audit(df):
     # execute first: under AQE the final plan (stage re-plans, codegen
     # markers) only exists after the action ran
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # AQE appends the pre-adaptive plan under "== Initial Plan ==";
     # audit only what actually ran
-    plan = plan.split("== Initial Plan ==")[0]
+    plan = strip_initial_plans(plan)
     lines = plan.splitlines()
 
     def count(pat, exclude=None):
@@ -57,11 +83,10 @@ def audit(df):
     # the plan text — count shuffles outside cached subtrees plus each
     # DISTINCT cached build plan's shuffles once.  (Subtree = the
     # indented block under the IMR line.)
-    def _depth(line):
-        return len(line) - len(line.lstrip(" :+-*("))
+    _depth = _depth_of
 
     live = []
-    imr_blocks: list[list[str]] = []
+    imr_blocks: list[tuple[str, list[str]]] = []
     imr_depth = None
     for line in lines:
         d = _depth(line)
@@ -69,12 +94,22 @@ def audit(df):
             imr_depth = None
         if "InMemoryRelation" in line and imr_depth is None:
             imr_depth = d
-            imr_blocks.append([])
+            # the header joins the dedup key with its attribute #ids
+            # NORMALIZED but its storage level kept: CacheManager
+            # substitutes the SAME physical cache into a re-derived
+            # lineage via withOutput re-aliasing (fresh exprIds, e.g.
+            # lm_buckets' rank vs totals branch prints #901L/#1196L
+            # for one cache), so raw-header keying would double-count
+            # its build shuffles; two caches that differ only in
+            # storage level (the genuinely-distinct case ADVICE r14
+            # raised) still key apart because the level survives
+            # normalization.
+            imr_blocks.append((line.strip(" :+-"), []))
             continue
         if imr_depth is None:
             live.append(line)
         else:
-            imr_blocks[-1].append(line)
+            imr_blocks[-1][1].append(line)
 
     def _exchanges(ls):
         return sum(
@@ -94,9 +129,9 @@ def audit(df):
         t = re.sub(r"plan_id=\d+", "plan_id=", t)
         return re.sub(r"\*\(\d+\)", "*", t)
 
-    unique_blocks = {_norm(b) for b in imr_blocks}
+    unique_blocks = {(_norm([hdr]), _norm(body)) for hdr, body in imr_blocks}
     shuffles = _exchanges(live) + sum(
-        _exchanges(b.splitlines()) for b in unique_blocks
+        _exchanges(body.splitlines()) for _, body in unique_blocks
     )
 
     return {

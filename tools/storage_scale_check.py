@@ -192,8 +192,11 @@ def main() -> None:
             cnt = df.count()
             out["mor_big_read_s"] = round(time.time() - t0, 2)
             assert cnt == n + n // 1000 - small - big
-            plan = df._jdf.queryExecution().executedPlan().toString()
-            plan = plan.split("== Initial Plan ==")[0]
+            from tools.plan_audit import strip_initial_plans
+
+            plan = strip_initial_plans(
+                df._jdf.queryExecution().executedPlan().toString()
+            )
             # past _BROADCAST_DV_ROWS the engine stops FORCING the
             # broadcast; the planner may still pick one if the DV
             # parquet's byte size sits under autoBroadcastJoinThreshold
