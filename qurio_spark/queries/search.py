@@ -338,17 +338,56 @@ def q_vector_topk(spark, sf_dir):
     return top.select("vec_id", stable_round("score", 4).alias("score"))
 
 
+def register_search_sql(spark, sf_dir):
+    """Bind the engine's search operators to SQL table functions over
+    the sf_dir corpus (qurio_spark.sqlfront): ``hybrid_search(query,
+    k => n, alpha => a)`` and ``bm25_search(query, k => n)`` become
+    callable from plain SQL text.  Returns the registry."""
+    from qurio_spark.sqlfront import SqlFunctions
+
+    fns = SqlFunctions(spark)
+
+    def _hybrid(spark, query, k=10, alpha=0.5):
+        return hybrid_search(
+            _docs_with_vecs(spark, sf_dir), query, _qvec(spark, sf_dir),
+            alpha=alpha, limit=int(k),
+            bm25_index=_hybrid_bm25_index(spark, sf_dir),
+        )
+
+    def _bm25(spark, query, k=10):
+        idx = bm25_op.build_index(
+            _t(spark, sf_dir, "documents"), "doc_id", "text"
+        )
+        scored = bm25_op.score_query(idx, query)
+        return (
+            scored.filter(F.col("bm25") > 0)
+            .orderBy(F.desc(stable_round("bm25", 6)), F.asc("doc_id"))
+            .limit(int(k))
+        )
+
+    fns.register("hybrid_search", _hybrid)
+    fns.register("bm25_search", _bm25)
+    return fns
+
+
 def q_hybrid_topk(spark, sf_dir):
     """Q2 alpha=0.5: full hybrid search, min-max fused.  Uses the
     persisted BM25 index when bench prepared one (identical scores —
     unfiltered search scores the whole corpus, which is exactly the
-    index's stats domain); builds in-DAG otherwise."""
-    docs = _docs_with_vecs(spark, sf_dir)
-    res = hybrid_search(
-        docs, QUERY_TEXT, _qvec(spark, sf_dir), alpha=0.5, limit=10,
-        bm25_index=_hybrid_bm25_index(spark, sf_dir),
-    )
-    return res.select("doc_id", stable_round("score", 4).alias("score"))
+    index's stats domain); builds in-DAG otherwise.
+
+    r15: routed through the SQL table-function surface
+    (qurio_spark/sqlfront.py) so the driver-window oracle pins the
+    SQL-callable path end-to-end — the rewrite hands Catalyst the
+    operator's own DataFrame plan, so scores are identical to the
+    Python API by construction."""
+    fns = register_search_sql(spark, sf_dir)
+    qtext = QUERY_TEXT.replace("'", "''")
+    return fns.sql(f"""
+        SELECT doc_id,
+               (floor(score * 1e4 + 0.5) / 1e4) AS score
+        FROM hybrid_search('{qtext}', k => 10, alpha => 0.5)
+    """)
 
 
 _BATCH_QUERIES = [

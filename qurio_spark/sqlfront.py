@@ -1,0 +1,220 @@
+"""SQL-callable operator surface (SURVEY §4's deferred ergonomics item,
+VERDICT r14 next-round #8): lets a SQL user invoke engine operators
+that Spark SQL cannot express natively — hybrid search, BM25, ANN —
+as TABLE FUNCTIONS inside an otherwise ordinary query:
+
+    fns = SqlFunctions(spark)
+    fns.register("hybrid_search", lambda spark, query, k=10, alpha=0.5:
+                 hybrid_search(docs, query, qvec, alpha=alpha, limit=k))
+    df = fns.sql('''
+        SELECT doc_id, score
+        FROM hybrid_search('vector similarity', k => 10, alpha => 0.5)
+        WHERE score > 0.1
+    ''')
+
+Why a Python-side rewrite and not ``spark.sql.extensions``: a real
+parser/analyzer rule must be compiled JVM code on the driver classpath
+at session START (a Scala/Java build artifact this pure-Python repo
+does not ship), and Python UDTFs — the other native table-function
+path — execute row-at-a-time on executors WITHOUT a SparkSession, so
+they cannot run a distributed search plan.  The rewrite keeps the
+operator's full DataFrame plan (Catalyst sees the same tree as the
+Python API; the driver-window ``hybrid_topk`` oracle pins the SQL
+route end-to-end) at the cost of recognizing the call syntactically.
+
+The recognizer is deliberately narrow and documented: a registered
+name followed by a parenthesized argument list of LITERALS —
+``'string'`` (SQL doubling for quotes), numbers, booleans, NULL —
+positionally or as ``name => value``.  It never touches text inside
+SQL string literals, never rewrites unregistered names, and fails
+loudly on malformed argument lists.  Each call becomes a session-local
+temp view that is dropped as soon as ``spark.sql`` has ANALYZED the
+query (the analyzed plan owns the view's subtree; long sessions leak
+nothing).
+
+Reference parity: the Go backend exposes search only through typed
+RPC handlers (apps/backend/internal/handlers/search.go); a SQL surface
+is beyond-parity ergonomics, so its scope — literals in, one relation
+out — is ours to define.
+"""
+
+from __future__ import annotations
+
+import itertools
+import re
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+_NUM = re.compile(r"^-?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?$")
+_VIEW_IDS = itertools.count()
+
+
+class SqlFunctionError(ValueError):
+    """Malformed call to a registered SQL table function."""
+
+
+def _scan_literal(text: str, i: int) -> int:
+    """Return the index just past the SQL string literal opening at
+    ``text[i]`` (which must be a single quote).  SQL escapes a quote
+    by doubling it."""
+    n = len(text)
+    i += 1
+    while i < n:
+        if text[i] == "'":
+            if i + 1 < n and text[i + 1] == "'":
+                i += 2
+                continue
+            return i + 1
+        i += 1
+    raise SqlFunctionError("unterminated string literal in SQL text")
+
+
+def _find_calls(sql: str, names: set[str]):
+    """Yield (start, end, name, argtext) for every registered-name call
+    outside string literals, with balanced parens (string-aware)."""
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            i = _scan_literal(sql, i)
+            continue
+        m = _IDENT.match(sql, i)
+        if not m:
+            i += 1
+            continue
+        word = m.group(0)
+        j = m.end()
+        # a word is a CALL only if its lowercase form is registered,
+        # it is not preceded by an identifier char or '.', and the
+        # next non-space char is '('
+        prev = sql[i - 1] if i > 0 else " "
+        if word.lower() not in names or prev.isalnum() or prev in "_.":
+            i = j
+            continue
+        k = j
+        while k < n and sql[k].isspace():
+            k += 1
+        if k >= n or sql[k] != "(":
+            i = j
+            continue
+        depth, k0 = 0, k
+        while k < n:
+            ch = sql[k]
+            if ch == "'":
+                k = _scan_literal(sql, k)
+                continue
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    yield (i, k + 1, word.lower(), sql[k0 + 1 : k])
+                    break
+            k += 1
+        else:
+            raise SqlFunctionError(f"unbalanced parens in {word}(...) call")
+        i = k + 1
+
+
+def _split_args(argtext: str) -> list[str]:
+    parts, depth, start, i, n = [], 0, 0, 0, len(argtext)
+    while i < n:
+        c = argtext[i]
+        if c == "'":
+            i = _scan_literal(argtext, i)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(argtext[start:i])
+            start = i + 1
+        i += 1
+    tail = argtext[start:]
+    if tail.strip() or parts:
+        parts.append(tail)
+    return parts
+
+
+def _parse_value(tok: str):
+    t = tok.strip()
+    if t.startswith("'"):
+        end = _scan_literal(t, 0)
+        if end != len(t):
+            raise SqlFunctionError(f"trailing text after string: {tok!r}")
+        return t[1:-1].replace("''", "'")
+    low = t.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    if low == "null":
+        return None
+    if _NUM.match(t):
+        return float(t) if ("." in t or "e" in low) else int(t)
+    raise SqlFunctionError(
+        f"argument {tok!r} is not a literal (only strings, numbers, "
+        "booleans and NULL are allowed in SQL table-function calls)"
+    )
+
+
+def parse_args(argtext: str):
+    """-> (positional list, keyword dict) from a call's argument text.
+    Keywords use the SQL named-argument arrow: ``name => value``."""
+    pos, kw = [], {}
+    for raw in _split_args(argtext):
+        if not raw.strip():
+            raise SqlFunctionError("empty argument in table-function call")
+        m = re.match(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*=>\s*(.+)$", raw, re.S)
+        if m:
+            kw[m.group(1)] = _parse_value(m.group(2))
+        else:
+            if kw:
+                raise SqlFunctionError(
+                    "positional argument after keyword argument"
+                )
+            pos.append(_parse_value(raw))
+    return pos, kw
+
+
+class SqlFunctions:
+    """Per-session registry of SQL table functions backed by DataFrame
+    builders.  ``register`` binds a name to ``fn(spark, *args, **kw) ->
+    DataFrame``; ``sql`` rewrites each call into a temp view and runs
+    the query on the plain SparkSession."""
+
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+        self._fns: dict[str, Callable[..., DataFrame]] = {}
+
+    def register(self, name: str, fn: Callable[..., DataFrame]) -> None:
+        if not _IDENT.fullmatch(name):
+            raise SqlFunctionError(f"invalid function name {name!r}")
+        self._fns[name.lower()] = fn
+
+    def sql(self, query: str) -> DataFrame:
+        calls = list(_find_calls(query, set(self._fns)))
+        views: list[str] = []
+        out, last = [], 0
+        try:
+            for start, end, name, argtext in calls:
+                pos, kw = parse_args(argtext)
+                df = self._fns[name](self._spark, *pos, **kw)
+                if not isinstance(df, DataFrame):
+                    raise SqlFunctionError(
+                        f"{name} returned {type(df).__name__}, not a DataFrame"
+                    )
+                view = f"_qsql_{name}_{next(_VIEW_IDS)}"
+                df.createOrReplaceTempView(view)
+                views.append(view)
+                out.append(query[last:start])
+                out.append(view)
+                last = end
+            out.append(query[last:])
+            # spark.sql analyzes eagerly: after this returns, the plan
+            # owns the view subtrees and the views can be dropped
+            return self._spark.sql("".join(out))
+        finally:
+            for view in views:
+                self._spark.catalog.dropTempView(view)

@@ -1,0 +1,170 @@
+"""SQL table-function front-end (qurio_spark/sqlfront.py): rewrite
+correctness, literal parsing, and end-to-end parity of the SQL route
+with the Python-API route for hybrid search."""
+
+import pytest
+
+from qurio_spark.sqlfront import (
+    SqlFunctionError,
+    SqlFunctions,
+    parse_args,
+    _find_calls,
+)
+
+
+class TestParseArgs:
+    def test_positional_literals(self):
+        pos, kw = parse_args("'a b', 10, 0.5, true, NULL")
+        assert pos == ["a b", 10, 0.5, True, None]
+        assert kw == {}
+
+    def test_keyword_arrow(self):
+        pos, kw = parse_args("'q', k => 10, alpha => 0.25")
+        assert pos == ["q"]
+        assert kw == {"k": 10, "alpha": 0.25}
+
+    def test_quote_doubling(self):
+        pos, _ = parse_args("'it''s'")
+        assert pos == ["it's"]
+
+    def test_comma_inside_string(self):
+        pos, _ = parse_args("'a, b', 2")
+        assert pos == ["a, b", 2]
+
+    def test_positional_after_keyword_rejected(self):
+        with pytest.raises(SqlFunctionError):
+            parse_args("k => 1, 'q'")
+
+    def test_non_literal_rejected(self):
+        with pytest.raises(SqlFunctionError):
+            parse_args("col_name")
+
+    def test_empty_argument_rejected(self):
+        with pytest.raises(SqlFunctionError):
+            parse_args("1, , 2")
+
+
+class TestFindCalls:
+    NAMES = {"hybrid_search"}
+
+    def test_basic(self):
+        sql = "SELECT * FROM hybrid_search('q', 5)"
+        [(s, e, name, args)] = list(_find_calls(sql, self.NAMES))
+        assert name == "hybrid_search"
+        assert sql[s:e] == "hybrid_search('q', 5)"
+        assert args == "'q', 5"
+
+    def test_inside_string_untouched(self):
+        sql = "SELECT 'call hybrid_search(1)' AS note FROM t"
+        assert list(_find_calls(sql, self.NAMES)) == []
+
+    def test_prefixed_identifier_untouched(self):
+        sql = "SELECT my_hybrid_search(1) FROM t"
+        assert list(_find_calls(sql, self.NAMES)) == []
+        sql2 = "SELECT s.hybrid_search(1) FROM t s"
+        assert list(_find_calls(sql2, self.NAMES)) == []
+
+    def test_name_without_parens_untouched(self):
+        sql = "SELECT hybrid_search FROM t"
+        assert list(_find_calls(sql, self.NAMES)) == []
+
+    def test_nested_parens_and_two_calls(self):
+        sql = ("SELECT * FROM hybrid_search('a(b)', 1) h "
+               "JOIN hybrid_search('c', 2) g ON h.id = g.id")
+        calls = list(_find_calls(sql, self.NAMES))
+        assert [c[3] for c in calls] == ["'a(b)', 1", "'c', 2"]
+
+    def test_case_insensitive_name(self):
+        sql = "SELECT * FROM HYBRID_SEARCH('q', 1)"
+        [(_, _, name, _)] = list(_find_calls(sql, self.NAMES))
+        assert name == "hybrid_search"
+
+    def test_unbalanced_parens_raise(self):
+        with pytest.raises(SqlFunctionError):
+            list(_find_calls("SELECT * FROM hybrid_search('q'", self.NAMES))
+
+
+class TestSqlFunctions:
+    def test_rewrite_runs_and_drops_views(self, spark):
+        fns = SqlFunctions(spark)
+        fns.register(
+            "nums",
+            lambda sp, n, start=0: sp.range(start, start + n)
+            .selectExpr("id AS v"),
+        )
+        df = fns.sql(
+            "SELECT a.v, b.v AS w FROM nums(3) a "
+            "JOIN nums(3, start => 1) b ON a.v = b.v ORDER BY a.v"
+        )
+        assert [(r["v"], r["w"]) for r in df.collect()] == [(1, 1), (2, 2)]
+        # views dropped after analysis
+        leftover = [
+            t.name for t in spark.catalog.listTables()
+            if t.name.startswith("_qsql_")
+        ]
+        assert leftover == []
+
+    def test_views_dropped_on_builder_error(self, spark):
+        fns = SqlFunctions(spark)
+        fns.register("ok", lambda sp: sp.range(1))
+        fns.register("boom", lambda sp: (_ for _ in ()).throw(RuntimeError))
+        with pytest.raises(RuntimeError):
+            fns.sql("SELECT * FROM ok() JOIN boom() ON true")
+        leftover = [
+            t.name for t in spark.catalog.listTables()
+            if t.name.startswith("_qsql_")
+        ]
+        assert leftover == []
+
+    def test_non_dataframe_result_rejected(self, spark):
+        fns = SqlFunctions(spark)
+        fns.register("bad", lambda sp: 42)
+        with pytest.raises(SqlFunctionError):
+            fns.sql("SELECT * FROM bad()")
+
+    def test_unregistered_name_left_for_spark(self, spark):
+        fns = SqlFunctions(spark)
+        # sum() is a real SQL function — the rewriter must not touch it
+        df = fns.sql("SELECT sum(id) AS s FROM range(4)")
+        assert df.collect()[0]["s"] == 6
+
+    def test_invalid_name_rejected(self, spark):
+        fns = SqlFunctions(spark)
+        with pytest.raises(SqlFunctionError):
+            fns.register("no-dash", lambda sp: sp.range(1))
+
+
+class TestHybridSqlParity:
+    def test_sql_route_matches_python_api(self, spark, sf_dir):
+        """The driver-window entry q_hybrid_topk now runs through the
+        SQL surface; pin it against the direct operator call."""
+        from pyspark.sql import functions as F
+
+        from qurio_spark.functions.numeric import stable_round
+        from qurio_spark.operators.hybrid import hybrid_search
+        from qurio_spark.queries.common import (
+            QUERY_TEXT,
+            _docs_with_vecs,
+            _qvec,
+        )
+        from qurio_spark.queries.search import q_hybrid_topk
+
+        via_sql = {
+            (r["doc_id"], r["score"]) for r in
+            q_hybrid_topk(spark, sf_dir).collect()
+        }
+        direct = hybrid_search(
+            _docs_with_vecs(spark, sf_dir), QUERY_TEXT,
+            _qvec(spark, sf_dir), alpha=0.5, limit=10,
+        ).select("doc_id", stable_round("score", 4).alias("score"))
+        via_api = {(r["doc_id"], r["score"]) for r in direct.collect()}
+        assert via_sql == via_api and len(via_sql) == 10
+
+    def test_bm25_search_sql(self, spark, sf_dir):
+        from qurio_spark.queries.search import register_search_sql
+
+        fns = register_search_sql(spark, sf_dir)
+        df = fns.sql(
+            "SELECT doc_id FROM bm25_search('hash join spark', k => 5)"
+        )
+        assert df.count() == 5
