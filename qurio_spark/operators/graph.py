@@ -28,7 +28,6 @@ Connected components (the other graph op) lives in
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.window import Window
 
 from qurio_spark.functions.checkpointing import checkpoint_df
 
@@ -108,46 +107,30 @@ def canonical_pick(
 
     -> (cluster_col, canonical_id, rank_col, n_members), one row per
     cluster (singletons included — a cluster of one is its own
-    canonical).  Scale shape (r14): TWO-PHASE argmax, so one
-    mega-cluster (the boilerplate near-dup shape) never funnels all
-    its members through a single window reducer — phase 1 takes the
-    per-(cluster, deterministic md5 sub-bucket) best, phase 2 ranks
-    only the <= n_prebuckets survivors per cluster (argmax of a union
-    IS the argmax of per-bucket argmaxes); member counts come from a
+    canonical).  Scale shape (r14/r15): the argmax goes through
+    ``operators/topn.grouped_top_n``, whose plan carries Spark's
+    map-side ``WindowGroupLimit(Partial)`` pre-filter — one
+    mega-cluster (the boilerplate near-dup shape) sends at most one
+    candidate row per map partition to its window reducer, not its
+    membership (see operators/topn for why this replaced the r14
+    hand-rolled two-phase argmax); member counts come from a
     map-side-partial groupBy, never a whole-cluster window frame.
     Callers should pass PRE-ROUNDED ranks when the pick must be
     reproducible across engines (float summation-order noise
     near-ties otherwise flips the argmax)."""
     joined = clusters.join(ranks, id_col)
-    from qurio_spark.operators.prefix import default_buckets
+    from qurio_spark.operators.topn import grouped_top_n
 
-    n_prebuckets = default_buckets(clusters.sparkSession)
     counts = joined.groupBy(cluster_col).agg(F.count("*").alias("n_members"))
-    order = [F.desc(rank_col), F.asc(id_col)]
-    cand = joined
-    if n_prebuckets > 1:
-        from qurio_spark.functions.hashing import hash64
-
-        sb = F.pmod(
-            hash64(F.concat(F.lit("cb:"), F.col(id_col).cast("string"))),
-            F.lit(n_prebuckets),
-        )
-        w1 = Window.partitionBy(cluster_col, "_sb").orderBy(*order)
-        cand = (
-            joined.withColumn("_sb", sb)
-            .withColumn("_rn1", F.row_number().over(w1))
-            .filter(F.col("_rn1") == 1)
-            .drop("_rn1", "_sb")
-        )
-    w = Window.partitionBy(cluster_col).orderBy(*order)
-    picked = (
-        cand.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            F.col(cluster_col),
-            F.col(id_col).alias("canonical_id"),
-            F.col(rank_col),
-        )
+    picked = grouped_top_n(
+        joined,
+        [cluster_col],
+        [F.desc(rank_col), F.asc(id_col)],
+        1,
+    ).select(
+        F.col(cluster_col),
+        F.col(id_col).alias("canonical_id"),
+        F.col(rank_col),
     )
     return picked.join(counts, cluster_col).select(
         cluster_col, "canonical_id", rank_col, "n_members"

@@ -183,11 +183,11 @@ def hybrid_search_batch(
         vector score (the brute-force oracle; at 100 TB swap the dense
         side for IVF/LSH-pruned probes per query, operators/similarity);
       - per-query min-max stats via groupBy(query) broadcast back;
-      - per-query top-k via row_number windowed BY QUERY — partitions
-        scale with query count, no global sort.
+      - per-query top-k via operators/topn.grouped_top_n — Spark's
+        map-side WindowGroupLimit(Partial) pre-filters each task to
+        its local top-k, so a hot query's candidate list never
+        funnels one window reducer; no global sort.
     """
-    from pyspark.sql.window import Window
-
     a, k = resolve_params(alpha, limit, settings)
 
     kw = _batch_keyword_scores(
@@ -228,14 +228,18 @@ def hybrid_search_batch(
             "score", F.lit(a) * F.col("vec_norm") + F.lit(1.0 - a) * F.col("bm25_norm")
         )
     )
-    w = Window.partitionBy(qid_col).orderBy(
-        F.desc(stable_round(F.col("score"), 6)), F.asc(id_col)
-    )
-    return (
-        fused.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .select(qid_col, id_col, "bm25_norm", "vec_norm", "score")
-    )
+    # per-query top-k through grouped_top_n (r15): the map-side
+    # WindowGroupLimit(Partial) pre-filter keeps a hot query's
+    # candidate list off any single reducer; identical output (the
+    # oracle stays plain single-window SQL)
+    from qurio_spark.operators.topn import grouped_top_n
+
+    return grouped_top_n(
+        fused,
+        [qid_col],
+        [F.desc(stable_round(F.col("score"), 6)), F.asc(id_col)],
+        k,
+    ).select(qid_col, id_col, "bm25_norm", "vec_norm", "score")
 
 
 def _batch_keyword_scores(
@@ -339,8 +343,6 @@ def hybrid_search_batch_ivf(
     {sparse scores} U {0} whenever any doc is unmatched) — at the cost
     of a full-corpus pass per run, which is why it is not the default.
     """
-    from pyspark.sql.window import Window
-
     from qurio_spark.functions.vector import cosine
     from qurio_spark.operators.similarity import ivf_build
 
@@ -455,13 +457,19 @@ def hybrid_search_batch_ivf(
     qvecs = queries.select(qid_col, qvec_col)
 
     if not exact_stats:
-        # Pure-pruned fast path — TWO shuffles total, everything else
-        # broadcast map-side:
+        # Pure-pruned fast path — everything not listed is broadcast
+        # map-side:
         #   1. the keyword partial-agg inside ``kw``;
-        #   2. ONE Exchange(query) that serves BOTH the per-query
-        #      min-max stats (unbounded window aggregates) and the
-        #      top-k row_number — same partitioning, so Catalyst plans
-        #      one shuffle feeding two Window operators.
+        #   2. the per-query min-max stats agg — partial-agged, so a
+        #      hot query's candidates collapse map-side (r15: was an
+        #      unordered per-query window riding one Exchange(query),
+        #      which shipped every candidate row of a query to ONE
+        #      reducer — cheaper by one exchange, single-reducer at
+        #      scale);
+        #   3. the per-query top-k Exchange(query) — fed by the
+        #      map-side WindowGroupLimit(Partial) pre-filter
+        #      (operators/topn), so it carries <= k rows per (query,
+        #      map partition), never a hot query's candidate list.
         # The two candidate branches are DISJOINT by construction
         # (keyword pairs whose (query, label) is probed are anti-joined
         # out against the broadcast probe table), so there is no
@@ -505,13 +513,23 @@ def hybrid_search_batch_ivf(
                 cosine(F.col(vec_col), F.col(qvec_col)).alias("cos"),
             )
         )
-        cand = probed_scored.unionByName(kw_outside)
-        wq = Window.partitionBy(qid_col)
+        # r15: min/max per query via a partial-agged groupBy broadcast
+        # back, not an unordered per-query window — the window form
+        # shipped every candidate row of a hot query to ONE reducer
+        # before any normalization ran; the agg's map-side partials
+        # absorb it.  cache (the ``kw`` convention, NOT localCheckpoint:
+        # both consumers sit in the same action, and a cache keeps the
+        # candidate subtree — IVF partition pruning included — visible
+        # to the plan audit) shares the candidate build between the
+        # stats agg and the value branch; the handle on the returned
+        # frame releases it (operators/cachectl).
+        cand = probed_scored.unionByName(kw_outside).cache()
+        mm = cand.groupBy(qid_col).agg(
+            F.min("bm25").alias("_bmn"), F.max("bm25").alias("_bmx"),
+            F.min("cos").alias("_cmn"), F.max("cos").alias("_cmx"),
+        )
         fused = (
-            cand.withColumn("_bmn", F.min("bm25").over(wq))
-            .withColumn("_bmx", F.max("bm25").over(wq))
-            .withColumn("_cmn", F.min("cos").over(wq))
-            .withColumn("_cmx", F.max("cos").over(wq))
+            cand.join(F.broadcast(mm), qid_col)
             .withColumn(
                 "bm25_norm",
                 F.when(
@@ -533,14 +551,16 @@ def hybrid_search_batch_ivf(
                 F.lit(a) * F.col("vec_norm") + F.lit(1.0 - a) * F.col("bm25_norm"),
             )
         )
-        worder = Window.partitionBy(qid_col).orderBy(
-            F.desc(stable_round(F.col("score"), 6)), F.asc(id_col)
-        )
-        return (
-            fused.withColumn("_rn", F.row_number().over(worder))
-            .filter(F.col("_rn") <= k)
-            .select(qid_col, id_col, "bm25_norm", "vec_norm", "score")
-        )
+        from qurio_spark.operators.cachectl import attach_caches
+        from qurio_spark.operators.topn import grouped_top_n
+
+        out = grouped_top_n(
+            fused,
+            [qid_col],
+            [F.desc(stable_round(F.col("score"), 6)), F.asc(id_col)],
+            k,
+        ).select(qid_col, id_col, "bm25_norm", "vec_norm", "score")
+        return attach_caches(out, [kw, cand])
 
     kw_vec = (
         kw.select(qid_col, id_col)
@@ -627,14 +647,18 @@ def hybrid_search_batch_ivf(
             "score", F.lit(a) * F.col("vec_norm") + F.lit(1.0 - a) * F.col("bm25_norm")
         )
     )
-    w = Window.partitionBy(qid_col).orderBy(
-        F.desc(stable_round(F.col("score"), 6)), F.asc(id_col)
-    )
-    return (
-        fused.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .select(qid_col, id_col, "bm25_norm", "vec_norm", "score")
-    )
+    # per-query top-k through grouped_top_n (r15): the map-side
+    # WindowGroupLimit(Partial) pre-filter keeps a hot query's
+    # candidate list off any single reducer; identical output (the
+    # oracle stays plain single-window SQL)
+    from qurio_spark.operators.topn import grouped_top_n
+
+    return grouped_top_n(
+        fused,
+        [qid_col],
+        [F.desc(stable_round(F.col("score"), 6)), F.asc(id_col)],
+        k,
+    ).select(qid_col, id_col, "bm25_norm", "vec_norm", "score")
 
 
 def hybrid_search_rrf(

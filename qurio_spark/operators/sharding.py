@@ -153,7 +153,6 @@ def stratified_sample_exact(
     strata_col: str = "source",
     id_col: str = "doc_id",
     salt: str = "strat",
-    n_prebuckets: int | None = None,
 ) -> DataFrame:
     """EXACT-size stratified sample: exactly ``min(n, |stratum|)`` rows
     per stratum, chosen by ranking each stratum's rows on the portable
@@ -167,46 +166,23 @@ def stratified_sample_exact(
     physical plan.  Hash-ranking is deterministic across engines,
     runs, and repartitioning — the auditable form.
 
-    Scale shape (r14): TWO-PHASE top-n, so one dominant stratum never
-    funnels all its rows through a single window reducer — phase 1
-    takes the per-(stratum, deterministic md5 sub-bucket) top-n
-    (parallelism = strata x ``n_prebuckets``, default
-    ``spark.sql.shuffle.partitions``), phase 2 ranks only the
-    <= n_prebuckets x n survivors per stratum.  Top-n of a union IS
-    the top-n of the per-bucket top-ns, so the result set is identical
-    to the single-window form.  Ties cannot occur (the 60-bit hash is
+    Scale shape (r14 two-phase, simplified r15): the rank-filter goes
+    through ``operators/topn.grouped_top_n``, whose plan carries
+    Spark's map-side ``WindowGroupLimit(Partial)`` pre-filter — one
+    dominant stratum sends at most n rows per map partition to its
+    window reducer, never its whole membership (see operators/topn for
+    the measurement that retired the hand-rolled two-phase form and
+    its md5 sub-bucket cost).  Ties cannot occur (the 60-bit hash is
     injective on distinct ids for practical purposes; id is the
     tiebreak anyway).
     """
     if n_per_stratum <= 0:
         raise ValueError(f"n_per_stratum must be positive, got {n_per_stratum}")
-    clash = {"_rk", "_rk1", "_sb"} & set(df.columns)
-    if clash:
-        raise ValueError(f"stratified_sample_exact reserved columns: {clash}")
-    if n_prebuckets is None:
-        from qurio_spark.operators.prefix import default_buckets
+    from qurio_spark.operators.topn import grouped_top_n
 
-        n_prebuckets = default_buckets(df.sparkSession)
     h = hash64(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
-    if n_prebuckets > 1:
-        sb = F.pmod(
-            hash64(F.concat(F.lit(salt + ":b:"), F.col(id_col).cast("string"))),
-            F.lit(n_prebuckets),
-        )
-        w1 = Window.partitionBy(strata_col, "_sb").orderBy(
-            h.asc(), F.col(id_col).asc()
-        )
-        df = (
-            df.withColumn("_sb", sb)
-            .withColumn("_rk1", F.row_number().over(w1))
-            .filter(F.col("_rk1") <= n_per_stratum)
-            .drop("_rk1", "_sb")
-        )
-    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
-    return (
-        df.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= n_per_stratum)
-        .drop("_rk")
+    return grouped_top_n(
+        df, [strata_col], [h.asc(), F.col(id_col).asc()], n_per_stratum
     )
 
 

@@ -305,40 +305,27 @@ def q_streaming_sessions_final(spark, sf_dir):
 
 
 def q_events_top_users(spark, sf_dir):
-    """Top-3 users per event_type by event count — TWO-PHASE top-n
-    (r15, VERDICT r14 #2): phase 1 ranks within (event_type,
-    deterministic hash sub-bucket) and keeps each bucket's top-3, so
-    an event_type with a billion distinct users never funnels all its
-    per-user count rows through one window reducer; phase 2 ranks the
-    <= 3 x n_buckets survivors per type.  Top-n of a union is the
-    top-n of the per-bucket top-ns, so the result — ranks included —
-    is identical to the single-window form (the same argument as
-    operators/sharding.stratified_sample_exact)."""
-    from qurio_spark.functions.hashing import hash64
-    from qurio_spark.operators.prefix import default_buckets
+    """Top-3 users per event_type by event count, via
+    ``operators/topn.grouped_top_n`` (r15, VERDICT r14 #2): the plan
+    carries Spark's map-side WindowGroupLimit(Partial) pre-filter, so
+    an event_type with a billion distinct users sends at most 3 rows
+    per map partition to its window reducer — never the whole per-user
+    count list (see operators/topn for the measurement that retired
+    the hand-rolled two-phase form first tried here)."""
+    from qurio_spark.operators.topn import grouped_top_n
 
     counts = (
         _events(spark, sf_dir)
         .groupBy("event_type", "user_id")
         .agg(F.count("*").alias("n"))
     )
-    nb = default_buckets(spark)
-    sb = F.pmod(hash64(F.col("user_id").cast("string")), F.lit(nb))
-    w1 = Window.partitionBy("event_type", "_sb").orderBy(
-        F.desc("n"), F.asc("user_id")
-    )
-    pruned = (
-        counts.withColumn("_sb", sb)
-        .withColumn("_rk1", F.row_number().over(w1))
-        .filter(F.col("_rk1") <= 3)
-        .drop("_rk1", "_sb")
-    )
-    w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("user_id"))
-    return (
-        pruned.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select("event_type", "user_id", "n", "rank")
-    )
+    return grouped_top_n(
+        counts,
+        ["event_type"],
+        [F.desc("n"), F.asc("user_id")],
+        3,
+        rank_col="rank",
+    ).select("event_type", "user_id", "n", "rank")
 
 
 def q_events_json(spark, sf_dir):

@@ -1,9 +1,11 @@
 """Planted hot-group checks for the r15 de-windowed sites (VERDICT
 r14 #2): ``outlier_events`` (group stats via partial-agged groupBy +
-join back) and ``q_events_top_users`` (two-phase per-type top-n).
-Both must be output-identical to the window forms they replaced, on a
-skewed input where one group dominates — the shape whose every row the
-old plans funneled through a single reducer."""
+join back — an UNORDERED whole-group window has no WindowGroupLimit
+rescue, so the agg rewrite is required) and ``q_events_top_users``
+(rank-filter top-n through ``operators/topn.grouped_top_n``, whose
+map-side WindowGroupLimit(Partial) is asserted on the skewed plan).
+Both must be output-identical to the window forms, on a skewed input
+where one group dominates."""
 
 from __future__ import annotations
 
@@ -70,12 +72,14 @@ class TestOutlierEventsHotGroup:
         assert out.columns == ["event_id", "user_id", "value_cents", "n_group"]
 
 
-class TestTopUsersTwoPhase:
+class TestTopUsersHotGroup:
     def test_matches_single_window_under_skew(self, spark, tmp_path):
         """One event_type with 20k distinct users (the billion-user
         shape scaled down), two small types, and a planted tie on n
-        broken by user_id — the two-phase prune must reproduce the
-        single-window top-3 exactly, ranks included."""
+        broken by user_id — the query must reproduce the reference
+        single-window top-3 exactly, ranks included, and its plan
+        must carry the map-side WindowGroupLimit(Partial) that keeps
+        the hot type off a single reducer."""
         from qurio_spark.queries.events_tpch import q_events_top_users
 
         big = spark.range(20_000).select(
@@ -141,3 +145,9 @@ class TestTopUsersTwoPhase:
         # the tie landed in the result deterministically
         click_top = [r for r in got if r[0] == "click"]
         assert [r[1] for r in click_top[:2]] == ["u000000", "u000001"]
+        # the scale property: the map-side pre-filter is in the plan
+        from qurio_spark.operators.topn import has_partial_group_limit
+
+        assert has_partial_group_limit(
+            q_events_top_users(spark, str(tmp_path))
+        )

@@ -17,6 +17,12 @@ Usage:
     python tools/bench_local.py ann_ivf lang_id    # subset
     SPARK_GRAFT_BENCH_REPS=5 python tools/bench_local.py ...
 
+The SLOW_SET (the committed top-of-the-bench queries, r14 medians)
+runs at SPARK_GRAFT_BENCH_SLOW_REPS (default 7) regardless of the
+global rep count, so round-over-round movement >0.3 s on the slow
+tail is separable from spread without ad-hoc probes (VERDICT r14 #7);
+the JSON carries a per-query rep map alongside the spreads.
+
 Prints ONE JSON line:
     {"metric": "median_query_seconds", "value": <sum of medians>,
      "unit": "sec", "reps": N, "queries": {name: median},
@@ -35,6 +41,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod
 from qurio_spark.session import get_spark, sf_dir
+
+# the bench's slowest queries (r14 medians, > ~1.8 s at sf0.1):
+# streaming micro-batch bootstrap family, BPE train+apply, the blocked
+# similarity kernels, and the snapshot/catalog I/O entries
+SLOW_SET = frozenset({
+    "streaming_near_dedup", "bpe_tokenize", "streaming_sessions_final",
+    "streaming_ingest", "semantic_dedup", "fuzzy_join2", "streaming_join",
+    "rollup_daily", "snap_dv", "catalog_crud", "lm_buckets", "span_dedup",
+})
 
 
 def main() -> None:
@@ -62,12 +77,16 @@ def main() -> None:
         sys.exit(2)
     selected = {n: all_queries[n] for n in (wanted or all_queries)}
 
+    slow_reps = int(os.environ.get("SPARK_GRAFT_BENCH_SLOW_REPS", "7"))
     medians: dict[str, float] = {}
     spread: dict[str, float] = {}
+    reps_used: dict[str, int] = {}
     for name, fn in selected.items():
+        n = max(reps, slow_reps) if name in SLOW_SET else reps
+        reps_used[name] = n
         try:
             samples: list[float] = []
-            for rep in range(reps + 1):  # rep 0 = untimed warm-up
+            for rep in range(n + 1):  # rep 0 = untimed warm-up
                 t0 = time.time()
                 fn(spark, target).write.format("noop").mode("overwrite").save()
                 if rep:
@@ -87,6 +106,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "reps": reps,
+                "reps_per_query": reps_used,
                 "queries": medians,
                 "spread": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
