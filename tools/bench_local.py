@@ -40,6 +40,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod
+from qurio_spark.operators.cachectl import release_caches
 from qurio_spark.session import get_spark, sf_dir
 
 # the bench's slowest queries (r14 medians, > ~1.8 s at sf0.1):
@@ -88,9 +89,14 @@ def main() -> None:
             samples: list[float] = []
             for rep in range(n + 1):  # rep 0 = untimed warm-up
                 t0 = time.time()
-                fn(spark, target).write.format("noop").mode("overwrite").save()
+                df = fn(spark, target)
+                df.write.format("noop").mode("overwrite").save()
                 if rep:
                     samples.append(time.time() - t0)
+                # cachectl protocol: drop attached caches outside the
+                # timed window so reps measure the full plan, not a
+                # leftover cache from the previous rep
+                release_caches(df)
             medians[name] = round(statistics.median(samples), 3)
             spread[name] = round(max(samples) - min(samples), 3)
         except Exception as e:

@@ -20,6 +20,7 @@ import duckdb
 
 import __spark_entry__ as entrymod
 from qurio_spark.goldens import golden_for, rows_hash
+from qurio_spark.operators.cachectl import release_caches
 from qurio_spark.oracle import compare, register_views
 from qurio_spark.session import get_spark
 
@@ -42,6 +43,9 @@ def main():
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = sdf.collect()
+            # cachectl protocol: the 149-query sweep must not
+            # accumulate the caches operators attach to their results
+            release_caches(sdf)
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failed += 1
