@@ -291,3 +291,80 @@ class TestEngineSqlCatalog:
     def test_dq_profile_unknown_table(self, fns):
         with pytest.raises(SqlFunctionError):
             fns.sql("SELECT * FROM dq_profile('../etc/passwd')")
+
+
+class TestParserProperties:
+    """Hypothesis round-trips for the literal parser and the
+    string-aware call recognizer (no Spark needed)."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _literal = st.one_of(
+        st.text(max_size=30),
+        st.integers(min_value=-10**12, max_value=10**12),
+        st.floats(
+            allow_nan=False, allow_infinity=False,
+            min_value=-1e9, max_value=1e9,
+        ),
+        st.booleans(),
+        st.none(),
+    )
+
+    @staticmethod
+    def _render(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return repr(v)
+
+    @given(vals=st.lists(_literal, min_size=1, max_size=6))
+    @settings(max_examples=200, deadline=None)
+    def test_parse_args_roundtrip(self, vals):
+        text = ", ".join(self._render(v) for v in vals)
+        pos, kw = parse_args(text)
+        assert kw == {}
+        assert len(pos) == len(vals)
+        for got, want in zip(pos, vals):
+            if isinstance(want, float):
+                assert isinstance(got, float) and got == pytest.approx(want)
+            else:
+                assert got == want and type(got) is type(want)
+
+    @given(vals=st.lists(_literal, min_size=1, max_size=4))
+    @settings(max_examples=100, deadline=None)
+    def test_keyword_roundtrip(self, vals):
+        text = ", ".join(
+            f"k{i} => {self._render(v)}" for i, v in enumerate(vals)
+        )
+        _, kw = parse_args(text)
+        assert len(kw) == len(vals)
+        for i, want in enumerate(vals):
+            got = kw[f"k{i}"]
+            if isinstance(want, float):
+                assert got == pytest.approx(want)
+            else:
+                assert got == want
+
+    @given(s=st.text(max_size=40))
+    @settings(max_examples=200, deadline=None)
+    def test_call_inside_string_never_matches(self, s):
+        """A registered-name call spelled INSIDE a SQL string literal
+        must never be rewritten, whatever surrounds it."""
+        lit = "'" + (s + " fn(1) ").replace("'", "''") + "'"
+        sql = f"SELECT {lit} AS c FROM fn(2)"
+        calls = list(_find_calls(sql, {"fn"}))
+        assert [sql[a:b] for a, b, _, _ in calls] == ["fn(2)"]
+
+    @given(args=st.lists(_literal, min_size=0, max_size=3))
+    @settings(max_examples=100, deadline=None)
+    def test_find_then_parse_composes(self, args):
+        argtext = ", ".join(self._render(v) for v in args)
+        sql = f"SELECT * FROM fn({argtext})"
+        [(_, _, name, found)] = list(_find_calls(sql, {"fn"}))
+        assert name == "fn"
+        pos, kw = parse_args(found)
+        assert len(pos) == len(args) and kw == {}
