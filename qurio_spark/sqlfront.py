@@ -194,8 +194,11 @@ class SqlFunctions:
         self._fns[name.lower()] = fn
 
     def sql(self, query: str) -> DataFrame:
+        from qurio_spark.operators.cachectl import propagate_caches
+
         calls = list(_find_calls(query, set(self._fns)))
         views: list[str] = []
+        built: list[DataFrame] = []
         out, last = [], 0
         try:
             for start, end, name, argtext in calls:
@@ -208,13 +211,37 @@ class SqlFunctions:
                 view = f"_qsql_{name}_{next(_VIEW_IDS)}"
                 df.createOrReplaceTempView(view)
                 views.append(view)
+                built.append(df)
                 out.append(query[last:start])
                 out.append(view)
                 last = end
             out.append(query[last:])
             # spark.sql analyzes eagerly: after this returns, the plan
-            # owns the view subtrees and the views can be dropped
-            return self._spark.sql("".join(out))
+            # owns the view subtrees and the views can be dropped.
+            # Cache handles a builder attached to its frame
+            # (operators/cachectl — e.g. curate's bucketed prefix-sum
+            # cache) move to the returned frame: the builder's wrapper
+            # object is discarded here, and without the hand-off the
+            # persist would outlive any release path.
+            result = self._spark.sql("".join(out))
+            for df in built:
+                propagate_caches(df, result)
+            return result
         finally:
             for view in views:
-                self._spark.catalog.dropTempView(view)
+                self._drop_view(view)
+
+    def _drop_view(self, view: str) -> None:
+        """Remove the temp-view NAME BINDING only.  The public
+        ``catalog.dropTempView`` cascades an uncache through every
+        cached plan the view's subtree contains (probed on 4.1: it
+        unpersists a builder's own ``.persist()``-ed frame even when
+        the view is a projection OVER it), which would silently strip
+        the caches operators attach for single-evaluation
+        (operators/cachectl) BEFORE the analyzed result ever executes.
+        The internal SessionCatalog drop is binding-only; the handles
+        propagated onto the returned frame stay the release path."""
+        try:
+            self._spark._jsparkSession.sessionState().catalog().dropTempView(view)
+        except Exception:  # internals moved: correctness over caching
+            self._spark.catalog.dropTempView(view)

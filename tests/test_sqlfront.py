@@ -134,6 +134,30 @@ class TestSqlFunctions:
         with pytest.raises(SqlFunctionError):
             fns.register("no-dash", lambda sp: sp.range(1))
 
+    def test_builder_caches_propagate_to_result(self, spark):
+        """A builder that persists + attaches (the cachectl protocol,
+        e.g. curate's bucketed path at scale) must hand its cache to
+        the frame sql() returns — the builder's own wrapper object is
+        discarded, so without the hand-off the persist would leak."""
+        from qurio_spark.operators.cachectl import (
+            attach_caches,
+            cached_frames,
+            release_caches,
+        )
+
+        def cached(sp):
+            df = sp.range(5).selectExpr("id AS v").persist()
+            return attach_caches(df.selectExpr("v"), [df])
+
+        fns = SqlFunctions(spark)
+        fns.register("cached", cached)
+        res = fns.sql("SELECT sum(v) AS s FROM cached()")
+        assert res.collect()[0]["s"] == 10
+        frames = cached_frames(res)
+        assert len(frames) == 1 and frames[0].storageLevel.useMemory
+        assert release_caches(res) == 1
+        assert not frames[0].storageLevel.useMemory
+
 
 class TestHybridSqlParity:
     def test_sql_route_matches_python_api(self, spark, sf_dir):
