@@ -51,19 +51,23 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.time()
+        df = None
         try:
             df = fn(spark, target)
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # a failed query must not hide the rest
+            timings[name] = -1.0
+            print(f"bench error in {name}: {e}", file=sys.stderr)
+        finally:
             # cache-lifetime protocol (operators/cachectl): operators
             # that persist intermediates attach the handles to their
             # result; releasing after the sink keeps a 149-query
             # session from accumulating dead cached frames.  Outside
-            # the timed region — bookkeeping, not query work.
-            release_caches(df)
-        except Exception as e:  # a failed query must not hide the rest
-            timings[name] = -1.0
-            print(f"bench error in {name}: {e}", file=sys.stderr)
+            # the timed region — bookkeeping, not query work.  In the
+            # finally so a failed write can't leak its builder's cache.
+            if df is not None:
+                release_caches(df)
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
 

@@ -142,9 +142,17 @@ def outlier_events(
         F.count("value_cents").alias("n_group"),
         F.sum("value_cents").alias("_sum"),
     )
+    # eqNullSafe, not a bare equi-join: groupBy (like the window form's
+    # partitionBy) collects NULL group keys into one group, and an
+    # inner equi-join would silently drop that group's rows — the one
+    # place the join-back could diverge from the window form (pinned
+    # by the NULL-group test in tests/test_quality.py)
+    joined = sel.join(
+        stats.withColumnRenamed(group_col, "_g"),
+        sel[group_col].eqNullSafe(F.col("_g")),
+    )
     return (
-        sel.join(stats, [group_col])
-        .filter(
+        joined.filter(
             (F.col("n_group") >= F.lit(min_group))
             & (
                 F.col("value_cents") * F.col("n_group")

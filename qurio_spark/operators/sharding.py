@@ -347,6 +347,13 @@ def export_jsonl_shards(
         .mapInPandas(_write, schema=schema)
         .collect()
     )
+    # the export is EAGER (the collect above is the consuming action),
+    # so the caches pack_shards attached to `shards` — live here, not
+    # on the small manifest frame we return — are released now, not
+    # handed to a caller that could never see them
+    from qurio_spark.operators.cachectl import release_caches
+
+    release_caches(shards)
     manifest = sorted(manifest, key=lambda r: r["shard"])
     with open(os.path.join(out_dir, "_manifest.jsonl"), "w") as f:
         for r in manifest:

@@ -66,4 +66,11 @@ def has_partial_group_limit(df: DataFrame) -> bool:
     makes ``grouped_top_n`` safe under a dominant group.  For plan
     asserts in tests."""
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return "WindowGroupLimit" in plan and ", Partial" in plan
+    # same-LINE match: a plan with only a Final-mode WindowGroupLimit
+    # plus an unrelated ", Partial" elsewhere (e.g. a partial agg)
+    # must NOT satisfy the pin — that is the exact regression this
+    # helper exists to catch
+    return any(
+        "WindowGroupLimit" in line and ", Partial" in line
+        for line in plan.splitlines()
+    )

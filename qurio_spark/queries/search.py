@@ -477,7 +477,13 @@ def q_batch_hybrid_ivf(spark, sf_dir):
         docs, queries, alpha=0.5, limit=5, ivf_index=ivf_idx,
         bm25_index=_hybrid_bm25_index(spark, sf_dir), codebook=codebook,
     )
-    return res.select("query_id", "doc_id")
+    from qurio_spark.operators.cachectl import propagate_caches
+
+    # the pruned fast path attaches its kw/cand caches to `res`
+    # (hybrid.py) — hand them to the projection we return, or the
+    # harnesses' release_caches(result) is a no-op and every call
+    # leaks two persisted frames
+    return propagate_caches(res, res.select("query_id", "doc_id"))
 
 
 def q_hybrid_filtered(spark, sf_dir):

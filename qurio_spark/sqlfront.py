@@ -23,11 +23,15 @@ Python API; the driver-window ``hybrid_topk`` oracle pins the SQL
 route end-to-end) at the cost of recognizing the call syntactically.
 
 The recognizer is deliberately narrow and documented: a registered
-name followed by a parenthesized argument list of LITERALS —
-``'string'`` (SQL doubling for quotes), numbers, booleans, NULL —
-positionally or as ``name => value``.  It never touches text inside
-SQL string literals, never rewrites unregistered names, and fails
-loudly on malformed argument lists.  Each call becomes a session-local
+name followed by a parenthesized argument list of LITERALS — strings
+(single- OR double-quoted, with SQL quote-doubling and backslash
+escapes, matching Spark's default lexer where both quote characters
+delimit strings and ``escapedStringLiterals`` is off), numbers,
+booleans, NULL — positionally or as ``name => value``.  It never
+touches text inside SQL string literals or comments (``--`` and
+nested ``/* */`` are skipped, so a name mentioned in a comment is
+never executed), never rewrites unregistered names, and fails loudly
+on malformed argument lists.  Each call becomes a session-local
 temp view that is dropped as soon as ``spark.sql`` has ANALYZED the
 query (the analyzed plan owns the view's subtree; long sessions leak
 nothing).
@@ -55,15 +59,28 @@ class SqlFunctionError(ValueError):
     """Malformed call to a registered SQL table function."""
 
 
+#: Spark's default lexer treats BOTH quote characters as string
+#: delimiters (identifiers use backticks) and honors backslash escapes
+#: (``escapedStringLiterals`` defaults to false) alongside SQL
+#: quote-doubling — the scanner must agree with it on string
+#: boundaries or the rewriter could touch text inside a literal.
+_QUOTES = "'\""
+
+
 def _scan_literal(text: str, i: int) -> int:
     """Return the index just past the SQL string literal opening at
-    ``text[i]`` (which must be a single quote).  SQL escapes a quote
-    by doubling it."""
+    ``text[i]`` (a single OR double quote).  Handles quote-doubling
+    and backslash escapes, matching Spark's default string lexing."""
+    q = text[i]
     n = len(text)
     i += 1
     while i < n:
-        if text[i] == "'":
-            if i + 1 < n and text[i + 1] == "'":
+        c = text[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == q:
+            if i + 1 < n and text[i + 1] == q:
                 i += 2
                 continue
             return i + 1
@@ -71,14 +88,42 @@ def _scan_literal(text: str, i: int) -> int:
     raise SqlFunctionError("unterminated string literal in SQL text")
 
 
+def _scan_comment(text: str, i: int) -> int:
+    """Index just past the SQL comment opening at ``text[i]``, or
+    ``i`` unchanged when no comment opens there.  ``-- ...`` runs to
+    end of line; ``/* ... */`` nests (Spark accepts nested bracketed
+    comments)."""
+    if text.startswith("--", i):
+        j = text.find("\n", i)
+        return len(text) if j < 0 else j + 1
+    if text.startswith("/*", i):
+        depth, j, n = 1, i + 2, len(text)
+        while j < n and depth:
+            if text.startswith("/*", j):
+                depth, j = depth + 1, j + 2
+            elif text.startswith("*/", j):
+                depth, j = depth - 1, j + 2
+            else:
+                j += 1
+        if depth:
+            raise SqlFunctionError("unterminated block comment in SQL text")
+        return j
+    return i
+
+
 def _find_calls(sql: str, names: set[str]):
     """Yield (start, end, name, argtext) for every registered-name call
-    outside string literals, with balanced parens (string-aware)."""
+    outside string literals AND comments, with balanced parens (both
+    scans are string- and comment-aware)."""
     i, n = 0, len(sql)
     while i < n:
         c = sql[i]
-        if c == "'":
+        if c in _QUOTES:
             i = _scan_literal(sql, i)
+            continue
+        j = _scan_comment(sql, i)
+        if j != i:
+            i = j
             continue
         m = _IDENT.match(sql, i)
         if not m:
@@ -102,8 +147,12 @@ def _find_calls(sql: str, names: set[str]):
         depth, k0 = 0, k
         while k < n:
             ch = sql[k]
-            if ch == "'":
+            if ch in _QUOTES:
                 k = _scan_literal(sql, k)
+                continue
+            cj = _scan_comment(sql, k)
+            if cj != k:
+                k = cj
                 continue
             if ch == "(":
                 depth += 1
@@ -122,8 +171,12 @@ def _split_args(argtext: str) -> list[str]:
     parts, depth, start, i, n = [], 0, 0, 0, len(argtext)
     while i < n:
         c = argtext[i]
-        if c == "'":
+        if c in _QUOTES:
             i = _scan_literal(argtext, i)
+            continue
+        j = _scan_comment(argtext, i)
+        if j != i:
+            i = j
             continue
         if c == "(":
             depth += 1
@@ -139,13 +192,37 @@ def _split_args(argtext: str) -> list[str]:
     return parts
 
 
+#: common backslash escapes, decoded the way Spark's unescapeSQLString
+#: does; an unrecognized ``\x`` drops the backslash and keeps ``x``
+#: (also Spark's rule)
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f", "0": "\0"}
+
+
+def _decode_string(body: str, q: str) -> str:
+    out, i, n = [], 0, len(body)
+    while i < n:
+        c = body[i]
+        if c == "\\" and i + 1 < n:
+            nxt = body[i + 1]
+            out.append(_ESCAPES.get(nxt, nxt))
+            i += 2
+            continue
+        if c == q and i + 1 < n and body[i + 1] == q:
+            out.append(q)
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def _parse_value(tok: str):
     t = tok.strip()
-    if t.startswith("'"):
+    if t[:1] in _QUOTES:
         end = _scan_literal(t, 0)
         if end != len(t):
             raise SqlFunctionError(f"trailing text after string: {tok!r}")
-        return t[1:-1].replace("''", "'")
+        return _decode_string(t[1:-1], t[0])
     low = t.lower()
     if low in ("true", "false"):
         return low == "true"

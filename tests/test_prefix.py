@@ -211,24 +211,13 @@ class TestCumsumCacheLifetime:
             small_threshold=0,
         )
         out.collect()
-        from tools.plan_audit import strip_initial_plans
+        from tools.plan_audit import split_cached_blocks, strip_initial_plans
 
         plan = strip_initial_plans(
             out._jdf.queryExecution().executedPlan().toString()
         )
-
-        def _depth(line):
-            return len(line) - len(line.lstrip(" :+-*("))
-
-        live, imr, imr_depth = [], [], None
-        for line in plan.splitlines():
-            d = _depth(line)
-            if imr_depth is not None and d <= imr_depth:
-                imr_depth = None
-            if "InMemoryRelation" in line and imr_depth is None:
-                imr_depth = d
-                continue
-            (live if imr_depth is None else imr).append(line)
+        live, blocks = split_cached_blocks(plan)
+        imr = [l for _, body in blocks for l in body]
         pyth = re.compile(r"ArrowEvalPython|BatchEvalPython|MapInPandas")
         assert not any(pyth.search(l) for l in live), plan
         assert any(pyth.search(l) for l in imr), plan

@@ -276,6 +276,20 @@ class TestOutlierEvents:
         )
         assert outlier_events(df2, factor=3, min_group=20).count() == 0
 
+    def test_null_group_key_forms_a_group(self, spark):
+        # The r15 groupBy+join-back must keep the window form's NULL
+        # semantics: partitionBy/groupBy collect NULL keys into ONE
+        # group, so the join back must be null-safe — a bare equi-join
+        # would silently drop every NULL-keyed row.
+        rows = [(i, None, 1.0) for i in range(20)] + [(99, None, 10.0)]
+        rows += [(200 + i, 7, 1.0) for i in range(20)] + [(299, 7, 10.0)]
+        df = spark.createDataFrame(
+            rows, "event_id int, user_id int, value double"
+        )
+        out = outlier_events(df, factor=3, min_group=20).collect()
+        got = sorted((r["event_id"], r["user_id"], r["n_group"]) for r in out)
+        assert got == [(99, None, 21), (299, 7, 21)]
+
 
 class TestFuzzyJoinRandomized:
     def test_dense_random_space_equals_bruteforce(self, spark):

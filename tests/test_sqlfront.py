@@ -28,6 +28,14 @@ class TestParseArgs:
         pos, _ = parse_args("'it''s'")
         assert pos == ["it's"]
 
+    def test_backslash_escapes_decoded(self):
+        pos, _ = parse_args(r"'it\'s', 'a\\b', 'x\ny'")
+        assert pos == ["it's", "a\\b", "x\ny"]
+
+    def test_double_quoted_string_arg(self):
+        pos, _ = parse_args('"a b", 2')
+        assert pos == ["a b", 2]
+
     def test_comma_inside_string(self):
         pos, _ = parse_args("'a, b', 2")
         assert pos == ["a, b", 2]
@@ -83,6 +91,44 @@ class TestFindCalls:
     def test_unbalanced_parens_raise(self):
         with pytest.raises(SqlFunctionError):
             list(_find_calls("SELECT * FROM hybrid_search('q'", self.NAMES))
+
+    def test_backslash_escaped_quote_in_literal(self):
+        # Spark's default lexer honors \' — the scanner must agree on
+        # the string boundary or valid SQL is rejected
+        sql = r"SELECT 'it\'s fine' AS c FROM hybrid_search('q', 1)"
+        [(s, e, name, args)] = list(_find_calls(sql, self.NAMES))
+        assert args == "'q', 1"
+
+    def test_even_escaped_quotes_do_not_flip_boundary(self):
+        # two escaped quotes inside one literal: a doubling-only
+        # scanner would close the string early and rewrite the call
+        # spelled INSIDE it
+        sql = r"SELECT 'a\'b\'c hybrid_search(1)' AS c FROM t"
+        assert list(_find_calls(sql, self.NAMES)) == []
+
+    def test_double_quoted_string_untouched(self):
+        # "..." is a STRING literal in default Spark SQL, not an
+        # identifier — its contents must never be rewritten
+        sql = 'SELECT "call hybrid_search(1)" AS note FROM t'
+        assert list(_find_calls(sql, self.NAMES)) == []
+
+    def test_line_comment_skipped(self):
+        sql = "SELECT 1 AS x -- see hybrid_search('q', 1)\nFROM t"
+        assert list(_find_calls(sql, self.NAMES)) == []
+
+    def test_block_comment_skipped_nested(self):
+        sql = "SELECT /* outer /* hybrid_search(todo) */ note */ 1 FROM t"
+        assert list(_find_calls(sql, self.NAMES)) == []
+
+    def test_comment_then_real_call(self):
+        sql = ("-- hybrid_search(not a call)\n"
+               "SELECT * FROM hybrid_search('q', 2)")
+        [(_, _, _, args)] = list(_find_calls(sql, self.NAMES))
+        assert args == "'q', 2"
+
+    def test_unterminated_block_comment_raises(self):
+        with pytest.raises(SqlFunctionError):
+            list(_find_calls("SELECT 1 /* oops", self.NAMES))
 
 
 class TestSqlFunctions:
@@ -342,7 +388,9 @@ class TestParserProperties:
         if isinstance(v, bool):
             return "true" if v else "false"
         if isinstance(v, str):
-            return "'" + v.replace("'", "''") + "'"
+            # backslash is an escape character in Spark's default
+            # lexer (and now in the parser) — escape it before quoting
+            return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
         return repr(v)
 
     @given(vals=st.lists(_literal, min_size=1, max_size=6))

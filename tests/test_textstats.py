@@ -550,33 +550,11 @@ class TestLmBuckets:
         )
         out = lm_buckets(docs, train, n_buckets=3, exact=False)
         out.collect()
-        from tools.plan_audit import strip_initial_plans
+        from tools.plan_audit import count_exchanges, live_lines
 
-        plan = strip_initial_plans(
-            out._jdf.queryExecution().executedPlan().toString()
-        )
-        # live lines = everything outside InMemoryRelation subtrees
-        def _depth(line):
-            return len(line) - len(line.lstrip(" :+-*("))
-
-        live, imr_depth = [], None
-        for line in plan.splitlines():
-            d = _depth(line)
-            if imr_depth is not None and d <= imr_depth:
-                imr_depth = None
-            if "InMemoryRelation" in line and imr_depth is None:
-                imr_depth = d
-                continue
-            if imr_depth is None:
-                live.append(line)
-        shuffles = sum(
-            1
-            for l in live
-            if re.search(r"\bExchange\b", l)
-            and not re.search(r"Broadcast|Reused", l)
-        )
-        assert shuffles <= 1, plan
-        assert any("BroadcastExchange" in l for l in live), plan
+        live = live_lines(out)  # everything outside cached subtrees
+        assert count_exchanges(live) <= 1, "\n".join(live)
+        assert any("BroadcastExchange" in l for l in live), "\n".join(live)
         release_caches(out)
 
     def test_lm_buckets_cache_release(self, spark):

@@ -85,6 +85,7 @@ def main() -> None:
     for name, fn in selected.items():
         n = max(reps, slow_reps) if name in SLOW_SET else reps
         reps_used[name] = n
+        df = None
         try:
             samples: list[float] = []
             for rep in range(n + 1):  # rep 0 = untimed warm-up
@@ -103,6 +104,8 @@ def main() -> None:
             medians[name] = -1.0
             spread[name] = 0.0
             print(f"bench error in {name}: {e}", file=sys.stderr)
+            if df is not None:  # a failed rep must not leak its caches
+                release_caches(df)
 
     total = round(sum(v for v in medians.values() if v >= 0), 3)
     print(

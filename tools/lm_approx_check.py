@@ -51,26 +51,10 @@ from qurio_spark.session import get_spark
 
 
 def _live_shuffles(df):
-    from tools.plan_audit import _depth_of, strip_initial_plans
+    from tools.plan_audit import count_exchanges, live_lines
 
-    plan = strip_initial_plans(
-        df._jdf.queryExecution().executedPlan().toString()
-    )
-    live, imr_depth = [], None
-    for line in plan.splitlines():
-        d = _depth_of(line)
-        if imr_depth is not None and d <= imr_depth:
-            imr_depth = None
-        if "InMemoryRelation" in line and imr_depth is None:
-            imr_depth = d
-            continue
-        if imr_depth is None:
-            live.append(line)
-    n = sum(
-        1
-        for l in live
-        if re.search(r"\bExchange\b", l) and not re.search(r"Broadcast|Reused", l)
-    )
+    live = live_lines(df)
+    n = count_exchanges(live)
     # before the action runs the AQE plan prints the join node but not
     # yet a BroadcastExchange stage — accept either spelling
     bcast = any(

@@ -39,6 +39,7 @@ def main():
         if only and name not in only:
             continue
         t0 = time.time()
+        sdf = None
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
@@ -49,6 +50,8 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failed += 1
+            if sdf is not None:  # a failed query must not leak caches
+                release_caches(sdf)
             continue
         if name not in oracles:
             # rows-only entries still get a REAL check when a golden

@@ -62,6 +62,54 @@ def strip_initial_plans(plan: str) -> str:
     return "\n".join(out)
 
 
+def split_cached_blocks(plan: str):
+    """``(live_lines, imr_blocks)``: the plan's lines OUTSIDE
+    InMemoryRelation subtrees, plus one ``(header, body_lines)`` pair
+    per cached block (subtree = the indented block under the IMR
+    line).  Input should already be ``strip_initial_plans()``-ed.
+    THE shared walk — tools/lm_approx_check and the plan asserts in
+    tests/test_prefix + tests/test_textstats reuse it rather than
+    re-implementing the depth/IMR logic (three copies of which drifted
+    before r15's nested-AQE fix)."""
+    live, blocks, imr_depth = [], [], None
+    for line in plan.splitlines():
+        d = _depth_of(line)
+        if imr_depth is not None and d <= imr_depth:
+            imr_depth = None
+        if "InMemoryRelation" in line and imr_depth is None:
+            imr_depth = d
+            # header keeps its storage level, drops tree glyphs — see
+            # the dedup-key rationale in audit()
+            blocks.append((line.strip(" :+-"), []))
+            continue
+        if imr_depth is None:
+            live.append(line)
+        else:
+            blocks[-1][1].append(line)
+    return live, blocks
+
+
+def live_lines(df_or_plan) -> list:
+    """Executed-plan lines that actually RUN: Initial-Plan sections and
+    cached subtrees removed.  Accepts a DataFrame or a plan string."""
+    plan = (
+        df_or_plan
+        if isinstance(df_or_plan, str)
+        else df_or_plan._jdf.queryExecution().executedPlan().toString()
+    )
+    return split_cached_blocks(strip_initial_plans(plan))[0]
+
+
+def count_exchanges(lines) -> int:
+    """Shuffle exchanges in the given plan lines (broadcast and reused
+    exchanges excluded)."""
+    return sum(
+        1
+        for l in lines
+        if re.search(r"\bExchange\b", l) and not re.search(r"Broadcast|Reused", l)
+    )
+
+
 def audit(df):
     # execute first: under AQE the final plan (stage re-plans, codegen
     # markers) only exists after the action ran
@@ -83,41 +131,17 @@ def audit(df):
     # the plan text — count shuffles outside cached subtrees plus each
     # DISTINCT cached build plan's shuffles once.  (Subtree = the
     # indented block under the IMR line.)
-    _depth = _depth_of
-
-    live = []
-    imr_blocks: list[tuple[str, list[str]]] = []
-    imr_depth = None
-    for line in lines:
-        d = _depth(line)
-        if imr_depth is not None and d <= imr_depth:
-            imr_depth = None
-        if "InMemoryRelation" in line and imr_depth is None:
-            imr_depth = d
-            # the header joins the dedup key with its attribute #ids
-            # NORMALIZED but its storage level kept: CacheManager
-            # substitutes the SAME physical cache into a re-derived
-            # lineage via withOutput re-aliasing (fresh exprIds, e.g.
-            # lm_buckets' rank vs totals branch prints #901L/#1196L
-            # for one cache), so raw-header keying would double-count
-            # its build shuffles; two caches that differ only in
-            # storage level (the genuinely-distinct case ADVICE r14
-            # raised) still key apart because the level survives
-            # normalization.
-            imr_blocks.append((line.strip(" :+-"), []))
-            continue
-        if imr_depth is None:
-            live.append(line)
-        else:
-            imr_blocks[-1][1].append(line)
-
-    def _exchanges(ls):
-        return sum(
-            1
-            for l in ls
-            if re.search(r"\bExchange\b", l)
-            and not re.search(r"Broadcast|Reused", l)
-        )
+    # the IMR header joins the dedup key with its attribute #ids
+    # NORMALIZED but its storage level kept: CacheManager substitutes
+    # the SAME physical cache into a re-derived lineage via withOutput
+    # re-aliasing (fresh exprIds, e.g. lm_buckets' rank vs totals
+    # branch prints #901L/#1196L for one cache), so raw-header keying
+    # would double-count its build shuffles; two caches that differ
+    # only in storage level (the genuinely-distinct case ADVICE r14
+    # raised) still key apart because the level survives
+    # normalization.
+    live, imr_blocks = split_cached_blocks(plan)
+    _exchanges = count_exchanges
 
     # normalize before deduping: two printings of the SAME cached
     # relation differ in re-aliased attribute #ids, plan_ids, codegen
