@@ -53,8 +53,11 @@ def test_query_analyzes(spark, sf_dir, name):
 
 @pytest.mark.parametrize("name", ORACLE_BACKED)
 def test_query_oracle(spark, sf_dir, duck, name):
+    from qurio_spark.operators.cachectl import release_caches
+
     sdf = QUERIES[name](spark, sf_dir)
     scols, srows = sdf.columns, sdf.collect()
+    release_caches(sdf)  # the 144-entry sweep must not accumulate caches
     res = duck.execute(ORACLES[name])
     dcols = [d[0] for d in res.description]
     problems = compare(scols, srows, dcols, res.fetchall())
