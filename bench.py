@@ -65,9 +65,14 @@ def main() -> None:
             # result; releasing after the sink keeps a 149-query
             # session from accumulating dead cached frames.  Outside
             # the timed region — bookkeeping, not query work.  In the
-            # finally so a failed write can't leak its builder's cache.
+            # finally so a failed write can't leak its builder's cache;
+            # its own failure (e.g. a dead session) must not abort the
+            # remaining queries.
             if df is not None:
-                release_caches(df)
+                try:
+                    release_caches(df)
+                except Exception as e:
+                    print(f"bench release error in {name}: {e}", file=sys.stderr)
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
 
@@ -78,13 +83,20 @@ def main() -> None:
     try:
         qs = entrymod.queries()
         if "batch_hybrid" in qs and "batch_hybrid_ivf" in qs:
+            # collect + release: these wrappers carry the hybrid kw/
+            # cand cache handles too (same protocol as the timed loop)
+            def _collect_released(df):
+                rows = df.collect()
+                release_caches(df)
+                return rows
+
             dense = {
                 (r["query_id"], r["doc_id"])
-                for r in qs["batch_hybrid"](spark, target).collect()
+                for r in _collect_released(qs["batch_hybrid"](spark, target))
             }
             pruned = {
                 (r["query_id"], r["doc_id"])
-                for r in qs["batch_hybrid_ivf"](spark, target).collect()
+                for r in _collect_released(qs["batch_hybrid_ivf"](spark, target))
             }
             if dense:
                 extras["batch_hybrid_ivf_recall"] = round(

@@ -88,6 +88,23 @@ def _scan_literal(text: str, i: int) -> int:
     raise SqlFunctionError("unterminated string literal in SQL text")
 
 
+def _scan_backtick(text: str, i: int) -> int:
+    """Index just past the backtick-quoted identifier opening at
+    ``text[i]``.  Spark escapes a backtick inside one by doubling it.
+    Scanned so that quote characters or ``--``/``/*`` INSIDE an
+    identifier are never mistaken for strings or comments."""
+    n = len(text)
+    i += 1
+    while i < n:
+        if text[i] == "`":
+            if i + 1 < n and text[i + 1] == "`":
+                i += 2
+                continue
+            return i + 1
+        i += 1
+    raise SqlFunctionError("unterminated backtick identifier in SQL text")
+
+
 def _scan_comment(text: str, i: int) -> int:
     """Index just past the SQL comment opening at ``text[i]``, or
     ``i`` unchanged when no comment opens there.  ``-- ...`` runs to
@@ -121,6 +138,9 @@ def _find_calls(sql: str, names: set[str]):
         if c in _QUOTES:
             i = _scan_literal(sql, i)
             continue
+        if c == "`":
+            i = _scan_backtick(sql, i)
+            continue
         j = _scan_comment(sql, i)
         if j != i:
             i = j
@@ -150,6 +170,9 @@ def _find_calls(sql: str, names: set[str]):
             if ch in _QUOTES:
                 k = _scan_literal(sql, k)
                 continue
+            if ch == "`":
+                k = _scan_backtick(sql, k)
+                continue
             cj = _scan_comment(sql, k)
             if cj != k:
                 k = cj
@@ -168,14 +191,26 @@ def _find_calls(sql: str, names: set[str]):
 
 
 def _split_args(argtext: str) -> list[str]:
-    parts, depth, start, i, n = [], 0, 0, 0, len(argtext)
+    """Split on top-level commas, string/backtick/comment-aware.
+    Comment text is EXCISED from the returned tokens (replaced by one
+    space so it still separates words) — Spark accepts a comment
+    anywhere whitespace goes, so ``'q' /* top-k */, 2`` must parse."""
+    parts, buf, depth, i, n = [], [], 0, 0, len(argtext)
     while i < n:
         c = argtext[i]
         if c in _QUOTES:
-            i = _scan_literal(argtext, i)
+            j = _scan_literal(argtext, i)
+            buf.append(argtext[i:j])
+            i = j
+            continue
+        if c == "`":
+            j = _scan_backtick(argtext, i)
+            buf.append(argtext[i:j])
+            i = j
             continue
         j = _scan_comment(argtext, i)
         if j != i:
+            buf.append(" ")
             i = j
             continue
         if c == "(":
@@ -183,19 +218,25 @@ def _split_args(argtext: str) -> list[str]:
         elif c == ")":
             depth -= 1
         elif c == "," and depth == 0:
-            parts.append(argtext[start:i])
-            start = i + 1
+            parts.append("".join(buf))
+            buf = []
+            i += 1
+            continue
+        buf.append(c)
         i += 1
-    tail = argtext[start:]
+    tail = "".join(buf)
     if tail.strip() or parts:
         parts.append(tail)
     return parts
 
 
 #: common backslash escapes, decoded the way Spark's unescapeSQLString
-#: does; an unrecognized ``\x`` drops the backslash and keeps ``x``
-#: (also Spark's rule)
+#: does; ``\uXXXX`` and octal ``\NNN`` are handled below, and an
+#: unrecognized ``\x`` drops the backslash and keeps ``x`` (also
+#: Spark's rule)
 _ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f", "0": "\0"}
+_HEX = set("0123456789abcdefABCDEF")
+_OCT = set("01234567")
 
 
 def _decode_string(body: str, q: str) -> str:
@@ -204,6 +245,21 @@ def _decode_string(body: str, q: str) -> str:
         c = body[i]
         if c == "\\" and i + 1 < n:
             nxt = body[i + 1]
+            if nxt == "u" and i + 5 < n and all(
+                ch in _HEX for ch in body[i + 2 : i + 6]
+            ):
+                out.append(chr(int(body[i + 2 : i + 6], 16)))
+                i += 6
+                continue
+            if nxt in _OCT:
+                j = i + 1
+                while j < min(i + 4, n) and body[j] in _OCT:
+                    j += 1
+                code = int(body[i + 1 : j], 8)
+                if code <= 0xFF:
+                    out.append(chr(code))
+                    i = j
+                    continue
             out.append(_ESCAPES.get(nxt, nxt))
             i += 2
             continue
@@ -218,7 +274,9 @@ def _decode_string(body: str, q: str) -> str:
 
 def _parse_value(tok: str):
     t = tok.strip()
-    if t[:1] in _QUOTES:
+    if not t:
+        raise SqlFunctionError("empty argument in table-function call")
+    if t[0] in _QUOTES:
         end = _scan_literal(t, 0)
         if end != len(t):
             raise SqlFunctionError(f"trailing text after string: {tok!r}")

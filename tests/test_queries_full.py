@@ -97,8 +97,13 @@ def test_ivf_pruned_recall(spark, sf_dir):
     default) must keep >=0.95 recall vs the dense oracle (bench extras
     report 1.0 at sf0.1; the doc-set oracle additionally pins exact
     set equality — this test keeps the recall metric explicit)."""
-    dense = QUERIES["batch_hybrid"](spark, sf_dir).collect()
-    pruned = QUERIES["batch_hybrid_ivf"](spark, sf_dir).collect()
+    from qurio_spark.operators.cachectl import release_caches
+
+    ddf = QUERIES["batch_hybrid"](spark, sf_dir)
+    pdf = QUERIES["batch_hybrid_ivf"](spark, sf_dir)
+    dense, pruned = ddf.collect(), pdf.collect()
+    release_caches(ddf)
+    release_caches(pdf)
     d, p = defaultdict(set), defaultdict(set)
     for r in dense:
         d[r["query_id"]].add(r["doc_id"])

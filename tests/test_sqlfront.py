@@ -36,6 +36,18 @@ class TestParseArgs:
         pos, _ = parse_args('"a b", 2')
         assert pos == ["a b", 2]
 
+    def test_unicode_and_octal_escapes(self):
+        pos, _ = parse_args(r"'caf\u00e9', '\101\66'")
+        assert pos == ["café", "A6"]
+
+    def test_comment_inside_argument_list(self):
+        pos, kw = parse_args("'q' /* top-k */, 2 -- tail")
+        assert pos == ["q", 2] and kw == {}
+
+    def test_empty_keyword_value_fails_loudly(self):
+        with pytest.raises(SqlFunctionError):
+            parse_args("k => , 1")
+
     def test_comma_inside_string(self):
         pos, _ = parse_args("'a, b', 2")
         assert pos == ["a, b", 2]
@@ -129,6 +141,20 @@ class TestFindCalls:
     def test_unterminated_block_comment_raises(self):
         with pytest.raises(SqlFunctionError):
             list(_find_calls("SELECT 1 /* oops", self.NAMES))
+
+    def test_backtick_identifier_shields_specials(self):
+        # `a--b` is an identifier: the -- inside must not start a
+        # comment, and `a"b` must not open a string
+        sql = "SELECT `a--b` AS c FROM hybrid_search('q', 1)"
+        [(_, _, _, args)] = list(_find_calls(sql, self.NAMES))
+        assert args == "'q', 1"
+        sql2 = 'SELECT `a"b` FROM hybrid_search(\'q\', 1)'
+        [(_, _, _, args2)] = list(_find_calls(sql2, self.NAMES))
+        assert args2 == "'q', 1"
+
+    def test_unterminated_backtick_raises(self):
+        with pytest.raises(SqlFunctionError):
+            list(_find_calls("SELECT `oops FROM t", self.NAMES))
 
 
 class TestSqlFunctions:

@@ -536,8 +536,6 @@ class TestLmBuckets:
         carries partial-agged sketches, not corpus rows — and a
         broadcast join back.  Count live (non-cached) exchanges in the
         executed plan."""
-        import re
-
         from qurio_spark.operators.cachectl import release_caches
         from qurio_spark.operators.lm import lm_buckets
 

@@ -37,7 +37,6 @@ Prints one JSON line; committed evidence lives in SCALE.md.
 from __future__ import annotations
 
 import json
-import re
 import sys
 import time
 
