@@ -51,7 +51,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 _IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
-_NUM = re.compile(r"^-?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?$")
+_NUM = re.compile(r"^[+-]?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?$")
 _VIEW_IDS = itertools.count()
 
 
@@ -159,8 +159,15 @@ def _find_calls(sql: str, names: set[str]):
             i = j
             continue
         k = j
-        while k < n and sql[k].isspace():
-            k += 1
+        while k < n:
+            if sql[k].isspace():
+                k += 1
+                continue
+            cj = _scan_comment(sql, k)  # name /* c */ (args) is valid
+            if cj != k:
+                k = cj
+                continue
+            break
         if k >= n or sql[k] != "(":
             i = j
             continue

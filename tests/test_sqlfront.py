@@ -48,6 +48,10 @@ class TestParseArgs:
         with pytest.raises(SqlFunctionError):
             parse_args("k => , 1")
 
+    def test_unary_plus_number(self):
+        pos, _ = parse_args("+5, +0.5")
+        assert pos == [5, 0.5]
+
     def test_comma_inside_string(self):
         pos, _ = parse_args("'a, b', 2")
         assert pos == ["a, b", 2]
@@ -155,6 +159,11 @@ class TestFindCalls:
     def test_unterminated_backtick_raises(self):
         with pytest.raises(SqlFunctionError):
             list(_find_calls("SELECT `oops FROM t", self.NAMES))
+
+    def test_comment_between_name_and_parens(self):
+        sql = "SELECT * FROM hybrid_search /* k */ ('q', 1)"
+        [(_, _, _, args)] = list(_find_calls(sql, self.NAMES))
+        assert args == "'q', 1"
 
 
 class TestSqlFunctions:
