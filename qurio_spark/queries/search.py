@@ -53,6 +53,11 @@ def q_bm25_maxscore(spark, sf_dir):
     ties can never differ from the exhaustive oracle."""
     docs = _t(spark, sf_dir, "documents")
     idx = bm25_op.build_index(docs)
+    # r15 note: persisting idx.postings here was measured SLOWER at the
+    # bench SF (2.76 s vs 2.06 s median, reps=5 — the exploded-postings
+    # cache build costs more than the shared-subtree recompute it
+    # saves); the r15 win is inside score_query_maxscore instead (one
+    # fused bounds+theta collect, term-bucket pruning).
     scored = bm25_op.score_query_maxscore(idx, QUERY_TEXT, 20)
     return (
         scored.filter(F.col("bm25") > 0)
@@ -505,8 +510,18 @@ def q_ann_ivf(spark, sf_dir):
     """IVF ANN: probe only the query vector's own cluster (labels are
     the coarse codebook; the partition-pruned scale path)."""
     emb = _t(spark, sf_dir, "embeddings")
-    label = emb.filter(F.col("vec_id") == QUERY_VEC_ID).first()["label"]
-    top = ivf_topk(emb, _qvec(spark, sf_dir), probe_labels=[int(label)], k=10)
+    # one driver round trip for query vector AND probe label (r15)
+    row = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding", "label")
+        .first()
+    )
+    top = ivf_topk(
+        emb,
+        [float(x) for x in row["embedding"]],
+        probe_labels=[int(row["label"])],
+        k=10,
+    )
     return top.select("vec_id", stable_round("score", 4).alias("score"))
 
 

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from qurio_spark.functions.bpe import (
     EOW,
@@ -58,6 +59,32 @@ class TestBpeTokenizer:
         assert tok.encode_text("Hi, lo!") == ["h", "i", EOW, "l", "o", EOW]
         assert tok.encode_text("") == []
         assert tok.encode_text(None) == []
+
+    def test_count_udf_memo_matches_encode_text(self, spark):
+        # r15: count_udf memoizes word -> token count per worker; the
+        # memoized counts must equal len(encode_text) exactly, including
+        # repeated words (cache hits), unseen words (misses), and
+        # empty/None texts
+        tok = BpeTokenizer([("l", "o"), ("lo", "w"), ("low", EOW)])
+        texts = [
+            "low low lower slow",
+            "low",
+            "",
+            None,
+            "slow lower low low low",
+            "brand new words here",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "i int, text string"
+        )
+        got = {
+            r["i"]: r["n"]
+            for r in df.select(
+                "i", tok.count_udf()(F.col("text")).alias("n")
+            ).collect()
+        }
+        want = {i: len(tok.encode_text(t)) for i, t in enumerate(texts)}
+        assert got == want
 
     def test_count_udf_drives_pack_shards(self, spark):
         from qurio_spark.operators.sharding import pack_shards
