@@ -280,6 +280,12 @@ def lm_buckets(
             order_cols=["_ratio", id_col],
             out_col="_rk",
             hash_col=id_col,
+            # sizing count from the RAW docs table (row count upper-
+            # bounds the scored frame's): a parquet-backed corpus
+            # answers it from footer metadata, so the small-input
+            # decision no longer pays a full LM-scoring pass before
+            # the first real job (r15, guide §1.2)
+            count_df=docs.select(id_col),
         )
         totals = withsrc.groupBy(source_col).agg(F.count("*").alias("_T"))
         # SQL-standard ntile remainder rule: with T rows and n buckets,

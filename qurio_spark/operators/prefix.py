@@ -130,6 +130,7 @@ def order_key_boundaries(
     sample_target: int = SAMPLE_TARGET,
     hash_col: str | None = None,
     small_threshold: int = 0,
+    count_df: DataFrame | None = None,
 ) -> list:
     """Pick ``<= n_buckets - 1`` boundary keys that roughly equi-split
     the rows by the order key.  Deterministic: the sample filter is the
@@ -140,10 +141,21 @@ def order_key_boundaries(
     keys need (column pruning keeps expensive sibling columns out).
     Returns ``[]`` (degenerate single bucket) when the input has at
     most ``small_threshold`` rows — the caller's plain-window path is
-    the right plan there and the sample collect is skipped entirely."""
+    the right plan there and the sample collect is skipped entirely.
+
+    ``count_df``: a CHEAPER frame whose row count upper-bounds
+    ``sample_df``'s (e.g. the raw source table before an expensive
+    scoring projection — parquet count-stars fold to footer metadata).
+    The count only (a) decides the small-input fast path and (b) sizes
+    the sample filter, and boundary choice never affects correctness
+    (module doc), so an upper bound is always safe: a too-large n can
+    only shrink the collected sample, and the small decision errs
+    toward bucketing.  Without it, sizing the sample used to pay a
+    full pass over the expensive frame (r15, guide §1.2: don't compute
+    what you throw away)."""
     order_cols = _as_list(order_cols)
     hash_col = hash_col or order_cols[0]
-    n = sample_df.count()
+    n = (count_df if count_df is not None else sample_df).count()
     if n == 0 or n_buckets <= 1 or n <= small_threshold:
         return []
     filtered = sample_df
@@ -185,6 +197,7 @@ def distributed_cumsum(
     hash_col: str | None = None,
     small_threshold: int | None = None,
     persist: bool | None = None,
+    count_df: DataFrame | None = None,
 ) -> DataFrame:
     """``df`` + ``out_col`` = inclusive running sum of ``value_col``
     within ``part_col`` in ``order_cols`` (all-ascending) order — the
@@ -232,6 +245,7 @@ def distributed_cumsum(
         sample_target,
         hash_col=hash_col,
         small_threshold=small_threshold,
+        count_df=count_df,
     )
     asc = [F.asc(c) for c in order_cols]
     if not bounds:
@@ -328,6 +342,7 @@ def distributed_rank(
     hash_col: str | None = None,
     small_threshold: int | None = None,
     persist: bool | None = None,
+    count_df: DataFrame | None = None,
 ) -> DataFrame:
     """``row_number() over (partitionBy(part).orderBy(...))`` computed
     as a distributed prefix sum of 1s — same contract, same exactness
@@ -350,6 +365,7 @@ def distributed_rank(
         hash_col=hash_col,
         small_threshold=small_threshold,
         persist=False if persist is None else persist,
+        count_df=count_df,
     )
     from qurio_spark.operators.cachectl import propagate_caches
 

@@ -485,12 +485,35 @@ def kmeans_fit(
     centroids = [[float(x) for x in r[vec_col]] for r in seed_rows]
     if not centroids:
         return []  # empty corpus: no codebook (callers guard on [])
+    import struct as _struct
+
+    dim = len(centroids[0])
     for _ in range(iters):
         assigned = assign_labels(embeddings, centroids, id_col, vec_col)
-        rows = compute_centroids(assigned, "label", vec_col).collect()
+        # per-iteration reduction: collect the (label, pos, mean) cells
+        # straight off the FIRST groupBy (k x dim rows — the same F.avg
+        # values compute_centroids would re-pack into arrays) and
+        # assemble the codebook driver-side; the second groupBy shuffle
+        # existed only to build array rows this loop immediately
+        # unpacked (r15, guide §2.4: one exchange per Lloyd's
+        # iteration, not two).  The float32 round-trip below reproduces
+        # compute_centroids' `cast("float")` bit-for-bit, so codebooks
+        # (and every downstream label/survivor golden) are unchanged.
+        rows = (
+            assigned.select(
+                F.col("label"), F.posexplode(F.col(vec_col)).alias("pos", "v")
+            )
+            .groupBy("label", "pos")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
         new = list(centroids)  # empty clusters keep previous centroid
+        for lb in {r["label"] for r in rows}:
+            new[lb] = [0.0] * dim
         for r in rows:
-            new[r["label"]] = [float(x) for x in r["centroid"]]
+            new[r["label"]][r["pos"]] = _struct.unpack(
+                "f", _struct.pack("f", r["m"])
+            )[0]
         centroids = new
     return centroids
 

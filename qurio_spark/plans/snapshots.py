@@ -373,7 +373,11 @@ def _attach_blooms(
         F.bit_or("mask").alias("word")
     )
     staging = os.path.join(path, f"_bloomstaging-{uuid.uuid4().hex}")
-    words.repartition(1).write.mode("overwrite").parquet(staging)
+    # coalesce, not repartition: the sidecar wants one file, and the
+    # groupBy's post-shuffle partitions merge into it without paying a
+    # second full exchange (r15, guide §2.4); row order inside the
+    # sidecar is irrelevant — probes read words by (file, col, word_idx)
+    words.coalesce(1).write.mode("overwrite").parquet(staging)
     bloom_dir = os.path.join(path, "bloom")
     os.makedirs(bloom_dir, exist_ok=True)
     sidecar = None

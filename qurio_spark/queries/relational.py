@@ -620,7 +620,13 @@ def q_snap_bloom(spark, sf_dir):
         "doc_id", "lang", "n_chars",
         F.sha2(F.col("text"), 256).alias("content_hash"),
     )
-    mx = d.agg(F.max("doc_id")).first()[0]
+    # ONE driver round trip for the split point AND the probe key: the
+    # probe is the max-doc_id document's hash, i.e. a column of the
+    # same row that defines mx — a TakeOrdered top-1 fetches both
+    # (r15; the separate max() + equality-filter first() paid the
+    # per-action floor twice and re-scanned documents for one row)
+    top = d.orderBy(F.desc("doc_id")).select("doc_id", "content_hash").first()
+    mx, probe = top["doc_id"], top["content_hash"]
     snap_append(
         d.filter(F.col("doc_id") <= mx // 2).repartition(4), path,
         bloom_cols=["content_hash"],
@@ -628,9 +634,6 @@ def q_snap_bloom(spark, sf_dir):
     snap_append(
         d.filter(F.col("doc_id") > mx // 2).repartition(4), path,
         bloom_cols=["content_hash"],
-    )
-    probe = (
-        d.filter(F.col("doc_id") == mx).select("content_hash").first()[0]
     )
     hit = snap_scan_multi(spark, path, {}, eq={"content_hash": probe})
     return hit.select("doc_id", "lang", "n_chars").orderBy("doc_id")
