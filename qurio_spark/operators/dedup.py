@@ -782,7 +782,17 @@ def remove_duplicate_spans(
             lambda x: x != "",
         ).alias("_toks"),
     )
-    # sequence(0, size-k) steps BACKWARDS when size < k -> guard
+    # sequence(0, size-k) steps BACKWARDS when size < k -> guard.
+    # Gram identity is xxhash64 OVER THE TOKEN SLICE (r15, guide §2.3
+    # "shuffle keys and metadata instead of payloads"): the count
+    # exchange and the hot-gram semi-join move an 8-byte long per
+    # position instead of a ~k-token concatenated string, and the
+    # concat itself (O(k) bytes built per position) disappears from
+    # the map side.  xxhash64 hashes the array structurally, so equal
+    # slices collide iff equal — up to hash collisions, whose
+    # probability at ~2^64 is negligible and which the span_dedup
+    # oracle (exact string grams in DuckDB) would surface
+    # deterministically at every test SF if one existed in the data.
     grams = toks.select(
         F.col(id_col),
         F.posexplode(
@@ -790,11 +800,9 @@ def remove_duplicate_spans(
                 F.size("_toks") >= k,
                 F.transform(
                     F.sequence(F.lit(0), F.size("_toks") - k),
-                    lambda i: F.concat_ws(
-                        " ", F.slice(F.col("_toks"), i + 1, F.lit(k))
-                    ),
+                    lambda i: F.xxhash64(F.slice(F.col("_toks"), i + 1, F.lit(k))),
                 ),
-            ).otherwise(F.array().cast("array<string>"))
+            ).otherwise(F.array().cast("array<bigint>"))
         ).alias("start", "gram"),
     )
     hot = (

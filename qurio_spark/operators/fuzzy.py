@@ -144,11 +144,26 @@ def _keyed(
     # strings) but measured CHEAPER than shipping the ~1.6x duplicate
     # keys into the candidate join (dup x dup key groups multiply the
     # join output); cross-string dups fall to the final pair-distinct.
+    #
+    # Keys are xxhash64-FOLDED to longs before the dedup/explode (r15,
+    # guide §2.3 narrower shuffle keys): array_distinct compares 8-byte
+    # longs instead of quadratic string compares, and the candidate
+    # join's exchange carries a long per key instead of a ~len-char
+    # string.  Provably lossless for the OUTPUT (not just w.h.p.): the
+    # blocking is already lossless on string keys, every candidate
+    # passes the exact levenshtein verify, and a hash collision can
+    # only ADD candidates the verify rejects (or duplicate pairs the
+    # pair-distinct removes) — identical hashes join at least
+    # everything identical strings would.
     keys = symdelete_keys if k == 1 else symdelete_keys2
     return df.select(
         F.col(id_col),
         F.col(s_col),
-        F.explode(F.array_distinct(keys(F.col(s_col)))).alias("_k"),
+        F.explode(
+            F.array_distinct(
+                F.transform(keys(F.col(s_col)), lambda s: F.xxhash64(s))
+            )
+        ).alias("_k"),
     )
 
 
