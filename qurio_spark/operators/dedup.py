@@ -131,7 +131,30 @@ def ngram_jaccard_pairs(
     ``shingles``: a prebuilt (persisted) distinct ``(id, shingle)``
     table — the inverted index, built once per corpus version.
     """
-    sh = shingles if shingles is not None else shingle_docs(docs, id_col, text_col, n)
+    # Shingle identity is xxhash64-folded to a long (r15, guide §2.3):
+    # the distinct, the max_df count, and the inverted-index SELF-JOIN
+    # all shuffle 8-byte keys instead of n-word strings.  Equal strings
+    # hash equal, so pairs/sizes/intersections are unchanged up to hash
+    # collisions (deterministic, and surfaced by the string-based
+    # DuckDB oracles at every test SF if one existed in the data).
+    # Persisted shingle indexes stay string-typed on disk (shared with
+    # the portable-hash minhash family); the fold happens at load.
+    if shingles is not None:
+        sh = shingles
+        if dict(sh.dtypes).get("shingle") == "string":
+            sh = sh.select(
+                F.col(id_col), F.xxhash64("shingle").alias("shingle")
+            )
+    else:
+        sh = (
+            docs.select(
+                F.col(id_col),
+                F.explode(word_ngrams(F.col(text_col), n)).alias("_sstr"),
+            )
+            .filter(F.col("_sstr") != "")
+            .select(F.col(id_col), F.xxhash64("_sstr").alias("shingle"))
+            .distinct()
+        )
     if max_df is not None:
         keep = (
             sh.groupBy("shingle")
