@@ -59,11 +59,14 @@ def q_bm25_maxscore(spark, sf_dir):
     # saves); the r15 win is inside score_query_maxscore instead (one
     # fused bounds+theta collect, term-bucket pruning).
     scored = bm25_op.score_query_maxscore(idx, QUERY_TEXT, 20)
-    return (
+    from qurio_spark.operators.cachectl import propagate_caches
+
+    return propagate_caches(
+        scored,
         scored.filter(F.col("bm25") > 0)
         .select("doc_id", stable_round("bm25", 4).alias("bm25"))
         .orderBy(F.desc(stable_round("bm25", 6)), F.asc("doc_id"))
-        .limit(10)
+        .limit(10),
     )
 
 
@@ -84,11 +87,14 @@ def q_bm25_blockmax(spark, sf_dir):
     both paths pinned in tests/test_bm25_segments.py::TestBlockMax."""
     idx = _bm25_index_handle(spark, sf_dir, "documents")
     scored = bm25_op.score_query_maxscore(idx, QUERY_TEXT, 20)
-    return (
+    from qurio_spark.operators.cachectl import propagate_caches
+
+    return propagate_caches(
+        scored,
         scored.filter(F.col("bm25") > 0)
         .select("doc_id", stable_round("bm25", 4).alias("bm25"))
         .orderBy(F.desc(stable_round("bm25", 6)), F.asc("doc_id"))
-        .limit(10)
+        .limit(10),
     )
 
 
