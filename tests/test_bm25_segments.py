@@ -394,3 +394,28 @@ class TestBlockMax:
         got = self._topk(score_query_maxscore(idx, q, 2, prune_stats=stats), 2)
         assert got == self._topk(score_query(idx, q), 2)
         assert stats["alive_blocks"] == [strong_block]
+
+
+class TestMaxScoreSliceCache:
+    def test_slice_cache_attached_and_released(self, spark):
+        """r15: score_query_maxscore persists the query-term postings
+        slice (its three consumers shared no subtree before); the
+        handle must ride the returned frame and release cleanly."""
+        from pyspark.sql import functions as F
+
+        from qurio_spark.operators.bm25 import build_index, score_query_maxscore
+        from qurio_spark.operators.cachectl import cached_frames, release_caches
+
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta gamma doc{i} alpha") for i in range(30)],
+            "doc_id int, text string",
+        )
+        idx = build_index(docs)
+        out = score_query_maxscore(idx, "alpha doc1", 5)
+        frames = cached_frames(out)
+        assert len(frames) == 1  # exactly the filtered slice
+        assert frames[0].storageLevel.useMemory  # actually persisted
+        rows = {r["doc_id"]: r["bm25"] for r in out.collect()}
+        assert rows  # scored something
+        assert release_caches(out) == 1
+        assert not frames[0].storageLevel.useMemory  # released

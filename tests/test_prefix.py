@@ -357,3 +357,33 @@ class TestBoundaries:
     def test_single_bucket_no_bounds(self, spark):
         df = _mkdf(spark, 100, 1)
         assert order_key_boundaries(df, "k", 1) == []
+
+    def test_count_df_upper_bound_equivalent(self, spark):
+        """r15: sizing the sample from a CHEAP count_df (row count
+        upper-bounds sample_df's) must keep the cumsum bit-identical —
+        boundary choice never affects output — and the small-input
+        decision must still fire from the hint alone."""
+        df = _mkdf(spark, 3000, 2)
+        # over-counting frame (2x the rows): thresh shrinks, sample
+        # shrinks, boundaries differ — output must not
+        big = _mkdf(spark, 6000, 2)
+        got = {
+            (r["s"], r["k"]): r["cum"]
+            for r in distributed_cumsum(
+                df, "v", "s", "k", "cum", n_buckets=8, sample_target=200,
+                small_threshold=0, count_df=big,
+            ).collect()
+        }
+        want = {
+            (r["s"], r["k"]): r["cum"]
+            for r in _window_cumsum(df, "v", "s", "k", "cum").collect()
+        }
+        assert got == want
+        # small decision from the hint: count_df under the threshold
+        # takes the degenerate window path (no boundaries collected)
+        assert (
+            order_key_boundaries(
+                df, "k", 8, small_threshold=5000, count_df=df
+            )
+            == []
+        )
