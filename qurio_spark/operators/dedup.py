@@ -382,7 +382,7 @@ def simhash64(
 
 def connected_components(
     pairs: DataFrame,
-    nodes: DataFrame,
+    nodes: DataFrame | None,
     id_col: str = "doc_id",
     a_col: str = "id_a",
     b_col: str = "id_b",
@@ -395,6 +395,13 @@ def connected_components(
     -> (id_col, cluster_id) with ``cluster_id = min(node id in the
     component)`` — a deterministic canonical id, independent of
     iteration order and of ``algorithm``.
+
+    ``nodes=None`` (r16): return labels for EDGE-TOUCHED nodes only —
+    no singleton rows.  Callers that only need the pair-connected
+    ids' labels (everything else trivially forms its own cluster)
+    skip the vertex-set scan and the singleton anti-join entirely;
+    edge-node labels are identical to the full form's (singletons
+    never influence a component).
 
     ``algorithm='star'`` (default): alternating large-star/small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
@@ -475,12 +482,15 @@ def connected_components(
             f"{max_iters} rounds — components would be silently split; "
             f"raise max_iters or use algorithm='star'"
         )
+    out = labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )
+    if nodes is None:
+        return out
     singletons = nodes.join(
         edge_nodes, nodes[id_col] == edge_nodes["node"], "left_anti"
     ).select(F.col(id_col), F.col(id_col).alias("cluster_id"))
-    return labels.select(
-        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
-    ).unionByName(singletons)
+    return out.unionByName(singletons)
 
 
 def _finish_union_find(
@@ -523,6 +533,8 @@ def _finish_union_find(
             ]
         ),
     )
+    if nodes is None:
+        return labels
     singletons = nodes.join(
         labels.select(F.col(id_col).alias("_edge_node")),
         nodes[id_col] == F.col("_edge_node"),
@@ -651,10 +663,13 @@ def _connected_components_star(
         edge_nodes.join(edges.select(F.col("u").alias("node")), "node", "left_anti")
         .select(F.col("node").alias(id_col), F.col("node").alias("cluster_id"))
     )
+    out = labels.unionByName(roots)
+    if nodes is None:
+        return out
     singletons = nodes.join(
         edge_nodes, nodes[id_col] == edge_nodes["node"], "left_anti"
     ).select(F.col(id_col), F.col(id_col).alias("cluster_id"))
-    return labels.unionByName(roots).unionByName(singletons)
+    return out.unionByName(singletons)
 
 
 def simhash_near_pairs(

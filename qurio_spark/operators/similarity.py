@@ -566,28 +566,39 @@ def semantic_dedup(
         vec_col=vec_col,
         max_block=max_block,
     )
-    comps = connected_components(
-        pairs, labeled.select(id_col), id_col=id_col
-    )
+    # r16 (guide §1.2 — don't compute what you throw away): every id
+    # OUTSIDE the pair graph survives by definition (its component is
+    # itself, and the per-cluster argmin of a singleton is the id), so
+    # components, csim scoring and the keep rule only need the ids
+    # that appear in SOME pair.  ``nodes=None`` asks CC for exactly
+    # those labels (no singleton pass, no vertex-set scan), csim is
+    # evaluated after the comps join so only pair-touched rows pay the
+    # cosine, and the final pass subtracts the per-cluster LOSERS from
+    # the corpus — one anti-join instead of re-scoring every row.
+    # Survivor set is identical: all ids − (pair ids − per-cluster
+    # argmin); the survivor goldens at 3 SFs pin it.
+    comps = connected_components(pairs, None, id_col=id_col)
     scored = (
         labeled.join(F.broadcast(cdf), "label")
+        .join(comps, id_col)
         .select(
             id_col,
+            "cluster_id",
             cosine(F.col(vec_col), F.col("centroid")).alias("__csim"),
         )
-        .join(comps, id_col)
     )
     # argmin per near-dup group as a min_by AGGREGATION (r14): the keep
     # rule is unchanged (lowest centroid cosine, id tie-break — the
     # struct ordering key), but partial aggregation collapses a giant
     # cluster inside each map partition instead of funneling its rows
     # through one window reducer; deterministic because ids are unique
-    survivors = scored.groupBy("cluster_id").agg(
+    keep = scored.groupBy("cluster_id").agg(
         F.min_by(
             F.col(id_col), F.struct(F.col("__csim"), F.col(id_col))
         ).alias(id_col)
     ).select(id_col)
-    return embeddings.join(survivors, id_col, "left_semi")
+    losers = comps.select(id_col).join(keep, id_col, "left_anti")
+    return embeddings.join(losers, id_col, "left_anti")
 
 
 def ivf_build(

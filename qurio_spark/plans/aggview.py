@@ -182,13 +182,14 @@ def merge_states(
 def refresh_agg_view(
     spark: SparkSession,
     path: str,
-    delta: DataFrame,
+    delta: DataFrame | None,
     group_cols: list[str],
     value_col: str,
     partition_col: str | None = None,
     distinct_col: str | None = None,
     hist_bounds: tuple[float, float, int] | None = None,
     txn: tuple[str, int] | None = None,
+    states: DataFrame | None = None,
 ) -> None:
     """Refresh the persisted view at ``path`` with ``delta``'s rows.
 
@@ -199,6 +200,17 @@ def refresh_agg_view(
     second time and silently double-count.  (`refresh_rollup` needs no
     marker: its cursor is the idempotency token — a replayed poll with
     the same cursor rebuilds the same partitions to the same values.)
+
+    ``states`` (instead of ``delta``): the batch's partial-state frame
+    PRE-BUILT by :func:`partial_states` with these exact group_cols /
+    value_col / distinct_col / hist_bounds — the §2.6 overlap hook: a
+    caller holding several pending batches can materialize batch N+1's
+    states (an eager checkpoint) WHILE batch N's refresh commits,
+    since the partial-agg of a batch depends only on its own rows,
+    never on the view.  The merge/commit flow is unchanged, so the
+    resulting view states are identical to the ``delta`` form; pass a
+    MATERIALIZED frame (the internal diamond-cutting checkpoint is
+    skipped for pre-built states).
 
     First call creates the view.  The view is a SNAPSHOT table
     (plans/snapshots.py, round 8): with ``partition_col`` (must be one
@@ -221,7 +233,9 @@ def refresh_agg_view(
         return  # replayed micro-batch: already merged into the view
     if hist_bounds is not None:
         _check_hist_bounds(path, hist_bounds)
-    new = partial_states(
+    if (states is None) == (delta is None):
+        raise ValueError("pass exactly one of delta / states")
+    new = states if states is not None else partial_states(
         delta, group_cols, value_col, distinct_col, hist_bounds
     )
     # OCC transform-rerun (the snap_mutate posture, lifted here
@@ -237,6 +251,7 @@ def refresh_agg_view(
             _refresh_once(
                 spark, path, new, group_cols, partition_col,
                 distinct_col, hist_bounds, txn,
+                pre_materialized=states is not None,
             )
             return
         except SnapConflict:
@@ -246,7 +261,7 @@ def refresh_agg_view(
 
 def _refresh_once(
     spark, path, new, group_cols, partition_col, distinct_col,
-    hist_bounds, txn,
+    hist_bounds, txn, pre_materialized=False,
 ):
     from pyspark.sql import functions as F
 
@@ -283,10 +298,11 @@ def _refresh_once(
                     f"refresh must pass {opt} (omitting it would merge "
                     "batches with mismatched state columns)"
                 )
-    if partition_col and old is not None:
+    if partition_col and old is not None and not pre_materialized:
         # `new` feeds BOTH the touched-values collect and the merge —
         # cut the diamond so the delta's partial-agg runs once (the
-        # states frame is one small row per touched key)
+        # states frame is one small row per touched key); a caller-
+        # materialized states frame is already diamond-safe
         new = checkpoint_df(new, eager=True)
     if old is None:
         if partition_col:

@@ -9,6 +9,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from qurio_spark.functions.frames import local_frame
+from qurio_spark.functions.jobs import run_concurrent
 from qurio_spark.functions.numeric import stable_round
 
 from .common import (
@@ -237,12 +238,20 @@ def q_snap_compact(spark, sf_dir):
     )
     mn, mx = o.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
     bounds = [mn - 1, mx // 4, mx // 2, 3 * mx // 4, mx]
-    for lo, hi in zip(bounds, bounds[1:]):
-        snap_append(
-            o.filter((F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi))
-            .coalesce(1),
-            path,
+    # §2.6 job overlap: the four micro-batch appends are order-free
+    # (compaction and the final aggregate read only the latest
+    # version's union) — OCC assigns version numbers race-safely
+    run_concurrent([
+        (
+            lambda lo=lo, hi=hi: snap_append(
+                o.filter(
+                    (F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi)
+                ).coalesce(1),
+                path,
+            )
         )
+        for lo, hi in zip(bounds, bounds[1:])
+    ])
     v = snap_compact(spark, path, small_bytes=64 << 20)
     assert v is not None  # four small files always compact
     return snap_read(spark, path).groupBy("o_orderpriority").agg(
@@ -333,13 +342,23 @@ def q_snap_scan(spark, sf_dir):
     )
     mx = o.agg(F.max("o_orderkey")).first()[0]
     b1, b2 = mx // 3, 2 * mx // 3
-    snap_append(o.filter(F.col("o_orderkey") <= b1).coalesce(1), path)
-    snap_append(
-        o.filter((F.col("o_orderkey") > b1) & (F.col("o_orderkey") <= b2))
-        .coalesce(1),
-        path,
-    )
-    snap_append(o.filter(F.col("o_orderkey") > b2).coalesce(1), path)
+    # §2.6 job overlap: three order-free appends (the scan below reads
+    # the final version only; per-file stats depend on content, not on
+    # which commit claimed which version number)
+    run_concurrent([
+        lambda: snap_append(
+            o.filter(F.col("o_orderkey") <= b1).coalesce(1), path
+        ),
+        lambda: snap_append(
+            o.filter(
+                (F.col("o_orderkey") > b1) & (F.col("o_orderkey") <= b2)
+            ).coalesce(1),
+            path,
+        ),
+        lambda: snap_append(
+            o.filter(F.col("o_orderkey") > b2).coalesce(1), path
+        ),
+    ])
 
     mid = snap_scan(spark, path, "o_orderkey", lo=b1 + 1, hi=b2)
     return mid.groupBy("o_orderpriority").agg(
@@ -422,8 +441,14 @@ def q_snap_dropcol(spark, sf_dir):
         "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
     )
     mid = o.agg(F.max("o_orderkey")).first()[0] // 2
-    snap_append(o.filter(F.col("o_orderkey") <= mid), path)
-    snap_append(o.filter(F.col("o_orderkey") > mid), path)
+    # §2.6 job overlap: order-free appends — the pinned read below is
+    # version 1, which contains BOTH batches whichever commit won v0
+    # (append carries its parent's files), so the pre-drop aggregate is
+    # interleaving-invariant
+    run_concurrent([
+        lambda: snap_append(o.filter(F.col("o_orderkey") <= mid), path),
+        lambda: snap_append(o.filter(F.col("o_orderkey") > mid), path),
+    ])
     snap_drop_column(path, "o_orderpriority")
 
     pre = snap_read(spark, path, 1)
@@ -543,8 +568,15 @@ def q_snap_dv(spark, sf_dir):
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
     mx = o.agg(F.max("o_orderkey")).first()[0]
-    snap_append(o.filter(F.col("o_orderkey") <= mx // 2), path)
-    snap_append(o.filter(F.col("o_orderkey") > mx // 2), path)
+    # §2.6 job overlap: the two seed appends are order-free (the table
+    # after both is the same union either way, no reader pins an
+    # intermediate version) — OCC makes the racing commits safe, and
+    # the deletes below still see both.  The MOR deletes themselves
+    # stay sequential: the second stacks on the first's vectors.
+    run_concurrent([
+        lambda: snap_append(o.filter(F.col("o_orderkey") <= mx // 2), path),
+        lambda: snap_append(o.filter(F.col("o_orderkey") > mx // 2), path),
+    ])
     snap_delete_where_mor(spark, path, "o_orderkey", lo=mx // 4 + 1, hi=mx // 2)
     snap_delete_where_mor(spark, path, "o_totalprice", lo=150000.0)
 
@@ -627,14 +659,19 @@ def q_snap_bloom(spark, sf_dir):
     # per-action floor twice and re-scanned documents for one row)
     top = d.orderBy(F.desc("doc_id")).select("doc_id", "content_hash").first()
     mx, probe = top["doc_id"], top["content_hash"]
-    snap_append(
-        d.filter(F.col("doc_id") <= mx // 2).repartition(4), path,
-        bloom_cols=["content_hash"],
-    )
-    snap_append(
-        d.filter(F.col("doc_id") > mx // 2).repartition(4), path,
-        bloom_cols=["content_hash"],
-    )
+    # §2.6 job overlap: order-free bloomed appends — each commit's
+    # bloom sidecar is built over its OWN files (uuid-named) and the
+    # probe reads the final manifest only
+    run_concurrent([
+        lambda: snap_append(
+            d.filter(F.col("doc_id") <= mx // 2).repartition(4), path,
+            bloom_cols=["content_hash"],
+        ),
+        lambda: snap_append(
+            d.filter(F.col("doc_id") > mx // 2).repartition(4), path,
+            bloom_cols=["content_hash"],
+        ),
+    ])
     hit = snap_scan_multi(spark, path, {}, eq={"content_hash": probe})
     return hit.select("doc_id", "lang", "n_chars").orderBy("doc_id")
 
@@ -663,8 +700,12 @@ def q_snap_merge(spark, sf_dir):
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
     mx = o.agg(F.max("o_orderkey")).first()[0]
-    snap_append(o.filter(F.col("o_orderkey") <= mx // 2), path)
-    snap_append(o.filter(F.col("o_orderkey") > mx // 2), path)
+    # §2.6 job overlap: order-free seed appends (merge + update below
+    # run against the final union either way)
+    run_concurrent([
+        lambda: snap_append(o.filter(F.col("o_orderkey") <= mx // 2), path),
+        lambda: snap_append(o.filter(F.col("o_orderkey") > mx // 2), path),
+    ])
     updates = o.filter(F.col("o_orderkey") <= mx // 10).withColumns(
         {
             "o_orderstatus": F.lit("U"),

@@ -531,10 +531,19 @@ def streaming_near_dup_dedup(
         )
         if surviving.limit(1).count() == 0:
             return
-        batch_df.join(surviving.select(id_col), id_col, "left_semi").write.mode(
-            "append"
-        ).parquet(accepted_path)
-        surviving.write.mode("append").parquet(store_path)
+        # §2.6 job overlap: the accepted-docs append and the signature-
+        # store append are independent writes to different paths (both
+        # consume the already-checkpointed `surviving`); replay safety
+        # is unchanged — a crash between the two re-runs the batch in
+        # either form
+        from qurio_spark.functions.jobs import run_concurrent
+
+        run_concurrent([
+            lambda: batch_df.join(
+                surviving.select(id_col), id_col, "left_semi"
+            ).write.mode("append").parquet(accepted_path),
+            lambda: surviving.write.mode("append").parquet(store_path),
+        ])
 
     return (
         docs_stream.writeStream.foreachBatch(process)
