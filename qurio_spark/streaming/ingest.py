@@ -393,24 +393,31 @@ def streaming_ingest_incremental(
         ok = batch_df.filter(F.col("status") == "success")
         changed, _unchanged = split_unchanged(ok, prior)
         changed = checkpoint_df(changed, eager=True)  # split + chunk + ledger reuse
-        if changed.limit(1).count() == 0:
+        # ONE driver job serves both the emptiness gate and the
+        # touched-source set (r16; was a limit-1 count plus a second
+        # collect): a non-empty batch always yields >= 1 distinct
+        # source_id row (a NULL source is the [None] list, which
+        # value_match handles)
+        touched = [
+            r["source_id"]
+            for r in changed.select("source_id").distinct().collect()
+        ]
+        if not touched:
             return
         new_chunks = build_chunks(changed.drop("body_hash"), embedder)
         existing = snap_read_if_exists(spark, chunks_path)
-        if existing is None:  # first batch: no chunks yet
-            snap_replace_values(
-                spark, chunks_path, "source_id", [],
-                new_chunks.repartition("source_id"),
-            )
-        else:
+
+        def commit_chunks() -> None:
+            if existing is None:  # first batch: no chunks yet
+                snap_replace_values(
+                    spark, chunks_path, "source_id", [],
+                    new_chunks.repartition("source_id"),
+                )
+                return
             # one atomic replaceWhere commit: only files holding a
             # touched source rewrite (manifest stats prune the rest);
             # kept rows of touched sources merge with the rebuilt
-            # chunks, every other file is carried by name untouched
-            touched = [
-                r["source_id"]
-                for r in changed.select("source_id").distinct().collect()
-            ]
+            # chunks, every other file is carried by name untouched.
             # value_match, not isin: a NULL source_id's existing
             # chunks must join the merge too, or the replace would
             # drop them while inserting the rebuilt NULL-keyed rows
@@ -424,12 +431,29 @@ def streaming_ingest_incremental(
                 spark, chunks_path, "source_id", touched,
                 merged.repartition("source_id"),
             )
+
+        # the ledger is (url, hash) — tiny relative to the corpus; one
+        # file per version keeps the per-commit task count flat.
+        # §2.6 overlap: the ledger FRAME materializes while the chunks
+        # commit runs (it reads only `prior` — a manifest-pinned
+        # snapshot — and the checkpointed `changed`); its COMMIT stays
+        # strictly after the chunks commit, preserving the replay
+        # crash-consistency order (ledger-after-chunks: a crash
+        # between the two re-sends the batch, which the ledger then
+        # classifies as changed and the chunks rebuild converges)
+        from qurio_spark.functions.jobs import run_concurrent
+
         ledger = prior.join(
             changed.select("url"), "url", "left_anti"
-        ).unionByName(changed.select("url", "body_hash"))
-        # the ledger is (url, hash) — tiny relative to the corpus; one
-        # file per version keeps the per-commit task count flat
-        snap_overwrite(ledger.coalesce(1), ledger_path)
+        ).unionByName(changed.select("url", "body_hash")).coalesce(1)
+        box: dict = {}
+        run_concurrent([
+            commit_chunks,
+            lambda: box.setdefault(
+                "ledger", checkpoint_df(ledger, eager=True)
+            ),
+        ])
+        snap_overwrite(box["ledger"], ledger_path)
 
     return (
         docs_stream.writeStream.foreachBatch(process)
