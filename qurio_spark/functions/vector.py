@@ -42,8 +42,24 @@ def literal_vector(vec: list[float]) -> Column:
     """A query vector as a literal array column (broadcast to every task
     as part of the plan — the Spark-native analogue of the reference
     passing the embedded query vector in the GraphQL request,
-    store.go:107-110)."""
-    return F.array(*[F.lit(float(v)) for v in vec])
+    store.go:107-110).
+
+    Assembled as ONE parsed SQL expression (r16, guide §5 driver
+    hygiene): the per-element ``F.lit`` form costs a py4j round trip
+    per dimension (a 64-dim vector ≈ 65 driver calls) at every call
+    site.  ``repr(float)`` round-trips IEEE doubles exactly and Spark
+    parses them with Java ``Double.parseDouble``, so the literal
+    values are bit-identical to the composed form (the score oracles'
+    hash identity is preserved).  Non-finite values fall back to the
+    composed form (no SQL literal spells nan/inf)."""
+    vals = [float(v) for v in vec]
+    import math
+
+    if not vals or not all(math.isfinite(v) for v in vals):
+        return F.array(*[F.lit(v) for v in vals])
+    return F.expr(
+        "array(" + ",".join(f"CAST({v!r} AS DOUBLE)" for v in vals) + ")"
+    )
 
 
 def l2_normalize(a: Column) -> Column:

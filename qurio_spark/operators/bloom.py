@@ -110,14 +110,35 @@ def bloom_might_contain(
     whole-stage codegen, zero Python, zero joins.  Refuses bitmaps
     over ``BLOOM_LITERAL_MAX_WORDS`` (use ``bloom_filter_rows`` /
     ``bloom_semi_join``, which route large filters through the Arrow
-    membership stage instead of codegen literals)."""
+    membership stage instead of codegen literals).
+
+    For a string column NAME the whole predicate is assembled as ONE
+    SQL string and parsed JVM-side in a single call (r16, guide §5 —
+    the driver does no data work, and it shouldn't do thousands of
+    py4j round-trips either: the per-word ``F.lit`` array plus the k
+    hash terms cost ~0.4 s of pure driver time per filter at 128
+    words).  The SQL reproduces the Column form's arithmetic exactly
+    (same xxhash64 double-hashing, same `/64` truncation), so build
+    and probe stay hash-identical; a Column argument keeps the
+    composed form."""
     if len(bitmap) > BLOOM_LITERAL_MAX_WORDS:
         raise ValueError(
             f"bitmap of {len(bitmap)} words exceeds the literal ceiling "
             f"({BLOOM_LITERAL_MAX_WORDS}); use bloom_filter_rows"
         )
     if isinstance(key_col, str):
-        key_col = F.col(key_col)
+        name = key_col.replace("`", "``")
+        arr = "array(" + ",".join(f"{int(w)}L" for w in bitmap) + ")"
+        h = f"xxhash64(`{name}`)"
+        h1 = f"({h} & {_MASK31})"
+        h2 = f"((shiftrightunsigned({h}, 31) & {_MASK31}) + 1)"
+        terms = []
+        for i in range(k_hashes):
+            p = f"(({h1} + {i} * {h2}) % {m_bits})"
+            word = f"element_at({arr}, cast({p} / 64 as int) + 1)"
+            bit = f"shiftleft(1L, cast({p} % 64 as int))"
+            terms.append(f"(({word} & {bit}) != 0)")
+        return F.expr("(" + " AND ".join(terms) + ")")
     lit = F.array(*[F.lit(int(w)).cast("long") for w in bitmap])
     h1, h2 = _h1h2(key_col)
     cond = F.lit(True)
@@ -217,8 +238,10 @@ def bloom_semi_join(
         k_hashes = 5
     bitmap = bloom_build(keys, on, m_bits, k_hashes)
     if len(bitmap) <= BLOOM_LITERAL_MAX_WORDS:
+        # pass the NAME so the membership predicate takes the
+        # single-parse SQL path (no per-word py4j traffic)
         pre = probe.filter(
-            bloom_might_contain(F.col(on), bitmap, m_bits, k_hashes)
+            bloom_might_contain(on, bitmap, m_bits, k_hashes)
         )
     else:  # large filter: Arrow membership stage, never a literal
         pre = bloom_filter_rows(probe, on, bitmap, m_bits, k_hashes)

@@ -63,10 +63,14 @@ def curate_corpus(
     # them in the scan and drop the text BEFORE the first exchange, so
     # both window shuffles move (hash, source, id, 2 scalars) instead
     # of the full document bodies
+    # the group key is the raw 32-byte digest, not the 64-char hex
+    # (r16, guide §2.3): a bijection of the sha2 string, so the dedup
+    # grouping is bit-identical at half the key bytes; `_h` is dropped
+    # before anything leaves the operator
     prof0 = docs.select(
         F.col(source_col),
         F.col(id_col),
-        F.sha2(F.col(text_col), 256).alias("_h"),
+        F.unhex(F.sha2(F.col(text_col), 256)).alias("_h"),
         quality_score_expr(F.col(text_col)).alias("quality"),
         token_count(F.col(text_col)).alias("n_tokens"),
     )

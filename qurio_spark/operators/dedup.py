@@ -41,12 +41,19 @@ def exact_dedup(
     are uniform across reducers, but one hot VALUE still lands on one
     reducer) contributes one row per task to the shuffle, text bytes
     included.  ``min_by`` is deterministic here because ids are unique
-    (no ordering ties).  One shuffle, map-side combined."""
+    (no ordering ties).  One shuffle, map-side combined.
+
+    The group key is the RAW 32-byte digest (``unhex`` of the sha2
+    hex, r16 guide §2.3 — narrower shuffle keys): hex->bytes is a
+    bijection, so the grouping is bit-identical to grouping on the
+    hex string at half the key bytes; the hash never leaves the
+    operator, so the declared content-hash contract (exposed as hex
+    elsewhere) is untouched."""
     return (
         docs.select(
             F.col(id_col),
             F.col(text_col),
-            F.sha2(F.col(text_col), 256).alias("_h"),
+            F.unhex(F.sha2(F.col(text_col), 256)).alias("_h"),
         )
         .groupBy("_h")
         .agg(
@@ -782,6 +789,18 @@ def remove_duplicate_lines(
     )
 
 
+def _gram_key(slice_col):
+    """Gram identity for :func:`remove_duplicate_spans`: xxhash64 over
+    the k-token array slice (r15, guide §2.3).  Split out as a seam so
+    tests can PLANT a colliding key (e.g. ``pmod(xxhash64(c), 4)``)
+    and pin the documented degradation mode: two distinct grams that
+    share a key merge their occurrence counts, which can only flag
+    MORE positions (over-removal — kept tokens under collision are a
+    subset of the true kept tokens), never resurrect a duplicate or
+    crash (tests/test_jobs_overlap.py::TestPlantedGramCollision)."""
+    return F.xxhash64(slice_col)
+
+
 def remove_duplicate_spans(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -838,7 +857,7 @@ def remove_duplicate_spans(
                 F.size("_toks") >= k,
                 F.transform(
                     F.sequence(F.lit(0), F.size("_toks") - k),
-                    lambda i: F.xxhash64(F.slice(F.col("_toks"), i + 1, F.lit(k))),
+                    lambda i: _gram_key(F.slice(F.col("_toks"), i + 1, F.lit(k))),
                 ),
             ).otherwise(F.array().cast("array<bigint>"))
         ).alias("start", "gram"),

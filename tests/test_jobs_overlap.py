@@ -163,3 +163,41 @@ class TestConcurrentSnapAppends:
         assert [m["parent"] for m in vs] == [None, 0, 1, 2]
         got = sorted(r["k"] for r in snap_read(spark, path).collect())
         assert got == list(range(400))
+
+
+class TestPlantedGramCollision:
+    """VERDICT r15 #9: pin the xxhash64 gram-fold's failure MODE with a
+    planted collision instead of a comment.  Forcing the gram key into
+    4 buckets makes distinct grams share keys; the documented
+    degradation is MERGED counts — strictly more positions flagged, so
+    the collision run's kept tokens are a SUBSET of the true run's per
+    document — never a resurrection of a duplicate span or a crash."""
+
+    def test_collision_only_over_removes(self, spark, monkeypatch):
+        import qurio_spark.operators.dedup as dd
+
+        texts = [
+            "aa bb cc dd unique1 unique2 unique3",
+            "zz aa bb cc dd yy xx ww vv",
+            "totally different words here nothing shared one two",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+        )
+
+        def run():
+            return {
+                r["doc_id"]: set(r["text_clean"].split())
+                for r in dd.remove_duplicate_spans(df, k=4, min_count=2).collect()
+            }
+
+        true_kept = run()
+        monkeypatch.setattr(
+            dd, "_gram_key", lambda c: F.pmod(F.xxhash64(c), F.lit(4))
+        )
+        collided_kept = run()
+        for doc in true_kept:
+            # merged counts can only flag MORE grams -> fewer kept
+            assert collided_kept[doc] <= true_kept[doc]
+        # the true duplicated span is still removed under collisions
+        assert "aa" not in collided_kept[0] and "aa" not in collided_kept[1]
