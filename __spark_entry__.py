@@ -663,6 +663,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     and the DV read path is pinned by tests/test_dv.py; green
     r10-r14).
 
+    Round 16 rotation — this optimization round touched a set of
+    queries the window should re-verify (VERDICT r15 #8), so they
+    rotate IN: ``snap_dv`` (overlapped seed appends + the DV read
+    path), ``snap_scan`` / ``snap_compact`` (overlapped appends),
+    ``incremental_hourly`` (the new precomputed-states refresh hook),
+    ``streaming_near_dedup`` (overlapped sink appends),
+    ``bloom_semi_join`` (single-parse SQL membership predicate), plus
+    the two r15-optimized entries the r15 verdict asked in (#8):
+    ``bm25_maxscore`` (fused bounds collect + postings-slice cache)
+    and ``ngram_jaccard`` (xxhash64-folded shingles).  (Also asked:
+    ``kmeans_ivf`` — golden-checked, not SQL-oracle-backed, so it
+    cannot hold a window slot; ``fuzzy_join``/``snap_bloom`` were
+    already in-window.)  OUT for their slots, all long-green with
+    in-window siblings and pytest pins: ``tpch_q22`` (TPC-H keeps 9
+    in-window incl. the q21 anti/exists shape; green since r8),
+    ``tpch_q10`` (join+agg+top-n ⊂ q9/q13/top_customers; green since
+    r8), ``events_retention`` (cohort windows ⊂ in-window
+    events_funnel + events_top_users; green since r9),
+    ``link_filter_chain`` (filter family keeps filter_equality;
+    pinned by test_crawl; green since r6), ``data_quality`` (quality
+    family keeps anomaly_events in-window + gopher_rules at 51+;
+    green since r6), ``cheapest_order_per_customer`` (min_by-per-group
+    ⊂ in-window exact_dedup/events_top_users machinery; green since
+    r9), ``stats_fanin`` (three global counts crossJoined; trivial
+    plan, green since r1), ``pack_shards`` (packing family keeps the
+    strictly-harder pack_sequences in-window; green since r13).
+
     EVERY entry, in-window or not, is additionally oracle-compared at
     sf0.001 by ``tests/test_queries_full.py`` on each pytest run — the
     round-4 lesson was that out-of-window entries had no committed
@@ -672,11 +699,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catalog_crud": q_catalog_crud,
         "filter_equality": q_filter_equality,
         "snap_dropcol": q_snap_dropcol,
-        "stats_fanin": q_stats_fanin,
+        "snap_dv": q_snap_dv,
         "curate": q_curate,
         "exact_dedup": q_exact_dedup,
         "bm25_topk": q_bm25_topk,
-        "tpch_q22": q_tpch_q22,
+        "bm25_maxscore": q_bm25_maxscore,
         "canonical_docs": q_canonical_docs,
         "hybrid_topk": q_hybrid_topk,
         "tpch_q9": q_tpch_q9,
@@ -687,7 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join": q_fuzzy_join,
         "span_dedup": q_span_dedup,
         "fuzzy_join2": q_fuzzy_join2,
-        "data_quality": q_data_quality,
+        "ngram_jaccard": q_ngram_jaccard,
         "streaming_join": q_streaming_join,
         "bm25_incremental": q_bm25_incremental,
         "streaming_sessions_final": q_streaming_sessions_final,
@@ -695,9 +722,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
         "tpch_q8": q_tpch_q8,
-        "tpch_q10": q_tpch_q10,
+        "streaming_near_dedup": q_streaming_near_dedup,
         "tpch_q13": q_tpch_q13,
-        "link_filter_chain": q_link_filter_chain,
+        "snap_scan": q_snap_scan,
         "snap_merge": q_snap_merge,
         "lm_quality": q_lm_quality,
         "events_top_users": q_events_top_users,
@@ -714,20 +741,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": q_tpch_q7,
         "minhash_lsh": q_minhash_lsh,
         "events_funnel": q_events_funnel,
-        "events_retention": q_events_retention,
+        "snap_compact": q_snap_compact,
         "near_dup_clusters": q_near_dup_clusters,
-        "cheapest_order_per_customer": q_cheapest_order_per_customer,
-        "pack_shards": q_pack_shards,
+        "incremental_hourly": q_incremental_hourly,
+        "bloom_semi_join": q_bloom_semi_join,
         "sample_mixture": q_sample_mixture,
         # -- 51+: oracle-backed, operator proven by in-window sibling -
         "line_dedup": q_line_dedup,
         "read_page": q_read_page,
         "vector_topk": q_vector_topk,
         "triangle_count": q_triangle_count,
-        "snap_dv": q_snap_dv,
+        "tpch_q22": q_tpch_q22,
         "bm25_blockmax": q_bm25_blockmax,
         "batch_hybrid_ivf": q_batch_hybrid_ivf,
-        "streaming_near_dedup": q_streaming_near_dedup,
+        "tpch_q10": q_tpch_q10,
         "events_range_left": q_events_range_left,
         "snap_zorder": q_snap_zorder,
         "gopher_rules": q_gopher_rules,
@@ -735,21 +762,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resize_targets": q_resize_targets,
         "lsh_prebuilt": q_lsh_prebuilt,
         "snap_quarantine": q_snap_quarantine,
-        "bm25_maxscore": q_bm25_maxscore,
+        "stats_fanin": q_stats_fanin,
         "hybrid_rrf": q_hybrid_rrf,
         "decontaminate": q_decontaminate,
-        "bloom_semi_join": q_bloom_semi_join,
-        "incremental_hourly": q_incremental_hourly,
+        "link_filter_chain": q_link_filter_chain,
+        "events_retention": q_events_retention,
         "events_gapfill": q_events_gapfill,
         "pagerank_centrality": q_pagerank_centrality,
         "tpch_q2": q_tpch_q2,
         "rerank_overlap": q_rerank_overlap,
-        "snap_compact": q_snap_compact,
+        "cheapest_order_per_customer": q_cheapest_order_per_customer,
         "events_sessions": q_events_sessions,
         "time_travel": q_time_travel,
         "batch_ann_pq": q_batch_ann_pq,
         "ann_pq": q_ann_pq,
-        "snap_scan": q_snap_scan,
+        "pack_shards": q_pack_shards,
         "dedup_anti_join": q_dedup_anti_join,
         "merge_orders": q_merge_orders,
         "events_cube": q_events_cube,
@@ -798,7 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_moving_avg": q_events_moving_avg,
         "tpch_q4": q_tpch_q4,
         "lsh_multiprobe": q_lsh_multiprobe,
-        "ngram_jaccard": q_ngram_jaccard,
+        "data_quality": q_data_quality,
         "count_global": q_count_global,
         "count_filtered": q_count_filtered,
         "simhash": q_simhash,

@@ -133,7 +133,10 @@ def q_catalog_crud(spark, sf_dir):
     )
     if not all(created) or any(dups):
         raise AssertionError("dedup-checked bulk create broken")
-    rows = {r["name"]: r["id"] for r in cat.sources().collect()}
+    # the ids were minted driver-side in new_source_row and every
+    # create landed (asserted above), so the name->id map needs no
+    # table re-read (r16, guide §5: the driver already holds it)
+    rows = {r["name"]: r["id"] for r in batch}
     cat.soft_delete(rows["src2"])
     cat.update_statuses(
         spark.createDataFrame(
